@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** `SparkSessionExtensions` entry point — the Spark-4 idiomatic
+  * replacement for the reference's `spark.experimental.extraOptimizations`
+  * installation (reference README.md:15,36):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.PropagateLimitToGraft)
+    e.injectFunction(graft.functions.GraftFunctions.cosineSimilarityDescriptor)
+  }
+}

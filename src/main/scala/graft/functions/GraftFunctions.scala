@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Column-API + SQL registration surface for graft's native Catalyst
+  * expressions. The reference exposes no scalar functions of its own
+  * (SURVEY.md §2j) — these implement the north-star LLM-pipeline
+  * extensions (SURVEY.md §2k) as codegen-adjacent native expressions
+  * rather than Scala UDFs, so they stay inside Catalyst's type checking
+  * and null handling.
+  */
+object GraftFunctions {
+
+  private def c(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def x(col: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(col)
+
+  /** Cosine similarity between two numeric arrays (double). */
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(x(a), x(b)))
+
+  /** MinHash signature: `k` 64-bit min-hashes over word `n`-gram shingles. */
+  def minhash(text: Column, k: Int, shingle: Int): Column =
+    c(MinHashSignature(x(text), k, shingle))
+
+  /** 64-bit SimHash over word unigrams. */
+  def simhash(text: Column): Column = c(SimHash64(x(text)))
+
+  /** Winnowing document fingerprint: min rolling (Rabin-Karp) hash over
+    * character windows of size `w`. */
+  def fingerprint(text: Column, w: Int): Column = c(RollingFingerprint(x(text), w))
+
+  /** Character n-gram set Jaccard similarity between two strings. */
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    c(NgramJaccard(x(a), x(b), n))
+
+  /** Heuristic language ID (script ranges + stopword n-gram hits). */
+  def lang_guess(text: Column): Column = c(LangGuess(x(text)))
+
+  /** SQL registration for `cosine_sim`, used by [[graft.GraftExtensions]]. */
+  def cosineSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+}

@@ -1,0 +1,296 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions backing graft's LLM-pipeline operators
+  * (SURVEY.md §2k). All are deterministic, null-intolerant, and evaluate
+  * with tight primitive loops (no boxing beyond the Catalyst boundary) so
+  * the hot path stays cheap even though whole-stage codegen falls back to
+  * the interpreted path around them.
+  */
+
+/** Cosine similarity of two numeric arrays in double precision,
+  * accumulated sequentially so results are reproducible across engines.
+  * Used by the brute-force ANN baseline and the embedding near-dup pass.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(et, _) => et == DoubleType || et == FloatType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects array<float|double>, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+    }
+  }
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (leftFloat) "getFloat" else "getDouble"
+    val getR = if (rightFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (dot, nx, ny, i, n) = (ctx.freshName("dot"), ctx.freshName("nx"),
+        ctx.freshName("ny"), ctx.freshName("i"), ctx.freshName("n"))
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double xv = (double) $a.$getL($i);
+          double yv = (double) $b.$getR($i);
+          $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+        }
+        ${ev.value} = ($nx == 0.0 || $ny == 0.0)
+          ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Shared hashing helpers (xorshift-mixed 64-bit, deterministic). */
+object TextHashing {
+  /** 64-bit hash of a string region via FNV-1a over UTF-16 chars. */
+  def hash64(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  def hash64(s: String): Long = hash64(s, 0, s.length)
+  /** Cheap splittable mix for deriving the k MinHash permutations. */
+  def mix(h0: Long, seed: Long): Long = {
+    var h = h0 ^ (seed * 0x9e3779b97f4a7c15L)
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+}
+
+/** MinHash signature: minimum of `mix(hash(shingle), seed_j)` over word
+  * `shingle`-gram shingles, for `k` seeds. One streaming pass over the
+  * tokens, O(k) state — no unbounded buffers, so it scales to arbitrarily
+  * long documents and runs map-side only (LSH banding + the bucket join
+  * downstream are where the shuffle happens; see Dedup.minHashLsh).
+  */
+case class MinHashSignature(child: Expression, k: Int, shingle: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && shingle > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (toks.length >= shingle) {
+      var i = 0
+      while (i + shingle <= toks.length) {
+        val sh = toks.slice(i, i + shingle).mkString(" ")
+        val h0 = TextHashing.hash64(sh)
+        var j = 0
+        while (j < k) {
+          val hj = TextHashing.mix(h0, j + 1L)
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "minhash"
+}
+
+/** 64-bit SimHash over word unigrams: sign of per-bit vote counts of the
+  * tokens' 64-bit hashes. Near-duplicate docs differ in few bits; pair
+  * candidates are found by banding the 64 bits (see Dedup.simHashDups).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = TextHashing.mix(TextHashing.hash64(toks(t)), 7L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "simhash"
+}
+
+/** Winnowing-style document fingerprint: the minimum Rabin-Karp rolling
+  * hash over all character windows of size `w`. Single pass, O(1) state.
+  */
+case class RollingFingerprint(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private val Base = 1000003L
+  private lazy val basePowW: Long = {
+    var p = 1L; var i = 0
+    while (i < w) { p *= Base; i += 1 }
+    p
+  }
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < w) return TextHashing.hash64(s)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * Base + s.charAt(i); i += 1 }
+    var min = h
+    while (i < s.length) {
+      h = h * Base + s.charAt(i) - basePowW * s.charAt(i - w)
+      // mix before comparing so min isn't dominated by short prefixes
+      if (TextHashing.mix(h, 13L) < TextHashing.mix(min, 13L)) min = h
+      i += 1
+    }
+    TextHashing.mix(min, 13L)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "fingerprint"
+}
+
+/** Character n-gram set Jaccard similarity of two strings (exact, for
+  * verification/rerank of candidate near-dup pairs — not a first-pass
+  * all-pairs op at scale).
+  */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def grams(s: String): java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    if (s.length < n) { if (s.nonEmpty) set.add(TextHashing.hash64(s)); return set }
+    var i = 0
+    while (i + n <= s.length) { set.add(TextHashing.hash64(s, i, i + n)); i += 1 }
+    set
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = grams(a.asInstanceOf[UTF8String].toString)
+    val sb = grams(b.asInstanceOf[UTF8String].toString)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "ngram_jaccard"
+}
+
+/** Heuristic language ID: character-script ranges decide non-Latin
+  * scripts outright; Latin text falls through to stopword voting over a
+  * tiny per-language lexicon. Returns ISO-639-1 code or "und".
+  */
+case class LangGuess(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      LangGuess.guess(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "lang_guess"
+}
+
+object LangGuess {
+  private val stop: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "are", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "sich"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas", "des", "du"),
+    "es" -> Set("el", "los", "las", "es", "una", "en", "que", "por", "para", "con", "del", "se"),
+    "it" -> Set("il", "lo", "gli", "è", "una", "che", "per", "con", "del", "sono", "non", "di"),
+    "pt" -> Set("o", "os", "as", "é", "uma", "em", "que", "por", "para", "com", "não", "um"))
+
+  def guess(text: String): String = {
+    var cjk = 0; var cyr = 0; var arab = 0; var thai = 0; var deva = 0
+    var hira = 0; var hangul = 0; var latin = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i).toInt
+      if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      else if (c >= 0x3040 && c <= 0x30FF) hira += 1
+      else if (c >= 0xAC00 && c <= 0xD7AF) hangul += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      else if (c >= 0x0600 && c <= 0x06FF) arab += 1
+      else if (c >= 0x0E00 && c <= 0x0E7F) thai += 1
+      else if (c >= 0x0900 && c <= 0x097F) deva += 1
+      else if (Character.isLetter(c)) latin += 1
+      i += 1
+    }
+    val scripted = Seq(
+      "ja" -> hira, "zh" -> cjk, "ko" -> hangul, "ru" -> cyr,
+      "ar" -> arab, "th" -> thai, "hi" -> deva)
+    val (bestScript, bestCount) = scripted.maxBy(_._2)
+    if (bestCount > 0 && bestCount * 5 >= latin) {
+      // CJK text with no kana is Chinese; kana implies Japanese.
+      if (bestScript == "zh" && hira > 0) "ja" else bestScript
+    } else if (latin == 0) {
+      "und"
+    } else {
+      val toks = TextHashing.tokens(text)
+      if (toks.isEmpty) return "und"
+      val votes = stop.view.mapValues(sw => toks.count(sw.contains)).toMap
+      val (lang, v) = votes.maxBy { case (l, n) => (n, l) }
+      if (v == 0) "und" else lang
+    }
+  }
+}

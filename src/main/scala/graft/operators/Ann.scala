@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosine_sim
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star, SURVEY.md §2k "similarity search").
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus, rank per query. The corpus side is streamed,
+  *    never collected; cost is |Q|·|corpus| dot products with NO shuffle
+  *    of the corpus (broadcast join + per-query top-k via window on the
+  *    pair table, whose size is |Q|·k after the rank filter).
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus and queries are
+  *    sign-bucketed; only same-bucket pairs are scored. At 100 TB this is
+  *    the scale path: bucket keys co-partition the join and the per-bucket
+  *    candidate count is ~n / 2^planes. Multi-probe (probe = flip one
+  *    bit) keeps recall up without widening buckets.
+  */
+object Ann {
+
+  /** Deterministic Gaussian hyperplanes, seeded — no runtime randomness. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket id of a vector against the hyperplanes, as an int
+    * column (bit j = sign of dot(v, hp(j))). Pure `functions._` — stays
+    * in codegen. */
+  def signBucket(vec: Column, hp: Array[Array[Double]]): Column = {
+    val bits = hp.zipWithIndex.map { case (plane, j) =>
+      val dot = plane.zipWithIndex.map { case (wgt, i) =>
+        element_at(vec, i + 1).cast("double") * lit(wgt)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as brute force.
+    * Queries are multi-probed (exact bucket + each one-bit flip). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 6, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), hp).as("bucket"))
+    val probes = array((0 to planes).map { j =>
+      if (j == 0) signBucket(col(vecCol), hp)
+      else signBucket(col(vecCol), hp).bitwiseXOR(lit(1 << (j - 1)))
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probes).as("bucket"))
+    val scored = c.join(broadcast(q),
+        Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` provider —
+  * the analog of the reference's `ExtJdbcRelationProvider`
+  * (reference: src/main/scala/org/apache/spark/sql/ExtJdbcRelationProvider.scala:7-61):
+  * read side returns the pruning/filtering/limit-capable [[GraftRelation]];
+  * write side applies the SaveMode matrix and the all-or-nothing commit
+  * protocol ([[GraftSink.saveAtomic]]), then re-resolves and returns the
+  * read relation (ExtJdbcRelationProvider.scala:58).
+  */
+class GraftSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a 'path' option"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(
+      sqlContext.sparkSession,
+      path(parameters),
+      numPartitions = parameters.getOrElse("numPartitions", "1").toInt,
+      partitionColumn = parameters.get("partitionColumn"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    GraftSink.saveAtomic(data, path(parameters), mode)
+    createRelation(sqlContext, parameters)
+  }
+}

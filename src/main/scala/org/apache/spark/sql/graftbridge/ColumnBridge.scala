@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge. Spark 4 made the conversion helpers
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so —
+  * like the reference, which placed its classes inside
+  * `org.apache.spark.sql` for the same reason (reference:
+  * src/main/scala/org/apache/spark/sql/PropagateJDBCLimit.scala:1) — this
+  * one-file shim lives in an `org.apache.spark.sql` subpackage. All graft
+  * code goes through these two methods.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
