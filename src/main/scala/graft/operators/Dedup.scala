@@ -46,7 +46,7 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
       minhash(col(textCol), numHashes, shingleSize).as("sig"))
     // band j = hash of signature slice [j*rows, (j+1)*rows)
-    val banded = sig.select(col("id"), col("txt"),
+    val banded = sig.select(col("id"), col("txt"), col("sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("pos", "band")))
       .withColumn("band_hash",
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis over document corpora (north-star, SURVEY.md §2k): token
+  * counting, quality scoring, language stats. Everything here is pure
+  * `functions._` — fully codegen'd, map-side only until the final
+  * aggregation, so it runs at corpus scale with a single shuffle (or none
+  * for the per-document variants).
+  */
+object TextStats {
+
+  /** Whitespace tokens per document (regexp_count of non-space runs) and
+    * a BPE-ish token estimate: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — the classic pre-tokenizer split. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .as("bpe_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Heuristic quality score in [0,1] from length/punctuation/caps/digit
+    * ratios — the standard cheap pre-filter for LLM training corpora. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
+    val caps = regexp_count(col("text"), lit("[A-Z]")).cast("double")
+    val digits = regexp_count(col("text"), lit("[0-9]")).cast("double")
+    val ws = regexp_count(col("text"), lit(" ")).cast("double")
+    docs.select(
+      col("doc_id"),
+      round(punct / greatest(len, lit(1.0)), 6).as("punct_ratio"),
+      round(caps / greatest(len, lit(1.0)), 6).as("caps_ratio"),
+      round(digits / greatest(len, lit(1.0)), 6).as("digit_ratio"),
+      round(ws / greatest(len, lit(1.0)), 6).as("space_ratio"),
+      // length score: 1 for docs in [100, 10000] chars, linear falloff
+      round(least(len / lit(100.0), lit(1.0)) *
+        least(lit(10000.0) / greatest(len, lit(1.0)), lit(1.0)), 6)
+        .as("len_score"))
+  }
+
+  /** Corpus stats per language label: doc count, char volume, token sum. */
+  def perLanguage(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(regexp_count(col("text"), lit("\\S+"))).as("total_ws_tokens"))
+}

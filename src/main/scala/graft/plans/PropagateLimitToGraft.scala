@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
-import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, IntegerLiteral}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -28,6 +28,17 @@ object PropagateLimitToGraft extends Rule[LogicalPlan] {
         lr @ LogicalRelation(rel: GraftRelation, _, _, _, _))
         if rel.limit < 0 && n >= 0 =>
       ll.withNewChildren(Seq(lr.copy(relation = rel.copy(limit = n))))
+    // Catalyst's ColumnPruning pushes attribute-only Projects beneath
+    // limits before user-provided rules run, so also see through one
+    // pruning Project (safe: a pure projection neither adds, drops, nor
+    // reorders rows).
+    case ll @ LocalLimit(IntegerLiteral(n),
+        p @ Project(projList,
+          lr @ LogicalRelation(rel: GraftRelation, _, _, _, _)))
+        if rel.limit < 0 && n >= 0 &&
+          projList.forall(_.isInstanceOf[AttributeReference]) =>
+      ll.withNewChildren(Seq(p.withNewChildren(
+        Seq(lr.copy(relation = rel.copy(limit = n))))))
   }
 
   /** Idempotently install into a live session via

