@@ -59,19 +59,26 @@ object Ann {
   }
 
   /** LSH-bucketed approximate top-k: same output shape as brute force.
-    * Queries are multi-probed (exact bucket + each one-bit flip). */
+    * Queries are multi-probed: the exact bucket plus every bucket within
+    * Hamming distance `probeBits` of it (for random high-dim data the
+    * neighbor's bucket often differs in 1-2 sign bits, so 2-bit probing
+    * is what keeps recall usable without widening buckets). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      planes: Int = 6, seed: Long = 42L,
+      planes: Int = 6, seed: Long = 42L, probeBits: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signBucket(col(vecCol), hp).as("bucket"))
-    val probes = array((0 to planes).map { j =>
-      if (j == 0) signBucket(col(vecCol), hp)
-      else signBucket(col(vecCol), hp).bitwiseXOR(lit(1 << (j - 1)))
-    }: _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probes).as("bucket"))
+    val masks = (0 until (1 << planes))
+      .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
+    // compute the sign bucket ONCE per query row; probes are cheap XORs
+    // of the materialized bucket column (not repeated projections)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        signBucket(col(vecCol), hp).as("qbucket"))
+      .select(col("query_id"), col("qv"),
+        explode(array(masks.map(m =>
+          col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val scored = c.join(broadcast(q),
         Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("qv"), col("cv")))

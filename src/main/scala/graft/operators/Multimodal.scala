@@ -75,7 +75,7 @@ object Multimodal {
     val nFrames = ceil(col("meta.n_bytes").cast("double") / frameBytes)
       .cast("int")
     media.select(
-      col("media_id"), col("meta"),
+      col("media_id"), col("meta"), col("payload"),
       explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("frame_no"))
       .filter(col("frame_no") % stride === 0)
       .select(

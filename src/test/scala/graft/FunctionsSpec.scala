@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.functions.{LangGuess, TextHashing}
+
+/** Unit tests for the native expressions (SURVEY.md §2j/§2k). */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine_sim matches a hand computation and is symmetric") {
+    val df = Seq(
+      (Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0), 1.0),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), 0.0),
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0),
+        32.0 / (math.sqrt(14.0) * math.sqrt(77.0)))
+    ).toDF("a", "b", "expected")
+    val rows = df.select(cosine_sim($"a", $"b").as("c"), $"expected",
+      cosine_sim($"b", $"a").as("c2")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(0) == r.getDouble(2))
+    }
+  }
+
+  test("cosine_sim on float arrays (embeddings) stays in [-1, 1]") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val vals = emb.crossJoin(emb.limit(1).select($"embedding".as("q")))
+      .select(cosine_sim($"embedding", $"q").as("c"))
+      .agg(min($"c"), max($"c")).head
+    assert(vals.getDouble(0) >= -1.0000001 && vals.getDouble(1) <= 1.0000001)
+  }
+
+  test("cosine_sim zero-vector guard returns 0") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    assert(df.select(cosine_sim($"a", $"b")).head.getDouble(0) == 0.0)
+  }
+
+  test("minhash: identical text -> identical signature; sig length k") {
+    val df = Seq(("a b c d e f g", "a b c d e f g"),
+      ("a b c d e f g", "x y z w v u t")).toDF("s1", "s2")
+    val rows = df.select(minhash($"s1", 16, 3).as("h1"),
+      minhash($"s2", 16, 3).as("h2")).collect()
+    assert(rows(0).getSeq[Long](0) == rows(0).getSeq[Long](1))
+    assert(rows(1).getSeq[Long](0) != rows(1).getSeq[Long](1))
+    assert(rows(0).getSeq[Long](0).length == 16)
+  }
+
+  test("minhash estimates Jaccard: similar docs agree on more components") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 48).map(i => s"tok$i").mkString(" ") + " other words"
+    val far = (100 to 150).map(i => s"tok$i").mkString(" ")
+    val df = Seq((base, near), (base, far)).toDF("a", "b")
+    val Array(nearRow, farRow) = df.select(
+      minhash($"a", 64, 3).as("ha"), minhash($"b", 64, 3).as("hb")).collect()
+    def agree(r: org.apache.spark.sql.Row): Int =
+      r.getSeq[Long](0).zip(r.getSeq[Long](1)).count { case (x, y) => x == y }
+    assert(agree(nearRow) > agree(farRow))
+    assert(agree(nearRow) > 32, "near-dup should agree on most components")
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ")
+    val far = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = Seq((base, near, far)).toDF("a", "b", "c")
+    val r = df.select(simhash($"a"), simhash($"b"), simhash($"c")).head
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(r.getLong(0), r.getLong(1)) < ham(r.getLong(0), r.getLong(2)))
+    assert(ham(r.getLong(0), r.getLong(1)) <= 10)
+  }
+
+  test("fingerprint: deterministic, equal for equal text") {
+    val df = Seq(("hello world document text", "hello world document text"),
+      ("hello world document text", "entirely different content here"))
+      .toDF("a", "b")
+    val rows = df.select(fingerprint($"a", 8), fingerprint($"b", 8)).collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1))
+    assert(rows(1).getLong(0) != rows(1).getLong(1))
+  }
+
+  test("ngram_jaccard: 1 for equal, 0 for disjoint, between otherwise") {
+    val df = Seq(("abcdef", "abcdef"), ("abcdef", "uvwxyz"),
+      ("abcdefgh", "abcdxyz")).toDF("a", "b")
+    val vals = df.select(ngram_jaccard($"a", $"b", 3)).collect()
+      .map(_.getDouble(0))
+    assert(vals(0) == 1.0)
+    assert(vals(1) == 0.0)
+    assert(vals(2) > 0.0 && vals(2) < 1.0)
+  }
+
+  test("lang_guess: script + stopword heuristics") {
+    assert(LangGuess.guess("the cat sat on the mat and it was happy") == "en")
+    assert(LangGuess.guess("der Hund ist nicht mit der Katze") == "de")
+    assert(LangGuess.guess("le chat est dans la maison pour les vacances") == "fr")
+    assert(LangGuess.guess("el perro es una mascota para la familia") == "es")
+    assert(LangGuess.guess("这是一个中文句子没有假名") == "zh")
+    assert(LangGuess.guess("これは日本語の文です") == "ja")
+    assert(LangGuess.guess("это русское предложение для теста") == "ru")
+    assert(LangGuess.guess("12345 67890 ...") == "und")
+  }
+
+  test("cosine_sim registered for SQL via extensions descriptor") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+    val v = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))").head
+    assert(v.getDouble(0) == 1.0)
+  }
+
+  test("tokens normalizes case and splits on non-alphanumerics") {
+    assert(TextHashing.tokens("Hello, World! 42").toSeq ==
+      Seq("hello", "world", "42"))
+  }
+}

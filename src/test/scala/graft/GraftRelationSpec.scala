@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.sources.{GraftFilters, GraftRelation}
+
+/** Scan-surface contracts: pruning, filter pushdown, residuals,
+  * partitioned read (reference JDBCRelationWithLimit.scala:29-43,
+  * JDBCRDDWithLimit.scala:36-63).
+  */
+class GraftRelationSpec extends SparkTestBase {
+
+  private def rel(np: Int = 1, pc: Option[String] = None) =
+    GraftRelation(spark, s"$sf001/lineitem.parquet", np, pc)
+
+  test("schema resolves eagerly from parquet footer") {
+    assert(rel().schema.fieldNames.contains("l_orderkey"))
+    assert(rel().schema.size == 11)
+  }
+
+  test("column pruning: scan returns only required columns, in order") {
+    val rdd = rel().buildScan(Array("l_quantity", "l_orderkey"), Array.empty)
+    val row = rdd.first()
+    assert(row.length == 2)
+    // order must match requiredColumns
+    assert(row.get(0).isInstanceOf[Double] && row.get(1).isInstanceOf[Long])
+  }
+
+  test("zero required columns degenerates to constant (count-only scan)") {
+    val rdd = rel().buildScan(Array.empty, Array.empty)
+    assert(rdd.first().length == 1)
+    assert(rdd.count() == spark.read.parquet(s"$sf001/lineitem.parquet").count())
+  }
+
+  test("pushed filters reduce scan output") {
+    val rdd = rel().buildScan(Array("l_orderkey"),
+      Array(EqualTo("l_returnflag", "R"), LessThan("l_quantity", 5.0)))
+    val expected = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") < 5.0).count()
+    assert(rdd.count() == expected)
+  }
+
+  test("unhandledFilters reports only what compile() rejects") {
+    val r = rel()
+    val supported: Array[Filter] = Array(EqualTo("l_returnflag", "R"),
+      In("l_linenumber", Array(1, 2)), IsNotNull("l_comment_x"),
+      Or(EqualTo("l_returnflag", "R"), GreaterThan("l_quantity", 1.0)))
+    assert(r.unhandledFilters(supported).isEmpty)
+    val unsupported: Array[Filter] = Array(AlwaysTrue)
+    assert(r.unhandledFilters(unsupported).sameElements(unsupported))
+  }
+
+  test("filter compiler covers the sources.Filter algebra") {
+    assert(GraftFilters.compile(Not(EqualTo("a", 1))).isDefined)
+    assert(GraftFilters.compile(And(IsNull("a"), IsNotNull("b"))).isDefined)
+    assert(GraftFilters.compile(StringStartsWith("a", "x")).isDefined)
+    assert(GraftFilters.compile(StringEndsWith("a", "x")).isDefined)
+    assert(GraftFilters.compile(StringContains("a", "x")).isDefined)
+    assert(GraftFilters.compile(AlwaysTrue).isEmpty)
+  }
+
+  test("partitioned scan: disjoint hash buckets cover the table exactly") {
+    val r = rel(np = 4, pc = Some("l_orderkey"))
+    val rdd = r.buildScan(Array("l_orderkey"), Array.empty)
+    assert(rdd.getNumPartitions >= 4)
+    assert(rdd.count() ==
+      spark.read.parquet(s"$sf001/lineitem.parquet").count())
+  }
+
+  test("format(\"graft\") round-trips through DataSourceRegister") {
+    val df = spark.read.format("graft")
+      .option("path", s"$sf001/nation.parquet").load()
+    assert(df.count() == 25)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, AsOfJoin, Dedup, Multimodal}
+
+/** Operator-level tests: as-of join vs a naive per-row oracle, dedup
+  * candidate quality, ANN recall vs brute force, multimodal plumbing.
+  */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("as-of join matches the naive theta-join + row_number oracle") {
+    val ev = Tables.t(spark, sf001, "events")
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val right = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val got = AsOfJoin.join(left, right, "user_id", "ts", "ts",
+      Seq("event_id"))
+      .select($"event_id", $"asof_event_id")
+
+    // naive oracle: theta join + keep latest right per left row
+    val l = left.select($"event_id".as("lid"), $"user_id".as("lu"),
+      $"ts".as("lts"))
+    val r = right.select($"event_id".as("rid"), $"user_id".as("ru"),
+      $"ts".as("rts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lid").orderBy($"rts".desc, $"rid".desc)
+    val naive = l.join(r, $"lu" === $"ru" && $"lts" >= $"rts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid".as("event_id"), $"rid".as("asof_event_id"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "as-of join differs from naive oracle")
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy($"keep_id").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minHashLsh surfaces planted near-duplicates") {
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 76).map(i => s"word$i").mkString(" ") +
+      " tail changed slightly here"
+    val unrelated = (500 to 580).map(i => s"tok$i").mkString(" ")
+    val docs = Tables.t(spark, sf001, "documents")
+      .select($"doc_id" + 1000, $"text")
+      .toDF("doc_id", "text")
+      .unionByName(Seq((1L, base), (2L, nearDup), (3L, unrelated))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.minHashLsh(docs, minJaccard = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simHashDups surfaces planted near-duplicates") {
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 78).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup),
+      (3L, (900 to 980).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashDups(docs, maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embeddingDups finds identical vectors") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val dup = emb.filter($"vec_id" === 0)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val withDup = emb.unionByName(dup)
+    val pairs = Dedup.embeddingDups(withDup, dim = 64, minCosine = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 10000L)),
+      s"identical vector pair not found: $pairs")
+  }
+
+  test("lshTopK recall@10 vs brute force is reasonable") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(emb, queries, 10, dim = 64)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.35, f"LSH recall too low: $recall%.2f")
+  }
+
+  test("bruteForceTopK returns exactly k neighbors per query, ranked") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val out = Ann.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 5)
+    val counts = out.groupBy($"query_id").count().collect()
+    assert(counts.forall(_.getLong(1) == 5))
+    val firstRanks = out.filter($"query_id" === 0).orderBy($"rnk")
+      .select($"cos").as[Double].collect()
+    assert(firstRanks.sameElements(firstRanks.sorted(Ordering[Double].reverse)))
+  }
+
+  test("multimodal: decode stub is deterministic; frames cover payload") {
+    val docs = Tables.t(spark, sf001, "documents").limit(50)
+    val media = Multimodal.asMedia(docs)
+    val feats1 = Multimodal.decodeFeatures(media).orderBy($"media_id")
+      .collect()
+    val feats2 = Multimodal.decodeFeatures(media).orderBy($"media_id")
+      .collect()
+    assert(feats1.sameElements(feats2), "decode stub not deterministic")
+    assert(feats1.forall(_.getSeq[Float](3).length == 8))
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+    val perDoc = frames.groupBy($"media_id").count()
+      .join(media.select($"media_id", $"meta.n_bytes".as("nb")), "media_id")
+      .collect()
+    perDoc.foreach { r =>
+      val expected = (math.ceil(r.getLong(2).toDouble / 64).toLong + 1) / 2
+      assert(r.getLong(1) == math.max(expected, 1),
+        s"media ${r.getLong(0)}: frames=${r.getLong(1)} nbytes=${r.getLong(2)}")
+    }
+  }
+
+  test("GeoMean UDAF: geometric mean of constants is the constant") {
+    val df = Seq(4.0, 4.0, 4.0).toDF("x")
+    val gm = udaf(GeoMean)
+    val v = df.agg(gm($"x")).head.getDouble(0)
+    assert(math.abs(v - 4.0) < 1e-12)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming semantics (SURVEY.md §2i): event-time windows,
+  * watermark late-data handling, stateful dedup, custom sessionization —
+  * driven synchronously with MemoryStream + processAllAvailable.
+  */
+case class E(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def runStream(events: Seq[E], name: String)(
+      xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = xform(input.toDF())
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // advance watermark past everything, then flush finalized state
+      input.addData(E(9999, Timestamp.valueOf("2024-01-02 00:00:00"),
+        -1, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window agg with watermark emits finalized windows") {
+    val events = Seq(
+      E(1, ts(1), 1, "a", 1.0), E(2, ts(2), 1, "a", 1.0),
+      E(3, ts(6), 2, "a", 1.0), E(4, ts(7), 2, "b", 1.0))
+    val out = runStream(events, "tumbling_out")(
+      StreamOps.tumblingWithWatermark(_, "5 minutes", "10 minutes"))
+    val got = out.filter($"event_type" === "a")
+      .select($"wstart", $"n").as[(Timestamp, Long)].collect().toMap
+    assert(got(Timestamp.valueOf("2024-01-01 10:00:00")) == 2)
+    assert(got(Timestamp.valueOf("2024-01-01 10:05:00")) == 1)
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.tumblingWithWatermark(
+        input.toDF(), "5 minutes", "2 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    try {
+      input.addData(E(1, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      // advance watermark far ahead
+      input.addData(E(2, ts(59), 1, "a", 1.0))
+      q.processAllAvailable()
+      // this event is now far behind the watermark -> dropped
+      input.addData(E(3, ts(2), 1, "a", 1.0))
+      q.processAllAvailable()
+      input.addData(E(4, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "a", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val n = spark.table("late_out")
+      .filter($"wstart" === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .agg(sum($"n")).head.getLong(0)
+    assert(n == 1, s"late row was not dropped (n=$n)")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    val events = Seq(
+      E(1, ts(1), 1, "a", 1.0), E(1, ts(1, 30), 1, "a", 1.0),
+      E(2, ts(2), 1, "a", 1.0))
+    val out = runStream(events, "dedup_out")(
+      StreamOps.dedupWithinWatermark(_, "10 minutes"))
+    assert(out.filter($"event_id" < 9999).count() == 2)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionize(input.toDS(), gapSeconds = 300)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      input.addData(StreamOps.Ev(1, 1000), StreamOps.Ev(1, 1100),
+        StreamOps.Ev(1, 1200))
+      q.processAllAvailable()
+      // gap > 300s closes the first session
+      input.addData(StreamOps.Ev(1, 5000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sess_out")
+      .as[StreamOps.ClosedSession].collect()
+    assert(sessions.length == 1)
+    assert(sessions.head == StreamOps.ClosedSession(1, 1000, 3))
+  }
+
+  test("batch session windows match the streaming gap semantics") {
+    val events = Seq(
+      E(1, ts(0), 7, "a", 1.0), E(2, ts(2), 7, "a", 1.0),
+      E(3, ts(4), 7, "a", 1.0),
+      E(4, ts(30), 7, "a", 1.0)).toDF()
+    val out = StreamOps.sessions(events, "5 minutes")
+      .orderBy($"session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 3 && out(1).getLong(2) == 1)
+  }
+}
