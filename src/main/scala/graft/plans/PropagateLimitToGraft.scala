@@ -1,12 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, IntegerLiteral}
-import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, IntegerLiteral, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalLimit, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.sources.GraftRelation
+import graft.sources.{GraftFilters, GraftRelation}
 
 /** Catalyst optimizer rule that propagates a `LocalLimit` into the graft
   * relation so the scan itself stops after `n` rows per partition.
@@ -22,23 +23,42 @@ import graft.sources.GraftRelation
   *  - keep the `LocalLimit` on top so limit semantics hold even if the
   *    source returns more rows (PropagateJDBCLimit.scala:26).
   */
-object PropagateLimitToGraft extends Rule[LogicalPlan] {
+object PropagateLimitToGraft extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Rewrite `child` so the graft relation at its leaf carries `n`,
+    * seeing through:
+    *  - attribute-only Projects (Catalyst's ColumnPruning pushes them
+    *    beneath limits before user rules run; pure projections neither
+    *    add, drop, nor reorder rows);
+    *  - Filters whose every conjunct translates to a source filter the
+    *    relation fully handles. The scan applies WHERE before LIMIT
+    *    (buildScan filters, then takes `limit` per partition), matching
+    *    the reference's combined `WHERE ... LIMIT n` SQL
+    *    (JDBCRDDWithLimit.scala:120-133). A filter with ANY untranslatable
+    *    conjunct blocks the push — capping rows before a Spark-side
+    *    residual filter would be wrong.
+    */
+  private def pushLimit(child: LogicalPlan, n: Int): Option[LogicalPlan] =
+    child match {
+      case lr @ LogicalRelation(rel: GraftRelation, _, _, _, _)
+          if rel.limit < 0 =>
+        Some(lr.copy(relation = rel.copy(limit = n)))
+      case p @ Project(projList, inner)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        pushLimit(inner, n).map(c => p.withNewChildren(Seq(c)))
+      case f @ Filter(cond, inner)
+          if splitConjunctivePredicates(cond).forall(pred =>
+            ColumnBridge.translateFilter(pred)
+              .exists(sf => GraftFilters.compile(sf).isDefined)) =>
+        pushLimit(inner, n).map(c => f.withNewChildren(Seq(c)))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case ll @ LocalLimit(IntegerLiteral(n),
-        lr @ LogicalRelation(rel: GraftRelation, _, _, _, _))
-        if rel.limit < 0 && n >= 0 =>
-      ll.withNewChildren(Seq(lr.copy(relation = rel.copy(limit = n))))
-    // Catalyst's ColumnPruning pushes attribute-only Projects beneath
-    // limits before user-provided rules run, so also see through one
-    // pruning Project (safe: a pure projection neither adds, drops, nor
-    // reorders rows).
-    case ll @ LocalLimit(IntegerLiteral(n),
-        p @ Project(projList,
-          lr @ LogicalRelation(rel: GraftRelation, _, _, _, _)))
-        if rel.limit < 0 && n >= 0 &&
-          projList.forall(_.isInstanceOf[AttributeReference]) =>
-      ll.withNewChildren(Seq(p.withNewChildren(
-        Seq(lr.copy(relation = rel.copy(limit = n))))))
+    case ll @ LocalLimit(IntegerLiteral(n), child) if n >= 0 =>
+      pushLimit(child, n)
+        .map(c => ll.withNewChildren(Seq(c)))
+        .getOrElse(ll)
   }
 
   /** Idempotently install into a live session via

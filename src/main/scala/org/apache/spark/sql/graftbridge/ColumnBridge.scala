@@ -16,4 +16,11 @@ object ColumnBridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Catalyst predicate -> `sources.Filter`, the same translation the V1
+    * planner applies before calling `buildScan` (also `private[sql]`). */
+  def translateFilter(predicate: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
 }

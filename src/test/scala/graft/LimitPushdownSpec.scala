@@ -40,6 +40,24 @@ class LimitPushdownSpec extends SparkTestBase {
     assert(df.count() == 5)
   }
 
+  test("limit pushes through a fully-pushable filter (WHERE+LIMIT combo)") {
+    val df = Tables.graftScan(spark, sf001, "lineitem")
+      .filter(col("l_returnflag") === "A").limit(6)
+    val rels = relationsOf(df)
+    assert(rels.nonEmpty && rels.head.limit == 6)
+    assert(df.count() == 6)
+    assert(df.collect().forall(_.getAs[String]("l_returnflag") == "A"))
+  }
+
+  test("limit does NOT push through a filter with residual conjuncts") {
+    val df = Tables.graftScan(spark, sf001, "lineitem")
+      .filter(col("l_quantity") + 1 > 5).limit(6)
+    val rels = relationsOf(df)
+    assert(rels.nonEmpty && rels.head.limit == -1,
+      "pushing a limit below a Spark-side residual filter is unsound")
+    assert(df.count() == 6)
+  }
+
   test("no limit -> relation keeps limit=-1") {
     val df = Tables.graftScan(spark, sf001, "lineitem")
       .filter(col("l_quantity") > 0)
