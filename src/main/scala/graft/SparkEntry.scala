@@ -359,6 +359,10 @@ object SparkEntry {
     Dedup.exact(t(s, dir, "documents"))
       .orderBy(col("text_hash"))
 
+  private val qDedupExactNorm: Q = (s, dir) =>
+    Dedup.exactNormalized(t(s, dir, "documents"))
+      .orderBy(col("text_hash"))
+
   /** MinHash+LSH near-dup candidates (custom hashing — rows-only). */
   private val qDedupNear: Q = (s, dir) =>
     Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2)
@@ -469,6 +473,7 @@ object SparkEntry {
     "q_session_window" -> qSessionWindow,
     "q_udaf_custom" -> qUdafCustom,
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_exact_norm" -> qDedupExactNorm,
     "q_dedup_near" -> qDedupNear,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -684,6 +689,10 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS dup_count FROM documents GROUP BY 1
         |ORDER BY text_hash""".stripMargin,
+    "q_dedup_exact_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q_cosine_topk" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

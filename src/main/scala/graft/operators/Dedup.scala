@@ -23,12 +23,21 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
-  /** Exact dedup: md5 of normalized text; keeps the lowest id per group.
+  /** Exact dedup: md5 of the text; keeps the lowest id per group.
     * A single hash aggregation — no window, no second shuffle. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
       .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup after normalization (casefold + whitespace collapse +
+    * trim) — catches trivially-reformatted duplicates. */
+  def exactNormalized(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+        .as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash + LSH banding: returns candidate near-dup pairs
