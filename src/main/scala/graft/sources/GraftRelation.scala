@@ -46,6 +46,17 @@ case class GraftRelation(
 
   override def sqlContext: SQLContext = sparkSession.sqlContext
 
+  /** Plan-friendly rendering, mirroring the reference's
+    * `JDBCRelationWithLimit(table) [limit=n]` display
+    * (JDBCRelationWithLimit.scala:84-85 / README.md:58). */
+  override def toString: String = {
+    val lim = if (limit >= 0) s" [limit=$limit]" else ""
+    val parts = if (numPartitions > 1)
+      s" [partitions=$numPartitions on ${partitionColumn.getOrElse("?")}]"
+    else ""
+    s"GraftRelation(${path.split('/').last})$parts$lim"
+  }
+
   /** Eager schema resolution from the parquet footer — the analog of the
     * reference's `JDBCRDD.resolveTable` metadata query
     * (JDBCRelationWithLimit.scala:26).
