@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOfJoin, Dedup, Multimodal, TextStats}
+import graft.operators.{Ann, AsOfJoin, Dedup, Multimodal, Salting, TextStats}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7 + builder prompt): the full SURVEY.md §2
@@ -196,6 +196,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
+
+  /** Two-phase salted aggregation (skew path) — must equal the plain
+    * GROUP BY, which is exactly what the oracle checks. */
+  private val qAggSalted: Q = (s, dir) =>
+    Salting.saltedSumCount(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq(col("l_quantity").cast("decimal(18,2)")), buckets = 16)
+      .select(col("l_returnflag"),
+        col("sum_0").cast("double").as("sum_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
 
   /** No DuckDB oracle (HLL sketches differ) — rows-only check. */
   private val qAggApproxDistinct: Q = (s, dir) =>
@@ -456,6 +465,7 @@ object SparkEntry {
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
+    "q_agg_salted" -> qAggSalted,
     "q_window_rank" -> qWindowRank,
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
@@ -558,6 +568,11 @@ object SparkEntry {
         |COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
         |COUNT(DISTINCT l_suppkey) AS distinct_supps, COUNT(*) AS n
