@@ -398,6 +398,12 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  private val qAnnIvf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private val qTextStats: Q = (s, dir) =>
     TextStats.perLanguage(t(s, dir, "documents"))
       .orderBy(col("lang"))
@@ -489,6 +495,7 @@ object SparkEntry {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_quality_score" -> qQualityScore,

@@ -38,6 +38,51 @@ object Ann {
       graft.functions.HyperplaneBucket(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec), hp))
 
+  /** IVF (inverted-file) ANN: a seeded k-means coarse quantizer assigns
+    * every corpus vector to one of `nlist` cells; a query probes its
+    * `nprobe` nearest cells and reranks those candidates exactly. The
+    * 100 TB shape: the cell id co-partitions the candidate join, the
+    * centroid table is tiny and broadcast, and the fraction of corpus
+    * touched is ~nprobe/nlist. Training samples the corpus; the model is
+    * only `nlist * dim` doubles on the driver.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val probeCells = udf { (v: Seq[Float]) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length && j < v.length) {
+          val diff = v(j) - c(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeCells(col(vecCol))).as("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

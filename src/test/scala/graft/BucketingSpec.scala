@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Salting}
+
+/** Co-location + skew + IVF: the 100 TB levers that need a catalog or a
+  * model (SURVEY.md §4 / north star).
+  */
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val o = Tables.t(spark, sf001, "orders")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .saveAsTable("o_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("salted aggregation equals plain aggregation exactly") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val salted = Salting.saltedSumCount(li, Seq("l_returnflag"),
+        Seq(col("l_quantity").cast("decimal(18,2)")), buckets = 8)
+      .select(col("l_returnflag"), col("sum_0"), col("cnt"))
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_0"),
+        count(lit(1)).as("cnt"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("IVF top-k recall vs brute force is reasonable") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, f"IVF recall too low: $recall%.2f")
+  }
+}

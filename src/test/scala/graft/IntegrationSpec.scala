@@ -22,7 +22,7 @@ class IntegrationSpec extends SparkTestBase {
     // non-oracled queries are the documented †-set
     val expected = Set("q_agg_approx_distinct", "q_udaf_custom",
       "q_dedup_near", "q_dedup_simhash", "q_dedup_embedding", "q_ann_lsh",
-      "q_lang_id", "q_fingerprint", "q_multimodal_decode")
+      "q_ann_ivf", "q_lang_id", "q_fingerprint", "q_multimodal_decode")
     assert((qs -- oracled) == expected, s"unexpected: ${(qs -- oracled) -- expected}")
   }
 
