@@ -206,6 +206,43 @@ object SparkEntry {
         col("sum_0").cast("double").as("sum_qty"), col("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: per-linestatus quantity totals pivoted by return flag. */
+  private val qPivot: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .orderBy(col("l_linestatus"))
+
+  /** GROUPING SETS via the SQL API (DataFrame API exposes only
+    * rollup/cube; arbitrary sets are a SQL surface). */
+  private val qAggGroupingSets: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(""" SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST,
+               o_orderpriority ASC NULLS FIRST, n """)
+  }
+
+  /** Uncorrelated scalar subquery (Catalyst rewrites to a join). */
+  private val qSubqueryScalar: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+    s.sql(""" SELECT c_custkey, c_acctbal FROM customer_sq
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                AS DOUBLE) / COUNT(*) FROM customer_sq)
+      ORDER BY c_custkey """)
+  }
+
+  /** Median / exact percentile aggregate. */
+  private val qAggMedian: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("med_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** No DuckDB oracle (HLL sketches differ) — rows-only check. */
   private val qAggApproxDistinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -472,6 +509,10 @@ object SparkEntry {
     "q_agg_cube" -> qAggCube,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
     "q_agg_salted" -> qAggSalted,
+    "q_agg_grouping_sets" -> qAggGroupingSets,
+    "q_agg_median" -> qAggMedian,
+    "q_pivot" -> qPivot,
+    "q_subquery_scalar" -> qSubqueryScalar,
     "q_window_rank" -> qWindowRank,
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
@@ -580,6 +621,30 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |o_orderpriority ASC NULLS FIRST, n""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty,
+        |min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |CAST(SUM(CASE WHEN l_returnflag = 'A'
+        |  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+        |CAST(SUM(CASE WHEN l_returnflag = 'N'
+        |  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+        |CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |  AS DOUBLE) / COUNT(*) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
         |COUNT(DISTINCT l_suppkey) AS distinct_supps, COUNT(*) AS n
