@@ -160,6 +160,54 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** TPC-H Q3 shape: 3-way join + filtered date ranges + grouped
+    * revenue + top-10 (broadcastable dims broadcast, revenue decimal-
+    * exact). */
+  private val qTpchQ3: Q = (s, dir) => {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way star join through region, grouped by nation. */
+  private val qTpchQ5: Q = (s, dir) => {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** RANGE window frame: value-based frame bounds (vs the ROWS frame in
+    * q_window_running). */
+  private val qWindowRangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rangeBetween(-5L, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("nearby_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ===== 2e: aggregations =====
 
   private val qAggHash: Q = (s, dir) =>
@@ -503,6 +551,9 @@ object SparkEntry {
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
+    "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q5" -> qTpchQ5,
+    "q_window_range_frame" -> qWindowRangeFrame,
     "q_agg_hash" -> qAggHash,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_rollup" -> qAggRollup,
@@ -607,6 +658,35 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-01-01'
+        |AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderkey
+        |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |AS nearby_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
