@@ -60,6 +60,22 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming sink through the atomic write path: every micro-batch
+    * lands via [[graft.sources.GraftSink.saveAtomic]] (staging + rename),
+    * so a failed batch never leaves partial files — the streaming face of
+    * the reference's all-or-nothing save (ExtJdbcUtils.scala:70-109).
+    * Returns the started query; caller awaits/stops it.
+    */
+  def writeAtomicBatches(stream: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.GraftSink.saveAtomic(
+          batch, f"$dir/batch-$id%05d",
+          org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      .start()
+
   /** Custom stateful sessionization via flatMapGroupsWithState: emits
     * (user_id, session_start_epoch_s, n_events) when a session closes
     * after `gapSeconds` of inactivity (processing-time timeout for the

@@ -105,6 +105,23 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.head == StreamOps.ClosedSession(1, 1000, 3))
   }
 
+  test("foreachBatch atomic sink lands every micro-batch completely") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink-stream")
+      .toString
+    val q = StreamOps.writeAtomicBatches(input.toDF(), dir)
+    try {
+      input.addData(E(1, ts(1), 1, "a", 1.0), E(2, ts(2), 1, "b", 2.0))
+      q.processAllAvailable()
+      input.addData(E(3, ts(3), 2, "a", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$dir/batch-*")
+    assert(back.count() == 3)
+    assert(back.select(sum($"value")).head.getDouble(0) == 6.0)
+  }
+
   test("batch session windows match the streaming gap semantics") {
     val events = Seq(
       E(1, ts(0), 7, "a", 1.0), E(2, ts(2), 7, "a", 1.0),
