@@ -110,13 +110,35 @@ case class GraftRelation(
         branches.reduce(_ union _)
       case _ => internalRows(branch(None))
     }
+    // Rows-read accounting: BASELINE.md's pushdown gate is "limit n =>
+    // the source emits <= n rows per partition", observable via this
+    // named accumulator rather than wall-clock.
+    val emitted = sparkSession.sparkContext.longAccumulator(
+      s"graft.rowsEmitted.${path.split('/').last}")
+    GraftRelation.lastRowsEmitted.set(emitted)
+    // count on the InternalRow-typed view — a Row-typed lambda would
+    // insert a bridge cast that UnsafeRow fails
+    val counted = rdd
+      .asInstanceOf[RDD[org.apache.spark.sql.catalyst.InternalRow]]
+      .mapPartitions(_.map { r => emitted.add(1L); r },
+        preservesPartitioning = true)
+      .asInstanceOf[RDD[Row]]
     // Limit-carrying scan: cap every partition at `limit` rows, the
     // parquet analog of per-partition `... LIMIT n` SQL (reference
     // JDBCRDDWithLimit.scala:131-133). No shuffle; the retained
     // Spark-side LocalLimit enforces the global cap.
-    if (limit >= 0) rdd.mapPartitions(_.take(limit), preservesPartitioning = true)
-    else rdd
+    if (limit >= 0)
+      counted.mapPartitions(_.take(limit), preservesPartitioning = true)
+    else counted
   }
+}
+
+object GraftRelation {
+  /** Accumulator of the most recent buildScan on this driver — test/
+    * observability hook for the rows-read pushdown gate. */
+  val lastRowsEmitted =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.util.LongAccumulator]()
 }
 
 /** Compiles Spark `sources.Filter`s to `Column` predicates — the analog of

@@ -80,6 +80,20 @@ class LimitPushdownSpec extends SparkTestBase {
     assert(counts.forall(_ <= 3), s"per-partition counts: ${counts.toSeq}")
   }
 
+  test("rows-read gate: pushed limit caps what the source emits") {
+    val full = Tables.graftScan(spark, sf001, "lineitem")
+    full.write.format("noop").mode("overwrite").save()
+    val fullEmitted = graft.sources.GraftRelation.lastRowsEmitted.get.value
+    assert(fullEmitted == 6005L || fullEmitted > 5000L,
+      s"full scan emitted $fullEmitted")
+
+    val limited = Tables.graftScan(spark, sf001, "lineitem").limit(5)
+    limited.write.format("noop").mode("overwrite").save()
+    val limEmitted = graft.sources.GraftRelation.lastRowsEmitted.get.value
+    assert(limEmitted <= 5L,
+      s"limit 5 should cap source emission, emitted $limEmitted")
+  }
+
   test("limit 0 yields empty result") {
     val df = Tables.graftScan(spark, sf001, "lineitem").limit(0)
     assert(df.count() == 0)
