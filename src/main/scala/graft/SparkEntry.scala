@@ -79,6 +79,16 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Same scan through the DataSource V2 twin — Catalyst's
+    * V2ScanRelationPushDown drives the pushdown interfaces, no custom
+    * rule needed. */
+  private val qScanV2: Q = (s, dir) =>
+    s.read.format("graft-v2")
+      .option("path", Tables.path(dir, "lineitem")).load()
+      .filter(col("l_returnflag") === "R" && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
   private val qTopk: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
@@ -542,6 +552,7 @@ object SparkEntry {
     "q_partitioned_scan" -> qPartitionedScan,
     "q_limit_pushdown" -> qLimitPushdown,
     "q_limit_filter_combo" -> qLimitFilterCombo,
+    "q_scan_v2" -> qScanV2,
     "q_topk" -> qTopk,
     "q_sort" -> qSort,
     "q_join_inner" -> qJoinInner,
@@ -617,6 +628,10 @@ object SparkEntry {
       """SELECT * FROM (SELECT l_orderkey, l_linenumber, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'A' LIMIT 30)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_v2" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
