@@ -122,6 +122,33 @@ class StreamingSpec extends SparkTestBase {
     assert(back.select(sum($"value")).head.getDouble(0) == 6.0)
   }
 
+  test("streaming near-dup detection finds pairs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[StreamingDedup.DocIn]
+    val bandedStream = StreamingDedup.banded(input.toDF())
+    val q = StreamingDedup.nearDupPairs(bandedStream, minJaccard = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 76).map(i => s"word$i").mkString(" ") + " small tail"
+    val unrelated = (500 to 580).map(i => s"tok$i").mkString(" ")
+    try {
+      // batch 1: original + an unrelated doc
+      input.addData(StreamingDedup.DocIn(1, base),
+        StreamingDedup.DocIn(3, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0)
+      // batch 2 (later): the near-duplicate arrives
+      input.addData(StreamingDedup.DocIn(2, nearDup))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("neardup_out")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected cross-batch pair (1,2), got $pairs")
+  }
+
   test("batch session windows match the streaming gap semantics") {
     val events = Seq(
       E(1, ts(0), 7, "a", 1.0), E(2, ts(2), 7, "a", 1.0),
