@@ -481,6 +481,20 @@ object SparkEntry {
         minCosine = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact char-3-gram Jaccard over a bounded pair set (the rerank
+    * primitive of the near-dup pipeline), oracle-checked vs DuckDB's
+    * list algebra. */
+  private val qNgramJaccard: Q = (s, dir) => {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(ngram_jaccard(col("ta"), col("tb"), 3), 4).as("j"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private val qCosineTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
@@ -596,6 +610,7 @@ object SparkEntry {
     "q_dedup_near" -> qDedupNear,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_ngram_jaccard" -> qNgramJaccard,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
@@ -875,6 +890,18 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+        |g AS (SELECT doc_id,
+        |  list_distinct([substring(text, CAST(x AS INTEGER), 3)
+        |    FOR x IN range(1, greatest(length(text) - 1, 1))]) AS grams
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |  (len(a.grams) + len(b.grams)
+        |   - len(list_intersect(a.grams, b.grams))), 4) AS j
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_cosine_topk" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
