@@ -71,6 +71,16 @@ case class GraftRelation(
     */
   override def needConversion: Boolean = false
 
+  /** On-disk size of the backing files. Without this the V1 default is
+    * `spark.sql.defaultSizeInBytes` (effectively infinite), so a graft
+    * table would NEVER be auto-broadcast and every dim join would
+    * shuffle — a silent 100 TB-scale planning bug. */
+  override def sizeInBytes: Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sparkSession.sessionState.newHadoopConf())
+    fs.getContentSummary(p).getLength
+  }
+
   /** Filters we cannot push are reported back so Spark re-evaluates them
     * above the scan (reference residual contract:
     * JDBCRelationWithLimit.scala:29-31).

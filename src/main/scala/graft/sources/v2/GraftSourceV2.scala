@@ -114,9 +114,28 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType)
 }
 
 case class GraftScanV2(path: String, projectedSchema: StructType,
-    filters: Array[Filter], limit: Int) extends Scan with Batch {
+    filters: Array[Filter], limit: Int)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = projectedSchema
+
+  /** Footer-derived stats (row count + byte size) so Catalyst can make
+    * broadcast decisions for graft-v2 tables — without this the scan
+    * reports unknown size and dim joins never broadcast. */
+  override def estimateStatistics(): Statistics = {
+    val conf = new Configuration()
+    var rows = 0L; var bytes = 0L
+    ParquetMeta.listRowGroupStats(path, conf).foreach { case (r, b) =>
+      rows += r; bytes += b
+    }
+    val (fr, fb) = (rows, bytes)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(fb)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(fr)
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = if (limit >= 0) s", PushedLimit: $limit" else ""
@@ -239,6 +258,17 @@ object ParquetMeta {
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     } else Seq(p)
   }
+
+  /** (rowCount, totalByteSize) per row group — for scan statistics. */
+  def listRowGroupStats(path: String, conf: Configuration)
+      : Seq[(Long, Long)] =
+    partFiles(path, conf).flatMap { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        r.getRowGroups.asScala.toSeq.map(bm =>
+          (bm.getRowCount, bm.getTotalByteSize))
+      } finally r.close()
+    }
 
   /** (file, rowGroupIndex, startingPos, compressedByteSize) per group. */
   def listRowGroups(path: String, conf: Configuration)

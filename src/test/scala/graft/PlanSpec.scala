@@ -39,6 +39,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
   }
 
+  test("graft V1 relation reports real size -> dims auto-broadcast") {
+    // no explicit broadcast() hint: Catalyst must decide from sizeInBytes
+    val li = Tables.graftScan(spark, sf001, "lineitem")
+    val n = Tables.graftScan(spark, sf001, "nation")
+    val df = li.join(n, li("l_suppkey") % 25 === n("n_nationkey"))
+    assert(physical(df).contains("BroadcastHashJoin"),
+      s"nation (tiny) should auto-broadcast:\n${physical(df)}")
+  }
+
+  test("graft-v2 scan reports statistics -> dims auto-broadcast") {
+    val li = spark.read.format("graft-v2")
+      .option("path", s"$sf001/lineitem.parquet").load()
+    val n = spark.read.format("graft-v2")
+      .option("path", s"$sf001/nation.parquet").load()
+    val df = li.join(n, li("l_suppkey") % 25 === n("n_nationkey"))
+    assert(physical(df).contains("BroadcastHashJoin"),
+      s"v2 nation (tiny) should auto-broadcast:\n${physical(df)}")
+  }
+
   test("small dimension joins broadcast") {
     val c = Tables.t(spark, sf001, "customer")
     val n = Tables.t(spark, sf001, "nation")
