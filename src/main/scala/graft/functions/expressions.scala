@@ -102,30 +102,24 @@ object TextHashing {
   }
   def tokens(text: String): Array[String] =
     text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
-}
 
-/** MinHash signature: minimum of `mix(hash(shingle), seed_j)` over word
-  * `shingle`-gram shingles, for `k` seeds. One streaming pass over the
-  * tokens, O(k) state — no unbounded buffers, so it scales to arbitrarily
-  * long documents and runs map-side only (LSH banding + the bucket join
-  * downstream are where the shuffle happens; see Dedup.minHashLsh).
-  */
-case class MinHashSignature(child: Expression, k: Int, shingle: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k > 0 && shingle > 0)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  protected override def nullSafeEval(input: Any): Any = {
-    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+  // ---- static entry points for both interpreted eval and generated
+  // code (Scala object methods get static forwarders, so whole-stage
+  // codegen calls `graft.functions.TextHashing.xxx(...)` directly and
+  // the expressions need no CodegenFallback) ----
+
+  def minhashSig(input: UTF8String, k: Int, shingle: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokens(input.toString)
     val mins = Array.fill(k)(Long.MaxValue)
     if (toks.length >= shingle) {
       var i = 0
       while (i + shingle <= toks.length) {
         val sh = toks.slice(i, i + shingle).mkString(" ")
-        val h0 = TextHashing.hash64(sh)
+        val h0 = hash64(sh)
         var j = 0
         while (j < k) {
-          val hj = TextHashing.mix(h0, j + 1L)
+          val hj = mix(h0, j + 1L)
           if (hj < mins(j)) mins(j) = hj
           j += 1
         }
@@ -134,24 +128,13 @@ case class MinHashSignature(child: Expression, k: Int, shingle: Int)
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
   }
-  override protected def withNewChildInternal(newChild: Expression) =
-    copy(child = newChild)
-  override def prettyName: String = "minhash"
-}
 
-/** 64-bit SimHash over word unigrams: sign of per-bit vote counts of the
-  * tokens' 64-bit hashes. Near-duplicate docs differ in few bits; pair
-  * candidates are found by banding the 64 bits (see Dedup.simHashDups).
-  */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  protected override def nullSafeEval(input: Any): Any = {
-    val toks = TextHashing.tokens(input.asInstanceOf[UTF8String].toString)
+  def simhash64(input: UTF8String): Long = {
+    val toks = tokens(input.toString)
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      val h = TextHashing.mix(TextHashing.hash64(toks(t)), 7L)
+      val h = mix(hash64(toks(t)), 7L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -164,6 +147,105 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  private val FpBase = 1000003L
+
+  def rollingFingerprint(input: UTF8String, w: Int): Long = {
+    val s = input.toString
+    if (s.length < w) return hash64(s)
+    var basePowW = 1L
+    var p = 0
+    while (p < w) { basePowW *= FpBase; p += 1 }
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * FpBase + s.charAt(i); i += 1 }
+    var min = h
+    while (i < s.length) {
+      h = h * FpBase + s.charAt(i) - basePowW * s.charAt(i - w)
+      // mix before comparing so min isn't dominated by short prefixes
+      if (mix(h, 13L) < mix(min, 13L)) min = h
+      i += 1
+    }
+    mix(min, 13L)
+  }
+
+  private def grams(s: String, n: Int): java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    if (s.length < n) { if (s.nonEmpty) set.add(hash64(s)); return set }
+    var i = 0
+    while (i + n <= s.length) { set.add(hash64(s, i, i + n)); i += 1 }
+    set
+  }
+
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = grams(a.toString, n)
+    val sb = grams(b.toString, n)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  def langGuess(input: UTF8String): UTF8String =
+    UTF8String.fromString(LangGuess.guess(input.toString))
+
+  def hyperplaneBucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      planes: Array[Array[Double]], childFloat: Boolean): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(n, p.length)
+      while (i < m) {
+        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * p(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+/** MinHash signature: minimum of `mix(hash(shingle), seed_j)` over word
+  * `shingle`-gram shingles, for `k` seeds. One streaming pass over the
+  * tokens, O(k) state — no unbounded buffers, so it scales to arbitrarily
+  * long documents and runs map-side only (LSH banding + the bucket join
+  * downstream are where the shuffle happens; see Dedup.minHashLsh).
+  */
+case class MinHashSignature(child: Expression, k: Int, shingle: Int)
+    extends UnaryExpression {
+  require(k > 0 && shingle > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.minhashSig(input.asInstanceOf[UTF8String], k, shingle)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashing.minhashSig($c, $k, $shingle)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "minhash"
+}
+
+/** 64-bit SimHash over word unigrams: sign of per-bit vote counts of the
+  * tokens' 64-bit hashes. Near-duplicate docs differ in few bits; pair
+  * candidates are found by banding the 64 bits (see Dedup.simHashDups).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashing.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "simhash"
@@ -173,31 +255,15 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * hash over all character windows of size `w`. Single pass, O(1) state.
   */
 case class RollingFingerprint(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(w > 0)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  private val Base = 1000003L
-  private lazy val basePowW: Long = {
-    var p = 1L; var i = 0
-    while (i < w) { p *= Base; i += 1 }
-    p
-  }
-  protected override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < w) return TextHashing.hash64(s)
-    var h = 0L
-    var i = 0
-    while (i < w) { h = h * Base + s.charAt(i); i += 1 }
-    var min = h
-    while (i < s.length) {
-      h = h * Base + s.charAt(i) - basePowW * s.charAt(i - w)
-      // mix before comparing so min isn't dominated by short prefixes
-      if (TextHashing.mix(h, 13L) < TextHashing.mix(min, 13L)) min = h
-      i += 1
-    }
-    TextHashing.mix(min, 13L)
-  }
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.rollingFingerprint(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashing.rollingFingerprint($c, $w)")
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "fingerprint"
@@ -208,27 +274,16 @@ case class RollingFingerprint(child: Expression, w: Int)
   * all-pairs op at scale).
   */
 case class NgramJaccard(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(n > 0)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  private def grams(s: String): java.util.HashSet[Long] = {
-    val set = new java.util.HashSet[Long]()
-    if (s.length < n) { if (s.nonEmpty) set.add(TextHashing.hash64(s)); return set }
-    var i = 0
-    while (i + n <= s.length) { set.add(TextHashing.hash64(s, i, i + n)); i += 1 }
-    set
-  }
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = grams(a.asInstanceOf[UTF8String].toString)
-    val sb = grams(b.asInstanceOf[UTF8String].toString)
-    if (sa.isEmpty && sb.isEmpty) return 1.0
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    val union = sa.size() + sb.size() - inter
-    if (union == 0) 1.0 else inter.toDouble / union
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashing.ngramJaccard(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, (a, b) =>
+    s"graft.functions.TextHashing.ngramJaccard($a, $b, $n)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -239,13 +294,14 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
   * scripts outright; Latin text falls through to stopword voting over a
   * tiny per-language lexicon. Returns ISO-639-1 code or "und".
   */
-case class LangGuess(child: Expression) extends UnaryExpression with CodegenFallback {
+case class LangGuess(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
-
   protected override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      LangGuess.guess(input.asInstanceOf[UTF8String].toString))
+    TextHashing.langGuess(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashing.langGuess($c)")
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "lang_guess"
@@ -302,30 +358,19 @@ object LangGuess {
   * runtime with codegen compilation.
   */
 case class HyperplaneBucket(child: Expression,
-    planes: Array[Array[Double]]) extends UnaryExpression with CodegenFallback {
+    planes: Array[Array[Double]]) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   private lazy val childFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  protected override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = v.numElements()
-    var bucket = 0
-    var j = 0
-    while (j < planes.length) {
-      val p = planes(j)
-      var dot = 0.0
-      var i = 0
-      val m = math.min(n, p.length)
-      while (i < m) {
-        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        dot += x * p(i)
-        i += 1
-      }
-      if (dot >= 0) bucket |= (1 << j)
-      j += 1
-    }
-    bucket
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.hyperplaneBucket(
+      input.asInstanceOf[ArrayData], planes, childFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.hyperplaneBucket($c, $ref, $childFloat)")
   }
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
