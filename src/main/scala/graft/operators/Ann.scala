@@ -54,8 +54,13 @@ object Ann {
     val feats = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(feats)
+    // train the coarse quantizer on a bounded sample — centroid quality
+    // saturates long before the corpus does, and training must not scale
+    // with corpus size (at 100 TB you sample, period)
+    val trainSample = feats.select(col("features"))
+      .limit(math.max(nlist * 256, 4096))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .fit(trainSample)
     val assigned = model.transform(feats)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
