@@ -26,6 +26,28 @@ class IntegrationSpec extends SparkTestBase {
     assert((qs -- oracled) == expected, s"unexpected: ${(qs -- oracled) -- expected}")
   }
 
+  test("approx_count_distinct estimates within 5% of exact (HLL sanity)") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"flag=${r.getString(0)} approx=$approx exact=$exact")
+    }
+  }
+
+  test("percentile_approx tracks the exact median") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val r = li.agg(
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("ap"),
+      median(col("l_quantity")).as("ex")).head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1.0,
+      s"approx=${r.getDouble(0)} exact=${r.getDouble(1)}")
+  }
+
   test("file-source stream over events matches the batch tumbling agg") {
     // copy the events parquet into a stream-source dir
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
