@@ -472,6 +472,15 @@ object SparkEntry {
     Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup pairs -> transitive duplicate clusters (GraphX connected
+    * components) -> representative per cluster. Rows-only check. */
+  private val qDedupCluster: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashLsh(docs, minJaccard = 0.2)
+    Dedup.clusters(pairs)
+      .orderBy(col("doc_id"))
+  }
+
   private val qDedupSimhash: Q = (s, dir) =>
     Dedup.simHashDups(t(s, dir, "documents"), maxHamming = 10)
       .orderBy(col("id_a"), col("id_b"))
@@ -608,6 +617,7 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_exact_norm" -> qDedupExactNorm,
     "q_dedup_near" -> qDedupNear,
+    "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_ngram_jaccard" -> qNgramJaccard,

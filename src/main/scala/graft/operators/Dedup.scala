@@ -126,4 +126,30 @@ object Dedup {
   def ngramJaccardPairs(pairs: DataFrame, n: Int = 3,
       aCol: String = "txt_a", bCol: String = "txt_b"): DataFrame =
     pairs.withColumn("jaccard", ngram_jaccard(col(aCol), col(bCol), n))
+
+  /** Duplicate clusters: transitive closure over near-dup pairs via
+    * GraphX connected components (pair (a,b) + (b,c) => cluster {a,b,c}),
+    * labeled by the minimum member id. Pregel-style CC is the
+    * scale-correct closure: iterations are O(cluster diameter), state is
+    * one label per doc, no driver-side graph. Output: (doc_id, cluster). */
+  def clusters(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(idACol).cast("long"),
+      col(idBCol).cast("long")).as[(Long, Long)].rdd
+    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+    cc.vertices.toDF("doc_id", "cluster")
+  }
+
+  /** Keep one representative (lowest id) per duplicate cluster; docs in
+    * no cluster pass through. Returns the deduplicated corpus. */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(pairs).withColumnRenamed("doc_id", "__cid")
+    val losers = cl.filter(col("__cid") =!= col("cluster"))
+      .select(col("__cid"))
+    docs.join(losers, docs(idCol) === losers("__cid"), "left_anti")
+  }
 }

@@ -21,7 +21,7 @@ class IntegrationSpec extends SparkTestBase {
     assert(oracled.subsetOf(qs), s"orphan oracle: ${oracled -- qs}")
     // non-oracled queries are the documented †-set
     val expected = Set("q_agg_approx_distinct", "q_udaf_custom",
-      "q_dedup_near", "q_dedup_simhash", "q_dedup_embedding", "q_ann_lsh",
+      "q_dedup_near", "q_dedup_cluster", "q_dedup_simhash", "q_dedup_embedding", "q_ann_lsh",
       "q_ann_ivf", "q_lang_id", "q_fingerprint", "q_multimodal_decode")
     assert((qs -- oracled) == expected, s"unexpected: ${(qs -- oracled) -- expected}")
   }

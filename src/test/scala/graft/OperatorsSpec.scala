@@ -71,6 +71,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("duplicate clustering: transitive closure + representative keep") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L)
+    assert(cl(10L) == 10L && cl(11L) == 10L)
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+      .withColumn("text", concat(lit("t"), $"doc_id"))
+    val kept = Dedup.keepRepresentatives(docs, pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L), s"kept=$kept")
+  }
+
   test("embeddingDups finds identical vectors") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val dup = emb.filter($"vec_id" === 0)
