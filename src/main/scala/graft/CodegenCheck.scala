@@ -24,6 +24,11 @@ object CodegenCheck {
       cosine_sim(col("embedding"), col("embedding")).as("c"))
     println("emb exprs OK, buckets=" + b.select(countDistinct(col("b"))).head.getLong(0) +
       ", cos_self_1=" + (b.filter(abs(col("c") - 1.0) > 1e-9).count() == 0))
+    val model = graft.operators.Ann.trainIvf(emb, nlist = 8)
+    val cells = emb.select(
+      graft.operators.Ann.nearestCells(col("embedding"), model, 2).as("pc"))
+    println("nearest_cells OK, distinct_first_cells=" +
+      cells.select(countDistinct(element_at(col("pc"), 1))).head.getLong(0))
     spark.stop()
   }
 }

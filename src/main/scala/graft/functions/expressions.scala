@@ -211,6 +211,43 @@ object TextHashing {
     }
     bucket
   }
+
+  /** Indices of the `nprobe` centroids nearest (squared L2) to `v`,
+    * nearest first. One tight loop per row; selection is O(nlist·nprobe)
+    * insertion into a bounded buffer — no per-row allocation beyond the
+    * output. */
+  def nearestCells(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      centers: Array[Array[Double]], nprobe: Int, childFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val m = math.min(nprobe, centers.length)
+    val bestIdx = new Array[Int](m)
+    val bestDist = new Array[Double](m)
+    java.util.Arrays.fill(bestDist, Double.MaxValue)
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var d = 0.0
+      var i = 0
+      val lim = math.min(n, ctr.length)
+      while (i < lim) {
+        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      // insertion into the sorted top-m buffer
+      if (d < bestDist(m - 1)) {
+        var j = m - 1
+        while (j > 0 && bestDist(j - 1) > d) {
+          bestDist(j) = bestDist(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestDist(j) = d; bestIdx(j) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+  }
 }
 
 /** MinHash signature: minimum of `mix(hash(shingle), seed_j)` over word
@@ -375,4 +412,33 @@ case class HyperplaneBucket(child: Expression,
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_bucket"
+}
+
+/** IVF probe: the `nprobe` nearest coarse-quantizer centroids for a
+  * vector, nearest first. Replaces the per-row Scala UDF the IVF path
+  * used before — this generates code (static-forwarder pattern) and
+  * stays inside whole-stage codegen, so cell assignment (`nprobe=1`)
+  * and query probing (`nprobe=n`) are both map-side, allocation-light
+  * operations.
+  */
+case class NearestCells(child: Expression, centers: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+  require(nprobe > 0)
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private lazy val childFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.nearestCells(
+      input.asInstanceOf[ArrayData], centers, nprobe, childFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.nearestCells($c, $ref, $nprobe, $childFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
 }

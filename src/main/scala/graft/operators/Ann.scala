@@ -38,43 +38,72 @@ object Ann {
       graft.functions.HyperplaneBucket(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec), hp))
 
-  /** IVF (inverted-file) ANN: a seeded k-means coarse quantizer assigns
-    * every corpus vector to one of `nlist` cells; a query probes its
-    * `nprobe` nearest cells and reranks those candidates exactly. The
-    * 100 TB shape: the cell id co-partitions the candidate join, the
-    * centroid table is tiny and broadcast, and the fraction of corpus
-    * touched is ~nprobe/nlist. Training samples the corpus; the model is
-    * only `nlist * dim` doubles on the driver.
+  /** Trained IVF coarse quantizer — `nlist * dim` doubles, driver-side,
+    * serializable, reusable across any number of [[ivfTopK]] queries
+    * (train once / apply many, like a persisted FAISS index). */
+  final case class IvfModel(centers: Array[Array[Double]]) {
+    def nlist: Int = centers.length
+  }
+
+  /** Train the IVF quantizer on a SEEDED PSEUDO-RANDOM sample of the
+    * corpus. The sample is `orderBy(xxhash64(id))` + limit — a
+    * `TakeOrderedAndProject` (no full sort), content-independent and
+    * deterministic, unlike a bare `limit(n)` whose file-order prefix is
+    * whatever the writer happened to cluster first. Centroid quality
+    * saturates long before the corpus does; training must not scale with
+    * corpus size (at 100 TB you sample, period).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def trainIvf(corpus: DataFrame, nlist: Int = 16, seed: Long = 42L,
+      sampleSize: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // train the coarse quantizer on a bounded sample — centroid quality
-    // saturates long before the corpus does, and training must not scale
-    // with corpus size (at 100 TB you sample, period)
-    val trainSample = feats.select(col("features"))
-      .limit(math.max(nlist * 256, 4096))
+    val n = if (sampleSize > 0) sampleSize else math.max(nlist * 256, 4096)
+    val sample = corpus
+      .select(array_to_vector(col(vecCol).cast("array<double>"))
+        .as("features"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(n).select(col("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .fit(trainSample)
-    val assigned = model.transform(feats)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val probeCells = udf { (v: Seq[Float]) =>
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < c.length && j < v.length) {
-          val diff = v(j) - c(j); d += diff * diff; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    }
+      .fit(sample)
+    IvfModel(model.clusterCenters.map(_.toArray))
+  }
+
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+
+  /** [[trainIvf]] memoized on a caller-chosen key (e.g. corpus path +
+    * params) so repeated queries against the same corpus reuse the
+    * quantizer instead of re-fitting it per invocation. */
+  def trainIvfCached(key: String, corpus: => DataFrame, nlist: Int = 16,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfModel =
+    ivfCache.computeIfAbsent(key,
+      _ => trainIvf(corpus, nlist, seed, idCol = idCol, vecCol = vecCol))
+
+  /** The `nprobe` nearest quantizer cells for a vector, nearest first —
+    * native codegen'd expression (no per-row Scala UDF). */
+  def nearestCells(vec: Column, model: IvfModel, nprobe: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NearestCells(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        model.centers, nprobe))
+
+  /** IVF (inverted-file) ANN: the pre-trained coarse quantizer assigns
+    * every corpus vector to its nearest cell; a query probes its
+    * `nprobe` nearest cells and reranks those candidates exactly. The
+    * 100 TB shape: the cell id co-partitions the candidate join, the
+    * centroid table is tiny (inlined into codegen), and the fraction of
+    * corpus touched is ~nprobe/nlist. Cell assignment and probing are
+    * the same native expression at `nprobe=1` / `nprobe=n`.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      model: IvfModel, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      element_at(nearestCells(col(vecCol), model, 1), 1).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probeCells(col(vecCol))).as("cell"))
+      explode(nearestCells(col(vecCol), model, nprobe)).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("qv"), col("cv")))

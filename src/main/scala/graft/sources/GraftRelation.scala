@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -26,12 +26,15 @@ import org.apache.spark.sql.types.StructType
   *  - The inner scan is Spark's vectorized parquet reader, so pruning and
   *    pushed filters reach the parquet footers (PushedFilters/ReadSchema),
   *    and file splits give horizontal parallelism for free.
-  *  - `numPartitions > 1` with `partitionColumn` mirrors the reference's
-  *    per-partition `whereClause` predicates (JDBCRDDWithLimit.scala:53-63)
-  *    via disjoint hash-bucket predicates. Like the JDBC original it
-  *    re-reads the source once per bucket — use it when downstream
-  *    co-location by the partition column is worth one extra scan;
-  *    otherwise leave numPartitions=1 and let file splits parallelize.
+  *  - `numPartitions > 1` with `partitionColumn` delivers the reference's
+  *    per-partition contract (JDBCRDDWithLimit.scala:53-63: partition i
+  *    holds exactly the rows with `hash(pc) % N = i`) as ONE scan plus
+  *    ONE hash exchange (`repartition(N, pc)`) instead of N re-scans
+  *    with bucket predicates. A DB prunes a `WHERE hash % N = i` query;
+  *    parquet cannot, so the predicate formulation reads the table N
+  *    times — at 100 TB that is N full passes, while the exchange moves
+  *    the data once (write+read ≈ 2×) and is AQE-skew-safe. Rows land
+  *    hash-clustered by `pc`, ready for per-partition consumers.
   *  - The limited scan takes `limit` rows per partition with no shuffle
   *    (the global cap is Spark-side), so a `LIMIT 10` on a 100 TB table
   *    reads at most `10 * numPartitions` rows past the scan.
@@ -42,7 +45,7 @@ case class GraftRelation(
     numPartitions: Int = 1,
     partitionColumn: Option[String] = None,
     limit: Int = -1)
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = sparkSession.sqlContext
 
@@ -81,6 +84,18 @@ case class GraftRelation(
     fs.getContentSummary(p).getLength
   }
 
+  /** `INSERT INTO` / `INSERT OVERWRITE` a graft relation — the write half
+    * of the reference's `BaseRelation with PrunedFilteredScan with
+    * InsertableRelation` (JDBCRelationWithLimit.scala:18-20, insert
+    * at :45: `data.write.mode(overwrite ? Overwrite : Append)`).
+    * Overwrite uses the truncate-preserving path: `insertInto` targets an
+    * EXISTING relation, so the "table object" (the directory) survives —
+    * matching the reference's table-preserving INSERT OVERWRITE. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GraftSink.saveAtomic(data, path,
+      if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+      truncate = overwrite)
+
   /** Filters we cannot push are reported back so Spark re-evaluates them
     * above the scan (reference residual contract:
     * JDBCRelationWithLimit.scala:29-31).
@@ -108,16 +123,15 @@ case class GraftRelation(
     // JDBCRDDWithLimit.scala:26): hand back the inner plan's UnsafeRows.
     def internalRows(df: DataFrame): RDD[Row] =
       df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
-    // Per-partition predicates (reference JDBCRDDWithLimit.scala:53-63):
-    // disjoint hash buckets of partitionColumn, one scan branch each.
+    // Partitioned read (reference JDBCRDDWithLimit.scala:53-63): the
+    // reference fans out N bucket-predicate queries because the DB can
+    // prune them; parquet can't, so the same contract — partition i owns
+    // hash bucket i of `pc` — is produced by a single scan feeding one
+    // hash exchange. Each byte is read once; Spark's HashPartitioning
+    // (murmur3 pmod N) supplies the disjoint buckets.
     val rdd: RDD[Row] = partitionColumn match {
       case Some(pc) if numPartitions > 1 =>
-        val branches = (0 until numPartitions).map { i =>
-          internalRows(branch(Some(org.apache.spark.sql.functions
-            .pmod(org.apache.spark.sql.functions.hash(col(pc)),
-              lit(numPartitions)) === lit(i))))
-        }
-        branches.reduce(_ union _)
+        internalRows(branch(None).repartition(numPartitions, col(pc)))
       case _ => internalRows(branch(None))
     }
     // Rows-read accounting: BASELINE.md's pushdown gate is "limit n =>

@@ -34,7 +34,10 @@ class GraftSource extends RelationProvider
       mode: SaveMode,
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
-    GraftSink.saveAtomic(data, path(parameters), mode)
+    // `truncate` option mirrors the reference's truncate-and-load vs
+    // drop-and-recreate Overwrite split (ExtJdbcRelationProvider.scala:28-34).
+    GraftSink.saveAtomic(data, path(parameters), mode,
+      truncate = parameters.getOrElse("truncate", "false").toBoolean)
     createRelation(sqlContext, parameters)
   }
 }

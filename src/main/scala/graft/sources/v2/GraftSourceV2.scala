@@ -399,7 +399,16 @@ object RowFilterEval extends Serializable {
       case _ => false
     })
 
-  /** Compile to a predicate over rows laid out as `schema`. */
+  /** Compile to a predicate over rows laid out as `schema`.
+    *
+    * Evaluation is SQL THREE-VALUED: `eval` returns `Option[Boolean]`
+    * with `None` for UNKNOWN (null operand), combined with Kleene
+    * and/or/not. Since accepted filters are removed from Spark's plan
+    * (only residuals are re-checked), a plain-boolean evaluation of
+    * `Not`/`Or` over nullable columns would let rows through that SQL
+    * filters out — e.g. `a <> 5 OR b > 2` on (a=NULL, b=1). A row is
+    * emitted only when every pushed filter is definitely TRUE.
+    */
   def compile(filters: Array[Filter], schema: StructType)
       : InternalRow => Boolean = {
     if (filters.isEmpty) return _ => true
@@ -410,37 +419,63 @@ object RowFilterEval extends Serializable {
       val i = idx(a)
       if (row.isNullAt(i)) null else row.get(i, types(i))
     }
+    def isIntegral(n: Number): Boolean = n match {
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long => true
+      case _ => false
+    }
+    // None = incomparable (null operand). Integral pairs compare as
+    // longs — a double round-trip corrupts ordering past 2^53. Mixed
+    // integral/floating compares exactly via BigDecimal (NaN excepted:
+    // Spark orders NaN greatest, which Double.compare matches).
     def cmp(x: Any, lit: Any): Option[Int] = (x, lit) match {
-      case (null, _) => None
+      case (null, _) | (_, null) => None
+      case (a: Number, b: Number) if isIntegral(a) && isIntegral(b) =>
+        Some(java.lang.Long.compare(a.longValue(), b.longValue()))
       case (a: Number, b: Number) =>
-        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+        val (ad, bd) = (a.doubleValue(), b.doubleValue())
+        if (ad.isNaN || bd.isNaN) Some(java.lang.Double.compare(ad, bd))
+        else Some(new java.math.BigDecimal(a.toString)
+          .compareTo(new java.math.BigDecimal(b.toString)))
       case (a: UTF8String, b: String) => Some(a.toString.compareTo(b))
       case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
       case _ => None
     }
-    def eval(f: Filter, row: InternalRow): Boolean = f match {
-      case EqualTo(a, v) => cmp(value(row, a), v).contains(0)
-      case LessThan(a, v) => cmp(value(row, a), v).exists(_ < 0)
-      case LessThanOrEqual(a, v) => cmp(value(row, a), v).exists(_ <= 0)
-      case GreaterThan(a, v) => cmp(value(row, a), v).exists(_ > 0)
-      case GreaterThanOrEqual(a, v) => cmp(value(row, a), v).exists(_ >= 0)
-      case IsNull(a) => value(row, a) == null
-      case IsNotNull(a) => value(row, a) != null
-      case In(a, vs) => vs.exists(v => cmp(value(row, a), v).contains(0))
-      case StringStartsWith(a, v) => value(row, a) match {
-        case s: UTF8String => s.toString.startsWith(v); case _ => false
+    def strOp(row: InternalRow, a: String)(
+        op: String => Boolean): Option[Boolean] =
+      value(row, a) match {
+        case null => None
+        case s: UTF8String => Some(op(s.toString))
+        case _ => Some(false)
       }
-      case StringEndsWith(a, v) => value(row, a) match {
-        case s: UTF8String => s.toString.endsWith(v); case _ => false
+    def eval(f: Filter, row: InternalRow): Option[Boolean] = f match {
+      case EqualTo(a, v) => cmp(value(row, a), v).map(_ == 0)
+      case LessThan(a, v) => cmp(value(row, a), v).map(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(value(row, a), v).map(_ <= 0)
+      case GreaterThan(a, v) => cmp(value(row, a), v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(value(row, a), v).map(_ >= 0)
+      case IsNull(a) => Some(value(row, a) == null)
+      case IsNotNull(a) => Some(value(row, a) != null)
+      case In(a, vs) =>
+        val x = value(row, a)
+        if (x == null) None
+        else Some(vs.exists(v => cmp(x, v).contains(0)))
+      case StringStartsWith(a, v) => strOp(row, a)(_.startsWith(v))
+      case StringEndsWith(a, v) => strOp(row, a)(_.endsWith(v))
+      case StringContains(a, v) => strOp(row, a)(_.contains(v))
+      case And(l, r) => (eval(l, row), eval(r, row)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
       }
-      case StringContains(a, v) => value(row, a) match {
-        case s: UTF8String => s.toString.contains(v); case _ => false
+      case Or(l, r) => (eval(l, row), eval(r, row)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
       }
-      case And(l, r) => eval(l, row) && eval(r, row)
-      case Or(l, r) => eval(l, row) || eval(r, row)
-      case Not(c) => !eval(c, row)
-      case _ => false
+      case Not(c) => eval(c, row).map(!_)
+      case _ => None
     }
-    row => filters.forall(eval(_, row))
+    row => filters.forall(eval(_, row).contains(true))
   }
 }

@@ -10,11 +10,13 @@ import graft.functions.GraftFunctions.minhash
   * [[graft.operators.Dedup.minHashLsh]] (north star §2k). Each incoming
   * document's MinHash signature is banded; band buckets are the state
   * keys, so a new document only ever compares against the (bounded)
-  * recent members of its own buckets — never the corpus. State per
-  * bucket is capped at `bucketCap` signatures (FIFO eviction), which
-  * bounds memory exactly like a watermark would bound time: at 100 TB/day
-  * ingest the state is `buckets x bucketCap x k` longs, independent of
-  * stream length.
+  * recent members of its own buckets — never the corpus. State is bounded
+  * on BOTH axes: per bucket, entries are capped at `bucketCap` signatures
+  * (FIFO eviction); across buckets, idle bucket keys are evicted after
+  * `idleTimeoutMs` of processing-time inactivity, so bucket-key
+  * cardinality tracks the *active* working set rather than growing with
+  * all distinct content ever seen. At 100 TB/day ingest the state is
+  * `activeBuckets x bucketCap x k` longs, independent of stream length.
   */
 object StreamingDedup {
 
@@ -44,33 +46,79 @@ object StreamingDedup {
 
   /** Stateful bucket matcher. Emits a pair the moment the second
     * near-duplicate document arrives — possibly micro-batches after the
-    * first. */
+    * first.
+    *
+    * Pair semantics are AT-LEAST-ONCE across buckets: a document pair
+    * whose signatures agree in several LSH bands is emitted once per
+    * matching bucket (always within the same micro-batch, since both
+    * bands see the second document's arrival together). The batch path
+    * applies a global `distinct()`; here cross-bucket coordination would
+    * itself need a shuffle + state, so dedup is left to the consumer —
+    * use [[nearDupPairsDistinct]] for exactly-once pairs.
+    *
+    * `idleTimeoutMs > 0` evicts a bucket's state after that much
+    * processing-time inactivity — REQUIRED for unbounded production
+    * streams, where NoTimeout state grows with every distinct bucket
+    * ever touched (a slow OOM at corpus scale). A duplicate arriving
+    * after its partner's bucket expired is (by design) missed, exactly
+    * as a watermark bounds lateness. The default is `0` (NoTimeout)
+    * because ProcessingTimeTimeout makes the engine re-run batches
+    * whenever the clock advances (`shouldRunAnotherBatch` is always
+    * true), which `processAllAvailable`-style synchronous drivers — and
+    * zero-interval triggers — turn into a busy loop; pair a nonzero TTL
+    * with a real trigger interval (or `Trigger.AvailableNow`, where
+    * timeouts fire on each restart).
+    */
   def nearDupPairs(in: Dataset[Banded], minJaccard: Double = 0.5,
-      bucketCap: Int = 32): Dataset[DupPair] = {
+      bucketCap: Int = 32,
+      idleTimeoutMs: Long = 0L): Dataset[DupPair] = {
     import in.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     in.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketState, DupPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, rows: Iterator[Banded], state: GroupState[BucketState]) =>
-          var entries = state.getOption.map(_.entries).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer[DupPair]()
-          rows.foreach { b =>
-            entries.foreach { case (oldId, oldSig) =>
-              if (oldId != b.doc_id) {
-                val eq = oldSig.iterator.zip(b.sig.iterator)
-                  .count { case (x, y) => x == y }
-                val est = eq.toDouble / math.max(oldSig.length, 1)
-                if (est >= minJaccard) {
-                  out += DupPair(math.min(oldId, b.doc_id),
-                    math.max(oldId, b.doc_id),
-                    math.rint(est * 10000) / 10000)
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket: drop its signatures
+            Iterator.empty
+          } else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer[DupPair]()
+            rows.foreach { b =>
+              entries.foreach { case (oldId, oldSig) =>
+                if (oldId != b.doc_id) {
+                  val eq = oldSig.iterator.zip(b.sig.iterator)
+                    .count { case (x, y) => x == y }
+                  val est = eq.toDouble / math.max(oldSig.length, 1)
+                  if (est >= minJaccard) {
+                    out += DupPair(math.min(oldId, b.doc_id),
+                      math.max(oldId, b.doc_id),
+                      math.rint(est * 10000) / 10000)
+                  }
                 }
               }
+              entries = ((b.doc_id, b.sig) :: entries).take(bucketCap)
             }
-            entries = ((b.doc_id, b.sig) :: entries).take(bucketCap)
+            state.update(BucketState(entries))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.distinct.iterator
           }
-          state.update(BucketState(entries))
-          out.distinct.iterator
       }
+  }
+
+  /** [[nearDupPairs]] with exactly-once pair emission: a downstream
+    * stateful `dropDuplicates` on (id_a, id_b) collapses the per-bucket
+    * copies (they land in one micro-batch, but `dropDuplicates` state
+    * also guards re-emission across batches). The dedup state is one
+    * small key per distinct pair — bounded by true-duplicate volume, not
+    * corpus size. */
+  def nearDupPairsDistinct(in: Dataset[Banded], minJaccard: Double = 0.5,
+      bucketCap: Int = 32,
+      idleTimeoutMs: Long = 0L): Dataset[DupPair] = {
+    import in.sparkSession.implicits._
+    nearDupPairs(in, minJaccard, bucketCap, idleTimeoutMs)
+      .dropDuplicates("id_a", "id_b").as[DupPair]
   }
 }

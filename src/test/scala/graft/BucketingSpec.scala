@@ -49,10 +49,22 @@ class BucketingSpec extends SparkTestBase {
     val exact = Ann.bruteForceTopK(emb, queries, 10)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Ann.ivfTopK(emb, queries, 10, nlist = 16, nprobe = 4)
+    val model = Ann.trainIvf(emb, nlist = 16)
+    val ivf = Ann.ivfTopK(emb, queries, 10, model, nprobe = 4)
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.3, f"IVF recall too low: $recall%.2f")
+  }
+
+  test("IVF model is reusable: same model, multiple query batches") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val model = Ann.trainIvf(emb, nlist = 16)
+    val a = Ann.ivfTopK(emb, emb.filter(col("vec_id") < 3), 5, model)
+    val b = Ann.ivfTopK(emb, emb.filter(col("vec_id").between(3, 5)), 5, model)
+    assert(a.count() > 0 && b.count() > 0)
+    // determinism: retraining with the same seed gives the same centers
+    val model2 = Ann.trainIvf(emb, nlist = 16)
+    assert(model.centers.flatten.toSeq == model2.centers.flatten.toSeq)
   }
 }

@@ -70,9 +70,17 @@ class GraftRelationSpec extends SparkTestBase {
   test("partitioned scan: disjoint hash buckets cover the table exactly") {
     val r = rel(np = 4, pc = Some("l_orderkey"))
     val rdd = r.buildScan(Array("l_orderkey"), Array.empty)
-    assert(rdd.getNumPartitions >= 4)
+    // single scan + one exchange: exactly N output partitions
+    assert(rdd.getNumPartitions == 4)
     assert(rdd.count() ==
       spark.read.parquet(s"$sf001/lineitem.parquet").count())
+    // per-partition contract: rows are co-located by the partition
+    // column — a given l_orderkey value lands in exactly one partition
+    val keyToParts = asInternal(rdd).mapPartitionsWithIndex { (pid, it) =>
+      it.map(row => (row.getLong(0), pid))
+    }.distinct().collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(keyToParts.forall(_._2.length == 1),
+      "a partition-column value appeared in more than one partition")
   }
 
   test("format(\"graft\") round-trips through DataSourceRegister") {

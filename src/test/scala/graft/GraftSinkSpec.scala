@@ -48,8 +48,10 @@ class GraftSinkSpec extends SparkTestBase {
     val dir = tmp()
     val df = nation.repartition(4)
     GraftSink.saveCompensating(df, dir)
-    val back = GraftSink.readCompensating(spark, dir, nation.schema)
+    // parquet part files are self-describing: no schema hint on read-back
+    val back = GraftSink.readCompensating(spark, dir)
     assert(back.count() == 25)
+    assert(back.schema == nation.schema)
     assert(back.agg(sum(col("n_nationkey"))).head.getLong(0) ==
       nation.agg(sum(col("n_nationkey"))).head.getLong(0))
   }
@@ -65,6 +67,48 @@ class GraftSinkSpec extends SparkTestBase {
     val remaining = new java.io.File(dir).listFiles()
     assert(remaining == null || remaining.forall(!_.getName.startsWith("part-")),
       s"files left behind: ${Option(remaining).map(_.toSeq)}")
+  }
+
+  test("saveAtomic Overwrite keeps old contents when the staged write fails") {
+    val dir = tmp()
+    GraftSink.saveAtomic(nation, dir, SaveMode.ErrorIfExists)
+    val boom = org.apache.spark.sql.functions.udf { (i: Int) =>
+      if (i >= 0) throw new RuntimeException("boom"); i
+    }
+    val bad = nation.withColumn("x", boom(col("n_nationkey")))
+    intercept[Exception] { GraftSink.saveAtomic(bad, dir, SaveMode.Overwrite) }
+    // staging-first: the failed write never touched the target
+    assert(spark.read.parquet(dir).count() == 25)
+  }
+
+  test("saveAtomic Overwrite+truncate preserves the directory object") {
+    val dir = tmp()
+    GraftSink.saveAtomic(nation, dir, SaveMode.ErrorIfExists)
+    // a non-part metadata file stands in for ACLs/ownership/markers
+    Files.write(Paths.get(dir, "_graft_marker"), "keep".getBytes)
+    GraftSink.saveAtomic(nation.limit(5), dir, SaveMode.Overwrite,
+      truncate = true)
+    assert(spark.read.parquet(dir).count() == 5)
+    assert(Files.exists(Paths.get(dir, "_graft_marker")),
+      "truncate-and-load must keep non-data directory contents")
+    // whereas drop-and-recreate replaces the directory wholesale
+    GraftSink.saveAtomic(nation.limit(7), dir, SaveMode.Overwrite)
+    assert(spark.read.parquet(dir).count() == 7)
+    assert(!Files.exists(Paths.get(dir, "_graft_marker")))
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE through InsertableRelation") {
+    val dir = tmp()
+    GraftSink.saveAtomic(nation, dir, SaveMode.ErrorIfExists)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ins " +
+      s"USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO graft_ins SELECT * FROM graft_ins LIMIT 5")
+      assert(spark.read.parquet(dir).count() == 30) // append semantics
+      spark.sql(
+        "INSERT OVERWRITE TABLE graft_ins SELECT * FROM graft_ins LIMIT 3")
+      assert(spark.read.parquet(dir).count() == 3) // replace semantics
+    } finally spark.catalog.dropTempView("graft_ins")
   }
 
   test("retry helper: succeeds after transient failures") {

@@ -74,6 +74,61 @@ class SourceV2Spec extends SparkTestBase {
     assert(e.getMessage.contains("flat primitive schemas"), e.getMessage)
   }
 
+  test("pushed filters compare longs exactly beyond 2^53") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.sources.v2.RowFilterEval
+    val schema = StructType(Seq(StructField("a", LongType)))
+    val big = 9007199254740993L // 2^53 + 1: == 2^53 after a double round-trip
+    def row(v: Long) = new GenericInternalRow(Array[Any](v))
+    val eq = RowFilterEval.compile(Array(EqualTo("a", big)), schema)
+    assert(eq(row(big)) && !eq(row(big - 1)),
+      "EqualTo must distinguish adjacent longs past 2^53")
+    val gt = RowFilterEval.compile(Array(GreaterThan("a", big - 1)), schema)
+    assert(gt(row(big)) && !gt(row(big - 1)))
+  }
+
+  test("pushed Not/Or use SQL three-valued logic over nulls") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, IsNull, Not, Or}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import graft.sources.v2.RowFilterEval
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    def row(a: Any, b: Any) = new GenericInternalRow(Array[Any](a, b))
+    // a <> 5 OR b > 2: UNKNOWN for (a=NULL, b<=2) -> row filtered out
+    val p = RowFilterEval.compile(
+      Array(Or(Not(EqualTo("a", 5)), GreaterThan("b", 2))), schema)
+    assert(!p(row(null, 1)), "NULL <> 5 OR 1 > 2 is UNKNOWN, not TRUE")
+    assert(p(row(null, 3)), "UNKNOWN OR TRUE is TRUE")
+    assert(p(row(4, 1)) && !p(row(5, 1)))
+    // NOT over null propagates UNKNOWN
+    val n = RowFilterEval.compile(Array(Not(GreaterThan("a", 0))), schema)
+    assert(!n(row(null, 1)))
+    // IsNull remains definite
+    val isn = RowFilterEval.compile(Array(Not(IsNull("a"))), schema)
+    assert(isn(row(1, 1)) && !isn(row(null, 1)))
+  }
+
+  test("end-to-end: fully-pushed disjunction over nullable column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-null")
+      .resolve("t").toString
+    import spark.implicits._
+    Seq[(java.lang.Integer, java.lang.Integer)](
+      (5, 1), (5, 3), (null, 1), (null, 3), (4, 1))
+      .toDF("a", "b").repartition(1).write.parquet(dir)
+    val cond = (col("a") =!= 5) || (col("b") > 2)
+    val got = spark.read.format("graft-v2").option("path", dir).load()
+      .filter(cond)
+    // the filter must have been pushed (removed from Spark's plan)…
+    assert(got.queryExecution.executedPlan.toString.contains("GraftScanV2"))
+    // …and still match Spark's own three-valued semantics
+    val expected = spark.read.parquet(dir).filter(cond)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() == expected.count())
+  }
+
   test("multi-file directory: one partition per row group") {
     val src = Tables.t(spark, sf001, "orders")
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-dir")

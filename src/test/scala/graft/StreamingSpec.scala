@@ -149,6 +149,74 @@ class StreamingSpec extends SparkTestBase {
       s"expected cross-batch pair (1,2), got $pairs")
   }
 
+  test("streaming near-dup state: idle buckets expire after the TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.streaming.Trigger
+    // ProcessingTimeTimeout re-runs batches whenever the clock advances,
+    // so a synchronous processAllAvailable never quiesces; AvailableNow
+    // + checkpoint restarts is the supported pattern — timeouts fire on
+    // each restart's batches.
+    val input = MemoryStream[StreamingDedup.DocIn]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ttl-ckpt").toString
+    val pairs =
+      new java.util.concurrent.ConcurrentLinkedQueue[StreamingDedup.DupPair]()
+    def runOnce(): Unit = {
+      val q = StreamingDedup.nearDupPairs(
+          StreamingDedup.banded(input.toDF()),
+          minJaccard = 0.5, idleTimeoutMs = 500)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingDedup.DupPair],
+              _: Long) => batch.collect().foreach(pairs.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // AvailableNow + ProcessingTimeTimeout keeps re-running batches as
+      // the clock advances, so the query may not self-terminate: give the
+      // data a few seconds to land, then stop.
+      q.awaitTermination(8000)
+      q.stop()
+    }
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val unrelated = (500 to 580).map(i => s"tok$i").mkString(" ")
+    input.addData(StreamingDedup.DocIn(1, base))
+    runOnce()
+    Thread.sleep(1500) // let the idle TTL lapse
+    // an intervening run executes the timed-out groups -> eviction
+    input.addData(StreamingDedup.DocIn(3, unrelated))
+    runOnce()
+    // the duplicate arrives after its partner's buckets expired:
+    // correctly missed, exactly like a post-watermark late event
+    input.addData(StreamingDedup.DocIn(2, base))
+    runOnce()
+    assert(pairs.isEmpty,
+      s"pair emitted from state that should have been TTL-evicted: $pairs")
+  }
+
+  test("nearDupPairsDistinct emits exactly one row per pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[StreamingDedup.DocIn]
+    val q = StreamingDedup.nearDupPairsDistinct(
+        StreamingDedup.banded(input.toDF()), minJaccard = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_distinct_out").start()
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    try {
+      input.addData(StreamingDedup.DocIn(1, base))
+      q.processAllAvailable()
+      // identical doc -> every band's bucket collides; raw path emits one
+      // row per matching bucket, the distinct wrapper must collapse them
+      input.addData(StreamingDedup.DocIn(2, base))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("neardup_distinct_out").collect()
+    assert(rows.length == 1, s"expected exactly one pair row, got ${rows.length}")
+  }
+
   test("batch session windows match the streaming gap semantics") {
     val events = Seq(
       E(1, ts(0), 7, "a", 1.0), E(2, ts(2), 7, "a", 1.0),
