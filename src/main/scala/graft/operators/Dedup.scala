@@ -23,6 +23,69 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
+  /** Capacity-guarded LSH bucket self-join: candidate pairs from a
+    * banded table, with per-bucket work capped at O(size · cap) instead
+    * of O(size²).
+    *
+    * Degenerate buckets are the LSH failure mode at corpus scale: a
+    * boilerplate-heavy corpus puts 10⁶⁺ documents in one band bucket and
+    * the self-join goes quadratic. The guard: per bucket, members are
+    * hash-split into `ceil(size / cap)` blocks (map-side `pmod(xxhash64
+    * (id), nblocks)` after a tiny count join — no per-bucket sort, no
+    * single-task straggler), and pairs are emitted only within a block
+    * and between CONSECUTIVE blocks. Block i ↔ i+1 chaining keeps every
+    * bucket connected, so [[clusters]]' transitive closure still merges
+    * a giant duplicate group into one component even though only
+    * O(size · cap) of its O(size²) pairs were materialized. Buckets at
+    * or under `cap` are completely unaffected (one block = the full
+    * exact self-join). `cap <= 0` disables the guard.
+    *
+    * @param banded  one row per (member, bucket), with an `id` column
+    * @param keys    the bucket key columns
+    * @param payload extra columns to carry onto both sides of each pair
+    *                (emitted as `<name>_a` / `<name>_b`)
+    */
+  def cappedBucketJoin(banded: DataFrame, keys: Seq[String],
+      cap: Int, payload: Seq[String] = Nil): DataFrame = {
+    // emit with id_a < id_b regardless of which join side was smaller
+    def pairCols: Seq[org.apache.spark.sql.Column] = {
+      val flip = col("a.id") > col("b.id")
+      def side(p: String, wantA: Boolean) = {
+        val (hi, lo) = (col(s"a.$p"), col(s"b.$p"))
+        if (wantA) when(flip, lo).otherwise(hi) else when(flip, hi).otherwise(lo)
+      }
+      Seq(side("id", wantA = true).as("id_a"),
+        side("id", wantA = false).as("id_b")) ++
+        payload.flatMap(p => Seq(side(p, wantA = true).as(s"${p}_a"),
+          side(p, wantA = false).as(s"${p}_b")))
+    }
+    val keyEq = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    if (cap <= 0) {
+      banded.as("a").join(banded.as("b"), keyEq && col("a.id") < col("b.id"))
+        .select(pairCols: _*).distinct()
+    } else {
+      val sizes = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__sz"))
+      val blocked = banded.join(sizes, keys)
+        .withColumn("__nb",
+          greatest(lit(1L), ceil(col("__sz").cast("double") / cap)))
+        .withColumn("__blk", pmod(xxhash64(col("id")), col("__nb")))
+        .drop("__sz", "__nb")
+      val a = blocked.as("a"); val b = blocked.as("b")
+      // same-block: exact pairing inside a bounded block
+      val same = a.join(b, keyEq &&
+          col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
+        .select(pairCols: _*)
+      // adjacent-block: chains a bucket's blocks together so the
+      // transitive closure over emitted pairs spans the whole bucket
+      val adj = a.join(b, keyEq &&
+          (col("a.__blk") + 1) === col("b.__blk") &&
+          col("a.id") =!= col("b.id"))
+        .select(pairCols: _*)
+      same.unionByName(adj).distinct()
+    }
+  }
+
   /** Exact dedup: md5 of the text; keeps the lowest id per group.
     * A single hash aggregation — no window, no second shuffle. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
@@ -49,7 +112,8 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, minJaccard: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Int = 256): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // Candidate generation shuffles ONLY (id, band, band_hash) — texts
@@ -63,14 +127,11 @@ object Dedup {
       .withColumn("band_hash",
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
       .select(col("id"), col("band"), col("band_hash"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // capacity-guarded: a degenerate bucket (boilerplate corpus) yields
+    // O(size · bucketCap) candidates, not O(size²); the rerank +
+    // [[clusters]] closure recovers the full duplicate group
+    val candidates =
+      cappedBucketJoin(banded, Seq("band", "band_hash"), bucketCap)
     val txt = docs.select(col(idCol).as("tid"), col(textCol).as("txt"))
     candidates
       .join(txt, col("id_a") === col("tid")).withColumnRenamed("txt", "txt_a")
@@ -82,10 +143,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash near-dup: 64-bit sketch, banded into 4×16-bit buckets;
-    * candidates within `maxHamming` bits survive. */
+  /** SimHash near-dup: 64-bit sketch, banded into 4×16-bit buckets
+    * (pigeonhole: hamming ≤ 3 over 64 bits ⇒ at least one identical
+    * 16-bit band); candidates within `maxHamming` bits survive.
+    *
+    * A 16-bit band admits only 65,536 distinct buckets, so at ≥10⁸ docs
+    * the per-band buckets average ≥1,500 members even when uniform —
+    * per-bucket pair generation is inherently quadratic-prone. The
+    * `bucketCap` guard bounds it to O(members · cap) per bucket; the
+    * Hamming rerank + [[clusters]] closure recover the duplicate groups
+    * from the capped pair set. */
   def simHashDups(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Int = 256): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
       simhash(col(textCol)).as("sh"))
     val banded = sig.select(col("id"), col("sh"),
@@ -94,30 +164,40 @@ object Dedup {
           shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*))
         .as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    cappedBucketJoin(banded, Seq("band", "bh"), bucketCap,
+        payload = Seq("sh"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Plane count sized to the corpus: enough sign bits that a UNIFORM
+    * corpus averages ≲`targetBucket` vectors per bucket (near-dup mass
+    * still concentrates, which is what [[cappedBucketJoin]] guards).
+    * 2^planes buckets ⇒ planes = log2(n / targetBucket), floored at 8. */
+  def autoPlanes(corpusSize: Long, targetBucket: Long = 1024L): Int =
+    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, corpusSize / math.max(1L, targetBucket)) - 1))
+
   /** Embedding cosine near-dup: random-hyperplane LSH buckets, exact
     * cosine rerank within buckets. `planes` sign bits per vector; vectors
     * agreeing on all bits land in one bucket. Deterministic hyperplanes
-    * derived from a seeded Gaussian. */
+    * derived from a seeded Gaussian. `planes <= 0` sizes the bucket count
+    * to the corpus via [[autoPlanes]] (one count job); fixed defaults
+    * under-bucket at scale — 8 planes is 256 buckets, quadratic by 10⁷
+    * vectors. */
   def embeddingDups(emb: DataFrame, dim: Int, planes: Int = 8,
       minCosine: Double = 0.95, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val hp = Ann.hyperplanes(planes, dim, seed = 42L)
+      vecCol: String = "embedding", bucketCap: Int = 256): DataFrame = {
+    val np = if (planes > 0) planes else autoPlanes(emb.count())
+    val hp = Ann.hyperplanes(np, dim, seed = 42L)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Ann.signBucket(col(vecCol), hp).as("bucket"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.functions.GraftFunctions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
+    cappedBucketJoin(bucketed, Seq("bucket"), bucketCap, payload = Seq("v"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.cosine_sim(col("v_a"), col("v_b"))
+          .as("cos"))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -15,15 +15,19 @@ import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type}
 import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 twin of the graft source (`format("graft-v2")`) — the
   * modern-API expression of the same pushdown contract the V1
@@ -63,26 +67,35 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    GraftTableV2(properties.get("path"), schema)
+    GraftTableV2(properties.get("path"), schema,
+      vectorized = !"false".equalsIgnoreCase(
+        String.valueOf(properties.getOrDefault("vectorized", "true"))))
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-case class GraftTableV2(path: String, tableSchema: StructType)
+case class GraftTableV2(path: String, tableSchema: StructType,
+    vectorized: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"graft-v2:${path.split('/').last}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftScanBuilderV2(path, tableSchema)
+      : ScanBuilder = new GraftScanBuilderV2(path, tableSchema, vectorized)
 }
 
-class GraftScanBuilderV2(path: String, fullSchema: StructType)
+class GraftScanBuilderV2(path: String, fullSchema: StructType,
+    vectorizedRequested: Boolean)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit {
+
+  // NANOS timestamps have no vectorized mapping under this source's
+  // schema (converted to micros row-side): auto-fall back to row mode.
+  private val vectorized: Boolean =
+    vectorizedRequested && !FooterCache.hasNanosTimestamp(path)
 
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -95,11 +108,22 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType)
       StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
 
+  /** Two pushdown contracts:
+    *  - row mode (`vectorized=false`): accepted filters are evaluated
+    *    EXACTLY source-side ([[RowFilterEval]], SQL three-valued) and
+    *    removed from Spark's plan — the reference's JDBC semantics
+    *    (JDBCRelationWithLimit.scala:29-31).
+    *  - vectorized mode (default): accepted filters drive row-group
+    *    statistics pruning at planning time but remain residuals for
+    *    Spark to re-evaluate above the scan — exactly how Spark's own
+    *    parquet source treats its pushed filters. Batches flow through
+    *    whole-stage codegen; no per-row source-side evaluation.
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rejected) = filters.partition(f =>
       RowFilterEval.supports(f, fullSchema))
     pushed = ok
-    rejected // residuals: Spark re-evaluates these above the scan
+    if (vectorized) filters else rejected
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -110,23 +134,24 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType)
   override def isPartiallyPushed: Boolean = true // Spark keeps GlobalLimit
 
   override def build(): Scan =
-    GraftScanV2(path, requiredSchema, pushed, limit)
+    GraftScanV2(path, requiredSchema, pushed, limit, vectorized)
 }
 
 case class GraftScanV2(path: String, projectedSchema: StructType,
-    filters: Array[Filter], limit: Int)
+    filters: Array[Filter], limit: Int, vectorized: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = projectedSchema
 
   /** Footer-derived stats (row count + byte size) so Catalyst can make
     * broadcast decisions for graft-v2 tables — without this the scan
-    * reports unknown size and dim joins never broadcast. */
+    * reports unknown size and dim joins never broadcast. Served from the
+    * footer cache: the footers are opened once per file per driver (in
+    * parallel), not once per query per planning step. */
   override def estimateStatistics(): Statistics = {
-    val conf = new Configuration()
     var rows = 0L; var bytes = 0L
-    ParquetMeta.listRowGroupStats(path, conf).foreach { case (r, b) =>
-      rows += r; bytes += b
+    FooterCache.rowGroups(path).foreach { rg =>
+      rows += rg.rowCount; bytes += rg.totalByteSize
     }
     val (fr, fb) = (rows, bytes)
     new Statistics {
@@ -141,16 +166,46 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     val lim = if (limit >= 0) s", PushedLimit: $limit" else ""
     s"GraftScanV2 ${path.split('/').last}, " +
       s"PushedFilters: [${filters.mkString(", ")}]$lim, " +
-      s"ReadSchema: ${projectedSchema.catalogString}"
+      s"ReadSchema: ${projectedSchema.catalogString}" +
+      (if (vectorized) ", Vectorized: true" else "")
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ParquetMeta.listRowGroups(path, new Configuration()).map {
-      case (file, rg, start, len) => GraftInputPartition(file, rg, start, len)
-    }.toArray
+  /** One partition per surviving row group. Pushed filters prune row
+    * groups on the DRIVER from cached footer min/max statistics — the
+    * parquet analog of the DB evaluating the pushed WHERE before
+    * shipping rows: a 100 TB scan with a selective range predicate
+    * schedules only the groups whose stats admit a match. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val groups = FooterCache.rowGroups(path)
+    val kept =
+      if (filters.isEmpty) groups
+      else groups.filter(rg => filters.forall(RowGroupPruning.mayMatch(_, rg)))
+    kept.map(rg =>
+      GraftInputPartition(rg.file, rg.index, rg.startingPos,
+        rg.compressedBytes)).toArray
+  }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(projectedSchema, filters, limit)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    if (!vectorized) GraftReaderFactory(projectedSchema, filters, limit)
+    else {
+      // driver-side: snapshot the session's parquet read configuration
+      // for the executor-side vectorized readers
+      val spark = SparkSession.active
+      val conf = spark.sessionState.newHadoopConf()
+      conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+        projectedSchema.json)
+      conf.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+      conf.setIfUnset("spark.sql.parquet.binaryAsString", "false")
+      conf.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
+      conf.setIfUnset("spark.sql.caseSensitive", "false")
+      conf.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      conf.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      GraftVectorReaderFactory(new SerializableConfiguration(conf),
+        projectedSchema, limit, tz)
+    }
+  }
 }
 
 /** One parquet row group = one partition (file offset + byte span pin
@@ -166,6 +221,69 @@ case class GraftReaderFactory(readSchema: StructType,
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftRowGroupReader(p, readSchema, filters, limit)
   }
+}
+
+/** Columnar factory: one Spark `VectorizedParquetRecordReader` per row
+  * group, batches flow straight into whole-stage codegen (Spark inserts
+  * the codegen'd ColumnarToRow). This is the same executor read path as
+  * Spark's own parquet source — decoding is column-at-a-time into
+  * `OnHeapColumnVector`s, ~10× the row-materializing parquet-mr path. */
+case class GraftVectorReaderFactory(conf: SerializableConfiguration,
+    readSchema: StructType, limit: Int, sessionTz: String)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException(
+      "graft-v2 vectorized scan is columnar-only")
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftVectorReader(p, conf.value, limit, sessionTz)
+  }
+}
+
+/** Reads one row group through Spark's vectorized parquet decoder.
+  * The `FileSplit` range pins the row group (midpoint selection, same
+  * as the row path); `limit >= 0` stops producing batches once the
+  * per-partition cap is crossed (Spark's retained LocalLimit trims the
+  * final batch — the pushed limit is a stop-early bound, not an exact
+  * cut, matching `SupportsPushDownLimit.isPartiallyPushed`). */
+class GraftVectorReader(part: GraftInputPartition,
+    conf: org.apache.hadoop.conf.Configuration, limit: Int,
+    sessionTz: String) extends PartitionReader[ColumnarBatch] {
+
+  private val reader = new VectorizedParquetRecordReader(
+    null, // convertTz: not needed for non-INT96 micro/milli timestamps
+    "CORRECTED", sessionTz, "CORRECTED", sessionTz,
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+  locally {
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(part.file), part.startingPos, part.byteLen,
+      Array.empty[String])
+    val attemptId = new org.apache.hadoop.mapreduce.TaskAttemptID()
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, attemptId)
+    reader.initialize(split, ctx)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    reader.enableReturningBatches()
+  }
+
+  private var emitted = 0L
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    if (!reader.nextBatch()) return false
+    batch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+    emitted += batch.numRows()
+    true
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = reader.close()
 }
 
 /** Reads exactly one row group through parquet-mr with column projection,
@@ -359,6 +477,176 @@ object ParquetMeta {
       case (other, _) => throw new IllegalArgumentException(
         s"graft-v2: no converter for $other")
     }
+  }
+}
+
+/** Driver-side parquet footer cache. At 100 TB (~10⁵ files) re-walking
+  * every footer serially per planning step costs minutes of driver time
+  * PER QUERY; here each footer is opened once per (file, length, mtime)
+  * per driver — `estimateStatistics`, `planInputPartitions`, NANOS
+  * detection, and repeated queries all hit the cache — and cold misses
+  * load in parallel across files.
+  */
+object FooterCache {
+
+  /** Per-row-group metadata: placement (for split planning), row/byte
+    * counts (for statistics), and per-column min/max statistics (for
+    * filter-based row-group pruning). */
+  final case class RowGroupMeta(file: String, index: Int,
+      startingPos: Long, compressedBytes: Long, rowCount: Long,
+      totalByteSize: Long,
+      stats: Map[String,
+        (org.apache.parquet.column.statistics.Statistics[_], Boolean)])
+
+  private final case class FileMeta(len: Long, modTime: Long,
+      schema: MessageType, groups: Seq[RowGroupMeta])
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileMeta]()
+
+  private def load(status: org.apache.hadoop.fs.FileStatus,
+      conf: Configuration): FileMeta = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(status.getPath, conf))
+    try {
+      val schema = r.getFileMetaData.getSchema
+      def isStringCol(name: String): Boolean = {
+        val idx = schema.getFieldIndex(name)
+        idx >= 0 && {
+          val t = schema.getType(idx)
+          t.isPrimitive && t.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        }
+      }
+      val groups = r.getRowGroups.asScala.toSeq.zipWithIndex.map {
+        case (bm, i) =>
+          val st = bm.getColumns.asScala.map { cc =>
+            val name = cc.getPath.toDotString
+            name -> ((cc.getStatistics, isStringCol(name)))
+          }.toMap
+          RowGroupMeta(status.getPath.toString, i, bm.getStartingPos,
+            bm.getCompressedSize, bm.getRowCount, bm.getTotalByteSize, st)
+      }
+      FileMeta(status.getLen, status.getModificationTime, schema, groups)
+    } finally r.close()
+  }
+
+  private def fileMetas(path: String): Seq[FileMeta] = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory) {
+        fs.listStatus(p).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+      } else Seq(st)
+    val missing = files.filter { f =>
+      val c = cache.get(f.getPath.toString)
+      c == null || c.len != f.getLen || c.modTime != f.getModificationTime
+    }
+    if (missing.nonEmpty) {
+      // cold footers load concurrently (common FJ pool) — the 10⁵-file
+      // case walks footers across cores instead of serially
+      missing.asJava.parallelStream()
+        .forEach(f => cache.put(f.getPath.toString, load(f, conf)))
+    }
+    files.map(f => cache.get(f.getPath.toString))
+  }
+
+  def rowGroups(path: String): Seq[RowGroupMeta] =
+    fileMetas(path).flatMap(_.groups)
+
+  def schema(path: String): MessageType = fileMetas(path).head.schema
+
+  /** True when any column is a NANOS-unit parquet timestamp (no
+    * vectorized mapping under this source's micros-converting schema). */
+  def hasNanosTimestamp(path: String): Boolean =
+    schema(path).getFields.asScala.exists { t =>
+      t.isPrimitive && (t.getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation => ts.getUnit == TimeUnit.NANOS
+        case _ => false
+      })
+    }
+}
+
+/** Row-group pruning from footer min/max statistics: can this group
+  * possibly contain a row matching the filter? Conservative in every
+  * uncertain case (missing stats, incomparable types ⇒ keep the group).
+  * This is where pushed filters earn their keep in the vectorized path:
+  * groups are eliminated at PLANNING time, before any task is scheduled.
+  */
+object RowGroupPruning {
+  import org.apache.spark.sql.sources._
+
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+         _: java.lang.Long => true
+    case _ => false
+  }
+
+  /** None = incomparable (stay conservative). Same exact-compare rules
+    * as [[RowFilterEval]]: integral pairs as longs, mixed via BigDecimal. */
+  private def cmp(statVal: Any, lit: Any): Option[Int] = (statVal, lit) match {
+    case (null, _) | (_, null) => None
+    case (a: Number, b: Number) if isIntegral(a) && isIntegral(b) =>
+      Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+    case (a: Number, b: Number) =>
+      val (ad, bd) = (a.doubleValue(), b.doubleValue())
+      if (ad.isNaN || bd.isNaN) Some(java.lang.Double.compare(ad, bd))
+      else Some(new java.math.BigDecimal(a.toString)
+        .compareTo(new java.math.BigDecimal(b.toString)))
+    case (a: org.apache.parquet.io.api.Binary, b: String) =>
+      Some(a.toStringUsingUTF8.compareTo(b))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  /** (min, max, numNulls, rowCount) when usable statistics exist. */
+  private def bounds(rg: FooterCache.RowGroupMeta, colName: String)
+      : Option[(Any, Any, Long, Long)] =
+    rg.stats.get(colName).flatMap { case (s, _) =>
+      if (s == null || s.isEmpty || !s.hasNonNullValue) None
+      else Some((s.genericGetMin, s.genericGetMax, s.getNumNulls,
+        rg.rowCount))
+    }
+
+  def mayMatch(f: Filter, rg: FooterCache.RowGroupMeta): Boolean = f match {
+    case EqualTo(a, v) => bounds(rg, a).forall { case (lo, hi, _, _) =>
+      cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0)
+    }
+    case LessThan(a, v) =>
+      bounds(rg, a).forall { case (lo, _, _, _) => cmp(lo, v).forall(_ < 0) }
+    case LessThanOrEqual(a, v) =>
+      bounds(rg, a).forall { case (lo, _, _, _) => cmp(lo, v).forall(_ <= 0) }
+    case GreaterThan(a, v) =>
+      bounds(rg, a).forall { case (_, hi, _, _) => cmp(hi, v).forall(_ > 0) }
+    case GreaterThanOrEqual(a, v) =>
+      bounds(rg, a).forall { case (_, hi, _, _) => cmp(hi, v).forall(_ >= 0) }
+    case In(a, vs) => bounds(rg, a).forall { case (lo, hi, _, _) =>
+      vs.exists(v => cmp(lo, v).forall(_ <= 0) && cmp(hi, v).forall(_ >= 0))
+    }
+    case IsNull(a) => rg.stats.get(a).forall { case (s, _) =>
+      s == null || s.isNumNullsSet == false || s.getNumNulls != 0
+    }
+    case IsNotNull(a) => rg.stats.get(a).forall { case (s, _) =>
+      s == null || !s.isNumNullsSet || s.getNumNulls < rg.rowCount
+    }
+    case StringStartsWith(a, v) =>
+      bounds(rg, a).forall { case (lo, hi, _, _) =>
+        // strings with prefix v sit in [v, v+MAXCHAR): need max >= v and
+        // min either <= v or itself carrying the prefix
+        cmp(hi, v).forall(_ >= 0) && cmp(lo, v).forall(c => c <= 0 || (lo
+          match {
+            case b: org.apache.parquet.io.api.Binary =>
+              b.toStringUsingUTF8.startsWith(v)
+            case _ => true
+          }))
+      }
+    case And(l, r) => mayMatch(l, rg) && mayMatch(r, rg)
+    case Or(l, r) => mayMatch(l, rg) || mayMatch(r, rg)
+    case _ => true // Not, string contains/endswith, unknown: keep
   }
 }
 

@@ -71,6 +71,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("hot bucket: capped candidates stay O(n·cap), closure intact") {
+    // one degenerate bucket of 2000 members — the boilerplate-corpus
+    // failure mode. Uncapped pairing would emit C(2000,2) ≈ 2.0M pairs.
+    val n = 2000
+    val cap = 32
+    val members = (1 to n).map(i => (i.toLong, 7L)).toDF("id", "k")
+    val pairs = Dedup.cappedBucketJoin(members, Seq("k"), cap)
+    val m = pairs.count()
+    // same-block ≈ n·(cap-1)/2, adjacent ≈ n·cap; allow hash-imbalance
+    assert(m <= 3L * n * cap, s"candidate blowup: $m pairs")
+    assert(m >= n - 1, s"bucket under-connected: $m pairs")
+    // the capped pair set must still be ONE connected component, so
+    // clusters() recovers the full duplicate group
+    val cl = Dedup.clusters(pairs).select($"cluster").distinct().collect()
+    assert(cl.length == 1, s"bucket split into ${cl.length} components")
+    // buckets at/under cap are byte-identical to the exact self-join
+    val small = (1 to 20).map(i => (i.toLong, 3L)).toDF("id", "k")
+    assert(Dedup.cappedBucketJoin(small, Seq("k"), cap).count() == 190)
+  }
+
+  test("hot corpus: minHashLsh with 1000 identical docs stays bounded") {
+    val text = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = (1L to 1000L).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(docs, minJaccard = 0.9, bucketCap = 32)
+    val m = pairs.count()
+    // identical docs collide in EVERY band; the guard holds each band's
+    // bucket to O(n·cap) and cross-band duplicates collapse in distinct()
+    assert(m <= 3L * 1000 * 32, s"candidate blowup: $m pairs")
+    // transitive closure still identifies one duplicate cluster of 1000
+    val kept = Dedup.keepRepresentatives(docs, pairs).count()
+    assert(kept == 1, s"expected 1 representative, got $kept")
+  }
+
   test("duplicate clustering: transitive closure + representative keep") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -33,7 +33,17 @@ class SourceV2Spec extends SparkTestBase {
   }
 
   test("filter + projection + limit land in the V2 scan") {
-    val df = v2("lineitem")
+    // vectorized (default): filters pushed for row-group pruning AND
+    // kept as residuals, so a limit cannot hop the filter — but a bare
+    // limit pushes:
+    val vlim = v2("lineitem").select(col("l_orderkey")).limit(7)
+    assert(vlim.queryExecution.executedPlan.toString.contains(
+      "PushedLimit: 7"), vlim.queryExecution.executedPlan.toString)
+    // row mode: reference semantics — accepted filters are REMOVED from
+    // the plan, so filter+limit both land in the scan
+    val df = spark.read.format("graft-v2")
+      .option("path", s"$sf001/lineitem.parquet")
+      .option("vectorized", "false").load()
       .filter(col("l_returnflag") === "R" && col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_quantity"))
       .limit(7)
@@ -119,7 +129,10 @@ class SourceV2Spec extends SparkTestBase {
       (5, 1), (5, 3), (null, 1), (null, 3), (4, 1))
       .toDF("a", "b").repartition(1).write.parquet(dir)
     val cond = (col("a") =!= 5) || (col("b") > 2)
-    val got = spark.read.format("graft-v2").option("path", dir).load()
+    // row mode: accepted filters are REMOVED from Spark's plan, so this
+    // exercises RowFilterEval's three-valued evaluation end-to-end
+    val got = spark.read.format("graft-v2").option("path", dir)
+      .option("vectorized", "false").load()
       .filter(cond)
     // the filter must have been pushed (removed from Spark's plan)…
     assert(got.queryExecution.executedPlan.toString.contains("GraftScanV2"))
@@ -127,6 +140,40 @@ class SourceV2Spec extends SparkTestBase {
     val expected = spark.read.parquet(dir).filter(cond)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
     assert(got.count() == expected.count())
+  }
+
+  test("vectorized batch read matches the row path exactly") {
+    val v = v2("lineitem") // vectorized by default
+    assert(v.queryExecution.executedPlan.toString.contains("Vectorized: true"),
+      v.queryExecution.executedPlan.toString)
+    val r = spark.read.format("graft-v2")
+      .option("path", s"$sf001/lineitem.parquet")
+      .option("vectorized", "false").load()
+    assert(v.exceptAll(r).isEmpty && r.exceptAll(v).isEmpty)
+    // filters + projection + limit still correct through batches
+    val cond = col("l_returnflag") === "R" && col("l_quantity") < 10
+    val expected = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(cond).count()
+    assert(v2("lineitem").filter(cond).count() == expected)
+    assert(v2("lineitem").filter(cond).limit(7).count() == 7)
+  }
+
+  test("pushed filters prune row groups from footer statistics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-prune")
+      .resolve("t").toString
+    import spark.implicits._
+    // 4 range-partitioned files -> disjoint id ranges per row group
+    (0L until 4000L).toDF("id").withColumn("pad", col("id") * 2)
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    def scan(c: org.apache.spark.sql.Column) =
+      spark.read.format("graft-v2").option("path", dir).load().filter(c)
+    val all = scan(col("id") >= 0)
+    val pruned = scan(col("id") > 3500)
+    assert(all.rdd.getNumPartitions >= 4)
+    // planning-time elimination: fewer scheduled partitions, same answer
+    assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      s"pruned=${pruned.rdd.getNumPartitions} all=${all.rdd.getNumPartitions}")
+    assert(pruned.count() == 499)
   }
 
   test("multi-file directory: one partition per row group") {
