@@ -451,9 +451,11 @@ object SparkEntry {
 
   private val qUdafCustom: Q = (s, dir) => {
     val gm = udaf(GeoMean)
+    // rounded so the log-sum's summation-order noise (~1e-14 relative)
+    // can't break the DuckDB exp(avg(ln)) hash compare
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(gm(col("l_quantity")).as("geo_mean_qty"))
+      .agg(round(gm(col("l_quantity")), 6).as("geo_mean_qty"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -486,8 +488,12 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   private val qDedupEmbedding: Q = (s, dir) =>
+    // bucketCap=0: exact within-bucket pairing, reproduced bit-for-bit
+    // by the DuckDB oracle (inlined hyperplanes). The capacity guard is
+    // exercised by the hot-bucket suite in OperatorsSpec; at these
+    // corpus sizes no bucket approaches the cap anyway.
     Dedup.embeddingDups(t(s, dir, "embeddings"), dim = 64, planes = 6,
-        minCosine = 0.2)
+        minCosine = 0.2, bucketCap = 0)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact char-3-gram Jaccard over a bounded pair set (the rerank
@@ -636,7 +642,58 @@ object SparkEntry {
     "q_multimodal_decode" -> qMultimodalDecode,
   )
 
+  /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
+    * [[graft.functions.HyperplaneBucket]] bit-for-bit (float→double
+    * promotion, sequential dot product, sign at >= 0), with the
+    * deterministic planes inlined as SQL list literals. This is what
+    * lets LSH queries be hash-checked against the oracle instead of
+    * rows-only. */
+  private def duckBucketExpr(vecExpr: String,
+      planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecExpr, $lst) >= 0" +
+        s" THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
+    "q_udaf_custom" ->
+      """SELECT l_returnflag,
+        |round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_dedup_embedding" -> {
+      val b = duckBucketExpr("v", operators.Ann.hyperplanes(6, 64, 42L))
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |k AS (SELECT id, v, $b AS bucket FROM e)
+         |SELECT a.id AS id_a, bb.id AS id_b,
+         |round(list_cosine_similarity(a.v, bb.v), 4) AS cos
+         |FROM k a JOIN k bb ON a.bucket = bb.bucket AND a.id < bb.id
+         |WHERE list_cosine_similarity(a.v, bb.v) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q_ann_lsh" -> {
+      val b = duckBucketExpr("v", operators.Ann.hyperplanes(6, 64, 42L))
+      val masks = (0 until 64).filter(m => Integer.bitCount(m) <= 2)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, $b AS bucket FROM e),
+         |q0 AS (SELECT vec_id AS query_id, v AS qv, $b AS qb
+         |  FROM e WHERE vec_id < 8),
+         |q AS (SELECT query_id, qv, xor(qb, masks.m) AS bucket
+         |  FROM q0 CROSS JOIN (SELECT unnest($masks) AS m) masks),
+         |s AS (SELECT DISTINCT query_id, neighbor_id,
+         |    list_cosine_similarity(qv, cv) AS rawcos
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, rawcos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rawcos DESC, neighbor_id) AS INTEGER) AS rnk
+         |  FROM s)
+         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
