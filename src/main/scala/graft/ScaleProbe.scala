@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Super-linearity probe: inflates the fact/corpus tables ~Nx into a
+  * temp dir, times the heaviest queries at 1x and Nx, and flags any
+  * whose runtime grows faster than ~2.5x the data factor. This is the
+  * 100 TB rehearsal the unit tests can't give: a quadratic candidate
+  * path or a re-scan-per-partition bug shows up here as a ratio far
+  * above the factor even at laptop scale.
+  *
+  * Documents are MUTATED per copy (consonant rotation) so the inflated
+  * corpus is ~Nx unique content, not Nx clones — otherwise near-dup
+  * OUTPUT legitimately grows quadratically in the clone count and
+  * runtime says nothing about the candidate-generation guards.
+  *
+  * Usage: runMain graft.ScaleProbe [factor] (default 10); base dir from
+  * SPARK_GRAFT_SF_DIR (default sf0.1). Prints one JSON line per query.
+  */
+object ScaleProbe {
+
+  private val probeQueries = Seq(
+    "q_scan_project", "q_scan_v2", "q_filter_pushdown",
+    "q_partitioned_scan", "q_agg_hash", "q_window_rank",
+    "q_token_count", "q_quality_score", "q_dedup_exact",
+    "q_dedup_near", "q_dedup_simhash", "q_fingerprint")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.ts is TIMESTAMP(NANOS): read as long for the verbatim
+      // copy (Tables.t converts to micros downstream either way)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scaled = Files.createTempDirectory("graft-scale").toString
+    inflate(spark, base, scaled, factor)
+
+    def timeOnce(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm each dir's file cache / codegen once
+    spark.read.parquet(s"$scaled/lineitem.parquet").count()
+
+    var worst = 0.0
+    probeQueries.foreach { q =>
+      // two runs each, keep the min — the sandbox is ±30% noisy
+      val t1 = math.min(timeOnce(q, base), timeOnce(q, base))
+      val tN = math.min(timeOnce(q, scaled), timeOnce(q, scaled))
+      val ratio = tN / math.max(t1, 0.001)
+      val flag = if (ratio > factor * 2.5) "SUPRALINEAR" else "ok"
+      worst = math.max(worst, ratio)
+      println(f"""{"q":"$q","t1":$t1%.2f,"t$factor":$tN%.2f,""" +
+        f""""ratio":$ratio%.2f,"verdict":"$flag"}""")
+    }
+    println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
+      f""""value":$worst%.2f}""")
+    spark.stop()
+  }
+
+  /** Write an ~Nx copy of the probe tables; remaining tables copied 1x
+    * so every query still resolves its inputs. */
+  private def inflate(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    def copies(df: DataFrame, expand: (DataFrame, Int) => DataFrame) =
+      (0 until factor).map(i => expand(df, i)).reduce(_ unionByName _)
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val liSpan = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+    copies(li, (d, i) => d.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i * liSpan)))
+      .write.parquet(s"$out/lineitem.parquet")
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val abc = "bcdfghjklmnpqrstvwz"
+    copies(docs, (d, i) => {
+      val rot = abc.drop(i % abc.length) + abc.take(i % abc.length)
+      d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+        .withColumn("text",
+          if (i == 0) col("text") else translate(col("text"), abc, rot))
+    }).write.parquet(s"$out/documents.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.parquet(s"$out/$t.parquet")
+    }
+  }
+}
