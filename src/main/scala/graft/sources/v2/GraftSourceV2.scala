@@ -69,28 +69,32 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     GraftTableV2(properties.get("path"), schema,
       vectorized = !"false".equalsIgnoreCase(
-        String.valueOf(properties.getOrDefault("vectorized", "true"))))
+        String.valueOf(properties.getOrDefault("vectorized", "true"))),
+      batchSize = String.valueOf(
+        properties.getOrDefault("batchSize", "4096")).toInt)
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
 case class GraftTableV2(path: String, tableSchema: StructType,
-    vectorized: Boolean = true)
+    vectorized: Boolean = true, batchSize: Int = 4096)
     extends Table with SupportsRead {
   override def name(): String = s"graft-v2:${path.split('/').last}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftScanBuilderV2(path, tableSchema, vectorized)
+      : ScanBuilder =
+    new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize)
 }
 
 class GraftScanBuilderV2(path: String, fullSchema: StructType,
-    vectorizedRequested: Boolean)
+    vectorizedRequested: Boolean, batchSize: Int = 4096)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   // NANOS timestamps have no vectorized mapping under this source's
   // schema (converted to micros row-side): auto-fall back to row mode.
@@ -131,14 +135,67 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     this.limit = limit
     true // pushed — but only per-partition:
   }
-  override def isPartiallyPushed: Boolean = true // Spark keeps GlobalLimit
+  // shared by SupportsPushDownLimit and SupportsPushDownTopN: the source
+  // caps each partition; Spark keeps the global limit / final sort
+  override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan =
-    GraftScanV2(path, requiredSchema, pushed, limit, vectorized)
+  private var topN: Array[(String, Boolean, Boolean)] = Array.empty
+  private var topNLimit: Int = -1
+
+  /** Top-k pushdown (row mode): each row group emits only its `limit`
+    * best rows under the pushed ordering — a bounded heap over the
+    * scan instead of materializing the group. Spark's retained global
+    * sort+limit merges the per-partition winners, so a `LIMIT 10` over
+    * an ordered 100 TB table ships 10 rows per row group, not the
+    * table. Vectorized mode declines (Spark's TakeOrdered over batches
+    * is already the right plan there). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    if (vectorized) return false
+    val keys = orders.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          val name = nr.fieldNames()(0)
+          val idx = fullSchema.fieldNames.indexOf(name)
+          if (idx < 0 || fullSchema(idx).dataType == BinaryType) None
+          else Some((name,
+            so.direction() == SortDirection.ASCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.contains(None)) false
+    else {
+      topN = keys.flatten
+      topNLimit = limit
+      true
+    }
+  }
+
+  override def build(): Scan = {
+    if (!vectorized) {
+      requiredSchema.fields.find(f => ParquetMeta.isNested(f.dataType))
+        .foreach { f =>
+          throw new IllegalArgumentException(
+            s"graft-v2 row mode supports flat primitive schemas only; " +
+            s"column '${f.name}' is nested — drop vectorized=false " +
+            "(nested columns read through the vectorized path)" +
+            (if (vectorizedRequested) " and note NANOS timestamps force" +
+              " row mode" else ""))
+        }
+    }
+    GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
+      batchSize, topN, topNLimit)
+  }
 }
 
 case class GraftScanV2(path: String, projectedSchema: StructType,
-    filters: Array[Filter], limit: Int, vectorized: Boolean = false)
+    filters: Array[Filter], limit: Int, vectorized: Boolean = false,
+    batchSize: Int = 4096,
+    topN: Array[(String, Boolean, Boolean)] = Array.empty,
+    topNLimit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = projectedSchema
@@ -164,8 +221,12 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = if (limit >= 0) s", PushedLimit: $limit" else ""
+    val tn = if (topNLimit >= 0)
+      s", PushedTopN: ${topN.map(t => s"${t._1} ${if (t._2) "ASC" else "DESC"}")
+        .mkString("[", ", ", "]")} LIMIT $topNLimit"
+    else ""
     s"GraftScanV2 ${path.split('/').last}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]$lim, " +
+      s"PushedFilters: [${filters.mkString(", ")}]$lim$tn, " +
       s"ReadSchema: ${projectedSchema.catalogString}" +
       (if (vectorized) ", Vectorized: true" else "")
   }
@@ -186,8 +247,9 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    if (!vectorized) GraftReaderFactory(projectedSchema, filters, limit)
-    else {
+    if (!vectorized) {
+      GraftReaderFactory(projectedSchema, filters, limit, topN, topNLimit)
+    } else {
       // driver-side: snapshot the session's parquet read configuration
       // for the executor-side vectorized readers
       val spark = SparkSession.active
@@ -203,7 +265,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       conf.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
       val tz = spark.sessionState.conf.sessionLocalTimeZone
       GraftVectorReaderFactory(new SerializableConfiguration(conf),
-        projectedSchema, limit, tz)
+        projectedSchema, limit, tz, batchSize)
     }
   }
 }
@@ -215,11 +277,13 @@ case class GraftInputPartition(file: String, rowGroup: Int,
     startingPos: Long, byteLen: Long) extends InputPartition
 
 case class GraftReaderFactory(readSchema: StructType,
-    filters: Array[Filter], limit: Int) extends PartitionReaderFactory {
+    filters: Array[Filter], limit: Int,
+    topN: Array[(String, Boolean, Boolean)] = Array.empty,
+    topNLimit: Int = -1) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftRowGroupReader(p, readSchema, filters, limit)
+    new GraftRowGroupReader(p, readSchema, filters, limit, topN, topNLimit)
   }
 }
 
@@ -229,7 +293,8 @@ case class GraftReaderFactory(readSchema: StructType,
   * Spark's own parquet source — decoding is column-at-a-time into
   * `OnHeapColumnVector`s, ~10× the row-materializing parquet-mr path. */
 case class GraftVectorReaderFactory(conf: SerializableConfiguration,
-    readSchema: StructType, limit: Int, sessionTz: String)
+    readSchema: StructType, limit: Int, sessionTz: String,
+    batchSize: Int = 4096)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -242,7 +307,7 @@ case class GraftVectorReaderFactory(conf: SerializableConfiguration,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftVectorReader(p, conf.value, limit, sessionTz)
+    new GraftVectorReader(p, conf.value, limit, sessionTz, batchSize)
   }
 }
 
@@ -254,12 +319,16 @@ case class GraftVectorReaderFactory(conf: SerializableConfiguration,
   * cut, matching `SupportsPushDownLimit.isPartiallyPushed`). */
 class GraftVectorReader(part: GraftInputPartition,
     conf: org.apache.hadoop.conf.Configuration, limit: Int,
-    sessionTz: String) extends PartitionReader[ColumnarBatch] {
+    sessionTz: String, batchSize: Int = 4096)
+    extends PartitionReader[ColumnarBatch] {
 
+  // `batchSize` (rows per ColumnarBatch) is the V2 analog of the
+  // reference's JDBC fetchsize knob (JDBCRDDWithLimit.scala:135-136):
+  // rows materialized per fetch from the source cursor.
   private val reader = new VectorizedParquetRecordReader(
     null, // convertTz: not needed for non-INT96 micro/milli timestamps
     "CORRECTED", sessionTz, "CORRECTED", sessionTz,
-    /* useOffHeap = */ false, /* capacity = */ 4096)
+    /* useOffHeap = */ false, /* capacity = */ math.max(batchSize, 16))
   locally {
     val split = new org.apache.hadoop.mapred.FileSplit(
       new Path(part.file), part.startingPos, part.byteLen,
@@ -287,9 +356,12 @@ class GraftVectorReader(part: GraftInputPartition,
 }
 
 /** Reads exactly one row group through parquet-mr with column projection,
-  * source-side filter evaluation, and a per-partition row cap. */
+  * source-side filter evaluation, a per-partition row cap, and (when a
+  * top-k was pushed) a bounded-heap per-partition top-N. */
 class GraftRowGroupReader(part: GraftInputPartition,
-    readSchema: StructType, filters: Array[Filter], limit: Int)
+    readSchema: StructType, filters: Array[Filter], limit: Int,
+    topN: Array[(String, Boolean, Boolean)] = Array.empty,
+    topNLimit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -300,11 +372,12 @@ class GraftRowGroupReader(part: GraftInputPartition,
     ParquetReadOptions.builder()
       .withRange(part.startingPos, part.startingPos + part.byteLen).build())
   private val fileSchema = reader.getFileMetaData.getSchema
-  // Spark prunes filter-only columns out of the projection once a filter
-  // is pushed — the reader must still materialize them to evaluate the
-  // filter, then emit only the projected columns.
-  private val extraCols: Array[String] = filters.flatMap(_.references)
-    .distinct.filterNot(readSchema.fieldNames.contains)
+  // Spark prunes filter-only (and sort-only) columns out of the
+  // projection once pushed — the reader must still materialize them to
+  // evaluate the filter / ordering, then emit only projected columns.
+  private val extraCols: Array[String] =
+    (filters.flatMap(_.references) ++ topN.map(_._1))
+      .distinct.filterNot(readSchema.fieldNames.contains)
   private val extNames: Array[String] = readSchema.fieldNames ++ extraCols
   private val requested: MessageType = ParquetMeta.project(
     fileSchema, extNames)
@@ -326,34 +399,110 @@ class GraftRowGroupReader(part: GraftInputPartition,
   private var emitted = 0
   private var current: InternalRow = _
 
+  private def readExtRow(): InternalRow = {
+    val g = recordReader.read()
+    readCount += 1
+    if (g == null) null
+    else {
+      val ext = new GenericInternalRow(extSchema.length)
+      var i = 0
+      while (i < extSchema.length) {
+        ext.update(i,
+          if (g.getFieldRepetitionCount(i) == 0) null
+          else converters(i)(g, i))
+        i += 1
+      }
+      ext
+    }
+  }
+
+  private def project(ext: InternalRow): InternalRow =
+    if (extraCols.isEmpty) ext
+    else {
+      val out = new GenericInternalRow(readSchema.length)
+      var j = 0
+      while (j < readSchema.length) {
+        out.update(j, ext.get(j, readSchema(j).dataType)); j += 1
+      }
+      out
+    }
+
+  /** Output-order comparator over the pushed sort keys (asc/desc and
+    * nulls-first/last applied per key, Spark double/float total order
+    * via java compare). */
+  private lazy val topNComparator: java.util.Comparator[InternalRow] =
+    new java.util.Comparator[InternalRow] {
+      private val keys = topN.map { case (name, asc, nullsFirst) =>
+        val i = extSchema.fieldNames.indexOf(name)
+        (i, extSchema(i).dataType, asc, nullsFirst)
+      }
+      override def compare(x: InternalRow, y: InternalRow): Int = {
+        var k = 0
+        while (k < keys.length) {
+          val (i, dt, asc, nullsFirst) = keys(k)
+          val (xn, yn) = (x.isNullAt(i), y.isNullAt(i))
+          val c =
+            if (xn && yn) 0
+            else if (xn) { if (nullsFirst) -1 else 1 }
+            else if (yn) { if (nullsFirst) 1 else -1 }
+            else {
+              val base = (x.get(i, dt), y.get(i, dt)) match {
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  Integer.compare(a, b)
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  java.lang.Long.compare(a, b)
+                case (a: java.lang.Double, b: java.lang.Double) =>
+                  java.lang.Double.compare(a, b)
+                case (a: java.lang.Float, b: java.lang.Float) =>
+                  java.lang.Float.compare(a, b)
+                case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+                  java.lang.Boolean.compare(a, b)
+                case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+                case _ => 0
+              }
+              if (asc) base else -base
+            }
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+
+  /** Bounded heap over the (filtered) row group: O(rows · log k) time,
+    * O(k) memory, emits the partition's top-k in output order. */
+  private def computeTopN(): Iterator[InternalRow] = {
+    val cmp = topNComparator
+    val pq = new java.util.PriorityQueue[InternalRow](
+      math.max(topNLimit, 1), cmp.reversed())
+    while (readCount < totalRows) {
+      val ext = readExtRow()
+      if (ext != null && predicate(ext)) {
+        if (pq.size < topNLimit) pq.add(ext)
+        else if (cmp.compare(ext, pq.peek()) < 0) { pq.poll(); pq.add(ext) }
+      }
+    }
+    val arr = new Array[InternalRow](pq.size)
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = pq.poll(); i -= 1 }
+    arr.iterator.map(project)
+  }
+
+  private var topNIter: Iterator[InternalRow] = _
+
   override def next(): Boolean = {
     if (recordReader == null) return false
+    if (topNLimit >= 0 && topN.nonEmpty) {
+      if (topNIter == null) topNIter = computeTopN()
+      if (topNIter.hasNext) { current = topNIter.next(); return true }
+      return false
+    }
     while (readCount < totalRows && (limit < 0 || emitted < limit)) {
-      val g = recordReader.read()
-      readCount += 1
-      if (g != null) {
-        val ext = new GenericInternalRow(extSchema.length)
-        var i = 0
-        while (i < extSchema.length) {
-          ext.update(i,
-            if (g.getFieldRepetitionCount(i) == 0) null
-            else converters(i)(g, i))
-          i += 1
-        }
-        if (predicate(ext)) {
-          current =
-            if (extraCols.isEmpty) ext
-            else {
-              val out = new GenericInternalRow(readSchema.length)
-              var j = 0
-              while (j < readSchema.length) {
-                out.update(j, ext.get(j, readSchema(j).dataType)); j += 1
-              }
-              out
-            }
-          emitted += 1
-          return true
-        }
+      val ext = readExtRow()
+      if (ext != null && predicate(ext)) {
+        current = project(ext)
+        emitted += 1
+        return true
       }
     }
     false
@@ -417,12 +566,39 @@ object ParquetMeta {
         t.getRepetition != Type.Repetition.REQUIRED)
     })
 
+  /** Does this Spark type require the vectorized (Spark-native) reader?
+    * The row-mode parquet-mr converter handles flat primitives only. */
+  private[v2] def isNested(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
+
   private def sparkType(t: Type): DataType = {
     if (!t.isPrimitive) {
-      throw new IllegalArgumentException(
-        s"graft-v2 supports flat primitive schemas only; " +
-        s"column '${t.getName}' is nested — use format(\"graft\") " +
-        "(V1) or spark.read.parquet for nested/array columns")
+      // nested column: LIST / MAP annotations or a plain struct group.
+      // These read through the VECTORIZED path (Spark's own nested
+      // column vectors); row mode rejects them at build time.
+      val g = t.asGroupType()
+      return g.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val repeated = g.getType(0)
+          if (repeated.isPrimitive) { // legacy 2-level list
+            ArrayType(sparkType(repeated), containsNull = false)
+          } else {
+            val elem = repeated.asGroupType().getType(0)
+            ArrayType(sparkType(elem),
+              elem.getRepetition != Type.Repetition.REQUIRED)
+          }
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = g.getType(0).asGroupType()
+          val (k, v) = (kv.getType(0), kv.getType(1))
+          MapType(sparkType(k), sparkType(v),
+            v.getRepetition != Type.Repetition.REQUIRED)
+        case _ =>
+          StructType(g.getFields.asScala.toSeq.map(f =>
+            StructField(f.getName, sparkType(f),
+              f.getRepetition != Type.Repetition.REQUIRED)))
+      }
     }
     val p = t.asPrimitiveType()
     val logical = p.getLogicalTypeAnnotation
@@ -510,14 +686,14 @@ object FooterCache {
       HadoopInputFile.fromPath(status.getPath, conf))
     try {
       val schema = r.getFileMetaData.getSchema
-      def isStringCol(name: String): Boolean = {
-        val idx = schema.getFieldIndex(name)
-        idx >= 0 && {
-          val t = schema.getType(idx)
+      def isStringCol(name: String): Boolean =
+        // nested chunk paths ("embedding.list.element") are never
+        // pruning targets; only flat top-level columns qualify
+        !name.contains('.') && schema.containsField(name) && {
+          val t = schema.getType(schema.getFieldIndex(name))
           t.isPrimitive && t.getLogicalTypeAnnotation
             .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
         }
-      }
       val groups = r.getRowGroups.asScala.toSeq.zipWithIndex.map {
         case (bm, i) =>
           val st = bm.getColumns.asScala.map { cc =>

@@ -77,9 +77,20 @@ class SourceV2Spec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
-  test("nested/array schema is rejected with a clear error") {
+  test("array columns read through the vectorized path") {
+    val a = v2("embeddings") // embedding: array<float>
+    val b = spark.read.parquet(s"$sf001/embeddings.parquet")
+    assert(a.schema == b.schema)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // array functions compose on top of the batch scan
+    assert(a.select(size(col("embedding"))).distinct().head.getInt(0) == 64)
+  }
+
+  test("row mode still rejects nested schemas with a clear error") {
     val e = intercept[Exception] {
-      v2("embeddings").collect()
+      spark.read.format("graft-v2")
+        .option("path", s"$sf001/embeddings.parquet")
+        .option("vectorized", "false").load().collect()
     }
     assert(e.getMessage.contains("flat primitive schemas"), e.getMessage)
   }
@@ -174,6 +185,49 @@ class SourceV2Spec extends SparkTestBase {
     assert(pruned.rdd.getNumPartitions < all.rdd.getNumPartitions,
       s"pruned=${pruned.rdd.getNumPartitions} all=${all.rdd.getNumPartitions}")
     assert(pruned.count() == 499)
+  }
+
+  test("top-k pushdown (row mode): per-row-group bounded heap") {
+    def v2row = spark.read.format("graft-v2")
+      .option("path", s"$sf001/lineitem.parquet")
+      .option("vectorized", "false").load()
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+      col("l_linenumber"))
+    val df = v2row.orderBy(ord: _*).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN"), plan)
+    val expected = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .orderBy(ord: _*).limit(5)
+    assert(df.collect().toSeq == expected.collect().toSeq)
+  }
+
+  test("top-k pushdown honors null ordering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-topn")
+      .resolve("t").toString
+    import spark.implicits._
+    Seq[(java.lang.Long, java.lang.Integer)](
+      (1L, 5), (2L, null), (3L, 1), (4L, null), (5L, 9))
+      .toDF("id", "v").repartition(1).write.parquet(dir)
+    def v2row = spark.read.format("graft-v2").option("path", dir)
+      .option("vectorized", "false").load()
+    val lastOrd = Seq(col("v").asc_nulls_last, col("id"))
+    val gotLast = v2row.orderBy(lastOrd: _*).limit(3)
+    assert(gotLast.queryExecution.executedPlan.toString
+      .contains("PushedTopN"))
+    assert(gotLast.select(col("id")).as[Long].collect().toSeq ==
+      Seq(3L, 1L, 5L))
+    val firstOrd = Seq(col("v").asc_nulls_first, col("id"))
+    assert(v2row.orderBy(firstOrd: _*).limit(3)
+      .select(col("id")).as[Long].collect().toSeq == Seq(2L, 4L, 3L))
+  }
+
+  test("batchSize option bounds the vectorized batch row count") {
+    val df = spark.read.format("graft-v2")
+      .option("path", s"$sf001/lineitem.parquet")
+      .option("batchSize", "100").load()
+    // correctness unaffected; fetch cadence is 100-row batches
+    assert(df.count() ==
+      spark.read.parquet(s"$sf001/lineitem.parquet").count())
   }
 
   test("multi-file directory: one partition per row group") {
