@@ -24,8 +24,15 @@ import graft.streaming.StreamOps
 object SparkEntry {
   private type Q = (SparkSession, String) => DataFrame
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** Most recent data dir any query loaded from — lets [[oracleSql]]
+    * render data-dependent oracles (the IVF centroids) for the same
+    * directory the queries just ran against. */
+  @volatile private var lastDir: String = _
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    lastDir = dir
     Tables.t(s, dir, name)
+  }
 
   /** Exact decimal sum of a double column, returned as double. */
   private def dsum(c: Column, scale: Int = 2): Column =
@@ -656,6 +663,38 @@ object SparkEntry {
         s" THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Oracle for the IVF query, rendered from the (memoized) trained
+    * quantizer: cell assignment = argmin over per-centroid distances via
+    * `list_grade_up`, probing = the 4 best cells, exact cosine rerank —
+    * the same train-once model the Spark query applies. Only available
+    * once a query has run (the centroids come from the data). */
+  private def ivfOracle: Option[(String, String)] =
+    Option(lastDir).map { dir =>
+      val spark = SparkSession.active
+      val model = operators.Ann.trainIvfCached(s"$dir/embeddings#16",
+        Tables.t(spark, dir, "embeddings"))
+      val dists = model.centers
+        .map(c => s"list_distance(v, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ",\n ", "]")
+      "q_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |d AS (SELECT vec_id, v, list_grade_up($dists) AS gu FROM e),
+           |c AS (SELECT vec_id AS neighbor_id, v AS cv, gu[1] - 1 AS cell
+           |  FROM d),
+           |q AS (SELECT vec_id AS query_id, v AS qv,
+           |    unnest(gu[1:4]) - 1 AS cell FROM d WHERE vec_id < 8),
+           |s AS (SELECT DISTINCT query_id, neighbor_id,
+           |    list_cosine_similarity(qv, cv) AS rawcos
+           |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id, rawcos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rawcos DESC, neighbor_id) AS INTEGER) AS rnk
+           |  FROM s)
+           |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
+           |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }
+
   def oracleSql: Map[String, String] = Map(
     "q_udaf_custom" ->
       """SELECT l_returnflag,
@@ -1016,7 +1055,7 @@ object SparkEntry {
         |md5(text) AS checksum,
         |CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
-  )
+  ) ++ ivfOracle
 }
 
 /** Typed UDAF demonstration (SURVEY.md §2j): geometric mean via
