@@ -94,7 +94,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   // NANOS timestamps have no vectorized mapping under this source's
   // schema (converted to micros row-side): auto-fall back to row mode.
@@ -174,6 +175,108 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     }
   }
 
+  private var pushedAgg: Option[(StructType, Array[Any], String)] = None
+
+  /** Global COUNT(*) / COUNT(col) / MIN / MAX answered ENTIRELY from
+    * cached footer metadata — zero data bytes read, zero tasks doing
+    * I/O. At 100 TB this turns `SELECT count(*), max(ts) FROM t` from a
+    * full scan into a driver-side metadata fold. Declined whenever it
+    * could be wrong: group-by present, filters pushed (footer stats are
+    * pre-filter), string min/max (parquet truncates binary stats), or
+    * any row group missing usable statistics (e.g. NaN-dropped). */
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = computeAgg(agg)
+    pushedAgg.isDefined
+  }
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = computeAgg(agg).isDefined
+
+  private def computeAgg(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+        limit >= 0 || topNLimit >= 0) return None
+    def flatCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, DataType)] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val i = fullSchema.fieldNames.indexOf(nr.fieldNames()(0))
+        if (i < 0) None else Some((fullSchema(i).name, fullSchema(i).dataType))
+      case _ => None
+    }
+    val groups = FooterCache.rowGroups(path)
+    def statsFor(n: String) = groups.map(_.stats.get(n).map(_._1))
+    // min/max only for types whose footer stats are exact and whose
+    // internal value equals the stats value (no strings, no nested)
+    def minMaxable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def fold(n: String, dt: DataType, wantMin: Boolean): Option[Any] = {
+      if (!minMaxable(dt)) return None
+      val perGroup = statsFor(n).map {
+        case Some(s) if s != null && !s.isEmpty =>
+          if (s.hasNonNullValue) Right(Some(if (wantMin) s.genericGetMin else s.genericGetMax))
+          else if (s.isNumNullsSet && groups.nonEmpty) Right(None) // all-null group
+          else Left(())
+        case _ => Left(())
+      }
+      if (perGroup.exists(_.isLeft)) return None // some group lacks stats
+      val vals = perGroup.collect { case Right(Some(v)) => v }
+      // an all-null column aggregates to SQL NULL; wrap so "usable but
+      // null" is distinguishable from "decline"
+      Some(if (vals.isEmpty) null
+      else vals.reduce { (a, b) =>
+        val c = (a, b) match {
+          case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+          case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+          case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+          case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+          case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
+          case _ => return None
+        }
+        if ((c <= 0) == wantMin) a else b
+      })
+    }
+    val totalRows = groups.map(_.rowCount).sum
+    val computed: Array[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            java.lang.Long.valueOf(totalRows)))
+        case c: Count if !c.isDistinct =>
+          flatCol(c.column).flatMap { case (n, _) =>
+            val nulls = statsFor(n).map {
+              case Some(s) if s != null && s.isNumNullsSet => Some(s.getNumNulls)
+              case _ => None
+            }
+            if (nulls.contains(None)) None
+            else Some((StructField(s"count($n)", LongType, nullable = false),
+              java.lang.Long.valueOf(totalRows - nulls.flatten.sum)))
+          }
+        case m: Min =>
+          flatCol(m.column).flatMap { case (n, dt) =>
+            fold(n, dt, wantMin = true)
+              .map(v => (StructField(s"min($n)", dt), v))
+          }
+        case m: Max =>
+          flatCol(m.column).flatMap { case (n, dt) =>
+            fold(n, dt, wantMin = false)
+              .map(v => (StructField(s"max($n)", dt), v))
+          }
+        case _ => None
+      }
+    if (computed.contains(None)) None
+    else {
+      val fields = computed.flatten
+      Some((StructType(fields.map(_._1)), fields.map(_._2),
+        fields.map(_._1.name).mkString("[", ", ", "]")))
+    }
+  }
+
   override def build(): Scan = {
     if (!vectorized) {
       requiredSchema.fields.find(f => ParquetMeta.isNested(f.dataType))
@@ -187,7 +290,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
         }
     }
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
-      batchSize, topN, topNLimit)
+      batchSize, topN, topNLimit, pushedAgg)
   }
 }
 
@@ -195,10 +298,33 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     filters: Array[Filter], limit: Int, vectorized: Boolean = false,
     batchSize: Int = 4096,
     topN: Array[(String, Boolean, Boolean)] = Array.empty,
-    topNLimit: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    topNLimit: Int = -1,
+    pushedAgg: Option[(StructType, Array[Any], String)] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
-  override def readSchema(): StructType = projectedSchema
+  /** Runtime (DPP-style) filters: delivered by Spark AFTER the build
+    * side of a join has executed — e.g. the `In(o_orderkey, <built
+    * keys>)` of a selective dimension join. They prune row groups
+    * exactly like planning-time filters; at 100 TB this is the
+    * difference between scanning the fact table and scanning the few
+    * row groups whose stats admit the joined keys. Driver-side only
+    * (planInputPartitions runs on the driver), so mutability is safe. */
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    projectedSchema.fields
+      .filter(f => !ParquetMeta.isNested(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters.filter(RowFilterEval.supports(_, projectedSchema))
+  }
+
+  override def readSchema(): StructType =
+    pushedAgg.map(_._1).getOrElse(projectedSchema)
 
   /** Footer-derived stats (row count + byte size) so Catalyst can make
     * broadcast decisions for graft-v2 tables — without this the scan
@@ -225,9 +351,11 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       s", PushedTopN: ${topN.map(t => s"${t._1} ${if (t._2) "ASC" else "DESC"}")
         .mkString("[", ", ", "]")} LIMIT $topNLimit"
     else ""
+    val ag = pushedAgg.map(a => s", PushedAggregates: ${a._3} (footer-only)")
+      .getOrElse("")
     s"GraftScanV2 ${path.split('/').last}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]$lim$tn, " +
-      s"ReadSchema: ${projectedSchema.catalogString}" +
+      s"PushedFilters: [${filters.mkString(", ")}]$lim$tn$ag, " +
+      s"ReadSchema: ${readSchema().catalogString}" +
       (if (vectorized) ", Vectorized: true" else "")
   }
 
@@ -237,16 +365,25 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * shipping rows: a 100 TB scan with a selective range predicate
     * schedules only the groups whose stats admit a match. */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (pushedAgg.isDefined) {
+      // footer-only answer: one synthetic partition, no file I/O
+      return Array(GraftInputPartition("", -1, 0L, 0L))
+    }
     val groups = FooterCache.rowGroups(path)
+    val pruning = filters ++ runtimeFilters
     val kept =
-      if (filters.isEmpty) groups
-      else groups.filter(rg => filters.forall(RowGroupPruning.mayMatch(_, rg)))
+      if (pruning.isEmpty) groups
+      else groups.filter(rg => pruning.forall(RowGroupPruning.mayMatch(_, rg)))
     kept.map(rg =>
       GraftInputPartition(rg.file, rg.index, rg.startingPos,
         rg.compressedBytes)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    pushedAgg match {
+      case Some((_, values, _)) => return GraftAggReaderFactory(values)
+      case None => ()
+    }
     if (!vectorized) {
       GraftReaderFactory(projectedSchema, filters, limit, topN, topNLimit)
     } else {
@@ -285,6 +422,20 @@ case class GraftReaderFactory(readSchema: StructType,
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftRowGroupReader(p, readSchema, filters, limit, topN, topNLimit)
   }
+}
+
+/** Emits the single pre-computed (driver-side, footer-derived) row of a
+  * completely-pushed aggregation. The executor does no I/O at all. */
+case class GraftAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
 }
 
 /** Columnar factory: one Spark `VectorizedParquetRecordReader` per row

@@ -230,6 +230,65 @@ class SourceV2Spec extends SparkTestBase {
       spark.read.parquet(s"$sf001/lineitem.parquet").count())
   }
 
+  test("count/min/max answered from footers without reading data") {
+    val aggs = Seq(count(lit(1)).as("n"), min(col("l_quantity")).as("mn"),
+      max(col("l_extendedprice")).as("mx"),
+      count(col("l_returnflag")).as("nc"))
+    val df = v2("lineitem").agg(aggs.head, aggs.tail: _*)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    val exp = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .agg(aggs.head, aggs.tail: _*).head
+    assert(df.head == exp)
+  }
+
+  test("aggregate pushdown declines when it could be wrong") {
+    // under a filter: footer stats are pre-filter -> no push, correct
+    val f = v2("lineitem").filter(col("l_quantity") > 10)
+      .agg(count(lit(1)).as("n"))
+    assert(!f.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(f.head.getLong(0) ==
+      spark.read.parquet(s"$sf001/lineitem.parquet")
+        .filter(col("l_quantity") > 10).count())
+    // string min/max: parquet may truncate binary stats -> no push
+    val s = v2("lineitem").agg(min(col("l_returnflag")).as("m"))
+    assert(!s.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(s.head.getString(0) == "A")
+    // group-by: needs the real scan -> no push, correct
+    val g = v2("lineitem").groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("m"))
+    val eg = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(min(col("l_quantity")).as("m"))
+    assert(g.exceptAll(eg).isEmpty && eg.exceptAll(g).isEmpty)
+  }
+
+  test("runtime filters prune row groups at execution time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-dpp")
+      .resolve("t").toString
+    import spark.implicits._
+    (0L until 4000L).toDF("id").withColumn("v", col("id") * 3)
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    val df = spark.read.format("graft-v2").option("path", dir).load()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.get.asInstanceOf[graft.sources.v2.GraftScanV2]
+    val before = scan.planInputPartitions().length
+    assert(before >= 4)
+    // simulate the DPP delivery: a built In-set lands after the dim side
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(3990L, 3991L))))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime In did not prune: $after of $before")
+    // e2e: selective dim join stays correct (DPP may or may not fire)
+    val dim = Seq(3990L, 10L).toDF("k")
+    val got = spark.read.format("graft-v2").option("path", dir).load()
+      .join(dim, col("id") === col("k")).agg(sum(col("v"))).head.getLong(0)
+    assert(got == (3990L + 10L) * 3)
+  }
+
   test("multi-file directory: one partition per row group") {
     val src = Tables.t(spark, sf001, "orders")
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-dir")
