@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.PropagateLimitToGraft)
-    e.injectFunction(graft.functions.GraftFunctions.cosineSimilarityDescriptor)
+    graft.functions.GraftFunctions.sqlFunctionDescriptors
+      .foreach(e.injectFunction)
   }
 }

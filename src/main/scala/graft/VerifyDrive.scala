@@ -17,6 +17,11 @@ object VerifyDrive {
     // user flow: SQL function registered by extensions
     println("SQL cosine_sim -> " + spark.sql(
       "SELECT cosine_sim(array(1.0d,2.0d), array(1.0d,2.0d))").head.getDouble(0))
+    println("SQL lang_guess -> " + spark.sql(
+      "SELECT lang_guess('the cat and the dog went into the house')")
+      .head.getString(0))
+    println("SQL ngram_jaccard -> " + spark.sql(
+      "SELECT ngram_jaccard('abcdef', 'abcdef', 3)").head.getDouble(0))
     // probe 1: missing path option
     try { spark.read.format("graft").load() }
     catch { case e: Exception => println("PROBE missing-path -> " + e.getMessage) }

@@ -46,4 +46,37 @@ object GraftFunctions {
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
+  /** The full SQL-surface registry (`spark.sql("SELECT lang_guess(...)")`
+    * etc.) injected by [[graft.GraftExtensions]] — every native text /
+    * similarity expression is reachable from pure SQL, not only the
+    * Column API. */
+  def sqlFunctionDescriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      FunctionRegistry.FunctionBuilder)] = Seq(
+    cosineSimilarityDescriptor,
+    (FunctionIdentifier("lang_guess"),
+      new ExpressionInfo(classOf[LangGuess].getName, "lang_guess"),
+      (ch: Seq[Expression]) => LangGuess(ch.head)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (ch: Seq[Expression]) => SimHash64(ch.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (ch: Seq[Expression]) => MinHashSignature(ch.head,
+        litInt(ch(1), "minhash_sig"), litInt(ch(2), "minhash_sig"))),
+    (FunctionIdentifier("ngram_jaccard"),
+      new ExpressionInfo(classOf[NgramJaccard].getName, "ngram_jaccard"),
+      (ch: Seq[Expression]) => NgramJaccard(ch(0), ch(1),
+        litInt(ch(2), "ngram_jaccard"))),
+    (FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "doc_fingerprint"),
+      (ch: Seq[Expression]) => RollingFingerprint(ch.head,
+        litInt(ch(1), "doc_fingerprint"))))
 }

@@ -78,14 +78,21 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
 
 case class GraftTableV2(path: String, tableSchema: StructType,
     vectorized: Boolean = true, batchSize: Int = 4096)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-v2:${path.split('/').last}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilderV2(path, info)
 }
 
 class GraftScanBuilderV2(path: String, fullSchema: StructType,

@@ -1,0 +1,183 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.InternalRowParquetBuilder
+
+/** V2 write path for `graft-v2` — the modern-API expression of the
+  * reference's transactional save (ExtJdbcUtils.scala:70-109), riding
+  * Spark's own two-phase commit instead of hand-rolled token
+  * collection:
+  *
+  *  - every task writes its parquet part into a hidden staging
+  *    directory and reports the file name as its commit message (the
+  *    `txid_current()` analog, ExtJdbcUtils.scala:301-321);
+  *  - `commit(messages)` — all tasks succeeded — moves exactly the
+  *    COMMITTED files into the target (speculative/zombie attempts
+  *    left in staging are swept with it) and only then removes old
+  *    parts when truncating;
+  *  - `abort()` deletes the staging directory wholesale — the
+  *    compensating delete (ExtJdbcUtils.scala:324-337), here free of
+  *    the reference's "best-effort" caveat because uncommitted data
+  *    never entered the target.
+  *
+  * Append and truncate-Overwrite are supported (`SaveMode.Overwrite`
+  * arrives as `overwrite(AlwaysTrue)`); the directory object survives a
+  * truncate exactly like the V1 sink's truncate-and-load.
+  */
+class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue]) truncate()
+    else throw new UnsupportedOperationException(
+      "graft-v2 supports full-table overwrite only (truncate); " +
+      s"got predicate overwrite: ${filters.mkString(", ")}")
+  }
+
+  override def build(): Write = {
+    // eager schema compatibility gate, like the reference resolving the
+    // table before writing (ExtJdbcRelationProvider.scala:25-38)
+    val conf = new Configuration()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target) && !truncateFirst) {
+      val existing = ParquetMeta.toStruct(FooterCache.schema(path))
+      val incoming = info.schema()
+      val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
+        incoming.fields.map(f => (f.name, f.dataType)).toSeq
+      if (!same) {
+        throw new IllegalArgumentException(
+          s"graft-v2 append schema mismatch: table has " +
+          s"${existing.catalogString}, write has ${incoming.catalogString}")
+      }
+    }
+    GraftWriteV2(path, info.schema(), truncateFirst)
+  }
+}
+
+case class GraftWriteV2(path: String, schema: StructType,
+    truncateFirst: Boolean) extends Write {
+  override def toBatch: BatchWrite =
+    new GraftBatchWriteV2(path, schema, truncateFirst)
+}
+
+private[v2] case class GraftCommitV2(file: String)
+  extends WriterCommitMessage
+
+class GraftBatchWriteV2(path: String, schema: StructType,
+    truncateFirst: Boolean) extends BatchWrite {
+
+  private val jobId = UUID.randomUUID().toString.take(8)
+  private val stagingName = s".graft-v2-staging-$jobId"
+
+  private def hconf(): Configuration = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    conf
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val conf = hconf()
+    val staging = new Path(new Path(path), stagingName)
+    staging.getFileSystem(conf).mkdirs(staging)
+    GraftWriterFactoryV2(new SerializableConfiguration(conf),
+      staging.toString, jobId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val staging = new Path(target, stagingName)
+    val committed = messages.map(_.asInstanceOf[GraftCommitV2].file)
+    if (truncateFirst) {
+      // old parts go only AFTER every task committed — same
+      // staging-first guarantee as the V1 sink
+      fs.listStatus(target)
+        .filter(st => st.getPath.getName.startsWith("part-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    committed.foreach { f =>
+      val src = new Path(f)
+      val dst = new Path(target, src.getName)
+      if (!fs.rename(src, dst)) {
+        throw new java.io.IOException(s"commit rename $src -> $dst failed")
+      }
+    }
+    fs.delete(staging, true) // sweeps zombie/speculative attempts
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    fs.delete(new Path(target, stagingName), true)
+  }
+}
+
+case class GraftWriterFactoryV2(conf: SerializableConfiguration,
+    stagingDir: String, jobId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriterV2(conf.value, stagingDir, jobId, partitionId, taskId)
+}
+
+/** One parquet part per task attempt; attempt-unique names keep
+  * speculative duplicates from colliding — only the committed
+  * attempt's file name travels back to the driver. */
+class GraftDataWriterV2(conf: Configuration, stagingDir: String,
+    jobId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val out =
+    new Path(s"$stagingDir/part-$jobId-$partitionId-$taskId.parquet")
+  private val writer: ParquetWriter[InternalRow] =
+    new InternalRowParquetBuilder(HadoopOutputFile.fromPath(out, conf))
+      .withConf(conf)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  private var closed = false
+  private def closeOnce(): Unit =
+    if (!closed) { closed = true; writer.close() }
+
+  override def write(record: InternalRow): Unit = writer.write(record)
+
+  override def commit(): WriterCommitMessage = {
+    closeOnce()
+    GraftCommitV2(out.toString)
+  }
+
+  override def abort(): Unit = {
+    try closeOnce() catch { case _: Throwable => () }
+    try out.getFileSystem(conf).delete(out, false)
+    catch { case _: Throwable => () }
+  }
+
+  override def close(): Unit = closeOnce()
+}

@@ -289,6 +289,42 @@ class SourceV2Spec extends SparkTestBase {
     assert(got == (3990L + 10L) * 3)
   }
 
+  test("V2 write: append and truncate-overwrite through BatchWrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-write")
+      .resolve("t").toString
+    val nation = spark.read.parquet(s"$sf001/nation.parquet")
+    nation.write.parquet(dir) // seed the table
+    // append through the staged-commit V2 write path
+    nation.limit(5).write.format("graft-v2").option("path", dir)
+      .mode("append").save()
+    assert(spark.read.parquet(dir).count() == 30)
+    val v2back = spark.read.format("graft-v2").option("path", dir).load()
+    assert(v2back.count() == 30)
+    // overwrite arrives as truncate: directory object survives
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_marker"), "keep".getBytes)
+    nation.limit(3).write.format("graft-v2").option("path", dir)
+      .mode("overwrite").save()
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_marker")))
+    // no staging residue
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft-v2-staging")))
+  }
+
+  test("V2 write: append rejects a mismatched schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-wmis")
+      .resolve("t").toString
+    spark.read.parquet(s"$sf001/nation.parquet").write.parquet(dir)
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("a", "b").write.format("graft-v2")
+        .option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+  }
+
   test("multi-file directory: one partition per row group") {
     val src = Tables.t(spark, sf001, "orders")
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-dir")

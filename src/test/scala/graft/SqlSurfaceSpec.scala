@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 class SqlSurfaceSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("native expressions are reachable from pure SQL (extensions set)") {
+    val reg = spark.sessionState.functionRegistry
+    graft.functions.GraftFunctions.sqlFunctionDescriptors.foreach {
+      case (id, info, builder) => reg.registerFunction(id, info, builder)
+    }
+    assert(spark.sql(
+      "SELECT lang_guess('the cat and the dog went into the house')")
+      .head.getString(0) == "en")
+    assert(spark.sql("SELECT simhash64('hello world hello')")
+      .head.getLong(0) != 0L)
+    assert(spark.sql("SELECT size(minhash_sig('a b c d e f g', 16, 3))")
+      .head.getInt(0) == 16)
+    assert(spark.sql("SELECT ngram_jaccard('abcdef', 'abcdef', 3)")
+      .head.getDouble(0) == 1.0)
+    assert(!spark.sql(
+      "SELECT doc_fingerprint('some reasonably long text here', 8)")
+      .head.isNullAt(0))
+    // non-literal where a literal is required -> clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig('x', 1 + 1, 3)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("scalar UDF registers and evaluates (udf() + SQL register)") {
     val discounted = udf((price: Double, disc: Double) => price * (1 - disc))
     spark.udf.register("discounted", discounted)
