@@ -71,18 +71,25 @@ object Dedup {
           greatest(lit(1L), ceil(col("__sz").cast("double") / cap)))
         .withColumn("__blk", pmod(xxhash64(col("id")), col("__nb")))
         .drop("__sz", "__nb")
-      val a = blocked.as("a"); val b = blocked.as("b")
-      // same-block: exact pairing inside a bounded block
-      val same = a.join(b, keyEq &&
-          col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))
-        .select(pairCols: _*)
-      // adjacent-block: chains a bucket's blocks together so the
-      // transitive closure over emitted pairs spans the whole bucket
-      val adj = a.join(b, keyEq &&
-          (col("a.__blk") + 1) === col("b.__blk") &&
+      // ONE equi-join covers both block patterns: the probe side emits
+      // each row under its own block AND the next block, so same-block
+      // pairs and the adjacent-block chain (which keeps a bucket's
+      // transitive closure connected) come out of a single shuffle
+      // instead of two joins + a union re-computing the signatures.
+      val a = blocked
+        .withColumn("__orig", col("__blk"))
+        .withColumn("__probe",
+          explode(array(col("__blk"), col("__blk") + 1)))
+        .as("a")
+      val b = blocked.as("b")
+      a.join(b, keyEq && col("a.__probe") === col("b.__blk") &&
           col("a.id") =!= col("b.id"))
+        // within a block, emit each unordered pair once; across
+        // adjacent blocks both orders normalize in pairCols
+        .filter(col("a.__orig") =!= col("b.__blk") ||
+          col("a.id") < col("b.id"))
         .select(pairCols: _*)
-      same.unionByName(adj).distinct()
+        .distinct()
     }
   }
 
