@@ -108,6 +108,75 @@ object StreamingDedup {
       }
   }
 
+  /** State entry for the [[NearDupProcessor]] list state (top-level so
+    * the product encoder resolves). */
+  case class SigEntry(doc_id: Long, sig: Array[Long])
+
+  /** `transformWithState` near-dup matcher — the Spark-4-native stateful
+    * API expression of [[nearDupPairs]]. State TTL is DECLARATIVE here
+    * (`TTLConfig` on the list state, enforced by the RocksDB store on
+    * read + maintenance) instead of timeout callbacks — expiry is exact
+    * per entry, not driven by when a timer batch happens to run.
+    * Requires the RocksDB state store provider, and like every
+    * processing-time stateful operator the engine re-runs batches as
+    * the clock advances (drive tests by polling the sink, not
+    * `processAllAvailable`). */
+  class NearDupProcessor(minJaccard: Double, bucketCap: Int, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Banded, DupPair] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+
+    @transient private var entries: ListState[SigEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE
+      entries = getHandle.getListState("entries",
+        Encoders.product[SigEntry], ttl)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Banded],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DupPair] = {
+      var cur: List[SigEntry] =
+        if (entries.exists()) entries.get().toList else Nil
+      val out = scala.collection.mutable.ArrayBuffer[DupPair]()
+      rows.foreach { b =>
+        cur.foreach { e =>
+          if (e.doc_id != b.doc_id) {
+            val eq = e.sig.iterator.zip(b.sig.iterator)
+              .count { case (x, y) => x == y }
+            val est = eq.toDouble / math.max(e.sig.length, 1)
+            if (est >= minJaccard) {
+              out += DupPair(math.min(e.doc_id, b.doc_id),
+                math.max(e.doc_id, b.doc_id),
+                math.rint(est * 10000) / 10000)
+            }
+          }
+        }
+        cur = SigEntry(b.doc_id, b.sig.toArray) :: cur
+      }
+      entries.put(cur.take(bucketCap).toArray)
+      out.distinct.iterator
+    }
+  }
+
+  /** [[nearDupPairs]] through `transformWithState`: same pair semantics,
+    * declarative per-bucket state TTL. `ttlMs <= 0` keeps state forever
+    * (NOT recommended for unbounded streams). */
+  def nearDupPairsTws(in: Dataset[Banded], minJaccard: Double = 0.5,
+      bucketCap: Int = 32,
+      ttlMs: Long = 3600L * 1000): Dataset[DupPair] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    in.groupByKey(_.bucket)
+      .transformWithState(
+        new NearDupProcessor(minJaccard, bucketCap, ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** [[nearDupPairs]] with exactly-once pair emission: a downstream
     * stateful `dropDuplicates` on (id_a, id_b) collapses the per-bucket
     * copies (they land in one micro-batch, but `dropDuplicates` state

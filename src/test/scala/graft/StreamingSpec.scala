@@ -217,6 +217,46 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 1, s"expected exactly one pair row, got ${rows.length}")
   }
 
+  test("transformWithState near-dup: pairs found, native TTL expires state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StreamingDedup.DocIn]
+      val q = StreamingDedup.nearDupPairsTws(
+          StreamingDedup.banded(input.toDF()),
+          minJaccard = 0.5, ttlMs = 1500)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("neardup_tws_out").start()
+      val base = (1 to 80).map(i => s"word$i").mkString(" ")
+      val nearDup = (1 to 76).map(i => s"word$i").mkString(" ") + " tail x"
+      // ProcessingTime mode re-runs batches continuously, so
+      // processAllAvailable never quiesces — poll the sink instead
+      def pairsNow() = spark.table("neardup_tws_out")
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      def awaitCond(timeoutMs: Long)(cond: => Boolean): Boolean = {
+        val end = System.currentTimeMillis + timeoutMs
+        while (System.currentTimeMillis < end && !cond) Thread.sleep(100)
+        cond
+      }
+      try {
+        input.addData(StreamingDedup.DocIn(1, base))
+        // within the TTL: the near-duplicate is detected cross-batch
+        input.addData(StreamingDedup.DocIn(2, nearDup))
+        assert(awaitCond(60000)(pairsNow() == Set((1L, 2L))),
+          s"expected (1,2), got ${pairsNow()}")
+        // past the TTL: state is expired on read -> duplicate missed
+        Thread.sleep(2500)
+        input.addData(StreamingDedup.DocIn(3, base))
+        Thread.sleep(4000) // continuous batches: give it ample time
+        assert(pairsNow() == Set((1L, 2L)),
+          s"TTL-expired state still produced pairs: ${pairsNow()}")
+      } finally q.stop()
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("batch session windows match the streaming gap semantics") {
     val events = Seq(
       E(1, ts(0), 7, "a", 1.0), E(2, ts(2), 7, "a", 1.0),
