@@ -68,6 +68,28 @@ object Ann {
     IvfModel(model.clusterCenters.map(_.toArray))
   }
 
+  /** Persist a trained quantizer (tiny parquet of centroids) so
+    * train-once survives across sessions — the analog of writing a
+    * FAISS index next to the corpus. */
+  def saveIvf(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer written by [[saveIvf]]. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfModel = {
+    import spark.implicits._
+    IvfModel(spark.read.parquet(path)
+      .orderBy(col("cell"))
+      .select(col("center")).as[Seq[Double]]
+      .collect().map(_.toArray))
+  }
+
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
 

@@ -239,4 +239,33 @@ object Dedup {
       .select(col("__cid"))
     docs.join(losers, docs(idCol) === losers("__cid"), "left_anti")
   }
+
+  /** One-call corpus deduplication — the entry point a pipeline user
+    * actually wants: candidate generation (capacity-guarded) → rerank →
+    * transitive duplicate clusters → one representative kept per
+    * cluster. Returns the deduplicated corpus with the input schema.
+    *
+    *  - `"exact"`:   byte-identical texts (md5 group, no pair phase)
+    *  - `"minhash"`: MinHash+LSH candidates, exact-Jaccard rerank at
+    *                 `minJaccard`
+    *  - `"simhash"`: SimHash bands, Hamming rerank at `maxHamming`
+    */
+  def dedupCorpus(docs: DataFrame, method: String = "minhash",
+      minJaccard: Double = 0.5, maxHamming: Int = 3, bucketCap: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    method match {
+      case "exact" =>
+        val keep = exact(docs, idCol, textCol)
+          .select(col("keep_id").as("__keep"))
+        docs.join(keep, docs(idCol) === col("__keep"), "left_semi")
+      case "minhash" =>
+        keepRepresentatives(docs,
+          minHashLsh(docs, minJaccard = minJaccard, idCol = idCol,
+            textCol = textCol, bucketCap = bucketCap), idCol)
+      case "simhash" =>
+        keepRepresentatives(docs,
+          simHashDups(docs, maxHamming, idCol, textCol, bucketCap), idCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown dedup method '$other' (exact | minhash | simhash)")
+    }
 }

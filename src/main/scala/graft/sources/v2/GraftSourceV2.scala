@@ -187,10 +187,16 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   /** Global COUNT(*) / COUNT(col) / MIN / MAX answered ENTIRELY from
     * cached footer metadata — zero data bytes read, zero tasks doing
     * I/O. At 100 TB this turns `SELECT count(*), max(ts) FROM t` from a
-    * full scan into a driver-side metadata fold. Declined whenever it
-    * could be wrong: group-by present, filters pushed (footer stats are
-    * pre-filter), string min/max (parquet truncates binary stats), or
-    * any row group missing usable statistics (e.g. NaN-dropped). */
+    * full scan into a driver-side metadata fold.
+    *
+    * Pushed filters are honored when the statistics FULLY DECIDE every
+    * row group (each group provably all-match or none-match — the
+    * typical case for predicates aligned with the data's natural
+    * clustering, e.g. a time-range filter over time-ordered groups):
+    * the fold then runs over the all-match groups only. Declined
+    * whenever it could be wrong: any group undecided, group-by present,
+    * string min/max (parquet truncates binary stats), or any row group
+    * missing usable statistics (e.g. NaN-dropped). */
   override def pushAggregation(agg: org.apache.spark.sql.connector
       .expressions.aggregate.Aggregation): Boolean = {
     pushedAgg = computeAgg(agg)
@@ -204,8 +210,9 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
       : Option[(StructType, Array[Any], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty ||
-        limit >= 0 || topNLimit >= 0) return None
+    if (agg.groupByExpressions.nonEmpty || limit >= 0 || topNLimit >= 0) {
+      return None
+    }
     def flatCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -213,7 +220,22 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
         if (i < 0) None else Some((fullSchema(i).name, fullSchema(i).dataType))
       case _ => None
     }
-    val groups = FooterCache.rowGroups(path)
+    val allGroups = FooterCache.rowGroups(path)
+    // filter classification: keep only groups where EVERY pushed filter
+    // provably holds for all rows; drop groups where some filter
+    // provably holds for none; any undecided group kills the push
+    val groups =
+      if (pushed.isEmpty) allGroups
+      else {
+        val classified = allGroups.map { rg =>
+          if (pushed.forall(RowGroupPruning.mustMatch(_, rg))) Some(Some(rg))
+          else if (pushed.exists(f => !RowGroupPruning.mayMatch(f, rg))) {
+            Some(None) // none-match: excluded, but still decided
+          } else None // undecided
+        }
+        if (classified.contains(None)) return None
+        classified.flatten.flatten
+      }
     def statsFor(n: String) = groups.map(_.stats.get(n).map(_._1))
     // min/max only for types whose footer stats are exact and whose
     // internal value equals the stats value (no strings, no nested)
@@ -945,6 +967,39 @@ object RowGroupPruning {
       else Some((s.genericGetMin, s.genericGetMax, s.getNumNulls,
         rg.rowCount))
     }
+
+  /** Dual of [[mayMatch]]: does the filter provably hold for EVERY row
+    * of the group? Requires zero nulls on referenced columns (a null
+    * makes the predicate UNKNOWN, i.e. the row does not match).
+    * Conservative default is false. Together with `!mayMatch` (no row
+    * can match) this classifies groups as all/none/undecided — the
+    * basis for answering filtered aggregates footer-only. */
+  def mustMatch(f: Filter, rg: FooterCache.RowGroupMeta): Boolean = {
+    def noNulls(a: String): Boolean = rg.stats.get(a).exists { case (s, _) =>
+      s != null && s.isNumNullsSet && s.getNumNulls == 0
+    }
+    def decided(a: String)(p: (Any, Any) => Boolean): Boolean =
+      noNulls(a) && bounds(rg, a).exists { case (lo, hi, _, _) => p(lo, hi) }
+    f match {
+      case EqualTo(a, v) => decided(a)((lo, hi) =>
+        cmp(lo, v).contains(0) && cmp(hi, v).contains(0))
+      case LessThan(a, v) => decided(a)((_, hi) => cmp(hi, v).exists(_ < 0))
+      case LessThanOrEqual(a, v) =>
+        decided(a)((_, hi) => cmp(hi, v).exists(_ <= 0))
+      case GreaterThan(a, v) => decided(a)((lo, _) => cmp(lo, v).exists(_ > 0))
+      case GreaterThanOrEqual(a, v) =>
+        decided(a)((lo, _) => cmp(lo, v).exists(_ >= 0))
+      case IsNotNull(a) => noNulls(a)
+      case IsNull(a) => rg.stats.get(a).exists { case (s, _) =>
+        s != null && s.isNumNullsSet && s.getNumNulls == rg.rowCount
+      }
+      case In(a, vs) => decided(a)((lo, hi) =>
+        cmp(lo, hi).contains(0) && vs.exists(v => cmp(lo, v).contains(0)))
+      case And(l, r) => mustMatch(l, rg) && mustMatch(r, rg)
+      case Or(l, r) => mustMatch(l, rg) || mustMatch(r, rg)
+      case _ => false
+    }
+  }
 
   def mayMatch(f: Filter, rg: FooterCache.RowGroupMeta): Boolean = f match {
     case EqualTo(a, v) => bounds(rg, a).forall { case (lo, hi, _, _) =>

@@ -66,5 +66,14 @@ class BucketingSpec extends SparkTestBase {
     // determinism: retraining with the same seed gives the same centers
     val model2 = Ann.trainIvf(emb, nlist = 16)
     assert(model.centers.flatten.toSeq == model2.centers.flatten.toSeq)
+    // persistence: save/load round-trips the quantizer exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .resolve("m").toString
+    Ann.saveIvf(spark, model, dir)
+    val loaded = Ann.loadIvf(spark, dir)
+    assert(loaded.centers.map(_.toSeq).toSeq ==
+      model.centers.map(_.toSeq).toSeq)
+    assert(Ann.ivfTopK(emb, emb.filter(col("vec_id") < 2), 5, loaded)
+      .count() > 0)
   }
 }

@@ -117,6 +117,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 99L), s"kept=$kept")
   }
 
+  test("dedupCorpus: one call from corpus to representatives") {
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 76).map(i => s"word$i").mkString(" ") + " tail bits"
+    val unrelated = (500 to 580).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, unrelated)).toDF("doc_id", "text")
+    // exact: only byte-identical 3/4 collapse
+    assert(Dedup.dedupCorpus(docs, "exact")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // minhash: near-dup 1/2 also collapses (keep lowest id)
+    val kept = Dedup.dedupCorpus(docs, "minhash", minJaccard = 0.3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept=$kept")
+    assert(Dedup.dedupCorpus(docs, "minhash", minJaccard = 0.3)
+      .schema == docs.schema)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupCorpus(docs, "nope")
+    }
+  }
+
   test("embeddingDups finds identical vectors") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val dup = emb.filter($"vec_id" === 0)

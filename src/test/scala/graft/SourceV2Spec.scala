@@ -325,6 +325,33 @@ class SourceV2Spec extends SparkTestBase {
     assert(e.getMessage.contains("schema mismatch"), e.getMessage)
   }
 
+  test("filtered aggregates go footer-only when stats decide all groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-fagg")
+      .resolve("t").toString
+    // four files with EXACT disjoint id ranges [0,999] ... [3000,3999]
+    (0 until 4).foreach { i =>
+      spark.range(i * 1000L, (i + 1) * 1000L).toDF("id")
+        .withColumn("v", col("id") * 3)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def v2row = spark.read.format("graft-v2").option("path", dir)
+      .option("vectorized", "false").load()
+    // boundary-aligned predicate: every group all-match or none-match
+    val q = v2row.filter(col("id") >= 1000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("v")).as("mx"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"), q.queryExecution.executedPlan.toString)
+    val r = q.head
+    assert(r.getLong(0) == 3000 && r.getLong(1) == 1000 &&
+      r.getLong(2) == 3999 * 3)
+    // non-aligned predicate: one group undecided -> no push, correct
+    val u = v2row.filter(col("id") > 3500).agg(count(lit(1)).as("n"))
+    assert(!u.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(u.head.getLong(0) == 499)
+  }
+
   test("multi-file directory: one partition per row group") {
     val src = Tables.t(spark, sf001, "orders")
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-dir")
