@@ -84,6 +84,7 @@ case class GraftTableV2(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -408,6 +409,15 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         rg.compressedBytes)).toArray
   }
 
+  /** Streaming face: tail the directory as a micro-batch source — new
+    * parquet files are the commit unit (offset = file count under a
+    * (modTime, name) order, so an append-only producer advances the
+    * stream; the files themselves arrive whole, like the reference's
+    * cursor pages). Pushed filters still prune row groups per batch. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, this)
+
   override def createReaderFactory(): PartitionReaderFactory = {
     pushedAgg match {
       case Some((_, values, _)) => return GraftAggReaderFactory(values)
@@ -465,6 +475,64 @@ case class GraftAggReaderFactory(values: Array[Any])
       override def get(): InternalRow = new GenericInternalRow(values)
       override def close(): Unit = ()
     }
+}
+
+/** File-count offset for the micro-batch stream (append-only source). */
+case class GraftStreamOffset(count: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = count.toString
+}
+
+/** Micro-batch tail over a growing parquet directory: each batch is the
+  * row groups of the files that appeared since the last offset, read
+  * through the same (vectorized or row) reader factories as the batch
+  * scan, with the same filter-driven row-group pruning. Assumes an
+  * append-only producer (files arrive whole, never rewritten) — the
+  * file-count offset over a (modTime, name) order is then monotonic,
+  * and replay from a checkpoint re-reads exactly the committed span. */
+class GraftMicroBatchStream(path: String, scan: GraftScanV2)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def files(): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) {
+        fs.listStatus(p).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(f => (f.getModificationTime, f.getPath.getName))
+      } else Seq(st)
+    }
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(0)
+  override def latestOffset(): Offset = GraftStreamOffset(files().size)
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].count
+    val e = end.asInstanceOf[GraftStreamOffset].count
+    val groups = files().slice(s, e)
+      .flatMap(f => FooterCache.rowGroups(f.getPath.toString))
+    val kept =
+      if (scan.filters.isEmpty) groups
+      else groups.filter(rg =>
+        scan.filters.forall(RowGroupPruning.mayMatch(_, rg)))
+    kept.map(rg => GraftInputPartition(rg.file, rg.index, rg.startingPos,
+      rg.compressedBytes)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Columnar factory: one Spark `VectorizedParquetRecordReader` per row

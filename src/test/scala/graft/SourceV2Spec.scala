@@ -352,6 +352,27 @@ class SourceV2Spec extends SparkTestBase {
     assert(u.head.getLong(0) == 499)
   }
 
+  test("micro-batch stream tails a growing graft-v2 directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-stream")
+      .resolve("t").toString
+    import spark.implicits._
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    val q = spark.readStream.format("graft-v2").option("path", dir).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("v2_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("v2_stream_out").count() == 100)
+      Thread.sleep(1100) // distinct mtime for the appended file
+      spark.range(100, 250).toDF("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("v2_stream_out").count() == 250)
+      assert(spark.table("v2_stream_out").agg(sum($"id")).head.getLong(0)
+        == (0L until 250L).sum)
+    } finally q.stop()
+  }
+
   test("multi-file directory: one partition per row group") {
     val src = Tables.t(spark, sf001, "orders")
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-dir")
