@@ -32,6 +32,44 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits the skewed join partition (skew=true in final plan)") {
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      // thresholds lowered so toy data exhibits the 100 TB hot-key case
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // hot key 0 carries ~100x the mass of any other key
+      val fact = spark.range(0, 200000).select(
+        when($"id" < 150000, 0L).otherwise($"id" % 512).as("k"),
+        ($"id" * 7).as("payload"))
+      val dim = spark.range(0, 512).select($"id".as("k"),
+        concat(lit("d"), $"id").as("name"))
+      val joined = fact.join(dim, "k")
+      // execute THIS dataframe so its AdaptiveSparkPlan reaches the
+      // final (re-optimized) state before inspection
+      val n = joined.collect().length
+      assert(n == 200000, s"join lost rows under skew handling: $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals plain aggregation exactly") {
     val li = Tables.t(spark, sf001, "lineitem")
     val salted = Salting.saltedSumCount(li, Seq("l_returnflag"),
