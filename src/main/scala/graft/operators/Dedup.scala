@@ -33,12 +33,17 @@ object Dedup {
     * hash-split into `ceil(size / cap)` blocks (map-side `pmod(xxhash64
     * (id), nblocks)` after a tiny count join — no per-bucket sort, no
     * single-task straggler), and pairs are emitted only within a block
-    * and between CONSECUTIVE blocks. Block i ↔ i+1 chaining keeps every
-    * bucket connected, so [[clusters]]' transitive closure still merges
-    * a giant duplicate group into one component even though only
-    * O(size · cap) of its O(size²) pairs were materialized. Buckets at
-    * or under `cap` are completely unaffected (one block = the full
-    * exact self-join). `cap <= 0` disables the guard.
+    * and between CONSECUTIVE blocks. Block i ↔ i+1 chaining keeps the
+    * bucket connected as long as no block is empty, so [[clusters]]'
+    * transitive closure still merges a giant duplicate group into one
+    * component even though only O(size · cap) of its O(size²) pairs
+    * were materialized. An empty block would break the chain; with
+    * blocks averaging `cap` members that probability is ≤ nblocks ·
+    * e^(−cap) — vanishing for the production caps (e^−256 ≈ 10⁻¹¹²,
+    * even cap=32 gives ≤10⁻¹⁴ per hot bucket); caps below ~16 are for
+    * tests only. Buckets at or under `cap` are completely unaffected
+    * (one block = the full exact self-join). `cap <= 0` disables the
+    * guard.
     *
     * @param banded  one row per (member, bucket), with an `id` column
     * @param keys    the bucket key columns
@@ -252,7 +257,21 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, method: String = "minhash",
       minJaccard: Double = 0.5, maxHamming: Int = 3, bucketCap: Int = 256,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // clusters() uses GraphX vertex ids (long) — fail fast with a clear
+    // message rather than NPE-ing deep in the closure on string ids
+    val idType = docs.schema(idCol).dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(method == "exact" || integral,
+      s"dedupCorpus needs an integral id column (GraphX vertex ids); " +
+      s"'$idCol' is ${idType.simpleString} — derive one first, e.g. " +
+      s"withColumn(\"$idCol\", xxhash64(col(\"$idCol\")))")
     method match {
       case "exact" =>
         val keep = exact(docs, idCol, textCol)
@@ -268,4 +287,5 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"unknown dedup method '$other' (exact | minhash | simhash)")
     }
+  }
 }

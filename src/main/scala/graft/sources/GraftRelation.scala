@@ -110,6 +110,15 @@ case class GraftRelation(
       val pushed = filters.flatMap(GraftFilters.compile)
       val all = pushed ++ partPred
       if (all.nonEmpty) df = df.filter(all.reduce(_ && _))
+      // Partitioned read BEFORE projection: the partition column need
+      // not be among requiredColumns (e.g. a bare count()), so the
+      // exchange must see it while it still exists. Catalyst prunes the
+      // parquet scan to requiredColumns + pc either way.
+      partitionColumn match {
+        case Some(pc) if numPartitions > 1 =>
+          df = df.repartition(numPartitions, col(pc))
+        case _ => ()
+      }
       // Column pruning: only required columns reach the parquet reader.
       // Zero columns requested (count-only query) degenerates to a
       // constant column, mirroring the reference's `SELECT 1`
@@ -127,13 +136,10 @@ case class GraftRelation(
     // reference fans out N bucket-predicate queries because the DB can
     // prune them; parquet can't, so the same contract — partition i owns
     // hash bucket i of `pc` — is produced by a single scan feeding one
-    // hash exchange. Each byte is read once; Spark's HashPartitioning
-    // (murmur3 pmod N) supplies the disjoint buckets.
-    val rdd: RDD[Row] = partitionColumn match {
-      case Some(pc) if numPartitions > 1 =>
-        internalRows(branch(None).repartition(numPartitions, col(pc)))
-      case _ => internalRows(branch(None))
-    }
+    // hash exchange (inside `branch`, before projection). Each byte is
+    // read once; Spark's HashPartitioning (murmur3 pmod N) supplies the
+    // disjoint buckets.
+    val rdd: RDD[Row] = internalRows(branch(None))
     // Rows-read accounting: BASELINE.md's pushdown gate is "limit n =>
     // the source emits <= n rows per partition", observable via this
     // named accumulator rather than wall-clock.

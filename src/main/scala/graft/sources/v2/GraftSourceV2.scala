@@ -245,31 +245,55 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
            DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
+    // footer timestamp stats are in the FILE's unit; the readers emit
+    // micros — normalize identically (NANOS floor-div matches the row
+    // converter's `/ 1000`)
+    def tsNormalize(n: String, dt: DataType, v: Any): Option[Any] =
+      dt match {
+        case TimestampType | TimestampNTZType =>
+          FooterCache.tsUnit(path, n).collect {
+            case TimeUnit.MICROS => v
+            case TimeUnit.MILLIS =>
+              java.lang.Long.valueOf(v.asInstanceOf[java.lang.Long] * 1000L)
+            case TimeUnit.NANOS =>
+              java.lang.Long.valueOf(v.asInstanceOf[java.lang.Long] / 1000L)
+          }
+        case _ => Some(v)
+      }
     def fold(n: String, dt: DataType, wantMin: Boolean): Option[Any] = {
       if (!minMaxable(dt)) return None
-      val perGroup = statsFor(n).map {
-        case Some(s) if s != null && !s.isEmpty =>
-          if (s.hasNonNullValue) Right(Some(if (wantMin) s.genericGetMin else s.genericGetMax))
-          else if (s.isNumNullsSet && groups.nonEmpty) Right(None) // all-null group
-          else Left(())
-        case _ => Left(())
+      val perGroup = statsFor(n).zip(groups).map { case (st, rg) =>
+        st match {
+          case Some(s) if s != null && !s.isEmpty =>
+            if (s.hasNonNullValue) {
+              Right(Some(if (wantMin) s.genericGetMin else s.genericGetMax))
+            } else if (s.isNumNullsSet && s.getNumNulls == rg.rowCount) {
+              Right(None) // genuinely all-null group: contributes nothing
+            } else {
+              Left(()) // e.g. NaN-dropped float stats: decline the push
+            }
+          case _ => Left(())
+        }
       }
       if (perGroup.exists(_.isLeft)) return None // some group lacks stats
       val vals = perGroup.collect { case Right(Some(v)) => v }
       // an all-null column aggregates to SQL NULL; wrap so "usable but
       // null" is distinguishable from "decline"
-      Some(if (vals.isEmpty) null
-      else vals.reduce { (a, b) =>
-        val c = (a, b) match {
-          case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
-          case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
-          case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
-          case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
-          case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
-          case _ => return None
+      if (vals.isEmpty) Some(null)
+      else {
+        val folded = vals.reduce { (a, b) =>
+          val c = (a, b) match {
+            case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+            case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+            case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+            case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+            case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
+            case _ => return None
+          }
+          if ((c <= 0) == wantMin) a else b
         }
-        if ((c <= 0) == wantMin) a else b
-      })
+        tsNormalize(n, dt, folded)
+      }
     }
     val totalRows = groups.map(_.rowCount).sum
     val computed: Array[Option[(StructField, Any)]] =
@@ -477,10 +501,17 @@ case class GraftAggReaderFactory(values: Array[Any])
     }
 }
 
-/** File-count offset for the micro-batch stream (append-only source). */
-case class GraftStreamOffset(count: Int)
+/** Seen-file-set offset for the micro-batch stream. Names (not indices
+  * into a sorted listing) make the offset immune to modification-time
+  * ties and out-of-order arrival: a batch is exactly `end -- start`, no
+  * file can shift position, and checkpoint replay re-reads exactly the
+  * committed set. Names are newline-joined in sorted order so equal
+  * sets serialize identically (Spark compares offsets for progress).
+  * Spark's own FileStreamSource keeps the same kind of seen-file log;
+  * at very large file counts a compacted log is the upgrade path. */
+case class GraftStreamOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = count.toString
+  override def json(): String = files.mkString("\n")
 }
 
 /** Micro-batch tail over a growing parquet directory: each batch is the
@@ -488,38 +519,39 @@ case class GraftStreamOffset(count: Int)
   * through the same (vectorized or row) reader factories as the batch
   * scan, with the same filter-driven row-group pruning. Assumes an
   * append-only producer (files arrive whole, never rewritten) — the
-  * file-count offset over a (modTime, name) order is then monotonic,
-  * and replay from a checkpoint re-reads exactly the committed span. */
+  * contract of the staged-commit write path. */
 class GraftMicroBatchStream(path: String, scan: GraftScanV2)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def files(): Seq[org.apache.hadoop.fs.FileStatus] = {
+  private def listNames(): Seq[String] = {
     val conf = new Configuration()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
     else {
       val st = fs.getFileStatus(p)
-      if (st.isDirectory) {
-        fs.listStatus(p).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .sortBy(f => (f.getModificationTime, f.getPath.getName))
-      } else Seq(st)
+      val files =
+        if (st.isDirectory) {
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        } else Seq(p)
+      files.map(_.toString).sorted
     }
   }
 
-  override def initialOffset(): Offset = GraftStreamOffset(0)
-  override def latestOffset(): Offset = GraftStreamOffset(files().size)
+  override def initialOffset(): Offset = GraftStreamOffset(Nil)
+  override def latestOffset(): Offset = GraftStreamOffset(listNames())
   override def deserializeOffset(json: String): Offset =
-    GraftStreamOffset(json.trim.toInt)
+    GraftStreamOffset(
+      json.split('\n').toSeq.filter(_.nonEmpty).sorted)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftStreamOffset].count
-    val e = end.asInstanceOf[GraftStreamOffset].count
-    val groups = files().slice(s, e)
-      .flatMap(f => FooterCache.rowGroups(f.getPath.toString))
+    val seen = start.asInstanceOf[GraftStreamOffset].files.toSet
+    val batchFiles = end.asInstanceOf[GraftStreamOffset].files
+      .filterNot(seen)
+    val groups = batchFiles.flatMap(f => FooterCache.rowGroups(f))
     val kept =
       if (scan.filters.isEmpty) groups
       else groups.filter(rg =>
@@ -959,6 +991,7 @@ object FooterCache {
     val conf = new Configuration()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
     val st = fs.getFileStatus(p)
     val files =
       if (st.isDirectory) {
@@ -982,17 +1015,38 @@ object FooterCache {
   def rowGroups(path: String): Seq[RowGroupMeta] =
     fileMetas(path).flatMap(_.groups)
 
-  def schema(path: String): MessageType = fileMetas(path).head.schema
+  /** First file's schema, when any parquet file exists. */
+  def schemaOption(path: String): Option[MessageType] =
+    fileMetas(path).headOption.map(_.schema)
+
+  def schema(path: String): MessageType =
+    schemaOption(path).getOrElse(throw new IllegalArgumentException(
+      s"graft-v2: no parquet files under $path"))
+
+  /** The parquet time unit of a top-level timestamp column, if any —
+    * footer min/max values are in THIS unit and must be normalized to
+    * the micros the readers emit. */
+  def tsUnit(path: String, colName: String): Option[TimeUnit] =
+    schemaOption(path).flatMap { s =>
+      if (!s.containsField(colName)) None
+      else s.getType(s.getFieldIndex(colName)) match {
+        case p if p.isPrimitive => p.getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit)
+          case _ => None
+        }
+        case _ => None
+      }
+    }
 
   /** True when any column is a NANOS-unit parquet timestamp (no
     * vectorized mapping under this source's micros-converting schema). */
   def hasNanosTimestamp(path: String): Boolean =
-    schema(path).getFields.asScala.exists { t =>
+    schemaOption(path).exists(_.getFields.asScala.exists { t =>
       t.isPrimitive && (t.getLogicalTypeAnnotation match {
         case ts: TimestampLogicalTypeAnnotation => ts.getUnit == TimeUnit.NANOS
         case _ => false
       })
-    }
+    })
 }
 
 /** Row-group pruning from footer min/max statistics: can this group
@@ -1022,7 +1076,11 @@ object RowGroupPruning {
       else Some(new java.math.BigDecimal(a.toString)
         .compareTo(new java.math.BigDecimal(b.toString)))
     case (a: org.apache.parquet.io.api.Binary, b: String) =>
-      Some(a.toStringUsingUTF8.compareTo(b))
+      // UTF-8 BYTE order — parquet stats and Spark's string ordering
+      // both sort by bytes; Java String.compareTo (UTF-16 code units)
+      // mis-orders supplementary-plane characters
+      Some(UTF8String.fromBytes(a.getBytes)
+        .compareTo(UTF8String.fromString(b)))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
     case _ => None
   }
@@ -1182,7 +1240,10 @@ object RowFilterEval extends Serializable {
         if (ad.isNaN || bd.isNaN) Some(java.lang.Double.compare(ad, bd))
         else Some(new java.math.BigDecimal(a.toString)
           .compareTo(new java.math.BigDecimal(b.toString)))
-      case (a: UTF8String, b: String) => Some(a.toString.compareTo(b))
+      case (a: UTF8String, b: String) =>
+        // byte order, matching Spark's own string comparisons (UTF-16
+        // compareTo mis-orders supplementary-plane characters)
+        Some(a.compareTo(UTF8String.fromString(b)))
       case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
       case _ => None
     }

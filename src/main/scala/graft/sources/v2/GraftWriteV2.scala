@@ -55,18 +55,19 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
   override def build(): Write = {
     // eager schema compatibility gate, like the reference resolving the
     // table before writing (ExtJdbcRelationProvider.scala:25-38)
-    val conf = new Configuration()
-    val target = new Path(path)
-    val fs = target.getFileSystem(conf)
-    if (fs.exists(target) && !truncateFirst) {
-      val existing = ParquetMeta.toStruct(FooterCache.schema(path))
-      val incoming = info.schema()
-      val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
-        incoming.fields.map(f => (f.name, f.dataType)).toSeq
-      if (!same) {
-        throw new IllegalArgumentException(
-          s"graft-v2 append schema mismatch: table has " +
-          s"${existing.catalogString}, write has ${incoming.catalogString}")
+    if (!truncateFirst) {
+      // gate only when data actually exists (an empty or fresh
+      // directory accepts any schema)
+      FooterCache.schemaOption(path).foreach { msgType =>
+        val existing = ParquetMeta.toStruct(msgType)
+        val incoming = info.schema()
+        val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
+          incoming.fields.map(f => (f.name, f.dataType)).toSeq
+        if (!same) {
+          throw new IllegalArgumentException(
+            s"graft-v2 append schema mismatch: table has " +
+            s"${existing.catalogString}, write has ${incoming.catalogString}")
+        }
       }
     }
     GraftWriteV2(path, info.schema(), truncateFirst)

@@ -180,9 +180,13 @@ object StreamingDedup {
   /** [[nearDupPairs]] with exactly-once pair emission: a downstream
     * stateful `dropDuplicates` on (id_a, id_b) collapses the per-bucket
     * copies (they land in one micro-batch, but `dropDuplicates` state
-    * also guards re-emission across batches). The dedup state is one
-    * small key per distinct pair — bounded by true-duplicate volume, not
-    * corpus size. */
+    * also guards re-emission across batches). CAVEAT: the dedup state is
+    * one small key per distinct pair ever emitted — far smaller than
+    * corpus state (true-duplicate volume only) but still unbounded over
+    * an infinite stream, since `dropDuplicates` without a watermark
+    * never evicts. For long-running production streams prefer the raw
+    * at-least-once [[nearDupPairs]] with a downstream idempotent sink,
+    * or bound the pair state with a periodic query restart. */
   def nearDupPairsDistinct(in: Dataset[Banded], minJaccard: Double = 0.5,
       bucketCap: Int = 32,
       idleTimeoutMs: Long = 0L): Dataset[DupPair] = {

@@ -83,6 +83,19 @@ class GraftRelationSpec extends SparkTestBase {
       "a partition-column value appeared in more than one partition")
   }
 
+  test("partitioned scan works when the partition column is not projected") {
+    val r = rel(np = 4, pc = Some("l_orderkey"))
+    // count-style: zero required columns
+    val none = r.buildScan(Array.empty, Array.empty)
+    assert(none.count() ==
+      spark.read.parquet(s"$sf001/lineitem.parquet").count())
+    // projection that omits the partition column
+    val other = r.buildScan(Array("l_quantity"), Array.empty)
+    assert(other.getNumPartitions == 4)
+    assert(other.count() ==
+      spark.read.parquet(s"$sf001/lineitem.parquet").count())
+  }
+
   test("format(\"graft\") round-trips through DataSourceRegister") {
     val df = spark.read.format("graft")
       .option("path", s"$sf001/nation.parquet").load()

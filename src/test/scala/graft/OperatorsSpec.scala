@@ -135,6 +135,12 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.dedupCorpus(docs, "nope")
     }
+    // non-integral ids fail fast with guidance (GraphX needs long ids)
+    val strDocs = Seq(("a", "x"), ("b", "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupCorpus(strDocs, "minhash")
+    }
+    assert(e.getMessage.contains("integral id"), e.getMessage)
   }
 
   test("embeddingDups finds identical vectors") {

@@ -373,6 +373,60 @@ class SourceV2Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("footer aggregates normalize timestamp units and decline on NaN") {
+    import spark.implicits._
+    // MILLIS-unit file: footer stats are millis, readers emit micros
+    val mdir = java.nio.file.Files.createTempDirectory("graft-v2-ts")
+      .resolve("t").toString
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MILLIS")
+      Seq("2024-01-01 10:00:00", "2024-06-30 23:59:59")
+        .map(java.sql.Timestamp.valueOf)
+        .toDF("ts").coalesce(1).write.parquet(mdir)
+    } finally spark.conf.set(
+      "spark.sql.parquet.outputTimestampType", prevTs)
+    val agg = spark.read.format("graft-v2").option("path", mdir).load()
+      .agg(max(col("ts")).as("m"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(agg.head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-06-30 23:59:59"))
+    // NaN: parquet-mr drops the double min/max stats -> must decline
+    val ndir = java.nio.file.Files.createTempDirectory("graft-v2-nan")
+      .resolve("t").toString
+    Seq(1.0, Double.NaN, 5.0).toDF("d").coalesce(1).write.parquet(ndir)
+    val nagg = spark.read.format("graft-v2").option("path", ndir).load()
+      .agg(max(col("d")).as("m"))
+    assert(!nagg.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      nagg.queryExecution.executedPlan.toString)
+    assert(nagg.head.getDouble(0).isNaN) // Spark: NaN sorts greatest
+  }
+
+  test("string compares use UTF-8 byte order (supplementary plane)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources.GreaterThan
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.v2.RowFilterEval
+    val schema = StructType(Seq(StructField("s", StringType)))
+    // U+10000 is > U+E000 in UTF-8 byte order but < in UTF-16 code units
+    val supp = new GenericInternalRow(
+      Array[Any](UTF8String.fromString("\uD800\uDC00")))
+    val p = RowFilterEval.compile(
+      Array(GreaterThan("s", "\uE000")), schema)
+    assert(p(supp), "supplementary-plane char must sort after U+E000")
+  }
+
+  test("footer cache tolerates missing paths") {
+    import graft.sources.v2.FooterCache
+    assert(FooterCache.rowGroups("/tmp/graft-nope-does-not-exist").isEmpty)
+    assert(FooterCache.schemaOption("/tmp/graft-nope-does-not-exist").isEmpty)
+    assert(!FooterCache.hasNanosTimestamp("/tmp/graft-nope-does-not-exist"))
+  }
+
   test("multi-file directory: one partition per row group") {
     val src = Tables.t(spark, sf001, "orders")
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-dir")
