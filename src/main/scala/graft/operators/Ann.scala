@@ -155,19 +155,37 @@ object Ann {
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** All bit patterns over `planes` bits with at most `probeBits` set —
+    * generated combinatorially (O(|masks|) work), not by scanning all
+    * 2^planes candidates, so corpus-sized plane counts (20+ bits) stay
+    * trivial on the driver. */
+  private[graft] def probeMasks(planes: Int, probeBits: Int): Seq[Int] =
+    (0 to math.min(probeBits, planes)).flatMap(b =>
+      (0 until planes).combinations(b)
+        .map(_.foldLeft(0)((m, i) => m | (1 << i))).toSeq)
+
   /** LSH-bucketed approximate top-k: same output shape as brute force.
     * Queries are multi-probed: the exact bucket plus every bucket within
     * Hamming distance `probeBits` of it (for random high-dim data the
     * neighbor's bucket often differs in 1-2 sign bits, so 2-bit probing
-    * is what keeps recall usable without widening buckets). */
+    * is what keeps recall usable without widening buckets).
+    *
+    * `planes <= 0` sizes the bucket count to the corpus via
+    * [[Dedup.autoPlanes]] (one count job): a fixed plane count stops
+    * partitioning the work at scale — 6 planes is 64 buckets, and
+    * 2-bit multi-probe then touches ~1/3 of the corpus per query
+    * regardless of corpus size. Auto-sizing keeps the scored fraction
+    * ~|masks| · targetBucket / n. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 6, seed: Long = 42L, probeBits: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val hp = hyperplanes(planes, dim, seed)
+    val np = if (planes > 0) planes
+      else Dedup.autoPlanes(corpus.count(),
+        targetBucket = math.max(256L, 16L * k))
+    val hp = hyperplanes(np, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signBucket(col(vecCol), hp).as("bucket"))
-    val masks = (0 until (1 << planes))
-      .filter(m => java.lang.Integer.bitCount(m) <= probeBits)
+    val masks = probeMasks(np, probeBits)
     // compute the sign bucket ONCE per query row; probes are cheap XORs
     // of the materialized bucket column (not repeated projections)
     val q = queries

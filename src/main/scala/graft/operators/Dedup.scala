@@ -43,7 +43,9 @@ object Dedup {
     * even cap=32 gives ≤10⁻¹⁴ per hot bucket); caps below ~16 are for
     * tests only. Buckets at or under `cap` are completely unaffected
     * (one block = the full exact self-join). `cap <= 0` disables the
-    * guard.
+    * guard. Note the guard runs one small eager pre-job (bucket-key
+    * counts, map-side combined) to decide whether any bucket exceeds
+    * the cap; when none does, the plan is the plain equi-join.
     *
     * @param banded  one row per (member, bucket), with an `id` column
     * @param keys    the bucket key columns
@@ -65,36 +67,56 @@ object Dedup {
           side(p, wantA = false).as(s"${p}_b")))
     }
     val keyEq = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    if (cap <= 0) {
+    def plainJoin: DataFrame =
       banded.as("a").join(banded.as("b"), keyEq && col("a.id") < col("b.id"))
         .select(pairCols: _*).distinct()
+    if (cap <= 0) {
+      plainJoin
     } else {
       val sizes = banded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__sz"))
-      val blocked = banded.join(sizes, keys)
-        .withColumn("__nb",
-          greatest(lit(1L), ceil(col("__sz").cast("double") / cap)))
-        .withColumn("__blk", pmod(xxhash64(col("id")), col("__nb")))
-        .drop("__sz", "__nb")
-      // ONE equi-join covers both block patterns: the probe side emits
-      // each row under its own block AND the next block, so same-block
-      // pairs and the adjacent-block chain (which keeps a bucket's
-      // transitive closure connected) come out of a single shuffle
-      // instead of two joins + a union re-computing the signatures.
-      val a = blocked
-        .withColumn("__orig", col("__blk"))
-        .withColumn("__probe",
-          explode(array(col("__blk"), col("__blk") + 1)))
-        .as("a")
-      val b = blocked.as("b")
-      a.join(b, keyEq && col("a.__probe") === col("b.__blk") &&
-          col("a.id") =!= col("b.id"))
-        // within a block, emit each unordered pair once; across
-        // adjacent blocks both orders normalize in pairCols
-        .filter(col("a.__orig") =!= col("b.__blk") ||
-          col("a.id") < col("b.id"))
-        .select(pairCols: _*)
-        .distinct()
+      // One cheap pre-job (bucket keys only, map-side combined) decides
+      // whether the guard machinery is needed at all. The common cold
+      // case — no bucket over the cap — collapses back to the plain
+      // equi-join, with zero sizes-join and zero probe inflation.
+      val maxSz = sizes.agg(max(col("__sz"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
+      if (maxSz <= cap) {
+        plainJoin
+      } else {
+        val blocked = banded.join(sizes, keys)
+          .withColumn("__nb",
+            greatest(lit(1L), ceil(col("__sz").cast("double") / cap)))
+          .withColumn("__blk", pmod(xxhash64(col("id")), col("__nb")))
+          .drop("__sz")
+        // ONE equi-join covers both block patterns: the probe side emits
+        // each row under its own block AND — only when a next block
+        // exists (__blk < __nb - 1, i.e. the bucket actually split) —
+        // the adjacent block, so same-block pairs and the chain that
+        // keeps a bucket's transitive closure connected come out of a
+        // single shuffle. Rows in buckets at or under the cap (__nb = 1)
+        // are not inflated, so the shuffle volume is ~1× plus only the
+        // hot buckets' chaining rows.
+        val a = blocked
+          .withColumn("__orig", col("__blk"))
+          .withColumn("__probe",
+            explode(when(col("__blk") < col("__nb") - 1,
+                array(col("__blk"), col("__blk") + 1))
+              .otherwise(array(col("__blk")))))
+          .drop("__nb")
+          .as("a")
+        val b = blocked.drop("__nb").as("b")
+        a.join(b, keyEq && col("a.__probe") === col("b.__blk") &&
+            col("a.id") =!= col("b.id"))
+          // within a block, emit each unordered pair once; across
+          // adjacent blocks both orders normalize in pairCols
+          .filter(col("a.__orig") =!= col("b.__blk") ||
+            col("a.id") < col("b.id"))
+          .select(pairCols: _*)
+          .distinct()
+      }
     }
   }
 
@@ -187,10 +209,11 @@ object Dedup {
   /** Plane count sized to the corpus: enough sign bits that a UNIFORM
     * corpus averages ≲`targetBucket` vectors per bucket (near-dup mass
     * still concentrates, which is what [[cappedBucketJoin]] guards).
-    * 2^planes buckets ⇒ planes = log2(n / targetBucket), floored at 8. */
+    * 2^planes buckets ⇒ planes = log2(n / targetBucket), floored at 8
+    * and capped at 30 (the bucket id is a signed int of sign bits). */
   def autoPlanes(corpusSize: Long, targetBucket: Long = 1024L): Int =
-    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1L, corpusSize / math.max(1L, targetBucket)) - 1))
+    math.min(30, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, corpusSize / math.max(1L, targetBucket)) - 1)))
 
   /** Embedding cosine near-dup: random-hyperplane LSH buckets, exact
     * cosine rerank within buckets. `planes` sign bits per vector; vectors

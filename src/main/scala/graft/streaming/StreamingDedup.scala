@@ -20,6 +20,18 @@ import graft.functions.GraftFunctions.minhash
   */
 object StreamingDedup {
 
+  /** Default idle TTL for bucket state (30 min): unbounded streams must
+    * not accumulate state forever out of the box. Override per call
+    * (`idleTimeoutMs`) or per session
+    * (`graft.streaming.dedup.idleTimeoutMs`); `0` disables eviction. */
+  val DefaultIdleTimeoutMs: Long = 30L * 60 * 1000
+
+  private def resolveIdleTimeout(
+      spark: org.apache.spark.sql.SparkSession, requested: Long): Long =
+    if (requested >= 0) requested
+    else spark.conf.get("graft.streaming.dedup.idleTimeoutMs",
+      DefaultIdleTimeoutMs.toString).toLong
+
   case class DocIn(doc_id: Long, text: String)
   case class Banded(bucket: Long, doc_id: Long, sig: Seq[Long])
   case class DupPair(id_a: Long, id_b: Long, est_jaccard: Double)
@@ -61,20 +73,27 @@ object StreamingDedup {
     * streams, where NoTimeout state grows with every distinct bucket
     * ever touched (a slow OOM at corpus scale). A duplicate arriving
     * after its partner's bucket expired is (by design) missed, exactly
-    * as a watermark bounds lateness. The default is `0` (NoTimeout)
-    * because ProcessingTimeTimeout makes the engine re-run batches
-    * whenever the clock advances (`shouldRunAnotherBatch` is always
-    * true), which `processAllAvailable`-style synchronous drivers — and
-    * zero-interval triggers — turn into a busy loop; pair a nonzero TTL
+    * as a watermark bounds lateness.
+    *
+    * The DEFAULT (`idleTimeoutMs < 0`) is safe-by-default: a
+    * [[DefaultIdleTimeoutMs 30-minute]] idle TTL, overridable per
+    * session via `graft.streaming.dedup.idleTimeoutMs`. Pass `0` to
+    * opt out (NoTimeout) — needed because ProcessingTimeTimeout makes
+    * the engine re-run batches whenever the clock advances
+    * (`shouldRunAnotherBatch` is always true), which
+    * `processAllAvailable`-style synchronous drivers — and
+    * zero-interval triggers — turn into a busy loop; pair the TTL
     * with a real trigger interval (or `Trigger.AvailableNow`, where
-    * timeouts fire on each restart).
+    * timeouts fire on each restart), and opt out only for bounded
+    * inputs.
     */
   def nearDupPairs(in: Dataset[Banded], minJaccard: Double = 0.5,
       bucketCap: Int = 32,
-      idleTimeoutMs: Long = 0L): Dataset[DupPair] = {
+      idleTimeoutMs: Long = -1L): Dataset[DupPair] = {
     import in.sparkSession.implicits._
+    val ttlMs = resolveIdleTimeout(in.sparkSession, idleTimeoutMs)
     val timeoutConf =
-      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     in.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketState, DupPair](
@@ -102,7 +121,7 @@ object StreamingDedup {
               entries = ((b.doc_id, b.sig) :: entries).take(bucketCap)
             }
             state.update(BucketState(entries))
-            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             out.distinct.iterator
           }
       }
@@ -189,7 +208,7 @@ object StreamingDedup {
     * or bound the pair state with a periodic query restart. */
   def nearDupPairsDistinct(in: Dataset[Banded], minJaccard: Double = 0.5,
       bucketCap: Int = 32,
-      idleTimeoutMs: Long = 0L): Dataset[DupPair] = {
+      idleTimeoutMs: Long = -1L): Dataset[DupPair] = {
     import in.sparkSession.implicits._
     nearDupPairs(in, minJaccard, bucketCap, idleTimeoutMs)
       .dropDuplicates("id_a", "id_b").as[DupPair]

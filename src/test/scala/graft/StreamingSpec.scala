@@ -127,7 +127,11 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.StreamingDedup
     val input = MemoryStream[StreamingDedup.DocIn]
     val bandedStream = StreamingDedup.banded(input.toDF())
-    val q = StreamingDedup.nearDupPairs(bandedStream, minJaccard = 0.5)
+    // idleTimeoutMs = 0 opts out of the default TTL: this test drives
+    // the query synchronously (processAllAvailable), which a
+    // ProcessingTimeTimeout query never quiesces for
+    val q = StreamingDedup.nearDupPairs(bandedStream, minJaccard = 0.5,
+        idleTimeoutMs = 0)
       .writeStream.outputMode("append").format("memory")
       .queryName("neardup_out").start()
     val base = (1 to 80).map(i => s"word$i").mkString(" ")
@@ -196,12 +200,57 @@ class StreamingSpec extends SparkTestBase {
       s"pair emitted from state that should have been TTL-evicted: $pairs")
   }
 
+  test("streaming near-dup DEFAULT path evicts idle buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.streaming.Trigger
+    // the DEFAULT call (no idleTimeoutMs argument) must be
+    // safe-by-default: a processing-time TTL, here shrunk via the
+    // session conf so the test doesn't wait 30 minutes
+    assert(StreamingDedup.DefaultIdleTimeoutMs > 0)
+    spark.conf.set("graft.streaming.dedup.idleTimeoutMs", "500")
+    try {
+      val input = MemoryStream[StreamingDedup.DocIn]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ttl-default-ckpt").toString
+      val pairs = new java.util.concurrent.ConcurrentLinkedQueue[
+        StreamingDedup.DupPair]()
+      def runOnce(): Unit = {
+        val q = StreamingDedup.nearDupPairs(
+            StreamingDedup.banded(input.toDF()))
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[StreamingDedup.DupPair],
+                _: Long) => batch.collect().foreach(pairs.add)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(8000)
+        q.stop()
+      }
+      val base = (1 to 80).map(i => s"word$i").mkString(" ")
+      val unrelated = (500 to 580).map(i => s"tok$i").mkString(" ")
+      input.addData(StreamingDedup.DocIn(1, base))
+      runOnce()
+      Thread.sleep(1500) // let the default-path TTL lapse
+      input.addData(StreamingDedup.DocIn(3, unrelated))
+      runOnce()
+      // duplicate arrives after its partner's buckets expired: missed
+      input.addData(StreamingDedup.DocIn(2, base))
+      runOnce()
+      assert(pairs.isEmpty,
+        s"default path kept state past the idle TTL: $pairs")
+    } finally spark.conf.unset("graft.streaming.dedup.idleTimeoutMs")
+  }
+
   test("nearDupPairsDistinct emits exactly one row per pair") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDedup
     val input = MemoryStream[StreamingDedup.DocIn]
     val q = StreamingDedup.nearDupPairsDistinct(
-        StreamingDedup.banded(input.toDF()), minJaccard = 0.5)
+        StreamingDedup.banded(input.toDF()), minJaccard = 0.5,
+        idleTimeoutMs = 0)
       .writeStream.outputMode("append").format("memory")
       .queryName("neardup_distinct_out").start()
     val base = (1 to 80).map(i => s"word$i").mkString(" ")
