@@ -63,7 +63,7 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
         "graft-v2 source requires a 'path' option"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ParquetMeta.sparkSchema(path(options), new Configuration())
+    ParquetMeta.sparkSchema(path(options), GraftHadoopConf.sessionConf())
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -434,13 +434,14 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
   }
 
   /** Streaming face: tail the directory as a micro-batch source — new
-    * parquet files are the commit unit (offset = file count under a
-    * (modTime, name) order, so an append-only producer advances the
-    * stream; the files themselves arrive whole, like the reference's
-    * cursor pages). Pushed filters still prune row groups per batch. */
+    * parquet files are the commit unit (the files arrive whole, like
+    * the reference's cursor pages). The offset is a constant-size log
+    * id; the seen-file set lives in a compacted side log under the
+    * stream's checkpoint location (see [[GraftFileLog]]). Pushed
+    * filters still prune row groups per batch. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, this)
+    new GraftMicroBatchStream(path, checkpointLocation, this)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     pushedAgg match {
@@ -448,7 +449,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       case None => ()
     }
     if (!vectorized) {
-      GraftReaderFactory(projectedSchema, filters, limit, topN, topNLimit)
+      GraftReaderFactory(projectedSchema, filters, limit, topN, topNLimit,
+        new SerializableConfiguration(GraftHadoopConf.sessionConf()))
     } else {
       // driver-side: snapshot the session's parquet read configuration
       // for the executor-side vectorized readers
@@ -479,11 +481,15 @@ case class GraftInputPartition(file: String, rowGroup: Int,
 case class GraftReaderFactory(readSchema: StructType,
     filters: Array[Filter], limit: Int,
     topN: Array[(String, Boolean, Boolean)] = Array.empty,
-    topNLimit: Int = -1) extends PartitionReaderFactory {
+    topNLimit: Int = -1,
+    conf: SerializableConfiguration =
+      new SerializableConfiguration(new Configuration()))
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftRowGroupReader(p, readSchema, filters, limit, topN, topNLimit)
+    new GraftRowGroupReader(p, readSchema, filters, limit, topN, topNLimit,
+      conf.value)
   }
 }
 
@@ -501,17 +507,178 @@ case class GraftAggReaderFactory(values: Array[Any])
     }
 }
 
-/** Seen-file-set offset for the micro-batch stream. Names (not indices
-  * into a sorted listing) make the offset immune to modification-time
-  * ties and out-of-order arrival: a batch is exactly `end -- start`, no
-  * file can shift position, and checkpoint replay re-reads exactly the
-  * committed set. Names are newline-joined in sorted order so equal
-  * sets serialize identically (Spark compares offsets for progress).
-  * Spark's own FileStreamSource keeps the same kind of seen-file log;
-  * at very large file counts a compacted log is the upgrade path. */
-case class GraftStreamOffset(files: Seq[String])
+/** Micro-batch stream offset: the id of the last [[GraftFileLog]]
+  * entry covered. Spark's OffsetSeqLog checkpoint format is
+  * LINE-ORIENTED (one offset json per line per source), so the offset
+  * must serialize to a single line — and it stays O(1) in size no
+  * matter how many files the stream has seen, because the seen-file
+  * names live in the side log, not in the offset. This is the same
+  * split Spark's own FileStreamSource makes (offset = log version,
+  * file names in a separate compacted metadata log). */
+case class GraftStreamOffset(logOffset: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = files.mkString("\n")
+  override def json(): String = s"""{"logOffset":$logOffset}"""
+}
+
+/** Minimal single-line JSON string-array codec for the file log —
+  * handwritten so log entries stay dependency-free and newline-free
+  * (paths with quotes/backslashes/control chars round-trip escaped). */
+private[v2] object JsonArr {
+  def render(items: Seq[String]): String =
+    items.map(s => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
+
+  def parse(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length && s.charAt(i) != '[') i += 1
+    i += 1
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          var done = false
+          while (!done) {
+            s.charAt(i) match {
+              case '"' => done = true
+              case '\\' =>
+                s.charAt(i + 1) match {
+                  case 'u' =>
+                    sb.append(Integer.parseInt(
+                      s.substring(i + 2, i + 6), 16).toChar)
+                    i += 4
+                  case '"' => sb.append('"')
+                  case '\\' => sb.append('\\')
+                  case other => sb.append(other)
+                }
+                i += 1
+              case c => sb.append(c)
+            }
+            i += 1
+          }
+          out += sb.toString
+        case _ => i += 1 // separators, whitespace, closing bracket
+      }
+    }
+    out.result()
+  }
+}
+
+/** Compacted seen-file log under `<checkpoint>/graft-file-log`. Delta
+  * entry `N` holds the files FIRST seen at log offset N as one
+  * single-line JSON array, written atomically (temp file + rename).
+  * Once Spark commits a batch the log may compact: a `N.compact`
+  * snapshot of the full seen set replaces all deltas at or below N
+  * (compaction runs every [[GraftFileLog.CompactInterval]] entries),
+  * so the log directory holds a bounded number of small files and a
+  * restart replays exactly the uncommitted suffix. Deltas above the
+  * last committed offset are never compacted away — they are what a
+  * restarted query replans from. */
+private[v2] class GraftFileLog(logDir: Path, conf: Configuration) {
+  import scala.collection.immutable.SortedMap
+
+  private val fs = logDir.getFileSystem(conf)
+  private var compactBase: Long = 0L
+  private var compactSeen: Set[String] = Set.empty
+  private var deltas: SortedMap[Long, Seq[String]] = SortedMap.empty
+
+  locally {
+    if (!fs.exists(logDir)) fs.mkdirs(logDir)
+    else {
+      val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+      val compacts = names.filter(_.endsWith(".compact"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".compact").toLong)
+          .toOption)
+      if (compacts.nonEmpty) {
+        compactBase = compacts.max
+        compactSeen =
+          readEntry(new Path(logDir, s"$compactBase.compact")).toSet
+      }
+      names.flatMap(n => scala.util.Try(n.toLong).toOption)
+        .filter(_ > compactBase).sorted
+        .foreach { id =>
+          deltas += id -> readEntry(new Path(logDir, id.toString))
+        }
+    }
+  }
+
+  private def readEntry(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0, bytes)
+      JsonArr.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  private def writeAtomic(p: Path, content: String): Unit = {
+    val tmp = new Path(logDir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(p)) {
+        throw new java.io.IOException(s"file-log write $p failed")
+      } // else: a concurrent/restarted writer already wrote this entry
+    }
+  }
+
+  def latest: Long = if (deltas.isEmpty) compactBase else deltas.lastKey
+  def seen: Set[String] = compactSeen ++ deltas.valuesIterator.flatten
+
+  /** Record newly-seen files as the next log entry; returns its id. */
+  def append(files: Seq[String]): Long = {
+    val id = latest + 1
+    writeAtomic(new Path(logDir, id.toString), JsonArr.render(files))
+    deltas += id -> files
+    id
+  }
+
+  /** Files of entries in (start, end] — one micro-batch's input. */
+  def filesBetween(start: Long, end: Long): Seq[String] = {
+    if (start < compactBase) {
+      throw new IllegalStateException(
+        s"graft-v2 stream: batch ($start, $end] predates the compacted " +
+        s"file log (base $compactBase) — checkpoint and file log disagree")
+    }
+    deltas.iteratorFrom(start + 1).takeWhile(_._1 <= end)
+      .flatMap(_._2).toSeq
+  }
+
+  /** Called on batch commit: entries at or below `id` can fold into a
+    * snapshot (Spark never replans a committed batch). Compaction is
+    * amortized — it runs only once enough deltas accumulate. */
+  def commitTo(id: Long): Unit = {
+    if (id <= compactBase ||
+        id - compactBase < GraftFileLog.CompactInterval) {
+      return
+    }
+    val folded = compactSeen ++
+      deltas.rangeTo(id).valuesIterator.flatten
+    writeAtomic(new Path(logDir, s"$id.compact"),
+      JsonArr.render(folded.toSeq.sorted))
+    val oldBase = compactBase
+    deltas.rangeTo(id).keysIterator
+      .foreach(k => fs.delete(new Path(logDir, k.toString), false))
+    if (oldBase > 0L) {
+      fs.delete(new Path(logDir, s"$oldBase.compact"), false)
+    }
+    compactBase = id
+    compactSeen = folded
+    deltas = deltas.rangeFrom(id + 1)
+  }
+}
+
+private[v2] object GraftFileLog {
+  val CompactInterval = 10
 }
 
 /** Micro-batch tail over a growing parquet directory: each batch is the
@@ -519,15 +686,24 @@ case class GraftStreamOffset(files: Seq[String])
   * through the same (vectorized or row) reader factories as the batch
   * scan, with the same filter-driven row-group pruning. Assumes an
   * append-only producer (files arrive whole, never rewritten) — the
-  * contract of the staged-commit write path. */
-class GraftMicroBatchStream(path: String, scan: GraftScanV2)
+  * contract of the staged-commit write path. Restart-safe: offsets are
+  * log ids into the checkpoint-scoped [[GraftFileLog]], so a restarted
+  * query replans exactly the uncommitted suffix and never re-reads a
+  * committed file. */
+class GraftMicroBatchStream(path: String, checkpointLocation: String,
+    scan: GraftScanV2)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  // driver-side: the session's Hadoop conf (filesystem credentials
+  // etc.), matching createReaderFactory's snapshot
+  private val hconf: Configuration = GraftHadoopConf.sessionConf()
+  private val log =
+    new GraftFileLog(new Path(checkpointLocation, "graft-file-log"), hconf)
+
   private def listNames(): Seq[String] = {
-    val conf = new Configuration()
     val p = new Path(path)
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(hconf)
     if (!fs.exists(p)) Seq.empty
     else {
       val st = fs.getFileStatus(p)
@@ -540,17 +716,26 @@ class GraftMicroBatchStream(path: String, scan: GraftScanV2)
     }
   }
 
-  override def initialOffset(): Offset = GraftStreamOffset(Nil)
-  override def latestOffset(): Offset = GraftStreamOffset(listNames())
-  override def deserializeOffset(json: String): Offset =
-    GraftStreamOffset(
-      json.split('\n').toSeq.filter(_.nonEmpty).sorted)
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val fresh = listNames().filterNot(log.seen)
+    if (fresh.isEmpty) GraftStreamOffset(log.latest)
+    else GraftStreamOffset(log.append(fresh))
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"logOffset\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-v2 stream: unparseable offset '$json'"))
+    GraftStreamOffset(m.group(1).toLong)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val seen = start.asInstanceOf[GraftStreamOffset].files.toSet
-    val batchFiles = end.asInstanceOf[GraftStreamOffset].files
-      .filterNot(seen)
+    val batchFiles = log.filesBetween(
+      start.asInstanceOf[GraftStreamOffset].logOffset,
+      end.asInstanceOf[GraftStreamOffset].logOffset)
     val groups = batchFiles.flatMap(f => FooterCache.rowGroups(f))
     val kept =
       if (scan.filters.isEmpty) groups
@@ -563,7 +748,9 @@ class GraftMicroBatchStream(path: String, scan: GraftScanV2)
   override def createReaderFactory(): PartitionReaderFactory =
     scan.createReaderFactory()
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    log.commitTo(end.asInstanceOf[GraftStreamOffset].logOffset)
+
   override def stop(): Unit = ()
 }
 
@@ -641,10 +828,10 @@ class GraftVectorReader(part: GraftInputPartition,
 class GraftRowGroupReader(part: GraftInputPartition,
     readSchema: StructType, filters: Array[Filter], limit: Int,
     topN: Array[(String, Boolean, Boolean)] = Array.empty,
-    topNLimit: Int = -1)
+    topNLimit: Int = -1,
+    conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
   private val inputFile =
     HadoopInputFile.fromPath(new Path(part.file), conf)
   // select ONLY this row group via its byte offset
@@ -790,6 +977,19 @@ class GraftRowGroupReader(part: GraftInputPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** Driver-side Hadoop configuration source: the active session's conf
+  * (which carries `spark.hadoop.*` filesystem settings — S3
+  * credentials, endpoints) when a session exists, else a bare conf.
+  * Every driver-side listing/footer read goes through here so it sees
+  * the same filesystem view as `createReaderFactory`'s executor-bound
+  * snapshot. */
+object GraftHadoopConf {
+  def sessionConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 }
 
 /** Parquet footer/metadata helpers shared by driver and executors. */
@@ -988,7 +1188,7 @@ object FooterCache {
   }
 
   private def fileMetas(path: String): Seq[FileMeta] = {
-    val conf = new Configuration()
+    val conf = GraftHadoopConf.sessionConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
