@@ -586,6 +586,11 @@ private[v2] class GraftFileLog(logDir: Path, conf: Configuration) {
   private var compactBase: Long = 0L
   private var compactSeen: Set[String] = Set.empty
   private var deltas: SortedMap[Long, Seq[String]] = SortedMap.empty
+  // Incrementally maintained (add on append/replay, replace on
+  // compaction) — `seen` is called every trigger, and rebuilding an
+  // O(total-files-ever) set per trigger would grow without bound over
+  // the stream's lifetime.
+  private var seenSet: Set[String] = Set.empty
 
   locally {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
@@ -605,40 +610,70 @@ private[v2] class GraftFileLog(logDir: Path, conf: Configuration) {
         .foreach { id =>
           deltas += id -> readEntry(new Path(logDir, id.toString))
         }
+      // A crash between writing N.compact and deleting the files it
+      // superseded leaves those files orphaned; recovery above already
+      // ignores them, so finish the interrupted cleanup here.
+      names.flatMap(n => scala.util.Try(n.toLong).toOption)
+        .filter(_ <= compactBase)
+        .foreach(id => fs.delete(new Path(logDir, id.toString), false))
+      compacts.filter(_ < compactBase).foreach(id =>
+        fs.delete(new Path(logDir, s"$id.compact"), false))
     }
+    seenSet = compactSeen ++ deltas.valuesIterator.flatten
   }
 
-  private def readEntry(p: Path): Seq[String] = {
+  private def readRaw(p: Path): String = {
     val in = fs.open(p)
     try {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(0, bytes)
-      JsonArr.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
 
+  private def readEntry(p: Path): Seq[String] = JsonArr.parse(readRaw(p))
+
+  /** Write-once entry: Hadoop's local filesystem `rename` silently
+    * OVERWRITES an existing destination, so "rename failed -> someone
+    * else wrote it" never fires there. Instead, whenever the entry
+    * already exists (before or after our rename), read it back and
+    * require byte equality — a zombie driver racing a live one on the
+    * same log id must not silently diverge. */
   private def writeAtomic(p: Path, content: String): Unit = {
     val tmp = new Path(logDir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, p)) {
+    if (fs.exists(p)) {
       fs.delete(tmp, false)
-      if (!fs.exists(p)) {
-        throw new java.io.IOException(s"file-log write $p failed")
-      } // else: a concurrent/restarted writer already wrote this entry
+      requireSameEntry(p, content)
+    } else if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      if (fs.exists(p)) requireSameEntry(p, content)
+      else throw new java.io.IOException(s"file-log write $p failed")
+    }
+  }
+
+  private def requireSameEntry(p: Path, content: String): Unit = {
+    val existing = readRaw(p)
+    if (existing != content) {
+      throw new IllegalStateException(
+        s"graft-v2 stream: concurrent writers disagree on file-log " +
+        s"entry $p — another driver recorded different files for the " +
+        s"same log id (fenced out)")
     }
   }
 
   def latest: Long = if (deltas.isEmpty) compactBase else deltas.lastKey
-  def seen: Set[String] = compactSeen ++ deltas.valuesIterator.flatten
+  def seen: Set[String] = seenSet
 
   /** Record newly-seen files as the next log entry; returns its id. */
   def append(files: Seq[String]): Long = {
     val id = latest + 1
     writeAtomic(new Path(logDir, id.toString), JsonArr.render(files))
     deltas += id -> files
+    seenSet ++= files
     id
   }
 
@@ -727,7 +762,11 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
   override def deserializeOffset(json: String): Offset = {
     val m = "\"logOffset\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalArgumentException(
-        s"graft-v2 stream: unparseable offset '$json'"))
+        s"graft-v2 stream: unparseable offset '${json.take(200)}' — if " +
+        "this checkpoint predates the log-offset format (offsets were " +
+        "raw file lists, which could not round-trip through Spark's " +
+        "line-oriented OffsetSeqLog), it cannot be migrated: drop the " +
+        "checkpoint directory and restart the query fresh"))
     GraftStreamOffset(m.group(1).toLong)
   }
 

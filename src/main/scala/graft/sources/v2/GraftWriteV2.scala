@@ -115,20 +115,47 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     val fs = target.getFileSystem(conf)
     val staging = new Path(target, stagingName)
     val committed = messages.map(_.asInstanceOf[GraftCommitV2].file)
-    if (truncateFirst) {
-      // old parts go only AFTER every task committed — same
-      // staging-first guarantee as the V1 sink
-      fs.listStatus(target)
-        .filter(st => st.getPath.getName.startsWith("part-"))
-        .foreach(st => fs.delete(st.getPath, false))
-    }
-    committed.foreach { f =>
+
+    def renameIn(): Unit = committed.foreach { f =>
       val src = new Path(f)
       val dst = new Path(target, src.getName)
       if (!fs.rename(src, dst)) {
         throw new java.io.IOException(s"commit rename $src -> $dst failed")
       }
     }
+
+    if (truncateFirst) {
+      // Backup-park protocol (mirrors GraftSink.saveAtomic's
+      // truncate-and-load): old parts are PARKED, not deleted, until
+      // every staged file has renamed in — a failure mid-commit
+      // restores them, so a reader only ever sees complete-old or
+      // complete-new contents, never a mix.
+      val backup = new Path(target, s".graft-v2-backup-$jobId")
+      fs.mkdirs(backup)
+      fs.listStatus(target)
+        .filter(st => st.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          if (!fs.rename(st.getPath, new Path(backup, st.getPath.getName))) {
+            throw new java.io.IOException(s"backup of ${st.getPath} failed")
+          }
+        }
+      try renameIn()
+      catch {
+        case e: Throwable =>
+          // Unwind: drop any new parts already in, restore old parts.
+          committed.foreach { f =>
+            try fs.delete(new Path(target, new Path(f).getName), false)
+            catch { case _: Throwable => () }
+          }
+          fs.listStatus(backup).foreach { st =>
+            try fs.rename(st.getPath, new Path(target, st.getPath.getName))
+            catch { case _: Throwable => () }
+          }
+          try fs.delete(backup, true) catch { case _: Throwable => () }
+          throw e
+      }
+      fs.delete(backup, true)
+    } else renameIn()
     fs.delete(staging, true) // sweeps zombie/speculative attempts
   }
 

@@ -373,6 +373,92 @@ class SourceV2Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  // foreachBatch sink (memory/console sinks refuse checkpoint recovery)
+  // collecting delivered ids into a driver-side buffer shared across
+  // the stop/restart boundary
+  private def startCollecting(dir: String, ckpt: String,
+      got: java.util.concurrent.ConcurrentLinkedQueue[Long]) =
+    spark.readStream.format("graft-v2").option("path", dir).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0)))
+      }.start()
+
+  test("stream restart from checkpoint never re-reads committed files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-restart")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    val q1 = startCollecting(dir, ckpt, got)
+    try {
+      q1.processAllAvailable()
+      assert(got.size == 100)
+    } finally q1.stop()
+    got.clear()
+    spark.range(100, 250).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    // restart against the SAME checkpoint: the buffer was cleared, so
+    // any re-read of the committed first file shows up as extra ids
+    val q2 = startCollecting(dir, ckpt, got)
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.size == 150,
+        "restart must deliver only the files appended after the stop")
+      assert(got.asScala.toSet == (100L until 250L).toSet)
+    } finally q2.stop()
+  }
+
+  test("stream restart after compaction (> CompactInterval batches)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-compact")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.range(0, 1).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val q1 = startCollecting(dir, ckpt, got)
+    try {
+      q1.processAllAvailable()
+      // one file -> one micro-batch per append: push past CompactInterval
+      (1 to 12).foreach { i =>
+        spark.range(i.toLong, i + 1L).toDF("id").coalesce(1)
+          .write.mode("append").parquet(dir)
+        q1.processAllAvailable()
+      }
+      assert(got.size == 13)
+    } finally q1.stop()
+    got.clear()
+    // the side log compacted: a snapshot exists and old deltas are gone
+    // (the source's log lives under the per-source checkpoint subdir)
+    val logDir = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.getFileName.toString == "graft-file-log")
+      .findFirst().orElseThrow(() =>
+        new AssertionError(s"no graft-file-log under $ckpt"))
+      .toFile
+    val names = logDir.listFiles().map(_.getName).toSet
+    assert(names.exists(_.endsWith(".compact")),
+      s"expected a compact snapshot in $names")
+    assert(names.count(n => scala.util.Try(n.toLong).isSuccess) <= 11,
+      s"deltas must be bounded by the compact interval (10), got $names")
+    // restart across the compacted log: still exactly-once
+    spark.range(13, 20).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val q2 = startCollecting(dir, ckpt, got)
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.size == 7,
+        "restart over a compacted log must deliver only the new file")
+      assert(got.asScala.toSet == (13L until 20L).toSet)
+    } finally q2.stop()
+  }
+
   test("footer aggregates normalize timestamp units and decline on NaN") {
     import spark.implicits._
     // MILLIS-unit file: footer stats are millis, readers emit micros

@@ -1,0 +1,121 @@
+package graft.sources.v2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+
+import graft.SparkTestBase
+
+/** White-box coverage of the V2 streaming file log and the
+  * truncate-commit protocol — the recovery paths a black-box streaming
+  * test cannot reach (crash orphans, zombie-writer divergence,
+  * mid-commit rename failure). */
+class V2InternalsSpec extends SparkTestBase {
+
+  private def newLogDir(): Path = new Path(
+    java.nio.file.Files.createTempDirectory("graft-filelog").toString, "log")
+
+  test("file log: compaction bounds the directory and survives reopen") {
+    val dir = newLogDir()
+    val conf = new Configuration()
+    val fs = dir.getFileSystem(conf)
+    val log = new GraftFileLog(dir, conf)
+    (1 to 12).foreach(i => log.append(Seq(s"f$i")))
+    assert(log.latest == 12L)
+    log.commitTo(11L) // 11 - 0 >= CompactInterval -> compacts
+    assert(fs.exists(new Path(dir, "11.compact")))
+    // deltas at or below 11 folded away; 12 survives as the live suffix
+    assert(!fs.exists(new Path(dir, "5")) && fs.exists(new Path(dir, "12")))
+    assert(log.seen == (1 to 12).map(i => s"f$i").toSet)
+    // reopen replays snapshot + suffix identically
+    val reopened = new GraftFileLog(dir, conf)
+    assert(reopened.latest == 12L)
+    assert(reopened.seen == (1 to 12).map(i => s"f$i").toSet)
+    assert(reopened.filesBetween(11L, 12L) == Seq("f12"))
+  }
+
+  test("file log: reopen finishes an interrupted compaction cleanup") {
+    val dir = newLogDir()
+    val conf = new Configuration()
+    val fs = dir.getFileSystem(conf)
+    val log = new GraftFileLog(dir, conf)
+    (1 to 12).foreach(i => log.append(Seq(s"f$i")))
+    log.commitTo(11L)
+    // fabricate the crash residue: a delta below the compact base and a
+    // superseded snapshot that the interrupted cleanup never deleted
+    def put(name: String, items: Seq[String]): Unit = {
+      val out = fs.create(new Path(dir, name), true)
+      try out.write(JsonArr.render(items).getBytes("UTF-8"))
+      finally out.close()
+    }
+    put("3", Seq("f3"))
+    put("2.compact", Seq("f1", "f2"))
+    val reopened = new GraftFileLog(dir, conf)
+    assert(reopened.seen == (1 to 12).map(i => s"f$i").toSet)
+    assert(!fs.exists(new Path(dir, "3")),
+      "orphaned delta below the compact base must be deleted on reopen")
+    assert(!fs.exists(new Path(dir, "2.compact")),
+      "superseded compact snapshot must be deleted on reopen")
+    assert(fs.exists(new Path(dir, "11.compact")))
+  }
+
+  test("file log: divergent concurrent write for the same id is fenced") {
+    val dir = newLogDir()
+    val conf = new Configuration()
+    val fs = dir.getFileSystem(conf)
+    val log = new GraftFileLog(dir, conf)
+    log.append(Seq("a"))
+    // a zombie driver sneaks in entry 2 with DIFFERENT contents after
+    // our constructor replay (local fs rename would silently overwrite,
+    // so writeAtomic must detect this by content comparison)
+    val out = fs.create(new Path(dir, "2"), true)
+    try out.write(JsonArr.render(Seq("zombie")).getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] { log.append(Seq("b")) }
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+    // identical contents are accepted (idempotent retry, not a fence)
+    val dir2 = newLogDir()
+    val log2 = new GraftFileLog(dir2, conf)
+    log2.append(Seq("x"))
+    val out2 = fs.create(new Path(dir2, "2"), true)
+    try out2.write(JsonArr.render(Seq("y")).getBytes("UTF-8"))
+    finally out2.close()
+    assert(log2.append(Seq("y")) == 2L)
+  }
+
+  test("truncate commit: rename failure mid-commit restores old parts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-trunc")
+      .resolve("t").toString
+    val nation = spark.read.parquet(s"$sf001/nation.parquet")
+    nation.write.parquet(dir)
+    val target = new Path(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = target.getFileSystem(conf)
+    def parts(): Set[String] = fs.listStatus(target)
+      .map(_.getPath.getName).filter(_.startsWith("part-")).toSet
+    val oldParts = parts()
+    assert(oldParts.nonEmpty)
+
+    val w = new GraftBatchWriteV2(dir, nation.schema, truncateFirst = true)
+    val factory = w.createBatchWriterFactory(new PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }).asInstanceOf[GraftWriterFactoryV2]
+    // stage one real file, then commit it together with a message for a
+    // file that does not exist -> the second rename fails mid-commit
+    val staged = new Path(factory.stagingDir, "part-good.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(dir, oldParts.head), fs, staged, false, conf)
+    val e = intercept[java.io.IOException] {
+      w.commit(Array(
+        GraftCommitV2(staged.toString),
+        GraftCommitV2(new Path(factory.stagingDir,
+          "part-missing.parquet").toString)))
+    }
+    assert(parts() == oldParts,
+      "failed truncate commit must restore the complete old contents")
+    assert(spark.read.parquet(dir).count() == nation.count())
+    // no backup residue left behind
+    assert(!fs.listStatus(target)
+      .exists(_.getPath.getName.startsWith(".graft-v2-backup")))
+  }
+}
