@@ -193,7 +193,9 @@ object GraftSink {
       dir: String,
       mode: SaveMode = SaveMode.ErrorIfExists,
       batchSize: Int = 1000,
-      failPartition: Int = -1): Unit = {
+      failPartition: Int = -1,
+      partName: (String, Int) => String =
+        (jobId, pid) => s"part-$jobId-$pid.parquet"): Unit = {
     val spark = df.sparkSession
     val hadoopConf = spark.sessionState.newHadoopConf()
     val target = new Path(dir)
@@ -222,7 +224,7 @@ object GraftSink {
     val tokens: Array[String] = df.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val conf: Configuration = serConf.value
-      val out = new Path(s"$dirStr/part-$jobId-$pid.parquet")
+      val out = new Path(s"$dirStr/${partName(jobId, pid)}")
       val pfs = out.getFileSystem(conf)
       try {
         if (pid == failPartition) {
@@ -280,6 +282,77 @@ object GraftSink {
     * no schema hint needed. */
   def readCompensating(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Bucketed-table write through the graft sink: produces a layout
+    * Spark's bucketed scan consumes natively, so equi-joins /
+    * aggregations on the bucket keys run WITHOUT a shuffle exchange —
+    * the co-located-join contract that makes a 100 TB fact-fact join
+    * tractable (each of the N bucket pairs joins independently).
+    *
+    * Spark only honors bucketing through the catalog, so this is a
+    * table write (`dir` holds the files, `table` the metadata). The
+    * sink keeps its own commit protocol rather than delegating to
+    * `saveAsTable`:
+    *
+    *  - `repartition(numBuckets, bucketCols)` hash-partitions with
+    *    Spark's own `HashPartitioning` — partition id IS the bucket id
+    *    (`pmod(murmur3(keys), n)`, the identical expression bucketed
+    *    reads assume), so no second shuffle and no bucket-id column;
+    *  - each task writes one parquet file named with the
+    *    `_<bucketId>` suffix `BucketingUtils` parses on the read side,
+    *    committed eagerly with the [[saveCompensating]] token/rollback
+    *    protocol;
+    *  - the table is registered as an EXTERNAL parquet table with a
+    *    `BucketSpec`, interoperable both ways: `spark.table` sees our
+    *    files bucketed, and a `df.write.bucketBy(...).saveAsTable`
+    *    table with the same spec co-locates against ours.
+    */
+  def saveBucketedTable(
+      df: DataFrame,
+      table: String,
+      dir: String,
+      numBuckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      batchSize: Int = 1000): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val spark = df.sparkSession
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (catalog.tableExists(ident)) {
+      mode match {
+        case SaveMode.ErrorIfExists =>
+          throw new AnalysisException(
+            errorClass = "TABLE_OR_VIEW_ALREADY_EXISTS",
+            messageParameters = Map("relationName" -> table))
+        case SaveMode.Ignore => return
+        case _ => catalog.dropTable(ident, ignoreIfNotExists = true,
+          purge = false)
+      }
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    // partition id == Spark bucket id: identical HashPartitioning
+    val parted = df.repartition(numBuckets, bucketCols.map(c): _*)
+    val rows =
+      if (sortCols.isEmpty) parted
+      else parted.sortWithinPartitions(sortCols.map(c): _*)
+    saveCompensating(rows, dir, mode, batchSize,
+      partName = (jobId, pid) => f"part-00000-$jobId%s_$pid%05d" +
+        ".c000.snappy.parquet")
+    import org.apache.spark.sql.catalyst.catalog.{BucketSpec,
+      CatalogStorageFormat, CatalogTable, CatalogTableType}
+    catalog.createTable(CatalogTable(
+      identifier = ident,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(dir).toUri)),
+      schema = df.schema,
+      provider = Some("parquet"),
+      bucketSpec = Some(BucketSpec(numBuckets, bucketCols, sortCols))),
+      ignoreIfExists = false)
+  }
 }
 
 /** ParquetWriter builder bound to Spark's own `ParquetWriteSupport`, so

@@ -32,6 +32,73 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("graft sink writes a bucketed layout that joins shuffle-free") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val li = Tables.t(spark, sf001, "lineitem")
+    val o = Tables.t(spark, sf001, "orders")
+    GraftSink.saveBucketedTable(li, "li_graft_b", s"$base/li", 8,
+      Seq("l_orderkey"), Seq("l_orderkey"), SaveMode.Overwrite)
+    GraftSink.saveBucketedTable(o, "o_graft_b", s"$base/o", 8,
+      Seq("o_orderkey"), Seq("o_orderkey"), SaveMode.Overwrite)
+    // the physical layout carries Spark's bucket-id file suffix, and
+    // every row is in the bucket Spark's own hash assigns it to
+    val files = new java.io.File(s"$base/li").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(files.forall(_.matches(""".*_\d{5}\.c000\.snappy\.parquet""")),
+      s"bucket-id naming missing: ${files.toSeq}")
+    files.foreach { f =>
+      val bucket = """_(\d{5})\.""".r.findFirstMatchIn(f).get.group(1).toInt
+      val wrong = spark.read.parquet(s"$base/li/$f")
+        .filter(pmod(hash(col("l_orderkey")), lit(8)) =!= bucket).count()
+      assert(wrong == 0, s"file $f holds rows of another bucket")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_graft_b").join(spark.table("o_graft_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"graft-bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+      // cross-writer co-location: our layout against a stock
+      // bucketBy.saveAsTable table with the same spec — still no shuffle
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_spark_b")
+      val mixed = spark.table("li_graft_b").join(spark.table("o_spark_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"),
+        "graft-written and Spark-written buckets must co-locate")
+      assert(mixed.count() == joined.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("li_graft_b", "o_graft_b", "o_spark_b")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("bucketed save modes: ErrorIfExists throws, Ignore no-ops") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed-m")
+    val n = Tables.t(spark, sf001, "nation")
+    try {
+      GraftSink.saveBucketedTable(n, "n_graft_b", s"$base/n1", 4,
+        Seq("n_nationkey"))
+      intercept[Exception] {
+        GraftSink.saveBucketedTable(n, "n_graft_b", s"$base/n2", 4,
+          Seq("n_nationkey"))
+      }
+      GraftSink.saveBucketedTable(n.limit(1), "n_graft_b", s"$base/n3", 4,
+        Seq("n_nationkey"), mode = SaveMode.Ignore)
+      assert(spark.table("n_graft_b").count() == n.count(),
+        "Ignore must leave the existing table untouched")
+    } finally spark.sql("DROP TABLE IF EXISTS n_graft_b")
+  }
+
   test("AQE splits the skewed join partition (skew=true in final plan)") {
     import spark.implicits._
     val restore = Seq(
