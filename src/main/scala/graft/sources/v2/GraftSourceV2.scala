@@ -151,18 +151,21 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   private var topN: Array[(String, Boolean, Boolean)] = Array.empty
   private var topNLimit: Int = -1
 
-  /** Top-k pushdown (row mode): each row group emits only its `limit`
-    * best rows under the pushed ordering — a bounded heap over the
-    * scan instead of materializing the group. Spark's retained global
-    * sort+limit merges the per-partition winners, so a `LIMIT 10` over
-    * an ordered 100 TB table ships 10 rows per row group, not the
-    * table. Vectorized mode declines (Spark's TakeOrdered over batches
-    * is already the right plan there). */
+  /** Top-k pushdown (both modes): each row group emits only its
+    * `limit` best rows under the pushed ordering — a bounded heap over
+    * the scan instead of materializing the group. Spark's retained
+    * global sort+limit merges the per-partition winners, so a
+    * `LIMIT 10` over an ordered 100 TB table ships 10 rows per row
+    * group, not the table. Row mode evaluates pushed filters before
+    * the heap; vectorized mode keeps every pushed filter as a residual
+    * (a Filter node above the scan), and Spark only pushes TopN when
+    * the Sort sits directly on the relation — the `pushed.isEmpty`
+    * guard makes that invariant local rather than inherited. */
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
-    if (vectorized) return false
+    if (vectorized && pushed.nonEmpty) return false
     val keys = orders.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -466,8 +469,16 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       conf.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       conf.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
       val tz = spark.sessionState.conf.sessionLocalTimeZone
-      GraftVectorReaderFactory(new SerializableConfiguration(conf),
-        projectedSchema, limit, tz, batchSize)
+      if (topNLimit >= 0 && topN.nonEmpty) {
+        // columnar decode, bounded heap, row emit: k rows per row
+        // group is not a columnar-friendly volume, so the factory
+        // reports no columnar support and Spark plans a row scan
+        GraftVectorTopNReaderFactory(new SerializableConfiguration(conf),
+          projectedSchema, tz, batchSize, topN, topNLimit)
+      } else {
+        GraftVectorReaderFactory(new SerializableConfiguration(conf),
+          projectedSchema, limit, tz, batchSize)
+      }
     }
   }
 }
@@ -861,6 +872,108 @@ class GraftVectorReader(part: GraftInputPartition,
   override def close(): Unit = reader.close()
 }
 
+/** Output-order comparator over pushed sort keys (asc/desc and
+  * nulls-first/last applied per key, Spark double/float total order via
+  * java compare; Comparable fallback covers Decimal/Byte/Short). Shared
+  * by the row-mode and vectorized top-k readers. */
+private[v2] object TopNOrdering {
+  def comparator(schema: StructType,
+      topN: Array[(String, Boolean, Boolean)])
+      : java.util.Comparator[InternalRow] =
+    new java.util.Comparator[InternalRow] {
+      private val keys = topN.map { case (name, asc, nullsFirst) =>
+        val i = schema.fieldNames.indexOf(name)
+        (i, schema(i).dataType, asc, nullsFirst)
+      }
+      override def compare(x: InternalRow, y: InternalRow): Int = {
+        var k = 0
+        while (k < keys.length) {
+          val (i, dt, asc, nullsFirst) = keys(k)
+          val (xn, yn) = (x.isNullAt(i), y.isNullAt(i))
+          val c =
+            if (xn && yn) 0
+            else if (xn) { if (nullsFirst) -1 else 1 }
+            else if (yn) { if (nullsFirst) 1 else -1 }
+            else {
+              val base = (x.get(i, dt), y.get(i, dt)) match {
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  Integer.compare(a, b)
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  java.lang.Long.compare(a, b)
+                case (a: java.lang.Double, b: java.lang.Double) =>
+                  java.lang.Double.compare(a, b)
+                case (a: java.lang.Float, b: java.lang.Float) =>
+                  java.lang.Float.compare(a, b)
+                case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+                  java.lang.Boolean.compare(a, b)
+                case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+                case (a: Comparable[_], b) =>
+                  a.asInstanceOf[Comparable[Any]].compareTo(b)
+                case _ => 0
+              }
+              if (asc) base else -base
+            }
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+}
+
+/** Vectorized top-k: decodes through the same columnar
+  * `VectorizedParquetRecordReader` as the batch scan (column-at-a-time,
+  * ~10x parquet-mr), folds every batch of the row group into a bounded
+  * heap, and emits only the k winners — as rows, since k rows per row
+  * group is no longer a columnar-friendly volume. A `LIMIT k` over an
+  * ordered 100 TB table ships k rows per row group off the scan
+  * instead of full batches into the global TakeOrdered. */
+case class GraftVectorTopNReaderFactory(conf: SerializableConfiguration,
+    readSchema: StructType, sessionTz: String, batchSize: Int,
+    topN: Array[(String, Boolean, Boolean)], topNLimit: Int)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val inner = new GraftVectorReader(p, conf.value, -1, sessionTz,
+      batchSize)
+    new PartitionReader[InternalRow] {
+      private var iter: Iterator[InternalRow] = _
+      private var current: InternalRow = _
+
+      private def compute(): Iterator[InternalRow] = {
+        val cmp = TopNOrdering.comparator(readSchema, topN)
+        val pq = new java.util.PriorityQueue[InternalRow](
+          math.max(topNLimit, 1), cmp.reversed())
+        try {
+          while (inner.next()) {
+            val rows = inner.get().rowIterator()
+            while (rows.hasNext) {
+              val row = rows.next() // mutable view — copy only winners
+              if (pq.size < topNLimit) pq.add(row.copy())
+              else if (cmp.compare(row, pq.peek()) < 0) {
+                pq.poll(); pq.add(row.copy())
+              }
+            }
+          }
+        } finally inner.close()
+        val arr = new Array[InternalRow](pq.size)
+        var i = arr.length - 1
+        while (i >= 0) { arr(i) = pq.poll(); i -= 1 }
+        arr.iterator
+      }
+
+      override def next(): Boolean = {
+        if (iter == null) iter = compute()
+        if (iter.hasNext) { current = iter.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
 /** Reads exactly one row group through parquet-mr with column projection,
   * source-side filter evaluation, a per-partition row cap, and (when a
   * top-k was pushed) a bounded-heap per-partition top-N. */
@@ -933,52 +1046,10 @@ class GraftRowGroupReader(part: GraftInputPartition,
       out
     }
 
-  /** Output-order comparator over the pushed sort keys (asc/desc and
-    * nulls-first/last applied per key, Spark double/float total order
-    * via java compare). */
-  private lazy val topNComparator: java.util.Comparator[InternalRow] =
-    new java.util.Comparator[InternalRow] {
-      private val keys = topN.map { case (name, asc, nullsFirst) =>
-        val i = extSchema.fieldNames.indexOf(name)
-        (i, extSchema(i).dataType, asc, nullsFirst)
-      }
-      override def compare(x: InternalRow, y: InternalRow): Int = {
-        var k = 0
-        while (k < keys.length) {
-          val (i, dt, asc, nullsFirst) = keys(k)
-          val (xn, yn) = (x.isNullAt(i), y.isNullAt(i))
-          val c =
-            if (xn && yn) 0
-            else if (xn) { if (nullsFirst) -1 else 1 }
-            else if (yn) { if (nullsFirst) 1 else -1 }
-            else {
-              val base = (x.get(i, dt), y.get(i, dt)) match {
-                case (a: java.lang.Integer, b: java.lang.Integer) =>
-                  Integer.compare(a, b)
-                case (a: java.lang.Long, b: java.lang.Long) =>
-                  java.lang.Long.compare(a, b)
-                case (a: java.lang.Double, b: java.lang.Double) =>
-                  java.lang.Double.compare(a, b)
-                case (a: java.lang.Float, b: java.lang.Float) =>
-                  java.lang.Float.compare(a, b)
-                case (a: java.lang.Boolean, b: java.lang.Boolean) =>
-                  java.lang.Boolean.compare(a, b)
-                case (a: UTF8String, b: UTF8String) => a.compareTo(b)
-                case _ => 0
-              }
-              if (asc) base else -base
-            }
-          if (c != 0) return c
-          k += 1
-        }
-        0
-      }
-    }
-
   /** Bounded heap over the (filtered) row group: O(rows · log k) time,
     * O(k) memory, emits the partition's top-k in output order. */
   private def computeTopN(): Iterator[InternalRow] = {
-    val cmp = topNComparator
+    val cmp = TopNOrdering.comparator(extSchema, topN)
     val pq = new java.util.PriorityQueue[InternalRow](
       math.max(topNLimit, 1), cmp.reversed())
     while (readCount < totalRows) {

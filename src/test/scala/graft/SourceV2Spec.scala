@@ -201,6 +201,37 @@ class SourceV2Spec extends SparkTestBase {
     assert(df.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("top-k pushdown (vectorized): columnar decode, bounded heap") {
+    // default path (vectorized=true) — no longer declines pushTopN
+    def v2vec = spark.read.format("graft-v2")
+      .option("path", s"$sf001/lineitem.parquet").load()
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+      col("l_linenumber"))
+    val df = v2vec.orderBy(ord: _*).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN"), plan)
+    val expected = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .orderBy(ord: _*).limit(5)
+    assert(df.collect().toSeq == expected.collect().toSeq)
+    // with a filter the vectorized path declines (filters stay
+    // residual above the scan), and the result is still correct
+    val filtered = v2vec.filter(col("l_quantity") > 10)
+      .orderBy(ord: _*).limit(5)
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedTopN"))
+    val expectedF = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(col("l_quantity") > 10).orderBy(ord: _*).limit(5)
+    assert(filtered.collect().toSeq == expectedF.collect().toSeq)
+    // strings + nulls-aware ordering through the vectorized heap
+    val sOrd = Seq(col("l_returnflag").desc_nulls_last, col("l_orderkey"),
+      col("l_linenumber"))
+    val sdf = v2vec.orderBy(sOrd: _*).limit(7)
+    assert(sdf.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(sdf.collect().toSeq == spark.read
+      .parquet(s"$sf001/lineitem.parquet").orderBy(sOrd: _*).limit(7)
+      .collect().toSeq)
+  }
+
   test("top-k pushdown honors null ordering") {
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-topn")
       .resolve("t").toString
