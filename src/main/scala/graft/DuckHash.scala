@@ -1,0 +1,393 @@
+package graft
+
+/** DuckDB renderings of graft's deterministic text hashes
+  * ([[graft.functions.TextHashing]]), so `q_fingerprint` and
+  * `q_lang_id` can be hash-checked against an INDEPENDENT oracle
+  * instead of rows-only.
+  *
+  * The Scala side works in Java `Long` arithmetic — i.e. mod 2^64 with
+  * two's-complement wrap. DuckDB raises on BIGINT overflow, so every
+  * operation here is rendered over HUGEINT (128-bit) values kept
+  * canonical in [0, 2^64):
+  *
+  *  - `a * b mod 2^64` splits both operands at 2^32 (the a_hi*b_hi
+  *    term vanishes mod 2^64; every partial product fits HUGEINT);
+  *  - xor converts to signed BIGINT (bit pattern identical), xors,
+  *    and converts back;
+  *  - `>>> n` on the canonical form is plain `// 2^n`.
+  *
+  * The rolling fingerprint needs no rolling at all: the recurrence is
+  * mod-2^64 consistent, so each window hash is computed directly as
+  * `sum(c_j * B^(w-1-j)) mod 2^64` with the powers precomputed here
+  * and inlined as literals. The splitmix `mix` steps are rendered as
+  * stacked CTE columns (not nested lambdas) so each step is evaluated
+  * once per row instead of exponentially re-expanded.
+  */
+private[graft] object DuckHash {
+  private val P64 = BigInt(1) << 64
+  private val P32 = BigInt(1) << 32
+  private val P63 = BigInt(1) << 63
+  private val Gold = BigInt("9e3779b97f4a7c15", 16)
+  private val MixM1 = BigInt("bf58476d1ce4e5b9", 16)
+  private val MixM2 = BigInt("94d049bb133111eb", 16)
+  private val FnvPrime = BigInt("100000001b3", 16)
+  private val FnvInit = BigInt("cbf29ce484222325", 16)
+
+  /** (a*b) mod 2^64, all intermediates within HUGEINT. */
+  private def mulmod(a: String, b: String): String =
+    s"(((($a)%$P32)*(($b)%$P32) + (((($a)%$P32)*(($b)//$P32) + " +
+      s"(($a)//$P32)*(($b)%$P32))%$P32)*$P32)%$P64)"
+
+  /** xor of two canonical u64 via the signed-BIGINT bit pattern. */
+  private def xormod(a: String, b: String): String = {
+    val sa = s"(CASE WHEN ($a) >= $P63 THEN ($a)-$P64 ELSE ($a) END)::BIGINT"
+    val sb = s"(CASE WHEN ($b) >= $P63 THEN ($b)-$P64 ELSE ($b) END)::BIGINT"
+    val x = s"xor($sa, $sb)"
+    s"(CASE WHEN $x < 0 THEN $x::HUGEINT+$P64 ELSE $x::HUGEINT END)"
+  }
+
+  /** Canonical u64 -> the Java Long bit pattern as signed BIGINT. */
+  private def toSigned(e: String): String =
+    s"((CASE WHEN ($e) >= $P63 THEN ($e)-$P64 ELSE ($e) END)::BIGINT)"
+
+  /** FNV-1a over the codepoints of `cp` (a HUGEINT list column) —
+    * [[graft.functions.TextHashing.hash64]]. Sequential fold via
+    * list_reduce with the init value prepended. */
+  private def fnvOverCp(cp: String): String =
+    s"list_reduce(list_prepend($FnvInit::HUGEINT, $cp), " +
+      s"(acc, c) -> ${mulmod(xormod("acc", "c"), FnvPrime.toString)})"
+
+  /** The four splitmix steps of [[TextHashing.mix]] as stacked SELECTs
+    * over source `src`, carrying `keep` columns; input column `h`,
+    * output column `mx`. `seed * GOLD mod 2^64` is precomputed. */
+  private def mixSteps(seed: Long, keep: Seq[String], h: String,
+      src: String): String = {
+    val c1 = (BigInt(seed) * Gold).mod(P64)
+    val cols = keep.mkString(", ")
+    s"""SELECT $cols, ${xormod("m3", s"(m3)//${1L << 31}")} AS mx FROM (
+       |  SELECT $cols, ${mulmod(xormod("m2", s"(m2)//${1L << 27}"),
+            MixM2.toString)} AS m3 FROM (
+       |    SELECT $cols, ${mulmod(xormod("m1", s"(m1)//${1L << 30}"),
+            MixM1.toString)} AS m2 FROM (
+       |      SELECT $cols, ${xormod(h, c1.toString)} AS m1 FROM $src
+       |    )))""".stripMargin
+  }
+
+  private def tokensExpr(textCol: String): String =
+    s"list_filter(string_split_regex(lower($textCol), " +
+      """'[^\p{L}\p{N}]+'), t -> t <> '')"""
+
+  private val cpExpr =
+    "list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)"
+
+  /** Oracle for `q_fingerprint` (doc_id, fp, sh) — window-min rolling
+    * fingerprint (w=16) + 64-bit simhash over stopword-split tokens,
+    * both bit-identical to the Catalyst expressions. */
+  def fingerprintOracle(w: Int = 16): String = {
+    val pow = (0 until w).map(j => (BigInt(1000003).modPow(
+      BigInt(w - 1 - j), P64)).toString + "::HUGEINT")
+      .mkString("[", ",", "]")
+    val winHash =
+      s"(list_sum(list_transform(range(0,$w), j -> cp[i+j]*($pow)[j+1]))%$P64)"
+    val bits = (0 until 64).map { b =>
+      s"(CASE WHEN sum(CASE WHEN ((h//${BigInt(1) << b})%2)=1 " +
+        s"THEN 1 ELSE -1 END) > 0 THEN ${BigInt(1) << b}::HUGEINT " +
+        "ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, $cpExpr AS cp, length(text) AS len,
+       |         ${tokensExpr("text")} AS toks
+       |  FROM documents
+       |),
+       |winh AS (
+       |  SELECT b.doc_id, $winHash AS h
+       |  FROM (SELECT doc_id, cp, unnest(range(1, len-$w+2)) AS i
+       |        FROM base WHERE len >= $w) b(doc_id, cp, i)
+       |),
+       |fpmix AS (${mixSteps(13L, Seq("doc_id"), "h", "winh")}),
+       |fpw AS (SELECT doc_id, min(${toSigned("mx")}) AS fp
+       |        FROM fpmix GROUP BY doc_id),
+       |tokrow AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+       |tokh AS (SELECT doc_id, (${fnvOverCp(
+            "list_transform(string_split(tok,''), c -> unicode(c)::HUGEINT)")
+          }) AS h0 FROM tokrow),
+       |shmix AS (${mixSteps(7L, Seq("doc_id"), "h0", "tokh")}),
+       |shw AS (SELECT doc_id, ${toSigned(s"($bits)")} AS sh
+       |        FROM (SELECT doc_id, mx AS h FROM shmix) GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.len < $w THEN ${toSigned(fnvOverCp("b.cp"))}
+       |       ELSE f.fp END AS fp,
+       |  coalesce(s.sh, 0) AS sh
+       |FROM base b
+       |LEFT JOIN fpw f USING (doc_id)
+       |LEFT JOIN shw s USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** Stepwise column-chain builder: each op lands in its own column of
+    * a stacked SELECT, so multi-step hashes are evaluated once per row.
+    * Composing them as one nested expression instead re-expands every
+    * input reference — the 5-step murmur fold would duplicate its base
+    * subexpression ~8^5 times. */
+  private final class Chain(src: String, keep: Seq[String]) {
+    private var steps = List.empty[(String, String)]
+    private var n = 0
+    def add(expr: String): String = {
+      n += 1; val name = s"c$n"; steps ::= (name, expr); name
+    }
+    def render(): String = {
+      var sql = src
+      var cols = keep.mkString(", ")
+      steps.reverse.foreach { case (name, expr) =>
+        sql = s"SELECT $cols, $expr AS $name FROM ($sql)"
+        cols += s", $name"
+      }
+      sql
+    }
+  }
+
+  // ---- Murmur3 x86_32 (Spark's `hash()` / Murmur3Hash, seed 42) over
+  // canonical u32 values; products stay within HUGEINT ----
+  private val U32 = BigInt(1) << 32
+  private def rotl32(x: String, r: Int): String =
+    s"(((($x)*${1L << r})%$U32) + (($x)//${1L << (32 - r)}))"
+  private def xor32(a: String, b: String): String =
+    s"(xor(($a)::BIGINT, ($b)::BIGINT)::HUGEINT)"
+  private def murmurMixStep(ch: Chain, h: String, v: String): String = {
+    val k1 = ch.add(s"((($v)*3432918353)%$U32)")
+    val k2 = ch.add(rotl32(k1, 15))
+    val k3 = ch.add(s"((($k2)*461845907)%$U32)")
+    val h1 = ch.add(xor32(h, k3))
+    val h2 = ch.add(rotl32(h1, 13))
+    ch.add(s"((($h2)*5 + 3864292196)%$U32)")
+  }
+  private def murmurFmix(ch: Chain, h: String, len: Int): String = {
+    val a = ch.add(xor32(h, len.toString))
+    val b = ch.add(xor32(a, s"($a)//65536"))
+    val c = ch.add(s"((($b)*2246822507)%$U32)")
+    val d = ch.add(xor32(c, s"($c)//8192"))
+    val e = ch.add(s"((($d)*3266489909)%$U32)")
+    ch.add(xor32(e, s"($e)//65536"))
+  }
+  private def murmurHashInt(ch: Chain, h: String, v: String): String =
+    murmurFmix(ch, murmurMixStep(ch, h, v), 4)
+  private def murmurHashLong(ch: Chain, h: String, v64: String): String = {
+    val lo = ch.add(s"(($v64)%$U32)")
+    val hi = ch.add(s"(($v64)//$U32)")
+    murmurFmix(ch, murmurMixStep(ch, murmurMixStep(ch, h, lo), hi), 8)
+  }
+
+  /** CTE block computing the 64-bit simhash per doc —
+    * [[TextHashing.simhash64]]: FNV per token, mix(seed 7), 64 vote
+    * bits. Emits `sall(id, u, sh)`: canonical u64 + signed. */
+  private def simhashCtes: String = {
+    val c7 = (BigInt(7) * Gold).mod(P64)
+    val bits = (0 until 64).map { b =>
+      s"(CASE WHEN sum(CASE WHEN ((h//${BigInt(1) << b})%2)=1 " +
+        s"THEN 1 ELSE -1 END) > 0 THEN ${BigInt(1) << b}::HUGEINT " +
+        "ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    s"""base AS (SELECT doc_id, ${tokensExpr("text")} AS toks
+       |  FROM documents),
+       |tokrow AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+       |h0 AS (SELECT doc_id, (${fnvOverCp(
+            "list_transform(string_split(tok,''), c -> unicode(c)::HUGEINT)")
+          }) AS f0 FROM tokrow),
+       |m1 AS (SELECT doc_id, ${xormod("f0", c7.toString)} AS m1 FROM h0),
+       |m2 AS (SELECT doc_id, ${mulmod(xormod("m1", s"(m1)//${1L << 30}"),
+            MixM1.toString)} AS m2 FROM m1),
+       |m3 AS (SELECT doc_id, ${mulmod(xormod("m2", s"(m2)//${1L << 27}"),
+            MixM2.toString)} AS m3 FROM m2),
+       |mx AS (SELECT doc_id, ${xormod("m3", s"(m3)//${1L << 31}")} AS h
+       |  FROM m3),
+       |shu AS (SELECT doc_id, ($bits) AS u FROM mx GROUP BY doc_id),
+       |sall AS (SELECT b.doc_id AS id, coalesce(s.u, 0::HUGEINT) AS u,
+       |    ${toSigned("coalesce(s.u, 0::HUGEINT)")} AS sh
+       |  FROM base b LEFT JOIN shu s USING (doc_id))""".stripMargin
+  }
+
+  /** Oracle for `q_dedup_simhash` (id_a, id_b, hamming) — 4x16-bit
+    * band buckets over the simhash, pairs within a bucket, Hamming
+    * rerank. Renders the UNCAPPED pairing, which is exactly what
+    * [[graft.operators.Dedup.cappedBucketJoin]] executes when no
+    * bucket exceeds the cap (the guarded path is data-dependent block
+    * chaining and is exercised by the OperatorsSpec hot-bucket suite
+    * instead). */
+  def dedupSimhashOracle(maxHamming: Int = 10): String =
+    s"""WITH $simhashCtes,
+       |banded AS (SELECT id, sh, b.band,
+       |    (u // (CASE b.band WHEN 0 THEN 1 WHEN 1 THEN 65536
+       |           WHEN 2 THEN 4294967296 ELSE 281474976710656 END))
+       |      % 65536 AS bh
+       |  FROM sall, (SELECT unnest([0,1,2,3]) AS band) b),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b2.sh)) AS INTEGER) AS hamming
+       |  FROM banded a JOIN banded b2
+       |  ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id)
+       |SELECT id_a, id_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+
+  /** CTE block for the MinHash+LSH candidate/rerank pipeline of
+    * [[Dedup.minHashLsh]] (k=64, bands=16, char-3-gram rerank): shingle
+    * FNV (identical shingles deduped before the 64-permutation
+    * explosion — the min is unaffected), the k splitmix permutations as
+    * stacked columns, Spark-Murmur3 band hashes via the Chain builder,
+    * candidate self-join, and exact 3-gram-hash-set Jaccard (the gram
+    * SETS are FNV hashes, mirroring [[TextHashing.ngramJaccard]]
+    * bit-for-bit, hash collisions included). Ends with
+    * `jac(id_a, id_b, j)`. */
+  private def minhashJaccardCtes: String = {
+    val C = 3; val K = 64; val Rows = 4; val Bands = 16
+    val lmax = (BigInt(1) << 63) - 1
+    val ch = new Chain(
+      s"SELECT id, band, s FROM sigall, " +
+        s"(SELECT unnest(range(0, $Bands)) AS band)",
+      Seq("id", "band", "s"))
+    var h = murmurHashInt(ch, "42", "band")
+    (0 until Rows).foreach { k =>
+      h = murmurHashLong(ch, h, s"s[band*$Rows+${k + 1}]")
+    }
+    val bandedSql = s"SELECT id, band, $h AS bh FROM (${ch.render()})"
+    s"""base AS (SELECT doc_id, text, ${tokensExpr("text")} AS toks,
+       |    length(text) AS len FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(range(1, len(toks)-$C+2)) AS i, toks
+       |  FROM base WHERE len(toks) >= $C),
+       |shs AS (SELECT doc_id,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sgl
+       |  FROM sh0),
+       |shh AS (SELECT doc_id, (${fnvOverCp(
+            "list_transform(string_split(sgl,''), c -> unicode(c)::HUGEINT)")
+          }) AS h0 FROM shs),
+       |shd AS (SELECT DISTINCT doc_id, h0 FROM shh),
+       |perm AS (SELECT doc_id, h0, j::HUGEINT AS j FROM shd,
+       |  (SELECT unnest(range(1, ${K + 1})) AS j)),
+       |p1 AS (SELECT doc_id, j, ${xormod("h0",
+            mulmod("j", Gold.toString))} AS m1 FROM perm),
+       |p2 AS (SELECT doc_id, j, ${mulmod(xormod("m1", s"(m1)//${1L << 30}"),
+            MixM1.toString)} AS m2 FROM p1),
+       |p3 AS (SELECT doc_id, j, ${mulmod(xormod("m2", s"(m2)//${1L << 27}"),
+            MixM2.toString)} AS m3 FROM p2),
+       |p4 AS (SELECT doc_id, j, ${xormod("m3", s"(m3)//${1L << 31}")} AS hj
+       |  FROM p3),
+       |sigm AS (SELECT doc_id, j, min(${toSigned("hj")}) AS sj
+       |  FROM p4 GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(CASE WHEN sj < 0
+       |    THEN sj::HUGEINT+$P64 ELSE sj::HUGEINT END ORDER BY j) AS s
+       |  FROM sigm GROUP BY doc_id),
+       |sigall AS (SELECT b.doc_id AS id,
+       |    coalesce(g.s, [${Seq.fill(K)(s"$lmax::HUGEINT").mkString(", ")}])
+       |      AS s
+       |  FROM base b LEFT JOIN sig g USING (doc_id)),
+       |banded AS ($bandedSql),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM banded a JOIN banded b2
+       |  ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id),
+       |g0 AS (SELECT doc_id AS id, unnest(range(1, len-$C+2)) AS i, text
+       |  FROM base WHERE len >= $C),
+       |g1 AS (SELECT id, (${fnvOverCp(
+            s"list_transform(string_split(text[i:i+$C-1],'')," +
+              " c -> unicode(c)::HUGEINT)")}) AS gh FROM g0),
+       |gset AS (SELECT id, list(DISTINCT gh) AS gs FROM g1 GROUP BY id),
+       |jac AS (SELECT c.id_a, c.id_b,
+       |    len(list_intersect(ga.gs, gb.gs))::DOUBLE /
+       |    (len(ga.gs) + len(gb.gs)
+       |      - len(list_intersect(ga.gs, gb.gs)))::DOUBLE AS j
+       |  FROM cand c JOIN gset ga ON ga.id = c.id_a
+       |  JOIN gset gb ON gb.id = c.id_b)""".stripMargin
+  }
+
+  /** Oracle for `q_dedup_near` (id_a, id_b, jaccard). Same uncapped-
+    * pairing caveat as [[dedupSimhashOracle]]. */
+  def dedupNearOracle(minJaccard: Double = 0.2): String =
+    s"""WITH $minhashJaccardCtes
+       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac
+       |WHERE j >= $minJaccard ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for `q_dedup_cluster` (doc_id, cluster) — connected
+    * components of the near-dup pair graph by min-label propagation
+    * (GraphX ConnectedComponents returns the lowest vertex id per
+    * component). Edges MATERIALIZED so the recursion iterates over the
+    * 2|pairs| rows, not re-evaluating the whole minhash pipeline. */
+  def dedupClusterOracle(minJaccard: Double = 0.2): String =
+    s"""WITH RECURSIVE $minhashJaccardCtes,
+       |pairsx AS MATERIALIZED (SELECT id_a, id_b FROM jac
+       |  WHERE j >= $minJaccard),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairsx
+       |  UNION SELECT id_b, id_a FROM pairsx),
+       |verts AS (SELECT DISTINCT src AS vid FROM edges),
+       |reach(vid, anc) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.vid
+       |  WHERE r.anc < e.dst
+       |)
+       |SELECT vid AS doc_id, min(anc) AS cluster FROM reach
+       |GROUP BY vid ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `q_lang_id` (guessed, n) — per-char script
+    * classification in the Scala else-if order, then stopword voting
+    * with maxBy's (count, code) tie-break, exactly
+    * [[graft.functions.LangGuess.guess]]. */
+  def langIdOracle(stop: Map[String, Set[String]]): String = {
+    def inList(vals: Set[String]): String =
+      vals.toSeq.sorted.map(v => "'" + v.replace("'", "''") + "'")
+        .mkString("(", ",", ")")
+    // first-matching-range, like the Scala else-if chain; the regexp
+    // letter test only runs for chars outside every script range
+    val cls =
+      """list_transform(string_split(text,''), ch -> CASE
+        | WHEN unicode(ch) BETWEEN 19968 AND 40959 THEN 'zh'
+        | WHEN unicode(ch) BETWEEN 12352 AND 12543 THEN 'ja'
+        | WHEN unicode(ch) BETWEEN 44032 AND 55215 THEN 'ko'
+        | WHEN unicode(ch) BETWEEN 1024 AND 1279 THEN 'ru'
+        | WHEN unicode(ch) BETWEEN 1536 AND 1791 THEN 'ar'
+        | WHEN unicode(ch) BETWEEN 3584 AND 3711 THEN 'th'
+        | WHEN unicode(ch) BETWEEN 2304 AND 2431 THEN 'hi'
+        | WHEN regexp_matches(ch, '^\p{L}$') THEN 'lat' ELSE 'x' END)"""
+        .stripMargin.replace("\n", "")
+    def cnt(k: String) = s"len(list_filter(cls, c -> c = '$k'))"
+    val votes = stop.toSeq.sortBy(_._1).map { case (l, sw) =>
+      s"len(list_filter(toks, t -> t IN ${inList(sw)})) AS v_$l"
+    }.mkString(",\n    ")
+    val vmax = "greatest(v_en, v_de, v_fr, v_es, v_it, v_pt)"
+    val scr = "greatest(s_ja, s_zh, s_ko, s_ru, s_ar, s_th, s_hi)"
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensExpr("text")} AS toks, $cls AS cls
+       |  FROM documents
+       |),
+       |feat AS (
+       |  SELECT doc_id, toks,
+       |    ${cnt("ja")} AS s_ja, ${cnt("zh")} AS s_zh,
+       |    ${cnt("ko")} AS s_ko, ${cnt("ru")} AS s_ru,
+       |    ${cnt("ar")} AS s_ar, ${cnt("th")} AS s_th,
+       |    ${cnt("hi")} AS s_hi, ${cnt("lat")} AS s_lat,
+       |    $votes
+       |  FROM base
+       |),
+       |g AS (
+       |  SELECT doc_id, CASE
+       |    WHEN $scr > 0 AND $scr*5 >= s_lat THEN
+       |      CASE
+       |        WHEN s_ja >= $scr THEN 'ja'
+       |        WHEN s_zh >= $scr THEN
+       |          (CASE WHEN s_ja > 0 THEN 'ja' ELSE 'zh' END)
+       |        WHEN s_ko >= $scr THEN 'ko'
+       |        WHEN s_ru >= $scr THEN 'ru'
+       |        WHEN s_ar >= $scr THEN 'ar'
+       |        WHEN s_th >= $scr THEN 'th'
+       |        ELSE 'hi' END
+       |    WHEN s_lat = 0 THEN 'und'
+       |    WHEN len(toks) = 0 THEN 'und'
+       |    WHEN $vmax = 0 THEN 'und'
+       |    WHEN v_pt >= $vmax THEN 'pt'
+       |    WHEN v_it >= $vmax THEN 'it'
+       |    WHEN v_fr >= $vmax THEN 'fr'
+       |    WHEN v_es >= $vmax THEN 'es'
+       |    WHEN v_en >= $vmax THEN 'en'
+       |    ELSE 'de' END AS guessed
+       |  FROM feat
+       |)
+       |SELECT guessed, count(*) AS n FROM g
+       |GROUP BY guessed ORDER BY guessed""".stripMargin
+  }
+}

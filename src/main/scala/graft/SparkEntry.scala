@@ -696,6 +696,11 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q_fingerprint" -> DuckHash.fingerprintOracle(16),
+    "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),
+    "q_dedup_simhash" -> DuckHash.dedupSimhashOracle(10),
+    "q_dedup_near" -> DuckHash.dedupNearOracle(0.2),
+    "q_dedup_cluster" -> DuckHash.dedupClusterOracle(0.2),
     "q_udaf_custom" ->
       """SELECT l_returnflag,
         |round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty

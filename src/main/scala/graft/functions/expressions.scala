@@ -345,7 +345,9 @@ case class LangGuess(child: Expression) extends UnaryExpression {
 }
 
 object LangGuess {
-  private val stop: Map[String, Set[String]] = Map(
+  // visible to graft.DuckHash, which renders the same lexicon into the
+  // DuckDB oracle SQL
+  private[graft] val stop: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "with", "are", "this"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "sich"),
     "fr" -> Set("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas", "des", "du"),
