@@ -194,8 +194,11 @@ object GraftSink {
       mode: SaveMode = SaveMode.ErrorIfExists,
       batchSize: Int = 1000,
       failPartition: Int = -1,
-      partName: (String, Int) => String =
-        (jobId, pid) => s"part-$jobId-$pid.parquet"): Unit = {
+      partName: (String, Int, Int) => String =
+        (jobId, pid, seq) =>
+          if (seq == 0) s"part-$jobId-$pid.parquet"
+          else s"part-$jobId-$pid-$seq.parquet",
+      maxRowsPerFile: Long = Long.MaxValue): Unit = {
     val spark = df.sparkSession
     val hadoopConf = spark.sessionState.newHadoopConf()
     val target = new Path(dir)
@@ -224,8 +227,12 @@ object GraftSink {
     val tokens: Array[String] = df.queryExecution.toRdd.mapPartitions { rows =>
       val pid = TaskContext.getPartitionId()
       val conf: Configuration = serConf.value
-      val out = new Path(s"$dirStr/${partName(jobId, pid)}")
-      val pfs = out.getFileSystem(conf)
+      // Files this task has opened, newest last; rolled at
+      // `maxRowsPerFile` so one skewed partition (e.g. a hot bucket in
+      // a bucketed write) yields several bounded parquet files instead
+      // of one giant one. Every file is its own commit token.
+      val written = ArrayBuffer.empty[Path]
+      val pfs = new Path(dirStr).getFileSystem(conf)
       try {
         if (pid == failPartition) {
           throw new RuntimeException(s"injected failure in partition $pid")
@@ -233,15 +240,20 @@ object GraftSink {
         // Resource acquisition through the retry-with-deadline helper —
         // generalization of the reference's connection factory
         // (ExtJdbcUtils.scala:19-52).
-        val writer: ParquetWriter[InternalRow] = Retry.withDeadline(
-          retryOn = _.isInstanceOf[java.io.IOException]) {
-          new InternalRowParquetBuilder(HadoopOutputFile.fromPath(out, conf))
-            .withConf(conf)
-            .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-            .withCompressionCodec(CompressionCodecName.SNAPPY)
-            .withPageRowCountLimit(pageRows)
-            .build()
+        def open(seq: Int): ParquetWriter[InternalRow] = {
+          val out = new Path(s"$dirStr/${partName(jobId, pid, seq)}")
+          written += out
+          Retry.withDeadline(
+            retryOn = _.isInstanceOf[java.io.IOException]) {
+            new InternalRowParquetBuilder(HadoopOutputFile.fromPath(out, conf))
+              .withConf(conf)
+              .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+              .withCompressionCodec(CompressionCodecName.SNAPPY)
+              .withPageRowCountLimit(pageRows)
+              .build()
+          }
         }
+        var writer: ParquetWriter[InternalRow] = open(0)
         // Idempotent close on ANY task exit (kill included) — the analog
         // of the reference's task-completion listener + idempotent close
         // (JDBCRDDWithLimit.scala:83-117,140-141).
@@ -250,15 +262,29 @@ object GraftSink {
           if (closed.compareAndSet(false, true)) writer.close()
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => closeOnce()))
-        try rows.foreach(writer.write)
-        finally closeOnce()
-        Iterator.single(out.toString) // the "committed txn id"
+        try {
+          var inFile = 0L
+          var seq = 0
+          rows.foreach { row =>
+            if (inFile >= maxRowsPerFile) {
+              writer.close()
+              seq += 1
+              writer = open(seq)
+              inFile = 0L
+            }
+            writer.write(row)
+            inFile += 1
+          }
+        } finally closeOnce()
+        written.iterator.map(_.toString) // the "committed txn ids"
       } catch {
         case NonFatal(e) =>
           // Roll back our own work (ExtJdbcUtils.scala:285-287), report
           // the sentinel instead of throwing (ExtJdbcUtils.scala:266-279)
           // so the driver sees every task's outcome.
-          try pfs.delete(out, false) catch { case _: Throwable => () }
+          written.foreach { p =>
+            try pfs.delete(p, false) catch { case _: Throwable => () }
+          }
           val at = e.getStackTrace.take(6).mkString(" @ ", " <- ", "")
           Iterator.single(FailedToken + ":" + e + at)
       }
@@ -315,7 +341,8 @@ object GraftSink {
       bucketCols: Seq[String],
       sortCols: Seq[String] = Nil,
       mode: SaveMode = SaveMode.ErrorIfExists,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      maxRowsPerFile: Long = Long.MaxValue): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
     val spark = df.sparkSession
@@ -338,9 +365,13 @@ object GraftSink {
     val rows =
       if (sortCols.isEmpty) parted
       else parted.sortWithinPartitions(sortCols.map(c): _*)
+    // `seq` rolls a skewed bucket into several bounded files (Spark's
+    // bucketed read groups all files carrying the same _<bucketId>
+    // suffix back into one bucket partition)
     saveCompensating(rows, dir, mode, batchSize,
-      partName = (jobId, pid) => f"part-00000-$jobId%s_$pid%05d" +
-        ".c000.snappy.parquet")
+      partName = (jobId, pid, seq) => f"part-00000-$jobId%s_$pid%05d" +
+        f".c$seq%03d.snappy.parquet",
+      maxRowsPerFile = maxRowsPerFile)
     import org.apache.spark.sql.catalyst.catalog.{BucketSpec,
       CatalogStorageFormat, CatalogTable, CatalogTableType}
     catalog.createTable(CatalogTable(

@@ -80,6 +80,53 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("skewed bucket rolls into multiple files, still one bucket") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed-r")
+    val li = Tables.t(spark, sf001, "lineitem")
+    // force rollover: ~6000 rows over 4 buckets, max 500 rows per file
+    GraftSink.saveBucketedTable(li, "li_graft_roll", s"$base/li", 4,
+      Seq("l_orderkey"), Nil, SaveMode.Overwrite, maxRowsPerFile = 500)
+    try {
+      val files = new java.io.File(s"$base/li").listFiles()
+        .map(_.getName).filter(_.startsWith("part-"))
+      assert(files.length > 4,
+        s"expected rolled files beyond one per bucket: ${files.toSeq}")
+      // all files of one bucket share the _NNNNN suffix; Spark groups
+      // them back into a single bucket partition
+      val byBucket = files.groupBy(f =>
+        """_(\d{5})\.""".r.findFirstMatchIn(f).get.group(1).toInt)
+      assert(byBucket.keySet == Set(0, 1, 2, 3))
+      assert(byBucket.values.exists(_.length > 1))
+      byBucket.foreach { case (bucket, fs) =>
+        fs.foreach { f =>
+          val wrong = spark.read.parquet(s"$base/li/$f")
+            .filter(pmod(hash(col("l_orderkey")), lit(4)) =!= bucket)
+            .count()
+          assert(wrong == 0, s"file $f holds rows of another bucket")
+        }
+      }
+      assert(spark.table("li_graft_roll").count() == li.count())
+      // rolled layout still joins shuffle-free on the bucket key
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val o = Tables.t(spark, sf001, "orders")
+        GraftSink.saveBucketedTable(o, "o_graft_roll", s"$base/o", 4,
+          Seq("o_orderkey"), Nil, SaveMode.Overwrite)
+        val joined = spark.table("li_graft_roll")
+          .join(spark.table("o_graft_roll"),
+            col("l_orderkey") === col("o_orderkey"))
+        assert(!joined.queryExecution.executedPlan.toString
+          .contains("Exchange"))
+        assert(joined.count() ==
+          li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Seq("li_graft_roll", "o_graft_roll")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed save modes: ErrorIfExists throws, Ignore no-ops") {
     import graft.sources.GraftSink
     import org.apache.spark.sql.SaveMode
