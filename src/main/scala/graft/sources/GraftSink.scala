@@ -309,6 +309,36 @@ object GraftSink {
   def readCompensating(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Bucket-count advisor for [[saveBucketedTable]] — the analog of
+    * `Dedup.autoPlanes` for LSH: one cheap aggregation sizes the
+    * bucket count to the data instead of a guessed constant that
+    * under-buckets at 100x the volume.
+    *
+    * Returns `(numBuckets, maxKeyShare)`: buckets = rows/target
+    * (clamped to [1, maxBuckets]), and the hot-key mass fraction of
+    * the most frequent bucket-key combination. A `maxKeyShare` near
+    * 1/numBuckets means uniform keys; a large value warns that one
+    * key dominates — bucketing cannot split a single key's rows
+    * across buckets, so pair it with `maxRowsPerFile` (bounded files
+    * within the hot bucket) or choose a higher-cardinality key. */
+  def adviseBuckets(df: DataFrame, bucketCols: Seq[String],
+      targetRowsPerBucket: Long = 1000000L,
+      maxBuckets: Int = 4096): (Int, Double) = {
+    import org.apache.spark.sql.functions.{col => c, count, lit, max}
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val agg = df.groupBy(bucketCols.map(c): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(org.apache.spark.sql.functions.sum(c("__n")).as("__total"),
+        max(c("__n")).as("__hot"))
+      .head()
+    if (agg.isNullAt(0)) return (1, 0.0)
+    val total = agg.getLong(0)
+    val hot = agg.getLong(1)
+    val buckets = math.min(maxBuckets.toLong, math.max(1L,
+      (total + targetRowsPerBucket - 1) / targetRowsPerBucket)).toInt
+    (buckets, if (total == 0) 0.0 else hot.toDouble / total)
+  }
+
   /** Bucketed-table write through the graft sink: produces a layout
     * Spark's bucketed scan consumes natively, so equi-joins /
     * aggregations on the bucket keys run WITHOUT a shuffle exchange —

@@ -127,6 +127,25 @@ class BucketingSpec extends SparkTestBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bucket advisor sizes buckets to rows and flags hot keys") {
+    import graft.sources.GraftSink
+    import spark.implicits._
+    val li = Tables.t(spark, sf001, "lineitem")
+    val n = li.count()
+    // target 1000 rows/bucket over ~6000 rows -> ~6 buckets
+    val (b, share) = GraftSink.adviseBuckets(li, Seq("l_orderkey"), 1000L)
+    assert(b == ((n + 999) / 1000).toInt, s"buckets=$b for $n rows")
+    assert(share > 0.0 && share < 0.05,
+      s"high-cardinality key should have tiny hot share, got $share")
+    // a constant key concentrates all mass in one bucket-key
+    val skewed = spark.range(0, 1000).select(lit(7L).as("k"))
+    val (_, hotShare) = GraftSink.adviseBuckets(skewed, Seq("k"), 100L)
+    assert(hotShare == 1.0, s"constant key must report share 1.0: $hotShare")
+    // empty input degrades to a single bucket
+    assert(GraftSink.adviseBuckets(li.limit(0), Seq("l_orderkey")) ==
+      ((1, 0.0)))
+  }
+
   test("bucketed save modes: ErrorIfExists throws, Ignore no-ops") {
     import graft.sources.GraftSink
     import org.apache.spark.sql.SaveMode

@@ -490,6 +490,31 @@ class SourceV2Spec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("stream tolerates a committed file deleted from the directory") {
+    // the source contract is append-only, but a retention job deleting
+    // old files must not kill the stream: committed files never
+    // replan, and the footer cache tolerates missing paths
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-del")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.range(0, 50).toDF("id").coalesce(1).write.parquet(dir)
+    val q = startCollecting(dir, ckpt, got)
+    try {
+      q.processAllAvailable()
+      assert(got.size == 50)
+      // delete the committed file, then append a new one
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+      spark.range(50, 80).toDF("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(got.size == 80,
+        "stream must deliver the new file and not re-read the deleted one")
+    } finally q.stop()
+  }
+
   test("footer aggregates normalize timestamp units and decline on NaN") {
     import spark.implicits._
     // MILLIS-unit file: footer stats are millis, readers emit micros
