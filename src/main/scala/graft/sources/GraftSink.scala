@@ -309,6 +309,135 @@ object GraftSink {
   def readCompensating(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Predicate overwrite (Delta-style `replaceWhere`): atomically
+    * replaces exactly the rows matching `cond` with `df` — the
+    * retention / re-ingest primitive of a training-data pipeline
+    * ("re-load day X", "drop everything before T").
+    *
+    * File-level classification from cached footer stats keeps the
+    * rewrite proportional to the BOUNDARY, not the table: a part file
+    * whose row groups provably contain no match is left untouched (not
+    * even opened); a file whose row groups all provably match is
+    * deleted whole; only undecided boundary files are rewritten — by a
+    * distributed Spark job filtering `NOT cond` (null-safe: rows where
+    * `cond` is NULL are kept, matching SQL DELETE semantics), never on
+    * the driver. With stats-aligned predicates (time ranges over
+    * time-clustered files — the common retention shape) zero files are
+    * rewritten at any scale.
+    *
+    * Commit is the same backup-park protocol as the other sinks:
+    * replacement + residue rows are fully staged first, victims are
+    * parked, staged parts rename in, and any failure restores the
+    * complete old contents.
+    */
+  def replaceWhere(df: DataFrame, dir: String,
+      cond: org.apache.spark.sql.sources.Filter): Unit = {
+    import graft.sources.v2.{FooterCache, ParquetMeta, RowFilterEval,
+      RowGroupPruning}
+    import scala.util.Try
+    val spark = df.sparkSession
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val target = new Path(dir)
+    val fs = target.getFileSystem(hadoopConf)
+    if (!fs.exists(target)) {
+      throw new AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> dir))
+    }
+    val existing = Try(ParquetMeta.sparkSchema(dir, hadoopConf))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft replaceWhere: no parquet data under $dir"))
+    val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (!same) {
+      throw new IllegalArgumentException(
+        s"graft replaceWhere schema mismatch: table has " +
+        s"${existing.catalogString}, write has ${df.schema.catalogString}")
+    }
+    if (!RowFilterEval.supports(cond, existing)) {
+      throw new IllegalArgumentException(
+        s"graft replaceWhere: unsupported predicate $cond — supported: " +
+        "comparisons/In/IsNull/StartsWith/EndsWith/Contains over flat " +
+        "columns, combined with And/Or/Not")
+    }
+    val token = UUID.randomUUID().toString.take(8)
+    val staging = new Path(target, s".graft-replace-$token")
+    try {
+      // 1. stage the replacement rows BEFORE touching anything
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // 2. classify every data part from its footer statistics
+      val parts = fs.listStatus(target).map(_.getPath)
+        .filter(p => isDataPart(p.getName))
+      val (keep, deleteWhole, rewrite) = {
+        val k = ArrayBuffer[Path](); val d = ArrayBuffer[Path]()
+        val r = ArrayBuffer[Path]()
+        parts.foreach { p =>
+          val rgs = FooterCache.rowGroups(p.toString)
+          val may = rgs.exists(rg => RowGroupPruning.mayMatch(cond, rg))
+          val must = rgs.nonEmpty &&
+            rgs.forall(rg => RowGroupPruning.mustMatch(cond, rg))
+          if (!may) k += p else if (must) d += p else r += p
+        }
+        (k.toSeq, d.toSeq, r.toSeq)
+      }
+      // 3. boundary files: distributed residue rewrite into staging
+      if (rewrite.nonEmpty) {
+        spark.read.parquet(rewrite.map(_.toString): _*)
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            filterToColumn(cond),
+            org.apache.spark.sql.functions.lit(false)))
+          .write.mode(SaveMode.Append).parquet(staging.toString)
+      }
+      // 4. backup-park commit: old-or-new, never a mix
+      val victims = deleteWhole ++ rewrite
+      val backup = new Path(target, s".graft-replace-backup-$token")
+      fs.mkdirs(backup)
+      victims.foreach { p =>
+        if (!fs.rename(p, new Path(backup, p.getName))) {
+          throw new java.io.IOException(s"backup of $p failed")
+        }
+      }
+      try movePartsOrRollback(fs, staging, target)
+      catch {
+        case NonFatal(e) =>
+          fs.listStatus(backup).foreach { st =>
+            try fs.rename(st.getPath, new Path(target, st.getPath.getName))
+            catch { case NonFatal(_) => () }
+          }
+          throw e
+      }
+      fs.delete(backup, true)
+      require(keep.forall(p => fs.exists(p)),
+        "untouched files must survive the commit")
+    } finally fs.delete(staging, true)
+  }
+
+  /** The supported-filter subset as a `Column`, for the distributed
+    * residue rewrite. Mirrors `RowFilterEval.supports`. */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case In(a, vs) => col(a).isInCollection(vs.toSeq)
+      case StringStartsWith(a, p) => col(a).startsWith(p)
+      case StringEndsWith(a, p) => col(a).endsWith(p)
+      case StringContains(a, p) => col(a).contains(p)
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => !filterToColumn(c)
+      case other => throw new IllegalArgumentException(
+        s"graft replaceWhere: unsupported predicate $other")
+    }
+  }
+
   /** Bucket-count advisor for [[saveBucketedTable]] — the analog of
     * `Dedup.autoPlanes` for LSH: one cheap aggregation sizes the
     * bucket count to the data instead of a guessed constant that

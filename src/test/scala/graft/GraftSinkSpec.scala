@@ -111,6 +111,93 @@ class GraftSinkSpec extends SparkTestBase {
     } finally spark.catalog.dropTempView("graft_ins")
   }
 
+  test("replaceWhere: stats-aligned predicate never rewrites a file") {
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rw").resolve("t").toString
+    // four files with exact disjoint id ranges
+    (0 until 4).foreach { i =>
+      spark.range(i * 1000L, (i + 1) * 1000L).toDF("id")
+        .withColumn("v", col("id") * 3)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    // replace ids >= 3000 (exactly one whole file) with 10 new rows
+    val repl = spark.range(3000L, 3010L).toDF("id")
+      .withColumn("v", lit(-1L))
+    GraftSink.replaceWhere(repl, dir, GreaterThanOrEqual("id", 3000L))
+    val after = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    // the three untouched files survive with IDENTICAL names — they
+    // were classified keep from footer stats and never opened
+    assert((before & after).size == 3,
+      s"untouched files must keep their names: $before vs $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3000 + 10)
+    assert(back.filter(col("id") >= 3000).count() == 10)
+    assert(back.filter(col("v") === -1L).count() == 10)
+    // no residue: staging and backup cleaned up
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft-replace")))
+  }
+
+  test("replaceWhere: boundary file is rewritten, not dropped") {
+    import org.apache.spark.sql.sources.GreaterThan
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rwb").resolve("t").toString
+    (0 until 2).foreach { i =>
+      spark.range(i * 1000L, (i + 1) * 1000L).toDF("id")
+        .withColumn("v", col("id")).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    // id > 1500 cuts through the second file: it must be rewritten to
+    // its 1000..1500 residue, while the first file stays untouched
+    val repl = spark.range(9000L, 9005L).toDF("id").withColumn("v", col("id"))
+    GraftSink.replaceWhere(repl, dir, GreaterThan("id", 1500L))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1501 + 5)
+    assert(back.filter(col("id").between(1000, 1500)).count() == 501)
+    assert(back.filter(col("id") > 1500 && col("id") < 9000).count() == 0)
+    assert(back.filter(col("id") >= 9000).count() == 5)
+  }
+
+  test("replaceWhere: NULL predicate rows are kept (SQL DELETE semantics)") {
+    import org.apache.spark.sql.sources.GreaterThan
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rwn").resolve("t").toString
+    Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null), (3L, 99L))
+      .toDF("id", "v").coalesce(1).write.parquet(dir)
+    val repl = Seq((100L, 50L)).toDF("id", "v")
+    GraftSink.replaceWhere(repl, dir, GreaterThan("v", 50L))
+    val back = spark.read.parquet(dir).orderBy("id")
+    // v=99 deleted; v=null KEPT (cond evaluates NULL, not TRUE)
+    assert(back.select("id").as[Long].collect().toSeq == Seq(1L, 2L, 100L))
+  }
+
+  test("replaceWhere: unsupported predicate fails before any mutation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rwu").resolve("t").toString
+    spark.range(0, 100).toDF("id").withColumn("v", col("id"))
+      .coalesce(1).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val repl = spark.range(0, 1).toDF("id").withColumn("v", col("id"))
+    val e = intercept[IllegalArgumentException] {
+      GraftSink.replaceWhere(repl, dir,
+        org.apache.spark.sql.sources.EqualNullSafe("id", 5L))
+    }
+    assert(e.getMessage.contains("unsupported predicate"), e.getMessage)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet == before,
+      "failed gate must leave the target untouched")
+    // schema mismatch gate
+    val bad = Seq((1, "x")).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSink.replaceWhere(bad, dir,
+        org.apache.spark.sql.sources.GreaterThan("id", 5L))
+    }
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+  }
+
   test("retry helper: succeeds after transient failures") {
     var attempts = 0
     val v = Retry.withDeadline(sleepMs = 1, deadlineMs = 5000) {
