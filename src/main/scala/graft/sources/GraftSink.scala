@@ -332,8 +332,7 @@ object GraftSink {
     */
   def replaceWhere(df: DataFrame, dir: String,
       cond: org.apache.spark.sql.sources.Filter): Unit = {
-    import graft.sources.v2.{FooterCache, ParquetMeta, RowFilterEval,
-      RowGroupPruning}
+    import graft.sources.v2.{ParquetMeta, RowFilterEval}
     import scala.util.Try
     val spark = df.sparkSession
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -367,25 +366,12 @@ object GraftSink {
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       // 2. classify every data part from its footer statistics
       val parts = fs.listStatus(target).map(_.getPath)
-        .filter(p => isDataPart(p.getName))
-      val (keep, deleteWhole, rewrite) = {
-        val k = ArrayBuffer[Path](); val d = ArrayBuffer[Path]()
-        val r = ArrayBuffer[Path]()
-        parts.foreach { p =>
-          val rgs = FooterCache.rowGroups(p.toString)
-          val may = rgs.exists(rg => RowGroupPruning.mayMatch(cond, rg))
-          val must = rgs.nonEmpty &&
-            rgs.forall(rg => RowGroupPruning.mustMatch(cond, rg))
-          if (!may) k += p else if (must) d += p else r += p
-        }
-        (k.toSeq, d.toSeq, r.toSeq)
-      }
+        .filter(p => isDataPart(p.getName)).toSeq
+      val (keep, deleteWhole, rewrite) = PredicateFiles.classify(cond, parts)
       // 3. boundary files: distributed residue rewrite into staging
       if (rewrite.nonEmpty) {
         spark.read.parquet(rewrite.map(_.toString): _*)
-          .filter(!org.apache.spark.sql.functions.coalesce(
-            filterToColumn(cond),
-            org.apache.spark.sql.functions.lit(false)))
+          .filter(PredicateFiles.residueCondition(cond))
           .write.mode(SaveMode.Append).parquet(staging.toString)
       }
       // 4. backup-park commit: old-or-new, never a mix
@@ -410,32 +396,6 @@ object GraftSink {
       require(keep.forall(p => fs.exists(p)),
         "untouched files must survive the commit")
     } finally fs.delete(staging, true)
-  }
-
-  /** The supported-filter subset as a `Column`, for the distributed
-    * residue rewrite. Mirrors `RowFilterEval.supports`. */
-  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
-      : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, lit}
-    import org.apache.spark.sql.sources._
-    f match {
-      case EqualTo(a, v) => col(a) === lit(v)
-      case LessThan(a, v) => col(a) < lit(v)
-      case LessThanOrEqual(a, v) => col(a) <= lit(v)
-      case GreaterThan(a, v) => col(a) > lit(v)
-      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
-      case IsNull(a) => col(a).isNull
-      case IsNotNull(a) => col(a).isNotNull
-      case In(a, vs) => col(a).isInCollection(vs.toSeq)
-      case StringStartsWith(a, p) => col(a).startsWith(p)
-      case StringEndsWith(a, p) => col(a).endsWith(p)
-      case StringContains(a, p) => col(a).contains(p)
-      case And(l, r) => filterToColumn(l) && filterToColumn(r)
-      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
-      case Not(c) => !filterToColumn(c)
-      case other => throw new IllegalArgumentException(
-        s"graft replaceWhere: unsupported predicate $other")
-    }
   }
 
   /** Bucket-count advisor for [[saveBucketedTable]] — the analog of

@@ -1,0 +1,176 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Directory-backed `TableCatalog` over graft-v2 tables: a table named
+  * `<catalog>.ns1.ns2.t` lives at `<warehouse>/ns1/ns2/t`. Registering
+  * it (`spark.sql.catalog.graft = graft.sources.v2.GraftCatalog`,
+  * `spark.sql.catalog.graft.warehouse = <dir>`) is what routes the SQL
+  * surface to the V2 source — `SELECT`/`INSERT INTO` and, critically,
+  * `INSERT INTO ... REPLACE WHERE`, which Spark can only deliver to a
+  * catalog table (`OverwriteByExpression` →
+  * `GraftWriteBuilderV2.overwrite(filters)` → the footer-stats
+  * classify/rewrite commit). The reference exposed its source the same
+  * way a step earlier in Spark's evolution: a relation provider the
+  * session resolves by name (ExtJdbcRelationProvider.scala:15-23).
+  *
+  * Table metadata is the data itself (parquet footers). The only side
+  * state is a `.graft-schema.json` marker written at CREATE TABLE so
+  * an empty table keeps its schema until first write; footers win once
+  * data exists.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: Path = _
+  private var conf: Configuration = _
+
+  private val SchemaMarker = ".graft-schema.json"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val w = options.get("warehouse")
+    if (w == null || w.isEmpty) {
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse")
+    }
+    conf = GraftHadoopConf.sessionConf()
+    warehouse = new Path(w)
+    val fs = warehouse.getFileSystem(conf)
+    if (!fs.exists(warehouse)) fs.mkdirs(warehouse)
+  }
+
+  override def name(): String = catName
+
+  private def fs = warehouse.getFileSystem(conf)
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace()), ident.name())
+
+  private def readMarker(dir: Path): Option[StructType] = {
+    val p = new Path(dir, SchemaMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes)
+        Some(StructType.fromDDL(new String(bytes, "UTF-8")))
+      } finally in.close()
+    }
+  }
+
+  private def isTableDir(dir: Path): Boolean =
+    fs.exists(dir) && fs.getFileStatus(dir).isDirectory && (
+      fs.exists(new Path(dir, SchemaMarker)) ||
+      fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet")))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val schema = FooterCache.schemaOption(dir.toString)
+      .map(ParquetMeta.toStruct)
+      .orElse(readMarker(dir))
+      .getOrElse(throw new NoSuchTableException(ident))
+    GraftTableV2(dir.toString, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) {
+      throw new UnsupportedOperationException(
+        "graft catalog tables are unpartitioned (bucketed layouts go " +
+        "through GraftSink.saveBucketedTable)")
+    }
+    val dir = tableDir(ident)
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, SchemaMarker), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    GraftTableV2(dir.toString, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported (schema is the data)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) false else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to)) {
+      throw new java.io.IOException(s"rename $from -> $to failed")
+    }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(st => isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  // ---- namespaces are plain directories ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(warehouse)
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => Array(st.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (namespace.nonEmpty && !fs.exists(nsDir(namespace))) {
+      throw new NoSuchNamespaceException(namespace)
+    }
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsDir(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) false
+    else if (!cascade && fs.listStatus(dir).nonEmpty) {
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    } else fs.delete(dir, true)
+  }
+}

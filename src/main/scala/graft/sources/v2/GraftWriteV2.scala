@@ -42,14 +42,35 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite {
 
   private var truncateFirst = false
+  private var overwriteCond: Option[Filter] = None
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
+  /** Predicate overwrite (SQL `INSERT ... REPLACE WHERE`, routed here
+    * through a catalog): rows matching the conjunction are replaced by
+    * the written data at commit, via footer-stats file classification
+    * and a distributed boundary rewrite — see
+    * [[graft.sources.PredicateFiles]]. AlwaysTrue degenerates to
+    * truncate. Predicates outside the evaluable subset are rejected
+    * here, before any task runs. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    if (filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue]) truncate()
-    else throw new UnsupportedOperationException(
-      "graft-v2 supports full-table overwrite only (truncate); " +
-      s"got predicate overwrite: ${filters.mkString(", ")}")
+    if (filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue]) {
+      truncate()
+    } else {
+      import org.apache.spark.sql.sources.And
+      val cond = filters.reduce[Filter](And(_, _))
+      FooterCache.schemaOption(path).map(ParquetMeta.toStruct)
+        .foreach { existing =>
+          if (!RowFilterEval.supports(cond, existing)) {
+            throw new UnsupportedOperationException(
+              s"graft-v2 predicate overwrite: unsupported predicate " +
+              s"$cond — supported: comparisons/In/IsNull/StartsWith/" +
+              "EndsWith/Contains over flat columns, with And/Or/Not")
+          }
+        }
+      overwriteCond = Some(cond)
+      this
+    }
   }
 
   override def build(): Write = {
@@ -70,21 +91,23 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
         }
       }
     }
-    GraftWriteV2(path, info.schema(), truncateFirst)
+    GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond)
   }
 }
 
 case class GraftWriteV2(path: String, schema: StructType,
-    truncateFirst: Boolean) extends Write {
+    truncateFirst: Boolean,
+    overwriteCond: Option[Filter] = None) extends Write {
   override def toBatch: BatchWrite =
-    new GraftBatchWriteV2(path, schema, truncateFirst)
+    new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond)
 }
 
 private[v2] case class GraftCommitV2(file: String)
   extends WriterCommitMessage
 
 class GraftBatchWriteV2(path: String, schema: StructType,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean,
+    overwriteCond: Option[Filter] = None) extends BatchWrite {
 
   private val jobId = UUID.randomUUID().toString.take(8)
   private val stagingName = s".graft-v2-staging-$jobId"
@@ -124,27 +147,31 @@ class GraftBatchWriteV2(path: String, schema: StructType,
       }
     }
 
-    if (truncateFirst) {
-      // Backup-park protocol (mirrors GraftSink.saveAtomic's
-      // truncate-and-load): old parts are PARKED, not deleted, until
-      // every staged file has renamed in — a failure mid-commit
-      // restores them, so a reader only ever sees complete-old or
-      // complete-new contents, never a mix.
+    // Backup-park protocol (mirrors GraftSink.saveAtomic's
+    // truncate-and-load): `victims` are PARKED, not deleted, until
+    // every file in `incoming` has renamed in — a failure mid-commit
+    // restores them, so a reader only ever sees complete-old or
+    // complete-new contents, never a mix.
+    def parkAndSwap(victims: Seq[Path], incoming: Seq[Path]): Unit = {
       val backup = new Path(target, s".graft-v2-backup-$jobId")
       fs.mkdirs(backup)
-      fs.listStatus(target)
-        .filter(st => st.getPath.getName.startsWith("part-"))
-        .foreach { st =>
-          if (!fs.rename(st.getPath, new Path(backup, st.getPath.getName))) {
-            throw new java.io.IOException(s"backup of ${st.getPath} failed")
+      victims.foreach { p =>
+        if (!fs.rename(p, new Path(backup, p.getName))) {
+          throw new java.io.IOException(s"backup of $p failed")
+        }
+      }
+      try {
+        incoming.foreach { src =>
+          val dst = new Path(target, src.getName)
+          if (!fs.rename(src, dst)) {
+            throw new java.io.IOException(s"commit rename $src -> $dst failed")
           }
         }
-      try renameIn()
-      catch {
+      } catch {
         case e: Throwable =>
           // Unwind: drop any new parts already in, restore old parts.
-          committed.foreach { f =>
-            try fs.delete(new Path(target, new Path(f).getName), false)
+          incoming.foreach { src =>
+            try fs.delete(new Path(target, src.getName), false)
             catch { case _: Throwable => () }
           }
           fs.listStatus(backup).foreach { st =>
@@ -155,7 +182,39 @@ class GraftBatchWriteV2(path: String, schema: StructType,
           throw e
       }
       fs.delete(backup, true)
-    } else renameIn()
+    }
+
+    def targetParts(): Seq[Path] = fs.listStatus(target)
+      .filter(st => st.getPath.getName.startsWith("part-"))
+      .map(_.getPath).toSeq
+
+    (truncateFirst, overwriteCond) match {
+      case (true, _) =>
+        parkAndSwap(targetParts(), committed.map(new Path(_)).toSeq)
+      case (false, Some(cond)) =>
+        // predicate overwrite: classify from footer stats, rewrite only
+        // the boundary files (distributed job, null-safe NOT cond),
+        // then swap victims for staged + residue in one park protocol
+        val (_, deleteWhole, rewrite) =
+          graft.sources.PredicateFiles.classify(cond, targetParts())
+        val residue: Seq[Path] =
+          if (rewrite.isEmpty) Seq.empty
+          else {
+            val before = fs.listStatus(staging)
+              .map(_.getPath.getName).toSet
+            SparkSession.active.read
+              .parquet(rewrite.map(_.toString): _*)
+              .filter(graft.sources.PredicateFiles.residueCondition(cond))
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(staging.toString)
+            fs.listStatus(staging).map(_.getPath)
+              .filter(p => p.getName.startsWith("part-") &&
+                !before.contains(p.getName)).toSeq
+          }
+        parkAndSwap(deleteWhole ++ rewrite,
+          committed.map(new Path(_)).toSeq ++ residue)
+      case _ => renameIn()
+    }
     fs.delete(staging, true) // sweeps zombie/speculative attempts
   }
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL face of the V2 source through the directory-backed
+  * `GraftCatalog`: CREATE / INSERT / SELECT / REPLACE WHERE / RENAME /
+  * DROP, with REPLACE WHERE exercising the footer-stats predicate
+  * overwrite end-to-end (Spark can only route `OverwriteByExpression`
+  * to a catalog table). */
+class CatalogSpec extends SparkTestBase {
+
+  private lazy val warehouse = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog")
+      .toString
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", dir)
+    dir
+  }
+
+  test("CREATE / INSERT / SELECT round-trips through the catalog") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    spark.sql("CREATE TABLE graft.ns.t (id BIGINT, v BIGINT)")
+    // empty table keeps its schema from the marker
+    assert(spark.table("graft.ns.t").schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    assert(spark.table("graft.ns.t").count() == 0)
+    spark.sql(
+      "INSERT INTO graft.ns.t SELECT id, id * 3 AS v FROM range(0, 1000)")
+    assert(spark.table("graft.ns.t").count() == 1000)
+    assert(spark.sql("SELECT sum(v) FROM graft.ns.t").head.getLong(0) ==
+      (0L until 1000L).map(_ * 3).sum)
+    // the scan is the graft-v2 source, not a fallback
+    assert(spark.table("graft.ns.t").queryExecution.executedPlan.toString
+      .contains("GraftScanV2"))
+    assert(spark.sql("SHOW TABLES IN graft.ns").collect()
+      .map(_.getString(1)).contains("t"))
+  }
+
+  test("INSERT REPLACE WHERE routes the predicate overwrite") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
+    spark.sql("CREATE TABLE graft.rw.t (id BIGINT, v BIGINT)")
+    // four separate inserts -> four part files with disjoint id ranges
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.rw.t SELECT id, id AS v " +
+        s"FROM range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    val dir = new java.io.File(s"$warehouse/rw/t")
+    val before = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    assert(before.size >= 4)
+    // replace the top range: stats-aligned -> whole-file delete, the
+    // other files keep their identical names (never opened)
+    spark.sql("INSERT INTO graft.rw.t REPLACE WHERE id >= 3000 " +
+      "SELECT id, -1 AS v FROM range(3000, 3010)")
+    val after = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    assert((before & after).size >= 3,
+      s"stats-aligned replace must not touch other files: $before vs $after")
+    val t = spark.table("graft.rw.t")
+    assert(t.count() == 3000 + 10)
+    assert(t.filter(col("id") >= 3000).count() == 10)
+    assert(t.filter(col("v") === -1L).count() == 10)
+    // boundary replace: cuts through a file -> residue rewrite
+    spark.sql("INSERT INTO graft.rw.t REPLACE WHERE id > 1500 AND id < 3000 " +
+      "SELECT id, -2 AS v FROM range(2000, 2005)")
+    val t2 = spark.table("graft.rw.t")
+    assert(t2.filter(col("id").between(1000, 1500)).count() == 501)
+    assert(t2.filter(col("v") === -2L).count() == 5)
+    assert(t2.filter(col("id") > 1500 && col("id") < 3000).count() == 5)
+    assert(t2.count() == 1501 + 5 + 10)
+    // no staging/backup residue in the table directory
+    assert(!dir.listFiles().exists(_.getName.startsWith(".graft-v2-")))
+  }
+
+  test("RENAME and DROP manage the directory layout") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.adm")
+    spark.sql("CREATE TABLE graft.adm.a (id BIGINT)")
+    spark.sql("INSERT INTO graft.adm.a SELECT id FROM range(0, 5)")
+    spark.sql("ALTER TABLE graft.adm.a RENAME TO adm.b")
+    assert(spark.table("graft.adm.b").count() == 5)
+    intercept[Exception] { spark.table("graft.adm.a").count() }
+    spark.sql("DROP TABLE graft.adm.b")
+    assert(!new java.io.File(s"$warehouse/adm/b").exists())
+  }
+
+  test("predicate overwrite rejects unsupported predicates up front") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bad")
+    spark.sql("CREATE TABLE graft.bad.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.bad.t SELECT id, 'x' AS s FROM range(0, 10)")
+    val before = spark.table("graft.bad.t").count()
+    val e = intercept[Exception] {
+      // length(s) is not translatable to a supported source filter
+      spark.sql("INSERT INTO graft.bad.t REPLACE WHERE length(s) > 1 " +
+        "SELECT id, 'y' AS s FROM range(0, 1)")
+    }
+    assert(spark.table("graft.bad.t").count() == before,
+      s"failed replace must not mutate (error was: ${e.getMessage})")
+  }
+}
