@@ -398,6 +398,64 @@ object GraftSink {
     } finally fs.delete(staging, true)
   }
 
+  /** Small-file compaction — the maintenance twin of [[replaceWhere]]:
+    * streaming appends, REPLACE WHERE residues, and per-task commits
+    * accumulate small part files whose per-file overhead (footer
+    * reads, task scheduling, row-group fragmentation) eventually
+    * dominates scans. `compact` rewrites every data part smaller than
+    * `smallBytes` into ~`targetBytes`-sized files via a shuffle-free
+    * `coalesce` job, committed under the backup-park protocol —
+    * readers see complete-old or complete-new, and files at or above
+    * the threshold are never touched.
+    *
+    * Returns (filesBefore, filesAfter) for the compacted subset; a
+    * no-op (0 or 1 small file) returns without running a job.
+    */
+  def compact(spark: SparkSession, dir: String,
+      smallBytes: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val target = new Path(dir)
+    val fs = target.getFileSystem(hadoopConf)
+    if (!fs.exists(target)) {
+      throw new AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> dir))
+    }
+    val small = fs.listStatus(target)
+      .filter(st => isDataPart(st.getPath.getName) && st.getLen < smallBytes)
+    if (small.length <= 1) return (small.length, small.length)
+    val totalBytes = small.map(_.getLen).sum
+    val outFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val token = UUID.randomUUID().toString.take(8)
+    val staging = new Path(target, s".graft-compact-$token")
+    try {
+      // coalesce, not repartition: compaction is a merge, no shuffle
+      spark.read.parquet(small.map(_.getPath.toString).toSeq: _*)
+        .coalesce(outFiles)
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val backup = new Path(target, s".graft-compact-backup-$token")
+      fs.mkdirs(backup)
+      small.foreach { st =>
+        if (!fs.rename(st.getPath, new Path(backup, st.getPath.getName))) {
+          throw new java.io.IOException(s"backup of ${st.getPath} failed")
+        }
+      }
+      try movePartsOrRollback(fs, staging, target)
+      catch {
+        case NonFatal(e) =>
+          fs.listStatus(backup).foreach { st =>
+            try fs.rename(st.getPath, new Path(target, st.getPath.getName))
+            catch { case NonFatal(_) => () }
+          }
+          throw e
+      }
+      fs.delete(backup, true)
+      (small.length, outFiles)
+    } finally fs.delete(staging, true)
+  }
+
   /** Bucket-count advisor for [[saveBucketedTable]] — the analog of
     * `Dedup.autoPlanes` for LSH: one cheap aggregation sizes the
     * bucket count to the data instead of a guessed constant that

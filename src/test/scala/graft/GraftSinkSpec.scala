@@ -198,6 +198,37 @@ class GraftSinkSpec extends SparkTestBase {
     assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
   }
 
+  test("compact merges small files, leaves big ones untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cmp").resolve("t").toString
+    // 8 tiny files + 1 larger file
+    (0 until 8).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    spark.range(1000L, 6000L).toDF("id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    def parts() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+    val big = parts().maxBy(_.length).getName
+    val sum = spark.read.parquet(dir).agg(sum_distinct(col("id")))
+      .head.getLong(0)
+    val smallThreshold = parts().map(_.length).max // big file excluded below
+    val (before, after) = GraftSink.compact(spark, dir,
+      smallBytes = smallThreshold, targetBytes = Long.MaxValue)
+    assert(before == 8 && after == 1, s"($before, $after)")
+    val names = parts().map(_.getName)
+    assert(names.length == 2, s"expected merged + big: ${names.toSeq}")
+    assert(names.contains(big), "file at/above threshold must survive")
+    assert(spark.read.parquet(dir).agg(sum_distinct(col("id")))
+      .head.getLong(0) == sum, "compaction must preserve the data")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft-compact")))
+    // idempotent: nothing left to merge
+    assert(GraftSink.compact(spark, dir,
+      smallBytes = smallThreshold, targetBytes = Long.MaxValue) == ((1, 1)))
+  }
+
   test("retry helper: succeeds after transient failures") {
     var attempts = 0
     val v = Retry.withDeadline(sleepMs = 1, deadlineMs = 5000) {
