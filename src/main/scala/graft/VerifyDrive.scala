@@ -37,6 +37,33 @@ object VerifyDrive {
     try { df.write.format("graft").option("path", out).save() }
     catch { case e: Exception =>
       println("PROBE double-write -> " + e.getMessage.linesIterator.next()) }
+    // user flow: SQL catalog — CREATE / INSERT / REPLACE WHERE / SELECT
+    val wh = java.nio.file.Files.createTempDirectory("drive-cat").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graft.d")
+    spark.sql("CREATE TABLE graft.d.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.d.t SELECT id, id * 2 FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.d.t REPLACE WHERE id >= 90 " +
+      "SELECT id, -1L FROM range(90, 95)")
+    println("CATALOG rows after REPLACE WHERE -> " +
+      spark.table("graft.d.t").count() + " (expect 95)")
+    // user flow: maintenance — replaceWhere + compact on a path table
+    import org.apache.spark.sql.functions.col
+    val mnt = java.nio.file.Files.createTempDirectory("drive-mnt")
+      .resolve("t").toString
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .coalesce(1).write.mode("append").parquet(mnt)
+    }
+    sources.GraftSink.replaceWhere(
+      spark.range(300L, 305L).toDF("id"), mnt,
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 300L))
+    val (cb, ca) = sources.GraftSink.compact(spark, mnt,
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    println(s"MAINTENANCE replaceWhere+compact -> " +
+      spark.read.parquet(mnt).count() + " rows (expect 305), " +
+      s"compacted $cb files to $ca")
     spark.stop()
   }
 }

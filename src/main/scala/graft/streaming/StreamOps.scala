@@ -76,6 +76,34 @@ object StreamOps {
       }
       .start()
 
+  /** Single-directory streaming append with auto-compaction: every
+    * batch's parts land in ONE directory (the layout scans, catalogs,
+    * and `replaceWhere` want), and every `compactEvery` batches the
+    * accumulated small files merge via
+    * [[graft.sources.GraftSink.compact]] — the hook that keeps a
+    * long-running stream from fragmenting its table into thousands of
+    * tiny row groups. Trade-off vs [[writeAtomicBatches]]: the
+    * per-batch-directory layout there makes a replayed batch
+    * idempotent (it overwrites its own directory); appending into one
+    * directory is at-least-once on crash replay. Compaction itself is
+    * backup-park atomic, so readers never see a partial merge. */
+  def writeAppendBatches(stream: DataFrame, dir: String,
+      compactEvery: Int = 0,
+      smallBytes: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.GraftSink.saveAtomic(
+          batch, dir, org.apache.spark.sql.SaveMode.Append)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          graft.sources.GraftSink.compact(
+            batch.sparkSession, dir, smallBytes, targetBytes)
+        }
+        ()
+      }
+      .start()
+
   /** Custom stateful sessionization via flatMapGroupsWithState: emits
     * (user_id, session_start_epoch_s, n_events) when a session closes
     * after `gapSeconds` of inactivity (processing-time timeout for the

@@ -105,6 +105,36 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.head == StreamOps.ClosedSession(1, 1000, 3))
   }
 
+  test("appending stream sink auto-compacts its small files") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps
+    val input = MemoryStream[Long]
+    val dir = java.nio.file.Files.createTempDirectory("graft-appstream")
+      .resolve("t").toString
+    import spark.implicits._
+    val q = StreamOps.writeAppendBatches(
+      input.toDF().select($"value".as("id")).coalesce(2), dir,
+      compactEvery = 2, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue)
+    try {
+      (0 until 4).foreach { b =>
+        input.addData((b * 100L) until ((b + 1) * 100L): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400)
+    assert(back.agg(sum($"id")).head.getLong(0) == (0L until 400L).sum)
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    // 4 batches x 2 parts appended = 8 written; the compaction at
+    // batch 2 merged the first 6 into 1, so at most 1+2 = 3 remain
+    // plus any post-compaction appends
+    assert(parts.length < 8, s"expected compaction to shrink: ${parts.toSeq}")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".graft-compact")))
+  }
+
   test("foreachBatch atomic sink lands every micro-batch completely") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
