@@ -83,6 +83,24 @@ class V2InternalsSpec extends SparkTestBase {
     assert(log2.append(Seq("y")) == 2L)
   }
 
+  test("JsonArr round-trips hostile path names on a single line") {
+    val hostile = Seq(
+      "plain.parquet",
+      "with \"quotes\".parquet",
+      "back\\slash\\path.parquet",
+      "ctrl\nchars\r\t.parquet",
+      "unicode-é世界.parquet",
+      "", // empty entry must survive too
+      "[looks,\"like\",json]")
+    val rendered = JsonArr.render(hostile)
+    assert(!rendered.contains('\n') && !rendered.contains('\r'),
+      "log entries must stay single-line for the line-oriented log")
+    assert(JsonArr.parse(rendered) == hostile)
+    assert(JsonArr.parse(JsonArr.render(Seq.empty)) == Seq.empty)
+    // deterministic: render is a pure function of the list
+    assert(JsonArr.render(hostile) == rendered)
+  }
+
   test("truncate commit: rename failure mid-commit restores old parts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-trunc")
       .resolve("t").toString
