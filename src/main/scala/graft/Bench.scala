@@ -37,17 +37,22 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val times = (1 to runs).map { _ =>
+        // min over SUCCESSFUL runs only — a fast-failing run's latency
+        // is not a timing, and folding it into min would report a
+        // phantom speedup while the failure scrolls past on stderr. A
+        // query failing every run reports -1 (unmissable in the JSON).
+        val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
           }
-          (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

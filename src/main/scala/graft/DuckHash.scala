@@ -22,6 +22,15 @@ package graft
   * and inlined as literals. The splitmix `mix` steps are rendered as
   * stacked CTE columns (not nested lambdas) so each step is evaluated
   * once per row instead of exponentially re-expanded.
+  *
+  * FIDELITY BOUNDARY: bit-identical for text in the Basic Multilingual
+  * Plane. The Scala side iterates UTF-16 code units (`charAt`,
+  * `String.length`); the SQL side iterates code points
+  * (`string_split`+`unicode`). These agree exactly on BMP text (the
+  * synthetic corpora are ASCII) but diverge on supplementary-plane
+  * characters (an emoji is two UTF-16 units, one code point) — if such
+  * corpora appear, render surrogate pairs SQL-side before trusting a
+  * mismatch.
   */
 private[graft] object DuckHash {
   private val P64 = BigInt(1) << 64
@@ -287,11 +296,20 @@ private[graft] object DuckHash {
        |g1 AS (SELECT id, (${fnvOverCp(
             s"list_transform(string_split(text[i:i+$C-1],'')," +
               " c -> unicode(c)::HUGEINT)")}) AS gh FROM g0),
-       |gset AS (SELECT id, list(DISTINCT gh) AS gs FROM g1 GROUP BY id),
-       |jac AS (SELECT c.id_a, c.id_b,
-       |    len(list_intersect(ga.gs, gb.gs))::DOUBLE /
-       |    (len(ga.gs) + len(gb.gs)
-       |      - len(list_intersect(ga.gs, gb.gs)))::DOUBLE AS j
+       |gw AS (SELECT id, list(DISTINCT gh) AS gs FROM g1 GROUP BY id),
+       |gset AS (SELECT b.doc_id AS id, CASE
+       |    WHEN b.len >= $C THEN coalesce(g.gs, []::HUGEINT[])
+       |    WHEN b.len > 0 THEN [(${fnvOverCp(
+            "list_transform(string_split(b.text,'')," +
+              " c -> unicode(c)::HUGEINT)")})]
+       |    ELSE []::HUGEINT[] END AS gs
+       |  FROM base b LEFT JOIN gw g ON g.id = b.doc_id),
+       |jac AS (SELECT c.id_a, c.id_b, CASE
+       |    WHEN len(ga.gs) + len(gb.gs)
+       |      - len(list_intersect(ga.gs, gb.gs)) = 0 THEN 1.0
+       |    ELSE len(list_intersect(ga.gs, gb.gs))::DOUBLE /
+       |      (len(ga.gs) + len(gb.gs)
+       |        - len(list_intersect(ga.gs, gb.gs)))::DOUBLE END AS j
        |  FROM cand c JOIN gset ga ON ga.id = c.id_a
        |  JOIN gset gb ON gb.id = c.id_b)""".stripMargin
   }

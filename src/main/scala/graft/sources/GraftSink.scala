@@ -73,6 +73,34 @@ object GraftSink {
 
   private def isDataPart(name: String): Boolean = name.startsWith("part-")
 
+  /** Park `victims` into `backup`, run `swap`, then drop the backup.
+    * ANY failure — including one mid-parking — first restores every
+    * already-parked file into `target`, so the old contents stay
+    * complete; a parking loop without this rollback would strand the
+    * files parked before the failing rename in the hidden backup dir
+    * (silent row loss). */
+  private def parkSwapRestore(fs: FileSystem, target: Path, backup: Path,
+      victims: Seq[Path])(swap: => Unit): Unit = {
+    fs.mkdirs(backup)
+    try {
+      victims.foreach { p =>
+        if (!fs.rename(p, new Path(backup, p.getName))) {
+          throw new java.io.IOException(s"backup of $p failed")
+        }
+      }
+      swap
+    } catch {
+      case NonFatal(e) =>
+        fs.listStatus(backup).foreach { st =>
+          try fs.rename(st.getPath, new Path(target, st.getPath.getName))
+          catch { case NonFatal(_) => () }
+        }
+        try fs.delete(backup, true) catch { case NonFatal(_) => () }
+        throw e
+    }
+    fs.delete(backup, true)
+  }
+
   /** Move data parts staging→target; on any failure delete the parts
     * already moved (their job-unique names can't collide with pre-existing
     * files) so the target reverts to its prior contents, then rethrow. */
@@ -125,24 +153,11 @@ object GraftSink {
         case SaveMode.Overwrite if exists && truncate =>
           // Truncate-and-load: keep the directory object, replace parts.
           val backup = new Path(target, s".graft-trunc-backup-$token")
-          fs.mkdirs(backup)
           val oldParts = fs.listStatus(target)
             .filter(st => isDataPart(st.getPath.getName))
-          oldParts.foreach { st =>
-            if (!fs.rename(st.getPath, new Path(backup, st.getPath.getName))) {
-              throw new java.io.IOException(s"backup of ${st.getPath} failed")
-            }
+          parkSwapRestore(fs, target, backup, oldParts.map(_.getPath).toSeq) {
+            movePartsOrRollback(fs, staging, target)
           }
-          try movePartsOrRollback(fs, staging, target)
-          catch {
-            case NonFatal(e) => // restore the parked old parts
-              fs.listStatus(backup).foreach { st =>
-                try fs.rename(st.getPath, new Path(target, st.getPath.getName))
-                catch { case NonFatal(_) => () }
-              }
-              throw e
-          }
-          fs.delete(backup, true)
         case SaveMode.Overwrite if exists =>
           // Drop-and-recreate via backup swap (old-or-new, never neither).
           val backup = new Path(target.getParent,
@@ -377,22 +392,9 @@ object GraftSink {
       // 4. backup-park commit: old-or-new, never a mix
       val victims = deleteWhole ++ rewrite
       val backup = new Path(target, s".graft-replace-backup-$token")
-      fs.mkdirs(backup)
-      victims.foreach { p =>
-        if (!fs.rename(p, new Path(backup, p.getName))) {
-          throw new java.io.IOException(s"backup of $p failed")
-        }
+      parkSwapRestore(fs, target, backup, victims) {
+        movePartsOrRollback(fs, staging, target)
       }
-      try movePartsOrRollback(fs, staging, target)
-      catch {
-        case NonFatal(e) =>
-          fs.listStatus(backup).foreach { st =>
-            try fs.rename(st.getPath, new Path(target, st.getPath.getName))
-            catch { case NonFatal(_) => () }
-          }
-          throw e
-      }
-      fs.delete(backup, true)
       require(keep.forall(p => fs.exists(p)),
         "untouched files must survive the commit")
     } finally fs.delete(staging, true)
@@ -436,22 +438,9 @@ object GraftSink {
         .coalesce(outFiles)
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val backup = new Path(target, s".graft-compact-backup-$token")
-      fs.mkdirs(backup)
-      small.foreach { st =>
-        if (!fs.rename(st.getPath, new Path(backup, st.getPath.getName))) {
-          throw new java.io.IOException(s"backup of ${st.getPath} failed")
-        }
+      parkSwapRestore(fs, target, backup, small.map(_.getPath).toSeq) {
+        movePartsOrRollback(fs, staging, target)
       }
-      try movePartsOrRollback(fs, staging, target)
-      catch {
-        case NonFatal(e) =>
-          fs.listStatus(backup).foreach { st =>
-            try fs.rename(st.getPath, new Path(target, st.getPath.getName))
-            catch { case NonFatal(_) => () }
-          }
-          throw e
-      }
-      fs.delete(backup, true)
       (small.length, outFiles)
     } finally fs.delete(staging, true)
   }
@@ -525,6 +514,11 @@ object GraftSink {
     val spark = df.sparkSession
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // Append keeps the existing catalog entry and VALIDATES against its
+    // bucket spec — silently re-registering a different spec would make
+    // bucketed reads interpret the old files' bucket ids under the new
+    // hash, producing wrong shuffle-free join results with no error.
+    var appendToExisting = false
     if (catalog.tableExists(ident)) {
       mode match {
         case SaveMode.ErrorIfExists =>
@@ -532,6 +526,27 @@ object GraftSink {
             errorClass = "TABLE_OR_VIEW_ALREADY_EXISTS",
             messageParameters = Map("relationName" -> table))
         case SaveMode.Ignore => return
+        case SaveMode.Append =>
+          val meta = catalog.getTableMetadata(ident)
+          val spec = meta.bucketSpec.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft bucketed append: existing table $table is not " +
+              "bucketed"))
+          if (spec.numBuckets != numBuckets ||
+              spec.bucketColumnNames != bucketCols ||
+              spec.sortColumnNames != sortCols) {
+            throw new IllegalArgumentException(
+              s"graft bucketed append: spec mismatch — table $table has " +
+              s"$spec, write has numBuckets=$numBuckets, " +
+              s"bucketCols=$bucketCols, sortCols=$sortCols")
+          }
+          val loc = new Path(meta.location).toUri.getPath
+          if (new Path(dir).toUri.getPath != loc) {
+            throw new IllegalArgumentException(
+              s"graft bucketed append: table $table lives at $loc, " +
+              s"append targeted $dir")
+          }
+          appendToExisting = true
         case _ => catalog.dropTable(ident, ignoreIfNotExists = true,
           purge = false)
       }
@@ -549,17 +564,21 @@ object GraftSink {
       partName = (jobId, pid, seq) => f"part-00000-$jobId%s_$pid%05d" +
         f".c$seq%03d.snappy.parquet",
       maxRowsPerFile = maxRowsPerFile)
-    import org.apache.spark.sql.catalyst.catalog.{BucketSpec,
-      CatalogStorageFormat, CatalogTable, CatalogTableType}
-    catalog.createTable(CatalogTable(
-      identifier = ident,
-      tableType = CatalogTableType.EXTERNAL,
-      storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(new Path(dir).toUri)),
-      schema = df.schema,
-      provider = Some("parquet"),
-      bucketSpec = Some(BucketSpec(numBuckets, bucketCols, sortCols))),
-      ignoreIfExists = false)
+    if (!appendToExisting) {
+      import org.apache.spark.sql.catalyst.catalog.{BucketSpec,
+        CatalogStorageFormat, CatalogTable, CatalogTableType}
+      catalog.createTable(CatalogTable(
+        identifier = ident,
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty.copy(
+          locationUri = Some(new Path(dir).toUri)),
+        schema = df.schema,
+        provider = Some("parquet"),
+        bucketSpec = Some(BucketSpec(numBuckets, bucketCols, sortCols))),
+        ignoreIfExists = false)
+    }
+    // drop any cached file listing/relation for the (re)written table
+    spark.sql(s"REFRESH TABLE $table")
   }
 }
 

@@ -663,6 +663,12 @@ private[v2] class GraftFileLog(logDir: Path, conf: Configuration) {
       fs.delete(tmp, false)
       if (fs.exists(p)) requireSameEntry(p, content)
       else throw new java.io.IOException(s"file-log write $p failed")
+    } else {
+      // the exists/rename pair is check-then-act: on local filesystems
+      // a racing writer's rename silently overwrites, so verify AFTER
+      // the rename too — the read-back catches a clobber in either
+      // direction and fences the loser
+      requireSameEntry(p, content)
     }
   }
 
@@ -941,6 +947,9 @@ case class GraftVectorTopNReaderFactory(conf: SerializableConfiguration,
     new PartitionReader[InternalRow] {
       private var iter: Iterator[InternalRow] = _
       private var current: InternalRow = _
+      private var innerClosed = false
+      private def closeInner(): Unit =
+        if (!innerClosed) { innerClosed = true; inner.close() }
 
       private def compute(): Iterator[InternalRow] = {
         val cmp = TopNOrdering.comparator(readSchema, topN)
@@ -957,7 +966,7 @@ case class GraftVectorTopNReaderFactory(conf: SerializableConfiguration,
               }
             }
           }
-        } finally inner.close()
+        } finally closeInner()
         val arr = new Array[InternalRow](pq.size)
         var i = arr.length - 1
         while (i >= 0) { arr(i) = pq.poll(); i -= 1 }
@@ -969,7 +978,9 @@ case class GraftVectorTopNReaderFactory(conf: SerializableConfiguration,
         if (iter.hasNext) { current = iter.next(); true } else false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // the task may close the reader before the first next() (stage
+      // abort, downstream failure) — the parquet reader must not leak
+      override def close(): Unit = closeInner()
     }
   }
 }

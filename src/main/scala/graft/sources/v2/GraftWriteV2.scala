@@ -155,12 +155,16 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     def parkAndSwap(victims: Seq[Path], incoming: Seq[Path]): Unit = {
       val backup = new Path(target, s".graft-v2-backup-$jobId")
       fs.mkdirs(backup)
-      victims.foreach { p =>
-        if (!fs.rename(p, new Path(backup, p.getName))) {
-          throw new java.io.IOException(s"backup of $p failed")
-        }
-      }
+      // the whole sequence — INCLUDING the parking loop — unwinds on
+      // failure: a parking rename that fails mid-way must restore the
+      // victims already parked, or their rows are silently stranded in
+      // the hidden backup dir
       try {
+        victims.foreach { p =>
+          if (!fs.rename(p, new Path(backup, p.getName))) {
+            throw new java.io.IOException(s"backup of $p failed")
+          }
+        }
         incoming.foreach { src =>
           val dst = new Path(target, src.getName)
           if (!fs.rename(src, dst)) {

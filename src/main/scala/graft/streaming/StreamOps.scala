@@ -86,7 +86,14 @@ object StreamOps {
     * per-batch-directory layout there makes a replayed batch
     * idempotent (it overwrites its own directory); appending into one
     * directory is at-least-once on crash replay. Compaction itself is
-    * backup-park atomic, so readers never see a partial merge. */
+    * backup-park atomic, so batch readers never see a partial merge.
+    *
+    * Do NOT tail an auto-compacting directory with a `graft-v2`
+    * STREAM: compaction rewrites files, violating the micro-batch
+    * source's append-only contract — the merged files would be
+    * re-ingested as new (duplicates). Batch scans, catalogs, and
+    * `replaceWhere` are the intended consumers; set `compactEvery = 0`
+    * if a downstream stream must tail the directory. */
   def writeAppendBatches(stream: DataFrame, dir: String,
       compactEvery: Int = 0,
       smallBytes: Long = 32L * 1024 * 1024,

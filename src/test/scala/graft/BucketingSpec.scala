@@ -165,6 +165,44 @@ class BucketingSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS n_graft_b")
   }
 
+  test("bucketed append validates the existing spec, never re-registers") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed-a")
+    val n = Tables.t(spark, sf001, "nation")
+    try {
+      GraftSink.saveBucketedTable(n, "n_graft_app", s"$base/n", 4,
+        Seq("n_nationkey"))
+      // a mismatched spec must fail loudly — silently re-registering a
+      // different numBuckets would corrupt shuffle-free join results
+      val e = intercept[IllegalArgumentException] {
+        GraftSink.saveBucketedTable(n, "n_graft_app", s"$base/n", 8,
+          Seq("n_nationkey"), mode = SaveMode.Append)
+      }
+      assert(e.getMessage.contains("spec mismatch"), e.getMessage)
+      // a mismatched location must fail too
+      val e2 = intercept[IllegalArgumentException] {
+        GraftSink.saveBucketedTable(n, "n_graft_app", s"$base/elsewhere", 4,
+          Seq("n_nationkey"), mode = SaveMode.Append)
+      }
+      assert(e2.getMessage.contains("lives at"), e2.getMessage)
+      // a matching append lands in the same buckets
+      GraftSink.saveBucketedTable(n, "n_graft_app", s"$base/n", 4,
+        Seq("n_nationkey"), mode = SaveMode.Append)
+      assert(spark.table("n_graft_app").count() == n.count() * 2)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table("n_graft_app").as("x")
+          .join(spark.table("n_graft_app").as("y"),
+            col("x.n_nationkey") === col("y.n_nationkey"))
+        assert(!joined.queryExecution.executedPlan.toString
+          .contains("Exchange"),
+          "appended bucketed table must still co-locate")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS n_graft_app")
+  }
+
   test("AQE splits the skewed join partition (skew=true in final plan)") {
     import spark.implicits._
     val restore = Seq(
