@@ -345,6 +345,14 @@ object GraftSink {
     * parked, staged parts rename in, and any failure restores the
     * complete old contents.
     */
+  /** [[replaceWhere]] with the predicate as a SQL string —
+    * `replaceWhere(newDay, dir, "ts >= DATE '2024-06-01' AND ts < DATE
+    * '2024-06-02'")`. Untranslatable predicates throw before any
+    * mutation. */
+  def replaceWhere(df: DataFrame, dir: String, condSql: String): Unit =
+    replaceWhere(df, dir,
+      PredicateFiles.parsePredicate(df.sparkSession, condSql))
+
   def replaceWhere(df: DataFrame, dir: String,
       cond: org.apache.spark.sql.sources.Filter): Unit = {
     import graft.sources.v2.{ParquetMeta, RowFilterEval}

@@ -44,6 +44,87 @@ private[graft] object PredicateFiles {
     !coalesce(filterToColumn(cond), lit(false))
   }
 
+  /** Parse a SQL predicate string (`"ts >= DATE '2024-01-01' AND v < 10"`)
+    * into a source [[Filter]] — the ergonomic face of predicate
+    * overwrite. Only the evaluable subset translates; anything else
+    * (functions, arithmetic, subqueries) throws with the offending
+    * fragment named, BEFORE any mutation. */
+  def parsePredicate(spark: org.apache.spark.sql.SparkSession,
+      condSql: String): Filter = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.sources
+    def attr(e: ce.Expression): Option[String] = e match {
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def lit(e: ce.Expression): Option[Any] = e match {
+      case ce.Literal(v, dt) =>
+        Some(CatalystTypeConverters.convertToScala(v, dt))
+      case _ => None
+    }
+    def fail(e: ce.Expression): Nothing =
+      throw new IllegalArgumentException(
+        s"graft predicate overwrite: cannot translate '${e.sql}' — " +
+        "use comparisons/IN/IS NULL/LIKE-prefix over plain columns " +
+        "and literals, combined with AND/OR/NOT")
+    def translate(e: ce.Expression): Filter = e match {
+      case ce.EqualTo(a, b) => (attr(a), lit(b), attr(b), lit(a)) match {
+        case (Some(n), Some(v), _, _) => sources.EqualTo(n, v)
+        case (_, _, Some(n), Some(v)) => sources.EqualTo(n, v)
+        case _ => fail(e)
+      }
+      case ce.GreaterThan(a, b) => (attr(a), lit(b), attr(b), lit(a)) match {
+        case (Some(n), Some(v), _, _) => sources.GreaterThan(n, v)
+        case (_, _, Some(n), Some(v)) => sources.LessThan(n, v)
+        case _ => fail(e)
+      }
+      case ce.GreaterThanOrEqual(a, b) =>
+        (attr(a), lit(b), attr(b), lit(a)) match {
+          case (Some(n), Some(v), _, _) => sources.GreaterThanOrEqual(n, v)
+          case (_, _, Some(n), Some(v)) => sources.LessThanOrEqual(n, v)
+          case _ => fail(e)
+        }
+      case ce.LessThan(a, b) => (attr(a), lit(b), attr(b), lit(a)) match {
+        case (Some(n), Some(v), _, _) => sources.LessThan(n, v)
+        case (_, _, Some(n), Some(v)) => sources.GreaterThan(n, v)
+        case _ => fail(e)
+      }
+      case ce.LessThanOrEqual(a, b) =>
+        (attr(a), lit(b), attr(b), lit(a)) match {
+          case (Some(n), Some(v), _, _) => sources.LessThanOrEqual(n, v)
+          case (_, _, Some(n), Some(v)) => sources.GreaterThanOrEqual(n, v)
+          case _ => fail(e)
+        }
+      case ce.In(a, vs) if attr(a).isDefined && vs.forall(lit(_).isDefined) =>
+        sources.In(attr(a).get, vs.map(lit(_).get).toArray)
+      case ce.IsNull(a) if attr(a).isDefined => sources.IsNull(attr(a).get)
+      case ce.IsNotNull(a) if attr(a).isDefined =>
+        sources.IsNotNull(attr(a).get)
+      case ce.StartsWith(a, b) if attr(a).isDefined =>
+        lit(b) match {
+          case Some(s: String) => sources.StringStartsWith(attr(a).get, s)
+          case _ => fail(e)
+        }
+      case ce.EndsWith(a, b) if attr(a).isDefined =>
+        lit(b) match {
+          case Some(s: String) => sources.StringEndsWith(attr(a).get, s)
+          case _ => fail(e)
+        }
+      case ce.Contains(a, b) if attr(a).isDefined =>
+        lit(b) match {
+          case Some(s: String) => sources.StringContains(attr(a).get, s)
+          case _ => fail(e)
+        }
+      case ce.And(l, r) => sources.And(translate(l), translate(r))
+      case ce.Or(l, r) => sources.Or(translate(l), translate(r))
+      case ce.Not(c) => sources.Not(translate(c))
+      case other => fail(other)
+    }
+    translate(spark.sessionState.sqlParser.parseExpression(condSql))
+  }
+
   /** The supported-filter subset as a `Column`, for the distributed
     * residue rewrite. Mirrors `RowFilterEval.supports`. */
   def filterToColumn(f: Filter): Column = {

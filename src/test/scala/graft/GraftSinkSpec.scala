@@ -198,6 +198,28 @@ class GraftSinkSpec extends SparkTestBase {
     assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
   }
 
+  test("replaceWhere accepts a SQL predicate string") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rws").resolve("t").toString
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") % 10)
+      .coalesce(1).write.parquet(dir)
+    val repl = Seq((200L, 99L)).toDF("id", "v")
+    // flipped-operand comparison and a conjunction, parsed from SQL
+    GraftSink.replaceWhere(repl, dir, "50 <= id AND v IN (0, 1)")
+    val back = spark.read.parquet(dir)
+    // deleted: id in [50,100) with v%10 in {0,1} -> 10 rows; +1 new
+    assert(back.count() == 100 - 10 + 1)
+    assert(back.filter(col("id") === 200).count() == 1)
+    assert(back.filter(col("id") >= 50 && col("id") < 100 &&
+      col("v").isin(0, 1)).count() == 0)
+    // untranslatable predicate names the fragment and mutates nothing
+    val e = intercept[IllegalArgumentException] {
+      GraftSink.replaceWhere(repl, dir, "id + 1 > 5")
+    }
+    assert(e.getMessage.contains("cannot translate"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 91)
+  }
+
   test("compact merges small files, leaves big ones untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cmp").resolve("t").toString
