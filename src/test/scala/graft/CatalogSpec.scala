@@ -75,6 +75,32 @@ class CatalogSpec extends SparkTestBase {
     assert(!dir.listFiles().exists(_.getName.startsWith(".graft-v2-")))
   }
 
+  test("streaming read tails a catalog table across INSERTs") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+    spark.sql("CREATE TABLE graft.st.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.st.t SELECT id FROM range(0, 40)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cat-stream")
+      .toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("graft.st.t")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => df.collect().foreach(r => got.add(r.getLong(0)))
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.size == 40)
+      spark.sql("INSERT INTO graft.st.t SELECT id FROM range(40, 70)")
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.size == 70, "stream must pick up the inserted files")
+      assert(got.asScala.toSet == (0L until 70L).toSet)
+    } finally q.stop()
+  }
+
   test("RENAME and DROP manage the directory layout") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.adm")
