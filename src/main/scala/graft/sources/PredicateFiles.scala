@@ -117,6 +117,22 @@ private[graft] object PredicateFiles {
           case Some(s: String) => sources.StringContains(attr(a).get, s)
           case _ => fail(e)
         }
+      // the parser produces Like, not StartsWith/EndsWith/Contains —
+      // translate the three anchored shapes (and the wildcard-free
+      // degenerate), reject patterns with inner wildcards/escapes
+      case ce.Like(a, b, '\\') if attr(a).isDefined =>
+        lit(b) match {
+          case Some(p: String) if !p.contains("\\") && !p.contains("_") =>
+            val inner = p.stripPrefix("%").stripSuffix("%")
+            if (inner.contains("%")) fail(e)
+            else (p.startsWith("%"), p.endsWith("%")) match {
+              case (false, true) => sources.StringStartsWith(attr(a).get, inner)
+              case (true, false) => sources.StringEndsWith(attr(a).get, inner)
+              case (true, true) => sources.StringContains(attr(a).get, inner)
+              case (false, false) => sources.EqualTo(attr(a).get, inner)
+            }
+          case _ => fail(e)
+        }
       case ce.And(l, r) => sources.And(translate(l), translate(r))
       case ce.Or(l, r) => sources.Or(translate(l), translate(r))
       case ce.Not(c) => sources.Not(translate(c))

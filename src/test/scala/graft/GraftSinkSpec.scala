@@ -218,6 +218,19 @@ class GraftSinkSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("cannot translate"), e.getMessage)
     assert(spark.read.parquet(dir).count() == 91)
+    // LIKE translates via its anchored shapes
+    val sdir = Files.createTempDirectory("graft-rwl").resolve("t").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "alps"))
+      .toDF("id", "s").coalesce(1).write.parquet(sdir)
+    GraftSink.replaceWhere(Seq((9L, "x")).toDF("id", "s"), sdir,
+      "s LIKE 'alp%'")
+    assert(spark.read.parquet(sdir).select("id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 9L))
+    // inner-wildcard patterns are rejected untranslated
+    intercept[IllegalArgumentException] {
+      GraftSink.replaceWhere(Seq((9L, "x")).toDF("id", "s"), sdir,
+        "s LIKE 'a%b'")
+    }
   }
 
   test("compact merges small files, leaves big ones untouched") {
