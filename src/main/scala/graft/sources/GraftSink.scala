@@ -355,7 +355,7 @@ object GraftSink {
 
   def replaceWhere(df: DataFrame, dir: String,
       cond: org.apache.spark.sql.sources.Filter): Unit = {
-    import graft.sources.v2.{ParquetMeta, RowFilterEval}
+    import graft.sources.v2.ParquetMeta
     import scala.util.Try
     val spark = df.sparkSession
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -376,11 +376,11 @@ object GraftSink {
         s"graft replaceWhere schema mismatch: table has " +
         s"${existing.catalogString}, write has ${df.schema.catalogString}")
     }
-    if (!RowFilterEval.supports(cond, existing)) {
+    if (!PredicateFiles.supportsOverwrite(cond, existing)) {
       throw new IllegalArgumentException(
         s"graft replaceWhere: unsupported predicate $cond — supported: " +
-        "comparisons/In/IsNull/StartsWith/EndsWith/Contains over flat " +
-        "columns, combined with And/Or/Not")
+        "comparisons (incl. date/timestamp)/In/IsNull/StartsWith/" +
+        "EndsWith/Contains over flat columns, combined with And/Or/Not")
     }
     val token = UUID.randomUUID().toString.take(8)
     val staging = new Path(target, s".graft-replace-$token")

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.sources.Filter
 
@@ -22,20 +24,147 @@ import graft.sources.v2.{FooterCache, RowGroupPruning}
   */
 private[graft] object PredicateFiles {
 
-  /** (keep, deleteWhole, rewrite) for `cond` over `parts`. */
+  /** (keep, deleteWhole, rewrite) for `cond` over `parts`. Temporal
+    * predicate values (the retention shape: `ts >= TIMESTAMP '...'`)
+    * are rewritten per file into that file's own parquet stat unit
+    * (epoch millis/micros/nanos, or days for dates) so the numeric
+    * footer comparison applies; a value that does not convert exactly
+    * stays as-is, which the pruner treats as incomparable —
+    * conservative (the file is rewritten, never wrongly kept). */
   def classify(cond: Filter, parts: Seq[Path])
       : (Seq[Path], Seq[Path], Seq[Path]) = {
     val k = Seq.newBuilder[Path]
     val d = Seq.newBuilder[Path]
     val r = Seq.newBuilder[Path]
     parts.foreach { p =>
+      val f = rewriteTemporal(cond, temporalCols(p.toString))
       val rgs = FooterCache.rowGroups(p.toString)
-      val may = rgs.exists(rg => RowGroupPruning.mayMatch(cond, rg))
+      val may = rgs.exists(rg => RowGroupPruning.mayMatch(f, rg))
       val must = rgs.nonEmpty &&
-        rgs.forall(rg => RowGroupPruning.mustMatch(cond, rg))
+        rgs.forall(rg => RowGroupPruning.mustMatch(f, rg))
       if (!may) k += p else if (must) d += p else r += p
     }
     (k.result(), d.result(), r.result())
+  }
+
+  /** Flat timestamp/date columns of `file`: name -> Some(unit) for
+    * timestamps, None for dates. */
+  private def temporalCols(file: String)
+      : Map[String, Option[TimeUnit]] =
+    FooterCache.schemaOption(file).map { mt =>
+      import scala.jdk.CollectionConverters._
+      mt.getFields.asScala.flatMap { f =>
+        if (!f.isPrimitive) None
+        else f.asPrimitiveType().getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            Some(f.getName -> Some(ts.getUnit))
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            Some(f.getName -> None)
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Temporal literal -> the file's stat representation; None when the
+    * conversion is not exact (sub-unit precision) or the value is not
+    * temporal. NTZ values anchor at UTC, matching parquet
+    * isAdjustedToUTC=false storage of the local wall-clock. */
+  private def temporalValue(v: Any, unit: Option[TimeUnit]): Option[Any] = {
+    import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+    unit match {
+      case None => v match { // DATE column: stats are epoch days (int)
+        case d: LocalDate => Some(Int.box(d.toEpochDay.toInt))
+        case d: java.sql.Date => Some(Int.box(d.toLocalDate.toEpochDay.toInt))
+        case _ => None
+      }
+      case Some(u) =>
+        val micros: Option[Long] = v match {
+          case t: java.sql.Timestamp =>
+            Some(Math.floorDiv(t.getTime, 1000L) * 1000000L +
+              t.getNanos / 1000L)
+          case i: Instant =>
+            Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          case l: LocalDateTime =>
+            val i = l.toInstant(ZoneOffset.UTC)
+            Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          case _ => None
+        }
+        micros.flatMap { us =>
+          u match {
+            case TimeUnit.MICROS => Some(Long.box(us))
+            case TimeUnit.MILLIS =>
+              if (us % 1000L == 0L) Some(Long.box(us / 1000L)) else None
+            case TimeUnit.NANOS =>
+              try Some(Long.box(Math.multiplyExact(us, 1000L)))
+              catch { case _: ArithmeticException => None }
+          }
+        }
+    }
+  }
+
+  /** Replace comparison values on temporal columns with their numeric
+    * stat form; untouched values stay and prune conservatively. */
+  private def rewriteTemporal(f: Filter,
+      cols: Map[String, Option[TimeUnit]]): Filter = {
+    import org.apache.spark.sql.sources._
+    if (cols.isEmpty) return f
+    def conv(a: String, v: Any): Option[Any] =
+      cols.get(a).flatMap(u => temporalValue(v, u))
+    f match {
+      case EqualTo(a, v) => conv(a, v).map(EqualTo(a, _)).getOrElse(f)
+      case LessThan(a, v) => conv(a, v).map(LessThan(a, _)).getOrElse(f)
+      case LessThanOrEqual(a, v) =>
+        conv(a, v).map(LessThanOrEqual(a, _)).getOrElse(f)
+      case GreaterThan(a, v) =>
+        conv(a, v).map(GreaterThan(a, _)).getOrElse(f)
+      case GreaterThanOrEqual(a, v) =>
+        conv(a, v).map(GreaterThanOrEqual(a, _)).getOrElse(f)
+      case In(a, vs) =>
+        val cs = vs.map(conv(a, _))
+        if (cs.forall(_.isDefined)) In(a, cs.map(_.get)) else f
+      case And(l, r) =>
+        And(rewriteTemporal(l, cols), rewriteTemporal(r, cols))
+      case Or(l, r) =>
+        Or(rewriteTemporal(l, cols), rewriteTemporal(r, cols))
+      case Not(c) => Not(rewriteTemporal(c, cols))
+      case other => other
+    }
+  }
+
+  /** Structural gate for predicate overwrite — the
+    * `RowFilterEval.supports` shapes, with comparison values extended
+    * to temporal types (classification converts them per file; the
+    * residue job compares them natively). */
+  def supportsOverwrite(f: Filter,
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.sources._
+    def col(a: String) = schema.fieldNames.contains(a)
+    def value(v: Any): Boolean = v match {
+      case _: Number | _: String | _: Boolean => true
+      case _: java.sql.Timestamp | _: java.time.Instant |
+           _: java.time.LocalDateTime | _: java.sql.Date |
+           _: java.time.LocalDate => true
+      case _ => false
+    }
+    f match {
+      case EqualTo(a, v) => col(a) && value(v)
+      case LessThan(a, v) => col(a) && value(v)
+      case LessThanOrEqual(a, v) => col(a) && value(v)
+      case GreaterThan(a, v) => col(a) && value(v)
+      case GreaterThanOrEqual(a, v) => col(a) && value(v)
+      case IsNull(a) => col(a)
+      case IsNotNull(a) => col(a)
+      case In(a, vs) => col(a) && vs.forall(value)
+      case StringStartsWith(a, _) => col(a)
+      case StringEndsWith(a, _) => col(a)
+      case StringContains(a, _) => col(a)
+      case And(l, r) => supportsOverwrite(l, schema) &&
+        supportsOverwrite(r, schema)
+      case Or(l, r) => supportsOverwrite(l, schema) &&
+        supportsOverwrite(r, schema)
+      case Not(c) => supportsOverwrite(c, schema)
+      case _ => false
+    }
   }
 
   /** Rows to KEEP when deleting `cond` matches: NOT(cond), null-safe. */

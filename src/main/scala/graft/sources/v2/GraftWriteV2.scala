@@ -61,11 +61,13 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
       val cond = filters.reduce[Filter](And(_, _))
       FooterCache.schemaOption(path).map(ParquetMeta.toStruct)
         .foreach { existing =>
-          if (!RowFilterEval.supports(cond, existing)) {
+          if (!graft.sources.PredicateFiles.supportsOverwrite(cond,
+              existing)) {
             throw new UnsupportedOperationException(
               s"graft-v2 predicate overwrite: unsupported predicate " +
-              s"$cond — supported: comparisons/In/IsNull/StartsWith/" +
-              "EndsWith/Contains over flat columns, with And/Or/Not")
+              s"$cond — supported: comparisons (incl. date/timestamp)/" +
+              "In/IsNull/StartsWith/EndsWith/Contains over flat " +
+              "columns, with And/Or/Not")
           }
         }
       overwriteCond = Some(cond)

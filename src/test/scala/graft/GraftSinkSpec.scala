@@ -233,6 +233,46 @@ class GraftSinkSpec extends SparkTestBase {
     }
   }
 
+  test("replaceWhere retention shape: timestamp predicate from SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rwt").resolve("t").toString
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val cut = "1998-01-01 00:00:00"
+    // the column is timestamp_ntz (parquet isAdjustedToUTC=false) —
+    // predicate literal and replacement rows must match that type
+    val dt = orders.schema("o_orderdate").dataType
+    val cutCol = lit(cut).cast(dt)
+    // time-clustered layout (the retention shape): one file strictly
+    // before the cut, one at/after
+    orders.filter(col("o_orderdate") < cutCol)
+      .coalesce(1).write.parquet(dir)
+    orders.filter(col("o_orderdate") >= cutCol)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val expectKeep = orders.filter(col("o_orderdate") < cutCol).count()
+    assert(expectKeep > 0 && expectKeep < orders.count(),
+      "cut date must split the data for a meaningful test")
+    val before = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    // re-ingest everything after the cut with a sentinel key
+    val repl = Seq((-1L, cut)).toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), col("d").cast(dt).as("o_orderdate"))
+    GraftSink.replaceWhere(repl, dir,
+      s"o_orderdate >= TIMESTAMP_NTZ '$cut'")
+    val after = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    // stats-aligned: the before-cut file was classified keep from its
+    // footer timestamp stats and never touched
+    assert((before & after).size == 1,
+      s"time-clustered retention must keep the old file: $before / $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == expectKeep + 1)
+    assert(back.filter(col("o_orderkey") === -1L).count() == 1)
+    assert(back.filter(col("o_orderdate") >= cutCol &&
+      col("o_orderkey") =!= -1L).count() == 0,
+      "all rows at/after the cut must be gone")
+  }
+
   test("compact merges small files, leaves big ones untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cmp").resolve("t").toString
