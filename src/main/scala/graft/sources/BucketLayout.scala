@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bucket layout of a graft directory: `numBuckets` hash buckets over
+  * `bucketCols`, each data file carrying its bucket id in the
+  * `_<bucket%05d>` file-name suffix that [[GraftSink.saveBucketedTable]]
+  * writes and Spark's own `BucketingUtils` convention defines. The
+  * layout is recorded in a `.graft-buckets.json` marker next to the
+  * data, which is what lets a V2 catalog read rediscover the bucketing
+  * and plan storage-partitioned (shuffle-free) joins — the
+  * metadata-travels-with-the-data analog of the reference's partitioned
+  * read contract (reference: src/main/scala/org/apache/spark/sql/
+  * JDBCRDDWithLimit.scala:53-63, where partition clauses are the
+  * source-side contract the scan relies on).
+  *
+  * The hash is Spark's `HashPartitioning`: `pmod(murmur3(cols, 42), n)`
+  * — identical to what `repartition(n, cols)` produced on the write
+  * side, so file bucket id, read-side partition key, and any
+  * function-evaluated re-shuffle all agree.
+  */
+final case class BucketLayout(numBuckets: Int, bucketCols: Seq[String],
+    sortCols: Seq[String]) {
+  require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+  require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+
+  def json: String = {
+    def arr(xs: Seq[String]) =
+      xs.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+    s"""{"numBuckets":$numBuckets,"bucketCols":${arr(bucketCols)},""" +
+      s""""sortCols":${arr(sortCols)}}"""
+  }
+}
+
+object BucketLayout {
+  val MarkerName = ".graft-buckets.json"
+
+  /** Bucket id from a data-file name — Spark's `BucketingUtils` shape:
+    * the last `_<digits>` group before the extensions. */
+  private val BucketIdPattern = ".*_(\\d+)(?:\\..*)?$".r
+
+  def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    case BucketIdPattern(id) => scala.util.Try(id.toInt).toOption
+    case _ => None
+  }
+
+  def write(fs: FileSystem, dir: Path, layout: BucketLayout): Unit = {
+    val out = fs.create(new Path(dir, MarkerName), true)
+    try out.write(layout.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def read(fs: FileSystem, dir: Path): Option[BucketLayout] = {
+    val p = new Path(dir, MarkerName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    parse(text)
+  }
+
+  /** Minimal parser for the exact shape [[BucketLayout.json]] renders
+    * (jackson would be heavier than the format warrants). Returns None
+    * on anything malformed — an unreadable marker downgrades the read
+    * to unbucketed rather than failing it. */
+  private[graft] def parse(text: String): Option[BucketLayout] = {
+    val num = "\"numBuckets\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(text).map(_.group(1).toInt)
+    def arr(field: String): Option[Seq[String]] =
+      (s""""$field"\\s*:\\s*\\[([^\\]]*)\\]""").r
+        .findFirstMatchIn(text).map { m =>
+          "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1))
+            .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+            .toSeq
+        }
+    (num, arr("bucketCols"), arr("sortCols")) match {
+      case (Some(n), Some(bc), Some(sc)) if n > 0 && bc.nonEmpty =>
+        Some(BucketLayout(n, bc, sc))
+      case _ => None
+    }
+  }
+}
+
+/** V2 `bucket(n, cols...)` function — what lets Catalyst resolve the
+  * `bucket` transform a bucketed graft table reports, decide that two
+  * tables' clusterings are compatible (same `canonicalName`, same
+  * argument list), and — with `spark.sql.sources.v2.bucketing.shuffle
+  * .enabled` — hash the unbucketed side of a join into OUR bucket ids.
+  * `produceResult` therefore must be bit-identical to the write side:
+  * Spark's `Murmur3Hash(cols, seed = 42)` left-fold, `pmod` into `n`.
+  */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, cols...): Spark HashPartitioning bucket id"
+
+  private def hashable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | StringType => true
+    case _ => false
+  }
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 2,
+      s"bucket(numBuckets, cols...) needs at least 2 args, got $inputType")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket: first argument must be int, got ${inputType.fields(0).dataType}")
+    val colTypes = inputType.fields.drop(1).map(_.dataType)
+    colTypes.find(!hashable(_)).foreach { dt =>
+      throw new UnsupportedOperationException(
+        s"graft bucket: unsupported bucket-column type $dt")
+    }
+    GraftBucketBound(colTypes)
+  }
+}
+
+case class GraftBucketBound(colTypes: Array[DataType])
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = IntegerType +: colTypes
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    var h = 42 // Murmur3Hash's seed; null columns leave the fold untouched
+    var i = 0
+    while (i < colTypes.length) {
+      val ord = i + 1
+      if (!input.isNullAt(ord)) {
+        h = colTypes(i) match {
+          case ByteType => Murmur3_x86_32.hashInt(input.getByte(ord).toInt, h)
+          case ShortType => Murmur3_x86_32.hashInt(input.getShort(ord).toInt, h)
+          case IntegerType | DateType =>
+            Murmur3_x86_32.hashInt(input.getInt(ord), h)
+          case LongType | TimestampType | TimestampNTZType =>
+            Murmur3_x86_32.hashLong(input.getLong(ord), h)
+          case StringType =>
+            val s = input.getUTF8String(ord)
+            Murmur3_x86_32.hashUnsafeBytes(
+              s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+          case dt => throw new IllegalStateException(s"unbindable type $dt")
+        }
+      }
+      i += 1
+    }
+    Integer.valueOf(((h % n) + n) % n)
+  }
+}

@@ -376,6 +376,13 @@ object GraftSink {
         s"graft replaceWhere schema mismatch: table has " +
         s"${existing.catalogString}, write has ${df.schema.catalogString}")
     }
+    BucketLayout.read(fs, target).foreach { b =>
+      // boundary rewrites would emit files without the _<bucketId>
+      // suffix, silently degrading later co-located joins
+      throw new UnsupportedOperationException(
+        s"graft replaceWhere: $dir has a bucketed layout ($b); rewrite " +
+        "it with saveBucketedFiles instead")
+    }
     if (!PredicateFiles.supportsOverwrite(cond, existing)) {
       throw new IllegalArgumentException(
         s"graft replaceWhere: unsupported predicate $cond — supported: " +
@@ -418,8 +425,14 @@ object GraftSink {
     * readers see complete-old or complete-new, and files at or above
     * the threshold are never touched.
     *
+    * A directory with a [[BucketLayout]] marker compacts PER BUCKET —
+    * the merged files keep their `_<bucketId>` suffix so later
+    * co-located joins stay correct. That path shuffles the small-file
+    * subset (rows must regroup under the bucket hash), never the full
+    * table.
+    *
     * Returns (filesBefore, filesAfter) for the compacted subset; a
-    * no-op (0 or 1 small file) returns without running a job.
+    * no-op (0 or 1 mergeable small file) returns without running a job.
     */
   def compact(spark: SparkSession, dir: String,
       smallBytes: Long = 32L * 1024 * 1024,
@@ -435,21 +448,62 @@ object GraftSink {
     val small = fs.listStatus(target)
       .filter(st => isDataPart(st.getPath.getName) && st.getLen < smallBytes)
     if (small.length <= 1) return (small.length, small.length)
+    val layout = BucketLayout.read(fs, target)
+    if (layout.isDefined) {
+      // merging is only useful where a single bucket has >1 small file
+      val perBucket = small.groupBy(st =>
+        BucketLayout.bucketIdOf(st.getPath.getName))
+      if (!perBucket.exists(_._2.length > 1)) {
+        return (small.length, small.length)
+      }
+    }
     val totalBytes = small.map(_.getLen).sum
     val outFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     val token = UUID.randomUUID().toString.take(8)
     val staging = new Path(target, s".graft-compact-$token")
     try {
-      // coalesce, not repartition: compaction is a merge, no shuffle
-      spark.read.parquet(small.map(_.getPath.toString).toSeq: _*)
-        .coalesce(outFiles)
-        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      layout match {
+        case None =>
+          // coalesce, not repartition: compaction is a merge, no shuffle
+          spark.read.parquet(small.map(_.getPath.toString).toSeq: _*)
+            .coalesce(outFiles)
+            .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        case Some(b) =>
+          import org.apache.spark.sql.functions.{col => c}
+          // re-hash the small rows: partition id == bucket id, exactly
+          // the saveBucketedFiles write shape, one output file per bucket
+          val parted = spark.read
+            .parquet(small.map(_.getPath.toString).toSeq: _*)
+            .repartition(b.numBuckets, b.bucketCols.map(c): _*)
+          val rows =
+            if (b.sortCols.isEmpty) parted
+            else parted.sortWithinPartitions(b.sortCols.map(c): _*)
+          rows.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+          // Spark names staged parts part-<splitId>-<uuid>; splitId is
+          // the bucket id here — rename into the _<bucketId> convention
+          val SplitId = "part-(\\d+)-.*".r
+          fs.listStatus(staging).map(_.getPath)
+            .filter(p => isDataPart(p.getName)).foreach { p =>
+              val bid = p.getName match {
+                case SplitId(id) => id.toInt
+                case other => throw new IllegalStateException(
+                  s"unexpected staged part name $other")
+              }
+              val to = new Path(staging,
+                f"part-00000-$token%s_$bid%05d.c000.snappy.parquet")
+              if (!fs.rename(p, to)) {
+                throw new java.io.IOException(s"rename $p -> $to failed")
+              }
+            }
+      }
+      val written = fs.listStatus(staging)
+        .count(st => isDataPart(st.getPath.getName))
       val backup = new Path(target, s".graft-compact-backup-$token")
       parkSwapRestore(fs, target, backup, small.map(_.getPath).toSeq) {
         movePartsOrRollback(fs, staging, target)
       }
-      (small.length, outFiles)
+      (small.length, written)
     } finally fs.delete(staging, true)
   }
 
@@ -559,19 +613,8 @@ object GraftSink {
           purge = false)
       }
     }
-    import org.apache.spark.sql.functions.{col => c}
-    // partition id == Spark bucket id: identical HashPartitioning
-    val parted = df.repartition(numBuckets, bucketCols.map(c): _*)
-    val rows =
-      if (sortCols.isEmpty) parted
-      else parted.sortWithinPartitions(sortCols.map(c): _*)
-    // `seq` rolls a skewed bucket into several bounded files (Spark's
-    // bucketed read groups all files carrying the same _<bucketId>
-    // suffix back into one bucket partition)
-    saveCompensating(rows, dir, mode, batchSize,
-      partName = (jobId, pid, seq) => f"part-00000-$jobId%s_$pid%05d" +
-        f".c$seq%03d.snappy.parquet",
-      maxRowsPerFile = maxRowsPerFile)
+    saveBucketedFiles(df, dir, numBuckets, bucketCols, sortCols, mode,
+      batchSize, maxRowsPerFile)
     if (!appendToExisting) {
       import org.apache.spark.sql.catalyst.catalog.{BucketSpec,
         CatalogStorageFormat, CatalogTable, CatalogTableType}
@@ -587,6 +630,63 @@ object GraftSink {
     }
     // drop any cached file listing/relation for the (re)written table
     spark.sql(s"REFRESH TABLE $table")
+  }
+
+  /** [[saveBucketedTable]]'s write half without the session-catalog
+    * registration: bucket-hash the rows (`repartition(n, keys)` — the
+    * partition id IS the Spark bucket id), write `_<bucketId>`-suffixed
+    * files, and record the layout in a `.graft-buckets.json` marker
+    * (see [[BucketLayout]]).
+    *
+    * This is how a table under a [[v2.GraftCatalog]] warehouse gets a
+    * bucketed layout: the catalog rediscovers the marker at load and
+    * reports the clustering to Catalyst, so joins between two such
+    * tables on the bucket keys plan WITHOUT a shuffle exchange
+    * (storage-partitioned join; enable
+    * `spark.sql.sources.v2.bucketing.enabled`). */
+  def saveBucketedFiles(
+      df: DataFrame,
+      dir: String,
+      numBuckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      batchSize: Int = 1000,
+      maxRowsPerFile: Long = Long.MaxValue): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val want = BucketLayout(numBuckets, bucketCols, sortCols)
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    val target = new Path(dir)
+    val fs = target.getFileSystem(hadoopConf)
+    if (mode == SaveMode.Append && fs.exists(target)) {
+      // appending under a DIFFERENT spec would mix hash layouts in one
+      // directory — reads would interpret old bucket ids under the new
+      // spec and co-located joins would silently drop matches
+      BucketLayout.read(fs, target).foreach { have =>
+        if (have != want) {
+          throw new IllegalArgumentException(
+            s"graft bucketed append: $dir is laid out as $have, " +
+            s"write has $want")
+        }
+      }
+    }
+    // mirrors checkMode: Ignore on an existing dir writes nothing
+    val skippedByIgnore = mode == SaveMode.Ignore && fs.exists(target)
+    import org.apache.spark.sql.functions.{col => c}
+    // partition id == Spark bucket id: identical HashPartitioning
+    val parted = df.repartition(numBuckets, bucketCols.map(c): _*)
+    val rows =
+      if (sortCols.isEmpty) parted
+      else parted.sortWithinPartitions(sortCols.map(c): _*)
+    // `seq` rolls a skewed bucket into several bounded files (Spark's
+    // bucketed read groups all files carrying the same _<bucketId>
+    // suffix back into one bucket partition)
+    saveCompensating(rows, dir, mode, batchSize,
+      partName = (jobId, pid, seq) => f"part-00000-$jobId%s_$pid%05d" +
+        f".c$seq%03d.snappy.parquet",
+      maxRowsPerFile = maxRowsPerFile)
+    if (!skippedByIgnore) BucketLayout.write(fs, target, want)
   }
 }
 

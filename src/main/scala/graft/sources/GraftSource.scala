@@ -34,10 +34,24 @@ class GraftSource extends RelationProvider
       mode: SaveMode,
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
-    // `truncate` option mirrors the reference's truncate-and-load vs
-    // drop-and-recreate Overwrite split (ExtJdbcRelationProvider.scala:28-34).
-    GraftSink.saveAtomic(data, path(parameters), mode,
-      truncate = parameters.getOrElse("truncate", "false").toBoolean)
+    parameters.get("replaceWhere") match {
+      case Some(condSql) =>
+        // Delta-style predicate overwrite through the writer syntax:
+        // `df.write.format("graft").mode("overwrite")
+        //    .option("replaceWhere", "day = DATE '2024-06-01'")`.
+        // Only Overwrite makes sense — the option *scopes* the
+        // overwrite; any other mode is a user error, not a fallback.
+        if (mode != SaveMode.Overwrite) {
+          throw new IllegalArgumentException(
+            s"graft: option 'replaceWhere' requires SaveMode.Overwrite, got $mode")
+        }
+        GraftSink.replaceWhere(data, path(parameters), condSql)
+      case None =>
+        // `truncate` option mirrors the reference's truncate-and-load vs
+        // drop-and-recreate Overwrite split (ExtJdbcRelationProvider.scala:28-34).
+        GraftSink.saveAtomic(data, path(parameters), mode,
+          truncate = parameters.getOrElse("truncate", "false").toBoolean)
+    }
     createRelation(sqlContext, parameters)
   }
 }

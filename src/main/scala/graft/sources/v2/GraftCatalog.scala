@@ -28,7 +28,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an empty table keeps its schema until first write; footers win once
   * data exists.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -83,7 +84,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(ParquetMeta.toStruct)
       .orElse(readMarker(dir))
       .getOrElse(throw new NoSuchTableException(ident))
-    GraftTableV2(dir.toString, schema)
+    // a directory laid out by GraftSink.saveBucketedFiles carries its
+    // BucketLayout marker; surfacing it here is what turns catalog
+    // joins on the bucket keys into storage-partitioned (shuffle-free)
+    // joins — see GraftScanV2.outputPartitioning
+    GraftTableV2(dir.toString, schema,
+      bucketSpec = graft.sources.BucketLayout.read(fs, dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -163,6 +169,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
       "graft catalog: namespaces carry no metadata")
+
+  // ---- functions: just `bucket`, so Catalyst can resolve the
+  // transform a bucketed table reports (storage-partitioned joins) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !fs.exists(nsDir(namespace))) {
+      throw new NoSuchNamespaceException(namespace)
+    }
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  }
+
+  /** Accepted under any namespace: Spark resolves transform functions
+    * against the empty namespace, SQL users may qualify it. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) {
+      graft.sources.GraftBucketFunction
+    } else {
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {

@@ -77,7 +77,8 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 case class GraftTableV2(path: String, tableSchema: StructType,
-    vectorized: Boolean = true, batchSize: Int = 4096)
+    vectorized: Boolean = true, batchSize: Int = 4096,
+    bucketSpec: Option[graft.sources.BucketLayout] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-v2:${path.split('/').last}"
@@ -87,17 +88,38 @@ case class GraftTableV2(path: String, tableSchema: StructType,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+  /** Advertised clustering of a bucket-laid-out table (see
+    * [[graft.sources.BucketLayout]]) — `DESCRIBE` surface; the scan's
+    * `outputPartitioning` is what the planner consumes. */
+  override def partitioning(): Array[Transform] = bucketSpec match {
+    case Some(b) =>
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(b.numBuckets, b.bucketCols: _*))
+    case None => Array.empty
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize)
+    new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize,
+      bucketSpec)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (bucketSpec.isDefined) {
+      // a V2 append writes unsuffixed files, which would silently strip
+      // the table's co-location guarantee — route bucketed writes
+      // through the layout-preserving sink instead
+      throw new UnsupportedOperationException(
+        s"graft-v2: $path has a bucketed layout (${bucketSpec.get}); " +
+        "write through GraftSink.saveBucketedFiles/saveBucketedTable " +
+        "so files keep their bucket ids")
+    }
     new GraftWriteBuilderV2(path, info)
+  }
 }
 
 class GraftScanBuilderV2(path: String, fullSchema: StructType,
-    vectorizedRequested: Boolean, batchSize: Int = 4096)
+    vectorizedRequested: Boolean, batchSize: Int = 4096,
+    bucketSpec: Option[graft.sources.BucketLayout] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -347,7 +369,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
         }
     }
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
-      batchSize, topN, topNLimit, pushedAgg)
+      batchSize, topN, topNLimit, pushedAgg, bucketSpec)
   }
 }
 
@@ -356,9 +378,11 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     batchSize: Int = 4096,
     topN: Array[(String, Boolean, Boolean)] = Array.empty,
     topNLimit: Int = -1,
-    pushedAgg: Option[(StructType, Array[Any], String)] = None)
+    pushedAgg: Option[(StructType, Array[Any], String)] = None,
+    bucketSpec: Option[graft.sources.BucketLayout] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   /** Runtime (DPP-style) filters: delivered by Spark AFTER the build
     * side of a join has executed — e.g. the `In(o_orderkey, <built
@@ -431,10 +455,63 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     val kept =
       if (pruning.isEmpty) groups
       else groups.filter(rg => pruning.forall(RowGroupPruning.mayMatch(_, rg)))
-    kept.map(rg =>
+    val parts = kept.map(rg =>
       GraftInputPartition(rg.file, rg.index, rg.startingPos,
-        rg.compressedBytes)).toArray
+        rg.compressedBytes))
+    bucketGrouping match {
+      case Some(b) =>
+        // one partition per bucket, ALL buckets present (empty ones
+        // too) so both sides of a co-located join expose identical
+        // partition-value sets regardless of pruning
+        val byBucket = Array.fill(b.numBuckets)(
+          scala.collection.mutable.ArrayBuffer.empty[GraftInputPartition])
+        parts.foreach { p =>
+          val name = new Path(p.file).getName
+          byBucket(graft.sources.BucketLayout.bucketIdOf(name).get) += p
+        }
+        byBucket.zipWithIndex.map { case (ps, bucket) =>
+          GraftBucketedPartition(bucket, ps.toArray): InputPartition
+        }
+      case None => parts.toArray
+    }
   }
+
+  /** Bucket-clustered planning is on only when it can pay for itself:
+    * the session opted in (`spark.sql.sources.v2.bucketing.enabled`,
+    * the same knob Spark's storage-partitioned join requires anyway),
+    * the scan is a real row scan (not a footer-answered aggregate),
+    * and every data file verifiably carries a bucket id below the
+    * marker's count — anything else falls back to per-row-group
+    * partitions, trading the shuffle win back for full parallelism
+    * and correctness. */
+  private lazy val bucketGrouping: Option[graft.sources.BucketLayout] =
+    bucketSpec.filter { b =>
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      pushedAgg.isEmpty &&
+      FooterCache.rowGroups(path).forall { rg =>
+        graft.sources.BucketLayout.bucketIdOf(new Path(rg.file).getName)
+          .exists(_ < b.numBuckets)
+      }
+    }
+
+  /** Storage-partitioned-join contract: the scan's output is
+    * key-grouped by `bucket(n, cols)` — with the catalog's `bucket`
+    * function resolving the transform, Catalyst plans equi-joins
+    * between two identically-bucketed graft tables with NO shuffle
+    * exchange on either side. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketGrouping match {
+      case Some(b) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(b.numBuckets, b.bucketCols: _*)),
+            b.numBuckets)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** Streaming face: tail the directory as a micro-batch source — new
     * parquet files are the commit unit (the files arrive whole, like
@@ -447,6 +524,15 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     new GraftMicroBatchStream(path, checkpointLocation, this)
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    val base = createBaseReaderFactory()
+    // bucketed batch scans deliver GraftBucketedPartition bundles; the
+    // wrapper unrolls them over the same per-row-group readers (and
+    // passes bare partitions through untouched, e.g. the micro-batch
+    // stream's, which shares this factory)
+    if (bucketGrouping.isDefined) BucketConcatReaderFactory(base) else base
+  }
+
+  private def createBaseReaderFactory(): PartitionReaderFactory = {
     pushedAgg match {
       case Some((_, values, _)) => return GraftAggReaderFactory(values)
       case None => ()
@@ -488,6 +574,82 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
   * inside the range, so the span must cover the group). */
 case class GraftInputPartition(file: String, rowGroup: Int,
     startingPos: Long, byteLen: Long) extends InputPartition
+
+/** All row groups of one bucket, as one partition whose key is the
+  * bucket id — the `HasPartitionKey` half of the storage-partitioned
+  * join contract ([[GraftScanV2.outputPartitioning]] is the other). */
+case class GraftBucketedPartition(bucket: Int,
+    parts: Array[GraftInputPartition])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+  override def preferredLocations(): Array[String] =
+    parts.flatMap(_.preferredLocations()).distinct
+}
+
+/** Unrolls a [[GraftBucketedPartition]] over a per-row-group factory:
+  * sub-readers are opened lazily one at a time and closed before the
+  * next opens, so a bucket of many row groups holds one reader's
+  * resources, same as the unbucketed plan. Bare partitions (the
+  * streaming path) pass straight through. */
+case class BucketConcatReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def subs(p: InputPartition): Option[Array[GraftInputPartition]] =
+    p match {
+      case b: GraftBucketedPartition => Some(b.parts)
+      case _ => None
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    subs(partition) match {
+      // empty buckets say yes so one empty bucket cannot flip the whole
+      // scan to row mode (the empty columnar reader emits nothing)
+      case Some(ps) =>
+        ps.isEmpty || ps.forall(inner.supportColumnarReads)
+      case None => inner.supportColumnarReads(partition)
+    }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    subs(partition) match {
+      case Some(ps) => new ConcatPartitionReader(ps, inner.createReader)
+      case None => inner.createReader(partition)
+    }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] =
+    subs(partition) match {
+      case Some(ps) =>
+        new ConcatPartitionReader(ps, inner.createColumnarReader)
+      case None => inner.createColumnarReader(partition)
+    }
+}
+
+private[v2] class ConcatPartitionReader[T](
+    parts: Array[GraftInputPartition],
+    mk: InputPartition => PartitionReader[T])
+    extends PartitionReader[T] {
+  private var i = 0
+  private var cur: PartitionReader[T] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (i >= parts.length) return false
+        cur = mk(parts(i))
+        i += 1
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = cur.get()
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
 
 case class GraftReaderFactory(readSchema: StructType,
     filters: Array[Filter], limit: Int,

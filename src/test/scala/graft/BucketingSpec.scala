@@ -127,6 +127,121 @@ class BucketingSpec extends SparkTestBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("catalog reads of bucketed layouts plan storage-partitioned joins") {
+    import graft.sources.{BucketLayout, GraftSink}
+    import org.apache.spark.sql.SaveMode
+    val wh = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    spark.conf.set("spark.sql.catalog.spjcat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+    val li = Tables.t(spark, sf001, "lineitem")
+    val o = Tables.t(spark, sf001, "orders")
+    GraftSink.saveBucketedFiles(li, s"$wh/spj/li", 8, Seq("l_orderkey"),
+      mode = SaveMode.Overwrite)
+    GraftSink.saveBucketedFiles(o, s"$wh/spj/o", 8, Seq("o_orderkey"),
+      mode = SaveMode.Overwrite)
+    // the layout marker travels with the data
+    assert(new java.io.File(s"$wh/spj/li/${BucketLayout.MarkerName}").exists())
+    val restore = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("spjcat.spj.li")
+        .join(spark.table("spjcat.spj.o"),
+          col("l_orderkey") === col("o_orderkey"))
+      val n = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"catalog bucketed join should be storage-partitioned:\n$plan")
+      assert(n ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+      // single-table reads through the catalog stay correct
+      assert(spark.table("spjcat.spj.li").count() == li.count())
+      // without the opt-in conf the scan falls back to per-row-group
+      // parallelism (no key grouping, shuffles come back)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val unbucketed = spark.table("spjcat.spj.li")
+        .join(spark.table("spjcat.spj.o"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange"))
+      assert(unbucketed.count() == n)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed layout is protected from layout-breaking writes") {
+    import graft.sources.{BucketLayout, GraftSink}
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-spjw").toString
+    spark.conf.set("spark.sql.catalog.spjwcat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjwcat.warehouse", wh)
+    val n = Tables.t(spark, sf001, "nation")
+    GraftSink.saveBucketedFiles(n, s"$wh/t", 4, Seq("n_nationkey"),
+      mode = SaveMode.Overwrite)
+    // V2 INSERT would write unsuffixed files -> refused with guidance
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO spjwcat.t SELECT * FROM spjwcat.t LIMIT 1")
+    }
+    assert(e.getMessage.contains("saveBucketedFiles") ||
+      Option(e.getCause).exists(_.getMessage.contains("saveBucketedFiles")),
+      s"unexpected: $e")
+    // replaceWhere rewrites would strip bucket ids -> refused
+    val e2 = intercept[UnsupportedOperationException] {
+      GraftSink.replaceWhere(n, s"$wh/t", "n_nationkey >= 0")
+    }
+    assert(e2.getMessage.contains("bucketed layout"), e2.getMessage)
+    // appending under a different spec is refused from the marker alone
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSink.saveBucketedFiles(n, s"$wh/t", 8, Seq("n_nationkey"),
+        mode = SaveMode.Append)
+    }
+    assert(e3.getMessage.contains("laid out as"), e3.getMessage)
+    // marker round-trip survives odd column names
+    val odd = BucketLayout(3, Seq("a\"b", "c\\d"), Seq("e f"))
+    assert(BucketLayout.parse(odd.json).contains(odd))
+  }
+
+  test("bucketed compact merges per bucket and keeps co-location") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    val base = java.nio.file.Files.createTempDirectory("graft-spjc")
+    val li = Tables.t(spark, sf001, "lineitem")
+    // rollover forces several small files per bucket
+    GraftSink.saveBucketedFiles(li, s"$base/li", 4, Seq("l_orderkey"),
+      sortCols = Seq("l_orderkey"), mode = SaveMode.Overwrite,
+      maxRowsPerFile = 500)
+    val before = new java.io.File(s"$base/li").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(before.length > 4, s"rollover expected: ${before.toSeq}")
+    val (was, now) = GraftSink.compact(spark, s"$base/li")
+    assert(was == before.length && now == 4, s"($was, $now)")
+    val after = new java.io.File(s"$base/li").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(after.length == 4, after.toSeq.toString)
+    // every merged file carries a bucket suffix and only its own rows
+    after.foreach { f =>
+      val bucket = """_(\d{5})\.""".r.findFirstMatchIn(f).get.group(1).toInt
+      assert(bucket < 4, f)
+      val wrong = spark.read.parquet(s"$base/li/$f")
+        .filter(pmod(hash(col("l_orderkey")), lit(4)) =!= bucket).count()
+      assert(wrong == 0, s"file $f holds rows of another bucket")
+    }
+    assert(spark.read.parquet(s"$base/li").count() == li.count())
+    // a second compact is a no-op (one file per bucket already)
+    assert(GraftSink.compact(spark, s"$base/li") == ((4, 4)))
+  }
+
   test("bucket advisor sizes buckets to rows and flags hot keys") {
     import graft.sources.GraftSink
     import spark.implicits._

@@ -233,6 +233,26 @@ class GraftSinkSpec extends SparkTestBase {
     }
   }
 
+  test("replaceWhere through the writer option") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rwo").resolve("t").toString
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") % 10)
+      .coalesce(1).write.parquet(dir)
+    Seq((500L, 7L)).toDF("id", "v").write.format("graft")
+      .mode("overwrite").option("replaceWhere", "id >= 90").save(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 91)
+    assert(back.filter(col("id") === 500).count() == 1)
+    assert(back.filter(col("id") >= 90 && col("id") < 500).count() == 0)
+    // the option scopes an overwrite; any other mode is a user error
+    val e = intercept[IllegalArgumentException] {
+      Seq((1L, 1L)).toDF("id", "v").write.format("graft")
+        .mode("append").option("replaceWhere", "id >= 90").save(dir)
+    }
+    assert(e.getMessage.contains("requires SaveMode.Overwrite"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 91)
+  }
+
   test("replaceWhere retention shape: timestamp predicate from SQL") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-rwt").resolve("t").toString
