@@ -408,4 +408,45 @@ private[graft] object DuckHash {
        |SELECT guessed, count(*) AS n FROM g
        |GROUP BY guessed ORDER BY guessed""".stripMargin
   }
+
+  /** Oracle for `q_agg_approx_distinct` — graft's DETERMINISTIC
+    * HyperLogLog ([[graft.HllDistinct]]) re-evaluated in SQL: the same
+    * splitmix64 hash, bucket = top `p` bits, rank = leading zeros + 1
+    * (floor-log2 via `bin()` string length — integer-exact, where
+    * FP `log2` could misround near powers of two), registers as a
+    * GROUP BY max, and the raw Flajolet estimator in exact HUGEINT
+    * arithmetic. No floating point anywhere on either side, so the
+    * BIGINT estimates match bit-for-bit. */
+  def aggApproxDistinctOracle(p: Int = 8, seed: Long = 1L): String = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val m = 1 << p
+    val rankMax = 64 - p + 1 // rank when the payload bits are all zero
+    val bucketDiv = BigInt(1) << (64 - p)
+    // alpha_m * m^2 / sum(2^-M) with alpha_m = 0.7213/(1 + 1.079/m)
+    // rationalized: (7213*m / (10000*m + 10790)) * m^2 * 2^64 / S
+    val num = BigInt(7213) * BigInt(m).pow(3) * P64
+    val denC = BigInt(10000L * m + 10790)
+    val mixed = mixSteps(seed, Seq("flag"), "pk",
+      "(SELECT l_returnflag AS flag, l_partkey::HUGEINT AS pk " +
+        "FROM lineitem)")
+    s"""WITH hx AS ($mixed),
+       |br AS (SELECT flag, ((mx) // $bucketDiv)::INTEGER AS bucket,
+       |  ((mx) * $m) % $P64 AS w FROM hx),
+       |rk AS (SELECT flag, bucket,
+       |  CASE WHEN w = 0 THEN $rankMax
+       |       WHEN (w // $P32) > 0
+       |         THEN 33 - length(bin((w // $P32)::BIGINT))
+       |       ELSE 65 - length(bin((w % $P32)::BIGINT)) END AS r
+       |  FROM br),
+       |regs AS (SELECT flag, bucket, max(r) AS mr
+       |  FROM rk GROUP BY flag, bucket),
+       |est AS (SELECT flag, count(*) AS present,
+       |  sum((1::BIGINT << (63 - mr))::HUGEINT) AS t
+       |  FROM regs GROUP BY flag)
+       |SELECT flag AS l_returnflag,
+       |  ($num // ($denC::HUGEINT * 2 *
+       |    (t + ($m - present) * ((1::BIGINT << 62)::HUGEINT * 2))))::BIGINT
+       |    AS approx_parts
+       |FROM est ORDER BY l_returnflag""".stripMargin
+  }
 }

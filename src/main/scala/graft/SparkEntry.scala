@@ -308,12 +308,20 @@ object SparkEntry {
         max(col("l_quantity")).as("max_qty"))
       .orderBy(col("l_returnflag"))
 
-  /** No DuckDB oracle (HLL sketches differ) — rows-only check. */
-  private val qAggApproxDistinct: Q = (s, dir) =>
+  /** Approx distinct via graft's DETERMINISTIC HyperLogLog
+    * ([[HllDistinct]]): unlike `approx_count_distinct` (whose HLL++
+    * sketch is implementation-defined and un-oracle-able), this
+    * estimator is exact integer arithmetic end-to-end, so the DuckDB
+    * oracle recomputes the identical estimate bit-for-bit
+    * ([[DuckHash.aggApproxDistinctOracle]]). Same distributed shape:
+    * 256-byte register sketches merge map-side, only sketches shuffle. */
+  private val qAggApproxDistinct: Q = (s, dir) => {
+    val hll = udaf(HllDistinct)
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(hll(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
+  }
 
   // ===== 2f: windows =====
 
@@ -697,6 +705,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_fingerprint" -> DuckHash.fingerprintOracle(16),
+    "q_agg_approx_distinct" -> DuckHash.aggApproxDistinctOracle(),
     "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),
     "q_dedup_simhash" -> DuckHash.dedupSimhashOracle(10),
     "q_dedup_near" -> DuckHash.dedupNearOracle(0.2),
@@ -1065,6 +1074,74 @@ object SparkEntry {
 
 /** Typed UDAF demonstration (SURVEY.md §2j): geometric mean via
   * log-sum — numerically stable, mergeable partial aggregation. */
+/** Deterministic HyperLogLog distinct-count (p=8, m=256 registers).
+  *
+  * Hash is graft's splitmix64 ([[graft.functions.TextHashing.mix]],
+  * seed 1); bucket = top 8 hash bits, rank = leading-zero count + 1 of
+  * the remaining 56 bits. The estimate is the raw Flajolet estimator
+  * `alpha_m * m^2 / sum(2^-M_j)` evaluated in EXACT integer arithmetic
+  * (`sum(2^-M)` as `S/2^64` with `S` a BigInt; `alpha_m` rationalized
+  * to `7213m / (10000m + 10790)`), so the result is reproducible
+  * bit-for-bit across JVMs AND by the DuckDB oracle — no
+  * floating-point summation order anywhere. No small-range linear
+  * counting: `ln` is not exactly portable, and the raw estimator is
+  * the honest contract for n >> m (p is deliberately small). Accuracy
+  * is standard HLL: ~1.04/sqrt(256) ≈ 6.5% RSD.
+  *
+  * Scale shape: each partition reduces to a 256-byte register array,
+  * merge is an elementwise max — only sketches cross the wire, the
+  * canonical 100 TB distinct-count pattern.
+  */
+object HllDistinct extends org.apache.spark.sql.expressions.Aggregator[
+    Long, Array[Byte], Long] {
+  private val P = 8
+  private val M = 1 << P
+
+  override def zero: Array[Byte] = new Array[Byte](M)
+
+  override def reduce(regs: Array[Byte], v: Long): Array[Byte] = {
+    val h = graft.functions.TextHashing.mix(v, 1L)
+    val idx = (h >>> (64 - P)).toInt
+    val w = h << P
+    val rank =
+      if (w == 0) 64 - P + 1
+      else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+    regs
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) {
+      if (b(i) > a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(regs: Array[Byte]): Long = {
+    var present = 0
+    var t = BigInt(0) // sum over non-empty registers of 2^(63 - M_j)
+    var i = 0
+    while (i < M) {
+      if (regs(i) > 0) {
+        present += 1
+        t += BigInt(1) << (63 - regs(i))
+      }
+      i += 1
+    }
+    if (present == 0) return 0L
+    // S = sum over ALL registers of 2^(64 - M_j); empty register = 2^64
+    val s = (t + (BigInt(M - present) << 63)) * 2
+    val num = BigInt(7213) * BigInt(M).pow(3) * (BigInt(1) << 64)
+    val den = BigInt(10000L * M + 10790) * s
+    (num / den).toLong
+  }
+
+  override def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+}
+
 object GeoMean extends org.apache.spark.sql.expressions.Aggregator[
     Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)

@@ -88,22 +88,43 @@ object StreamOps {
     * directory is at-least-once on crash replay. Compaction itself is
     * backup-park atomic, so batch readers never see a partial merge.
     *
+    * Two triggers, combinable:
+    *  - `compactEvery` — cadence-based, every N batches;
+    *  - `compactAtSmallFiles` — state-based, whenever the directory's
+    *    small-file count crosses the threshold. This is the better
+    *    default for uneven batch sizes: a burst of tiny batches
+    *    compacts sooner, a stretch of large batches (each already a
+    *    healthy file) never pays a pointless merge. The count is one
+    *    driver-side directory listing per commit, and compaction
+    *    itself keeps that listing bounded.
+    *
     * Do NOT tail an auto-compacting directory with a `graft-v2`
     * STREAM: compaction rewrites files, violating the micro-batch
     * source's append-only contract — the merged files would be
     * re-ingested as new (duplicates). Batch scans, catalogs, and
-    * `replaceWhere` are the intended consumers; set `compactEvery = 0`
-    * if a downstream stream must tail the directory. */
+    * `replaceWhere` are the intended consumers; leave both triggers
+    * at 0 if a downstream stream must tail the directory. */
   def writeAppendBatches(stream: DataFrame, dir: String,
       compactEvery: Int = 0,
       smallBytes: Long = 32L * 1024 * 1024,
-      targetBytes: Long = 128L * 1024 * 1024)
+      targetBytes: Long = 128L * 1024 * 1024,
+      compactAtSmallFiles: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.sources.GraftSink.saveAtomic(
           batch, dir, org.apache.spark.sql.SaveMode.Append)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+        val cadenceDue = compactEvery > 0 && id > 0 && id % compactEvery == 0
+        def countDue: Boolean = compactAtSmallFiles > 0 && {
+          val target = new org.apache.hadoop.fs.Path(dir)
+          val fs = target.getFileSystem(
+            batch.sparkSession.sessionState.newHadoopConf())
+          fs.listStatus(target).count { st =>
+            st.getPath.getName.startsWith("part-") &&
+              st.getLen < smallBytes
+          } >= compactAtSmallFiles
+        }
+        if (cadenceDue || countDue) {
           graft.sources.GraftSink.compact(
             batch.sparkSession, dir, smallBytes, targetBytes)
         }

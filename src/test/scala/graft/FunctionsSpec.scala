@@ -9,6 +9,35 @@ import graft.functions.{LangGuess, TextHashing}
 class FunctionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("deterministic HLL: accurate, mergeable, repeatable") {
+    // direct sketch math: n distinct longs, raw estimator within the
+    // ~6.5% RSD band (4 sigma margin)
+    def estimate(vs: Iterator[Long]): Long = {
+      val regs = vs.foldLeft(HllDistinct.zero)(HllDistinct.reduce)
+      HllDistinct.finish(regs)
+    }
+    val n = 20000
+    val e = estimate((1L to n.toLong).iterator)
+    assert(math.abs(e - n).toDouble / n < 0.26, s"estimate $e for $n")
+    // duplicates do not move the estimate
+    val withDups = estimate(((1L to n.toLong) ++ (1L to n.toLong)).iterator)
+    assert(withDups == e)
+    // merge of split halves == single pass (register max is exact)
+    val left = (1L to 10000L).foldLeft(HllDistinct.zero)(HllDistinct.reduce)
+    val right = (10001L to n.toLong)
+      .foldLeft(HllDistinct.zero)(HllDistinct.reduce)
+    assert(HllDistinct.finish(HllDistinct.merge(left, right)) == e)
+    // empty input
+    assert(HllDistinct.finish(HllDistinct.zero) == 0L)
+    // through the UDAF surface: repeatable across runs
+    val udafCol = org.apache.spark.sql.functions.udaf(HllDistinct)
+    val df = spark.range(0, 5000).select(($"id" % 1000).as("v"))
+    val a = df.agg(udafCol($"v")).head.getLong(0)
+    val b = df.agg(udafCol($"v")).head.getLong(0)
+    assert(a == b)
+    assert(math.abs(a - 1000).toDouble / 1000 < 0.26, s"got $a")
+  }
+
   test("cosine_sim matches a hand computation and is symmetric") {
     val df = Seq(
       (Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0), 1.0),

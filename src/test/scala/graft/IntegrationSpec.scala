@@ -28,7 +28,7 @@ class IntegrationSpec extends SparkTestBase {
     // q_ann_ivf's oracle is DATA-DEPENDENT (rendered from the trained
     // quantizer after queries run, as in graft.Verify), so it may be
     // absent here where no query has executed.
-    val expected = Set("q_agg_approx_distinct", "q_multimodal_decode")
+    val expected = Set("q_multimodal_decode")
     val got = (qs -- oracled) - "q_ann_ivf"
     assert(got == expected, s"unexpected: ${got -- expected}")
   }

@@ -135,6 +135,35 @@ class StreamingSpec extends SparkTestBase {
       .exists(_.getName.startsWith(".graft-compact")))
   }
 
+  test("appending stream sink compacts when small-file count crosses") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps
+    val input = MemoryStream[Long]
+    val dir = java.nio.file.Files.createTempDirectory("graft-appstream-c")
+      .resolve("t").toString
+    import spark.implicits._
+    // no cadence trigger — only the small-file-count one (threshold 4)
+    val q = StreamOps.writeAppendBatches(
+      input.toDF().select($"value".as("id")).coalesce(2), dir,
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue,
+      compactAtSmallFiles = 4)
+    try {
+      (0 until 5).foreach { b =>
+        input.addData((b * 100L) until ((b + 1) * 100L): _*)
+        q.processAllAvailable()
+        // invariant: right after any commit, the threshold has been
+        // re-established — never ≥ 4+2 small files linger
+        val parts = new java.io.File(dir).listFiles()
+          .map(_.getName).filter(_.startsWith("part-"))
+        assert(parts.length < 6,
+          s"batch $b left ${parts.length} files: ${parts.toSeq}")
+      }
+    } finally q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    assert(back.agg(sum($"id")).head.getLong(0) == (0L until 500L).sum)
+  }
+
   test("foreachBatch atomic sink lands every micro-batch completely") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
