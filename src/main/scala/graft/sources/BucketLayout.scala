@@ -50,6 +50,70 @@ object BucketLayout {
     case _ => None
   }
 
+  /** Bucket a single VALUE lands in — Spark's `HashPartitioning` id
+    * (`pmod(murmur3(v, 42), n)`), the same hash the write side used.
+    * None for types whose filter-value representation differs from the
+    * hashed internal form (dates, timestamps, decimals) — callers must
+    * then scan all buckets. */
+  def valueBucket(v: Any, n: Int): Option[Int] = {
+    val h = v match {
+      case i: java.lang.Integer => Murmur3_x86_32.hashInt(i, 42)
+      case l: java.lang.Long => Murmur3_x86_32.hashLong(l, 42)
+      case s: java.lang.Short => Murmur3_x86_32.hashInt(s.toInt, 42)
+      case b: java.lang.Byte => Murmur3_x86_32.hashInt(b.toInt, 42)
+      case s: String =>
+        val u = UTF8String.fromString(s)
+        Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+      case u: UTF8String =>
+        Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+      case _ => return None
+    }
+    Some(((h % n) + n) % n)
+  }
+
+  /** NULL never updates the murmur fold, so every null row hashed to
+    * `pmod(seed, n)` on the write side. */
+  def nullBucket(n: Int): Int = 42 % n
+
+  /** The set of buckets a pushed-filter conjunction can possibly
+    * match on the layout's (single) bucket column — None means
+    * unconstrained. This is BUCKET PRUNING: a point lookup on a
+    * bucketed 100 TB table reads 1/n of it no matter what the
+    * min/max statistics say (a hash scatters every value range across
+    * all files, so stats pruning is useless exactly where this is
+    * strongest). Runtime (DPP) `In` filters qualify too, so a
+    * selective dim join prunes the fact scan to the joined buckets. */
+  def allowedBuckets(layout: BucketLayout,
+      preds: Seq[org.apache.spark.sql.sources.Filter]): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    if (layout.bucketCols.lengthCompare(1) != 0) return None
+    val colName = layout.bucketCols.head
+    val n = layout.numBuckets
+    def one(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo(c, v) if c == colName && v != null =>
+        valueBucket(v, n).map(Set(_))
+      case EqualNullSafe(c, v) if c == colName =>
+        if (v == null) Some(Set(nullBucket(n)))
+        else valueBucket(v, n).map(Set(_))
+      case IsNull(c) if c == colName => Some(Set(nullBucket(n)))
+      case In(c, vs) if c == colName =>
+        val bs = vs.toSeq.map(v =>
+          if (v == null) Some(nullBucket(n)) else valueBucket(v, n))
+        if (bs.exists(_.isEmpty)) None else Some(bs.flatten.toSet)
+      case And(l, r) => (one(l), one(r)) match {
+        case (Some(a), Some(b)) => Some(a & b)
+        case (a, None) => a
+        case (None, b) => b
+      }
+      case Or(l, r) => for { a <- one(l); b <- one(r) } yield a | b
+      case _ => None
+    }
+    val sets = preds.flatMap(one)
+    if (sets.isEmpty) None else Some(sets.reduce(_ & _))
+  }
+
   def write(fs: FileSystem, dir: Path, layout: BucketLayout): Unit = {
     val out = fs.create(new Path(dir, MarkerName), true)
     try out.write(layout.json.getBytes("UTF-8")) finally out.close()

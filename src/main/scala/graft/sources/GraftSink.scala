@@ -642,8 +642,9 @@ object GraftSink {
     * bucketed layout: the catalog rediscovers the marker at load and
     * reports the clustering to Catalyst, so joins between two such
     * tables on the bucket keys plan WITHOUT a shuffle exchange
-    * (storage-partitioned join; enable
-    * `spark.sql.sources.v2.bucketing.enabled`). */
+    * (storage-partitioned join, on whenever Spark 4's default
+    * `spark.sql.sources.v2.bucketing.enabled` holds), and point
+    * predicates on the bucket key prune to their buckets. */
   def saveBucketedFiles(
       df: DataFrame,
       dir: String,

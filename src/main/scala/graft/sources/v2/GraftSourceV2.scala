@@ -455,7 +455,23 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     val kept =
       if (pruning.isEmpty) groups
       else groups.filter(rg => pruning.forall(RowGroupPruning.mayMatch(_, rg)))
-    val parts = kept.map(rg =>
+    // bucket pruning: a point/in/null predicate (planning-time or
+    // runtime DPP) on the bucket key narrows the scan to the buckets
+    // its values hash into — 1/n of the table per point, independent
+    // of min/max stats (which a hash defeats by design)
+    val bucketKept = bucketLayoutUsable match {
+      case Some(b) =>
+        graft.sources.BucketLayout.allowedBuckets(b, pruning.toSeq) match {
+          case Some(allowed) => kept.filter { rg =>
+            val name = new Path(rg.file).getName
+            allowed.contains(
+              graft.sources.BucketLayout.bucketIdOf(name).get)
+          }
+          case None => kept
+        }
+      case None => kept
+    }
+    val parts = bucketKept.map(rg =>
       GraftInputPartition(rg.file, rg.index, rg.startingPos,
         rg.compressedBytes))
     bucketGrouping match {
@@ -476,22 +492,29 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     }
   }
 
-  /** Bucket-clustered planning is on only when it can pay for itself:
-    * the session opted in (`spark.sql.sources.v2.bucketing.enabled`,
-    * the same knob Spark's storage-partitioned join requires anyway),
-    * the scan is a real row scan (not a footer-answered aggregate),
-    * and every data file verifiably carries a bucket id below the
-    * marker's count — anything else falls back to per-row-group
-    * partitions, trading the shuffle win back for full parallelism
-    * and correctness. */
-  private lazy val bucketGrouping: Option[graft.sources.BucketLayout] =
+  /** The marker's layout, verified against the files: every data file
+    * must carry a parseable bucket id below the marker's count, else
+    * neither pruning nor grouping can trust the layout. */
+  private lazy val bucketLayoutUsable: Option[graft.sources.BucketLayout] =
     bucketSpec.filter { b =>
-      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
-      pushedAgg.isEmpty &&
       FooterCache.rowGroups(path).forall { rg =>
         graft.sources.BucketLayout.bucketIdOf(new Path(rg.file).getName)
           .exists(_ < b.numBuckets)
       }
+    }
+
+  /** Bucket-clustered planning is on only when it can pay for itself:
+    * `spark.sql.sources.v2.bucketing.enabled` holds (Spark 4's
+    * default — the same knob its storage-partitioned join requires)
+    * and the scan is a real row scan (not a footer-answered
+    * aggregate) — anything else falls back to per-row-group
+    * partitions, trading the shuffle win back for full parallelism.
+    * Bucket PRUNING (above) needs no opt-in: it only removes files
+    * that provably hold no matching row. */
+  private lazy val bucketGrouping: Option[graft.sources.BucketLayout] =
+    bucketLayoutUsable.filter { _ =>
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      pushedAgg.isEmpty
     }
 
   /** Storage-partitioned-join contract: the scan's output is

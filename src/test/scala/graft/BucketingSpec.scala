@@ -212,6 +212,81 @@ class BucketingSpec extends SparkTestBase {
     assert(BucketLayout.parse(odd.json).contains(odd))
   }
 
+  test("bucket pruning: point lookups scan only their buckets") {
+    import graft.sources.{BucketLayout, GraftSink}
+    import graft.sources.v2.{GraftInputPartition, GraftScanBuilderV2}
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.sources._
+    val base = java.nio.file.Files.createTempDirectory("graft-bprune")
+    val o = Tables.t(spark, sf001, "orders")
+    GraftSink.saveBucketedFiles(o, s"$base/o", 8, Seq("o_orderkey"),
+      mode = SaveMode.Overwrite)
+    val schema = spark.read.parquet(s"$base/o").schema
+    val layout = BucketLayout(8, Seq("o_orderkey"), Nil)
+    def partsFor(fs: Filter*): Array[GraftInputPartition] = {
+      val bld = new GraftScanBuilderV2(s"$base/o", schema,
+        vectorizedRequested = true, bucketSpec = Some(layout))
+      bld.pushFilters(fs.toArray)
+      // flatten either shape: grouped (v2 bucketing on) or bare
+      bld.build().asInstanceOf[graft.sources.v2.GraftScanV2]
+        .planInputPartitions().flatMap {
+          case b: graft.sources.v2.GraftBucketedPartition => b.parts
+          case p: GraftInputPartition => Array(p)
+        }
+    }
+    val all = partsFor()
+    assert(all.length >= 8, s"expected >= 8 row groups, got ${all.length}")
+    val k = o.select(col("o_orderkey")).head.getLong(0)
+    val kb = BucketLayout.valueBucket(k, 8).get
+    val point = partsFor(EqualTo("o_orderkey", k))
+    assert(point.nonEmpty && point.length < all.length)
+    assert(point.forall(p => BucketLayout.bucketIdOf(
+      new java.io.File(p.file).getName).contains(kb)),
+      s"point lookup leaked outside bucket $kb")
+    // IN over two keys covers at most two buckets
+    val k2 = o.select(col("o_orderkey")).distinct()
+      .orderBy(col("o_orderkey").desc).head.getLong(0)
+    val inParts = partsFor(In("o_orderkey", Array(k, k2)))
+    val inBuckets = inParts.map(p => BucketLayout.bucketIdOf(
+      new java.io.File(p.file).getName).get).toSet
+    assert(inBuckets.subsetOf(Set(kb, BucketLayout.valueBucket(k2, 8).get)))
+    // the allowed-set algebra
+    assert(BucketLayout.allowedBuckets(layout,
+      Seq(IsNull("o_orderkey"))) == Some(Set(42 % 8)))
+    assert(BucketLayout.allowedBuckets(layout, Seq(
+      Or(EqualTo("o_orderkey", k), EqualTo("o_orderkey", k2)))) ==
+      Some(Set(kb, BucketLayout.valueBucket(k2, 8).get)))
+    assert(BucketLayout.allowedBuckets(layout, Seq(
+      And(EqualTo("o_orderkey", k), GreaterThan("o_totalprice", 0.0)))) ==
+      Some(Set(kb)))
+    assert(BucketLayout.allowedBuckets(layout,
+      Seq(GreaterThan("o_orderkey", 0L))).isEmpty)
+    // a filter on a non-bucket column never constrains
+    assert(BucketLayout.allowedBuckets(layout,
+      Seq(EqualTo("o_totalprice", 1.0))).isEmpty)
+    // end-to-end through the catalog: pruned scans return exact rows,
+    // with and without key-grouped planning
+    spark.conf.set("spark.sql.catalog.bpcat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.bpcat.warehouse", base.toString)
+    val expect = o.filter(col("o_orderkey") === k).count()
+    assert(expect > 0)
+    val prev = scala.util.Try(
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled")).toOption
+    try {
+      Seq("true", "false").foreach { flag =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", flag)
+        assert(spark.table("bpcat.o")
+          .filter(col("o_orderkey") === k).count() == expect)
+      }
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("bucketed compact merges per bucket and keeps co-location") {
     import graft.sources.GraftSink
     import org.apache.spark.sql.SaveMode
