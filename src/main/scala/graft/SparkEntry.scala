@@ -1072,8 +1072,6 @@ object SparkEntry {
   ) ++ ivfOracle
 }
 
-/** Typed UDAF demonstration (SURVEY.md §2j): geometric mean via
-  * log-sum — numerically stable, mergeable partial aggregation. */
 /** Deterministic HyperLogLog distinct-count (p=8, m=256 registers).
   *
   * Hash is graft's splitmix64 ([[graft.functions.TextHashing.mix]],
@@ -1142,6 +1140,8 @@ object HllDistinct extends org.apache.spark.sql.expressions.Aggregator[
   override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
 }
 
+/** Typed UDAF demonstration (SURVEY.md §2j): geometric mean via
+  * log-sum — numerically stable, mergeable partial aggregation. */
 object GeoMean extends org.apache.spark.sql.expressions.Aggregator[
     Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)

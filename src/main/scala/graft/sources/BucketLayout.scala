@@ -119,18 +119,24 @@ object BucketLayout {
     try out.write(layout.json.getBytes("UTF-8")) finally out.close()
   }
 
-  def read(fs: FileSystem, dir: Path): Option[BucketLayout] = {
-    val p = new Path(dir, MarkerName)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text =
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(0, bytes)
-        new String(bytes, "UTF-8")
-      } finally in.close()
-    parse(text)
-  }
+  def read(fs: FileSystem, dir: Path): Option[BucketLayout] =
+    scala.util.Try {
+      // Try covers the exists/open race with a concurrent Overwrite
+      // (which deletes the marker) — an unreadable marker downgrades
+      // to an unbucketed read, same as an unparseable one
+      val p = new Path(dir, MarkerName)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try {
+            val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+            in.readFully(0, bytes)
+            new String(bytes, "UTF-8")
+          } finally in.close()
+        parse(text)
+      }
+    }.toOption.flatten
 
   /** Minimal parser for the exact shape [[BucketLayout.json]] renders
     * (jackson would be heavier than the format warrants). Returns None

@@ -73,6 +73,22 @@ object GraftSink {
 
   private def isDataPart(name: String): Boolean = name.startsWith("part-")
 
+  /** Every write path that emits unsuffixed part files must refuse a
+    * bucket-laid-out target — the new files would carry no bucket id
+    * and silently strip the directory's co-location/pruning guarantee
+    * (the same hazard the V2 writer and replaceWhere guard against). */
+  private def checkNotBucketed(fs: FileSystem, target: Path,
+      op: String): Unit = {
+    if (fs.exists(target)) {
+      BucketLayout.read(fs, target).foreach { b =>
+        throw new UnsupportedOperationException(
+          s"graft $op: $target has a bucketed layout ($b); write " +
+          "through saveBucketedFiles/saveBucketedTable so files keep " +
+          "their bucket ids")
+      }
+    }
+  }
+
   /** Park `victims` into `backup`, run `swap`, then drop the backup.
     * ANY failure — including one mid-parking — first restores every
     * already-parked file into `target`, so the old contents stay
@@ -140,6 +156,7 @@ object GraftSink {
     val target = new Path(dir)
     val fs = target.getFileSystem(hadoopConf)
     if (!checkMode(fs, target, mode)) return
+    checkNotBucketed(fs, target, "saveAtomic")
     val exists = fs.exists(target)
     val token = UUID.randomUUID().toString.take(8)
     val staging = new Path(target.getParent,
@@ -214,6 +231,25 @@ object GraftSink {
           if (seq == 0) s"part-$jobId-$pid.parquet"
           else s"part-$jobId-$pid-$seq.parquet",
       maxRowsPerFile: Long = Long.MaxValue): Unit = {
+    val target0 = new Path(dir)
+    checkNotBucketed(target0.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf()), target0,
+      "saveCompensating")
+    writeCompensating(df, dir, mode, batchSize, failPartition, partName,
+      maxRowsPerFile)
+  }
+
+  /** [[saveCompensating]] without the bucketed-layout guard — for
+    * [[saveBucketedFiles]], whose `partName` preserves bucket ids and
+    * which runs its own layout validation. */
+  private def writeCompensating(
+      df: DataFrame,
+      dir: String,
+      mode: SaveMode,
+      batchSize: Int,
+      failPartition: Int,
+      partName: (String, Int, Int) => String,
+      maxRowsPerFile: Long): Unit = {
     val spark = df.sparkSession
     val hadoopConf = spark.sessionState.newHadoopConf()
     val target = new Path(dir)
@@ -472,17 +508,27 @@ object GraftSink {
         case Some(b) =>
           import org.apache.spark.sql.functions.{col => c}
           // re-hash the small rows: partition id == bucket id, exactly
-          // the saveBucketedFiles write shape, one output file per bucket
-          val parted = spark.read
+          // the saveBucketedFiles write shape; `maxRecordsPerFile`
+          // (rows-per-target-bytes from the subset's own compression
+          // ratio; the count is footer-answered) keeps a hot bucket's
+          // merge bounded at ~targetBytes instead of one giant file
+          val smallDf = spark.read
             .parquet(small.map(_.getPath.toString).toSeq: _*)
+          val totalRows = smallDf.count()
+          val targetRows = math.max(1L,
+            totalRows * targetBytes / math.max(totalBytes, 1L))
+          val parted = smallDf
             .repartition(b.numBuckets, b.bucketCols.map(c): _*)
           val rows =
             if (b.sortCols.isEmpty) parted
             else parted.sortWithinPartitions(b.sortCols.map(c): _*)
-          rows.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-          // Spark names staged parts part-<splitId>-<uuid>; splitId is
-          // the bucket id here — rename into the _<bucketId> convention
+          rows.write.option("maxRecordsPerFile", targetRows)
+            .mode(SaveMode.Overwrite).parquet(staging.toString)
+          // Spark names staged parts part-<splitId>-<uuid>[-cNNN];
+          // splitId is the bucket id here and NNN the rollover seq —
+          // rename into the _<bucketId> convention, seq preserved
           val SplitId = "part-(\\d+)-.*".r
+          val SeqId = "-c(\\d+)\\.".r
           fs.listStatus(staging).map(_.getPath)
             .filter(p => isDataPart(p.getName)).foreach { p =>
               val bid = p.getName match {
@@ -490,8 +536,10 @@ object GraftSink {
                 case other => throw new IllegalStateException(
                   s"unexpected staged part name $other")
               }
+              val seq = SeqId.findFirstMatchIn(p.getName)
+                .map(_.group(1).toInt).getOrElse(0)
               val to = new Path(staging,
-                f"part-00000-$token%s_$bid%05d.c000.snappy.parquet")
+                f"part-00000-$token%s_$bid%05d.c$seq%03d.snappy.parquet")
               if (!fs.rename(p, to)) {
                 throw new java.io.IOException(s"rename $p -> $to failed")
               }
@@ -661,15 +709,28 @@ object GraftSink {
     val target = new Path(dir)
     val fs = target.getFileSystem(hadoopConf)
     if (mode == SaveMode.Append && fs.exists(target)) {
-      // appending under a DIFFERENT spec would mix hash layouts in one
-      // directory — reads would interpret old bucket ids under the new
-      // spec and co-located joins would silently drop matches
-      BucketLayout.read(fs, target).foreach { have =>
-        if (have != want) {
+      BucketLayout.read(fs, target) match {
+        // appending under a DIFFERENT spec would mix hash layouts in
+        // one directory — reads would interpret old bucket ids under
+        // the new spec and co-located joins would silently drop matches
+        case Some(have) if have != want =>
           throw new IllegalArgumentException(
             s"graft bucketed append: $dir is laid out as $have, " +
             s"write has $want")
-        }
+        case Some(_) => ()
+        case None =>
+          // no marker: stamping one over pre-existing UNSUFFIXED files
+          // would wedge the directory (marker guards fire, but the old
+          // files can never honor the layout)
+          val rogue = fs.listStatus(target).map(_.getPath.getName)
+            .filter(n => isDataPart(n) &&
+              !BucketLayout.bucketIdOf(n).exists(_ < numBuckets))
+          if (rogue.nonEmpty) {
+            throw new IllegalArgumentException(
+              s"graft bucketed append: $dir holds ${rogue.length} " +
+              s"file(s) without a valid bucket id (e.g. ${rogue.head})" +
+              " — use mode=Overwrite to rewrite the directory bucketed")
+          }
       }
     }
     // mirrors checkMode: Ignore on an existing dir writes nothing
@@ -683,7 +744,7 @@ object GraftSink {
     // `seq` rolls a skewed bucket into several bounded files (Spark's
     // bucketed read groups all files carrying the same _<bucketId>
     // suffix back into one bucket partition)
-    saveCompensating(rows, dir, mode, batchSize,
+    writeCompensating(rows, dir, mode, batchSize, failPartition = -1,
       partName = (jobId, pid, seq) => f"part-00000-$jobId%s_$pid%05d" +
         f".c$seq%03d.snappy.parquet",
       maxRowsPerFile = maxRowsPerFile)

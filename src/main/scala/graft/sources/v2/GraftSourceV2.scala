@@ -66,19 +66,33 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
     ParquetMeta.sparkSchema(path(options), GraftHadoopConf.sessionConf())
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    GraftTableV2(properties.get("path"), schema,
+      properties: util.Map[String, String]): Table = {
+    val p = properties.get("path")
+    // the bucket-layout marker travels with the data: path-based reads
+    // honor it for BUCKET PRUNING. Key-grouped planning stays off here
+    // (groupByBucket=false) — storage-partitioned joins need a catalog
+    // to resolve the bucket() transform, so grouping a path read would
+    // cut its parallelism to numBuckets and buy nothing.
+    val spec = scala.util.Try {
+      val path = new Path(p)
+      graft.sources.BucketLayout.read(
+        path.getFileSystem(GraftHadoopConf.sessionConf()), path)
+    }.toOption.flatten
+    GraftTableV2(p, schema,
       vectorized = !"false".equalsIgnoreCase(
         String.valueOf(properties.getOrDefault("vectorized", "true"))),
       batchSize = String.valueOf(
-        properties.getOrDefault("batchSize", "4096")).toInt)
+        properties.getOrDefault("batchSize", "4096")).toInt,
+      bucketSpec = spec, groupByBucket = false)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
 case class GraftTableV2(path: String, tableSchema: StructType,
     vectorized: Boolean = true, batchSize: Int = 4096,
-    bucketSpec: Option[graft.sources.BucketLayout] = None)
+    bucketSpec: Option[graft.sources.BucketLayout] = None,
+    groupByBucket: Boolean = true)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-v2:${path.split('/').last}"
@@ -100,7 +114,7 @@ case class GraftTableV2(path: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize,
-      bucketSpec)
+      bucketSpec, groupByBucket)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -119,7 +133,8 @@ case class GraftTableV2(path: String, tableSchema: StructType,
 
 class GraftScanBuilderV2(path: String, fullSchema: StructType,
     vectorizedRequested: Boolean, batchSize: Int = 4096,
-    bucketSpec: Option[graft.sources.BucketLayout] = None)
+    bucketSpec: Option[graft.sources.BucketLayout] = None,
+    groupByBucket: Boolean = true)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -369,7 +384,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
         }
     }
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
-      batchSize, topN, topNLimit, pushedAgg, bucketSpec)
+      batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket)
   }
 }
 
@@ -379,7 +394,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     topN: Array[(String, Boolean, Boolean)] = Array.empty,
     topNLimit: Int = -1,
     pushedAgg: Option[(StructType, Array[Any], String)] = None,
-    bucketSpec: Option[graft.sources.BucketLayout] = None)
+    bucketSpec: Option[graft.sources.BucketLayout] = None,
+    groupByBucket: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -463,9 +479,12 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       case Some(b) =>
         graft.sources.BucketLayout.allowedBuckets(b, pruning.toSeq) match {
           case Some(allowed) => kept.filter { rg =>
+            // a file that lost its bucket id (e.g. appended between
+            // layout validation and this listing) proves nothing —
+            // keep it, pruning may only drop provable non-matches
             val name = new Path(rg.file).getName
-            allowed.contains(
-              graft.sources.BucketLayout.bucketIdOf(name).get)
+            graft.sources.BucketLayout.bucketIdOf(name)
+              .forall(allowed.contains)
           }
           case None => kept
         }
@@ -483,7 +502,21 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           scala.collection.mutable.ArrayBuffer.empty[GraftInputPartition])
         parts.foreach { p =>
           val name = new Path(p.file).getName
-          byBucket(graft.sources.BucketLayout.bucketIdOf(name).get) += p
+          graft.sources.BucketLayout.bucketIdOf(name)
+            .filter(_ < b.numBuckets) match {
+            case Some(bucket) => byBucket(bucket) += p
+            case None =>
+              // key-grouped output already promised each partition
+              // holds only its bucket's rows; a rogue file (appended
+              // after layout validation) cannot be placed anywhere
+              // without corrupting co-located join results — fail
+              // loudly instead
+              throw new IllegalStateException(
+                s"graft-v2: $name in $path carries no valid bucket id " +
+                s"for ${b}; the directory changed after planning — " +
+                "re-run the query (and write through " +
+                "GraftSink.saveBucketedFiles only)")
+          }
         }
         byBucket.zipWithIndex.map { case (ps, bucket) =>
           GraftBucketedPartition(bucket, ps.toArray): InputPartition
@@ -513,6 +546,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * that provably hold no matching row. */
   private lazy val bucketGrouping: Option[graft.sources.BucketLayout] =
     bucketLayoutUsable.filter { _ =>
+      groupByBucket &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
       pushedAgg.isEmpty
     }

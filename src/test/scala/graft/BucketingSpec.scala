@@ -207,6 +207,26 @@ class BucketingSpec extends SparkTestBase {
         mode = SaveMode.Append)
     }
     assert(e3.getMessage.contains("laid out as"), e3.getMessage)
+    // V1 sinks refuse too — they would write unsuffixed files
+    val e4 = intercept[UnsupportedOperationException] {
+      GraftSink.saveAtomic(n, s"$wh/t", SaveMode.Append)
+    }
+    assert(e4.getMessage.contains("bucketed layout"), e4.getMessage)
+    val e5 = intercept[UnsupportedOperationException] {
+      GraftSink.saveCompensating(n, s"$wh/t", SaveMode.Append)
+    }
+    assert(e5.getMessage.contains("bucketed layout"), e5.getMessage)
+    // a bucketed APPEND onto unsuffixed files would stamp a marker the
+    // files cannot honor — refused
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-spjw-plain").resolve("p").toString
+    n.write.parquet(plainDir)
+    val e6 = intercept[IllegalArgumentException] {
+      GraftSink.saveBucketedFiles(n, plainDir, 4, Seq("n_nationkey"),
+        mode = SaveMode.Append)
+    }
+    assert(e6.getMessage.contains("without a valid bucket id"),
+      e6.getMessage)
     // marker round-trip survives odd column names
     val odd = BucketLayout(3, Seq("a\"b", "c\\d"), Seq("e f"))
     assert(BucketLayout.parse(odd.json).contains(odd))
@@ -271,6 +291,9 @@ class BucketingSpec extends SparkTestBase {
     spark.conf.set("spark.sql.catalog.bpcat.warehouse", base.toString)
     val expect = o.filter(col("o_orderkey") === k).count()
     assert(expect > 0)
+    // path-based reads honor the marker for pruning (never grouping)
+    assert(spark.read.format("graft-v2").load(s"$base/o")
+      .filter(col("o_orderkey") === k).count() == expect)
     val prev = scala.util.Try(
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled")).toOption
     try {
