@@ -55,20 +55,33 @@ object BucketLayout {
     * None for types whose filter-value representation differs from the
     * hashed internal form (dates, timestamps, decimals) — callers must
     * then scan all buckets. */
-  def valueBucket(v: Any, n: Int): Option[Int] = {
-    val h = v match {
-      case i: java.lang.Integer => Murmur3_x86_32.hashInt(i, 42)
-      case l: java.lang.Long => Murmur3_x86_32.hashLong(l, 42)
-      case s: java.lang.Short => Murmur3_x86_32.hashInt(s.toInt, 42)
-      case b: java.lang.Byte => Murmur3_x86_32.hashInt(b.toInt, 42)
-      case s: String =>
-        val u = UTF8String.fromString(s)
-        Murmur3_x86_32.hashUnsafeBytes(
-          u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
-      case u: UTF8String =>
-        Murmur3_x86_32.hashUnsafeBytes(
-          u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
-      case _ => return None
+  /** One step of the `Murmur3Hash(cols, 42)` left-fold: hash `v` with
+    * the running hash `h` as seed. None for unsupported types; a NULL
+    * value leaves the fold untouched (Spark's semantics) — callers
+    * pass the previous hash through for nulls themselves. */
+  private def hashStep(v: Any, h: Int): Option[Int] = v match {
+    case i: java.lang.Integer => Some(Murmur3_x86_32.hashInt(i, h))
+    case l: java.lang.Long => Some(Murmur3_x86_32.hashLong(l, h))
+    case s: java.lang.Short => Some(Murmur3_x86_32.hashInt(s.toInt, h))
+    case b: java.lang.Byte => Some(Murmur3_x86_32.hashInt(b.toInt, h))
+    case s: String => hashStep(UTF8String.fromString(s), h)
+    case u: UTF8String => Some(Murmur3_x86_32.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, h))
+    case _ => None
+  }
+
+  def valueBucket(v: Any, n: Int): Option[Int] =
+    hashStep(v, 42).map(h => ((h % n) + n) % n)
+
+  /** Bucket of a full key TUPLE (null entries = SQL NULL values):
+    * the multi-column write-side fold. */
+  def tupleBucket(vs: Seq[Any], n: Int): Option[Int] = {
+    var h = 42
+    vs.foreach { v =>
+      if (v != null) hashStep(v, h) match {
+        case Some(next) => h = next
+        case None => return None
+      }
     }
     Some(((h % n) + n) % n)
   }
@@ -88,7 +101,9 @@ object BucketLayout {
   def allowedBuckets(layout: BucketLayout,
       preds: Seq[org.apache.spark.sql.sources.Filter]): Option[Set[Int]] = {
     import org.apache.spark.sql.sources._
-    if (layout.bucketCols.lengthCompare(1) != 0) return None
+    if (layout.bucketCols.lengthCompare(1) != 0) {
+      return compositeAllowed(layout, preds)
+    }
     val colName = layout.bucketCols.head
     val n = layout.numBuckets
     def one(f: Filter): Option[Set[Int]] = f match {
@@ -112,6 +127,30 @@ object BucketLayout {
     }
     val sets = preds.flatMap(one)
     if (sets.isEmpty) None else Some(sets.reduce(_ & _))
+  }
+
+  /** Composite (multi-column) bucket keys prune only when the
+    * conjunction pins EVERY bucket column to a point value (or NULL) —
+    * then the write-side tuple fold yields the single bucket. Range or
+    * partial bindings leave a composite hash unconstrained. */
+  private def compositeAllowed(layout: BucketLayout,
+      preds: Seq[org.apache.spark.sql.sources.Filter]): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // col -> point value; null marks an IsNull/EqualNullSafe-null pin
+    val bound = scala.collection.mutable.Map.empty[String, Any]
+    preds.flatMap(conjuncts).foreach {
+      case EqualTo(c, v) if v != null => bound.getOrElseUpdate(c, v)
+      case EqualNullSafe(c, v) => bound.getOrElseUpdate(c, v)
+      case IsNull(c) => bound.getOrElseUpdate(c, null)
+      case _ => ()
+    }
+    if (!layout.bucketCols.forall(bound.contains)) return None
+    tupleBucket(layout.bucketCols.map(bound), layout.numBuckets)
+      .map(Set(_))
   }
 
   def write(fs: FileSystem, dir: Path, layout: BucketLayout): Unit = {

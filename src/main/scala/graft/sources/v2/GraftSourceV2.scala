@@ -398,7 +398,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     groupByBucket: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   /** Runtime (DPP-style) filters: delivered by Spark AFTER the build
     * side of a join has executed — e.g. the `In(o_orderkey, <built
@@ -550,6 +551,37 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
       pushedAgg.isEmpty
     }
+
+  /** Sorted-bucket ordering: when the layout carries `sortCols` and
+    * every bucket holds at most ONE data file (the shape a single
+    * `saveBucketedFiles` Overwrite produces), each key-grouped
+    * partition IS sorted — report it, and the sorts on both sides of
+    * a co-located sort-merge join disappear along with the exchanges.
+    * Declined for multi-file buckets (concatenated sorted runs are
+    * not sorted), pushed top-k (the bounded heap re-orders emission),
+    * and sort columns pruned from the projection (unresolvable). */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketOrdering
+
+  private lazy val bucketOrdering: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    bucketGrouping match {
+      case Some(b) if b.sortCols.nonEmpty && topNLimit < 0 &&
+          b.sortCols.forall(projectedSchema.fieldNames.contains) =>
+        val filesPerBucket = FooterCache.rowGroups(path).map(_.file)
+          .distinct.groupBy(f =>
+            graft.sources.BucketLayout.bucketIdOf(new Path(f).getName))
+        if (filesPerBucket.values.forall(_.size <= 1)) {
+          // sortWithinPartitions default: ascending, nulls first
+          b.sortCols.map(c =>
+            Expressions.sort(Expressions.column(c),
+              SortDirection.ASCENDING)).toArray
+        } else Array.empty
+      case _ => Array.empty
+    }
+  }
 
   /** Storage-partitioned-join contract: the scan's output is
     * key-grouped by `bucket(n, cols)` — with the catalog's `bucket`

@@ -310,6 +310,76 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("sorted single-file buckets: SMJ with no exchange AND no sort") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val wh = java.nio.file.Files.createTempDirectory("graft-spjs").toString
+    spark.conf.set("spark.sql.catalog.spjscat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjscat.warehouse", wh)
+    val li = Tables.t(spark, sf001, "lineitem")
+    val o = Tables.t(spark, sf001, "orders")
+    GraftSink.saveBucketedFiles(li, s"$wh/li", 8, Seq("l_orderkey"),
+      sortCols = Seq("l_orderkey"), mode = SaveMode.Overwrite)
+    GraftSink.saveBucketedFiles(o, s"$wh/o", 8, Seq("o_orderkey"),
+      sortCols = Seq("o_orderkey"), mode = SaveMode.Overwrite)
+    val restore = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.join.preferSortMergeJoin")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      val joined = spark.table("spjscat.li")
+        .join(spark.table("spjscat.o"),
+          col("l_orderkey") === col("o_orderkey"))
+      val n = joined.collect().length
+      assert(n == li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(!finalPlan.toString.contains("Exchange"),
+        s"expected storage-partitioned join:\n$finalPlan")
+      val sorts = finalPlan.collect { case s: SortExec => s }
+      assert(sorts.isEmpty,
+        s"reported ordering should erase SMJ sorts:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("composite bucket keys: tuple fold matches Spark, full pin prunes") {
+    import graft.sources.BucketLayout
+    import org.apache.spark.sql.sources._
+    import spark.implicits._
+    val layout = BucketLayout(16, Seq("a", "b"), Nil)
+    // the tuple fold must equal Spark's own hash(a, b) bucket id
+    val sample = Seq((1L, "x"), (42L, "y"), (7L, ""), (0L, "0"))
+    val fromSpark = sample.toDF("a", "b")
+      .select(pmod(hash($"a", $"b"), lit(16)).cast("int")).as[Int].collect()
+    sample.zip(fromSpark).foreach { case ((a, b), expect) =>
+      assert(BucketLayout.tupleBucket(Seq(a, b), 16).contains(expect),
+        s"tuple ($a, $b)")
+    }
+    // full conjunction pins one bucket; partial binding never prunes
+    val both = BucketLayout.allowedBuckets(layout,
+      Seq(EqualTo("a", 42L), EqualTo("b", "y")))
+    assert(both == Some(Set(BucketLayout.tupleBucket(Seq(42L, "y"), 16).get)))
+    assert(BucketLayout.allowedBuckets(layout,
+      Seq(EqualTo("a", 42L))).isEmpty)
+    // null pins participate (null skips the fold step, like the writer)
+    val withNull = BucketLayout.allowedBuckets(layout,
+      Seq(EqualTo("a", 42L), IsNull("b")))
+    assert(withNull ==
+      Some(Set(BucketLayout.tupleBucket(Seq(42L, null), 16).get)))
+  }
+
   test("bucketed compact merges per bucket and keeps co-location") {
     import graft.sources.GraftSink
     import org.apache.spark.sql.SaveMode
