@@ -73,6 +73,26 @@ object BucketLayout {
   def valueBucket(v: Any, n: Int): Option[Int] =
     hashStep(v, 42).map(h => ((h % n) + n) % n)
 
+  /** Bucket of an [[InternalRow]]'s key columns (internal values —
+    * dates as days, timestamps as micros — exactly what
+    * `HashPartitioning` hashed on the repartition write path). For
+    * writers that split rows into per-bucket files. */
+  def rowBucket(row: InternalRow, ords: Array[Int],
+      dts: Array[DataType], n: Int): Int = {
+    var h = 42
+    var i = 0
+    while (i < ords.length) {
+      if (!row.isNullAt(ords(i))) {
+        h = hashStep(row.get(ords(i), dts(i)), h).getOrElse(
+          throw new UnsupportedOperationException(
+            s"graft bucketed write: unsupported bucket-column type " +
+            s"${dts(i)}"))
+      }
+      i += 1
+    }
+    ((h % n) + n) % n
+  }
+
   /** Bucket of a full key TUPLE (null entries = SQL NULL values):
     * the multi-column write-side fold. */
   def tupleBucket(vs: Seq[Any], n: Int): Option[Int] = {

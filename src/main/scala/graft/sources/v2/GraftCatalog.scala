@@ -92,20 +92,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketSpec = graft.sources.BucketLayout.read(fs, dir))
   }
 
+  /** `CLUSTERED BY (cols) INTO n BUCKETS` is accepted: the layout is
+    * recorded in the `.graft-buckets.json` marker at create, INSERTs
+    * route through the bucket-splitting V2 writer, and reads plan
+    * storage-partitioned joins / bucket pruning. Other transforms
+    * (dates, identity partitions, SORTED BY) are rejected — sort
+    * columns come via `GraftSink.saveBucketedFiles`. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) {
-      throw new UnsupportedOperationException(
-        "graft catalog tables are unpartitioned (bucketed layouts go " +
-        "through GraftSink.saveBucketedTable)")
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val bucketSpec: Option[graft.sources.BucketLayout] = partitions match {
+      case Array() => None
+      case Array(t) if t.name == "bucket" =>
+        val (lits, refs) = t.arguments().partition(_.isInstanceOf[Literal[_]])
+        val n = lits match {
+          case Array(l: Literal[_]) => l.value() match {
+            case i: java.lang.Integer => i.intValue()
+            case other => throw new UnsupportedOperationException(
+              s"graft catalog: non-integer bucket count $other")
+          }
+          case _ => throw new UnsupportedOperationException(
+            s"graft catalog: cannot parse bucket transform $t")
+        }
+        val cols = refs.map {
+          case r: NamedReference if r.fieldNames().length == 1 =>
+            r.fieldNames()(0)
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: bucket columns must be top-level, got $other")
+        }
+        Some(graft.sources.BucketLayout(n, cols.toSeq, Nil))
+      case other =>
+        throw new UnsupportedOperationException(
+          "graft catalog: only CLUSTERED BY (cols) INTO n BUCKETS " +
+          s"partitioning is supported, got ${other.mkString(", ")}")
     }
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
     val out = fs.create(new Path(dir, SchemaMarker), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    GraftTableV2(dir.toString, schema)
+    bucketSpec.foreach(graft.sources.BucketLayout.write(fs, dir, _))
+    GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec)
   }
 
   override def alterTable(ident: Identifier,

@@ -118,16 +118,16 @@ case class GraftTableV2(path: String, tableSchema: StructType,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    if (bucketSpec.isDefined) {
-      // a V2 append writes unsuffixed files, which would silently strip
-      // the table's co-location guarantee — route bucketed writes
-      // through the layout-preserving sink instead
+    if (bucketSpec.isDefined && !groupByBucket) {
+      // path-based writes can't resolve the bucket() transform the
+      // bucketed write's required distribution names (no function
+      // catalog) — route them through the layout-preserving sink
       throw new UnsupportedOperationException(
         s"graft-v2: $path has a bucketed layout (${bucketSpec.get}); " +
-        "write through GraftSink.saveBucketedFiles/saveBucketedTable " +
-        "so files keep their bucket ids")
+        "write through the catalog (INSERT INTO <catalog>.<table>) or " +
+        "GraftSink.saveBucketedFiles so files keep their bucket ids")
     }
-    new GraftWriteBuilderV2(path, info)
+    new GraftWriteBuilderV2(path, info, bucketSpec)
   }
 }
 

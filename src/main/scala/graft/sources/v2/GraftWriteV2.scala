@@ -38,7 +38,8 @@ import graft.sources.InternalRowParquetBuilder
   * arrives as `overwrite(AlwaysTrue)`); the directory object survives a
   * truncate exactly like the V1 sink's truncate-and-load.
   */
-class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
+class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
+    bucketSpec: Option[graft.sources.BucketLayout] = None)
     extends WriteBuilder with SupportsOverwrite {
 
   private var truncateFirst = false
@@ -56,6 +57,13 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue]) {
       truncate()
+    } else if (bucketSpec.isDefined) {
+      // the boundary rewrite writes unsuffixed residue files — it
+      // would strip the layout's co-location guarantee
+      throw new UnsupportedOperationException(
+        s"graft-v2: REPLACE WHERE is not supported on the bucketed " +
+        s"table at $path (${bucketSpec.get}); use INSERT OVERWRITE " +
+        "or rewrite with GraftSink.saveBucketedFiles")
     } else {
       import org.apache.spark.sql.sources.And
       val cond = filters.reduce[Filter](And(_, _))
@@ -93,23 +101,62 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo)
         }
       }
     }
-    GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond)
+    bucketSpec.foreach { b =>
+      val missing = b.bucketCols.filterNot(info.schema().fieldNames.contains)
+      if (missing.nonEmpty) {
+        throw new IllegalArgumentException(
+          s"graft-v2 bucketed write: bucket column(s) " +
+          s"${missing.mkString(", ")} absent from write schema " +
+          s"${info.schema().catalogString}")
+      }
+    }
+    GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond,
+      bucketSpec)
   }
 }
 
 case class GraftWriteV2(path: String, schema: StructType,
     truncateFirst: Boolean,
-    overwriteCond: Option[Filter] = None) extends Write {
+    overwriteCond: Option[Filter] = None,
+    bucketSpec: Option[graft.sources.BucketLayout] = None) extends Write
+    with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite =
-    new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond)
+    new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
+      bucketSpec)
+
+  /** A bucketed write asks Spark to cluster incoming rows by the
+    * bucket transform (each bucket id lands in exactly one task, so a
+    * task opens few per-bucket writers) and to sort them by the
+    * layout's sort columns — a per-bucket file receives a subsequence
+    * of a sorted task stream, which is itself sorted, preserving the
+    * single-file-per-bucket ordering contract reads report. An
+    * unbucketed write requires nothing. */
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+  override def requiredDistribution(): Distribution = bucketSpec match {
+    case Some(b) => Distributions.clustered(
+      Array(Expressions.bucket(b.numBuckets, b.bucketCols: _*)))
+    case None => Distributions.unspecified()
+  }
+  override def requiredOrdering(): Array[SortOrder] = bucketSpec match {
+    case Some(b) => b.sortCols.map(c =>
+      Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+    case None => Array.empty
+  }
 }
 
 private[v2] case class GraftCommitV2(file: String)
   extends WriterCommitMessage
 
+private[v2] case class GraftCommitMultiV2(files: Seq[String])
+  extends WriterCommitMessage
+
 class GraftBatchWriteV2(path: String, schema: StructType,
     truncateFirst: Boolean,
-    overwriteCond: Option[Filter] = None) extends BatchWrite {
+    overwriteCond: Option[Filter] = None,
+    bucketSpec: Option[graft.sources.BucketLayout] = None)
+    extends BatchWrite {
 
   private val jobId = UUID.randomUUID().toString.take(8)
   private val stagingName = s".graft-v2-staging-$jobId"
@@ -130,8 +177,16 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     val conf = hconf()
     val staging = new Path(new Path(path), stagingName)
     staging.getFileSystem(conf).mkdirs(staging)
-    GraftWriterFactoryV2(new SerializableConfiguration(conf),
-      staging.toString, jobId)
+    bucketSpec match {
+      case Some(b) =>
+        val ords = b.bucketCols.map(schema.fieldIndex).toArray
+        val dts = ords.map(schema.fields(_).dataType)
+        GraftBucketedWriterFactoryV2(new SerializableConfiguration(conf),
+          staging.toString, jobId, b.numBuckets, ords, dts)
+      case None =>
+        GraftWriterFactoryV2(new SerializableConfiguration(conf),
+          staging.toString, jobId)
+    }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -139,7 +194,10 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val staging = new Path(target, stagingName)
-    val committed = messages.map(_.asInstanceOf[GraftCommitV2].file)
+    val committed = messages.flatMap {
+      case GraftCommitV2(f) => Seq(f)
+      case GraftCommitMultiV2(fs0) => fs0
+    }
 
     def renameIn(): Unit = committed.foreach { f =>
       val src = new Path(f)
@@ -230,6 +288,69 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     val fs = target.getFileSystem(conf)
     fs.delete(new Path(target, stagingName), true)
   }
+}
+
+case class GraftBucketedWriterFactoryV2(conf: SerializableConfiguration,
+    stagingDir: String, jobId: String, numBuckets: Int,
+    bucketOrds: Array[Int],
+    bucketTypes: Array[org.apache.spark.sql.types.DataType])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftBucketedDataWriterV2(conf.value, stagingDir, jobId,
+      partitionId, taskId, numBuckets, bucketOrds, bucketTypes)
+}
+
+/** Splits each task's rows into per-bucket parquet files named with
+  * the `_<bucketId>` suffix, so a V2 INSERT preserves the table's
+  * bucketed layout. With the write's clustered distribution each task
+  * sees few distinct bucket ids, so the open-writer map stays small;
+  * correctness never depends on it (any distribution only changes the
+  * file count). */
+class GraftBucketedDataWriterV2(conf: Configuration, stagingDir: String,
+    jobId: String, partitionId: Int, taskId: Long, numBuckets: Int,
+    bucketOrds: Array[Int],
+    bucketTypes: Array[org.apache.spark.sql.types.DataType])
+    extends DataWriter[InternalRow] {
+
+  private val writers =
+    scala.collection.mutable.Map.empty[Int, ParquetWriter[InternalRow]]
+  private val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+
+  private def writerFor(bucket: Int): ParquetWriter[InternalRow] =
+    writers.getOrElseUpdate(bucket, {
+      val out = new Path(f"$stagingDir%s/part-00000-$jobId%s-" +
+        f"$partitionId%d-$taskId%d_$bucket%05d.c000.snappy.parquet")
+      files += out
+      new InternalRowParquetBuilder(HadoopOutputFile.fromPath(out, conf))
+        .withConf(conf)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    })
+
+  private var closed = false
+  private def closeOnce(): Unit =
+    if (!closed) { closed = true; writers.values.foreach(_.close()) }
+
+  override def write(record: InternalRow): Unit =
+    writerFor(graft.sources.BucketLayout.rowBucket(
+      record, bucketOrds, bucketTypes, numBuckets)).write(record)
+
+  override def commit(): WriterCommitMessage = {
+    closeOnce()
+    GraftCommitMultiV2(files.map(_.toString).toSeq)
+  }
+
+  override def abort(): Unit = {
+    try closeOnce() catch { case _: Throwable => () }
+    val fs = new Path(stagingDir).getFileSystem(conf)
+    files.foreach { p =>
+      try fs.delete(p, false) catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = closeOnce()
 }
 
 case class GraftWriterFactoryV2(conf: SerializableConfiguration,

@@ -189,9 +189,20 @@ class BucketingSpec extends SparkTestBase {
     val n = Tables.t(spark, sf001, "nation")
     GraftSink.saveBucketedFiles(n, s"$wh/t", 4, Seq("n_nationkey"),
       mode = SaveMode.Overwrite)
-    // V2 INSERT would write unsuffixed files -> refused with guidance
+    // catalog V2 INSERT routes through the bucket-splitting writer:
+    // appended rows land in correctly-suffixed files
+    val before = new java.io.File(s"$wh/t").listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    spark.sql("INSERT INTO spjwcat.t SELECT * FROM spjwcat.t LIMIT 1")
+    assert(spark.table("spjwcat.t").count() == n.count() + 1)
+    val appended = new java.io.File(s"$wh/t").listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet -- before
+    assert(appended.nonEmpty &&
+      appended.forall(f => BucketLayout.bucketIdOf(f).exists(_ < 4)),
+      s"appended files must carry bucket ids: $appended")
+    // PATH-based writes can't resolve the bucket transform -> refused
     val e = intercept[Exception] {
-      spark.sql("INSERT INTO spjwcat.t SELECT * FROM spjwcat.t LIMIT 1")
+      n.write.format("graft-v2").mode("append").save(s"$wh/t")
     }
     assert(e.getMessage.contains("saveBucketedFiles") ||
       Option(e.getCause).exists(_.getMessage.contains("saveBucketedFiles")),

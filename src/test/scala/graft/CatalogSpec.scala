@@ -38,6 +38,74 @@ class CatalogSpec extends SparkTestBase {
       .map(_.getString(1)).contains("t"))
   }
 
+  test("CREATE TABLE CLUSTERED BY: SQL-first bucketed tables") {
+    import graft.sources.BucketLayout
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bk")
+    spark.sql("CREATE TABLE graft.bk.t (id BIGINT, v BIGINT) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS")
+    spark.sql("CREATE TABLE graft.bk.u (id BIGINT, w BIGINT) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS")
+    // the marker exists from CREATE, before any data
+    val tdir = new java.io.File(s"$warehouse/bk/t")
+    assert(new java.io.File(tdir, BucketLayout.MarkerName).exists())
+    spark.sql("INSERT INTO graft.bk.t SELECT id, id * 3 FROM range(0, 5000)")
+    spark.sql("INSERT INTO graft.bk.u SELECT id, id * 7 FROM range(0, 5000)")
+    // every data file carries a valid bucket suffix and only its rows
+    val files = tdir.listFiles().map(_.getName).filter(_.startsWith("part-"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val b = BucketLayout.bucketIdOf(f)
+      assert(b.exists(_ < 4), s"bad bucket suffix on $f")
+      val wrong = spark.read.parquet(s"$tdir/$f")
+        .filter(pmod(hash(col("id")), lit(4)) =!= b.get).count()
+      assert(wrong == 0, s"file $f holds rows of another bucket")
+    }
+    assert(spark.table("graft.bk.t").count() == 5000)
+    // a second INSERT appends, layout intact
+    spark.sql("INSERT INTO graft.bk.t SELECT id, id FROM range(5000, 6000)")
+    assert(spark.table("graft.bk.t").count() == 6000)
+    // SQL-created bucketed tables join storage-partitioned
+    val restore = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        "SELECT t.id, t.v, u.w FROM graft.bk.t t JOIN graft.bk.u u " +
+        "ON t.id = u.id")
+      assert(joined.collect().length == 5000)
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "SQL bucketed tables must join storage-partitioned")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // INSERT OVERWRITE truncates but keeps the layout
+    spark.sql("INSERT OVERWRITE graft.bk.t SELECT id, id FROM range(0, 100)")
+    assert(spark.table("graft.bk.t").count() == 100)
+    assert(new java.io.File(tdir, BucketLayout.MarkerName).exists())
+    assert(tdir.listFiles().map(_.getName).filter(_.startsWith("part-"))
+      .forall(f => BucketLayout.bucketIdOf(f).exists(_ < 4)))
+    // REPLACE WHERE on a bucketed table is refused (unsuffixed residue)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.bk.t REPLACE WHERE id >= 50 " +
+        "SELECT id, -1 FROM range(50, 60)")
+    }
+    assert(e.getMessage.contains("REPLACE WHERE is not supported") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("REPLACE WHERE is not supported")),
+      s"unexpected: $e")
+    // unsupported partition transforms are rejected at CREATE
+    intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE graft.bk.bad (id BIGINT, d DATE) " +
+        "PARTITIONED BY (days(d))")
+    }
+  }
+
   test("INSERT REPLACE WHERE routes the predicate overwrite") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
