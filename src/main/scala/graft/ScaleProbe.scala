@@ -64,6 +64,42 @@ object ScaleProbe {
       println(f"""{"q":"$q","t1":$t1%.2f,"t$factor":$tN%.2f,""" +
         f""""ratio":$ratio%.2f,"verdict":"$flag"}""")
     }
+    // bucketed-join probe: storage-partitioned join at 1x and Nx (the
+    // layout write is excluded from the timing); `shuffle_free` records
+    // whether the plan held its no-exchange shape at BOTH scales — the
+    // property that matters at 100 TB, where the shuffle IS the cost
+    import org.apache.spark.sql.SaveMode
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def bucketedProbe(dir: String, label: String): (Double, Boolean) = {
+      val wh = Files.createTempDirectory("graft-scale-bk").toString
+      spark.conf.set(s"spark.sql.catalog.bk$label",
+        "graft.sources.v2.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.bk$label.warehouse", wh)
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = Tables.t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.GraftSink.saveBucketedFiles(li, s"$wh/li", 32,
+        Seq("l_orderkey"), mode = SaveMode.Overwrite)
+      graft.sources.GraftSink.saveBucketedFiles(o, s"$wh/o", 32,
+        Seq("o_orderkey"), mode = SaveMode.Overwrite)
+      def join() = spark.table(s"bk$label.li")
+        .join(spark.table(s"bk$label.o"),
+          col("l_orderkey") === col("o_orderkey"))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        join().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      (t, !join().queryExecution.executedPlan.toString.contains("Exchange"))
+    }
+    val (b1, free1) = bucketedProbe(base, "a")
+    val (bN, freeN) = bucketedProbe(scaled, "b")
+    println(f"""{"q":"bucketed_spj_join","t1":$b1%.2f,"t$factor":$bN%.2f,""" +
+      f""""ratio":${bN / math.max(b1, 0.001)}%.2f,""" +
+      f""""shuffle_free":${free1 && freeN}}""")
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

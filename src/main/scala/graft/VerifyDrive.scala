@@ -64,6 +64,25 @@ object VerifyDrive {
     println(s"MAINTENANCE replaceWhere+compact -> " +
       spark.read.parquet(mnt).count() + " rows (expect 305), " +
       s"compacted $cb files to $ca")
+    // user flow: SQL-first bucketed tables — CLUSTERED BY create,
+    // bucket-preserving INSERT, storage-partitioned join, bucket prune
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("CREATE TABLE graft.d.f (id BIGINT, v BIGINT) " +
+      "CLUSTERED BY (id) INTO 8 BUCKETS")
+    spark.sql("CREATE TABLE graft.d.g (id BIGINT, w BIGINT) " +
+      "CLUSTERED BY (id) INTO 8 BUCKETS")
+    spark.sql("INSERT INTO graft.d.f SELECT id, id * 2 FROM range(0, 10000)")
+    spark.sql("INSERT INTO graft.d.g SELECT id, id * 5 FROM range(0, 10000)")
+    val spj = spark.sql("SELECT f.id, f.v, g.w FROM graft.d.f f " +
+      "JOIN graft.d.g g ON f.id = g.id")
+    val spjRows = spj.count()
+    val spjPlan = spj.queryExecution.executedPlan.toString
+    println(s"BUCKETED spj-join -> $spjRows rows (expect 10000), " +
+      s"shuffle-free=${!spjPlan.contains("Exchange")} (expect true)")
+    println("BUCKETED point-prune -> " + spark.sql(
+      "SELECT count(*) FROM graft.d.f WHERE id = 4242").head.getLong(0) +
+      " row(s) (expect 1)")
     spark.stop()
   }
 }

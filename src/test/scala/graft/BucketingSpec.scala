@@ -365,6 +365,54 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("SPJ composes with partially-clustered distribution under skew") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-spjp").toString
+    spark.conf.set("spark.sql.catalog.spjpcat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjpcat.warehouse", wh)
+    // hot key 0 carries most of the fact side's mass
+    val fact = spark.range(0, 20000).select(
+      when($"id" < 15000, 0L).otherwise($"id" % 64).as("k"),
+      ($"id" * 7).as("payload"))
+    val dim = spark.range(0, 64).select($"id".as("k"),
+      ($"id" * 11).as("info"))
+    GraftSink.saveBucketedFiles(fact, s"$wh/fact", 8, Seq("k"),
+      mode = SaveMode.Overwrite)
+    GraftSink.saveBucketedFiles(dim, s"$wh/dim", 8, Seq("k"),
+      mode = SaveMode.Overwrite)
+    val restore = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("spjpcat.fact")
+        .join(spark.table("spjpcat.dim"), "k")
+      // correctness is the contract here: Spark may replicate the
+      // dim side's groups against the skewed fact partitions, but
+      // every row must join exactly once either way
+      assert(joined.count() == 20000)
+      assert(joined.agg(sum($"payload")).head.getLong(0) ==
+        (0L until 20000L).map(_ * 7).sum)
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "partially-clustered SPJ must stay shuffle-free")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("composite bucket keys: tuple fold matches Spark, full pin prunes") {
     import graft.sources.BucketLayout
     import org.apache.spark.sql.sources._
