@@ -591,6 +591,33 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** SQL `DELETE FROM` end-to-end: copy a projection of `orders` into
+    * a scratch graft catalog table (two appends -> multiple part
+    * files, so the footer-stats classification sees whole-file AND
+    * boundary cases), delete by predicate, return the survivors. The
+    * oracle is the null-safe complement over the source table. The
+    * catalog name is invocation-unique because Spark caches catalog
+    * instances (and their warehouse) by name. */
+  private val qDeleteFrom: Q = (s, dir) => {
+    val wh = java.nio.file.Files.createTempDirectory("graft-delq")
+      .toString
+    val cat = "graft_delq_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val orders = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    val mid = 30000L
+    orders.filter(col("o_orderkey") < mid).write.format("graft-v2")
+      .option("path", s"$wh/orders").mode("append").save()
+    orders.filter(col("o_orderkey") >= mid).write.format("graft-v2")
+      .option("path", s"$wh/orders").mode("append").save()
+    s.sql(s"DELETE FROM $cat.orders " +
+      "WHERE o_orderstatus = 'O' OR o_totalprice < 50000")
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+      s"FROM $cat.orders ORDER BY o_orderkey")
+  }
+
   // ===== registry =====
 
   def queries: Map[String, Q] = Map(
@@ -655,6 +682,7 @@ object SparkEntry {
     "q_fingerprint" -> qFingerprint,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_delete_from" -> qDeleteFrom,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -1069,6 +1097,12 @@ object SparkEntry {
         |md5(text) AS checksum,
         |CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_delete_from" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE NOT coalesce(o_orderstatus = 'O' OR o_totalprice < 50000,
+        |  false)
+        |ORDER BY o_orderkey""".stripMargin,
   ) ++ ivfOracle
 }
 

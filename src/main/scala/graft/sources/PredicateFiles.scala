@@ -131,6 +131,27 @@ private[graft] object PredicateFiles {
     }
   }
 
+  /** Rewrite temporal comparison values into Spark's INTERNAL numeric
+    * form (timestamps -> epoch micros, dates -> epoch days), driven by
+    * the table schema. The executor-side delete rewrite evaluates
+    * predicates against internal rows, where the reader has already
+    * normalized every file's parquet unit to micros/days — so unlike
+    * [[classify]]'s per-file stat units, one conversion serves all
+    * files. */
+  def internalizeTemporal(f: Filter,
+      schema: org.apache.spark.sql.types.StructType): Filter = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val cols: Map[String, Option[TimeUnit]] = schema.fields.flatMap { sf =>
+      sf.dataType match {
+        case TimestampType | TimestampNTZType =>
+          Some(sf.name -> Some(TimeUnit.MICROS))
+        case DateType => Some(sf.name -> None)
+        case _ => None
+      }
+    }.toMap
+    rewriteTemporal(f, cols)
+  }
+
   /** Structural gate for predicate overwrite — the
     * `RowFilterEval.supports` shapes, with comparison values extended
     * to temporal types (classification converts them per file; the

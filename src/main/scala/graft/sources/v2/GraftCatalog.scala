@@ -28,6 +28,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an empty table keeps its schema until first write; footers win once
   * data exists.
   */
+object GraftCatalog {
+  /** Schema marker a CREATE TABLE writes (and a DELETE/TRUNCATE that
+    * empties a table refreshes) so an empty directory keeps its
+    * schema; footers win once data exists. */
+  val SchemaMarker = ".graft-schema.json"
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
 
@@ -35,7 +42,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var warehouse: Path = _
   private var conf: Configuration = _
 
-  private val SchemaMarker = ".graft-schema.json"
+  private def SchemaMarker = GraftCatalog.SchemaMarker
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

@@ -94,8 +94,34 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     groupByBucket: Boolean = true)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-v2:${path.split('/').last}"
+
+  /** SQL `DELETE FROM` (and, via the interface's default wiring,
+    * `TRUNCATE TABLE`): footer-stats file classification + bucket-
+    * preserving boundary rewrite — see [[GraftDeleteV2]]. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case _: org.apache.spark.sql.sources.AlwaysTrue |
+           _: org.apache.spark.sql.sources.AlwaysFalse => true
+      case f => graft.sources.PredicateFiles
+        .supportsOverwrite(f, tableSchema)
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And}
+    if (filters.exists(_.isInstanceOf[AlwaysFalse])) return
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) { truncateTable(); () }
+    else {
+      GraftDeleteV2.deleteWhere(path, tableSchema,
+        real.reduce[Filter](And(_, _)))
+    }
+  }
+
+  override def truncateTable(): Boolean =
+    GraftDeleteV2.truncate(path, tableSchema)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

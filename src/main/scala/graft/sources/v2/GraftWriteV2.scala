@@ -146,6 +146,51 @@ case class GraftWriteV2(path: String, schema: StructType,
   }
 }
 
+/** Backup-park swap (mirrors GraftSink.saveAtomic's truncate-and-load):
+  * `victims` are PARKED, not deleted, until every file in `incoming`
+  * has renamed in — a failure mid-commit restores them, so a reader
+  * only ever sees complete-old or complete-new contents, never a mix.
+  * Shared by the V2 batch commit (truncate / REPLACE WHERE) and the
+  * DELETE FROM / TRUNCATE TABLE path ([[GraftDeleteV2]]). */
+private[v2] object GraftSwapV2 {
+  def parkAndSwap(fs: org.apache.hadoop.fs.FileSystem, target: Path,
+      jobId: String, victims: Seq[Path], incoming: Seq[Path]): Unit = {
+    val backup = new Path(target, s".graft-v2-backup-$jobId")
+    fs.mkdirs(backup)
+    // the whole sequence — INCLUDING the parking loop — unwinds on
+    // failure: a parking rename that fails mid-way must restore the
+    // victims already parked, or their rows are silently stranded in
+    // the hidden backup dir
+    try {
+      victims.foreach { p =>
+        if (!fs.rename(p, new Path(backup, p.getName))) {
+          throw new java.io.IOException(s"backup of $p failed")
+        }
+      }
+      incoming.foreach { src =>
+        val dst = new Path(target, src.getName)
+        if (!fs.rename(src, dst)) {
+          throw new java.io.IOException(s"commit rename $src -> $dst failed")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        // Unwind: drop any new parts already in, restore old parts.
+        incoming.foreach { src =>
+          try fs.delete(new Path(target, src.getName), false)
+          catch { case _: Throwable => () }
+        }
+        fs.listStatus(backup).foreach { st =>
+          try fs.rename(st.getPath, new Path(target, st.getPath.getName))
+          catch { case _: Throwable => () }
+        }
+        try fs.delete(backup, true) catch { case _: Throwable => () }
+        throw e
+    }
+    fs.delete(backup, true)
+  }
+}
+
 private[v2] case class GraftCommitV2(file: String)
   extends WriterCommitMessage
 
@@ -158,10 +203,17 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     bucketSpec: Option[graft.sources.BucketLayout] = None)
     extends BatchWrite {
 
-  private val jobId = UUID.randomUUID().toString.take(8)
-  private val stagingName = s".graft-v2-staging-$jobId"
+  protected val jobId = UUID.randomUUID().toString.take(8)
+  protected val stagingName = s".graft-v2-staging-$jobId"
 
-  private def hconf(): Configuration = {
+  protected def collectFiles(
+      messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.flatMap {
+      case GraftCommitV2(f) => Seq(f)
+      case GraftCommitMultiV2(fs0) => fs0
+    }
+
+  protected def hconf(): Configuration = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     ParquetWriteSupport.setSchema(schema, conf)
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
@@ -207,46 +259,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
       }
     }
 
-    // Backup-park protocol (mirrors GraftSink.saveAtomic's
-    // truncate-and-load): `victims` are PARKED, not deleted, until
-    // every file in `incoming` has renamed in — a failure mid-commit
-    // restores them, so a reader only ever sees complete-old or
-    // complete-new contents, never a mix.
-    def parkAndSwap(victims: Seq[Path], incoming: Seq[Path]): Unit = {
-      val backup = new Path(target, s".graft-v2-backup-$jobId")
-      fs.mkdirs(backup)
-      // the whole sequence — INCLUDING the parking loop — unwinds on
-      // failure: a parking rename that fails mid-way must restore the
-      // victims already parked, or their rows are silently stranded in
-      // the hidden backup dir
-      try {
-        victims.foreach { p =>
-          if (!fs.rename(p, new Path(backup, p.getName))) {
-            throw new java.io.IOException(s"backup of $p failed")
-          }
-        }
-        incoming.foreach { src =>
-          val dst = new Path(target, src.getName)
-          if (!fs.rename(src, dst)) {
-            throw new java.io.IOException(s"commit rename $src -> $dst failed")
-          }
-        }
-      } catch {
-        case e: Throwable =>
-          // Unwind: drop any new parts already in, restore old parts.
-          incoming.foreach { src =>
-            try fs.delete(new Path(target, src.getName), false)
-            catch { case _: Throwable => () }
-          }
-          fs.listStatus(backup).foreach { st =>
-            try fs.rename(st.getPath, new Path(target, st.getPath.getName))
-            catch { case _: Throwable => () }
-          }
-          try fs.delete(backup, true) catch { case _: Throwable => () }
-          throw e
-      }
-      fs.delete(backup, true)
-    }
+    def parkAndSwap(victims: Seq[Path], incoming: Seq[Path]): Unit =
+      GraftSwapV2.parkAndSwap(fs, target, jobId, victims, incoming)
 
     def targetParts(): Seq[Path] = fs.listStatus(target)
       .filter(st => st.getPath.getName.startsWith("part-"))

@@ -181,6 +181,114 @@ class CatalogSpec extends SparkTestBase {
     assert(!new java.io.File(s"$warehouse/adm/b").exists())
   }
 
+  test("DELETE FROM: whole-file metadata deletes + boundary rewrite") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.t (id BIGINT, v BIGINT)")
+    // four inserts -> four part files with disjoint id ranges
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.del.t SELECT id, id AS v " +
+        s"FROM range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    val dir = new java.io.File(s"$warehouse/del/t")
+    def parts() = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    val before = parts()
+    assert(before.size >= 4)
+    // stats-aligned: file [3000,4000) provably all-matching -> dropped
+    // whole; the boundary file [1000,2000) is rewritten; files fully
+    // outside the range keep their identical names (never opened)
+    spark.sql("DELETE FROM graft.del.t WHERE id >= 1500")
+    val after = parts()
+    assert((before & after).size >= 2,
+      s"kept files must not be touched: $before vs $after")
+    assert(spark.table("graft.del.t").count() == 1500)
+    assert(spark.sql("SELECT max(id) FROM graft.del.t").head.getLong(0)
+      == 1499L)
+    // no staging/backup residue in the table directory
+    assert(!dir.listFiles().exists(_.getName.startsWith(".graft-v2-")))
+    // DELETE matching nothing is a no-op that touches no file
+    val stable = parts()
+    spark.sql("DELETE FROM graft.del.t WHERE id >= 100000")
+    assert(parts() == stable)
+  }
+
+  test("DELETE keeps NULL-valued rows (three-valued semantics)") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.nulls (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.del.nulls " +
+      "SELECT id, IF(id % 3 = 0, NULL, id) AS v FROM range(0, 90)")
+    // v < 30 is UNKNOWN for the 30 null rows -> they must survive
+    spark.sql("DELETE FROM graft.del.nulls WHERE v < 30")
+    val t = spark.table("graft.del.nulls")
+    assert(t.filter(col("v").isNull).count() == 30,
+      "NULL rows must survive a DELETE whose predicate is UNKNOWN")
+    assert(t.count() == 30 + 40) // nulls + v in [30, 89] non-null
+  }
+
+  test("DELETE on a bucketed table preserves the layout") {
+    import graft.sources.BucketLayout
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.bt (id BIGINT, v BIGINT) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS")
+    spark.sql("INSERT INTO graft.del.bt SELECT id, id FROM range(0, 4000)")
+    val dir = new java.io.File(s"$warehouse/del/bt")
+    // the hash scatters every id range across all buckets, so this is
+    // a boundary rewrite of every file — each must keep its suffix
+    spark.sql("DELETE FROM graft.del.bt WHERE id >= 1000")
+    assert(spark.table("graft.del.bt").count() == 1000)
+    val files = dir.listFiles().map(_.getName).filter(_.startsWith("part-"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val b = BucketLayout.bucketIdOf(f)
+      assert(b.exists(_ < 4), s"rewritten file $f lost its bucket suffix")
+      val wrong = spark.read.parquet(s"$dir/$f")
+        .filter(pmod(hash(col("id")), lit(4)) =!= b.get).count()
+      assert(wrong == 0, s"rewritten file $f holds rows of another bucket")
+    }
+    // the layout marker survives, so reads still plan bucketed
+    assert(new java.io.File(dir, BucketLayout.MarkerName).exists())
+  }
+
+  test("TRUNCATE TABLE empties but keeps schema and layout") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.tr (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.del.tr SELECT id, id FROM range(0, 100)")
+    spark.sql("TRUNCATE TABLE graft.del.tr")
+    assert(spark.table("graft.del.tr").count() == 0)
+    assert(spark.table("graft.del.tr").schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // the emptied table accepts new inserts
+    spark.sql("INSERT INTO graft.del.tr SELECT id, id FROM range(0, 7)")
+    assert(spark.table("graft.del.tr").count() == 7)
+  }
+
+  test("DELETE emptying the table keeps it loadable") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.all (id BIGINT)")
+    spark.sql("INSERT INTO graft.del.all SELECT id FROM range(0, 50)")
+    spark.sql("DELETE FROM graft.del.all WHERE id >= 0")
+    assert(spark.table("graft.del.all").count() == 0)
+    assert(spark.table("graft.del.all").schema.fieldNames.toSeq ==
+      Seq("id"))
+  }
+
+  test("DELETE rejects untranslatable predicates without mutating") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.rej (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.del.rej SELECT id, 'x' FROM range(0, 10)")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.del.rej WHERE length(s) > 1")
+    }
+    assert(spark.table("graft.del.rej").count() == 10,
+      s"failed delete must not mutate (error was: ${e.getMessage})")
+  }
+
   test("predicate overwrite rejects unsupported predicates up front") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bad")
