@@ -121,7 +121,7 @@ object GraftDeleteV2 {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath).toSeq
 
-  private def ensureSchemaMarker(fs: FileSystem, target: Path,
+  private[v2] def ensureSchemaMarker(fs: FileSystem, target: Path,
       schema: StructType): Unit = {
     val p = new Path(target, GraftCatalog.SchemaMarker)
     if (!fs.exists(p)) {

@@ -1,0 +1,223 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based (copy-on-write) row-level operations: SQL `UPDATE` and
+  * `MERGE INTO`, plus the `DELETE FROM` shapes whose predicates the
+  * metadata-only path cannot translate (Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` keeps translatable deletes on
+  * the [[GraftDeleteV2]] fast path; everything else lands here).
+  *
+  * The contract Spark's rewrite rules (`RewriteUpdateTable`,
+  * `RewriteMergeIntoTable`, `RewriteDeleteFromTable`) expect:
+  *
+  *  - the operation's SCAN determines the affected GROUPS — for graft,
+  *    whole FILES. The rewrite plan reads every row of those files,
+  *    applies the update/merge/delete logic, and writes all surviving
+  *    rows back; the WRITE's commit then atomically replaces exactly
+  *    the scanned files with the rewritten output (backup-park swap).
+  *  - the command's condition is pushed into the scan builder
+  *    (`GroupBasedRowLevelOperationScanPlanning`) for GROUP pruning
+  *    only: a file none of whose row groups may match has no affected
+  *    rows and is left untouched (same footer-stats classification as
+  *    REPLACE WHERE / DELETE). Crucially the scan must NOT drop
+  *    individual rows of a surviving file — they are the copy half of
+  *    copy-on-write — so every filter is reported back as residual
+  *    and the readers run unfiltered.
+  *
+  * The scan and write communicate through the shared operation
+  * instance: `planInputPartitions` records the affected file list
+  * driver-side; the commit swaps those files for the staged output.
+  * Bucketed tables ride the same machinery as a bucketed INSERT — the
+  * write requests clustering by the bucket transform and splits rows
+  * into suffix-named per-bucket files, so the layout (and its
+  * shuffle-free join contract) survives an UPDATE/MERGE.
+  *
+  * Cost model at 100 TB: proportional to the affected-file boundary,
+  * not the table. A stats-aligned UPDATE rewrites only the files its
+  * condition touches; the worst case (unconditioned UPDATE) is one
+  * full parallel rewrite, which is the floor for copy-on-write.
+  */
+case class GraftRowLevelOperation(path: String, tableSchema: StructType,
+    bucketSpec: Option[graft.sources.BucketLayout],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files the copy-on-write scan planned (driver-side handshake):
+    * the write's commit replaces exactly these. */
+  @volatile private[v2] var scannedFiles: Seq[String] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-cow-${cmd.toString.toLowerCase}"
+
+  /** `_file` rides along so Spark plans the projecting write task
+    * (the writer sees clean data rows, not the rewrite plan's
+    * `__row_operation` column) and can runtime-group-filter: before
+    * the rewrite runs, a subquery finds the files that actually hold
+    * matching rows and the scan narrows to them. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftFileColumn.Name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new GraftCowScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val op = this
+    new WriteBuilder {
+      override def build(): Write = GraftCowWrite(op, info.schema())
+    }
+  }
+}
+
+/** Accepts the command's condition for FILE-level pruning only —
+  * everything is handed back as residual so no row of a surviving
+  * file is dropped before the write-back. */
+class GraftCowScanBuilder(op: GraftRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var groupFilters: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    groupFilters = filters
+    filters // all residual
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = GraftCowScan(op, groupFilters)
+}
+
+case class GraftCowScan(op: GraftRowLevelOperation,
+    groupFilters: Array[Filter]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  import org.apache.spark.sql.types.{StringType, StructField}
+
+  override def readSchema(): StructType =
+    StructType(op.tableSchema.fields :+
+      StructField(GraftFileColumn.Name, StringType, nullable = false))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftCowScan(${op.cmd}) ${op.path.split('/').last}, " +
+    s"GroupFilters: [${groupFilters.mkString(", ")}]"
+
+  /** Runtime GROUP filtering
+    * (`RowLevelOperationRuntimeGroupFiltering`): Spark first runs the
+    * condition as a subquery projecting `_file`, then hands the
+    * matching file set back here as an In filter — the rewrite
+    * narrows from "files whose STATS admit a match" to "files that
+    * HOLD a match". Driver-side only, same discipline as
+    * [[GraftScanV2]]'s DPP filter. */
+  @transient private var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftFileColumn.Name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.In
+    filters.foreach {
+      case In(c, vs) if c == GraftFileColumn.Name =>
+        runtimeFiles = Some(vs.map(String.valueOf).toSet)
+      case _ => ()
+    }
+  }
+
+  /** Affected files = the delete-whole + boundary classes of the same
+    * footer-stats classification REPLACE WHERE uses; `keep` files have
+    * no possibly-matching row group and stay out of the rewrite. All
+    * row groups of every affected file are scheduled (file
+    * granularity — the commit swaps whole files). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val groups = FooterCache.rowGroups(op.path)
+    val files = groups.map(_.file).distinct.map(new Path(_))
+    val statAffected: Set[String] =
+      if (groupFilters.isEmpty) files.map(_.toString).toSet
+      else {
+        import org.apache.spark.sql.sources.And
+        val cond = groupFilters.reduce[Filter](And(_, _))
+        val (_, deleteWhole, rewrite) =
+          graft.sources.PredicateFiles.classify(cond, files)
+        (deleteWhole ++ rewrite).map(_.toString).toSet
+      }
+    val affected = runtimeFiles match {
+      case Some(rf) => statAffected.filter(rf.contains)
+      case None => statAffected
+    }
+    op.scannedFiles = affected.toSeq.sorted
+    groups.filter(rg => affected.contains(rg.file))
+      .map(rg => GraftInputPartition(rg.file, rg.index, rg.startingPos,
+        rg.compressedBytes): InputPartition)
+      .toArray
+  }
+
+  /** The plain batch readers with NO filters (every row of an
+    * affected file reaches the rewrite plan — they are the copy half
+    * of copy-on-write), wrapped to append `_file`. Vectorized when
+    * the directory's types allow it, same as the main scan. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    FileAppendReaderFactory(
+      GraftScanV2(op.path, op.tableSchema, Array.empty, -1,
+        vectorized = !FooterCache.hasNanosTimestamp(op.path),
+        groupByBucket = false).createReaderFactory())
+}
+
+/** The write-back half: same staged writers as a batch INSERT
+  * (bucket-splitting when the table is bucketed, with the clustered
+  * distribution request), but commit replaces the scanned files. */
+case class GraftCowWrite(op: GraftRowLevelOperation, schema: StructType)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def toBatch: BatchWrite = new GraftCowBatchWrite(op, schema)
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+  override def requiredDistribution(): Distribution = op.bucketSpec match {
+    case Some(b) => Distributions.clustered(
+      Array(Expressions.bucket(b.numBuckets, b.bucketCols: _*)))
+    case None => Distributions.unspecified()
+  }
+  override def requiredOrdering(): Array[SortOrder] = op.bucketSpec match {
+    case Some(b) => b.sortCols.map(c =>
+      Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+    case None => Array.empty
+  }
+}
+
+class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)
+    extends GraftBatchWriteV2(op.path, schema, truncateFirst = false,
+      overwriteCond = None, bucketSpec = op.bucketSpec) {
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf()
+    val target = new Path(op.path)
+    val fs = target.getFileSystem(conf)
+    val staging = new Path(target, stagingName)
+    try {
+      GraftSwapV2.parkAndSwap(fs, target, jobId,
+        op.scannedFiles.map(new Path(_)),
+        collectFiles(messages).map(new Path(_)))
+    } finally {
+      // sweeps zombie/speculative attempts
+      try fs.delete(staging, true) catch { case _: Throwable => () }
+    }
+    // an operation that emptied the table pins its schema (same
+    // invariant as DELETE/TRUNCATE)
+    val anyData = fs.listStatus(target).exists(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet") &&
+      !st.getPath.getName.startsWith("."))
+    if (!anyData) GraftDeleteV2.ensureSchemaMarker(fs, target, schema)
+  }
+}

@@ -95,8 +95,31 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     groupByBucket: Boolean = true)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-v2:${path.split('/').last}"
+
+  /** `_file` provenance column (shadowed if the data really has one). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.contains(GraftFileColumn.Name)) Array.empty
+    else Array(GraftFileColumn)
+
+  /** SQL `UPDATE` / `MERGE INTO` (and non-translatable DELETEs):
+    * group-based copy-on-write at file granularity — see
+    * [[GraftRowLevelOperation]]. Translatable DELETEs stay on the
+    * metadata-only [[GraftDeleteV2]] path via Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable`. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        GraftRowLevelOperation(path, tableSchema, bucketSpec,
+          info.command())
+    }
 
   /** SQL `DELETE FROM` (and, via the interface's default wiring,
     * `TRUNCATE TABLE`): footer-stats file classification + bucket-
@@ -177,9 +200,15 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
 
+  private var appendFile: Boolean = false
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep file column order for the reader; Spark projects above
     val names = requiredSchema.fieldNames.toSet
+    // `_file` is the table's metadata column, not a parquet field:
+    // strip it from the projection, the readers append it per row
+    appendFile = names.contains(GraftFileColumn.Name) &&
+      !fullSchema.fieldNames.contains(GraftFileColumn.Name)
     this.requiredSchema =
       StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
@@ -410,8 +439,26 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
         }
     }
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
-      batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket)
+      batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
+      appendFile)
   }
+}
+
+/** The `_file` metadata column ([[SupportsMetadataColumns]]): absolute
+  * path of the data file each row came from. Free to serve (it is a
+  * per-partition constant), and it is what the group-based row-level
+  * operations key their runtime group filtering on — the UPDATE/MERGE
+  * analog of the reference's `xmin` system column
+  * (ExtJdbcUtils.scala:301-329, rows addressed by a transaction id the
+  * engine, not the user, maintains). */
+object GraftFileColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val Name = "_file"
+  override def name(): String = Name
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "absolute path of the data file the row came from"
 }
 
 case class GraftScanV2(path: String, projectedSchema: StructType,
@@ -421,7 +468,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     topNLimit: Int = -1,
     pushedAgg: Option[(StructType, Array[Any], String)] = None,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
-    groupByBucket: Boolean = true)
+    groupByBucket: Boolean = true,
+    appendFile: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -448,7 +496,12 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
   }
 
   override def readSchema(): StructType =
-    pushedAgg.map(_._1).getOrElse(projectedSchema)
+    pushedAgg.map(_._1).getOrElse {
+      if (appendFile) {
+        StructType(projectedSchema.fields :+
+          StructField(GraftFileColumn.Name, StringType, nullable = false))
+      } else projectedSchema
+    }
 
   /** Footer-derived stats (row count + byte size) so Catalyst can make
     * broadcast decisions for graft-v2 tables — without this the scan
@@ -639,7 +692,10 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     new GraftMicroBatchStream(path, checkpointLocation, this)
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val base = createBaseReaderFactory()
+    val raw = createBaseReaderFactory()
+    // `_file` metadata column: a per-partition constant appended by a
+    // wrapping reader (the partition knows its file)
+    val base = if (appendFile) FileAppendReaderFactory(raw) else raw
     // bucketed batch scans deliver GraftBucketedPartition bundles; the
     // wrapper unrolls them over the same per-row-group readers (and
     // passes bare partitions through untouched, e.g. the micro-batch
@@ -707,6 +763,58 @@ case class GraftBucketedPartition(bucket: Int,
   * next opens, so a bucket of many row groups holds one reader's
   * resources, same as the unbucketed plan. Bare partitions (the
   * streaming path) pass straight through. */
+/** Appends the `_file` metadata column: each partition pins one file,
+  * so the value is a per-partition constant — a [[JoinedRow]] view in
+  * row mode (zero copy), a [[ConstantColumnVector]] in columnar mode
+  * (zero per-row work, stays inside whole-stage codegen). */
+case class FileAppendReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.JoinedRow
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+  import org.apache.spark.sql.vectorized.ColumnVector
+
+  private def fileOf(p: InputPartition): String = p match {
+    case g: GraftInputPartition => g.file
+    case other => throw new IllegalStateException(
+      s"graft-v2 _file: unexpected partition $other")
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val base = inner.createReader(partition)
+    val fileRow = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(fileOf(partition))))
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      override def next(): Boolean = base.next()
+      override def get(): InternalRow = joined(base.get(), fileRow)
+      override def close(): Unit = base.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val base = inner.createColumnarReader(partition)
+    val file = UTF8String.fromString(fileOf(partition))
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = base.next()
+      override def get(): ColumnarBatch = {
+        val b = base.get()
+        val const = new ConstantColumnVector(math.max(b.numRows, 1),
+          StringType)
+        const.setUtf8String(file)
+        val cols = Array.tabulate[ColumnVector](b.numCols + 1)(i =>
+          if (i < b.numCols) b.column(i) else const)
+        new ColumnarBatch(cols, b.numRows)
+      }
+      override def close(): Unit = base.close()
+    }
+  }
+}
+
 case class BucketConcatReaderFactory(inner: PartitionReaderFactory)
     extends PartitionReaderFactory {
   private def subs(p: InputPartition): Option[Array[GraftInputPartition]] =

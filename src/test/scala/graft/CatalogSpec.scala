@@ -277,16 +277,133 @@ class CatalogSpec extends SparkTestBase {
       Seq("id"))
   }
 
-  test("DELETE rejects untranslatable predicates without mutating") {
+  test("DELETE with untranslatable predicate falls back to copy-on-write") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
     spark.sql("CREATE TABLE graft.del.rej (id BIGINT, s STRING)")
-    spark.sql("INSERT INTO graft.del.rej SELECT id, 'x' FROM range(0, 10)")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.del.rej WHERE length(s) > 1")
+    spark.sql("INSERT INTO graft.del.rej " +
+      "SELECT id, IF(id < 4, 'xx', 'y') FROM range(0, 10)")
+    // length(s) is not translatable to a source filter — the metadata
+    // path declines and the group-based copy-on-write rewrite runs
+    spark.sql("DELETE FROM graft.del.rej WHERE length(s) > 1")
+    assert(spark.table("graft.del.rej").count() == 6)
+    assert(spark.table("graft.del.rej")
+      .filter(col("s") === "xx").count() == 0)
+  }
+
+  test("UPDATE rewrites only the affected files") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.up")
+    spark.sql("CREATE TABLE graft.up.t (id BIGINT, v BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.up.t SELECT id, id AS v " +
+        s"FROM range(${i * 1000}, ${(i + 1) * 1000})")
     }
-    assert(spark.table("graft.del.rej").count() == 10,
-      s"failed delete must not mutate (error was: ${e.getMessage})")
+    val dir = new java.io.File(s"$warehouse/up/t")
+    def parts() = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    val before = parts()
+    assert(before.size >= 4)
+    // condition touches only the [0,1000) file: the other three files
+    // must keep their identical names (copy-on-write at file
+    // granularity, footer-stats group pruning)
+    spark.sql("UPDATE graft.up.t SET v = v + 1000000 WHERE id < 500")
+    val after = parts()
+    assert((before & after).size >= 3,
+      s"unaffected files must not be rewritten: $before vs $after")
+    val t = spark.table("graft.up.t")
+    assert(t.count() == 4000, "UPDATE must not change the row count")
+    assert(t.filter(col("v") >= 1000000).count() == 500)
+    // the copy half survives: rows of the rewritten file that did not
+    // match keep their values
+    assert(t.filter(col("id").between(500, 999) &&
+      col("v") === col("id")).count() == 500)
+    assert(!dir.listFiles().exists(_.getName.startsWith(".graft-v2-")))
+  }
+
+  test("UPDATE on a bucketed table preserves the layout") {
+    import graft.sources.BucketLayout
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.up")
+    spark.sql("CREATE TABLE graft.up.bt (id BIGINT, v BIGINT) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS")
+    spark.sql("INSERT INTO graft.up.bt SELECT id, id FROM range(0, 4000)")
+    spark.sql("UPDATE graft.up.bt SET v = -1 WHERE id < 2000")
+    val t = spark.table("graft.up.bt")
+    assert(t.count() == 4000)
+    assert(t.filter(col("v") === -1L).count() == 2000)
+    val dir = new java.io.File(s"$warehouse/up/bt")
+    val files = dir.listFiles().map(_.getName).filter(_.startsWith("part-"))
+    files.foreach { f =>
+      val b = BucketLayout.bucketIdOf(f)
+      assert(b.exists(_ < 4), s"rewritten file $f lost its bucket suffix")
+      val wrong = spark.read.parquet(s"$dir/$f")
+        .filter(pmod(hash(col("id")), lit(4)) =!= b.get).count()
+      assert(wrong == 0, s"rewritten file $f holds rows of another bucket")
+    }
+    assert(new java.io.File(dir, BucketLayout.MarkerName).exists())
+  }
+
+  test("MERGE INTO: matched update + not-matched insert") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mg")
+    spark.sql("CREATE TABLE graft.mg.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.mg.t SELECT id, id FROM range(0, 100)")
+    spark.sql(
+      """MERGE INTO graft.mg.t t
+        |USING (SELECT id, id * 10 AS nv FROM range(90, 120)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+        |""".stripMargin)
+    val t = spark.table("graft.mg.t")
+    assert(t.count() == 120)
+    // matched rows [90,100) updated to id*10
+    assert(t.filter(col("id").between(90, 99) &&
+      col("v") === col("id") * 10).count() == 10)
+    // unmatched target rows untouched
+    assert(t.filter(col("id") < 90 && col("v") === col("id"))
+      .count() == 90)
+    // source-only rows inserted
+    assert(t.filter(col("id").between(100, 119) &&
+      col("v") === col("id") * 10).count() == 20)
+    // MERGE deleting matched rows works too
+    spark.sql(
+      """MERGE INTO graft.mg.t t
+        |USING (SELECT id FROM range(0, 10)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE
+        |""".stripMargin)
+    assert(spark.table("graft.mg.t").count() == 110)
+  }
+
+  test("_file metadata column serves provenance in both read modes") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mc")
+    spark.sql("CREATE TABLE graft.mc.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.mc.t SELECT id FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.mc.t SELECT id FROM range(10, 20)")
+    val dir = new java.io.File(s"$warehouse/mc/t")
+    val onDisk = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    // vectorized (default) path through the catalog
+    val served = spark.sql("SELECT DISTINCT _file FROM graft.mc.t")
+      .collect().map(r => new java.io.File(r.getString(0)).getName).toSet
+    assert(served == onDisk, s"_file must name the real files: " +
+      s"$served vs $onDisk")
+    // every row carries its own file; per-file counts cover all rows
+    val perFile = spark.sql(
+      "SELECT count(*) FROM graft.mc.t GROUP BY _file")
+      .collect().map(_.getLong(0))
+    assert(perFile.length == onDisk.size && perFile.sum == 20)
+    // row-mode path (path-based read, vectorized off)
+    val row = spark.read.format("graft-v2")
+      .option("path", dir.toString).option("vectorized", "false").load()
+      .select(col("_file"), col("id"))
+    assert(row.count() == 20)
+    assert(row.select("_file").distinct().collect().length == onDisk.size)
+    // _file never appears in SELECT *
+    assert(!spark.table("graft.mc.t").schema.fieldNames.contains("_file"))
   }
 
   test("predicate overwrite rejects unsupported predicates up front") {
