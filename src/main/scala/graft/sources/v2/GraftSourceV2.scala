@@ -340,13 +340,19 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
            DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
-    // footer timestamp stats are in the FILE's unit; the readers emit
-    // micros — normalize identically (NANOS floor-div matches the row
-    // converter's `/ 1000`)
-    def tsNormalize(n: String, dt: DataType, v: Any): Option[Any] =
+    // footer timestamp stats are in each FILE's OWN unit; the readers
+    // emit micros — normalize PER GROUP before any cross-file compare
+    // (a raw fold across a MICROS file and a MILLIS file would pick
+    // the smaller-unit value regardless of the actual instant). NANOS
+    // floor-div matches the row converter's `/ 1000`.
+    val unitsByCol =
+      scala.collection.mutable.Map.empty[String, Map[String, TimeUnit]]
+    def tsNormalize(n: String, dt: DataType, v: Any,
+        file: String): Option[Any] =
       dt match {
         case TimestampType | TimestampNTZType =>
-          FooterCache.tsUnit(path, n).collect {
+          unitsByCol.getOrElseUpdate(n,
+            FooterCache.tsUnitByFile(path, n)).get(file).collect {
             case TimeUnit.MICROS => v
             case TimeUnit.MILLIS =>
               java.lang.Long.valueOf(v.asInstanceOf[java.lang.Long] * 1000L)
@@ -361,7 +367,11 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
         st match {
           case Some(s) if s != null && !s.isEmpty =>
             if (s.hasNonNullValue) {
-              Right(Some(if (wantMin) s.genericGetMin else s.genericGetMax))
+              val raw = if (wantMin) s.genericGetMin else s.genericGetMax
+              tsNormalize(n, dt, raw, rg.file) match {
+                case Some(v) => Right(Some(v))
+                case None => Left(()) // unresolvable unit: decline
+              }
             } else if (s.isNumNullsSet && s.getNumNulls == rg.rowCount) {
               Right(None) // genuinely all-null group: contributes nothing
             } else {
@@ -376,7 +386,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
       // null" is distinguishable from "decline"
       if (vals.isEmpty) Some(null)
       else {
-        val folded = vals.reduce { (a, b) =>
+        Some(vals.reduce { (a, b) =>
           val c = (a, b) match {
             case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
             case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
@@ -386,8 +396,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
             case _ => return None
           }
           if ((c <= 0) == wantMin) a else b
-        }
-        tsNormalize(n, dt, folded)
+        })
       }
     }
     val totalRows = groups.map(_.rowCount).sum
@@ -599,11 +608,24 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           }
         }
         byBucket.zipWithIndex.map { case (ps, bucket) =>
-          GraftBucketedPartition(bucket, ps.toArray): InputPartition
+          // when the sorted-run prover holds, emit files in stat
+          // order (row groups keep file order within) so the
+          // concatenation IS the ordering outputOrdering reports
+          val ordered = sortedRunOrder match {
+            case Some(order) =>
+              val rank = order.getOrElse(bucket, Seq.empty)
+                .zipWithIndex.toMap
+              ps.sortBy(p => (rank.getOrElse(p.file, Int.MaxValue),
+                p.rowGroup))
+            case None => ps
+          }
+          GraftBucketedPartition(bucket, ordered.toArray): InputPartition
         }
       case None => parts.toArray
     }
   }
+
+  private object SortAbort extends scala.util.control.ControlThrowable
 
   /** The marker's layout, verified against the files: every data file
     * must carry a parseable bucket id below the marker's count, else
@@ -632,32 +654,116 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     }
 
   /** Sorted-bucket ordering: when the layout carries `sortCols` and
-    * every bucket holds at most ONE data file (the shape a single
-    * `saveBucketedFiles` Overwrite produces), each key-grouped
-    * partition IS sorted — report it, and the sorts on both sides of
+    * each bucket's files form provably NON-OVERLAPPING sorted runs
+    * (footer stats: strictly disjoint [min,max] ranges on the first
+    * sort column), concatenating the files in stat order IS the
+    * bucket's sort order — report it, and the sorts on both sides of
     * a co-located sort-merge join disappear along with the exchanges.
-    * Declined for multi-file buckets (concatenated sorted runs are
-    * not sorted), pushed top-k (the bounded heap re-orders emission),
-    * and sort columns pruned from the projection (unresolvable). */
+    * A single file per bucket (one Overwrite) is the trivial case;
+    * time-ordered appends (each batch past the previous one) keep the
+    * property across any number of files, at zero read cost — no
+    * merge, the vectorized concat just runs in stat order. Declined
+    * when runs may interleave (rewrite then, or pay the sort), for
+    * pushed top-k (the bounded heap re-orders emission), and for sort
+    * columns pruned from the projection (unresolvable). */
   override def outputOrdering(): Array[
       org.apache.spark.sql.connector.expressions.SortOrder] =
     bucketOrdering
+
+  /** Per bucket: its files in an order whose concatenation is sorted
+    * on the layout's sortCols — None when any bucket cannot be
+    * proven from footer statistics. */
+  private lazy val sortedRunOrder: Option[Map[Int, Seq[String]]] =
+    bucketGrouping match {
+      case Some(b) if b.sortCols.nonEmpty =>
+        val col = b.sortCols.head
+        // timestamp stats are in each file's own unit; mixed units
+        // make raw cross-file bounds incomparable
+        val tsMixed = projectedSchema.fields.find(_.name == col)
+          .map(_.dataType).exists {
+            case TimestampType | TimestampNTZType =>
+              FooterCache.tsUnits(path, col).size > 1
+            case _ => false
+          }
+        if (tsMixed) None
+        else {
+          val byBucket = FooterCache.rowGroups(path).groupBy(rg =>
+            graft.sources.BucketLayout.bucketIdOf(new Path(rg.file).getName))
+          if (byBucket.keys.exists(_.isEmpty)) None
+          else {
+            val ordered = byBucket.toSeq.map { case (bucket, rgs) =>
+              orderRuns(col, rgs).map(bucket.get -> _)
+            }
+            if (ordered.exists(_.isEmpty)) None
+            else Some(ordered.flatten.toMap)
+          }
+        }
+      case _ => None
+    }
+
+  /** One bucket's files ordered into provably disjoint sorted runs:
+    * strict `max(prev) < min(next)` on the first sort column (an equal
+    * boundary could interleave on the remaining sort columns), and
+    * nulls — which sort FIRST under the reported ascending order —
+    * only in the first run. */
+  private def orderRuns(col: String,
+      rgs: Seq[FooterCache.RowGroupMeta]): Option[Seq[String]] = {
+    val files = rgs.map(_.file).distinct
+    if (files.lengthCompare(1) <= 0) return Some(files)
+    final case class Run(file: String, min: Any, max: Any, nulls: Long)
+    def pick(vs: Seq[Any], wantMin: Boolean): Option[Any] = {
+      var acc = vs.head
+      var ok = true
+      vs.tail.foreach { x =>
+        if (ok) RowGroupPruning.statCmp(acc, x) match {
+          case Some(c) => if ((c <= 0) != wantMin) acc = x
+          case None => ok = false
+        }
+      }
+      if (ok) Some(acc) else None
+    }
+    val byFile = rgs.groupBy(_.file)
+    val runs = files.map { f =>
+      val bs = byFile(f).map(RowGroupPruning.boundsOf(_, col))
+      if (bs.exists(_.isEmpty)) None
+      else {
+        val flat = bs.flatten
+        for {
+          mn <- pick(flat.map(_._1), wantMin = true)
+          mx <- pick(flat.map(_._2), wantMin = false)
+        } yield Run(f, mn, mx, flat.map(_._3).sum)
+      }
+    }
+    if (runs.exists(_.isEmpty)) return None
+    val rs = runs.flatten
+    val sorted =
+      try rs.sortWith { (a, b) =>
+        RowGroupPruning.statCmp(a.min, b.min) match {
+          case Some(c) => c < 0
+          case None => throw SortAbort
+        }
+      } catch { case SortAbort => return None }
+    val disjoint = sorted.sliding(2).forall {
+      case Seq(a, b) =>
+        RowGroupPruning.statCmp(a.max, b.min).exists(_ < 0)
+      case _ => true
+    }
+    if (disjoint && sorted.drop(1).forall(_.nulls == 0L)) {
+      Some(sorted.map(_.file))
+    } else None
+  }
 
   private lazy val bucketOrdering: Array[
       org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     bucketGrouping match {
       case Some(b) if b.sortCols.nonEmpty && topNLimit < 0 &&
-          b.sortCols.forall(projectedSchema.fieldNames.contains) =>
-        val filesPerBucket = FooterCache.rowGroups(path).map(_.file)
-          .distinct.groupBy(f =>
-            graft.sources.BucketLayout.bucketIdOf(new Path(f).getName))
-        if (filesPerBucket.values.forall(_.size <= 1)) {
-          // sortWithinPartitions default: ascending, nulls first
-          b.sortCols.map(c =>
-            Expressions.sort(Expressions.column(c),
-              SortDirection.ASCENDING)).toArray
-        } else Array.empty
+          b.sortCols.forall(projectedSchema.fieldNames.contains) &&
+          sortedRunOrder.isDefined =>
+        // sortWithinPartitions default: ascending, nulls first
+        b.sortCols.map(c =>
+          Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING)).toArray
       case _ => Array.empty
     }
   }
@@ -1733,16 +1839,34 @@ object FooterCache {
     * footer min/max values are in THIS unit and must be normalized to
     * the micros the readers emit. */
   def tsUnit(path: String, colName: String): Option[TimeUnit] =
-    schemaOption(path).flatMap { s =>
-      if (!s.containsField(colName)) None
-      else s.getType(s.getFieldIndex(colName)) match {
-        case p if p.isPrimitive => p.getLogicalTypeAnnotation match {
-          case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit)
-          case _ => None
-        }
+    schemaOption(path).flatMap(unitOf(_, colName))
+
+  private def unitOf(s: MessageType, colName: String): Option[TimeUnit] =
+    if (!s.containsField(colName)) None
+    else s.getType(s.getFieldIndex(colName)) match {
+      case p if p.isPrimitive => p.getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit)
         case _ => None
       }
+      case _ => None
     }
+
+  /** PER-FILE parquet unit of a top-level timestamp column — footer
+    * stat values are in each file's OWN unit, so any cross-file stat
+    * arithmetic (the footer-agg fold, the sorted-run prover) must
+    * normalize per file, never by the first file's unit. */
+  def tsUnitByFile(path: String, colName: String): Map[String, TimeUnit] =
+    fileMetas(path).flatMap { fm =>
+      for {
+        u <- unitOf(fm.schema, colName)
+        g <- fm.groups.headOption
+      } yield g.file -> u
+    }.toMap
+
+  /** Distinct units the column uses across the directory (size > 1 =
+    * mixed: raw stat values are not mutually comparable). */
+  def tsUnits(path: String, colName: String): Set[TimeUnit] =
+    fileMetas(path).flatMap(fm => unitOf(fm.schema, colName)).toSet
 
   /** True when any column is a NANOS-unit parquet timestamp (no
     * vectorized mapping under this source's micros-converting schema). */
@@ -1799,6 +1923,31 @@ object RowGroupPruning {
       else Some((s.genericGetMin, s.genericGetMax, s.getNumNulls,
         rg.rowCount))
     }
+
+  /** Bounds accessor for the sorted-run prover. */
+  private[v2] def boundsOf(rg: FooterCache.RowGroupMeta, colName: String)
+      : Option[(Any, Any, Long, Long)] = bounds(rg, colName)
+
+  /** Compare two STAT values of the same column (both came from
+    * parquet footers, so same physical type). Binary stats compare in
+    * UTF-8 byte order — sound even when truncated, because parquet
+    * truncates min downward and max upward, preserving bound-ness. */
+  private[v2] def statCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    case (x: Number, y: Number) =>
+      val (xd, yd) = (x.doubleValue(), y.doubleValue())
+      if (xd.isNaN || yd.isNaN) Some(java.lang.Double.compare(xd, yd))
+      else Some(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)))
+    case (x: org.apache.parquet.io.api.Binary,
+          y: org.apache.parquet.io.api.Binary) =>
+      Some(UTF8String.fromBytes(x.getBytes)
+        .compareTo(UTF8String.fromBytes(y.getBytes)))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+      Some(x.compareTo(y))
+    case _ => None
+  }
 
   /** Dual of [[mayMatch]]: does the filter provably hold for EVERY row
     * of the group? Requires zero nulls on referenced columns (a null

@@ -365,6 +365,74 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("sorted multi-file buckets: disjoint appended runs keep the " +
+      "sort-free SMJ; overlapping runs decline") {
+    import graft.sources.GraftSink
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-spjm").toString
+    spark.conf.set("spark.sql.catalog.spjmcat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjmcat.warehouse", wh)
+    // two appends with DISJOINT key ranges: per bucket, two files whose
+    // [min,max] runs are provably non-overlapping from footer stats —
+    // the time-ordered-append shape
+    def batch(lo: Long, hi: Long, m: Long, name: String) =
+      spark.range(lo, hi).select($"id".as("k"), ($"id" * m).as(name))
+    GraftSink.saveBucketedFiles(batch(0, 5000, 3, "v"), s"$wh/t", 4,
+      Seq("k"), sortCols = Seq("k"), mode = SaveMode.Overwrite)
+    GraftSink.saveBucketedFiles(batch(5000, 10000, 3, "v"), s"$wh/t", 4,
+      Seq("k"), sortCols = Seq("k"), mode = SaveMode.Append)
+    GraftSink.saveBucketedFiles(batch(0, 5000, 7, "w"), s"$wh/u", 4,
+      Seq("k"), sortCols = Seq("k"), mode = SaveMode.Overwrite)
+    GraftSink.saveBucketedFiles(batch(5000, 10000, 7, "w"), s"$wh/u", 4,
+      Seq("k"), sortCols = Seq("k"), mode = SaveMode.Append)
+    val restore = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.join.preferSortMergeJoin")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+      }
+      val joined = spark.table("spjmcat.t")
+        .join(spark.table("spjmcat.u"), "k")
+      // SMJ over elided sorts silently corrupts if the concatenation
+      // were not really sorted — the row-level check is the real proof
+      assert(joined.count() == 10000)
+      assert(joined.filter($"v" === $"k" * 3 && $"w" === $"k" * 7)
+        .count() == 10000, "merge-ordered SMJ must pair every key")
+      val fp = finalPlan(joined)
+      assert(!fp.toString.contains("Exchange"), s"expected SPJ:\n$fp")
+      // "Sort [" matches SortExec's render, not "SortMergeJoin ["
+      assert(!fp.toString.contains("Sort ["),
+        s"disjoint runs must erase the SMJ sorts:\n$fp")
+      // OVERLAPPING third append -> the prover declines, sorts return,
+      // results stay correct
+      GraftSink.saveBucketedFiles(batch(2500, 7500, 3, "v"), s"$wh/t", 4,
+        Seq("k"), sortCols = Seq("k"), mode = SaveMode.Append)
+      val joined2 = spark.table("spjmcat.t")
+        .join(spark.table("spjmcat.u"), "k")
+      assert(joined2.count() == 15000)
+      val fp2 = finalPlan(joined2)
+      assert(fp2.toString.contains("Sort ["),
+        s"overlapping runs must NOT report ordering:\n$fp2")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SPJ composes with partially-clustered distribution under skew") {
     import graft.sources.GraftSink
     import org.apache.spark.sql.SaveMode

@@ -535,6 +535,29 @@ class SourceV2Spec extends SparkTestBase {
       .contains("PushedAggregates"))
     assert(agg.head.getTimestamp(0) ==
       java.sql.Timestamp.valueOf("2024-06-30 23:59:59"))
+    // MIXED units in one directory: a MICROS file whose instants are
+    // EARLIER than the MILLIS file's — a raw cross-file fold would pick
+    // the numerically smaller millis value and report the wrong MIN;
+    // per-file normalization must get both ends right
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      Seq("2020-03-01 00:00:00", "2020-09-01 12:00:00")
+        .map(java.sql.Timestamp.valueOf)
+        .toDF("ts").coalesce(1).write.mode("append").parquet(mdir)
+    } finally spark.conf.set(
+      "spark.sql.parquet.outputTimestampType", prevTs)
+    val magg = spark.read.format("graft-v2").option("path", mdir).load()
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    assert(magg.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val mrow = magg.head
+    assert(mrow.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2020-03-01 00:00:00"),
+      s"mixed-unit MIN must normalize per file, got ${mrow.getTimestamp(0)}")
+    assert(mrow.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-06-30 23:59:59"))
+
     // NaN: parquet-mr drops the double min/max stats -> must decline
     val ndir = java.nio.file.Files.createTempDirectory("graft-v2-nan")
       .resolve("t").toString
