@@ -194,6 +194,26 @@ private[graft] object PredicateFiles {
     !coalesce(filterToColumn(cond), lit(false))
   }
 
+  /** The distributed boundary rewrite both predicate overwrite and
+    * DELETE run: read the boundary files, keep the rows where `cond`
+    * is not definitely true, append them into `staging`, and return
+    * exactly the part files THIS job added (staging may already hold
+    * a concurrent write's staged output). */
+  def residueJob(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, cond: Filter,
+      rewrite: Seq[Path], staging: Path): Seq[Path] = {
+    val before =
+      if (!fs.exists(staging)) Set.empty[String]
+      else fs.listStatus(staging).map(_.getPath.getName).toSet
+    spark.read.parquet(rewrite.map(_.toString): _*)
+      .filter(residueCondition(cond))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(staging.toString)
+    fs.listStatus(staging).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        !before.contains(p.getName)).toSeq
+  }
+
   /** Parse a SQL predicate string (`"ts >= DATE '2024-01-01' AND v < 10"`)
     * into a source [[Filter]] — the ergonomic face of predicate
     * overwrite. Only the evaluable subset translates; anything else

@@ -91,7 +91,9 @@ object GraftDeleteV2 {
           if (flat) {
             rewritePerFile(spark, cond, schema, rewrite, staging, jobId)
           } else if (BucketLayout.read(fs, target).isEmpty) {
-            dataFrameResidue(spark, fs, cond, rewrite, staging)
+            // nested-schema fallback (unbucketed only): the same
+            // distributed DataFrame residue job REPLACE WHERE runs
+            PredicateFiles.residueJob(spark, fs, cond, rewrite, staging)
           } else {
             throw new UnsupportedOperationException(
               s"graft-v2 DELETE: the bucketed table at $path has " +
@@ -112,22 +114,22 @@ object GraftDeleteV2 {
     }
   }
 
-  /** Every data file the scan would read (all `*.parquet`, not just
-    * `part-*`) — a DELETE must cover exactly the visible row set. */
+  /** Every data file the scan would read (all top-level `*.parquet`,
+    * matching FooterCache's listing exactly — including dot-prefixed
+    * names) — a DELETE must cover exactly the visible row set. */
   private def listParts(fs: FileSystem, target: Path): Seq[Path] =
     fs.listStatus(target)
-      .filter(st => st.isFile &&
-        st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith("."))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).toSeq
 
+  /** (Re)writes the schema marker with the table's CURRENT schema —
+    * unconditionally, so a table whose schema evolved past its CREATE
+    * marker (footers won while data existed) keeps the evolved schema
+    * when a DELETE/TRUNCATE empties it. */
   private[v2] def ensureSchemaMarker(fs: FileSystem, target: Path,
       schema: StructType): Unit = {
-    val p = new Path(target, GraftCatalog.SchemaMarker)
-    if (!fs.exists(p)) {
-      val out = fs.create(p, true)
-      try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    }
+    val out = fs.create(new Path(target, GraftCatalog.SchemaMarker), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
   }
 
   /** One executor task per boundary file, no shuffle: stream row
@@ -172,7 +174,12 @@ object GraftDeleteV2 {
     * into `outFile`. Returns None (and writes nothing) when no row
     * survives. Evaluation is [[RowFilterEval]]'s three-valued compile:
     * a row is DELETED only when the predicate is definitely TRUE —
-    * UNKNOWN (null operand) rows survive, matching SQL DELETE. */
+    * UNKNOWN (null operand) rows survive, matching SQL DELETE.
+    *
+    * Rewritten files are emitted in the engine's canonical
+    * TIMESTAMP_MICROS (like every other graft write path): a NANOS
+    * source file's survivors normalize to micros — the same value
+    * every graft read already produced for them. */
   private def rewriteOne(conf: Configuration, inFile: String,
       outFile: String, internalCond: Filter): Option[String] = {
     val reader = ParquetFileReader.open(
@@ -235,17 +242,4 @@ object GraftDeleteV2 {
       .build()
   }
 
-  /** Nested-schema fallback (unbucketed only): the distributed
-    * DataFrame residue job REPLACE WHERE uses —
-    * [[GraftBatchWriteV2.commit]]'s rewrite branch without staged
-    * incoming data. */
-  private def dataFrameResidue(spark: SparkSession, fs: FileSystem,
-      cond: Filter, rewrite: Seq[Path], staging: Path): Seq[Path] = {
-    spark.read.parquet(rewrite.map(_.toString): _*)
-      .filter(PredicateFiles.residueCondition(cond))
-      .write.mode(SaveMode.Append)
-      .parquet(staging.toString)
-    fs.listStatus(staging).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).toSeq
-  }
 }

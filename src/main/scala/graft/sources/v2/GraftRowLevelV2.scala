@@ -181,19 +181,12 @@ case class GraftCowWrite(op: GraftRowLevelOperation, schema: StructType)
 
   override def toBatch: BatchWrite = new GraftCowBatchWrite(op, schema)
 
-  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-  override def requiredDistribution(): Distribution = op.bucketSpec match {
-    case Some(b) => Distributions.clustered(
-      Array(Expressions.bucket(b.numBuckets, b.bucketCols: _*)))
-    case None => Distributions.unspecified()
-  }
-  override def requiredOrdering(): Array[SortOrder] = op.bucketSpec match {
-    case Some(b) => b.sortCols.map(c =>
-      Expressions.sort(Expressions.column(c),
-        SortDirection.ASCENDING)).toArray
-    case None => Array.empty
-  }
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    BucketWriteContract.distribution(op.bucketSpec)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    BucketWriteContract.ordering(op.bucketSpec)
 }
 
 class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)

@@ -113,24 +113,44 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     * `OptimizeMetadataOnlyDeleteFromTable`. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (tableSchema.fieldNames.contains(GraftFileColumn.Name)) {
+      // the operation's scan/write handshake rides the _file metadata
+      // column, which a same-named data column shadows — fail at
+      // analysis with a clear message rather than mis-binding
+      throw new UnsupportedOperationException(
+        s"graft-v2: row-level operations (UPDATE/MERGE/DELETE rewrite) " +
+        s"need the ${GraftFileColumn.Name} metadata column, which a " +
+        s"data column of the same name shadows in $path — rename it")
+    }
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
         GraftRowLevelOperation(path, tableSchema, bucketSpec,
           info.command())
     }
+  }
 
   /** SQL `DELETE FROM` (and, via the interface's default wiring,
     * `TRUNCATE TABLE`): footer-stats file classification + bucket-
     * preserving boundary rewrite — see [[GraftDeleteV2]]. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    // a bucketed table with nested columns cannot take this path's
+    // boundary rewrite (the flat per-file rewriter cannot copy nested
+    // values; the DataFrame fallback would break the layout) — decline
+    // so Spark routes the DELETE through the copy-on-write row-level
+    // path, which handles both
+    if (bucketSpec.isDefined && tableSchema.fields.exists(f =>
+        ParquetMeta.isNested(f.dataType))) {
+      return false
+    }
     filters.forall {
       case _: org.apache.spark.sql.sources.AlwaysTrue |
            _: org.apache.spark.sql.sources.AlwaysFalse => true
       case f => graft.sources.PredicateFiles
         .supportsOverwrite(f, tableSchema)
     }
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And}
@@ -387,15 +407,10 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
       if (vals.isEmpty) Some(null)
       else {
         Some(vals.reduce { (a, b) =>
-          val c = (a, b) match {
-            case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
-            case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
-            case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
-            case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
-            case (x: java.lang.Boolean, y: java.lang.Boolean) => java.lang.Boolean.compare(x, y)
-            case _ => return None
+          RowGroupPruning.statCmp(a, b) match {
+            case Some(c) => if ((c <= 0) == wantMin) a else b
+            case None => return None
           }
-          if ((c <= 0) == wantMin) a else b
         })
       }
     }
@@ -906,15 +921,28 @@ case class FileAppendReaderFactory(inner: PartitionReaderFactory)
     val base = inner.createColumnarReader(partition)
     val file = UTF8String.fromString(fileOf(partition))
     new PartitionReader[ColumnarBatch] {
+      // the vectorized reader reuses its batch object, so the wrapper
+      // is allocated once and only re-built if the inner identity
+      // changes — zero per-batch garbage on the hot path
+      private var const: ConstantColumnVector = _
+      private var lastInner: ColumnarBatch = _
+      private var wrapped: ColumnarBatch = _
       override def next(): Boolean = base.next()
       override def get(): ColumnarBatch = {
         val b = base.get()
-        val const = new ConstantColumnVector(math.max(b.numRows, 1),
-          StringType)
-        const.setUtf8String(file)
-        val cols = Array.tabulate[ColumnVector](b.numCols + 1)(i =>
-          if (i < b.numCols) b.column(i) else const)
-        new ColumnarBatch(cols, b.numRows)
+        if ((b ne lastInner) || wrapped == null) {
+          if (const == null) {
+            const = new ConstantColumnVector(math.max(b.numRows, 1),
+              StringType)
+            const.setUtf8String(file)
+          }
+          val cols = Array.tabulate[ColumnVector](b.numCols + 1)(i =>
+            if (i < b.numCols) b.column(i) else const)
+          wrapped = new ColumnarBatch(cols, b.numRows)
+          lastInner = b
+        }
+        wrapped.setNumRows(b.numRows)
+        wrapped
       }
       override def close(): Unit = base.close()
     }

@@ -124,21 +124,36 @@ case class GraftWriteV2(path: String, schema: StructType,
     new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
       bucketSpec)
 
-  /** A bucketed write asks Spark to cluster incoming rows by the
-    * bucket transform (each bucket id lands in exactly one task, so a
-    * task opens few per-bucket writers) and to sort them by the
-    * layout's sort columns — a per-bucket file receives a subsequence
-    * of a sorted task stream, which is itself sorted, preserving the
-    * single-file-per-bucket ordering contract reads report. An
-    * unbucketed write requires nothing. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    BucketWriteContract.distribution(bucketSpec)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    BucketWriteContract.ordering(bucketSpec)
+}
+
+/** A bucketed write asks Spark to cluster incoming rows by the bucket
+  * transform (each bucket id lands in exactly one task, so a task
+  * opens few per-bucket writers) and to sort them by the layout's
+  * sort columns — a per-bucket file receives a subsequence of a
+  * sorted task stream, which is itself sorted, preserving the
+  * ordering contract reads report. An unbucketed write requires
+  * nothing. ONE definition, shared by INSERT ([[GraftWriteV2]]) and
+  * the row-level write-back ([[GraftCowWrite]]), so the layout
+  * contract cannot diverge between the two paths. */
+private[v2] object BucketWriteContract {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
-  override def requiredDistribution(): Distribution = bucketSpec match {
-    case Some(b) => Distributions.clustered(
-      Array(Expressions.bucket(b.numBuckets, b.bucketCols: _*)))
-    case None => Distributions.unspecified()
-  }
-  override def requiredOrdering(): Array[SortOrder] = bucketSpec match {
+
+  def distribution(spec: Option[graft.sources.BucketLayout]): Distribution =
+    spec match {
+      case Some(b) => Distributions.clustered(
+        Array(Expressions.bucket(b.numBuckets, b.bucketCols: _*)))
+      case None => Distributions.unspecified()
+    }
+
+  def ordering(spec: Option[graft.sources.BucketLayout])
+      : Array[SortOrder] = spec match {
     case Some(b) => b.sortCols.map(c =>
       Expressions.sort(Expressions.column(c),
         SortDirection.ASCENDING)).toArray
@@ -277,18 +292,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
           graft.sources.PredicateFiles.classify(cond, targetParts())
         val residue: Seq[Path] =
           if (rewrite.isEmpty) Seq.empty
-          else {
-            val before = fs.listStatus(staging)
-              .map(_.getPath.getName).toSet
-            SparkSession.active.read
-              .parquet(rewrite.map(_.toString): _*)
-              .filter(graft.sources.PredicateFiles.residueCondition(cond))
-              .write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(staging.toString)
-            fs.listStatus(staging).map(_.getPath)
-              .filter(p => p.getName.startsWith("part-") &&
-                !before.contains(p.getName)).toSeq
-          }
+          else graft.sources.PredicateFiles.residueJob(
+            SparkSession.active, fs, cond, rewrite, staging)
         parkAndSwap(deleteWhole ++ rewrite,
           committed.map(new Path(_)).toSeq ++ residue)
       case _ => renameIn()

@@ -200,7 +200,10 @@ class CatalogSpec extends SparkTestBase {
     // outside the range keep their identical names (never opened)
     spark.sql("DELETE FROM graft.del.t WHERE id >= 1500")
     val after = parts()
-    assert((before & after).size >= 2,
+    // at least the [0,1000) insert's files provably precede the range
+    // and must keep their identical names (file count per insert
+    // depends on the core count, so assert existence, not a number)
+    assert((before & after).nonEmpty,
       s"kept files must not be touched: $before vs $after")
     assert(spark.table("graft.del.t").count() == 1500)
     assert(spark.sql("SELECT max(id) FROM graft.del.t").head.getLong(0)
@@ -375,6 +378,46 @@ class CatalogSpec extends SparkTestBase {
         |WHEN MATCHED THEN DELETE
         |""".stripMargin)
     assert(spark.table("graft.mg.t").count() == 110)
+  }
+
+  test("DELETE on a bucketed nested-column table routes to copy-on-write") {
+    import graft.sources.BucketLayout
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.bn (id BIGINT, tags ARRAY<BIGINT>) " +
+      "CLUSTERED BY (id) INTO 2 BUCKETS")
+    spark.sql("INSERT INTO graft.del.bn " +
+      "SELECT id, array(id, id * 2) FROM range(0, 1000)")
+    // the metadata path must DECLINE (flat rewriter can't copy nested,
+    // DataFrame fallback would break the layout) and the group-based
+    // copy-on-write path must run instead, preserving both
+    spark.sql("DELETE FROM graft.del.bn WHERE id >= 600")
+    val t = spark.table("graft.del.bn")
+    assert(t.count() == 600)
+    assert(t.selectExpr("sum(tags[1])").head.getLong(0) ==
+      (0L until 600L).map(_ * 2).sum)
+    val dir = new java.io.File(s"$warehouse/del/bn")
+    dir.listFiles().map(_.getName).filter(_.startsWith("part-"))
+      .foreach { f =>
+        assert(BucketLayout.bucketIdOf(f).exists(_ < 2),
+          s"copy-on-write delete lost the bucket suffix on $f")
+      }
+    assert(new java.io.File(dir, BucketLayout.MarkerName).exists())
+  }
+
+  test("row-level ops reject a table whose data shadows _file") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
+    spark.sql("CREATE TABLE graft.del.sf (id BIGINT, _file STRING)")
+    spark.sql("INSERT INTO graft.del.sf SELECT id, 'x' FROM range(0, 5)")
+    // reads resolve _file to the DATA column (metadata col shadowed)
+    assert(spark.sql("SELECT _file FROM graft.del.sf").head.getString(0)
+      == "x")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.del.sf SET _file = 'y' WHERE id = 0")
+    }
+    assert(e.getMessage.contains("shadow"), e.getMessage)
+    assert(spark.table("graft.del.sf").count() == 5)
   }
 
   test("_file metadata column serves provenance in both read modes") {
