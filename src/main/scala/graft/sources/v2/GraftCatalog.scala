@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Directory-backed `TableCatalog` over graft-v2 tables: a table named
@@ -87,9 +87,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
-    val schema = FooterCache.schemaOption(dir.toString)
-      .map(ParquetMeta.toStruct)
-      .orElse(readMarker(dir))
+    val schema = resolveSchema(dir)
       .getOrElse(throw new NoSuchTableException(ident))
     // a directory laid out by GraftSink.saveBucketedFiles carries its
     // BucketLayout marker; surfacing it here is what turns catalog
@@ -143,10 +141,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec)
   }
 
+  /** Footers win for the columns they have; marker fields the (first
+    * file's) footers lack are appended as nullable — that is what
+    * makes `ALTER TABLE ADD COLUMNS` metadata-only: the marker carries
+    * the evolved schema, old files simply read NULL for the new
+    * columns, and no data is rewritten. */
+  private def resolveSchema(dir: Path): Option[StructType] = {
+    val footer = FooterCache.schemaOption(dir.toString)
+      .map(ParquetMeta.toStruct)
+    val marker = readMarker(dir)
+    (footer, marker) match {
+      case (Some(f), Some(m)) =>
+        val extra = m.fields
+          .filter(mf => !f.fieldNames.contains(mf.name))
+          .map(_.copy(nullable = true))
+        Some(StructType(f.fields ++ extra))
+      case (f, m) => f.orElse(m)
+    }
+  }
+
+  /** `ALTER TABLE ADD COLUMNS` — metadata-only schema evolution: the
+    * evolved schema is recorded in the marker; existing files are
+    * untouched and read NULL for the new columns. Columns must be
+    * top-level, nullable, defaultless, and appended (no position) —
+    * anything else would need a data rewrite this catalog refuses to
+    * do implicitly. Other ALTERs (drop/rename/retype) are rejected. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported (schema is the data)")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val current = resolveSchema(dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val evolved = changes.foldLeft(current) {
+      case (sch, add: TableChange.AddColumn) =>
+        def fail(why: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"graft catalog: ADD COLUMN ${add.fieldNames.mkString(".")} " +
+            s"— $why")
+        if (add.fieldNames.length != 1) fail("must be top-level")
+        val name = add.fieldNames()(0)
+        if (sch.fieldNames.exists(_.equalsIgnoreCase(name))) {
+          fail("already exists")
+        }
+        if (!add.isNullable) {
+          fail("must be nullable (existing rows read NULL)")
+        }
+        if (add.position() != null) {
+          fail("position is not supported (columns append)")
+        }
+        if (add.defaultValue() != null) {
+          fail("DEFAULT is not supported (existing rows read NULL)")
+        }
+        val f = StructField(name, add.dataType, nullable = true)
+        sch.add(Option(add.comment()).map(f.withComment).getOrElse(f))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other — " +
+          "only ADD COLUMNS is metadata-only on immutable files")
+    }
+    val out = fs.create(new Path(dir, SchemaMarker), true)
+    try out.write(evolved.toDDL.getBytes("UTF-8")) finally out.close()
+    GraftTableV2(dir.toString, evolved,
+      bucketSpec = graft.sources.BucketLayout.read(fs, dir))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

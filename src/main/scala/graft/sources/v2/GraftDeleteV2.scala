@@ -188,7 +188,24 @@ object GraftDeleteV2 {
     try {
       val fileSchema = reader.getFileMetaData.getSchema
       val struct = ParquetMeta.toStruct(fileSchema)
-      val matches = RowFilterEval.compile(Array(internalCond), struct)
+      // schema evolution: the predicate may reference columns this
+      // (older) file lacks — evaluate over a padded row, so they read
+      // NULL -> UNKNOWN -> the row survives, same as a live query
+      val missing = internalCond.references.distinct
+        .filterNot(struct.fieldNames.contains)
+      val evalSchema = org.apache.spark.sql.types.StructType(
+        struct.fields ++ missing.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType)))
+      val compiled = RowFilterEval.compile(Array(internalCond), evalSchema)
+      val matches: InternalRow => Boolean =
+        if (missing.isEmpty) compiled
+        else {
+          val nulls = new GenericInternalRow(missing.length)
+          val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          r => compiled(joined(r, nulls))
+        }
       val converters = struct.fields.zipWithIndex.map { case (f, i) =>
         ParquetMeta.converter(fileSchema.getType(i), f.dataType)
       }

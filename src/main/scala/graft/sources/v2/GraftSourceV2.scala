@@ -1528,9 +1528,29 @@ class GraftRowGroupReader(part: GraftInputPartition,
     (filters.flatMap(_.references) ++ topN.map(_._1))
       .distinct.filterNot(readSchema.fieldNames.contains)
   private val extNames: Array[String] = readSchema.fieldNames ++ extraCols
+  // schema evolution: a file older than an ADD COLUMN lacks the new
+  // field — project only what the file has, read NULL for the rest
+  // (SQL semantics: the filter sees UNKNOWN, the row sees null)
+  private val present: Array[String] =
+    extNames.filter(fileSchema.containsField)
   private val requested: MessageType = ParquetMeta.project(
-    fileSchema, extNames)
-  private val extSchema: StructType = ParquetMeta.toStruct(requested)
+    fileSchema, present)
+  private val presentStruct: StructType = ParquetMeta.toStruct(requested)
+  private val extSchema: StructType = StructType(extNames.map { n =>
+    if (fileSchema.containsField(n)) {
+      presentStruct(presentStruct.fieldIndex(n))
+    } else {
+      readSchema.fieldNames.indexOf(n) match {
+        case i if i >= 0 => readSchema(i).copy(nullable = true)
+        // filter-only column absent from file AND projection: never
+        // materialized non-null, the type is only a placeholder
+        case _ => StructField(n, StringType)
+      }
+    }
+  })
+  // ext position -> position in the file's materialized group (-1 = null)
+  private val presentIdx: Array[Int] =
+    extNames.map(n => present.indexOf(n))
   reader.setRequestedSchema(requested)
 
   private val pages = reader.readNextRowGroup()
@@ -1539,7 +1559,7 @@ class GraftRowGroupReader(part: GraftInputPartition,
     else new ColumnIOFactory().getColumnIO(requested)
       .getRecordReader(pages, new GroupRecordConverter(requested))
   private val totalRows: Long = if (pages == null) 0L else pages.getRowCount
-  private val converters = extSchema.fields.zipWithIndex.map {
+  private val converters = presentStruct.fields.zipWithIndex.map {
     case (f, i) => ParquetMeta.converter(requested.getType(i), f.dataType)
   }
   private val predicate = RowFilterEval.compile(filters, extSchema)
@@ -1556,9 +1576,10 @@ class GraftRowGroupReader(part: GraftInputPartition,
       val ext = new GenericInternalRow(extSchema.length)
       var i = 0
       while (i < extSchema.length) {
+        val p = presentIdx(i)
         ext.update(i,
-          if (g.getFieldRepetitionCount(i) == 0) null
-          else converters(i)(g, i))
+          if (p < 0 || g.getFieldRepetitionCount(p) == 0) null
+          else converters(p)(g, p))
         i += 1
       }
       ext

@@ -92,9 +92,13 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
       FooterCache.schemaOption(path).foreach { msgType =>
         val existing = ParquetMeta.toStruct(msgType)
         val incoming = info.schema()
-        val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
-          incoming.fields.map(f => (f.name, f.dataType)).toSeq
-        if (!same) {
+        // every existing column must arrive with its type; EXTRA
+        // incoming columns are schema evolution (ALTER ADD COLUMNS):
+        // older files read NULL for them, readers project by name
+        val incomingF = incoming.fields.map(f => (f.name, f.dataType)).toSet
+        val ok = existing.fields.forall(f =>
+          incomingF.contains((f.name, f.dataType)))
+        if (!ok) {
           throw new IllegalArgumentException(
             s"graft-v2 append schema mismatch: table has " +
             s"${existing.catalogString}, write has ${incoming.catalogString}")

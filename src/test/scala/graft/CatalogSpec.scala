@@ -449,6 +449,52 @@ class CatalogSpec extends SparkTestBase {
     assert(!spark.table("graft.mc.t").schema.fieldNames.contains("_file"))
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only schema evolution") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.ev.t SELECT id FROM range(0, 100)")
+    val dir = new java.io.File(s"$warehouse/ev/t")
+    val filesBefore = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    spark.sql("ALTER TABLE graft.ev.t ADD COLUMNS (score DOUBLE)")
+    // metadata-only: no data file was touched
+    assert(dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet == filesBefore)
+    // old rows read NULL for the new column (both read modes)
+    assert(spark.table("graft.ev.t").schema.fieldNames.toSeq ==
+      Seq("id", "score"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.ev.t WHERE score IS NULL")
+      .head.getLong(0) == 100)
+    val rowMode = spark.read.format("graft-v2")
+      .option("path", dir.toString).option("vectorized", "false")
+      .schema("id BIGINT, score DOUBLE").load()
+    assert(rowMode.filter(col("score").isNull).count() == 100)
+    // new inserts carry the column; mixed files read consistently
+    spark.sql("INSERT INTO graft.ev.t " +
+      "SELECT id, id / 10.0 FROM range(100, 150)")
+    val t = spark.table("graft.ev.t")
+    assert(t.count() == 150)
+    assert(t.filter(col("score").isNotNull).count() == 50)
+    // filter on the evolved column across mixed files
+    assert(t.filter(col("score") > 12.0).count() ==
+      (121 to 149).length)
+    // DELETE with a predicate on the evolved column: NULL (old) rows
+    // are UNKNOWN and must survive
+    spark.sql("DELETE FROM graft.ev.t WHERE score <= 12.0")
+    val t2 = spark.table("graft.ev.t")
+    assert(t2.count() == 100 + 29, s"got ${t2.count()}")
+    assert(t2.filter(col("score").isNull).count() == 100)
+    // rejected evolutions stay rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ev.t DROP COLUMN score")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ev.t ADD COLUMNS (id STRING)")
+    }
+  }
+
   test("predicate overwrite rejects unsupported predicates up front") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bad")
