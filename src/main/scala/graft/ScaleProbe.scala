@@ -100,6 +100,36 @@ object ScaleProbe {
     println(f"""{"q":"bucketed_spj_join","t1":$b1%.2f,"t$factor":$bN%.2f,""" +
       f""""ratio":${bN / math.max(b1, 0.001)}%.2f,""" +
       f""""shuffle_free":${free1 && freeN}}""")
+
+    // stats-aligned DELETE probe: range-clustered appends make the
+    // predicate decidable from footer stats alone, so the delete is
+    // metadata-only (file renames) — its cost tracks the FILE count,
+    // not the row count. Ratio ~1 across the Nx data inflation is the
+    // 100 TB claim: retention deletes don't read the table.
+    def deleteProbe(dir: String, label: String): (Double, Long) = {
+      val wh = Files.createTempDirectory("graft-scale-del").toString
+      spark.conf.set(s"spark.sql.catalog.del$label",
+        "graft.sources.v2.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.del$label.warehouse", wh)
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val span = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      (0 until 8).foreach { i =>
+        li.filter(col("l_orderkey") >= i * span / 8 &&
+            col("l_orderkey") < (i + 1) * span / 8)
+          .coalesce(4).write.format("graft-v2")
+          .option("path", s"$wh/li").mode("append").save()
+      }
+      val t0 = System.nanoTime()
+      spark.sql(s"DELETE FROM del$label.li WHERE l_orderkey >= ${span / 2}")
+      ((System.nanoTime() - t0) / 1e9,
+        spark.table(s"del$label.li").count())
+    }
+    val (d1, rows1) = deleteProbe(base, "a")
+    val (dN, rowsN) = deleteProbe(scaled, "b")
+    println(f"""{"q":"stats_aligned_delete","t1":$d1%.2f,""" +
+      f""""t$factor":$dN%.2f,"ratio":${dN / math.max(d1, 0.001)}%.2f,""" +
+      f""""survivors_1x":$rows1,"survivors_${factor}x":$rowsN}""")
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

@@ -618,6 +618,21 @@ object SparkEntry {
       s"FROM $cat.orders ORDER BY o_orderkey")
   }
 
+  /** Batch face of the stream-stream interval join (same helper the
+    * streaming attribution path uses): each click pairs with the same
+    * user's views in the preceding 5 minutes. */
+  private val qIntervalJoin: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("imp_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    streaming.StreamOps.intervalJoin(imps, "imp_ts", clicks, "click_ts",
+      key = "user_id", maxDelay = "5 minutes")
+      .select(col("user_id"), col("imp_ts"), col("click_ts"))
+      .orderBy(col("user_id"), col("imp_ts"), col("click_ts"))
+  }
+
   // ===== registry =====
 
   def queries: Map[String, Q] = Map(
@@ -683,6 +698,7 @@ object SparkEntry {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_delete_from" -> qDeleteFrom,
+    "q_interval_join" -> qIntervalJoin,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -1103,6 +1119,12 @@ object SparkEntry {
         |WHERE NOT coalesce(o_orderstatus = 'O' OR o_totalprice < 50000,
         |  false)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_interval_join" ->
+      """SELECT i.user_id AS user_id, i.ts AS imp_ts, c.ts AS click_ts
+        |FROM events i JOIN events c ON i.user_id = c.user_id
+        |WHERE i.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 5 MINUTE
+        |ORDER BY user_id, imp_ts, click_ts""".stripMargin,
   ) ++ ivfOracle
 }
 

@@ -54,6 +54,30 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
 
+  /** Stream-stream INNER interval join (the ad-attribution /
+    * cause-effect shape): each right-side event pairs with the
+    * left-side events of the same `key` whose timestamp precedes it
+    * by at most `maxDelay`. BOTH sides carry watermarks and the join
+    * condition bounds event time in BOTH directions — that is what
+    * lets Spark's symmetric hash join EVICT state: a buffered left
+    * row dies once the right watermark passes `ts + maxDelay`.
+    * Without the time bound the buffered state grows with the stream,
+    * which at production rates is the difference between a join and
+    * an OOM. Sides must not share payload column names (the key and
+    * timestamps are qualified here; anything else would collide). */
+  def intervalJoin(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String, key: String,
+      maxDelay: String, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermark).alias("l")
+    val r = right.withWatermark(rightTsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
+        col(s"r.$rightTsCol") <=
+          col(s"l.$leftTsCol") + expr(s"INTERVAL $maxDelay"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Stateful exact dedup by event_id within the watermark horizon. */
   def dedupWithinWatermark(stream: DataFrame, watermark: String): DataFrame =
     stream

