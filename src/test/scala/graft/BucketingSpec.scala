@@ -433,6 +433,60 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("compact restores the sorted-run contract after overlapping appends") {
+    import graft.sources.{BucketLayout, GraftSink}
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-spjc").toString
+    spark.conf.set("spark.sql.catalog.spjccat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjccat.warehouse", wh)
+    def batch(lo: Long, hi: Long, step: Long, name: String) =
+      spark.range(lo, hi, step).select($"id".as("k"),
+        ($"id" * 3).as(name))
+    // interleaved ranges: runs overlap, the prover must decline
+    GraftSink.saveBucketedFiles(batch(0, 4000, 2, "v"), s"$wh/t", 4,
+      Seq("k"), sortCols = Seq("k"), mode = SaveMode.Overwrite)
+    GraftSink.saveBucketedFiles(batch(1, 4000, 2, "v"), s"$wh/t", 4,
+      Seq("k"), sortCols = Seq("k"), mode = SaveMode.Append)
+    GraftSink.saveBucketedFiles(batch(0, 4000, 1, "w"), s"$wh/u", 4,
+      Seq("k"), sortCols = Seq("k"), mode = SaveMode.Overwrite)
+    val restore = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.join.preferSortMergeJoin")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      def planOf() = {
+        val j = spark.table("spjccat.t")
+          .join(spark.table("spjccat.u"), "k")
+        assert(j.count() == 4000)
+        j.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+          case p => p.toString
+        }
+      }
+      assert(planOf().contains("Sort ["),
+        "overlapping appends must pay the SMJ sort")
+      // compaction merges per bucket AND sortWithinPartitions — the
+      // single sorted file per bucket is trivially a disjoint run
+      val (smallBefore, after) =
+        GraftSink.compact(spark, s"$wh/t")
+      assert(after < smallBefore, s"$smallBefore -> $after")
+      val p2 = planOf()
+      assert(!p2.contains("Sort ["),
+        s"compaction must restore the sort-free SMJ:\n$p2")
+      assert(!p2.contains("Exchange"), s"SPJ must hold:\n$p2")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SPJ composes with partially-clustered distribution under skew") {
     import graft.sources.GraftSink
     import org.apache.spark.sql.SaveMode
