@@ -83,6 +83,23 @@ object VerifyDrive {
     println("BUCKETED point-prune -> " + spark.sql(
       "SELECT count(*) FROM graft.d.f WHERE id = 4242").head.getLong(0) +
       " row(s) (expect 1)")
+    // user flow: the SQL DML surface end-to-end on the catalog table
+    spark.sql("DELETE FROM graft.d.t WHERE id < 10")
+    spark.sql("UPDATE graft.d.t SET v = 0 WHERE id >= 80")
+    spark.sql(
+      """MERGE INTO graft.d.t t
+        |USING (SELECT id, id * 7 AS nv FROM range(50, 110)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+        |""".stripMargin)
+    spark.sql("ALTER TABLE graft.d.t ADD COLUMNS (score DOUBLE)")
+    val dml = spark.table("graft.d.t")
+    println("DML delete+update+merge+evolve -> " + dml.count() +
+      " rows (expect 100), merged v=7id rows: " +
+      dml.filter(col("v") === col("id") * 7).count() +
+      " (expect 60), score all NULL: " +
+      dml.filter(col("score").isNull).count() + " (expect 100)")
     spark.stop()
   }
 }
