@@ -633,6 +633,55 @@ object SparkEntry {
       .orderBy(col("user_id"), col("imp_ts"), col("click_ts"))
   }
 
+  /** Scratch-table helper for the DML queries: copies a 3-column
+    * `orders` projection into a fresh graft catalog table and returns
+    * the catalog-qualified name. Invocation-unique catalog names
+    * because Spark caches catalog instances (and their warehouse). */
+  private def scratchOrders(s: SparkSession, dir: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dmlq")
+      .toString
+    val cat = "graft_dml_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("graft-v2").option("path", s"$wh/orders")
+      .mode("append").save()
+    s"$cat.orders"
+  }
+
+  /** SQL `UPDATE` end-to-end (copy-on-write rewrite of the affected
+    * files, runtime-group-filtered): doubles the price of finalized
+    * orders, returns the whole table. The oracle is the equivalent
+    * CASE projection over the source. */
+  private val qUpdate: Q = (s, dir) => {
+    val tbl = scratchOrders(s, dir)
+    s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice * 2 " +
+      "WHERE o_orderstatus = 'F'")
+    s.sql(s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl " +
+      "ORDER BY o_orderkey")
+  }
+
+  /** SQL `MERGE INTO` end-to-end: a doubled-key source updates the
+    * matched half and inserts the rest — the canonical upsert. The
+    * oracle replays both branches with joins. */
+  private val qMergeUpsert: Q = (s, dir) => {
+    val tbl = scratchOrders(s, dir)
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT o_orderkey * 2 AS k FROM $tbl
+         |       WHERE o_orderkey <= 3000) s
+         |ON t.o_orderkey = s.k
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = -1.0
+         |WHEN NOT MATCHED THEN
+         |  INSERT (o_orderkey, o_totalprice, o_orderstatus)
+         |  VALUES (s.k, 1.0, 'N')
+         |""".stripMargin)
+    s.sql(s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl " +
+      "ORDER BY o_orderkey")
+  }
+
   // ===== registry =====
 
   def queries: Map[String, Q] = Map(
@@ -699,6 +748,8 @@ object SparkEntry {
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_delete_from" -> qDeleteFrom,
     "q_interval_join" -> qIntervalJoin,
+    "q_update" -> qUpdate,
+    "q_merge_upsert" -> qMergeUpsert,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -1125,6 +1176,26 @@ object SparkEntry {
         |WHERE i.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 5 MINUTE
         |ORDER BY user_id, imp_ts, click_ts""".stripMargin,
+    "q_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH src AS (SELECT o_orderkey * 2 AS k FROM orders
+        |             WHERE o_orderkey <= 3000)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey IN (SELECT k FROM src) THEN -1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT s.k AS o_orderkey, 1.0 AS o_totalprice,
+        |  'N' AS o_orderstatus
+        |FROM src s
+        |WHERE s.k NOT IN (SELECT o_orderkey FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
   ) ++ ivfOracle
 }
 
