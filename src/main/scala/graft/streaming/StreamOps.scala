@@ -67,16 +67,28 @@ object StreamOps {
     * timestamps are qualified here; anything else would collide). */
   def intervalJoin(left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String, key: String,
-      maxDelay: String, watermark: String = "10 minutes"): DataFrame = {
+      maxDelay: String, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermark).alias("l")
     val r = right.withWatermark(rightTsCol, watermark).alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") &&
         col(s"r.$rightTsCol") <=
-          col(s"l.$leftTsCol") + expr(s"INTERVAL $maxDelay"))
+          col(s"l.$leftTsCol") + expr(s"INTERVAL $maxDelay"),
+      joinType)
       .drop(col(s"r.$key"))
   }
+
+  /** Outer variant: left rows with no in-window match EMIT (right side
+    * null) once the watermark proves no match can still arrive — the
+    * "un-attributed impressions" feed. Same bounded state as the inner
+    * join; the time bound is what makes the outer row decidable. */
+  def intervalJoinLeftOuter(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String, key: String,
+      maxDelay: String, watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(left, leftTsCol, right, rightTsCol, key, maxDelay,
+      watermark, joinType = "left_outer")
 
   /** Stateful exact dedup by event_id within the watermark horizon. */
   def dedupWithinWatermark(stream: DataFrame, watermark: String): DataFrame =

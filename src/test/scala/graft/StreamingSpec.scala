@@ -402,6 +402,32 @@ class StreamingSpec extends SparkTestBase {
     assert(b.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("left-outer interval join emits unmatched rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoinLeftOuter(
+      imps.toDF().toDF("ad", "imp_ts"), "imp_ts",
+      clicks.toDF().toDF("ad", "click_ts"), "click_ts",
+      key = "ad", maxDelay = "5 minutes", watermark = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjo").start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(1)))
+      clicks.addData((1L, ts(3)))   // ad 1 attributed; ad 2 never clicked
+      q.processAllAvailable()
+      imps.addData((99L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      clicks.addData((98L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssjo")
+        .filter(col("ad") < 90)
+        .select(col("ad"), col("click_ts")).collect()
+        .map(r => (r.getLong(0), r.isNullAt(1))).sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, false), (2L, true)),
+        s"ad 2 must emit un-attributed: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("batch session windows match the streaming gap semantics") {
     val events = Seq(
       E(1, ts(0), 7, "a", 1.0), E(2, ts(2), 7, "a", 1.0),
