@@ -340,6 +340,25 @@ object SparkEntry {
         col("rnk"), col("drnk"))
   }
 
+  /** Ranking at a key cardinality that SURVIVES 100× scale:
+    * `l_suppkey` partitions grow in COUNT with the data (thousands at
+    * sf1, millions at warehouse scale) while each partition stays
+    * small — so the window sort is per-small-group and the single hash
+    * exchange spreads evenly over executors. Contrast `q_window_rank`
+    * (3-key `l_returnflag` demo): correct, but one-third of the table
+    * per window task at any scale. Top-3-per-supplier is also the
+    * realistic downstream shape (per-entity leaders). */
+  private val qWindowRankHk: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
   private val qWindowLag: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -581,13 +600,16 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
-  /** Stubbed decode + frame sampling (rows-only; plumbing in tests). */
+  /** REAL media decode: the corpus wrapped as spec-conformant binary
+    * PPM (P6) images, decoded back by an actual netpbm parser
+    * ([[Multimodal.decodePpm]]) — dimensions, maxval, pixel byte count
+    * and a pixel checksum, all hash-checked against a DuckDB oracle
+    * that rebuilds the identical bytes. */
   private val qMultimodalDecode: Q = (s, dir) => {
-    val media = Multimodal.asMedia(t(s, dir, "documents"))
-    Multimodal.decodeFeatures(media)
+    val media = Multimodal.asPpm(t(s, dir, "documents"))
+    Multimodal.decodePpm(media)
       .select(col("media_id"), col("width"), col("height"),
-        round(aggregate(col("features"), lit(0.0),
-          (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+        col("maxval"), col("pix_bytes"), col("pixel_md5"))
       .orderBy(col("media_id"))
   }
 
@@ -714,6 +736,7 @@ object SparkEntry {
     "q_pivot" -> qPivot,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_window_rank" -> qWindowRank,
+    "q_window_rank_hk" -> qWindowRankHk,
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
     "q_union" -> qUnion,
@@ -998,6 +1021,14 @@ object SparkEntry {
         |CAST(dense_rank() OVER (PARTITION BY l_returnflag
         |  ORDER BY l_quantity DESC) AS INTEGER) AS drnk
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, rn, rnk, drnk""".stripMargin,
+    "q_window_rank_hk" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+        |      AS INTEGER) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
     "q_window_lag" ->
       """SELECT o_orderkey, o_custkey,
         |lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
@@ -1164,6 +1195,26 @@ object SparkEntry {
         |md5(text) AS checksum,
         |CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    // rebuilds the exact P6 bytes the Spark side constructs (integer-
+    // only dimension arithmetic, zero-padded pixel section) and
+    // recomputes the checksum; md5-of-uppercase-hex because DuckDB
+    // 1.0's md5 takes VARCHAR only
+    "q_multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, encode(coalesce(text,'')) AS tb,
+        |         octet_length(encode(coalesce(text,''))) AS ob
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_id, tb, ob, 1 + (ob % 37) AS width,
+        |    (ob + 3*(1 + (ob % 37)) - 1) // (3*(1 + (ob % 37))) AS height
+        |  FROM m)
+        |SELECT media_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(255 AS INTEGER) AS maxval,
+        |  CAST(3*width*height AS BIGINT) AS pix_bytes,
+        |  md5(hex(tb || repeat('\x00'::BLOB,
+        |    CAST(3*width*height - ob AS INTEGER)))) AS pixel_md5
+        |FROM d ORDER BY media_id""".stripMargin,
     "q_delete_from" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders

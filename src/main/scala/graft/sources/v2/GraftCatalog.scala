@@ -33,6 +33,42 @@ object GraftCatalog {
     * empties a table refreshes) so an empty directory keeps its
     * schema; footers win once data exists. */
   val SchemaMarker = ".graft-schema.json"
+
+  import org.apache.hadoop.fs.FileSystem
+
+  private[graft] def readMarker(fs: FileSystem, dir: Path)
+      : Option[StructType] = {
+    val p = new Path(dir, SchemaMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes)
+        Some(StructType.fromDDL(new String(bytes, "UTF-8")))
+      } finally in.close()
+    }
+  }
+
+  /** THE table schema: footers win for the columns they have; marker
+    * fields the (first file's) footers lack are appended as nullable —
+    * what makes `ALTER TABLE ADD COLUMNS` metadata-only. ONE
+    * definition, shared by the catalog's `loadTable` and the write
+    * path's append gate, so the two cannot diverge. */
+  private[graft] def resolveSchema(fs: FileSystem, dir: Path)
+      : Option[StructType] = {
+    val footer = FooterCache.schemaOption(dir.toString)
+      .map(ParquetMeta.toStruct)
+    val marker = readMarker(fs, dir)
+    (footer, marker) match {
+      case (Some(f), Some(m)) =>
+        val extra = m.fields
+          .filter(mf => !f.fieldNames.contains(mf.name))
+          .map(_.copy(nullable = true))
+        Some(StructType(f.fields ++ extra))
+      case (f, m) => f.orElse(m)
+    }
+  }
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -65,19 +101,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
   private def tableDir(ident: Identifier): Path =
     new Path(nsDir(ident.namespace()), ident.name())
-
-  private def readMarker(dir: Path): Option[StructType] = {
-    val p = new Path(dir, SchemaMarker)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(0, bytes)
-        Some(StructType.fromDDL(new String(bytes, "UTF-8")))
-      } finally in.close()
-    }
-  }
 
   private def isTableDir(dir: Path): Boolean =
     fs.exists(dir) && fs.getFileStatus(dir).isDirectory && (
@@ -141,24 +164,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec)
   }
 
-  /** Footers win for the columns they have; marker fields the (first
-    * file's) footers lack are appended as nullable — that is what
-    * makes `ALTER TABLE ADD COLUMNS` metadata-only: the marker carries
-    * the evolved schema, old files simply read NULL for the new
-    * columns, and no data is rewritten. */
-  private def resolveSchema(dir: Path): Option[StructType] = {
-    val footer = FooterCache.schemaOption(dir.toString)
-      .map(ParquetMeta.toStruct)
-    val marker = readMarker(dir)
-    (footer, marker) match {
-      case (Some(f), Some(m)) =>
-        val extra = m.fields
-          .filter(mf => !f.fieldNames.contains(mf.name))
-          .map(_.copy(nullable = true))
-        Some(StructType(f.fields ++ extra))
-      case (f, m) => f.orElse(m)
-    }
-  }
+  /** See [[GraftCatalog.resolveSchema]] — footers win for the columns
+    * they have, marker extras append as nullable (metadata-only
+    * `ALTER TABLE ADD COLUMNS`). */
+  private def resolveSchema(dir: Path): Option[StructType] =
+    GraftCatalog.resolveSchema(fs, dir)
 
   /** `ALTER TABLE ADD COLUMNS` — metadata-only schema evolution: the
     * evolved schema is recorded in the marker; existing files are

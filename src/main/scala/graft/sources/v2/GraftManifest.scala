@@ -1,0 +1,222 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-commit live-file manifests: SNAPSHOT ISOLATION and TIME TRAVEL
+  * for graft tables.
+  *
+  * The backup-park swap ([[GraftSwapV2]]) already guarantees readers
+  * see complete-old or complete-new contents ON FAILURE; the manifest
+  * extends that guarantee to CONCURRENCY — the engine's answer, under
+  * simultaneous writers, to the reference's all-or-nothing save
+  * (ExtJdbcUtils.scala:70-109, which rode the database's transaction
+  * for the same effect). Design, all public-knowledge patterns (the
+  * log-of-snapshots idea every open table format uses):
+  *
+  *  - `<table>/.graft-manifests/v0000000001.txt` … — one file per
+  *    committed version, holding the table's live data-file NAMES.
+  *    Version = filename; the latest manifest IS the table state.
+  *  - `<table>/.graft-archive/` — files a commit removed from the live
+  *    set are MOVED here, not deleted, so any pinned snapshot can
+  *    still open every file it references (names are job-unique, so
+  *    archived names never collide).
+  *  - Commit = compare-and-swap on the next version number: a writer
+  *    that read version N may only create N+1. Two racers both staging
+  *    against N → exactly one creates N+1; the loser aborts cleanly
+  *    (its staged output is swept, live data untouched). Pure appends
+  *    commute, so an append loser re-reads and retries instead.
+  *  - Reads resolve the live set through the latest manifest (or a
+  *    `versionAsOf` one), each name resolving to the table root or,
+  *    if a later commit archived it, to `.graft-archive/` — so a scan
+  *    planned at version N returns exactly version N's rows no matter
+  *    what DML lands mid-query.
+  *
+  * A table gains its first manifest at its first V2 commit (version 1
+  * = listing-derived state after that commit); directories written
+  * only by plain parquet/V1 paths stay manifest-free and read exactly
+  * as before. V1 writers ([[graft.sources.GraftSink]]) refresh the
+  * manifest after their own commit when one exists, so the two
+  * write stacks stay consistent.
+  *
+  * CAS atomicity: content is staged to a temp name and renamed into
+  * the version slot under a JVM-wide lock after an existence check —
+  * atomic for everything this engine runs (one driver JVM commits a
+  * given table; executors never touch manifests). A multi-DRIVER
+  * deployment needs the rename-if-absent of a real commit service
+  * (HDFS atomic rename / a DynamoDB-style log store), the same
+  * boundary every file-format table log documents.
+  */
+object GraftManifest {
+
+  val Dir = ".graft-manifests"
+  val ArchiveDir = ".graft-archive"
+  private val Header = "graft-manifest-1"
+
+  /** One committed table state: the data-file names live at `version`. */
+  final case class Snapshot(version: Long, names: Seq[String])
+
+  private val lock = new Object
+
+  private def manifestDir(table: Path) = new Path(table, Dir)
+  private def versionPath(table: Path, v: Long) =
+    new Path(manifestDir(table), f"v$v%010d.txt")
+  private val VersionName = "v(\\d{10})\\.txt".r
+
+  /** All committed versions, ascending (empty when the table has no
+    * manifest yet). */
+  def versions(fs: FileSystem, table: Path): Seq[Long] = {
+    val d = manifestDir(table)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.flatMap(_.getPath.getName match {
+      case VersionName(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** The latest committed snapshot, if any manifest exists. */
+  def current(fs: FileSystem, table: Path): Option[Snapshot] =
+    versions(fs, table).lastOption.map(v => read(fs, table, v))
+
+  def read(fs: FileSystem, table: Path, version: Long): Snapshot = {
+    val p = versionPath(table, version)
+    if (!fs.exists(p)) {
+      throw new IllegalArgumentException(
+        s"graft-v2: $table has no version $version" +
+        (versions(fs, table) match {
+          case Seq() => " (the table has no manifests — versions begin " +
+            "at its first graft-v2 commit)"
+          case vs => s" (committed versions: ${vs.mkString(", ")})"
+        }))
+    }
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0, bytes)
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      if (lines.headOption.forall(_ != Header)) {
+        throw new IllegalStateException(
+          s"graft-v2: unreadable manifest $p (bad header)")
+      }
+      Snapshot(version, lines.tail)
+    } finally in.close()
+  }
+
+  /** The live state a WRITER stages against: the latest snapshot, or —
+    * for a table without manifests yet — version 0 with the current
+    * listing (all top-level `*.parquet`, the same predicate every
+    * read path uses). */
+  def liveState(fs: FileSystem, table: Path): Snapshot =
+    current(fs, table).getOrElse(Snapshot(0L, listingNames(fs, table)))
+
+  def listingNames(fs: FileSystem, table: Path): Seq[String] =
+    if (!fs.exists(table)) Seq.empty
+    else fs.listStatus(table).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted
+
+  /** Compare-and-swap commit of version `expected + 1`. False = a
+    * racing writer committed first; the caller must unwind its
+    * physical changes (nothing manifest-side happened). */
+  def tryCommit(fs: FileSystem, table: Path, expected: Long,
+      names: Seq[String]): Boolean = {
+    val d = manifestDir(table)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".tmp-${UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write((Header +: names.sorted).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = versionPath(table, expected + 1L)
+    val won = lock.synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!won) { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+    won
+  }
+
+  /** Append-style commit (the new names only ADD to the live set, so
+    * concurrent commits commute): retry the CAS against the freshest
+    * state instead of failing. */
+  def commitAppend(fs: FileSystem, table: Path, added: Seq[String]): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      val live = liveState(fs, table)
+      if (tryCommit(fs, table, live.version,
+          (live.names ++ added).distinct)) {
+        return
+      }
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"graft-v2: append to $table could not commit after $attempts " +
+      "manifest CAS attempts")
+  }
+
+  /** Post-commit hook for writers OUTSIDE the manifest protocol (the
+    * V1 sink's saves and compaction): once a table has manifests,
+    * every commit must produce a version or reads through the manifest
+    * would miss the new state. Records the current listing as the next
+    * version. No-op for manifest-free tables. */
+  def refreshIfPresent(fs: FileSystem, table: Path): Unit = {
+    if (!fs.exists(manifestDir(table))) return
+    var attempts = 0
+    while (attempts < 50) {
+      val live = liveState(fs, table)
+      val names = listingNames(fs, table)
+      if (names == live.names ||
+          tryCommit(fs, table, live.version, names)) {
+        return
+      }
+      attempts += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"graft-v2: manifest refresh of $table lost $attempts CAS races")
+  }
+
+  /** Resolve a snapshot's names to openable paths: live files sit at
+    * the table root; files a later commit removed sit in
+    * `.graft-archive/`. One listing round-trip, not one exists() per
+    * file. */
+  def resolve(fs: FileSystem, table: Path,
+      names: Seq[String]): Seq[Path] = {
+    val atRoot = listingNames(fs, table).toSet
+    val archive = new Path(table, ArchiveDir)
+    names.map { n =>
+      if (atRoot.contains(n)) new Path(table, n)
+      else new Path(archive, n)
+    }
+  }
+
+  /** The file set a SCAN should read: Some(resolved paths) when the
+    * table has manifests (pinned at `versionAsOf` or the latest
+    * version), None when it has none (plain listing behavior). */
+  def snapshotFiles(fs: FileSystem, table: Path,
+      versionAsOf: Option[Long]): Option[Seq[Path]] =
+    versionAsOf match {
+      case Some(v) => Some(resolve(fs, table, read(fs, table, v).names))
+      case None =>
+        current(fs, table).map(s => resolve(fs, table, s.names))
+    }
+
+  /** Drop all versions but the newest `keepVersions`, deleting archive
+    * files no retained version references. Bounds retention growth;
+    * pinned reads older than the horizon fail (the time-travel
+    * contract every retained-log format has). */
+  def vacuum(fs: FileSystem, table: Path, keepVersions: Int = 2): Unit = {
+    val vs = versions(fs, table)
+    if (vs.isEmpty) return
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    val referenced = keep.flatMap(read(fs, table, _).names).toSet
+    val archive = new Path(table, ArchiveDir)
+    if (fs.exists(archive)) {
+      fs.listStatus(archive).foreach { st =>
+        if (!referenced.contains(st.getPath.getName)) {
+          fs.delete(st.getPath, false)
+        }
+      }
+    }
+    drop.foreach(v => fs.delete(versionPath(table, v), false))
+  }
+}

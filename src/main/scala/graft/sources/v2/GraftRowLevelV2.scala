@@ -165,12 +165,29 @@ case class GraftCowScan(op: GraftRowLevelOperation,
   /** The plain batch readers with NO filters (every row of an
     * affected file reaches the rewrite plan — they are the copy half
     * of copy-on-write), wrapped to append `_file`. Vectorized when
-    * the directory's types allow it, same as the main scan. */
-  override def createReaderFactory(): PartitionReaderFactory =
+    * the directory's types allow it, same as the main scan — and the
+    * same guard as [[GraftScanBuilderV2.build]]: nested columns only
+    * read through the vectorized path, which a NANOS timestamp rules
+    * out, so that combination fails fast here instead of as an obscure
+    * converter error mid-rewrite. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rowMode = FooterCache.hasNanosTimestamp(op.path)
+    if (rowMode) {
+      op.tableSchema.fields.find(f => ParquetMeta.isNested(f.dataType))
+        .foreach { f =>
+          throw new IllegalArgumentException(
+            s"graft-v2 row-level ${op.cmd}: column '${f.name}' is " +
+            "nested and needs the vectorized reader, but a NANOS " +
+            s"timestamp in ${op.path} forces row mode — rewrite the " +
+            "table to TIMESTAMP_MICROS (any graft write path does) " +
+            "before running UPDATE/MERGE/DELETE on it")
+        }
+    }
     FileAppendReaderFactory(
       GraftScanV2(op.path, op.tableSchema, Array.empty, -1,
-        vectorized = !FooterCache.hasNanosTimestamp(op.path),
+        vectorized = !rowMode,
         groupByBucket = false).createReaderFactory())
+  }
 }
 
 /** The write-back half: same staged writers as a batch INSERT
@@ -207,10 +224,12 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)
       try fs.delete(staging, true) catch { case _: Throwable => () }
     }
     // an operation that emptied the table pins its schema (same
-    // invariant as DELETE/TRUNCATE)
+    // invariant as DELETE/TRUNCATE). Same listing predicate as
+    // GraftDeleteV2.listParts / FooterCache: dot-prefixed *.parquet
+    // files are VISIBLE data — a table whose only files are
+    // dot-prefixed is not empty
     val anyData = fs.listStatus(target).exists(st => st.isFile &&
-      st.getPath.getName.endsWith(".parquet") &&
-      !st.getPath.getName.startsWith("."))
+      st.getPath.getName.endsWith(".parquet"))
     if (!anyData) GraftDeleteV2.ensureSchemaMarker(fs, target, schema)
   }
 }

@@ -1876,6 +1876,36 @@ object FooterCache {
   def rowGroups(path: String): Seq[RowGroupMeta] =
     fileMetas(path).flatMap(_.groups)
 
+  /** Row groups of an EXPLICIT file set (a manifest snapshot) instead
+    * of the directory listing. Same (path, len, mtime) cache. A root
+    * path a racing commit archived between snapshot resolution and
+    * this load falls back to its `.graft-archive/` twin — the file is
+    * immutable, only its location moved. */
+  def rowGroupsFor(paths: Seq[String]): Seq[RowGroupMeta] = {
+    val conf = GraftHadoopConf.sessionConf()
+    val statuses = paths.map { s =>
+      val p = new Path(s)
+      val fs = p.getFileSystem(conf)
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException
+            if p.getParent != null &&
+               p.getParent.getName != GraftManifest.ArchiveDir =>
+          fs.getFileStatus(new Path(
+            new Path(p.getParent, GraftManifest.ArchiveDir), p.getName))
+      }
+    }
+    val missing = statuses.filter { f =>
+      val c = cache.get(f.getPath.toString)
+      c == null || c.len != f.getLen || c.modTime != f.getModificationTime
+    }
+    if (missing.nonEmpty) {
+      missing.asJava.parallelStream()
+        .forEach(f => cache.put(f.getPath.toString, load(f, conf)))
+    }
+    statuses.flatMap(f => cache.get(f.getPath.toString).groups)
+  }
+
   /** First file's schema, when any parquet file exists. */
   def schemaOption(path: String): Option[MessageType] =
     fileMetas(path).headOption.map(_.schema)
@@ -1964,13 +1994,22 @@ object RowGroupPruning {
     case _ => None
   }
 
-  /** (min, max, numNulls, rowCount) when usable statistics exist. */
+  /** (min, max, numNulls, rowCount) when usable statistics exist.
+    * Requires the null count to be SET: parquet returns -1 when unset,
+    * and the sorted-run prover SUMS these per file (orderRuns) — an
+    * unset count (-1) could cancel a real null (+1) and certify a
+    * nulls-free non-first run the data violates. Same discipline as
+    * the footer-agg fold's `isNumNullsSet` checks. */
   private def bounds(rg: FooterCache.RowGroupMeta, colName: String)
       : Option[(Any, Any, Long, Long)] =
     rg.stats.get(colName).flatMap { case (s, _) =>
-      if (s == null || s.isEmpty || !s.hasNonNullValue) None
-      else Some((s.genericGetMin, s.genericGetMax, s.getNumNulls,
-        rg.rowCount))
+      if (s == null || s.isEmpty || !s.hasNonNullValue ||
+          !s.isNumNullsSet) {
+        None
+      } else {
+        Some((s.genericGetMin, s.genericGetMax, s.getNumNulls,
+          rg.rowCount))
+      }
     }
 
   /** Bounds accessor for the sorted-run prover. */

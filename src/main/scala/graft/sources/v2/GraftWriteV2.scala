@@ -86,22 +86,45 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
   override def build(): Write = {
     // eager schema compatibility gate, like the reference resolving the
     // table before writing (ExtJdbcRelationProvider.scala:25-38)
+    var widenTo: Option[StructType] = None
     if (!truncateFirst) {
       // gate only when data actually exists (an empty or fresh
-      // directory accepts any schema)
-      FooterCache.schemaOption(path).foreach { msgType =>
-        val existing = ParquetMeta.toStruct(msgType)
-        val incoming = info.schema()
-        // every existing column must arrive with its type; EXTRA
-        // incoming columns are schema evolution (ALTER ADD COLUMNS):
-        // older files read NULL for them, readers project by name
-        val incomingF = incoming.fields.map(f => (f.name, f.dataType)).toSet
-        val ok = existing.fields.forall(f =>
-          incomingF.contains((f.name, f.dataType)))
-        if (!ok) {
-          throw new IllegalArgumentException(
-            s"graft-v2 append schema mismatch: table has " +
-            s"${existing.catalogString}, write has ${incoming.catalogString}")
+      // directory accepts any schema). The gate runs against the
+      // RESOLVED table schema (footer ∪ marker, exactly as
+      // GraftCatalog.resolveSchema computes it): with no marker
+      // present, the footer alone resolves from the lexicographically-
+      // FIRST file, so judging extras against it would make a widened
+      // append's visibility depend on part-file name ordering.
+      val tdir = new Path(path)
+      val tfs = tdir.getFileSystem(GraftHadoopConf.sessionConf())
+      GraftCatalog.resolveSchema(tfs, tdir).foreach { resolved =>
+        if (FooterCache.schemaOption(path).isDefined) {
+          val existing = FooterCache.schemaOption(path)
+            .map(ParquetMeta.toStruct).get
+          val incoming = info.schema()
+          // every physically-present column must arrive with its type
+          // (marker-only evolved columns may be omitted — old files
+          // read NULL for them anyway)
+          val incomingF =
+            incoming.fields.map(f => (f.name, f.dataType)).toSet
+          val ok = existing.fields.forall(f =>
+            incomingF.contains((f.name, f.dataType)))
+          if (!ok) {
+            throw new IllegalArgumentException(
+              s"graft-v2 append schema mismatch: table has " +
+              s"${existing.catalogString}, write has " +
+              s"${incoming.catalogString}")
+          }
+          // EXTRA incoming columns beyond the resolved schema widen
+          // the table: the commit refreshes the schema marker so the
+          // new columns are deterministically visible no matter which
+          // file a later footer resolution reads first
+          val extras = incoming.fields
+            .filterNot(f => resolved.fieldNames.contains(f.name))
+          if (extras.nonEmpty) {
+            widenTo = Some(StructType(
+              resolved.fields ++ extras.map(_.copy(nullable = true))))
+          }
         }
       }
     }
@@ -115,18 +138,19 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
       }
     }
     GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond,
-      bucketSpec)
+      bucketSpec, widenTo)
   }
 }
 
 case class GraftWriteV2(path: String, schema: StructType,
     truncateFirst: Boolean,
     overwriteCond: Option[Filter] = None,
-    bucketSpec: Option[graft.sources.BucketLayout] = None) extends Write
+    bucketSpec: Option[graft.sources.BucketLayout] = None,
+    widenTo: Option[StructType] = None) extends Write
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite =
     new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
-      bucketSpec)
+      bucketSpec, widenTo)
 
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
@@ -219,7 +243,8 @@ private[v2] case class GraftCommitMultiV2(files: Seq[String])
 class GraftBatchWriteV2(path: String, schema: StructType,
     truncateFirst: Boolean,
     overwriteCond: Option[Filter] = None,
-    bucketSpec: Option[graft.sources.BucketLayout] = None)
+    bucketSpec: Option[graft.sources.BucketLayout] = None,
+    widenTo: Option[StructType] = None)
     extends BatchWrite {
 
   protected val jobId = UUID.randomUUID().toString.take(8)
@@ -303,6 +328,20 @@ class GraftBatchWriteV2(path: String, schema: StructType,
       case _ => renameIn()
     }
     fs.delete(staging, true) // sweeps zombie/speculative attempts
+    (truncateFirst, widenTo) match {
+      case (true, _) =>
+        // a truncate-overwrite REDEFINES the schema: a stale marker
+        // (from CREATE or an earlier evolution) must not leak phantom
+        // columns into the resolved schema of the new contents
+        if (fs.exists(new Path(target, GraftCatalog.SchemaMarker))) {
+          GraftDeleteV2.ensureSchemaMarker(fs, target, schema)
+        }
+      case (false, Some(widened)) =>
+        // widened append: record the widened schema so the new
+        // columns' visibility never depends on footer file ordering
+        GraftDeleteV2.ensureSchemaMarker(fs, target, widened)
+      case _ => ()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

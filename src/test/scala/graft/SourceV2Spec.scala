@@ -356,6 +356,43 @@ class SourceV2Spec extends SparkTestBase {
     assert(e.getMessage.contains("schema mismatch"), e.getMessage)
   }
 
+  test("V2 write: a widened append records the schema marker " +
+      "(visibility independent of file name order)") {
+    import graft.sources.v2.GraftCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-widen")
+      .resolve("t").toString
+    import spark.implicits._
+    // seed with a file whose name sorts FIRST ("part-0...") so the
+    // footer-resolved schema would hide the widened column without
+    // the marker
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1)
+      .write.parquet(dir)
+    // widened append: extra column w
+    Seq((3L, 30L, "x")).toDF("id", "v", "w").write.format("graft-v2")
+      .option("path", dir).mode("append").save()
+    // the marker carries the widened schema ...
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val marker = GraftCatalog.readMarker(fs,
+      new org.apache.hadoop.fs.Path(dir))
+    assert(marker.exists(_.fieldNames.contains("w")),
+      s"marker after widened append: $marker")
+    // ... and a catalog-style load sees w deterministically: rows from
+    // the old file read NULL, the appended row carries its value
+    val wh = java.nio.file.Files.createTempDirectory("graft-widen-wh")
+    val cat = s"gw${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    val tdir = new java.io.File(wh.toFile, "t")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(dir), tdir)
+    val got = spark.table(s"$cat.t")
+    assert(got.schema.fieldNames.contains("w"))
+    assert(got.where(col("id") === 3).select("w").head.getString(0) == "x")
+    assert(got.where(col("id") === 1).select("w").head.isNullAt(0))
+  }
+
   test("filtered aggregates go footer-only when stats decide all groups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-v2-fagg")
       .resolve("t").toString
