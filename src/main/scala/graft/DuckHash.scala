@@ -245,7 +245,14 @@ private[graft] object DuckHash {
     * SETS are FNV hashes, mirroring [[TextHashing.ngramJaccard]]
     * bit-for-bit, hash collisions included). Ends with
     * `jac(id_a, id_b, j)`. */
-  private def minhashJaccardCtes: String = {
+  private def minhashJaccardCtes: String = minhashJaccardCtes(
+    """cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      |  FROM banded a JOIN banded b2
+      |  ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id)"""
+      .stripMargin)
+
+  private def minhashJaccardCtes(candCtes: String,
+      docsSrc: String = "documents"): String = {
     val C = 3; val K = 64; val Rows = 4; val Bands = 16
     val lmax = (BigInt(1) << 63) - 1
     val ch = new Chain(
@@ -258,7 +265,7 @@ private[graft] object DuckHash {
     }
     val bandedSql = s"SELECT id, band, $h AS bh FROM (${ch.render()})"
     s"""base AS (SELECT doc_id, text, ${tokensExpr("text")} AS toks,
-       |    length(text) AS len FROM documents),
+       |    length(text) AS len FROM $docsSrc),
        |sh0 AS (SELECT doc_id, unnest(range(1, len(toks)-$C+2)) AS i, toks
        |  FROM base WHERE len(toks) >= $C),
        |shs AS (SELECT doc_id,
@@ -288,9 +295,7 @@ private[graft] object DuckHash {
        |      AS s
        |  FROM base b LEFT JOIN sig g USING (doc_id)),
        |banded AS ($bandedSql),
-       |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-       |  FROM banded a JOIN banded b2
-       |  ON a.band = b2.band AND a.bh = b2.bh AND a.id < b2.id),
+       |$candCtes,
        |g0 AS (SELECT doc_id AS id, unnest(range(1, len-$C+2)) AS i, text
        |  FROM base WHERE len >= $C),
        |g1 AS (SELECT id, (${fnvOverCp(
@@ -320,6 +325,82 @@ private[graft] object DuckHash {
     s"""WITH $minhashJaccardCtes
        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac
        |WHERE j >= $minJaccard ORDER BY id_a, id_b""".stripMargin
+
+  // ---- XXH64 (Spark's `xxhash64`, seed 42) of ONE signed BIGINT —
+  // the block assignment hash of Dedup.cappedBucketJoin. Spark's
+  // hashLong: h = seed+P5+8; k1 = rotl(v*P2,31)*P1; h ^= k1;
+  // h = rotl(h,27)*P1+P4; then the 5-step avalanche. All steps in
+  // canonical-u64 Chain columns (same mod-2^64 discipline as above).
+  private val Xp1 = BigInt("9E3779B185EBCA87", 16)
+  private val Xp2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val Xp3 = BigInt("165667B19E3779F9", 16)
+  private val Xp4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val Xp5 = BigInt("27D4EB2F165667C5", 16)
+  private def rotl64(x: String, r: Int): String =
+    s"(((($x)*${BigInt(1) << r})%$P64) + (($x)//${BigInt(1) << (64 - r)}))"
+  private def xxh64Long(ch: Chain, signedCol: String): String = {
+    val u = ch.add(s"(CASE WHEN ($signedCol) < 0 THEN " +
+      s"($signedCol)::HUGEINT+$P64 ELSE ($signedCol)::HUGEINT END)")
+    val h0 = (BigInt(42) + Xp5 + 8).mod(P64)
+    val k1 = ch.add(mulmod(u, Xp2.toString))
+    val k2 = ch.add(rotl64(k1, 31))
+    val k3 = ch.add(mulmod(k2, Xp1.toString))
+    val h1 = ch.add(xormod(h0.toString, k3))
+    val h2r = ch.add(rotl64(h1, 27))
+    val h2 = ch.add(s"((${mulmod(h2r, Xp1.toString)} + $Xp4) % $P64)")
+    val f1 = ch.add(xormod(h2, s"(($h2)//${BigInt(1) << 33})"))
+    val f2 = ch.add(mulmod(f1, Xp2.toString))
+    val f3 = ch.add(xormod(f2, s"(($f2)//${BigInt(1) << 29})"))
+    val f4 = ch.add(mulmod(f3, Xp3.toString))
+    ch.add(xormod(f4, s"(($f4)//${BigInt(1) << 32})"))
+  }
+
+  /** Oracle for `q_dedup_near_capped` — the BLOCK-CHAINED capacity
+    * guard ([[graft.operators.Dedup.cappedBucketJoin]]) rendered
+    * exactly: per-(band,bh) bucket sizes, `nb = max(1, ceil(sz/cap))`
+    * blocks, block id `pmod(xxhash64(id), nb)`, each row probing its
+    * own block plus (when a next block exists) the adjacent one, the
+    * `orig != blk OR id_a < id_b` de-dup filter, then the same 3-gram
+    * Jaccard rerank. A cap small enough to split buckets at the
+    * verification SF proves the guarded path — not just the
+    * under-cap collapse — against an independent engine. */
+  def dedupNearCappedOracle(minJaccard: Double = 0.2,
+      cap: Int = 2): String = {
+    // the corpus UNION an id-shifted copy of itself: every LSH bucket
+    // doubles, so with cap=2 real buckets split into nb >= 3 blocks —
+    // which pairs survive then DEPENDS on the xxhash64 block
+    // assignment, making the hash rendering load-bearing (at nb <= 2
+    // the own+adjacent chain still covers every pair and a wrong hash
+    // would be invisible)
+    val src = "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000, text FROM documents)"
+    val ch = new Chain("SELECT id, band, bh FROM banded",
+      Seq("id", "band", "bh"))
+    val xu = xxh64Long(ch, "id")
+    val capped =
+      s"""sizesc AS (SELECT band, bh, count(*) AS sz FROM banded
+         |  GROUP BY band, bh),
+         |bxx AS (SELECT id, band, bh, ${toSigned(xu)} AS xs
+         |  FROM (${ch.render()})),
+         |blockedc AS (SELECT id, band, bh, nb,
+         |    ((xs % nb) + nb) % nb AS blk
+         |  FROM (SELECT b.id, b.band, b.bh, b.xs,
+         |      greatest(1, ceil(s.sz::DOUBLE / $cap)::BIGINT) AS nb
+         |    FROM bxx b JOIN sizesc s USING (band, bh))),
+         |cand AS (SELECT DISTINCT least(x.id, y.id) AS id_a,
+         |    greatest(x.id, y.id) AS id_b
+         |  FROM (SELECT id, band, bh, blk,
+         |      unnest(CASE WHEN blk < nb - 1 THEN [blk, blk + 1]
+         |        ELSE [blk] END) AS probe
+         |    FROM blockedc) x
+         |  JOIN blockedc y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.probe = y.blk
+         |    AND x.id <> y.id
+         |  WHERE x.blk <> y.blk OR x.id < y.id)""".stripMargin
+    s"""WITH ${minhashJaccardCtes(capped, src)}
+       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac
+       |WHERE j >= $minJaccard ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Oracle for `q_dedup_cluster` (doc_id, cluster) — connected
     * components of the near-dup pair graph by min-label propagation

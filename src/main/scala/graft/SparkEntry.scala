@@ -508,6 +508,23 @@ object SparkEntry {
     Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The CAPPED candidate path, proven at the verification SF. The
+    * corpus is unioned with an id-shifted copy of itself so every LSH
+    * bucket doubles: with cap 2 real buckets split into nb >= 3
+    * xxhash64-assigned blocks, where WHICH pairs survive depends on
+    * the block hash — so the oracle ([[DuckHash
+    * .dedupNearCappedOracle]], which renders the identical XXH64 +
+    * block-chain arithmetic) hash-checks the guard itself, not its
+    * under-cap collapse. The production cap (256) only collapses MORE
+    * buckets to the exact join, never fewer. */
+  private val qDedupNearCapped: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inflated = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.minHashLsh(inflated, minJaccard = 0.2, bucketCap = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Near-dup pairs -> transitive duplicate clusters (GraphX connected
     * components) -> representative per cluster. Rows-only check. */
   private val qDedupCluster: Q = (s, dir) => {
@@ -640,6 +657,34 @@ object SparkEntry {
       s"FROM $cat.orders ORDER BY o_orderkey")
   }
 
+  /** Snapshot isolation / time travel end-to-end: load a scratch graft
+    * table (v1-to-be), run a DELETE (the first mutation bootstraps
+    * manifest v1 = the pre-DML state and commits v2), then read
+    * `VERSION AS OF 1` — whose files a later commit ARCHIVED — and
+    * hash-match it against the oracle's plain pre-DML projection. The
+    * mutated current state is additionally guarded (count must equal
+    * the complement) so a broken swap cannot slip through. */
+  private val qTimeTravel: Q = (s, dir) => {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ttq")
+      .toString
+    val cat = "graft_ttq_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val orders = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    orders.write.format("graft-v2")
+      .option("path", s"$wh/orders").mode("append").save()
+    s.sql(s"DELETE FROM $cat.orders WHERE o_totalprice >= 100000")
+    val kept = s.table(s"$cat.orders").count()
+    val expectKept = orders.filter(
+      !coalesce(col("o_totalprice") >= 100000, lit(false))).count()
+    require(kept == expectKept,
+      s"time-travel guard: post-DELETE count $kept != $expectKept")
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+      s"FROM $cat.orders VERSION AS OF 1 ORDER BY o_orderkey")
+  }
+
   /** Batch face of the stream-stream interval join (same helper the
     * streaming attribution path uses): each click pairs with the same
     * user's views in the preceding 5 minutes. */
@@ -755,6 +800,7 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_exact_norm" -> qDedupExactNorm,
     "q_dedup_near" -> qDedupNear,
+    "q_dedup_near_capped" -> qDedupNearCapped,
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -770,6 +816,7 @@ object SparkEntry {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_delete_from" -> qDeleteFrom,
+    "q_time_travel" -> qTimeTravel,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
     "q_merge_upsert" -> qMergeUpsert,
@@ -827,6 +874,7 @@ object SparkEntry {
     "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),
     "q_dedup_simhash" -> DuckHash.dedupSimhashOracle(10),
     "q_dedup_near" -> DuckHash.dedupNearOracle(0.2),
+    "q_dedup_near_capped" -> DuckHash.dedupNearCappedOracle(0.2, 2),
     "q_dedup_cluster" -> DuckHash.dedupClusterOracle(0.2),
     "q_udaf_custom" ->
       """SELECT l_returnflag,
@@ -1221,6 +1269,10 @@ object SparkEntry {
         |WHERE NOT coalesce(o_orderstatus = 'O' OR o_totalprice < 50000,
         |  false)
         |ORDER BY o_orderkey""".stripMargin,
+    // VERSION AS OF 1 is the pre-DELETE state = the plain projection
+    "q_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_interval_join" ->
       """SELECT i.user_id AS user_id, i.ts AS imp_ts, c.ts AS click_ts
         |FROM events i JOIN events c ON i.user_id = c.user_id

@@ -197,6 +197,10 @@ object GraftSink {
         case _ => // Append into an existing directory: job-unique part names.
           movePartsOrRollback(fs, staging, target)
       }
+      // a post-DML table reads through its manifest — every committed
+      // write must produce a version ([[graft.sources.v2.GraftManifest]];
+      // no-op for never-mutated tables)
+      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
     } finally {
       if (!stagingConsumed) fs.delete(staging, true)
     }
@@ -353,6 +357,8 @@ object GraftSink {
         s"tasks); committed partitions rolled back. First: " +
         failures.head.stripPrefix(FailedToken + ":"))
     }
+    // keep a post-DML table's manifest current (no-op otherwise)
+    graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
   }
 
   /** Read back a [[saveCompensating]] output — parquet is self-describing,
@@ -448,6 +454,8 @@ object GraftSink {
       }
       require(keep.forall(p => fs.exists(p)),
         "untouched files must survive the commit")
+      // keep a post-DML table's manifest current (no-op otherwise)
+      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
     } finally fs.delete(staging, true)
   }
 
@@ -551,6 +559,8 @@ object GraftSink {
       parkSwapRestore(fs, target, backup, small.map(_.getPath).toSeq) {
         movePartsOrRollback(fs, staging, target)
       }
+      // keep a post-DML table's manifest current (no-op otherwise)
+      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
       (small.length, written)
     } finally fs.delete(staging, true)
   }

@@ -120,6 +120,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketSpec = graft.sources.BucketLayout.read(fs, dir))
   }
 
+  /** SQL time travel — `SELECT ... FROM t VERSION AS OF n`: the scan
+    * pins manifest version n's file set ([[GraftManifest]]), resolving
+    * archived files into `.graft-archive/`. Versions exist from a
+    * table's first mutation (v1 = the pre-mutation state). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft catalog: VERSION AS OF takes the numeric manifest " +
+          s"version (committed: ${GraftManifest.versions(fs, dir)
+            .mkString(", ")}), got '$version'")
+    }
+    val schema = resolveSchema(dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    GraftTableV2(dir.toString, schema,
+      bucketSpec = graft.sources.BucketLayout.read(fs, dir),
+      versionAsOf = Some(v))
+  }
+
   /** `CLUSTERED BY (cols) INTO n BUCKETS` is accepted: the layout is
     * recorded in the `.graft-buckets.json` marker at create, INSERTs
     * route through the bucket-splitting V2 writer, and reads plan

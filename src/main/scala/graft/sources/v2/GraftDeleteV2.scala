@@ -58,10 +58,10 @@ object GraftDeleteV2 {
     val fs = target.getFileSystem(conf)
     if (!fs.exists(target)) return true
     ensureSchemaMarker(fs, target, schema)
-    val parts = listParts(fs, target)
-    if (parts.nonEmpty) {
-      GraftSwapV2.parkAndSwap(fs, target,
-        UUID.randomUUID().toString.take(8), parts, Seq.empty)
+    val readState = GraftManifest.pinForMutation(fs, target)
+    if (readState.names.nonEmpty) {
+      GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
+        readState.names.map(new Path(target, _)), Seq.empty)
     }
     true
   }
@@ -73,7 +73,11 @@ object GraftDeleteV2 {
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     if (!fs.exists(target)) return
-    val parts = listParts(fs, target)
+    // pin the snapshot this DELETE mutates: classification, rewrite
+    // and commit all run against ONE version; a concurrent commit
+    // in between makes the CAS lose cleanly
+    val readState = GraftManifest.pinForMutation(fs, target)
+    val parts = readState.names.map(new Path(target, _))
     val (keep, deleteWhole, rewrite) =
       PredicateFiles.classify(cond, parts)
     if (deleteWhole.isEmpty && rewrite.isEmpty) return // nothing matches
@@ -106,21 +110,13 @@ object GraftDeleteV2 {
         // the delete empties the table: pin its schema first
         ensureSchemaMarker(fs, target, schema)
       }
-      GraftSwapV2.parkAndSwap(fs, target, jobId,
+      GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         deleteWhole ++ rewrite, residue)
     } finally {
       // sweeps zombie/speculative attempts too
       try fs.delete(staging, true) catch { case _: Throwable => () }
     }
   }
-
-  /** Every data file the scan would read (all top-level `*.parquet`,
-    * matching FooterCache's listing exactly — including dot-prefixed
-    * names) — a DELETE must cover exactly the visible row set. */
-  private def listParts(fs: FileSystem, target: Path): Seq[Path] =
-    fs.listStatus(target)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).toSeq
 
   /** (Re)writes the schema marker with the table's CURRENT schema —
     * unconditionally, so a table whose schema evolved past its CREATE

@@ -117,6 +117,26 @@ object GraftManifest {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).sorted
 
+  /** The snapshot a MUTATION stages against. A table's FIRST mutation
+    * bootstraps the manifest log: version 1 records the pre-mutation
+    * state (the current listing), so time travel reaches back to the
+    * state before any DML ever ran; the mutation itself then commits
+    * version 2 through the versioned swap. Tables nobody has mutated
+    * stay manifest-free — plain listing semantics, zero overhead. */
+  def pinForMutation(fs: FileSystem, table: Path): Snapshot =
+    current(fs, table).getOrElse {
+      val names = listingNames(fs, table)
+      if (tryCommit(fs, table, 0L, names)) Snapshot(1L, names)
+      else liveState(fs, table) // a racer bootstrapped first: use its v1
+    }
+
+  /** Append commit: advances the manifest when one exists (a post-DML
+    * table), no-op otherwise (a never-mutated table keeps plain
+    * listing semantics and pays nothing). */
+  def advanceAppend(fs: FileSystem, table: Path,
+      added: Seq[String]): Unit =
+    if (fs.exists(manifestDir(table))) commitAppend(fs, table, added)
+
   /** Compare-and-swap commit of version `expected + 1`. False = a
     * racing writer committed first; the caller must unwind its
     * physical changes (nothing manifest-side happened). */

@@ -51,6 +51,12 @@ case class GraftRowLevelOperation(path: String, tableSchema: StructType,
     * the write's commit replaces exactly these. */
   @volatile private[v2] var scannedFiles: Seq[String] = Seq.empty
 
+  /** The manifest snapshot the scan planned against — the commit's
+    * CAS expectation: a concurrent commit between plan and write-back
+    * makes this operation lose cleanly instead of silently clobbering
+    * ([[GraftSwapV2.parkAndSwapVersioned]]). */
+  @volatile private[v2] var readState: GraftManifest.Snapshot = _
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
@@ -140,7 +146,14 @@ case class GraftCowScan(op: GraftRowLevelOperation,
     * row groups of every affected file are scheduled (file
     * granularity — the commit swaps whole files). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val groups = FooterCache.rowGroups(op.path)
+    // pin the snapshot this operation rewrites (bootstrapping the
+    // manifest log on a table's first-ever mutation)
+    val tdir = new Path(op.path)
+    val fs = tdir.getFileSystem(GraftHadoopConf.sessionConf())
+    val pinned = GraftManifest.pinForMutation(fs, tdir)
+    op.readState = pinned
+    val groups = FooterCache.rowGroupsFor(
+      GraftManifest.resolve(fs, tdir, pinned.names).map(_.toString))
     val files = groups.map(_.file).distinct.map(new Path(_))
     val statAffected: Set[String] =
       if (groupFilters.isEmpty) files.map(_.toString).toSet
@@ -216,7 +229,9 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)
     val fs = target.getFileSystem(conf)
     val staging = new Path(target, stagingName)
     try {
-      GraftSwapV2.parkAndSwap(fs, target, jobId,
+      val readState = Option(op.readState)
+        .getOrElse(GraftManifest.pinForMutation(fs, target))
+      GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         op.scannedFiles.map(new Path(_)),
         collectFiles(messages).map(new Path(_)))
     } finally {
@@ -225,7 +240,7 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)
     }
     // an operation that emptied the table pins its schema (same
     // invariant as DELETE/TRUNCATE). Same listing predicate as
-    // GraftDeleteV2.listParts / FooterCache: dot-prefixed *.parquet
+    // GraftManifest.listingNames / FooterCache: dot-prefixed *.parquet
     // files are VISIBLE data — a table whose only files are
     // dot-prefixed is not empty
     val anyData = fs.listStatus(target).exists(st => st.isFile &&

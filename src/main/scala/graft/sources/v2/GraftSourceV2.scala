@@ -83,7 +83,9 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
         String.valueOf(properties.getOrDefault("vectorized", "true"))),
       batchSize = String.valueOf(
         properties.getOrDefault("batchSize", "4096")).toInt,
-      bucketSpec = spec, groupByBucket = false)
+      bucketSpec = spec, groupByBucket = false,
+      versionAsOf = Option(properties.get("versionAsOf"))
+        .map(String.valueOf(_).toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -92,7 +94,8 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
 case class GraftTableV2(path: String, tableSchema: StructType,
     vectorized: Boolean = true, batchSize: Int = 4096,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
-    groupByBucket: Boolean = true)
+    groupByBucket: Boolean = true,
+    versionAsOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -183,10 +186,17 @@ case class GraftTableV2(path: String, tableSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize,
-      bucketSpec, groupByBucket)
+      bucketSpec, groupByBucket,
+      versionAsOf.orElse(
+        Option(options.get("versionAsOf")).map(_.toLong)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (versionAsOf.isDefined) {
+      throw new UnsupportedOperationException(
+        s"graft-v2: $path pinned at VERSION AS OF ${versionAsOf.get} " +
+        "is a read-only snapshot — write to the current table instead")
+    }
     if (bucketSpec.isDefined && !groupByBucket) {
       // path-based writes can't resolve the bucket() transform the
       // bucketed write's required distribution names (no function
@@ -203,7 +213,8 @@ case class GraftTableV2(path: String, tableSchema: StructType,
 class GraftScanBuilderV2(path: String, fullSchema: StructType,
     vectorizedRequested: Boolean, batchSize: Int = 4096,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
-    groupByBucket: Boolean = true)
+    groupByBucket: Boolean = true,
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -215,6 +226,24 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   // schema (converted to micros row-side): auto-fall back to row mode.
   private val vectorized: Boolean =
     vectorizedRequested && !FooterCache.hasNanosTimestamp(path)
+
+  /** The file set this scan will read, pinned ONCE per builder (query
+    * planning time): the latest — or `versionAsOf` — manifest version
+    * for a manifest-bearing table, None (plain listing) otherwise.
+    * Both the footer-answered aggregate push and the built scan read
+    * through this, so a query plans against one consistent version. */
+  private lazy val snapshotFiles: Option[Seq[String]] = {
+    val tdir = new Path(path)
+    GraftManifest.snapshotFiles(
+      tdir.getFileSystem(GraftHadoopConf.sessionConf()), tdir,
+      versionAsOf).map(_.map(_.toString))
+  }
+
+  private def builderRowGroups: Seq[FooterCache.RowGroupMeta] =
+    snapshotFiles match {
+      case Some(files) => FooterCache.rowGroupsFor(files)
+      case None => FooterCache.rowGroups(path)
+    }
 
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -245,12 +274,32 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     *    whole-stage codegen; no per-row source-side evaluation.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rejected) = filters.partition(f =>
+    // point/IN predicates on the `_file` METADATA column prune the
+    // file list before any footer is opened (the cheap targeted
+    // re-read a pipeline runs after capturing `(key, _file)` pairs).
+    // They are pruning-only: never handed to the row readers (the
+    // column is not in the parquet data) and always returned as
+    // residual — Spark re-evaluates them on the appended column.
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val fileColFree = !fullSchema.fieldNames.contains(GraftFileColumn.Name)
+    def fileSet(f: Filter): Option[Set[String]] = f match {
+      case EqualTo(GraftFileColumn.Name, v: String) if fileColFree =>
+        Some(Set(v))
+      case In(GraftFileColumn.Name, vs) if fileColFree &&
+          vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => None
+    }
+    val (fileFs, rest) = filters.partition(f => fileSet(f).isDefined)
+    fileAllow = fileFs.flatMap(fileSet).reduceOption(_ intersect _)
+    val (ok, rejected) = rest.partition(f =>
       RowFilterEval.supports(f, fullSchema))
     pushed = ok
-    if (vectorized) filters else rejected
+    if (vectorized) filters else rejected ++ fileFs
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  private var fileAllow: Option[Set[String]] = None
 
   override def pushLimit(limit: Int): Boolean = {
     this.limit = limit
@@ -336,7 +385,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
         if (i < 0) None else Some((fullSchema(i).name, fullSchema(i).dataType))
       case _ => None
     }
-    val allGroups = FooterCache.rowGroups(path)
+    val allGroups = builderRowGroups
     // filter classification: keep only groups where EVERY pushed filter
     // provably holds for all rows; drop groups where some filter
     // provably holds for none; any undecided group kills the push
@@ -462,9 +511,14 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
               " row mode" else ""))
         }
     }
+    // pin the file set NOW (scan build = query planning): a manifest-
+    // bearing table reads its latest committed version — or the
+    // `versionAsOf` one — and concurrent DML cannot tear the listing
+    // (removed files resolve into .graft-archive). Manifest-free
+    // tables keep plain listing semantics (None).
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
-      appendFile)
+      appendFile, snapshotFiles, fileAllow)
   }
 }
 
@@ -493,7 +547,9 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     pushedAgg: Option[(StructType, Array[Any], String)] = None,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     groupByBucket: Boolean = true,
-    appendFile: Boolean = false)
+    appendFile: Boolean = false,
+    snapshot: Option[Seq[String]] = None,
+    fileAllow: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -508,15 +564,47 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * (planInputPartitions runs on the driver), so mutability is safe. */
   @transient private var runtimeFilters: Array[Filter] = Array.empty
 
+  /** The row groups THIS scan covers: the pinned snapshot's files for
+    * a manifest-bearing table, the directory listing otherwise. Every
+    * planning-time consumer (statistics, partition planning, layout
+    * validation, the sorted-run prover) reads through here, so a scan
+    * is internally consistent about its file set. */
+  @transient private lazy val scanRowGroups: Seq[FooterCache.RowGroupMeta] =
+    (snapshot, fileAllow) match {
+      case (_, Some(allowed)) =>
+        // `_file` pruning cuts the list BEFORE footer work: only the
+        // named files' footers are ever opened
+        val base = snapshot.getOrElse(FooterCache.filePaths(path))
+        FooterCache.rowGroupsFor(base.filter(allowed.contains))
+      case (Some(files), None) => FooterCache.rowGroupsFor(files)
+      case (None, None) => FooterCache.rowGroups(path)
+    }
+
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    projectedSchema.fields
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val dataCols = projectedSchema.fields
       .filter(f => !ParquetMeta.isNested(f.dataType))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions
         .column(f.name))
+    // `_file` accepts runtime IN-filters too (a join on captured
+    // provenance narrows the scan to the named files)
+    if (appendFile) {
+      dataCols :+ org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftFileColumn.Name)
+    } else dataCols
+  }
+
+  @transient private var runtimeFileSet: Option[Set[String]] = None
 
   override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
     runtimeFilters = filters.filter(RowFilterEval.supports(_, projectedSchema))
+    runtimeFileSet = filters.collect {
+      case EqualTo(GraftFileColumn.Name, v: String) => Set(v)
+      case In(GraftFileColumn.Name, vs)
+          if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }.reduceOption(_ intersect _)
   }
 
   override def readSchema(): StructType =
@@ -534,7 +622,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * parallel), not once per query per planning step. */
   override def estimateStatistics(): Statistics = {
     var rows = 0L; var bytes = 0L
-    FooterCache.rowGroups(path).foreach { rg =>
+    scanRowGroups.foreach { rg =>
       rows += rg.rowCount; bytes += rg.totalByteSize
     }
     val (fr, fb) = (rows, bytes)
@@ -554,8 +642,10 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     else ""
     val ag = pushedAgg.map(a => s", PushedAggregates: ${a._3} (footer-only)")
       .getOrElse("")
+    val ff = fileAllow.map(s => s", PushedFileFilter: ${s.size} file(s)")
+      .getOrElse("")
     s"GraftScanV2 ${path.split('/').last}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]$lim$tn$ag, " +
+      s"PushedFilters: [${filters.mkString(", ")}]$lim$tn$ag$ff, " +
       s"ReadSchema: ${readSchema().catalogString}" +
       (if (vectorized) ", Vectorized: true" else "")
   }
@@ -570,7 +660,13 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       // footer-only answer: one synthetic partition, no file I/O
       return Array(GraftInputPartition("", -1, 0L, 0L))
     }
-    val groups = FooterCache.rowGroups(path)
+    val groups = runtimeFileSet match {
+      // runtime `_file` filters arrive after footers are cached —
+      // they prune row groups, not the footer walk
+      case Some(allowed) => scanRowGroups.filter(rg =>
+        allowed.contains(rg.file))
+      case None => scanRowGroups
+    }
     val pruning = filters ++ runtimeFilters
     val kept =
       if (pruning.isEmpty) groups
@@ -647,7 +743,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * neither pruning nor grouping can trust the layout. */
   private lazy val bucketLayoutUsable: Option[graft.sources.BucketLayout] =
     bucketSpec.filter { b =>
-      FooterCache.rowGroups(path).forall { rg =>
+      scanRowGroups.forall { rg =>
         graft.sources.BucketLayout.bucketIdOf(new Path(rg.file).getName)
           .exists(_ < b.numBuckets)
       }
@@ -702,7 +798,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           }
         if (tsMixed) None
         else {
-          val byBucket = FooterCache.rowGroups(path).groupBy(rg =>
+          val byBucket = scanRowGroups.groupBy(rg =>
             graft.sources.BucketLayout.bucketIdOf(new Path(rg.file).getName))
           if (byBucket.keys.exists(_.isEmpty)) None
           else {
@@ -1353,6 +1449,24 @@ case class GraftVectorReaderFactory(conf: SerializableConfiguration,
   }
 }
 
+/** Executor-side location fallback: a snapshot-pinned partition's file
+  * may have been ARCHIVED by a commit that landed between planning and
+  * this task — the bytes are immutable, only the location moved to
+  * `.graft-archive/`. One exists() probe per task open, only on miss. */
+private[v2] object GraftReadPath {
+  def resolve(file: String, conf: Configuration): Path = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) p
+    else if (p.getParent != null &&
+        p.getParent.getName != GraftManifest.ArchiveDir) {
+      val twin = new Path(
+        new Path(p.getParent, GraftManifest.ArchiveDir), p.getName)
+      if (fs.exists(twin)) twin else p // let the original error surface
+    } else p
+  }
+}
+
 /** Reads one row group through Spark's vectorized parquet decoder.
   * The `FileSplit` range pins the row group (midpoint selection, same
   * as the row path); `limit >= 0` stops producing batches once the
@@ -1373,8 +1487,8 @@ class GraftVectorReader(part: GraftInputPartition,
     /* useOffHeap = */ false, /* capacity = */ math.max(batchSize, 16))
   locally {
     val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(part.file), part.startingPos, part.byteLen,
-      Array.empty[String])
+      GraftReadPath.resolve(part.file, conf), part.startingPos,
+      part.byteLen, Array.empty[String])
     val attemptId = new org.apache.hadoop.mapreduce.TaskAttemptID()
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, attemptId)
@@ -1514,8 +1628,8 @@ class GraftRowGroupReader(part: GraftInputPartition,
     conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
-  private val inputFile =
-    HadoopInputFile.fromPath(new Path(part.file), conf)
+  private val inputFile = HadoopInputFile.fromPath(
+    GraftReadPath.resolve(part.file, conf), conf)
   // select ONLY this row group via its byte offset
   private val reader = ParquetFileReader.open(inputFile,
     ParquetReadOptions.builder()
@@ -1875,6 +1989,22 @@ object FooterCache {
 
   def rowGroups(path: String): Seq[RowGroupMeta] =
     fileMetas(path).flatMap(_.groups)
+
+  /** Data-file paths by LISTING ONLY — no footer is opened. The entry
+    * point for `_file`-predicate pruning: the allowed set filters this
+    * list BEFORE any footer work happens. */
+  def filePaths(path: String): Seq[String] = {
+    val conf = GraftHadoopConf.sessionConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName).map(_.getPath.toString)
+    } else Seq(p.toString)
+  }
 
   /** Row groups of an EXPLICIT file set (a manifest snapshot) instead
     * of the directory listing. Same (path, len, mtime) cache. A root

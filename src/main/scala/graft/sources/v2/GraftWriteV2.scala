@@ -232,6 +232,77 @@ private[v2] object GraftSwapV2 {
     }
     fs.delete(backup, true)
   }
+
+  /** The VERSIONED swap every V2 mutation commits through: replaces
+    * `victims` with `incoming` as one manifest CAS against the state
+    * the caller read ([[GraftManifest]]). Ordering is what makes
+    * concurrent reads snapshot-consistent:
+    *
+    *  1. `incoming` renames into the table root — invisible, because
+    *     no committed manifest references those names yet;
+    *  2. manifest version `readState.version + 1` commits by CAS —
+    *     THE commit point. A racing writer already took the slot →
+    *     remove the staged-in files and throw
+    *     [[java.util.ConcurrentModificationException]]: the loser
+    *     aborts cleanly, live data untouched;
+    *  3. `victims` rename into `.graft-archive/` — no current reader
+    *     references them (v+1 doesn't), and pinned readers of older
+    *     versions resolve archived names there
+    *     ([[GraftManifest.resolve]], [[FooterCache.rowGroupsFor]]).
+    *
+    * A rename failure in step 3 leaves the commit STANDING (the
+    * manifest is truth; stray root files are invisible to manifest
+    * readers) and throws so the operator surfaces the stranded files.
+    */
+  def parkAndSwapVersioned(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, readState: GraftManifest.Snapshot,
+      victims: Seq[Path], incoming: Seq[Path]): Long = {
+    val victimNames = victims.map(_.getName).toSet
+    val newNames = readState.names.filterNot(victimNames) ++
+      incoming.map(_.getName)
+    val movedIn = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def dropMovedIn(): Unit = movedIn.foreach { p =>
+      try fs.delete(p, false) catch { case _: Throwable => () }
+    }
+    try {
+      incoming.foreach { src =>
+        val dst = new Path(target, src.getName)
+        if (!fs.rename(src, dst)) {
+          throw new java.io.IOException(s"commit rename $src -> $dst failed")
+        }
+        movedIn += dst
+      }
+    } catch { case e: Throwable => dropMovedIn(); throw e }
+    if (!GraftManifest.tryCommit(fs, target, readState.version, newNames)) {
+      // abort — but never delete a moved-in file the WINNER's manifest
+      // references: a first-commit racer derives its live set from the
+      // listing, which can have caught this job's staged-in names
+      val winnerNames = GraftManifest.current(fs, target)
+        .map(_.names.toSet).getOrElse(Set.empty)
+      movedIn.foreach { p =>
+        if (!winnerNames.contains(p.getName)) {
+          try fs.delete(p, false) catch { case _: Throwable => () }
+        }
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"graft-v2: commit to $target lost the race for version " +
+        s"${readState.version + 1} — a concurrent writer committed " +
+        "first; this operation was rolled back cleanly, re-run it " +
+        "against the new state")
+    }
+    val archive = new Path(target, GraftManifest.ArchiveDir)
+    if (victims.nonEmpty) fs.mkdirs(archive)
+    victims.foreach { p =>
+      if (!fs.rename(p, new Path(archive, p.getName))) {
+        throw new java.io.IOException(
+          s"graft-v2: version ${readState.version + 1} of $target " +
+          s"committed, but archiving replaced file $p failed — the " +
+          "file is now stranded (invisible to manifest readers); " +
+          "move it to .graft-archive/ manually")
+      }
+    }
+    readState.version + 1
+  }
 }
 
 private[v2] case class GraftCommitV2(file: String)
@@ -303,29 +374,35 @@ class GraftBatchWriteV2(path: String, schema: StructType,
       }
     }
 
-    def parkAndSwap(victims: Seq[Path], incoming: Seq[Path]): Unit =
-      GraftSwapV2.parkAndSwap(fs, target, jobId, victims, incoming)
-
-    def targetParts(): Seq[Path] = fs.listStatus(target)
-      .filter(st => st.getPath.getName.startsWith("part-"))
-      .map(_.getPath).toSeq
-
     (truncateFirst, overwriteCond) match {
       case (true, _) =>
-        parkAndSwap(targetParts(), committed.map(new Path(_)).toSeq)
+        // replace the PINNED live set (manifest CAS fences racers; a
+        // first-ever mutation bootstraps v1 = pre-mutation state)
+        val readState = GraftManifest.pinForMutation(fs, target)
+        GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
+          readState.names.map(new Path(target, _)),
+          committed.map(new Path(_)).toSeq)
       case (false, Some(cond)) =>
         // predicate overwrite: classify from footer stats, rewrite only
         // the boundary files (distributed job, null-safe NOT cond),
         // then swap victims for staged + residue in one park protocol
-        val (_, deleteWhole, rewrite) =
-          graft.sources.PredicateFiles.classify(cond, targetParts())
+        val readState = GraftManifest.pinForMutation(fs, target)
+        val (_, deleteWhole, rewrite) = graft.sources.PredicateFiles
+          .classify(cond, readState.names.map(new Path(target, _)))
         val residue: Seq[Path] =
           if (rewrite.isEmpty) Seq.empty
           else graft.sources.PredicateFiles.residueJob(
             SparkSession.active, fs, cond, rewrite, staging)
-        parkAndSwap(deleteWhole ++ rewrite,
+        GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
+          deleteWhole ++ rewrite,
           committed.map(new Path(_)).toSeq ++ residue)
-      case _ => renameIn()
+      case _ =>
+        renameIn()
+        // advances the manifest of a post-DML table (concurrent
+        // appends commute — CAS retry, not hard loss); never-mutated
+        // tables stay manifest-free
+        GraftManifest.advanceAppend(fs, target,
+          committed.map(new Path(_).getName).toSeq)
     }
     fs.delete(staging, true) // sweeps zombie/speculative attempts
     (truncateFirst, widenTo) match {

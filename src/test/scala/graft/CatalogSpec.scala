@@ -509,4 +509,148 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.table("graft.bad.t").count() == before,
       s"failed replace must not mutate (error was: ${e.getMessage})")
   }
+
+  // ===== snapshot isolation / time travel (GraftManifest) =====
+
+  private def manifestFs = new org.apache.hadoop.fs.Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("manifests version mutations; VERSION AS OF time-travels") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.tt.t SELECT id, id * 2 FROM range(0, 1000)")
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/t")
+    val fs = manifestFs
+    // never-mutated table: no manifest, plain listing semantics
+    assert(GraftManifest.versions(fs, dir).isEmpty)
+    // first mutation bootstraps v1 = the PRE-mutation state, commits v2
+    spark.sql("DELETE FROM graft.tt.t WHERE id >= 500")
+    assert(GraftManifest.versions(fs, dir) == Seq(1L, 2L))
+    assert(spark.table("graft.tt.t").count() == 500)
+    val v1 = spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 1")
+    assert(v1.count() == 1000)
+    assert(v1.agg(sum(col("v"))).head.getLong(0) ==
+      (0L until 1000L).map(_ * 2).sum)
+    assert(spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 2")
+      .head.getLong(0) == 500)
+    // an append AFTER the first mutation advances the manifest
+    spark.sql("INSERT INTO graft.tt.t SELECT id, id * 2 " +
+      "FROM range(2000, 2100)")
+    assert(GraftManifest.versions(fs, dir) == Seq(1L, 2L, 3L))
+    assert(spark.table("graft.tt.t").count() == 600)
+    // pinned versions unaffected by the append
+    assert(spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 1")
+      .head.getLong(0) == 1000)
+    // unknown version: clear error naming the committed ones
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 9").collect()
+    }
+    assert(e.getMessage.contains("no version 9"), e.getMessage)
+  }
+
+  test("pinned snapshots serve archived files after later DML") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.arch (id BIGINT, v BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.tt.arch SELECT id, id AS v " +
+        s"FROM range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    spark.sql("DELETE FROM graft.tt.arch WHERE id >= 3500") // v1 pre, v2
+    assert(spark.table("graft.tt.arch").count() == 3500)
+    // a second, much bigger DELETE archives most of v2's files
+    spark.sql("DELETE FROM graft.tt.arch WHERE id >= 100") // v3
+    assert(spark.table("graft.tt.arch").count() == 100)
+    // v2 still reads its full 3500 rows — the files a later commit
+    // removed resolve into .graft-archive/
+    val v2 = spark.sql("SELECT * FROM graft.tt.arch VERSION AS OF 2")
+    assert(v2.count() == 3500)
+    assert(v2.agg(max(col("id"))).head.getLong(0) == 3499L)
+    assert(spark.sql("SELECT count(*) FROM graft.tt.arch VERSION AS OF 1")
+      .head.getLong(0) == 4000)
+  }
+
+  test("manifest CAS: a writer pinned on a stale version loses cleanly") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.race (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.race SELECT id FROM range(0, 2000)")
+    spark.sql("DELETE FROM graft.tt.race WHERE id >= 1500") // v1, v2
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/race")
+    val fs = manifestFs
+    // writer A pins the current version ...
+    val pinnedA = GraftManifest.pinForMutation(fs, dir)
+    assert(pinnedA.version == 2L)
+    // ... writer B commits first (a real DELETE -> v3) ...
+    spark.sql("DELETE FROM graft.tt.race WHERE id >= 1000")
+    // ... so A's CAS against its pinned version MUST fail, and the
+    // committed state is untouched by the attempt
+    assert(!GraftManifest.tryCommit(fs, dir, pinnedA.version,
+      pinnedA.names))
+    assert(GraftManifest.versions(fs, dir) == Seq(1L, 2L, 3L))
+    assert(spark.table("graft.tt.race").count() == 1000)
+  }
+
+  test("two concurrent DELETEs: serial win-win or one clean loser") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.race2 (id BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.tt.race2 SELECT id " +
+        s"FROM range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    def isCme(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.util.ConcurrentModificationException])
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    try {
+      val fs = Seq("id < 1000", "id >= 3000").map { pred =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          override def call(): Option[Throwable] = {
+            start.await(10, TimeUnit.SECONDS)
+            try { spark.sql(s"DELETE FROM graft.tt.race2 WHERE $pred"); None }
+            catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      start.countDown()
+      val outcomes = fs.map(_.get(120, TimeUnit.SECONDS))
+      val failures = outcomes.flatten
+      failures.foreach(t => assert(isCme(t),
+        s"only a clean CAS loss is acceptable, got: $t"))
+      val expect = failures.length match {
+        case 0 => 2000L // both committed (serialized)
+        case 1 => 3000L // one lost cleanly, its rows untouched
+        case n => fail(s"$n failures: ${failures.map(_.getMessage)}")
+      }
+      assert(spark.table("graft.tt.race2").count() == expect,
+        s"final state must reflect exactly the committed DELETEs " +
+        s"(${failures.length} loser(s))")
+    } finally pool.shutdownNow()
+  }
+
+  test("vacuum drops old versions and their archived files") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.vac (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.vac SELECT id FROM range(0, 1000)")
+    spark.sql("DELETE FROM graft.tt.vac WHERE id >= 800") // v1, v2
+    spark.sql("DELETE FROM graft.tt.vac WHERE id >= 500") // v3
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/vac")
+    val fs = manifestFs
+    assert(GraftManifest.versions(fs, dir) == Seq(1L, 2L, 3L))
+    GraftManifest.vacuum(fs, dir, keepVersions = 1)
+    assert(GraftManifest.versions(fs, dir) == Seq(3L))
+    // current reads unaffected; pre-horizon time travel now errors
+    assert(spark.table("graft.tt.vac").count() == 500)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt.vac VERSION AS OF 1").collect()
+    }
+  }
 }

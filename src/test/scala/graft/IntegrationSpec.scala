@@ -19,18 +19,14 @@ class IntegrationSpec extends SparkTestBase {
     val qs = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
     assert(oracled.subsetOf(qs), s"orphan oracle: ${oracled -- qs}")
-    // non-oracled queries are the documented †-set (round 2 moved
-    // q_udaf_custom, q_dedup_embedding, q_ann_lsh to static oracles;
-    // round 5 moved q_lang_id, q_fingerprint and the three hash-dedup
-    // queries via the DuckHash mod-2^64 renderings). Only the HLL
-    // sketch (implementation-specific estimate) and the codec stub
-    // remain rows-only — both inherently un-oracle-able.
+    // EVERY query carries an oracle since round 7 (the last holdout,
+    // q_multimodal_decode, gained a real PPM codec whose bytes a
+    // DuckDB oracle rebuilds exactly).
     // q_ann_ivf's oracle is DATA-DEPENDENT (rendered from the trained
     // quantizer after queries run, as in graft.Verify), so it may be
     // absent here where no query has executed.
-    val expected = Set("q_multimodal_decode")
     val got = (qs -- oracled) - "q_ann_ivf"
-    assert(got == expected, s"unexpected: ${got -- expected}")
+    assert(got.isEmpty, s"queries without oracle: $got")
   }
 
   test("approx_count_distinct estimates within 5% of exact (HLL sanity)") {

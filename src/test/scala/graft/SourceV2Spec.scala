@@ -356,6 +356,45 @@ class SourceV2Spec extends SparkTestBase {
     assert(e.getMessage.contains("schema mismatch"), e.getMessage)
   }
 
+  test("_file point/IN predicates prune the listing before footer work") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-fprune")
+      .resolve("t").toString
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    def v2read = spark.read.format("graft-v2").option("path", dir).load()
+    assert(v2read.select(col("_file")).distinct().count() == 4)
+    // part names are job-unique (lexicographic order != insert order):
+    // resolve each insert's file from the data
+    def fileOf(id: Long): String = v2read.filter(col("id") === id)
+      .select(col("_file")).as[String].head
+    val files = Seq(0L, 100L, 200L, 300L).map(fileOf)
+    // point predicate: only the named file's row groups plan
+    val one = v2read.filter(col("_file") === files(0))
+      .select(col("id"), col("_file"))
+    assert(one.rdd.getNumPartitions == 1,
+      s"expected 1 planned row group, plan:\n" +
+        one.queryExecution.executedPlan)
+    assert(one.queryExecution.executedPlan.toString
+      .contains("PushedFileFilter: 1 file"),
+      one.queryExecution.executedPlan.toString)
+    val ids = one.select(col("id")).as[Long].collect().sorted
+    assert(ids.length == 100 && ids.head == 0L && ids.last == 99L)
+    // IN predicate over two files
+    val two = v2read.filter(col("_file").isin(files(1), files(2)))
+      .select(col("id"))
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.count() == 200)
+    // row mode takes the same path
+    val rowMode = spark.read.format("graft-v2").option("path", dir)
+      .option("vectorized", "false").load()
+      .filter(col("_file") === files(3)).select(col("id"))
+    assert(rowMode.rdd.getNumPartitions == 1)
+    assert(rowMode.count() == 100)
+  }
+
   test("V2 write: a widened append records the schema marker " +
       "(visibility independent of file name order)") {
     import graft.sources.v2.GraftCatalog
