@@ -34,7 +34,12 @@ object Bench {
     // sandbox is ±30% noisy, and one stall smeared a 4-6x phantom
     // regression across the window family in earlier rounds). The min
     // is the steady-state plan cost — what a warm cluster pays.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Default 3 since round 7: the round-6 q_scan_v2 "regression"
+    // (1.35 s vs 0.43 s in the same round's SCALE_PROBE) was a stall
+    // that hit BOTH of min-of-2's runs — ProfQ then measured the same
+    // query at 0.34-0.45 s over six consecutive executions. Three
+    // runs make a double-stall phantom an order rarer.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // min over SUCCESSFUL runs only — a fast-failing run's latency

@@ -188,7 +188,8 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize,
       bucketSpec, groupByBucket,
       versionAsOf.orElse(
-        Option(options.get("versionAsOf")).map(_.toLong)))
+        Option(options.get("versionAsOf")).map(_.toLong)),
+      mergeRuns = options.getBoolean("mergeSortedRuns", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -214,7 +215,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     vectorizedRequested: Boolean, batchSize: Int = 4096,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     groupByBucket: Boolean = true,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    mergeRuns: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -518,7 +520,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     // tables keep plain listing semantics (None).
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
-      appendFile, snapshotFiles, fileAllow)
+      appendFile, snapshotFiles, fileAllow, mergeRuns)
   }
 }
 
@@ -549,7 +551,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     groupByBucket: Boolean = true,
     appendFile: Boolean = false,
     snapshot: Option[Seq[String]] = None,
-    fileAllow: Option[Set[String]] = None)
+    fileAllow: Option[Set[String]] = None,
+    mergeRuns: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -864,13 +867,31 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     } else None
   }
 
+  /** OVERLAPPING sorted runs, merged at read time: when footer stats
+    * cannot prove disjoint runs, the `mergeSortedRuns` read option
+    * buys the ordering report back by k-way merging each bucket's
+    * per-file sorted runs inside the partition — row-mode readers (a
+    * priority queue cannot consume columnar batches) and a per-row
+    * copy, so it costs real read throughput; that is why it is opt-in
+    * while the stat-proof path (zero cost) is the default. Declined
+    * whenever the merged order would not be the reported one: pushed
+    * top-k or limit (bounded emission re-orders), footer-answered
+    * aggregates, sort columns off the projection, nested columns (no
+    * row-mode converter). */
+  private lazy val mergeActive: Boolean =
+    mergeRuns && topNLimit < 0 && limit < 0 && pushedAgg.isEmpty &&
+      sortedRunOrder.isEmpty &&
+      bucketGrouping.exists(b => b.sortCols.nonEmpty &&
+        b.sortCols.forall(projectedSchema.fieldNames.contains)) &&
+      !projectedSchema.fields.exists(f => ParquetMeta.isNested(f.dataType))
+
   private lazy val bucketOrdering: Array[
       org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     bucketGrouping match {
       case Some(b) if b.sortCols.nonEmpty && topNLimit < 0 &&
           b.sortCols.forall(projectedSchema.fieldNames.contains) &&
-          sortedRunOrder.isDefined =>
+          (sortedRunOrder.isDefined || mergeActive) =>
         // sortWithinPartitions default: ascending, nulls first
         b.sortCols.map(c =>
           Expressions.sort(Expressions.column(c),
@@ -909,6 +930,18 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     new GraftMicroBatchStream(path, checkpointLocation, this)
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    if (mergeActive) {
+      // merged-run buckets: ROW readers (a priority queue cannot
+      // consume columnar batches), wrapped by the k-way merge
+      val row = GraftReaderFactory(projectedSchema, filters, -1,
+        Array.empty, -1,
+        new SerializableConfiguration(GraftHadoopConf.sessionConf()))
+      val base = if (appendFile) FileAppendReaderFactory(row) else row
+      val sortCols = bucketGrouping.map(_.sortCols).getOrElse(Nil)
+      val ords = sortCols.map(projectedSchema.fieldIndex).toArray
+      val dts = ords.map(projectedSchema.fields(_).dataType)
+      return BucketMergeReaderFactory(base, ords, dts)
+    }
     val raw = createBaseReaderFactory()
     // `_file` metadata column: a per-partition constant appended by a
     // wrapping reader (the partition knows its file)
@@ -1102,6 +1135,102 @@ private[v2] class ConcatPartitionReader[T](
   override def get(): T = cur.get()
 
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
+
+/** K-way merge over a bucket's OVERLAPPING sorted runs (the
+  * `mergeSortedRuns` read path): each FILE is one sorted run (its row
+  * groups chain in order); a priority queue on the layout's sort
+  * columns interleaves the file heads, so the partition emits the
+  * bucket's rows in exactly the order [[GraftScanV2.outputOrdering]]
+  * reports — and the SMJ sorts disappear even when footer stats cannot
+  * prove disjointness. One open sub-reader per RUN (k at a time, vs
+  * the concat reader's one total) and a defensive per-row copy (the
+  * `_file` wrapper reuses its row object): the price of merging, which
+  * is why the stat-proof path stays the default. */
+case class BucketMergeReaderFactory(inner: PartitionReaderFactory,
+    sortOrds: Array[Int],
+    sortTypes: Array[DataType]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case b: GraftBucketedPartition =>
+      val runs: Array[Array[GraftInputPartition]] = b.parts
+        .groupBy(_.file).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_.rowGroup))
+      new KWayMergeReader(runs, inner.createReader, sortOrds, sortTypes)
+    case other => inner.createReader(other)
+  }
+}
+
+private[v2] class KWayMergeReader(
+    runs: Array[Array[GraftInputPartition]],
+    mk: InputPartition => PartitionReader[InternalRow],
+    sortOrds: Array[Int], sortTypes: Array[DataType])
+    extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, InterpretedOrdering, SortOrder => CatSortOrder}
+
+  // sortWithinPartitions default: ascending, nulls first — the exact
+  // ordering the scan reports
+  private val ord = new InterpretedOrdering(
+    sortOrds.zip(sortTypes).map { case (i, dt) =>
+      CatSortOrder(BoundReference(i, dt, nullable = true), Ascending)
+    }.toIndexedSeq)
+
+  private final class Run(parts: Array[GraftInputPartition]) {
+    private var i = 0
+    private var cur: PartitionReader[InternalRow] = _
+    var head: InternalRow = _
+    /** Load the next row into `head`; false = run exhausted. */
+    def advance(): Boolean = {
+      while (true) {
+        if (cur == null) {
+          if (i >= parts.length) { head = null; return false }
+          cur = mk(parts(i))
+          i += 1
+        }
+        if (cur.next()) {
+          // copy: sub-readers may reuse their row object, and the
+          // queue holds k heads concurrently
+          head = cur.get().copy()
+          return true
+        }
+        cur.close(); cur = null
+      }
+      false // unreachable
+    }
+    def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  }
+
+  private val heap = new java.util.PriorityQueue[Run](
+    math.max(1, runs.length),
+    (a: Run, b: Run) => ord.compare(a.head, b.head))
+  locally {
+    runs.foreach { ps =>
+      val r = new Run(ps)
+      if (r.advance()) heap.add(r)
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val top = heap.poll()
+    if (top == null) return false
+    current = top.head
+    if (top.advance()) heap.add(top)
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = {
+    heap.forEach(_.close())
+    heap.clear()
+  }
 }
 
 case class GraftReaderFactory(readSchema: StructType,

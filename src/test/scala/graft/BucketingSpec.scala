@@ -427,6 +427,24 @@ class BucketingSpec extends SparkTestBase {
       val fp2 = finalPlan(joined2)
       assert(fp2.toString.contains("Sort ["),
         s"overlapping runs must NOT report ordering:\n$fp2")
+      // ... unless the reader is asked to MERGE the overlapping runs:
+      // the k-way merge emits each bucket in the reported order, so
+      // the sorts disappear again — and the row-level join check is
+      // the proof the merged order is real (an unsorted concat under
+      // an elided SMJ sort silently drops matches)
+      val tm = spark.read.option("mergeSortedRuns", "true")
+        .table("spjmcat.t")
+      val um = spark.read.option("mergeSortedRuns", "true")
+        .table("spjmcat.u")
+      val joined3 = tm.join(um, "k")
+      assert(joined3.count() == 15000)
+      // k in [2500,7500) appears twice in t -> those pair twice with u
+      assert(joined3.filter($"w" === $"k" * 7).count() == 15000,
+        "merged-run SMJ must pair every key occurrence")
+      val fp3 = finalPlan(joined3)
+      assert(!fp3.toString.contains("Exchange"), s"expected SPJ:\n$fp3")
+      assert(!fp3.toString.contains("Sort ["),
+        s"mergeSortedRuns must erase the SMJ sorts:\n$fp3")
     } finally restore.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
