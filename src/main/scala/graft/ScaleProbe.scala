@@ -25,6 +25,7 @@ object ScaleProbe {
   private val probeQueries = Seq(
     "q_scan_project", "q_scan_v2", "q_filter_pushdown",
     "q_partitioned_scan", "q_agg_hash", "q_window_rank",
+    "q_window_rank_hk",
     "q_token_count", "q_quality_score", "q_dedup_exact",
     "q_dedup_near", "q_dedup_simhash", "q_fingerprint")
 

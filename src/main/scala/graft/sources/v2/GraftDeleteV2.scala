@@ -60,8 +60,11 @@ object GraftDeleteV2 {
     ensureSchemaMarker(fs, target, schema)
     val readState = GraftManifest.pinForMutation(fs, target)
     if (readState.names.nonEmpty) {
+      // truncate absorbs racing appends: a retry re-victims the
+      // then-current live set
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
-        readState.names.map(new Path(target, _)), Seq.empty)
+        readState.names.map(new Path(target, _)), Seq.empty,
+        expandVictims = true)
     }
     true
   }
@@ -111,7 +114,15 @@ object GraftDeleteV2 {
         ensureSchemaMarker(fs, target, schema)
       }
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
-        deleteWhole ++ rewrite, residue)
+        deleteWhole ++ rewrite, residue,
+        // a racing append conflicts only if its files MIGHT hold rows
+        // this DELETE's predicate matches (footer-stats proof); a
+        // racer that touched our victims always makes us lose cleanly
+        addedSafe = added => {
+          val (_, dw, rw) = PredicateFiles.classify(
+            cond, added.map(new Path(target, _)))
+          dw.isEmpty && rw.isEmpty
+        })
     } finally {
       // sweeps zombie/speculative attempts too
       try fs.delete(staging, true) catch { case _: Throwable => () }

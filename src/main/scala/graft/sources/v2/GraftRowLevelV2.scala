@@ -57,6 +57,11 @@ case class GraftRowLevelOperation(path: String, tableSchema: StructType,
     * ([[GraftSwapV2.parkAndSwapVersioned]]). */
   @volatile private[v2] var readState: GraftManifest.Snapshot = _
 
+  /** The command's pushed condition (None = unconditioned): lets the
+    * commit prove a racing APPEND's files could not hold matching
+    * rows, so pure appends don't fail an unrelated UPDATE/MERGE. */
+  @volatile private[v2] var groupCond: Option[Filter] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String =
@@ -156,10 +161,11 @@ case class GraftCowScan(op: GraftRowLevelOperation,
       GraftManifest.resolve(fs, tdir, pinned.names).map(_.toString))
     val files = groups.map(_.file).distinct.map(new Path(_))
     val statAffected: Set[String] =
-      if (groupFilters.isEmpty) files.map(_.toString).toSet
+      if (groupFilters.isEmpty) { op.groupCond = None; files.map(_.toString).toSet }
       else {
         import org.apache.spark.sql.sources.And
         val cond = groupFilters.reduce[Filter](And(_, _))
+        op.groupCond = Some(cond)
         val (_, deleteWhole, rewrite) =
           graft.sources.PredicateFiles.classify(cond, files)
         (deleteWhole ++ rewrite).map(_.toString).toSet
@@ -233,7 +239,15 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)
         .getOrElse(GraftManifest.pinForMutation(fs, target))
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         op.scannedFiles.map(new Path(_)),
-        collectFiles(messages).map(new Path(_)))
+        collectFiles(messages).map(new Path(_)),
+        // a racing append conflicts only when its files MIGHT hold
+        // rows this operation's condition matches; an unconditioned
+        // UPDATE/MERGE touches everything, so any added file conflicts
+        addedSafe = added => op.groupCond.exists { cond =>
+          val (_, dw, rw) = graft.sources.PredicateFiles.classify(
+            cond, added.map(new Path(target, _)))
+          dw.isEmpty && rw.isEmpty
+        })
     } finally {
       // sweeps zombie/speculative attempts
       try fs.delete(staging, true) catch { case _: Throwable => () }

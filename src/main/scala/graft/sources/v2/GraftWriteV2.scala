@@ -254,16 +254,23 @@ private[v2] object GraftSwapV2 {
     * manifest is truth; stray root files are invisible to manifest
     * readers) and throws so the operator surfaces the stranded files.
     */
+  /** @param addedSafe conflict revalidation: given the file NAMES a
+    *   racing commit added since this operation pinned its snapshot,
+    *   return true iff the operation's result is unaffected by them
+    *   (e.g. a DELETE whose footer stats prove no added file can hold
+    *   a matching row). True → the CAS retries against the new
+    *   version; false (the default) → clean abort. Victims must also
+    *   all still be live for a retry — a racer that touched them is a
+    *   REAL conflict and always loses cleanly.
+    * @param expandVictims truncate semantics: a retry re-victims the
+    *   current live set (everything goes, including racer appends). */
   def parkAndSwapVersioned(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, readState: GraftManifest.Snapshot,
-      victims: Seq[Path], incoming: Seq[Path]): Long = {
-    val victimNames = victims.map(_.getName).toSet
-    val newNames = readState.names.filterNot(victimNames) ++
-      incoming.map(_.getName)
+      victims0: Seq[Path], incoming: Seq[Path],
+      addedSafe: Seq[String] => Boolean = _ => false,
+      expandVictims: Boolean = false): Long = {
+    val incomingNames = incoming.map(_.getName).toSet
     val movedIn = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def dropMovedIn(): Unit = movedIn.foreach { p =>
-      try fs.delete(p, false) catch { case _: Throwable => () }
-    }
     try {
       incoming.foreach { src =>
         val dst = new Path(target, src.getName)
@@ -272,36 +279,71 @@ private[v2] object GraftSwapV2 {
         }
         movedIn += dst
       }
-    } catch { case e: Throwable => dropMovedIn(); throw e }
-    if (!GraftManifest.tryCommit(fs, target, readState.version, newNames)) {
-      // abort — but never delete a moved-in file the WINNER's manifest
-      // references: a first-commit racer derives its live set from the
-      // listing, which can have caught this job's staged-in names
-      val winnerNames = GraftManifest.current(fs, target)
-        .map(_.names.toSet).getOrElse(Set.empty)
-      movedIn.foreach { p =>
-        if (!winnerNames.contains(p.getName)) {
+    } catch {
+      case e: Throwable =>
+        movedIn.foreach { p =>
           try fs.delete(p, false) catch { case _: Throwable => () }
         }
+        throw e
+    }
+    var state = readState
+    var victims = victims0
+    var attempts = 0
+    var committed = -1L
+    while (committed < 0) {
+      val victimNames = victims.map(_.getName).toSet
+      val newNames = state.names.filterNot(victimNames) ++
+        incoming.map(_.getName)
+      if (GraftManifest.tryCommit(fs, target, state.version, newNames)) {
+        committed = state.version + 1
+      } else {
+        attempts += 1
+        val cur = GraftManifest.current(fs, target)
+        val canRetry = attempts <= 20 && cur.exists { c =>
+          if (expandVictims) true
+          else {
+            val added = c.names.filterNot(n =>
+              readState.names.contains(n) || incomingNames.contains(n))
+            victims.forall(v => c.names.contains(v.getName)) &&
+              (added.isEmpty || addedSafe(added))
+          }
+        }
+        if (!canRetry) {
+          // abort — but never delete a moved-in file the WINNER's
+          // manifest references: a first-commit racer derives its live
+          // set from the listing, which can have caught this job's
+          // staged-in names
+          val winnerNames = cur.map(_.names.toSet).getOrElse(Set.empty)
+          movedIn.foreach { p =>
+            if (!winnerNames.contains(p.getName)) {
+              try fs.delete(p, false) catch { case _: Throwable => () }
+            }
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"graft-v2: commit to $target lost the race for version " +
+            s"${state.version + 1} — a concurrent writer's changes " +
+            "conflict with this operation's read set; it was rolled " +
+            "back cleanly, re-run it against the new state")
+        }
+        state = cur.get
+        if (expandVictims) {
+          victims = state.names.filterNot(incomingNames.contains)
+            .map(new Path(target, _))
+        }
       }
-      throw new java.util.ConcurrentModificationException(
-        s"graft-v2: commit to $target lost the race for version " +
-        s"${readState.version + 1} — a concurrent writer committed " +
-        "first; this operation was rolled back cleanly, re-run it " +
-        "against the new state")
     }
     val archive = new Path(target, GraftManifest.ArchiveDir)
     if (victims.nonEmpty) fs.mkdirs(archive)
     victims.foreach { p =>
       if (!fs.rename(p, new Path(archive, p.getName))) {
         throw new java.io.IOException(
-          s"graft-v2: version ${readState.version + 1} of $target " +
+          s"graft-v2: version $committed of $target " +
           s"committed, but archiving replaced file $p failed — the " +
           "file is now stranded (invisible to manifest readers); " +
           "move it to .graft-archive/ manually")
       }
     }
-    readState.version + 1
+    committed
   }
 }
 
@@ -377,11 +419,13 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     (truncateFirst, overwriteCond) match {
       case (true, _) =>
         // replace the PINNED live set (manifest CAS fences racers; a
-        // first-ever mutation bootstraps v1 = pre-mutation state)
+        // first-ever mutation bootstraps v1 = pre-mutation state).
+        // Truncate semantics absorb racing appends: a retry re-victims
+        // the then-current live set
         val readState = GraftManifest.pinForMutation(fs, target)
         GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
           readState.names.map(new Path(target, _)),
-          committed.map(new Path(_)).toSeq)
+          committed.map(new Path(_)).toSeq, expandVictims = true)
       case (false, Some(cond)) =>
         // predicate overwrite: classify from footer stats, rewrite only
         // the boundary files (distributed job, null-safe NOT cond),
@@ -395,7 +439,14 @@ class GraftBatchWriteV2(path: String, schema: StructType,
             SparkSession.active, fs, cond, rewrite, staging)
         GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
           deleteWhole ++ rewrite,
-          committed.map(new Path(_)).toSeq ++ residue)
+          committed.map(new Path(_)).toSeq ++ residue,
+          // a racing append is a conflict only if its files MIGHT hold
+          // rows this predicate replaces (footer-stats classification)
+          addedSafe = added => {
+            val (_, dw, rw) = graft.sources.PredicateFiles.classify(
+              cond, added.map(new Path(target, _)))
+            dw.isEmpty && rw.isEmpty
+          })
       case _ =>
         renameIn()
         // advances the manifest of a post-DML table (concurrent

@@ -634,6 +634,76 @@ class CatalogSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("interleaved appends and DELETEs: appends always land, DELETEs " +
+      "retry past provably-unrelated appends") {
+    import java.util.concurrent.{Callable, CountDownLatch, Executors, TimeUnit}
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.mix (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.tt.mix SELECT id, 0 FROM range(0, 1000)")
+    spark.sql("DELETE FROM graft.tt.mix WHERE id >= 900") // bootstrap
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    def task[T](f: => T) = pool.submit(
+      new Callable[Either[Throwable, T]] {
+        override def call(): Either[Throwable, T] = {
+          start.await(10, TimeUnit.SECONDS)
+          try Right(f) catch { case t: Throwable => Left(t) }
+        }
+      })
+    try {
+      // two appenders, id >= 100000 (stats-disjoint from every DELETE
+      // predicate below), three commits each
+      val appenders = Seq(1L, 2L).map { a =>
+        task {
+          (0 until 3).foreach { i =>
+            val lo = a * 100000 + i * 1000
+            spark.sql(s"INSERT INTO graft.tt.mix " +
+              s"SELECT id, $a FROM range($lo, ${lo + 500})")
+          }
+        }
+      }
+      // two deleters over disjoint parts of the seed range
+      val deleters = Seq("id < 300", "id >= 600 AND id < 900").map {
+        pred => task {
+          spark.sql(s"DELETE FROM graft.tt.mix WHERE $pred")
+        }
+      }
+      start.countDown()
+      val appendResults = appenders.map(_.get(180, TimeUnit.SECONDS))
+      val deleteResults = deleters.map(_.get(180, TimeUnit.SECONDS))
+      // appends commute: they must NEVER fail
+      appendResults.foreach(r =>
+        assert(r.isRight, s"append must not fail: $r"))
+      // a deleter may only fail as a clean CAS loss (its victim files
+      // were touched by the OTHER deleter — possible when both ranges
+      // share a seed file)
+      def isCme(t: Throwable): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(_.isInstanceOf[
+            java.util.ConcurrentModificationException])
+      deleteResults.collect { case Left(t) => t }.foreach(t =>
+        assert(isCme(t), s"only a clean CAS loss is acceptable: $t"))
+      val t = spark.table("graft.tt.mix")
+      // every appended row present exactly once — no DELETE retry or
+      // loss may drop or duplicate a committed append
+      assert(t.filter(col("id") >= 100000).count() == 2 * 3 * 500)
+      // seed rows reflect exactly the committed DELETEs
+      val expectSeed = 900L - deleteResults.zip(Seq(300L, 300L))
+        .collect { case (Right(_), n) => n }.sum
+      assert(t.filter(col("id") < 1000).count() == expectSeed)
+      // the manifest IS the table: resolving the latest version reads
+      // the same rows the catalog serves
+      val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/mix")
+      val fs = manifestFs
+      val names = GraftManifest.current(fs, dir).get.names
+      val resolved = GraftManifest.resolve(fs, dir, names)
+        .map(_.toString)
+      assert(spark.read.parquet(resolved: _*).count() == t.count())
+    } finally pool.shutdownNow()
+  }
+
   test("vacuum drops old versions and their archived files") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse
