@@ -634,16 +634,18 @@ object SparkEntry {
     * a scratch graft catalog table (two appends -> multiple part
     * files, so the footer-stats classification sees whole-file AND
     * boundary cases), delete by predicate, return the survivors. The
-    * oracle is the null-safe complement over the source table. The
-    * catalog name is invocation-unique because Spark caches catalog
-    * instances (and their warehouse) by name. */
+    * oracle is the null-safe complement over the source table. */
   private val qDeleteFrom: Q = (s, dir) => {
-    val wh = java.nio.file.Files.createTempDirectory("graft-delq")
-      .toString
-    val cat = "graft_delq_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    // one deterministic scratch per sf dir, rebuilt per invocation —
+    // same rationale as scratchOrders
+    val tag = "del" + java.lang.Integer.toHexString(dir.hashCode)
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag"
+    val cat = s"graft_dml_$tag"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tdir = new org.apache.hadoop.fs.Path(s"$wh/orders")
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
     val orders = t(s, dir, "orders").select(col("o_orderkey"),
       col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
     val mid = 30000L
@@ -665,12 +667,19 @@ object SparkEntry {
     * mutated current state is additionally guarded (count must equal
     * the complement) so a broken swap cannot slip through. */
   private val qTimeTravel: Q = (s, dir) => {
-    val wh = java.nio.file.Files.createTempDirectory("graft-ttq")
-      .toString
-    val cat = "graft_ttq_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    // ONE scratch warehouse + catalog name per sf dir (Spark caches
+    // catalog instances by name, so the name must pin one warehouse
+    // path forever); each invocation rebuilds the table from scratch
+    // so repeated bench/verify runs stay at versions {1, 2} instead of
+    // accreting temp dirs and catalog instances
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-ttq-$tag"
+    val cat = s"graft_ttq_$tag"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tdir = new org.apache.hadoop.fs.Path(s"$wh/orders")
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
     val orders = t(s, dir, "orders").select(col("o_orderkey"),
       col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
     orders.write.format("graft-v2")
@@ -701,16 +710,23 @@ object SparkEntry {
   }
 
   /** Scratch-table helper for the DML queries: copies a 3-column
-    * `orders` projection into a fresh graft catalog table and returns
-    * the catalog-qualified name. Invocation-unique catalog names
-    * because Spark caches catalog instances (and their warehouse). */
-  private def scratchOrders(s: SparkSession, dir: String): String = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-dmlq")
-      .toString
-    val cat = "graft_dml_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    * `orders` projection into a graft catalog table and returns the
+    * catalog-qualified name. ONE deterministic warehouse + catalog
+    * name per (query, sf dir) — Spark caches catalog instances by
+    * name, so a name must pin one warehouse path forever; the table
+    * itself is rebuilt from scratch each invocation so repeated
+    * bench/verify runs don't accrete temp dirs or catalog
+    * instances. */
+  private def scratchOrders(s: SparkSession, dir: String,
+      tag0: String): String = {
+    val tag = tag0 + java.lang.Integer.toHexString(dir.hashCode)
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag"
+    val cat = s"graft_dml_$tag"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tdir = new org.apache.hadoop.fs.Path(s"$wh/orders")
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .write.format("graft-v2").option("path", s"$wh/orders")
@@ -723,7 +739,7 @@ object SparkEntry {
     * orders, returns the whole table. The oracle is the equivalent
     * CASE projection over the source. */
   private val qUpdate: Q = (s, dir) => {
-    val tbl = scratchOrders(s, dir)
+    val tbl = scratchOrders(s, dir, "upd")
     s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice * 2 " +
       "WHERE o_orderstatus = 'F'")
     s.sql(s"SELECT o_orderkey, o_totalprice, o_orderstatus FROM $tbl " +
@@ -734,7 +750,7 @@ object SparkEntry {
     * matched half and inserts the rest — the canonical upsert. The
     * oracle replays both branches with joins. */
   private val qMergeUpsert: Q = (s, dir) => {
-    val tbl = scratchOrders(s, dir)
+    val tbl = scratchOrders(s, dir, "mrg")
     s.sql(
       s"""MERGE INTO $tbl t
          |USING (SELECT o_orderkey * 2 AS k FROM $tbl

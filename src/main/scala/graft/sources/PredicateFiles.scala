@@ -209,26 +209,19 @@ private[graft] object PredicateFiles {
     // files (every other graft write path does): under Spark's INT96
     // default, timestamp-bearing residues would lose their parquet
     // unit (tsUnit reads None for INT96), degrading stat-based
-    // temporal pruning/classification on those files afterwards
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val legacyKey = "spark.sql.parquet.writeLegacyFormat"
-    val prevTs = spark.conf.getOption(tsKey)
-    val prevLegacy = spark.conf.getOption(legacyKey)
-    try {
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      spark.conf.set(legacyKey, "false")
-      spark.read.parquet(rewrite.map(_.toString): _*)
-        .filter(residueCondition(cond))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(staging.toString)
-    } finally {
-      def restore(key: String, prev: Option[String]): Unit = prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      restore(tsKey, prevTs)
-      restore(legacyKey, prevLegacy)
-    }
+    // temporal pruning/classification on those files afterwards.
+    // The overrides live in a CLONED session (own SQLConf, shared
+    // SparkContext) — mutate-and-restore of the caller's session conf
+    // would race concurrent writes on the same session and could leak
+    // the override permanently
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    iso.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    iso.read.parquet(rewrite.map(_.toString): _*)
+      .filter(residueCondition(cond))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(staging.toString)
     fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") &&
         !before.contains(p.getName)).toSeq

@@ -123,7 +123,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** SQL time travel — `SELECT ... FROM t VERSION AS OF n`: the scan
     * pins manifest version n's file set ([[GraftManifest]]), resolving
     * archived files into `.graft-archive/`. Versions exist from a
-    * table's first mutation (v1 = the pre-mutation state). */
+    * table's first mutation (v1 = the pre-mutation state).
+    *
+    * The schema is resolved from the PINNED VERSION's own files (first
+    * snapshot file's footer ∪ current marker extras), not the current
+    * footers — a truncate-overwrite that redefined the table must not
+    * shape-shift historical reads. Marker columns ALTERed in after
+    * version n still appear (as NULL) — versioning the marker into
+    * the manifest is the remaining refinement (NEXT.md). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
@@ -134,8 +141,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"version (committed: ${GraftManifest.versions(fs, dir)
             .mkString(", ")}), got '$version'")
     }
-    val schema = resolveSchema(dir)
-      .getOrElse(throw new NoSuchTableException(ident))
+    // fails fast (with the committed versions named) if v is unknown
+    val pinned = GraftManifest.snapshotFiles(fs, dir, Some(v))
+      .getOrElse(Seq.empty)
+    val footer = pinned.headOption.flatMap(p =>
+      FooterCache.schemaOption(p.toString).map(ParquetMeta.toStruct))
+    val marker = GraftCatalog.readMarker(fs, dir)
+    val schema = ((footer, marker) match {
+      case (Some(f), Some(m)) =>
+        val extra = m.fields
+          .filter(mf => !f.fieldNames.contains(mf.name))
+          .map(_.copy(nullable = true))
+        Some(StructType(f.fields ++ extra))
+      case (f, m) => f.orElse(m)
+    }).getOrElse(throw new NoSuchTableException(ident))
     GraftTableV2(dir.toString, schema,
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
       versionAsOf = Some(v))

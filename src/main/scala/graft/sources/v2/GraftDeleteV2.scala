@@ -118,11 +118,7 @@ object GraftDeleteV2 {
         // a racing append conflicts only if its files MIGHT hold rows
         // this DELETE's predicate matches (footer-stats proof); a
         // racer that touched our victims always makes us lose cleanly
-        addedSafe = added => {
-          val (_, dw, rw) = PredicateFiles.classify(
-            cond, added.map(new Path(target, _)))
-          dw.isEmpty && rw.isEmpty
-        })
+        addedSafe = GraftSwapV2.appendSafeUnder(target, cond))
     } finally {
       // sweeps zombie/speculative attempts too
       try fs.delete(staging, true) catch { case _: Throwable => () }

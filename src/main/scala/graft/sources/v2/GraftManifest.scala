@@ -59,6 +59,27 @@ object GraftManifest {
 
   private val lock = new Object
 
+  /** Per-table commit mutex: every commit CRITICAL SECTION (read state
+    * → physical renames → CAS → archive) runs under this, so a
+    * listing-derived commit (V1 sink refresh, first-manifest
+    * bootstrap) can never capture another commit's torn intermediate
+    * state (staged-in files before their CAS, un-archived victims
+    * after it). Same single-JVM boundary as the CAS itself; the path
+    * is qualified so every spelling of a table dir maps to one lock. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def commitLock(fs: FileSystem, table: Path): Object =
+    tableLocks.computeIfAbsent(
+      fs.makeQualified(table).toString, _ => new Object)
+
+  /** The `.graft-archive/` twin of a table-root file path (None for a
+    * path already in the archive) — THE definition of where a commit
+    * parks replaced files; every reader-side fallback resolves
+    * through it. */
+  def archiveTwin(p: Path): Option[Path] =
+    Option(p.getParent).filter(_.getName != ArchiveDir)
+      .map(par => new Path(new Path(par, ArchiveDir), p.getName))
+
   private def manifestDir(table: Path) = new Path(table, Dir)
   private def versionPath(table: Path, v: Long) =
     new Path(manifestDir(table), f"v$v%010d.txt")
@@ -124,15 +145,21 @@ object GraftManifest {
     * version 2 through the versioned swap. Tables nobody has mutated
     * stay manifest-free — plain listing semantics, zero overhead. */
   def pinForMutation(fs: FileSystem, table: Path): Snapshot =
-    current(fs, table).getOrElse {
-      val names = listingNames(fs, table)
-      if (tryCommit(fs, table, 0L, names)) Snapshot(1L, names)
-      else liveState(fs, table) // a racer bootstrapped first: use its v1
+    commitLock(fs, table).synchronized {
+      current(fs, table).getOrElse {
+        val names = listingNames(fs, table)
+        if (tryCommit(fs, table, 0L, names)) Snapshot(1L, names)
+        else liveState(fs, table) // a racer bootstrapped: use its v1
+      }
     }
 
   /** Append commit: advances the manifest when one exists (a post-DML
     * table), no-op otherwise (a never-mutated table keeps plain
-    * listing semantics and pays nothing). */
+    * listing semantics and pays nothing). Callers run it INSIDE the
+    * [[commitLock]] together with the renames that land the appended
+    * files — otherwise a racing first-mutation bootstrap could list
+    * the files yet this check could still see no manifest, leaving a
+    * committed append in no version. */
   def advanceAppend(fs: FileSystem, table: Path,
       added: Seq[String]): Unit =
     if (fs.exists(manifestDir(table))) commitAppend(fs, table, added)
@@ -159,20 +186,21 @@ object GraftManifest {
   /** Append-style commit (the new names only ADD to the live set, so
     * concurrent commits commute): retry the CAS against the freshest
     * state instead of failing. */
-  def commitAppend(fs: FileSystem, table: Path, added: Seq[String]): Unit = {
-    var attempts = 0
-    while (attempts < 50) {
-      val live = liveState(fs, table)
-      if (tryCommit(fs, table, live.version,
-          (live.names ++ added).distinct)) {
-        return
+  def commitAppend(fs: FileSystem, table: Path, added: Seq[String]): Unit =
+    commitLock(fs, table).synchronized {
+      var attempts = 0
+      while (attempts < 50) {
+        val live = liveState(fs, table)
+        if (tryCommit(fs, table, live.version,
+            (live.names ++ added).distinct)) {
+          return
+        }
+        attempts += 1
       }
-      attempts += 1
+      throw new java.util.ConcurrentModificationException(
+        s"graft-v2: append to $table could not commit after $attempts " +
+        "manifest CAS attempts")
     }
-    throw new java.util.ConcurrentModificationException(
-      s"graft-v2: append to $table could not commit after $attempts " +
-      "manifest CAS attempts")
-  }
 
   /** Post-commit hook for writers OUTSIDE the manifest protocol (the
     * V1 sink's saves and compaction): once a table has manifests,
@@ -181,18 +209,19 @@ object GraftManifest {
     * version. No-op for manifest-free tables. */
   def refreshIfPresent(fs: FileSystem, table: Path): Unit = {
     if (!fs.exists(manifestDir(table))) return
-    var attempts = 0
-    while (attempts < 50) {
+    // under the commit lock: a raw listing taken while another commit
+    // is mid-critical-section would capture its torn intermediate
+    // state (staged-in files pre-CAS / un-archived victims post-CAS)
+    commitLock(fs, table).synchronized {
       val live = liveState(fs, table)
       val names = listingNames(fs, table)
-      if (names == live.names ||
-          tryCommit(fs, table, live.version, names)) {
-        return
+      if (names != live.names && !tryCommit(fs, table, live.version, names)) {
+        throw new java.util.ConcurrentModificationException(
+          s"graft-v2: manifest refresh of $table lost the CAS under " +
+          "the commit lock — concurrent multi-driver writers need a " +
+          "commit service")
       }
-      attempts += 1
     }
-    throw new java.util.ConcurrentModificationException(
-      s"graft-v2: manifest refresh of $table lost $attempts CAS races")
   }
 
   /** Resolve a snapshot's names to openable paths: live files sit at

@@ -243,11 +243,8 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)
         // a racing append conflicts only when its files MIGHT hold
         // rows this operation's condition matches; an unconditioned
         // UPDATE/MERGE touches everything, so any added file conflicts
-        addedSafe = added => op.groupCond.exists { cond =>
-          val (_, dw, rw) = graft.sources.PredicateFiles.classify(
-            cond, added.map(new Path(target, _)))
-          dw.isEmpty && rw.isEmpty
-        })
+        addedSafe = added => op.groupCond.exists(cond =>
+          GraftSwapV2.appendSafeUnder(target, cond)(added)))
     } finally {
       // sweeps zombie/speculative attempts
       try fs.delete(staging, true) catch { case _: Throwable => () }

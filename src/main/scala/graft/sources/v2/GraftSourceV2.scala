@@ -572,13 +572,24 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * planning-time consumer (statistics, partition planning, layout
     * validation, the sorted-run prover) reads through here, so a scan
     * is internally consistent about its file set. */
+  /** `_file` pruning compares by file NAME, not full path: captured
+    * `_file` values are FS-qualified (`file:/wh/t/part-x.parquet`)
+    * while catalog/manifest paths are typically not, and a snapshot
+    * may serve the file from `.graft-archive/` — names are job-unique
+    * within a table, and the predicate itself stays residual, so the
+    * name match is a sound (conservative) pruning superset. */
+  private def fileNameSet(allowed: Set[String]): Set[String] =
+    allowed.map(s => new Path(s).getName)
+
   @transient private lazy val scanRowGroups: Seq[FooterCache.RowGroupMeta] =
     (snapshot, fileAllow) match {
       case (_, Some(allowed)) =>
         // `_file` pruning cuts the list BEFORE footer work: only the
         // named files' footers are ever opened
+        val names = fileNameSet(allowed)
         val base = snapshot.getOrElse(FooterCache.filePaths(path))
-        FooterCache.rowGroupsFor(base.filter(allowed.contains))
+        FooterCache.rowGroupsFor(
+          base.filter(p => names.contains(new Path(p).getName)))
       case (Some(files), None) => FooterCache.rowGroupsFor(files)
       case (None, None) => FooterCache.rowGroups(path)
     }
@@ -602,12 +613,18 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
   override def filter(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
     runtimeFilters = filters.filter(RowFilterEval.supports(_, projectedSchema))
-    runtimeFileSet = filters.collect {
-      case EqualTo(GraftFileColumn.Name, v: String) => Set(v)
-      case In(GraftFileColumn.Name, vs)
-          if vs.forall(_.isInstanceOf[String]) =>
-        vs.map(_.asInstanceOf[String]).toSet
-    }.reduceOption(_ intersect _)
+    // `_file` is file-path pruning ONLY when it is the appended
+    // METADATA column (appendFile); a real data column of that name
+    // takes the normal runtime-filter path above — treating its data
+    // values as paths would prune every partition
+    runtimeFileSet =
+      if (!appendFile) None
+      else filters.collect {
+        case EqualTo(GraftFileColumn.Name, v: String) => Set(v)
+        case In(GraftFileColumn.Name, vs)
+            if vs.forall(_.isInstanceOf[String]) =>
+          vs.map(_.asInstanceOf[String]).toSet
+      }.reduceOption(_ intersect _)
   }
 
   override def readSchema(): StructType =
@@ -665,9 +682,12 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     }
     val groups = runtimeFileSet match {
       // runtime `_file` filters arrive after footers are cached —
-      // they prune row groups, not the footer walk
-      case Some(allowed) => scanRowGroups.filter(rg =>
-        allowed.contains(rg.file))
+      // they prune row groups, not the footer walk (name match, same
+      // qualification rationale as fileNameSet)
+      case Some(allowed) =>
+        val names = fileNameSet(allowed)
+        scanRowGroups.filter(rg =>
+          names.contains(new Path(rg.file).getName))
       case None => scanRowGroups
     }
     val pruning = filters ++ runtimeFilters
@@ -1587,12 +1607,8 @@ private[v2] object GraftReadPath {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) p
-    else if (p.getParent != null &&
-        p.getParent.getName != GraftManifest.ArchiveDir) {
-      val twin = new Path(
-        new Path(p.getParent, GraftManifest.ArchiveDir), p.getName)
-      if (fs.exists(twin)) twin else p // let the original error surface
-    } else p
+    else GraftManifest.archiveTwin(p).filter(fs.exists)
+      .getOrElse(p) // let the original error surface
   }
 }
 
@@ -2147,11 +2163,11 @@ object FooterCache {
       val fs = p.getFileSystem(conf)
       try fs.getFileStatus(p)
       catch {
-        case _: java.io.FileNotFoundException
-            if p.getParent != null &&
-               p.getParent.getName != GraftManifest.ArchiveDir =>
-          fs.getFileStatus(new Path(
-            new Path(p.getParent, GraftManifest.ArchiveDir), p.getName))
+        case e: java.io.FileNotFoundException =>
+          GraftManifest.archiveTwin(p) match {
+            case Some(twin) => fs.getFileStatus(twin)
+            case None => throw e
+          }
       }
     }
     val missing = statuses.filter { f =>

@@ -264,11 +264,36 @@ private[v2] object GraftSwapV2 {
     *   REAL conflict and always loses cleanly.
     * @param expandVictims truncate semantics: a retry re-victims the
     *   current live set (everything goes, including racer appends). */
+  /** The conflict-revalidation predicate shared by DELETE, REPLACE
+    * WHERE and the row-level commit: a racing APPEND is safe exactly
+    * when footer stats prove none of its files can hold a row the
+    * mutation's condition matches. */
+  private[v2] def appendSafeUnder(target: Path,
+      cond: org.apache.spark.sql.sources.Filter)
+      : Seq[String] => Boolean = added => {
+    val (_, dw, rw) = graft.sources.PredicateFiles.classify(
+      cond, added.map(new Path(target, _)))
+    dw.isEmpty && rw.isEmpty
+  }
+
   def parkAndSwapVersioned(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, readState: GraftManifest.Snapshot,
       victims0: Seq[Path], incoming: Seq[Path],
       addedSafe: Seq[String] => Boolean = _ => false,
-      expandVictims: Boolean = false): Long = {
+      expandVictims: Boolean = false): Long =
+    // the whole critical section (renames in → CAS → archive) under
+    // the per-table commit lock, so no listing-derived commit can
+    // capture a torn intermediate state
+    GraftManifest.commitLock(fs, target).synchronized {
+      parkAndSwapLocked(fs, target, readState, victims0, incoming,
+        addedSafe, expandVictims)
+    }
+
+  private def parkAndSwapLocked(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, readState: GraftManifest.Snapshot,
+      victims0: Seq[Path], incoming: Seq[Path],
+      addedSafe: Seq[String] => Boolean,
+      expandVictims: Boolean): Long = {
     val incomingNames = incoming.map(_.getName).toSet
     val movedIn = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -292,8 +317,10 @@ private[v2] object GraftSwapV2 {
     var committed = -1L
     while (committed < 0) {
       val victimNames = victims.map(_.getName).toSet
-      val newNames = state.names.filterNot(victimNames) ++
-        incoming.map(_.getName)
+      // distinct: a listing-derived winner may ALREADY list this op's
+      // staged-in names — appending them again would double-count
+      val newNames = (state.names.filterNot(victimNames) ++
+        incoming.map(_.getName)).distinct
       if (GraftManifest.tryCommit(fs, target, state.version, newNames)) {
         committed = state.version + 1
       } else {
@@ -442,18 +469,18 @@ class GraftBatchWriteV2(path: String, schema: StructType,
           committed.map(new Path(_)).toSeq ++ residue,
           // a racing append is a conflict only if its files MIGHT hold
           // rows this predicate replaces (footer-stats classification)
-          addedSafe = added => {
-            val (_, dw, rw) = graft.sources.PredicateFiles.classify(
-              cond, added.map(new Path(target, _)))
-            dw.isEmpty && rw.isEmpty
-          })
+          addedSafe = GraftSwapV2.appendSafeUnder(target, cond))
       case _ =>
-        renameIn()
-        // advances the manifest of a post-DML table (concurrent
-        // appends commute — CAS retry, not hard loss); never-mutated
-        // tables stay manifest-free
-        GraftManifest.advanceAppend(fs, target,
-          committed.map(new Path(_).getName).toSeq)
+        // rename-in + manifest advance as ONE commit-lock critical
+        // section: a racing first-mutation bootstrap either fully
+        // precedes this append (its v1 misses these files, the advance
+        // then sees the manifest and commits them) or fully follows it
+        // (its listing-derived v1 includes them) — never a torn mix
+        GraftManifest.commitLock(fs, target).synchronized {
+          renameIn()
+          GraftManifest.advanceAppend(fs, target,
+            committed.map(new Path(_).getName).toSeq)
+        }
     }
     fs.delete(staging, true) // sweeps zombie/speculative attempts
     (truncateFirst, widenTo) match {

@@ -704,6 +704,30 @@ class CatalogSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("_file pruning works on a manifest-bearing (post-DML) table") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.fp (id BIGINT, v BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.tt.fp SELECT id, id FROM " +
+        s"range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    spark.sql("DELETE FROM graft.tt.fp WHERE id >= 2500") // manifests on
+    // captured `_file` values are FS-QUALIFIED; the manifest snapshot
+    // paths are built from the catalog's unqualified table dir — the
+    // pruning must still match (by name), not silently plan zero
+    // row groups
+    val f0 = spark.table("graft.tt.fp").where(col("id") === 0)
+      .select(col("_file")).head.getString(0)
+    val one = spark.table("graft.tt.fp")
+      .filter(col("_file") === f0).select(col("id"))
+    assert(one.count() > 0, "pruned scan lost the named file's rows")
+    assert(one.rdd.getNumPartitions == 1,
+      s"expected only the named file's row group:\n" +
+        one.queryExecution.executedPlan)
+    assert(one.agg(min(col("id"))).head.getLong(0) == 0L)
+  }
+
   test("vacuum drops old versions and their archived files") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse
