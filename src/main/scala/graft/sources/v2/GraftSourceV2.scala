@@ -189,7 +189,9 @@ case class GraftTableV2(path: String, tableSchema: StructType,
       bucketSpec, groupByBucket,
       versionAsOf.orElse(
         Option(options.get("versionAsOf")).map(_.toLong)),
-      mergeRuns = options.getBoolean("mergeSortedRuns", false))
+      mergeRuns = options.getBoolean("mergeSortedRuns", false),
+      streamIgnoreChanges =
+        options.getBoolean("ignoreFileChanges", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -216,7 +218,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     groupByBucket: Boolean = true,
     versionAsOf: Option[Long] = None,
-    mergeRuns: Boolean = false)
+    mergeRuns: Boolean = false,
+    streamIgnoreChanges: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -520,7 +523,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     // tables keep plain listing semantics (None).
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
-      appendFile, snapshotFiles, fileAllow, mergeRuns)
+      appendFile, snapshotFiles, fileAllow, mergeRuns,
+      streamIgnoreChanges)
   }
 }
 
@@ -552,7 +556,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     appendFile: Boolean = false,
     snapshot: Option[Seq[String]] = None,
     fileAllow: Option[Set[String]] = None,
-    mergeRuns: Boolean = false)
+    mergeRuns: Boolean = false,
+    streamIgnoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -1534,8 +1539,47 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
 
   override def initialOffset(): Offset = GraftStreamOffset(0L)
 
+  /** A streamed file that is no longer live and sits in
+    * `.graft-archive/` was REWRITTEN by graft DML/compaction under the
+    * tail — its surviving rows live on in residue/merged files the
+    * tail cannot tell from genuine appends, so continuing would
+    * re-deliver them. Failing is the only loss-free default;
+    * `ignoreFileChanges=true` opts into that at-least-once degradation
+    * (the same contract as the ignore-changes options of the
+    * open-source table formats' streaming sources). A vanished file
+    * with NO archive twin was deleted externally (a retention job):
+    * its rows were already delivered and nothing replaces them, so the
+    * tail tolerates it — the round-6 contract. */
+  private val toleratedGone =
+    scala.collection.mutable.Set.empty[String]
+
+  private def checkAppendOnly(listed: Set[String]): Unit = {
+    if (streamIgnoreChanges) return
+    val vanished = log.seen
+      .filterNot(n => listed.contains(n) || toleratedGone.contains(n))
+    if (vanished.isEmpty) return
+    val fs = new Path(path).getFileSystem(hconf)
+    val rewritten = vanished.filter(n =>
+      GraftManifest.archiveTwin(new Path(n)).exists(fs.exists))
+    if (rewritten.nonEmpty) {
+      throw new IllegalStateException(
+        s"graft-v2 stream: ${rewritten.size} previously-streamed " +
+        s"file(s) of $path were rewritten by DML or compaction under " +
+        s"the tail (archived; e.g. ${rewritten.head}). The micro-batch " +
+        "source tails an append-only table. Restart with "
+        + "option(\"ignoreFileChanges\", \"true\") to continue — " +
+        "rewritten files' rows may then be re-delivered — or stream " +
+        "from a fresh checkpoint")
+    }
+    toleratedGone ++= vanished // externally deleted: diagnose once
+  }
+
+  private val streamIgnoreChanges = scan.streamIgnoreChanges
+
   override def latestOffset(): Offset = {
-    val fresh = listNames().filterNot(log.seen)
+    val names = listNames()
+    checkAppendOnly(names.toSet)
+    val fresh = names.filterNot(log.seen)
     if (fresh.isEmpty) GraftStreamOffset(log.latest)
     else GraftStreamOffset(log.append(fresh))
   }
@@ -1556,7 +1600,23 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     val batchFiles = log.filesBetween(
       start.asInstanceOf[GraftStreamOffset].logOffset,
       end.asInstanceOf[GraftStreamOffset].logOffset)
-    val groups = batchFiles.flatMap(f => FooterCache.rowGroups(f))
+    // rowGroupsFor, not rowGroups: a logged-but-unprocessed file a
+    // racing commit ARCHIVED must resolve to its archive twin (plain
+    // rowGroups silently returns empty for a missing path — row
+    // loss). A file that is gone from both places (vacuumed) fails
+    // loudly unless the stream opted into ignoreFileChanges.
+    val groups = batchFiles.flatMap { f =>
+      try FooterCache.rowGroupsFor(Seq(f))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (streamIgnoreChanges) Seq.empty
+          else throw new IllegalStateException(
+            s"graft-v2 stream: logged file $f vanished before its " +
+            "batch executed (DML + vacuum under the tail); restart " +
+            "with option(\"ignoreFileChanges\", \"true\") to skip it",
+            e)
+      }
+    }
     val kept =
       if (scan.filters.isEmpty) groups
       else groups.filter(rg =>

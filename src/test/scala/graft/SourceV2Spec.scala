@@ -494,6 +494,63 @@ class SourceV2Spec extends SparkTestBase {
           df.collect().foreach(r => got.add(r.getLong(0)))
       }.start()
 
+  test("stream tail fails clearly on DML under it; ignoreFileChanges " +
+      "opts into continuing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-dmlst")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    val q1 = startCollecting(dir, ckpt, got)
+    try {
+      q1.processAllAvailable()
+      assert(got.size == 100)
+    } finally q1.stop()
+    // DML under the tail: a DELETE rewrites the streamed file
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 50L))
+    assert(spark.read.parquet(dir).count() == 50)
+    // the restarted tail must FAIL with the append-only message, not
+    // silently re-deliver the residue file's rows
+    got.clear()
+    val q2 = startCollecting(dir, ckpt, got)
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    try {
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      assert(messages(e).exists(_.contains("append-only")),
+        s"expected the append-only diagnosis, got: ${messages(e)}")
+    } finally q2.stop()
+    // opting in continues the tail: the residue file is re-delivered
+    // (documented at-least-once degradation), later appends flow
+    got.clear()
+    val q3 = spark.readStream.format("graft-v2").option("path", dir)
+      .option("ignoreFileChanges", "true").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0)))
+      }.start()
+    try {
+      q3.processAllAvailable()
+      Thread.sleep(1100)
+      spark.range(1000, 1050).toDF("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+      q3.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val ids = got.asScala.toSet
+      assert((1000L until 1050L).forall(ids.contains),
+        "appends after the opt-in must flow")
+      // the residue (ids 0-49) re-delivered — at-least-once, not lost
+      assert((0L until 50L).forall(ids.contains))
+    } finally q3.stop()
+  }
+
   test("stream restart from checkpoint never re-reads committed files") {
     val base = java.nio.file.Files.createTempDirectory("graft-v2-restart")
     val dir = base.resolve("t").toString
