@@ -160,6 +160,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       versionAsOf = Some(v))
   }
 
+  /** SQL `TIMESTAMP AS OF t`: Spark hands the instant as epoch
+    * MICROseconds; it maps to the latest manifest version whose
+    * recorded commit wall-clock (`ts=` meta line) is at or before it,
+    * then reads exactly like `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestampMicros: Long)
+      : Table = {
+    val dir = tableDir(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val v = GraftManifest.versionAt(fs, dir, timestampMicros / 1000L)
+    loadTable(ident, v.toString)
+  }
+
   /** `CLUSTERED BY (cols) INTO n BUCKETS` is accepted: the layout is
     * recorded in the `.graft-buckets.json` marker at create, INSERTs
     * route through the bucket-splitting V2 writer, and reads plan

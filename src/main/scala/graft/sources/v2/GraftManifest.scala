@@ -121,8 +121,50 @@ object GraftManifest {
         throw new IllegalStateException(
           s"graft-v2: unreadable manifest $p (bad header)")
       }
-      Snapshot(version, lines.tail)
+      // meta lines (`key=value`, e.g. the commit timestamp) are not
+      // file names; part names never contain '=' so the split is safe
+      Snapshot(version, lines.tail.filterNot(_.contains('=')))
     } finally in.close()
+  }
+
+  /** Commit wall-clock of `version` (epoch millis), when recorded. */
+  def commitTimeMillis(fs: FileSystem, table: Path,
+      version: Long): Option[Long] = {
+    val p = versionPath(table, version)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0, bytes)
+      new String(bytes, "UTF-8").split("\n").toSeq.map(_.trim)
+        .find(_.startsWith("ts="))
+        .flatMap(l => scala.util.Try(l.stripPrefix("ts=").toLong)
+          .toOption)
+    } finally in.close()
+  }
+
+  /** The latest version whose commit time is at or before `tsMillis` —
+    * SQL `TIMESTAMP AS OF`. Clear errors for a time before the first
+    * commit or a table without manifests. */
+  def versionAt(fs: FileSystem, table: Path, tsMillis: Long): Long = {
+    val vs = versions(fs, table)
+    if (vs.isEmpty) {
+      throw new IllegalArgumentException(
+        s"graft-v2: $table has no manifests — TIMESTAMP AS OF needs a " +
+        "table with at least one committed version (versions begin at " +
+        "the first mutation)")
+    }
+    val timed = vs.map(v => v -> commitTimeMillis(fs, table, v))
+    val at = timed.filter(_._2.exists(_ <= tsMillis)).map(_._1)
+    at.lastOption.getOrElse {
+      val first = timed.flatMap(_._2).headOption
+        .map(t => java.time.Instant.ofEpochMilli(t).toString)
+        .getOrElse("unknown")
+      throw new IllegalArgumentException(
+        s"graft-v2: $table has no version at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} (first commit: " +
+        s"$first)")
+    }
   }
 
   /** The live state a WRITER stages against: the latest snapshot, or —
@@ -173,7 +215,9 @@ object GraftManifest {
     fs.mkdirs(d)
     val tmp = new Path(d, s".tmp-${UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
-    try out.write((Header +: names.sorted).mkString("\n").getBytes("UTF-8"))
+    // the ts= meta line is what TIMESTAMP AS OF resolves through
+    try out.write((Header +: s"ts=${System.currentTimeMillis()}" +:
+      names.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = versionPath(table, expected + 1L)
     val won = lock.synchronized {

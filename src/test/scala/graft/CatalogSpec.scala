@@ -728,6 +728,37 @@ class CatalogSpec extends SparkTestBase {
     assert(one.agg(min(col("id"))).head.getLong(0) == 0L)
   }
 
+  test("TIMESTAMP AS OF maps commit wall-clock to versions") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.ts (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.ts SELECT id FROM range(0, 1000)")
+    spark.sql("DELETE FROM graft.tt.ts WHERE id >= 800") // v1, v2
+    Thread.sleep(50)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(50)
+    spark.sql("DELETE FROM graft.tt.ts WHERE id >= 500") // v3
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/ts")
+    val fs = manifestFs
+    // every version carries a commit time, and the mapping picks the
+    // latest version at-or-before the instant
+    assert(GraftManifest.versions(fs, dir).forall(v =>
+      GraftManifest.commitTimeMillis(fs, dir, v).isDefined))
+    assert(GraftManifest.versionAt(fs, dir, betweenMs) == 2L)
+    // SQL face: an instant between v2 and v3 reads v2's 800 rows
+    val iso = java.time.Instant.ofEpochMilli(betweenMs).toString
+    assert(spark.sql("SELECT count(*) FROM graft.tt.ts " +
+      s"TIMESTAMP AS OF '$iso'").head.getLong(0) == 800L)
+    // an instant before the first commit errors clearly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt.ts " +
+        "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("no version at or before"),
+      e.getMessage)
+  }
+
   test("vacuum drops old versions and their archived files") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse
