@@ -144,17 +144,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // fails fast (with the committed versions named) if v is unknown
     val pinned = GraftManifest.snapshotFiles(fs, dir, Some(v))
       .getOrElse(Seq.empty)
-    val footer = pinned.headOption.flatMap(p =>
-      FooterCache.schemaOption(p.toString).map(ParquetMeta.toStruct))
-    val marker = GraftCatalog.readMarker(fs, dir)
-    val schema = ((footer, marker) match {
-      case (Some(f), Some(m)) =>
-        val extra = m.fields
-          .filter(mf => !f.fieldNames.contains(mf.name))
-          .map(_.copy(nullable = true))
-        Some(StructType(f.fields ++ extra))
-      case (f, m) => f.orElse(m)
-    }).getOrElse(throw new NoSuchTableException(ident))
+    // the manifest's recorded schema wins (exact shape at commit);
+    // pre-schema-line manifests fall back to the pinned version's own
+    // footers ∪ the current marker
+    val schema = GraftManifest.schemaAt(fs, dir, v).orElse {
+      val footer = pinned.headOption.flatMap(p =>
+        FooterCache.schemaOption(p.toString).map(ParquetMeta.toStruct))
+      val marker = GraftCatalog.readMarker(fs, dir)
+      (footer, marker) match {
+        case (Some(f), Some(m)) =>
+          val extra = m.fields
+            .filter(mf => !f.fieldNames.contains(mf.name))
+            .map(_.copy(nullable = true))
+          Some(StructType(f.fields ++ extra))
+        case (f, m) => f.orElse(m)
+      }
+    }.getOrElse(throw new NoSuchTableException(ident))
     GraftTableV2(dir.toString, schema,
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
       versionAsOf = Some(v))

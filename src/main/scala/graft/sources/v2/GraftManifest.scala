@@ -127,9 +127,8 @@ object GraftManifest {
     } finally in.close()
   }
 
-  /** Commit wall-clock of `version` (epoch millis), when recorded. */
-  def commitTimeMillis(fs: FileSystem, table: Path,
-      version: Long): Option[Long] = {
+  private def metaLine(fs: FileSystem, table: Path, version: Long,
+      key: String): Option[String] = {
     val p = versionPath(table, version)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -137,11 +136,26 @@ object GraftManifest {
       val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       in.readFully(0, bytes)
       new String(bytes, "UTF-8").split("\n").toSeq.map(_.trim)
-        .find(_.startsWith("ts="))
-        .flatMap(l => scala.util.Try(l.stripPrefix("ts=").toLong)
-          .toOption)
+        .find(_.startsWith(s"$key="))
+        .map(_.stripPrefix(s"$key="))
     } finally in.close()
   }
+
+  /** Commit wall-clock of `version` (epoch millis), when recorded. */
+  def commitTimeMillis(fs: FileSystem, table: Path,
+      version: Long): Option[Long] =
+    metaLine(fs, table, version, "ts")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+
+  /** The table schema AT `version` (`schema=` meta line, recorded at
+    * commit from the then-current footers ∪ marker) — what makes
+    * `VERSION AS OF` shape-stable across later ALTERs and
+    * schema-redefining overwrites. */
+  def schemaAt(fs: FileSystem, table: Path, version: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    metaLine(fs, table, version, "schema").flatMap(ddl =>
+      scala.util.Try(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)).toOption)
 
   /** The latest version whose commit time is at or before `tsMillis` —
     * SQL `TIMESTAMP AS OF`. Clear errors for a time before the first
@@ -214,10 +228,31 @@ object GraftManifest {
     val d = manifestDir(table)
     fs.mkdirs(d)
     val tmp = new Path(d, s".tmp-${UUID.randomUUID().toString.take(12)}")
+    // meta lines: ts= is what TIMESTAMP AS OF resolves through;
+    // schema= pins the version's shape (footers ∪ marker AT COMMIT —
+    // the committed names are at the table root when the CAS runs), so
+    // time travel is stable across later ALTERs and redefining
+    // overwrites. Both best-effort: a commit never fails over its
+    // metadata garnish (readers fall back to footer resolution).
+    val schemaDdl: Option[String] = scala.util.Try {
+      val footer = names.sorted.headOption.flatMap(n =>
+        FooterCache.schemaOption(new Path(table, n).toString)
+          .map(ParquetMeta.toStruct))
+      val marker = GraftCatalog.readMarker(fs, table)
+      (footer, marker) match {
+        case (Some(f), Some(m)) =>
+          val extra = m.fields
+            .filter(mf => !f.fieldNames.contains(mf.name))
+            .map(_.copy(nullable = true))
+          Some(org.apache.spark.sql.types.StructType(f.fields ++ extra))
+        case (f, m) => f.orElse(m)
+      }
+    }.toOption.flatten.map(_.toDDL).filterNot(_.contains("\n"))
+    val meta = Seq(s"ts=${System.currentTimeMillis()}") ++
+      schemaDdl.map(d0 => s"schema=$d0")
     val out = fs.create(tmp, true)
-    // the ts= meta line is what TIMESTAMP AS OF resolves through
-    try out.write((Header +: s"ts=${System.currentTimeMillis()}" +:
-      names.sorted).mkString("\n").getBytes("UTF-8"))
+    try out.write((Header +: (meta ++ names.sorted))
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = versionPath(table, expected + 1L)
     val won = lock.synchronized {

@@ -759,6 +759,23 @@ class CatalogSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("VERSION AS OF keeps the version's schema across later ALTERs") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.sch (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.tt.sch SELECT id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.tt.sch WHERE id >= 90") // v1, v2
+    spark.sql("ALTER TABLE graft.tt.sch ADD COLUMNS (w STRING)")
+    // current reads see the evolved column ...
+    assert(spark.table("graft.tt.sch").schema.fieldNames.contains("w"))
+    // ... but the pinned version keeps its committed shape (the
+    // manifest records the schema at commit)
+    val v2 = spark.sql("SELECT * FROM graft.tt.sch VERSION AS OF 2")
+    assert(!v2.schema.fieldNames.contains("w"),
+      s"v2 must not grow columns ALTERed in later: ${v2.schema}")
+    assert(v2.count() == 90)
+  }
+
   test("vacuum drops old versions and their archived files") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse
