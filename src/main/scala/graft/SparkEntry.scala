@@ -638,7 +638,8 @@ object SparkEntry {
   private val qDeleteFrom: Q = (s, dir) => {
     // one deterministic scratch per sf dir, rebuilt per invocation —
     // same rationale as scratchOrders
-    val tag = "del" + java.lang.Integer.toHexString(dir.hashCode)
+    val tag = "del" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag"
     val cat = s"graft_dml_$tag"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
@@ -672,7 +673,8 @@ object SparkEntry {
     // path forever); each invocation rebuilds the table from scratch
     // so repeated bench/verify runs stay at versions {1, 2} instead of
     // accreting temp dirs and catalog instances
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft-ttq-$tag"
     val cat = s"graft_ttq_$tag"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
@@ -719,7 +721,8 @@ object SparkEntry {
     * instances. */
   private def scratchOrders(s: SparkSession, dir: String,
       tag0: String): String = {
-    val tag = tag0 + java.lang.Integer.toHexString(dir.hashCode)
+    val tag = tag0 + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag"
     val cat = s"graft_dml_$tag"
     s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")

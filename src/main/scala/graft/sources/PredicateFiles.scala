@@ -215,6 +215,14 @@ private[graft] object PredicateFiles {
     // would race concurrent writes on the same session and could leak
     // the override permanently
     val iso = spark.newSession()
+    // newSession starts from the builder-time conf, NOT the caller's
+    // runtime session conf — carry the caller's settings over (rebase
+    // modes, timezone, ANSI flags all shape how the boundary files
+    // read back), THEN pin the two parquet write knobs. Static/
+    // non-settable entries are skipped.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try iso.conf.set(k, v) catch { case _: Throwable => () }
+    }
     iso.conf.set("spark.sql.parquet.outputTimestampType",
       "TIMESTAMP_MICROS")
     iso.conf.set("spark.sql.parquet.writeLegacyFormat", "false")

@@ -50,16 +50,13 @@ object GraftCatalog {
     }
   }
 
-  /** THE table schema: footers win for the columns they have; marker
-    * fields the (first file's) footers lack are appended as nullable —
-    * what makes `ALTER TABLE ADD COLUMNS` metadata-only. ONE
-    * definition, shared by the catalog's `loadTable` and the write
-    * path's append gate, so the two cannot diverge. */
-  private[graft] def resolveSchema(fs: FileSystem, dir: Path)
-      : Option[StructType] = {
-    val footer = FooterCache.schemaOption(dir.toString)
-      .map(ParquetMeta.toStruct)
-    val marker = readMarker(fs, dir)
+  /** THE schema-merge rule: footers win for the columns they have;
+    * marker fields the footers lack are appended as nullable — what
+    * makes `ALTER TABLE ADD COLUMNS` metadata-only. ONE definition,
+    * shared by `resolveSchema`, the time-travel fallback and the
+    * manifest's recorded `schema=` line, so they cannot diverge. */
+  private[graft] def mergeFooterAndMarker(footer: Option[StructType],
+      marker: Option[StructType]): Option[StructType] =
     (footer, marker) match {
       case (Some(f), Some(m)) =>
         val extra = m.fields
@@ -68,7 +65,14 @@ object GraftCatalog {
         Some(StructType(f.fields ++ extra))
       case (f, m) => f.orElse(m)
     }
-  }
+
+  /** THE table schema, shared by the catalog's `loadTable` and the
+    * write path's append gate. */
+  private[graft] def resolveSchema(fs: FileSystem, dir: Path)
+      : Option[StructType] =
+    mergeFooterAndMarker(
+      FooterCache.schemaOption(dir.toString).map(ParquetMeta.toStruct),
+      readMarker(fs, dir))
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -125,12 +129,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * archived files into `.graft-archive/`. Versions exist from a
     * table's first mutation (v1 = the pre-mutation state).
     *
-    * The schema is resolved from the PINNED VERSION's own files (first
-    * snapshot file's footer ∪ current marker extras), not the current
-    * footers — a truncate-overwrite that redefined the table must not
-    * shape-shift historical reads. Marker columns ALTERed in after
-    * version n still appear (as NULL) — versioning the marker into
-    * the manifest is the remaining refinement (NEXT.md). */
+    * The schema is the one RECORDED in the pinned version's manifest
+    * (`schema=` meta line — the resolved shape at its commit instant),
+    * so neither a later ALTER nor a schema-redefining overwrite
+    * shape-shifts historical reads; manifests without the line fall
+    * back to the pinned files' own footers ∪ the current marker. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
@@ -141,24 +144,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"version (committed: ${GraftManifest.versions(fs, dir)
             .mkString(", ")}), got '$version'")
     }
-    // fails fast (with the committed versions named) if v is unknown
-    val pinned = GraftManifest.snapshotFiles(fs, dir, Some(v))
-      .getOrElse(Seq.empty)
     // the manifest's recorded schema wins (exact shape at commit);
     // pre-schema-line manifests fall back to the pinned version's own
-    // footers ∪ the current marker
+    // footers ∪ the current marker — only THEN is the snapshot
+    // resolved (a listing round-trip the common path never pays), and
+    // an unknown version still fails fast (read() throws, versions
+    // named) on either branch
     val schema = GraftManifest.schemaAt(fs, dir, v).orElse {
-      val footer = pinned.headOption.flatMap(p =>
-        FooterCache.schemaOption(p.toString).map(ParquetMeta.toStruct))
-      val marker = GraftCatalog.readMarker(fs, dir)
-      (footer, marker) match {
-        case (Some(f), Some(m)) =>
-          val extra = m.fields
-            .filter(mf => !f.fieldNames.contains(mf.name))
-            .map(_.copy(nullable = true))
-          Some(StructType(f.fields ++ extra))
-        case (f, m) => f.orElse(m)
-      }
+      val pinned = GraftManifest.snapshotFiles(fs, dir, Some(v))
+        .getOrElse(Seq.empty)
+      GraftCatalog.mergeFooterAndMarker(
+        pinned.headOption.flatMap(p =>
+          FooterCache.schemaOption(p.toString).map(ParquetMeta.toStruct)),
+        GraftCatalog.readMarker(fs, dir))
     }.getOrElse(throw new NoSuchTableException(ident))
     GraftTableV2(dir.toString, schema,
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),

@@ -141,11 +141,17 @@ object GraftManifest {
     } finally in.close()
   }
 
-  /** Commit wall-clock of `version` (epoch millis), when recorded. */
+  /** Commit wall-clock of `version` (epoch millis): the recorded
+    * `ts=` line, falling back to the manifest FILE's own mtime for
+    * versions committed before the line existed — every version stays
+    * reachable by TIMESTAMP AS OF. */
   def commitTimeMillis(fs: FileSystem, table: Path,
       version: Long): Option[Long] =
     metaLine(fs, table, version, "ts")
       .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .orElse(scala.util.Try(
+        fs.getFileStatus(versionPath(table, version))
+          .getModificationTime).toOption)
 
   /** The table schema AT `version` (`schema=` meta line, recorded at
     * commit from the then-current footers ∪ marker) — what makes
@@ -216,38 +222,44 @@ object GraftManifest {
     * files — otherwise a racing first-mutation bootstrap could list
     * the files yet this check could still see no manifest, leaving a
     * committed append in no version. */
-  def advanceAppend(fs: FileSystem, table: Path,
-      added: Seq[String]): Unit =
-    if (fs.exists(manifestDir(table))) commitAppend(fs, table, added)
+  def advanceAppend(fs: FileSystem, table: Path, added: Seq[String],
+      commitSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit =
+    if (fs.exists(manifestDir(table))) {
+      commitAppend(fs, table, added, commitSchema)
+    }
 
   /** Compare-and-swap commit of version `expected + 1`. False = a
     * racing writer committed first; the caller must unwind its
-    * physical changes (nothing manifest-side happened). */
+    * physical changes (nothing manifest-side happened).
+    *
+    * @param commitSchema the POST-COMMIT table schema when the commit
+    *   itself changes it (widened append, redefining overwrite) —
+    *   the marker refresh those paths run AFTER the manifest commit
+    *   would otherwise leave this version's recorded schema stale. */
   def tryCommit(fs: FileSystem, table: Path, expected: Long,
-      names: Seq[String]): Boolean = {
+      names: Seq[String],
+      commitSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Boolean = {
     val d = manifestDir(table)
     fs.mkdirs(d)
     val tmp = new Path(d, s".tmp-${UUID.randomUUID().toString.take(12)}")
     // meta lines: ts= is what TIMESTAMP AS OF resolves through;
-    // schema= pins the version's shape (footers ∪ marker AT COMMIT —
-    // the committed names are at the table root when the CAS runs), so
-    // time travel is stable across later ALTERs and redefining
-    // overwrites. Both best-effort: a commit never fails over its
-    // metadata garnish (readers fall back to footer resolution).
-    val schemaDdl: Option[String] = scala.util.Try {
-      val footer = names.sorted.headOption.flatMap(n =>
-        FooterCache.schemaOption(new Path(table, n).toString)
-          .map(ParquetMeta.toStruct))
-      val marker = GraftCatalog.readMarker(fs, table)
-      (footer, marker) match {
-        case (Some(f), Some(m)) =>
-          val extra = m.fields
-            .filter(mf => !f.fieldNames.contains(mf.name))
-            .map(_.copy(nullable = true))
-          Some(org.apache.spark.sql.types.StructType(f.fields ++ extra))
-        case (f, m) => f.orElse(m)
-      }
-    }.toOption.flatten.map(_.toDDL).filterNot(_.contains("\n"))
+    // schema= pins the version's shape (the caller's post-state
+    // schema, else footers ∪ marker AT COMMIT — the committed names
+    // are at the table root when the CAS runs), so time travel is
+    // stable across later ALTERs and redefining overwrites. Both
+    // best-effort: a commit never fails over its metadata garnish
+    // (readers fall back to footer resolution).
+    val schemaDdl: Option[String] = commitSchema.orElse {
+      scala.util.Try {
+        GraftCatalog.mergeFooterAndMarker(
+          names.sorted.headOption.flatMap(n =>
+            FooterCache.schemaOption(new Path(table, n).toString)
+              .map(ParquetMeta.toStruct)),
+          GraftCatalog.readMarker(fs, table))
+      }.toOption.flatten
+    }.map(_.toDDL).filterNot(_.contains("\n"))
     val meta = Seq(s"ts=${System.currentTimeMillis()}") ++
       schemaDdl.map(d0 => s"schema=$d0")
     val out = fs.create(tmp, true)
@@ -265,13 +277,15 @@ object GraftManifest {
   /** Append-style commit (the new names only ADD to the live set, so
     * concurrent commits commute): retry the CAS against the freshest
     * state instead of failing. */
-  def commitAppend(fs: FileSystem, table: Path, added: Seq[String]): Unit =
+  def commitAppend(fs: FileSystem, table: Path, added: Seq[String],
+      commitSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit =
     commitLock(fs, table).synchronized {
       var attempts = 0
       while (attempts < 50) {
         val live = liveState(fs, table)
         if (tryCommit(fs, table, live.version,
-            (live.names ++ added).distinct)) {
+            (live.names ++ added).distinct, commitSchema)) {
           return
         }
         attempts += 1

@@ -584,7 +584,10 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * within a table, and the predicate itself stays residual, so the
     * name match is a sound (conservative) pruning superset. */
   private def fileNameSet(allowed: Set[String]): Set[String] =
-    allowed.map(s => new Path(s).getName)
+    // Try: filter values are arbitrary strings (a runtime IN-set can
+    // carry join-side data values — "" or colon-bearing text make
+    // Path construction throw); an unparseable value matches no file
+    allowed.flatMap(s => scala.util.Try(new Path(s).getName).toOption)
 
   @transient private lazy val scanRowGroups: Seq[FooterCache.RowGroupMeta] =
     (snapshot, fileAllow) match {
@@ -1577,11 +1580,21 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
   private val streamIgnoreChanges = scan.streamIgnoreChanges
 
   override def latestOffset(): Offset = {
-    val names = listNames()
-    checkAppendOnly(names.toSet)
-    val fresh = names.filterNot(log.seen)
-    if (fresh.isEmpty) GraftStreamOffset(log.latest)
-    else GraftStreamOffset(log.append(fresh))
+    // the poll (list → diagnose → log) runs under the table's commit
+    // lock: a raw listing taken inside a DML critical section would
+    // see residue files renamed in but the rewritten original not yet
+    // archived — checkAppendOnly would pass and the residues' rows
+    // (duplicates of already-streamed survivors) would reach the sink
+    // in a COMMITTED batch before the next poll could diagnose
+    val tdir = new Path(path)
+    GraftManifest.commitLock(tdir.getFileSystem(hconf), tdir)
+        .synchronized {
+      val names = listNames()
+      checkAppendOnly(names.toSet)
+      val fresh = names.filterNot(log.seen)
+      if (fresh.isEmpty) GraftStreamOffset(log.latest)
+      else GraftStreamOffset(log.append(fresh))
+    }
   }
 
   override def deserializeOffset(json: String): Offset = {

@@ -280,20 +280,22 @@ private[v2] object GraftSwapV2 {
       target: Path, readState: GraftManifest.Snapshot,
       victims0: Seq[Path], incoming: Seq[Path],
       addedSafe: Seq[String] => Boolean = _ => false,
-      expandVictims: Boolean = false): Long =
+      expandVictims: Boolean = false,
+      commitSchema: Option[StructType] = None): Long =
     // the whole critical section (renames in → CAS → archive) under
     // the per-table commit lock, so no listing-derived commit can
     // capture a torn intermediate state
     GraftManifest.commitLock(fs, target).synchronized {
       parkAndSwapLocked(fs, target, readState, victims0, incoming,
-        addedSafe, expandVictims)
+        addedSafe, expandVictims, commitSchema)
     }
 
   private def parkAndSwapLocked(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, readState: GraftManifest.Snapshot,
       victims0: Seq[Path], incoming: Seq[Path],
       addedSafe: Seq[String] => Boolean,
-      expandVictims: Boolean): Long = {
+      expandVictims: Boolean,
+      commitSchema: Option[StructType]): Long = {
     val incomingNames = incoming.map(_.getName).toSet
     val movedIn = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -321,7 +323,8 @@ private[v2] object GraftSwapV2 {
       // staged-in names — appending them again would double-count
       val newNames = (state.names.filterNot(victimNames) ++
         incoming.map(_.getName)).distinct
-      if (GraftManifest.tryCommit(fs, target, state.version, newNames)) {
+      if (GraftManifest.tryCommit(fs, target, state.version, newNames,
+          commitSchema)) {
         committed = state.version + 1
       } else {
         attempts += 1
@@ -452,7 +455,11 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         val readState = GraftManifest.pinForMutation(fs, target)
         GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
           readState.names.map(new Path(target, _)),
-          committed.map(new Path(_)).toSeq, expandVictims = true)
+          committed.map(new Path(_)).toSeq, expandVictims = true,
+          // a truncate-overwrite REDEFINES the schema; the marker
+          // refresh below runs after the commit, so record the new
+          // shape explicitly (no stale marker extras in this version)
+          commitSchema = Some(schema))
       case (false, Some(cond)) =>
         // predicate overwrite: classify from footer stats, rewrite only
         // the boundary files (distributed job, null-safe NOT cond),
@@ -478,8 +485,11 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         // (its listing-derived v1 includes them) — never a torn mix
         GraftManifest.commitLock(fs, target).synchronized {
           renameIn()
+          // a WIDENED append's marker refresh runs after this commit —
+          // record the widened shape so the version's schema= is right
           GraftManifest.advanceAppend(fs, target,
-            committed.map(new Path(_).getName).toSeq)
+            committed.map(new Path(_).getName).toSeq,
+            commitSchema = widenTo)
         }
     }
     fs.delete(staging, true) // sweeps zombie/speculative attempts

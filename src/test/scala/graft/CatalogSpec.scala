@@ -776,6 +776,27 @@ class CatalogSpec extends SparkTestBase {
     assert(v2.count() == 90)
   }
 
+  test("a widened append records the WIDENED schema in its version") {
+    import graft.sources.v2.GraftManifest
+    import spark.implicits._
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.wid (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.wid SELECT id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.tt.wid WHERE id >= 90") // v1, v2
+    // widened path-based append (the marker refresh runs AFTER the
+    // manifest commit — the version must still record the wide shape)
+    Seq((1000L, "x")).toDF("id", "w").write.format("graft-v2")
+      .option("path", s"$warehouse/tt/wid").mode("append").save()
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/wid")
+    val vmax = GraftManifest.versions(manifestFs, dir).last
+    val pinned = spark.sql(
+      s"SELECT * FROM graft.tt.wid VERSION AS OF $vmax")
+    assert(pinned.schema.fieldNames.contains("w"),
+      s"version $vmax must carry the widened column: ${pinned.schema}")
+    assert(pinned.where(col("id") === 1000).head.getString(1) == "x")
+  }
+
   test("vacuum drops old versions and their archived files") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse
