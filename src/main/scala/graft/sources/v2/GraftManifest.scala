@@ -346,10 +346,28 @@ object GraftManifest {
     * files no retained version references. Bounds retention growth;
     * pinned reads older than the horizon fail (the time-travel
     * contract every retained-log format has). */
-  def vacuum(fs: FileSystem, table: Path, keepVersions: Int = 2): Unit = {
+  def vacuum(fs: FileSystem, table: Path, keepVersions: Int = 2): Unit =
+    vacuumKeeping(fs, table, vs =>
+      vs.splitAt(math.max(0, vs.length - keepVersions)))
+
+  /** Age-based retention: drop versions whose commit time is older
+    * than `maxAgeMillis` before `nowMillis` — except the LATEST
+    * version, which always survives (it IS the table). The
+    * retention-policy face of [[vacuum]]. */
+  def vacuumOlderThan(fs: FileSystem, table: Path, maxAgeMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Unit = {
+    val horizon = nowMillis - maxAgeMillis
+    vacuumKeeping(fs, table, vs => vs.partition(v =>
+      v != vs.last &&
+        commitTimeMillis(fs, table, v).forall(_ < horizon)))
+  }
+
+  private def vacuumKeeping(fs: FileSystem, table: Path,
+      split: Seq[Long] => (Seq[Long], Seq[Long])): Unit = {
     val vs = versions(fs, table)
     if (vs.isEmpty) return
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    val (drop, keep) = split(vs)
+    if (keep.isEmpty) return // the latest version always survives
     val referenced = keep.flatMap(read(fs, table, _).names).toSet
     val archive = new Path(table, ArchiveDir)
     if (fs.exists(archive)) {

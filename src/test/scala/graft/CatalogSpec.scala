@@ -816,4 +816,29 @@ class CatalogSpec extends SparkTestBase {
       spark.sql("SELECT * FROM graft.tt.vac VERSION AS OF 1").collect()
     }
   }
+
+  test("age-based vacuum keeps young versions and always the latest") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.vac2 (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.vac2 SELECT id FROM range(0, 1000)")
+    spark.sql("DELETE FROM graft.tt.vac2 WHERE id >= 800") // v1, v2
+    Thread.sleep(60)
+    val cut = System.currentTimeMillis() // v1, v2 older than this
+    Thread.sleep(60)
+    spark.sql("DELETE FROM graft.tt.vac2 WHERE id >= 500") // v3 (young)
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/vac2")
+    val fs = manifestFs
+    // horizon at `cut`: v1 and v2 age out, v3 survives
+    GraftManifest.vacuumOlderThan(fs, dir, maxAgeMillis = 0L,
+      nowMillis = cut)
+    assert(GraftManifest.versions(fs, dir) == Seq(3L))
+    assert(spark.table("graft.tt.vac2").count() == 500)
+    // a horizon older than everything still keeps the LATEST version
+    GraftManifest.vacuumOlderThan(fs, dir, maxAgeMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 3600000L)
+    assert(GraftManifest.versions(fs, dir) == Seq(3L))
+    assert(spark.table("graft.tt.vac2").count() == 500)
+  }
 }
