@@ -80,6 +80,19 @@ object GraftManifest {
     Option(p.getParent).filter(_.getName != ArchiveDir)
       .map(par => new Path(new Path(par, ArchiveDir), p.getName))
 
+  /** Reverse of [[archiveTwin]]: the table-root (logical) spelling of
+    * a path physically served from `.graft-archive/`; identity for any
+    * other path. `_file` values are produced through this so a pinned
+    * snapshot reports the same provenance before and after a later
+    * commit archives the file, and captured values keep matching
+    * residual `_file` predicates — archive resolution stays purely
+    * physical/internal. */
+  def logicalPath(p: Path): Path =
+    Option(p.getParent).filter(_.getName == ArchiveDir)
+      .flatMap(a => Option(a.getParent))
+      .map(root => new Path(root, p.getName))
+      .getOrElse(p)
+
   private def manifestDir(table: Path) = new Path(table, Dir)
   private def versionPath(table: Path, v: Long) =
     new Path(manifestDir(table), f"v$v%010d.txt")
@@ -357,9 +370,12 @@ object GraftManifest {
   def vacuumOlderThan(fs: FileSystem, table: Path, maxAgeMillis: Long,
       nowMillis: Long = System.currentTimeMillis()): Unit = {
     val horizon = nowMillis - maxAgeMillis
+    // .exists, not .forall: a version whose commit time cannot be
+    // read (transient FS error → None) is conservatively KEPT, not
+    // treated as older-than-horizon and dropped
     vacuumKeeping(fs, table, vs => vs.partition(v =>
       v != vs.last &&
-        commitTimeMillis(fs, table, v).forall(_ < horizon)))
+        commitTimeMillis(fs, table, v).exists(_ < horizon)))
   }
 
   private def vacuumKeeping(fs: FileSystem, table: Path,

@@ -1051,8 +1051,14 @@ case class FileAppendReaderFactory(inner: PartitionReaderFactory)
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
   import org.apache.spark.sql.vectorized.ColumnVector
 
+  // the reported value is the LOGICAL table-root path even when the
+  // partition physically reads an `.graft-archive/` twin (a pinned
+  // snapshot after a later commit archived the file): provenance must
+  // be snapshot-deterministic, and captured values must keep matching
+  // residual `_file` equality predicates against the root spelling
   private def fileOf(p: InputPartition): String = p match {
-    case g: GraftInputPartition => g.file
+    case g: GraftInputPartition =>
+      GraftManifest.logicalPath(new Path(g.file)).toString
     case other => throw new IllegalStateException(
       s"graft-v2 _file: unexpected partition $other")
   }
@@ -1573,6 +1579,32 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
         + "option(\"ignoreFileChanges\", \"true\") to continue — " +
         "rewritten files' rows may then be re-delivered — or stream " +
         "from a fresh checkpoint")
+    }
+    // a vanished file with no archive twin is only tolerable as an
+    // EXTERNAL deletion (a retention job removing delivered rows). On
+    // a manifest-bearing table an external delete leaves the file in
+    // the CURRENT manifest (out-of-band deletes don't commit); a file
+    // the current manifest no longer lists was removed by a COMMIT —
+    // its archive twin must have been vacuumed between polls, and the
+    // rewrite's residue files would stream as fresh appends: silent
+    // duplicate delivery, so fail like the archived case
+    val noTwin = vanished.diff(rewritten)
+    if (noTwin.nonEmpty) {
+      GraftManifest.current(fs, new Path(path)).foreach { snap =>
+        val live = snap.names.toSet
+        val committedGone =
+          noTwin.filterNot(n => live.contains(new Path(n).getName))
+        if (committedGone.nonEmpty) {
+          throw new IllegalStateException(
+            s"graft-v2 stream: ${committedGone.size} previously-" +
+            s"streamed file(s) of $path were removed by a committed " +
+            "rewrite and their archive copies vacuumed before this " +
+            s"poll (e.g. ${committedGone.head}). Continuing would " +
+            "re-deliver the rewrite's residue rows as fresh appends. " +
+            "Restart with option(\"ignoreFileChanges\", \"true\") to " +
+            "accept that, or stream from a fresh checkpoint")
+        }
+      }
     }
     toleratedGone ++= vanished // externally deleted: diagnose once
   }

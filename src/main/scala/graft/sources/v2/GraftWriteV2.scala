@@ -115,6 +115,22 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
               s"${existing.catalogString}, write has " +
               s"${incoming.catalogString}")
           }
+          // incoming columns that name-match a RESOLVED (possibly
+          // marker-only, ALTER ADD COLUMNS) column must also carry the
+          // resolved type — a name-match with a different type is
+          // neither an extra nor a widen; letting it land would put
+          // data files whose physical type conflicts with the
+          // resolved table schema on disk and break later reads
+          val clash = incoming.fields.filter(f =>
+            resolved.fields.exists(r =>
+              r.name == f.name && r.dataType != f.dataType))
+          if (clash.nonEmpty) {
+            throw new IllegalArgumentException(
+              s"graft-v2 append schema mismatch: table resolves to " +
+              s"${resolved.catalogString}, write has " +
+              s"${incoming.catalogString} (type conflict on " +
+              s"${clash.map(_.name).mkString(", ")})")
+          }
           // EXTRA incoming columns beyond the resolved schema widen
           // the table: the commit refreshes the schema marker so the
           // new columns are deterministically visible no matter which

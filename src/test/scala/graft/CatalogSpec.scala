@@ -841,4 +841,107 @@ class CatalogSpec extends SparkTestBase {
     assert(GraftManifest.versions(fs, dir) == Seq(3L))
     assert(spark.table("graft.tt.vac2").count() == 500)
   }
+
+  test("_file provenance is snapshot-deterministic across archiving") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.fprov (id BIGINT, v BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.tt.fprov SELECT id, id FROM " +
+        s"range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    spark.sql("DELETE FROM graft.tt.fprov WHERE id >= 2500") // v1, v2
+    def filesAtV2: Set[String] = spark.sql(
+      "SELECT DISTINCT _file FROM graft.tt.fprov VERSION AS OF 2")
+      .collect().map(_.getString(0)).toSet
+    val before = filesAtV2
+    // a later commit archives most of v2's files
+    spark.sql("DELETE FROM graft.tt.fprov WHERE id >= 100") // v3
+    val after = filesAtV2
+    // same pinned version → same _file values, before and after the
+    // archiving commit; never the physical .graft-archive spelling
+    assert(after == before,
+      s"snapshot provenance changed:\n$before\nvs\n$after")
+    assert(after.forall(!_.contains(".graft-archive")), after)
+    // the advertised use: a targeted re-read with a CAPTURED _file
+    // value against the pinned version returns that file's rows even
+    // though the file is now physically served from the archive
+    val f = before.toSeq.sorted.head
+    val hits = spark.sql("SELECT id FROM graft.tt.fprov " +
+      s"VERSION AS OF 2 WHERE _file = '$f'")
+    assert(hits.count() > 0,
+      s"captured-_file re-read lost rows for $f")
+  }
+
+  test("append rejects a type clash with a marker-only evolved column") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.tc (id BIGINT)")
+    spark.sql("INSERT INTO graft.ev.tc SELECT id FROM range(0, 100)")
+    spark.sql("ALTER TABLE graft.ev.tc ADD COLUMNS (score DOUBLE)")
+    // score exists only in the schema marker (no file carries it yet);
+    // an append whose score is a different TYPE must be rejected, not
+    // silently landed as a physically-conflicting data file
+    val dir = s"$warehouse/ev/tc"
+    val bad = spark.range(100, 150).toDF("id")
+      .withColumn("score", concat(lit("s"), col("id")))
+    val e = intercept[IllegalArgumentException] {
+      bad.write.format("graft-v2").option("path", dir)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("schema mismatch") &&
+      e.getMessage.contains("score"), e.getMessage)
+    // the matching type still appends fine
+    spark.range(100, 150).toDF("id")
+      .withColumn("score", col("id") / 10.0)
+      .write.format("graft-v2").option("path", dir)
+      .mode("append").save()
+    assert(spark.table("graft.ev.tc").count() == 150)
+  }
+
+  test("age-based vacuum keeps a version whose commit time is " +
+      "unreadable") {
+    import graft.sources.v2.GraftManifest
+    import org.apache.hadoop.fs.{FileStatus, FilterFileSystem, Path}
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.vac3 (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.vac3 SELECT id FROM range(0, 1000)")
+    spark.sql("DELETE FROM graft.tt.vac3 WHERE id >= 800") // v1, v2
+    spark.sql("DELETE FROM graft.tt.vac3 WHERE id >= 500") // v3
+    val dir = new Path(s"$warehouse/tt/vac3")
+    val fs = manifestFs
+    // strip v1's ts= meta line so its commit time falls back to the
+    // file mtime, then serve that mtime through a failing FS — the
+    // transient-error shape of ADVICE r7: commitTimeMillis → None
+    val v1p = new Path(new Path(dir, GraftManifest.Dir),
+      "v0000000001.txt")
+    val content = {
+      val in = fs.open(v1p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val stripped = content.split("\n").filterNot(_.startsWith("ts="))
+      .mkString("\n")
+    val out = fs.create(v1p, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val flaky = new FilterFileSystem(fs) {
+      override def getFileStatus(p: Path): FileStatus = {
+        val st = super.getFileStatus(p)
+        if (p.getName == v1p.getName) {
+          new FileStatus(st) {
+            override def getModificationTime: Long =
+              throw new RuntimeException("simulated transient FS error")
+          }
+        } else st
+      }
+    }
+    assert(GraftManifest.commitTimeMillis(flaky, dir, 1L).isEmpty)
+    // horizon beyond everything: v2 ages out, v3 is latest, and v1 —
+    // whose commit time is unreadable — must be conservatively KEPT
+    GraftManifest.vacuumOlderThan(flaky, dir, maxAgeMillis = 0L,
+      nowMillis = System.currentTimeMillis() + 3600000L)
+    assert(GraftManifest.versions(fs, dir) == Seq(1L, 3L),
+      "a version with unreadable commit time was dropped")
+  }
 }

@@ -551,6 +551,48 @@ class SourceV2Spec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("stream tail fails when a rewrite's archive copy was vacuumed " +
+      "between polls") {
+    import graft.sources.v2.GraftManifest
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-dmlvac")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    val q1 = startCollecting(dir, ckpt, got)
+    try {
+      q1.processAllAvailable()
+      assert(got.size == 100)
+    } finally q1.stop()
+    // a DELETE rewrites the streamed file, then vacuum removes its
+    // archive twin — the vanished file now has NO archive evidence,
+    // but the manifest log shows a commit removed it: continuing
+    // would stream the rewrite's residue as fresh appends
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 50L))
+    val tdir = new org.apache.hadoop.fs.Path(dir)
+    val fs = tdir.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    GraftManifest.vacuum(fs, tdir, keepVersions = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tdir,
+      GraftManifest.ArchiveDir)) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(tdir,
+        GraftManifest.ArchiveDir)).isEmpty,
+      "vacuum should have emptied the archive for this test")
+    got.clear()
+    val q2 = startCollecting(dir, ckpt, got)
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    try {
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      assert(messages(e).exists(_.contains("committed rewrite")),
+        s"expected the vacuumed-rewrite diagnosis, got: ${messages(e)}")
+    } finally q2.stop()
+  }
+
   test("stream restart from checkpoint never re-reads committed files") {
     val base = java.nio.file.Files.createTempDirectory("graft-v2-restart")
     val dir = base.resolve("t").toString
