@@ -40,13 +40,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * manifest after their own commit when one exists, so the two
   * write stacks stay consistent.
   *
-  * CAS atomicity: content is staged to a temp name and renamed into
-  * the version slot under a JVM-wide lock after an existence check —
-  * atomic for everything this engine runs (one driver JVM commits a
-  * given table; executors never touch manifests). A multi-DRIVER
-  * deployment needs the rename-if-absent of a real commit service
-  * (HDFS atomic rename / a DynamoDB-style log store), the same
-  * boundary every file-format table log documents.
+  * CAS atomicity: content is staged to a temp name and published into
+  * the version slot by [[publishIfAbsent]] — a kernel-atomic hard
+  * link on local FS, rename-if-absent on HDFS-semantics stores — so
+  * two PROCESSES racing the same version get exactly one winner; the
+  * JVM-wide lock remains as the in-driver fast path. Object stores
+  * without an atomic create/rename primitive still need an external
+  * commit service (a DynamoDB-style log store), the same boundary
+  * every file-format table log documents.
   */
 object GraftManifest {
 
@@ -280,11 +281,44 @@ object GraftManifest {
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = versionPath(table, expected + 1L)
-    val won = lock.synchronized {
-      !fs.exists(dst) && fs.rename(tmp, dst)
-    }
+    val won = lock.synchronized { publishIfAbsent(fs, tmp, dst) }
     if (!won) { try fs.delete(tmp, false) catch { case _: Throwable => () } }
     won
+  }
+
+  /** Atomically publish `tmp` into the version slot `dst` iff no file
+    * is there — the primitive that makes the CAS safe across
+    * PROCESSES, not just threads:
+    *
+    *  - local FS: a hard link (POSIX `link(2)` fails with EEXIST
+    *    atomically in the kernel), so two drivers racing the same
+    *    version number get exactly one winner — the plain
+    *    exists-check+rename it replaces had a TOCTOU window in which
+    *    local rename(2) silently OVERWRITES an existing destination.
+    *  - any other store: exists-check + rename, which is
+    *    rename-if-absent on stores whose rename refuses an existing
+    *    destination (HDFS semantics). Object stores without atomic
+    *    rename still need an external commit service, as documented
+    *    in the header.
+    *
+    * The JVM-wide [[lock]] around callers remains as the fast path
+    * for the common one-driver deployment. */
+  private def publishIfAbsent(fs: FileSystem, tmp: Path,
+      dst: Path): Boolean = {
+    if (fs.getUri.getScheme == "file") {
+      import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+      val t = Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try {
+        Files.createLink(d, t)
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+      }
+    } else {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
   }
 
   /** Append-style commit (the new names only ADD to the live set, so
@@ -356,12 +390,39 @@ object GraftManifest {
     }
 
   /** Drop all versions but the newest `keepVersions`, deleting archive
-    * files no retained version references. Bounds retention growth;
-    * pinned reads older than the horizon fail (the time-travel
-    * contract every retained-log format has). */
-  def vacuum(fs: FileSystem, table: Path, keepVersions: Int = 2): Unit =
-    vacuumKeeping(fs, table, vs =>
-      vs.splitAt(math.max(0, vs.length - keepVersions)))
+    * files no retained version references. Bounds retention growth.
+    *
+    * RETENTION CONTRACT (what every retained-log table format
+    * documents): a version is deletable only when it is (a) beyond
+    * the keep-last-N floor, AND (b) older than `minRetainMillis` —
+    * so an in-flight scan pinned on a recent version keeps its files
+    * as long as the retention window outlasts the longest query.
+    * Archive files referenced by ANY retained version are never
+    * deleted. A pinned read older than the retention horizon fails
+    * with a clear missing-version error; that is the documented
+    * trade every vacuum makes. The latest version always survives —
+    * it IS the table.
+    *
+    * `minRetainMillis` defaults to 0 (count-only retention) so
+    * explicit test/maintenance calls keep their semantics; production
+    * retention jobs should pass a window comfortably above their
+    * longest query/stream-batch duration. */
+  def vacuum(fs: FileSystem, table: Path, keepVersions: Int = 2,
+      minRetainMillis: Long = 0L,
+      nowMillis: Long = System.currentTimeMillis()): Unit =
+    vacuumKeeping(fs, table, vs => {
+      val (beyond, kept) =
+        vs.splitAt(math.max(0, vs.length - keepVersions))
+      if (minRetainMillis <= 0L) (beyond, kept)
+      else {
+        val horizon = nowMillis - minRetainMillis
+        // a version inside the min-retention window is KEPT even when
+        // beyond the count floor; unreadable commit time → kept
+        val (drop, young) = beyond.partition(v =>
+          commitTimeMillis(fs, table, v).exists(_ < horizon))
+        (drop, young ++ kept)
+      }
+    })
 
   /** Age-based retention: drop versions whose commit time is older
     * than `maxAgeMillis` before `nowMillis` — except the LATEST

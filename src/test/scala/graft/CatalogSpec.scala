@@ -842,6 +842,33 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.table("graft.tt.vac2").count() == 500)
   }
 
+  test("vacuum min-retention keeps young versions readable by " +
+      "pinned scans") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.vac4 (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt.vac4 SELECT id FROM range(0, 1000)")
+    spark.sql("DELETE FROM graft.tt.vac4 WHERE id >= 800") // v1, v2
+    spark.sql("DELETE FROM graft.tt.vac4 WHERE id >= 500") // v3
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tt/vac4")
+    val fs = manifestFs
+    // retention window: versions committed within the hour are KEPT
+    // even beyond the keep-last-N floor, so an in-flight pinned scan
+    // (the retention contract) still finds its files
+    GraftManifest.vacuum(fs, dir, keepVersions = 1,
+      minRetainMillis = 3600000L)
+    assert(GraftManifest.versions(fs, dir) == Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT count(*) FROM graft.tt.vac4 " +
+      "VERSION AS OF 1").head.getLong(0) == 1000)
+    // aged out of the window: count floor applies again
+    GraftManifest.vacuum(fs, dir, keepVersions = 1,
+      minRetainMillis = 10L,
+      nowMillis = System.currentTimeMillis() + 3600000L)
+    assert(GraftManifest.versions(fs, dir) == Seq(3L))
+    assert(spark.table("graft.tt.vac4").count() == 500)
+  }
+
   test("_file provenance is snapshot-deterministic across archiving") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")

@@ -136,4 +136,45 @@ class V2InternalsSpec extends SparkTestBase {
     assert(!fs.listStatus(target)
       .exists(_.getPath.getName.startsWith(".graft-v2-backup")))
   }
+
+  test("two JVMs racing commits: every version has exactly one winner") {
+    // the in-JVM commit lock cannot serialize a SECOND driver process;
+    // this races a real child JVM against this one on the same table.
+    // With the kernel-atomic hard-link publish, the committed history
+    // must be contiguous and hold every winner's name exactly once —
+    // under the old exists-check+rename (local rename(2) OVERWRITES),
+    // a race could clobber a committed version and lose its names.
+    val dir = java.nio.file.Files.createTempDirectory("graft-race")
+      .resolve("t").toString
+    val table = new Path(dir)
+    val fs = table.getFileSystem(new Configuration())
+    fs.mkdirs(table)
+    assert(GraftManifest.tryCommit(fs, table, 0L, Seq.empty)) // v1
+    val n = 25
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val child = new ProcessBuilder(
+      javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.sources.v2.CommitRaceChild", dir, n.toString, "c")
+      .redirectErrorStream(true).start()
+    // parent races its own n commits through the same protocol
+    var wins = 0
+    while (wins < n) {
+      val live = GraftManifest.liveState(fs, table)
+      if (GraftManifest.tryCommit(fs, table, live.version,
+          live.names :+ f"f-p-$wins%04d.parquet")) wins += 1
+    }
+    val out = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor() == 0, s"child failed:\n$out")
+    assert(out.contains(s"CHILD_WINS=$n"), out)
+    // contiguous history: v1 bootstrap + 2n winner commits, no gaps
+    val vs = GraftManifest.versions(fs, table)
+    assert(vs == (1L to (2 * n + 1).toLong), s"non-contiguous: $vs")
+    // the final state holds every winner's file exactly once — a
+    // clobbered commit would have dropped its predecessor's name
+    val names = GraftManifest.read(fs, table, vs.last).names
+    assert(names.length == 2 * n, s"${names.length} of ${2 * n}: $names")
+    assert(names.count(_.startsWith("f-p-")) == n)
+    assert(names.count(_.startsWith("f-c-")) == n)
+    assert(names.distinct.length == names.length)
+  }
 }
