@@ -177,6 +177,18 @@ object GraftManifest {
       scala.util.Try(
         org.apache.spark.sql.types.StructType.fromDDL(ddl)).toOption)
 
+  /** The newest recorded value of meta `key` across retained versions
+    * (descending scan — a later commit's meta does not carry earlier
+    * commits' keys forward). What the exactly-once stream sink reads
+    * its last committed epoch through; retention note: vacuum keeps
+    * the record only as long as the version holding it, so the
+    * retention window must outlast the longest stream restart gap. */
+  def lastMeta(fs: FileSystem, table: Path, key: String)
+      : Option[String] =
+    versions(fs, table).reverseIterator
+      .flatMap(v => metaLine(fs, table, v, key))
+      .nextOption()
+
   /** The latest version whose commit time is at or before `tsMillis` —
     * SQL `TIMESTAMP AS OF`. Clear errors for a time before the first
     * commit or a table without manifests. */
@@ -253,7 +265,8 @@ object GraftManifest {
     *   would otherwise leave this version's recorded schema stale. */
   def tryCommit(fs: FileSystem, table: Path, expected: Long,
       names: Seq[String],
-      commitSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      commitSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      extraMeta: Seq[String] = Nil)
       : Boolean = {
     val d = manifestDir(table)
     fs.mkdirs(d)
@@ -275,7 +288,8 @@ object GraftManifest {
       }.toOption.flatten
     }.map(_.toDDL).filterNot(_.contains("\n"))
     val meta = Seq(s"ts=${System.currentTimeMillis()}") ++
-      schemaDdl.map(d0 => s"schema=$d0")
+      schemaDdl.map(d0 => s"schema=$d0") ++
+      extraMeta.filter(m => m.contains('=') && !m.contains('\n'))
     val out = fs.create(tmp, true)
     try out.write((Header +: (meta ++ names.sorted))
       .mkString("\n").getBytes("UTF-8"))
@@ -325,14 +339,15 @@ object GraftManifest {
     * concurrent commits commute): retry the CAS against the freshest
     * state instead of failing. */
   def commitAppend(fs: FileSystem, table: Path, added: Seq[String],
-      commitSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      commitSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      extraMeta: Seq[String] = Nil)
       : Unit =
     commitLock(fs, table).synchronized {
       var attempts = 0
       while (attempts < 50) {
         val live = liveState(fs, table)
         if (tryCommit(fs, table, live.version,
-            (live.names ++ added).distinct, commitSchema)) {
+            (live.names ++ added).distinct, commitSchema, extraMeta)) {
           return
         }
         attempts += 1

@@ -168,6 +168,108 @@ object StreamOps {
       }
       .start()
 
+  /** EXACTLY-ONCE append sink through the manifest protocol. Spark's
+    * foreachBatch contract is at-least-once: after a crash between a
+    * batch's side effect and its checkpoint commit, the batch REPLAYS
+    * with the same id — [[writeAppendBatches]] would append its rows a
+    * second time. Here every batch commits through one atomic manifest
+    * version that carries `stream.<appId>=<batchId>` in its meta, so
+    * the replay sees its own epoch already recorded and becomes a
+    * no-op (the same app-id/version transaction every open table
+    * format's idempotent-writes option uses).
+    *
+    * Protocol per batch: (1) bootstrap the manifest if absent (staged
+    * files are then invisible until their commit); (2) if the recorded
+    * epoch for `appId` >= this batch id, sweep this batch's crashed
+    * residue and skip; (3) stage the batch under deterministic
+    * `stream-<appId>-<batchId>-<i>.parquet` names (a crashed attempt's
+    * residue is identifiable and swept before re-staging); (4) commit
+    * the names + epoch meta as ONE manifest version.
+    *
+    * Contracts: one running writer per (appId, table); `appId` must be
+    * STABLE across application restarts (it is the transaction key);
+    * don't interleave V1 blind saves with a crashed batch's residue
+    * window (their listing-based manifest refresh would legitimize
+    * orphans); the vacuum retention window must outlast the longest
+    * restart gap (the epoch record lives in manifest meta). */
+  def writeExactlyOnceBatches(stream: DataFrame, dir: String,
+      checkpoint: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitStreamBatch(batch, dir, appId, id)
+        ()
+      }
+      .start()
+
+  /** One exactly-once batch commit (the foreachBatch body, separated
+    * so tests can force a same-id replay directly). */
+  private[graft] def commitStreamBatch(batch: DataFrame, dir: String,
+      appId: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.v2.GraftManifest
+    val spark = batch.sparkSession
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val app = appId.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val key = s"stream.$app"
+    val prefix = f"stream-$app-$batchId%08d-"
+    def recordedEpoch: Option[Long] =
+      GraftManifest.lastMeta(fs, target, key)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+    // this batch's residue from a crashed earlier attempt: staged into
+    // the root but never committed into any manifest version
+    def sweepResidue(): Unit = {
+      val live = GraftManifest.current(fs, target)
+        .map(_.names.toSet).getOrElse(Set.empty)
+      if (fs.exists(target)) fs.listStatus(target).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith(prefix) && !live.contains(n)) {
+          fs.delete(st.getPath, false)
+        }
+      }
+    }
+    val done = GraftManifest.commitLock(fs, target).synchronized {
+      if (!fs.exists(target)) fs.mkdirs(target)
+      // bootstrap BEFORE staging: once the table reads through a
+      // manifest, files staged at the root stay invisible until the
+      // version that commits them
+      if (GraftManifest.current(fs, target).isEmpty) {
+        GraftManifest.tryCommit(fs, target, 0L,
+          GraftManifest.listingNames(fs, target))
+      }
+      if (recordedEpoch.exists(_ >= batchId)) { sweepResidue(); true }
+      else { sweepResidue(); false }
+    }
+    if (done) return
+    // stage outside the lock (the expensive Spark job), then publish
+    // under deterministic names so a crash here is sweepable
+    val scratch = new Path(dir,
+      s".graft-stream-stage-$app-$batchId")
+    fs.delete(scratch, true)
+    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(scratch.toString)
+    val parts = fs.listStatus(scratch)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val staged = parts.zipWithIndex.map { case (st, i) =>
+      val dst = new Path(target, f"$prefix$i%05d.parquet")
+      if (!fs.rename(st.getPath, dst)) {
+        throw new java.io.IOException(
+          s"graft stream sink: staging rename to $dst failed")
+      }
+      dst.getName
+    }.toSeq
+    fs.delete(scratch, true)
+    GraftManifest.commitLock(fs, target).synchronized {
+      // re-check under the lock: a replayed twin may have won the race
+      if (recordedEpoch.exists(_ >= batchId)) { sweepResidue(); return }
+      GraftManifest.commitAppend(fs, target, staged,
+        extraMeta = Seq(s"$key=$batchId"))
+    }
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState: emits
     * (user_id, session_start_epoch_s, n_events) when a session closes
     * after `gapSeconds` of inactivity (processing-time timeout for the
