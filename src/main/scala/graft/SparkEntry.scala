@@ -213,6 +213,80 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q1 shape: the pricing-summary WIDE aggregate — 8 aggregates
+    * incl. compound per-row expressions over one filtered scan, all in
+    * a single partial+final HashAggregate pass (no extra shuffle
+    * beyond the 2-key group-by). */
+  private val qTpchQ1: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        // charge = disc_price × (1+tax) as a product of two SEPARATELY
+        // decimal-rounded factors: decimal×decimal is exact in both
+        // engines, where rounding one 3-factor double product hits
+        // engine-specific rounding-mode differences at the midpoints
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)") *
+          (lit(1.0) + col("l_tax")).cast("decimal(8,4)"))
+          .cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q9 shape: 6-way join — fact lineitem against part (filtered,
+    * broadcast), supplier, orders, nation+region (broadcast) — profit
+    * grouped by nation and order year. The only shuffles are the two
+    * fact-sized equi-joins (supplier, orders) and the final 2-key agg;
+    * every dimension broadcasts. */
+  private val qTpchQ9: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q18 shape: group-by-HAVING-in — large-quantity orders found
+    * by a grouped HAVING subquery, then semi-joined back and
+    * re-aggregated with customer detail. The HAVING subquery and the
+    * final agg share the l_orderkey shuffle key, so AQE can reuse the
+    * exchange. */
+  private val qTpchQ18: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("q"))
+      .filter(col("q") > 250).select(col("l_orderkey").as("bigkey"))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(big, o("o_orderkey") === big("bigkey"), "left_semi")
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(c("c_name"), c("c_custkey"), o("o_orderkey"),
+        o("o_orderdate"), o("o_totalprice"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
   /** RANGE window frame: value-based frame bounds (vs the ROWS frame in
     * q_window_running). */
   private val qWindowRangeFrame: Q = (s, dir) => {
@@ -786,8 +860,11 @@ object SparkEntry {
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
+    "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
+    "q_tpch_q9" -> qTpchQ9,
+    "q_tpch_q18" -> qTpchQ18,
     "q_window_range_frame" -> qWindowRangeFrame,
     "q_agg_hash" -> qAggHash,
     "q_agg_distinct" -> qAggDistinct,
@@ -996,6 +1073,52 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))
+        |  * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  AS avg_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  / count(*) AS avg_price,
+        |CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |  AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
