@@ -105,6 +105,21 @@ case class GraftRelation(
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    // the V1 scan reads raw parquet (no manifest resolution): a table
+    // whose current version carries deletion vectors would resurrect
+    // its position-deleted rows here — refuse with the fix spelled out
+    locally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(sparkSession.sessionState.newHadoopConf())
+      if (graft.sources.v2.GraftManifest.current(fs, p)
+          .exists(_.dvs.nonEmpty)) {
+        throw new IllegalStateException(
+          s"graft: $path carries deletion vectors (position deletes); " +
+          "the V1 format(\"graft\") scan cannot apply them — read via " +
+          "format(\"graft-v2\") / the catalog, or run " +
+          "GraftDeleteV2.materializeDeleteVectors first")
+      }
+    }
     def branch(partPred: Option[Column]): DataFrame = {
       var df = sparkSession.read.parquet(path)
       val pushed = filters.flatMap(GraftFilters.compile)

@@ -489,6 +489,14 @@ object GraftSink {
         errorClass = "PATH_NOT_FOUND",
         messageParameters = Map("path" -> dir))
     }
+    // position-deleted tables: MATERIALIZE the deletion vectors first
+    // ([[graft.sources.v2.DeleteVectors]]) — the merge below reads raw
+    // parquet and must not resurrect position-deleted rows; compaction
+    // is exactly the maintenance moment the mask should become physical
+    if (graft.sources.v2.GraftManifest.current(fs, target)
+        .exists(_.dvs.nonEmpty)) {
+      graft.sources.v2.GraftDeleteV2.materializeDeleteVectors(dir)
+    }
     val small = fs.listStatus(target)
       .filter(st => isDataPart(st.getPath.getName) && st.getLen < smallBytes)
     if (small.length <= 1) return (small.length, small.length)

@@ -8,6 +8,7 @@ import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetW
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.MessageType
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{SaveMode, SparkSession}
@@ -69,7 +70,23 @@ object GraftDeleteV2 {
     true
   }
 
-  /** `DELETE FROM ... WHERE cond` over the directory at `path`. */
+  /** `DELETE FROM ... WHERE cond` over the directory at `path`.
+    *
+    * Boundary files (stats say SOME rows match) take one of two
+    * shapes, decided PER FILE by the measured deleted fraction:
+    *
+    *  - **deletion vector** (the default for point predicates): the
+    *    matching FILE ORDINALS — unioned with any existing vector —
+    *    land in an immutable `.graft-dv/` sidecar and the commit
+    *    re-maps the file ([[DeleteVectors]]). Write cost ∝ deleted
+    *    rows; the data file is untouched.
+    *  - **rewrite** (when the unioned fraction exceeds
+    *    `spark.graft.dv.maxFraction`, or the schema is nested): the
+    *    classic residue rewrite, which also MATERIALIZES any existing
+    *    vector (survivors only, sidecar mapping dropped).
+    *
+    * A file whose union covers every row is dropped whole. All
+    * outcomes commit as ONE manifest version. */
   def deleteWhere(path: String, schema: StructType, cond: Filter): Unit = {
     val spark = SparkSession.active
     val conf = GraftHadoopConf.sessionConf()
@@ -81,46 +98,118 @@ object GraftDeleteV2 {
     // in between makes the CAS lose cleanly
     val readState = GraftManifest.pinForMutation(fs, target)
     val parts = readState.names.map(new Path(target, _))
-    val (keep, deleteWhole, rewrite) =
+    val (keep, deleteWhole0, rewrite0) =
       PredicateFiles.classify(cond, parts)
-    if (deleteWhole.isEmpty && rewrite.isEmpty) return // nothing matches
+    // a "delete whole" file with an existing vector is already
+    // partially deleted — its stats said all rows match, which holds
+    // for the surviving rows too, so dropping it whole stays right
+    if (deleteWhole0.isEmpty && rewrite0.isEmpty) return // nothing matches
     val jobId = UUID.randomUUID().toString.take(8)
     val staging = new Path(target, s".graft-v2-delete-$jobId")
     try {
-      val residue: Seq[Path] =
-        if (rewrite.isEmpty) Seq.empty
-        else {
+      val flat = schema.fields.forall(_.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      })
+      val dvEligible = flat && DeleteVectors.maxFraction > 0 &&
+        rewrite0.nonEmpty &&
+        RowFilterEval.supports(
+          PredicateFiles.internalizeTemporal(cond, schema), schema)
+      val (residue: Seq[Path], dvUpdates: Map[String, String],
+          extraWhole: Seq[Path]) =
+        if (rewrite0.isEmpty) (Seq.empty, Map.empty, Seq.empty)
+        else if (dvEligible) {
           fs.mkdirs(staging)
-          val flat = schema.fields.forall(_.dataType match {
-            case _: StructType | _: ArrayType | _: MapType => false
-            case _ => true
-          })
-          if (flat) {
-            rewritePerFile(spark, cond, schema, rewrite, staging, jobId)
-          } else if (BucketLayout.read(fs, target).isEmpty) {
-            // nested-schema fallback (unbucketed only): the same
-            // distributed DataFrame residue job REPLACE WHERE runs
-            PredicateFiles.residueJob(spark, fs, cond, rewrite, staging)
-          } else {
-            throw new UnsupportedOperationException(
-              s"graft-v2 DELETE: the bucketed table at $path has " +
-              "nested columns; the bucket-preserving per-file rewrite " +
-              "covers flat schemas only — rewrite with " +
-              "GraftSink.saveBucketedFiles instead")
+          val outcomes = dvOrRewriteJob(spark, cond, schema, rewrite0,
+            readState.dvs, target, staging, jobId)
+          // publish staged sidecars before the CAS — invisible until a
+          // manifest version references them; CAS losers leave only
+          // unreferenced sidecars, which vacuum sweeps
+          val dvd = DeleteVectors.dvDir(target)
+          val dvOuts = outcomes.collect { case d: DvOut => d }
+          if (dvOuts.nonEmpty) fs.mkdirs(dvd)
+          dvOuts.foreach { d =>
+            if (!fs.rename(new Path(d.stagedDv), new Path(dvd, d.dvName))) {
+              throw new java.io.IOException(
+                s"graft-v2 DELETE: publishing sidecar ${d.dvName} failed")
+            }
           }
+          (outcomes.collect { case ResidueOut(_, Some(r)) => new Path(r) },
+            dvOuts.map(d => d.orig -> d.dvName).toMap,
+            outcomes.collect {
+              case AllDead(orig) => new Path(target, orig)
+              case ResidueOut(orig, _) => new Path(target, orig)
+            })
+        } else {
+          fs.mkdirs(staging)
+          val r =
+            if (flat) {
+              rewritePerFile(spark, cond, schema, rewrite0, staging, jobId,
+                readState.dvs, target)
+            } else if (BucketLayout.read(fs, target).isEmpty) {
+              if (readState.dvs.nonEmpty) {
+                throw new UnsupportedOperationException(
+                  s"graft-v2 DELETE: $path has nested columns AND " +
+                  "deletion vectors; run " +
+                  "GraftDeleteV2.materializeDeleteVectors first")
+              }
+              // nested-schema fallback (unbucketed only): the same
+              // distributed DataFrame residue job REPLACE WHERE runs
+              PredicateFiles.residueJob(spark, fs, cond, rewrite0, staging)
+            } else {
+              throw new UnsupportedOperationException(
+                s"graft-v2 DELETE: the bucketed table at $path has " +
+                "nested columns; the bucket-preserving per-file rewrite " +
+                "covers flat schemas only — rewrite with " +
+                "GraftSink.saveBucketedFiles instead")
+            }
+          (r, Map.empty[String, String], rewrite0)
         }
-      if (keep.isEmpty && residue.isEmpty) {
+      val victims = deleteWhole0 ++ extraWhole
+      if (keep.isEmpty && residue.isEmpty && dvUpdates.isEmpty) {
         // the delete empties the table: pin its schema first
         ensureSchemaMarker(fs, target, schema)
       }
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
-        deleteWhole ++ rewrite, residue,
+        victims, residue,
         // a racing append conflicts only if its files MIGHT hold rows
         // this DELETE's predicate matches (footer-stats proof); a
         // racer that touched our victims always makes us lose cleanly
-        addedSafe = GraftSwapV2.appendSafeUnder(target, cond))
+        addedSafe = GraftSwapV2.appendSafeUnder(target, cond),
+        dvUpdates = dvUpdates)
     } finally {
       // sweeps zombie/speculative attempts too
+      try fs.delete(staging, true) catch { case _: Throwable => () }
+    }
+  }
+
+  /** OPTIMIZE-style maintenance: rewrite every DV'd file of the
+    * current version without its deleted positions, clearing all
+    * vectors in one commit. Returns the number of files materialized.
+    * Compaction and REPLACE WHERE call this first — their raw-parquet
+    * rewrite jobs must never resurrect position-deleted rows. */
+  def materializeDeleteVectors(path: String): Int = {
+    val spark = SparkSession.active
+    val conf = GraftHadoopConf.sessionConf()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    if (!fs.exists(target)) return 0
+    val readState = GraftManifest.pinForMutation(fs, target)
+    if (readState.dvs.isEmpty) return 0
+    val files = readState.dvs.keys.toSeq.sorted.map(new Path(target, _))
+    val jobId = UUID.randomUUID().toString.take(8)
+    val staging = new Path(target, s".graft-v2-delete-$jobId")
+    try {
+      fs.mkdirs(staging)
+      // cond = null: nothing newly matches, only the vectors apply
+      val residue = rewritePerFile(spark, null, null, files, staging,
+        jobId, readState.dvs, target)
+      GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
+        files, residue,
+        // appends never hold positions of pre-existing files
+        addedSafe = _ => true)
+      files.size
+    } finally {
       try fs.delete(staging, true) catch { case _: Throwable => () }
     }
   }
@@ -135,40 +224,189 @@ object GraftDeleteV2 {
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Per-boundary-file outcome of the deletion-vector decision job. */
+  private sealed trait BoundaryOutcome extends Serializable
+  private case class DvOut(orig: String, stagedDv: String,
+      dvName: String) extends BoundaryOutcome
+  private case class ResidueOut(orig: String,
+      residue: Option[String]) extends BoundaryOutcome
+  private case class AllDead(orig: String) extends BoundaryOutcome
+
+  /** One executor task per boundary file, no shuffle: measure the
+    * file's matching positions (pass 1), then — by the unioned
+    * deleted fraction — either stage a deletion-vector sidecar
+    * (cost ∝ deleted rows, data file untouched) or fall back to the
+    * residue rewrite (pass 2). */
+  private def dvOrRewriteJob(spark: SparkSession, cond: Filter,
+      schema: StructType, files: Seq[Path], oldDvs: Map[String, String],
+      target: Path, staging: Path, jobId: String): Seq[BoundaryOutcome] = {
+    val internal = PredicateFiles.internalizeTemporal(cond, schema)
+    val maxFrac = DeleteVectors.maxFraction
+    val dvDirStr = DeleteVectors.dvDir(target).toString
+    val sconf = new SerializableConfiguration(GraftHadoopConf.sessionConf())
+    val stagingStr = staging.toString
+    val jobs = files.zipWithIndex.map { case (p, i) =>
+      val suffix = BucketLayout.bucketIdOf(p.getName)
+        .map(b => f"_$b%05d").getOrElse("")
+      (p.toString, p.getName,
+        oldDvs.get(p.getName).map(d => s"$dvDirStr/$d").orNull,
+        s"part-del-$jobId-$i$suffix.c000.snappy.parquet",
+        s"${p.getName}.$jobId-$i.dv")
+    }
+    spark.sparkContext.parallelize(jobs, jobs.size)
+      .map { case (in, name, oldDvPath, outName, dvName) =>
+        val conf = sconf.value
+        val attempt = Option(TaskContext.get())
+          .map(_.attemptNumber()).getOrElse(0)
+        val outNamed =
+          if (attempt == 0) outName
+          else outName.replaceFirst("^part-del-", s"part-del-a$attempt-")
+        val dvNamed = if (attempt == 0) dvName else s"a$attempt-$dvName"
+        val old =
+          if (oldDvPath == null) null
+          else DeleteVectors.load(oldDvPath, conf)
+        val (hit, total) = matchPositions(conf, in, internal)
+        val union =
+          if (old == null) hit
+          else org.roaringbitmap.RoaringBitmap.or(hit, old)
+        val dead = union.getLongCardinality
+        if (dead >= total && total > 0) {
+          AllDead(name): BoundaryOutcome
+        } else if (total <= Int.MaxValue.toLong &&
+            dead <= maxFrac * total) {
+          val staged = new Path(s"$stagingStr/$dvNamed")
+          DeleteVectors.write(staged.getFileSystem(conf), staged, union)
+          DvOut(name, staged.toString, dvNamed): BoundaryOutcome
+        } else {
+          // over-threshold (or pathological row count): materialize —
+          // rewrite survivors, dropping both old-vector positions and
+          // newly-matching rows
+          ResidueOut(name,
+            rewriteOne(conf, in, s"$stagingStr/$outNamed", internal,
+              skip = old)): BoundaryOutcome
+        }
+      }
+      .collect().toSeq
+  }
+
+  /** Pass 1: stream one file, return (bitmap of definitely-matching
+    * FILE ordinals, total row count). Same three-valued evaluation and
+    * schema-evolution padding as the rewrite. */
+  private def matchPositions(conf: Configuration, inFile: String,
+      internalCond: Filter)
+      : (org.roaringbitmap.RoaringBitmap, Long) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(inFile), conf))
+    try {
+      val fileSchema = reader.getFileMetaData.getSchema
+      val struct = ParquetMeta.toStruct(fileSchema)
+      val matches = compileWithPadding(internalCond, fileSchema, struct)
+      val converters = struct.fields.zipWithIndex.map { case (f, i) =>
+        ParquetMeta.converter(fileSchema.getType(i), f.dataType)
+      }
+      val hit = new org.roaringbitmap.RoaringBitmap()
+      var ord = 0L
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val rr = new ColumnIOFactory().getColumnIO(fileSchema)
+          .getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        val total = pages.getRowCount
+        var n = 0L
+        while (n < total) {
+          val g = rr.read()
+          n += 1
+          if (g != null) {
+            val row = new GenericInternalRow(struct.length)
+            var i = 0
+            while (i < struct.length) {
+              row.update(i,
+                if (g.getFieldRepetitionCount(i) == 0) null
+                else converters(i)(g, i))
+              i += 1
+            }
+            if (matches(row) && ord <= Int.MaxValue.toLong) {
+              hit.add(ord.toInt)
+            }
+          }
+          ord += 1
+        }
+        pages = reader.readNextRowGroup()
+      }
+      (hit, ord)
+    } finally reader.close()
+  }
+
+  /** The predicate compiled over the file's schema, padded with NULL
+    * for columns the (older) file lacks — UNKNOWN rows survive, same
+    * as a live query. `null` cond = matches nothing. */
+  private def compileWithPadding(internalCond: Filter,
+      fileSchema: MessageType, struct: StructType)
+      : InternalRow => Boolean = {
+    if (internalCond == null) return _ => false
+    val missing = internalCond.references.distinct
+      .filterNot(struct.fieldNames.contains)
+    val evalSchema = org.apache.spark.sql.types.StructType(
+      struct.fields ++ missing.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+    val compiled = RowFilterEval.compile(Array(internalCond), evalSchema)
+    if (missing.isEmpty) compiled
+    else {
+      val nulls = new GenericInternalRow(missing.length)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      r => compiled(joined(r, nulls))
+    }
+  }
+
   /** One executor task per boundary file, no shuffle: stream row
-    * groups, keep rows where `cond` is not definitely TRUE, emit one
+    * groups, keep rows where `cond` is not definitely TRUE (and not
+    * position-deleted by the file's existing vector), emit one
     * replacement file carrying the original's bucket suffix. Names are
     * attempt-unique; only the attempt whose result Spark collected is
     * renamed in, and the staging sweep drops zombies — the same
-    * speculative-duplicate discipline as the batch writers. */
+    * speculative-duplicate discipline as the batch writers.
+    * `cond = null` (vector materialization) drops vector positions
+    * only. */
   private def rewritePerFile(spark: SparkSession, cond: Filter,
       schema: StructType, files: Seq[Path], staging: Path,
-      jobId: String): Seq[Path] = {
-    val internal = PredicateFiles.internalizeTemporal(cond, schema)
-    if (!RowFilterEval.supports(internal, schema)) {
+      jobId: String,
+      oldDvs: Map[String, String] = Map.empty,
+      target: Path = null): Seq[Path] = {
+    val internal =
+      if (cond == null) null
+      else PredicateFiles.internalizeTemporal(cond, schema)
+    if (cond != null && !RowFilterEval.supports(internal, schema)) {
       throw new UnsupportedOperationException(
         s"graft-v2 DELETE: cannot evaluate predicate $cond row-side — " +
         "supported: comparisons (incl. date/timestamp)/In/IsNull/" +
         "StartsWith/EndsWith/Contains over flat columns, with And/Or/Not")
     }
+    val dvDirStr =
+      if (target == null) null else DeleteVectors.dvDir(target).toString
     val sconf = new SerializableConfiguration(GraftHadoopConf.sessionConf())
     val stagingStr = staging.toString
-    val jobs: Seq[(String, String)] = files.zipWithIndex.map {
+    val jobs: Seq[(String, String, String)] = files.zipWithIndex.map {
       case (p, i) =>
         // the `_<bucket%05d>` suffix must stay the LAST `_digits`
         // group, so the attempt marker is hyphen-joined
         val suffix = BucketLayout.bucketIdOf(p.getName)
           .map(b => f"_$b%05d").getOrElse("")
-        (p.toString, s"part-del-$jobId-$i$suffix.c000.snappy.parquet")
+        (p.toString, s"part-del-$jobId-$i$suffix.c000.snappy.parquet",
+          oldDvs.get(p.getName).filter(_ => dvDirStr != null)
+            .map(d => s"$dvDirStr/$d").orNull)
     }
     spark.sparkContext.parallelize(jobs, jobs.size)
-      .map { case (in, outName) =>
+      .map { case (in, outName, oldDvPath) =>
         val attempt = Option(TaskContext.get())
           .map(_.attemptNumber()).getOrElse(0)
         val named =
           if (attempt == 0) outName
           else outName.replaceFirst("^part-del-", s"part-del-a$attempt-")
-        rewriteOne(sconf.value, in, s"$stagingStr/$named", internal)
+        val skip =
+          if (oldDvPath == null) null
+          else DeleteVectors.load(oldDvPath, sconf.value)
+        rewriteOne(sconf.value, in, s"$stagingStr/$named", internal,
+          skip = skip)
       }
       .collect().toSeq.flatten.map(new Path(_))
   }
@@ -184,7 +422,8 @@ object GraftDeleteV2 {
     * source file's survivors normalize to micros — the same value
     * every graft read already produced for them. */
   private def rewriteOne(conf: Configuration, inFile: String,
-      outFile: String, internalCond: Filter): Option[String] = {
+      outFile: String, internalCond: Filter,
+      skip: org.roaringbitmap.RoaringBitmap = null): Option[String] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(inFile), conf))
     var writer: ParquetWriter[InternalRow] = null
@@ -194,24 +433,11 @@ object GraftDeleteV2 {
       // schema evolution: the predicate may reference columns this
       // (older) file lacks — evaluate over a padded row, so they read
       // NULL -> UNKNOWN -> the row survives, same as a live query
-      val missing = internalCond.references.distinct
-        .filterNot(struct.fieldNames.contains)
-      val evalSchema = org.apache.spark.sql.types.StructType(
-        struct.fields ++ missing.map(
-          org.apache.spark.sql.types.StructField(_,
-            org.apache.spark.sql.types.StringType)))
-      val compiled = RowFilterEval.compile(Array(internalCond), evalSchema)
-      val matches: InternalRow => Boolean =
-        if (missing.isEmpty) compiled
-        else {
-          val nulls = new GenericInternalRow(missing.length)
-          val joined =
-            new org.apache.spark.sql.catalyst.expressions.JoinedRow
-          r => compiled(joined(r, nulls))
-        }
+      val matches = compileWithPadding(internalCond, fileSchema, struct)
       val converters = struct.fields.zipWithIndex.map { case (f, i) =>
         ParquetMeta.converter(fileSchema.getType(i), f.dataType)
       }
+      var ord = 0L // FILE ordinal: `skip` holds position deletes
       var pages = reader.readNextRowGroup()
       while (pages != null) {
         val rr = new ColumnIOFactory().getColumnIO(fileSchema)
@@ -220,8 +446,11 @@ object GraftDeleteV2 {
         var n = 0L
         while (n < total) {
           val g = rr.read()
+          val deleted = skip != null && ord <= Int.MaxValue.toLong &&
+            skip.contains(ord.toInt)
+          ord += 1
           n += 1
-          if (g != null) {
+          if (g != null && !deleted) {
             val row = new GenericInternalRow(struct.length)
             var i = 0
             while (i < struct.length) {

@@ -55,8 +55,12 @@ object GraftManifest {
   val ArchiveDir = ".graft-archive"
   private val Header = "graft-manifest-1"
 
-  /** One committed table state: the data-file names live at `version`. */
-  final case class Snapshot(version: Long, names: Seq[String])
+  /** One committed table state: the data-file names live at `version`,
+    * `dvs` maps a data-file name to its deletion-vector sidecar name
+    * under `.graft-dv/` ([[DeleteVectors]]) — rows of that file at
+    * those ordinals are deleted AT THIS VERSION. */
+  final case class Snapshot(version: Long, names: Seq[String],
+      dvs: Map[String, String] = Map.empty)
 
   private val lock = new Object
 
@@ -137,7 +141,12 @@ object GraftManifest {
       }
       // meta lines (`key=value`, e.g. the commit timestamp) are not
       // file names; part names never contain '=' so the split is safe
-      Snapshot(version, lines.tail.filterNot(_.contains('=')))
+      val dvs = lines.tail.filter(_.startsWith("dv=")).flatMap { l =>
+        val v = l.stripPrefix("dv=")
+        val i = v.lastIndexOf(':')
+        if (i <= 0) None else Some(v.substring(0, i) -> v.substring(i + 1))
+      }.toMap
+      Snapshot(version, lines.tail.filterNot(_.contains('=')), dvs)
     } finally in.close()
   }
 
@@ -263,10 +272,16 @@ object GraftManifest {
     *   itself changes it (widened append, redefining overwrite) —
     *   the marker refresh those paths run AFTER the manifest commit
     *   would otherwise leave this version's recorded schema stale. */
+  /** @param dvs deletion-vector mapping for the NEW version:
+    *   None (the default) INHERITS the `expected` version's vectors —
+    *   restricted to `names`, so a replaced/removed file's vector
+    *   drops out automatically; Some(m) replaces the mapping (a DV
+    *   commit), also restricted to `names`. */
   def tryCommit(fs: FileSystem, table: Path, expected: Long,
       names: Seq[String],
       commitSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      extraMeta: Seq[String] = Nil)
+      extraMeta: Seq[String] = Nil,
+      dvs: Option[Map[String, String]] = None)
       : Boolean = {
     val d = manifestDir(table)
     fs.mkdirs(d)
@@ -287,8 +302,15 @@ object GraftManifest {
           GraftCatalog.readMarker(fs, table))
       }.toOption.flatten
     }.map(_.toDDL).filterNot(_.contains("\n"))
+    val nameSet = names.toSet
+    val effectiveDvs: Map[String, String] = dvs.getOrElse {
+      if (expected < 1L) Map.empty[String, String]
+      else scala.util.Try(read(fs, table, expected).dvs)
+        .getOrElse(Map.empty[String, String])
+    }.filter { case (n, _) => nameSet.contains(n) }
     val meta = Seq(s"ts=${System.currentTimeMillis()}") ++
       schemaDdl.map(d0 => s"schema=$d0") ++
+      effectiveDvs.toSeq.sorted.map { case (n, d) => s"dv=$n:$d" } ++
       extraMeta.filter(m => m.contains('=') && !m.contains('\n'))
     val out = fs.create(tmp, true)
     try out.write((Header +: (meta ++ names.sorted))
@@ -398,11 +420,18 @@ object GraftManifest {
     * version), None when it has none (plain listing behavior). */
   def snapshotFiles(fs: FileSystem, table: Path,
       versionAsOf: Option[Long]): Option[Seq[Path]] =
-    versionAsOf match {
-      case Some(v) => Some(resolve(fs, table, read(fs, table, v).names))
-      case None =>
-        current(fs, table).map(s => resolve(fs, table, s.names))
-    }
+    snapshotState(fs, table, versionAsOf).map(_._1)
+
+  /** [[snapshotFiles]] plus the pinned version's deletion-vector map
+    * (data-file name → sidecar name) — what a scan needs to read the
+    * version EXACTLY: these files, minus these positions. */
+  def snapshotState(fs: FileSystem, table: Path,
+      versionAsOf: Option[Long])
+      : Option[(Seq[Path], Map[String, String])] =
+    (versionAsOf match {
+      case Some(v) => Some(read(fs, table, v))
+      case None => current(fs, table)
+    }).map(s => (resolve(fs, table, s.names), s.dvs))
 
   /** Drop all versions but the newest `keepVersions`, deleting archive
     * files no retained version references. Bounds retention growth.
@@ -460,11 +489,23 @@ object GraftManifest {
     if (vs.isEmpty) return
     val (drop, keep) = split(vs)
     if (keep.isEmpty) return // the latest version always survives
-    val referenced = keep.flatMap(read(fs, table, _).names).toSet
+    val keptSnaps = keep.map(read(fs, table, _))
+    val referenced = keptSnaps.flatMap(_.names).toSet
     val archive = new Path(table, ArchiveDir)
     if (fs.exists(archive)) {
       fs.listStatus(archive).foreach { st =>
         if (!referenced.contains(st.getPath.getName)) {
+          fs.delete(st.getPath, false)
+        }
+      }
+    }
+    // deletion-vector sidecars follow the same rule: dropped with the
+    // last version that references them
+    val referencedDvs = keptSnaps.flatMap(_.dvs.values).toSet
+    val dvd = DeleteVectors.dvDir(table)
+    if (fs.exists(dvd)) {
+      fs.listStatus(dvd).foreach { st =>
+        if (!referencedDvs.contains(st.getPath.getName)) {
           fs.delete(st.getPath, false)
         }
       }

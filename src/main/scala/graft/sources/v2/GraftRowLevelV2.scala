@@ -175,9 +175,28 @@ case class GraftCowScan(op: GraftRowLevelOperation,
       case None => statAffected
     }
     op.scannedFiles = affected.toSeq.sorted
-    groups.filter(rg => affected.contains(rg.file))
-      .map(rg => GraftInputPartition(rg.file, rg.index, rg.startingPos,
-        rg.compressedBytes): InputPartition)
+    // the pinned version's deletion vectors ride into the partitions:
+    // the rewrite must not resurrect position-deleted rows — and the
+    // rewritten replacement files materialize them (the victim's
+    // sidecar mapping drops out of the commit with the victim's name)
+    val dvs = pinned.dvs
+    val affectedGroups = groups.filter(rg => affected.contains(rg.file))
+    val starts =
+      if (dvs.isEmpty) Map.empty[(String, Int), Long]
+      else DeleteVectors.rowStarts(affectedGroups.filter(rg =>
+        dvs.contains(new Path(rg.file).getName)))
+    affectedGroups
+      .map { rg =>
+        val dvName = dvs.get(new Path(rg.file).getName)
+        (dvName match {
+          case Some(d) => GraftInputPartition(rg.file, rg.index,
+            rg.startingPos, rg.compressedBytes,
+            dvFile = new Path(DeleteVectors.dvDir(tdir), d).toString,
+            rowStart = starts.getOrElse((rg.file, rg.index), 0L))
+          case None => GraftInputPartition(rg.file, rg.index,
+            rg.startingPos, rg.compressedBytes)
+        }): InputPartition
+      }
       .toArray
   }
 

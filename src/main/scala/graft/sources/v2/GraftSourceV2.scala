@@ -237,12 +237,22 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     * for a manifest-bearing table, None (plain listing) otherwise.
     * Both the footer-answered aggregate push and the built scan read
     * through this, so a query plans against one consistent version. */
-  private lazy val snapshotFiles: Option[Seq[String]] = {
+  private lazy val snapshotState
+      : Option[(Seq[String], Map[String, String])] = {
     val tdir = new Path(path)
-    GraftManifest.snapshotFiles(
+    GraftManifest.snapshotState(
       tdir.getFileSystem(GraftHadoopConf.sessionConf()), tdir,
-      versionAsOf).map(_.map(_.toString))
+      versionAsOf).map { case (fs0, dvs) => (fs0.map(_.toString), dvs) }
   }
+
+  private lazy val snapshotFiles: Option[Seq[String]] =
+    snapshotState.map(_._1)
+
+  /** The pinned version's deletion vectors (file name → sidecar name,
+    * [[DeleteVectors]]). Non-empty ⇒ footer-derived aggregate answers
+    * are wrong (they cannot see position deletes) and are declined. */
+  private lazy val snapshotDvs: Map[String, String] =
+    snapshotState.map(_._2).getOrElse(Map.empty)
 
   private def builderRowGroups: Seq[FooterCache.RowGroupMeta] =
     snapshotFiles match {
@@ -383,6 +393,9 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     if (agg.groupByExpressions.nonEmpty || limit >= 0 || topNLimit >= 0) {
       return None
     }
+    // deletion vectors invalidate every footer-derived answer (counts
+    // include deleted rows; a min/max could be a deleted row's value)
+    if (snapshotDvs.nonEmpty) return None
     def flatCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -524,7 +537,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
       appendFile, snapshotFiles, fileAllow, mergeRuns,
-      streamIgnoreChanges)
+      streamIgnoreChanges, snapshotDvs)
   }
 }
 
@@ -557,7 +570,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     snapshot: Option[Seq[String]] = None,
     fileAllow: Option[Set[String]] = None,
     mergeRuns: Boolean = false,
-    streamIgnoreChanges: Boolean = false)
+    streamIgnoreChanges: Boolean = false,
+    dvs: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -653,6 +667,12 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     scanRowGroups.foreach { rg =>
       rows += rg.rowCount; bytes += rg.totalByteSize
     }
+    if (dvs.nonEmpty) {
+      // position deletes: subtract the deleted rows (sidecars are tiny
+      // and cached), keep bytes conservative
+      rows = math.max(0L, rows - DeleteVectors.cardinality(
+        new Path(path), dvs.values, GraftHadoopConf.sessionConf()))
+    }
     val (fr, fb) = (rows, bytes)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -672,8 +692,9 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       .getOrElse("")
     val ff = fileAllow.map(s => s", PushedFileFilter: ${s.size} file(s)")
       .getOrElse("")
+    val dv = if (dvs.isEmpty) "" else s", DeleteVectors: ${dvs.size} file(s)"
     s"GraftScanV2 ${path.split('/').last}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]$lim$tn$ag$ff, " +
+      s"PushedFilters: [${filters.mkString(", ")}]$lim$tn$ag$ff$dv, " +
       s"ReadSchema: ${readSchema().catalogString}" +
       (if (vectorized) ", Vectorized: true" else "")
   }
@@ -721,9 +742,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         }
       case None => kept
     }
-    val parts = bucketKept.map(rg =>
-      GraftInputPartition(rg.file, rg.index, rg.startingPos,
-        rg.compressedBytes))
+    val parts = bucketKept.map(mkPartition)
     bucketGrouping match {
       case Some(b) =>
         // one partition per bucket, ALL buckets present (empty ones
@@ -764,6 +783,34 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           GraftBucketedPartition(bucket, ordered.toArray): InputPartition
         }
       case None => parts.toArray
+    }
+  }
+
+  /** Partition construction, deletion-vector aware: a row group of a
+    * DV'd file carries the sidecar's absolute path and its starting
+    * file ordinal, so the innermost readers skip deleted positions.
+    * Prefix sums run over the file's COMPLETE group list
+    * (scanRowGroups prunes whole files only), so ordinals are exact
+    * even when stats pruning later drops sibling groups. */
+  @transient private lazy val dvRowStarts: Map[(String, Int), Long] =
+    if (dvs.isEmpty) Map.empty
+    else DeleteVectors.rowStarts(
+      scanRowGroups.filter(rg => dvs.contains(new Path(rg.file).getName)))
+
+  private def mkPartition(rg: FooterCache.RowGroupMeta)
+      : GraftInputPartition = {
+    val dvName =
+      if (dvs.isEmpty) None else dvs.get(new Path(rg.file).getName)
+    dvName match {
+      case Some(d) =>
+        GraftInputPartition(rg.file, rg.index, rg.startingPos,
+          rg.compressedBytes,
+          dvFile = new Path(DeleteVectors.dvDir(new Path(path)),
+            d).toString,
+          rowStart = dvRowStarts.getOrElse((rg.file, rg.index), 0L))
+      case None =>
+        GraftInputPartition(rg.file, rg.index, rg.startingPos,
+          rg.compressedBytes)
     }
   }
 
@@ -1020,9 +1067,16 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
 
 /** One parquet row group = one partition (file offset + byte span pin
   * the group: parquet-mr's range filter keeps groups whose MIDPOINT is
-  * inside the range, so the span must cover the group). */
+  * inside the range, so the span must cover the group).
+  *
+  * `dvFile`/`rowStart`: set when the pinned snapshot carries a
+  * deletion vector for this file ([[DeleteVectors]]) — the sidecar's
+  * absolute path and this row group's starting FILE ordinal, so the
+  * readers can skip deleted positions at the innermost layer (before
+  * any filter/limit disturbs physical ordinals). */
 case class GraftInputPartition(file: String, rowGroup: Int,
-    startingPos: Long, byteLen: Long) extends InputPartition
+    startingPos: Long, byteLen: Long,
+    dvFile: String = null, rowStart: Long = 0L) extends InputPartition
 
 /** All row groups of one bucket, as one partition whose key is the
   * bucket id — the `HasPartitionKey` half of the storage-partitioned
@@ -1666,8 +1720,30 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       if (scan.filters.isEmpty) groups
       else groups.filter(rg =>
         scan.filters.forall(RowGroupPruning.mayMatch(_, rg)))
-    kept.map(rg => GraftInputPartition(rg.file, rg.index, rg.startingPos,
-      rg.compressedBytes)).toArray
+    // deletion vectors resolve at BATCH PLANNING time: a file already
+    // position-deleted when its batch plans streams only its live rows
+    // (a dv landing after delivery is the tolerated retroactive-delete
+    // case — the data file itself never vanishes). The tail's
+    // append-only guard is unaffected: dv commits leave files in place.
+    val tdir = new Path(path)
+    val dvs = GraftManifest.current(tdir.getFileSystem(hconf), tdir)
+      .map(_.dvs).getOrElse(Map.empty)
+    // prefix sums over the PRE-pruning group list — stats pruning may
+    // drop sibling groups, but file ordinals must stay exact
+    val starts =
+      if (dvs.isEmpty) Map.empty[(String, Int), Long]
+      else DeleteVectors.rowStarts(groups.filter(rg =>
+        dvs.contains(new Path(rg.file).getName)))
+    kept.map { rg =>
+      dvs.get(new Path(rg.file).getName) match {
+        case Some(d) => GraftInputPartition(rg.file, rg.index,
+          rg.startingPos, rg.compressedBytes,
+          dvFile = new Path(DeleteVectors.dvDir(tdir), d).toString,
+          rowStart = starts.getOrElse((rg.file, rg.index), 0L))
+        case None => GraftInputPartition(rg.file, rg.index,
+          rg.startingPos, rg.compressedBytes)
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1747,15 +1823,50 @@ class GraftVectorReader(part: GraftInputPartition,
     reader.enableReturningBatches()
   }
 
+  // deletion-vector application (innermost, where physical ordinals
+  // are visible): per batch, build a selection of surviving rows and
+  // wrap the vectors in a zero-copy [[SelectedColumnVector]] view —
+  // the batch stays columnar, and `emitted` counts SURVIVORS so a
+  // pushed limit is a bound on live rows
+  private val dv: org.roaringbitmap.RoaringBitmap =
+    if (part.dvFile == null) null
+    else DeleteVectors.load(part.dvFile, conf)
+  private var physPos: Long = part.rowStart
+
   private var emitted = 0L
   private var batch: ColumnarBatch = _
 
+  private def applyDv(b: ColumnarBatch): ColumnarBatch = {
+    val n = b.numRows()
+    val start = physPos
+    physPos += n
+    if (dv.rangeCardinality(start, start + n) == 0L) return b
+    val sel = new Array[Int](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!dv.contains((start + i).toInt)) { sel(k) = i; k += 1 }
+      i += 1
+    }
+    val cols = Array.tabulate[org.apache.spark.sql.vectorized
+      .ColumnVector](b.numCols())(c =>
+      new SelectedColumnVector(b.column(c), sel))
+    new ColumnarBatch(cols, k)
+  }
+
   override def next(): Boolean = {
-    if (limit >= 0 && emitted >= limit) return false
-    if (!reader.nextBatch()) return false
-    batch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-    emitted += batch.numRows()
-    true
+    while (true) {
+      if (limit >= 0 && emitted >= limit) return false
+      if (!reader.nextBatch()) return false
+      val raw = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      batch = if (dv == null) raw else applyDv(raw)
+      if (batch.numRows() > 0) {
+        emitted += batch.numRows()
+        return true
+      }
+      // a fully-deleted batch: keep pulling
+    }
+    false // unreachable
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = reader.close()
@@ -1928,14 +2039,24 @@ class GraftRowGroupReader(part: GraftInputPartition,
   }
   private val predicate = RowFilterEval.compile(filters, extSchema)
 
+  // deletion vector: skip deleted FILE ordinals as the group streams —
+  // before filter evaluation, limit counting or the top-k heap, so
+  // physical positions stay exact and all downstream semantics see
+  // only live rows
+  private val dv: org.roaringbitmap.RoaringBitmap =
+    if (part.dvFile == null) null
+    else DeleteVectors.load(part.dvFile, conf)
+
   private var readCount = 0L
   private var emitted = 0
   private var current: InternalRow = _
 
   private def readExtRow(): InternalRow = {
+    val ord = part.rowStart + readCount
     val g = recordReader.read()
     readCount += 1
     if (g == null) null
+    else if (dv != null && dv.contains(ord.toInt)) null // deleted row
     else {
       val ext = new GenericInternalRow(extSchema.length)
       var i = 0

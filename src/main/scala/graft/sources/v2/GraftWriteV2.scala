@@ -292,18 +292,23 @@ private[v2] object GraftSwapV2 {
     dw.isEmpty && rw.isEmpty
   }
 
+  /** @param dvUpdates deletion-vector re-mappings this commit carries
+    *   (file name → new sidecar name, [[DeleteVectors]]): overlays the
+    *   CAS-target version's vectors; victims' entries drop out with
+    *   their names. */
   def parkAndSwapVersioned(fs: org.apache.hadoop.fs.FileSystem,
       target: Path, readState: GraftManifest.Snapshot,
       victims0: Seq[Path], incoming: Seq[Path],
       addedSafe: Seq[String] => Boolean = _ => false,
       expandVictims: Boolean = false,
-      commitSchema: Option[StructType] = None): Long =
+      commitSchema: Option[StructType] = None,
+      dvUpdates: Map[String, String] = Map.empty): Long =
     // the whole critical section (renames in → CAS → archive) under
     // the per-table commit lock, so no listing-derived commit can
     // capture a torn intermediate state
     GraftManifest.commitLock(fs, target).synchronized {
       parkAndSwapLocked(fs, target, readState, victims0, incoming,
-        addedSafe, expandVictims, commitSchema)
+        addedSafe, expandVictims, commitSchema, dvUpdates)
     }
 
   private def parkAndSwapLocked(fs: org.apache.hadoop.fs.FileSystem,
@@ -311,7 +316,8 @@ private[v2] object GraftSwapV2 {
       victims0: Seq[Path], incoming: Seq[Path],
       addedSafe: Seq[String] => Boolean,
       expandVictims: Boolean,
-      commitSchema: Option[StructType]): Long = {
+      commitSchema: Option[StructType],
+      dvUpdates: Map[String, String] = Map.empty): Long = {
     val incomingNames = incoming.map(_.getName).toSet
     val movedIn = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -339,8 +345,11 @@ private[v2] object GraftSwapV2 {
       // staged-in names — appending them again would double-count
       val newNames = (state.names.filterNot(victimNames) ++
         incoming.map(_.getName)).distinct
+      val newDvs =
+        if (dvUpdates.isEmpty) None // inherit (restricted to names)
+        else Some(state.dvs ++ dvUpdates)
       if (GraftManifest.tryCommit(fs, target, state.version, newNames,
-          commitSchema)) {
+          commitSchema, dvs = newDvs)) {
         committed = state.version + 1
       } else {
         attempts += 1
@@ -479,7 +488,13 @@ class GraftBatchWriteV2(path: String, schema: StructType,
       case (false, Some(cond)) =>
         // predicate overwrite: classify from footer stats, rewrite only
         // the boundary files (distributed job, null-safe NOT cond),
-        // then swap victims for staged + residue in one park protocol
+        // then swap victims for staged + residue in one park protocol.
+        // Position-deleted tables materialize their vectors FIRST: the
+        // residue job reads raw parquet and must not resurrect
+        // deleted rows of a boundary file
+        if (GraftManifest.current(fs, target).exists(_.dvs.nonEmpty)) {
+          GraftDeleteV2.materializeDeleteVectors(path)
+        }
         val readState = GraftManifest.pinForMutation(fs, target)
         val (_, deleteWhole, rewrite) = graft.sources.PredicateFiles
           .classify(cond, readState.names.map(new Path(target, _)))

@@ -593,6 +593,30 @@ class SourceV2Spec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("stream applies a pre-existing deletion vector at delivery") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-dvst")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    // a point delete masks two rows (vector, file left in place)
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.In("id", Array(3L, 50L)))
+    assert(new java.io.File(dir, ".graft-dv").exists(),
+      "expected the point delete to take the vector path")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = startCollecting(dir, ckpt, got)
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val ids = got.asScala.toSet
+      assert(got.size == 98, s"expected 98 live rows, got ${got.size}")
+      assert(!ids.contains(3L) && !ids.contains(50L),
+        "vector-deleted rows must not stream")
+    } finally q.stop()
+  }
+
   test("stream restart from checkpoint never re-reads committed files") {
     val base = java.nio.file.Files.createTempDirectory("graft-v2-restart")
     val dir = base.resolve("t").toString
