@@ -131,6 +131,51 @@ object ScaleProbe {
     println(f"""{"q":"stats_aligned_delete","t1":$d1%.2f,""" +
       f""""t$factor":$dN%.2f,"ratio":${dN / math.max(d1, 0.001)}%.2f,""" +
       f""""survivors_1x":$rows1,"survivors_${factor}x":$rowsN}""")
+    // deletion-vector probe: a POINT delete (32 keys spread across
+    // every file) with vectors on vs forced copy-on-write
+    // (maxFraction=0), both at the INFLATED scale. The vector path
+    // writes bytes ∝ deleted rows (32 tiny sidecars); copy-on-write
+    // rewrites every touched file — write amplification ∝ file bytes.
+    // t_dv/t_cow well below 1 at Nx is the claim: point mutation cost
+    // tracks deleted rows, not touched-file bytes.
+    def dvProbe(dir: String, label: String, maxFrac: String)
+        : (Double, Long, Long) = {
+      val wh = Files.createTempDirectory("graft-scale-dv").toString
+      spark.conf.set(s"spark.sql.catalog.dv$label",
+        "graft.sources.v2.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.dv$label.warehouse", wh)
+      val li = Tables.t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val span = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      (0 until 8).foreach { i =>
+        li.filter(col("l_orderkey") >= i * span / 8 &&
+            col("l_orderkey") < (i + 1) * span / 8)
+          .coalesce(4).write.format("graft-v2")
+          .option("path", s"$wh/li").mode("append").save()
+      }
+      val keys = (0 until 32).map(i => i * span / 32 + 1)
+      spark.conf.set("spark.graft.dv.maxFraction", maxFrac)
+      val t0 = System.nanoTime()
+      spark.sql(s"DELETE FROM dv$label.li WHERE l_orderkey IN " +
+        keys.mkString("(", ", ", ")"))
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.conf.set("spark.graft.dv.maxFraction", "0.2")
+      val tdir = new org.apache.hadoop.fs.Path(s"$wh/li")
+      val fs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+      val dvBytes = {
+        val d = new org.apache.hadoop.fs.Path(tdir, ".graft-dv")
+        if (!fs.exists(d)) 0L
+        else fs.listStatus(d).map(_.getLen).sum
+      }
+      (t, spark.table(s"dv$label.li").count(), dvBytes)
+    }
+    val (tDv, survDv, dvBytes) = dvProbe(scaled, "a", "0.2")
+    val (tCow, survCow, _) = dvProbe(scaled, "b", "0.0")
+    require(survDv == survCow,
+      s"dv vs cow point-delete disagree: $survDv vs $survCow")
+    println(f"""{"q":"dv_point_delete","t_dv":$tDv%.2f,""" +
+      f""""t_cow":$tCow%.2f,"ratio":${tDv / math.max(tCow, 0.001)}%.2f,""" +
+      f""""dv_bytes":$dvBytes,"survivors":$survDv}""")
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

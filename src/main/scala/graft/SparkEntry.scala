@@ -734,6 +734,45 @@ object SparkEntry {
       s"FROM $cat.orders ORDER BY o_orderkey")
   }
 
+  /** Point DELETE through the DELETION-VECTOR path end-to-end
+    * ([[graft.sources.v2.DeleteVectors]]): scratch orders copy (two
+    * appends → several part files), delete three keys — far below the
+    * vector threshold for every touched file — then REQUIRE the data
+    * files were left physically in place with sidecars mapped (the
+    * guard that this query proves the vector path, not the rewrite),
+    * and return the survivors for the complement oracle. */
+  private val qDvDelete: Q = (s, dir) => {
+    val tag = "dv" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag"
+    val cat = s"graft_dml_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tdir = new org.apache.hadoop.fs.Path(s"$wh/orders")
+    val fs = tdir.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(tdir, true)
+    val orders = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    val mid = 30000L
+    orders.filter(col("o_orderkey") < mid).write.format("graft-v2")
+      .option("path", s"$wh/orders").mode("append").save()
+    orders.filter(col("o_orderkey") >= mid).write.format("graft-v2")
+      .option("path", s"$wh/orders").mode("append").save()
+    def parts(): Set[String] =
+      fs.listStatus(tdir).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".")).toSet
+    val before = parts()
+    s.sql(s"DELETE FROM $cat.orders " +
+      "WHERE o_orderkey IN (7, 101, 1203)")
+    require(parts() == before,
+      "q_dv_delete: the point DELETE must leave every data file in place")
+    val snap = graft.sources.v2.GraftManifest.current(fs, tdir).get
+    require(snap.dvs.nonEmpty,
+      "q_dv_delete: expected deletion-vector sidecars in the manifest")
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+      s"FROM $cat.orders ORDER BY o_orderkey")
+  }
+
   /** Snapshot isolation / time travel end-to-end: load a scratch graft
     * table (v1-to-be), run a DELETE (the first mutation bootstraps
     * manifest v1 = the pre-DML state and commits v2), then read
@@ -912,6 +951,7 @@ object SparkEntry {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_delete_from" -> qDeleteFrom,
+    "q_dv_delete" -> qDvDelete,
     "q_time_travel" -> qTimeTravel,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
@@ -1410,6 +1450,11 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT coalesce(o_orderstatus = 'O' OR o_totalprice < 50000,
         |  false)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dv_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey NOT IN (7, 101, 1203)
         |ORDER BY o_orderkey""".stripMargin,
     // VERSION AS OF 1 is the pre-DELETE state = the plain projection
     "q_time_travel" ->
