@@ -119,6 +119,12 @@ case class GraftRelation(
           "format(\"graft-v2\") / the catalog, or run " +
           "GraftDeleteV2.materializeDeleteVectors first")
       }
+      if (!graft.sources.v2.GraftCatalog.readMapping(fs, p).isEmpty) {
+        throw new IllegalStateException(
+          s"graft: $path carries a DROP/RENAME column mapping; the V1 " +
+          "format(\"graft\") scan reads physical names — read via " +
+          "format(\"graft-v2\") / the catalog")
+      }
     }
     def branch(partPred: Option[Column]): DataFrame = {
       var df = sparkSession.read.parquet(path)

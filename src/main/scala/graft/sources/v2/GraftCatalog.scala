@@ -36,8 +36,42 @@ object GraftCatalog {
 
   import org.apache.hadoop.fs.FileSystem
 
-  private[graft] def readMarker(fs: FileSystem, dir: Path)
-      : Option[StructType] = {
+  /** Metadata-only DROP/RENAME COLUMN state, carried in the schema
+    * marker below the DDL line:
+    *
+    *  - `renames`: PHYSICAL (in-file) name → current LOGICAL name.
+    *    Old files keep their physical column; readers translate
+    *    per file ([[PhysicalNames]]); files written after the rename
+    *    carry the logical name directly (no translation needed), so a
+    *    rename costs zero data bytes and mixed files read uniformly.
+    *  - `drops`: physical names whose data is DEAD — projected away
+    *    by every reader, and RESERVED: re-adding a column with a
+    *    dropped (or rename-source) physical name is refused, because
+    *    name-mapped files could not tell the new column from the old
+    *    data (the restriction a field-id format lifts; this engine
+    *    documents it instead of silently resurrecting columns). */
+  final case class ColumnMapping(renames: Map[String, String],
+      drops: Set[String]) {
+    def isEmpty: Boolean = renames.isEmpty && drops.isEmpty
+    /** Physical names no new logical column may take. */
+    def reserved: Set[String] = renames.keySet ++ drops
+    /** Translate a raw FOOTER schema to logical shape: dead columns
+      * out, renamed columns under their logical name. */
+    def translate(footer: StructType): StructType =
+      if (isEmpty) footer
+      else StructType(footer.fields
+        .filterNot(f => drops.contains(f.name))
+        .map(f => renames.get(f.name) match {
+          case Some(logical) => f.copy(name = logical)
+          case None => f
+        }))
+  }
+  object ColumnMapping {
+    val empty: ColumnMapping = ColumnMapping(Map.empty, Set.empty)
+  }
+
+  private[graft] def readMarkerRaw(fs: FileSystem, dir: Path)
+      : Option[Seq[String]] = {
     val p = new Path(dir, SchemaMarker)
     if (!fs.exists(p)) None
     else {
@@ -45,16 +79,50 @@ object GraftCatalog {
       try {
         val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
         in.readFully(0, bytes)
-        Some(StructType.fromDDL(new String(bytes, "UTF-8")))
+        Some(new String(bytes, "UTF-8").split("\n").toSeq)
       } finally in.close()
     }
+  }
+
+  private[graft] def readMarker(fs: FileSystem, dir: Path)
+      : Option[StructType] =
+    // line 1 is the DDL; mapping lines (#rename= / #drop=) follow
+    readMarkerRaw(fs, dir).flatMap(_.headOption)
+      .map(StructType.fromDDL)
+
+  private[graft] def readMapping(fs: FileSystem, dir: Path)
+      : ColumnMapping =
+    readMarkerRaw(fs, dir) match {
+      case None => ColumnMapping.empty
+      case Some(lines) =>
+        val renames = lines.filter(_.startsWith("#rename=")).flatMap { l =>
+          val v = l.stripPrefix("#rename=")
+          val i = v.lastIndexOf(':')
+          if (i <= 0) None
+          else Some(v.substring(0, i) -> v.substring(i + 1))
+        }.toMap
+        val drops = lines.filter(_.startsWith("#drop="))
+          .map(_.stripPrefix("#drop=")).toSet
+        ColumnMapping(renames, drops)
+    }
+
+  private[graft] def writeMarker(fs: FileSystem, dir: Path,
+      schema: StructType, mapping: ColumnMapping): Unit = {
+    val lines = Seq(schema.toDDL) ++
+      mapping.renames.toSeq.sorted.map { case (p, l) => s"#rename=$p:$l" } ++
+      mapping.drops.toSeq.sorted.map(p => s"#drop=$p")
+    val out = fs.create(new Path(dir, SchemaMarker), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** THE schema-merge rule: footers win for the columns they have;
     * marker fields the footers lack are appended as nullable — what
     * makes `ALTER TABLE ADD COLUMNS` metadata-only. ONE definition,
     * shared by `resolveSchema`, the time-travel fallback and the
-    * manifest's recorded `schema=` line, so they cannot diverge. */
+    * manifest's recorded `schema=` line, so they cannot diverge.
+    * Callers pass the footer ALREADY TRANSLATED through the column
+    * mapping (see [[translatedFooter]]). */
   private[graft] def mergeFooterAndMarker(footer: Option[StructType],
       marker: Option[StructType]): Option[StructType] =
     (footer, marker) match {
@@ -66,12 +134,19 @@ object GraftCatalog {
       case (f, m) => f.orElse(m)
     }
 
+  /** The first file's footer schema in LOGICAL shape: dropped columns
+    * out, renamed columns under their current names. */
+  private[graft] def translatedFooter(fs: FileSystem, dir: Path)
+      : Option[StructType] =
+    FooterCache.schemaOption(dir.toString).map(ParquetMeta.toStruct)
+      .map(readMapping(fs, dir).translate)
+
   /** THE table schema, shared by the catalog's `loadTable` and the
     * write path's append gate. */
   private[graft] def resolveSchema(fs: FileSystem, dir: Path)
       : Option[StructType] =
     mergeFooterAndMarker(
-      FooterCache.schemaOption(dir.toString).map(ParquetMeta.toStruct),
+      translatedFooter(fs, dir),
       readMarker(fs, dir))
 }
 
@@ -233,10 +308,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * do implicitly. Other ALTERs (drop/rename/retype) are rejected. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
+    import GraftCatalog.ColumnMapping
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     val current = resolveSchema(dir)
       .getOrElse(throw new NoSuchTableException(ident))
+    val layoutCols: Set[String] = graft.sources.BucketLayout
+      .read(fs, dir).map(b => (b.bucketCols ++ b.sortCols).toSet)
+      .getOrElse(Set.empty)
+    var mapping = GraftCatalog.readMapping(fs, dir)
     val evolved = changes.foldLeft(current) {
       case (sch, add: TableChange.AddColumn) =>
         def fail(why: String): Nothing =
@@ -247,6 +327,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val name = add.fieldNames()(0)
         if (sch.fieldNames.exists(_.equalsIgnoreCase(name))) {
           fail("already exists")
+        }
+        if (mapping.reserved.exists(_.equalsIgnoreCase(name))) {
+          fail("the name belongs to a DROPPED or RENAMED column still " +
+            "physically present in old files; name-mapped files could " +
+            "not tell the new column from the old data — pick another " +
+            "name, or rewrite the table first")
         }
         if (!add.isNullable) {
           fail("must be nullable (existing rows read NULL)")
@@ -259,13 +345,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         val f = StructField(name, add.dataType, nullable = true)
         sch.add(Option(add.comment()).map(f.withComment).getOrElse(f))
+      case (sch, rn: TableChange.RenameColumn) =>
+        def fail(why: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"graft catalog: RENAME COLUMN " +
+            s"${rn.fieldNames.mkString(".")} — $why")
+        if (rn.fieldNames.length != 1) fail("must be top-level")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        val idx = sch.fieldNames.indexOf(from)
+        if (idx < 0) fail("no such column")
+        if (sch.fieldNames.exists(_.equalsIgnoreCase(to))) {
+          fail(s"'$to' already exists")
+        }
+        if (mapping.reserved.exists(_.equalsIgnoreCase(to))) {
+          fail(s"'$to' belongs to a dropped/renamed column still " +
+            "physically present in old files")
+        }
+        if (layoutCols.contains(from)) {
+          fail("the column is part of the bucket layout; the layout's " +
+            "co-location contract is keyed by name — rewrite with " +
+            "GraftSink.saveBucketedFiles instead")
+        }
+        // metadata-only: old files keep their PHYSICAL spelling; the
+        // mapping routes every spelling to the new logical name. A
+        // column renamed twice accumulates entries (a→b→c stores a→c
+        // AND b→c) because files written BETWEEN the renames carry the
+        // intermediate name physically
+        val repointed = mapping.renames.map { case (p, l) =>
+          p -> (if (l == from) to else l)
+        }
+        mapping = ColumnMapping(repointed + (from -> to), mapping.drops)
+        StructType(sch.fields.updated(idx,
+          sch.fields(idx).copy(name = to)))
+      case (sch, del: TableChange.DeleteColumn) =>
+        def fail(why: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"graft catalog: DROP COLUMN " +
+            s"${del.fieldNames.mkString(".")} — $why")
+        if (del.fieldNames.length != 1) fail("must be top-level")
+        val name = del.fieldNames()(0)
+        if (!sch.fieldNames.contains(name)) fail("no such column")
+        if (sch.length == 1) fail("cannot drop the only column")
+        if (layoutCols.contains(name)) {
+          fail("the column is part of the bucket layout — rewrite with " +
+            "GraftSink.saveBucketedFiles instead")
+        }
+        // tombstone every physical spelling: the original physical
+        // name if the column was renamed, plus the logical name (newer
+        // files carry it directly)
+        val physicals = mapping.renames.collect {
+          case (p, l) if l == name => p
+        }.toSet + name
+        mapping = ColumnMapping(
+          mapping.renames.filterNot { case (_, l) => l == name },
+          mapping.drops ++ physicals)
+        StructType(sch.fields.filterNot(_.name == name))
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — " +
-          "only ADD COLUMNS is metadata-only on immutable files")
+          "ADD/RENAME/DROP COLUMN are the metadata-only evolutions " +
+          "on immutable files")
     }
-    val out = fs.create(new Path(dir, SchemaMarker), true)
-    try out.write(evolved.toDDL.getBytes("UTF-8")) finally out.close()
+    GraftCatalog.writeMarker(fs, dir, evolved, mapping)
     GraftTableV2(dir.toString, evolved,
       bucketSpec = graft.sources.BucketLayout.read(fs, dir))
   }

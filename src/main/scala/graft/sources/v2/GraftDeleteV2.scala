@@ -219,10 +219,14 @@ object GraftDeleteV2 {
     * marker (footers won while data existed) keeps the evolved schema
     * when a DELETE/TRUNCATE empties it. */
   private[v2] def ensureSchemaMarker(fs: FileSystem, target: Path,
-      schema: StructType): Unit = {
-    val out = fs.create(new Path(target, GraftCatalog.SchemaMarker), true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-  }
+      schema: StructType, preserveMapping: Boolean = false): Unit =
+    // an emptied/redefined table has no old files left, so any
+    // DROP/RENAME column mapping is cleared with the refresh; a
+    // widened APPEND (preserveMapping=true) keeps it — the mapped old
+    // files are still live
+    GraftCatalog.writeMarker(fs, target, schema,
+      if (preserveMapping) GraftCatalog.readMapping(fs, target)
+      else GraftCatalog.ColumnMapping.empty)
 
   /** Per-boundary-file outcome of the deletion-vector decision job. */
   private sealed trait BoundaryOutcome extends Serializable

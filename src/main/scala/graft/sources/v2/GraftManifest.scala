@@ -298,7 +298,8 @@ object GraftManifest {
         GraftCatalog.mergeFooterAndMarker(
           names.sorted.headOption.flatMap(n =>
             FooterCache.schemaOption(new Path(table, n).toString)
-              .map(ParquetMeta.toStruct)),
+              .map(ParquetMeta.toStruct)
+              .map(GraftCatalog.readMapping(fs, table).translate)),
           GraftCatalog.readMarker(fs, table))
       }.toOption.flatten
     }.map(_.toDDL).filterNot(_.contains("\n"))

@@ -185,16 +185,23 @@ case class GraftCowScan(op: GraftRowLevelOperation,
       if (dvs.isEmpty) Map.empty[(String, Int), Long]
       else DeleteVectors.rowStarts(affectedGroups.filter(rg =>
         dvs.contains(new Path(rg.file).getName)))
+    // DROP/RENAME mapping: the rewrite reads old files by physical
+    // name and writes back logical names — materializing the rename
+    // for every rewritten file
+    val renames = GraftCatalog.readMapping(fs, tdir).renames
+    val logical = op.tableSchema.fieldNames.toSeq
     affectedGroups
       .map { rg =>
+        val nm = PhysicalNames.mapFor(rg.file, logical, renames)
         val dvName = dvs.get(new Path(rg.file).getName)
         (dvName match {
           case Some(d) => GraftInputPartition(rg.file, rg.index,
             rg.startingPos, rg.compressedBytes,
             dvFile = new Path(DeleteVectors.dvDir(tdir), d).toString,
-            rowStart = starts.getOrElse((rg.file, rg.index), 0L))
+            rowStart = starts.getOrElse((rg.file, rg.index), 0L),
+            nameMap = nm)
           case None => GraftInputPartition(rg.file, rg.index,
-            rg.startingPos, rg.compressedBytes)
+            rg.startingPos, rg.compressedBytes, nameMap = nm)
         }): InputPartition
       }
       .toArray

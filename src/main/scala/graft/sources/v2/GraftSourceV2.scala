@@ -62,8 +62,15 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-v2 source requires a 'path' option"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ParquetMeta.sparkSchema(path(options), GraftHadoopConf.sessionConf())
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val raw = ParquetMeta.sparkSchema(path(options),
+      GraftHadoopConf.sessionConf())
+    // path-based reads of a DROP/RENAME-mapped table see LOGICAL names
+    val p = new Path(path(options))
+    scala.util.Try(GraftCatalog.readMapping(
+      p.getFileSystem(GraftHadoopConf.sessionConf()), p))
+      .map(_.translate(raw)).getOrElse(raw)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -797,8 +804,31 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     else DeleteVectors.rowStarts(
       scanRowGroups.filter(rg => dvs.contains(new Path(rg.file).getName)))
 
+  /** DROP/RENAME column mapping of the table (empty for the common
+    * unmapped case) + the per-file logical→physical maps for every
+    * name this scan touches (projection, filters, sort keys). */
+  @transient private lazy val colRenames: Map[String, String] =
+    scala.util.Try {
+      val tdir = new Path(path)
+      GraftCatalog.readMapping(
+        tdir.getFileSystem(GraftHadoopConf.sessionConf()), tdir).renames
+    }.getOrElse(Map.empty)
+
+  @transient private lazy val fileNameMaps
+      : Map[String, Map[String, String]] =
+    if (colRenames.isEmpty) Map.empty
+    else {
+      val requested = (projectedSchema.fieldNames ++
+        filters.flatMap(_.references) ++ topN.map(_._1)).distinct.toSeq
+      scanRowGroups.map(_.file).distinct.map(f =>
+        f -> PhysicalNames.mapFor(f, requested, colRenames)).toMap
+    }
+
   private def mkPartition(rg: FooterCache.RowGroupMeta)
       : GraftInputPartition = {
+    val nm =
+      if (colRenames.isEmpty) Map.empty[String, String]
+      else fileNameMaps.getOrElse(rg.file, Map.empty)
     val dvName =
       if (dvs.isEmpty) None else dvs.get(new Path(rg.file).getName)
     dvName match {
@@ -807,10 +837,11 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           rg.compressedBytes,
           dvFile = new Path(DeleteVectors.dvDir(new Path(path)),
             d).toString,
-          rowStart = dvRowStarts.getOrElse((rg.file, rg.index), 0L))
+          rowStart = dvRowStarts.getOrElse((rg.file, rg.index), 0L),
+          nameMap = nm)
       case None =>
         GraftInputPartition(rg.file, rg.index, rg.startingPos,
-          rg.compressedBytes)
+          rg.compressedBytes, nameMap = nm)
     }
   }
 
@@ -1076,7 +1107,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
   * any filter/limit disturbs physical ordinals). */
 case class GraftInputPartition(file: String, rowGroup: Int,
     startingPos: Long, byteLen: Long,
-    dvFile: String = null, rowStart: Long = 0L) extends InputPartition
+    dvFile: String = null, rowStart: Long = 0L,
+    nameMap: Map[String, String] = Map.empty) extends InputPartition
 
 /** All row groups of one bucket, as one partition whose key is the
   * bucket id — the `HasPartitionKey` half of the storage-partitioned
@@ -1726,7 +1758,8 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     // case — the data file itself never vanishes). The tail's
     // append-only guard is unaffected: dv commits leave files in place.
     val tdir = new Path(path)
-    val dvs = GraftManifest.current(tdir.getFileSystem(hconf), tdir)
+    val tfs = tdir.getFileSystem(hconf)
+    val dvs = GraftManifest.current(tfs, tdir)
       .map(_.dvs).getOrElse(Map.empty)
     // prefix sums over the PRE-pruning group list — stats pruning may
     // drop sibling groups, but file ordinals must stay exact
@@ -1734,14 +1767,21 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       if (dvs.isEmpty) Map.empty[(String, Int), Long]
       else DeleteVectors.rowStarts(groups.filter(rg =>
         dvs.contains(new Path(rg.file).getName)))
+    // DROP/RENAME mapping resolves per batch too: old files stream
+    // their physical columns under the current logical names
+    val renames = GraftCatalog.readMapping(tfs, tdir).renames
+    val requested = (scan.projectedSchema.fieldNames ++
+      scan.filters.flatMap(_.references)).distinct.toSeq
     kept.map { rg =>
+      val nm = PhysicalNames.mapFor(rg.file, requested, renames)
       dvs.get(new Path(rg.file).getName) match {
         case Some(d) => GraftInputPartition(rg.file, rg.index,
           rg.startingPos, rg.compressedBytes,
           dvFile = new Path(DeleteVectors.dvDir(tdir), d).toString,
-          rowStart = starts.getOrElse((rg.file, rg.index), 0L))
+          rowStart = starts.getOrElse((rg.file, rg.index), 0L),
+          nameMap = nm)
         case None => GraftInputPartition(rg.file, rg.index,
-          rg.startingPos, rg.compressedBytes)
+          rg.startingPos, rg.compressedBytes, nameMap = nm)
       }
     }.toArray
   }
@@ -1775,7 +1815,56 @@ case class GraftVectorReaderFactory(conf: SerializableConfiguration,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftVectorReader(p, conf.value, limit, sessionTz, batchSize)
+    new GraftVectorReader(p,
+      GraftVectorReaderFactory.confFor(conf.value, readSchema, p),
+      limit, sessionTz, batchSize)
+  }
+}
+
+object GraftVectorReaderFactory {
+  /** DROP/RENAME mapping: the vectorized decoder matches file columns
+    * BY NAME through the requested-schema conf — a partition whose
+    * file spells a column physically gets a per-reader conf clone
+    * requesting the physical name in the same position (batch columns
+    * are positional; logical names live in the plan above). */
+  private[v2] def confFor(base: org.apache.hadoop.conf.Configuration,
+      readSchema: StructType, p: GraftInputPartition)
+      : org.apache.hadoop.conf.Configuration =
+    if (p.nameMap.isEmpty) base
+    else {
+      val phys = StructType(readSchema.fields.map(f =>
+        p.nameMap.get(f.name).map(pn => f.copy(name = pn)).getOrElse(f)))
+      val c = new org.apache.hadoop.conf.Configuration(base)
+      c.set("org.apache.spark.sql.parquet.row.requested_schema", phys.json)
+      c
+    }
+}
+
+/** Per-file LOGICAL→PHYSICAL column translation for tables with a
+  * DROP/RENAME COLUMN mapping ([[GraftCatalog.ColumnMapping]]): files
+  * written before a rename carry the physical name; files written
+  * after carry the logical one. Driver-side (footers are cached), the
+  * result rides in [[GraftInputPartition.nameMap]] — entries only for
+  * names that DIFFER in this file, so the common case is an empty map
+  * and zero reader overhead. */
+private[v2] object PhysicalNames {
+  def mapFor(file: String, requested: Seq[String],
+      renames: Map[String, String]): Map[String, String] = {
+    if (renames.isEmpty) return Map.empty
+    val fields: Set[String] = FooterCache.schemaOption(file) match {
+      case Some(m) =>
+        import scala.jdk.CollectionConverters._
+        m.getFields.asScala.map(_.getName).toSet
+      case None => return Map.empty
+    }
+    // logical name -> the physical spellings that map to it
+    val byLogical: Map[String, Iterable[String]] =
+      renames.groupBy(_._2).map { case (l, m) => l -> m.keys }
+    requested.flatMap { n =>
+      if (fields.contains(n)) None // the file carries the logical name
+      else byLogical.get(n)
+        .flatMap(_.find(fields.contains)).map(p => n -> p)
+    }.toMap
   }
 }
 
@@ -1936,8 +2025,9 @@ case class GraftVectorTopNReaderFactory(conf: SerializableConfiguration,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    val inner = new GraftVectorReader(p, conf.value, -1, sessionTz,
-      batchSize)
+    val inner = new GraftVectorReader(p,
+      GraftVectorReaderFactory.confFor(conf.value, readSchema, p),
+      -1, sessionTz, batchSize)
     new PartitionReader[InternalRow] {
       private var iter: Iterator[InternalRow] = _
       private var current: InternalRow = _
@@ -2003,29 +2093,36 @@ class GraftRowGroupReader(part: GraftInputPartition,
     (filters.flatMap(_.references) ++ topN.map(_._1))
       .distinct.filterNot(readSchema.fieldNames.contains)
   private val extNames: Array[String] = readSchema.fieldNames ++ extraCols
+  // DROP/RENAME mapping: the PHYSICAL spelling of each logical name in
+  // THIS file (identity when unmapped) — the file is read by physical
+  // name, the row is labeled logically
+  private val extPhys: Array[String] =
+    if (part.nameMap.isEmpty) extNames
+    else extNames.map(n => part.nameMap.getOrElse(n, n))
   // schema evolution: a file older than an ADD COLUMN lacks the new
   // field — project only what the file has, read NULL for the rest
   // (SQL semantics: the filter sees UNKNOWN, the row sees null)
   private val present: Array[String] =
-    extNames.filter(fileSchema.containsField)
+    extPhys.filter(fileSchema.containsField)
   private val requested: MessageType = ParquetMeta.project(
     fileSchema, present)
   private val presentStruct: StructType = ParquetMeta.toStruct(requested)
-  private val extSchema: StructType = StructType(extNames.map { n =>
-    if (fileSchema.containsField(n)) {
-      presentStruct(presentStruct.fieldIndex(n))
-    } else {
-      readSchema.fieldNames.indexOf(n) match {
-        case i if i >= 0 => readSchema(i).copy(nullable = true)
-        // filter-only column absent from file AND projection: never
-        // materialized non-null, the type is only a placeholder
-        case _ => StructField(n, StringType)
+  private val extSchema: StructType = StructType(
+    extNames.zip(extPhys).map { case (n, p) =>
+      if (fileSchema.containsField(p)) {
+        presentStruct(presentStruct.fieldIndex(p)).copy(name = n)
+      } else {
+        readSchema.fieldNames.indexOf(n) match {
+          case i if i >= 0 => readSchema(i).copy(nullable = true)
+          // filter-only column absent from file AND projection: never
+          // materialized non-null, the type is only a placeholder
+          case _ => StructField(n, StringType)
+        }
       }
-    }
-  })
+    })
   // ext position -> position in the file's materialized group (-1 = null)
   private val presentIdx: Array[Int] =
-    extNames.map(n => present.indexOf(n))
+    extPhys.map(p => present.indexOf(p))
   reader.setRequestedSchema(requested)
 
   private val pages = reader.readNextRowGroup()

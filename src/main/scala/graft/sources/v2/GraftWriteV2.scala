@@ -99,8 +99,10 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
       val tfs = tdir.getFileSystem(GraftHadoopConf.sessionConf())
       GraftCatalog.resolveSchema(tfs, tdir).foreach { resolved =>
         if (FooterCache.schemaOption(path).isDefined) {
-          val existing = FooterCache.schemaOption(path)
-            .map(ParquetMeta.toStruct).get
+          // LOGICAL shape of the first footer: a DROP/RENAME mapping
+          // means the physical spelling differs — the gate (like every
+          // append) speaks logical names
+          val existing = GraftCatalog.translatedFooter(tfs, tdir).get
           val incoming = info.schema()
           // every physically-present column must arrive with its type
           // (marker-only evolved columns may be omitted — old files
@@ -534,8 +536,10 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         }
       case (false, Some(widened)) =>
         // widened append: record the widened schema so the new
-        // columns' visibility never depends on footer file ordering
-        GraftDeleteV2.ensureSchemaMarker(fs, target, widened)
+        // columns' visibility never depends on footer file ordering;
+        // the old files stay live, so the column mapping survives
+        GraftDeleteV2.ensureSchemaMarker(fs, target, widened,
+          preserveMapping = true)
       case _ => ()
     }
   }

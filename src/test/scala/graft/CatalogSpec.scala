@@ -488,11 +488,95 @@ class CatalogSpec extends SparkTestBase {
     assert(t2.filter(col("score").isNull).count() == 100)
     // rejected evolutions stay rejected
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.ev.t DROP COLUMN score")
-    }
-    intercept[Exception] {
       spark.sql("ALTER TABLE graft.ev.t ADD COLUMNS (id STRING)")
     }
+  }
+
+  test("RENAME COLUMN is metadata-only; old files read through the " +
+      "mapping") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.rn (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.ev.rn SELECT id, id * 2 FROM range(0, 500)")
+    val dir = new java.io.File(s"$warehouse/ev/rn")
+    val before = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    spark.sql("ALTER TABLE graft.ev.rn RENAME COLUMN v TO amount")
+    // metadata-only: no data file touched
+    assert(dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet == before)
+    assert(spark.table("graft.ev.rn").schema.fieldNames.toSeq ==
+      Seq("id", "amount"))
+    // old (physical 'v') files serve the new logical name — values,
+    // filters, aggregates, in BOTH read modes
+    val t = spark.table("graft.ev.rn")
+    assert(t.agg(sum(col("amount"))).head.getLong(0) ==
+      (0L until 500L).map(_ * 2).sum)
+    assert(t.filter(col("amount") === 40L).head.getLong(0) == 20L)
+    val rowMode = spark.read.format("graft-v2")
+      .option("path", dir.toString).option("vectorized", "false")
+      .schema("id BIGINT, amount BIGINT").load()
+    assert(rowMode.filter(col("amount") === 40L).count() == 1)
+    // new INSERTs carry the logical name; mixed files read uniformly
+    spark.sql("INSERT INTO graft.ev.rn SELECT id, id * 2 " +
+      "FROM range(500, 600)")
+    val mixed = spark.table("graft.ev.rn")
+    assert(mixed.count() == 600)
+    assert(mixed.agg(sum(col("amount"))).head.getLong(0) ==
+      (0L until 600L).map(_ * 2).sum)
+    // a second rename chains (original physical key kept)
+    spark.sql("ALTER TABLE graft.ev.rn RENAME COLUMN amount TO total")
+    assert(spark.table("graft.ev.rn")
+      .agg(sum(col("total"))).head.getLong(0) ==
+      (0L until 600L).map(_ * 2).sum)
+    // the retired names are reserved: re-adding either is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ev.rn ADD COLUMNS (v DOUBLE)")
+    }
+    // UPDATE through the mapping: old files rewrite under logical names
+    spark.sql("UPDATE graft.ev.rn SET total = 0 WHERE id < 10")
+    val t2 = spark.table("graft.ev.rn")
+    assert(t2.filter(col("total") === 0).count() == 10)
+    assert(t2.agg(sum(col("total"))).head.getLong(0) ==
+      (10L until 600L).map(_ * 2).sum)
+  }
+
+  test("DROP COLUMN is metadata-only; time travel keeps each " +
+      "version's shape") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.dr (id BIGINT, v BIGINT, w STRING)")
+    spark.sql("INSERT INTO graft.ev.dr " +
+      "SELECT id, id * 3, concat('w', id) FROM range(0, 400)")
+    // manifests on (a mutation), so time travel has a version to pin
+    spark.sql("DELETE FROM graft.ev.dr WHERE id = 1")
+    val dir = new java.io.File(s"$warehouse/ev/dr")
+    val before = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet
+    spark.sql("ALTER TABLE graft.ev.dr DROP COLUMN v")
+    assert(dir.listFiles().map(_.getName)
+      .filter(_.startsWith("part-")).toSet == before,
+      "DROP COLUMN must not touch data files")
+    val t = spark.table("graft.ev.dr")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "w"))
+    assert(t.count() == 399)
+    assert(t.filter(col("w") === "w5").count() == 1)
+    // re-adding the dropped name is refused (the physical data would
+    // resurrect under name mapping)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ev.dr ADD COLUMNS (v BIGINT)")
+    }
+    assert(e.getMessage.contains("DROPPED or RENAMED"), e.getMessage)
+    // a DIFFERENT name is fine
+    spark.sql("ALTER TABLE graft.ev.dr ADD COLUMNS (v2 BIGINT)")
+    assert(spark.table("graft.ev.dr").schema.fieldNames.toSeq ==
+      Seq("id", "w", "v2"))
+    // time travel: the pre-DROP version still carries v with its data
+    val pinned = spark.sql("SELECT * FROM graft.ev.dr VERSION AS OF 2")
+    assert(pinned.schema.fieldNames.contains("v"),
+      s"pre-DROP version lost its shape: ${pinned.schema}")
+    assert(pinned.where(col("id") === 5).head
+      .getLong(pinned.schema.fieldIndex("v")) == 15L)
   }
 
   test("predicate overwrite rejects unsupported predicates up front") {
