@@ -131,6 +131,48 @@ object ScaleProbe {
     println(f"""{"q":"stats_aligned_delete","t1":$d1%.2f,""" +
       f""""t$factor":$dN%.2f,"ratio":${dN / math.max(d1, 0.001)}%.2f,""" +
       f""""survivors_1x":$rows1,"survivors_${factor}x":$rowsN}""")
+    // merged-run probe: overlapping sorted runs at the INFLATED scale,
+    // SMJ with mergeSortedRuns (sort-free, COLUMNAR k-way merge) vs
+    // the plain declined path (sorts back in plan). The merge now
+    // decodes through the vectorized reader emitting batch slices, so
+    // it should at worst match the sort path, not trade throughput.
+    locally {
+      import graft.sources.GraftSink
+      import org.apache.spark.sql.SaveMode
+      val wh = Files.createTempDirectory("graft-scale-mr").toString
+      spark.conf.set("spark.sql.catalog.mrcat",
+        "graft.sources.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.mrcat.warehouse", wh)
+      val li = Tables.t(spark, scaled, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          col("l_quantity").as("v"))
+      GraftSink.saveBucketedFiles(li, s"$wh/t", 8, Seq("k"),
+        sortCols = Seq("k"), mode = SaveMode.Overwrite)
+      GraftSink.saveBucketedFiles(li.limit(200000), s"$wh/t", 8,
+        Seq("k"), sortCols = Seq("k"), mode = SaveMode.Append) // overlap
+      GraftSink.saveBucketedFiles(li, s"$wh/u", 8, Seq("k"),
+        sortCols = Seq("k"), mode = SaveMode.Overwrite)
+      val restore = scala.util.Try(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")).toOption
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def once(merge: Boolean): Double = {
+        val rd =
+          if (merge) spark.read.option("mergeSortedRuns", "true")
+          else spark.read
+        val j = rd.table("mrcat.t").join(rd.table("mrcat.u"), "k")
+        val t0 = System.nanoTime()
+        j.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tPlain = math.min(once(false), once(false))
+      val tMerge = math.min(once(true), once(true))
+      restore.foreach(v =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      println(f"""{"q":"merge_read_smj","t_sorted":$tPlain%.2f,""" +
+        f""""t_merged":$tMerge%.2f,""" +
+        f""""ratio":${tMerge / math.max(tPlain, 0.001)}%.2f}""")
+    }
+
     // deletion-vector probe: a POINT delete (32 keys spread across
     // every file) with vectors on vs forced copy-on-write
     // (maxFraction=0), both at the INFLATED scale. The vector path

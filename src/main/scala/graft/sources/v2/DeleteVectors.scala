@@ -178,3 +178,45 @@ private[v2] class SelectedColumnVector(base: ColumnVector,
     kids.getOrElseUpdate(ordinal,
       new SelectedColumnVector(base.getChild(ordinal), sel))
 }
+
+/** Read-only CONTIGUOUS-slice view: logical row `i` delegates to
+  * physical row `start + i` of `base` — the zero-copy batch-slice
+  * primitive of the columnar k-way merge ([[KWayBatchMergeReader]]).
+  * Same delegation shape as [[SelectedColumnVector]] without the
+  * indirection array. */
+private[v2] class OffsetColumnVector(base: ColumnVector,
+    start: Int) extends ColumnVector(base.dataType()) {
+
+  override def close(): Unit = () // base owned by the inner reader
+
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+
+  override def isNullAt(rowId: Int): Boolean = base.isNullAt(start + rowId)
+  override def getBoolean(rowId: Int): Boolean =
+    base.getBoolean(start + rowId)
+  override def getByte(rowId: Int): Byte = base.getByte(start + rowId)
+  override def getShort(rowId: Int): Short = base.getShort(start + rowId)
+  override def getInt(rowId: Int): Int = base.getInt(start + rowId)
+  override def getLong(rowId: Int): Long = base.getLong(start + rowId)
+  override def getFloat(rowId: Int): Float = base.getFloat(start + rowId)
+  override def getDouble(rowId: Int): Double =
+    base.getDouble(start + rowId)
+  override def getArray(rowId: Int): ColumnarArray =
+    base.getArray(start + rowId)
+  override def getMap(ordinal: Int): ColumnarMap =
+    base.getMap(start + ordinal)
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(start + rowId, precision, scale)
+  override def getUTF8String(rowId: Int): UTF8String =
+    base.getUTF8String(start + rowId)
+  override def getBinary(rowId: Int): Array[Byte] =
+    base.getBinary(start + rowId)
+
+  private lazy val kids =
+    scala.collection.mutable.HashMap.empty[Int, OffsetColumnVector]
+  override def getChild(ordinal: Int): ColumnVector =
+    kids.getOrElseUpdate(ordinal,
+      new OffsetColumnVector(base.getChild(ordinal), start))
+}

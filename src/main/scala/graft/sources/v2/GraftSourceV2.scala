@@ -1037,15 +1037,22 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     if (mergeActive) {
-      // merged-run buckets: ROW readers (a priority queue cannot
-      // consume columnar batches), wrapped by the k-way merge
+      val sortCols = bucketGrouping.map(_.sortCols).getOrElse(Nil)
+      val ords = sortCols.map(projectedSchema.fieldIndex).toArray
+      val dts = ords.map(projectedSchema.fields(_).dataType)
+      if (vectorized) {
+        // merged-run buckets, COLUMNAR: slice-emitting k-way merge
+        // over the vectorized readers — sort-free SMJ WITHOUT giving
+        // up batch decode ([[KWayBatchMergeReader]])
+        val raw = createBaseReaderFactory()
+        val base = if (appendFile) FileAppendReaderFactory(raw) else raw
+        return BucketBatchMergeReaderFactory(base, ords, dts)
+      }
+      // row-mode fallback: per-row merge over the parquet-mr readers
       val row = GraftReaderFactory(projectedSchema, filters, -1,
         Array.empty, -1,
         new SerializableConfiguration(GraftHadoopConf.sessionConf()))
       val base = if (appendFile) FileAppendReaderFactory(row) else row
-      val sortCols = bucketGrouping.map(_.sortCols).getOrElse(Nil)
-      val ords = sortCols.map(projectedSchema.fieldIndex).toArray
-      val dts = ords.map(projectedSchema.fields(_).dataType)
       return BucketMergeReaderFactory(base, ords, dts)
     }
     val raw = createBaseReaderFactory()
@@ -1351,6 +1358,185 @@ private[v2] class KWayMergeReader(
     heap.forEach(_.close())
     heap.clear()
   }
+}
+
+/** Total order over rows of COLUMNAR batches at the pushed sort keys
+  * (ascending, nulls first — sortWithinPartitions' default, the exact
+  * ordering the scan reports). Same key semantics as the row-mode
+  * merge's InterpretedOrdering, over vector getters. */
+private[v2] final class VectorRowComparator(ords: Array[Int],
+    types: Array[DataType]) {
+  def compare(a: ColumnarBatch, ai: Int, b: ColumnarBatch, bi: Int): Int = {
+    var k = 0
+    while (k < ords.length) {
+      val o = ords(k)
+      val av = a.column(o); val bv = b.column(o)
+      val an = av.isNullAt(ai); val bn = bv.isNullAt(bi)
+      val c =
+        if (an && bn) 0
+        else if (an) -1
+        else if (bn) 1
+        else types(k) match {
+          case IntegerType | DateType =>
+            Integer.compare(av.getInt(ai), bv.getInt(bi))
+          case LongType | TimestampType | TimestampNTZType =>
+            java.lang.Long.compare(av.getLong(ai), bv.getLong(bi))
+          case DoubleType =>
+            java.lang.Double.compare(av.getDouble(ai), bv.getDouble(bi))
+          case FloatType =>
+            java.lang.Float.compare(av.getFloat(ai), bv.getFloat(bi))
+          case ShortType =>
+            java.lang.Short.compare(av.getShort(ai), bv.getShort(bi))
+          case ByteType =>
+            java.lang.Byte.compare(av.getByte(ai), bv.getByte(bi))
+          case BooleanType => java.lang.Boolean.compare(
+            av.getBoolean(ai), bv.getBoolean(bi))
+          case StringType =>
+            av.getUTF8String(ai).compareTo(bv.getUTF8String(bi))
+          case dec: DecimalType =>
+            av.getDecimal(ai, dec.precision, dec.scale)
+              .compareTo(bv.getDecimal(bi, dec.precision, dec.scale))
+          case BinaryType => java.util.Arrays.compareUnsigned(
+            av.getBinary(ai), bv.getBinary(bi))
+          case other => throw new IllegalStateException(
+            s"graft-v2 batch merge: unorderable sort-key type $other")
+        }
+      if (c != 0) return c
+      k += 1
+    }
+    0
+  }
+}
+
+/** COLUMNAR k-way merge over a bucket's overlapping sorted runs — the
+  * vectorized face of the `mergeSortedRuns` read path. Instead of the
+  * row-mode merge's one-row-per-poll (with a defensive copy), each
+  * poll emits the longest SLICE of the minimal run's current batch
+  * that stays ≤ every other run's head — a zero-copy
+  * [[OffsetColumnVector]] view found by binary search. Lightly
+  * overlapping runs emit near-full batches (concat speed); heavily
+  * overlapping runs degrade smoothly toward per-row slices. Decode
+  * stays on Spark's vectorized parquet reader either way, so the
+  * sort-free SMJ no longer trades away columnar scan throughput. */
+case class BucketBatchMergeReaderFactory(inner: PartitionReaderFactory,
+    sortOrds: Array[Int],
+    sortTypes: Array[DataType]) extends PartitionReaderFactory {
+
+  private def subs(p: InputPartition): Option[Array[GraftInputPartition]] =
+    p match {
+      case b: GraftBucketedPartition => Some(b.parts)
+      case _ => None
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    subs(partition) match {
+      case Some(ps) => ps.isEmpty || ps.forall(inner.supportColumnarReads)
+      case None => inner.supportColumnarReads(partition)
+    }
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException(
+      "graft-v2 batch merge is columnar-only")
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = subs(partition) match {
+    case Some(ps) =>
+      val runs: Array[Array[GraftInputPartition]] = ps
+        .groupBy(_.file).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_.rowGroup))
+      new KWayBatchMergeReader(runs, inner.createColumnarReader,
+        sortOrds, sortTypes)
+    case None => inner.createColumnarReader(partition)
+  }
+}
+
+private[v2] class KWayBatchMergeReader(
+    runs: Array[Array[GraftInputPartition]],
+    mk: InputPartition => PartitionReader[ColumnarBatch],
+    sortOrds: Array[Int], sortTypes: Array[DataType])
+    extends PartitionReader[ColumnarBatch] {
+
+  private val cmp = new VectorRowComparator(sortOrds, sortTypes)
+
+  /** One sorted run: its row-group readers chained, a cursor into the
+    * current batch. Each run holds its OWN reader, so the inner
+    * readers' batch-reuse is safe — a run's batch only changes when
+    * the merge advances that run. */
+  private final class Run(parts: Array[GraftInputPartition]) {
+    private var i = 0
+    private var reader: PartitionReader[ColumnarBatch] = _
+    var batch: ColumnarBatch = _
+    var pos = 0
+    /** True iff a row is available at `pos` (loading as needed). */
+    def ensure(): Boolean = {
+      while (true) {
+        if (batch != null && pos < batch.numRows()) return true
+        if (reader == null) {
+          if (i >= parts.length) { batch = null; return false }
+          reader = mk(parts(i)); i += 1
+        }
+        if (reader.next()) { batch = reader.get(); pos = 0 }
+        else { reader.close(); reader = null; batch = null }
+      }
+      false // unreachable
+    }
+    def close(): Unit = if (reader != null) { reader.close(); reader = null }
+  }
+
+  private val all = runs.map(new Run(_))
+  private var out: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    val ready = all.filter(_.ensure())
+    if (ready.isEmpty) return false
+    var m = ready(0)
+    var k = 1
+    while (k < ready.length) {
+      if (cmp.compare(ready(k).batch, ready(k).pos, m.batch, m.pos) < 0) {
+        m = ready(k)
+      }
+      k += 1
+    }
+    // the emittable slice: rows of m's batch ≤ the smallest OTHER head
+    var bb: ColumnarBatch = null; var bp = 0
+    ready.foreach { r =>
+      if ((r ne m) &&
+          (bb == null || cmp.compare(r.batch, r.pos, bb, bp) < 0)) {
+        bb = r.batch; bp = r.pos
+      }
+    }
+    val n = m.batch.numRows()
+    val end =
+      if (bb == null) n
+      else {
+        // first index in [pos, n) whose row exceeds the bound — the
+        // batch is sorted, so everything before it is emittable
+        var lo = m.pos; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp.compare(m.batch, mid, bb, bp) <= 0) lo = mid + 1
+          else hi = mid
+        }
+        math.max(lo, m.pos + 1) // the head itself is always emittable
+      }
+    out =
+      if (m.pos == 0 && end == n) { val b = m.batch; m.pos = n; b }
+      else {
+        val len = end - m.pos
+        val cols = Array.tabulate[
+          org.apache.spark.sql.vectorized.ColumnVector](
+          m.batch.numCols())(c =>
+          new OffsetColumnVector(m.batch.column(c), m.pos))
+        val b = new ColumnarBatch(cols, len)
+        m.pos = end
+        b
+      }
+    true
+  }
+
+  override def get(): ColumnarBatch = out
+  override def close(): Unit = all.foreach(_.close())
 }
 
 case class GraftReaderFactory(readSchema: StructType,

@@ -445,6 +445,16 @@ class BucketingSpec extends SparkTestBase {
       assert(!fp3.toString.contains("Exchange"), s"expected SPJ:\n$fp3")
       assert(!fp3.toString.contains("Sort ["),
         s"mergeSortedRuns must erase the SMJ sorts:\n$fp3")
+      // ... and the merge is COLUMNAR: the batch k-way merge keeps the
+      // vectorized decode (ColumnarToRow in-plan), so sort elimination
+      // no longer costs batch throughput
+      assert(fp3.toString.contains("ColumnarToRow"),
+        s"merged-run scan must stay columnar:\n$fp3")
+      // sliced batches must cover every row exactly once — the
+      // aggregate face of the same proof (t = 0..9999 plus the
+      // overlapping 2500..7499 append, v = k*3)
+      assert(tm.agg(sum($"v")).head.getLong(0) ==
+        3L * ((0L until 10000L).sum + (2500L until 7500L).sum))
     } finally restore.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
