@@ -218,6 +218,36 @@ object ScaleProbe {
     println(f"""{"q":"dv_point_delete","t_dv":$tDv%.2f,""" +
       f""""t_cow":$tCow%.2f,"ratio":${tDv / math.max(tCow, 0.001)}%.2f,""" +
       f""""dv_bytes":$dvBytes,"survivors":$survDv}""")
+    // z-order probe: after ONE clustering compact on (l_orderkey,
+    // l_partkey), row-group pruning works on BOTH keys — the
+    // second-key file skipping a single sort column cannot give
+    locally {
+      val dir = Files.createTempDirectory("graft-scale-z")
+        .resolve("t").toString
+      Tables.t(spark, scaled, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartition(24).write.parquet(dir)
+      def groups(f: Option[org.apache.spark.sql.Column]): Int = {
+        val t = spark.read.format("graft-v2").option("path", dir).load()
+        f.map(t.filter).getOrElse(t).rdd.getNumPartitions
+      }
+      val okSpan = Tables.t(spark, scaled, "lineitem")
+        .agg(max(col("l_orderkey"))).head.getLong(0)
+      val pkSpan = Tables.t(spark, scaled, "lineitem")
+        .agg(max(col("l_partkey"))).head.getLong(0)
+      val xPred = col("l_orderkey") < okSpan / 20
+      val yPred = col("l_partkey") < pkSpan / 20
+      val (tot0, x0, y0) =
+        (groups(None), groups(Some(xPred)), groups(Some(yPred)))
+      graft.sources.GraftSink.compactClustered(spark, dir,
+        Seq("l_orderkey", "l_partkey"))
+      val (tot1, x1, y1) =
+        (groups(None), groups(Some(xPred)), groups(Some(yPred)))
+      println(f"""{"q":"zorder_two_key_pruning","groups_before":$tot0,""" +
+        f""""x_before":$x0,"y_before":$y0,"groups_after":$tot1,""" +
+        f""""x_after":$x1,"y_after":$y1}""")
+    }
+
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

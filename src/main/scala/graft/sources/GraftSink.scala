@@ -573,6 +573,117 @@ object GraftSink {
     } finally fs.delete(staging, true)
   }
 
+  /** OPTIMIZE-style CLUSTERING rewrite (space-filling curve): rewrites
+    * the WHOLE table ordered by the Z-VALUE of `clusterCols` — the
+    * bit-interleave of each column normalized to a 16-bit range — and
+    * range-partitions the output so every file covers one contiguous
+    * z-range. Footer [min,max] statistics on EVERY cluster column are
+    * then locally narrow per file, so stats pruning skips files for
+    * predicates on ANY of the keys (the second-key pruning a single
+    * sort column cannot give): with k=2, a point predicate on either
+    * key keeps ~√(files) instead of all of them.
+    *
+    * Cost: one full rewrite (one range shuffle + per-partition sort) —
+    * the standard OPTIMIZE ZORDER trade, paid once to make every
+    * later selective scan cheap. Deletion vectors are materialized
+    * first (this IS a physical rewrite). Bucketed tables refuse: their
+    * layout is the hash-clustering contract and a z-rewrite would
+    * destroy it. Cluster columns must be numeric, date or timestamp
+    * (linear normalization needs an order-preserving number line).
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compactClustered(spark: SparkSession, dir: String,
+      clusterCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col => c, greatest, least, lit, max, min, shiftleft, shiftright}
+    import org.apache.spark.sql.types._
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val target = new Path(dir)
+    val fs = target.getFileSystem(hadoopConf)
+    if (!fs.exists(target)) {
+      throw new AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> dir))
+    }
+    if (BucketLayout.read(fs, target).isDefined) {
+      throw new UnsupportedOperationException(
+        s"graft compactClustered: $dir is bucketed — the hash layout " +
+        "is its clustering contract; z-ordering would destroy the " +
+        "co-located-join guarantee")
+    }
+    if (graft.sources.v2.GraftManifest.current(fs, target)
+        .exists(_.dvs.nonEmpty)) {
+      graft.sources.v2.GraftDeleteV2.materializeDeleteVectors(dir)
+    }
+    val all = fs.listStatus(target)
+      .filter(st => isDataPart(st.getPath.getName))
+    if (all.isEmpty) return (0, 0)
+    val df = spark.read.format("graft-v2").option("path", dir).load()
+    val schema = df.schema
+    def asDouble(name: String): org.apache.spark.sql.Column = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0, s"graft compactClustered: no column '$name' in " +
+        schema.catalogString)
+      schema(i).dataType match {
+        case _: NumericType => c(name).cast(DoubleType)
+        case TimestampType | TimestampNTZType => c(name).cast(DoubleType)
+        case DateType =>
+          c(name).cast(TimestampType).cast(DoubleType)
+        case other => throw new UnsupportedOperationException(
+          s"graft compactClustered: column '$name' is $other — " +
+          "cluster columns must be numeric, date or timestamp")
+      }
+    }
+    val doubles = clusterCols.map(asDouble)
+    // one aggregation pins each column's [min,max] for normalization
+    val aggCols = doubles.flatMap(d => Seq(min(d), max(d)))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val k = clusterCols.length
+    val bits = math.min(16, 62 / k)
+    val cap = (1L << bits) - 1
+    val scaled = doubles.zipWithIndex.map { case (d, i) =>
+      val mn = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+      val mx =
+        if (stats.isNullAt(2 * i + 1)) 1.0 else stats.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(cap), greatest(lit(0L),
+        ((d - lit(mn)) / lit(span) * lit(cap.toDouble)).cast(LongType)))
+    }
+    // z = bit interleave: bit b of column i lands at position b*k + i
+    var z: org.apache.spark.sql.Column = lit(0L)
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < k) {
+        z = z.bitwiseOR(shiftleft(
+          shiftright(scaled(i), b).bitwiseAND(lit(1L)), b * k + i))
+        i += 1
+      }
+      b += 1
+    }
+    val totalBytes = all.map(_.getLen).sum
+    val outFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val token = UUID.randomUUID().toString.take(8)
+    val staging = new Path(target, s".graft-compact-$token")
+    try {
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(outFiles, c("__graft_z"))
+        .sortWithinPartitions(c("__graft_z"))
+        .drop("__graft_z")
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val written = fs.listStatus(staging)
+        .count(st => isDataPart(st.getPath.getName))
+      val backup = new Path(target, s".graft-compact-backup-$token")
+      parkSwapRestore(fs, target, backup, all.map(_.getPath).toSeq) {
+        movePartsOrRollback(fs, staging, target)
+      }
+      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
+      (all.length, written)
+    } finally fs.delete(staging, true)
+  }
+
   /** Bucket-count advisor for [[saveBucketedTable]] — the analog of
     * `Dedup.autoPlanes` for LSH: one cheap aggregation sizes the
     * bucket count to the data instead of a guessed constant that

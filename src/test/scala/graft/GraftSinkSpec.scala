@@ -341,4 +341,50 @@ class GraftSinkSpec extends SparkTestBase {
       }
     }
   }
+
+  test("compactClustered: z-order rewrite prunes on BOTH keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder")
+      .resolve("t").toString
+    // two independent pseudo-uniform keys; 16 hash-shuffled files so
+    // every file initially spans the FULL range of both — stats
+    // pruning can skip nothing
+    val df = spark.range(0, 200000).select(
+      $"id",
+      (abs(hash($"id")) % 1000).as("x"),
+      (abs(hash($"id" + 999983L)) % 1000).as("y"))
+    df.repartition(16).write.parquet(dir)
+    def groupsFor(filter: Option[org.apache.spark.sql.Column]): Int = {
+      val t = spark.read.format("graft-v2").option("path", dir).load()
+      filter.map(t.filter).getOrElse(t).rdd.getNumPartitions
+    }
+    val totalBefore = groupsFor(None)
+    // unclustered: a selective predicate on either key prunes nothing
+    assert(groupsFor(Some($"x" < 50)) == totalBefore)
+    assert(groupsFor(Some($"y" < 50)) == totalBefore)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (before, after) = GraftSink.compactClustered(spark, dir,
+      Seq("x", "y"), targetBytes = math.max(1L, bytes / 24))
+    assert(before == 16 && after >= 16, s"($before, $after)")
+    // contents preserved exactly
+    val t = spark.read.format("graft-v2").option("path", dir).load()
+    assert(t.count() == 200000)
+    assert(t.agg(sum($"id")).head.getLong(0) == (0L until 200000L).sum)
+    // clustered: every file covers one z-range, so footer stats are
+    // narrow on BOTH keys — selective predicates on either skip most
+    // row groups
+    val totalAfter = groupsFor(None)
+    val px = groupsFor(Some($"x" < 50))
+    val py = groupsFor(Some($"y" < 50))
+    assert(px <= totalAfter / 2,
+      s"x-pruning too weak: $px of $totalAfter groups")
+    assert(py <= totalAfter / 2,
+      s"y-pruning too weak: $py of $totalAfter groups")
+    // and the pruned scans still return exactly the right rows
+    assert(t.filter($"x" < 50).count() ==
+      df.filter($"x" < 50).count())
+    assert(t.filter($"y" < 50).count() ==
+      df.filter($"y" < 50).count())
+  }
 }
