@@ -497,6 +497,15 @@ object GraftSink {
         .exists(_.dvs.nonEmpty)) {
       graft.sources.v2.GraftDeleteV2.materializeDeleteVectors(dir)
     }
+    // DROP/RENAME-mapped tables: the raw-parquet merge would union
+    // physical and logical spellings as DISTINCT columns — refuse and
+    // point at the rewrite that materializes the mapping
+    if (!graft.sources.v2.GraftCatalog.readMapping(fs, target).isEmpty) {
+      throw new UnsupportedOperationException(
+        s"graft compact: $dir carries a DROP/RENAME column mapping; " +
+        "use compactClustered (rewrites under logical names and " +
+        "clears the mapping)")
+    }
     val small = fs.listStatus(target)
       .filter(st => isDataPart(st.getPath.getName) && st.getLen < smallBytes)
     if (small.length <= 1) return (small.length, small.length)
@@ -680,6 +689,14 @@ object GraftSink {
         movePartsOrRollback(fs, staging, target)
       }
       graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
+      // EVERY file was rewritten under logical names: a DROP/RENAME
+      // mapping is now materialized — clear it (keep the schema)
+      graft.sources.v2.GraftCatalog.readMarker(fs, target).foreach { sch =>
+        if (!graft.sources.v2.GraftCatalog.readMapping(fs, target).isEmpty) {
+          graft.sources.v2.GraftCatalog.writeMarker(fs, target, sch,
+            graft.sources.v2.GraftCatalog.ColumnMapping.empty)
+        }
+      }
       (all.length, written)
     } finally fs.delete(staging, true)
   }

@@ -97,6 +97,9 @@ object GraftDeleteV2 {
     // and commit all run against ONE version; a concurrent commit
     // in between makes the CAS lose cleanly
     val readState = GraftManifest.pinForMutation(fs, target)
+    // RENAME-mapped tables: per-file jobs must evaluate the predicate
+    // over LOGICAL names (old files spell renamed columns physically)
+    val renames = GraftCatalog.readMapping(fs, target).renames
     val parts = readState.names.map(new Path(target, _))
     val (keep, deleteWhole0, rewrite0) =
       PredicateFiles.classify(cond, parts)
@@ -121,7 +124,7 @@ object GraftDeleteV2 {
         else if (dvEligible) {
           fs.mkdirs(staging)
           val outcomes = dvOrRewriteJob(spark, cond, schema, rewrite0,
-            readState.dvs, target, staging, jobId)
+            readState.dvs, target, staging, jobId, renames)
           // publish staged sidecars before the CAS — invisible until a
           // manifest version references them; CAS losers leave only
           // unreferenced sidecars, which vacuum sweeps
@@ -145,7 +148,7 @@ object GraftDeleteV2 {
           val r =
             if (flat) {
               rewritePerFile(spark, cond, schema, rewrite0, staging, jobId,
-                readState.dvs, target)
+                readState.dvs, target, renames)
             } else if (BucketLayout.read(fs, target).isEmpty) {
               if (readState.dvs.nonEmpty) {
                 throw new UnsupportedOperationException(
@@ -203,7 +206,8 @@ object GraftDeleteV2 {
       fs.mkdirs(staging)
       // cond = null: nothing newly matches, only the vectors apply
       val residue = rewritePerFile(spark, null, null, files, staging,
-        jobId, readState.dvs, target)
+        jobId, readState.dvs, target,
+        GraftCatalog.readMapping(fs, target).renames)
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         files, residue,
         // appends never hold positions of pre-existing files
@@ -243,7 +247,8 @@ object GraftDeleteV2 {
     * residue rewrite (pass 2). */
   private def dvOrRewriteJob(spark: SparkSession, cond: Filter,
       schema: StructType, files: Seq[Path], oldDvs: Map[String, String],
-      target: Path, staging: Path, jobId: String): Seq[BoundaryOutcome] = {
+      target: Path, staging: Path, jobId: String,
+      renames: Map[String, String]): Seq[BoundaryOutcome] = {
     val internal = PredicateFiles.internalizeTemporal(cond, schema)
     val maxFrac = DeleteVectors.maxFraction
     val dvDirStr = DeleteVectors.dvDir(target).toString
@@ -269,25 +274,34 @@ object GraftDeleteV2 {
         val old =
           if (oldDvPath == null) null
           else DeleteVectors.load(oldDvPath, conf)
-        val (hit, total) = matchPositions(conf, in, internal)
-        val union =
-          if (old == null) hit
-          else org.roaringbitmap.RoaringBitmap.or(hit, old)
-        val dead = union.getLongCardinality
-        if (dead >= total && total > 0) {
-          AllDead(name): BoundaryOutcome
-        } else if (total <= Int.MaxValue.toLong &&
-            dead <= maxFrac * total) {
-          val staged = new Path(s"$stagingStr/$dvNamed")
-          DeleteVectors.write(staged.getFileSystem(conf), staged, union)
-          DvOut(name, staged.toString, dvNamed): BoundaryOutcome
-        } else {
-          // over-threshold (or pathological row count): materialize —
-          // rewrite survivors, dropping both old-vector positions and
-          // newly-matching rows
-          ResidueOut(name,
-            rewriteOne(conf, in, s"$stagingStr/$outNamed", internal,
-              skip = old)): BoundaryOutcome
+        matchPositions(conf, in, internal, renames, maxFrac) match {
+          case (None, _) =>
+            // over-threshold (measuring pass bailed early): rewrite
+            // survivors, dropping both old-vector positions and
+            // newly-matching rows; a no-survivor file returns no
+            // residue, which the commit drops whole
+            ResidueOut(name,
+              rewriteOne(conf, in, s"$stagingStr/$outNamed", internal,
+                skip = old, renames = renames)): BoundaryOutcome
+          case (Some(hit), total) =>
+            val union =
+              if (old == null) hit
+              else org.roaringbitmap.RoaringBitmap.or(hit, old)
+            val dead = union.getLongCardinality
+            if (dead >= total && total > 0) {
+              AllDead(name): BoundaryOutcome
+            } else if (total <= Int.MaxValue.toLong &&
+                dead <= maxFrac * total) {
+              val staged = new Path(s"$stagingStr/$dvNamed")
+              DeleteVectors.write(staged.getFileSystem(conf), staged,
+                union)
+              DvOut(name, staged.toString, dvNamed): BoundaryOutcome
+            } else {
+              // the union with the OLD vector crossed the threshold
+              ResidueOut(name,
+                rewriteOne(conf, in, s"$stagingStr/$outNamed", internal,
+                  skip = old, renames = renames)): BoundaryOutcome
+            }
         }
       }
       .collect().toSeq
@@ -296,19 +310,30 @@ object GraftDeleteV2 {
   /** Pass 1: stream one file, return (bitmap of definitely-matching
     * FILE ordinals, total row count). Same three-valued evaluation and
     * schema-evolution padding as the rewrite. */
+  /** Returns (None, fileRows) when the match count provably exceeds
+    * `maxFrac` of the file — the caller goes straight to the rewrite,
+    * and the measuring pass stops at the threshold instead of
+    * streaming a mostly-deleted file to the end (the common big-DELETE
+    * shape pays ~maxFrac of one read extra, not a full read). */
   private def matchPositions(conf: Configuration, inFile: String,
-      internalCond: Filter)
-      : (org.roaringbitmap.RoaringBitmap, Long) = {
+      internalCond: Filter, renames: Map[String, String],
+      maxFrac: Double)
+      : (Option[org.roaringbitmap.RoaringBitmap], Long) = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(inFile), conf))
     try {
+      val fileRows = reader.getRecordCount
+      // union with an existing vector only grows the count, so a hit
+      // count alone above the threshold already decides "rewrite"
+      val bailAt = (maxFrac * fileRows).toLong
       val fileSchema = reader.getFileMetaData.getSchema
-      val struct = ParquetMeta.toStruct(fileSchema)
+      val struct = logicalStruct(ParquetMeta.toStruct(fileSchema), renames)
       val matches = compileWithPadding(internalCond, fileSchema, struct)
       val converters = struct.fields.zipWithIndex.map { case (f, i) =>
         ParquetMeta.converter(fileSchema.getType(i), f.dataType)
       }
       val hit = new org.roaringbitmap.RoaringBitmap()
+      var hits = 0L
       var ord = 0L
       var pages = reader.readNextRowGroup()
       while (pages != null) {
@@ -330,15 +355,29 @@ object GraftDeleteV2 {
             }
             if (matches(row) && ord <= Int.MaxValue.toLong) {
               hit.add(ord.toInt)
+              hits += 1
+              if (hits > bailAt) return (None, fileRows)
             }
           }
           ord += 1
         }
         pages = reader.readNextRowGroup()
       }
-      (hit, ord)
+      (Some(hit), ord)
     } finally reader.close()
   }
+
+  /** RENAME-mapping translation for the per-file jobs: relabel the
+    * file's PHYSICAL field names to their logical ones (positional —
+    * dropped columns keep their slot so converters stay aligned), so
+    * a predicate on a renamed column evaluates against the right data
+    * instead of reading padded NULL (which would silently keep every
+    * row of a pre-rename file). */
+  private def logicalStruct(struct: StructType,
+      renames: Map[String, String]): StructType =
+    if (renames.isEmpty) struct
+    else StructType(struct.fields.map(f =>
+      renames.get(f.name).map(l => f.copy(name = l)).getOrElse(f)))
 
   /** The predicate compiled over the file's schema, padded with NULL
     * for columns the (older) file lacks — UNKNOWN rows survive, same
@@ -375,7 +414,8 @@ object GraftDeleteV2 {
       schema: StructType, files: Seq[Path], staging: Path,
       jobId: String,
       oldDvs: Map[String, String] = Map.empty,
-      target: Path = null): Seq[Path] = {
+      target: Path = null,
+      renames: Map[String, String] = Map.empty): Seq[Path] = {
     val internal =
       if (cond == null) null
       else PredicateFiles.internalizeTemporal(cond, schema)
@@ -410,7 +450,7 @@ object GraftDeleteV2 {
           if (oldDvPath == null) null
           else DeleteVectors.load(oldDvPath, sconf.value)
         rewriteOne(sconf.value, in, s"$stagingStr/$named", internal,
-          skip = skip)
+          skip = skip, renames = renames)
       }
       .collect().toSeq.flatten.map(new Path(_))
   }
@@ -427,13 +467,17 @@ object GraftDeleteV2 {
     * every graft read already produced for them. */
   private def rewriteOne(conf: Configuration, inFile: String,
       outFile: String, internalCond: Filter,
-      skip: org.roaringbitmap.RoaringBitmap = null): Option[String] = {
+      skip: org.roaringbitmap.RoaringBitmap = null,
+      renames: Map[String, String] = Map.empty): Option[String] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(inFile), conf))
     var writer: ParquetWriter[InternalRow] = null
     try {
       val fileSchema = reader.getFileMetaData.getSchema
-      val struct = ParquetMeta.toStruct(fileSchema)
+      // logical labels: the predicate sees renamed columns' data, and
+      // the residue file is WRITTEN under logical names (the rewrite
+      // materializes the rename, like copy-on-write)
+      val struct = logicalStruct(ParquetMeta.toStruct(fileSchema), renames)
       // schema evolution: the predicate may reference columns this
       // (older) file lacks — evaluate over a padded row, so they read
       // NULL -> UNKNOWN -> the row survives, same as a live query

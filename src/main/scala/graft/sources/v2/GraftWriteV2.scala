@@ -497,6 +497,16 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         if (GraftManifest.current(fs, target).exists(_.dvs.nonEmpty)) {
           GraftDeleteV2.materializeDeleteVectors(path)
         }
+        // ... and its raw-parquet residue job cannot translate a
+        // DROP/RENAME mapping: old files would evaluate the predicate
+        // over physical names (wrongly keeping rows) and mixed
+        // spellings would union as distinct columns
+        if (!GraftCatalog.readMapping(fs, target).isEmpty) {
+          throw new UnsupportedOperationException(
+            s"graft-v2 REPLACE WHERE: $path carries a DROP/RENAME " +
+            "column mapping; run GraftSink.compactClustered (which " +
+            "rewrites under logical names and clears the mapping) first")
+        }
         val readState = GraftManifest.pinForMutation(fs, target)
         val (_, deleteWhole, rewrite) = graft.sources.PredicateFiles
           .classify(cond, readState.names.map(new Path(target, _)))

@@ -541,6 +541,28 @@ class CatalogSpec extends SparkTestBase {
       (10L until 600L).map(_ * 2).sum)
   }
 
+  test("DELETE on a RENAMED column deletes old files' rows") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.rd (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.ev.rd SELECT id, id * 2 FROM range(0, 1000)")
+    spark.sql("ALTER TABLE graft.ev.rd RENAME COLUMN v TO amount")
+    // the old files spell 'amount' physically as 'v': the point DELETE
+    // (vector path) must still find and mask the row — a padded-NULL
+    // evaluation would silently keep it
+    spark.sql("DELETE FROM graft.ev.rd WHERE amount = 500")
+    val t = spark.table("graft.ev.rd")
+    assert(t.count() == 999, "renamed-column point DELETE lost its row")
+    assert(t.filter(col("id") === 250).count() == 0)
+    // and the rewrite path (large fraction): residue files must carry
+    // the LOGICAL name and the right survivors
+    spark.sql("DELETE FROM graft.ev.rd WHERE amount >= 1600")
+    val t2 = spark.table("graft.ev.rd")
+    assert(t2.count() == 799, s"got ${t2.count()}")
+    assert(t2.agg(max(col("amount"))).head.getLong(0) == 1598L)
+    assert(t2.filter(col("id") === 100).head.getLong(1) == 200L)
+  }
+
   test("DROP COLUMN is metadata-only; time travel keeps each " +
       "version's shape") {
     val _ = warehouse
