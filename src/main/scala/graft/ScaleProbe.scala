@@ -239,8 +239,17 @@ object ScaleProbe {
       val yPred = col("l_partkey") < pkSpan / 20
       val (tot0, x0, y0) =
         (groups(None), groups(Some(xPred)), groups(Some(yPred)))
+      // target ~24 output files so the per-file z-ranges (and the
+      // pruning they enable) are visible at this scale
+      val zBytes = {
+        val d = new org.apache.hadoop.fs.Path(dir)
+        val zfs = d.getFileSystem(spark.sessionState.newHadoopConf())
+        zfs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      }
       graft.sources.GraftSink.compactClustered(spark, dir,
-        Seq("l_orderkey", "l_partkey"))
+        Seq("l_orderkey", "l_partkey"),
+        targetBytes = math.max(1L, zBytes / 24))
       val (tot1, x1, y1) =
         (groups(None), groups(Some(xPred)), groups(Some(yPred)))
       println(f"""{"q":"zorder_two_key_pruning","groups_before":$tot0,""" +

@@ -1,0 +1,275 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+import org.roaringbitmap.RoaringBitmap
+
+import graft.sources.InternalRowParquetBuilder
+
+/** DELTA (deletion-vector based) row-level operations — `SupportsDelta`:
+  * the mutation-efficiency half of the reference's row-granular
+  * semantics (`DELETE ... WHERE xmin IN`, ExtJdbcUtils.scala:324-337).
+  *
+  * Where the group-based path ([[GraftRowLevelOperation]]) rewrites
+  * every AFFECTED FILE whole (copy-on-write: cost ∝ touched-file
+  * bytes), the delta path addresses individual rows by the engine-
+  * maintained `(_file, _pos)` row id:
+  *
+  *  - the operation's SCAN reads only the rows the command touches
+  *    (the condition filters normally — no whole-file carry);
+  *  - `UPDATE` → delete(rowId) + insert(new row); `MERGE` matched
+  *    clauses likewise, not-matched inserts write plain rows;
+  *    untranslatable `DELETE` → delete(rowId) only;
+  *  - the COMMIT folds the deleted positions into per-file DELETION
+  *    VECTORS ([[DeleteVectors]]) — unioned with any existing vector,
+  *    a fully-dead file dropped whole — and lands the inserted-row
+  *    files, all as ONE manifest version.
+  *
+  * A point UPDATE thus writes bytes ∝ changed rows (sidecar + one
+  * small insert file) instead of rewriting every touched file — the
+  * copy-on-write floor this path removes. Compaction later
+  * materializes the masks ([[GraftDeleteV2.materializeDeleteVectors]]).
+  *
+  * Scope: flat, unbucketed tables (nested schemas need the vectorized
+  * reader, which has no raw-ordinal channel for `_pos`; bucketed
+  * layouts route to the group path, whose writers preserve the bucket
+  * suffix contract). [[GraftTableV2.newRowLevelOperationBuilder]]
+  * picks the path per table.
+  *
+  * Concurrency: the snapshot is pinned when the operation's scan is
+  * BUILT (bootstrapping the manifest log if needed) and the scan reads
+  * exactly that version (`versionAsOf`); the commit CASes against it,
+  * so any interleaved commit — even a pure append, whose rows this
+  * operation never saw — makes it lose cleanly rather than write
+  * position deletes computed against a stale file set.
+  */
+case class GraftDeltaOperation(path: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with SupportsDelta {
+
+  /** The manifest snapshot the scan pinned — the commit's CAS
+    * expectation. */
+  @volatile private[v2] var readState: GraftManifest.Snapshot = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-delta-${cmd.toString.toLowerCase}"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftFileColumn.Name),
+      Expressions.column(GraftPosColumn.Name))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val tdir = new Path(path)
+    val fs = tdir.getFileSystem(GraftHadoopConf.sessionConf())
+    val pinned = GraftManifest.pinForMutation(fs, tdir)
+    readState = pinned
+    // row mode from the start: `_pos` needs raw ordinals, and row-mode
+    // filter pushdown is source-exact (three-valued), so the scan
+    // ships only the rows the command's condition definitely matches
+    new GraftScanBuilderV2(path, tableSchema,
+      vectorizedRequested = false,
+      versionAsOf = Some(pinned.version))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : DeltaWriteBuilder = {
+    val op = this
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = GraftDeltaWrite(op)
+    }
+  }
+}
+
+case class GraftDeltaWrite(op: GraftDeltaOperation) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(op)
+}
+
+class GraftDeltaBatchWrite(op: GraftDeltaOperation)
+    extends DeltaBatchWrite {
+
+  private val jobId = UUID.randomUUID().toString.take(8)
+  private val stagingName = s".graft-v2-delta-$jobId"
+
+  private def hconf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory =
+    GraftDeltaWriterFactory(
+      new SerializableConfiguration(hconf()),
+      s"${op.path}/$stagingName", jobId, op.tableSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf()
+    val target = new Path(op.path)
+    val fs = target.getFileSystem(conf)
+    val staging = new Path(target, stagingName)
+    try {
+      val readState = Option(op.readState)
+        .getOrElse(GraftManifest.pinForMutation(fs, target))
+      // fold every task's position deletes per file
+      val perFile = mutable.HashMap.empty[String, RoaringBitmap]
+      val inserts = mutable.ArrayBuffer.empty[Path]
+      messages.foreach {
+        case GraftDeltaCommit(file, deletes) =>
+          file.foreach(f => inserts += new Path(f))
+          deletes.foreach { case (name, bytes) =>
+            val bm = DeleteVectors.deserialize(bytes)
+            perFile.get(name) match {
+              case Some(acc) => acc.or(bm)
+              case None => perFile(name) = bm
+            }
+          }
+        case other => throw new IllegalStateException(
+          s"graft-delta: unexpected commit message $other")
+      }
+      if (perFile.isEmpty && inserts.isEmpty) return // no-op command
+      // union with existing vectors; classify fully-dead files
+      val dvd = DeleteVectors.dvDir(target)
+      val victims = mutable.ArrayBuffer.empty[Path]
+      val dvUpdates = mutable.HashMap.empty[String, String]
+      var seq = 0
+      perFile.foreach { case (name, bm) =>
+        readState.dvs.get(name).foreach { old =>
+          bm.or(DeleteVectors.load(new Path(dvd, old).toString, conf))
+        }
+        val resolved = GraftManifest.resolve(fs, target, Seq(name)).head
+        val fileRows = FooterCache.rowGroupsFor(Seq(resolved.toString))
+          .map(_.rowCount).sum
+        if (bm.getLongCardinality >= fileRows && fileRows > 0) {
+          victims += new Path(target, name)
+        } else {
+          val dvName = s"$name.$jobId-$seq.dv"
+          seq += 1
+          fs.mkdirs(dvd)
+          DeleteVectors.write(fs, new Path(dvd, dvName), bm)
+          dvUpdates(name) = dvName
+        }
+      }
+      GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
+        victims.toSeq, inserts.toSeq,
+        dvUpdates = dvUpdates.toMap)
+    } finally {
+      try fs.delete(staging, true) catch { case _: Throwable => () }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf()
+    val target = new Path(op.path)
+    val fs = target.getFileSystem(conf)
+    fs.delete(new Path(target, stagingName), true)
+  }
+}
+
+/** One staged parquet file per task (lazily opened on the first
+  * inserted/updated row) + per-file position-delete bitmaps, shipped
+  * to the driver in the commit message. */
+private[v2] case class GraftDeltaCommit(file: Option[String],
+    deletes: Map[String, Array[Byte]]) extends WriterCommitMessage
+
+case class GraftDeltaWriterFactory(conf: SerializableConfiguration,
+    stagingDir: String, jobId: String, schema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(conf.value, stagingDir, jobId, partitionId,
+      taskId, schema)
+}
+
+class GraftDeltaWriter(conf: Configuration, stagingDir: String,
+    jobId: String, partitionId: Int, taskId: Long, schema: StructType)
+    extends DeltaWriter[InternalRow] {
+
+  import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  private val deletes = mutable.HashMap.empty[String, RoaringBitmap]
+  private var writer: ParquetWriter[InternalRow] = _
+  // taskId is attempt-unique, so speculative twins never collide; only
+  // the attempt whose message Spark collects is committed, and the
+  // staging sweep drops zombies
+  private val outFile =
+    f"$stagingDir/part-delta-$jobId-$partitionId%05d-$taskId.parquet"
+
+  /** `id` fields follow [[GraftDeltaOperation.rowId]] order:
+    * (_file, _pos). */
+  private def recordDelete(id: InternalRow): Unit = {
+    val name = new Path(id.getUTF8String(0).toString).getName
+    val pos = id.getLong(1)
+    if (pos > Int.MaxValue.toLong) {
+      throw new UnsupportedOperationException(
+        s"graft-delta: row ordinal $pos of $name exceeds the deletion-" +
+        "vector range — rewrite the file (compact) before row-level ops")
+    }
+    deletes.getOrElseUpdate(name, new RoaringBitmap()).add(pos.toInt)
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    recordDelete(id)
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    recordDelete(id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (writer == null) {
+      ParquetWriteSupport.setSchema(schema, conf)
+      conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+      conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+      conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+        "false")
+      writer = new InternalRowParquetBuilder(
+          HadoopOutputFile.fromPath(new Path(outFile), conf))
+        .withConf(conf)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    writer.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftDeltaCommit(
+      if (writer != null) Some(outFile) else None,
+      deletes.map { case (n, bm) =>
+        n -> DeleteVectors.serialize(bm)
+      }.toMap)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Throwable => () }
+      try {
+        val p = new Path(outFile)
+        p.getFileSystem(conf).delete(p, false)
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = ()
+}

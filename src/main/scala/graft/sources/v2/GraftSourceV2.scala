@@ -110,17 +110,32 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-v2:${path.split('/').last}"
 
-  /** `_file` provenance column (shadowed if the data really has one). */
+  /** `_file` provenance + `_pos` row-ordinal columns (each shadowed
+    * if the data really has one). */
   override def metadataColumns()
-      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (tableSchema.fieldNames.contains(GraftFileColumn.Name)) Array.empty
-    else Array(GraftFileColumn)
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val file =
+      if (tableSchema.fieldNames.contains(GraftFileColumn.Name)) None
+      else Some(GraftFileColumn)
+    val pos =
+      if (tableSchema.fieldNames.contains(GraftPosColumn.Name)) None
+      else Some(GraftPosColumn)
+    (file.toSeq ++ pos.toSeq).toArray
+  }
 
-  /** SQL `UPDATE` / `MERGE INTO` (and non-translatable DELETEs):
-    * group-based copy-on-write at file granularity — see
-    * [[GraftRowLevelOperation]]. Translatable DELETEs stay on the
-    * metadata-only [[GraftDeleteV2]] path via Spark's
-    * `OptimizeMetadataOnlyDeleteFromTable`. */
+  /** SQL `UPDATE` / `MERGE INTO` (and non-translatable DELETEs), two
+    * paths chosen per table:
+    *
+    *  - DELTA ([[GraftDeltaOperation]], flat unbucketed tables): rows
+    *    addressed by `(_file, _pos)`; deletes become deletion-vector
+    *    positions, updates a vector entry + a small insert file —
+    *    point-mutation cost ∝ changed rows;
+    *  - group-based copy-on-write ([[GraftRowLevelOperation]], nested
+    *    or bucketed tables): whole-file rewrite, which is what
+    *    preserves bucket layout / handles nested values.
+    *
+    * Translatable DELETEs stay on the metadata-only [[GraftDeleteV2]]
+    * path via Spark's `OptimizeMetadataOnlyDeleteFromTable`. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -133,11 +148,18 @@ case class GraftTableV2(path: String, tableSchema: StructType,
         s"need the ${GraftFileColumn.Name} metadata column, which a " +
         s"data column of the same name shadows in $path — rename it")
     }
+    val deltaCapable = bucketSpec.isEmpty &&
+      !tableSchema.fieldNames.contains(GraftPosColumn.Name) &&
+      !tableSchema.fields.exists(f => ParquetMeta.isNested(f.dataType))
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
-        GraftRowLevelOperation(path, tableSchema, bucketSpec,
-          info.command())
+        if (deltaCapable) {
+          GraftDeltaOperation(path, tableSchema, info.command())
+        } else {
+          GraftRowLevelOperation(path, tableSchema, bucketSpec,
+            info.command())
+        }
     }
   }
 
@@ -272,14 +294,17 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   private var limit: Int = -1
 
   private var appendFile: Boolean = false
+  private var appendPos: Boolean = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep file column order for the reader; Spark projects above
     val names = requiredSchema.fieldNames.toSet
-    // `_file` is the table's metadata column, not a parquet field:
-    // strip it from the projection, the readers append it per row
+    // `_file` / `_pos` are the table's metadata columns, not parquet
+    // fields: strip them from the projection, the readers append them
     appendFile = names.contains(GraftFileColumn.Name) &&
       !fullSchema.fieldNames.contains(GraftFileColumn.Name)
+    appendPos = names.contains(GraftPosColumn.Name) &&
+      !fullSchema.fieldNames.contains(GraftPosColumn.Name)
     this.requiredSchema =
       StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
@@ -525,12 +550,18 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   }
 
   override def build(): Scan = {
-    if (!vectorized) {
+    // `_pos` (physical row ordinals) is served by the ROW readers only
+    // — the vectorized decoder has no raw-ordinal channel — so its
+    // projection forces row mode
+    val rowForced = !vectorized || appendPos
+    if (rowForced) {
       requiredSchema.fields.find(f => ParquetMeta.isNested(f.dataType))
         .foreach { f =>
           throw new IllegalArgumentException(
             s"graft-v2 row mode supports flat primitive schemas only; " +
-            s"column '${f.name}' is nested — drop vectorized=false " +
+            s"column '${f.name}' is nested — " +
+            (if (appendPos) s"${GraftPosColumn.Name} requires row mode; "
+             else "drop vectorized=false ") +
             "(nested columns read through the vectorized path)" +
             (if (vectorizedRequested) " and note NANOS timestamps force" +
               " row mode" else ""))
@@ -541,10 +572,11 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     // `versionAsOf` one — and concurrent DML cannot tear the listing
     // (removed files resolve into .graft-archive). Manifest-free
     // tables keep plain listing semantics (None).
-    GraftScanV2(path, requiredSchema, pushed, limit, vectorized,
+    GraftScanV2(path, requiredSchema, pushed, limit,
+      vectorized && !appendPos,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
       appendFile, snapshotFiles, fileAllow, mergeRuns,
-      streamIgnoreChanges, snapshotDvs)
+      streamIgnoreChanges, snapshotDvs, appendPos)
   }
 }
 
@@ -565,6 +597,25 @@ object GraftFileColumn
     "absolute path of the data file the row came from"
 }
 
+/** `_pos` FILE-ORDINAL metadata column: the row's physical position
+  * within its data file. `(_file, _pos)` is the engine-maintained ROW
+  * ADDRESS the delta row-level operations key their deletion vectors
+  * on ([[GraftDeltaOperation]]) — the same role as the reference's
+  * `xmin` transaction-id addressing (ExtJdbcUtils.scala:301-329).
+  * Served by the ROW-mode readers only (the scan builder falls back
+  * from vectorized when `_pos` is projected): the row-group reader
+  * counts RAW reads, so ordinals stay exact under pushed filters,
+  * limits and deletion-vector skips. */
+object GraftPosColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val Name = "_pos"
+  override def name(): String = Name
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "physical row ordinal within the row's data file"
+}
+
 case class GraftScanV2(path: String, projectedSchema: StructType,
     filters: Array[Filter], limit: Int, vectorized: Boolean = false,
     batchSize: Int = 4096,
@@ -578,7 +629,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     fileAllow: Option[Set[String]] = None,
     mergeRuns: Boolean = false,
     streamIgnoreChanges: Boolean = false,
-    dvs: Map[String, String] = Map.empty)
+    dvs: Map[String, String] = Map.empty,
+    appendPos: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -658,10 +710,17 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
 
   override def readSchema(): StructType =
     pushedAgg.map(_._1).getOrElse {
+      // append order mirrors production: the row reader emits `_pos`
+      // with the data row; the `_file` wrapper appends last
+      val withPos =
+        if (appendPos) {
+          projectedSchema.fields :+
+            StructField(GraftPosColumn.Name, LongType, nullable = false)
+        } else projectedSchema.fields
       if (appendFile) {
-        StructType(projectedSchema.fields :+
+        StructType(withPos :+
           StructField(GraftFileColumn.Name, StringType, nullable = false))
-      } else projectedSchema
+      } else StructType(withPos)
     }
 
   /** Footer-derived stats (row count + byte size) so Catalyst can make
@@ -824,6 +883,11 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         f -> PhysicalNames.mapFor(f, requested, colRenames)).toMap
     }
 
+  /** `_pos` needs every partition's starting FILE ordinal, not just
+    * the DV'd ones. */
+  @transient private lazy val posRowStarts: Map[(String, Int), Long] =
+    if (!appendPos) Map.empty else DeleteVectors.rowStarts(scanRowGroups)
+
   private def mkPartition(rg: FooterCache.RowGroupMeta)
       : GraftInputPartition = {
     val nm =
@@ -841,7 +905,11 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           nameMap = nm)
       case None =>
         GraftInputPartition(rg.file, rg.index, rg.startingPos,
-          rg.compressedBytes, nameMap = nm)
+          rg.compressedBytes,
+          rowStart =
+            if (appendPos) posRowStarts.getOrElse((rg.file, rg.index), 0L)
+            else 0L,
+          nameMap = nm)
     }
   }
 
@@ -1072,8 +1140,15 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       case None => ()
     }
     if (!vectorized) {
-      GraftReaderFactory(projectedSchema, filters, limit, topN, topNLimit,
-        new SerializableConfiguration(GraftHadoopConf.sessionConf()))
+      // `_pos` + pushed top-k don't mix (heap rows lose their ordinal
+      // at projection time): drop the per-partition top-k optimization
+      // — Spark's retained global sort+limit keeps results correct
+      val (tn, tnLim) =
+        if (appendPos) (Array.empty[(String, Boolean, Boolean)], -1)
+        else (topN, topNLimit)
+      GraftReaderFactory(projectedSchema, filters, limit, tn, tnLim,
+        new SerializableConfiguration(GraftHadoopConf.sessionConf()),
+        appendPos)
     } else {
       // driver-side: snapshot the session's parquet read configuration
       // for the executor-side vectorized readers
@@ -1544,13 +1619,14 @@ case class GraftReaderFactory(readSchema: StructType,
     topN: Array[(String, Boolean, Boolean)] = Array.empty,
     topNLimit: Int = -1,
     conf: SerializableConfiguration =
-      new SerializableConfiguration(new Configuration()))
+      new SerializableConfiguration(new Configuration()),
+    appendPos: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftRowGroupReader(p, readSchema, filters, limit, topN, topNLimit,
-      conf.value)
+      conf.value, appendPos)
   }
 }
 
@@ -2262,7 +2338,8 @@ class GraftRowGroupReader(part: GraftInputPartition,
     readSchema: StructType, filters: Array[Filter], limit: Int,
     topN: Array[(String, Boolean, Boolean)] = Array.empty,
     topNLimit: Int = -1,
-    conf: Configuration = new Configuration())
+    conf: Configuration = new Configuration(),
+    appendPos: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val inputFile = HadoopInputFile.fromPath(
@@ -2334,6 +2411,11 @@ class GraftRowGroupReader(part: GraftInputPartition,
   private var emitted = 0
   private var current: InternalRow = _
 
+  /** FILE ordinal of the most recently emitted raw row — what `_pos`
+    * reports. Counts RAW reads, so it stays exact under pushed
+    * filters, the per-partition limit and deletion-vector skips. */
+  private var lastOrd: Long = -1L
+
   private def readExtRow(): InternalRow = {
     val ord = part.rowStart + readCount
     val g = recordReader.read()
@@ -2341,6 +2423,7 @@ class GraftRowGroupReader(part: GraftInputPartition,
     if (g == null) null
     else if (dv != null && dv.contains(ord.toInt)) null // deleted row
     else {
+      lastOrd = ord
       val ext = new GenericInternalRow(extSchema.length)
       var i = 0
       while (i < extSchema.length) {
@@ -2355,13 +2438,18 @@ class GraftRowGroupReader(part: GraftInputPartition,
   }
 
   private def project(ext: InternalRow): InternalRow =
-    if (extraCols.isEmpty) ext
+    if (extraCols.isEmpty && !appendPos) ext
     else {
-      val out = new GenericInternalRow(readSchema.length)
+      // `_pos` (when projected) rides as the last field, from the raw
+      // ordinal of the row being projected (topN is disabled with
+      // appendPos — heap rows would outlive their ordinal)
+      val extraPos = if (appendPos) 1 else 0
+      val out = new GenericInternalRow(readSchema.length + extraPos)
       var j = 0
       while (j < readSchema.length) {
         out.update(j, ext.get(j, readSchema(j).dataType)); j += 1
       }
+      if (appendPos) out.update(readSchema.length, lastOrd)
       out
     }
 

@@ -1069,6 +1069,60 @@ class CatalogSpec extends SparkTestBase {
     assert(t.where(col("id") === 500).head.getLong(1) == 500L)
   }
 
+  test("point UPDATE is DELTA: vector + small insert file, no rewrite") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.du (id BIGINT, v BIGINT)")
+    (0 until 2).foreach { i =>
+      spark.sql(s"INSERT INTO graft.dv.du SELECT id, id FROM " +
+        s"range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    val dir = s"$warehouse/dv/du"
+    val before = dataParts(dir)
+    spark.sql("UPDATE graft.dv.du SET v = -7 WHERE id = 5")
+    val after = dataParts(dir)
+    // every pre-existing file untouched; ONE small insert file landed
+    assert(before.subsetOf(after),
+      s"delta UPDATE must not rewrite files:\n$before\nvs\n$after")
+    assert((after -- before).size == 1,
+      s"expected one insert file, got ${after -- before}")
+    val fs = manifestFs
+    val snap = GraftManifest.current(fs,
+      new org.apache.hadoop.fs.Path(dir)).get
+    assert(snap.dvs.nonEmpty, "UPDATE must mask the old row's position")
+    val t = spark.table("graft.dv.du")
+    assert(t.count() == 2000)
+    assert(t.where(col("id") === 5).head.getLong(1) == -7L)
+    assert(t.agg(sum(col("v"))).head.getLong(0) ==
+      (0L until 2000L).sum - 5L - 7L)
+    // snapshot isolation: the pre-UPDATE version still reads v=5
+    val vmax = GraftManifest.versions(fs,
+      new org.apache.hadoop.fs.Path(dir)).max
+    assert(spark.sql(s"SELECT v FROM graft.dv.du VERSION AS OF " +
+      s"${vmax - 1} WHERE id = 5").head.getLong(0) == 5L)
+    // MERGE rides the same path: matched update + not-matched insert
+    spark.sql("""MERGE INTO graft.dv.du t
+      USING (SELECT 8L AS id UNION ALL SELECT 5000L AS id) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = -8
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, 1)""")
+    val t2 = spark.table("graft.dv.du")
+    assert(t2.count() == 2001)
+    assert(t2.where(col("id") === 8).head.getLong(1) == -8L)
+    assert(t2.where(col("id") === 5000).head.getLong(1) == 1L)
+    assert(dataParts(dir).intersect(before) == before,
+      "MERGE must leave the original files in place")
+    // compact materializes everything back to plain files
+    graft.sources.GraftSink.compact(spark, dir,
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue)
+    assert(GraftManifest.current(fs,
+      new org.apache.hadoop.fs.Path(dir)).get.dvs.isEmpty)
+    assert(spark.table("graft.dv.du").count() == 2001)
+    assert(spark.table("graft.dv.du")
+      .where(col("id") === 8).head.getLong(1) == -8L)
+  }
+
   test("compact materializes deletion vectors") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse
