@@ -593,6 +593,31 @@ class SourceV2Spec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("_pos metadata column serves physical ordinals (row mode, " +
+      "exact under vectors)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-pos")
+      .resolve("t").toString
+    import spark.implicits._
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    val t = spark.read.format("graft-v2").option("path", dir).load()
+    // ordinals are 0..n-1 in file order; selecting _pos forces row mode
+    val rows = t.select(col("id"), col("_pos"))
+      .orderBy(col("_pos")).collect()
+    assert(rows.length == 100)
+    assert(rows.zipWithIndex.forall { case (r, i) => r.getLong(1) == i })
+    // a deletion vector SKIPS rows but never renumbers survivors:
+    // positions stay physical file ordinals
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.In("id", Array(0L, 50L)))
+    val masked = spark.read.format("graft-v2").option("path", dir).load()
+      .select(col("id"), col("_pos")).collect()
+    assert(masked.length == 98)
+    assert(masked.forall(r => r.getLong(0) == r.getLong(1)),
+      "surviving rows must keep their physical ordinals")
+    assert(!masked.exists(r => r.getLong(1) == 0 || r.getLong(1) == 50))
+  }
+
   test("stream applies a pre-existing deletion vector at delivery") {
     val base = java.nio.file.Files.createTempDirectory("graft-v2-dvst")
     val dir = base.resolve("t").toString
