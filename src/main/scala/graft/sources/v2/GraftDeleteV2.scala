@@ -186,6 +186,16 @@ object GraftDeleteV2 {
     }
   }
 
+  /** Driver-side single-file materialization for the delta commit's
+    * fraction escalation: rewrite `in` minus the `skip` positions
+    * (no predicate — the deleted/updated rows' replacements live in
+    * the delta's insert files). Returns the written path, None when
+    * nothing survives. */
+  private[v2] def materializeOne(conf: Configuration, in: String,
+      out: String, skip: org.roaringbitmap.RoaringBitmap,
+      renames: Map[String, String]): Option[String] =
+    rewriteOne(conf, in, out, null, skip = skip, renames = renames)
+
   /** OPTIMIZE-style maintenance: rewrite every DV'd file of the
     * current version without its deleted positions, clearing all
     * vectors in one commit. Returns the number of files materialized.

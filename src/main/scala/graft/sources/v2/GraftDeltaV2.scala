@@ -142,9 +142,16 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
           s"graft-delta: unexpected commit message $other")
       }
       if (perFile.isEmpty && inserts.isEmpty) return // no-op command
-      // union with existing vectors; classify fully-dead files
+      // union with existing vectors; classify per file: fully dead →
+      // drop whole; over maxFraction → MATERIALIZE (rewrite survivors
+      // — the changed rows' replacements are in the insert files), so
+      // update-heavy tables don't accrete ever-larger masks; else a
+      // new sidecar
       val dvd = DeleteVectors.dvDir(target)
+      val maxFrac = DeleteVectors.maxFraction
+      val renames = GraftCatalog.readMapping(fs, target).renames
       val victims = mutable.ArrayBuffer.empty[Path]
+      val extraIncoming = mutable.ArrayBuffer.empty[Path]
       val dvUpdates = mutable.HashMap.empty[String, String]
       var seq = 0
       perFile.foreach { case (name, bm) =>
@@ -154,7 +161,19 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
         val resolved = GraftManifest.resolve(fs, target, Seq(name)).head
         val fileRows = FooterCache.rowGroupsFor(Seq(resolved.toString))
           .map(_.rowCount).sum
-        if (bm.getLongCardinality >= fileRows && fileRows > 0) {
+        val dead = bm.getLongCardinality
+        if (dead >= fileRows && fileRows > 0) {
+          victims += new Path(target, name)
+        } else if (fileRows > 0 && dead > maxFrac * fileRows) {
+          // escalation (driver-side, one file): cost ∝ this file, paid
+          // only when its mask crossed the threshold
+          val out = new Path(staging, s"part-delta-mat-$jobId-$seq.parquet")
+          seq += 1
+          GraftDeleteV2.materializeOne(conf, resolved.toString,
+            out.toString, bm, renames) match {
+            case Some(p) => extraIncoming += new Path(p)
+            case None => ()
+          }
           victims += new Path(target, name)
         } else {
           val dvName = s"$name.$jobId-$seq.dv"
@@ -165,7 +184,7 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
         }
       }
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
-        victims.toSeq, inserts.toSeq,
+        victims.toSeq, inserts.toSeq ++ extraIncoming,
         dvUpdates = dvUpdates.toMap)
     } finally {
       try fs.delete(staging, true) catch { case _: Throwable => () }

@@ -361,7 +361,17 @@ private[v2] object GraftSwapV2 {
           else {
             val added = c.names.filterNot(n =>
               readState.names.contains(n) || incomingNames.contains(n))
+            // deletion-vector stability: this commit's victims were
+            // read (and its new vectors unioned) against readState's
+            // masks — a racer that re-masked any of those files means
+            // positions this commit never saw: retrying would either
+            // resurrect the racer's deletes (overwritten mapping) or
+            // write a rewrite that ignores them. Real conflict: abort.
+            val dvStable = (victims.map(_.getName).iterator ++
+              dvUpdates.keysIterator).forall(n =>
+                c.dvs.get(n) == readState.dvs.get(n))
             victims.forall(v => c.names.contains(v.getName)) &&
+              dvStable &&
               (added.isEmpty || addedSafe(added))
           }
         }

@@ -1123,6 +1123,41 @@ class CatalogSpec extends SparkTestBase {
       .where(col("id") === 8).head.getLong(1) == -8L)
   }
 
+  test("delta UPDATE past the vector threshold materializes the file") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.esc (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.dv.esc SELECT id, id FROM range(0, 1000)")
+    val dir = s"$warehouse/dv/esc"
+    // 80% of every touched file updates: the commit must rewrite those
+    // files (survivors only) instead of leaving an 80% mask behind
+    spark.sql("UPDATE graft.dv.esc SET v = v + 1000000 WHERE id < 800")
+    val tdir = new org.apache.hadoop.fs.Path(dir)
+    val snap = GraftManifest.current(manifestFs, tdir).get
+    // files whose mask crossed maxFraction were rewritten; any
+    // remaining mask (a lightly-touched boundary file) stays SMALL
+    import graft.sources.v2.DeleteVectors
+    val conf = spark.sessionState.newHadoopConf()
+    snap.dvs.foreach { case (name, dv) =>
+      val masked = DeleteVectors.load(new org.apache.hadoop.fs.Path(
+        DeleteVectors.dvDir(tdir), dv).toString, conf).getLongCardinality
+      val rows = graft.sources.v2.FooterCache.rowGroupsFor(
+        Seq(new org.apache.hadoop.fs.Path(tdir, name).toString))
+        .map(_.rowCount).sum
+      assert(masked <= 0.2 * rows + 1,
+        s"$name keeps an over-threshold mask: $masked of $rows rows")
+    }
+    assert(snap.dvs.size <= 2,
+      s"most touched files must have been materialized: ${snap.dvs}")
+    val t = spark.table("graft.dv.esc")
+    assert(t.count() == 1000)
+    assert(t.where(col("id") === 5).head.getLong(1) == 1000005L)
+    assert(t.where(col("id") === 900).head.getLong(1) == 900L)
+    assert(t.agg(sum(col("v"))).head.getLong(0) ==
+      (0L until 1000L).sum + 800L * 1000000L)
+  }
+
   test("compact materializes deletion vectors") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse

@@ -137,6 +137,43 @@ class V2InternalsSpec extends SparkTestBase {
       .exists(_.getPath.getName.startsWith(".graft-v2-backup")))
   }
 
+  test("a commit loses cleanly when a racer re-masked its files") {
+    // A pins a snapshot; B's point DELETE lands a deletion vector on a
+    // file; A then tries to commit its own vector re-mapping (or a
+    // rewrite victimizing) that SAME file, computed against the
+    // pre-B masks. Retrying would lose B's deleted positions — the
+    // dv-stability guard must make A abort as a real conflict.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dvrace")
+      .resolve("t").toString
+    import spark.implicits._
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val pinnedA = GraftManifest.pinForMutation(fs, target)
+    // B: a point DELETE takes the vector path
+    GraftDeleteV2.deleteWhere(dir, spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.EqualTo("id", 5L))
+    val masked = GraftManifest.current(fs, target).get.dvs
+    assert(masked.nonEmpty, "expected B's DELETE to write a vector")
+    val file = masked.keys.head
+    // A(1): re-mapping the same file's vector must abort
+    intercept[java.util.ConcurrentModificationException] {
+      GraftSwapV2.parkAndSwapVersioned(fs, target, pinnedA,
+        Seq.empty, Seq.empty,
+        dvUpdates = Map(file -> "stale-union.dv"))
+    }
+    // A(2): victimizing (rewriting) the re-masked file must abort too
+    intercept[java.util.ConcurrentModificationException] {
+      GraftSwapV2.parkAndSwapVersioned(fs, target, pinnedA,
+        Seq(new Path(target, file)), Seq.empty,
+        addedSafe = _ => true)
+    }
+    // B's mask survived both attempts
+    assert(GraftManifest.current(fs, target).get.dvs == masked)
+    assert(spark.read.format("graft-v2").option("path", dir).load()
+      .count() == 99)
+  }
+
   test("two JVMs racing commits: every version has exactly one winner") {
     // the in-JVM commit lock cannot serialize a SECOND driver process;
     // this races a real child JVM against this one on the same table.
