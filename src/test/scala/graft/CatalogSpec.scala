@@ -280,18 +280,29 @@ class CatalogSpec extends SparkTestBase {
       Seq("id"))
   }
 
-  test("DELETE with untranslatable predicate falls back to copy-on-write") {
+  test("DELETE with untranslatable predicate routes to the delta path " +
+      "(position deletes)") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.del")
     spark.sql("CREATE TABLE graft.del.rej (id BIGINT, s STRING)")
+    // ~1% scattered matches: every touched file keeps most of its rows
     spark.sql("INSERT INTO graft.del.rej " +
-      "SELECT id, IF(id < 4, 'xx', 'y') FROM range(0, 10)")
+      "SELECT id, IF(id % 97 = 0, 'xx', 'y') FROM range(0, 1000)")
+    val dir = s"$warehouse/del/rej"
+    val before = dataParts(dir)
     // length(s) is not translatable to a source filter — the metadata
-    // path declines and the group-based copy-on-write rewrite runs
+    // path declines; for a flat unbucketed table the rewrite is a
+    // DELTA operation: the matching rows' positions land in vectors,
+    // no data file is rewritten
     spark.sql("DELETE FROM graft.del.rej WHERE length(s) > 1")
-    assert(spark.table("graft.del.rej").count() == 6)
+    assert(spark.table("graft.del.rej").count() == 989)
     assert(spark.table("graft.del.rej")
       .filter(col("s") === "xx").count() == 0)
+    assert(dataParts(dir) == before,
+      "the delta DELETE must not rewrite data files")
+    assert(graft.sources.v2.GraftManifest.current(manifestFs,
+      new org.apache.hadoop.fs.Path(dir)).get.dvs.nonEmpty,
+      "expected the deleted positions in vectors")
   }
 
   test("UPDATE rewrites only the affected files") {
