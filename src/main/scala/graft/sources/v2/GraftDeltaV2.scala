@@ -151,7 +151,8 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
       val maxFrac = DeleteVectors.maxFraction
       val renames = GraftCatalog.readMapping(fs, target).renames
       val victims = mutable.ArrayBuffer.empty[Path]
-      val extraIncoming = mutable.ArrayBuffer.empty[Path]
+      val escalate =
+        mutable.ArrayBuffer.empty[(String, String, Array[Byte])]
       val dvUpdates = mutable.HashMap.empty[String, String]
       var seq = 0
       perFile.foreach { case (name, bm) =>
@@ -165,15 +166,13 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
         if (dead >= fileRows && fileRows > 0) {
           victims += new Path(target, name)
         } else if (fileRows > 0 && dead > maxFrac * fileRows) {
-          // escalation (driver-side, one file): cost ∝ this file, paid
-          // only when its mask crossed the threshold
-          val out = new Path(staging, s"part-delta-mat-$jobId-$seq.parquet")
+          // escalation: the mask crossed the threshold — this file is
+          // rewritten minus the mask (the changed rows' replacements
+          // are in the insert files) instead of accreting a vector
+          val out = s"$staging/part-delta-mat-$jobId-$seq.parquet"
           seq += 1
-          GraftDeleteV2.materializeOne(conf, resolved.toString,
-            out.toString, bm, renames) match {
-            case Some(p) => extraIncoming += new Path(p)
-            case None => ()
-          }
+          escalate += ((resolved.toString, out,
+            DeleteVectors.serialize(bm)))
           victims += new Path(target, name)
         } else {
           val dvName = s"$name.$jobId-$seq.dv"
@@ -183,6 +182,21 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
           dvUpdates(name) = dvName
         }
       }
+      // materialize escalated files as ONE distributed no-shuffle job
+      // (one task per file) — a bulk UPDATE that escalates everything
+      // runs at cluster width, same as the copy-on-write it replaces
+      val extraIncoming: Seq[Path] =
+        if (escalate.isEmpty) Seq.empty
+        else {
+          val sconf = new SerializableConfiguration(conf)
+          SparkSession.active.sparkContext
+            .parallelize(escalate.toSeq, escalate.size)
+            .map { case (in, out, dvBytes) =>
+              GraftDeleteV2.materializeOne(sconf.value, in, out,
+                DeleteVectors.deserialize(dvBytes), renames)
+            }
+            .collect().toSeq.flatten.map(new Path(_))
+        }
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         victims.toSeq, inserts.toSeq ++ extraIncoming,
         dvUpdates = dvUpdates.toMap)
