@@ -151,7 +151,41 @@ object GraftCatalog {
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
+
+  /** `CALL <cat>.system.vacuum/compact/zorder/materialize_dvs(...)` —
+    * the SQL-first table-maintenance surface ([[GraftProcedures]]).
+    * Procedures live under the `system` namespace (any namespace is
+    * accepted — the name decides). */
+  // stable instances: the analyzer re-loads/re-binds while iterating
+  // to its fixed point, and plan equality is by procedure identity —
+  // fresh objects per call would never converge
+  private lazy val procedures: Map[String,
+      org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure] =
+    GraftProcedures.Names.map(n => n -> GraftProcedures.unbound(n,
+      dotted => {
+        val parts = dotted.split('.')
+        if (parts.isEmpty || parts.exists(_.isEmpty)) {
+          throw new IllegalArgumentException(
+            s"graft procedure: bad table name '$dotted' (want ns.t)")
+        }
+        tableDir(Identifier.of(parts.init, parts.last))
+      })).toMap
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    procedures.getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new UnsupportedOperationException(
+        s"graft catalog: no procedure '${ident.name()}' — available: " +
+        GraftProcedures.Names.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.Names.toArray.sorted.map(n =>
+      Identifier.of(Array("system"), n))
 
   private var catName: String = _
   private var warehouse: Path = _

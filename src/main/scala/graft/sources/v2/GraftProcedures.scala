@@ -1,0 +1,144 @@
+package graft.sources.v2
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-first maintenance surface: `CALL graft.system.<proc>(...)`
+  * through Spark 4's `ProcedureCatalog` — the ops story (retention,
+  * compaction, clustering, mask materialization) without leaving SQL,
+  * the way every open table format exposes its table services.
+  *
+  * ```sql
+  * CALL graft.system.vacuum(table => 'ns.t', keep_versions => 2)
+  * CALL graft.system.compact(table => 'ns.t')
+  * CALL graft.system.zorder(table => 'ns.t', columns => 'a,b')
+  * CALL graft.system.materialize_dvs(table => 'ns.t')
+  * ```
+  *
+  * Each returns one summary row (a [[LocalScan]]) so the caller sees
+  * what happened; the side effects are the same code paths the Scala
+  * API runs ([[GraftManifest.vacuum]], [[graft.sources.GraftSink]]
+  * compaction, [[GraftDeleteV2.materializeDeleteVectors]]). */
+private[v2] object GraftProcedures {
+
+  val Names: Set[String] =
+    Set("vacuum", "compact", "zorder", "materialize_dvs")
+
+  private def tableParam = ProcedureParameter
+    .in("table", StringType)
+    .comment("dotted table name in this catalog, e.g. ns.t").build()
+
+  private def resultScan(schema: StructType, values: Array[Any]): Scan =
+    new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values))
+    }
+
+  private def one(scan: Scan): JIterator[Scan] =
+    Collections.singletonList(scan).iterator()
+
+  def unbound(procName: String, dirFor: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = procName match {
+        case "vacuum" =>
+          "drop manifest versions beyond keep_versions (min-retention " +
+          "guarded), sweeping unreferenced archive files and sidecars"
+        case "compact" =>
+          "merge small files (materializing deletion vectors first)"
+        case "zorder" =>
+          "clustering rewrite on the given columns: footer-stats file " +
+          "skipping on every cluster key"
+        case _ =>
+          "rewrite every vector-masked file without its deleted rows"
+      }
+      // ONE stable bound instance: the analyzer's fixed-point loop
+      // re-binds until the plan stops changing — a fresh object per
+      // bind() call never converges
+      private lazy val boundOnce = bound(procName, dirFor)
+      override def bind(inputType: StructType): BoundProcedure =
+        boundOnce
+    }
+
+  private def bound(procName: String,
+      dirFor: String => Path): BoundProcedure = new BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procName
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = procName match {
+      case "vacuum" => Array(tableParam,
+        ProcedureParameter.in("keep_versions", IntegerType)
+          .defaultValue("2").build(),
+        ProcedureParameter.in("min_retain_hours", IntegerType)
+          .defaultValue("0")
+          .comment("versions younger than this always survive").build())
+      case "zorder" => Array(tableParam,
+        ProcedureParameter.in("columns", StringType)
+          .comment("comma-separated cluster columns").build(),
+        ProcedureParameter.in("target_mb", IntegerType)
+          .defaultValue("128").build())
+      case _ => Array(tableParam)
+    }
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val dir = dirFor(table)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir)) {
+        throw new IllegalArgumentException(
+          s"graft procedure $procName: no table at $dir")
+      }
+      procName match {
+        case "vacuum" =>
+          val keep = input.getInt(1)
+          val retainH = input.getInt(2)
+          GraftManifest.vacuum(fs, dir, keepVersions = keep,
+            minRetainMillis = retainH * 3600000L)
+          val retained = GraftManifest.versions(fs, dir).length
+          one(resultScan(
+            StructType(Seq(
+              StructField("retained_versions", IntegerType, false))),
+            Array(retained)))
+        case "compact" =>
+          val (before, after) =
+            graft.sources.GraftSink.compact(spark, dir.toString)
+          one(resultScan(
+            StructType(Seq(
+              StructField("merged_files", IntegerType, false),
+              StructField("written_files", IntegerType, false))),
+            Array(before, after)))
+        case "zorder" =>
+          val cols = input.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val targetMb = input.getInt(2)
+          val (before, after) = graft.sources.GraftSink.compactClustered(
+            spark, dir.toString, cols,
+            targetBytes = targetMb.toLong * 1024 * 1024)
+          one(resultScan(
+            StructType(Seq(
+              StructField("files_before", IntegerType, false),
+              StructField("files_after", IntegerType, false))),
+            Array(before, after)))
+        case "materialize_dvs" =>
+          val n = GraftDeleteV2.materializeDeleteVectors(dir.toString)
+          one(resultScan(
+            StructType(Seq(
+              StructField("files_materialized", IntegerType, false))),
+            Array(n)))
+        case other => throw new IllegalStateException(
+          s"graft: unknown procedure $other")
+      }
+    }
+  }
+}

@@ -1208,6 +1208,49 @@ class CatalogSpec extends SparkTestBase {
       messages(e).toString)
   }
 
+  test("CALL procedures: materialize_dvs / vacuum / zorder / compact") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.proc")
+    spark.sql("CREATE TABLE graft.proc.t (id BIGINT, v BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.proc.t SELECT id, id FROM " +
+        s"range(${i * 1000}, ${(i + 1) * 1000})")
+    }
+    spark.sql("DELETE FROM graft.proc.t WHERE id IN (5, 2100)") // dv
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/proc/t")
+    val fs = manifestFs
+    assert(GraftManifest.current(fs, dir).get.dvs.nonEmpty)
+    // materialize_dvs reports the files it rewrote; masks are gone
+    val mat = spark.sql(
+      "CALL graft.system.materialize_dvs(table => 'proc.t')").collect()
+    assert(mat.head.getInt(0) >= 1, mat.toSeq.toString)
+    assert(GraftManifest.current(fs, dir).get.dvs.isEmpty)
+    assert(spark.table("graft.proc.t").count() == 2998)
+    // vacuum to one retained version
+    val vac = spark.sql(
+      "CALL graft.system.vacuum(table => 'proc.t', keep_versions => 1)")
+      .collect()
+    assert(vac.head.getInt(0) == 1, vac.toSeq.toString)
+    assert(GraftManifest.versions(fs, dir).length == 1)
+    // zorder clustering rewrite preserves contents
+    val z = spark.sql(
+      "CALL graft.system.zorder(table => 'proc.t', columns => 'id,v')")
+      .collect()
+    assert(z.head.getInt(1) >= 1, z.toSeq.toString)
+    assert(spark.table("graft.proc.t").count() == 2998)
+    assert(spark.table("graft.proc.t").agg(sum(col("v"))).head
+      .getLong(0) == (0L until 3000L).sum - 5L - 2100L)
+    // compact runs through the same surface
+    spark.sql("CALL graft.system.compact(table => 'proc.t')").collect()
+    assert(spark.table("graft.proc.t").count() == 2998)
+    // unknown procedures fail with the available list
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.nope(table => 'proc.t')").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("vacuum min-retention keeps young versions readable by " +
       "pinned scans") {
     import graft.sources.v2.GraftManifest
