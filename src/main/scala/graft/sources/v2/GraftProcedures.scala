@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-first maintenance surface: `CALL graft.system.<proc>(...)`
   * through Spark 4's `ProcedureCatalog` — the ops story (retention,
