@@ -163,6 +163,17 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
         val fileRows = FooterCache.rowGroupsFor(Seq(resolved.toString))
           .map(_.rowCount).sum
         val dead = bm.getLongCardinality
+        if (fileRows == 0 && dead > 0) {
+          // a masked file whose footer reads empty is a broken
+          // invariant, not a sidecar candidate: falling through would
+          // carry a fully-dead file as a 100% mask (correct reads,
+          // silently degraded fully-dead/escalation classification),
+          // and hides a real footer-read failure
+          throw new IllegalStateException(
+            s"graft-delta: $name carries ${dead} masked positions but " +
+            "its parquet footer reports 0 rows — footer read failed " +
+            "or the file is corrupt; refusing to commit the mask")
+        }
         if (dead >= fileRows && fileRows > 0) {
           victims += new Path(target, name)
         } else if (fileRows > 0 && dead > maxFrac * fileRows) {

@@ -454,7 +454,8 @@ object GraftManifest {
     * longest query/stream-batch duration. */
   def vacuum(fs: FileSystem, table: Path, keepVersions: Int = 2,
       minRetainMillis: Long = 0L,
-      nowMillis: Long = System.currentTimeMillis()): Unit =
+      nowMillis: Long = System.currentTimeMillis(),
+      dvGraceMillis: Long = DvSweepGraceMillis): Unit =
     vacuumKeeping(fs, table, vs => {
       val (beyond, kept) =
         vs.splitAt(math.max(0, vs.length - keepVersions))
@@ -467,25 +468,43 @@ object GraftManifest {
           commitTimeMillis(fs, table, v).exists(_ < horizon))
         (drop, young ++ kept)
       }
-    })
+    }, dvGraceMillis)
 
   /** Age-based retention: drop versions whose commit time is older
     * than `maxAgeMillis` before `nowMillis` — except the LATEST
     * version, which always survives (it IS the table). The
     * retention-policy face of [[vacuum]]. */
   def vacuumOlderThan(fs: FileSystem, table: Path, maxAgeMillis: Long,
-      nowMillis: Long = System.currentTimeMillis()): Unit = {
+      nowMillis: Long = System.currentTimeMillis(),
+      dvGraceMillis: Long = DvSweepGraceMillis): Unit = {
     val horizon = nowMillis - maxAgeMillis
     // .exists, not .forall: a version whose commit time cannot be
     // read (transient FS error → None) is conservatively KEPT, not
     // treated as older-than-horizon and dropped
     vacuumKeeping(fs, table, vs => vs.partition(v =>
       v != vs.last &&
-        commitTimeMillis(fs, table, v).exists(_ < horizon)))
+        commitTimeMillis(fs, table, v).exists(_ < horizon)),
+      dvGraceMillis)
   }
 
+  /** Grace window for sweeping UNREFERENCED deletion-vector sidecars:
+    * [[GraftDeleteV2]] (and the delta write path) publish sidecars
+    * into `.graft-dv/` BEFORE the manifest CAS that references them —
+    * an unreferenced sidecar may therefore be an in-flight commit's,
+    * not garbage. Sweeping only sidecars older than this window (by
+    * file modification time) leaves any publish→CAS window shorter
+    * than the grace intact; a commit that stalls longer than this
+    * between publishing and committing is the documented trade. */
+  val DvSweepGraceMillis: Long = 10 * 60 * 1000L
+
   private def vacuumKeeping(fs: FileSystem, table: Path,
-      split: Seq[Long] => (Seq[Long], Seq[Long])): Unit = {
+      split: Seq[Long] => (Seq[Long], Seq[Long]),
+      dvGraceMillis: Long): Unit =
+    // the sweep itself runs under the per-table commit lock so an
+    // in-JVM committer cannot land a version BETWEEN this method's
+    // referenced-set computation and its deletes; cross-process (and
+    // the publish-before-CAS window) are covered by the grace window
+    commitLock(fs, table).synchronized {
     val vs = versions(fs, table)
     if (vs.isEmpty) return
     val (drop, keep) = split(vs)
@@ -501,12 +520,16 @@ object GraftManifest {
       }
     }
     // deletion-vector sidecars follow the same rule: dropped with the
-    // last version that references them
+    // last version that references them — but only beyond the grace
+    // window, so a sidecar published by a not-yet-committed DELETE
+    // survives until its CAS lands (see [[DvSweepGraceMillis]])
     val referencedDvs = keptSnaps.flatMap(_.dvs.values).toSet
     val dvd = DeleteVectors.dvDir(table)
     if (fs.exists(dvd)) {
+      val horizon = System.currentTimeMillis() - dvGraceMillis
       fs.listStatus(dvd).foreach { st =>
-        if (!referencedDvs.contains(st.getPath.getName)) {
+        if (!referencedDvs.contains(st.getPath.getName) &&
+            st.getModificationTime < horizon) {
           fs.delete(st.getPath, false)
         }
       }

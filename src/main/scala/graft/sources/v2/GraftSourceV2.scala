@@ -1051,10 +1051,14 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * whenever the merged order would not be the reported one: pushed
     * top-k or limit (bounded emission re-orders), footer-answered
     * aggregates, sort columns off the projection, nested columns (no
-    * row-mode converter). */
+    * row-mode converter). `_pos` also declines the merge: the merge
+    * readers interleave rows from many files, and neither merge
+    * factory threads the per-file ordinal channel — a delta rewrite
+    * scan projecting `_pos` falls back to plain per-row-group
+    * partitions (mirroring how `_pos` already disables topN). */
   private lazy val mergeActive: Boolean =
     mergeRuns && topNLimit < 0 && limit < 0 && pushedAgg.isEmpty &&
-      sortedRunOrder.isEmpty &&
+      sortedRunOrder.isEmpty && !appendPos &&
       bucketGrouping.exists(b => b.sortCols.nonEmpty &&
         b.sortCols.forall(projectedSchema.fieldNames.contains)) &&
       !projectedSchema.fields.exists(f => ParquetMeta.isNested(f.dataType))

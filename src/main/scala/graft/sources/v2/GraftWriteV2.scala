@@ -136,10 +136,28 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
           // EXTRA incoming columns beyond the resolved schema widen
           // the table: the commit refreshes the schema marker so the
           // new columns are deterministically visible no matter which
-          // file a later footer resolution reads first
+          // file a later footer resolution reads first. A widened
+          // append is subject to the same RESERVED-name rule as
+          // ALTER ADD COLUMN: a dropped/renamed column's physical
+          // name still carries dead data in old files, and letting a
+          // plain append re-introduce it would make name-mapped
+          // readers resurrect that data silently.
           val extras = incoming.fields
             .filterNot(f => resolved.fieldNames.contains(f.name))
           if (extras.nonEmpty) {
+            val reservedNames =
+              GraftCatalog.readMapping(tfs, tdir).reserved
+            val clash2 = extras.filter(f =>
+              reservedNames.exists(_.equalsIgnoreCase(f.name)))
+            if (clash2.nonEmpty) {
+              throw new UnsupportedOperationException(
+                s"graft-v2 widened append: column(s) " +
+                s"${clash2.map(_.name).mkString(", ")} — the name " +
+                "belongs to a DROPPED or RENAMED column still " +
+                "physically present in old files; name-mapped files " +
+                "could not tell the new column from the old data — " +
+                "pick another name, or rewrite the table first")
+            }
             widenTo = Some(StructType(
               resolved.fields ++ extras.map(_.copy(nullable = true))))
           }
@@ -367,9 +385,17 @@ private[v2] object GraftSwapV2 {
             // positions this commit never saw: retrying would either
             // resurrect the racer's deletes (overwritten mapping) or
             // write a rewrite that ignores them. Real conflict: abort.
+            // Mask equality alone is not enough for a dv-update
+            // target: a racer's whole-file DELETE removes the name
+            // and carries no dv entry (None == None), yet retrying
+            // would have tryCommit's name filter silently drop this
+            // commit's vector while its insert files still land —
+            // resurrecting updated copies of rows the racer deleted.
+            // The dv target must still EXIST in the winner state.
             val dvStable = (victims.map(_.getName).iterator ++
               dvUpdates.keysIterator).forall(n =>
-                c.dvs.get(n) == readState.dvs.get(n))
+                c.dvs.get(n) == readState.dvs.get(n)) &&
+              dvUpdates.keysIterator.forall(c.names.contains)
             victims.forall(v => c.names.contains(v.getName)) &&
               dvStable &&
               (added.isEmpty || addedSafe(added))

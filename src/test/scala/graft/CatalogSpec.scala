@@ -1038,8 +1038,10 @@ class CatalogSpec extends SparkTestBase {
     assert(dvSidecars(dir).size >= 2)
     // vacuum to the newest version: the superseded sidecar is swept
     val fs = manifestFs
+    // grace 0: the default window keeps just-published sidecars to
+    // protect in-flight commits; this test's are seconds old
     GraftManifest.vacuum(fs, new org.apache.hadoop.fs.Path(dir),
-      keepVersions = 1)
+      keepVersions = 1, dvGraceMillis = 0L)
     val kept = GraftManifest.current(fs,
       new org.apache.hadoop.fs.Path(dir)).get.dvs.values.toSet
     assert(dvSidecars(dir) == kept,
