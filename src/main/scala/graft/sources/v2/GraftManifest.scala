@@ -468,7 +468,7 @@ object GraftManifest {
           commitTimeMillis(fs, table, v).exists(_ < horizon))
         (drop, young ++ kept)
       }
-    }, dvGraceMillis)
+    }, dvGraceMillis, nowMillis)
 
   /** Age-based retention: drop versions whose commit time is older
     * than `maxAgeMillis` before `nowMillis` — except the LATEST
@@ -484,7 +484,7 @@ object GraftManifest {
     vacuumKeeping(fs, table, vs => vs.partition(v =>
       v != vs.last &&
         commitTimeMillis(fs, table, v).exists(_ < horizon)),
-      dvGraceMillis)
+      dvGraceMillis, nowMillis)
   }
 
   /** Grace window for sweeping UNREFERENCED deletion-vector sidecars:
@@ -499,41 +499,48 @@ object GraftManifest {
 
   private def vacuumKeeping(fs: FileSystem, table: Path,
       split: Seq[Long] => (Seq[Long], Seq[Long]),
-      dvGraceMillis: Long): Unit =
-    // the sweep itself runs under the per-table commit lock so an
-    // in-JVM committer cannot land a version BETWEEN this method's
-    // referenced-set computation and its deletes; cross-process (and
-    // the publish-before-CAS window) are covered by the grace window
-    commitLock(fs, table).synchronized {
-    val vs = versions(fs, table)
-    if (vs.isEmpty) return
-    val (drop, keep) = split(vs)
-    if (keep.isEmpty) return // the latest version always survives
-    val keptSnaps = keep.map(read(fs, table, _))
-    val referenced = keptSnaps.flatMap(_.names).toSet
-    val archive = new Path(table, ArchiveDir)
-    if (fs.exists(archive)) {
-      fs.listStatus(archive).foreach { st =>
-        if (!referenced.contains(st.getPath.getName)) {
-          fs.delete(st.getPath, false)
+      dvGraceMillis: Long, nowMillis: Long): Unit = {
+    // referenced-set COMPUTATION runs under the per-table commit lock
+    // so an in-JVM committer cannot land a version between this
+    // method's version listing and its kept-set pinning; cross-process
+    // (and the publish-before-CAS window) are covered by the grace
+    // window. The FS DELETES run OUTSIDE the lock: once the kept set
+    // is pinned, everything doomed is already unreferenced by every
+    // retained version and can never be re-referenced (file and
+    // sidecar names are job-unique; new commits only mint new names),
+    // so a slow object-store sweep no longer blocks same-JVM commits.
+    val doomed: Seq[Path] = commitLock(fs, table).synchronized {
+      val vs = versions(fs, table)
+      if (vs.isEmpty) return
+      val (drop, keep) = split(vs)
+      if (keep.isEmpty) return // the latest version always survives
+      val keptSnaps = keep.map(read(fs, table, _))
+      val referenced = keptSnaps.flatMap(_.names).toSet
+      val archive = new Path(table, ArchiveDir)
+      val archiveDoomed =
+        if (!fs.exists(archive)) Seq.empty[Path]
+        else fs.listStatus(archive).toSeq.map(_.getPath)
+          .filterNot(p => referenced.contains(p.getName))
+      // deletion-vector sidecars follow the same rule: dropped with
+      // the last version that references them — but only beyond the
+      // grace window, so a sidecar published by a not-yet-committed
+      // DELETE survives until its CAS lands ([[DvSweepGraceMillis]]).
+      // The horizon uses the CALLER's clock (nowMillis), matching the
+      // version-retention horizon — a test faking time gets both
+      // policies on the same fake clock.
+      val referencedDvs = keptSnaps.flatMap(_.dvs.values).toSet
+      val dvd = DeleteVectors.dvDir(table)
+      val dvDoomed =
+        if (!fs.exists(dvd)) Seq.empty[Path]
+        else {
+          val horizon = nowMillis - dvGraceMillis
+          fs.listStatus(dvd).toSeq
+            .filter(st => !referencedDvs.contains(st.getPath.getName) &&
+              st.getModificationTime < horizon)
+            .map(_.getPath)
         }
-      }
+      archiveDoomed ++ dvDoomed ++ drop.map(versionPath(table, _))
     }
-    // deletion-vector sidecars follow the same rule: dropped with the
-    // last version that references them — but only beyond the grace
-    // window, so a sidecar published by a not-yet-committed DELETE
-    // survives until its CAS lands (see [[DvSweepGraceMillis]])
-    val referencedDvs = keptSnaps.flatMap(_.dvs.values).toSet
-    val dvd = DeleteVectors.dvDir(table)
-    if (fs.exists(dvd)) {
-      val horizon = System.currentTimeMillis() - dvGraceMillis
-      fs.listStatus(dvd).foreach { st =>
-        if (!referencedDvs.contains(st.getPath.getName) &&
-            st.getModificationTime < horizon) {
-          fs.delete(st.getPath, false)
-        }
-      }
-    }
-    drop.foreach(v => fs.delete(versionPath(table, v), false))
+    doomed.foreach(p => fs.delete(p, false))
   }
 }
