@@ -218,6 +218,42 @@ object ScaleProbe {
     println(f"""{"q":"dv_point_delete","t_dv":$tDv%.2f,""" +
       f""""t_cow":$tCow%.2f,"ratio":${tDv / math.max(tCow, 0.001)}%.2f,""" +
       f""""dv_bytes":$dvBytes,"survivors":$survDv}""")
+    // delta-scan probe: the row-id scan a bulk UPDATE/MERGE runs
+    // (data cols + `_file` + `_pos`), vectorized vs forced row mode,
+    // at the inflated scale — the raw-ordinal batch channel is what
+    // lets SupportsDelta scans keep batch-decode speed. Plus the
+    // end-to-end bulk UPDATE itself (vector + insert commit).
+    locally {
+      val wh = Files.createTempDirectory("graft-scale-du").toString
+      spark.conf.set("spark.sql.catalog.dup",
+        "graft.sources.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.dup.warehouse", wh)
+      val li = Tables.t(spark, scaled, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      li.repartition(8).write.format("graft-v2")
+        .option("path", s"$wh/li").mode("append").save()
+      val span = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+      def scanOnce(vectorized: Boolean): Double = {
+        val t0 = System.nanoTime()
+        spark.read.format("graft-v2").option("path", s"$wh/li")
+          .option("vectorized", vectorized.toString).load()
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("_file"), col("_pos"))
+          .filter(col("l_orderkey") % 1000 === 1)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tRow = math.min(scanOnce(false), scanOnce(false))
+      val tVec = math.min(scanOnce(true), scanOnce(true))
+      val t0 = System.nanoTime()
+      spark.sql("UPDATE dup.li SET l_quantity = l_quantity + 1 " +
+        s"WHERE l_orderkey % 1000 = 1")
+      val tUpd = (System.nanoTime() - t0) / 1e9
+      println(f"""{"q":"delta_pos_scan","t_row":$tRow%.2f,""" +
+        f""""t_vec":$tVec%.2f,""" +
+        f""""ratio":${tVec / math.max(tRow, 0.001)}%.2f,""" +
+        f""""t_bulk_update":$tUpd%.2f}""")
+    }
     // z-order probe: after ONE clustering compact on (l_orderkey,
     // l_partkey), row-group pruning works on BOTH keys — the
     // second-key file skipping a single sort column cannot give

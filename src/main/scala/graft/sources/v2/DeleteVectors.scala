@@ -179,6 +179,39 @@ private[v2] class SelectedColumnVector(base: ColumnVector,
       new SelectedColumnVector(base.getChild(ordinal), sel))
 }
 
+/** Synthetic `_pos` column: row `i` IS the long `start + i` — the
+  * RAW-ORDINAL channel of the vectorized read path. A batch decoded
+  * from physical rows [start, start+n) appends one of these; the
+  * deletion-vector selection view then composes on top
+  * ([[SelectedColumnVector]] over this yields `start + sel(i)`), so
+  * survivors keep their exact physical file ordinals with zero
+  * per-row work and no materialized array. */
+private[v2] class OrdinalColumnVector(start: Long)
+    extends ColumnVector(org.apache.spark.sql.types.LongType) {
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls(): Int = 0
+  override def isNullAt(rowId: Int): Boolean = false
+  override def getLong(rowId: Int): Long = start + rowId
+
+  private def nope = throw new UnsupportedOperationException(
+    "graft-v2: _pos ordinal vector is LongType-only")
+  override def getBoolean(rowId: Int): Boolean = nope
+  override def getByte(rowId: Int): Byte = nope
+  override def getShort(rowId: Int): Short = nope
+  override def getInt(rowId: Int): Int = nope
+  override def getFloat(rowId: Int): Float = nope
+  override def getDouble(rowId: Int): Double = nope
+  override def getArray(rowId: Int): ColumnarArray = nope
+  override def getMap(ordinal: Int): ColumnarMap = nope
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = nope
+  override def getUTF8String(rowId: Int): UTF8String = nope
+  override def getBinary(rowId: Int): Array[Byte] = nope
+  override def getChild(ordinal: Int): ColumnVector = nope
+}
+
 /** Read-only CONTIGUOUS-slice view: logical row `i` delegates to
   * physical row `start + i` of `base` — the zero-copy batch-slice
   * primitive of the columnar k-way merge ([[KWayBatchMergeReader]]).

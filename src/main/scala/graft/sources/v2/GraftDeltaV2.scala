@@ -42,10 +42,15 @@ import graft.sources.InternalRowParquetBuilder
   * copy-on-write floor this path removes. Compaction later
   * materializes the masks ([[GraftDeleteV2.materializeDeleteVectors]]).
   *
-  * Scope: flat, unbucketed tables (nested schemas need the vectorized
-  * reader, which has no raw-ordinal channel for `_pos`; bucketed
-  * layouts route to the group path, whose writers preserve the bucket
-  * suffix contract). [[GraftTableV2.newRowLevelOperationBuilder]]
+  * The operation's scan is VECTORIZED: `_pos` is served by a computed
+  * raw-ordinal vector appended per batch ([[OrdinalColumnVector]]),
+  * so candidate files are scanned at batch-decode speed — the ~10×
+  * read-path win copy-on-write scans already had.
+  *
+  * Scope: flat, unbucketed tables (nested schemas route to the group
+  * path — the flat per-file escalation rewriter cannot copy nested
+  * values; bucketed layouts likewise, whose writers preserve the
+  * bucket suffix contract). [[GraftTableV2.newRowLevelOperationBuilder]]
   * picks the path per table.
   *
   * Concurrency: the snapshot is pinned when the operation's scan is
@@ -81,11 +86,15 @@ case class GraftDeltaOperation(path: String, tableSchema: StructType,
     val fs = tdir.getFileSystem(GraftHadoopConf.sessionConf())
     val pinned = GraftManifest.pinForMutation(fs, tdir)
     readState = pinned
-    // row mode from the start: `_pos` needs raw ordinals, and row-mode
-    // filter pushdown is source-exact (three-valued), so the scan
-    // ships only the rows the command's condition definitely matches
+    // VECTORIZED scan: `_pos` rides the batch path as a computed
+    // raw-ordinal vector ([[OrdinalColumnVector]]), so a bulk
+    // UPDATE/MERGE scans its candidate files at batch-decode speed.
+    // Pushed filters stay residual (Spark re-evaluates the command's
+    // condition above the scan) and still drive row-group stats
+    // pruning; NANOS-timestamp tables auto-fall back to the row
+    // readers, whose raw-read counting serves the same ordinals.
     new GraftScanBuilderV2(path, tableSchema,
-      vectorizedRequested = false,
+      vectorizedRequested = true,
       versionAsOf = Some(pinned.version))
   }
 

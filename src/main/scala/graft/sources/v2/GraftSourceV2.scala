@@ -550,18 +550,17 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   }
 
   override def build(): Scan = {
-    // `_pos` (physical row ordinals) is served by the ROW readers only
-    // — the vectorized decoder has no raw-ordinal channel — so its
-    // projection forces row mode
-    val rowForced = !vectorized || appendPos
-    if (rowForced) {
+    // `_pos` (physical row ordinals) is served in BOTH modes: the
+    // vectorized readers append a computed raw-ordinal vector per
+    // batch ([[OrdinalColumnVector]]); the row readers count raw
+    // reads. Only genuine row mode (vectorized=false / NANOS
+    // timestamps) is restricted to flat schemas.
+    if (!vectorized) {
       requiredSchema.fields.find(f => ParquetMeta.isNested(f.dataType))
         .foreach { f =>
           throw new IllegalArgumentException(
             s"graft-v2 row mode supports flat primitive schemas only; " +
-            s"column '${f.name}' is nested — " +
-            (if (appendPos) s"${GraftPosColumn.Name} requires row mode; "
-             else "drop vectorized=false ") +
+            s"column '${f.name}' is nested — drop vectorized=false " +
             "(nested columns read through the vectorized path)" +
             (if (vectorizedRequested) " and note NANOS timestamps force" +
               " row mode" else ""))
@@ -573,7 +572,7 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     // (removed files resolve into .graft-archive). Manifest-free
     // tables keep plain listing semantics (None).
     GraftScanV2(path, requiredSchema, pushed, limit,
-      vectorized && !appendPos,
+      vectorized,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
       appendFile, snapshotFiles, fileAllow, mergeRuns,
       streamIgnoreChanges, snapshotDvs, appendPos)
@@ -602,10 +601,12 @@ object GraftFileColumn
   * ADDRESS the delta row-level operations key their deletion vectors
   * on ([[GraftDeltaOperation]]) — the same role as the reference's
   * `xmin` transaction-id addressing (ExtJdbcUtils.scala:301-329).
-  * Served by the ROW-mode readers only (the scan builder falls back
-  * from vectorized when `_pos` is projected): the row-group reader
-  * counts RAW reads, so ordinals stay exact under pushed filters,
-  * limits and deletion-vector skips. */
+  * Served in BOTH read modes: the vectorized readers append a
+  * computed raw-ordinal vector per batch ([[OrdinalColumnVector]],
+  * composed under the deletion-vector selection view), the row-group
+  * reader counts RAW reads — either way ordinals stay exact under
+  * pushed filters, limits and deletion-vector skips, so delta
+  * row-level scans keep batch-decode throughput. */
 object GraftPosColumn
     extends org.apache.spark.sql.connector.catalog.MetadataColumn {
   val Name = "_pos"
@@ -1051,14 +1052,14 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     * whenever the merged order would not be the reported one: pushed
     * top-k or limit (bounded emission re-orders), footer-answered
     * aggregates, sort columns off the projection, nested columns (no
-    * row-mode converter). `_pos` also declines the merge: the merge
-    * readers interleave rows from many files, and neither merge
-    * factory threads the per-file ordinal channel — a delta rewrite
-    * scan projecting `_pos` falls back to plain per-row-group
-    * partitions (mirroring how `_pos` already disables topN). */
+    * row-mode converter). `_pos` rides the COLUMNAR merge fine — each
+    * per-file vectorized reader appends its own raw-ordinal vector
+    * before the merge slices batches, so ordinals survive the
+    * interleave — but declines the ROW-mode merge, whose factory
+    * builds per-file readers without the ordinal channel. */
   private lazy val mergeActive: Boolean =
     mergeRuns && topNLimit < 0 && limit < 0 && pushedAgg.isEmpty &&
-      sortedRunOrder.isEmpty && !appendPos &&
+      sortedRunOrder.isEmpty && (!appendPos || vectorized) &&
       bucketGrouping.exists(b => b.sortCols.nonEmpty &&
         b.sortCols.forall(projectedSchema.fieldNames.contains)) &&
       !projectedSchema.fields.exists(f => ParquetMeta.isNested(f.dataType))
@@ -1168,15 +1169,18 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
       conf.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       conf.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
       val tz = spark.sessionState.conf.sessionLocalTimeZone
-      if (topNLimit >= 0 && topN.nonEmpty) {
+      if (topNLimit >= 0 && topN.nonEmpty && !appendPos) {
         // columnar decode, bounded heap, row emit: k rows per row
         // group is not a columnar-friendly volume, so the factory
-        // reports no columnar support and Spark plans a row scan
+        // reports no columnar support and Spark plans a row scan.
+        // `_pos` + pushed top-k don't mix (heap rows lose their
+        // ordinal) — same drop as row mode; Spark's retained global
+        // sort+limit keeps results correct
         GraftVectorTopNReaderFactory(new SerializableConfiguration(conf),
           projectedSchema, tz, batchSize, topN, topNLimit)
       } else {
         GraftVectorReaderFactory(new SerializableConfiguration(conf),
-          projectedSchema, limit, tz, batchSize)
+          projectedSchema, limit, tz, batchSize, appendPos)
       }
     }
   }
@@ -1863,15 +1867,36 @@ private[v2] object GraftFileLog {
   val CompactInterval = 10
 }
 
-/** Micro-batch tail over a growing parquet directory: each batch is the
-  * row groups of the files that appeared since the last offset, read
-  * through the same (vectorized or row) reader factories as the batch
-  * scan, with the same filter-driven row-group pruning. Assumes an
-  * append-only producer (files arrive whole, never rewritten) — the
-  * contract of the staged-commit write path. Restart-safe: offsets are
-  * log ids into the checkpoint-scoped [[GraftFileLog]], so a restarted
-  * query replans exactly the uncommitted suffix and never re-reads a
-  * committed file. */
+/** Micro-batch tail over a graft table, in one of TWO offset modes
+  * picked once per checkpoint:
+  *
+  *  - MANIFEST-VERSIONED (tables that already carry a manifest log):
+  *    the offset IS the manifest version; a batch is the version
+  *    diff `(start, end]`. Pure-append commits stream their added
+  *    files; CHANGE commits (anything that removed a file or touched
+  *    a deletion vector — DML rewrites, compaction, vacuum-visible
+  *    rewrites) are SKIPPED whole, so DML under the tail no longer
+  *    fail-stops it and appended rows still arrive exactly once
+  *    (the tail is an append stream, not a CDC feed — a change
+  *    commit's rewritten/updated rows are not re-delivered;
+  *    `ignoreFileChanges=true` opts into delivering them,
+  *    at-least-once). The first batch delivers the END version's
+  *    snapshot (names minus its deletion vectors), not the replayed
+  *    history.
+  *  - FILE-LOG (manifest-free directories — plain parquet
+  *    producers): each batch is the files that appeared since the
+  *    last offset; offsets are log ids into the checkpoint-scoped
+  *    [[GraftFileLog]]. Assumes an append-only producer; DML under
+  *    the tail fail-stops with a diagnosis (restarting with a FRESH
+  *    checkpoint adopts manifest offsets, since the DML created the
+  *    manifest log).
+  *
+  * The mode is sticky: a checkpoint that ever ran file-log stays
+  * file-log (its offsets are log ids), and a manifest-bearing table
+  * with a fresh checkpoint always takes version offsets. Both modes
+  * read through the same (vectorized or row) reader factories as the
+  * batch scan, with the same filter-driven row-group pruning, and
+  * replan exactly the uncommitted suffix on restart. */
 class GraftMicroBatchStream(path: String, checkpointLocation: String,
     scan: GraftScanV2)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
@@ -1880,8 +1905,18 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
   // driver-side: the session's Hadoop conf (filesystem credentials
   // etc.), matching createReaderFactory's snapshot
   private val hconf: Configuration = GraftHadoopConf.sessionConf()
-  private val log =
-    new GraftFileLog(new Path(checkpointLocation, "graft-file-log"), hconf)
+  private val tdir = new Path(path)
+  private val tfs = tdir.getFileSystem(hconf)
+  private val fileLogDir = new Path(checkpointLocation, "graft-file-log")
+
+  /** Version mode iff the table already has a manifest log AND this
+    * checkpoint never ran in file-log mode (the file log's offsets are
+    * log ids — reinterpreting them as versions would replay wrong
+    * data). Decided once; both conditions are stable thereafter. */
+  private val versionMode: Boolean =
+    GraftManifest.versions(tfs, tdir).nonEmpty && !tfs.exists(fileLogDir)
+
+  private lazy val log = new GraftFileLog(fileLogDir, hconf)
 
   private def listNames(): Seq[String] = {
     val p = new Path(path)
@@ -1926,11 +1961,13 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       throw new IllegalStateException(
         s"graft-v2 stream: ${rewritten.size} previously-streamed " +
         s"file(s) of $path were rewritten by DML or compaction under " +
-        s"the tail (archived; e.g. ${rewritten.head}). The micro-batch " +
-        "source tails an append-only table. Restart with "
+        s"the tail (archived; e.g. ${rewritten.head}). This checkpoint " +
+        "tails the directory append-only. Restart with "
         + "option(\"ignoreFileChanges\", \"true\") to continue — " +
         "rewritten files' rows may then be re-delivered — or stream " +
-        "from a fresh checkpoint")
+        "from a FRESH checkpoint: the table now has a manifest log, so " +
+        "a fresh stream takes manifest-versioned offsets and tolerates " +
+        "DML (change commits are skipped, appends flow exactly-once)")
     }
     // a vanished file with no archive twin is only tolerable as an
     // EXTERNAL deletion (a retention job removing delivered rows). On
@@ -1964,15 +2001,19 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
   private val streamIgnoreChanges = scan.streamIgnoreChanges
 
   override def latestOffset(): Offset = {
+    if (versionMode) {
+      // manifests are immutable snapshots behind a CAS — no lock, no
+      // listing; the current version number IS the offset
+      return GraftStreamOffset(
+        GraftManifest.current(tfs, tdir).map(_.version).getOrElse(0L))
+    }
     // the poll (list → diagnose → log) runs under the table's commit
     // lock: a raw listing taken inside a DML critical section would
     // see residue files renamed in but the rewritten original not yet
     // archived — checkAppendOnly would pass and the residues' rows
     // (duplicates of already-streamed survivors) would reach the sink
     // in a COMMITTED batch before the next poll could diagnose
-    val tdir = new Path(path)
-    GraftManifest.commitLock(tdir.getFileSystem(hconf), tdir)
-        .synchronized {
+    GraftManifest.commitLock(tfs, tdir).synchronized {
       val names = listNames()
       checkAppendOnly(names.toSet)
       val fresh = names.filterNot(log.seen)
@@ -1992,11 +2033,71 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     GraftStreamOffset(m.group(1).toLong)
   }
 
+  /** The files of a VERSION-mode batch `(startV, endV]`: the end
+    * snapshot whole for the initial batch (startV = 0), else the
+    * per-version diff — pure-append commits contribute their added
+    * names, change commits are skipped (or included under
+    * `ignoreFileChanges`). Returns (resolved file paths, the END
+    * version's dv map). */
+  private def versionBatchFiles(startV: Long, endV: Long)
+      : (Seq[String], Map[String, String]) = {
+    if (endV <= startV) return (Seq.empty, Map.empty)
+    val endSnap = GraftManifest.read(tfs, tdir, endV)
+    val names: Seq[String] =
+      if (startV == 0L) endSnap.names // initial load: the snapshot
+      else {
+        // a contiguous replay of (startV, endV] — every version must
+        // still be retained; a vacuum that outran the stream's
+        // uncommitted suffix collapsed diffs we can no longer
+        // classify (an append + a rewrite folded together would
+        // either lose or duplicate rows), so fail with the retention
+        // diagnosis instead of guessing
+        val retained = GraftManifest.versions(tfs, tdir).toSet
+        val missing = (startV to endV).filterNot(retained.contains)
+        if (missing.nonEmpty) {
+          throw new IllegalStateException(
+            s"graft-v2 stream: manifest version(s) " +
+            s"${missing.mkString(", ")} of $path were vacuumed before " +
+            s"the batch ($startV, $endV] executed — the retention " +
+            "window must outlast the stream's longest restart gap. " +
+            "Stream from a fresh checkpoint (the tail resumes from " +
+            "the current snapshot)")
+        }
+        var prev = GraftManifest.read(tfs, tdir, startV)
+        val adds = Seq.newBuilder[String]
+        ((startV + 1) to endV).foreach { v =>
+          val snap = GraftManifest.read(tfs, tdir, v)
+          val pset = prev.names.toSet
+          val added = snap.names.filterNot(pset)
+          val nset = snap.names.toSet
+          val removed = prev.names.filterNot(nset)
+          // a commit that removed a name or touched a vector REWROTE
+          // or DELETED rows — its added files carry rewritten/updated
+          // copies of rows this tail already delivered, not appends
+          val isChange = removed.nonEmpty || snap.dvs != prev.dvs
+          if (!isChange || streamIgnoreChanges) adds ++= added
+          prev = snap
+        }
+        adds.result()
+      }
+    (GraftManifest.resolve(tfs, tdir, names).map(_.toString),
+      endSnap.dvs)
+  }
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val batchFiles = log.filesBetween(
-      start.asInstanceOf[GraftStreamOffset].logOffset,
-      end.asInstanceOf[GraftStreamOffset].logOffset)
+    val startOff = start.asInstanceOf[GraftStreamOffset].logOffset
+    val endOff = end.asInstanceOf[GraftStreamOffset].logOffset
+    val (batchFiles, dvs) =
+      if (versionMode) versionBatchFiles(startOff, endOff)
+      else (log.filesBetween(startOff, endOff),
+        // deletion vectors resolve at BATCH PLANNING time: a file
+        // already position-deleted when its batch plans streams only
+        // its live rows (a dv landing after delivery is the tolerated
+        // retroactive-delete case — the data file itself never
+        // vanishes). The tail's append-only guard is unaffected: dv
+        // commits leave files in place.
+        GraftManifest.current(tfs, tdir).map(_.dvs).getOrElse(Map.empty))
     // rowGroupsFor, not rowGroups: a logged-but-unprocessed file a
     // racing commit ARCHIVED must resolve to its archive twin (plain
     // rowGroups silently returns empty for a missing path — row
@@ -2018,15 +2119,6 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       if (scan.filters.isEmpty) groups
       else groups.filter(rg =>
         scan.filters.forall(RowGroupPruning.mayMatch(_, rg)))
-    // deletion vectors resolve at BATCH PLANNING time: a file already
-    // position-deleted when its batch plans streams only its live rows
-    // (a dv landing after delivery is the tolerated retroactive-delete
-    // case — the data file itself never vanishes). The tail's
-    // append-only guard is unaffected: dv commits leave files in place.
-    val tdir = new Path(path)
-    val tfs = tdir.getFileSystem(hconf)
-    val dvs = GraftManifest.current(tfs, tdir)
-      .map(_.dvs).getOrElse(Map.empty)
     // prefix sums over the PRE-pruning group list — stats pruning may
     // drop sibling groups, but file ordinals must stay exact
     val starts =
@@ -2056,7 +2148,12 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     scan.createReaderFactory()
 
   override def commit(end: Offset): Unit =
-    log.commitTo(end.asInstanceOf[GraftStreamOffset].logOffset)
+    // version mode keeps NO side state (the manifest log is the
+    // state) — and must not touch the lazy file log, whose
+    // constructor creates the mode-deciding directory
+    if (!versionMode) {
+      log.commitTo(end.asInstanceOf[GraftStreamOffset].logOffset)
+    }
 
   override def stop(): Unit = ()
 }
@@ -2068,7 +2165,7 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
   * `OnHeapColumnVector`s, ~10× the row-materializing parquet-mr path. */
 case class GraftVectorReaderFactory(conf: SerializableConfiguration,
     readSchema: StructType, limit: Int, sessionTz: String,
-    batchSize: Int = 4096)
+    batchSize: Int = 4096, appendPos: Boolean = false)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -2083,7 +2180,7 @@ case class GraftVectorReaderFactory(conf: SerializableConfiguration,
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftVectorReader(p,
       GraftVectorReaderFactory.confFor(conf.value, readSchema, p),
-      limit, sessionTz, batchSize)
+      limit, sessionTz, batchSize, appendPos)
   }
 }
 
@@ -2156,7 +2253,8 @@ private[v2] object GraftReadPath {
   * cut, matching `SupportsPushDownLimit.isPartiallyPushed`). */
 class GraftVectorReader(part: GraftInputPartition,
     conf: org.apache.hadoop.conf.Configuration, limit: Int,
-    sessionTz: String, batchSize: Int = 4096)
+    sessionTz: String, batchSize: Int = 4096,
+    appendPos: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
 
   // `batchSize` (rows per ColumnarBatch) is the V2 analog of the
@@ -2191,10 +2289,8 @@ class GraftVectorReader(part: GraftInputPartition,
   private var emitted = 0L
   private var batch: ColumnarBatch = _
 
-  private def applyDv(b: ColumnarBatch): ColumnarBatch = {
+  private def applyDv(b: ColumnarBatch, start: Long): ColumnarBatch = {
     val n = b.numRows()
-    val start = physPos
-    physPos += n
     if (dv.rangeCardinality(start, start + n) == 0L) return b
     val sel = new Array[Int](n)
     var k = 0
@@ -2213,8 +2309,23 @@ class GraftVectorReader(part: GraftInputPartition,
     while (true) {
       if (limit >= 0 && emitted >= limit) return false
       if (!reader.nextBatch()) return false
-      val raw = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-      batch = if (dv == null) raw else applyDv(raw)
+      val decoded = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val start = physPos
+      physPos += decoded.numRows()
+      // `_pos` raw-ordinal channel: one computed long vector appended
+      // per batch, BEFORE the deletion-vector selection composes on
+      // top — survivors keep exact physical file ordinals, the batch
+      // stays columnar ([[OrdinalColumnVector]])
+      val raw =
+        if (!appendPos) decoded
+        else {
+          val cols = Array.tabulate[org.apache.spark.sql.vectorized
+            .ColumnVector](decoded.numCols() + 1)(c =>
+            if (c < decoded.numCols()) decoded.column(c)
+            else new OrdinalColumnVector(start))
+          new ColumnarBatch(cols, decoded.numRows())
+        }
+      batch = if (dv == null) raw else applyDv(raw, start)
       if (batch.numRows() > 0) {
         emitted += batch.numRows()
         return true

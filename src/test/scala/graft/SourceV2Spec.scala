@@ -551,6 +551,66 @@ class SourceV2Spec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("manifest-versioned stream tolerates DML between polls: " +
+      "appends flow exactly-once, change commits are skipped") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-vstream")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    // give the table a manifest log (a point DELETE: v1 bootstrap +
+    // v2 vector) — a FRESH checkpoint then takes VERSION offsets
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.EqualTo("id", 99L))
+    def appendV2(from: Long, to: Long): Unit =
+      spark.range(from, to).toDF("id").coalesce(1)
+        .write.format("graft-v2").option("path", dir)
+        .mode("append").save()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    import scala.jdk.CollectionConverters._
+    val q = startCollecting(dir, ckpt, got)
+    try {
+      // initial batch = the current SNAPSHOT (minus its vectors)
+      q.processAllAvailable()
+      assert(got.asScala.toSeq.sorted == (0L until 99L),
+        s"initial snapshot must apply the vector: ${got.size} rows")
+      // a pure append flows
+      appendV2(100, 150)
+      q.processAllAvailable()
+      // DML between polls: a further point DELETE re-masks the first
+      // file — a CHANGE commit. The tail must neither fail nor
+      // re-deliver anything.
+      graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+        spark.read.format("graft-v2").option("path", dir).load()
+          .schema,
+        org.apache.spark.sql.sources.LessThan("id", 10L))
+      q.processAllAvailable()
+      // ... and appends AFTER the DML still flow
+      appendV2(200, 250)
+      q.processAllAvailable()
+      val ids = got.asScala.toSeq
+      assert(ids.size == ids.distinct.size,
+        s"no duplicates across DML: ${ids.size} vs ${ids.distinct.size}")
+      assert(ids.sorted == ((0L until 99L) ++ (100L until 150L) ++
+        (200L until 250L)),
+        "appends must arrive exactly once; change commits skipped")
+    } finally q.stop()
+    // restart continuation: DML + append while the stream is DOWN —
+    // the replanned suffix delivers exactly the append
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.format("graft-v2").option("path", dir).load().schema,
+      org.apache.spark.sql.sources.EqualTo("id", 120L))
+    appendV2(300, 320)
+    got.clear()
+    val q2 = startCollecting(dir, ckpt, got)
+    try {
+      q2.processAllAvailable()
+      assert(got.asScala.toSeq.sorted == (300L until 320L),
+        s"restart must deliver exactly the new append: ${got.asScala}")
+    } finally q2.stop()
+  }
+
   test("stream tail fails when a rewrite's archive copy was vacuumed " +
       "between polls") {
     import graft.sources.v2.GraftManifest

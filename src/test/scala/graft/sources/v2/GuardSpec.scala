@@ -192,6 +192,44 @@ class GuardSpec extends SparkTestBase {
     }
   }
 
+  test("_pos scans stay COLUMNAR: batch decode with exact ordinals, " +
+      "composed under deletion vectors") {
+    import spark.implicits._
+    val dir = tmpTable("graft-vpos")
+    spark.range(0, 5000).toDF("id").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    GraftDeleteV2.deleteWhere(dir, schema,
+      org.apache.spark.sql.sources.In("id", Array(0L, 2500L)))
+    val df = spark.read.format("graft-v2").option("path", dir).load()
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("_pos"))
+    // the ordinal channel must NOT cost the vectorized read path: the
+    // plan keeps batch decode (ColumnarToRow above the scan) — this is
+    // what gives delta UPDATE/MERGE scans batch-speed candidate reads
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"_pos must ride the vectorized path:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 4998)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)),
+      "survivors must keep exact physical ordinals under the mask")
+    assert(!rows.exists(r => r.getLong(1) == 0 || r.getLong(1) == 2500))
+    // nested schemas can now project _pos too (vectorized-only path)
+    val ndir = tmpTable("graft-vposn")
+    spark.range(0, 100).toDF("id")
+      .withColumn("s", org.apache.spark.sql.functions.struct(
+        $"id".as("a"), ($"id" * 2).as("b")))
+      .coalesce(1).write.parquet(ndir)
+    val nested = spark.read.format("graft-v2").option("path", ndir).load()
+      .select($"id", $"s.b".as("b"),
+        org.apache.spark.sql.functions.col("_pos"))
+      .collect()
+    assert(nested.length == 100)
+    assert(nested.forall(r =>
+      r.getLong(0) == r.getLong(2) && r.getLong(1) == 2 * r.getLong(0)),
+      "nested projection with _pos must serve exact ordinals")
+  }
+
   test("vacuum grace: a young unreferenced sidecar survives the " +
       "default window, on the injected clock") {
     import spark.implicits._
