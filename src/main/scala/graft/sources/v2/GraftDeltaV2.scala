@@ -47,11 +47,17 @@ import graft.sources.InternalRowParquetBuilder
   * so candidate files are scanned at batch-decode speed — the ~10×
   * read-path win copy-on-write scans already had.
   *
-  * Scope: flat, unbucketed tables (nested schemas route to the group
-  * path — the flat per-file escalation rewriter cannot copy nested
-  * values; bucketed layouts likewise, whose writers preserve the
-  * bucket suffix contract). [[GraftTableV2.newRowLevelOperationBuilder]]
-  * picks the path per table.
+  * Scope: flat tables, bucketed or not (nested schemas route to the
+  * group path — the flat per-file escalation rewriter cannot copy
+  * nested values). A BUCKETED table's delta insert writers split rows
+  * into per-bucket files carrying the layout's `_<bucket>` suffix
+  * (same contract as [[GraftBucketedDataWriterV2]]) and the write
+  * requires the layout's clustered distribution + sort ordering, so a
+  * point UPDATE on the engine's own recommended layout costs a
+  * sidecar + one small suffixed insert file instead of whole-file
+  * copy-on-write — and storage-partitioned joins stay exchange-free
+  * across it. [[GraftTableV2.newRowLevelOperationBuilder]] picks the
+  * path per table.
   *
   * Concurrency: the snapshot is pinned when the operation's scan is
   * BUILT (bootstrapping the manifest log if needed) and the scan reads
@@ -61,7 +67,9 @@ import graft.sources.InternalRowParquetBuilder
   * position deletes computed against a stale file set.
   */
 case class GraftDeltaOperation(path: String, tableSchema: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    cmd: RowLevelOperation.Command,
+    bucketSpec: Option[graft.sources.BucketLayout] = None)
+    extends RowLevelOperation
     with SupportsDelta {
 
   /** The manifest snapshot the scan pinned — the commit's CAS
@@ -107,8 +115,22 @@ case class GraftDeltaOperation(path: String, tableSchema: StructType,
   }
 }
 
-case class GraftDeltaWrite(op: GraftDeltaOperation) extends DeltaWrite {
+case class GraftDeltaWrite(op: GraftDeltaOperation) extends DeltaWrite
+    with RequiresDistributionAndOrdering {
   override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(op)
+
+  // bucketed layout: cluster incoming rows by the bucket transform and
+  // sort by the layout's sort columns — each task then opens few
+  // per-bucket writers and every suffixed insert file is internally
+  // sorted (same contract as the INSERT and copy-on-write paths;
+  // correctness never depends on it, any distribution only changes
+  // the file count)
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    BucketWriteContract.distribution(op.bucketSpec)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    BucketWriteContract.ordering(op.bucketSpec)
 }
 
 class GraftDeltaBatchWrite(op: GraftDeltaOperation)
@@ -121,10 +143,15 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
     SparkSession.active.sessionState.newHadoopConf()
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DeltaWriterFactory =
+      : DeltaWriterFactory = {
+    val bucketing = op.bucketSpec.map { b =>
+      val ords = b.bucketCols.map(op.tableSchema.fieldIndex).toArray
+      (b.numBuckets, ords, ords.map(op.tableSchema.fields(_).dataType))
+    }
     GraftDeltaWriterFactory(
       new SerializableConfiguration(hconf()),
-      s"${op.path}/$stagingName", jobId, op.tableSchema)
+      s"${op.path}/$stagingName", jobId, op.tableSchema, bucketing)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hconf()
@@ -138,8 +165,8 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
       val perFile = mutable.HashMap.empty[String, RoaringBitmap]
       val inserts = mutable.ArrayBuffer.empty[Path]
       messages.foreach {
-        case GraftDeltaCommit(file, deletes) =>
-          file.foreach(f => inserts += new Path(f))
+        case GraftDeltaCommit(files, deletes) =>
+          files.foreach(f => inserts += new Path(f))
           deletes.foreach { case (name, bytes) =>
             val bm = DeleteVectors.deserialize(bytes)
             perFile.get(name) match {
@@ -188,8 +215,13 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
         } else if (fileRows > 0 && dead > maxFrac * fileRows) {
           // escalation: the mask crossed the threshold — this file is
           // rewritten minus the mask (the changed rows' replacements
-          // are in the insert files) instead of accreting a vector
-          val out = s"$staging/part-delta-mat-$jobId-$seq.parquet"
+          // are in the insert files) instead of accreting a vector.
+          // A bucketed victim's rewrite keeps its bucket suffix — the
+          // survivors are exactly that bucket's rows.
+          val suffix = op.bucketSpec
+            .flatMap(_ => graft.sources.BucketLayout.bucketIdOf(name))
+            .map(b => f"_$b%05d.c000.snappy").getOrElse("")
+          val out = s"$staging/part-delta-mat-$jobId-$seq$suffix.parquet"
           seq += 1
           escalate += ((resolved.toString, out,
             DeleteVectors.serialize(bm)))
@@ -233,23 +265,28 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
   }
 }
 
-/** One staged parquet file per task (lazily opened on the first
-  * inserted/updated row) + per-file position-delete bitmaps, shipped
-  * to the driver in the commit message. */
-private[v2] case class GraftDeltaCommit(file: Option[String],
+/** The task's staged parquet files (lazily opened on the first
+  * inserted/updated row; one per touched bucket on a bucketed
+  * layout) + per-file position-delete bitmaps, shipped to the driver
+  * in the commit message. */
+private[v2] case class GraftDeltaCommit(files: Seq[String],
     deletes: Map[String, Array[Byte]]) extends WriterCommitMessage
 
 case class GraftDeltaWriterFactory(conf: SerializableConfiguration,
-    stagingDir: String, jobId: String, schema: StructType)
+    stagingDir: String, jobId: String, schema: StructType,
+    bucketing: Option[(Int, Array[Int],
+      Array[org.apache.spark.sql.types.DataType])] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
     new GraftDeltaWriter(conf.value, stagingDir, jobId, partitionId,
-      taskId, schema)
+      taskId, schema, bucketing)
 }
 
 class GraftDeltaWriter(conf: Configuration, stagingDir: String,
-    jobId: String, partitionId: Int, taskId: Long, schema: StructType)
+    jobId: String, partitionId: Int, taskId: Long, schema: StructType,
+    bucketing: Option[(Int, Array[Int],
+      Array[org.apache.spark.sql.types.DataType])] = None)
     extends DeltaWriter[InternalRow] {
 
   import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
@@ -258,12 +295,24 @@ class GraftDeltaWriter(conf: Configuration, stagingDir: String,
   import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
   private val deletes = mutable.HashMap.empty[String, RoaringBitmap]
-  private var writer: ParquetWriter[InternalRow] = _
+  // key: bucket id, or -1 for the single unbucketed writer. Bucketed
+  // inserts split into per-bucket files carrying the layout's
+  // `_<bucket>` suffix (same contract as GraftBucketedDataWriterV2);
+  // with the write's clustered distribution each task sees few
+  // distinct buckets, so the map stays small.
+  private val writers =
+    mutable.HashMap.empty[Int, (String, ParquetWriter[InternalRow])]
+
   // taskId is attempt-unique, so speculative twins never collide; only
   // the attempt whose message Spark collects is committed, and the
   // staging sweep drops zombies
-  private val outFile =
-    f"$stagingDir/part-delta-$jobId-$partitionId%05d-$taskId.parquet"
+  private def outFileFor(bucket: Int): String =
+    if (bucket < 0) {
+      f"$stagingDir/part-delta-$jobId-$partitionId%05d-$taskId.parquet"
+    } else {
+      f"$stagingDir/part-delta-$jobId-$partitionId%05d-$taskId" +
+        f"_$bucket%05d.c000.snappy.parquet"
+    }
 
   /** `id` fields follow [[GraftDeltaOperation.rowId]] order:
     * (_file, _pos). */
@@ -288,37 +337,42 @@ class GraftDeltaWriter(conf: Configuration, stagingDir: String,
   }
 
   override def insert(row: InternalRow): Unit = {
-    if (writer == null) {
+    val bucket = bucketing match {
+      case Some((n, ords, dts)) =>
+        graft.sources.BucketLayout.rowBucket(row, ords, dts, n)
+      case None => -1
+    }
+    writers.getOrElseUpdate(bucket, {
       ParquetWriteSupport.setSchema(schema, conf)
       conf.set("spark.sql.parquet.writeLegacyFormat", "false")
       conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
       conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
         "false")
-      writer = new InternalRowParquetBuilder(
-          HadoopOutputFile.fromPath(new Path(outFile), conf))
+      val out = outFileFor(bucket)
+      (out, new InternalRowParquetBuilder(
+          HadoopOutputFile.fromPath(new Path(out), conf))
         .withConf(conf)
         .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-    }
-    writer.write(row)
+        .build())
+    })._2.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
+    writers.values.foreach(_._2.close())
     GraftDeltaCommit(
-      if (writer != null) Some(outFile) else None,
+      writers.values.map(_._1).toSeq,
       deletes.map { case (n, bm) =>
         n -> DeleteVectors.serialize(bm)
       }.toMap)
   }
 
   override def abort(): Unit = {
-    if (writer != null) {
-      try writer.close() catch { case _: Throwable => () }
+    writers.values.foreach { case (out, w) =>
+      try w.close() catch { case _: Throwable => () }
       try {
-        val p = new Path(outFile)
+        val p = new Path(out)
         p.getFileSystem(conf).delete(p, false)
       } catch { case _: Throwable => () }
     }

@@ -126,13 +126,14 @@ case class GraftTableV2(path: String, tableSchema: StructType,
   /** SQL `UPDATE` / `MERGE INTO` (and non-translatable DELETEs), two
     * paths chosen per table:
     *
-    *  - DELTA ([[GraftDeltaOperation]], flat unbucketed tables): rows
-    *    addressed by `(_file, _pos)`; deletes become deletion-vector
-    *    positions, updates a vector entry + a small insert file —
+    *  - DELTA ([[GraftDeltaOperation]], flat tables, bucketed or
+    *    not): rows addressed by `(_file, _pos)`; deletes become
+    *    deletion-vector positions, updates a vector entry + a small
+    *    insert file (bucket-suffixed on a bucketed layout) —
     *    point-mutation cost ∝ changed rows;
     *  - group-based copy-on-write ([[GraftRowLevelOperation]], nested
-    *    or bucketed tables): whole-file rewrite, which is what
-    *    preserves bucket layout / handles nested values.
+    *    tables): whole-file rewrite, which is what handles nested
+    *    values.
     *
     * Translatable DELETEs stay on the metadata-only [[GraftDeleteV2]]
     * path via Spark's `OptimizeMetadataOnlyDeleteFromTable`. */
@@ -148,14 +149,15 @@ case class GraftTableV2(path: String, tableSchema: StructType,
         s"need the ${GraftFileColumn.Name} metadata column, which a " +
         s"data column of the same name shadows in $path — rename it")
     }
-    val deltaCapable = bucketSpec.isEmpty &&
+    val deltaCapable =
       !tableSchema.fieldNames.contains(GraftPosColumn.Name) &&
       !tableSchema.fields.exists(f => ParquetMeta.isNested(f.dataType))
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
         if (deltaCapable) {
-          GraftDeltaOperation(path, tableSchema, info.command())
+          GraftDeltaOperation(path, tableSchema, info.command(),
+            bucketSpec)
         } else {
           GraftRowLevelOperation(path, tableSchema, bucketSpec,
             info.command())

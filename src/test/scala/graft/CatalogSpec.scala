@@ -358,6 +358,64 @@ class CatalogSpec extends SparkTestBase {
     assert(new java.io.File(dir, BucketLayout.MarkerName).exists())
   }
 
+  test("point UPDATE on a bucketed table is DELTA: vector + suffixed " +
+      "insert file, zero rewrites, SPJ intact") {
+    import graft.sources.BucketLayout
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.up")
+    spark.sql("CREATE TABLE graft.up.bd (id BIGINT, v BIGINT) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS")
+    spark.sql("CREATE TABLE graft.up.be (id BIGINT, w BIGINT) " +
+      "CLUSTERED BY (id) INTO 4 BUCKETS")
+    spark.sql("INSERT INTO graft.up.bd SELECT id, id FROM range(0, 4000)")
+    spark.sql("INSERT INTO graft.up.be SELECT id, id * 7 FROM range(0, 4000)")
+    val dir = s"$warehouse/up/bd"
+    val before = dataParts(dir)
+    spark.sql("UPDATE graft.up.bd SET v = -5 WHERE id = 17")
+    val after = dataParts(dir)
+    // every pre-existing file untouched; the insert file(s) carry the
+    // row's bucket suffix
+    assert(before.subsetOf(after),
+      s"bucketed point UPDATE must not rewrite files:\n$before\nvs\n$after")
+    val fresh = after -- before
+    assert(fresh.nonEmpty, "expected a delta insert file")
+    val expectBucket = BucketLayout.valueBucket(17L, 4).get
+    fresh.foreach { f =>
+      assert(BucketLayout.bucketIdOf(f).contains(expectBucket),
+        s"delta insert file $f must carry bucket $expectBucket")
+    }
+    // the old position is masked, not rewritten
+    val snap = GraftManifest.current(manifestFs,
+      new org.apache.hadoop.fs.Path(dir)).get
+    assert(snap.dvs.nonEmpty,
+      "bucketed delta UPDATE must mask the old row's position")
+    val t = spark.table("graft.up.bd")
+    assert(t.count() == 4000)
+    assert(t.where(col("id") === 17).head.getLong(1) == -5L)
+    // the storage-partitioned join survives the delta commit: both
+    // sides still co-located, no exchange
+    val restore = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        "SELECT t.id, t.v, u.w FROM graft.up.bd t JOIN graft.up.be u " +
+        "ON t.id = u.id")
+      assert(joined.count() == 4000)
+      assert(joined.where(col("id") === 17).head.getLong(1) == -5L)
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "SPJ must stay exchange-free after a bucketed delta UPDATE")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("MERGE INTO: matched update + not-matched insert") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mg")

@@ -58,7 +58,7 @@ class GuardSpec extends SparkTestBase {
       false, hconf)
     val e = intercept[IllegalStateException] {
       new GraftDeltaBatchWrite(op).commit(Array(
-        GraftDeltaCommit(None, Map(dataFile -> bitmap(0, 1)))))
+        GraftDeltaCommit(Nil, Map(dataFile -> bitmap(0, 1)))))
     }
     assert(e.getMessage.contains("0 rows") &&
       e.getMessage.contains("refusing"), e.getMessage)
@@ -99,7 +99,7 @@ class GuardSpec extends SparkTestBase {
     val insert = stageParquet(Seq(150L).toDF("id"))
     intercept[java.util.ConcurrentModificationException] {
       new GraftDeltaBatchWrite(op).commit(Array(
-        GraftDeltaCommit(Some(insert), Map(fileB -> bitmap(50)))))
+        GraftDeltaCommit(Seq(insert), Map(fileB -> bitmap(50)))))
     }
     // B stays dead: no resurrected rows, racer's state intact
     val t = spark.read.format("graft-v2").option("path", dir).load()
