@@ -70,6 +70,31 @@ object GraftCatalog {
     val empty: ColumnMapping = ColumnMapping(Map.empty, Set.empty)
   }
 
+  /** `ALTER COLUMN ... TYPE` widening lattice — the promotions whose
+    * parquet encodings every reader upcasts losslessly per file
+    * (Spark's vectorized decoder natively, the row converter
+    * explicitly): the integral chain, FLOAT→DOUBLE, and DECIMAL
+    * growth that loses neither integer digits nor scale. A widen is
+    * METADATA-ONLY: the marker records the wide type, old files keep
+    * their narrow physical encoding and upcast at read — the
+    * type-axis twin of the DROP/RENAME name mapping. */
+  private[graft] object TypeWidening {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (f, t) if f == t => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        // precision growth at the SAME scale — the promotion Spark's
+        // vectorized parquet updaters accept (a scale change would
+        // re-encode unscaled values, which is not metadata-only)
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
   private[graft] def readMarkerRaw(fs: FileSystem, dir: Path)
       : Option[Seq[String]] = {
     val p = new Path(dir, SchemaMarker)
@@ -116,21 +141,33 @@ object GraftCatalog {
     finally out.close()
   }
 
-  /** THE schema-merge rule: footers win for the columns they have;
-    * marker fields the footers lack are appended as nullable — what
-    * makes `ALTER TABLE ADD COLUMNS` metadata-only. ONE definition,
-    * shared by `resolveSchema`, the time-travel fallback and the
-    * manifest's recorded `schema=` line, so they cannot diverge.
-    * Callers pass the footer ALREADY TRANSLATED through the column
-    * mapping (see [[translatedFooter]]). */
+  /** THE schema-merge rule: footers win for the columns they have —
+    * EXCEPT when the marker records a WIDER type for a column
+    * ([[TypeWidening]], `ALTER COLUMN TYPE`), which then wins (the
+    * footer may be any old file's narrow encoding); marker fields the
+    * footers lack are appended as nullable — what makes `ALTER TABLE
+    * ADD COLUMNS` metadata-only. ONE definition, shared by
+    * `resolveSchema`, the time-travel fallback and the manifest's
+    * recorded `schema=` line, so they cannot diverge. Callers pass
+    * the footer ALREADY TRANSLATED through the column mapping (see
+    * [[translatedFooter]]). */
   private[graft] def mergeFooterAndMarker(footer: Option[StructType],
       marker: Option[StructType]): Option[StructType] =
     (footer, marker) match {
       case (Some(f), Some(m)) =>
+        val markerByName = m.fields.map(mf => mf.name -> mf).toMap
+        val widened = f.fields.map { ff =>
+          markerByName.get(ff.name) match {
+            case Some(mf)
+                if TypeWidening.widens(ff.dataType, mf.dataType) =>
+              ff.copy(dataType = mf.dataType)
+            case _ => ff
+          }
+        }
         val extra = m.fields
           .filter(mf => !f.fieldNames.contains(mf.name))
           .map(_.copy(nullable = true))
-        Some(StructType(f.fields ++ extra))
+        Some(StructType(widened ++ extra))
       case (f, m) => f.orElse(m)
     }
 
@@ -435,11 +472,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           mapping.renames.filterNot { case (_, l) => l == name },
           mapping.drops ++ physicals)
         StructType(sch.fields.filterNot(_.name == name))
+      case (sch, ut: TableChange.UpdateColumnType) =>
+        def fail(why: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"graft catalog: ALTER COLUMN " +
+            s"${ut.fieldNames.mkString(".")} TYPE ${ut.newDataType} " +
+            s"— $why")
+        if (ut.fieldNames.length != 1) fail("must be top-level")
+        val name = ut.fieldNames()(0)
+        val idx = sch.fieldNames.indexOf(name)
+        if (idx < 0) fail("no such column")
+        if (layoutCols.contains(name)) {
+          fail("the column is part of the bucket layout; bucket ids " +
+            "hash the physical representation — rewrite with " +
+            "GraftSink.saveBucketedFiles instead")
+        }
+        val from = sch.fields(idx).dataType
+        if (!GraftCatalog.TypeWidening.widens(from, ut.newDataType)) {
+          fail(s"only WIDENING promotions are metadata-only " +
+            s"(tinyint→smallint→int→bigint, float→double, decimal " +
+            s"growing precision-minus-scale and scale); $from does " +
+            s"not widen to ${ut.newDataType} — narrowing or " +
+            "re-encoding needs an explicit rewrite")
+        }
+        // metadata-only: the marker records the wide type; old files
+        // keep their narrow encoding and every reader upcasts per
+        // file (the vectorized decoder natively, the row converter
+        // explicitly). New appends write the wide type.
+        StructType(sch.fields.updated(idx,
+          sch.fields(idx).copy(dataType = ut.newDataType)))
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — " +
-          "ADD/RENAME/DROP COLUMN are the metadata-only evolutions " +
-          "on immutable files")
+          "ADD/RENAME/DROP COLUMN and widening ALTER COLUMN TYPE are " +
+          "the metadata-only evolutions on immutable files")
     }
     GraftCatalog.writeMarker(fs, dir, evolved, mapping)
     GraftTableV2(dir.toString, evolved,

@@ -156,6 +156,13 @@ object GraftDeleteV2 {
                   "deletion vectors; run " +
                   "GraftDeleteV2.materializeDeleteVectors first")
               }
+              mixedPhysicalType(rewrite0).foreach { col =>
+                throw new UnsupportedOperationException(
+                  s"graft-v2 DELETE: the boundary files of $path mix " +
+                  s"physical encodings for widened column '$col'; run " +
+                  "GraftSink.compactClustered (which rewrites at the " +
+                  "resolved type) first")
+              }
               // nested-schema fallback (unbucketed only): the same
               // distributed DataFrame residue job REPLACE WHERE runs
               PredicateFiles.residueJob(spark, fs, cond, rewrite0, staging)
@@ -226,6 +233,30 @@ object GraftDeleteV2 {
     } finally {
       try fs.delete(staging, true) catch { case _: Throwable => () }
     }
+  }
+
+  /** First column whose PHYSICAL parquet encoding differs across
+    * `files` — a widened table's old-narrow/new-wide mix. The
+    * per-file rewriters upcast per file and don't care; a DataFrame
+    * job reading the whole set at once (residueJob) would bind one
+    * schema to conflicting encodings, so its callers refuse on
+    * Some(col). */
+  private[v2] def mixedPhysicalType(files: Seq[Path]): Option[String] = {
+    val seen = scala.collection.mutable.HashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    files.foreach { f =>
+      FooterCache.schemaOption(f.toString).map(ParquetMeta.toStruct)
+        .foreach { st =>
+          st.fields.foreach { fld =>
+            seen.get(fld.name) match {
+              case Some(dt) if dt != fld.dataType => return Some(fld.name)
+              case None => seen(fld.name) = fld.dataType
+              case _ => ()
+            }
+          }
+        }
+    }
+    None
   }
 
   /** (Re)writes the schema marker with the table's CURRENT schema —

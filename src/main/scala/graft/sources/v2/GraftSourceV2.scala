@@ -63,13 +63,16 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
         "graft-v2 source requires a 'path' option"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val raw = ParquetMeta.sparkSchema(path(options),
-      GraftHadoopConf.sessionConf())
-    // path-based reads of a DROP/RENAME-mapped table see LOGICAL names
+    // path-based reads resolve like the catalog: DROP/RENAME-mapped
+    // tables see LOGICAL names, widened columns (ALTER COLUMN TYPE)
+    // their WIDE marker type, marker-only evolved columns append —
+    // falling back to the raw first-footer shape when no marker exists
     val p = new Path(path(options))
-    scala.util.Try(GraftCatalog.readMapping(
+    scala.util.Try(GraftCatalog.resolveSchema(
       p.getFileSystem(GraftHadoopConf.sessionConf()), p))
-      .map(_.translate(raw)).getOrElse(raw)
+      .toOption.flatten.getOrElse(
+        ParquetMeta.sparkSchema(path(options),
+          GraftHadoopConf.sessionConf()))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -507,11 +510,25 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
       // null" is distinguishable from "decline"
       if (vals.isEmpty) Some(null)
       else {
-        Some(vals.reduce { (a, b) =>
+        val winner = vals.reduce { (a, b) =>
           RowGroupPruning.statCmp(a, b) match {
             case Some(c) => if ((c <= 0) == wantMin) a else b
             case None => return None
           }
+        }
+        // a widened column's old files carry NARROW stat values
+        // (Integer for an int→bigint file): normalize the winner to
+        // the RESOLVED type the answer row declares
+        Some((winner, dt) match {
+          case (n: Number, LongType) =>
+            java.lang.Long.valueOf(n.longValue())
+          case (n: Number, IntegerType) =>
+            java.lang.Integer.valueOf(n.intValue())
+          case (n: Number, DoubleType) =>
+            java.lang.Double.valueOf(n.doubleValue())
+          case (n: Number, FloatType) =>
+            java.lang.Float.valueOf(n.floatValue())
+          case _ => winner
         })
       }
     }
@@ -2489,15 +2506,24 @@ class GraftRowGroupReader(part: GraftInputPartition,
   private val presentStruct: StructType = ParquetMeta.toStruct(requested)
   private val extSchema: StructType = StructType(
     extNames.zip(extPhys).map { case (n, p) =>
+      val declared = readSchema.fieldNames.indexOf(n) match {
+        case i if i >= 0 => Some(readSchema(i))
+        case _ => None
+      }
       if (fileSchema.containsField(p)) {
-        presentStruct(presentStruct.fieldIndex(p)).copy(name = n)
+        val fileField = presentStruct(presentStruct.fieldIndex(p))
+        declared match {
+          // the DECLARED (logical) type labels the row — for a file
+          // written before an ALTER COLUMN TYPE widen, the converter
+          // below upcasts the file's narrow values to it
+          case Some(d) => fileField.copy(name = n, dataType = d.dataType)
+          case None => fileField.copy(name = n)
+        }
       } else {
-        readSchema.fieldNames.indexOf(n) match {
-          case i if i >= 0 => readSchema(i).copy(nullable = true)
+        declared.map(_.copy(nullable = true))
           // filter-only column absent from file AND projection: never
           // materialized non-null, the type is only a placeholder
-          case _ => StructField(n, StringType)
-        }
+          .getOrElse(StructField(n, StringType))
       }
     })
   // ext position -> position in the file's materialized group (-1 = null)
@@ -2511,8 +2537,11 @@ class GraftRowGroupReader(part: GraftInputPartition,
     else new ColumnIOFactory().getColumnIO(requested)
       .getRecordReader(pages, new GroupRecordConverter(requested))
   private val totalRows: Long = if (pages == null) 0L else pages.getRowCount
-  private val converters = presentStruct.fields.zipWithIndex.map {
-    case (f, i) => ParquetMeta.converter(requested.getType(i), f.dataType)
+  // converters target the EXT (logical) type of each materialized
+  // column, so widened columns upcast at the innermost layer
+  private val converters = present.zipWithIndex.map { case (p, i) =>
+    ParquetMeta.converter(requested.getType(i),
+      extSchema(extPhys.indexOf(p)).dataType)
   }
   private val predicate = RowFilterEval.compile(filters, extSchema)
 
@@ -2716,18 +2745,23 @@ object ParquetMeta {
     }
     val p = t.asPrimitiveType()
     val logical = p.getLogicalTypeAnnotation
+    def dec: Option[DataType] = logical match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        Some(DecimalType(d.getPrecision, d.getScale))
+      case _ => None
+    }
     p.getPrimitiveTypeName match {
       case INT32 =>
         logical match {
           case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
-          case _ => IntegerType
+          case _ => dec.getOrElse(IntegerType)
         }
       case INT64 =>
         logical match {
           case ts: TimestampLogicalTypeAnnotation =>
             // isAdjustedToUTC=false parquet timestamps are NTZ in Spark
             if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
-          case _ => LongType
+          case _ => dec.getOrElse(LongType)
         }
       case FLOAT => FloatType
       case DOUBLE => DoubleType
@@ -2736,18 +2770,35 @@ object ParquetMeta {
         logical match {
           case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
             StringType
-          case _ => BinaryType
+          case _ => dec.getOrElse(BinaryType)
         }
+      case FIXED_LEN_BYTE_ARRAY =>
+        dec.getOrElse(BinaryType) // Spark writes decimal(p>18) as FLBA
       case other => throw new IllegalArgumentException(
         s"graft-v2: unsupported parquet type $other for '${t.getName}'")
     }
   }
 
-  /** Group-field -> Catalyst value converter for one column. */
+  /** Group-field -> Catalyst value converter for one column. The
+    * widening cases (INT32 file read as LONG, FLOAT as DOUBLE) are
+    * the row-mode half of metadata-only `ALTER COLUMN TYPE`: old
+    * files keep their narrow encoding and upcast here per value. */
   def converter(t: Type, dt: DataType): (Group, Int) => Any = {
     val p = t.asPrimitiveType()
+    def fileScale: Int = p.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        d.getScale
+      case _ => 0
+    }
     (p.getPrimitiveTypeName, dt) match {
       case (INT32, DateType) => (g, i) => g.getInteger(i, 0)
+      case (INT32, d: DecimalType) =>
+        val s = fileScale
+        (g, i) => Decimal(
+          java.math.BigDecimal.valueOf(g.getInteger(i, 0).toLong, s),
+          d.precision, d.scale)
+      case (INT32, LongType) =>
+        (g, i) => java.lang.Long.valueOf(g.getInteger(i, 0).toLong)
       case (INT32, _) => (g, i) => g.getInteger(i, 0)
       case (INT64, TimestampType | TimestampNTZType) =>
         val unit = p.getLogicalTypeAnnotation
@@ -2757,13 +2808,26 @@ object ParquetMeta {
           case TimeUnit.MICROS => (g, i) => g.getLong(i, 0)
           case TimeUnit.NANOS => (g, i) => g.getLong(i, 0) / 1000L
         }
+      case (INT64, d: DecimalType) =>
+        val s = fileScale
+        (g, i) => Decimal(
+          java.math.BigDecimal.valueOf(g.getLong(i, 0), s),
+          d.precision, d.scale)
       case (INT64, _) => (g, i) => g.getLong(i, 0)
+      case (FLOAT, DoubleType) =>
+        (g, i) => java.lang.Double.valueOf(g.getFloat(i, 0).toDouble)
       case (FLOAT, _) => (g, i) => g.getFloat(i, 0)
       case (DOUBLE, _) => (g, i) => g.getDouble(i, 0)
       case (BOOLEAN, _) => (g, i) => g.getBoolean(i, 0)
       case (BINARY, StringType) =>
         (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-      case (BINARY, _) => (g, i) => g.getBinary(i, 0).getBytes
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, d: DecimalType) =>
+        val s = fileScale
+        (g, i) => Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(g.getBinary(i, 0).getBytes), s),
+          d.precision, d.scale)
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, _) =>
+        (g, i) => g.getBinary(i, 0).getBytes
       case (other, _) => throw new IllegalArgumentException(
         s"graft-v2: no converter for $other")
     }

@@ -104,13 +104,16 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
           // append) speaks logical names
           val existing = GraftCatalog.translatedFooter(tfs, tdir).get
           val incoming = info.schema()
-          // every physically-present column must arrive with its type
-          // (marker-only evolved columns may be omitted — old files
-          // read NULL for them anyway)
+          // every physically-present column must arrive with its
+          // RESOLVED type — the marker's wide type for a widened
+          // column, the footer's otherwise (marker-only evolved
+          // columns may be omitted — old files read NULL for them)
+          val resolvedType =
+            resolved.fields.map(f => f.name -> f.dataType).toMap
           val incomingF =
             incoming.fields.map(f => (f.name, f.dataType)).toSet
-          val ok = existing.fields.forall(f =>
-            incomingF.contains((f.name, f.dataType)))
+          val ok = existing.fields.forall(f => incomingF.contains(
+            (f.name, resolvedType.getOrElse(f.name, f.dataType))))
           if (!ok) {
             throw new IllegalArgumentException(
               s"graft-v2 append schema mismatch: table has " +
@@ -546,6 +549,16 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         val readState = GraftManifest.pinForMutation(fs, target)
         val (_, deleteWhole, rewrite) = graft.sources.PredicateFiles
           .classify(cond, readState.names.map(new Path(target, _)))
+        // the residue job binds ONE schema over the whole boundary
+        // set; a widened table's old-narrow/new-wide mix would
+        // conflict — per-file paths upcast, this one refuses
+        GraftDeleteV2.mixedPhysicalType(rewrite).foreach { c =>
+          throw new UnsupportedOperationException(
+            s"graft-v2 REPLACE WHERE: the boundary files of $path mix " +
+            s"physical encodings for widened column '$c'; run " +
+            "GraftSink.compactClustered (which rewrites at the " +
+            "resolved type) first")
+        }
         val residue: Seq[Path] =
           if (rewrite.isEmpty) Seq.empty
           else graft.sources.PredicateFiles.residueJob(

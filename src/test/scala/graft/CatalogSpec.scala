@@ -977,6 +977,89 @@ class CatalogSpec extends SparkTestBase {
     assert(pinned.where(col("id") === 1000).head.getString(1) == "x")
   }
 
+  test("ALTER COLUMN TYPE widening is metadata-only: old files " +
+      "upcast per file in both read modes") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
+    spark.sql("CREATE TABLE graft.ev.wt (id BIGINT, v INT, f FLOAT, " +
+      "d DECIMAL(10,2))")
+    spark.sql("INSERT INTO graft.ev.wt SELECT id, CAST(id AS INT), " +
+      "CAST(id AS FLOAT), CAST(id AS DECIMAL(10,2)) FROM range(0, 1000)")
+    // a mutation first, so time travel has a pre-widen version to pin
+    spark.sql("DELETE FROM graft.ev.wt WHERE id = 999")
+    val dir = s"$warehouse/ev/wt"
+    val filesBefore = dataParts(dir)
+    spark.sql("ALTER TABLE graft.ev.wt ALTER COLUMN v TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.ev.wt ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE graft.ev.wt ALTER COLUMN d TYPE DECIMAL(20,2)")
+    // metadata-only: zero data files touched
+    assert(dataParts(dir) == filesBefore,
+      "ALTER COLUMN TYPE must not rewrite data files")
+    val t = spark.table("graft.ev.wt")
+    assert(t.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t.schema("f").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(t.schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 2))
+    // old-file read-through, vectorized (catalog default)
+    assert(t.count() == 999)
+    assert(t.agg(sum(col("v"))).head.getLong(0) == (0L until 999L).sum)
+    assert(t.where(col("id") === 5).head.getDouble(2) == 5.0d)
+    // ... and row mode (path-based, forced)
+    val rowMode = spark.read.format("graft-v2")
+      .option("path", dir).option("vectorized", "false")
+      .schema("id BIGINT, v BIGINT, f DOUBLE").load()
+    assert(rowMode.agg(sum(col("v"))).head.getLong(0) ==
+      (0L until 999L).sum)
+    assert(rowMode.where(col("id") === 7).head.getDouble(2) == 7.0d)
+    // widened appends land at the wide type; mixed files read uniform
+    spark.sql("INSERT INTO graft.ev.wt VALUES " +
+      "(100000, 3000000000, 2.5, CAST(123456789012345678.99 AS " +
+      "DECIMAL(20,2)))")
+    val t2 = spark.table("graft.ev.wt")
+    assert(t2.count() == 1000)
+    assert(t2.where(col("id") === 100000).head.getLong(1) == 3000000000L)
+    assert(t2.agg(sum(col("v"))).head.getLong(0) ==
+      (0L until 999L).sum + 3000000000L)
+    // footer-only aggregates stay correct across narrow+wide stat mix
+    val agg = spark.read.format("graft-v2").option("path", dir).load()
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx")).head
+    assert(agg.getLong(0) == 0L && agg.getLong(1) == 3000000000L)
+    // time travel keeps the PRE-widen shape (schema= line wins)
+    val vs = GraftManifest.versions(manifestFs,
+      new org.apache.hadoop.fs.Path(dir))
+    val pinned = spark.sql(
+      s"SELECT * FROM graft.ev.wt VERSION AS OF ${vs.head}")
+    assert(pinned.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"pre-widen version must keep INT: ${pinned.schema}")
+    assert(pinned.count() == 1000)
+    // narrowing is refused by Spark's own analyzer (upcast-only gate)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ev.wt ALTER COLUMN v TYPE INT")
+    }
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ev.wt ALTER COLUMN d TYPE " +
+        "DECIMAL(20,1)")
+    }
+    assert(e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      e2.getMessage)
+    // ... and a promotion Spark WOULD cast (bigint→double) but is not
+    // losslessly metadata-only on immutable files is refused by the
+    // catalog's own widening gate
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ev.wt ALTER COLUMN v TYPE DOUBLE")
+    }
+    assert(e3.getMessage.contains("widen"), e3.getMessage)
+    // the refusals left the schema intact
+    assert(spark.table("graft.ev.wt").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("vacuum drops old versions and their archived files") {
     import graft.sources.v2.GraftManifest
     val _ = warehouse
