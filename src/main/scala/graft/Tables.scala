@@ -15,21 +15,37 @@ object Tables {
 
   /** Plain vectorized parquet read (Catalyst handles pushdown/pruning).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — it is read via the nanos-as-long conf and floor-converted
-    * to a microsecond timestamp (`timestamp_micros(ns div 1000)`), the
-    * same truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies, so oracle
-    * comparisons line up.
+    * `events.ts` has shipped as two physical encodings across testdata
+    * generations — TIMESTAMP(NANOS) (no native Spark type: read via the
+    * nanos-as-long conf, floor-converted by [[normalizeEventsTs]]) and
+    * TIMESTAMP(MICROS, NTZ) — so the normalization dispatches on the
+    * type the scan actually resolved. Both land on session-zone
+    * `TIMESTAMP`, the same value DuckDB's `CAST(ts AS TIMESTAMP)`
+    * yields under a UTC session, so oracle comparisons line up.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(spark.read.parquet(path(dir, name)))
     } else {
       spark.read.parquet(path(dir, name))
     }
+
+  /** Normalize whatever physical type `ts` resolved to into a plain
+    * microsecond `TIMESTAMP`: nanos-as-LONG floor-divides (the DuckDB
+    * truncation), TIMESTAMP_NTZ casts (identity on the stored micros
+    * under a UTC session zone), native TIMESTAMP passes through. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   /** Read through the graft V1 relation (PrunedFilteredScan + limit
     * pushdown via [[graft.plans.PropagateLimitToGraft]]).

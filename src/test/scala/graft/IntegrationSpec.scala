@@ -59,9 +59,8 @@ class IntegrationSpec extends SparkTestBase {
 
     val batchEvents = Tables.t(spark, sf001, "events")
     val schema = spark.read.parquet(dir.toString).schema
-    val streamEvents = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamEvents = Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = graft.streaming.StreamOps.tumbling(streamEvents)
       .writeStream.outputMode("complete").format("memory")
       .queryName("events_stream").start()
