@@ -1,0 +1,305 @@
+package graft.sources.v2
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Pluggable COMMIT-SLOT publication: the one primitive the manifest
+  * CAS ([[GraftManifest.tryCommit]]) needs from storage is "place this
+  * content into the version slot iff the slot is empty, atomically
+  * across processes". How that primitive is obtained differs by store
+  * class — the same boundary the reference pushed onto Postgres's
+  * transaction machinery for its all-or-nothing save
+  * (ExtJdbcUtils.scala:70-109) and every open table format documents
+  * as its LogStore seam:
+  *
+  *  - POSIX local FS: hard link (`link(2)` fails EEXIST atomically).
+  *  - HDFS-semantics stores: rename-if-absent (rename refuses an
+  *    existing destination).
+  *  - S3-class object stores: NEITHER exists — rename is copy+delete
+  *    and silently replaces the destination, so two drivers racing a
+  *    version slot would both "win" and one commit would vanish. The
+  *    public fix (Delta's `BaseExternalLogStore`/DynamoDB commit log;
+  *    S3's own conditional `If-None-Match` PUT is the native form) is
+  *    an EXTERNAL compare-and-swap on the slot name plus a recoverable
+  *    copy of the staged content: [[ExternalCasCommit]].
+  *
+  * Resolution ([[CommitStores.forFs]]): an explicitly registered store
+  * for the filesystem's scheme wins; else Hadoop conf
+  * `graft.commit.store.<scheme>` / `graft.commit.store` selects
+  * `auto` (the atomic-FS default), `external-file` (external CAS over
+  * a shared directory, `graft.commit.cas.dir`), or a
+  * fully-qualified [[CommitStore]] class name. Set via
+  * `spark.hadoop.graft.commit.store.s3a=...` — per-scheme, so a local
+  * warehouse keeps hard-link semantics beside an S3 one in the same
+  * session.
+  */
+trait CommitStore {
+
+  /** Publish `tmp` into the empty slot `dst`; true iff THIS caller
+    * created the slot. A winning call must leave no `tmp` behind; a
+    * losing call must leave `tmp` untouched (the caller sweeps it). */
+  def publishIfAbsent(fs: FileSystem, tmp: Path, dst: Path): Boolean
+
+  /** Reader-side hook, called before a version listing: complete any
+    * claimed-but-unmaterialized slots a crashed writer left behind so
+    * committed versions are never invisible. No-op by default. */
+  def beforeRead(fs: FileSystem, manifestDir: Path): Unit = ()
+}
+
+/** The atomic-primitive store for filesystems that have one: hard
+  * link on `file:` (kernel-atomic EEXIST), exists-check + rename
+  * elsewhere (rename-if-absent on HDFS-semantics stores). This is the
+  * default and carries the exact semantics the manifest shipped with
+  * before the seam existed. */
+object AtomicFsCommit extends CommitStore {
+  override def publishIfAbsent(fs: FileSystem, tmp: Path,
+      dst: Path): Boolean = {
+    if (fs.getUri.getScheme == "file") {
+      import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+      val t = Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = Paths.get(fs.makeQualified(dst).toUri.getPath)
+      try {
+        Files.createLink(d, t)
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+      }
+    } else {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+  }
+}
+
+/** External compare-and-swap service: the small, strongly-consistent
+  * key→value register an object-store commit log coordinates through
+  * (DynamoDB in the published designs; any conditional-PUT store
+  * qualifies). Keys are fully-qualified slot URIs; values are staged
+  * temp-file names. Implementations must make [[putIfAbsent]] atomic
+  * ACROSS PROCESSES. */
+trait CasBackend {
+  /** Record `value` under `key` iff absent. Returns the value that
+    * holds the key after the call — `value` itself iff this caller
+    * won the slot. */
+  def putIfAbsent(key: String, value: String): String
+  def get(key: String): Option[String]
+  def delete(key: String): Unit
+  /** Live claims under `prefix`: (key, value, ageMillis). */
+  def list(prefix: String): Seq[(String, String, Long)]
+}
+
+/** [[CasBackend]] over a shared POSIX directory: each claim is one
+  * file (first line = key, second = value) published by hard link —
+  * the same kernel-atomic EEXIST primitive the local manifest CAS
+  * uses, here applied to the COORDINATION ENTRY rather than the
+  * manifest itself, so the DATA can live on a store with no atomic
+  * primitive at all. Stands in for a DynamoDB-class service in
+  * deployments that have a shared NFS/local mount; the trait is the
+  * seam a real service plugs into. */
+final class FileCasBackend(dir: java.io.File) extends CasBackend {
+  import java.nio.file.{FileAlreadyExistsException, Files}
+
+  dir.mkdirs()
+
+  private def keyFile(key: String): java.io.File = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(dir, s"claim-$hex")
+  }
+
+  private def readEntry(f: java.io.File): Option[(String, String)] =
+    if (!f.isFile) None
+    else {
+      val lines = new String(
+        Files.readAllBytes(f.toPath), "UTF-8").split("\n", 2)
+      if (lines.length == 2) Some((lines(0), lines(1))) else None
+    }
+
+  override def putIfAbsent(key: String, value: String): String = {
+    val target = keyFile(key)
+    val stage = new java.io.File(dir,
+      s".stage-${UUID.randomUUID().toString.take(12)}")
+    Files.write(stage.toPath, s"$key\n$value".getBytes("UTF-8"))
+    try {
+      Files.createLink(target.toPath, stage.toPath)
+      value
+    } catch {
+      case _: FileAlreadyExistsException =>
+        // lost: the standing claim wins (readEntry can only miss if
+        // the winner is deleted mid-read — treat as our own win gone
+        // stale and report the standing value best-effort)
+        readEntry(target).map(_._2).getOrElse(value)
+    } finally {
+      try Files.deleteIfExists(stage.toPath) catch { case _: Throwable => () }
+    }
+  }
+
+  override def get(key: String): Option[String] =
+    readEntry(keyFile(key)).map(_._2)
+
+  override def delete(key: String): Unit = {
+    try Files.deleteIfExists(keyFile(key).toPath)
+    catch { case _: Throwable => () }
+  }
+
+  override def list(prefix: String): Seq[(String, String, Long)] = {
+    val now = System.currentTimeMillis()
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("claim-"))
+      .flatMap(f => readEntry(f).map { case (k, v) =>
+        (k, v, now - f.lastModified()) })
+      .filter(_._1.startsWith(prefix))
+  }
+}
+
+/** In-memory [[CasBackend]] — single-JVM coordination and tests. */
+final class InMemoryCasBackend extends CasBackend {
+  private val entries = new ConcurrentHashMap[String, (String, Long)]()
+  override def putIfAbsent(key: String, value: String): String = {
+    val prev = entries.putIfAbsent(
+      key, (value, System.currentTimeMillis()))
+    if (prev == null) value else prev._1
+  }
+  override def get(key: String): Option[String] =
+    Option(entries.get(key)).map(_._1)
+  override def delete(key: String): Unit = entries.remove(key)
+  override def list(prefix: String): Seq[(String, String, Long)] = {
+    val now = System.currentTimeMillis()
+    import scala.jdk.CollectionConverters._
+    entries.asScala.toSeq.collect {
+      case (k, (v, t)) if k.startsWith(prefix) => (k, v, now - t)
+    }
+  }
+}
+
+/** Commit publication for stores WITHOUT an atomic create/rename:
+  * claim the slot in the external CAS, then materialize the content
+  * with a plain overwriting copy (one PUT on a real object store).
+  * The claim — not the object — is the commit point:
+  *
+  *  1. `putIfAbsent(slotUri, tmpName)` — exactly one writer per slot
+  *     wins, atomically, in the external register.
+  *  2. The winner copies `tmp` → `dst` (idempotent: same bytes), then
+  *     deletes the claim, then its temp. A crash between 1 and the
+  *     claim delete leaves a CLAIMED slot whose temp survives —
+  *     [[beforeRead]] (and any later committer of the same slot)
+  *     finishes the copy, so the committed version can never be lost,
+  *     only delayed. A claim whose temp AND object are both gone is
+  *     unreachable by this protocol (temps outlive claims by
+  *     construction); it is dropped after `staleClaimMillis` as
+  *     operator-damage hygiene.
+  *
+  * Readers tolerate the overwrite-copy because a recovery copy writes
+  * the same bytes, and a real object store makes each PUT atomically
+  * visible; the manifest header check rejects a torn local read
+  * loudly. */
+final class ExternalCasCommit(backend: CasBackend,
+    staleClaimMillis: Long = 10 * 60 * 1000L) extends CommitStore {
+
+  private def key(fs: FileSystem, dst: Path): String =
+    fs.makeQualified(dst).toUri.toString
+
+  private def copy(fs: FileSystem, src: Path, dst: Path): Unit = {
+    val in = fs.open(src)
+    try {
+      val out = fs.create(dst, true)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally out.close()
+    } finally in.close()
+  }
+
+  /** Finish a claimed slot whoever owns it: materialize `dst` from the
+    * claimed temp if the winner died mid-copy; clear the claim once
+    * `dst` exists. Idempotent and safe to race — every participant
+    * writes the same bytes. */
+  private def recoverSlot(fs: FileSystem, dst: Path, tmpName: String,
+      ageMillis: Long): Unit = {
+    val k = key(fs, dst)
+    val tmp = new Path(dst.getParent, tmpName)
+    if (fs.exists(dst)) {
+      backend.delete(k)
+      try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+      catch { case _: Throwable => () }
+    } else if (fs.exists(tmp)) {
+      copy(fs, tmp, dst)
+      backend.delete(k)
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+    } else if (ageMillis > staleClaimMillis) {
+      backend.delete(k) // unreachable by protocol: operator damage
+    }
+  }
+
+  override def publishIfAbsent(fs: FileSystem, tmp: Path,
+      dst: Path): Boolean = {
+    val k = key(fs, dst)
+    val mine = tmp.getName
+    val winner = backend.putIfAbsent(k, mine)
+    if (winner == mine) {
+      copy(fs, tmp, dst)
+      backend.delete(k)
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      true
+    } else {
+      // lost — but make the winner's commit visible if its writer
+      // died between claim and copy, so this loser's own retry reads
+      // the version it lost to
+      recoverSlot(fs, dst, winner, ageMillis = 0L)
+      false
+    }
+  }
+
+  override def beforeRead(fs: FileSystem, manifestDir: Path): Unit = {
+    val prefix = key(fs, manifestDir)
+    backend.list(prefix).foreach { case (k, tmpName, age) =>
+      val dst = new Path(java.net.URI.create(k))
+      recoverSlot(fs, dst, tmpName, age)
+    }
+  }
+}
+
+/** [[CommitStore]] resolution: explicit per-scheme registration (the
+  * programmatic seam, used by embedding applications and tests), then
+  * Hadoop conf, then the atomic-FS default. Conf-resolved stores are
+  * cached per spec string so a backend is shared across tables. */
+object CommitStores {
+
+  private val byScheme = new ConcurrentHashMap[String, CommitStore]()
+  private val bySpec = new ConcurrentHashMap[String, CommitStore]()
+
+  def register(scheme: String, store: CommitStore): Unit =
+    byScheme.put(scheme, store)
+  def unregister(scheme: String): Unit = byScheme.remove(scheme)
+
+  def forFs(fs: FileSystem): CommitStore = {
+    val scheme = fs.getUri.getScheme
+    val reg = byScheme.get(scheme)
+    if (reg != null) return reg
+    val conf = fs.getConf
+    val spec = conf.get(s"graft.commit.store.$scheme",
+      conf.get("graft.commit.store", "auto"))
+    spec match {
+      case "auto" | "" => AtomicFsCommit
+      case "external-file" =>
+        val dir = conf.get("graft.commit.cas.dir")
+        require(dir != null && dir.nonEmpty,
+          "graft.commit.store=external-file needs graft.commit.cas.dir " +
+          "(a shared directory for the commit claims)")
+        bySpec.computeIfAbsent(s"external-file:$dir",
+          _ => new ExternalCasCommit(new FileCasBackend(
+            new java.io.File(dir))))
+      case cls =>
+        bySpec.computeIfAbsent(cls, c =>
+          Class.forName(c).getDeclaredConstructor()
+            .newInstance().asInstanceOf[CommitStore])
+    }
+  }
+}

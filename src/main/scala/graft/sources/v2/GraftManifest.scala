@@ -41,13 +41,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * write stacks stay consistent.
   *
   * CAS atomicity: content is staged to a temp name and published into
-  * the version slot by [[publishIfAbsent]] — a kernel-atomic hard
-  * link on local FS, rename-if-absent on HDFS-semantics stores — so
-  * two PROCESSES racing the same version get exactly one winner; the
-  * JVM-wide lock remains as the in-driver fast path. Object stores
-  * without an atomic create/rename primitive still need an external
-  * commit service (a DynamoDB-style log store), the same boundary
-  * every file-format table log documents.
+  * the version slot by [[publishIfAbsent]], which delegates to the
+  * store class's [[CommitStore]] — a kernel-atomic hard link on local
+  * FS, rename-if-absent on HDFS-semantics stores, and an external-CAS
+  * claim + recoverable copy ([[ExternalCasCommit]]) on S3-class
+  * object stores that have neither primitive — so two PROCESSES
+  * racing the same version get exactly one winner on every store
+  * class; the JVM-wide lock remains as the in-driver fast path.
   */
 object GraftManifest {
 
@@ -104,14 +104,20 @@ object GraftManifest {
   private val VersionName = "v(\\d{10})\\.txt".r
 
   /** All committed versions, ascending (empty when the table has no
-    * manifest yet). */
+    * manifest yet). On stores with an external commit service, first
+    * let the store finish any claimed-but-unmaterialized slot a
+    * crashed writer left ([[CommitStore.beforeRead]]) — a committed
+    * version must never be invisible to a listing. */
   def versions(fs: FileSystem, table: Path): Seq[Long] = {
     val d = manifestDir(table)
     if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).toSeq.flatMap(_.getPath.getName match {
-      case VersionName(v) => Some(v.toLong)
-      case _ => None
-    }).sorted
+    else {
+      CommitStores.forFs(fs).beforeRead(fs, d)
+      fs.listStatus(d).toSeq.flatMap(_.getPath.getName match {
+        case VersionName(v) => Some(v.toLong)
+        case _ => None
+      }).sorted
+    }
   }
 
   /** The latest committed snapshot, if any manifest exists. */
@@ -325,38 +331,16 @@ object GraftManifest {
 
   /** Atomically publish `tmp` into the version slot `dst` iff no file
     * is there — the primitive that makes the CAS safe across
-    * PROCESSES, not just threads:
-    *
-    *  - local FS: a hard link (POSIX `link(2)` fails with EEXIST
-    *    atomically in the kernel), so two drivers racing the same
-    *    version number get exactly one winner — the plain
-    *    exists-check+rename it replaces had a TOCTOU window in which
-    *    local rename(2) silently OVERWRITES an existing destination.
-    *  - any other store: exists-check + rename, which is
-    *    rename-if-absent on stores whose rename refuses an existing
-    *    destination (HDFS semantics). Object stores without atomic
-    *    rename still need an external commit service, as documented
-    *    in the header.
-    *
-    * The JVM-wide [[lock]] around callers remains as the fast path
-    * for the common one-driver deployment. */
+    * PROCESSES, not just threads. Delegated to the store class's
+    * [[CommitStore]] ([[CommitStores.forFs]]): hard link on POSIX,
+    * rename-if-absent on HDFS semantics ([[AtomicFsCommit]]), and an
+    * external-CAS claim + recoverable copy on object stores without
+    * either primitive ([[ExternalCasCommit]]). The JVM-wide [[lock]]
+    * around callers remains as the fast path for the common
+    * one-driver deployment. */
   private def publishIfAbsent(fs: FileSystem, tmp: Path,
-      dst: Path): Boolean = {
-    if (fs.getUri.getScheme == "file") {
-      import java.nio.file.{FileAlreadyExistsException, Files, Paths}
-      val t = Paths.get(fs.makeQualified(tmp).toUri.getPath)
-      val d = Paths.get(fs.makeQualified(dst).toUri.getPath)
-      try {
-        Files.createLink(d, t)
-        try fs.delete(tmp, false) catch { case _: Throwable => () }
-        true
-      } catch {
-        case _: FileAlreadyExistsException => false
-      }
-    } else {
-      !fs.exists(dst) && fs.rename(tmp, dst)
-    }
-  }
+      dst: Path): Boolean =
+    CommitStores.forFs(fs).publishIfAbsent(fs, tmp, dst)
 
   /** Append-style commit (the new names only ADD to the live set, so
     * concurrent commits commute): retry the CAS against the freshest
