@@ -881,6 +881,40 @@ object SparkEntry {
       "ORDER BY o_orderkey")
   }
 
+  /** Change data feed end-to-end ([[graft.sources.v2.GraftCdf]]): a
+    * scratch graft table takes a DELETE (deletion-vector path; the
+    * first mutation bootstraps version 1 = the initial population)
+    * and an UPDATE (delta path: pre/post images), then the feed from
+    * version 1 is aggregated per change type. The oracle replays the
+    * same four change sets from the base projection. Sums use exact
+    * DECIMAL arithmetic so the aggregation is order-independent. */
+  private val qCdf: Q = (s, dir) => {
+    val tag = "cdf" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag"
+    val cat = s"graft_dml_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val path = s"$wh/orders"
+    val tdir = new org.apache.hadoop.fs.Path(path)
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("graft-v2").option("path", path)
+      .mode("append").save()
+    s.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 10 = 3")
+    s.sql(s"UPDATE $cat.orders SET o_totalprice = o_totalprice * 2 " +
+      "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    graft.sources.v2.GraftCdf.tableChanges(s, path, 1)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("price_sum"))
+      .orderBy(col("_change_type"))
+  }
+
   // ===== registry =====
 
   def queries: Map[String, Q] = Map(
@@ -953,6 +987,7 @@ object SparkEntry {
     "q_delete_from" -> qDeleteFrom,
     "q_dv_delete" -> qDvDelete,
     "q_time_travel" -> qTimeTravel,
+    "q_cdf" -> qCdf,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
     "q_merge_upsert" -> qMergeUpsert,
@@ -1460,6 +1495,32 @@ object SparkEntry {
     "q_time_travel" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the feed replayed from the base projection: initial population
+    // (version 1), the DELETE's rows, the UPDATE's pre/post images
+    // (update targets only rows the DELETE left). DECIMAL sums keep
+    // the aggregation order-independent on both engines.
+    "q_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |del AS (SELECT * FROM base WHERE o_orderkey % 10 = 3),
+        |upd AS (SELECT * FROM base
+        |        WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0
+        |          AND NOT (o_orderkey % 10 = 3)),
+        |feed AS (
+        |  SELECT 'insert' AS _change_type, o_orderkey, o_totalprice
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'delete', o_orderkey, o_totalprice FROM del
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderkey, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_orderkey, o_totalprice * 2
+        |  FROM upd)
+        |SELECT _change_type, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_sum
+        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_interval_join" ->
       """SELECT i.user_id AS user_id, i.ts AS imp_ts, c.ts AS click_ts
         |FROM events i JOIN events c ON i.user_id = c.user_id

@@ -455,7 +455,8 @@ object GraftSink {
       require(keep.forall(p => fs.exists(p)),
         "untouched files must survive the commit")
       // keep a post-DML table's manifest current (no-op otherwise)
-      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
+      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target,
+        op = "overwrite")
     } finally fs.delete(staging, true)
   }
 
@@ -576,8 +577,10 @@ object GraftSink {
       parkSwapRestore(fs, target, backup, small.map(_.getPath).toSeq) {
         movePartsOrRollback(fs, staging, target)
       }
-      // keep a post-DML table's manifest current (no-op otherwise)
-      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
+      // keep a post-DML table's manifest current (no-op otherwise);
+      // compaction reshuffles files without changing any logical row
+      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target,
+        op = "maintenance")
       (small.length, written)
     } finally fs.delete(staging, true)
   }
@@ -688,7 +691,8 @@ object GraftSink {
       parkSwapRestore(fs, target, backup, all.map(_.getPath).toSeq) {
         movePartsOrRollback(fs, staging, target)
       }
-      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
+      graft.sources.v2.GraftManifest.refreshIfPresent(fs, target,
+        op = "maintenance")
       // EVERY file was rewritten under logical names: a DROP/RENAME
       // mapping is now materialized — clear it (keep the schema)
       graft.sources.v2.GraftCatalog.readMarker(fs, target).foreach { sch =>

@@ -158,10 +158,21 @@ object GraftCatalog {
         val markerByName = m.fields.map(mf => mf.name -> mf).toMap
         val widened = f.fields.map { ff =>
           markerByName.get(ff.name) match {
-            case Some(mf)
-                if TypeWidening.widens(ff.dataType, mf.dataType) =>
-              ff.copy(dataType = mf.dataType)
-            case _ => ff
+            case Some(mf) =>
+              // marker nullability wins when MORE PERMISSIVE: the
+              // sampled footer is ONE file — a marker-ADDed column
+              // read from a post-evolution file whose writer declared
+              // it REQUIRED must still resolve nullable, because
+              // pre-evolution files lack the column entirely (a
+              // non-nullable resolution both breaks their scans and
+              // lets the optimizer constant-fold IsNotNull wrongly)
+              val dt =
+                if (TypeWidening.widens(ff.dataType, mf.dataType)) {
+                  mf.dataType
+                } else ff.dataType
+              ff.copy(dataType = dt,
+                nullable = ff.nullable || mf.nullable)
+            case None => ff
           }
         }
         val extra = m.fields

@@ -65,7 +65,7 @@ object GraftDeleteV2 {
       // then-current live set
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         readState.names.map(new Path(target, _)), Seq.empty,
-        expandVictims = true)
+        expandVictims = true, op = "delete")
     }
     true
   }
@@ -186,7 +186,7 @@ object GraftDeleteV2 {
         // this DELETE's predicate matches (footer-stats proof); a
         // racer that touched our victims always makes us lose cleanly
         addedSafe = GraftSwapV2.appendSafeUnder(target, cond),
-        dvUpdates = dvUpdates)
+        dvUpdates = dvUpdates, op = "delete")
     } finally {
       // sweeps zombie/speculative attempts too
       try fs.delete(staging, true) catch { case _: Throwable => () }
@@ -228,7 +228,9 @@ object GraftDeleteV2 {
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         files, residue,
         // appends never hold positions of pre-existing files
-        addedSafe = _ => true)
+        addedSafe = _ => true,
+        // a pure file reshuffle: no logical row changes for the feed
+        op = "maintenance")
       files.size
     } finally {
       try fs.delete(staging, true) catch { case _: Throwable => () }

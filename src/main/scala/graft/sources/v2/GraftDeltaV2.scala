@@ -251,7 +251,8 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
         }
       GraftSwapV2.parkAndSwapVersioned(fs, target, readState,
         victims.toSeq, inserts.toSeq ++ extraIncoming,
-        dvUpdates = dvUpdates.toMap)
+        dvUpdates = dvUpdates.toMap,
+        op = op.command().toString.toLowerCase)
     } finally {
       try fs.delete(staging, true) catch { case _: Throwable => () }
     }

@@ -182,6 +182,16 @@ object GraftManifest {
         fs.getFileStatus(versionPath(table, version))
           .getModificationTime).toOption)
 
+  /** The operation class that committed `version` (`op=` meta line):
+    * `append` / `overwrite` / `delete` / `update` / `merge` /
+    * `maintenance` (compact, Z-order, DV materialization — file
+    * reshuffles with NO logical row change) / `write` (a V1-side save
+    * whose shape the manifest only observed). None for versions
+    * committed before the line existed. What the change data feed
+    * ([[GraftCdf]]) classifies versions by. */
+  def opOf(fs: FileSystem, table: Path, version: Long): Option[String] =
+    metaLine(fs, table, version, "op")
+
   /** The table schema AT `version` (`schema=` meta line, recorded at
     * commit from the then-current footers ∪ marker) — what makes
     * `VERSION AS OF` shape-stable across later ALTERs and
@@ -264,10 +274,11 @@ object GraftManifest {
     * the files yet this check could still see no manifest, leaving a
     * committed append in no version. */
   def advanceAppend(fs: FileSystem, table: Path, added: Seq[String],
-      commitSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      commitSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      extraMeta: Seq[String] = Nil)
       : Unit =
     if (fs.exists(manifestDir(table))) {
-      commitAppend(fs, table, added, commitSchema)
+      commitAppend(fs, table, added, commitSchema, extraMeta)
     }
 
   /** Compare-and-swap commit of version `expected + 1`. False = a
@@ -350,11 +361,16 @@ object GraftManifest {
       extraMeta: Seq[String] = Nil)
       : Unit =
     commitLock(fs, table).synchronized {
+      // append commits self-classify for the change feed unless the
+      // caller already supplied an operation class
+      val meta =
+        if (extraMeta.exists(_.startsWith("op="))) extraMeta
+        else extraMeta :+ "op=append"
       var attempts = 0
       while (attempts < 50) {
         val live = liveState(fs, table)
         if (tryCommit(fs, table, live.version,
-            (live.names ++ added).distinct, commitSchema, extraMeta)) {
+            (live.names ++ added).distinct, commitSchema, meta)) {
           return
         }
         attempts += 1
@@ -369,7 +385,8 @@ object GraftManifest {
     * every commit must produce a version or reads through the manifest
     * would miss the new state. Records the current listing as the next
     * version. No-op for manifest-free tables. */
-  def refreshIfPresent(fs: FileSystem, table: Path): Unit = {
+  def refreshIfPresent(fs: FileSystem, table: Path,
+      op: String = "write"): Unit = {
     if (!fs.exists(manifestDir(table))) return
     // under the commit lock: a raw listing taken while another commit
     // is mid-critical-section would capture its torn intermediate
@@ -377,7 +394,8 @@ object GraftManifest {
     commitLock(fs, table).synchronized {
       val live = liveState(fs, table)
       val names = listingNames(fs, table)
-      if (names != live.names && !tryCommit(fs, table, live.version, names)) {
+      if (names != live.names && !tryCommit(fs, table, live.version, names,
+          extraMeta = Seq(s"op=$op"))) {
         throw new java.util.ConcurrentModificationException(
           s"graft-v2: manifest refresh of $table lost the CAS under " +
           "the commit lock — concurrent multi-driver writers need a " +

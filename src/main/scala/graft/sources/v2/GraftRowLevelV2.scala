@@ -270,7 +270,8 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation, schema: StructType)
         // rows this operation's condition matches; an unconditioned
         // UPDATE/MERGE touches everything, so any added file conflicts
         addedSafe = added => op.groupCond.exists(cond =>
-          GraftSwapV2.appendSafeUnder(target, cond)(added)))
+          GraftSwapV2.appendSafeUnder(target, cond)(added)),
+        op = op.command().toString.toLowerCase)
     } finally {
       // sweeps zombie/speculative attempts
       try fs.delete(staging, true) catch { case _: Throwable => () }

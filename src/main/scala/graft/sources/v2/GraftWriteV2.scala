@@ -177,7 +177,12 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
       }
     }
     GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond,
-      bucketSpec, widenTo)
+      bucketSpec, widenTo,
+      // `changelog=true` starts the version log at THIS append (v1 =
+      // the pre-append state) so the change data feed ([[GraftCdf]])
+      // can consume the table from its first commit — without it, a
+      // never-mutated table stays manifest-free by design
+      changelog = info.options().getBoolean("changelog", false))
   }
 }
 
@@ -185,11 +190,12 @@ case class GraftWriteV2(path: String, schema: StructType,
     truncateFirst: Boolean,
     overwriteCond: Option[Filter] = None,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
-    widenTo: Option[StructType] = None) extends Write
+    widenTo: Option[StructType] = None,
+    changelog: Boolean = false) extends Write
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite =
     new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
-      bucketSpec, widenTo)
+      bucketSpec, widenTo, changelog)
 
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
@@ -325,13 +331,14 @@ private[v2] object GraftSwapV2 {
       addedSafe: Seq[String] => Boolean = _ => false,
       expandVictims: Boolean = false,
       commitSchema: Option[StructType] = None,
-      dvUpdates: Map[String, String] = Map.empty): Long =
+      dvUpdates: Map[String, String] = Map.empty,
+      op: String = "write"): Long =
     // the whole critical section (renames in → CAS → archive) under
     // the per-table commit lock, so no listing-derived commit can
     // capture a torn intermediate state
     GraftManifest.commitLock(fs, target).synchronized {
       parkAndSwapLocked(fs, target, readState, victims0, incoming,
-        addedSafe, expandVictims, commitSchema, dvUpdates)
+        addedSafe, expandVictims, commitSchema, dvUpdates, op)
     }
 
   private def parkAndSwapLocked(fs: org.apache.hadoop.fs.FileSystem,
@@ -340,7 +347,8 @@ private[v2] object GraftSwapV2 {
       addedSafe: Seq[String] => Boolean,
       expandVictims: Boolean,
       commitSchema: Option[StructType],
-      dvUpdates: Map[String, String] = Map.empty): Long = {
+      dvUpdates: Map[String, String] = Map.empty,
+      op: String = "write"): Long = {
     val incomingNames = incoming.map(_.getName).toSet
     val movedIn = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -372,7 +380,7 @@ private[v2] object GraftSwapV2 {
         if (dvUpdates.isEmpty) None // inherit (restricted to names)
         else Some(state.dvs ++ dvUpdates)
       if (GraftManifest.tryCommit(fs, target, state.version, newNames,
-          commitSchema, dvs = newDvs)) {
+          commitSchema, extraMeta = Seq(s"op=$op"), dvs = newDvs)) {
         committed = state.version + 1
       } else {
         attempts += 1
@@ -453,7 +461,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     truncateFirst: Boolean,
     overwriteCond: Option[Filter] = None,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
-    widenTo: Option[StructType] = None)
+    widenTo: Option[StructType] = None,
+    changelog: Boolean = false)
     extends BatchWrite {
 
   protected val jobId = UUID.randomUUID().toString.take(8)
@@ -525,7 +534,7 @@ class GraftBatchWriteV2(path: String, schema: StructType,
           // a truncate-overwrite REDEFINES the schema; the marker
           // refresh below runs after the commit, so record the new
           // shape explicitly (no stale marker extras in this version)
-          commitSchema = Some(schema))
+          commitSchema = Some(schema), op = "overwrite")
       case (false, Some(cond)) =>
         // predicate overwrite: classify from footer stats, rewrite only
         // the boundary files (distributed job, null-safe NOT cond),
@@ -568,7 +577,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
           committed.map(new Path(_)).toSeq ++ residue,
           // a racing append is a conflict only if its files MIGHT hold
           // rows this predicate replaces (footer-stats classification)
-          addedSafe = GraftSwapV2.appendSafeUnder(target, cond))
+          addedSafe = GraftSwapV2.appendSafeUnder(target, cond),
+          op = "overwrite")
       case _ =>
         // rename-in + manifest advance as ONE commit-lock critical
         // section: a racing first-mutation bootstrap either fully
@@ -576,6 +586,11 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         // then sees the manifest and commits them) or fully follows it
         // (its listing-derived v1 includes them) — never a torn mix
         GraftManifest.commitLock(fs, target).synchronized {
+          // changelog opt-in: bootstrap the version log BEFORE the
+          // staged files land, so v1 records the pre-append state and
+          // this append commits as its own version (reentrant lock —
+          // pinForMutation takes the same per-table mutex)
+          if (changelog) GraftManifest.pinForMutation(fs, target)
           renameIn()
           // a WIDENED append's marker refresh runs after this commit —
           // record the widened shape so the version's schema= is right

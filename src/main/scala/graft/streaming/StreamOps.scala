@@ -270,6 +270,77 @@ object StreamOps {
     }
   }
 
+  /** Apply a change-feed batch ([[graft.sources.v2.GraftCdf]] shape:
+    * the table's columns + `_change_type` / `_commit_version`) to a
+    * catalog table by key — the CANONICAL downstream of a change data
+    * feed (replicate a table, maintain a materialization, sync
+    * another store). Semantics:
+    *
+    *  - `update_preimage` rows are dropped (the postimage carries the
+    *    new state);
+    *  - per key, the LATEST change wins (`_commit_version` order; an
+    *    equal-version delete+insert pair nets to the insert — the
+    *    copy-on-write replay shape);
+    *  - the net changes MERGE in: `delete` deletes, anything else
+    *    upserts.
+    *
+    * One MERGE = one shuffle on the keys; the merge itself is
+    * key-idempotent, so a replayed batch converges to the same table
+    * state — which is what makes [[writeChangeApplyBatches]]
+    * exactly-once in effect without sink-side bookkeeping. */
+  def applyChanges(feed: DataFrame, table: String,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val spark = feed.sparkSession
+    import graft.sources.v2.GraftCdf
+    val dataCols = feed.columns.filterNot(c =>
+      c == GraftCdf.ChangeType || c == GraftCdf.CommitVersion ||
+      c == GraftCdf.CommitTimestamp).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(GraftCdf.CommitVersion).desc,
+        // same-version tiebreak: a delete+insert pair at one version
+        // (the COW replay shape) nets to the surviving insert
+        (col(GraftCdf.ChangeType) === "delete").asc_nulls_last)
+    val latest = feed
+      .filter(col(GraftCdf.ChangeType) =!= "update_preimage")
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    val view = s"graft_changes_${java.util.UUID.randomUUID()
+      .toString.replace("-", "").take(12)}"
+    latest.createOrReplaceTempView(view)
+    try {
+      val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+      val sets = dataCols.map(c => s"t.`$c` = s.`$c`").mkString(", ")
+      val insCols = dataCols.map(c => s"`$c`").mkString(", ")
+      val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
+      spark.sql(
+        s"""MERGE INTO $table t USING $view s ON $on
+           |WHEN MATCHED AND s.${GraftCdf.ChangeType} = 'delete'
+           |  THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET $sets
+           |WHEN NOT MATCHED AND s.${GraftCdf.ChangeType} <> 'delete'
+           |  THEN INSERT ($insCols) VALUES ($insVals)
+           |""".stripMargin)
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  /** Streaming CDC apply: every micro-batch of change rows MERGEs
+    * into `table` via [[applyChanges]]. Exactly-once in EFFECT: Spark
+    * replays a failed epoch with identical contents and the keyed
+    * MERGE is idempotent, so a replay converges to the same state
+    * (no sink-side epoch bookkeeping to keep consistent with the
+    * table commit). */
+  def writeChangeApplyBatches(stream: DataFrame, table: String,
+      keys: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyChanges(batch, table, keys)
+        ()
+      }
+      .start()
+
   /** Custom stateful sessionization via flatMapGroupsWithState: emits
     * (user_id, session_start_epoch_s, n_events) when a session closes
     * after `gapSeconds` of inactivity (processing-time timeout for the

@@ -518,6 +518,29 @@ class CatalogSpec extends SparkTestBase {
     assert(!spark.table("graft.mc.t").schema.fieldNames.contains("_file"))
   }
 
+  test("schema merge: a marker-declared nullable column resolves " +
+      "nullable even when the sampled footer spells it required") {
+    // the footer sample is ONE file — after ALTER ADD + an INSERT of
+    // non-null literals, the insert file's footer declares the added
+    // column REQUIRED; if that file sorts first, a footer-wins merge
+    // would resolve the column non-nullable, breaking scans of
+    // pre-evolution files (missing required column) and letting the
+    // optimizer constant-fold IsNotNull on rows that are in fact NULL
+    import org.apache.spark.sql.types._
+    val footer = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("extra", LongType, nullable = false)))
+    val marker = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("extra", LongType, nullable = true)))
+    val merged = graft.sources.v2.GraftCatalog
+      .mergeFooterAndMarker(Some(footer), Some(marker)).get
+    assert(merged("extra").nullable,
+      "marker nullability must win when more permissive")
+    assert(!merged("id").nullable,
+      "agreeing non-nullable fields stay non-nullable")
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only schema evolution") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")

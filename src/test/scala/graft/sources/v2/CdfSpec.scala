@@ -1,0 +1,224 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Change data feed reconstruction from the manifest log: inserts
+  * from appends, exact DV-diff deletes from the delta path,
+  * update pre/post images, copy-on-write replay netting, maintenance
+  * transparency, and the schema-evolution alignment contract. */
+class CdfSpec extends SparkTestBase {
+
+  import org.apache.spark.sql.SparkSession
+
+  private def setup(tag: String): (String, String) = {
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft-cdf-$tag").toString
+    val cat = s"graft_cdf_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (wh, cat)
+  }
+
+  private def feed(path: String, from: Long,
+      to: Long = -1L): DataFrame =
+    GraftCdf.tableChanges(spark, path, from, to)
+
+  private def types(df: DataFrame): Map[String, Long] =
+    df.groupBy(GraftCdf.ChangeType).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("append-only feed: initial population then incremental rows") {
+    val (wh, cat) = setup("app")
+    val p = s"$wh/t"
+    import spark.implicits._
+    (1 to 40).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    // opt the table into the version log: v1 = its current contents
+    GraftCdf.enableChangeFeed(spark, p)
+    (41 to 50).map(i => (i.toLong, i * 10L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    val all = feed(p, 1)
+    assert(types(all) == Map("insert" -> 50L))
+    val incr = feed(p, 2)
+    assert(types(incr) == Map("insert" -> 10L))
+    assert(incr.agg(min("id"), max("id")).as[(Long, Long)].head ==
+      ((41L, 50L)))
+    assert(incr.select(GraftCdf.CommitVersion).distinct()
+      .as[Long].head == 2L)
+    assert(spark.table(s"$cat.t").count() == 50L) // catalog sees same table
+  }
+
+  test("point DELETE through deletion vectors: exact rows, no " +
+      "carried-over noise") {
+    val (wh, cat) = setup("dvdel")
+    val p = s"$wh/t"
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "name")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (7, 13, 42)")
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = GraftManifest.current(fs, new Path(p)).get
+    assert(snap.dvs.nonEmpty, "precondition: the DELETE used vectors")
+    val ch = feed(p, snap.version, snap.version)
+    assert(types(ch) == Map("delete" -> 3L))
+    assert(ch.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(7L, 13L, 42L))
+    assert(GraftManifest.opOf(fs, new Path(p), snap.version)
+      .contains("delete"))
+  }
+
+  test("UPDATE emits paired pre/post images") {
+    val (wh, cat) = setup("upd")
+    val p = s"$wh/t"
+    import spark.implicits._
+    (1 to 60).map(i => (i.toLong, i * 1L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    spark.sql(s"UPDATE $cat.t SET v = v * 100 WHERE id <= 5")
+    val ch = feed(p, 2, 2)
+    assert(types(ch) ==
+      Map("update_preimage" -> 5L, "update_postimage" -> 5L))
+    val pre = ch.filter(col(GraftCdf.ChangeType) === "update_preimage")
+    val post = ch.filter(col(GraftCdf.ChangeType) === "update_postimage")
+    assert(pre.agg(sum("v")).as[Long].head == 15L)      // 1+2+3+4+5
+    assert(post.agg(sum("v")).as[Long].head == 1500L)
+    assert(pre.select("id").as[Long].collect().sorted.toSeq ==
+      post.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("copy-on-write replay nets out carried rows; maintenance is " +
+      "invisible; truncate-overwrite is delete+insert") {
+    val (wh, cat) = setup("cow")
+    val p = s"$wh/t"
+    import spark.implicits._
+    // struct column → nested schema → group-based COW path for DML
+    (1 to 50).map(i => (i.toLong, (i * 2L, s"s$i")))
+      .toDF("id", "payload")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    spark.sql(s"DELETE FROM $cat.t WHERE id BETWEEN 10 AND 19")
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val v2op = GraftManifest.opOf(fs, new Path(p), 2L)
+    val ch2 = feed(p, 2, 2)
+    // whether the delete rewrote files (COW residue) or removed them
+    // whole, the feed reports exactly the 10 deleted rows
+    assert(types(ch2) == Map("delete" -> 10L), s"op was $v2op")
+    assert(ch2.select("id").as[Long].collect().sorted.toSeq ==
+      (10L to 19L).toSeq)
+    // maintenance: compaction rewrites files but changes no rows
+    graft.sources.GraftSink.compact(spark, p)
+    val vAfter = GraftManifest.current(fs, new Path(p)).get.version
+    if (vAfter > 2L) {
+      assert(GraftManifest.opOf(fs, new Path(p), vAfter)
+        .contains("maintenance"))
+      assert(feed(p, vAfter, vAfter).isEmpty,
+        "compaction must contribute nothing to the feed")
+    }
+    // truncate-overwrite: all old rows out, new rows in
+    Seq((1000L, (1L, "x"))).toDF("id", "payload")
+      .write.format("graft-v2").option("path", p)
+      .mode("overwrite").save()
+    val vOw = GraftManifest.current(fs, new Path(p)).get.version
+    val chOw = feed(p, vOw, vOw)
+    assert(types(chOw) == Map("delete" -> 40L, "insert" -> 1L))
+  }
+
+  test("feed across schema evolution reads missing columns as NULL") {
+    val (wh, cat) = setup("evo")
+    val p = s"$wh/t"
+    import spark.implicits._
+    (1 to 10).map(i => i.toLong).toDF("id")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    GraftCdf.enableChangeFeed(spark, p)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (extra BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (11, 111)")
+    val all = feed(p, 1)
+    assert(types(all) == Map("insert" -> 11L))
+    val v1rows = all.filter(col(GraftCdf.CommitVersion) === 1)
+    assert(v1rows.schema.fieldNames.contains("extra"))
+    assert(v1rows.filter(col("extra").isNotNull).count() == 0L,
+      "pre-evolution inserts read the added column as NULL")
+    assert(all.filter(col("extra") === 111L).count() == 1L)
+  }
+
+  test("CDC apply: a replica rebuilt from the change feed equals the " +
+      "source, and a replayed apply converges") {
+    val (wh, cat) = setup("rep")
+    val p = s"$wh/src"
+    import spark.implicits._
+    (1 to 80).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    spark.sql(s"DELETE FROM $cat.src WHERE id % 9 = 0")
+    spark.sql(s"UPDATE $cat.src SET v = -1 WHERE id % 11 = 0")
+    spark.sql(s"INSERT INTO $cat.src VALUES (1000, 1000)")
+    // replica starts empty; the feed from version 1 carries the
+    // initial population + every later change
+    Seq.empty[(Long, Long)].toDF("id", "v")
+      .write.format("graft-v2").option("path", s"$wh/dst")
+      .mode("append").save()
+    val feed = GraftCdf.tableChanges(spark, p, 1)
+    graft.streaming.StreamOps.applyChanges(feed, s"$cat.dst", Seq("id"))
+    def state(t: String): Seq[(Long, Long)] =
+      spark.table(t).as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(state(s"$cat.dst") == state(s"$cat.src"),
+      "the replica must equal the source after applying its feed")
+    // replay the same feed: the keyed MERGE is idempotent
+    graft.streaming.StreamOps.applyChanges(feed, s"$cat.dst", Seq("id"))
+    assert(state(s"$cat.dst") == state(s"$cat.src"))
+  }
+
+  test("streaming CDC apply: change batches MERGE into the target " +
+      "exactly-once in effect") {
+    val (wh, cat) = setup("strm")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    (1 to 5).map(i => (i.toLong, 0L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", s"$wh/tgt")
+      .mode("append").save()
+    val mem = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(String, Long, Long, Long)]
+    val changes = mem.toDF()
+      .toDF(GraftCdf.ChangeType, GraftCdf.CommitVersion, "id", "v")
+    val q = graft.streaming.StreamOps.writeChangeApplyBatches(
+      changes, s"$cat.tgt", Seq("id"))
+    try {
+      mem.addData(
+        ("insert", 2L, 6L, 60L),          // new key
+        ("update_preimage", 2L, 2L, 0L),  // dropped by the apply
+        ("update_postimage", 2L, 2L, 22L),
+        ("delete", 2L, 4L, 0L))
+      q.processAllAvailable()
+      val got = spark.table(s"$cat.tgt").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 0L), (2L, 22L), (3L, 0L), (5L, 0L),
+        (6L, 60L)))
+    } finally q.stop()
+  }
+
+  test("version range selection and the retention error surface") {
+    val (wh, _) = setup("rng")
+    val p = s"$wh/t"
+    import spark.implicits._
+    // `changelog=true` on the FIRST append starts the log there:
+    // v1 = the (empty) pre-append state, v2 = this append's rows
+    (1 to 5).map(_.toLong).toDF("id")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    (6 to 9).map(_.toLong).toDF("id")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    assert(feed(p, 1, 1).isEmpty) // the empty pre-append state
+    assert(types(feed(p, 2, 2)) == Map("insert" -> 5L))
+    assert(feed(p, 3).count() == 4L)
+    assert(feed(p, 4).isEmpty) // beyond the log: empty, not an error
+    val bare = s"$wh/never-mutated"
+    (1 to 3).map(_.toLong).toDF("id").write.parquet(bare)
+    val err = intercept[IllegalArgumentException] {
+      feed(bare, 1)
+    }
+    assert(err.getMessage.contains("no manifests"))
+  }
+}
