@@ -244,10 +244,21 @@ final class ExternalCasCommit(backend: CasBackend,
     val mine = tmp.getName
     val winner = backend.putIfAbsent(k, mine)
     if (winner == mine) {
-      copy(fs, tmp, dst)
-      backend.delete(k)
-      try fs.delete(tmp, false) catch { case _: Throwable => () }
-      true
+      // the claim register empties again once a winner completes
+      // (copy → claim delete), so winning the claim is only half the
+      // proof: a slot already materialized means a PREVIOUS winner
+      // fully committed and this claim is spurious — drop it and
+      // lose. Sound because the claim is deleted only after the copy
+      // is durable, and the object store reads-after-writes.
+      if (fs.exists(dst)) {
+        backend.delete(k)
+        false
+      } else {
+        copy(fs, tmp, dst)
+        backend.delete(k)
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        true
+      }
     } else {
       // lost — but make the winner's commit visible if its writer
       // died between claim and copy, so this loser's own retry reads

@@ -93,30 +93,39 @@ class CommitStoreSpec extends SparkTestBase {
       "on an overwrite-rename store") {
     val (fs, table) = newTable("race")
     val store = new ExternalCasCommit(new InMemoryCasBackend)
-    val dst = new Path(manifestDir(table), "v0000000001.txt")
     val n = 8
-    val tmps = (0 until n).map(i => stageTmp(fs, table, s"content-$i"))
-    val pool = Executors.newFixedThreadPool(n)
-    val start = new CountDownLatch(1)
-    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
-    val winnerIdx = new java.util.concurrent.atomic.AtomicInteger(-1)
-    tmps.zipWithIndex.foreach { case (tmp, i) =>
-      pool.execute(() => {
-        start.await()
-        // fresh FS handle per thread still routes through the shared
-        // backend — the JVM lock is deliberately NOT held here, this
-        // is the cross-process shape
-        if (store.publishIfAbsent(fs, tmp, dst)) {
-          wins.incrementAndGet(); winnerIdx.set(i)
-        }
-      })
+    // many slots, all contended: catches both the plain double-claim
+    // and the claim-register-emptied-after-win hole (a late claimer
+    // must lose to an ALREADY MATERIALIZED slot, not re-win it)
+    (1 to 20).foreach { v =>
+      val dst = new Path(manifestDir(table), f"v$v%010d.txt")
+      val tmps = (0 until n).map(i =>
+        stageTmp(fs, table, s"content-$v-$i"))
+      val pool = Executors.newFixedThreadPool(n)
+      val start = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val winnerIdx = new java.util.concurrent.atomic.AtomicInteger(-1)
+      tmps.zipWithIndex.foreach { case (tmp, i) =>
+        pool.execute(() => {
+          start.await()
+          // staggered arrivals: some threads claim while the winner
+          // is copying, some after it finished and cleared the claim
+          if ((i & 1) == 1) Thread.sleep(i)
+          // the JVM lock is deliberately NOT held here — this is the
+          // cross-process shape
+          if (store.publishIfAbsent(fs, tmp, dst)) {
+            wins.incrementAndGet(); winnerIdx.set(i)
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      assert(wins.get() == 1,
+        s"slot v$v: expected exactly 1 winner, got ${wins.get()}")
+      assert(slurp(fs, dst) == s"content-$v-${winnerIdx.get()}",
+        s"slot v$v must hold the winner's content")
     }
-    start.countDown()
-    pool.shutdown()
-    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
-    assert(wins.get() == 1, s"expected exactly 1 winner, got ${wins.get()}")
-    assert(slurp(fs, dst) == s"content-${winnerIdx.get()}",
-      "the slot must hold the winner's content")
   }
 
   test("crash recovery: a claimed-but-unmaterialized slot becomes " +
