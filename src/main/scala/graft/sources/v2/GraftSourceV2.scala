@@ -68,16 +68,33 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
     // their WIDE marker type, marker-only evolved columns append —
     // falling back to the raw first-footer shape when no marker exists
     val p = new Path(path(options))
-    scala.util.Try(GraftCatalog.resolveSchema(
+    val base = scala.util.Try(GraftCatalog.resolveSchema(
       p.getFileSystem(GraftHadoopConf.sessionConf()), p))
       .toOption.flatten.getOrElse(
         ParquetMeta.sparkSchema(path(options),
           GraftHadoopConf.sessionConf()))
+    // change-feed reads append the change metadata to the shape
+    if (options.getBoolean("readChangeFeed", false)) {
+      GraftCdfStream.feedSchema(base)
+    } else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val p = properties.get("path")
+    if ("true".equalsIgnoreCase(
+        String.valueOf(properties.getOrDefault("readChangeFeed", "false")))) {
+      // streaming change data feed ([[GraftCdfStream]]): strip the
+      // change metadata back off the inferred shape — the feed table
+      // re-appends it
+      val metaNames = Set(GraftCdf.ChangeType, GraftCdf.CommitVersion,
+        GraftCdf.CommitTimestamp)
+      val data = StructType(
+        schema.fields.filterNot(f => metaNames.contains(f.name)))
+      return GraftCdfTableV2(p, data,
+        String.valueOf(properties.getOrDefault("startingVersion", "1"))
+          .toLong)
+    }
     // the bucket-layout marker travels with the data: path-based reads
     // honor it for BUCKET PRUNING. Key-grouped planning stays off here
     // (groupByBucket=false) — storage-partitioned joins need a catalog

@@ -199,6 +199,115 @@ class CdfSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming change feed: inserts, DV-diff deletes and pre/post " +
+      "images arrive as change-row batches; maintenance is silent") {
+    val (wh, cat) = setup("sfeed")
+    val p = s"$wh/t"
+    import spark.implicits._
+    // large enough that the point DML masks stay under the
+    // dv.maxFraction escalation threshold (escalation = a rewrite,
+    // which the stream deliberately refuses)
+    (1 to 500).map(i => (i.toLong, i * 1L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    val sink = s"cdf_sink_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-v2").option("path", p)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def byType: Map[String, Long] =
+        spark.table(sink).groupBy(GraftCdf.ChangeType).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("insert" -> 500L), "initial population")
+      // delta DELETE → DV-diff partitions emit exactly the deleted rows
+      spark.sql(s"DELETE FROM $cat.t WHERE id IN (3, 14, 15)")
+      q.processAllAvailable()
+      assert(byType == Map("insert" -> 500L, "delete" -> 3L))
+      assert(spark.table(sink)
+        .filter(col(GraftCdf.ChangeType) === "delete")
+        .select("id").as[Long].collect().sorted.toSeq ==
+        Seq(3L, 14L, 15L))
+      // delta UPDATE → preimage via DV diff, postimage via insert file
+      spark.sql(s"UPDATE $cat.t SET v = v * 10 WHERE id IN (1, 2)")
+      q.processAllAvailable()
+      val afterUpdate = byType
+      assert(afterUpdate("update_preimage") == 2L &&
+        afterUpdate("update_postimage") == 2L)
+      assert(spark.table(sink)
+        .filter(col(GraftCdf.ChangeType) === "update_postimage")
+        .agg(sum("v")).as[Long].head == 30L)
+      // a second DELETE on an ALREADY-MASKED file must emit only the
+      // NEW positions (bitmap difference, not the whole mask)
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 16")
+      q.processAllAvailable()
+      assert(byType("delete") == 4L)
+      // maintenance (DV materialization + compaction) rewrites files
+      // but changes no rows: the stream stays silent
+      val before = spark.table(sink).count()
+      GraftDeleteV2.materializeDeleteVectors(p)
+      graft.sources.GraftSink.compact(spark, p)
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == before,
+        "maintenance commits must contribute nothing to the feed")
+    } finally q.stop()
+  }
+
+  test("streaming change feed: a copy-on-write rewrite fail-stops " +
+      "with batch-reconstruction guidance; startingVersion skips " +
+      "history") {
+    val (wh, cat) = setup("sfail")
+    val p = s"$wh/t"
+    import spark.implicits._
+    // nested payload → DML takes the COW path (file rewrites)
+    (1 to 30).map(i => (i.toLong, (i * 2L, s"s$i"))).toDF("id", "payload")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    spark.sql(s"DELETE FROM $cat.t WHERE id BETWEEN 5 AND 9")
+    val sink = s"cdf_fail_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-v2").option("path", p)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(err.toString.contains("not scan-expressible") ||
+      rootMsg(err).contains("not scan-expressible"))
+    // startingVersion past the rewrite: the stream tails cleanly
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = GraftManifest.current(fs,
+      new org.apache.hadoop.fs.Path(p)).get.version
+    val sink2 = s"cdf_skip_${System.nanoTime()}"
+    val q2 = spark.readStream.format("graft-v2").option("path", p)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (cur + 1).toString).load()
+      .writeStream.format("memory").queryName(sink2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(sink2).isEmpty)
+      // append with the table's own resolved schema (nullability and
+      // all) so the gate compares identical shapes
+      val tSchema = spark.table(s"$cat.t").schema
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(100L,
+          org.apache.spark.sql.Row(1L, "x"))), tSchema)
+        .write.format("graft-v2").option("path", p)
+        .mode("append").save()
+      q2.processAllAvailable()
+      assert(spark.table(sink2).count() == 1L)
+      assert(spark.table(sink2).select(GraftCdf.ChangeType)
+        .head.getString(0) == "insert")
+    } finally q2.stop()
+  }
+
   test("version range selection and the retention error surface") {
     val (wh, _) = setup("rng")
     val p = s"$wh/t"
