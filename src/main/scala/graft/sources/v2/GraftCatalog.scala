@@ -115,6 +115,28 @@ object GraftCatalog {
     readMarkerRaw(fs, dir).flatMap(_.headOption)
       .map(StructType.fromDDL)
 
+  /** One CHECK constraint as persisted in the marker
+    * (`#check=<name>:<0|1 enforced>:<predicateSql>`). Reported
+    * through `Table.constraints()`, where Spark's
+    * `ResolveTableConstraints` enforces the enforced ones on every
+    * catalog write (INSERT / UPDATE / MERGE); path-based writes
+    * bypass the catalog and therefore the constraints — the same
+    * boundary as every other catalog-level contract. */
+  final case class CheckSpec(name: String, enforced: Boolean,
+      predicateSql: String)
+
+  private[graft] def readChecks(fs: FileSystem, dir: Path)
+      : Seq[CheckSpec] =
+    readMarkerRaw(fs, dir).map(_.filter(_.startsWith("#check="))
+      .flatMap { l =>
+        val v = l.stripPrefix("#check=")
+        val i1 = v.indexOf(':')
+        val i2 = if (i1 < 0) -1 else v.indexOf(':', i1 + 1)
+        if (i1 <= 0 || i2 < 0) None
+        else Some(CheckSpec(v.substring(0, i1),
+          v.substring(i1 + 1, i2) == "1", v.substring(i2 + 1)))
+      }).getOrElse(Nil)
+
   private[graft] def readMapping(fs: FileSystem, dir: Path)
       : ColumnMapping =
     readMarkerRaw(fs, dir) match {
@@ -131,11 +153,20 @@ object GraftCatalog {
         ColumnMapping(renames, drops)
     }
 
+  /** @param checks None PRESERVES the marker's current `#check=`
+    *   lines (every schema-refresh path keeps standing constraints);
+    *   Some(cs) replaces them (ALTER ADD/DROP CONSTRAINT and the
+    *   schema-redefining overwrite, which clears them). */
   private[graft] def writeMarker(fs: FileSystem, dir: Path,
-      schema: StructType, mapping: ColumnMapping): Unit = {
+      schema: StructType, mapping: ColumnMapping,
+      checks: Option[Seq[CheckSpec]] = None): Unit = {
+    val cs = checks.getOrElse(readChecks(fs, dir))
     val lines = Seq(schema.toDDL) ++
       mapping.renames.toSeq.sorted.map { case (p, l) => s"#rename=$p:$l" } ++
-      mapping.drops.toSeq.sorted.map(p => s"#drop=$p")
+      mapping.drops.toSeq.sorted.map(p => s"#drop=$p") ++
+      cs.sortBy(_.name).map(c =>
+        s"#check=${c.name}:${if (c.enforced) "1" else "0"}:" +
+          c.predicateSql)
     val out = fs.create(new Path(dir, SchemaMarker), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -268,6 +299,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.exists(new Path(dir, SchemaMarker)) ||
       fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet")))
 
+  /** Advertises CHECK-constraint DDL support — what lets the analyzer
+    * route `ALTER TABLE ... ADD/DROP CONSTRAINT` to [[alterTable]]. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
@@ -278,7 +317,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // joins on the bucket keys into storage-partitioned (shuffle-free)
     // joins — see GraftScanV2.outputPartitioning
     GraftTableV2(dir.toString, schema,
-      bucketSpec = graft.sources.BucketLayout.read(fs, dir))
+      bucketSpec = graft.sources.BucketLayout.read(fs, dir),
+      // reported CHECK constraints: Spark's ResolveTableConstraints
+      // enforces the enforced ones on every catalog write
+      checkConstraints = GraftCatalog.readChecks(fs, dir))
   }
 
   /** SQL time travel — `SELECT ... FROM t VERSION AS OF n`: the scan
@@ -399,6 +441,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .read(fs, dir).map(b => (b.bucketCols ++ b.sortCols).toSet)
       .getOrElse(Set.empty)
     var mapping = GraftCatalog.readMapping(fs, dir)
+    var checks = GraftCatalog.readChecks(fs, dir)
+    // conservative word-boundary reference test: a check whose SQL
+    // mentions a column blocks dropping/renaming it (re-binding the
+    // predicate text is not something a metadata-only path should
+    // guess at)
+    def checkReferencing(col: String): Option[GraftCatalog.CheckSpec] = {
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
+      checks.find(c => re.findFirstIn(c.predicateSql).isDefined)
+    }
     val evolved = changes.foldLeft(current) {
       case (sch, add: TableChange.AddColumn) =>
         def fail(why: String): Nothing =
@@ -449,6 +500,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "co-location contract is keyed by name — rewrite with " +
             "GraftSink.saveBucketedFiles instead")
         }
+        checkReferencing(from).foreach(c =>
+          fail(s"CHECK constraint '${c.name}' references it " +
+            s"(${c.predicateSql}); drop the constraint first"))
         // metadata-only: old files keep their PHYSICAL spelling; the
         // mapping routes every spelling to the new logical name. A
         // column renamed twice accumulates entries (a→b→c stores a→c
@@ -473,6 +527,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           fail("the column is part of the bucket layout — rewrite with " +
             "GraftSink.saveBucketedFiles instead")
         }
+        checkReferencing(name).foreach(c =>
+          fail(s"CHECK constraint '${c.name}' references it " +
+            s"(${c.predicateSql}); drop the constraint first"))
         // tombstone every physical spelling: the original physical
         // name if the column was renamed, plus the logical name (newer
         // files carry it directly)
@@ -512,15 +569,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // explicitly). New appends write the wide type.
         StructType(sch.fields.updated(idx,
           sch.fields(idx).copy(dataType = ut.newDataType)))
+      case (sch, ac: TableChange.AddConstraint) =>
+        def fail(why: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"graft catalog: ADD CONSTRAINT — $why")
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog
+              .constraints.Check =>
+            if (checks.exists(_.name.equalsIgnoreCase(c.name))) {
+              fail(s"'${c.name}' already exists")
+            }
+            val pred = Option(c.predicateSql()).map(_.trim).getOrElse("")
+            if (pred.isEmpty || pred.contains("\n")) {
+              fail("the CHECK predicate must be non-empty single-line SQL")
+            }
+            // validate standing data BEFORE the constraint is
+            // recorded: CHECK semantics — a row violates only when
+            // the predicate is definitively FALSE (NULL passes)
+            val spark = org.apache.spark.sql.SparkSession.active
+            val violations = spark.read.format("graft-v2")
+              .option("path", dir.toString).load()
+              .filter(org.apache.spark.sql.functions.not(
+                org.apache.spark.sql.functions.coalesce(
+                  org.apache.spark.sql.functions.expr(pred),
+                  org.apache.spark.sql.functions.lit(true))))
+              .limit(1).count()
+            if (violations > 0) {
+              fail(s"'${c.name}' CHECK ($pred) is violated by " +
+                "existing rows")
+            }
+            checks = checks :+ GraftCatalog.CheckSpec(
+              c.name, c.enforced(), pred)
+            sch
+          case other =>
+            fail(s"only CHECK constraints are supported, got $other " +
+              "(PRIMARY KEY / UNIQUE / FOREIGN KEY are not " +
+              "enforceable on an analytics store)")
+        }
+      case (sch, dc: TableChange.DropConstraint) =>
+        val exists = checks.exists(_.name.equalsIgnoreCase(dc.name))
+        if (!exists && !dc.ifExists()) {
+          throw new UnsupportedOperationException(
+            s"graft catalog: DROP CONSTRAINT — no constraint " +
+            s"'${dc.name}' (standing: " +
+            s"${checks.map(_.name).sorted.mkString(", ")})")
+        }
+        checks = checks.filterNot(_.name.equalsIgnoreCase(dc.name))
+        sch
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — " +
-          "ADD/RENAME/DROP COLUMN and widening ALTER COLUMN TYPE are " +
-          "the metadata-only evolutions on immutable files")
+          "ADD/RENAME/DROP COLUMN, widening ALTER COLUMN TYPE and " +
+          "ADD/DROP CONSTRAINT (CHECK) are the metadata-only " +
+          "evolutions on immutable files")
     }
-    GraftCatalog.writeMarker(fs, dir, evolved, mapping)
+    GraftCatalog.writeMarker(fs, dir, evolved, mapping, Some(checks))
     GraftTableV2(dir.toString, evolved,
-      bucketSpec = graft.sources.BucketLayout.read(fs, dir))
+      bucketSpec = graft.sources.BucketLayout.read(fs, dir),
+      checkConstraints = checks)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -266,14 +266,18 @@ object GraftDeleteV2 {
     * marker (footers won while data existed) keeps the evolved schema
     * when a DELETE/TRUNCATE empties it. */
   private[v2] def ensureSchemaMarker(fs: FileSystem, target: Path,
-      schema: StructType, preserveMapping: Boolean = false): Unit =
+      schema: StructType, preserveMapping: Boolean = false,
+      preserveChecks: Boolean = true): Unit =
     // an emptied/redefined table has no old files left, so any
     // DROP/RENAME column mapping is cleared with the refresh; a
     // widened APPEND (preserveMapping=true) keeps it — the mapped old
-    // files are still live
+    // files are still live. CHECK constraints survive an EMPTYING
+    // delete (vacuously satisfied) but a schema-REDEFINING overwrite
+    // clears them (they may reference replaced columns).
     GraftCatalog.writeMarker(fs, target, schema,
       if (preserveMapping) GraftCatalog.readMapping(fs, target)
-      else GraftCatalog.ColumnMapping.empty)
+      else GraftCatalog.ColumnMapping.empty,
+      if (preserveChecks) None else Some(Nil))
 
   /** Per-boundary-file outcome of the deletion-vector decision job. */
   private sealed trait BoundaryOutcome extends Serializable

@@ -122,7 +122,8 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     vectorized: Boolean = true, batchSize: Int = 4096,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     groupByBucket: Boolean = true,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    checkConstraints: Seq[GraftCatalog.CheckSpec] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -220,6 +221,26 @@ case class GraftTableV2(path: String, tableSchema: StructType,
   override def truncateTable(): Boolean =
     GraftDeleteV2.truncate(path, tableSchema)
   override def schema(): StructType = tableSchema
+
+  /** Marker-recorded CHECK constraints ([[GraftCatalog.CheckSpec]]):
+    * Spark's `ResolveTableConstraints` wraps every catalog write's
+    * rows in `CheckInvariant` for the enforced ones — INSERT, UPDATE
+    * and MERGE all refuse a violating row before it lands. ADD
+    * CONSTRAINT validates standing data first (catalog `alterTable`);
+    * NULL predicates pass, per CHECK semantics. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    checkConstraints.map { cs =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(cs.name).predicateSql(cs.predicateSql)
+        .enforced(cs.enforced)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build()
+        .asInstanceOf[org.apache.spark.sql.connector.catalog
+          .constraints.Constraint]
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

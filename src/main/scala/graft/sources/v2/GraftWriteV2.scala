@@ -604,9 +604,12 @@ class GraftBatchWriteV2(path: String, schema: StructType,
       case (true, _) =>
         // a truncate-overwrite REDEFINES the schema: a stale marker
         // (from CREATE or an earlier evolution) must not leak phantom
-        // columns into the resolved schema of the new contents
+        // columns into the resolved schema of the new contents — and
+        // standing CHECK constraints may reference replaced columns,
+        // so the redefinition clears them too
         if (fs.exists(new Path(target, GraftCatalog.SchemaMarker))) {
-          GraftDeleteV2.ensureSchemaMarker(fs, target, schema)
+          GraftDeleteV2.ensureSchemaMarker(fs, target, schema,
+            preserveChecks = false)
         }
       case (false, Some(widened)) =>
         // widened append: record the widened schema so the new

@@ -541,6 +541,62 @@ class CatalogSpec extends SparkTestBase {
       "agreeing non-nullable fields stay non-nullable")
   }
 
+  test("CHECK constraints: enforced on INSERT/UPDATE, validated on " +
+      "ADD, dropped on DROP; column DDL refuses while referenced") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ck")
+    spark.sql("CREATE TABLE graft.ck.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.ck.t VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // violating INSERT refused before any row lands
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ck.t VALUES (3, -5)")
+    }
+    assert(e1.getMessage.toLowerCase.contains("check") ||
+      e1.getMessage.contains("v_pos"), e1.getMessage)
+    assert(spark.table("graft.ck.t").count() == 2L)
+    // conforming INSERT lands; NULL passes (CHECK semantics)
+    spark.sql("INSERT INTO graft.ck.t VALUES (3, 30), (4, NULL)")
+    assert(spark.table("graft.ck.t").count() == 4L)
+    // violating UPDATE refused through the row-level path too
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graft.ck.t SET v = -1 WHERE id = 1")
+    }
+    assert(e2.getMessage.toLowerCase.contains("check") ||
+      e2.getMessage.contains("v_pos"), e2.getMessage)
+    assert(spark.sql("SELECT v FROM graft.ck.t WHERE id = 1")
+      .head.getLong(0) == 10L)
+    // ADD CONSTRAINT validates standing data and refuses
+    spark.sql("INSERT INTO graft.ck.t VALUES (5, 500)")
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT v_small " +
+        "CHECK (v < 100)")
+    }
+    // the engine validates standing data itself (the catalog keeps
+    // its own limit(1) probe for programmatic alterTable callers)
+    assert(e3.getMessage.contains("violated by existing rows") ||
+      e3.getMessage.contains("NEW_CHECK_CONSTRAINT_VIOLATION"),
+      e3.getMessage)
+    // DDL on a referenced column refuses with the constraint named
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t DROP COLUMN v")
+    }
+    assert(e4.getMessage.contains("v_pos"), e4.getMessage)
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t RENAME COLUMN v TO amount")
+    }
+    assert(e5.getMessage.contains("v_pos"), e5.getMessage)
+    // DROP CONSTRAINT lifts enforcement
+    spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO graft.ck.t VALUES (6, -6)")
+    assert(spark.table("graft.ck.t").count() == 6L)
+    val e6 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT nope")
+    }
+    assert(e6.getMessage.contains("no constraint") ||
+      e6.getMessage.toLowerCase.contains("nope"), e6.getMessage)
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only schema evolution") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
