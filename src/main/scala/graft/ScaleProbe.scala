@@ -181,7 +181,7 @@ object ScaleProbe {
     // t_dv/t_cow well below 1 at Nx is the claim: point mutation cost
     // tracks deleted rows, not touched-file bytes.
     def dvProbe(dir: String, label: String, maxFrac: String)
-        : (Double, Long, Long) = {
+        : (Double, Long, Long, String) = {
       val wh = Files.createTempDirectory("graft-scale-dv").toString
       spark.conf.set(s"spark.sql.catalog.dv$label",
         "graft.sources.v2.GraftCatalog")
@@ -209,15 +209,43 @@ object ScaleProbe {
         if (!fs.exists(d)) 0L
         else fs.listStatus(d).map(_.getLen).sum
       }
-      (t, spark.table(s"dv$label.li").count(), dvBytes)
+      (t, spark.table(s"dv$label.li").count(), dvBytes, s"$wh/li")
     }
-    val (tDv, survDv, dvBytes) = dvProbe(scaled, "a", "0.2")
-    val (tCow, survCow, _) = dvProbe(scaled, "b", "0.0")
+    val (tDv, survDv, dvBytes, dvPath) = dvProbe(scaled, "a", "0.2")
+    val (tCow, survCow, _, cowPath) = dvProbe(scaled, "b", "0.0")
     require(survDv == survCow,
       s"dv vs cow point-delete disagree: $survDv vs $survCow")
     println(f"""{"q":"dv_point_delete","t_dv":$tDv%.2f,""" +
       f""""t_cow":$tCow%.2f,"ratio":${tDv / math.max(tCow, 0.001)}%.2f,""" +
       f""""dv_bytes":$dvBytes,"survivors":$survDv}""")
+    // change-feed probe on the SAME two tables: reconstructing the
+    // point DELETE's change set at the inflated scale. The vector
+    // path's feed is a bitmap-diff file scan (cost ∝ the commit's
+    // deleted rows + the touched files); the copy-on-write path pays
+    // the honest multiset-difference replay over every rewritten
+    // file. Both must return exactly the 32 deleted keys.
+    locally {
+      def feedOnce(path: String): (Double, Long) = {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val v = graft.sources.v2.GraftManifest.current(fs,
+          new org.apache.hadoop.fs.Path(path)).get.version
+        val t0 = System.nanoTime()
+        val n = graft.sources.v2.GraftCdf
+          .tableChanges(spark, path, v, v).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tDvFeed, nDv) = feedOnce(dvPath)
+      val (tCowFeed, nCow) = feedOnce(cowPath)
+      // 32 keys match multiple lineitem rows each; both paths must
+      // reconstruct the SAME (non-empty) deleted-row multiset
+      require(nDv > 0 && nDv == nCow,
+        s"feed reconstructions disagree: dv=$nDv cow=$nCow")
+      println(f"""{"q":"cdf_point_delete_feed","t_dv":$tDvFeed%.2f,""" +
+        f""""t_cow_replay":$tCowFeed%.2f,""" +
+        f""""ratio":${tDvFeed / math.max(tCowFeed, 0.001)}%.2f,""" +
+        f""""rows":$nDv}""")
+    }
     // delta-scan probe: the row-id scan a bulk UPDATE/MERGE runs
     // (data cols + `_file` + `_pos`), vectorized vs forced row mode,
     // at the inflated scale — the raw-ordinal batch channel is what
