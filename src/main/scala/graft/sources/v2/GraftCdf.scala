@@ -85,7 +85,20 @@ object GraftCdf {
       s"graft-cdf: $path has no manifests — the change feed begins at " +
       "the table's first graft-v2 commit")
     val hi = if (toVersion < 0) all.last else toVersion
-    val range = all.filter(v => v >= math.max(fromVersion, 1L) && v <= hi)
+    val lo = math.max(fromVersion, 1L)
+    // retention is a HARD boundary, not a silent truncation: a range
+    // reaching below the oldest retained version cannot be
+    // reconstructed (its diffs and archive files are gone) — same
+    // contract as time travel. `lo > hi` (asking past the log) is
+    // legitimately empty: nothing happened yet.
+    if (lo <= hi && lo < all.min) {
+      throw new IllegalStateException(
+        s"graft-cdf: versions $lo..${math.min(hi, all.min - 1)} of " +
+        s"$path were vacuumed — the feed begins at retained version " +
+        s"${all.min}; the retention window must outlast the " +
+        "consumer's longest gap")
+    }
+    val range = all.filter(v => v >= lo && v <= hi)
 
     // column frame: the range end's schema; every piece aligns to it
     val endScan = scanAt(spark, path, hi)
@@ -168,12 +181,19 @@ object GraftCdf {
     val op = GraftManifest.opOf(fs, table, v).getOrElse("write")
     if (op == "maintenance") return Seq.empty
     val cur = GraftManifest.read(fs, table, v)
-    val prevOpt =
-      if (GraftManifest.versions(fs, table).contains(v - 1))
-        Some(GraftManifest.read(fs, table, v - 1))
-      else None
-    val prev = prevOpt.getOrElse(
-      GraftManifest.Snapshot(v - 1, Seq.empty))
+    // v = 1 diffs against the empty pre-log state (the initial
+    // population); any LATER version whose predecessor is gone was
+    // outrun by vacuum — treating it as empty would silently re-emit
+    // the whole version as inserts, so fail with the retention
+    // diagnosis instead
+    val prev =
+      if (v == 1L) GraftManifest.Snapshot(0L, Seq.empty)
+      else if (GraftManifest.versions(fs, table).contains(v - 1))
+        GraftManifest.read(fs, table, v - 1)
+      else throw new IllegalStateException(
+        s"graft-cdf: version ${v - 1} of $path was vacuumed before " +
+        s"version $v's changes were reconstructed — the retention " +
+        "window must outlast the consumer's longest gap")
     val ts = GraftManifest.commitTimeMillis(fs, table, v)
     val curNames = cur.names.toSet
     val prevNames = prev.names.toSet

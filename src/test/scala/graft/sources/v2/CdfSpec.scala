@@ -323,6 +323,24 @@ class CdfSpec extends SparkTestBase {
     assert(types(feed(p, 2, 2)) == Map("insert" -> 5L))
     assert(feed(p, 3).count() == 4L)
     assert(feed(p, 4).isEmpty) // beyond the log: empty, not an error
+    // vacuum outrunning the consumer: a range below the oldest
+    // retained version (or a step whose predecessor is gone) fails
+    // loudly instead of silently re-emitting a version as inserts
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (10 to 12).map(_.toLong).toDF("id")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    GraftManifest.vacuum(fs, new org.apache.hadoop.fs.Path(p),
+      keepVersions = 2)
+    val retained = GraftManifest.versions(fs,
+      new org.apache.hadoop.fs.Path(p))
+    assert(retained.size == 2)
+    val e1 = intercept[IllegalStateException] { feed(p, 1) }
+    assert(e1.getMessage.contains("vacuumed"))
+    // the newest retained version still reconstructs (its
+    // predecessor is the other retained version)
+    assert(types(feed(p, retained.max, retained.max)) ==
+      Map("insert" -> 3L))
     val bare = s"$wh/never-mutated"
     (1 to 3).map(_.toLong).toDF("id").write.parquet(bare)
     val err = intercept[IllegalArgumentException] {
