@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
 private[v2] object GraftProcedures {
 
   val Names: Set[String] =
-    Set("vacuum", "compact", "zorder", "materialize_dvs")
+    Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -57,6 +57,9 @@ private[v2] object GraftProcedures {
         case "zorder" =>
           "clustering rewrite on the given columns: footer-stats file " +
           "skipping on every cluster key"
+        case "analyze" =>
+          "one-pass per-column distinct/null counts for the cost-based " +
+          "optimizer, persisted beside the table"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -135,6 +138,14 @@ private[v2] object GraftProcedures {
             StructType(Seq(
               StructField("files_materialized", IntegerType, false))),
             Array(n)))
+        case "analyze" =>
+          val ts = GraftStats.analyze(spark, dir.toString)
+          one(resultScan(
+            StructType(Seq(
+              StructField("rows", LongType, false),
+              StructField("columns_analyzed", IntegerType, false),
+              StructField("at_version", LongType, false))),
+            Array(ts.rows, ts.cols.size, ts.version)))
         case other => throw new IllegalStateException(
           s"graft: unknown procedure $other")
       }

@@ -798,11 +798,45 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         new Path(path), dvs.values, GraftHadoopConf.sessionConf()))
     }
     val (fr, fb) = (rows, bytes)
+    // ANALYZE-computed per-column NDV/null counts ([[GraftStats]]):
+    // reported for the projected columns so
+    // DataSourceV2Relation.transformV2Stats feeds them to CBO.
+    // Advisory (they age until the next analyze); numRows above stays
+    // footer-exact per scan.
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      scala.util.Try(GraftStats.read(
+        new Path(path).getFileSystem(GraftHadoopConf.sessionConf()),
+        new Path(path))).toOption.flatten.foreach { ts =>
+        projectedSchema.fieldNames.foreach { c =>
+          ts.cols.get(c).foreach { cs =>
+            m.put(org.apache.spark.sql.connector.expressions
+              .Expressions.column(c),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(cs.distinct)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(cs.nulls)
+              })
+          }
+        }
+      }
+      m
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(fb)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(fr)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = colStats
     }
   }
   override def toBatch: Batch = this

@@ -541,6 +541,50 @@ class CatalogSpec extends SparkTestBase {
       "agreeing non-nullable fields stay non-nullable")
   }
 
+  test("ANALYZE: one-pass column stats persist and surface through " +
+      "the scan's reported statistics") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    spark.sql("CREATE TABLE graft.stats.t (id BIGINT, v BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.stats.t SELECT id, id % 10, " +
+      "CASE WHEN id < 30 THEN NULL ELSE CAST(id AS STRING) END " +
+      "FROM range(0, 100)")
+    val res = spark.sql(
+      "CALL graft.system.analyze(table => 'stats.t')").collect()
+    assert(res.length == 1 && res(0).getLong(0) == 100L &&
+      res(0).getInt(1) == 3)
+    val scan = spark.table("graft.stats.t").queryExecution.optimizedPlan
+      .collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.head
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsReportStatistics].estimateStatistics()
+    assert(stats.numRows().getAsLong == 100L)
+    val byName = {
+      import scala.jdk.CollectionConverters._
+      stats.columnStats().asScala.map { case (k, v) =>
+        k.fieldNames().mkString(".") -> v }.toMap
+    }
+    // 10 distinct small values: the HLL estimate is exact here
+    assert(byName("v").distinctCount().getAsLong == 10L,
+      s"v ndv = ${byName("v").distinctCount()}")
+    assert(byName("s").nullCount().getAsLong == 30L)
+    assert(byName("id").nullCount().getAsLong == 0L)
+    // stats are advisory and survive later commits; numRows stays
+    // footer-exact while the column stats age until the next analyze
+    spark.sql("INSERT INTO graft.stats.t VALUES (1000, 1000, 'x')")
+    val scan2 = spark.table("graft.stats.t").queryExecution.optimizedPlan
+      .collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.head
+    val stats2 = scan2.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsReportStatistics].estimateStatistics()
+    assert(stats2.numRows().getAsLong == 101L)
+    assert(!stats2.columnStats().isEmpty)
+  }
+
   test("CHECK constraints: enforced on INSERT/UPDATE, validated on " +
       "ADD, dropped on DROP; column DDL refuses while referenced") {
     val _ = warehouse
