@@ -822,6 +822,12 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
                   java.util.OptionalLong.of(cs.distinct)
                 override def nullCount(): java.util.OptionalLong =
                   java.util.OptionalLong.of(cs.nulls)
+                override def avgLen(): java.util.OptionalLong =
+                  if (cs.avgLen < 0) java.util.OptionalLong.empty()
+                  else java.util.OptionalLong.of(cs.avgLen)
+                override def maxLen(): java.util.OptionalLong =
+                  if (cs.maxLen < 0) java.util.OptionalLong.empty()
+                  else java.util.OptionalLong.of(cs.maxLen)
               })
           }
         }

@@ -31,7 +31,11 @@ object GraftStats {
   val FileName = ".graft-stats"
   private val Header = "graft-stats-1"
 
-  final case class ColStat(distinct: Long, nulls: Long)
+  /** `avgLen`/`maxLen` are -1 for non-length-bearing types (numeric
+    * widths are implied by the type; CBO row-size estimation only
+    * needs measured lengths for strings/binaries). */
+  final case class ColStat(distinct: Long, nulls: Long,
+      avgLen: Long = -1L, maxLen: Long = -1L)
   final case class TableStats(version: Long, rows: Long,
       cols: Map[String, ColStat])
 
@@ -41,24 +45,38 @@ object GraftStats {
     val table = new Path(path)
     val fs = table.getFileSystem(GraftHadoopConf.sessionConf())
     val df = spark.read.format("graft-v2").option("path", path).load()
-    val cols = df.schema.fields.toSeq.collect {
-      case f if (f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType => false
-        case _ => true
-      }) => f.name
+    val fields = df.schema.fields.toSeq.filter(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    })
+    val cols = fields.map(_.name)
+    def lengthy(f: StructField): Boolean = f.dataType match {
+      case StringType | BinaryType => true
+      case _ => false
     }
     val aggs = count(lit(1)).as("__rows") +:
-      cols.flatMap(c => Seq(
-        approx_count_distinct(col(c)).as(s"__d_$c"),
-        count(col(c)).as(s"__n_$c")))
+      fields.flatMap { f =>
+        val c = f.name
+        Seq(approx_count_distinct(col(c)).as(s"__d_$c"),
+          count(col(c)).as(s"__n_$c")) ++
+          (if (lengthy(f)) Seq(
+            ceil(avg(length(col(c)))).cast("long").as(s"__al_$c"),
+            max(length(col(c))).cast("long").as(s"__ml_$c"))
+          else Nil)
+      }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getAs[Long]("__rows")
+    def optLen(name: String): Long =
+      if (row.schema.fieldNames.contains(name) && !row.isNullAt(
+          row.fieldIndex(name))) row.getAs[Long](name)
+      else -1L
     val stats = TableStats(
       GraftManifest.current(fs, table).map(_.version).getOrElse(0L),
       rows,
       cols.map(c => c -> ColStat(
         row.getAs[Long](s"__d_$c"),
-        rows - row.getAs[Long](s"__n_$c"))).toMap)
+        rows - row.getAs[Long](s"__n_$c"),
+        optLen(s"__al_$c"), optLen(s"__ml_$c"))).toMap)
     write(fs, table, stats)
     stats
   }
@@ -68,7 +86,7 @@ object GraftStats {
     val lines = Seq(Header, s"version=${stats.version}",
       s"rows=${stats.rows}") ++
       stats.cols.toSeq.sortBy(_._1).map { case (c, s) =>
-        s"col=$c:${s.distinct}:${s.nulls}"
+        s"col=$c:${s.distinct}:${s.nulls}:${s.avgLen}:${s.maxLen}"
       }
     val out = fs.create(new Path(table, FileName), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
@@ -98,6 +116,9 @@ object GraftStats {
             l.stripPrefix("col=").split(":") match {
               case Array(c, d, n) =>
                 Some(c -> ColStat(d.toLong, n.toLong))
+              case Array(c, d, n, al, ml) =>
+                Some(c -> ColStat(d.toLong, n.toLong,
+                  al.toLong, ml.toLong))
               case _ => None
             }
           }.toMap

@@ -571,6 +571,11 @@ class CatalogSpec extends SparkTestBase {
       s"v ndv = ${byName("v").distinctCount()}")
     assert(byName("s").nullCount().getAsLong == 30L)
     assert(byName("id").nullCount().getAsLong == 0L)
+    // string lengths for CBO row-size estimation ('30'..'99' → 2)
+    assert(byName("s").avgLen().getAsLong == 2L)
+    assert(byName("s").maxLen().getAsLong == 2L)
+    assert(!byName("id").avgLen().isPresent,
+      "numeric widths are implied by the type, not measured")
     // stats are advisory and survive later commits; numRows stays
     // footer-exact while the column stats age until the next analyze
     spark.sql("INSERT INTO graft.stats.t VALUES (1000, 1000, 'x')")
