@@ -82,12 +82,21 @@ object AtomicFsCommit extends CommitStore {
 trait CasBackend {
   /** Record `value` under `key` iff absent. Returns the value that
     * holds the key after the call — `value` itself iff this caller
-    * won the slot. */
+    * won the slot. Implementations must never report the caller's own
+    * value unless the caller actually holds the key. */
   def putIfAbsent(key: String, value: String): String
   def get(key: String): Option[String]
   def delete(key: String): Unit
-  /** Live claims under `prefix`: (key, value, ageMillis). */
+  /** Live claims under `prefix`: (key, value, ageMillis). `ageMillis`
+    * counts from the last [[refresh]] (or the initial put) — the
+    * LEASE age, not the claim's wall-clock age. */
   def list(prefix: String): Seq[(String, String, Long)]
+  /** Heartbeat: reset the claim's lease age iff `key` is still held
+    * by `value` (a lost or replaced claim is left untouched). What
+    * lets a slow-but-alive winner be distinguished from a dead one:
+    * live holders refresh, corpses do not. No-op default for
+    * backends whose deployments never lease. */
+  def refresh(key: String, value: String): Unit = ()
 }
 
 /** [[CasBackend]] over a shared POSIX directory: each claim is one
@@ -98,7 +107,7 @@ trait CasBackend {
   * primitive at all. Stands in for a DynamoDB-class service in
   * deployments that have a shared NFS/local mount; the trait is the
   * seam a real service plugs into. */
-final class FileCasBackend(dir: java.io.File) extends CasBackend {
+class FileCasBackend(dir: java.io.File) extends CasBackend {
   import java.nio.file.{FileAlreadyExistsException, Files}
 
   dir.mkdirs()
@@ -118,20 +127,39 @@ final class FileCasBackend(dir: java.io.File) extends CasBackend {
       if (lines.length == 2) Some((lines(0), lines(1))) else None
     }
 
+  /** Test seam: called when a link attempt loses to a standing claim,
+    * before the claim is read back — lets a test delete the claim in
+    * exactly the race window the retry loop exists for. */
+  protected[v2] def onLinkLost(): Unit = ()
+
   override def putIfAbsent(key: String, value: String): String = {
     val target = keyFile(key)
     val stage = new java.io.File(dir,
       s".stage-${UUID.randomUUID().toString.take(12)}")
     Files.write(stage.toPath, s"$key\n$value".getBytes("UTF-8"))
     try {
-      Files.createLink(target.toPath, stage.toPath)
-      value
-    } catch {
-      case _: FileAlreadyExistsException =>
-        // lost: the standing claim wins (readEntry can only miss if
-        // the winner is deleted mid-read — treat as our own win gone
-        // stale and report the standing value best-effort)
-        readEntry(target).map(_._2).getOrElse(value)
+      // stable-read retry: a lost link re-reads the standing claim; if
+      // that claim vanished mid-read (a concurrent sweep dropped a dead
+      // holder), the slot is genuinely free again — retry the LINK, so
+      // the only two exits are "this caller created the claim file" and
+      // "a value actually read from a standing claim file". Returning
+      // the caller's own value without linking (the old fallback) let
+      // two losers both claim a win and break exactly-one-winner.
+      var result: String = null
+      while (result == null) {
+        try {
+          Files.createLink(target.toPath, stage.toPath)
+          result = value
+        } catch {
+          case _: FileAlreadyExistsException =>
+            onLinkLost()
+            readEntry(target) match {
+              case Some((_, held)) => result = held
+              case None => () // claim vanished mid-read: retry the link
+            }
+        }
+      }
+      result
     } finally {
       try Files.deleteIfExists(stage.toPath) catch { case _: Throwable => () }
     }
@@ -139,6 +167,17 @@ final class FileCasBackend(dir: java.io.File) extends CasBackend {
 
   override def get(key: String): Option[String] =
     readEntry(keyFile(key)).map(_._2)
+
+  override def refresh(key: String, value: String): Unit = {
+    val target = keyFile(key)
+    try {
+      if (readEntry(target).exists(_._2 == value)) {
+        Files.setLastModifiedTime(target.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+      }
+    } catch { case _: Throwable => () } // lost mid-refresh: not ours
+  }
 
   override def delete(key: String): Unit = {
     try Files.deleteIfExists(keyFile(key).toPath)
@@ -166,6 +205,9 @@ final class InMemoryCasBackend extends CasBackend {
   override def get(key: String): Option[String] =
     Option(entries.get(key)).map(_._1)
   override def delete(key: String): Unit = entries.remove(key)
+  override def refresh(key: String, value: String): Unit =
+    entries.computeIfPresent(key, (_, e) =>
+      if (e._1 == value) (e._1, System.currentTimeMillis()) else e)
   override def list(prefix: String): Seq[(String, String, Long)] = {
     val now = System.currentTimeMillis()
     import scala.jdk.CollectionConverters._
@@ -183,24 +225,52 @@ final class InMemoryCasBackend extends CasBackend {
   *  1. `putIfAbsent(slotUri, tmpName)` — exactly one writer per slot
   *     wins, atomically, in the external register.
   *  2. The winner copies `tmp` → `dst` (idempotent: same bytes), then
-  *     deletes the claim, then its temp. A crash between 1 and the
-  *     claim delete leaves a CLAIMED slot whose temp survives —
-  *     [[beforeRead]] (and any later committer of the same slot)
-  *     finishes the copy, so the committed version can never be lost,
-  *     only delayed. A claim whose temp AND object are both gone is
+  *     deletes the claim, then its temp — HEARTBEATING the claim
+  *     ([[CasBackend.refresh]]) throughout, so its lease age stays
+  *     fresh however long the copy stalls (GC pause, slow store).
+  *  3. A claim whose lease has gone STALE (`staleClaimMillis` with no
+  *     heartbeat) marks a dead holder: [[beforeRead]] (and any later
+  *     committer of the same slot) finishes the copy from the
+  *     surviving temp, so a claim-committed version can never be
+  *     lost, only delayed by at most the lease. A FRESH claim is
+  *     left entirely alone — its holder is alive and will finish.
+  *     A stale claim whose temp AND object are both gone is
   *     unreachable by this protocol (temps outlive claims by
-  *     construction); it is dropped after `staleClaimMillis` as
-  *     operator-damage hygiene.
+  *     construction); it is dropped as operator-damage hygiene.
+  *
+  * `staleClaimMillis <= 0` disables the lease: every standing claim
+  * is immediately recoverable (single-writer deployments and tests
+  * that fabricate dead claims).
   *
   * Readers tolerate the overwrite-copy because a recovery copy writes
   * the same bytes, and a real object store makes each PUT atomically
   * visible; the manifest header check rejects a torn local read
-  * loudly. */
+  * loudly. A winner whose temp a recovering peer swept mid-stall
+  * checks the slot: `dst` present means its OWN bytes were
+  * materialized for it — still a win, never a misreport. */
 final class ExternalCasCommit(backend: CasBackend,
     staleClaimMillis: Long = 10 * 60 * 1000L) extends CommitStore {
 
   private def key(fs: FileSystem, dst: Path): String =
     fs.makeQualified(dst).toUri.toString
+
+  /** Run `body` while a daemon thread heartbeats the claim, so the
+    * lease age reflects liveness, not progress. */
+  private def withHeartbeat[T](k: String, mine: String)(body: => T): T = {
+    if (staleClaimMillis <= 0) return body // lease disabled
+    val interval = math.max(1L, staleClaimMillis / 4)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try backend.refresh(k, mine) catch { case _: Throwable => () }
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => stop.set(true) }
+      }
+    }, "graft-commit-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    try body finally { stop.set(true); t.interrupt() }
+  }
 
   private def copy(fs: FileSystem, src: Path, dst: Path): Unit = {
     val in = fs.open(src)
@@ -217,15 +287,23 @@ final class ExternalCasCommit(backend: CasBackend,
     } finally in.close()
   }
 
-  /** Finish a claimed slot whoever owns it: materialize `dst` from the
-    * claimed temp if the winner died mid-copy; clear the claim once
-    * `dst` exists. Idempotent and safe to race — every participant
-    * writes the same bytes. */
+  /** Finish a STALE claimed slot (its lease ran out — the holder is
+    * dead): materialize `dst` from the claimed temp if the winner died
+    * mid-copy; clear the claim once `dst` exists. A FRESH claim is
+    * left entirely alone — heartbeats keep a live holder's lease
+    * fresh, so fresh means alive and mid-commit. Idempotent and safe
+    * to race — every participant writes the same bytes. */
   private def recoverSlot(fs: FileSystem, dst: Path, tmpName: String,
       ageMillis: Long): Unit = {
+    if (staleClaimMillis > 0 && ageMillis <= staleClaimMillis) return
     val k = key(fs, dst)
     val tmp = new Path(dst.getParent, tmpName)
     if (fs.exists(dst)) {
+      // torn-dst guard: the holder may have died MID-copy on a store
+      // whose writes are not atomically visible — as long as its temp
+      // survives, re-copy (same bytes, idempotent) before declaring
+      // the slot complete and sweeping the only good copy
+      if (fs.exists(tmp)) copy(fs, tmp, dst)
       backend.delete(k)
       try { if (fs.exists(tmp)) fs.delete(tmp, false) }
       catch { case _: Throwable => () }
@@ -233,7 +311,7 @@ final class ExternalCasCommit(backend: CasBackend,
       copy(fs, tmp, dst)
       backend.delete(k)
       try fs.delete(tmp, false) catch { case _: Throwable => () }
-    } else if (ageMillis > staleClaimMillis) {
+    } else {
       backend.delete(k) // unreachable by protocol: operator damage
     }
   }
@@ -254,16 +332,28 @@ final class ExternalCasCommit(backend: CasBackend,
         backend.delete(k)
         false
       } else {
-        copy(fs, tmp, dst)
+        try withHeartbeat(k, mine)(copy(fs, tmp, dst))
+        catch {
+          case e: java.io.FileNotFoundException =>
+            // a peer recovered THIS claim's slot from this temp while
+            // the copy stalled past its lease: dst holds this
+            // caller's own bytes — the commit stands, still a win
+            if (!fs.exists(dst)) throw e
+        }
         backend.delete(k)
-        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+        catch { case _: Throwable => () }
         true
       }
     } else {
-      // lost — but make the winner's commit visible if its writer
-      // died between claim and copy, so this loser's own retry reads
-      // the version it lost to
-      recoverSlot(fs, dst, winner, ageMillis = 0L)
+      // lost — but if the winner's claim lease has gone stale (its
+      // writer died between claim and copy), make its commit visible
+      // so this loser's own retry reads the version it lost to. A
+      // fresh claim's holder is alive: leave it to finish.
+      val age = backend.list(k)
+        .collectFirst { case (kk, _, a) if kk == k => a }
+        .getOrElse(Long.MaxValue)
+      recoverSlot(fs, dst, winner, age)
       false
     }
   }
@@ -286,6 +376,17 @@ object CommitStores {
   private val byScheme = new ConcurrentHashMap[String, CommitStore]()
   private val bySpec = new ConcurrentHashMap[String, CommitStore]()
 
+  /** Schemes whose rename is copy+delete with silent overwrite —
+    * [[AtomicFsCommit]]'s primitives do not exist there, so a
+    * DEFAULTED `auto` would silently keep double-winner commit
+    * semantics (the exact hole this seam closes). Resolution fails
+    * fast for them unless the operator explicitly configured a store
+    * (including an explicit `auto`, which is honored as a deliberate
+    * single-writer opt-out). */
+  private val ObjectStoreSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "oss", "cos",
+    "wasb", "wasbs")
+
   def register(scheme: String, store: CommitStore): Unit =
     byScheme.put(scheme, store)
   def unregister(scheme: String): Unit = byScheme.remove(scheme)
@@ -295,10 +396,23 @@ object CommitStores {
     val reg = byScheme.get(scheme)
     if (reg != null) return reg
     val conf = fs.getConf
-    val spec = conf.get(s"graft.commit.store.$scheme",
-      conf.get("graft.commit.store", "auto"))
+    val explicit = Option(conf.get(s"graft.commit.store.$scheme"))
+      .orElse(Option(conf.get("graft.commit.store")))
+    val spec = explicit.getOrElse("auto")
     spec match {
-      case "auto" | "" => AtomicFsCommit
+      case "auto" | "" =>
+        if (explicit.isEmpty && ObjectStoreSchemes.contains(scheme)) {
+          throw new IllegalStateException(
+            s"graft commit store: $scheme has no atomic " +
+            "create-if-absent — the default commit path cannot " +
+            "guarantee exactly one winner per version slot there. " +
+            s"Configure graft.commit.store.$scheme (external-file + " +
+            "graft.commit.cas.dir over a shared mount, or a " +
+            "CommitStore class backed by a conditional-PUT service); " +
+            s"set graft.commit.store.$scheme=auto explicitly only " +
+            "for a deliberately single-writer deployment")
+        }
+        AtomicFsCommit
       case "external-file" =>
         val dir = conf.get("graft.commit.cas.dir")
         require(dir != null && dir.nonEmpty,

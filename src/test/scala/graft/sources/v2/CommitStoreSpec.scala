@@ -132,7 +132,11 @@ class CommitStoreSpec extends SparkTestBase {
       "visible at the next read") {
     val (fs, table) = newTable("recover")
     val backend = new InMemoryCasBackend
-    CommitStores.register("objstore", new ExternalCasCommit(backend))
+    // lease disabled (-1): the fabricated dead claim below never
+    // heartbeats, and this test wants recovery at the NEXT read, not
+    // after a lease expiry
+    CommitStores.register("objstore",
+      new ExternalCasCommit(backend, staleClaimMillis = -1L))
     try {
       // a normal first commit, then fabricate a writer that claimed
       // version 2 and died before copying the content into the slot
@@ -157,7 +161,8 @@ class CommitStoreSpec extends SparkTestBase {
       "the lost CAS") {
     val (fs, table) = newTable("loser")
     val backend = new InMemoryCasBackend
-    val store = new ExternalCasCommit(backend)
+    // lease disabled: the dead winner's claim is immediately stale
+    val store = new ExternalCasCommit(backend, staleClaimMillis = -1L)
     val dst = new Path(manifestDir(table), "v0000000001.txt")
     val winnerTmp = stageTmp(fs, table, "winner-content")
     val key = fs.makeQualified(dst).toUri.toString
@@ -181,15 +186,134 @@ class CommitStoreSpec extends SparkTestBase {
     store.beforeRead(fs, manifestDir(table))
     assert(backend.get(key).isEmpty,
       "an aged claim with neither temp nor slot is operator damage — drop")
-    // young claim (staleClaimMillis large) with a live temp: KEPT and
-    // completed, not dropped
+    // FRESH claim (lease not expired) with a live temp: the holder is
+    // presumed alive and mid-commit — left entirely alone (neither
+    // completed nor dropped), per the lease contract
     val store2 = new ExternalCasCommit(backend, staleClaimMillis = 1L << 40)
     val tmp = stageTmp(fs, table, "graft-manifest-1\nc.parquet")
     val dst2 = new Path(manifestDir(table), "v0000000002.txt")
     val key2 = fs.makeQualified(dst2).toUri.toString
     backend.putIfAbsent(key2, tmp.getName)
     store2.beforeRead(fs, manifestDir(table))
+    assert(!fs.exists(dst2) && backend.get(key2).nonEmpty,
+      "a fresh claim's in-flight commit must not be stolen")
+    assert(fs.exists(tmp), "the live holder's temp must survive")
+    // the same claim through a lease-disabled store: recovered
+    store.beforeRead(fs, manifestDir(table))
     assert(fs.exists(dst2) && backend.get(key2).isEmpty)
+  }
+
+  test("FileCasBackend: a claim deleted mid-read never yields a " +
+      "spurious win — the retry loop links or reads, only") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cas-race").toFile
+    val deletions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val backend = new FileCasBackend(dir) {
+      override protected[v2] def onLinkLost(): Unit = {
+        // simulate a concurrent stale-claim sweep landing exactly
+        // between the lost link and the read-back — the window the
+        // old getOrElse(value) fallback mis-handled
+        if (deletions.getAndIncrement() == 0) {
+          Option(dir.listFiles()).toSeq.flatten
+            .filter(_.getName.startsWith("claim-"))
+            .foreach(_.delete())
+        }
+      }
+    }
+    assert(backend.putIfAbsent("slot/v9", "first") == "first")
+    // "second" loses the link, the sweep deletes the claim mid-read →
+    // the retry must LINK (truly claiming the freed slot), not
+    // default to its own value without holding anything
+    assert(backend.putIfAbsent("slot/v9", "second") == "second")
+    assert(backend.get("slot/v9").contains("second"),
+      "a reported win must be backed by a standing claim file")
+    // and a third caller against the standing claim loses normally
+    assert(backend.putIfAbsent("slot/v9", "third") == "second")
+  }
+
+  test("lease heartbeat: a slow-but-alive winner's claim survives " +
+      "past the stale deadline; a silent one is recovered") {
+    val (fs, table) = newTable("lease")
+    val backend = new InMemoryCasBackend
+    val stale = 150L
+    val store = new ExternalCasCommit(backend, staleClaimMillis = stale)
+    fs.mkdirs(manifestDir(table))
+    val tmp = stageTmp(fs, table, "graft-manifest-1\nslow.parquet")
+    val dst = new Path(manifestDir(table), "v0000000003.txt")
+    val key = fs.makeQualified(dst).toUri.toString
+    backend.putIfAbsent(key, tmp.getName)
+    // ALIVE holder: heartbeats keep the lease fresh while wall-clock
+    // marches well past the stale deadline
+    val deadline = System.currentTimeMillis() + 3 * stale
+    while (System.currentTimeMillis() < deadline) {
+      backend.refresh(key, tmp.getName)
+      Thread.sleep(20)
+      store.beforeRead(fs, manifestDir(table))
+      assert(backend.get(key).contains(tmp.getName),
+        "a heartbeating holder's claim must never be dropped")
+      assert(!fs.exists(dst),
+        "a heartbeating holder's commit must not be stolen")
+    }
+    // the holder goes silent (dies): past the lease, recovery finishes
+    // its commit from the surviving temp
+    Thread.sleep(stale + 60)
+    store.beforeRead(fs, manifestDir(table))
+    assert(fs.exists(dst) && backend.get(key).isEmpty,
+      "a silent holder's claim must be recovered after the lease")
+    assert(slurp(fs, dst).contains("slow.parquet"))
+  }
+
+  test("a winner whose temp a recovering peer swept still reports " +
+      "its win (dst holds its own bytes)") {
+    val (fs, table) = newTable("sweptwin")
+    val backend = new InMemoryCasBackend
+    val store = new ExternalCasCommit(backend, staleClaimMillis = -1L)
+    val dst = new Path(manifestDir(table), "v0000000001.txt")
+    val key = fs.makeQualified(dst).toUri.toString
+    // winner stages and claims, then stalls; a peer recovers the slot
+    // from the winner's temp (copies, clears claim, sweeps temp)
+    val tmp = stageTmp(fs, table, "winner-bytes")
+    // claim as the winner would (publishIfAbsent's first step)
+    assert(backend.putIfAbsent(key, tmp.getName) == tmp.getName)
+    store.beforeRead(fs, manifestDir(table)) // the peer's recovery
+    assert(fs.exists(dst) && !fs.exists(tmp))
+    // the stalled winner resumes: copy source is gone, but dst holds
+    // its own bytes — publishIfAbsent must count this as a win, not
+    // throw or misreport. Re-claim the slot the way the resumed
+    // winner's in-flight call already holds it:
+    val tmp2 = stageTmp(fs, table, "winner-bytes")
+    // simulate: claim register is empty (peer cleared it), so the
+    // winner's claim step re-wins, then sees dst already exists —
+    // the spurious-rewin guard makes it LOSE cleanly (a previous
+    // winner — itself — fully committed)
+    assert(!store.publishIfAbsent(fs, tmp2, dst))
+    assert(slurp(fs, dst) == "winner-bytes")
+  }
+
+  test("CommitStores: a defaulted 'auto' on an object-store scheme " +
+      "fails fast; an explicit 'auto' is honored") {
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-s3-default").toString
+    val c = hadoopConf()
+    c.set("fs.s3a.impl", classOf[ObjStoreFileSystem].getName)
+    // no graft.commit.store conf at all → the default must refuse to
+    // run double-winner-prone commit semantics on s3a
+    val p = new Path(s"objstore:$local/t")
+    val objFs = p.getFileSystem(c)
+    // wrap: forFs keys off the fs URI scheme, so fake an s3a-looking fs
+    val s3Like = new ObjStoreFileSystem {
+      override def getScheme: String = "s3a"
+      override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+    }
+    s3Like.setConf(c)
+    s3Like.initialize(java.net.URI.create("s3a:///"), c)
+    val e = intercept[IllegalStateException] {
+      CommitStores.forFs(s3Like)
+    }
+    assert(e.getMessage.contains("graft.commit.store.s3a"))
+    // explicit opt-out: honored
+    c.set("graft.commit.store.s3a", "auto")
+    assert(CommitStores.forFs(s3Like) eq AtomicFsCommit)
   }
 
   test("end-to-end on the object store: append, DELETE, time travel " +
