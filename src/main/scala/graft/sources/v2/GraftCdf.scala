@@ -58,6 +58,76 @@ object GraftCdf {
   val CommitVersion = "_commit_version"
   val CommitTimestamp = "_commit_timestamp"
 
+  /** Consumer low-water marks: `.graft-cdf-consumers/<id>` holds the
+    * last version consumer `id` has APPLIED. [[GraftManifest.vacuum]]
+    * respects registered marks by default — it keeps every version a
+    * registered consumer still needs as a diff base — which turns the
+    * feed's fail-loud retention contract into something an operator
+    * can size by subscription instead of by guess. Written by
+    * [[graft.streaming.StreamOps.writeChangeApplyBatches]] when the
+    * caller names its consumer, or directly via
+    * [[advanceConsumer]]/[[registerConsumer]]. */
+  val ConsumersDir = ".graft-cdf-consumers"
+
+  private def consumerFile(table: Path, id: String): Path = {
+    require(id.nonEmpty && id.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"graft-cdf: consumer id '$id' must be [A-Za-z0-9._-]+")
+    new Path(new Path(table, ConsumersDir), id)
+  }
+
+  /** All registered consumers' last-applied versions. */
+  def consumerMarks(fs: org.apache.hadoop.fs.FileSystem,
+      table: Path): Map[String, Long] = {
+    val d = new Path(table, ConsumersDir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq.filter(_.isFile).flatMap { st =>
+      scala.util.Try {
+        val in = fs.open(st.getPath)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(st.getPath)
+            .getLen.toInt)
+          in.readFully(0, bytes)
+          st.getPath.getName -> new String(bytes, "UTF-8").trim.toLong
+        } finally in.close()
+      }.toOption
+    }.toMap
+  }
+
+  /** Advance consumer `id`'s low-water mark to `version` (monotonic:
+    * a replayed batch's older mark never regresses the floor). */
+  def advanceConsumer(fs: org.apache.hadoop.fs.FileSystem, table: Path,
+      id: String, version: Long): Unit = {
+    val f = consumerFile(table, id)
+    val cur = consumerMarks(fs, table).getOrElse(id, -1L)
+    if (version > cur) {
+      fs.mkdirs(f.getParent)
+      val out = fs.create(f, true)
+      try out.write(version.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Register consumer `id` from `version` onward (default 0: the
+    * whole feed) so vacuum keeps its window open BEFORE the first
+    * batch ever applies. */
+  def registerConsumer(spark: SparkSession, path: String, id: String,
+      version: Long = 0L): Unit = {
+    val table = new Path(path)
+    advanceConsumer(table.getFileSystem(GraftHadoopConf.sessionConf()),
+      table, id, version)
+  }
+
+  /** Drop consumer `id`'s mark — its subscription ends; vacuum stops
+    * holding versions for it. */
+  def unregisterConsumer(spark: SparkSession, path: String,
+      id: String): Unit = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(GraftHadoopConf.sessionConf())
+    try fs.delete(consumerFile(table, id), false)
+    catch { case _: Throwable => () }
+  }
+
   /** Start the version log on a table that has none yet (version 1 =
     * its current contents, the feed's initial population). Appends to
     * a manifest-free table keep plain listing semantics and produce
@@ -87,16 +157,22 @@ object GraftCdf {
     val hi = if (toVersion < 0) all.last else toVersion
     val lo = math.max(fromVersion, 1L)
     // retention is a HARD boundary, not a silent truncation: a range
-    // reaching below the oldest retained version cannot be
-    // reconstructed (its diffs and archive files are gone) — same
-    // contract as time travel. `lo > hi` (asking past the log) is
-    // legitimately empty: nothing happened yet.
-    if (lo <= hi && lo < all.min) {
+    // reaching below the oldest RECONSTRUCTIBLE version cannot be
+    // served (its diffs and archive files are gone) — same contract
+    // as time travel. Reconstructing version v needs v-1 as the diff
+    // base, so when vacuum dropped versions below all.min (all.min >
+    // 1), the feed really begins at all.min + 1, not all.min itself.
+    // `lo > hi` (asking past the log) is legitimately empty: nothing
+    // happened yet. Registering a consumer mark
+    // ([[registerConsumer]]) makes vacuum keep the window open.
+    val feedStart = if (all.min == 1L) 1L else all.min + 1L
+    if (lo <= hi && lo < feedStart) {
       throw new IllegalStateException(
-        s"graft-cdf: versions $lo..${math.min(hi, all.min - 1)} of " +
-        s"$path were vacuumed — the feed begins at retained version " +
-        s"${all.min}; the retention window must outlast the " +
-        "consumer's longest gap")
+        s"graft-cdf: versions $lo..${math.min(hi, feedStart - 1)} of " +
+        s"$path cannot be reconstructed (vacuum dropped their diff " +
+        s"bases) — the feed begins at version $feedStart; size the " +
+        "retention window to outlast the consumer's longest gap, or " +
+        "register a consumer mark so vacuum holds it open")
     }
     val range = all.filter(v => v >= lo && v <= hi)
 

@@ -450,6 +450,16 @@ object GraftManifest {
     * trade every vacuum makes. The latest version always survives —
     * it IS the table.
     *
+    * FEED COUPLING: `minFeedVersions` raises the count floor for
+    * change-feed consumers sized by count, and registered consumer
+    * low-water marks ([[GraftCdf.consumerMarks]]) are respected by
+    * default — every version a registered consumer still needs as a
+    * diff base survives, so vacuum can never outrun a subscription
+    * that keeps its mark current. `respectFeedConsumers = false` is
+    * the operator override; the feed's fail-loud retention error
+    * ([[GraftCdf.tableChanges]]) then still fires on the outrun
+    * consumer's next read.
+    *
     * `minRetainMillis` defaults to 0 (count-only retention) so
     * explicit test/maintenance calls keep their semantics; production
     * retention jobs should pass a window comfortably above their
@@ -457,10 +467,13 @@ object GraftManifest {
   def vacuum(fs: FileSystem, table: Path, keepVersions: Int = 2,
       minRetainMillis: Long = 0L,
       nowMillis: Long = System.currentTimeMillis(),
-      dvGraceMillis: Long = DvSweepGraceMillis): Unit =
+      dvGraceMillis: Long = DvSweepGraceMillis,
+      minFeedVersions: Int = 0,
+      respectFeedConsumers: Boolean = true): Unit =
     vacuumKeeping(fs, table, vs => {
+      val keepN = math.max(keepVersions, minFeedVersions)
       val (beyond, kept) =
-        vs.splitAt(math.max(0, vs.length - keepVersions))
+        vs.splitAt(math.max(0, vs.length - keepN))
       if (minRetainMillis <= 0L) (beyond, kept)
       else {
         val horizon = nowMillis - minRetainMillis
@@ -470,15 +483,17 @@ object GraftManifest {
           commitTimeMillis(fs, table, v).exists(_ < horizon))
         (drop, young ++ kept)
       }
-    }, dvGraceMillis, nowMillis)
+    }, dvGraceMillis, nowMillis, respectFeedConsumers)
 
   /** Age-based retention: drop versions whose commit time is older
     * than `maxAgeMillis` before `nowMillis` — except the LATEST
     * version, which always survives (it IS the table). The
-    * retention-policy face of [[vacuum]]. */
+    * retention-policy face of [[vacuum]]; registered feed-consumer
+    * marks are respected the same way. */
   def vacuumOlderThan(fs: FileSystem, table: Path, maxAgeMillis: Long,
       nowMillis: Long = System.currentTimeMillis(),
-      dvGraceMillis: Long = DvSweepGraceMillis): Unit = {
+      dvGraceMillis: Long = DvSweepGraceMillis,
+      respectFeedConsumers: Boolean = true): Unit = {
     val horizon = nowMillis - maxAgeMillis
     // .exists, not .forall: a version whose commit time cannot be
     // read (transient FS error → None) is conservatively KEPT, not
@@ -486,7 +501,7 @@ object GraftManifest {
     vacuumKeeping(fs, table, vs => vs.partition(v =>
       v != vs.last &&
         commitTimeMillis(fs, table, v).exists(_ < horizon)),
-      dvGraceMillis, nowMillis)
+      dvGraceMillis, nowMillis, respectFeedConsumers)
   }
 
   /** Grace window for sweeping UNREFERENCED deletion-vector sidecars:
@@ -501,7 +516,8 @@ object GraftManifest {
 
   private def vacuumKeeping(fs: FileSystem, table: Path,
       split: Seq[Long] => (Seq[Long], Seq[Long]),
-      dvGraceMillis: Long, nowMillis: Long): Unit = {
+      dvGraceMillis: Long, nowMillis: Long,
+      respectFeedConsumers: Boolean = true): Unit = {
     // referenced-set COMPUTATION runs under the per-table commit lock
     // so an in-JVM committer cannot land a version between this
     // method's version listing and its kept-set pinning; cross-process
@@ -514,7 +530,22 @@ object GraftManifest {
     val doomed: Seq[Path] = commitLock(fs, table).synchronized {
       val vs = versions(fs, table)
       if (vs.isEmpty) return
-      val (drop, keep) = split(vs)
+      val (drop0, keep0) = split(vs)
+      // registered feed consumers pin their window: a consumer whose
+      // mark is m has applied THROUGH m and next reads m+1, which
+      // needs m as its diff base — every version >= min(marks)
+      // survives. Marks below the already-vacuumed horizon protect
+      // whatever remains (vacuum refuses to widen the hole).
+      val consumerFloor: Option[Long] =
+        if (!respectFeedConsumers) None
+        else scala.util.Try(GraftCdf.consumerMarks(fs, table))
+          .toOption.filter(_.nonEmpty).map(_.values.min)
+      val (drop, keep) = consumerFloor match {
+        case Some(floor) =>
+          val (held, droppable) = drop0.partition(_ >= floor)
+          (droppable, (held ++ keep0).sorted)
+        case None => (drop0, keep0)
+      }
       if (keep.isEmpty) return // the latest version always survives
       val keptSnaps = keep.map(read(fs, table, _))
       val referenced = keptSnaps.flatMap(_.names).toSet

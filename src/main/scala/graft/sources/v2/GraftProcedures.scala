@@ -83,7 +83,11 @@ private[v2] object GraftProcedures {
           .defaultValue("2").build(),
         ProcedureParameter.in("min_retain_hours", IntegerType)
           .defaultValue("0")
-          .comment("versions younger than this always survive").build())
+          .comment("versions younger than this always survive").build(),
+        ProcedureParameter.in("min_feed_versions", IntegerType)
+          .defaultValue("0")
+          .comment("keep at least this many newest versions for " +
+            "change-feed consumers sized by count").build())
       case "zorder" => Array(tableParam,
         ProcedureParameter.in("columns", StringType)
           .comment("comma-separated cluster columns").build(),
@@ -105,8 +109,10 @@ private[v2] object GraftProcedures {
         case "vacuum" =>
           val keep = input.getInt(1)
           val retainH = input.getInt(2)
+          val feedKeep = input.getInt(3)
           GraftManifest.vacuum(fs, dir, keepVersions = keep,
-            minRetainMillis = retainH * 3600000L)
+            minRetainMillis = retainH * 3600000L,
+            minFeedVersions = feedKeep)
           val retained = GraftManifest.versions(fs, dir).length
           one(resultScan(
             StructType(Seq(

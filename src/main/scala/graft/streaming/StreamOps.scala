@@ -330,16 +330,47 @@ object StreamOps {
     * replays a failed epoch with identical contents and the keyed
     * MERGE is idempotent, so a replay converges to the same state
     * (no sink-side epoch bookkeeping to keep consistent with the
-    * table commit). */
+    * table commit).
+    *
+    * Naming the subscription (`sourcePath` + `consumerId`) also
+    * advances the SOURCE table's consumer low-water mark
+    * ([[graft.sources.v2.GraftCdf.advanceConsumer]]) after each
+    * applied batch, so the source's vacuum holds the feed window
+    * open for this consumer instead of the operator sizing retention
+    * by guess. The advance is monotonic — a replayed batch never
+    * regresses the mark. */
   def writeChangeApplyBatches(stream: DataFrame, table: String,
-      keys: Seq[String])
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String],
+      sourcePath: Option[String] = None,
+      consumerId: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.v2.{GraftCdf, GraftHadoopConf}
+    // register up front: the window must hold from subscription time,
+    // not from the first applied batch
+    for (p <- sourcePath; id <- consumerId) {
+      val t = new org.apache.hadoop.fs.Path(p)
+      GraftCdf.advanceConsumer(
+        t.getFileSystem(GraftHadoopConf.sessionConf()), t, id, 0L)
+    }
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyChanges(batch, table, keys)
+        for (p <- sourcePath; id <- consumerId) {
+          val maxV = batch
+            .agg(org.apache.spark.sql.functions.max(
+              col(GraftCdf.CommitVersion)))
+            .head()
+          if (!maxV.isNullAt(0)) {
+            val t = new org.apache.hadoop.fs.Path(p)
+            GraftCdf.advanceConsumer(
+              t.getFileSystem(GraftHadoopConf.sessionConf()), t, id,
+              maxV.getLong(0))
+          }
+        }
         ()
       }
       .start()
+  }
 
   /** Custom stateful sessionization via flatMapGroupsWithState: emits
     * (user_id, session_start_epoch_s, n_events) when a session closes

@@ -336,7 +336,17 @@ class CdfSpec extends SparkTestBase {
       new org.apache.hadoop.fs.Path(p))
     assert(retained.size == 2)
     val e1 = intercept[IllegalStateException] { feed(p, 1) }
-    assert(e1.getMessage.contains("vacuumed"))
+    assert(e1.getMessage.contains("vacuum"))
+    // the restart point the error names must actually WORK: the
+    // oldest retained version itself has no retained predecessor, so
+    // the feed begins one past it
+    val feedStart = retained.min + 1
+    assert(e1.getMessage.contains(s"begins at version $feedStart"))
+    val eMin = intercept[IllegalStateException] {
+      feed(p, retained.min, retained.min)
+    }
+    assert(eMin.getMessage.contains(s"begins at version $feedStart"),
+      "the oldest retained version has no diff base — same diagnosis")
     // the newest retained version still reconstructs (its
     // predecessor is the other retained version)
     assert(types(feed(p, retained.max, retained.max)) ==
@@ -347,5 +357,88 @@ class CdfSpec extends SparkTestBase {
       feed(bare, 1)
     }
     assert(err.getMessage.contains("no manifests"))
+  }
+
+  test("retention coupling: vacuum refuses to cut below a registered " +
+      "consumer's mark; the override re-opens the fail-loud hole") {
+    val (wh, _) = setup("retc")
+    val p = s"$wh/t"
+    val tp = new org.apache.hadoop.fs.Path(p)
+    import spark.implicits._
+    // 6 versions: v1 pre-state, v2..v6 appends of 10 rows each
+    (1 to 10).map(_.toLong).toDF("id")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    (1 to 4).foreach { k =>
+      (k * 10 + 1 to k * 10 + 10).map(_.toLong).toDF("id")
+        .write.format("graft-v2").option("path", p)
+        .mode("append").save()
+    }
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(GraftManifest.versions(fs, tp) == (1L to 6L))
+    // a consumer applied through version 3: its next read (from 4)
+    // needs version 3 as the diff base — vacuum must keep 3..6
+    GraftCdf.registerConsumer(spark, p, "replica-a", 3L)
+    GraftManifest.vacuum(fs, tp, keepVersions = 2)
+    assert(GraftManifest.versions(fs, tp) == (3L to 6L),
+      "vacuum must not cut below the registered consumer's mark")
+    assert(types(feed(p, 4)) == Map("insert" -> 30L),
+      "the held window serves the consumer's next read exactly")
+    // marks only advance: a replayed older mark cannot regress
+    GraftCdf.advanceConsumer(fs, tp, "replica-a", 2L)
+    assert(GraftCdf.consumerMarks(fs, tp) == Map("replica-a" -> 3L))
+    // min_feed_versions floors the count independently of consumers
+    GraftCdf.advanceConsumer(fs, tp, "replica-a", 5L)
+    GraftManifest.vacuum(fs, tp, keepVersions = 1, minFeedVersions = 3)
+    assert(GraftManifest.versions(fs, tp) == (4L to 6L),
+      "the feed-count floor holds versions the keep count would drop")
+    // operator override: the floor is ignored, and the outrun
+    // consumer's next read hits the fail-loud retention error
+    GraftCdf.advanceConsumer(fs, tp, "replica-a", 4L)
+    GraftManifest.vacuum(fs, tp, keepVersions = 1,
+      respectFeedConsumers = false)
+    val kept = GraftManifest.versions(fs, tp)
+    assert(kept == Seq(6L))
+    val e = intercept[IllegalStateException] { feed(p, 5) }
+    assert(e.getMessage.contains("begins at version 7"))
+    // unregistering releases the floor
+    GraftCdf.registerConsumer(spark, p, "replica-b", 1L)
+    GraftCdf.unregisterConsumer(spark, p, "replica-b")
+    assert(!GraftCdf.consumerMarks(fs, tp).contains("replica-b"))
+  }
+
+  test("streaming CDC apply with a named subscription advances the " +
+      "source's consumer mark") {
+    val (wh, cat) = setup("mark")
+    val src = s"$wh/src"
+    val sp = new org.apache.hadoop.fs.Path(src)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    // the source table whose feed window the mark protects
+    (1 to 20).map(i => (i.toLong, 0L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", src)
+      .option("changelog", "true").mode("append").save()
+    (1 to 3).map(i => (i.toLong, 0L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", s"$wh/tgt")
+      .mode("append").save()
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val mem = org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[(String, Long, Long, Long)]
+    val changes = mem.toDF()
+      .toDF(GraftCdf.ChangeType, GraftCdf.CommitVersion, "id", "v")
+    val q = graft.streaming.StreamOps.writeChangeApplyBatches(
+      changes, s"$cat.tgt", Seq("id"),
+      sourcePath = Some(src), consumerId = Some("tgt-sync"))
+    try {
+      // subscribing alone registers the mark (floor from version 0)
+      assert(GraftCdf.consumerMarks(fs, sp).get("tgt-sync")
+        .contains(0L))
+      mem.addData(("insert", 2L, 100L, 1L), ("delete", 2L, 1L, 0L))
+      q.processAllAvailable()
+      assert(GraftCdf.consumerMarks(fs, sp).get("tgt-sync")
+        .contains(2L),
+        "an applied batch advances the mark to its max version")
+    } finally q.stop()
   }
 }
