@@ -181,11 +181,133 @@ object GraftCdf {
     val dataCols = endScan.schema.fieldNames.toSeq
     val frame = endScan.schema
 
-    val pieces = range.flatMap { v =>
-      stepChanges(spark, fs, conf, path, table, v, dataCols, frame)
+    // PLAN SHAPE AT SCALE: a long version history must not build a
+    // linear plan. Two measures keep analysis cost and driver memory
+    // sub-linear in range length:
+    //  1. contiguous INSERT-ONLY versions (plain appends — no removed
+    //     files, no DV growth) coalesce into ONE restricted scan,
+    //     stamped per-version through a broadcast of the tiny
+    //     (file → version, timestamp) mapping — a feed dominated by
+    //     appends costs one scan however many commits it spans;
+    //  2. the remaining pieces union as a BALANCED binary tree, so a
+    //     range with many non-groupable steps builds an O(log n)-deep
+    //     plan instead of an n-branch left spine.
+    val retainedSet = all.toSet
+    val snapCache =
+      scala.collection.mutable.Map.empty[Long, GraftManifest.Snapshot]
+    def snap(v: Long): GraftManifest.Snapshot =
+      snapCache.getOrElseUpdate(v, GraftManifest.read(fs, table, v))
+
+    /** The verbatim-added file names of `v` iff the step contributes
+      * ONLY inserts of whole files (groupable); None otherwise. */
+    def insertOnly(v: Long): Option[Seq[String]] = {
+      val op = GraftManifest.opOf(fs, table, v).getOrElse("write")
+      if (op == "maintenance" || op == "update") return None
+      if (v > 1L && !retainedSet.contains(v - 1)) return None
+      val cur = snap(v)
+      val prev = if (v == 1L) GraftManifest.Snapshot(0L, Seq.empty)
+        else snap(v - 1)
+      val prevNames = prev.names.toSet
+      val curNames = cur.names.toSet
+      val added = cur.names.filterNot(prevNames)
+      val removed = prev.names.filterNot(curNames)
+      val dvGrown = cur.dvs.exists { case (name, dvName) =>
+        prevNames.contains(name) && curNames.contains(name) &&
+          !prev.dvs.get(name).contains(dvName)
+      }
+      if (removed.isEmpty && !dvGrown && added.nonEmpty) Some(added)
+      else None
     }
-    val empty = emptyFeed(spark, frame)
-    pieces.foldLeft(empty)((acc, p) => acc.unionByName(p))
+
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // current insert-only run: (version, its added files) in order
+    var run = List.empty[(Long, Seq[String])]
+    def flushRun(): Unit = {
+      if (run.size == 1) {
+        // a lone append keeps the constant-stamped single-version
+        // piece (no join needed)
+        val (v, _) = run.head
+        pieces ++= stepChanges(spark, fs, conf, path, table, v,
+          dataCols, frame)
+      } else if (run.nonEmpty) {
+        pieces += groupedInserts(spark, fs, path, table,
+          run.reverse, dataCols, frame)
+      }
+      run = Nil
+    }
+    range.foreach { v =>
+      val op = GraftManifest.opOf(fs, table, v).getOrElse("write")
+      if (op == "maintenance") {
+        // contributes nothing — and REPLACES files, so a run cannot
+        // span it (a run file compacted away is gone at a later
+        // version's scan)
+        flushRun()
+      } else insertOnly(v) match {
+        case Some(files)
+            if run.isEmpty || run.head._1 == v - 1 =>
+          run = (v, files) :: run
+        case Some(files) =>
+          flushRun()
+          run = (v, files) :: Nil
+        case None =>
+          flushRun()
+          pieces ++= stepChanges(spark, fs, conf, path, table, v,
+            dataCols, frame)
+      }
+    }
+    flushRun()
+    balancedUnion(pieces.toSeq, emptyFeed(spark, frame))
+  }
+
+  /** Balanced binary union: O(log n) plan depth over n pieces (a
+    * left-fold builds an n-deep spine whose analysis cost and driver
+    * footprint grow with history length). */
+  private def balancedUnion(pieces: Seq[DataFrame],
+      empty: DataFrame): DataFrame = {
+    if (pieces.isEmpty) return empty
+    var cur = pieces
+    while (cur.length > 1) {
+      cur = cur.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b)
+        case Seq(a) => a
+      }.toSeq
+    }
+    cur.head
+  }
+
+  /** One scan serving a RUN of contiguous insert-only versions: all
+    * the run's added files read at the run's last version (all still
+    * live there — nothing was removed or re-masked in between), each
+    * row stamped with ITS file's commit version/timestamp through a
+    * broadcast hash join on the tiny (file → version) mapping — O(1)
+    * per row, no shuffle, one plan branch per run instead of one per
+    * version. */
+  private def groupedInserts(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, table: Path,
+      run: Seq[(Long, Seq[String])], dataCols: Seq[String],
+      frame: StructType): DataFrame = {
+    import spark.implicits._
+    val scanV = run.last._1
+    val files = run.flatMap(_._2)
+    val stampRows: Seq[(String, Long, Option[Long])] = run.flatMap {
+      case (v, names) =>
+        val ts = GraftManifest.commitTimeMillis(fs, table, v)
+        names.map(n => (n, v, ts))
+    }
+    val stamps = stampRows.toDF("__cdf_file", "__cdf_v", "__cdf_ts")
+    val scan = restrictedScan(spark, path, scanV, files, withPos = false)
+      .withColumn("__cdf_file",
+        element_at(split(col(GraftFileColumn.Name), "/"), -1))
+    val have = scan.columns.toSet
+    scan.join(broadcast(stamps), "__cdf_file")
+      .select(frame.fields.toSeq.map { f =>
+        if (have.contains(f.name)) {
+          col(f.name).cast(f.dataType).as(f.name)
+        } else lit(null).cast(f.dataType).as(f.name)
+      } ++ Seq(
+        lit("insert").as(ChangeType),
+        col("__cdf_v").as(CommitVersion),
+        timestamp_millis(col("__cdf_ts")).as(CommitTimestamp)): _*)
   }
 
   // ---- internals ----

@@ -359,6 +359,59 @@ class CdfSpec extends SparkTestBase {
     assert(err.getMessage.contains("no manifests"))
   }
 
+  test("feed plan shape: 64 append versions coalesce into O(1) scans " +
+      "and non-groupable steps union as a balanced tree") {
+    val (wh, cat) = setup("shape")
+    val p = s"$wh/t"
+    import spark.implicits._
+    def planDepth(df: DataFrame): Int = {
+      def d(n: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+        1 + (if (n.children.isEmpty) 0
+             else n.children.map(c =>
+               d(c.asInstanceOf[org.apache.spark.sql.catalyst.trees
+                 .TreeNode[_]])).max)
+      d(df.queryExecution.logical)
+    }
+    // 64 consecutive appends (v1 = empty pre-state, v2..v65)
+    (1 to 1).map(_.toLong).toDF("id")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    (2 to 64).foreach { k =>
+      Seq(k.toLong).toDF("id")
+        .write.format("graft-v2").option("path", p)
+        .mode("append").save()
+    }
+    val all = feed(p, 1)
+    // one grouped scan serves the whole append run: depth stays far
+    // below one-node-per-version (a linear fold built 64+ levels)
+    val dAll = planDepth(all)
+    assert(dAll < 20, s"expected a coalesced plan, got depth $dAll")
+    assert(types(all) == Map("insert" -> 64L))
+    // per-version stamps survive the grouping
+    assert(all.select(GraftCdf.CommitVersion).distinct().count() == 64L)
+    assert(all.filter(col(GraftCdf.CommitVersion) === 30)
+      .select("id").as[Long].head == 29L)
+    assert(all.filter(col(GraftCdf.CommitTimestamp).isNull).count()
+      == 0L)
+    // non-groupable steps (DV deletes) interleaved with appends:
+    // pieces union as a balanced tree — depth grows ~log, not ~n
+    (1 to 8).foreach { k =>
+      spark.sql(s"DELETE FROM $cat.t WHERE id = ${k * 3}")
+      Seq((1000 + k).toLong).toDF("id")
+        .write.format("graft-v2").option("path", p)
+        .mode("append").save()
+    }
+    val mixed = feed(p, 1)
+    val dMixed = planDepth(mixed)
+    assert(dMixed < 40,
+      s"expected a balanced union over mixed steps, got depth $dMixed")
+    assert(types(mixed) ==
+      Map("insert" -> 72L, "delete" -> 8L))
+    assert(mixed.filter(col(GraftCdf.ChangeType) === "delete")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (1 to 8).map(_ * 3L))
+  }
+
   test("retention coupling: vacuum refuses to cut below a registered " +
       "consumer's mark; the override re-opens the fail-loud hole") {
     val (wh, _) = setup("retc")
