@@ -41,11 +41,19 @@ import org.apache.spark.util.SerializableConfiguration
   * A copy-on-write REWRITE (removed files replaced by residue — COW
   * DELETE/UPDATE boundaries, truncate-overwrites) is NOT
   * scan-expressible: netting carried-over rows needs the batch
-  * reconstruction's multiset difference. The stream fail-stops with
-  * guidance (consume that range via [[GraftCdf.tableChanges]] +
-  * `StreamOps.applyChanges`, or keep DML on the delta path, whose
-  * commits stream exactly). Same honesty contract as the plain
-  * tail's append-only guard.
+  * reconstruction's multiset difference. By default the stream
+  * fail-stops with guidance (consume that range via
+  * [[GraftCdf.tableChanges]] + `StreamOps.applyChanges`, or keep DML
+  * on the delta path, whose commits stream exactly). With
+  * `.option("cowFallback", "batch")` the stream DRAINS such a
+  * version itself: the batch reconstruction runs as a distributed
+  * job at planning time, its result lands in a
+  * `.graft-cdf-drain/v<N>` spill (never on the driver), and the
+  * micro-batch reads the spill — mixed delta+COW histories then
+  * stream end-to-end with exactly the batch feed's rows, at the cost
+  * of the rewrite-sized reconstruction job. Spills are swept when
+  * their version's batch commits. Same honesty contract as the plain
+  * tail's append-only guard: the default stays fail-stop.
   *
   * Retention: a version range whose manifests or archive files were
   * vacuumed before the batch executed fails with the retention
@@ -67,7 +75,8 @@ object GraftCdfStream {
   * only; the data schema is the table's resolved schema, change
   * metadata appended. */
 case class GraftCdfTableV2(path: String, dataSchema: StructType,
-    startingVersion: Long) extends Table with SupportsRead {
+    startingVersion: Long, cowFallback: String = "fail")
+    extends Table with SupportsRead {
   override def name(): String = s"graft-cdf:${path.split('/').last}"
   override def schema(): StructType = GraftCdfStream.feedSchema(dataSchema)
   override def capabilities(): util.Set[TableCapability] =
@@ -75,18 +84,19 @@ case class GraftCdfTableV2(path: String, dataSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
     override def build(): Scan = GraftCdfScan(path, dataSchema,
-      startingVersion)
+      startingVersion, cowFallback)
   }
 }
 
 case class GraftCdfScan(path: String, dataSchema: StructType,
-    startingVersion: Long) extends Scan {
+    startingVersion: Long, cowFallback: String = "fail") extends Scan {
   override def readSchema(): StructType =
     GraftCdfStream.feedSchema(dataSchema)
   override def description(): String = s"graft-cdf:$path"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new GraftCdfMicroBatchStream(path, dataSchema, startingVersion)
+    new GraftCdfMicroBatchStream(path, dataSchema, startingVersion,
+      cowFallback)
 }
 
 /** One change-feed partition: a raw row-group read plus the change
@@ -98,14 +108,57 @@ case class GraftCdfPartition(inner: GraftInputPartition,
     changeType: String, commitVersion: Long, commitTsMillis: Long,
     emitOnlyDv: String = null, emitOnlyPrevDv: String = null,
     emitRowStart: Long = 0L,
-    forceRow: Boolean = false) extends InputPartition
+    forceRow: Boolean = false,
+    drained: Boolean = false) extends InputPartition
 
 class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
-    startingVersion: Long) extends MicroBatchStream {
+    startingVersion: Long, cowFallback: String = "fail")
+    extends MicroBatchStream {
 
   private val hconf: Configuration = GraftHadoopConf.sessionConf()
   private val tdir = new Path(path)
   private val tfs = tdir.getFileSystem(hconf)
+
+  private val DrainDirName = ".graft-cdf-drain"
+  private def drainRoot = new Path(tdir, DrainDirName)
+  private def drainDir(v: Long) = new Path(drainRoot, f"v$v%010d")
+
+  /** Materialize version `v`'s batch-reconstructed changes into its
+    * drain spill (idempotent: a complete spill is reused; a torn one —
+    * crash between rename and marker — is rebuilt). The reconstruction
+    * is a DISTRIBUTED job whose output lands in parquet under the
+    * table; nothing rides the driver. Returns the spill's files. */
+  private def ensureDrained(v: Long): Seq[String] = {
+    val d = drainDir(v)
+    val marker = new Path(d, "_GRAFT_DRAINED")
+    if (!tfs.exists(marker)) {
+      val spark = SparkSession.active
+      val changes = GraftCdf.tableChanges(spark, path, v, v)
+      // align to THIS stream's pinned data schema (the feed schema is
+      // fixed at stream start; a column evolved mid-history reads
+      // NULL/cast exactly as the batch feed aligns it)
+      val have = changes.columns.toSet
+      import org.apache.spark.sql.functions.{col, lit}
+      val aligned = changes.select(
+        (dataSchema.fields.toSeq.map { f =>
+          if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } ++ Seq(col(GraftCdf.ChangeType), col(GraftCdf.CommitVersion),
+          col(GraftCdf.CommitTimestamp))): _*)
+      val tmp = new Path(drainRoot,
+        s".tmp-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      aligned.write.mode("overwrite").parquet(tmp.toString)
+      if (tfs.exists(d)) tfs.delete(d, true) // torn previous attempt
+      if (!tfs.rename(tmp, d)) {
+        // a concurrent planner drained it first: reuse theirs
+        tfs.delete(tmp, true)
+      }
+      if (!tfs.exists(marker)) tfs.create(marker, true).close()
+    }
+    tfs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+  }
 
   override def initialOffset(): Offset =
     // batches are version ranges (startV, endV]: beginning at version
@@ -135,6 +188,11 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
       : Array[InputPartition] = {
     val startV = start.asInstanceOf[GraftStreamOffset].logOffset
     val endV = end.asInstanceOf[GraftStreamOffset].logOffset
+    // spills at or below the committed start offset are done for good
+    // (Spark only advances start past durably committed batches) —
+    // sweep here too, because the engine's commit() callback for the
+    // LAST batch may not fire until the next trigger
+    sweepDrained(startV)
     if (endV <= startV) return Array.empty
     val retained = GraftManifest.versions(tfs, tdir).toSet
     val needed = (math.max(startV, 1L) to endV).filterNot(retained)
@@ -175,15 +233,30 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
         if (removed.nonEmpty && added.nonEmpty) {
           // a copy-on-write rewrite: carried-over rows can only be
           // netted out by the batch reconstruction's multiset diff
-          throw new IllegalStateException(
-            s"graft-cdf stream: version $v of $path rewrote files " +
-            s"(op=$op, ${removed.size} removed, ${added.size} added) — " +
-            "a rewrite's changes are not scan-expressible. Consume " +
-            "this range with GraftCdf.tableChanges (batch " +
-            "reconstruction nets the carried-over rows) and restart " +
-            "the stream past it, or keep DML on the delta path " +
-            "(deletion vectors), whose commits stream exactly")
-        }
+          if (cowFallback != "batch") {
+            throw new IllegalStateException(
+              s"graft-cdf stream: version $v of $path rewrote files " +
+              s"(op=$op, ${removed.size} removed, ${added.size} added) — " +
+              "a rewrite's changes are not scan-expressible. Consume " +
+              "this range with GraftCdf.tableChanges (batch " +
+              "reconstruction nets the carried-over rows) and restart " +
+              "the stream past it, set option(\"cowFallback\", " +
+              "\"batch\") to have the stream drain rewrites itself, " +
+              "or keep DML on the delta path (deletion vectors), " +
+              "whose commits stream exactly")
+          }
+          // drain: the batch reconstruction of exactly this version,
+          // spilled to parquet and served as this batch's partitions —
+          // the change rows ARE the spill's columns (stamps included)
+          val ts = GraftManifest.commitTimeMillis(tfs, tdir, v)
+            .getOrElse(-1L)
+          FooterCache.rowGroupsFor(ensureDrained(v)).foreach { rg =>
+            out += GraftCdfPartition(
+              GraftInputPartition(rg.file, rg.index, rg.startingPos,
+                rg.compressedBytes),
+              "drained", v, ts, drained = true)
+          }
+        } else {
 
         // pure appends / delta insert files: added rows verbatim
         groupsOf(added).foreach { rg =>
@@ -237,6 +310,7 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
               emitRowStart = starts.getOrElse((rg.file, rg.index), 0L))
           }
         }
+        }
       }
     }
     val parts = out.result()
@@ -245,6 +319,10 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
     // the whole batch row-based. Diffs only exist on the delta
     // path's FLAT tables, where the row reader handles every piece;
     // nested tables never get diffs and keep batch decode.
+    // (drained pieces stay columnar-capable: their spill carries the
+    // change metadata as real columns, and DV-diff pieces — the only
+    // row-forcers — exist only on flat tables, where the row reader
+    // can read a drained spill too)
     if (parts.exists {
         case p: GraftCdfPartition => p.emitOnlyDv != null
         case _ => false
@@ -259,24 +337,51 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     // vectorized-reader conf snapshot, same recipe as the batch scan
-    val vconf = spark.sessionState.newHadoopConf()
-    vconf.set("org.apache.spark.sql.parquet.row.requested_schema",
-      dataSchema.json)
-    vconf.set("parquet.read.support.class",
-      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-    vconf.setIfUnset("spark.sql.parquet.binaryAsString", "false")
-    vconf.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
-    vconf.setIfUnset("spark.sql.caseSensitive", "false")
-    vconf.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    vconf.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
+    def vconfFor(schema: StructType): Configuration = {
+      val vconf = spark.sessionState.newHadoopConf()
+      vconf.set("org.apache.spark.sql.parquet.row.requested_schema",
+        schema.json)
+      vconf.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+      vconf.setIfUnset("spark.sql.parquet.binaryAsString", "false")
+      vconf.setIfUnset("spark.sql.parquet.int96AsTimestamp", "true")
+      vconf.setIfUnset("spark.sql.caseSensitive", "false")
+      vconf.setIfUnset("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      vconf.setIfUnset("spark.sql.legacy.parquet.nanosAsLong", "false")
+      vconf
+    }
+    val feedSchema = GraftCdfStream.feedSchema(dataSchema)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     GraftCdfReaderFactory(dataSchema,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      GraftVectorReaderFactory(new SerializableConfiguration(vconf),
-        dataSchema, -1,
-        spark.sessionState.conf.sessionLocalTimeZone))
+      GraftVectorReaderFactory(
+        new SerializableConfiguration(vconfFor(dataSchema)),
+        dataSchema, -1, tz),
+      // drained spills (COW fallback) carry the change metadata as
+      // REAL columns — their columnar reads use the full feed schema
+      // and need no constant wrapping
+      GraftVectorReaderFactory(
+        new SerializableConfiguration(vconfFor(feedSchema)),
+        feedSchema, -1, tz))
   }
 
-  override def commit(end: Offset): Unit = () // the log is the state
+  private def sweepDrained(upToV: Long): Unit = {
+    if (tfs.exists(drainRoot)) {
+      tfs.listStatus(drainRoot).foreach { st =>
+        val n = st.getPath.getName
+        val done = n.startsWith("v") &&
+          scala.util.Try(n.drop(1).toLong).toOption.exists(_ <= upToV)
+        if (done) {
+          try tfs.delete(st.getPath, true) catch { case _: Throwable => () }
+        }
+      }
+    }
+  }
+
+  // the log is the state; a committed batch's drain spills (COW
+  // fallback) are no longer needed — sweep them
+  override def commit(end: Offset): Unit =
+    sweepDrained(end.asInstanceOf[GraftStreamOffset].logOffset)
   override def stop(): Unit = ()
 }
 
@@ -290,7 +395,8 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
   * keep batch decode. */
 case class GraftCdfReaderFactory(dataSchema: StructType,
     conf: SerializableConfiguration,
-    vectorFactory: GraftVectorReaderFactory)
+    vectorFactory: GraftVectorReaderFactory,
+    drainVectorFactory: GraftVectorReaderFactory)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
@@ -309,6 +415,7 @@ case class GraftCdfReaderFactory(dataSchema: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftCdfPartition]
+    if (p.drained) return drainVectorFactory.createColumnarReader(p.inner)
     val base = vectorFactory.createColumnarReader(p.inner)
     new PartitionReader[ColumnarBatch] {
       private var consts: Array[ConstantColumnVector] = _
@@ -352,8 +459,11 @@ class GraftCdfReader(p: GraftCdfPartition, dataSchema: StructType,
   // partition's own dvFile — the whole-file-delete mode — skips
   // before rows surface here, which is correct: those positions were
   // already deleted at the previous version and are not this
-  // commit's changes)
-  private val inner = new GraftRowGroupReader(p.inner, dataSchema,
+  // commit's changes). A DRAINED partition (COW fallback spill)
+  // carries the change metadata as real columns — read the full feed
+  // schema and emit rows as-is.
+  private val inner = new GraftRowGroupReader(p.inner,
+    if (p.drained) GraftCdfStream.feedSchema(dataSchema) else dataSchema,
     Array.empty, -1, conf = conf)
 
   private val diff: org.roaringbitmap.RoaringBitmap =
@@ -383,8 +493,9 @@ class GraftCdfReader(p: GraftCdfPartition, dataSchema: StructType,
     false
   }
 
-  override def get(): InternalRow = joined.withRight(const)
-    .withLeft(inner.get())
+  override def get(): InternalRow =
+    if (p.drained) inner.get()
+    else joined.withRight(const).withLeft(inner.get())
 
   override def close(): Unit = inner.close()
 }

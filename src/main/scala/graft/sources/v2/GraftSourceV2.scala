@@ -93,7 +93,10 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
         schema.fields.filterNot(f => metaNames.contains(f.name)))
       return GraftCdfTableV2(p, data,
         String.valueOf(properties.getOrDefault("startingVersion", "1"))
-          .toLong)
+          .toLong,
+        // "fail" (default) fail-stops on a COW rewrite; "batch" drains
+        // it through the batch reconstruction as a spill-backed batch
+        String.valueOf(properties.getOrDefault("cowFallback", "fail")))
     }
     // the bucket-layout marker travels with the data: path-based reads
     // honor it for BUCKET PRUNING. Key-grouped planning stays off here

@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestBase
 
 /** Change data feed reconstruction from the manifest log: inserts
@@ -357,6 +359,73 @@ class CdfSpec extends SparkTestBase {
       feed(bare, 1)
     }
     assert(err.getMessage.contains("no manifests"))
+  }
+
+  test("streaming change feed with cowFallback=batch drains a " +
+      "copy-on-write rewrite and matches the batch feed") {
+    val (wh, cat) = setup("sdrain")
+    val p = s"$wh/t"
+    import spark.implicits._
+    // nested payload → DML takes the COW path (file rewrites)
+    (1 to 30).map(i => (i.toLong, (i * 2L, s"s$i"))).toDF("id", "payload")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    spark.sql(s"DELETE FROM $cat.t WHERE id BETWEEN 5 AND 9")   // COW
+    // append with the table's own resolved schema (nullability and
+    // all) so the gate compares identical shapes
+    val tSchema = spark.table(s"$cat.t").schema
+    spark.createDataFrame(
+      java.util.List.copyOf((31 to 35).map(i =>
+        org.apache.spark.sql.Row(i.toLong,
+          org.apache.spark.sql.Row(i * 2L, s"s$i"))).asJava),
+      tSchema)
+      .write.format("graft-v2").option("path", p)
+      .mode("append").save()                                     // append
+    val sink = s"cdf_drain_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-v2").option("path", p)
+      .option("readChangeFeed", "true")
+      .option("cowFallback", "batch").load()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def byType: Map[String, Long] =
+        spark.table(sink).groupBy(GraftCdf.ChangeType).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the stream's total feed equals the batch reconstruction's
+      val batchTypes = types(feed(p, 1))
+      assert(byType == batchTypes,
+        s"stream $byType must equal batch $batchTypes")
+      assert(byType == Map("insert" -> 35L, "delete" -> 5L))
+      assert(spark.table(sink)
+        .filter(col(GraftCdf.ChangeType) === "delete")
+        .select("id").as[Long].collect().sorted.toSeq ==
+        (5L to 9L).toSeq)
+      // per-row equality on the drained version: same ids, versions
+      val sv = spark.table(sink)
+        .select("id", GraftCdf.ChangeType, GraftCdf.CommitVersion)
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      val bv = feed(p, 1)
+        .select("id", GraftCdf.ChangeType, GraftCdf.CommitVersion)
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(sv == bv)
+      // a LATER rewrite drains too — the stream keeps going across
+      // repeated COW versions (nested payload → every DELETE rewrites)
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 20")
+      q.processAllAvailable()
+      assert(byType("delete") == 6L)
+      // the later batch's planning sweeps spills of already-committed
+      // batches (the first rewrite's spill is gone; only the newest
+      // batch's spill may still await its commit callback)
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val drain = new org.apache.hadoop.fs.Path(p, ".graft-cdf-drain")
+      val spills =
+        if (!fs.exists(drain)) Seq.empty
+        else fs.listStatus(drain).toSeq.map(_.getPath.getName)
+      assert(!spills.contains("v0000000003"),
+        s"committed drain spills must be swept, got $spills")
+    } finally q.stop()
   }
 
   test("feed plan shape: 64 append versions coalesce into O(1) scans " +
