@@ -34,6 +34,7 @@ class GraftSource extends RelationProvider
       mode: SaveMode,
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
+    val checked = enforceChecks(data, path(parameters))
     parameters.get("replaceWhere") match {
       case Some(condSql) =>
         // Delta-style predicate overwrite through the writer syntax:
@@ -45,13 +46,39 @@ class GraftSource extends RelationProvider
           throw new IllegalArgumentException(
             s"graft: option 'replaceWhere' requires SaveMode.Overwrite, got $mode")
         }
-        GraftSink.replaceWhere(data, path(parameters), condSql)
+        GraftSink.replaceWhere(checked, path(parameters), condSql)
       case None =>
         // `truncate` option mirrors the reference's truncate-and-load vs
         // drop-and-recreate Overwrite split (ExtJdbcRelationProvider.scala:28-34).
-        GraftSink.saveAtomic(data, path(parameters), mode,
+        GraftSink.saveAtomic(checked, path(parameters), mode,
           truncate = parameters.getOrElse("truncate", "false").toBoolean)
     }
     createRelation(sqlContext, parameters)
+  }
+
+  /** CHECK-constraint enforcement for V1 path writes. The catalog's
+    * analyzer-side enforcement (`Table.constraints()` +
+    * `ResolveTableConstraints`) only covers V2 write plans; a
+    * `df.write.format("graft")` save used to land rows unvalidated on
+    * a constrained table. The guard is a single-pass filter whose
+    * predicate either evaluates `true` or raises — no extra scan of
+    * the input, stays inside codegen, and a NULL predicate passes per
+    * ANSI CHECK semantics. */
+  private def enforceChecks(data: DataFrame, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val checks = scala.util.Try(
+      graft.sources.v2.GraftCatalog.readChecks(
+        p.getFileSystem(
+          graft.sources.v2.GraftHadoopConf.sessionConf()), p))
+      .getOrElse(Nil).filter(_.enforced)
+    if (checks.isEmpty) data
+    else checks.foldLeft(data) { (df, c) =>
+      df.filter(
+        when(coalesce(expr(c.predicateSql), lit(true)), lit(true))
+          .otherwise(raise_error(lit(
+            s"graft: CHECK constraint '${c.name}' " +
+              s"(${c.predicateSql}) violated"))))
+    }
   }
 }

@@ -108,6 +108,17 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
       graft.sources.BucketLayout.read(
         path.getFileSystem(GraftHadoopConf.sessionConf()), path)
     }.toOption.flatten
+    // marker-recorded CHECK constraints ride the path-based table too:
+    // `ResolveTableConstraints` keys on `Table.constraints()`, not on
+    // how the relation was resolved, so a `format("graft-v2")
+    // .save(path)` append enforces the same invariants a catalog
+    // INSERT does — closing the bypass where a path write could land
+    // violating rows on a constrained table
+    val checks = scala.util.Try {
+      val path = new Path(p)
+      GraftCatalog.readChecks(
+        path.getFileSystem(GraftHadoopConf.sessionConf()), path)
+    }.getOrElse(Nil)
     GraftTableV2(p, schema,
       vectorized = !"false".equalsIgnoreCase(
         String.valueOf(properties.getOrDefault("vectorized", "true"))),
@@ -115,7 +126,8 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
         properties.getOrDefault("batchSize", "4096")).toInt,
       bucketSpec = spec, groupByBucket = false,
       versionAsOf = Option(properties.get("versionAsOf"))
-        .map(String.valueOf(_).toLong))
+        .map(String.valueOf(_).toLong),
+      checkConstraints = checks)
   }
 
   override def supportsExternalMetadata(): Boolean = true

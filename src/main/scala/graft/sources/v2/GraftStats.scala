@@ -57,11 +57,15 @@ object GraftStats {
     val aggs = count(lit(1)).as("__rows") +:
       fields.flatMap { f =>
         val c = f.name
-        Seq(approx_count_distinct(col(c)).as(s"__d_$c"),
-          count(col(c)).as(s"__n_$c")) ++
+        // Dataset.col on the raw name parses dots as nested access —
+        // quote so a top-level `a.b` (or other special-char) column
+        // resolves as itself
+        val ref = col("`" + c.replace("`", "``") + "`")
+        Seq(approx_count_distinct(ref).as(s"__d_$c"),
+          count(ref).as(s"__n_$c")) ++
           (if (lengthy(f)) Seq(
-            ceil(avg(length(col(c)))).cast("long").as(s"__al_$c"),
-            max(length(col(c))).cast("long").as(s"__ml_$c"))
+            ceil(avg(length(ref))).cast("long").as(s"__al_$c"),
+            max(length(ref)).cast("long").as(s"__ml_$c"))
           else Nil)
       }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
@@ -113,13 +117,24 @@ object GraftStats {
             .find(_.startsWith(s"$k=")).map(_.stripPrefix(s"$k=").toLong)
             .getOrElse(-1L)
           val cols = lines.filter(_.startsWith("col=")).flatMap { l =>
-            l.stripPrefix("col=").split(":") match {
-              case Array(c, d, n) =>
-                Some(c -> ColStat(d.toLong, n.toLong))
-              case Array(c, d, n, al, ml) =>
-                Some(c -> ColStat(d.toLong, n.toLong,
-                  al.toLong, ml.toLong))
-              case _ => None
+            // the name is written first and may itself contain ':' —
+            // the stat fields are the LAST 2 (or, for length-bearing
+            // columns, 4) numeric fields, so parse from the right
+            val parts = l.stripPrefix("col=").split(":", -1)
+            def num(s: String) = s.nonEmpty && s.matches("-?\\d+")
+            val statCount =
+              if (parts.length >= 5 && parts.takeRight(4).forall(num)) 4
+              else if (parts.length >= 3 && parts.takeRight(2).forall(num)) 2
+              else 0
+            if (statCount == 0) None
+            else {
+              val name = parts.dropRight(statCount).mkString(":")
+              parts.takeRight(statCount).map(_.toLong) match {
+                case Array(d, n) => Some(name -> ColStat(d, n))
+                case Array(d, n, al, ml) =>
+                  Some(name -> ColStat(d, n, al, ml))
+                case _ => None
+              }
             }
           }.toMap
           Some(TableStats(meta("version"), meta("rows"), cols))

@@ -646,6 +646,61 @@ class CatalogSpec extends SparkTestBase {
       e6.getMessage.toLowerCase.contains("nope"), e6.getMessage)
   }
 
+  test("ANALYZE: special-character column names (dots) resolve as " +
+      "top-level columns, and the sidecar round-trips them") {
+    val _ = warehouse
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stats-dots").toString
+    Seq((1L, "aa"), (2L, "bb"), (2L, null))
+      .toDF("a.b", "s:x").write.format("graft-v2")
+      .mode("overwrite").save(dir)
+    val stats = graft.sources.v2.GraftStats.analyze(spark, dir)
+    assert(stats.rows == 3L)
+    assert(stats.cols("a.b").distinct == 2L)
+    assert(stats.cols("s:x").nulls == 1L)
+    assert(stats.cols("s:x").avgLen == 2L)
+    // the sidecar parse recovers the colon-bearing name
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val rt = graft.sources.v2.GraftStats.read(
+      p.getFileSystem(graft.sources.v2.GraftHadoopConf.sessionConf()), p)
+    assert(rt.exists(_.cols.keySet == Set("a.b", "s:x")), rt.toString)
+    assert(rt.get.cols("s:x").maxLen == 2L)
+  }
+
+  test("CHECK constraints: path-based V2 and V1 writes enforce the " +
+      "marker constraints too (no catalog bypass)") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ckp")
+    spark.sql("CREATE TABLE graft.ckp.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.ckp.t VALUES (1, 10)")
+    spark.sql("ALTER TABLE graft.ckp.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val dir = s"$warehouse/ckp/t"
+    import spark.implicits._
+    // V2 path write: violating append refused before any row lands
+    val e1 = intercept[Exception] {
+      Seq((2L, -5L)).toDF("id", "v").write.format("graft-v2")
+        .mode("append").save(dir)
+    }
+    assert(e1.getMessage.toLowerCase.contains("check") ||
+      e1.getMessage.contains("v_pos"), e1.getMessage)
+    assert(spark.table("graft.ckp.t").count() == 1L)
+    // V1 path write: same refusal
+    val e2 = intercept[Exception] {
+      Seq((3L, -7L)).toDF("id", "v").write.format("graft")
+        .mode("append").save(dir)
+    }
+    assert(e2.getMessage.toLowerCase.contains("check") ||
+      e2.getMessage.contains("v_pos"), e2.getMessage)
+    assert(spark.table("graft.ckp.t").count() == 1L)
+    // conforming rows land through both; NULL passes (CHECK semantics)
+    Seq((2L, 20L)).toDF("id", "v").write.format("graft-v2")
+      .mode("append").save(dir)
+    Seq((3L, Option.empty[Long])).toDF("id", "v").write.format("graft")
+      .mode("append").save(dir)
+    assert(spark.table("graft.ckp.t").count() == 3L)
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only schema evolution") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ev")
