@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
 private[v2] object GraftProcedures {
 
   val Names: Set[String] =
-    Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze")
+    Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
+      "history")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -60,6 +61,9 @@ private[v2] object GraftProcedures {
         case "analyze" =>
           "one-pass per-column distinct/null counts for the cost-based " +
           "optimizer, persisted beside the table"
+        case "history" =>
+          "the table's commit log, newest first: one row per retained " +
+          "version with its timestamp, operation, and file/DV deltas"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -152,6 +156,46 @@ private[v2] object GraftProcedures {
               StructField("columns_analyzed", IntegerType, false),
               StructField("at_version", LongType, false))),
             Array(ts.rows, ts.cols.size, ts.version)))
+        case "history" =>
+          // a metadata-only walk of the retained manifest log —
+          // bounded by the vacuum window, never touches data files.
+          // File deltas diff each snapshot against its predecessor;
+          // the oldest retained version reports its full file set as
+          // added (its true predecessor may be vacuumed).
+          val vs = GraftManifest.versions(fs, dir)
+          val snaps = vs.map(v => GraftManifest.read(fs, dir, v))
+          val logRows: Array[InternalRow] =
+            snaps.zipWithIndex.reverse.map { case (s, i) =>
+              val prev = if (i == 0) None else Some(snaps(i - 1))
+              val prevNames = prev.map(_.names.toSet).getOrElse(Set.empty)
+              val names = s.names.toSet
+              val ts = GraftManifest
+                .commitTimeMillis(fs, dir, s.version)
+              new GenericInternalRow(Array[Any](
+                s.version,
+                ts.map(_ * 1000L).getOrElse(null),
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  GraftManifest.opOf(fs, dir, s.version)
+                    .getOrElse("unknown")),
+                names.size,
+                (names -- prevNames).size,
+                (prevNames -- names).size,
+                s.dvs.size,
+                (s.dvs.toSet -- prev.map(_.dvs.toSet)
+                  .getOrElse(Set.empty)).size))
+            }.toArray
+          one(new LocalScan {
+            override def readSchema(): StructType = StructType(Seq(
+              StructField("version", LongType, false),
+              StructField("timestamp", TimestampType, true),
+              StructField("operation", StringType, false),
+              StructField("num_files", IntegerType, false),
+              StructField("added_files", IntegerType, false),
+              StructField("removed_files", IntegerType, false),
+              StructField("dv_files", IntegerType, false),
+              StructField("changed_dvs", IntegerType, false)))
+            override def rows(): Array[InternalRow] = logRows
+          })
         case other => throw new IllegalStateException(
           s"graft: unknown procedure $other")
       }

@@ -668,6 +668,47 @@ class CatalogSpec extends SparkTestBase {
     assert(rt.get.cols("s:x").maxLen == 2L)
   }
 
+  test("CALL history: one row per retained version, newest first, " +
+      "with operation and file/DV deltas") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hist")
+    spark.sql("CREATE TABLE graft.hist.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.hist.t SELECT id, id FROM range(0, 100)")
+    // the manifest log bootstraps at the first versioned commit (the
+    // DELETE); the pre-manifest insert shows as the bootstrap version
+    spark.sql("DELETE FROM graft.hist.t WHERE id = 5")
+    spark.sql("INSERT INTO graft.hist.t SELECT id, id FROM range(100, 200)")
+    val h = spark.sql("CALL graft.system.history(table => 'hist.t')")
+      .collect()
+    assert(h.length >= 3, h.mkString("\n"))
+    // newest first, versions strictly descending
+    val versions = h.map(_.getLong(0))
+    assert(versions.toSeq == versions.sorted.reverse.toSeq)
+    // the manifest-era append added files, removed none, has a time
+    val app = h.head
+    assert(app.getString(2) == "append", app.toString)
+    assert(app.getInt(4) > 0, s"append added no files? $app")
+    assert(app.getInt(5) == 0, s"append removed files? $app")
+    assert(!app.isNullAt(1), s"append missing timestamp: $app")
+    // the delete commit grew a DV, removed no files
+    val del = h(1)
+    assert(del.getString(2) == "delete", del.toString)
+    assert(del.getInt(7) == 1, s"expected one changed DV: $del")
+    assert(del.getInt(5) == 0, s"delete should remove no files: $del")
+    // the bootstrap version reports its full file set as added
+    val boot = h.last
+    assert(boot.getInt(3) == boot.getInt(4), boot.toString)
+    // maintenance shows as its own operation and reshuffles files
+    spark.sql("CALL graft.system.compact(table => 'hist.t')")
+    val h2 = spark.sql("CALL graft.system.history(table => 'hist.t')")
+      .collect()
+    assert(h2.head.getString(2) == "maintenance", h2.head.toString)
+    assert(h2.head.getInt(5) > 0, s"compact removed no files? ${h2.head}")
+    // compact may land as two maintenance versions (DV
+    // materialization, then the merge)
+    assert(h2.length > h.length)
+  }
+
   test("CHECK constraints: path-based V2 and V1 writes enforce the " +
       "marker constraints too (no catalog bypass)") {
     val _ = warehouse
