@@ -97,6 +97,16 @@ private[v2] object GraftProcedures {
           .comment("comma-separated cluster columns").build(),
         ProcedureParameter.in("target_mb", IntegerType)
           .defaultValue("128").build())
+      case "analyze" => Array(tableParam,
+        ProcedureParameter.in("histogram_bins", IntegerType)
+          .defaultValue("0")
+          .comment("equi-height histogram buckets over numeric " +
+            "columns (0 = NDV/null counts only)").build(),
+        ProcedureParameter.in("if_stale_fraction", DoubleType)
+          .defaultValue("0.0")
+          .comment("skip when the row count drifted less than this " +
+            "fraction since the last analyze — makes scheduled " +
+            "re-analyze a metadata no-op on quiet tables").build())
       case _ => Array(tableParam)
     }
 
@@ -149,13 +159,25 @@ private[v2] object GraftProcedures {
               StructField("files_materialized", IntegerType, false))),
             Array(n)))
         case "analyze" =>
-          val ts = GraftStats.analyze(spark, dir.toString)
-          one(resultScan(
-            StructType(Seq(
-              StructField("rows", LongType, false),
-              StructField("columns_analyzed", IntegerType, false),
-              StructField("at_version", LongType, false))),
-            Array(ts.rows, ts.cols.size, ts.version)))
+          val bins = input.getInt(1)
+          val ifStale = input.getDouble(2)
+          val schema = StructType(Seq(
+            StructField("rows", LongType, false),
+            StructField("columns_analyzed", IntegerType, false),
+            StructField("at_version", LongType, false),
+            StructField("refreshed", BooleanType, false)))
+          val skip = ifStale > 0 &&
+            GraftStats.staleness(spark, dir.toString).exists(_ < ifStale)
+          if (skip) {
+            val prior = GraftStats.read(fs, dir).get
+            one(resultScan(schema,
+              Array(prior.rows, prior.cols.size, prior.version, false)))
+          } else {
+            val ts = GraftStats.analyze(spark, dir.toString,
+              histogramBins = bins)
+            one(resultScan(schema,
+              Array(ts.rows, ts.cols.size, ts.version, true)))
+          }
         case "history" =>
           // a metadata-only walk of the retained manifest log —
           // bounded by the vacuum window, never touches data files.

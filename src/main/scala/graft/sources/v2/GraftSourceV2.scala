@@ -826,7 +826,21 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       scala.util.Try(GraftStats.read(
         new Path(path).getFileSystem(GraftHadoopConf.sessionConf()),
-        new Path(path))).toOption.flatten.foreach { ts =>
+        new Path(path))).toOption.flatten
+        // drift gate: when the table's row count has moved past
+        // `spark.graft.stats.maxDrift` (fraction, default 1.0 = 100%)
+        // since the sidecar was computed, WITHHOLD the aged column
+        // stats rather than feed CBO numbers that are now wrong-shaped
+        // — numRows above stays footer-exact either way
+        .filter { ts =>
+          val maxDrift = scala.util.Try(SparkSession.active.conf
+            .get("spark.graft.stats.maxDrift", "1.0").toDouble)
+            .getOrElse(1.0)
+          maxDrift <= 0 ||
+            math.abs(fr - ts.rows).toDouble /
+              math.max(ts.rows, 1L) <= maxDrift
+        }
+        .foreach { ts =>
         projectedSchema.fieldNames.foreach { c =>
           ts.cols.get(c).foreach { cs =>
             m.put(org.apache.spark.sql.connector.expressions
@@ -843,6 +857,28 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
                 override def maxLen(): java.util.OptionalLong =
                   if (cs.maxLen < 0) java.util.OptionalLong.empty()
                   else java.util.OptionalLong.of(cs.maxLen)
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats
+                      .Histogram] =
+                  cs.hist match {
+                    case None => java.util.Optional.empty()
+                    case Some(h) => java.util.Optional.of(
+                      new org.apache.spark.sql.connector.read.colstats
+                        .Histogram {
+                        override def height(): Double = h.height
+                        override def bins(): Array[
+                            org.apache.spark.sql.connector.read
+                              .colstats.HistogramBin] =
+                          h.bins.map { b =>
+                            new org.apache.spark.sql.connector.read
+                              .colstats.HistogramBin {
+                              override def lo(): Double = b.lo
+                              override def hi(): Double = b.hi
+                              override def ndv(): Long = b.ndv
+                            }
+                          }.toArray
+                      })
+                  }
               })
           }
         }

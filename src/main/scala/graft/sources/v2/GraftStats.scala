@@ -31,17 +31,69 @@ object GraftStats {
   val FileName = ".graft-stats"
   private val Header = "graft-stats-1"
 
+  /** One equi-height histogram bin: values in [lo, hi] with `ndv`
+    * approximate distincts inside the bin. */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+  /** Equi-height histogram over a numeric column: every bin holds
+    * ~`height` non-null rows. What CBO's range-predicate selectivity
+    * estimation consumes (`EstimationUtils` interpolates inside the
+    * boundary bins instead of assuming a uniform [min, max]). */
+  final case class Hist(height: Double, bins: Seq[HistBin])
+
   /** `avgLen`/`maxLen` are -1 for non-length-bearing types (numeric
     * widths are implied by the type; CBO row-size estimation only
     * needs measured lengths for strings/binaries). */
   final case class ColStat(distinct: Long, nulls: Long,
-      avgLen: Long = -1L, maxLen: Long = -1L)
+      avgLen: Long = -1L, maxLen: Long = -1L,
+      hist: Option[Hist] = None)
   final case class TableStats(version: Long, rows: Long,
       cols: Map[String, ColStat])
 
-  /** One aggregate pass over the CURRENT table state; persists and
-    * returns the stats. */
-  def analyze(spark: SparkSession, path: String): TableStats = {
+  /** Approximate CURRENT logical row count from footers minus
+    * deletion-vector cardinality — driver-side metadata only, no job.
+    * What the staleness checks compare the sidecar's recorded rows
+    * against. */
+  def currentRows(spark: SparkSession, path: String): Long = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(GraftHadoopConf.sessionConf())
+    GraftManifest.current(fs, table) match {
+      case Some(snap) =>
+        val groups = FooterCache.rowGroupsFor(
+          snap.names.map(n => new Path(table, n).toString))
+        val raw = groups.map(_.rowCount).sum
+        if (snap.dvs.isEmpty) raw
+        else math.max(0L, raw - DeleteVectors.cardinality(
+          table, snap.dvs.values, GraftHadoopConf.sessionConf()))
+      case None =>
+        FooterCache.rowGroups(path).map(_.rowCount).sum
+    }
+  }
+
+  /** Fraction the table's row count has drifted from the sidecar's
+    * recorded rows (0 = fresh; None when no sidecar exists). */
+  def staleness(spark: SparkSession, path: String): Option[Double] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(GraftHadoopConf.sessionConf())
+    read(fs, table).map { ts =>
+      val now = currentRows(spark, path)
+      math.abs(now - ts.rows).toDouble / math.max(ts.rows, 1L)
+    }
+  }
+
+  /** One aggregate pass over the CURRENT table state (two with
+    * histograms); persists and returns the stats.
+    *
+    * `histogramBins > 0` adds equi-height histograms over numeric
+    * columns, the way Spark's own `ANALYZE ... FOR COLUMNS` does with
+    * `spark.sql.statistics.histogram.enabled`: pass 1 piggybacks an
+    * `approx_percentile` per numeric column onto the existing
+    * aggregate (bin boundaries at i/bins quantiles), pass 2 counts
+    * per-bin distincts with `ApproxCountDistinctForIntervals` over
+    * all columns at once. Two scans total regardless of column
+    * count. */
+  def analyze(spark: SparkSession, path: String,
+      histogramBins: Int = 0): TableStats = {
     val table = new Path(path)
     val fs = table.getFileSystem(GraftHadoopConf.sessionConf())
     val df = spark.read.format("graft-v2").option("path", path).load()
@@ -52,6 +104,10 @@ object GraftStats {
     val cols = fields.map(_.name)
     def lengthy(f: StructField): Boolean = f.dataType match {
       case StringType | BinaryType => true
+      case _ => false
+    }
+    def histEligible(f: StructField): Boolean = f.dataType match {
+      case _: NumericType => true
       case _ => false
     }
     val aggs = count(lit(1)).as("__rows") +:
@@ -66,7 +122,13 @@ object GraftStats {
           (if (lengthy(f)) Seq(
             ceil(avg(length(ref))).cast("long").as(s"__al_$c"),
             max(length(ref)).cast("long").as(s"__ml_$c"))
-          else Nil)
+          else Nil) ++
+          (if (histogramBins > 0 && histEligible(f)) {
+            val pcts = (0 to histogramBins)
+              .map(i => lit(i.toDouble / histogramBins))
+            Seq(percentile_approx(ref.cast(DoubleType),
+              array(pcts: _*), lit(10000)).as(s"__p_$c"))
+          } else Nil)
       }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getAs[Long]("__rows")
@@ -74,13 +136,52 @@ object GraftStats {
       if (row.schema.fieldNames.contains(name) && !row.isNullAt(
           row.fieldIndex(name))) row.getAs[Long](name)
       else -1L
+    // pass 2 (histograms only): per-bin distinct counts for every
+    // numeric column whose quantile boundaries pass 1 produced, in
+    // ONE aggregate over the same scan
+    val hists: Map[String, Hist] =
+      if (histogramBins <= 0) Map.empty
+      else {
+        val eligible = fields.filter(histEligible).flatMap { f =>
+          val c = f.name
+          val idx = row.fieldIndex(s"__p_$c")
+          if (row.isNullAt(idx)) None // all-NULL column: no histogram
+          else Some(c -> row.getSeq[Double](idx))
+        }.filter(_._2.length == histogramBins + 1)
+        if (eligible.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+          import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          val ndvAggs = eligible.map { case (c, eps) =>
+            val child = ColumnBridge.expression(
+              col("`" + c.replace("`", "``") + "`").cast(DoubleType))
+            ColumnBridge.column(
+              ApproxCountDistinctForIntervals(child,
+                CreateArray(eps.map(e =>
+                  Literal(e): org.apache.spark.sql.catalyst.expressions
+                    .Expression)))
+                .toAggregateExpression()).as(s"__h_$c")
+          }
+          val hrow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+          eligible.map { case (c, eps) =>
+            val ndvs = hrow.getSeq[Long](hrow.fieldIndex(s"__h_$c"))
+            val nonNull = row.getAs[Long](s"__n_$c") // count() = non-null
+            val bins = eps.sliding(2).zip(ndvs.iterator).map {
+              case (Seq(lo, hi), ndv) => HistBin(lo, hi, ndv)
+            }.toSeq
+            c -> Hist(nonNull.toDouble / histogramBins, bins)
+          }.toMap
+        }
+      }
     val stats = TableStats(
       GraftManifest.current(fs, table).map(_.version).getOrElse(0L),
       rows,
       cols.map(c => c -> ColStat(
         row.getAs[Long](s"__d_$c"),
         rows - row.getAs[Long](s"__n_$c"),
-        optLen(s"__al_$c"), optLen(s"__ml_$c"))).toMap)
+        optLen(s"__al_$c"), optLen(s"__ml_$c"),
+        hists.get(c))).toMap)
     write(fs, table, stats)
     stats
   }
@@ -91,6 +192,13 @@ object GraftStats {
       s"rows=${stats.rows}") ++
       stats.cols.toSeq.sortBy(_._1).map { case (c, s) =>
         s"col=$c:${s.distinct}:${s.nulls}:${s.avgLen}:${s.maxLen}"
+      } ++
+      stats.cols.toSeq.sortBy(_._1).flatMap { case (c, s) =>
+        // `hist=<name>:<height>:<lo>,<hi>,<ndv>;...` — the bin spec
+        // and height never contain ':', so the name (which may) is
+        // everything before the last two ':'-separated fields
+        s.hist.map(h => s"hist=$c:${h.height}:" +
+          h.bins.map(b => s"${b.lo},${b.hi},${b.ndv}").mkString(";"))
       }
     val out = fs.create(new Path(table, FileName), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
@@ -137,7 +245,27 @@ object GraftStats {
               }
             }
           }.toMap
-          Some(TableStats(meta("version"), meta("rows"), cols))
+          val hists = lines.filter(_.startsWith("hist=")).flatMap { l =>
+            val v = l.stripPrefix("hist=")
+            val iBins = v.lastIndexOf(':')
+            val iHeight = if (iBins <= 0) -1
+              else v.lastIndexOf(':', iBins - 1)
+            if (iHeight <= 0) None
+            else scala.util.Try {
+              val name = v.substring(0, iHeight)
+              val height = v.substring(iHeight + 1, iBins).toDouble
+              val bins = v.substring(iBins + 1).split(";").toSeq
+                .map(_.split(",")).collect {
+                  case Array(lo, hi, ndv) =>
+                    HistBin(lo.toDouble, hi.toDouble, ndv.toLong)
+                }
+              name -> Hist(height, bins)
+            }.toOption
+          }.toMap
+          val withHists = cols.map { case (c, s) =>
+            c -> s.copy(hist = hists.get(c))
+          }
+          Some(TableStats(meta("version"), meta("rows"), withHists))
         }
       }
     }.toOption.flatten

@@ -646,6 +646,100 @@ class CatalogSpec extends SparkTestBase {
       e6.getMessage.toLowerCase.contains("nope"), e6.getMessage)
   }
 
+  test("ANALYZE histograms: equi-height bins persist, reach the " +
+      "scan's reported stats, and feed catalyst ColumnStat") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hg")
+    spark.sql("CREATE TABLE graft.hg.t (id BIGINT, v BIGINT, s STRING)")
+    // skew: v concentrates near 0 so equi-height bins are NOT
+    // equi-width — the thing histograms exist to capture
+    spark.sql("INSERT INTO graft.hg.t SELECT id, " +
+      "CAST(pow(id, 2) / 100 AS BIGINT), CAST(id AS STRING) " +
+      "FROM range(0, 1000)")
+    val res = spark.sql("CALL graft.system.analyze(table => 'hg.t', " +
+      "histogram_bins => 8)").collect()
+    assert(res(0).getLong(0) == 1000L && res(0).getBoolean(3))
+    // sidecar round-trip
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/hg/t")
+    val ts = graft.sources.v2.GraftStats.read(
+      dir.getFileSystem(
+        graft.sources.v2.GraftHadoopConf.sessionConf()), dir).get
+    val vh = ts.cols("v").hist.get
+    assert(vh.bins.length == 8)
+    assert(math.abs(vh.height - 125.0) < 1.0, vh.toString)
+    // equi-height over x^2/100: the first bins must be much narrower
+    // than the last
+    val first = vh.bins.head.hi - vh.bins.head.lo
+    val last = vh.bins.last.hi - vh.bins.last.lo
+    assert(last > first * 3, s"expected skewed widths: $vh")
+    assert(vh.bins.forall(b => b.lo <= b.hi && b.ndv >= 0))
+    // strings carry no histogram
+    assert(ts.cols("s").hist.isEmpty)
+    // the scan reports it through V2 ColumnStatistics...
+    val scan = spark.table("graft.hg.t").queryExecution.optimizedPlan
+      .collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.head
+    val cstats = scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsReportStatistics].estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val vStat = cstats.asScala.collectFirst {
+      case (k, v) if k.fieldNames().sameElements(Array("v")) => v
+    }.get
+    assert(vStat.histogram().isPresent)
+    assert(vStat.histogram().get().bins().length == 8)
+    // ...and transformV2Stats lands it in catalyst ColumnStat
+    val attrStats = spark.table("graft.hg.t").queryExecution
+      .optimizedPlan.stats.attributeStats
+    val vAttr = attrStats.toSeq.collectFirst {
+      case (a, st) if a.name == "v" => st
+    }.get
+    assert(vAttr.histogram.isDefined)
+    assert(vAttr.histogram.get.bins.length == 8)
+  }
+
+  test("ANALYZE staleness: if_stale_fraction skips quiet tables; " +
+      "maxDrift withholds aged column stats from the scan") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+    spark.sql("CREATE TABLE graft.st.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.st.t SELECT id, id FROM range(0, 100)")
+    spark.sql("CALL graft.system.analyze(table => 'st.t')")
+    // quiet table: scheduled re-analyze is a metadata no-op
+    val r1 = spark.sql("CALL graft.system.analyze(table => 'st.t', " +
+      "if_stale_fraction => 0.2)").collect()(0)
+    assert(!r1.getBoolean(3), r1.toString)
+    // churn past the fraction: re-analyze actually runs
+    spark.sql("INSERT INTO graft.st.t SELECT id, id FROM range(100, 200)")
+    val r2 = spark.sql("CALL graft.system.analyze(table => 'st.t', " +
+      "if_stale_fraction => 0.2)").collect()(0)
+    assert(r2.getBoolean(3), r2.toString)
+    assert(r2.getLong(0) == 200L)
+    // drift gate: grow the table far past maxDrift without re-analyze
+    spark.sql("INSERT INTO graft.st.t SELECT id, id FROM range(200, 600)")
+    def scanColStats() = {
+      val scan = spark.table("graft.st.t").queryExecution.optimizedPlan
+        .collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.scan
+        }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    }
+    spark.conf.set("spark.graft.stats.maxDrift", "0.5")
+    try {
+      val withheld = scanColStats()
+      assert(withheld.columnStats().isEmpty,
+        "aged stats should be withheld past maxDrift")
+      // numRows stays footer-exact regardless
+      assert(withheld.numRows().getAsLong == 600L)
+      // re-analyze restores them
+      spark.sql("CALL graft.system.analyze(table => 'st.t')")
+      assert(!scanColStats().columnStats().isEmpty)
+    } finally spark.conf.unset("spark.graft.stats.maxDrift")
+  }
+
   test("ANALYZE: special-character column names (dots) resolve as " +
       "top-level columns, and the sidecar round-trips them") {
     val _ = warehouse
