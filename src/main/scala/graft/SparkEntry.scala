@@ -888,6 +888,54 @@ object SparkEntry {
     * version 1 is aggregated per change type. The oracle replays the
     * same four change sets from the base projection. Sums use exact
     * DECIMAL arithmetic so the aggregation is order-independent. */
+  /** Bloom-index point lookup end-to-end
+    * ([[graft.sources.v2.BloomIndex]]): scratch documents copy in
+    * THREE appends sliced by `doc_id % 3` — every file spans the
+    * whole id range, so footer min/max cannot prune a point lookup
+    * and only the bloom index can. Build the index, run an IN lookup
+    * whose keys all share one residue class (one file), and REQUIRE
+    * the planning statistics show the scan actually shrank — the
+    * guard that the hash-matched rows came through the pruned path. */
+  private val qBloomLookup: Q = (s, dir) => {
+    val tag = "bloom" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag/documents"
+    val tdir = new org.apache.hadoop.fs.Path(path)
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    (0 until 3).foreach { r =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === r).repartition(1)
+        .write.format("graft-v2").mode("append").save(path)
+    }
+    // tight fpp: the prune-factor guard below must not trip on a
+    // false positive (outcome is deterministic per dataset, but each
+    // sf dir is a different dataset)
+    graft.sources.v2.BloomIndex.build(s, path, Seq("doc_id"),
+      fpp = 0.0001)
+    val table = s.read.format("graft-v2").load(path)
+    def plannedRows(df: DataFrame): Long = {
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+        .numRows().getAsLong
+    }
+    // all keys ≡ 0 (mod 3): one file holds them all
+    val q = table.filter(col("doc_id").isin(9L, 123L, 402L))
+      .orderBy(col("doc_id"))
+    val full = plannedRows(table)
+    val pruned = plannedRows(q)
+    require(pruned * 2 <= full,
+      s"q_bloom_lookup: expected the bloom index to prune the scan " +
+        s"(planned $pruned of $full rows)")
+    q
+  }
+
   private val qCdf: Q = (s, dir) => {
     val tag = "cdf" + java.lang.Integer.toHexString(dir.hashCode) +
       "_" + ProcessHandle.current().pid()
@@ -988,6 +1036,7 @@ object SparkEntry {
     "q_dv_delete" -> qDvDelete,
     "q_time_travel" -> qTimeTravel,
     "q_cdf" -> qCdf,
+    "q_bloom_lookup" -> qBloomLookup,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
     "q_merge_upsert" -> qMergeUpsert,
@@ -1521,6 +1570,9 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS price_sum
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_lookup" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (9, 123, 402) ORDER BY doc_id""".stripMargin,
     "q_interval_join" ->
       """SELECT i.user_id AS user_id, i.ts AS imp_ts, c.ts AS click_ts
         |FROM events i JOIN events c ON i.user_id = c.user_id

@@ -512,6 +512,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           p -> (if (l == from) to else l)
         }
         mapping = ColumnMapping(repointed + (from -> to), mapping.drops)
+        // the bloom index is keyed by LOGICAL name: drop the old
+        // name's sidecars so a future column re-using it can never
+        // match another column's filters (the index is an
+        // optimization — dropping is always safe)
+        BloomIndex.drop(fs, dir, from)
         StructType(sch.fields.updated(idx,
           sch.fields(idx).copy(name = to)))
       case (sch, del: TableChange.DeleteColumn) =>
@@ -539,6 +544,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         mapping = ColumnMapping(
           mapping.renames.filterNot { case (_, l) => l == name },
           mapping.drops ++ physicals)
+        // same logical-name hygiene as RENAME: a re-added column must
+        // not inherit the dropped column's bloom sidecars
+        BloomIndex.drop(fs, dir, name)
         StructType(sch.fields.filterNot(_.name == name))
       case (sch, ut: TableChange.UpdateColumnType) =>
         def fail(why: String): Nothing =

@@ -30,7 +30,7 @@ private[v2] object GraftProcedures {
 
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
-      "history")
+      "history", "bloom_index")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -64,6 +64,10 @@ private[v2] object GraftProcedures {
         case "history" =>
           "the table's commit log, newest first: one row per retained " +
           "version with its timestamp, operation, and file/DV deltas"
+        case "bloom_index" =>
+          "build (or incrementally extend) per-file bloom filters on " +
+          "the given columns so equality/IN predicates prune files; " +
+          "drop => true removes the columns' index instead"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -97,6 +101,14 @@ private[v2] object GraftProcedures {
           .comment("comma-separated cluster columns").build(),
         ProcedureParameter.in("target_mb", IntegerType)
           .defaultValue("128").build())
+      case "bloom_index" => Array(tableParam,
+        ProcedureParameter.in("columns", StringType)
+          .comment("comma-separated columns to index").build(),
+        ProcedureParameter.in("fpp", DoubleType)
+          .defaultValue("0.03")
+          .comment("false-positive probability per file").build(),
+        ProcedureParameter.in("drop", BooleanType)
+          .defaultValue("false").build())
       case "analyze" => Array(tableParam,
         ProcedureParameter.in("histogram_bins", IntegerType)
           .defaultValue("0")
@@ -177,6 +189,27 @@ private[v2] object GraftProcedures {
               histogramBins = bins)
             one(resultScan(schema,
               Array(ts.rows, ts.cols.size, ts.version, true)))
+          }
+        case "bloom_index" =>
+          val cols = input.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val fpp = input.getDouble(2)
+          val dropIt = input.getBoolean(3)
+          val schema = StructType(Seq(
+            StructField("files_indexed", IntegerType, false),
+            StructField("files_already_indexed", IntegerType, false),
+            StructField("columns", StringType, false)))
+          if (dropIt) {
+            cols.foreach(c => BloomIndex.drop(fs, dir, c))
+            one(resultScan(schema, Array(0, 0,
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                cols.mkString(",") + " (dropped)"))))
+          } else {
+            val (n, already) =
+              BloomIndex.build(spark, dir.toString, cols, fpp)
+            one(resultScan(schema, Array(n, already,
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                cols.mkString(",")))))
           }
         case "history" =>
           // a metadata-only walk of the retained manifest log —

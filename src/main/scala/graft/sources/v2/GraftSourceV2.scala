@@ -735,18 +735,32 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     // Path construction throw); an unparseable value matches no file
     allowed.flatMap(s => scala.util.Try(new Path(s).getName).toOption)
 
-  @transient private lazy val scanRowGroups: Seq[FooterCache.RowGroupMeta] =
-    (snapshot, fileAllow) match {
+  @transient private lazy val scanRowGroups: Seq[FooterCache.RowGroupMeta] = {
+    val base: Seq[String] = (snapshot, fileAllow) match {
       case (_, Some(allowed)) =>
         // `_file` pruning cuts the list BEFORE footer work: only the
         // named files' footers are ever opened
         val names = fileNameSet(allowed)
-        val base = snapshot.getOrElse(FooterCache.filePaths(path))
-        FooterCache.rowGroupsFor(
-          base.filter(p => names.contains(new Path(p).getName)))
-      case (Some(files), None) => FooterCache.rowGroupsFor(files)
-      case (None, None) => FooterCache.rowGroups(path)
+        snapshot.getOrElse(FooterCache.filePaths(path))
+          .filter(p => names.contains(new Path(p).getName))
+      case (Some(files), None) => files
+      case (None, None) => FooterCache.filePaths(path)
     }
+    // bloom-index prune ([[BloomIndex]]): pushed equality/IN
+    // conjuncts on indexed columns drop files whose per-file filter
+    // says the value set is definitely absent — ALSO before footer
+    // work. No-op (None) on un-indexed tables/predicates; files
+    // without a sidecar always survive.
+    val files = scala.util.Try(BloomIndex.prune(SparkSession.active,
+        path, base.map(p => new Path(p).getName), filters.toSeq,
+        projectedSchema)).toOption.flatten match {
+      case Some(keep) =>
+        val ks = keep.toSet
+        base.filter(p => ks.contains(new Path(p).getName))
+      case None => base
+    }
+    FooterCache.rowGroupsFor(files)
+  }
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
