@@ -936,6 +936,43 @@ object SparkEntry {
     q
   }
 
+  /** Materialized-view incremental maintenance end-to-end
+    * ([[graft.sources.v2.GraftMv]]): scratch orders copy, aggregate
+    * MV over it, then a DELETE on the source and a refresh that must
+    * take the PARTIAL path — change feed names the touched groups,
+    * only they are recomputed, and one atomic replaceWhere swaps
+    * them. The refreshed MV hash-matches the oracle's aggregation of
+    * the post-delete source. */
+  private val qMvRefresh: Q = (s, dir) => {
+    val tag = "mv" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag"
+    val cat = s"graft_dml_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = s"$wh/orders"
+    val mv = s"$wh/orders_by_status"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(mv), true)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.format("graft-v2").option("changelog", "true")
+      .option("path", src).mode("append").save()
+    graft.sources.v2.GraftMv.createAggregate(s, src, mv,
+      keys = Seq("o_orderstatus"),
+      aggs = Seq("cnt" -> "count(*)",
+        "total" ->
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"))
+    s.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 10 = 3")
+    val r = graft.sources.v2.GraftMv.refresh(s, mv)
+    require(r.mode == "partial",
+      s"q_mv_refresh: expected the affected-group partial path, got $r")
+    graft.sources.v2.GraftMv.read(s, mv).orderBy(col("o_orderstatus"))
+  }
+
   private val qCdf: Q = (s, dir) => {
     val tag = "cdf" + java.lang.Integer.toHexString(dir.hashCode) +
       "_" + ProcessHandle.current().pid()
@@ -1037,6 +1074,7 @@ object SparkEntry {
     "q_time_travel" -> qTimeTravel,
     "q_cdf" -> qCdf,
     "q_bloom_lookup" -> qBloomLookup,
+    "q_mv_refresh" -> qMvRefresh,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
     "q_merge_upsert" -> qMergeUpsert,
@@ -1573,6 +1611,12 @@ object SparkEntry {
     "q_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (9, 123, 402) ORDER BY doc_id""".stripMargin,
+    "q_mv_refresh" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE NOT (o_orderkey % 10 = 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_interval_join" ->
       """SELECT i.user_id AS user_id, i.ts AS imp_ts, c.ts AS click_ts
         |FROM events i JOIN events c ON i.user_id = c.user_id

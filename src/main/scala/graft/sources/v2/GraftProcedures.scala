@@ -30,7 +30,7 @@ private[v2] object GraftProcedures {
 
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
-      "history", "bloom_index")
+      "history", "bloom_index", "mv_refresh")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -68,6 +68,10 @@ private[v2] object GraftProcedures {
           "build (or incrementally extend) per-file bloom filters on " +
           "the given columns so equality/IN predicates prune files; " +
           "drop => true removes the columns' index instead"
+        case "mv_refresh" =>
+          "bring a materialized view up to its source's current " +
+          "version (change-feed incremental / affected-group partial " +
+          "recompute / full, whichever the history allows)"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -190,6 +194,17 @@ private[v2] object GraftProcedures {
             one(resultScan(schema,
               Array(ts.rows, ts.cols.size, ts.version, true)))
           }
+        case "mv_refresh" =>
+          val r = GraftMv.refresh(spark, dir.toString)
+          one(resultScan(
+            StructType(Seq(
+              StructField("refresh_mode", StringType, false),
+              StructField("from_version", LongType, false),
+              StructField("to_version", LongType, false),
+              StructField("affected_groups", LongType, false))),
+            Array(org.apache.spark.unsafe.types.UTF8String
+              .fromString(r.mode),
+              r.fromVersion, r.toVersion, r.affectedGroups)))
         case "bloom_index" =>
           val cols = input.getUTF8String(1).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -702,24 +702,24 @@ class CatalogSpec extends SparkTestBase {
   test("ANALYZE staleness: if_stale_fraction skips quiet tables; " +
       "maxDrift withholds aged column stats from the scan") {
     val _ = warehouse
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
-    spark.sql("CREATE TABLE graft.st.t (id BIGINT, v BIGINT)")
-    spark.sql("INSERT INTO graft.st.t SELECT id, id FROM range(0, 100)")
-    spark.sql("CALL graft.system.analyze(table => 'st.t')")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.stale")
+    spark.sql("CREATE TABLE graft.stale.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.stale.t SELECT id, id FROM range(0, 100)")
+    spark.sql("CALL graft.system.analyze(table => 'stale.t')")
     // quiet table: scheduled re-analyze is a metadata no-op
-    val r1 = spark.sql("CALL graft.system.analyze(table => 'st.t', " +
+    val r1 = spark.sql("CALL graft.system.analyze(table => 'stale.t', " +
       "if_stale_fraction => 0.2)").collect()(0)
     assert(!r1.getBoolean(3), r1.toString)
     // churn past the fraction: re-analyze actually runs
-    spark.sql("INSERT INTO graft.st.t SELECT id, id FROM range(100, 200)")
-    val r2 = spark.sql("CALL graft.system.analyze(table => 'st.t', " +
+    spark.sql("INSERT INTO graft.stale.t SELECT id, id FROM range(100, 200)")
+    val r2 = spark.sql("CALL graft.system.analyze(table => 'stale.t', " +
       "if_stale_fraction => 0.2)").collect()(0)
     assert(r2.getBoolean(3), r2.toString)
     assert(r2.getLong(0) == 200L)
     // drift gate: grow the table far past maxDrift without re-analyze
-    spark.sql("INSERT INTO graft.st.t SELECT id, id FROM range(200, 600)")
+    spark.sql("INSERT INTO graft.stale.t SELECT id, id FROM range(200, 600)")
     def scanColStats() = {
-      val scan = spark.table("graft.st.t").queryExecution.optimizedPlan
+      val scan = spark.table("graft.stale.t").queryExecution.optimizedPlan
         .collect {
           case r: org.apache.spark.sql.execution.datasources.v2
               .DataSourceV2ScanRelation => r.scan
@@ -727,7 +727,7 @@ class CatalogSpec extends SparkTestBase {
       scan.asInstanceOf[org.apache.spark.sql.connector.read
         .SupportsReportStatistics].estimateStatistics()
     }
-    spark.conf.set("spark.graft.stats.maxDrift", "0.5")
+    spark.conf.set("spark.graft.staleats.maxDrift", "0.5")
     try {
       val withheld = scanColStats()
       assert(withheld.columnStats().isEmpty,
@@ -735,9 +735,9 @@ class CatalogSpec extends SparkTestBase {
       // numRows stays footer-exact regardless
       assert(withheld.numRows().getAsLong == 600L)
       // re-analyze restores them
-      spark.sql("CALL graft.system.analyze(table => 'st.t')")
+      spark.sql("CALL graft.system.analyze(table => 'stale.t')")
       assert(!scanColStats().columnStats().isEmpty)
-    } finally spark.conf.unset("spark.graft.stats.maxDrift")
+    } finally spark.conf.unset("spark.graft.staleats.maxDrift")
   }
 
   test("ANALYZE: special-character column names (dots) resolve as " +
