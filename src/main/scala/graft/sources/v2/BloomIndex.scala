@@ -245,7 +245,11 @@ object BloomIndex {
       case EqualTo(c, v) if idxCols.contains(c) && v != null =>
         byName.get(c).flatMap(dt =>
           hashLiteral(v, dt).map(h => c -> Seq(h)))
-      case In(c, vs) if idxCols.contains(c) && vs.nonEmpty =>
+      // cap: a runtime DPP key set can be huge; past this size the
+      // per-file probe cost (values x files until a hit) outweighs
+      // the IO it saves, and min/max row-group pruning still applies
+      case In(c, vs) if idxCols.contains(c) && vs.nonEmpty &&
+          vs.length <= 8192 =>
         byName.get(c).flatMap { dt =>
           val nonNull = vs.filter(_ != null)
           if (nonNull.isEmpty) None

@@ -572,7 +572,33 @@ object GraftManifest {
               st.getModificationTime < horizon)
             .map(_.getPath)
         }
-      archiveDoomed ++ dvDoomed ++ drop.map(versionPath(table, _))
+      // bloom-index sidecars ([[BloomIndex]]) key on the data-file
+      // NAME: once no retained version (nor the live listing — a
+      // manifest-free bootstrap dir has data the manifests don't
+      // know) references the file, its per-column blooms are orphans.
+      // Same grace window as DVs: a sidecar a racing build just wrote
+      // for a not-yet-committed file survives until the CAS lands.
+      val bloomRoot = new Path(table, BloomIndex.Dir)
+      val bloomDoomed =
+        if (!fs.exists(bloomRoot)) Seq.empty[Path]
+        else {
+          val live = referenced ++ scala.util.Try(
+            fs.listStatus(table).toSeq.map(_.getPath.getName)
+              .filter(n => n.endsWith(".parquet") && !n.startsWith(".")))
+            .getOrElse(Seq.empty)
+          val horizon = nowMillis - dvGraceMillis
+          fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory)
+            .flatMap(d => scala.util.Try(
+              fs.listStatus(d.getPath).toSeq).getOrElse(Seq.empty))
+            .filter { st =>
+              val n = st.getPath.getName
+              n.endsWith(".bloom") &&
+                !live.contains(n.stripSuffix(".bloom")) &&
+                st.getModificationTime < horizon
+            }.map(_.getPath)
+        }
+      archiveDoomed ++ dvDoomed ++ bloomDoomed ++
+        drop.map(versionPath(table, _))
     }
     doomed.foreach(p => fs.delete(p, false))
   }

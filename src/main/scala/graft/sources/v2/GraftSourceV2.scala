@@ -948,10 +948,26 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           names.contains(new Path(rg.file).getName))
       case None => scanRowGroups
     }
+    // runtime (DPP-style) equality/IN sets bloom-prune FILES too — a
+    // selective dim join's built key set drops every fact file whose
+    // filter proves the keys absent, the lookup-join analog of the
+    // planning-time prune in scanRowGroups (which already handled the
+    // pushed filters; only the runtime arrivals are probed here)
+    val bloomGroups =
+      if (runtimeFilters.isEmpty) groups
+      else scala.util.Try(BloomIndex.prune(SparkSession.active, path,
+          groups.map(rg => new Path(rg.file).getName).distinct,
+          runtimeFilters.toSeq, projectedSchema)).toOption.flatten match {
+        case Some(keep) =>
+          val ks = keep.toSet
+          groups.filter(rg => ks.contains(new Path(rg.file).getName))
+        case None => groups
+      }
     val pruning = filters ++ runtimeFilters
     val kept =
-      if (pruning.isEmpty) groups
-      else groups.filter(rg => pruning.forall(RowGroupPruning.mayMatch(_, rg)))
+      if (pruning.isEmpty) bloomGroups
+      else bloomGroups.filter(rg =>
+        pruning.forall(RowGroupPruning.mayMatch(_, rg)))
     // bucket pruning: a point/in/null predicate (planning-time or
     // runtime DPP) on the bucket key narrows the scan to the buckets
     // its values hash into — 1/n of the table per point, independent

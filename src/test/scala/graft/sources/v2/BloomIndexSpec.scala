@@ -112,6 +112,60 @@ class BloomIndexSpec extends SparkTestBase {
     assert(df.filter(col("v") === 777777L).count() == 0L)
   }
 
+  test("runtime (DPP-style) IN filters bloom-prune files at " +
+      "planInputPartitions time") {
+    val dir = freshDir("rt")
+    threeFileTable(dir)
+    BloomIndex.build(spark, dir, Seq("k"), fpp = 0.0001)
+    val df = spark.read.format("graft-v2").load(dir)
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.head
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .Batch]
+    val all = batch.planInputPartitions().length
+    assert(all >= 3)
+    // a runtime IN over keys of ONE file (as a joined build side
+    // would deliver) prunes the other files' partitions
+    scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k",
+          Array("key_010_1", "key_020_1"))))
+    val pruned = batch.planInputPartitions().length
+    assert(pruned < all, s"runtime bloom prune: $pruned vs $all")
+  }
+
+  test("vacuum sweeps bloom sidecars orphaned by compaction, keeps " +
+      "live ones") {
+    val dir = freshDir("vac")
+    threeFileTable(dir)
+    // a manifest must exist for vacuum to act on
+    GraftCdf.enableChangeFeed(spark, dir)
+    BloomIndex.build(spark, dir, Seq("k"))
+    val p = new Path(dir)
+    val fs = p.getFileSystem(GraftHadoopConf.sessionConf())
+    val bloomDir = new Path(new Path(p, BloomIndex.Dir),
+      java.net.URLEncoder.encode("k", "UTF-8"))
+    def blooms(): Set[String] = fs.listStatus(bloomDir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".bloom")).toSet
+    val before = blooms()
+    assert(before.size == 3)
+    // compaction replaces the files -> the old sidecars are orphans
+    graft.sources.GraftSink.compact(spark, dir)
+    GraftManifest.vacuum(fs, p, keepVersions = 1, dvGraceMillis = 0L)
+    val after = blooms()
+    assert(after.intersect(before).isEmpty,
+      s"orphaned sidecars should be swept: kept ${after.intersect(before)}")
+    // the compacted file is un-indexed until the next build; rebuild
+    // indexes exactly the new files and lookups stay correct
+    val (n, already) = BloomIndex.build(spark, dir, Seq("k"))
+    assert(n >= 1 && already == 0, s"($n, $already)")
+    val df = spark.read.format("graft-v2").load(dir)
+    assert(df.filter(col("k") === "key_042_1").count() == 1L)
+  }
+
   test("CALL bloom_index + DDL hygiene: rename/drop column removes " +
       "the stale index") {
     val wh = freshDir("cat")
