@@ -321,6 +321,44 @@ object ScaleProbe {
         f""""x_after":$x1,"y_after":$y1}""")
     }
 
+    // bloom-index probe: a POINT LOOKUP on hash-distributed keys at
+    // the inflated scale — every file spans the whole key range, so
+    // footer min/max prunes nothing and the bloom sidecars are the
+    // only thing standing between the lookup and a full-table scan
+    locally {
+      val dir = Files.createTempDirectory("graft-scale-bloom")
+        .resolve("t").toString
+      Tables.t(spark, scaled, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(24).write.format("graft-v2")
+        .mode("append").save(dir)
+      val keys = Seq(1L, 4242L, 99991L)
+      def lookupOnce(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.format("graft-v2").load(dir)
+          .filter(col("l_orderkey").isin(keys: _*))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def plannedParts(): Int =
+        spark.read.format("graft-v2").load(dir)
+          .filter(col("l_orderkey").isin(keys: _*))
+          .rdd.getNumPartitions
+      val tCold = math.min(lookupOnce(), lookupOnce())
+      val pBefore = plannedParts()
+      val tb0 = System.nanoTime()
+      graft.sources.v2.BloomIndex.build(spark, dir, Seq("l_orderkey"),
+        fpp = 0.001)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      val tIdx = math.min(lookupOnce(), lookupOnce())
+      val pAfter = plannedParts()
+      println(f"""{"q":"bloom_point_lookup","t_full":$tCold%.2f,""" +
+        f""""t_indexed":$tIdx%.2f,""" +
+        f""""ratio":${tIdx / math.max(tCold, 0.001)}%.2f,""" +
+        f""""t_build":$tBuild%.2f,""" +
+        f""""parts_before":$pBefore,"parts_after":$pAfter}""")
+    }
+
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

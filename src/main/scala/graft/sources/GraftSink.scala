@@ -201,6 +201,8 @@ object GraftSink {
       // write must produce a version ([[graft.sources.v2.GraftManifest]];
       // no-op for never-mutated tables)
       graft.sources.v2.GraftManifest.refreshIfPresent(fs, target)
+      // auto-maintained bloom indexes cover the new files immediately
+      graft.sources.v2.BloomIndex.autoExtend(df.sparkSession, dir)
     } finally {
       if (!stagingConsumed) fs.delete(staging, true)
     }
@@ -581,6 +583,9 @@ object GraftSink {
       // compaction reshuffles files without changing any logical row
       graft.sources.v2.GraftManifest.refreshIfPresent(fs, target,
         op = "maintenance")
+      // compaction replaced files: auto-maintained bloom indexes
+      // re-cover the merged output (old sidecars become vacuum food)
+      graft.sources.v2.BloomIndex.autoExtend(spark, dir)
       (small.length, written)
     } finally fs.delete(staging, true)
   }
@@ -701,6 +706,9 @@ object GraftSink {
             graft.sources.v2.GraftCatalog.ColumnMapping.empty)
         }
       }
+      // clustering rewrote every file: auto-maintained bloom indexes
+      // re-cover the output immediately
+      graft.sources.v2.BloomIndex.autoExtend(spark, dir)
       (all.length, written)
     } finally fs.delete(staging, true)
   }

@@ -69,8 +69,11 @@ object BloomIndex {
   private def colDir(table: Path, col: String): Path =
     new Path(new Path(table, Dir), enc(col))
 
-  /** Columns with a standing index (decoded logical names). */
-  def indexedColumns(fs: FileSystem, table: Path): Seq[String] = {
+  /** One indexed column's recorded settings. */
+  final case class ColIndex(col: String, fpp: Double, auto: Boolean)
+
+  /** The standing per-column index metadata. */
+  def indexMeta(fs: FileSystem, table: Path): Seq[ColIndex] = {
     val root = new Path(table, Dir)
     if (!Try(fs.exists(root)).getOrElse(false)) Nil
     else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
@@ -88,10 +91,35 @@ object BloomIndex {
           if (lines.headOption.forall(_ != MetaHeader)) None
           else lines.find(_.startsWith("col="))
             .map(_.stripPrefix("col="))
+            .map(c => ColIndex(c,
+              lines.find(_.startsWith("fpp="))
+                .flatMap(l => Try(l.stripPrefix("fpp=").toDouble)
+                  .toOption).getOrElse(0.03),
+              lines.contains("auto=1")))
         }
       }.toOption.flatten
     }
   }
+
+  /** Columns with a standing index (decoded logical names). */
+  def indexedColumns(fs: FileSystem, table: Path): Seq[String] =
+    indexMeta(fs, table).map(_.col)
+
+  /** Incrementally extend every AUTO-maintained column index to cover
+    * the table's current files. The post-commit hook the write paths
+    * call: one `exists` RPC when the table has no index at all, a
+    * no-op listing when nothing is missing, and only the NEW files
+    * are read otherwise (the same incremental [[build]]). Failures
+    * never fail the commit that triggered them — the index is an
+    * optimization and un-indexed files are conservatively kept. */
+  def autoExtend(spark: SparkSession, path: String): Unit =
+    try {
+      val table = new Path(path)
+      val fs = table.getFileSystem(GraftHadoopConf.sessionConf())
+      indexMeta(fs, table).filter(_.auto).foreach { ci =>
+        build(spark, path, Seq(ci.col), ci.fpp, auto = true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Drop a column's index (rename/drop DDL, or operator choice). */
   def drop(fs: FileSystem, table: Path, col: String): Boolean =
@@ -103,11 +131,15 @@ object BloomIndex {
     * restricted to them via `_file` pruning, so an append-then-build
     * cycle pays one pass over the new files only. */
   def build(spark: SparkSession, path: String, columns: Seq[String],
-      fpp: Double = 0.03): (Int, Int) = {
+      fpp: Double = 0.03, auto: Boolean = false): (Int, Int) = {
     require(columns.nonEmpty, "bloom index: no columns given")
     require(fpp > 0 && fpp < 1, s"bloom index: fpp out of (0,1): $fpp")
     val table = new Path(path)
     val fs = table.getFileSystem(GraftHadoopConf.sessionConf())
+    // a standing auto flag is sticky: a manual incremental re-run
+    // must not silently turn auto-maintenance off
+    val standing = indexMeta(fs, table)
+      .map(ci => ci.col -> ci.auto).toMap
     val dataFiles: Seq[String] =
       GraftManifest.current(fs, table).map(_.names).getOrElse(
         FooterCache.filePaths(path).map(p => new Path(p).getName))
@@ -121,10 +153,11 @@ object BloomIndex {
       val dir = colDir(table, c)
       fs.mkdirs(dir)
       val metaP = new Path(dir, MetaName)
-      if (!fs.exists(metaP)) {
+      val wantAuto = auto || standing.getOrElse(c, false)
+      if (!fs.exists(metaP) || wantAuto != standing.getOrElse(c, false)) {
         val out = fs.create(metaP, true)
-        try out.write(
-          s"$MetaHeader\ncol=$c\nfpp=$fpp".getBytes("UTF-8"))
+        try out.write((s"$MetaHeader\ncol=$c\nfpp=$fpp" +
+          (if (wantAuto) "\nauto=1" else "")).getBytes("UTF-8"))
         finally out.close()
       }
       val have: Set[String] = fs.listStatus(dir).toSeq

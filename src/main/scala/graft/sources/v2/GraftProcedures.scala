@@ -112,7 +112,11 @@ private[v2] object GraftProcedures {
           .defaultValue("0.03")
           .comment("false-positive probability per file").build(),
         ProcedureParameter.in("drop", BooleanType)
-          .defaultValue("false").build())
+          .defaultValue("false").build(),
+        ProcedureParameter.in("auto", BooleanType)
+          .defaultValue("false")
+          .comment("auto-extend the index after every write/compaction " +
+            "so new files are covered immediately").build())
       case "analyze" => Array(tableParam,
         ProcedureParameter.in("histogram_bins", IntegerType)
           .defaultValue("0")
@@ -220,8 +224,8 @@ private[v2] object GraftProcedures {
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 cols.mkString(",") + " (dropped)"))))
           } else {
-            val (n, already) =
-              BloomIndex.build(spark, dir.toString, cols, fpp)
+            val (n, already) = BloomIndex.build(spark, dir.toString,
+              cols, fpp, auto = input.getBoolean(4))
             one(resultScan(schema, Array(n, already,
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 cols.mkString(",")))))

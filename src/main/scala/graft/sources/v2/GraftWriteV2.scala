@@ -619,6 +619,13 @@ class GraftBatchWriteV2(path: String, schema: StructType,
           preserveMapping = true)
       case _ => ()
     }
+    // auto-maintained bloom indexes ([[BloomIndex.autoExtend]]): the
+    // freshly committed files get their sidecars NOW, so an indexed
+    // table never carries an un-indexed tail between manual builds.
+    // One exists-RPC when the table has no index; never fails the
+    // commit
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+      BloomIndex.autoExtend(s, path))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

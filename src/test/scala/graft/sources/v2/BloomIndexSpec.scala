@@ -166,6 +166,42 @@ class BloomIndexSpec extends SparkTestBase {
     assert(df.filter(col("k") === "key_042_1").count() == 1L)
   }
 
+  test("auto-maintenance: an auto index covers files from later " +
+      "writes and compactions without a manual rebuild") {
+    val dir = freshDir("auto")
+    threeFileTable(dir)
+    BloomIndex.build(spark, dir, Seq("k"), fpp = 0.0001, auto = true)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(GraftHadoopConf.sessionConf())
+    assert(BloomIndex.indexMeta(fs, p).exists(ci =>
+      ci.col == "k" && ci.auto))
+    // a V2 append auto-extends: the absent-key prune covers the NEW
+    // file too (an un-indexed file would have survived and kept the
+    // planned rows > 0)
+    import spark.implicits._
+    Seq(("key_fresh", 1L)).toDF("k", "v").repartition(1)
+      .write.format("graft-v2").mode("append").save(dir)
+    val df = spark.read.format("graft-v2").load(dir)
+    assert(scanRows(df.filter(col("k") === "nope")) == 0L,
+      "append should have auto-extended the index")
+    assert(df.filter(col("k") === "key_fresh").count() == 1L)
+    // compaction re-covers the merged output
+    graft.sources.GraftSink.compact(spark, dir, smallBytes = Long.MaxValue)
+    assert(scanRows(spark.read.format("graft-v2").load(dir)
+      .filter(col("k") === "nope")) == 0L,
+      "compact should have auto-extended the index")
+    // a manual incremental re-run keeps the sticky auto flag
+    BloomIndex.build(spark, dir, Seq("k"))
+    assert(BloomIndex.indexMeta(fs, p).exists(ci =>
+      ci.col == "k" && ci.auto))
+    // a V1 append auto-extends too
+    Seq(("key_v1", 2L)).toDF("k", "v").repartition(1)
+      .write.format("graft").mode("append").save(dir)
+    assert(scanRows(spark.read.format("graft-v2").load(dir)
+      .filter(col("k") === "nope")) == 0L,
+      "V1 append should have auto-extended the index")
+  }
+
   test("CALL bloom_index + DDL hygiene: rename/drop column removes " +
       "the stale index") {
     val wh = freshDir("cat")
