@@ -156,11 +156,26 @@ object GraftMv {
           RefreshSummary("full", d.applied + 1, cur, affected.length)
         } else {
           val cond = affectedPredicate(d.keys, affected)
-          val recomputed = aggregateQuery(spark, d.source, d.keys,
-            d.aggs, restrict = Some(cond))
-          graft.sources.GraftSink.replaceWhere(recomputed, mvPath, cond)
-          RefreshSummary("partial", d.applied + 1, cur,
-            affected.length)
+          deltaPlan(spark, d) match {
+            case Some(kinds) =>
+              // PURE ADDITIVE DELTA: every aggregate is sum/count-
+              // decomposable, so the change feed alone (+insert/post,
+              // -delete/pre) updates the affected groups — the SOURCE
+              // IS NEVER SCANNED. count(*) doubles as the liveness
+              // counter: a group netting to zero rows is dropped.
+              val merged = deltaMerge(spark, d, mvPath, kinds,
+                changes, cond)
+              graft.sources.GraftSink.replaceWhere(merged, mvPath, cond)
+              RefreshSummary("delta", d.applied + 1, cur,
+                affected.length)
+            case None =>
+              val recomputed = aggregateQuery(spark, d.source, d.keys,
+                d.aggs, restrict = Some(cond))
+              graft.sources.GraftSink.replaceWhere(recomputed, mvPath,
+                cond)
+              RefreshSummary("partial", d.applied + 1, cur,
+                affected.length)
+          }
         }
       case other => throw new IllegalStateException(
         s"graft-mv: unknown mode '$other' in $mvPath/$FileName")
@@ -213,6 +228,88 @@ object GraftMv {
     val aggCols = aggs.map { case (alias, sql) => expr(sql).as(alias) }
     scoped.groupBy(keys.map(k => col(quote(k))): _*)
       .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** One decomposable aggregate of a delta-capable MV. */
+  private sealed trait AggKind { def alias: String }
+  private final case class CountStar(alias: String) extends AggKind
+  private final case class CountCol(alias: String, col: String)
+      extends AggKind
+  private final case class SumCol(alias: String, col: String)
+      extends AggKind
+
+  private val CountStarRe =
+    """(?i)^\s*count\s*\(\s*\*\s*\)\s*$""".r
+  private val CountColRe =
+    """(?i)^\s*count\s*\(\s*`?([\w.]+)`?\s*\)\s*$""".r
+  private val SumColRe =
+    """(?i)^\s*sum\s*\(\s*`?([\w.]+)`?\s*\)\s*$""".r
+
+  /** The additive-delta plan, when sound:
+    *  - every aggregate is `count(*)`, `count(col)` or `sum(col)`
+    *    (plain column argument — expressions fall back to recompute);
+    *  - at least one `count(*)` exists (the liveness counter that
+    *    detects a group netting to zero rows);
+    *  - every SUMMED column is non-nullable in the source schema
+    *    (`sum` over a live group that holds only NULLs is NULL, which
+    *    additive math cannot distinguish from 0 — `count(col)` has no
+    *    such edge and stays allowed on nullable columns). */
+  private def deltaPlan(spark: SparkSession,
+      d: MvDef): Option[Seq[AggKind]] = Try {
+    val kinds = d.aggs.map { case (alias, sql) =>
+      sql match {
+        case CountStarRe() => CountStar(alias)
+        case CountColRe(c) => CountCol(alias, c)
+        case SumColRe(c) => SumCol(alias, c)
+        case _ => return None
+      }
+    }
+    if (!kinds.exists(_.isInstanceOf[CountStar])) return None
+    val schema = spark.read.format("graft-v2").load(d.source).schema
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val sound = kinds.forall {
+      case SumCol(_, c) => byName.get(c).exists(!_.nullable)
+      case CountCol(_, c) => byName.contains(c)
+      case _ => true
+    }
+    if (sound) Some(kinds) else None
+  }.toOption.flatten
+
+  /** The affected groups' NEW rows from current MV values + signed
+    * feed deltas — no source scan. Output columns cast to the MV's
+    * exact schema so replaceWhere's type check holds. */
+  private def deltaMerge(spark: SparkSession, d: MvDef,
+      mvPath: String, kinds: Seq[AggKind], changes: DataFrame,
+      cond: String): DataFrame = {
+    val Sign = "__mv_sign"
+    val signed = changes.withColumn(Sign,
+      when(col(GraftCdf.ChangeType).isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L)))
+    val deltaAggs = kinds.map {
+      case CountStar(a) => sum(col(Sign)).as(a)
+      case CountCol(a, c) =>
+        sum(when(col(quote(c)).isNotNull, col(Sign)).otherwise(lit(0L)))
+          .as(a)
+      case SumCol(a, c) =>
+        // negate via when() so the summed TYPE stays the column's
+        // (a sign multiply would promote decimals)
+        sum(when(col(Sign) === 1L, col(quote(c)))
+          .otherwise(col(quote(c)) * lit(-1))).as(a)
+    }
+    val delta = signed.groupBy(d.keys.map(k => col(quote(k))): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val mv = read(spark, mvPath).filter(expr(cond))
+    val joined = mv.as("m").join(delta.as("d"), d.keys, "full_outer")
+    val liveness = kinds.collectFirst { case CountStar(a) => a }.get
+    val mvSchema = mv.schema
+    def mergedCol(a: String) = {
+      val m = col(s"m.${quote(a)}"); val dd = col(s"d.${quote(a)}")
+      when(m.isNull, dd).when(dd.isNull, m).otherwise(m + dd)
+        .cast(mvSchema(a).dataType).as(a)
+    }
+    val keyCols = d.keys.map(k => col(quote(k)))
+    joined.select(keyCols ++ kinds.map(k => mergedCol(k.alias)): _*)
+      .filter(col(quote(liveness)) > 0)
   }
 
   /** `(k1 = v1 AND k2 = v2) OR ...` over the affected key tuples —

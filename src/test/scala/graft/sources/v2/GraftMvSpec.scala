@@ -104,6 +104,54 @@ class GraftMvSpec extends SparkTestBase {
     assert(sortedRows(GraftMv.read(spark, mv)) == sortedRows(expected))
   }
 
+  test("aggregate MV: sum/count MVs refresh by pure additive delta " +
+      "(no source scan), exactly matching recompute") {
+    val src = fresh("dsrc"); val mv = fresh("dmv") + "/mv"
+    writeSource(src, 0, 100)
+    GraftMv.createAggregate(spark, src, mv,
+      keys = Seq("grp"),
+      aggs = Seq("cnt" -> "count(*)", "total" -> "sum(amt)",
+        "n_amt" -> "count(amt)"))
+    def expected: DataFrame = spark.read.format("graft-v2").load(src)
+      .groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
+        sum(col("amt")).as("total"), count(col("amt")).as("n_amt"))
+    val cat = "gmvd"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      new Path(src).getParent.toString)
+    val tbl = s"$cat.`${new Path(src).getName}`"
+    spark.sql(s"DELETE FROM $tbl WHERE grp = 'g1' AND id < 30")
+    spark.sql(s"UPDATE $tbl SET amt = amt + 100 WHERE grp = 'g2'")
+    val r1 = GraftMv.refresh(spark, mv)
+    assert(r1.mode == "delta", r1.toString)
+    assert(r1.affectedGroups == 2L, r1.toString)
+    assert(sortedRows(GraftMv.read(spark, mv)) == sortedRows(expected))
+    // appends ride the delta path too, including a NEW group
+    import spark.implicits._
+    Seq((5000L, "gX", 3L), (5001L, "gX", 4L), (5002L, "g0", 5L))
+      .toDF("id", "grp", "amt").repartition(1)
+      .write.format("graft-v2").mode("append").save(src)
+    val r2 = GraftMv.refresh(spark, mv)
+    assert(r2.mode == "delta", r2.toString)
+    assert(sortedRows(GraftMv.read(spark, mv)) == sortedRows(expected))
+    assert(GraftMv.read(spark, mv).filter(col("grp") === "gX")
+      .select(col("total")).head.getLong(0) == 7L)
+    // a group deleted to zero rows vanishes through the delta too
+    spark.sql(s"DELETE FROM $tbl WHERE grp = 'gX'")
+    val r3 = GraftMv.refresh(spark, mv)
+    assert(r3.mode == "delta", r3.toString)
+    assert(GraftMv.read(spark, mv)
+      .filter(col("grp") === "gX").count() == 0L)
+    assert(sortedRows(GraftMv.read(spark, mv)) == sortedRows(expected))
+    // a non-decomposable aggregate (min) keeps the recompute path
+    val mv2 = fresh("dmv2") + "/mv"
+    GraftMv.createAggregate(spark, src, mv2, Seq("grp"),
+      Seq("cnt" -> "count(*)", "m" -> "min(amt)"))
+    spark.sql(s"DELETE FROM $tbl WHERE grp = 'g4' AND id < 50")
+    assert(GraftMv.refresh(spark, mv2).mode == "partial")
+  }
+
   test("aggregate MV: affected-group overflow escalates to full " +
       "refresh and stays correct") {
     val src = fresh("osrc"); val mv = fresh("omv") + "/mv"
