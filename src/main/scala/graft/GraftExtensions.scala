@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.PropagateLimitToGraft)
     graft.functions.GraftFunctions.sqlFunctionDescriptors
       .foreach(e.injectFunction)
+    // CREATE/DROP/REFRESH MATERIALIZED VIEW ([[graft.plans
+    // .GraftSqlParser]]); everything else delegates verbatim
+    e.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -100,6 +100,22 @@ object VerifyDrive {
       dml.filter(col("v") === col("id") * 7).count() +
       " (expect 60), score all NULL: " +
       dml.filter(col("score").isNull).count() + " (expect 100)")
+    // user flow: MATERIALIZED VIEW DDL through the injected parser
+    spark.sql("CREATE TABLE graft.d.sales " +
+      "(id BIGINT, grp STRING, amt BIGINT NOT NULL)")
+    spark.sql("INSERT INTO graft.d.sales " +
+      "SELECT id, concat('g', id % 3), id FROM range(0, 300)")
+    spark.sql("CREATE MATERIALIZED VIEW graft.d.sales_by_grp AS " +
+      "SELECT grp, count(*) AS cnt, sum(amt) AS total " +
+      "FROM graft.d.sales GROUP BY grp")
+    spark.sql("DELETE FROM graft.d.sales WHERE grp = 'g2'")
+    val mvr = spark.sql(
+      "REFRESH MATERIALIZED VIEW graft.d.sales_by_grp").collect()(0)
+    println("MV create+refresh -> mode=" + mvr.getString(0) +
+      " (expect delta), groups now: " + spark.sql(
+      "SELECT count(*) FROM graft.d.sales_by_grp").head.getLong(0) +
+      " (expect 2)")
+    spark.sql("DROP MATERIALIZED VIEW graft.d.sales_by_grp")
     spark.stop()
   }
 }

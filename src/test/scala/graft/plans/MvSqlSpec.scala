@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** `CREATE/REFRESH/DROP MATERIALIZED VIEW` through the injected
+  * parser ([[GraftSqlParser]]). */
+class MvSqlSpec extends SparkTestBase {
+
+  /** A sibling session on the SAME SparkContext with the graft
+    * extensions applied (the shared test session was built without
+    * them; extensions only apply at session construction). */
+  private lazy val ext: SparkSession = {
+    val base = spark // force shared session/context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions (not the conf): a secondary session on an
+    // existing context only picks conf-based extensions up from the
+    // CONTEXT conf, which the shared test context was built without
+    val s = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions())
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    assert(s ne base, "expected a fresh session with extensions")
+    s
+  }
+
+  private def inSession[T](f: => T): T = {
+    SparkSession.setActiveSession(ext)
+    try f
+    finally SparkSession.setActiveSession(spark)
+  }
+
+  test("CREATE / REFRESH / DROP MATERIALIZED VIEW round-trip " +
+      "(aggregate, delta refresh)") { inSession {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-mvsql").toString
+    ext.conf.set("spark.sql.catalog.mvc",
+      "graft.sources.v2.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.mvc.warehouse", wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS mvc.ns")
+    // amt NOT NULL: the delta-refresh soundness gate requires summed
+    // columns non-nullable (nullable ones fall back to recompute)
+    ext.sql("CREATE TABLE mvc.ns.src " +
+      "(id BIGINT, grp STRING, amt BIGINT NOT NULL)")
+    ext.sql("INSERT INTO mvc.ns.src " +
+      "SELECT id, concat('g', id % 4), id FROM range(0, 100)")
+    ext.sql("CREATE MATERIALIZED VIEW mvc.ns.by_grp AS " +
+      "SELECT grp, count(*) AS cnt, sum(amt) AS total " +
+      "FROM mvc.ns.src GROUP BY grp")
+    // the MV is itself a queryable catalog table
+    assert(ext.sql("SELECT count(*) FROM mvc.ns.by_grp")
+      .head.getLong(0) == 4L)
+    assert(ext.sql(
+      "SELECT total FROM mvc.ns.by_grp WHERE grp = 'g0'")
+      .head.getLong(0) == (0L until 100L by 4).sum)
+    // IF NOT EXISTS tolerates; bare CREATE refuses
+    ext.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mvc.ns.by_grp " +
+      "AS SELECT grp, count(*) AS cnt FROM mvc.ns.src GROUP BY grp")
+    val e = intercept[Exception] {
+      ext.sql("CREATE MATERIALIZED VIEW mvc.ns.by_grp AS " +
+        "SELECT grp, count(*) AS cnt FROM mvc.ns.src GROUP BY grp")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // source DML, then SQL REFRESH -> the sum/count shape goes delta
+    ext.sql("DELETE FROM mvc.ns.src WHERE grp = 'g1'")
+    val r = ext.sql("REFRESH MATERIALIZED VIEW mvc.ns.by_grp")
+      .collect()(0)
+    assert(r.getString(0) == "delta", r.toString)
+    assert(ext.sql("SELECT count(*) FROM mvc.ns.by_grp")
+      .head.getLong(0) == 3L, "g1 should have vanished")
+    // DROP removes table + definition + subscription
+    ext.sql("DROP MATERIALIZED VIEW mvc.ns.by_grp")
+    val e2 = intercept[Exception] {
+      ext.sql("REFRESH MATERIALIZED VIEW mvc.ns.by_grp")
+    }
+    assert(e2.getMessage.contains("no MV") ||
+      e2.getMessage.contains("no materialized view"), e2.getMessage)
+    ext.sql("DROP MATERIALIZED VIEW IF EXISTS mvc.ns.by_grp") // no-op
+  }}
+
+  test("projection MV via SQL with WHERE; plain SQL still delegates") {
+    inSession {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-mvsql2").toString
+      ext.conf.set("spark.sql.catalog.mvp",
+        "graft.sources.v2.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.mvp.warehouse", wh)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS mvp.ns")
+      ext.sql("CREATE TABLE mvp.ns.src (id BIGINT, amt BIGINT)")
+      ext.sql("INSERT INTO mvp.ns.src SELECT id, id * 2 FROM range(0, 50)")
+      ext.sql("CREATE MATERIALIZED VIEW mvp.ns.big AS " +
+        "SELECT id, amt * 10 AS amt10 FROM mvp.ns.src WHERE amt >= 20")
+      assert(ext.sql("SELECT count(*) FROM mvp.ns.big")
+        .head.getLong(0) == 40L)
+      assert(ext.sql("SELECT amt10 FROM mvp.ns.big WHERE id = 20")
+        .head.getLong(0) == 400L)
+      // append-only source -> incremental refresh through SQL
+      ext.sql("INSERT INTO mvp.ns.src SELECT id, id * 2 " +
+        "FROM range(50, 60)")
+      val r = ext.sql("REFRESH MATERIALIZED VIEW mvp.ns.big")
+        .collect()(0)
+      assert(r.getString(0) == "incremental", r.toString)
+      assert(ext.sql("SELECT count(*) FROM mvp.ns.big")
+        .head.getLong(0) == 50L)
+      // non-MV SQL is untouched by the parser wrapper
+      assert(ext.sql("SELECT 1 + 1").head.getInt(0) == 2)
+      assert(ext.range(3).count() == 3L)
+    }
+  }
+
+  test("parse errors are clear: joins, missing alias, unqualified " +
+      "names") { inSession {
+    val e1 = intercept[Exception] {
+      ext.sql("CREATE MATERIALIZED VIEW mvc.ns.bad AS " +
+        "SELECT a.x AS x FROM mvc.ns.a JOIN mvc.ns.b ON a.id = b.id")
+    }
+    assert(e1.getMessage.contains("single graft catalog table"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      ext.sql("CREATE MATERIALIZED VIEW mvc.ns.bad AS " +
+        "SELECT grp, count(*) FROM mvc.ns.src GROUP BY grp")
+    }
+    assert(e2.getMessage.contains("AS alias"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      ext.sql("REFRESH MATERIALIZED VIEW solo")
+    }
+    assert(e3.getMessage.contains("catalog-qualified"), e3.getMessage)
+  }}
+}
