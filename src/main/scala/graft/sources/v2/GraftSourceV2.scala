@@ -855,12 +855,32 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
               math.max(ts.rows, 1L) <= maxDrift
         }
         .foreach { ts =>
-        projectedSchema.fieldNames.foreach { c =>
+        // stored as double; the estimator needs the COLUMN's boxed
+        // type (EstimationUtils casts per dataType)
+        def boxed(d: Double, dt: DataType): Object = dt match {
+          case ByteType => java.lang.Byte.valueOf(d.toByte)
+          case ShortType => java.lang.Short.valueOf(d.toShort)
+          case IntegerType => java.lang.Integer.valueOf(d.toInt)
+          case LongType => java.lang.Long.valueOf(d.toLong)
+          case FloatType => java.lang.Float.valueOf(d.toFloat)
+          case DoubleType => java.lang.Double.valueOf(d)
+          case _ => null
+        }
+        projectedSchema.fields.foreach { f =>
+          val c = f.name
           ts.cols.get(c).foreach { cs =>
             m.put(org.apache.spark.sql.connector.expressions
               .Expressions.column(c),
               new org.apache.spark.sql.connector.read.colstats
                 .ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  cs.min.map(boxed(_, f.dataType)).filter(_ != null)
+                    .map(java.util.Optional.of[Object])
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  cs.max.map(boxed(_, f.dataType)).filter(_ != null)
+                    .map(java.util.Optional.of[Object])
+                    .getOrElse(java.util.Optional.empty[Object]())
                 override def distinctCount(): java.util.OptionalLong =
                   java.util.OptionalLong.of(cs.distinct)
                 override def nullCount(): java.util.OptionalLong =

@@ -43,10 +43,14 @@ object GraftStats {
 
   /** `avgLen`/`maxLen` are -1 for non-length-bearing types (numeric
     * widths are implied by the type; CBO row-size estimation only
-    * needs measured lengths for strings/binaries). */
+    * needs measured lengths for strings/binaries). `min`/`max` are
+    * TABLE-level numeric bounds for CBO range selectivity — file
+    * PRUNING still reads per-file footer statistics, which stay
+    * exact and fresh; these only feed the estimator. */
   final case class ColStat(distinct: Long, nulls: Long,
       avgLen: Long = -1L, maxLen: Long = -1L,
-      hist: Option[Hist] = None)
+      hist: Option[Hist] = None,
+      min: Option[Double] = None, max: Option[Double] = None)
   final case class TableStats(version: Long, rows: Long,
       cols: Map[String, ColStat])
 
@@ -123,6 +127,10 @@ object GraftStats {
             ceil(avg(length(ref))).cast("long").as(s"__al_$c"),
             max(length(ref)).cast("long").as(s"__ml_$c"))
           else Nil) ++
+          (if (histEligible(f)) Seq(
+            min(ref).cast(DoubleType).as(s"__mn_$c"),
+            max(ref).cast(DoubleType).as(s"__mx_$c"))
+          else Nil) ++
           (if (histogramBins > 0 && histEligible(f)) {
             val pcts = (0 to histogramBins)
               .map(i => lit(i.toDouble / histogramBins))
@@ -174,6 +182,10 @@ object GraftStats {
           }.toMap
         }
       }
+    def optD(name: String): Option[Double] =
+      if (row.schema.fieldNames.contains(name) && !row.isNullAt(
+          row.fieldIndex(name))) Some(row.getAs[Double](name))
+      else None
     val stats = TableStats(
       GraftManifest.current(fs, table).map(_.version).getOrElse(0L),
       rows,
@@ -181,7 +193,8 @@ object GraftStats {
         row.getAs[Long](s"__d_$c"),
         rows - row.getAs[Long](s"__n_$c"),
         optLen(s"__al_$c"), optLen(s"__ml_$c"),
-        hists.get(c))).toMap)
+        hists.get(c),
+        optD(s"__mn_$c"), optD(s"__mx_$c"))).toMap)
     write(fs, table, stats)
     stats
   }
@@ -192,6 +205,14 @@ object GraftStats {
       s"rows=${stats.rows}") ++
       stats.cols.toSeq.sortBy(_._1).map { case (c, s) =>
         s"col=$c:${s.distinct}:${s.nulls}:${s.avgLen}:${s.maxLen}"
+      } ++
+      stats.cols.toSeq.sortBy(_._1).flatMap { case (c, s) =>
+        // `rng=<name>:<min>:<max>` — numeric fields last, same
+        // right-anchored parse contract as hist lines
+        (s.min, s.max) match {
+          case (Some(mn), Some(mx)) => Some(s"rng=$c:$mn:$mx")
+          case _ => None
+        }
       } ++
       stats.cols.toSeq.sortBy(_._1).flatMap { case (c, s) =>
         // `hist=<name>:<height>:<lo>,<hi>,<ndv>;...` — the bin spec
@@ -262,8 +283,21 @@ object GraftStats {
               name -> Hist(height, bins)
             }.toOption
           }.toMap
+          val rngs = lines.filter(_.startsWith("rng=")).flatMap { l =>
+            val v = l.stripPrefix("rng=")
+            val iMax = v.lastIndexOf(':')
+            val iMin = if (iMax <= 0) -1
+              else v.lastIndexOf(':', iMax - 1)
+            if (iMin <= 0) None
+            else scala.util.Try {
+              v.substring(0, iMin) ->
+                (v.substring(iMin + 1, iMax).toDouble,
+                  v.substring(iMax + 1).toDouble)
+            }.toOption
+          }.toMap
           val withHists = cols.map { case (c, s) =>
-            c -> s.copy(hist = hists.get(c))
+            c -> s.copy(hist = hists.get(c),
+              min = rngs.get(c).map(_._1), max = rngs.get(c).map(_._2))
           }
           Some(TableStats(meta("version"), meta("rows"), withHists))
         }

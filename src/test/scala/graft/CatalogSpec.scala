@@ -699,6 +699,42 @@ class CatalogSpec extends SparkTestBase {
     assert(vAttr.histogram.get.bins.length == 8)
   }
 
+  test("ANALYZE histograms: CBO range-selectivity estimates track " +
+      "the real distribution instead of uniform [min,max]") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbo")
+    spark.sql("CREATE TABLE graft.cbo.t (id BIGINT, v BIGINT)")
+    // v = id^2/1000 over 10k rows: v <= 100 selects 317 rows (~3.2%),
+    // but v spans [0, ~99856] so the uniform assumption estimates
+    // ~0.1% (about 10 rows) — a 30x underestimate the histogram fixes
+    spark.sql("INSERT INTO graft.cbo.t SELECT id, " +
+      "CAST(id * id / 1000 AS BIGINT) FROM range(0, 10000)")
+    val trueCount = spark.sql(
+      "SELECT count(*) FROM graft.cbo.t WHERE v <= 100").head.getLong(0)
+    assert(trueCount > 300L, s"setup: $trueCount")
+    def estimate(): BigInt = {
+      val df = spark.table("graft.cbo.t").filter(col("v") <= 100)
+      df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("CALL graft.system.analyze(table => 'cbo.t')")
+      val uniform = estimate()
+      spark.sql("CALL graft.system.analyze(table => 'cbo.t', " +
+        "histogram_bins => 64)")
+      val withHist = estimate()
+      assert(uniform >= 0 && withHist >= 0, s"($uniform, $withHist)")
+      // uniform badly underestimates the skewed head; the histogram
+      // estimate must be much closer to the true 3163
+      assert(uniform < trueCount / 5,
+        s"setup check: uniform $uniform should underestimate $trueCount")
+      assert(withHist > uniform * 5,
+        s"histogram estimate $withHist should beat uniform $uniform")
+      assert(withHist > trueCount / 3 && withHist < trueCount * 3,
+        s"histogram estimate $withHist vs true $trueCount")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("ANALYZE staleness: if_stale_fraction skips quiet tables; " +
       "maxDrift withholds aged column stats from the scan") {
     val _ = warehouse
