@@ -530,4 +530,54 @@ private[graft] object DuckHash {
        |    AS approx_parts
        |FROM est ORDER BY l_returnflag""".stripMargin
   }
+
+  /** Chain computing `pmod(xxhash64(doc_id), 100)` (Spark semantics:
+    * hash interpreted signed, then positive mod) over `documents` —
+    * shared by the two sampling oracles. Returns (renderedSql,
+    * pmodColName). */
+  private def docSampleChain(keep: Seq[String]): (String, String) = {
+    val ch = new Chain(
+      s"SELECT ${keep.mkString(", ")} FROM documents", keep)
+    val xs = ch.add(toSigned(xxh64Long(ch, "doc_id")))
+    val m = ch.add(s"((($xs) % 100) + 100) % 100")
+    (ch.render(), m)
+  }
+
+  /** Oracle for `q_sample_stratified` —
+    * [[graft.operators.CorpusOps.sampleByRate]] with a per-language
+    * rate: keep iff pmod(xxhash64(doc_id), 100) < rate(lang).
+    *
+    * The chain MUST render inside `AS MATERIALIZED`: a single-use
+    * subquery gets INLINED by DuckDB's optimizer, and substituting
+    * each chain column into its consumers multiplies expression size
+    * per step (mulmod references its input 4×) — the 13-step xxh64
+    * fold then explodes to ~4^13 nodes and the optimizer OOMs the
+    * machine. The capped-dedup oracle never hit this because its
+    * chain CTE is referenced twice, which DuckDB materializes. */
+  def sampleStratifiedOracle(enRate: Int, defaultRate: Int): String = {
+    val (sql, m) = docSampleChain(Seq("doc_id", "lang", "source"))
+    s"""WITH hx AS MATERIALIZED ($sql)
+       |SELECT doc_id, lang, source FROM hx
+       |WHERE $m < (CASE WHEN lang = 'en' THEN $enRate
+       |  ELSE $defaultRate END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for `q_sample_topk` —
+    * [[graft.operators.CorpusOps.sampleTopKPerStratum]]: first k docs
+    * per language in (xxhash64(doc_id), doc_id) order. The rank sorts
+    * on the SIGNED hash (Spark's xxhash64 column type is BIGINT).
+    * MATERIALIZED for the same inlining-blowup reason as
+    * [[sampleStratifiedOracle]]. */
+  def sampleTopKOracle(k: Int): String = {
+    val ch = new Chain(
+      "SELECT doc_id, lang FROM documents", Seq("doc_id", "lang"))
+    val xs = ch.add(toSigned(xxh64Long(ch, "doc_id")))
+    s"""WITH hx AS MATERIALIZED (${ch.render()})
+       |SELECT doc_id, lang, rn FROM (
+       |  SELECT doc_id, lang, CAST(row_number() OVER (
+       |    PARTITION BY lang ORDER BY $xs, doc_id) AS INTEGER) AS rn
+       |  FROM hx)
+       |WHERE rn <= $k ORDER BY lang, rn""".stripMargin
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOfJoin, Dedup, Multimodal, Salting, TextStats}
+import graft.operators.{Ann, AsOfJoin, CorpusOps, Dedup, Multimodal, Salting, TextStats}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7 + builder prompt): the full SURVEY.md §2
@@ -668,6 +668,56 @@ object SparkEntry {
     TextStats.qualityScore(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    * held-out benchmark; every other doc reports how many of its
+    * distinct 3-grams appear anywhere in it (CorpusOps.decontaminate —
+    * benchmark grams broadcast, corpus shuffled once on doc_id). */
+  private val qDecontaminate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    CorpusOps.decontaminate(
+      corpus = docs.filter(col("doc_id") % 97 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 97 === 0),
+      n = 3)
+      .withColumn("contaminated", col("contaminated").cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window chunking: 64-token windows, stride 48 (16-token
+    * overlap) — pure per-row explode, zero shuffles. */
+  private val qChunkDocs: Q = (s, dir) =>
+    CorpusOps.chunk(t(s, dir, "documents"), chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Deterministic stratified sampling by hash rate: keep iff
+    * pmod(xxhash64(doc_id), 100) < rate(lang) — a pure filter, the
+    * sampling shape that still works at 100 TB. Oracle renders Spark's
+    * xxhash64 in DuckDB integer arithmetic (DuckHash). */
+  private val qSampleStratified: Q = (s, dir) =>
+    CorpusOps.sampleByRate(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("source")),
+      when(col("lang") === "en", lit(37)).otherwise(lit(13)))
+      .orderBy(col("doc_id"))
+
+  /** Exact k-per-stratum sample in deterministic pseudo-random
+    * (xxhash64) order — one window sort per stratum. */
+  private val qSampleTopk: Q = (s, dir) =>
+    CorpusOps.sampleTopKPerStratum(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      stratumCol = "lang", k = 25)
+      .orderBy(col("lang"), col("rn"))
+
+  /** PII scrub: plant a deterministic email + phone per doc, then count
+    * and redact them with portable regexes (CorpusOps.redactPii). */
+  private val qPiiRedact: Q = (s, dir) => {
+    val pii = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" Contact user"),
+        col("doc_id").cast("string"), lit("@example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit("-9876 now.")).as("text"))
+    CorpusOps.redactPii(pii).orderBy(col("doc_id"))
+  }
+
   private val qLangId: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), lang_guess(col("text")).as("guessed"))
@@ -1066,6 +1116,11 @@ object SparkEntry {
     "q_token_count" -> qTokenCount,
     "q_quality_score" -> qQualityScore,
     "q_lang_id" -> qLangId,
+    "q_decontaminate" -> qDecontaminate,
+    "q_chunk_docs" -> qChunkDocs,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_sample_topk" -> qSampleTopk,
+    "q_pii_redact" -> qPiiRedact,
     "q_fingerprint" -> qFingerprint,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
@@ -1130,6 +1185,64 @@ object SparkEntry {
     "q_fingerprint" -> DuckHash.fingerprintOracle(16),
     "q_agg_approx_distinct" -> DuckHash.aggApproxDistinctOracle(),
     "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ts[i:i+2], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ts)-2, 0))]))
+        |    AS gram
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS contamination,
+        |  CAST((sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1)
+        |    AS INTEGER) AS contaminated
+        |FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |bounds AS (SELECT doc_id, ts,
+        |    1 + ((greatest(len(ts) - 64, 0) + 47) // 48) * 48 AS hi
+        |  FROM tok WHERE len(ts) > 0),
+        |chunks AS (SELECT doc_id, ts,
+        |    unnest(generate_series(1, hi, 48)) AS s
+        |  FROM bounds)
+        |SELECT doc_id, CAST((s - 1) // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(len(ts[s:s+63]) AS INTEGER) AS n_tokens,
+        |  array_to_string(ts[s:s+63], ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_sample_stratified" -> DuckHash.sampleStratifiedOracle(37, 13),
+    "q_sample_topk" -> DuckHash.sampleTopKOracle(25),
+    "q_pii_redact" -> {
+      // DuckDB standard strings don't process backslashes, so the Java
+      // pattern strings interpolate verbatim
+      val em = graft.operators.CorpusOps.EmailRe
+      val ph = graft.operators.CorpusOps.PhoneRe
+      s"""WITH pii AS (SELECT doc_id,
+         |    text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    '-9876 now.' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS INTEGER)
+         |    AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'),
+         |    '$ph', '[PHONE]', 'g') AS redacted
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_simhash" -> DuckHash.dedupSimhashOracle(10),
     "q_dedup_near" -> DuckHash.dedupNearOracle(0.2),
     "q_dedup_near_capped" -> DuckHash.dedupNearCappedOracle(0.2, 2),

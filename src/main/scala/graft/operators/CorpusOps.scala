@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over document corpora (SURVEY.md §2k
+  * north star): benchmark decontamination, context-window chunking, and
+  * deterministic sampling. Everything is pure `functions._` — codegen'd,
+  * map-side until the one aggregation each op genuinely needs — so the
+  * shapes hold at 100 TB:
+  *
+  *  - decontamination broadcasts the (small) benchmark n-gram set and
+  *    shuffles the corpus once, on `doc_id`, for the per-doc rollup;
+  *  - chunking is a pure per-row explode — zero shuffles;
+  *  - hash-rate sampling is a pure filter — zero shuffles — and is THE
+  *    scale path; exact-k-per-stratum rides one window sort and is for
+  *    small/medium strata only.
+  */
+object CorpusOps {
+
+  /** Lower-cased whitespace tokens with empties dropped — the shared
+    * tokenization for every op here (and mirrored verbatim by the
+    * DuckDB oracles). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct word `n`-grams per document: one `(id, gram)` row per
+    * distinct space-joined n-token window. Documents shorter than `n`
+    * tokens contribute nothing. Pure map-side explode. */
+  def wordNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ts = tokens(col(textCol))
+    val grams = when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), explode(array_distinct(grams)).as("gram"))
+  }
+
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * for every corpus document, how many of its distinct `n`-grams also
+    * appear anywhere in the benchmark set. Returns one row per corpus
+    * document that has at least one n-gram:
+    * `(id, n_grams, n_hits, contamination, contaminated)`.
+    *
+    * Scale shape: the benchmark gram set is broadcast (benchmarks are
+    * MBs; corpora are TBs), so corpus grams are never shuffled for the
+    * probe — the only exchange is the `groupBy(id)` rollup. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bench = broadcast(
+      wordNgrams(benchmark, n, idCol, textCol)
+        .select(col("gram")).distinct()
+        .withColumn("_hit", lit(1)))
+    wordNgrams(corpus, n, idCol, textCol)
+      .join(bench, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams").cast("double"), 6)
+          .as("contamination"),
+        (col("n_hits") >= 1).as("contaminated"))
+  }
+
+  /** Context-window chunking: split each document into token windows of
+    * `chunkSize` tokens advancing by `stride` (overlap = chunkSize -
+    * stride). Start offsets are 1, 1+stride, 2·stride+1, … up to the
+    * first start whose window reaches the last token, so every token
+    * lands in at least one chunk and no start begins past the end.
+    * Returns `(id, chunk_idx, n_tokens, chunk_text)`; documents with no
+    * tokens produce no chunks. Pure per-row explode — zero shuffles. */
+  def chunk(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize/stride must be >= 1, got $chunkSize/$stride")
+    val withTs = docs
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .withColumn("ntok", size(col("ts")))
+      .filter(col("ntok") > 0)
+    // last start = 1 + stride * ceil((ntok - chunkSize) / stride)
+    val lastStart = (lit(1) +
+      ((greatest(col("ntok") - chunkSize, lit(0)) + (stride - 1))
+        / stride).cast("int") * stride).cast("int")
+    withTs
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), lastStart, lit(stride)),
+          st => slice(col("ts"), st, lit(chunkSize)))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Deterministic hash-rate sampling per stratum: keep a row iff
+    * `pmod(xxhash64(id), 100) < ratePct(stratum)`. Reproducible across
+    * runs and engines, needs no shuffle and no state — the correct
+    * sampling primitive at 100 TB (exact-k variants need a per-stratum
+    * sort; rates don't). */
+  def sampleByRate(df: DataFrame, ratePct: Column,
+      idCol: String = "doc_id"): DataFrame =
+    df.filter(pmod(xxhash64(col(idCol)), lit(100)) < ratePct)
+
+  /** Exact top-k rows per stratum in deterministic pseudo-random order
+    * (`xxhash64(id)`, ties by id): one window sort keyed on the stratum.
+    * Use for small/medium stratum counts; at extreme scale prefer
+    * [[sampleByRate]]. Returns the input columns plus `rn` (1-based). */
+  def sampleTopKPerStratum(df: DataFrame, stratumCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Email pattern shared by scrub + oracle (kept RE2/Java-portable:
+    * no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone pattern: NANP-ish triplet-quad groups. */
+  val PhoneRe = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** PII scrub: replace emails/phones with `[EMAIL]`/`[PHONE]` tags and
+    * count what was removed. Returns `(id, n_emails, n_phones,
+    * redacted)`. Pure map-side — zero shuffles. */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]").as("redacted"))
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** CorpusOps (training-pipeline corpus operators): n-gram construction
+  * edges, decontamination against a planted benchmark, chunk coverage
+  * invariants, sampling determinism, PII redaction.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("wordNgrams: short docs, duplicates, whitespace runs") {
+    val d = docs(
+      1L -> "a b c d",          // 3 distinct 2-grams
+      2L -> "x",                // shorter than n -> nothing
+      3L -> "",                 // no tokens -> nothing
+      4L -> "  A  a   a b ",    // lowercased: grams "a a", "a b"
+      5L -> "t t t")            // duplicate gram "t t" deduped
+    val got = CorpusOps.wordNgrams(d, 2)
+      .as[(Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, "a b"), (1L, "b c"), (1L, "c d"),
+      (4L, "a a"), (4L, "a b"),
+      (5L, "t t")))
+  }
+
+  test("decontaminate flags exactly the docs sharing n-grams") {
+    val bench = docs(100L -> "the quick brown fox jumps")
+    val corpus = docs(
+      1L -> "lazy dogs sleep all day",              // no overlap
+      2L -> "said the quick brown fox yesterday",   // 2 hit 3-grams
+      3L -> "quick brown fox")                      // its only gram hits
+    val got = CorpusOps.decontaminate(corpus, bench, n = 3)
+      .select($"doc_id", $"n_grams", $"n_hits", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toMap2
+    assert(got(1L) === ((3L, 0L, false)))
+    assert(got(2L) === ((4L, 2L, true)))
+    assert(got(3L) === ((1L, 1L, true)))
+  }
+
+  implicit private class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("chunk: every token covered, starts aligned, sizes correct") {
+    val text100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val text64 = (1 to 64).map(i => s"w$i").mkString(" ")
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> text100, 2L -> text64, 3L -> text10, 4L -> "")
+    val got = CorpusOps.chunk(d, chunkSize = 64, stride = 48)
+      .select($"doc_id", $"chunk_idx", $"n_tokens", $"chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // 100 tokens: starts 1, 49 -> sizes 64, 52; token 100 covered
+    assert(got(1L).map(c => (c._2, c._3)).toSeq === Seq((0, 64), (1, 52)))
+    assert(got(1L)(1)._4.endsWith("w100"))
+    assert(got(1L)(1)._4.startsWith("w49 "))
+    // exactly chunkSize tokens: a single chunk, no redundant tail
+    assert(got(2L).map(c => (c._2, c._3)).toSeq === Seq((0, 64)))
+    // short doc: one partial chunk
+    assert(got(3L).map(c => (c._2, c._3)).toSeq === Seq((0, 10)))
+    // empty doc: no chunks
+    assert(!got.contains(4L))
+  }
+
+  test("chunk covers all tokens for arbitrary lengths") {
+    val d = docs((1L to 9L).map(i =>
+      i -> (1 to (i * 31).toInt).map(j => s"t$j").mkString(" ")): _*)
+    val chunks = CorpusOps.chunk(d, chunkSize = 40, stride = 25)
+      .select($"doc_id", $"chunk_text")
+      .as[(Long, String)].collect()
+    val covered = chunks.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).toSet).toMap
+    (1L to 9L).foreach { i =>
+      val want = (1 to (i * 31).toInt).map(j => s"t$j").toSet
+      assert(covered(i) === want, s"doc $i lost tokens")
+    }
+  }
+
+  test("sampleByRate is deterministic and respects per-stratum rates") {
+    val d = (0L until 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val rate = when($"lang" === "en", lit(50)).otherwise(lit(10))
+    val s1 = CorpusOps.sampleByRate(d, rate).as[(Long, String)]
+      .collect().toSet
+    val s2 = CorpusOps.sampleByRate(d, rate).as[(Long, String)]
+      .collect().toSet
+    assert(s1 === s2, "hash sampling must be reproducible")
+    val en = s1.count(_._2 == "en").toDouble / (2000 / 3)
+    val de = s1.count(_._2 == "de").toDouble / (2000 * 2 / 3)
+    assert(en > 0.35 && en < 0.65, s"en rate off: $en")
+    assert(de > 0.04 && de < 0.18, s"de rate off: $de")
+  }
+
+  test("sampleTopKPerStratum returns exactly k per stratum, stable") {
+    val d = (0L until 500L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "lang")
+    val got = CorpusOps.sampleTopKPerStratum(d, "lang", 7)
+      .select($"lang", $"doc_id", $"rn")
+      .as[(String, Long, Int)].collect()
+    assert(got.count(_._1 == "a") === 7)
+    assert(got.count(_._1 == "b") === 7)
+    assert(got.filter(_._1 == "a").map(_._3).sorted.toSeq === (1 to 7))
+    val again = CorpusOps.sampleTopKPerStratum(d, "lang", 7)
+      .select($"lang", $"doc_id", $"rn")
+      .as[(String, Long, Int)].collect()
+    assert(got.sortBy(r => (r._1, r._3)).toSeq ===
+      again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("redactPii scrubs emails and phones, counts them") {
+    val d = docs(
+      1L -> "mail me at jane.doe+x@sub.example.org or 555-123-4567 ok",
+      2L -> "no pii here at all",
+      3L -> "two mails a@b.co c@d.io and 800-5551-0199")
+    val got = CorpusOps.redactPii(d)
+      .select($"doc_id", $"n_emails", $"n_phones", $"redacted")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1 === 1 && got(1L)._2 === 1)
+    assert(got(1L)._3 === "mail me at [EMAIL] or [PHONE] ok")
+    assert(got(2L) === ((0, 0, "no pii here at all")))
+    assert(got(3L)._1 === 2 && got(3L)._2 === 1)
+    assert(got(3L)._3 === "two mails [EMAIL] [EMAIL] and [PHONE]")
+  }
+}
