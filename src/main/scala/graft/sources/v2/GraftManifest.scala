@@ -404,6 +404,80 @@ object GraftManifest {
     }
   }
 
+  /** ROLLBACK: commit a NEW version whose live set (files, deletion
+    * vectors, pinned schema) equals retained version `toVersion` —
+    * history is preserved, the rollback is itself a commit (visible in
+    * `history`, time-travelable, and emitted by the change feed as a
+    * generic file-diff step under `op=restore`).
+    *
+    * Physical moves keep the standing invariant "root listing = live
+    * set" that listing-derived flows ([[refreshIfPresent]], first-
+    * manifest bootstrap) depend on: restored files that a later commit
+    * archived move BACK to the root before the CAS; files the restore
+    * removes move to `.graft-archive/` after it (same order as the V2
+    * write path — reads through any retained manifest resolve either
+    * spelling). Metadata-and-rename only; no data bytes rewritten.
+    *
+    * Returns the NEW version (or the current one when the table is
+    * already at `toVersion`'s state — a no-op restore commits
+    * nothing). */
+  def restore(fs: FileSystem, table: Path, toVersion: Long): Long =
+    commitLock(fs, table).synchronized {
+      val vs = versions(fs, table)
+      if (vs.isEmpty) throw new IllegalArgumentException(
+        s"graft-v2: cannot restore $table — it has no manifest log")
+      if (!vs.contains(toVersion)) throw new IllegalArgumentException(
+        s"graft-v2: cannot restore $table to version $toVersion — " +
+        s"retained versions are ${vs.min}..${vs.max}" +
+        (if (toVersion < vs.min) " (older versions were vacuumed)"
+         else ""))
+      val live = liveState(fs, table)
+      val target = read(fs, table, toVersion)
+      if (live.names.sorted == target.names.sorted &&
+          live.dvs == target.dvs) {
+        return live.version
+      }
+      val schema = schemaAt(fs, table, toVersion)
+      val archive = new Path(table, ArchiveDir)
+      val atRoot = listingNames(fs, table).toSet
+      val unarchived = target.names.filterNot(atRoot).map { n =>
+        val src = new Path(archive, n)
+        if (!fs.rename(src, new Path(table, n))) {
+          throw new java.io.IOException(
+            s"graft-v2: restore of $table to $toVersion aborted — " +
+            s"could not move $src back to the table root")
+        }
+        n
+      }
+      if (!tryCommit(fs, table, live.version, target.names, schema,
+          Seq("op=restore", s"restoredFrom=$toVersion"),
+          Some(target.dvs))) {
+        // CAS can only lose to a cross-process writer (we hold the
+        // in-JVM lock); park the un-archived files back and abort
+        unarchived.foreach { n =>
+          try fs.rename(new Path(table, n), new Path(archive, n))
+          catch { case _: Throwable => () }
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"graft-v2: restore of $table lost the version CAS to a " +
+          "concurrent writer; re-run against the new state")
+      }
+      val targetSet = target.names.toSet
+      val victims = live.names.filterNot(targetSet)
+      if (victims.nonEmpty) fs.mkdirs(archive)
+      victims.foreach { n =>
+        val p = new Path(table, n)
+        if (fs.exists(p) &&
+            !fs.rename(p, new Path(archive, n))) {
+          throw new java.io.IOException(
+            s"graft-v2: restore of $table committed version " +
+            s"${live.version + 1L}, but archiving replaced file $p " +
+            "failed — move it to .graft-archive/ manually")
+        }
+      }
+      live.version + 1L
+    }
+
   /** Resolve a snapshot's names to openable paths: live files sit at
     * the table root; files a later commit removed sit in
     * `.graft-archive/`. One listing round-trip, not one exists() per

@@ -30,7 +30,7 @@ private[v2] object GraftProcedures {
 
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
-      "history", "bloom_index", "mv_refresh")
+      "history", "bloom_index", "mv_refresh", "restore")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -72,6 +72,10 @@ private[v2] object GraftProcedures {
           "bring a materialized view up to its source's current " +
           "version (change-feed incremental / affected-group partial " +
           "recompute / full, whichever the history allows)"
+        case "restore" =>
+          "roll the table back to a retained version AS A NEW COMMIT " +
+          "(history preserved, change-feed visible); metadata and " +
+          "renames only, no data rewritten"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -117,6 +121,9 @@ private[v2] object GraftProcedures {
           .defaultValue("false")
           .comment("auto-extend the index after every write/compaction " +
             "so new files are covered immediately").build())
+      case "restore" => Array(tableParam,
+        ProcedureParameter.in("version", LongType)
+          .comment("retained version to roll back to").build())
       case "analyze" => Array(tableParam,
         ProcedureParameter.in("histogram_bins", IntegerType)
           .defaultValue("0")
@@ -230,6 +237,17 @@ private[v2] object GraftProcedures {
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 cols.mkString(",")))))
           }
+        case "restore" =>
+          val toVersion = input.getLong(1)
+          val newV = GraftManifest.restore(fs, dir, toVersion)
+          // cached plans/footers describe the pre-restore state;
+          // invalidate so the next scan resolves fresh
+          spark.catalog.refreshByPath(dir.toString)
+          one(resultScan(
+            StructType(Seq(
+              StructField("restored_to", LongType, false),
+              StructField("new_version", LongType, false))),
+            Array(toVersion, newV)))
         case "history" =>
           // a metadata-only walk of the retained manifest log —
           // bounded by the vacuum window, never touches data files.

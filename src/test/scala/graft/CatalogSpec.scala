@@ -1877,4 +1877,96 @@ class CatalogSpec extends SparkTestBase {
     assert(GraftManifest.versions(fs, dir) == Seq(1L, 3L),
       "a version with unreadable commit time was dropped")
   }
+
+  test("CALL restore rolls back as a new commit: contents, DVs, " +
+      "history, and the old versions all stay readable") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rst")
+    spark.sql("CREATE TABLE graft.rst.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.rst.t SELECT id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.rst.t WHERE id < 10")       // v1, v2
+    spark.sql("INSERT INTO graft.rst.t SELECT id, id FROM " +
+      "range(100, 150)")                                      // v3
+    spark.sql("DELETE FROM graft.rst.t WHERE id >= 140")      // v4
+    assert(spark.table("graft.rst.t").count() == 130)
+
+    val r = spark.sql(
+      "CALL graft.system.restore(table => 'rst.t', version => 2)")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L, r.toString)
+
+    // live contents = version 2's exactly (DVs included: ids 0..9 gone)
+    val ids = spark.table("graft.rst.t").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (10L until 100L).toSeq, s"got ${ids.length} rows")
+    // the rollback is a commit, not an erasure: v4 still time-travels
+    assert(spark.sql("SELECT * FROM graft.rst.t VERSION AS OF 4")
+      .count() == 130)
+    // and history labels it
+    val h = spark.sql("CALL graft.system.history(table => 'rst.t')")
+      .collect()
+    assert(h.head.getLong(0) == 5L && h.head.getString(2) == "restore",
+      h.head.toString)
+    // the table stays writable after the rollback
+    spark.sql("INSERT INTO graft.rst.t VALUES (999, 999)")
+    assert(spark.table("graft.rst.t").count() == 91)
+  }
+
+  test("restore un-archives files a later overwrite displaced and " +
+      "re-archives the overwrite's own files") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rst")
+    spark.sql("CREATE TABLE graft.rst.ow (id BIGINT, part BIGINT)")
+    spark.sql("INSERT INTO graft.rst.ow SELECT id, id % 2 FROM " +
+      "range(0, 100)")
+    spark.sql("DELETE FROM graft.rst.ow WHERE id = 0") // bootstrap log
+    val preVersion = {
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$warehouse/rst/ow")
+      val fs = dir.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      GraftManifest.versions(fs, dir).max
+    }
+    // whole-table overwrite: every original file is archived
+    spark.sql("INSERT OVERWRITE graft.rst.ow SELECT id, id % 2 FROM " +
+      "range(500, 520)")
+    assert(spark.table("graft.rst.ow").count() == 20)
+
+    spark.sql(s"CALL graft.system.restore(table => 'rst.ow', " +
+      s"version => $preVersion)")
+    assert(spark.table("graft.rst.ow").count() == 99)
+    // the listing invariant holds: a V1-style refresh derives the SAME
+    // state (root listing == live set), so follow-on DML is safe
+    spark.sql("DELETE FROM graft.rst.ow WHERE id >= 90")
+    assert(spark.table("graft.rst.ow").count() == 89)
+    // the overwrite's 20-row state is itself still time-travelable
+    assert(spark.sql(s"SELECT * FROM graft.rst.ow VERSION AS OF " +
+      s"${preVersion + 1}").count() == 20)
+  }
+
+  test("restore no-ops at the current state and rejects unknown " +
+      "versions") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rst")
+    spark.sql("CREATE TABLE graft.rst.np (id BIGINT)")
+    spark.sql("INSERT INTO graft.rst.np SELECT id FROM range(0, 10)")
+    spark.sql("DELETE FROM graft.rst.np WHERE id = 0") // manifests on
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/rst/np")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = GraftManifest.versions(fs, dir).max
+    // restoring to the live version commits nothing
+    val r = spark.sql(
+      s"CALL graft.system.restore(table => 'rst.np', version => $cur)")
+      .collect().head
+    assert(r.getLong(1) == cur, r.toString)
+    assert(GraftManifest.versions(fs, dir).max == cur)
+    // unknown version fails loudly with the retained range
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.restore(table => 'rst.np', " +
+        "version => 99)")
+    }
+    assert(e.getMessage.contains("retained versions"), e.getMessage)
+  }
 }
