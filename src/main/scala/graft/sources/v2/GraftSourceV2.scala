@@ -278,7 +278,10 @@ case class GraftTableV2(path: String, tableSchema: StructType,
         Option(options.get("versionAsOf")).map(_.toLong)),
       mergeRuns = options.getBoolean("mergeSortedRuns", false),
       streamIgnoreChanges =
-        options.getBoolean("ignoreFileChanges", false))
+        options.getBoolean("ignoreFileChanges", false),
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+          .getOrElse(-1))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -306,7 +309,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     groupByBucket: Boolean = true,
     versionAsOf: Option[Long] = None,
     mergeRuns: Boolean = false,
-    streamIgnoreChanges: Boolean = false)
+    streamIgnoreChanges: Boolean = false,
+    maxFilesPerTrigger: Int = -1)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -647,7 +651,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
       vectorized,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
       appendFile, snapshotFiles, fileAllow, mergeRuns,
-      streamIgnoreChanges, snapshotDvs, appendPos)
+      streamIgnoreChanges, snapshotDvs, appendPos,
+      maxFilesPerTrigger)
   }
 }
 
@@ -703,7 +708,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     mergeRuns: Boolean = false,
     streamIgnoreChanges: Boolean = false,
     dvs: Map[String, String] = Map.empty,
-    appendPos: Boolean = false)
+    appendPos: Boolean = false,
+    maxFilesPerTrigger: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -2026,6 +2032,13 @@ private[v2] class GraftFileLog(logDir: Path, conf: Configuration) {
     id
   }
 
+  /** Uncompacted entry ids strictly after `start`, ascending, with
+    * their file counts — what admission control walks to cap a
+    * micro-batch at `maxFilesPerTrigger` whole entries. */
+  def entriesAfter(start: Long): Seq[(Long, Int)] =
+    deltas.iteratorFrom(start + 1)
+      .map { case (k, v) => (k, v.size) }.toSeq
+
   /** Files of entries in (start, end] — one micro-batch's input. */
   def filesBetween(start: Long, end: Long): Seq[String] = {
     if (start < compactBase) {
@@ -2097,8 +2110,11 @@ private[v2] object GraftFileLog {
   * replan exactly the uncommitted suffix on restart. */
 class GraftMicroBatchStream(path: String, checkpointLocation: String,
     scan: GraftScanV2)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset,
+    ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   // driver-side: the session's Hadoop conf (filesystem credentials
   // etc.), matching createReaderFactory's snapshot
@@ -2218,6 +2234,112 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       if (fresh.isEmpty) GraftStreamOffset(log.latest)
       else GraftStreamOffset(log.append(fresh))
     }
+  }
+
+  // ===== admission control (maxFilesPerTrigger) =====
+  //
+  // A stream catching up over a large backlog (a fresh checkpoint on a
+  // populated table, or a long restart gap) must not plan ONE micro-
+  // batch holding the whole tail — at 100 TB that batch never
+  // finishes, and a failure loses all its progress. With
+  // `option("maxFilesPerTrigger", n)` each trigger admits at most n
+  // files (whole versions/log entries; always at least one unit of
+  // progress, so an over-sized single commit still drains).
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (scan.maxFilesPerTrigger > 0) {
+      ReadLimit.maxFiles(scan.maxFilesPerTrigger)
+    } else ReadLimit.allAvailable()
+
+  /** True head of the source for progress reporting — side-effect
+    * free (no poll, no log append): the current manifest version, or
+    * the last logged entry. */
+  override def reportLatestOffset(): Offset =
+    if (versionMode) {
+      GraftStreamOffset(GraftManifest.current(tfs, tdir)
+        .map(_.version).getOrElse(0L))
+    } else GraftStreamOffset(log.latest)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startOff = start.asInstanceOf[GraftStreamOffset].logOffset
+    val maxFiles = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _: ReadAllAvailable => -1
+      case _ => -1 // composite/rows limits: no file-count cap to apply
+    }
+    if (versionMode) {
+      val head = GraftManifest.current(tfs, tdir)
+        .map(_.version).getOrElse(0L)
+      if (maxFiles <= 0 || head <= startOff) GraftStreamOffset(head)
+      else GraftStreamOffset(cappedVersion(startOff, head, maxFiles))
+    } else {
+      // the poll appends fresh files in CHUNKS of at most maxFiles, so
+      // capped batches advance entry-by-entry without splitting one
+      GraftManifest.commitLock(tfs, tdir).synchronized {
+        val names = listNames()
+        checkAppendOnly(names.toSet)
+        val fresh = names.filterNot(log.seen)
+        if (fresh.nonEmpty) {
+          if (maxFiles > 0) {
+            fresh.grouped(maxFiles).foreach(log.append)
+          } else log.append(fresh)
+        }
+        if (maxFiles <= 0) return GraftStreamOffset(log.latest)
+        var endOff = startOff
+        var budget = maxFiles
+        log.entriesAfter(startOff).foreach { case (id, n) =>
+          if (endOff == startOff || n <= budget) {
+            endOff = id; budget -= n
+          } else budget = -1
+        }
+        GraftStreamOffset(math.max(endOff, startOff))
+      }
+    }
+  }
+
+  /** Largest end version in `(startV, head]` whose cumulative batch
+    * contribution stays within `maxFiles` — always advancing at least
+    * one version. The walk mirrors [[versionBatchFiles]]' accounting:
+    * the initial batch (startV = 0) reads the END SNAPSHOT whole, so
+    * its cost is the snapshot size; incremental steps cost their added
+    * names (change commits contribute nothing unless
+    * `ignoreFileChanges` opted their files in). Any read surprise
+    * (vacuumed version, unreadable manifest) falls back to the
+    * uncapped head so [[versionBatchFiles]]' loud diagnostics fire. */
+  private def cappedVersion(startV: Long, head: Long,
+      maxFiles: Int): Long = {
+    try {
+      var endV = startV
+      var budget = maxFiles
+      if (startV == 0L) {
+        // initial load: admit the earliest retained version first
+        // (the smallest possible first batch), then walk diffs
+        val vs = GraftManifest.versions(tfs, tdir)
+        if (vs.isEmpty) return head
+        endV = vs.min
+        budget -= GraftManifest.read(tfs, tdir, endV).names.length
+        if (budget < 0) return endV // over-sized v1: still progress
+      }
+      var prev = GraftManifest.read(tfs, tdir, endV)
+      var v = endV + 1
+      while (v <= head && budget >= 0) {
+        val snap = GraftManifest.read(tfs, tdir, v)
+        val pset = prev.names.toSet
+        val added = snap.names.filterNot(pset)
+        val nset = snap.names.toSet
+        val removed = prev.names.filterNot(nset)
+        val isChange = removed.nonEmpty || snap.dvs != prev.dvs
+        val cost =
+          if (!isChange || streamIgnoreChanges) added.length else 0
+        if (cost <= budget || endV == startV) {
+          budget -= cost
+          endV = v
+          prev = snap
+          v += 1
+        } else budget = -1
+      }
+      endV
+    } catch { case _: Exception => head }
   }
 
   override def deserializeOffset(json: String): Offset = {

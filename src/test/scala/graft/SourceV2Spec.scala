@@ -885,4 +885,67 @@ class SourceV2Spec extends SparkTestBase {
     assert(df.rdd.getNumPartitions >= 3)
     assert(df.count() == src.count())
   }
+
+  test("maxFilesPerTrigger splits a file-log backlog into capped " +
+      "micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-adm")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    // 6-file backlog before the stream ever starts
+    (0 until 6).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("graft-v2").option("path", dir)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => { batches.add((id, df.count())); () }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes.sum == 600, s"lost rows: $sizes")
+    assert(sizes.length >= 3, s"backlog not split: $sizes")
+    assert(sizes.forall(_ <= 200), s"a batch exceeded the cap: $sizes")
+  }
+
+  test("maxFilesPerTrigger walks a manifest backlog version by " +
+      "version") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-admv")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    spark.range(0, 100).toDF("id").coalesce(1).write.parquet(dir)
+    // bootstrap the manifest log, then three committed appends
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.EqualTo("id", 0L))
+    (1 to 3).foreach { i =>
+      spark.range(i * 1000L, i * 1000L + 50L).toDF("id").coalesce(1)
+        .write.format("graft").option("path", dir).mode("append").save()
+    }
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("graft-v2").option("path", dir)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => { batches.add((id, df.count())); () }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes.sum == 99 + 150, s"lost rows: $sizes")
+    // one version per trigger: initial snapshot, then each append
+    assert(sizes.length >= 4, s"backlog not split by version: $sizes")
+    assert(sizes.count(_ == 50) >= 3, s"appends not isolated: $sizes")
+  }
 }
