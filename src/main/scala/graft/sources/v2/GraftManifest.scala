@@ -478,6 +478,106 @@ object GraftManifest {
       live.version + 1L
     }
 
+  /** SHALLOW CLONE: materialize `src`'s state (latest, or a retained
+    * `versionAsOf`) as a NEW INDEPENDENT table at `dst` — hard links
+    * on POSIX filesystems (zero data bytes copied at any table size),
+    * byte copies elsewhere. Clones data files, the deletion vectors
+    * the snapshot references, the schema marker (mapping + CHECK
+    * constraints ride along), and best-effort bloom sidecars; commits
+    * the clone's own version 1 (`op=clone`) pinning the source's
+    * schema-at-version.
+    *
+    * Independence: the engine never mutates a data file in place —
+    * rewrites mint NEW names, archive/vacuum only unlink directory
+    * entries — so two tables sharing immutable inodes can never
+    * observe each other's DML; either side vacuuming only drops its
+    * own link. The clone starts a FRESH history (its v1 is the
+    * snapshot), deliberately not inheriting source versions it holds
+    * no files for.
+    *
+    * Returns (source version cloned, files hard-linked [vs copied]). */
+  def cloneTo(fs: FileSystem, src: Path, dst: Path,
+      versionAsOf: Option[Long] = None): (Long, Int) = {
+    if (fs.exists(dst) && fs.listStatus(dst).nonEmpty) {
+      throw new IllegalArgumentException(
+        s"graft-v2: clone target $dst already exists and is not empty")
+    }
+    val state = snapshotState(fs, src, versionAsOf)
+    val (paths, dvs) = state.getOrElse(
+      (listingNames(fs, src).map(n => new Path(src, n)),
+        Map.empty[String, String]))
+    val srcVersion = versionAsOf
+      .orElse(current(fs, src).map(_.version)).getOrElse(0L)
+    fs.mkdirs(dst)
+    var linked = 0
+    paths.foreach { p =>
+      if (linkOrCopy(fs, p, new Path(dst, p.getName))) linked += 1
+    }
+    if (dvs.nonEmpty) {
+      val dvDst = new Path(dst, DeleteVectors.Dir)
+      fs.mkdirs(dvDst)
+      dvs.values.toSeq.distinct.foreach { d =>
+        linkOrCopy(fs, new Path(new Path(src, DeleteVectors.Dir), d),
+          new Path(dvDst, d))
+      }
+    }
+    val mk = new Path(src, GraftCatalog.SchemaMarker)
+    if (fs.exists(mk)) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, mk, fs,
+        new Path(dst, GraftCatalog.SchemaMarker), false, fs.getConf)
+    }
+    // bloom sidecars are per-(column, data-file-name) and file names
+    // survive the clone verbatim, so the index clones by link too;
+    // best-effort — a miss just means the clone rebuilds on demand
+    val bloomSrc = new Path(src, BloomIndex.Dir)
+    try {
+      if (fs.exists(bloomSrc)) {
+        val nameSet = paths.map(_.getName).toSet
+        fs.listStatus(bloomSrc).filter(_.isDirectory).foreach { colDir =>
+          val cd = new Path(new Path(dst, BloomIndex.Dir),
+            colDir.getPath.getName)
+          fs.mkdirs(cd)
+          fs.listStatus(colDir.getPath).foreach { st =>
+            val n = st.getPath.getName
+            if (n == "_meta" ||
+                nameSet.contains(n.stripSuffix(".bloom"))) {
+              linkOrCopy(fs, st.getPath, new Path(cd, n))
+            }
+          }
+        }
+      }
+    } catch { case _: Exception => () }
+    val schema = schemaAt(fs, src, srcVersion)
+      .orElse(scala.util.Try(
+        GraftCatalog.readMarker(fs, src)).toOption.flatten)
+    if (!tryCommit(fs, dst, 0L, paths.map(_.getName), schema,
+        Seq("op=clone",
+          s"clonedFrom=${fs.makeQualified(src)}@$srcVersion"),
+        Some(dvs))) {
+      throw new IllegalStateException(
+        s"graft-v2: clone target $dst gained a commit concurrently")
+    }
+    (srcVersion, linked)
+  }
+
+  /** Hard link `from` → `to` when the filesystem supports it (local
+    * POSIX), else copy bytes. Returns true iff linked. */
+  private def linkOrCopy(fs: FileSystem, from: Path, to: Path)
+      : Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(to).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(from).toUri.getPath))
+        return true
+      } catch { case _: Exception => () } // fall through to copy
+    }
+    org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false,
+      fs.getConf)
+    false
+  }
+
   /** Resolve a snapshot's names to openable paths: live files sit at
     * the table root; files a later commit removed sit in
     * `.graft-archive/`. One listing round-trip, not one exists() per

@@ -30,7 +30,7 @@ private[v2] object GraftProcedures {
 
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
-      "history", "bloom_index", "mv_refresh", "restore")
+      "history", "bloom_index", "mv_refresh", "restore", "clone")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -76,6 +76,10 @@ private[v2] object GraftProcedures {
           "roll the table back to a retained version AS A NEW COMMIT " +
           "(history preserved, change-feed visible); metadata and " +
           "renames only, no data rewritten"
+        case "clone" =>
+          "shallow-clone the table (or a retained version of it) to a " +
+          "new independent table: hard links on POSIX (zero data " +
+          "bytes), schema/constraints/DVs/bloom sidecars ride along"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -124,6 +128,14 @@ private[v2] object GraftProcedures {
       case "restore" => Array(tableParam,
         ProcedureParameter.in("version", LongType)
           .comment("retained version to roll back to").build())
+      case "clone" => Array(tableParam,
+        ProcedureParameter.in("target", StringType)
+          .comment("dotted name for the new table in this catalog")
+          .build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1")
+          .comment("retained source version to clone (-1 = latest)")
+          .build())
       case "analyze" => Array(tableParam,
         ProcedureParameter.in("histogram_bins", IntegerType)
           .defaultValue("0")
@@ -237,6 +249,20 @@ private[v2] object GraftProcedures {
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 cols.mkString(",")))))
           }
+        case "clone" =>
+          val target = input.getUTF8String(1).toString
+          val v = input.getLong(2)
+          val dstDir = dirFor(target)
+          val (srcV, linked) = GraftManifest.cloneTo(fs, dir, dstDir,
+            if (v >= 0) Some(v) else None)
+          one(resultScan(
+            StructType(Seq(
+              StructField("cloned_version", LongType, false),
+              StructField("files_linked", IntegerType, false),
+              StructField("target_path", StringType, false))),
+            Array(srcV, linked,
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                dstDir.toString))))
         case "restore" =>
           val toVersion = input.getLong(1)
           val newV = GraftManifest.restore(fs, dir, toVersion)

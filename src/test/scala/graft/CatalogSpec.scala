@@ -735,6 +735,45 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
+  test("ANALYZE histograms flip a physical join decision: the " +
+      "corrected cardinality cancels a bad broadcast") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbo")
+    spark.sql("CREATE TABLE graft.cbo.f (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.cbo.f SELECT id, " +
+      "CAST(id * id / 1000 AS BIGINT) FROM range(0, 10000)")
+    spark.sql("CREATE TABLE graft.cbo.d (id BIGINT, w BIGINT)")
+    spark.sql("INSERT INTO graft.cbo.d SELECT id, id FROM range(0, 2000)")
+    def plan(): String = {
+      val df = spark.table("graft.cbo.f").filter(col("v") <= 100)
+        .join(spark.table("graft.cbo.d"), "id")
+      df.queryExecution.executedPlan.toString
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // threshold between the uniform estimate (~10 rows) and the
+    // histogram estimate (~3k rows) of the filtered fact side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try {
+      spark.sql("CALL graft.system.analyze(table => 'cbo.f')")
+      spark.sql("CALL graft.system.analyze(table => 'cbo.d')")
+      val uniformPlan = plan()
+      assert(uniformPlan.contains("BroadcastHashJoin"),
+        s"setup: the 30x underestimate should broadcast the filtered " +
+        s"side\n$uniformPlan")
+      spark.sql("CALL graft.system.analyze(table => 'cbo.f', " +
+        "histogram_bins => 64)")
+      val histPlan = plan()
+      assert(!histPlan.contains("BroadcastHashJoin"),
+        s"histogram cardinality should exceed the broadcast " +
+        s"threshold and flip to a shuffle join\n$histPlan")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ANALYZE staleness: if_stale_fraction skips quiet tables; " +
       "maxDrift withholds aged column stats from the scan") {
     val _ = warehouse
@@ -1943,6 +1982,75 @@ class CatalogSpec extends SparkTestBase {
     // the overwrite's 20-row state is itself still time-travelable
     assert(spark.sql(s"SELECT * FROM graft.rst.ow VERSION AS OF " +
       s"${preVersion + 1}").count() == 20)
+  }
+
+  test("CALL clone: zero-copy fork with DVs, schema and independence") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("CREATE TABLE graft.cl.src (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.cl.src SELECT id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.cl.src WHERE id < 10") // DV + manifest
+    val r = spark.sql("CALL graft.system.clone(table => 'cl.src', " +
+      "target => 'cl.fork')").collect().head
+    assert(r.getInt(1) > 0, s"nothing hard-linked: $r")
+
+    // same contents (deletion vectors included)
+    assert(spark.table("graft.cl.fork").count() == 90)
+    assert(spark.table("graft.cl.fork").agg(sum(col("id")))
+      .head.getLong(0) == (10L until 100L).sum)
+    // physical sharing: a linked data file has nlink >= 2
+    val forkDir = java.nio.file.Paths.get(s"$warehouse/cl/fork")
+    val shared = java.nio.file.Files.list(forkDir).iterator()
+    val dataFiles = new scala.collection.mutable.ArrayBuffer[
+      java.nio.file.Path]()
+    while (shared.hasNext) {
+      val p = shared.next()
+      if (p.getFileName.toString.endsWith(".parquet")) dataFiles += p
+    }
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.forall(p =>
+      java.nio.file.Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Integer] >= 2), "expected hard links, got copies")
+
+    // independence both ways: DML in the fork, DML in the source
+    spark.sql("DELETE FROM graft.cl.fork WHERE id >= 50")
+    spark.sql("INSERT INTO graft.cl.src SELECT id, id FROM " +
+      "range(1000, 1010)")
+    assert(spark.table("graft.cl.fork").count() == 40)
+    assert(spark.table("graft.cl.src").count() == 100)
+    // vacuuming the source never tears the fork
+    spark.sql("CALL graft.system.vacuum(table => 'cl.src', " +
+      "keep_versions => 1)")
+    assert(spark.table("graft.cl.fork").count() == 40)
+  }
+
+  test("clone VERSION AS OF forks a past state; occupied target " +
+      "refused") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cl")
+    spark.sql("CREATE TABLE graft.cl.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.cl.tt SELECT id FROM range(0, 50)")
+    spark.sql("DELETE FROM graft.cl.tt WHERE id = 0") // bootstrap log
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/cl/tt")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val preV = GraftManifest.versions(fs, dir).max
+    spark.sql("INSERT INTO graft.cl.tt SELECT id FROM range(100, 150)")
+    assert(spark.table("graft.cl.tt").count() == 99)
+    spark.sql(s"CALL graft.system.clone(table => 'cl.tt', " +
+      s"target => 'cl.tt_old', version => $preV)")
+    assert(spark.table("graft.cl.tt_old").count() == 49)
+    // the clone's own history starts fresh at version 1 (op=clone)
+    val h = spark.sql("CALL graft.system.history(table => 'cl.tt_old')")
+      .collect()
+    assert(h.length == 1 && h.head.getString(2) == "clone",
+      h.mkString("\n"))
+    // cloning onto an occupied target refuses
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.clone(table => 'cl.tt', " +
+        "target => 'cl.tt_old')")
+    }
+    assert(e.getMessage.contains("not empty"), e.getMessage)
   }
 
   test("restore no-ops at the current state and rejects unknown " +
