@@ -84,19 +84,23 @@ case class GraftCdfTableV2(path: String, dataSchema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
     override def build(): Scan = GraftCdfScan(path, dataSchema,
-      startingVersion, cowFallback)
+      startingVersion, cowFallback,
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+          .getOrElse(-1))
   }
 }
 
 case class GraftCdfScan(path: String, dataSchema: StructType,
-    startingVersion: Long, cowFallback: String = "fail") extends Scan {
+    startingVersion: Long, cowFallback: String = "fail",
+    maxVersionsPerTrigger: Int = -1) extends Scan {
   override def readSchema(): StructType =
     GraftCdfStream.feedSchema(dataSchema)
   override def description(): String = s"graft-cdf:$path"
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new GraftCdfMicroBatchStream(path, dataSchema, startingVersion,
-      cowFallback)
+      cowFallback, maxVersionsPerTrigger)
 }
 
 /** One change-feed partition: a raw row-group read plus the change
@@ -112,8 +116,11 @@ case class GraftCdfPartition(inner: GraftInputPartition,
     drained: Boolean = false) extends InputPartition
 
 class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
-    startingVersion: Long, cowFallback: String = "fail")
-    extends MicroBatchStream {
+    startingVersion: Long, cowFallback: String = "fail",
+    maxVersionsPerTrigger: Int = -1)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
 
   private val hconf: Configuration = GraftHadoopConf.sessionConf()
   private val tdir = new Path(path)
@@ -176,6 +183,28 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
     }
     GraftStreamOffset(cur)
   }
+
+  // ===== admission control (maxVersionsPerTrigger) =====
+  // Feed offsets ARE manifest versions, so capping a catch-up batch is
+  // pure offset arithmetic: at most n versions reconstruct per
+  // trigger. Without it, a consumer restarting after a long gap plans
+  // one batch covering the whole missed range — every version's
+  // DV-diff/COW-replay pieces in a single job.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val head = latestOffset().asInstanceOf[GraftStreamOffset].logOffset
+    if (maxVersionsPerTrigger <= 0) return GraftStreamOffset(head)
+    val s = start.asInstanceOf[GraftStreamOffset].logOffset
+    GraftStreamOffset(math.min(head, s + maxVersionsPerTrigger))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"logOffset\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)

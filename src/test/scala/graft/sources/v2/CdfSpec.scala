@@ -563,4 +563,39 @@ class CdfSpec extends SparkTestBase {
         "an applied batch advances the mark to its max version")
     } finally q.stop()
   }
+
+  test("maxVersionsPerTrigger caps a feed catch-up to one version " +
+      "per micro-batch") {
+    val (wh, _) = setup("adm")
+    val p = s"$wh/t"
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, i * 1L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    (1 to 3).foreach { k =>
+      (1 to 20).map(i => ((k * 1000 + i).toLong, i * 1L))
+        .toDF("id", "v").write.format("graft-v2").option("path", p)
+        .mode("append").save()
+    }
+    // 4 versions of backlog before the stream starts
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cdf-adm-ck").toString
+    val q = spark.readStream.format("graft-v2").option("path", p)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => { batches.add((id, df.count())); () }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val sizes = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+      .filter(_ > 0)
+    assert(sizes.sum == 160, s"feed rows lost: $sizes")
+    assert(sizes.toSeq == Seq(100L, 20L, 20L, 20L),
+      s"each version must arrive as its own batch: $sizes")
+  }
 }
