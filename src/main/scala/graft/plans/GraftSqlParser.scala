@@ -62,6 +62,12 @@ private[graft] object GraftMvSql {
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val RefreshRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
+  // the SQL faces of CALL clone / CALL restore (same engine entry
+  // points, DDL-shaped like the open table formats spell them)
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case CreateRe(ifNot, target, select) =>
@@ -71,6 +77,11 @@ private[graft] object GraftMvSql {
       Some(DropMvCommand(parts(target), ifEx != null))
     case RefreshRe(target) =>
       Some(RefreshMvCommand(parts(target)))
+    case CloneRe(target, source, ver) =>
+      Some(CloneTableCommand(parts(target), parts(source),
+        Option(ver).map(_.toLong)))
+    case RestoreRe(target, ver) =>
+      Some(RestoreTableCommand(parts(target), ver.toLong))
     case _ => None
   }
 
@@ -246,6 +257,42 @@ case class DropMvCommand(target: Seq[String], ifExists: Boolean)
     }
     GraftMv.drop(spark, mvDir)
     Seq.empty
+  }
+}
+
+/** `CREATE TABLE tgt CLONE src [VERSION AS OF n]` — the SQL face of
+  * [[graft.sources.v2.GraftManifest.cloneTo]] (zero-copy on POSIX). */
+case class CloneTableCommand(target: Seq[String], source: Seq[String],
+    versionAsOf: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", LongType, nullable = false)(),
+    AttributeReference("files_linked", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDir = new org.apache.hadoop.fs.Path(
+      GraftMvSql.dirOf(spark, source))
+    val dstDir = new org.apache.hadoop.fs.Path(
+      GraftMvSql.dirOf(spark, target))
+    val fs = srcDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val (v, linked) = graft.sources.v2.GraftManifest.cloneTo(
+      fs, srcDir, dstDir, versionAsOf)
+    Seq(Row(v, linked.toLong))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` — the SQL face of
+  * [[graft.sources.v2.GraftManifest.restore]]. */
+case class RestoreTableCommand(target: Seq[String], version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      GraftMvSql.dirOf(spark, target))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val newV = graft.sources.v2.GraftManifest.restore(fs, dir, version)
+    spark.catalog.refreshByPath(dir.toString)
+    Seq(Row(version, newV))
   }
 }
 

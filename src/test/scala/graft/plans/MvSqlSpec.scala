@@ -130,4 +130,39 @@ class MvSqlSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("catalog-qualified"), e3.getMessage)
   }}
+
+  test("CREATE TABLE CLONE and RESTORE TABLE SQL faces") { inSession {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-clonesql").toString
+    ext.conf.set("spark.sql.catalog.csq",
+      "graft.sources.v2.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.csq.warehouse", wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS csq.ns")
+    ext.sql("CREATE TABLE csq.ns.t (id BIGINT)")
+    ext.sql("INSERT INTO csq.ns.t SELECT id FROM range(0, 60)")
+    ext.sql("DELETE FROM csq.ns.t WHERE id < 10") // manifest log on
+    val preV = graft.sources.v2.GraftManifest.versions(
+      new org.apache.hadoop.fs.Path(s"$wh/ns/t")
+        .getFileSystem(ext.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$wh/ns/t")).max
+    ext.sql("INSERT INTO csq.ns.t SELECT id FROM range(100, 120)")
+    assert(ext.sql("SELECT count(*) FROM csq.ns.t").head.getLong(0)
+      == 70L)
+
+    // clone the PAST version by SQL
+    val c = ext.sql(s"CREATE TABLE csq.ns.t_old CLONE csq.ns.t " +
+      s"VERSION AS OF $preV").collect().head
+    assert(c.getLong(0) == preV && c.getLong(1) > 0, c.toString)
+    assert(ext.sql("SELECT count(*) FROM csq.ns.t_old")
+      .head.getLong(0) == 50L)
+
+    // restore the source by SQL; the clone is untouched
+    val r = ext.sql(s"RESTORE TABLE csq.ns.t TO VERSION AS OF $preV")
+      .collect().head
+    assert(r.getLong(0) == preV && r.getLong(1) > preV, r.toString)
+    assert(ext.sql("SELECT count(*) FROM csq.ns.t").head.getLong(0)
+      == 50L)
+    assert(ext.sql("SELECT count(*) FROM csq.ns.t_old")
+      .head.getLong(0) == 50L)
+  }}
 }
