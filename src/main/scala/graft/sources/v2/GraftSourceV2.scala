@@ -487,9 +487,38 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     if (agg.groupByExpressions.nonEmpty || limit >= 0 || topNLimit >= 0) {
       return None
     }
-    // deletion vectors invalidate every footer-derived answer (counts
-    // include deleted rows; a min/max could be a deleted row's value)
-    if (snapshotDvs.nonEmpty) return None
+    // deletion vectors invalidate almost every footer-derived answer
+    // (a min/max could be a deleted row's value; count(col) cannot
+    // apportion the mask between null and non-null positions). The
+    // one EXACT exception: unfiltered COUNT(*) — footer rows minus the
+    // masks' total cardinality. Masks are per FILE, so this is only
+    // valid over the whole unfiltered file set; any sidecar that fails
+    // to load declines rather than guessing.
+    if (snapshotDvs.nonEmpty) {
+      import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+      if (pushed.nonEmpty ||
+          !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) {
+        return None
+      }
+      val conf = GraftHadoopConf.sessionConf()
+      val masked =
+        try {
+          snapshotDvs.values.foldLeft(0L) { (acc, n) =>
+            acc + DeleteVectors.load(new Path(
+              DeleteVectors.dvDir(new Path(path)), n).toString, conf)
+              .getLongCardinality
+          }
+        } catch { case _: Throwable => return None }
+      val live = math.max(0L,
+        builderRowGroups.map(_.rowCount).sum - masked)
+      val fields = agg.aggregateExpressions.map(_ =>
+        (StructField("count(*)", LongType, nullable = false),
+          java.lang.Long.valueOf(live): Any))
+      return Some((StructType(fields.map(_._1).toSeq),
+        fields.map(_._2).toArray,
+        fields.map(_._1.name)
+          .mkString("[", ", ", "] (dv-adjusted)")))
+    }
     def flatCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>

@@ -886,6 +886,38 @@ class SourceV2Spec extends SparkTestBase {
     assert(df.count() == src.count())
   }
 
+  test("COUNT(*) pushes down on a DV-masked table (footer rows minus " +
+      "mask cardinality); anything else still declines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-dvcnt")
+      .resolve("t").toString
+    import spark.implicits._
+    spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2)
+      .coalesce(2).write.parquet(dir)
+    // point deletes -> deletion vectors, no rewrite
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.In("id",
+        Array[Any](3L, 500L, 999L)))
+    def v2 = spark.read.format("graft-v2").option("path", dir).load()
+    val cnt = v2.agg(count(lit(1)).as("n"))
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("dv-adjusted"),
+      s"count(*) should push footer-minus-mask:\n$plan")
+    assert(cnt.head.getLong(0) == 997L)
+    // a filter kills the push (masks are per file, not per group)...
+    val filtered = v2.filter(col("id") < 100).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(filtered.head.getLong(0) == 99L)
+    // ...and min/max still decline (a deleted row could hold the
+    // extreme) but stay correct through the scan
+    val mn = v2.agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(!mn.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val r = mn.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 998L)
+  }
+
   test("maxFilesPerTrigger splits a file-log backlog into capped " +
       "micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("graft-v2-adm")
