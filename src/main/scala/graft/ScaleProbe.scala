@@ -27,7 +27,9 @@ object ScaleProbe {
     "q_partitioned_scan", "q_agg_hash", "q_window_rank",
     "q_window_rank_hk",
     "q_token_count", "q_quality_score", "q_dedup_exact",
-    "q_dedup_near", "q_dedup_simhash", "q_fingerprint")
+    "q_dedup_near", "q_dedup_simhash", "q_fingerprint",
+    "q_decontaminate", "q_chunk_docs", "q_sample_stratified",
+    "q_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -644,7 +644,17 @@ object GraftManifest {
       dvGraceMillis: Long = DvSweepGraceMillis,
       minFeedVersions: Int = 0,
       respectFeedConsumers: Boolean = true): Unit =
-    vacuumKeeping(fs, table, vs => {
+    vacuumKeeping(fs, table,
+      retentionSplit(fs, table, keepVersions, minRetainMillis,
+        nowMillis, minFeedVersions),
+      dvGraceMillis, nowMillis, respectFeedConsumers)
+
+  /** The count+age retention policy [[vacuum]] applies, as a
+    * reusable split. */
+  private def retentionSplit(fs: FileSystem, table: Path,
+      keepVersions: Int, minRetainMillis: Long, nowMillis: Long,
+      minFeedVersions: Int): Seq[Long] => (Seq[Long], Seq[Long]) =
+    vs => {
       val keepN = math.max(keepVersions, minFeedVersions)
       val (beyond, kept) =
         vs.splitAt(math.max(0, vs.length - keepN))
@@ -657,7 +667,22 @@ object GraftManifest {
           commitTimeMillis(fs, table, v).exists(_ < horizon))
         (drop, young ++ kept)
       }
-    }, dvGraceMillis, nowMillis, respectFeedConsumers)
+    }
+
+  /** DRY RUN: what a [[vacuum]] with the same arguments WOULD remove —
+    * (dropped version ids, doomed file paths) — computed under the
+    * same lock and policies but deleting nothing. Lets an operator see
+    * the blast radius of a retention cut before committing to it. */
+  def vacuumPreview(fs: FileSystem, table: Path, keepVersions: Int = 2,
+      minRetainMillis: Long = 0L,
+      nowMillis: Long = System.currentTimeMillis(),
+      dvGraceMillis: Long = DvSweepGraceMillis,
+      minFeedVersions: Int = 0,
+      respectFeedConsumers: Boolean = true): (Seq[Long], Seq[Path]) =
+    doomedFor(fs, table,
+      retentionSplit(fs, table, keepVersions, minRetainMillis,
+        nowMillis, minFeedVersions),
+      dvGraceMillis, nowMillis, respectFeedConsumers)
 
   /** Age-based retention: drop versions whose commit time is older
     * than `maxAgeMillis` before `nowMillis` — except the LATEST
@@ -692,18 +717,29 @@ object GraftManifest {
       split: Seq[Long] => (Seq[Long], Seq[Long]),
       dvGraceMillis: Long, nowMillis: Long,
       respectFeedConsumers: Boolean = true): Unit = {
-    // referenced-set COMPUTATION runs under the per-table commit lock
-    // so an in-JVM committer cannot land a version between this
-    // method's version listing and its kept-set pinning; cross-process
-    // (and the publish-before-CAS window) are covered by the grace
-    // window. The FS DELETES run OUTSIDE the lock: once the kept set
-    // is pinned, everything doomed is already unreferenced by every
-    // retained version and can never be re-referenced (file and
-    // sidecar names are job-unique; new commits only mint new names),
-    // so a slow object-store sweep no longer blocks same-JVM commits.
-    val doomed: Seq[Path] = commitLock(fs, table).synchronized {
+    val (_, doomed) = doomedFor(fs, table, split, dvGraceMillis,
+      nowMillis, respectFeedConsumers)
+    doomed.foreach(p => fs.delete(p, false))
+  }
+
+  /** The (dropped versions, doomed paths) a sweep with this policy
+    * removes. Referenced-set COMPUTATION runs under the per-table
+    * commit lock so an in-JVM committer cannot land a version between
+    * this method's version listing and its kept-set pinning;
+    * cross-process (and the publish-before-CAS window) are covered by
+    * the grace window. The FS DELETES (in [[vacuumKeeping]]) run
+    * OUTSIDE the lock: once the kept set is pinned, everything doomed
+    * is already unreferenced by every retained version and can never
+    * be re-referenced (file and sidecar names are job-unique; new
+    * commits only mint new names), so a slow object-store sweep no
+    * longer blocks same-JVM commits. */
+  private def doomedFor(fs: FileSystem, table: Path,
+      split: Seq[Long] => (Seq[Long], Seq[Long]),
+      dvGraceMillis: Long, nowMillis: Long,
+      respectFeedConsumers: Boolean): (Seq[Long], Seq[Path]) = {
+    commitLock(fs, table).synchronized {
       val vs = versions(fs, table)
-      if (vs.isEmpty) return
+      if (vs.isEmpty) return (Seq.empty, Seq.empty)
       val (drop0, keep0) = split(vs)
       // registered feed consumers pin their window: a consumer whose
       // mark is m has applied THROUGH m and next reads m+1, which
@@ -720,7 +756,9 @@ object GraftManifest {
           (droppable, (held ++ keep0).sorted)
         case None => (drop0, keep0)
       }
-      if (keep.isEmpty) return // the latest version always survives
+      if (keep.isEmpty) {
+        return (Seq.empty, Seq.empty) // the latest always survives
+      }
       val keptSnaps = keep.map(read(fs, table, _))
       val referenced = keptSnaps.flatMap(_.names).toSet
       val archive = new Path(table, ArchiveDir)
@@ -771,9 +809,8 @@ object GraftManifest {
                 st.getModificationTime < horizon
             }.map(_.getPath)
         }
-      archiveDoomed ++ dvDoomed ++ bloomDoomed ++
-        drop.map(versionPath(table, _))
+      (drop, archiveDoomed ++ dvDoomed ++ bloomDoomed ++
+        drop.map(versionPath(table, _)))
     }
-    doomed.foreach(p => fs.delete(p, false))
   }
 }

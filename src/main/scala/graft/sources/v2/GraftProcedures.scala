@@ -107,7 +107,11 @@ private[v2] object GraftProcedures {
         ProcedureParameter.in("min_feed_versions", IntegerType)
           .defaultValue("0")
           .comment("keep at least this many newest versions for " +
-            "change-feed consumers sized by count").build())
+            "change-feed consumers sized by count").build(),
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false")
+          .comment("report what this policy would drop (versions, " +
+            "files, bytes) without deleting anything").build())
       case "zorder" => Array(tableParam,
         ProcedureParameter.in("columns", StringType)
           .comment("comma-separated cluster columns").build(),
@@ -163,14 +167,32 @@ private[v2] object GraftProcedures {
           val keep = input.getInt(1)
           val retainH = input.getInt(2)
           val feedKeep = input.getInt(3)
-          GraftManifest.vacuum(fs, dir, keepVersions = keep,
-            minRetainMillis = retainH * 3600000L,
-            minFeedVersions = feedKeep)
-          val retained = GraftManifest.versions(fs, dir).length
-          one(resultScan(
-            StructType(Seq(
-              StructField("retained_versions", IntegerType, false))),
-            Array(retained)))
+          if (input.getBoolean(4)) {
+            // dry run: the same policy's blast radius, deleting nothing
+            val (dropV, doomed) = GraftManifest.vacuumPreview(fs, dir,
+              keepVersions = keep,
+              minRetainMillis = retainH * 3600000L,
+              minFeedVersions = feedKeep)
+            val bytes = doomed.foldLeft(0L) { (acc, p) =>
+              acc + (try fs.getFileStatus(p).getLen
+              catch { case _: Throwable => 0L })
+            }
+            one(resultScan(
+              StructType(Seq(
+                StructField("would_drop_versions", IntegerType, false),
+                StructField("would_delete_files", IntegerType, false),
+                StructField("would_free_bytes", LongType, false))),
+              Array(dropV.length, doomed.length, bytes)))
+          } else {
+            GraftManifest.vacuum(fs, dir, keepVersions = keep,
+              minRetainMillis = retainH * 3600000L,
+              minFeedVersions = feedKeep)
+            val retained = GraftManifest.versions(fs, dir).length
+            one(resultScan(
+              StructType(Seq(
+                StructField("retained_versions", IntegerType, false))),
+              Array(retained)))
+          }
         case "compact" =>
           val (before, after) =
             graft.sources.GraftSink.compact(spark, dir.toString)

@@ -2053,6 +2053,41 @@ class CatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("not empty"), e.getMessage)
   }
 
+  test("vacuum dry_run reports the blast radius and deletes nothing; " +
+      "the real run then matches it") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdr")
+    spark.sql("CREATE TABLE graft.vdr.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.vdr.t SELECT id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.vdr.t WHERE id = 0")
+    spark.sql("INSERT OVERWRITE graft.vdr.t SELECT id FROM " +
+      "range(0, 20)") // archives the originals
+    spark.sql("INSERT INTO graft.vdr.t SELECT id FROM range(20, 30)")
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/vdr/t")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = GraftManifest.versions(fs, dir)
+
+    val r = spark.sql("CALL graft.system.vacuum(table => 'vdr.t', " +
+      "keep_versions => 1, dry_run => true)").collect().head
+    assert(r.getInt(0) == before.length - 1, r.toString)
+    assert(r.getInt(1) > 0 && r.getLong(2) > 0L, r.toString)
+    // nothing was deleted
+    assert(GraftManifest.versions(fs, dir) == before)
+    assert(spark.sql("SELECT count(*) FROM graft.vdr.t " +
+      s"VERSION AS OF ${before.head}").head.getLong(0) > 0)
+
+    // the real run removes exactly what the preview promised
+    val real = spark.sql("CALL graft.system.vacuum(" +
+      "table => 'vdr.t', keep_versions => 1)").collect().head
+    assert(real.getInt(0) == 1, real.toString)
+    assert(GraftManifest.versions(fs, dir) == Seq(before.last))
+    // and a fresh preview is now empty
+    val r2 = spark.sql("CALL graft.system.vacuum(table => 'vdr.t', " +
+      "keep_versions => 1, dry_run => true)").collect().head
+    assert(r2.getInt(0) == 0 && r2.getInt(1) == 0, r2.toString)
+  }
+
   test("restore no-ops at the current state and rejects unknown " +
       "versions") {
     import graft.sources.v2.GraftManifest
