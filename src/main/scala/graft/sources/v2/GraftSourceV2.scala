@@ -490,27 +490,44 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     // deletion vectors invalidate almost every footer-derived answer
     // (a min/max could be a deleted row's value; count(col) cannot
     // apportion the mask between null and non-null positions). The
-    // one EXACT exception: unfiltered COUNT(*) — footer rows minus the
-    // masks' total cardinality. Masks are per FILE, so this is only
-    // valid over the whole unfiltered file set; any sidecar that fails
-    // to load declines rather than guessing.
+    // one EXACT exception: COUNT(*) — footer rows minus the masks'
+    // cardinality. Masks are per FILE, so pushed filters are honored
+    // only when the statistics decide every file at FILE granularity:
+    // a file whose row groups ALL provably all-match contributes its
+    // physical rows minus its whole mask (deleted positions matched
+    // too, so the subtraction is exact); a file whose row groups each
+    // provably match nothing contributes zero live rows; any file
+    // mixed or undecided cannot apportion its mask between matching
+    // and non-matching rows and declines the push. Any sidecar that
+    // fails to load declines rather than guessing.
     if (snapshotDvs.nonEmpty) {
       import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-      if (pushed.nonEmpty ||
-          !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) {
+      if (!agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) {
         return None
       }
+      val included = builderRowGroups.groupBy(_.file).map {
+        case (file, rgs) =>
+          if (pushed.forall(f => rgs.forall(RowGroupPruning.mustMatch(f, _)))) {
+            Some(Some((file, rgs.map(_.rowCount).sum)))
+          } else if (rgs.forall(rg =>
+              pushed.exists(f => !RowGroupPruning.mayMatch(f, rg)))) {
+            Some(None) // provably empty under the filters: excluded
+          } else None // mixed/undecided file: mask unapportionable
+      }.toSeq
+      if (included.contains(None)) return None
       val conf = GraftHadoopConf.sessionConf()
-      val masked =
+      val live =
         try {
-          snapshotDvs.values.foldLeft(0L) { (acc, n) =>
-            acc + DeleteVectors.load(new Path(
-              DeleteVectors.dvDir(new Path(path)), n).toString, conf)
-              .getLongCardinality
+          included.flatten.flatten.foldLeft(0L) { case (acc, (file, rows)) =>
+            val masked = snapshotDvs.get(new Path(file).getName) match {
+              case Some(n) => DeleteVectors.load(new Path(
+                DeleteVectors.dvDir(new Path(path)), n).toString, conf)
+                .getLongCardinality
+              case None => 0L
+            }
+            acc + math.max(0L, rows - masked)
           }
         } catch { case _: Throwable => return None }
-      val live = math.max(0L,
-        builderRowGroups.map(_.rowCount).sum - masked)
       val fields = agg.aggregateExpressions.map(_ =>
         (StructField("count(*)", LongType, nullable = false),
           java.lang.Long.valueOf(live): Any))

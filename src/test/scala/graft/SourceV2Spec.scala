@@ -904,7 +904,8 @@ class SourceV2Spec extends SparkTestBase {
     assert(plan.contains("dv-adjusted"),
       s"count(*) should push footer-minus-mask:\n$plan")
     assert(cnt.head.getLong(0) == 997L)
-    // a filter kills the push (masks are per file, not per group)...
+    // a filter that leaves a file UNDECIDED kills the push (masks are
+    // per file and cannot be apportioned within one)...
     val filtered = v2.filter(col("id") < 100).agg(count(lit(1)).as("n"))
     assert(!filtered.queryExecution.executedPlan.toString
       .contains("PushedAggregates"))
@@ -916,6 +917,43 @@ class SourceV2Spec extends SparkTestBase {
       .contains("PushedAggregates"))
     val r = mn.head
     assert(r.getLong(0) == 0L && r.getLong(1) == 998L)
+  }
+
+  test("COUNT(*) on a DV-masked table still pushes under a filter that " +
+      "decides every file at file granularity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-dvcntf")
+      .resolve("t").toString
+    import spark.implicits._
+    // two files with disjoint id ranges so a range filter can decide
+    // each file wholesale
+    spark.range(0, 500).toDF("id").coalesce(1).write.parquet(dir)
+    spark.range(500, 1000).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.parquet(dir).schema,
+      org.apache.spark.sql.sources.In("id",
+        Array[Any](3L, 500L, 999L)))
+    // row mode: accepted filters leave the plan, so the aggregate can
+    // reach the scan (vectorized keeps residual Filters, which block
+    // V2 aggregate pushdown — same as the unmasked filtered-agg test)
+    def v2 = spark.read.format("graft-v2").option("path", dir)
+      .option("vectorized", "false").load()
+    // id < 500: first file all-match (its mask of {3} subtracts
+    // exactly), second file provably empty — push survives
+    val lo = v2.filter(col("id") < 500).agg(count(lit(1)).as("n"))
+    assert(lo.queryExecution.executedPlan.toString.contains("dv-adjusted"),
+      s"file-aligned filtered count should push:\n${lo.queryExecution}")
+    assert(lo.head.getLong(0) == 499L)
+    // id >= 500: the other file's two deletions subtract
+    val hi = v2.filter(col("id") >= 500).agg(count(lit(1)).as("n"))
+    assert(hi.queryExecution.executedPlan.toString.contains("dv-adjusted"))
+    assert(hi.head.getLong(0) == 498L)
+    // a filter that splits a file stays declined and correct
+    val mid = v2.filter(col("id") >= 250 && col("id") < 750)
+      .agg(count(lit(1)).as("n"))
+    assert(!mid.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(mid.head.getLong(0) == 499L)
   }
 
   test("maxFilesPerTrigger splits a file-log backlog into capped " +
