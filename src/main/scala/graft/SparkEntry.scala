@@ -682,6 +682,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The same decontamination forced down the LARGE-benchmark path
+    * (maxBroadcastGrams = 0): bloom-prefiltered shuffled gram join +
+    * explode-free per-doc totals instead of a broadcast probe. Same
+    * oracle as q_decontaminate — the two shapes must agree exactly. */
+  private val qDecontaminateXl: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    CorpusOps.decontaminate(
+      corpus = docs.filter(col("doc_id") % 97 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 97 === 0),
+      n = 3, maxBroadcastGrams = 0L)
+      .withColumn("contaminated", col("contaminated").cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window chunking: 64-token windows, stride 48 (16-token
     * overlap) — pure per-row explode, zero shuffles. */
   private val qChunkDocs: Q = (s, dir) =>
@@ -1117,6 +1131,7 @@ object SparkEntry {
     "q_quality_score" -> qQualityScore,
     "q_lang_id" -> qLangId,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_xl" -> qDecontaminateXl,
     "q_chunk_docs" -> qChunkDocs,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_topk" -> qSampleTopk,
@@ -1181,31 +1196,38 @@ object SparkEntry {
            |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     }
 
+  /** Shared by q_decontaminate and q_decontaminate_xl: the broadcast
+    * and bloom+shuffled shapes answer the same question. */
+  private val DecontaminateOracle: String =
+    """WITH tok AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x <> '') AS ts
+      |  FROM documents),
+      |grams AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(ts[i:i+2], ' ')
+      |     FOR i IN generate_series(1, greatest(len(ts)-2, 0))]))
+      |    AS gram
+      |  FROM tok),
+      |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+      |corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+      |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hits,
+      |  round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS contamination,
+      |  CAST((sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1)
+      |    AS INTEGER) AS contaminated
+      |FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+      |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_fingerprint" -> DuckHash.fingerprintOracle(16),
     "q_agg_approx_distinct" -> DuckHash.aggApproxDistinctOracle(),
     "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),
-    "q_decontaminate" ->
-      """WITH tok AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |      x -> x <> '') AS ts
-        |  FROM documents),
-        |grams AS (SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(ts[i:i+2], ' ')
-        |     FOR i IN generate_series(1, greatest(len(ts)-2, 0))]))
-        |    AS gram
-        |  FROM tok),
-        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
-        |corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
-        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_hits,
-        |  round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS contamination,
-        |  CAST((sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1)
-        |    AS INTEGER) AS contaminated
-        |FROM corp c LEFT JOIN bench b ON c.gram = b.gram
-        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    // the broadcast-probe and bloom+shuffled-join decontamination
+    // shapes must return byte-identical answers
+    "q_decontaminate" -> DecontaminateOracle,
+    "q_decontaminate_xl" -> DecontaminateOracle,
     "q_chunk_docs" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),

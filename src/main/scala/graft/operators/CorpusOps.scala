@@ -24,19 +24,24 @@ object CorpusOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** The distinct word `n`-gram ARRAY of a text column (space-joined
+    * n-token windows; empty below `n` tokens) — the shared builder for
+    * [[wordNgrams]] and the explode-free per-doc gram counts. */
+  private def gramArray(textCol: String, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val ts = tokens(col(textCol))
+    array_distinct(when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
   /** Distinct word `n`-grams per document: one `(id, gram)` row per
     * distinct space-joined n-token window. Documents shorter than `n`
     * tokens contribute nothing. Pure map-side explode. */
   def wordNgrams(docs: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val ts = tokens(col(textCol))
-    val grams = when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), explode(array_distinct(grams)).as("gram"))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(gramArray(textCol, n)).as("gram"))
 
   /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
     * for every corpus document, how many of its distinct `n`-grams also
@@ -44,24 +49,72 @@ object CorpusOps {
     * document that has at least one n-gram:
     * `(id, n_grams, n_hits, contamination, contaminated)`.
     *
-    * Scale shape: the benchmark gram set is broadcast (benchmarks are
-    * MBs; corpora are TBs), so corpus grams are never shuffled for the
-    * probe — the only exchange is the `groupBy(id)` rollup. */
+    * Scale shape, chosen by MEASURING the benchmark (one pass that
+    * also builds a bloom filter of its grams):
+    *
+    *  - gram set <= `maxBroadcastGrams` (the common case — benchmarks
+    *    are MBs, corpora are TBs): the set is broadcast and corpus
+    *    grams are never shuffled for the probe; the only exchange is
+    *    the `groupBy(id)` rollup.
+    *  - larger (a consolidated eval suite, a dedup-against-corpus-B
+    *    run): the probe becomes a shuffled equi-join, pre-filtered by
+    *    the bloom so only might-match grams ship — the bloom is capped
+    *    (`bloomBits`, clamped further by Spark's bloom-aggregate
+    *    confs), so at extreme gram cardinality its false-positive rate
+    *    degrades gracefully while the join keeps the answer exact. The
+    *    per-doc totals come explode-free from the gram ARRAY, so the
+    *    corpus text is read twice but never shuffled whole. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bench = broadcast(
-      wordNgrams(benchmark, n, idCol, textCol)
-        .select(col("gram")).distinct()
-        .withColumn("_hit", lit(1)))
-    wordNgrams(corpus, n, idCol, textCol)
-      .join(bench, Seq("gram"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
-      .select(col(idCol), col("n_grams"), col("n_hits"),
-        round(col("n_hits") / col("n_grams").cast("double"), 6)
-          .as("contamination"),
-        (col("n_hits") >= 1).as("contaminated"))
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastGrams: Long = 2000000L,
+      bloomBits: Long = 1L << 25): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val benchGrams = wordNgrams(benchmark, n, idCol, textCol)
+      .select(col("gram")).distinct()
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
+      Literal(math.min(math.max(maxBroadcastGrams * 2, 1000000L),
+        4000000L)),
+      Literal(bloomBits)).toAggregateExpression())
+    val measured =
+      benchGrams.agg(count(col("gram")).as("c"), bloomAgg.as("bf")).head
+    val gramCount = measured.getLong(0)
+    if (gramCount <= maxBroadcastGrams) {
+      val bench = broadcast(benchGrams.withColumn("_hit", lit(1)))
+      wordNgrams(corpus, n, idCol, textCol)
+        .join(bench, Seq("gram"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("_hit"), lit(0))).as("n_hits"))
+        .select(col(idCol), col("n_grams"), col("n_hits"),
+          round(col("n_hits") / col("n_grams").cast("double"), 6)
+            .as("contamination"),
+          (col("n_hits") >= 1).as("contaminated"))
+    } else {
+      val bloomBytes = measured.getAs[Array[Byte]](1)
+      val mightHit =
+        if (bloomBytes == null) lit(true)
+        else ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+              new XxHash64(Seq(ColumnBridge.expression(col("gram"))))))
+      val totals = corpus
+        .select(col(idCol), size(gramArray(textCol, n)).as("n_grams"))
+        .filter(col("n_grams") > 0)
+      val hits = wordNgrams(corpus, n, idCol, textCol)
+        .filter(mightHit)
+        .join(benchGrams, Seq("gram"))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      totals.join(hits, Seq(idCol), "left")
+        .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) /
+            col("n_grams").cast("double"), 6).as("contamination"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+    }
   }
 
   /** Context-window chunking: split each document into token windows of

@@ -43,6 +43,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(3L) === ((1L, 1L, true)))
   }
 
+  test("decontaminate large-benchmark path: bloom prefilter + shuffled " +
+      "join agrees exactly with the broadcast shape") {
+    val bench = docs(
+      100L -> "the quick brown fox jumps over fences",
+      101L -> "pack my box with five dozen jugs")
+    val corpus = docs(
+      1L -> "lazy dogs sleep all day long",
+      2L -> "said the quick brown fox yesterday evening",
+      3L -> "quick brown fox",
+      4L -> "box with five dozen assorted things",
+      5L -> "")
+    val viaBroadcast = CorpusOps.decontaminate(corpus, bench, n = 3)
+      .orderBy($"doc_id").collect().toSeq
+    val xl = CorpusOps.decontaminate(corpus, bench, n = 3,
+      maxBroadcastGrams = 0L)
+    // the forced path really is the bloom+join shape
+    val plan = xl.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(xl.orderBy($"doc_id").collect().toSeq === viaBroadcast)
+    // a doc whose grams all miss the bloom still reports its totals
+    assert(xl.filter($"doc_id" === 1L).head.getLong(2) == 0L)
+  }
+
   implicit private class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
