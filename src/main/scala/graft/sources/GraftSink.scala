@@ -605,14 +605,15 @@ object GraftSink {
     * later selective scan cheap. Deletion vectors are materialized
     * first (this IS a physical rewrite). Bucketed tables refuse: their
     * layout is the hash-clustering contract and a z-rewrite would
-    * destroy it. Cluster columns must be numeric, date or timestamp
-    * (linear normalization needs an order-preserving number line).
+    * destroy it. Cluster columns must be numeric, string, date or
+    * timestamp (linear normalization needs an order-preserving number
+    * line; strings ride a fixed 6-byte big-endian prefix projection).
     *
     * Returns (filesBefore, filesAfter). */
   def compactClustered(spark: SparkSession, dir: String,
       clusterCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col => c, greatest, least, lit, max, min, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.{col => c, conv, greatest, hex, least, lit, max, min, rpad, shiftleft, shiftright, substring}
     import org.apache.spark.sql.types._
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
     val hadoopConf = spark.sessionState.newHadoopConf()
@@ -647,9 +648,19 @@ object GraftSink {
         case TimestampType | TimestampNTZType => c(name).cast(DoubleType)
         case DateType =>
           c(name).cast(TimestampType).cast(DoubleType)
+        case StringType =>
+          // fixed-prefix byte projection: the first 6 UTF-8 bytes as a
+          // big-endian number, zero-padded on the right so shorter
+          // strings order before their extensions — numeric order on
+          // the lane == lexicographic byte order on the prefix. 48
+          // bits stays exact through the DoubleType normalization
+          // (< 2^53); strings sharing a 6-byte prefix collapse to one
+          // lane value, which is the right clustering granularity.
+          conv(rpad(hex(substring(c(name).cast(BinaryType), 1, 6)),
+            12, "0"), 16, 10).cast(DoubleType)
         case other => throw new UnsupportedOperationException(
           s"graft compactClustered: column '$name' is $other — " +
-          "cluster columns must be numeric, date or timestamp")
+          "cluster columns must be numeric, string, date or timestamp")
       }
     }
     val doubles = clusterCols.map(asDouble)

@@ -387,4 +387,43 @@ class GraftSinkSpec extends SparkTestBase {
     assert(t.filter($"y" < 50).count() ==
       df.filter($"y" < 50).count())
   }
+
+  test("compactClustered: a STRING cluster key rides the byte-prefix " +
+      "lane and prunes alongside a numeric one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zorder-str")
+      .resolve("t").toString
+    // string key: pseudo-uniform 3-letter codes; numeric key
+    // independent — hash-shuffled files span both ranges fully
+    val df = spark.range(0, 200000).select(
+      $"id",
+      concat(
+        lpad(conv((abs(hash($"id")) % 17576).cast("string"), 10, 26),
+          3, "0"),
+        lit("-suffix")).as("code"),
+      (abs(hash($"id" + 999983L)) % 1000).as("y"))
+    df.repartition(16).write.parquet(dir)
+    def groupsFor(filter: Option[org.apache.spark.sql.Column]): Int = {
+      val t = spark.read.format("graft-v2").option("path", dir).load()
+      filter.map(t.filter).getOrElse(t).rdd.getNumPartitions
+    }
+    assert(groupsFor(Some($"code" < "1")) == groupsFor(None))
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (before, after) = GraftSink.compactClustered(spark, dir,
+      Seq("code", "y"), targetBytes = math.max(1L, bytes / 24))
+    assert(before == 16 && after >= 16, s"($before, $after)")
+    val t = spark.read.format("graft-v2").option("path", dir).load()
+    assert(t.count() == 200000)
+    val totalAfter = groupsFor(None)
+    val pc = groupsFor(Some($"code" < "1"))
+    val py = groupsFor(Some($"y" < 50))
+    assert(pc <= totalAfter / 2,
+      s"string-pruning too weak: $pc of $totalAfter groups")
+    assert(py <= totalAfter / 2,
+      s"y-pruning too weak: $py of $totalAfter groups")
+    assert(t.filter($"code" < "1").count() ==
+      df.filter($"code" < "1").count())
+    assert(t.filter($"y" < 50).count() == df.filter($"y" < 50).count())
+  }
 }
