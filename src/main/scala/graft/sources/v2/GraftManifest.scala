@@ -560,6 +560,104 @@ object GraftManifest {
     (srcVersion, linked)
   }
 
+  /** Cross-filesystem clone: [[cloneTo]]'s contract when `src` and
+    * `dst` live on DIFFERENT filesystems (local → object store, or
+    * between stores). Same scheme+authority delegates to the
+    * hard-link path. Otherwise the data/DV/bloom byte copies fan out
+    * over the cluster — one task per file slice, each opening its own
+    * FileSystem from the shipped Hadoop conf — so clone bandwidth is
+    * every executor's, not the driver's NIC; the driver handles only
+    * metadata (marker copy, the clone's v1 commit). The copy list is
+    * file NAMES (metadata-sized), never file bytes.
+    *
+    * Returns (source version cloned, files copied by executors; 0 on
+    * the delegated same-fs path means "all hard-linked or locally
+    * copied" — see [[cloneTo]]'s second component). */
+  def cloneAcross(spark: org.apache.spark.sql.SparkSession, src: Path,
+      dst: Path, versionAsOf: Option[Long] = None): (Long, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    def fsKey(fs: FileSystem) =
+      (Option(fs.getUri.getScheme).getOrElse("file"),
+        Option(fs.getUri.getAuthority).getOrElse(""))
+    if (fsKey(srcFs) == fsKey(dstFs)) {
+      return cloneTo(srcFs, src, dst, versionAsOf)
+    }
+    if (dstFs.exists(dst) && dstFs.listStatus(dst).nonEmpty) {
+      throw new IllegalArgumentException(
+        s"graft-v2: clone target $dst already exists and is not empty")
+    }
+    val state = snapshotState(srcFs, src, versionAsOf)
+    val (paths, dvs) = state.getOrElse(
+      (listingNames(srcFs, src).map(n => new Path(src, n)),
+        Map.empty[String, String]))
+    val srcVersion = versionAsOf
+      .orElse(current(srcFs, src).map(_.version)).getOrElse(0L)
+    dstFs.mkdirs(dst)
+    val copies = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    copies ++= paths.map(p =>
+      (p.toString, new Path(dst, p.getName).toString))
+    if (dvs.nonEmpty) {
+      val dvDst = new Path(dst, DeleteVectors.Dir)
+      dstFs.mkdirs(dvDst)
+      copies ++= dvs.values.toSeq.distinct.map(d =>
+        (new Path(new Path(src, DeleteVectors.Dir), d).toString,
+          new Path(dvDst, d).toString))
+    }
+    // bloom sidecars ride along best-effort (names survive verbatim)
+    try {
+      val bloomSrc = new Path(src, BloomIndex.Dir)
+      if (srcFs.exists(bloomSrc)) {
+        val nameSet = paths.map(_.getName).toSet
+        srcFs.listStatus(bloomSrc).filter(_.isDirectory).foreach { cd =>
+          val dstCd = new Path(new Path(dst, BloomIndex.Dir),
+            cd.getPath.getName)
+          dstFs.mkdirs(dstCd)
+          srcFs.listStatus(cd.getPath).foreach { st =>
+            val n = st.getPath.getName
+            if (n == "_meta" || nameSet.contains(n.stripSuffix(".bloom"))) {
+              copies += ((st.getPath.toString, new Path(dstCd, n).toString))
+            }
+          }
+        }
+      }
+    } catch { case _: Exception => () }
+    if (copies.nonEmpty) {
+      val serConf =
+        new org.apache.spark.util.SerializableConfiguration(conf)
+      val slices = math.min(copies.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(copies.toSeq, slices)
+        .foreach { case (f, t) =>
+          val c = serConf.value
+          val fp = new Path(f)
+          val tp = new Path(t)
+          if (!org.apache.hadoop.fs.FileUtil.copy(
+              fp.getFileSystem(c), fp, tp.getFileSystem(c), tp,
+              false, c)) {
+            throw new java.io.IOException(s"graft-v2: clone copy failed: $f")
+          }
+        }
+    }
+    val mk = new Path(src, GraftCatalog.SchemaMarker)
+    if (srcFs.exists(mk)) {
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, mk, dstFs,
+        new Path(dst, GraftCatalog.SchemaMarker), false, conf)
+    }
+    val schema = schemaAt(srcFs, src, srcVersion)
+      .orElse(scala.util.Try(
+        GraftCatalog.readMarker(srcFs, src)).toOption.flatten)
+    if (!tryCommit(dstFs, dst, 0L, paths.map(_.getName), schema,
+        Seq("op=clone",
+          s"clonedFrom=${srcFs.makeQualified(src)}@$srcVersion"),
+        Some(dvs))) {
+      throw new IllegalStateException(
+        s"graft-v2: clone target $dst gained a commit concurrently")
+    }
+    (srcVersion, copies.length)
+  }
+
   /** Hard link `from` → `to` when the filesystem supports it (local
     * POSIX), else copy bytes. Returns true iff linked. */
   private def linkOrCopy(fs: FileSystem, from: Path, to: Path)

@@ -275,8 +275,11 @@ private[v2] object GraftProcedures {
           val target = input.getUTF8String(1).toString
           val v = input.getLong(2)
           val dstDir = dirFor(target)
-          val (srcV, linked) = GraftManifest.cloneTo(fs, dir, dstDir,
-            if (v >= 0) Some(v) else None)
+          // cloneAcross delegates to the hard-link path when the
+          // target shares the source filesystem, and fans the byte
+          // copies out over executors when it does not
+          val (srcV, linked) = GraftManifest.cloneAcross(spark, dir,
+            dstDir, if (v >= 0) Some(v) else None)
           one(resultScan(
             StructType(Seq(
               StructField("cloned_version", LongType, false),

@@ -357,4 +357,45 @@ class CommitStoreSpec extends SparkTestBase {
       .mode("append").save()
     assert(spark.table(s"$cat.people").count() == 53L)
   }
+
+  test("cloneAcross copies a table to a DIFFERENT filesystem on " +
+      "executors; the clone's lifecycle is independent") {
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-xfs-clone").toString
+    spark.sparkContext.hadoopConfiguration.set("fs.objstore.impl",
+      classOf[ObjStoreFileSystem].getName)
+    import spark.implicits._
+    val srcPath = s"$local/src"
+    (1L to 100L).map(i => (i, s"name-$i")).toDF("id", "name")
+      .write.format("graft-v2").option("path", srcPath)
+      .mode("append").save()
+    // point deletes so the snapshot carries DELETION VECTORS the
+    // clone must bring along
+    GraftDeleteV2.deleteWhere(srcPath,
+      spark.read.format("graft-v2").option("path", srcPath).load()
+        .schema,
+      org.apache.spark.sql.sources.GreaterThan("id", 90L))
+    val src = new Path(srcPath)
+    val dst = new Path(s"objstore:$local/clone")
+    val (srcV, copied) = GraftManifest.cloneAcross(spark, src, dst)
+    assert(copied > 0, "cross-fs clone must ship files via executors")
+    def read(p: Path) =
+      spark.read.format("graft-v2").option("path", p.toString).load()
+    assert(read(dst).count() == 90L, "clone sees the DV-masked state")
+    assert(srcV >= 1L)
+    // independence both ways: source DML after the clone is invisible
+    // to the clone, clone DML invisible to the source
+    GraftDeleteV2.deleteWhere(srcPath, read(src).schema,
+      org.apache.spark.sql.sources.LessThan("id", 11L))
+    assert(read(src).count() == 80L)
+    assert(read(dst).count() == 90L)
+    GraftDeleteV2.deleteWhere(dst.toString, read(dst).schema,
+      org.apache.spark.sql.sources.EqualTo("id", 50L))
+    assert(read(dst).count() == 89L)
+    assert(read(src).count() == 80L)
+    // the clone starts its own history at v1
+    val dstFs = dst.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(GraftManifest.versions(dstFs, dst).head == 1L)
+  }
 }
