@@ -668,6 +668,20 @@ object SparkEntry {
     TextStats.qualityScore(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Repetition quality filters (Gopher-style): duplicate-line and
+    * duplicate-word fractions, map-side HOFs, zero shuffles. The
+    * corpus text is newline-free, so every third doc gets its 40-char
+    * prefix appended twice as extra lines — deterministic, mirrored
+    * by the oracle — to make the line metrics load-bearing. */
+  private val qRepetition: Q = (s, dir) => {
+    val seeded = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat_ws("\n", col("text"), substring(col("text"), 1, 40),
+          substring(col("text"), 1, 40)))
+        .otherwise(col("text")).as("text"))
+    TextStats.repetitionStats(seeded).orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: docs with doc_id % 97 == 0 act as the
     * held-out benchmark; every other doc reports how many of its
     * distinct 3-grams appear anywhere in it (CorpusOps.decontaminate —
@@ -1129,6 +1143,7 @@ object SparkEntry {
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_quality_score" -> qQualityScore,
+    "q_repetition" -> qRepetition,
     "q_lang_id" -> qLangId,
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_xl" -> qDecontaminateXl,
@@ -1676,6 +1691,35 @@ object SparkEntry {
         |  least(10000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0),
         |  6) AS len_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+        |      substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> len(x) > 0) AS lines,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM d),
+        |ex AS (SELECT doc_id, unnest(lines) AS line FROM l),
+        |cnt AS (SELECT doc_id, line, count(*) AS c, len(line) AS ln
+        |  FROM ex GROUP BY doc_id, line),
+        |ch AS (SELECT doc_id, sum(c * ln) AS tot,
+        |    sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dup
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT l.doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+        |  round((len(lines) - len(list_distinct(lines))) /
+        |    greatest(CAST(len(lines) AS DOUBLE), 1.0), 6)
+        |    AS dup_line_frac,
+        |  round(coalesce(dup, 0) /
+        |    greatest(CAST(coalesce(tot, 0) AS DOUBLE), 1.0), 6)
+        |    AS dup_line_char_frac,
+        |  round((len(ts) - len(list_distinct(ts))) /
+        |    greatest(CAST(len(ts) AS DOUBLE), 1.0), 6) AS dup_word_frac
+        |FROM l LEFT JOIN ch ON l.doc_id = ch.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -42,6 +42,43 @@ object TextStats {
         .as("len_score"))
   }
 
+  /** Repetition metrics (the Gopher-style "repetitious document"
+    * quality filters): per document,
+    *
+    *  - `n_lines` — non-empty newline-separated lines;
+    *  - `dup_line_frac` — fraction of lines that are copies of another
+    *    line (`(lines - distinct) / lines`);
+    *  - `dup_line_char_frac` — fraction of LINE CHARACTERS living in
+    *    duplicated lines (every occurrence counts, so a page of one
+    *    repeated line scores ~1.0);
+    *  - `dup_word_frac` — same dedup ratio over whitespace tokens.
+    *
+    * Pure map-side array/HOF expressions — zero shuffles, codegen'd;
+    * the inner duplicate probe is O(lines²) per doc, bounded by
+    * document size, never by corpus size. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val nLines = size(lines)
+    val nDistinct = size(array_distinct(lines))
+    def charSum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+    val totChars = charSum(lines)
+    val dupChars = charSum(filter(lines,
+      x => size(filter(lines, y => y === x)) > 1))
+    val ts = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val nTok = size(ts)
+    val nTokDistinct = size(array_distinct(ts))
+    def frac(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      round(num.cast("double") /
+        greatest(den.cast("double"), lit(1.0)), 6)
+    docs.select(col(idCol), nLines.as("n_lines"),
+      frac(nLines - nDistinct, nLines).as("dup_line_frac"),
+      frac(dupChars, totChars).as("dup_line_char_frac"),
+      frac(nTok - nTokDistinct, nTok).as("dup_word_frac"))
+  }
+
   /** Corpus stats per language label: doc count, char volume, token sum. */
   def perLanguage(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(

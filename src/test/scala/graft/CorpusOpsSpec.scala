@@ -66,6 +66,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(xl.filter($"doc_id" === 1L).head.getLong(2) == 0L)
   }
 
+  test("repetitionStats: duplicate line/word fractions, empty and " +
+      "pathological docs") {
+    import graft.operators.TextStats
+    val d = docs(
+      1L -> "alpha beta\ngamma delta\nalpha beta", // line dup 1/3
+      2L -> "spam\nspam\nspam\nspam",              // all-dup page
+      3L -> "unique lines\nonly here",             // no dups
+      4L -> "word word word distinct",             // word dups only
+      5L -> "")                                    // empty
+    val got = TextStats.repetitionStats(d)
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: 3 lines, 2 of them copies of each other -> dup_line_frac
+    // (3-2)/3; chars 10+11+10, 20 in dup lines
+    assert(got(1L)._1 == 3)
+    assert(got(1L)._2 == 0.333333)
+    assert(got(1L)._3 == math.rint(20.0 / 31.0 * 1e6) / 1e6)
+    // 6 tokens, 4 distinct ("alpha beta" twice)
+    assert(got(1L)._4 == 0.333333)
+    assert(got(2L) === ((4, 0.75, 1.0, 0.75)))
+    assert(got(3L) === ((2, 0.0, 0.0, 0.0)))
+    assert(got(4L) === ((1, 0.0, 0.0, 0.5)))
+    assert(got(5L) === ((0, 0.0, 0.0, 0.0)))
+  }
+
   implicit private class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
