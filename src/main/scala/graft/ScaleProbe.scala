@@ -29,7 +29,7 @@ object ScaleProbe {
     "q_token_count", "q_quality_score", "q_dedup_exact",
     "q_dedup_near", "q_dedup_simhash", "q_fingerprint",
     "q_decontaminate", "q_chunk_docs", "q_sample_stratified",
-    "q_pii_redact")
+    "q_pii_redact", "q_decontaminate_xl", "q_repetition")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

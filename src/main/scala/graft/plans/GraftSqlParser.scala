@@ -68,6 +68,12 @@ private[graft] object GraftMvSql {
     """(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+CLONE\s+([\w.`]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // VACUUM t [RETAIN n VERSIONS|HOURS] [DRY RUN] and DESCRIBE HISTORY
+  // — the SQL faces of CALL vacuum / CALL history
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case CreateRe(ifNot, target, select) =>
@@ -82,6 +88,15 @@ private[graft] object GraftMvSql {
         Option(ver).map(_.toLong)))
     case RestoreRe(target, ver) =>
       Some(RestoreTableCommand(parts(target), ver.toLong))
+    case VacuumRe(target, n, unit, dry) =>
+      val versions =
+        if (n != null && unit.toUpperCase == "VERSIONS") n.toInt else 2
+      val hours =
+        if (n != null && unit.toUpperCase == "HOURS") n.toInt else 0
+      Some(VacuumTableCommand(parts(target), versions, hours,
+        dry != null))
+    case HistoryRe(target) =>
+      Some(DescribeHistoryCommand(parts(target)))
     case _ => None
   }
 
@@ -293,6 +308,71 @@ case class RestoreTableCommand(target: Seq[String], version: Long)
     val newV = graft.sources.v2.GraftManifest.restore(fs, dir, version)
     spark.catalog.refreshByPath(dir.toString)
     Seq(Row(version, newV))
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS|HOURS] [DRY RUN]` — the SQL face of
+  * [[graft.sources.v2.GraftManifest.vacuum]] / `vacuumPreview`. DRY
+  * RUN reports the retention cut's blast radius without deleting. */
+case class VacuumTableCommand(target: Seq[String], keepVersions: Int,
+    retainHours: Int, dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("would_drop_versions", LongType,
+        nullable = false)(),
+      AttributeReference("would_delete_files", LongType,
+        nullable = false)(),
+      AttributeReference("would_free_bytes", LongType,
+        nullable = false)())
+    else Seq(
+      AttributeReference("retained_versions", LongType,
+        nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.v2.GraftManifest
+    val dir = new org.apache.hadoop.fs.Path(
+      GraftMvSql.dirOf(spark, target))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (dryRun) {
+      val (dropV, doomed) = GraftManifest.vacuumPreview(fs, dir,
+        keepVersions = keepVersions,
+        minRetainMillis = retainHours * 3600000L)
+      val bytes = doomed.foldLeft(0L) { (acc, p) =>
+        acc + (try fs.getFileStatus(p).getLen
+        catch { case _: Throwable => 0L })
+      }
+      Seq(Row(dropV.length.toLong, doomed.length.toLong, bytes))
+    } else {
+      GraftManifest.vacuum(fs, dir, keepVersions = keepVersions,
+        minRetainMillis = retainHours * 3600000L)
+      Seq(Row(GraftManifest.versions(fs, dir).length.toLong))
+    }
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the SQL face of `CALL history`: one row per
+  * retained version, newest first, from the manifest log only. */
+case class DescribeHistoryCommand(target: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = true)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("added_files", LongType, nullable = false)(),
+    AttributeReference("removed_files", LongType, nullable = false)(),
+    AttributeReference("dv_files", LongType, nullable = false)(),
+    AttributeReference("changed_dvs", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      GraftMvSql.dirOf(spark, target))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.v2.GraftManifest.history(fs, dir).map {
+      case (v, ts, op, files, added, removed, dvN, dvChanged) =>
+        Row(v, ts.map(new java.sql.Timestamp(_)).orNull, op,
+          files.toLong, added.toLong, removed.toLong, dvN.toLong,
+          dvChanged.toLong)
+    }
   }
 }
 

@@ -560,6 +560,28 @@ object GraftManifest {
     (srcVersion, linked)
   }
 
+  /** One history row per RETAINED version, newest first: (version,
+    * commit-time millis, operation, live files, files added, files
+    * removed, dv sidecars, dvs changed vs predecessor). A
+    * metadata-only walk of the manifest log — bounded by the vacuum
+    * window, never touches data files; the oldest retained version
+    * reports its full file set as added (its true predecessor may be
+    * vacuumed). Shared by `CALL history` and `DESCRIBE HISTORY`. */
+  def history(fs: FileSystem, table: Path)
+      : Seq[(Long, Option[Long], String, Int, Int, Int, Int, Int)] = {
+    val snaps = versions(fs, table).map(v => read(fs, table, v))
+    snaps.zipWithIndex.reverse.map { case (s, i) =>
+      val prev = if (i == 0) None else Some(snaps(i - 1))
+      val prevNames = prev.map(_.names.toSet).getOrElse(Set.empty)
+      val names = s.names.toSet
+      (s.version, commitTimeMillis(fs, table, s.version),
+        opOf(fs, table, s.version).getOrElse("unknown"),
+        names.size, (names -- prevNames).size,
+        (prevNames -- names).size, s.dvs.size,
+        (s.dvs.toSet -- prev.map(_.dvs.toSet).getOrElse(Set.empty)).size)
+    }
+  }
+
   /** Cross-filesystem clone: [[cloneTo]]'s contract when `src` and
     * `dst` live on DIFFERENT filesystems (local → object store, or
     * between stores). Same scheme+authority delegates to the

@@ -300,32 +300,15 @@ private[v2] object GraftProcedures {
               StructField("new_version", LongType, false))),
             Array(toVersion, newV)))
         case "history" =>
-          // a metadata-only walk of the retained manifest log —
-          // bounded by the vacuum window, never touches data files.
-          // File deltas diff each snapshot against its predecessor;
-          // the oldest retained version reports its full file set as
-          // added (its true predecessor may be vacuumed).
-          val vs = GraftManifest.versions(fs, dir)
-          val snaps = vs.map(v => GraftManifest.read(fs, dir, v))
           val logRows: Array[InternalRow] =
-            snaps.zipWithIndex.reverse.map { case (s, i) =>
-              val prev = if (i == 0) None else Some(snaps(i - 1))
-              val prevNames = prev.map(_.names.toSet).getOrElse(Set.empty)
-              val names = s.names.toSet
-              val ts = GraftManifest
-                .commitTimeMillis(fs, dir, s.version)
-              new GenericInternalRow(Array[Any](
-                s.version,
-                ts.map(_ * 1000L).getOrElse(null),
-                org.apache.spark.unsafe.types.UTF8String.fromString(
-                  GraftManifest.opOf(fs, dir, s.version)
-                    .getOrElse("unknown")),
-                names.size,
-                (names -- prevNames).size,
-                (prevNames -- names).size,
-                s.dvs.size,
-                (s.dvs.toSet -- prev.map(_.dvs.toSet)
-                  .getOrElse(Set.empty)).size))
+            GraftManifest.history(fs, dir).map {
+              case (v, ts, op, files, added, removed, dvN, dvChanged) =>
+                new GenericInternalRow(Array[Any](
+                  v, ts.map(_ * 1000L).getOrElse(null),
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(op),
+                  files, added, removed, dvN, dvChanged))
+                  : InternalRow
             }.toArray
           one(new LocalScan {
             override def readSchema(): StructType = StructType(Seq(

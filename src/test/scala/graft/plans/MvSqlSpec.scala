@@ -165,4 +165,43 @@ class MvSqlSpec extends SparkTestBase {
     assert(ext.sql("SELECT count(*) FROM csq.ns.t_old")
       .head.getLong(0) == 50L)
   }}
+
+  test("VACUUM and DESCRIBE HISTORY SQL faces") { inSession {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-vacsql").toString
+    ext.conf.set("spark.sql.catalog.vsq",
+      "graft.sources.v2.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.vsq.warehouse", wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS vsq.ns")
+    ext.sql("CREATE TABLE vsq.ns.t (id BIGINT)")
+    ext.sql("INSERT INTO vsq.ns.t SELECT id FROM range(0, 50)")
+    ext.sql("DELETE FROM vsq.ns.t WHERE id = 7")
+    ext.sql("INSERT OVERWRITE vsq.ns.t SELECT id FROM range(0, 20)")
+    ext.sql("INSERT INTO vsq.ns.t SELECT id FROM range(20, 25)")
+
+    // history: newest first, operations labeled, file deltas visible
+    val h = ext.sql("DESCRIBE HISTORY vsq.ns.t").collect()
+    assert(h.length >= 4, h.mkString("\n"))
+    assert(h.head.getLong(0) > h.last.getLong(0), "newest first")
+    val ops = h.map(_.getString(2)).toSeq
+    assert(ops.contains("overwrite") && ops.contains("delete"),
+      ops.toString)
+    assert(h.forall(_.getLong(3) >= 0))
+
+    // dry run reports, deletes nothing
+    val dry = ext.sql(
+      "VACUUM vsq.ns.t RETAIN 1 VERSIONS DRY RUN").collect().head
+    assert(dry.getLong(0) == h.length - 1 && dry.getLong(1) > 0,
+      dry.toString)
+    assert(ext.sql("DESCRIBE HISTORY vsq.ns.t").collect()
+      .length == h.length)
+
+    // the real cut retains exactly one version
+    val real = ext.sql("VACUUM vsq.ns.t RETAIN 1 VERSIONS")
+      .collect().head
+    assert(real.getLong(0) == 1L, real.toString)
+    assert(ext.sql("DESCRIBE HISTORY vsq.ns.t").collect().length == 1)
+    assert(ext.sql("SELECT count(*) FROM vsq.ns.t").head.getLong(0)
+      == 25L)
+  }}
 }
