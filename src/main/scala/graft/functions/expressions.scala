@@ -248,6 +248,84 @@ object TextHashing {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
   }
+
+  /** Product-quantization code of `v`: per subspace s (a contiguous
+    * `dsub`-wide slice), the index of its nearest (squared L2)
+    * codebook centroid. One tight loop, no per-row allocation beyond
+    * the m-int output — the compressed form a 100 TB ANN scan reads
+    * instead of the raw vector. */
+  def pqEncode(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebooks: Array[Array[Array[Double]]], childFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = codebooks.length
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = if (cb.length > 0) cb(0).length else 0
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val ctr = cb(j)
+        var d = 0.0
+        var i = 0
+        val lim = math.min(dsub, math.max(0, n - off))
+        while (i < lim) {
+          val x =
+            if (childFloat) v.getFloat(off + i).toDouble
+            else v.getDouble(off + i)
+          val diff = x - ctr(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      off += dsub
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance approximate cosine between a RAW query vector
+    * and a PQ-ENCODED corpus vector: cosine(q, decode(codes)), every
+    * term folded per subspace without materializing the decode. */
+  def pqAdcCos(q: org.apache.spark.sql.catalyst.util.ArrayData,
+      codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebooks: Array[Array[Array[Double]]], qFloat: Boolean): Double = {
+    var dot = 0.0
+    var nq = 0.0
+    var nc = 0.0
+    val n = q.numElements()
+    val m = math.min(codebooks.length, codes.numElements())
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = if (cb.length > 0) cb(0).length else 0
+      val code = codes.getInt(s)
+      val ctr = cb(math.min(math.max(code, 0), cb.length - 1))
+      var i = 0
+      val lim = math.min(dsub, math.max(0, n - off))
+      while (i < lim) {
+        val x =
+          if (qFloat) q.getFloat(off + i).toDouble
+          else q.getDouble(off + i)
+        val c0 = ctr(i)
+        dot += x * c0
+        nq += x * x
+        nc += c0 * c0
+        i += 1
+      }
+      off += dsub
+      s += 1
+    }
+    if (nq == 0.0 || nc == 0.0) 0.0 else dot / math.sqrt(nq * nc)
+  }
 }
 
 /** MinHash signature: minimum of `mix(hash(shingle), seed_j)` over word
@@ -443,4 +521,52 @@ case class NearestCells(child: Expression, centers: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "nearest_cells"
+}
+
+/** PQ code array (one small int per subspace) of an embedding under
+  * per-subspace codebooks — the m-int compressed representation an
+  * ANN scan reads instead of the raw vector ([[TextHashing.pqEncode]];
+  * codegen'd, no Scala UDF). */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private lazy val childFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.pqEncode(
+      input.asInstanceOf[ArrayData], codebooks, childFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.pqEncode($c, $ref, $childFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Asymmetric-distance approximate cosine: raw query vector (left) vs
+  * PQ code array (right) under shared codebooks
+  * ([[TextHashing.pqAdcCos]]). */
+case class PqAdcCosine(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private lazy val qFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected override def nullSafeEval(q: Any, codes: Any): Any =
+    TextHashing.pqAdcCos(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], codebooks, qFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashing.pqAdcCos($a, $b, $ref, $qFloat)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_cosine"
 }

@@ -139,6 +139,174 @@ object Ann {
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Trained product-quantization codebooks: `m` subspaces × `k`
+    * centroids × `dsub` dims. Driver-side, serializable, tiny
+    * (m·k·dsub doubles) — the analog of a FAISS PQ index header. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+    def dim: Int = m * dsub
+  }
+
+  /** Train PQ codebooks on the same seeded deterministic sample shape
+    * as [[trainIvf]] (orderBy(xxhash64)+limit — a TakeOrdered, not a
+    * sort). K-means runs DRIVER-SIDE on the collected sample — the
+    * sample is bounded (default max(k·64, 2048) vectors), so training
+    * cost never scales with the corpus; only encode does, and encode
+    * is map-side. Deterministic: seeded centroid init, fixed Lloyd
+    * iteration count, stable tie-breaks. */
+  def trainPq(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      seed: Long = 42L, sampleSize: Int = 0, iters: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    require(m >= 1 && k >= 1, s"need m >= 1, k >= 1; got m=$m k=$k")
+    val n = if (sampleSize > 0) sampleSize else math.max(k * 64, 2048)
+    val rows = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(n).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "trainPq: empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0,
+      s"trainPq: dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { s =>
+      val off = s * dsub
+      val pts = rows.map(r => java.util.Arrays.copyOfRange(r, off, off + dsub))
+      val kk = math.min(k, pts.length)
+      // seeded init on distinct sample indices; plain Lloyd after
+      val centers = rnd.shuffle(pts.indices.toVector).take(kk)
+        .map(i => pts(i).clone()).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(kk)(new Array[Double](dsub))
+        val counts = new Array[Int](kk)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < kk) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val diff = p(i) - centers(j)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (counts(j) > 0) {
+            var i = 0
+            while (i < dsub) {
+              centers(j)(i) = sums(j)(i) / counts(j); i += 1
+            }
+          } // empty cluster keeps its center (deterministic)
+          j += 1
+        }
+        it += 1
+      }
+      centers
+    }
+    PqModel(codebooks)
+  }
+
+  /** PQ code column (array of m small ints) — native codegen'd
+    * expression, map-side. */
+  def pqEncode(vec: Column, model: PqModel): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        model.codebooks))
+
+  /** Approximate cosine between a raw query vector and a PQ code
+    * (asymmetric distance) — native codegen'd expression. */
+  def pqAdcCos(queryVec: Column, codes: Column, model: PqModel): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqAdcCosine(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(queryVec),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
+        model.codebooks))
+
+  /** The persistable IVF-PQ CODES TABLE: `(id, cell, code)` — what a
+    * deployment writes once and scans thereafter. Per vector it is one
+    * int cell + m ints of code instead of `dim` floats: the scan-side
+    * bytes that make ANN over 100 TB of embeddings feasible. */
+  def pqCodes(corpus: DataFrame, ivf: IvfModel, pq: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      element_at(nearestCells(col(vecCol), ivf, 1), 1).as("cell"),
+      pqEncode(col(vecCol), pq).as("code"))
+
+  /** IVF-PQ top-k — the full 100 TB ANN shape:
+    *
+    *  1. the coarse quantizer routes each query to its `nprobe`
+    *     nearest cells (equi-join on cell id, candidates only);
+    *  2. candidates rank by APPROXIMATE ADC cosine computed from the
+    *     m-int code — the scan side never touches raw vectors;
+    *  3. only the top `rerank·k` per query fetch their true vectors
+    *     (an equi-join back to the corpus by id) for exact cosine.
+    *
+    * Pass a persisted [[pqCodes]] frame via `codes` to skip re-encoding
+    * (train once / encode once / query forever). Output shape matches
+    * [[bruteForceTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      ivf: IvfModel, pq: PqModel, nprobe: Int = 4, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      codes: Option[DataFrame] = None): DataFrame = {
+    val codeTbl = codes.getOrElse(pqCodes(corpus, ivf, pq, idCol, vecCol))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(nearestCells(col(vecCol), ivf, nprobe)).as("cell"))
+    val cand = codeTbl.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", pqAdcCos(col("qv"), col("code"), pq))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    // a neighbor's single cell matches at most one of a query's nprobe
+    // probe rows, so (query, neighbor) pairs are already unique
+    val short = cand
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("acos"))
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= k.toLong * rerank)
+    // exact rerank: ONLY the shortlist fetches raw vectors
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
+  /** Persist PQ codebooks (tiny parquet) beside a corpus. */
+  def savePq(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (ctr, j) => (s, j, ctr.toSeq) }
+    }.toSeq.toDF("subspace", "centroid", "center")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks written by [[savePq]]. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .orderBy(col("subspace"), col("centroid"))
+      .select(col("subspace"), col("center"))
+      .as[(Int, Seq[Double])].collect()
+    PqModel(rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2.toArray).toArray).toArray)
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -165,6 +165,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.35, f"LSH recall too low: $recall%.2f")
   }
 
+  test("IVF-PQ top-k: codes-only candidate scan, exact rerank, " +
+      "recall vs brute force is reasonable") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.trainIvf(emb, nlist = 16)
+    val pq = Ann.trainPq(emb, m = 8, k = 16)
+    assert(pq.dim == 64 && pq.dsub == 8)
+    // deterministic retrain
+    assert(Ann.trainPq(emb, m = 8, k = 16).codebooks.flatten.flatten
+      .toSeq == pq.codebooks.flatten.flatten.toSeq)
+    val codes = Ann.pqCodes(emb, ivf, pq)
+    // the persistable codes table carries NO raw vectors
+    assert(codes.schema.fieldNames.toSet ==
+      Set("neighbor_id", "cell", "code"))
+    val got = Ann.ivfPqTopK(emb, queries, 10, ivf, pq, nprobe = 4,
+      rerank = 4, codes = Some(codes))
+    val approx = got.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, f"IVF-PQ recall too low: $recall%.2f")
+    // ranked output: k rows per query, cos descending
+    val counts = got.groupBy($"query_id").count().collect()
+    assert(counts.forall(_.getLong(1) == 10))
+    // codebooks persist and round-trip exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq")
+      .resolve("m").toString
+    Ann.savePq(spark, pq, dir)
+    val loaded = Ann.loadPq(spark, dir)
+    assert(loaded.codebooks.flatten.flatten.toSeq ==
+      pq.codebooks.flatten.flatten.toSeq)
+  }
+
   test("bruteForceTopK returns exactly k neighbors per query, ranked") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val out = Ann.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 5)
