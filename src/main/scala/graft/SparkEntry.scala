@@ -698,12 +698,17 @@ object SparkEntry {
 
   /** The same decontamination forced down the LARGE-benchmark path
     * (maxBroadcastGrams = 0): bloom-prefiltered shuffled gram join +
-    * explode-free per-doc totals instead of a broadcast probe. Same
-    * oracle as q_decontaminate — the two shapes must agree exactly. */
+    * explode-free per-doc totals instead of a broadcast probe. Runs
+    * on a deterministic 1/7 corpus slice — the path costs a second
+    * corpus pass plus a gram shuffle BY DESIGN (that trade only wins
+    * when the benchmark is too big to broadcast), so the demo proves
+    * the shape without dominating the bench; q_decontaminate covers
+    * the full corpus. Oracle = the same SQL under the slice. */
   private val qDecontaminateXl: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     CorpusOps.decontaminate(
-      corpus = docs.filter(col("doc_id") % 97 =!= 0),
+      corpus = docs.filter(col("doc_id") % 97 =!= 0 &&
+        col("doc_id") % 7 === 1),
       benchmark = docs.filter(col("doc_id") % 97 === 0),
       n = 3, maxBroadcastGrams = 0L)
       .withColumn("contaminated", col("contaminated").cast("int"))
@@ -1211,11 +1216,12 @@ object SparkEntry {
            |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     }
 
-  /** Shared by q_decontaminate and q_decontaminate_xl: the broadcast
-    * and bloom+shuffled shapes answer the same question. */
-  private val DecontaminateOracle: String =
-    """WITH tok AS (SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+  /** Shared by q_decontaminate and q_decontaminate_xl (the latter on a
+    * 1/7 corpus slice): the broadcast and bloom+shuffled shapes answer
+    * the same question. */
+  private def decontaminateOracle(corpusPred: String): String =
+    s"""WITH tok AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
       |      x -> x <> '') AS ts
       |  FROM documents),
       |grams AS (SELECT doc_id, unnest(list_distinct(
@@ -1224,7 +1230,7 @@ object SparkEntry {
       |    AS gram
       |  FROM tok),
       |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
-      |corp AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+      |corp AS (SELECT doc_id, gram FROM grams WHERE $corpusPred)
       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
       |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_hits,
@@ -1240,9 +1246,10 @@ object SparkEntry {
     "q_agg_approx_distinct" -> DuckHash.aggApproxDistinctOracle(),
     "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),
     // the broadcast-probe and bloom+shuffled-join decontamination
-    // shapes must return byte-identical answers
-    "q_decontaminate" -> DecontaminateOracle,
-    "q_decontaminate_xl" -> DecontaminateOracle,
+    // shapes must return byte-identical answers on their corpora
+    "q_decontaminate" -> decontaminateOracle("doc_id % 97 <> 0"),
+    "q_decontaminate_xl" ->
+      decontaminateOracle("doc_id % 97 <> 0 AND doc_id % 7 = 1"),
     "q_chunk_docs" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -49,8 +49,7 @@ object CorpusOps {
     * document that has at least one n-gram:
     * `(id, n_grams, n_hits, contamination, contaminated)`.
     *
-    * Scale shape, chosen by MEASURING the benchmark (one pass that
-    * also builds a bloom filter of its grams):
+    * Scale shape, chosen by MEASURING the benchmark's gram set:
     *
     *  - gram set <= `maxBroadcastGrams` (the common case — benchmarks
     *    are MBs, corpora are TBs): the set is broadcast and corpus
@@ -58,30 +57,26 @@ object CorpusOps {
     *    the `groupBy(id)` rollup.
     *  - larger (a consolidated eval suite, a dedup-against-corpus-B
     *    run): the probe becomes a shuffled equi-join, pre-filtered by
-    *    the bloom so only might-match grams ship — the bloom is capped
-    *    (`bloomBits`, clamped further by Spark's bloom-aggregate
-    *    confs), so at extreme gram cardinality its false-positive rate
-    *    degrades gracefully while the join keeps the answer exact. The
-    *    per-doc totals come explode-free from the gram ARRAY, so the
-    *    corpus text is read twice but never shuffled whole. */
+    *    a bloom of the benchmark grams so only might-match grams
+    *    ship. The bloom is sized to the MEASURED count (~10 bits per
+    *    gram) and capped at `bloomBitsCap` — it rides the plan as a
+    *    literal, so an oversized filter taxes every task's plan
+    *    deserialization; at extreme gram cardinality the cap degrades
+    *    its false-positive rate gracefully while the join keeps the
+    *    answer exact. The per-doc totals come explode-free from the
+    *    gram ARRAY, so the corpus text is read twice but never
+    *    shuffled whole. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       maxBroadcastGrams: Long = 2000000L,
-      bloomBits: Long = 1L << 25): DataFrame = {
+      bloomBitsCap: Long = 1L << 25): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
     val benchGrams = wordNgrams(benchmark, n, idCol, textCol)
       .select(col("gram")).distinct()
-    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
-      new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
-      Literal(math.min(math.max(maxBroadcastGrams * 2, 1000000L),
-        4000000L)),
-      Literal(bloomBits)).toAggregateExpression())
-    val measured =
-      benchGrams.agg(count(col("gram")).as("c"), bloomAgg.as("bf")).head
-    val gramCount = measured.getLong(0)
+    val gramCount = benchGrams.count()
     if (gramCount <= maxBroadcastGrams) {
       val bench = broadcast(benchGrams.withColumn("_hit", lit(1)))
       wordNgrams(corpus, n, idCol, textCol)
@@ -94,7 +89,14 @@ object CorpusOps {
             .as("contamination"),
           (col("n_hits") >= 1).as("contaminated"))
     } else {
-      val bloomBytes = measured.getAs[Array[Byte]](1)
+      val bits = math.max(1L << 16,
+        math.min(bloomBitsCap, gramCount * 10L))
+      val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
+        Literal(math.max(1L, math.min(gramCount, 4000000L))),
+        Literal(bits)).toAggregateExpression())
+      val bloomBytes =
+        benchGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
       val mightHit =
         if (bloomBytes == null) lit(true)
         else ColumnBridge.column(
