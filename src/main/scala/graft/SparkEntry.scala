@@ -656,6 +656,20 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-PQ ANN: same train-once quantizers as q_ann_ivf plus memoized
+    * PQ codebooks; candidates rank by ADC cosine over the m-int codes
+    * (the scan never touches raw vectors), top rerank·k fetch true
+    * vectors for exact scoring. Oracle decodes the same codebooks in
+    * DuckDB (see pqOracle). */
+  private val qAnnPq: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val ivf = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+    val pq = Ann.trainPqCached(s"$dir/embeddings#pq8x16", emb)
+    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), k = 10, ivf, pq,
+      nprobe = 4, rerank = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private val qTextStats: Q = (s, dir) =>
     TextStats.perLanguage(t(s, dir, "documents"))
       .orderBy(col("lang"))
@@ -1145,6 +1159,7 @@ object SparkEntry {
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_pq" -> qAnnPq,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_quality_score" -> qQualityScore,
@@ -1212,6 +1227,58 @@ object SparkEntry {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY rawcos DESC, neighbor_id) AS INTEGER) AS rnk
            |  FROM s)
+           |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
+           |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }
+
+  /** Oracle for the IVF-PQ query, rendered from the same memoized
+    * models the Spark query applies. The key identity: ADC cosine over
+    * a code EQUALS plain cosine against the code's RECONSTRUCTION
+    * (concatenated chosen centroids) when dim = m·dsub, so the oracle
+    * decodes each corpus vector (per-subspace argmin via
+    * `list_grade_up`, centroid picked from the rendered codebook) and
+    * ranks with `list_cosine_similarity` — exactly the shortlist the
+    * codes-only scan produces — then reranks the top rerank·k
+    * exactly. */
+  private def pqOracle: Option[(String, String)] =
+    Option(lastDir).map { dir =>
+      val spark = SparkSession.active
+      val emb = Tables.t(spark, dir, "embeddings")
+      val ivf = operators.Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+      val pq = operators.Ann.trainPqCached(s"$dir/embeddings#pq8x16", emb)
+      val ivfDists = ivf.centers
+        .map(c => s"list_distance(v, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ",\n ", "]")
+      val dsub = pq.dsub
+      val recon = pq.codebooks.zipWithIndex.map { case (cb, s) =>
+        val lit = cb.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ",\n   ", "]")
+        val a = s * dsub + 1
+        val b = s * dsub + dsub
+        s"($lit)[list_grade_up([list_distance(v[$a:$b], c)" +
+          s" FOR c IN $lit])[1]]"
+      }.mkString("flatten([", ",\n ", "])")
+      "q_ann_pq" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |d AS (SELECT vec_id, v, list_grade_up($ivfDists) AS gu,
+           |    $recon AS recon FROM e),
+           |c AS (SELECT vec_id AS neighbor_id, v AS cv, gu[1] - 1 AS cell,
+           |    recon FROM d),
+           |q AS (SELECT vec_id AS query_id, v AS qv,
+           |    unnest(gu[1:4]) - 1 AS cell FROM d WHERE vec_id < 8),
+           |s AS (SELECT query_id, neighbor_id, qv, cv,
+           |    list_cosine_similarity(qv, recon) AS acos
+           |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id),
+           |sh AS (SELECT query_id, neighbor_id, qv, cv,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY acos DESC, neighbor_id) AS arnk FROM s),
+           |r AS (SELECT query_id, neighbor_id,
+           |    list_cosine_similarity(qv, cv) AS rawcos,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY list_cosine_similarity(qv, cv) DESC,
+           |        neighbor_id) AS INTEGER) AS rnk
+           |  FROM sh WHERE arnk <= 40)
            |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
            |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     }
@@ -1829,7 +1896,7 @@ object SparkEntry {
         |FROM src s
         |WHERE s.k NOT IN (SELECT o_orderkey FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
-  ) ++ ivfOracle
+  ) ++ ivfOracle ++ pqOracle
 }
 
 /** Deterministic HyperLogLog distinct-count (p=8, m=256 registers).

@@ -214,6 +214,17 @@ object Ann {
     PqModel(codebooks)
   }
 
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
+
+  /** [[trainPq]] memoized on a caller-chosen key — train once / encode
+    * and query forever, like [[trainIvfCached]]. */
+  def trainPqCached(key: String, corpus: => DataFrame, m: Int = 8,
+      k: Int = 16, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): PqModel =
+    pqCache.computeIfAbsent(key,
+      _ => trainPq(corpus, m, k, seed, idCol = idCol, vecCol = vecCol))
+
   /** PQ code column (array of m small ints) — native codegen'd
     * expression, map-side. */
   def pqEncode(vec: Column, model: PqModel): Column =
