@@ -177,6 +177,24 @@ object SparkEntry {
       .orderBy(col("purchase_id"))
   }
 
+  /** Forward as-of with a tolerance bound: each signup joins the
+    * EARLIEST purchase at-or-after it, nulled beyond 30 days — the
+    * funnel-attribution shape. Same single-shuffle union+window plan
+    * with the frame flipped to (currentRow, following) + `first`. */
+  private val qJoinAsofFwd: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.join(signups, purchases, "user_id", "ts", "ts",
+      Seq("event_id"), direction = "forward",
+      tolerance = Some(expr("INTERVAL 30 DAYS")))
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("asof_event_id").as("purchase_id"))
+      .orderBy(col("signup_id"))
+  }
+
   /** TPC-H Q3 shape: 3-way join + filtered date ranges + grouped
     * revenue + top-10 (broadcastable dims broadcast, revenue decimal-
     * exact). */
@@ -1115,6 +1133,7 @@ object SparkEntry {
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
+    "q_join_asof_fwd" -> qJoinAsofFwd,
     "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
@@ -1459,6 +1478,15 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """SELECT g.event_id AS signup_id, g.user_id AS user_id,
+        |CASE WHEN p.ts <= g.ts + INTERVAL 30 DAY THEN p.event_id END
+        |  AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') g
+        |ASOF LEFT JOIN
+        |  (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ON g.user_id = p.user_id AND g.ts <= p.ts
+        |ORDER BY signup_id""".stripMargin,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -27,32 +27,63 @@ object AsOfJoin {
     * @param rightTs    right timestamp column name
     * @param payload    right columns to carry (joined as-of values;
     *                   nulls when no right row precedes the left row)
+    * @param direction  "backward" (latest right at-or-before, default)
+    *                   or "forward" (earliest right at-or-after);
+    *                   forward flips the frame to
+    *                   (currentRow, unboundedFollowing) + `first` —
+    *                   still one shuffle, no pair materialization
+    * @param tolerance  optional max distance between the left ts and
+    *                   the matched right ts (an interval Column for
+    *                   timestamps, a numeric one for numeric ts): the
+    *                   nearest match still wins, but payloads NULL out
+    *                   when it lies beyond the bound
     */
   def join(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payload: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got '$direction'")
+    val back = direction == "backward"
     val leftCols = left.columns.toSeq
-    // side: 0 = right (sorts first at equal ts, so <= semantics), 1 = left
+    // side ordering puts the RIGHT row inside the frame at equal ts:
+    // right before left for the preceding frame (<= semantics), right
+    // after left for the following frame (>= semantics)
+    val (lSide, rSide) = if (back) (1, 0) else (0, 1)
+    val carryCols = (payload :+ rightTs).distinct
     val l = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(lSide))
       .select((col(key) +: col("__ts") +: col("__side") +:
         leftCols.filterNot(_ == key).map(col) ++:
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__r_$p"))): _*)
+        carryCols.map(p =>
+          lit(null).cast(right.schema(p).dataType).as(s"__r_$p"))): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rSide))
       .select((col(key) +: col("__ts") +: col("__side") +:
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        payload.map(p => col(p).as(s"__r_$p"))): _*)
-    val w = Window.partitionBy(col(key))
+        leftCols.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        carryCols.map(p => col(p).as(s"__r_$p"))): _*)
+    val w0 = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"__c_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
+    val w =
+      if (back) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def pick(c: Column): Column =
+      if (back) last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
+    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"__c_$p", pick(col(s"__r_$p")))
     }
+    val inTol = tolerance.map { tol =>
+      if (back) col(s"__c_$rightTs") >= col("__ts") - tol
+      else col(s"__c_$rightTs") <= col("__ts") + tol
+    }.getOrElse(lit(true))
     carried
-      .filter(col("__side") === 1)
+      .filter(col("__side") === lSide)
       .select((leftCols.map(col) ++
-        payload.map(p => col(s"__c_$p").as(s"asof_$p"))): _*)
+        payload.map(p =>
+          when(inTol, col(s"__c_$p")).as(s"asof_$p"))): _*)
   }
 }

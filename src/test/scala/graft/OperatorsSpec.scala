@@ -35,6 +35,35 @@ class OperatorsSpec extends SparkTestBase {
       "as-of join differs from naive oracle")
   }
 
+  test("as-of join: forward direction and tolerance bounds") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 100L))
+      .toDF("lid", "user_id", "ts")
+    val right = Seq((91L, 10L, 100L), (92L, 10L, 150L), (93L, 20L, 500L))
+      .toDF("rid", "user_id", "ts")
+    // forward: earliest right at-or-after; equal ts matches
+    val fwd = AsOfJoin.join(left, right, "user_id", "ts", "ts",
+      Seq("rid"), direction = "forward")
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(fwd(1L).contains(91L)) // ts 100 matches ts 100 (inclusive)
+    assert(fwd(2L).isEmpty)       // nothing at-or-after 200
+    assert(fwd(3L).contains(93L))
+    // forward + tolerance: the ts-500 match lies beyond +100
+    val fwdTol = AsOfJoin.join(left, right, "user_id", "ts", "ts",
+      Seq("rid"), direction = "forward", tolerance = Some(lit(100L)))
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(fwdTol(1L).contains(91L) && fwdTol(3L).isEmpty)
+    // backward + tolerance: latest-at-or-before survives only in range
+    val backTol = AsOfJoin.join(left, right, "user_id", "ts", "ts",
+      Seq("rid"), tolerance = Some(lit(40L)))
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(backTol(1L).contains(91L)) // exact hit, distance 0
+    assert(backTol(2L).isEmpty)       // nearest is 150, distance 50 > 40
+    assert(backTol(3L).isEmpty)       // no right at-or-before at all
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
