@@ -74,6 +74,9 @@ private[graft] object GraftMvSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  // OPTIMIZE t [ZORDER BY (a, b)] — compaction / clustering rewrite
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case CreateRe(ifNot, target, select) =>
@@ -97,6 +100,11 @@ private[graft] object GraftMvSql {
         dry != null))
     case HistoryRe(target) =>
       Some(DescribeHistoryCommand(parts(target)))
+    case OptimizeRe(target, cols) =>
+      Some(OptimizeTableCommand(parts(target),
+        Option(cols).map(_.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)).getOrElse(Nil)))
     case _ => None
   }
 
@@ -346,6 +354,24 @@ case class VacuumTableCommand(target: Seq[String], keepVersions: Int,
         minRetainMillis = retainHours * 3600000L)
       Seq(Row(GraftManifest.versions(fs, dir).length.toLong))
     }
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (a, b)]` — the SQL face of `CALL compact` /
+  * `CALL zorder`: small-file compaction, or the multi-key clustering
+  * rewrite when ZORDER BY names columns. */
+case class OptimizeTableCommand(target: Seq[String],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftMvSql.dirOf(spark, target)
+    val (before, after) =
+      if (zorderBy.isEmpty) graft.sources.GraftSink.compact(spark, dir)
+      else graft.sources.GraftSink.compactClustered(spark, dir, zorderBy)
+    spark.catalog.refreshByPath(dir)
+    Seq(Row(before.toLong, after.toLong))
   }
 }
 

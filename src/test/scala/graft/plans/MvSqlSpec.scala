@@ -204,4 +204,28 @@ class MvSqlSpec extends SparkTestBase {
     assert(ext.sql("SELECT count(*) FROM vsq.ns.t").head.getLong(0)
       == 25L)
   }}
+
+  test("OPTIMIZE SQL face: compaction and ZORDER BY") { inSession {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-optsql").toString
+    ext.conf.set("spark.sql.catalog.osq",
+      "graft.sources.v2.GraftCatalog")
+    ext.conf.set("spark.sql.catalog.osq.warehouse", wh)
+    ext.sql("CREATE NAMESPACE IF NOT EXISTS osq.ns")
+    ext.sql("CREATE TABLE osq.ns.t (id BIGINT, x BIGINT)")
+    (0 until 5).foreach { i =>
+      ext.sql(s"INSERT INTO osq.ns.t SELECT id, id * 7 % 100 " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val c = ext.sql("OPTIMIZE osq.ns.t").collect().head
+    assert(c.getLong(0) >= 5 && c.getLong(1) < c.getLong(0), c.toString)
+    assert(ext.sql("SELECT count(*) FROM osq.ns.t").head.getLong(0)
+      == 500L)
+    // clustering rewrite with mixed keys parses and preserves contents
+    val z = ext.sql("OPTIMIZE osq.ns.t ZORDER BY (id, x)")
+      .collect().head
+    assert(z.getLong(1) >= 1, z.toString)
+    assert(ext.sql("SELECT sum(id) FROM osq.ns.t").head.getLong(0)
+      == (0L until 500L).sum)
+  }}
 }
