@@ -753,6 +753,15 @@ object SparkEntry {
     CorpusOps.chunk(t(s, dir, "documents"), chunkSize = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** GPT-style sequence packing: per-shard concat-and-cut of the
+    * corpus into 128-token training sequences with per-document
+    * segment attribution — one shard shuffle + one window pass over
+    * (id, ntok) pairs; the text itself never moves. */
+  private val qPackSequences: Q = (s, dir) =>
+    CorpusOps.packSequences(t(s, dir, "documents"), seqLen = 128,
+      numShards = 8)
+      .orderBy(col("shard"), col("seq_idx"), col("doc_id"))
+
   /** Deterministic stratified sampling by hash rate: keep iff
     * pmod(xxhash64(doc_id), 100) < rate(lang) — a pure filter, the
     * sampling shape that still works at 100 TB. Oracle renders Spark's
@@ -1187,6 +1196,7 @@ object SparkEntry {
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_xl" -> qDecontaminateXl,
     "q_chunk_docs" -> qChunkDocs,
+    "q_pack_sequences" -> qPackSequences,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_topk" -> qSampleTopk,
     "q_pii_redact" -> qPiiRedact,
@@ -1351,6 +1361,29 @@ object SparkEntry {
         |  CAST(len(ts[s:s+63]) AS INTEGER) AS n_tokens,
         |  array_to_string(ts[s:s+63], ' ') AS chunk_text
         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS ntok
+        |  FROM documents),
+        |t AS (SELECT doc_id, ntok, CAST(doc_id % 8 AS INTEGER) AS shard
+        |  FROM tok WHERE ntok > 0),
+        |off AS (SELECT shard, doc_id, ntok,
+        |    CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+        |  FROM t),
+        |seg AS (SELECT shard, doc_id, end_off,
+        |    end_off - ntok AS start_off,
+        |    unnest(generate_series((end_off - ntok) // 128,
+        |                           (end_off - 1) // 128)) AS seq_idx
+        |  FROM off)
+        |SELECT shard, seq_idx, doc_id,
+        |  CAST(greatest(start_off, seq_idx * 128) - seq_idx * 128
+        |    AS INTEGER) AS seg_start,
+        |  CAST(least(end_off, (seq_idx + 1) * 128)
+        |    - greatest(start_off, seq_idx * 128) AS INTEGER)
+        |    AS seg_tokens
+        |FROM seg ORDER BY shard, seq_idx, doc_id""".stripMargin,
     "q_sample_stratified" -> DuckHash.sampleStratifiedOracle(37, 13),
     "q_sample_topk" -> DuckHash.sampleTopKOracle(25),
     "q_pii_redact" -> {

@@ -168,6 +168,51 @@ object CorpusOps {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** GPT-style sequence packing: concatenate each shard's documents
+    * (in `idCol` order) into one virtual token stream and cut it into
+    * fixed `seqLen`-token training sequences. Returns one row per
+    * (sequence, document) overlap segment:
+    * `(shard, seq_idx, id, seg_start, seg_tokens)` — document `id`
+    * contributes `seg_tokens` tokens starting at offset `seg_start`
+    * (0-based) inside sequence `seq_idx` of its shard. A document
+    * longer than `seqLen` spans several sequences; short documents
+    * share one (that sharing is the whole point — near-zero padding).
+    *
+    * Scale shape: packing is inherently sequential, so it is done per
+    * SHARD (`pmod(id, numShards)`), never globally — one hash shuffle
+    * on the shard key, then a per-shard cumulative sum over token
+    * counts (a single window pass; no data is moved again). At 100 TB
+    * you raise `numShards` to ~cluster-cores so each shard's stream
+    * sorts independently; determinism holds at any shard count. The
+    * token TEXT never moves — only `(id, ntok)` pairs shuffle; the
+    * trainer joins segments back to chunk text by `(id, seg)` offsets. */
+  def packSequences(docs: DataFrame, seqLen: Int = 128,
+      numShards: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1 && numShards >= 1,
+      s"seqLen/numShards must be >= 1, got $seqLen/$numShards")
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs
+      .select(col(idCol), size(tokens(col(textCol))).as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("shard", pmod(col(idCol), lit(numShards)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val offs = counted
+      .withColumn("end_off", sum(col("ntok").cast("long")).over(w))
+      .withColumn("start_off", col("end_off") - col("ntok"))
+    val L = lit(seqLen.toLong)
+    offs
+      .withColumn("seq_idx", explode(sequence(
+        (col("start_off") / L).cast("long"),
+        ((col("end_off") - 1) / L).cast("long"))))
+      .select(col("shard"), col("seq_idx"), col(idCol),
+        (greatest(col("start_off"), col("seq_idx") * L) -
+          col("seq_idx") * L).cast("int").as("seg_start"),
+        (least(col("end_off"), (col("seq_idx") + 1) * L) -
+          greatest(col("start_off"), col("seq_idx") * L))
+          .cast("int").as("seg_tokens"))
+  }
+
   /** Email pattern shared by scrub + oracle (kept RE2/Java-portable:
     * no backrefs, no lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -74,6 +74,8 @@ private[graft] object GraftMvSql {
     """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
   // OPTIMIZE t [ZORDER BY (a, b)] — compaction / clustering rewrite
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
@@ -100,6 +102,8 @@ private[graft] object GraftMvSql {
         dry != null))
     case HistoryRe(target) =>
       Some(DescribeHistoryCommand(parts(target)))
+    case DetailRe(target) =>
+      Some(DescribeDetailCommand(parts(target)))
     case OptimizeRe(target, cols) =>
       Some(OptimizeTableCommand(parts(target),
         Option(cols).map(_.split(',').toSeq
@@ -399,6 +403,32 @@ case class DescribeHistoryCommand(target: Seq[String])
           files.toLong, added.toLong, removed.toLong, dvN.toLong,
           dvChanged.toLong)
     }
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the SQL face of `CALL detail`: one row of
+  * operational metadata (version, file/byte counts, DVs, bucket
+  * layout, constraints, bloom indexes, stats freshness) from sidecar
+  * markers and the manifest head only — no data bytes read. */
+case class DescribeDetailCommand(target: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    graft.sources.v2.GraftDetail.schema.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      GraftMvSql.dirOf(spark, target))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) {
+      throw new IllegalArgumentException(
+        s"DESCRIBE DETAIL: no table at $dir")
+    }
+    val d = graft.sources.v2.GraftDetail.summarize(fs, dir)
+    Seq(Row(d.version.orNull, d.numFiles, d.sizeBytes, d.numDvs,
+      d.retainedVersions, d.lastOperation.orNull,
+      d.lastModifiedMillis.map(new java.sql.Timestamp(_)).orNull,
+      d.bucketSpec.orNull, d.checkConstraints.orNull,
+      d.bloomIndexColumns.orNull, d.statsVersion.orNull))
   }
 }
 

@@ -30,7 +30,8 @@ private[v2] object GraftProcedures {
 
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
-      "history", "bloom_index", "mv_refresh", "restore", "clone")
+      "history", "bloom_index", "mv_refresh", "restore", "clone",
+      "detail")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -80,6 +81,10 @@ private[v2] object GraftProcedures {
           "shallow-clone the table (or a retained version of it) to a " +
           "new independent table: hard links on POSIX (zero data " +
           "bytes), schema/constraints/DVs/bloom sidecars ride along"
+        case "detail" =>
+          "one-row operational summary of the table: current version, " +
+          "live file/byte counts, deletion vectors, bucket layout, " +
+          "constraints, bloom indexes, stats freshness"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -322,9 +327,79 @@ private[v2] object GraftProcedures {
               StructField("changed_dvs", IntegerType, false)))
             override def rows(): Array[InternalRow] = logRows
           })
+        case "detail" =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val d = GraftDetail.summarize(fs, dir)
+          def s(o: Option[String]): Any =
+            o.map(UTF8String.fromString).orNull
+          one(resultScan(GraftDetail.schema,
+            Array(
+              d.version.map(v => v: Any).orNull,
+              d.numFiles, d.sizeBytes, d.numDvs, d.retainedVersions,
+              s(d.lastOperation),
+              d.lastModifiedMillis.map(m => (m * 1000L): Any).orNull,
+              s(d.bucketSpec), s(d.checkConstraints),
+              s(d.bloomIndexColumns),
+              d.statsVersion.map(v => v: Any).orNull)))
         case other => throw new IllegalStateException(
           s"graft: unknown procedure $other")
       }
     }
+  }
+}
+
+/** The one-row operational summary behind `CALL graft.system.detail`
+  * and `DESCRIBE DETAIL t` — metadata reads only (manifest head, file
+  * statuses, sidecar markers); never touches data bytes. */
+private[graft] object GraftDetail {
+
+  final case class Summary(version: Option[Long], numFiles: Int,
+      sizeBytes: Long, numDvs: Int, retainedVersions: Int,
+      lastOperation: Option[String], lastModifiedMillis: Option[Long],
+      bucketSpec: Option[String], checkConstraints: Option[String],
+      bloomIndexColumns: Option[String], statsVersion: Option[Long])
+
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, true),
+    StructField("num_files", IntegerType, false),
+    StructField("size_bytes", LongType, false),
+    StructField("num_delete_vectors", IntegerType, false),
+    StructField("retained_versions", IntegerType, false),
+    StructField("last_operation", StringType, true),
+    StructField("last_modified", TimestampType, true),
+    StructField("bucket_spec", StringType, true),
+    StructField("check_constraints", StringType, true),
+    StructField("bloom_index_columns", StringType, true),
+    StructField("stats_version", LongType, true)))
+
+  def summarize(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Summary = {
+    val snapOpt = GraftManifest.current(fs, dir)
+    val names = snapOpt.map(_.names)
+      .getOrElse(GraftManifest.listingNames(fs, dir))
+    val bytes = GraftManifest.resolve(fs, dir, names)
+      .foldLeft(0L) { (acc, p) =>
+        acc + (try fs.getFileStatus(p).getLen
+        catch { case _: Throwable => 0L })
+      }
+    Summary(
+      version = snapOpt.map(_.version),
+      numFiles = names.length,
+      sizeBytes = bytes,
+      numDvs = snapOpt.map(_.dvs.size).getOrElse(0),
+      retainedVersions = GraftManifest.versions(fs, dir).length,
+      lastOperation = snapOpt
+        .flatMap(s => GraftManifest.opOf(fs, dir, s.version)),
+      lastModifiedMillis = snapOpt
+        .flatMap(s => GraftManifest.commitTimeMillis(fs, dir,
+          s.version)),
+      bucketSpec = graft.sources.BucketLayout.read(fs, dir)
+        .map(b => s"${b.numBuckets} buckets by " +
+          b.bucketCols.mkString("(", ", ", ")")),
+      checkConstraints = Some(GraftCatalog.readChecks(fs, dir)
+        .map(_.name)).filter(_.nonEmpty).map(_.mkString(",")),
+      bloomIndexColumns = Some(BloomIndex.indexedColumns(fs, dir))
+        .filter(_.nonEmpty).map(_.mkString(",")),
+      statsVersion = GraftStats.read(fs, dir).map(_.version))
   }
 }

@@ -178,4 +178,44 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(3L)._1 === 2 && got(3L)._2 === 1)
     assert(got(3L)._3 === "two mails [EMAIL] [EMAIL] and [PHONE]")
   }
+
+  test("packSequences: full sequences are exactly seqLen, each doc's " +
+      "tokens all land, segments tile each sequence") {
+    val d = docs(
+      0L -> Seq.fill(5)("a").mkString(" "),   // shard 0: 5 tokens
+      2L -> Seq.fill(9)("b").mkString(" "),   // shard 0: 9 -> spans cut
+      4L -> Seq.fill(3)("c").mkString(" "),   // shard 0: 3
+      1L -> Seq.fill(20)("d").mkString(" "),  // shard 1: 20 -> 3 seqs
+      3L -> "",                               // no tokens -> absent
+      5L -> "e")                              // shard 1: 1 token
+    val segs = CorpusOps.packSequences(d, seqLen = 8, numShards = 2)
+      .as[(Int, Long, Long, Int, Int)].collect().toSeq
+
+    // every document's token count is fully attributed
+    val perDoc = segs.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    assert(perDoc === Map(0L -> 5, 2L -> 9, 4L -> 3, 1L -> 20, 5L -> 1))
+
+    // shard 0 stream = 5+9+3 = 17 tokens -> seqs 0,1 full (8), seq 2 has 1
+    val s0 = segs.filter(_._1 == 0).groupBy(_._2).view
+      .mapValues(_.map(_._5).sum).toMap
+    assert(s0 === Map(0L -> 8, 1L -> 8, 2L -> 1))
+    // shard 1 stream = 21 tokens -> 8, 8, 5
+    val s1 = segs.filter(_._1 == 1).groupBy(_._2).view
+      .mapValues(_.map(_._5).sum).toMap
+    assert(s1 === Map(0L -> 8, 1L -> 8, 2L -> 5))
+
+    // segments tile each sequence: sorted by seg_start, contiguous
+    segs.groupBy(s => (s._1, s._2)).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 === 0)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 + a._5 === b._4)
+        case _ =>
+      }
+    }
+
+    // doc 2 (9 tokens at offsets 5..13 of shard 0) splits 3 + 6
+    val doc2 = segs.filter(_._3 == 2L).sortBy(_._2)
+    assert(doc2 === Seq((0, 0L, 2L, 5, 3), (0, 1L, 2L, 0, 6)))
+  }
 }

@@ -22,10 +22,11 @@ class IntegrationSpec extends SparkTestBase {
     // EVERY query carries an oracle since round 7 (the last holdout,
     // q_multimodal_decode, gained a real PPM codec whose bytes a
     // DuckDB oracle rebuilds exactly).
-    // q_ann_ivf's oracle is DATA-DEPENDENT (rendered from the trained
-    // quantizer after queries run, as in graft.Verify), so it may be
-    // absent here where no query has executed.
-    val got = (qs -- oracled) - "q_ann_ivf"
+    // q_ann_ivf's and q_ann_pq's oracles are DATA-DEPENDENT (rendered
+    // from the trained quantizers after queries run, as in
+    // graft.Verify), so they may be absent here where no query has
+    // executed.
+    val got = (qs -- oracled) - "q_ann_ivf" - "q_ann_pq"
     assert(got.isEmpty, s"queries without oracle: $got")
   }
 

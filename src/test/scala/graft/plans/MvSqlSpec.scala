@@ -228,4 +228,61 @@ class MvSqlSpec extends SparkTestBase {
     assert(ext.sql("SELECT sum(id) FROM osq.ns.t").head.getLong(0)
       == (0L until 500L).sum)
   }}
+
+  test("DESCRIBE DETAIL / CALL detail: one-row operational summary") {
+    inSession {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-dtlsql").toString
+      ext.conf.set("spark.sql.catalog.dsq",
+        "graft.sources.v2.GraftCatalog")
+      ext.conf.set("spark.sql.catalog.dsq.warehouse", wh)
+      ext.sql("CREATE NAMESPACE IF NOT EXISTS dsq.ns")
+      ext.sql("CREATE TABLE dsq.ns.t (id BIGINT, v BIGINT)")
+      ext.sql("ALTER TABLE dsq.ns.t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      ext.sql("INSERT INTO dsq.ns.t SELECT id, id FROM range(0, 100)")
+      ext.sql("INSERT INTO dsq.ns.t SELECT id, id FROM range(100, 200)")
+      ext.sql("DELETE FROM dsq.ns.t WHERE id = 7") // grows one DV
+      ext.sql("CALL dsq.system.bloom_index(table => 'ns.t', " +
+        "columns => 'id')")
+      ext.sql("CALL dsq.system.analyze(table => 'ns.t')")
+
+      val rows = ext.sql("DESCRIBE DETAIL dsq.ns.t").collect()
+      assert(rows.length == 1)
+      val d = rows.head
+      val version = d.getLong(d.fieldIndex("version"))
+      assert(version >= 2, d.toString)
+      assert(d.getInt(d.fieldIndex("num_files")) >= 2, d.toString)
+      assert(d.getLong(d.fieldIndex("size_bytes")) > 0, d.toString)
+      assert(d.getInt(d.fieldIndex("num_delete_vectors")) == 1,
+        d.toString)
+      assert(d.getInt(d.fieldIndex("retained_versions")) >= 2,
+        d.toString)
+      assert(d.getString(d.fieldIndex("last_operation")) == "delete",
+        d.toString)
+      assert(!d.isNullAt(d.fieldIndex("last_modified")), d.toString)
+      assert(d.isNullAt(d.fieldIndex("bucket_spec")), d.toString)
+      assert(d.getString(d.fieldIndex("check_constraints")) == "v_pos",
+        d.toString)
+      assert(d.getString(d.fieldIndex("bloom_index_columns")) == "id",
+        d.toString)
+      assert(d.getLong(d.fieldIndex("stats_version")) == version,
+        d.toString)
+
+      // the CALL face returns the same row (modulo invocation time)
+      val c = ext.sql("CALL dsq.system.detail(table => 'ns.t')")
+        .collect().head
+      assert(c.getLong(c.fieldIndex("version")) == version)
+      assert(c.getInt(c.fieldIndex("num_files")) ==
+        d.getInt(d.fieldIndex("num_files")))
+      assert(c.getLong(c.fieldIndex("size_bytes")) ==
+        d.getLong(d.fieldIndex("size_bytes")))
+      assert(c.getString(c.fieldIndex("check_constraints")) == "v_pos")
+
+      // unknown table fails loudly
+      val e = intercept[Exception] {
+        ext.sql("DESCRIBE DETAIL dsq.ns.nope").collect()
+      }
+      assert(e.getMessage.contains("no table"), e.getMessage)
+    }
+  }
 }
