@@ -120,7 +120,16 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
     maxVersionsPerTrigger: Int = -1)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
-      .SupportsAdmissionControl {
+      .SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: pin the feed head when the run starts and
+  // drain (startingVersion, pin] in admission-controlled batches,
+  // then stop; versions committed mid-run wait for the next run.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      latestOffset().asInstanceOf[GraftStreamOffset].logOffset)
 
   private val hconf: Configuration = GraftHadoopConf.sessionConf()
   private val tdir = new Path(path)
@@ -198,10 +207,15 @@ class GraftCdfMicroBatchStream(path: String, dataSchema: StructType,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
-    val head = latestOffset().asInstanceOf[GraftStreamOffset].logOffset
-    if (maxVersionsPerTrigger <= 0) return GraftStreamOffset(head)
+    val rawHead =
+      latestOffset().asInstanceOf[GraftStreamOffset].logOffset
+    val head = availableNowCap.fold(rawHead)(math.min(rawHead, _))
     val s = start.asInstanceOf[GraftStreamOffset].logOffset
-    GraftStreamOffset(math.min(head, s + maxVersionsPerTrigger))
+    if (maxVersionsPerTrigger <= 0) {
+      return GraftStreamOffset(math.max(head, s))
+    }
+    GraftStreamOffset(math.max(s,
+      math.min(head, s + maxVersionsPerTrigger)))
   }
 
   override def reportLatestOffset(): Offset = latestOffset()

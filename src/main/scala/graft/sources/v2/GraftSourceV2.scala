@@ -2158,9 +2158,43 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     scan: GraftScanV2)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
-      .SupportsAdmissionControl {
+      .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset,
     ReadAllAvailable, ReadLimit, ReadMaxFiles}
+
+  // ===== Trigger.AvailableNow (backfill-then-stop) =====
+  //
+  // The batch-scheduled streaming pattern: drain everything present
+  // when the run STARTS — in admission-controlled micro-batches — and
+  // terminate; commits landing mid-run wait for the next scheduled
+  // run. The engine calls prepareForTriggerAvailableNow() once before
+  // the first trigger; we pin the head offset then and cap every
+  // subsequent latestOffset() at it.
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val cap =
+      if (versionMode) {
+        GraftManifest.current(tfs, tdir).map(_.version).getOrElse(0L)
+      } else GraftManifest.commitLock(tfs, tdir).synchronized {
+        // the admission-controlled poll: log the files present right
+        // now in entries of at most maxFilesPerTrigger, so the capped
+        // walk in latestOffset() can split the pinned backlog
+        val names = listNames()
+        checkAppendOnly(names.toSet)
+        val fresh = names.filterNot(log.seen)
+        if (fresh.nonEmpty) {
+          if (scan.maxFilesPerTrigger > 0) {
+            fresh.grouped(scan.maxFilesPerTrigger).foreach(log.append)
+          } else log.append(fresh)
+        }
+        log.latest
+      }
+    availableNowCap = Some(cap)
+  }
+
+  private def capped(off: Long): Long =
+    availableNowCap.fold(off)(math.min(off, _))
 
   // driver-side: the session's Hadoop conf (filesystem credentials
   // etc.), matching createReaderFactory's snapshot
@@ -2314,10 +2348,11 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       case _ => -1 // composite/rows limits: no file-count cap to apply
     }
     if (versionMode) {
-      val head = GraftManifest.current(tfs, tdir)
-        .map(_.version).getOrElse(0L)
-      if (maxFiles <= 0 || head <= startOff) GraftStreamOffset(head)
-      else GraftStreamOffset(cappedVersion(startOff, head, maxFiles))
+      val head = capped(GraftManifest.current(tfs, tdir)
+        .map(_.version).getOrElse(0L))
+      if (maxFiles <= 0 || head <= startOff) {
+        GraftStreamOffset(math.max(head, startOff))
+      } else GraftStreamOffset(cappedVersion(startOff, head, maxFiles))
     } else {
       // the poll appends fresh files in CHUNKS of at most maxFiles, so
       // capped batches advance entry-by-entry without splitting one
@@ -2330,11 +2365,16 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
             fresh.grouped(maxFiles).foreach(log.append)
           } else log.append(fresh)
         }
-        if (maxFiles <= 0) return GraftStreamOffset(log.latest)
+        if (maxFiles <= 0) {
+          return GraftStreamOffset(math.max(capped(log.latest), startOff))
+        }
         var endOff = startOff
         var budget = maxFiles
         log.entriesAfter(startOff).foreach { case (id, n) =>
-          if (endOff == startOff || n <= budget) {
+          // entries past the AvailableNow pin (files that appeared
+          // after the run started) wait for the next scheduled run
+          if (availableNowCap.forall(id <= _) &&
+              (endOff == startOff || n <= budget)) {
             endOff = id; budget -= n
           } else budget = -1
         }

@@ -1018,4 +1018,47 @@ class SourceV2Spec extends SparkTestBase {
     assert(sizes.length >= 4, s"backlog not split by version: $sizes")
     assert(sizes.count(_ == 50) >= 3, s"appends not isolated: $sizes")
   }
+
+  test("Trigger.AvailableNow drains the backlog in capped batches, " +
+      "stops, and a later run picks up only what arrived since") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-anow")
+    val dir = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-v2").option("path", dir)
+        .option("maxFilesPerTrigger", "2").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) => { batches.add((id, df.count())); () }
+        }.start()
+      // AvailableNow terminates ITSELF once the pinned head drains
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not self-terminate")
+    }
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    val first = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(first.sum == 400, s"lost rows: $first")
+    assert(first.forall(_ <= 200), s"a batch exceeded the cap: $first")
+    assert(first.count(_ > 0) >= 2, s"backlog not split: $first")
+
+    // files landing between runs are exactly the next run's content
+    batches.clear()
+    spark.range(400L, 450L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    runOnce()
+    val second = batches.asScala.toSeq.map(_._2)
+    assert(second.sum == 50, s"second run should drain only the new " +
+      s"file: $second")
+  }
 }

@@ -598,4 +598,51 @@ class CdfSpec extends SparkTestBase {
     assert(sizes.toSeq == Seq(100L, 20L, 20L, 20L),
       s"each version must arrive as its own batch: $sizes")
   }
+
+  test("Trigger.AvailableNow drains the feed backlog and stops; the " +
+      "next run delivers only newer versions") {
+    val (wh, _) = setup("anow")
+    val p = s"$wh/t"
+    import spark.implicits._
+    (1 to 50).map(i => (i.toLong, i * 1L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p)
+      .option("changelog", "true").mode("append").save()
+    (1 to 2).foreach { k =>
+      (1 to 10).map(i => ((k * 1000 + i).toLong, i * 1L))
+        .toDF("id", "v").write.format("graft-v2").option("path", p)
+        .mode("append").save()
+    }
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cdf-anow-ck").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-v2").option("path", p)
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) => { batches.add((id, df.count())); () }
+        }.start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow feed query did not self-terminate")
+    }
+    runOnce()
+    val first = batches.asScala.toSeq.sortBy(_._1).map(_._2)
+      .filter(_ > 0)
+    assert(first.toSeq == Seq(50L, 10L, 10L),
+      s"backlog must drain version-by-version then stop: $first")
+
+    // a commit after the first run is exactly the second run's feed
+    batches.clear()
+    (1 to 5).map(i => ((9000 + i).toLong, i * 1L)).toDF("id", "v")
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    runOnce()
+    val second = batches.asScala.toSeq.map(_._2).filter(_ > 0)
+    assert(second.toSeq == Seq(5L),
+      s"second run should deliver only the new version: $second")
+  }
 }
