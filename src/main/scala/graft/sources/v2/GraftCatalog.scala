@@ -230,7 +230,8 @@ object GraftCatalog {
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   /** `CALL <cat>.system.vacuum/compact/zorder/materialize_dvs(...)` —
     * the SQL-first table-maintenance surface ([[GraftProcedures]]).
@@ -380,11 +381,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * storage-partitioned joins / bucket pruning. Other transforms
     * (dates, identity partitions, SORTED BY) are rejected — sort
     * columns come via `GraftSink.saveBucketedFiles`. */
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+  /** CLUSTERED BY (cols) INTO n BUCKETS — the only partition
+    * transform this catalog accepts (shared by CREATE TABLE and the
+    * staged CTAS/RTAS path). */
+  private def parseBucketTransforms(partitions: Array[Transform])
+      : Option[graft.sources.BucketLayout] = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
-    val bucketSpec: Option[graft.sources.BucketLayout] = partitions match {
+    partitions match {
       case Array() => None
       case Array(t) if t.name == "bucket" =>
         val (lits, refs) = t.arguments().partition(_.isInstanceOf[Literal[_]])
@@ -409,6 +412,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft catalog: only CLUSTERED BY (cols) INTO n BUCKETS " +
           s"partitioning is supported, got ${other.mkString(", ")}")
     }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val bucketSpec = parseBucketTransforms(partitions)
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
@@ -416,6 +425,128 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
     bucketSpec.foreach(graft.sources.BucketLayout.write(fs, dir, _))
     GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec)
+  }
+
+  // ===== atomic CTAS / RTAS (StagingTableCatalog) =====
+  //
+  // `CREATE TABLE ... AS SELECT` and `REPLACE TABLE ... AS SELECT`
+  // must be all-or-nothing: without a staging catalog Spark creates
+  // the table, runs the write, and best-effort-drops on failure — a
+  // crashed driver leaves a half-written table, and a REPLACE exposes
+  // readers to an empty table mid-write. Here the query writes into a
+  // hidden sibling staging directory; commit is a same-directory
+  // rename (atomic on POSIX; an object-store deployment routes table
+  // COMMITS through CommitStore, but directory swap granularity is
+  // what CTAS needs). Readers of a replaced table see the old
+  // contents until the instant of the swap.
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], replace: Boolean,
+      orCreate: Boolean): StagedTable = {
+    val schema = StructType(columns.map(c =>
+      StructField(c.name(), c.dataType(), c.nullable())))
+    val bucketSpec = parseBucketTransforms(partitions)
+    val dir = tableDir(ident)
+    // eager existence gate (same errors the non-staged path throws);
+    // commit re-checks under the table lock for the race window
+    if (!replace && isTableDir(dir)) {
+      throw new TableAlreadyExistsException(ident)
+    }
+    if (replace && !orCreate && !isTableDir(dir)) {
+      throw new NoSuchTableException(ident)
+    }
+    val parent = dir.getParent
+    fs.mkdirs(parent)
+    val staging = new Path(parent, s".graft-staging-${ident.name()}-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    fs.mkdirs(staging)
+    val out = fs.create(new Path(staging, SchemaMarker), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    bucketSpec.foreach(graft.sources.BucketLayout.write(fs, staging, _))
+    new GraftStagedTable(ident, dir, staging, schema, bucketSpec,
+      replace, orCreate)
+  }
+
+  /** The staged twin: a fully functional graft-v2 table rooted at the
+    * staging directory (the CTAS query's write lands there through
+    * the normal write path, commit protocol included), promoted to
+    * the final directory by [[commitStagedChanges]]. */
+  private class GraftStagedTable(ident: Identifier, finalDir: Path,
+      staging: Path, stagedSchema: StructType,
+      bucketSpec: Option[graft.sources.BucketLayout],
+      replace: Boolean, orCreate: Boolean)
+      extends StagedTable with SupportsWrite {
+    private val inner =
+      GraftTableV2(staging.toString, stagedSchema,
+        bucketSpec = bucketSpec)
+    override def name(): String =
+      s"graft-v2:${ident.name()} (staged)"
+    override def schema(): StructType = stagedSchema
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def capabilities(): util.Set[TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+
+    override def commitStagedChanges(): Unit = {
+      GraftManifest.commitLock(fs, finalDir).synchronized {
+        if (isTableDir(finalDir)) {
+          if (!replace) {
+            fs.delete(staging, true)
+            throw new TableAlreadyExistsException(ident)
+          }
+          // swap: park the old table, promote the staging dir, then
+          // drop the parked copy — a failed promote restores the old
+          val trash = new Path(finalDir.getParent,
+            s".graft-trash-${finalDir.getName}-" +
+              java.util.UUID.randomUUID().toString.take(8))
+          if (!fs.rename(finalDir, trash)) {
+            throw new IllegalStateException(
+              s"graft CTAS: cannot park $finalDir for replacement")
+          }
+          if (!fs.rename(staging, finalDir)) {
+            fs.rename(trash, finalDir)
+            throw new IllegalStateException(
+              s"graft CTAS: cannot promote $staging to $finalDir")
+          }
+          fs.delete(trash, true)
+        } else {
+          if (replace && !orCreate) {
+            fs.delete(staging, true)
+            throw new NoSuchTableException(ident)
+          }
+          if (!fs.rename(staging, finalDir)) {
+            throw new IllegalStateException(
+              s"graft CTAS: cannot promote $staging to $finalDir")
+          }
+        }
+      }
+      // plans/footers cached against the replaced table describe the
+      // parked copy; resolve fresh on the next read
+      try {
+        org.apache.spark.sql.SparkSession.active.catalog
+          .refreshByPath(finalDir.toString)
+      } catch { case _: Throwable => }
+    }
+
+    override def abortStagedChanges(): Unit = fs.delete(staging, true)
   }
 
   /** See [[GraftCatalog.resolveSchema]] — footers win for the columns

@@ -2112,4 +2112,101 @@ class CatalogSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("retained versions"), e.getMessage)
   }
+
+  test("CTAS is atomic through the staging catalog: success commits, " +
+      "failure leaves no table") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    spark.sql("CREATE TABLE graft.ctas.t AS " +
+      "SELECT id, id * 2 AS v FROM range(0, 100)")
+    assert(spark.table("graft.ctas.t").count() == 100)
+    assert(spark.sql("SELECT sum(v) FROM graft.ctas.t").head.getLong(0)
+      == (0L until 100L).map(_ * 2).sum)
+    // the scan is the graft-v2 source
+    assert(spark.table("graft.ctas.t").queryExecution.executedPlan
+      .toString.contains("GraftScanV2"))
+    // re-create refuses, IF NOT EXISTS tolerates
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ctas.t AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ctas.t AS " +
+      "SELECT 1 AS x")
+    assert(spark.table("graft.ctas.t").count() == 100)
+
+    // a failing CTAS query must leave NO table and NO staging residue
+    val udfFail = org.apache.spark.sql.functions.udf { (i: Long) =>
+      if (i >= 0) throw new RuntimeException("ctas boom"); i
+    }
+    spark.udf.register("ctas_boom", udfFail)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ctas.broken AS " +
+        "SELECT ctas_boom(id) AS x FROM range(0, 10)")
+    }
+    intercept[Exception] { spark.table("graft.ctas.broken").count() }
+    val wh = new java.io.File(s"$warehouse/ctas")
+    val residue = Option(wh.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith(".graft-staging"))
+    assert(residue.isEmpty, s"staging residue: $residue")
+  }
+
+  test("REPLACE TABLE AS SELECT swaps atomically and keeps the old " +
+      "table until commit") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rtas")
+    spark.sql("CREATE TABLE graft.rtas.t AS " +
+      "SELECT id, id AS v FROM range(0, 50)")
+    assert(spark.table("graft.rtas.t").count() == 50)
+    spark.udf.register("ctas_boom",
+      org.apache.spark.sql.functions.udf { (i: Long) =>
+        if (i >= 0) throw new RuntimeException("ctas boom"); i
+      })
+    // REPLACE swaps in the new contents and schema
+    spark.sql("REPLACE TABLE graft.rtas.t AS " +
+      "SELECT id, concat('s', id) AS s FROM range(0, 7)")
+    val t = spark.table("graft.rtas.t")
+    assert(t.count() == 7)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "s"))
+    // a failing REPLACE leaves the old table intact
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.rtas.t AS " +
+        "SELECT ctas_boom(id) AS x FROM range(0, 10)")
+    }
+    assert(spark.table("graft.rtas.t").count() == 7,
+      "failed REPLACE must not touch the standing table")
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.rtas.nope AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE OR REPLACE TABLE graft.rtas.fresh AS " +
+      "SELECT 1 AS x")
+    assert(spark.table("graft.rtas.fresh").count() == 1)
+    // no staging or trash residue after the swaps
+    val wh = new java.io.File(s"$warehouse/rtas")
+    val residue = Option(wh.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(n => n.startsWith(".graft-staging") ||
+        n.startsWith(".graft-trash"))
+    assert(residue.isEmpty, s"residue: $residue")
+  }
+
+  test("CTAS CLUSTERED BY stages a bucketed table whose layout " +
+      "survives the promote") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbk")
+    spark.sql("CREATE TABLE graft.cbk.t CLUSTERED BY (id) " +
+      "INTO 4 BUCKETS AS SELECT id, id * 3 AS v FROM range(0, 400)")
+    assert(spark.table("graft.cbk.t").count() == 400)
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/cbk/t")
+    val layout = graft.sources.BucketLayout.read(
+      dir.getFileSystem(graft.sources.v2.GraftHadoopConf.sessionConf()),
+      dir)
+    assert(layout.exists(l => l.numBuckets == 4 &&
+      l.bucketCols == Seq("id")), layout.toString)
+    // bucketed self-join on the promoted table is shuffle-free (SPJ)
+    val j = spark.table("graft.cbk.t").as("a")
+      .join(spark.table("graft.cbk.t").as("b"), "id")
+    assert(j.count() == 400)
+    assert(!j.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      j.queryExecution.executedPlan.toString.take(2000))
+  }
 }
