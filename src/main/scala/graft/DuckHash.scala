@@ -580,4 +580,25 @@ private[graft] object DuckHash {
        |  FROM hx)
        |WHERE rn <= $k ORDER BY lang, rn""".stripMargin
   }
+
+  /** Oracle for `q_cluster_sample` —
+    * [[graft.operators.Clustering.balancedSample]]: k-means assignment
+    * (argmin over the caller-rendered per-centroid distance list
+    * `dists`, evaluated over alias `v` = the double-cast embedding),
+    * then the first k vectors per cluster in (xxhash64(vec_id),
+    * vec_id) order. MATERIALIZED for the same inlining-blowup reason
+    * as [[sampleStratifiedOracle]]. */
+  def clusterSampleOracle(dists: String, k: Int): String = {
+    val base = s"SELECT vec_id, CAST(list_grade_up($dists)[1] - 1" +
+      " AS INTEGER) AS cluster FROM (SELECT vec_id," +
+      " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    val ch = new Chain(base, Seq("vec_id", "cluster"))
+    val xs = ch.add(toSigned(xxh64Long(ch, "vec_id")))
+    s"""WITH hx AS MATERIALIZED (${ch.render()})
+       |SELECT vec_id, cluster, rn FROM (
+       |  SELECT vec_id, cluster, CAST(row_number() OVER (
+       |    PARTITION BY cluster ORDER BY $xs, vec_id) AS INTEGER) AS rn
+       |  FROM hx)
+       |WHERE rn <= $k ORDER BY cluster, rn""".stripMargin
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOfJoin, CorpusOps, Dedup, Multimodal, Salting, TextStats}
+import graft.operators.{Ann, AsOfJoin, Clustering, CorpusOps, Dedup, Multimodal, Salting, TextStats}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7 + builder prompt): the full SURVEY.md §2
@@ -792,6 +792,62 @@ object SparkEntry {
     CorpusOps.redactPii(pii).orderBy(col("doc_id"))
   }
 
+  /** Cross-document repeated 5-gram mining (the discovery half of
+    * substring-level dedup): every 5-gram occurring in >= 2 distinct
+    * documents, with its document frequency — one partial+final hash
+    * aggregate on the gram (per-doc grams are already distinct, so
+    * count(*) IS the doc frequency; no count-distinct double
+    * shuffle). */
+  private val qCommonNgrams: Q = (s, dir) =>
+    CorpusOps.commonNgrams(t(s, dir, "documents"), n = 5, minDocs = 2)
+      .orderBy(col("gram"))
+
+  /** Per-document cross-corpus repetition fraction (Lee et al. 2022
+    * substring-dedup signal at 3-gram granularity): the share of each
+    * doc's distinct 3-grams that occur in >= 2 documents corpus-wide —
+    * gram-frequency rollup + left join against only the repeated
+    * grams + per-doc rollup (two exchanges total). */
+  private val qCrossdocRepeat: Q = (s, dir) =>
+    CorpusOps.crossDocRepetition(t(s, dir, "documents"), n = 3,
+      minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  /** Semantic k-means clustering summary: every embedding assigned to
+    * its nearest centroid (the SAME train-once quantizer as q_ann_ivf
+    * — a single codegen'd map-side expression, no join), then one hash
+    * aggregate for per-cluster size and mean centroid-cosine. Oracle
+    * reconstructs the assignment from the rendered centroids
+    * (clusterOracle). */
+  private val qClusterKmeans: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val model = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+    Clustering.summary(emb, model).orderBy(col("cluster"))
+  }
+
+  /** Cluster-balanced sampling: first 5 vectors of every k-means
+    * cluster in deterministic xxhash64 order — the diversity-aware
+    * curation subset (every semantic region contributes equally). One
+    * window sort on the cluster key. */
+  private val qClusterSample: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val model = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+    Clustering.balancedSample(emb, model, k = 5)
+      .orderBy(col("cluster"), col("rn"))
+  }
+
+  /** UNPIVOT (wide -> long melt): lineitem's three charge columns
+    * unpivoted to (measure, val) rows via Dataset.unpivot — Spark
+    * plans it as a single Expand (one pass, zero shuffles, row count
+    * x3 map-side). */
+  private val qUnpivot: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   private val qLangId: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), lang_guess(col("text")).as("guessed"))
@@ -1200,6 +1256,11 @@ object SparkEntry {
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_topk" -> qSampleTopk,
     "q_pii_redact" -> qPiiRedact,
+    "q_common_ngrams" -> qCommonNgrams,
+    "q_crossdoc_repeat" -> qCrossdocRepeat,
+    "q_cluster_kmeans" -> qClusterKmeans,
+    "q_cluster_sample" -> qClusterSample,
+    "q_unpivot" -> qUnpivot,
     "q_fingerprint" -> qFingerprint,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_decode" -> qMultimodalDecode,
@@ -1312,6 +1373,54 @@ object SparkEntry {
            |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     }
 
+  /** Per-centroid L2-distance list over alias `v` plus the rendered
+    * centroid list-of-lists — shared by the two clustering oracles. */
+  private def centroidSql(model: operators.Ann.IvfModel)
+      : (String, String) = {
+    val dists = model.centers
+      .map(c => s"list_distance(v, ${c.mkString("[", ", ", "]")})")
+      .mkString("[", ",\n ", "]")
+    val centers = model.centers.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n ", "]")
+    (dists, centers)
+  }
+
+  /** Oracle for the k-means clustering summary, rendered from the same
+    * memoized quantizer the Spark query applies: assignment = argmin
+    * over per-centroid distances via `list_grade_up` (stable ties,
+    * matching NearestCells), coherence = cosine against the rendered
+    * centroid picked by the assignment. */
+  private def clusterOracle: Option[(String, String)] =
+    Option(lastDir).map { dir =>
+      val spark = SparkSession.active
+      val model = operators.Ann.trainIvfCached(s"$dir/embeddings#16",
+        Tables.t(spark, dir, "embeddings"))
+      val (dists, centers) = centroidSql(model)
+      "q_cluster_kmeans" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |a AS (SELECT vec_id, v,
+           |    CAST(list_grade_up($dists)[1] - 1 AS INTEGER) AS cluster
+           |  FROM e),
+           |c AS (SELECT cluster, round(list_cosine_similarity(v,
+           |    ($centers)[cluster + 1]), 4) AS cos FROM a)
+           |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           |  round(avg(cos), 3) AS avg_cos
+           |FROM c GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+
+  /** Oracle for the cluster-balanced sample: the same argmin
+    * assignment, then DuckHash renders Spark's xxhash64 ordering for
+    * the first-k-per-cluster window. */
+  private def clusterSampleOracle: Option[(String, String)] =
+    Option(lastDir).map { dir =>
+      val spark = SparkSession.active
+      val model = operators.Ann.trainIvfCached(s"$dir/embeddings#16",
+        Tables.t(spark, dir, "embeddings"))
+      val (dists, _) = centroidSql(model)
+      "q_cluster_sample" -> DuckHash.clusterSampleOracle(dists, 5)
+    }
+
   /** Shared by q_decontaminate and q_decontaminate_xl (the latter on a
     * 1/7 corpus slice): the broadcast and bloom+shuffled shapes answer
     * the same question. */
@@ -1386,6 +1495,51 @@ object SparkEntry {
         |FROM seg ORDER BY shard, seq_idx, doc_id""".stripMargin,
     "q_sample_stratified" -> DuckHash.sampleStratifiedOracle(37, 13),
     "q_sample_topk" -> DuckHash.sampleTopKOracle(25),
+    "q_common_ngrams" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ts[i:i+4], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ts)-4, 0))]))
+        |    AS gram
+        |  FROM tok)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM grams GROUP BY gram HAVING count(*) >= 2
+        |ORDER BY gram""".stripMargin,
+    "q_crossdoc_repeat" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ts[i:i+2], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ts)-2, 0))]))
+        |    AS gram
+        |  FROM tok),
+        |df AS (SELECT gram, count(*) AS doc_freq FROM grams
+        |  GROUP BY gram),
+        |rep AS (SELECT gram FROM df WHERE doc_freq >= 2)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repeated,
+        |  round(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS repeat_frac
+        |FROM grams g LEFT JOIN rep r USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |    l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem)
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_pii_redact" -> {
       // DuckDB standard strings don't process backslashes, so the Java
       // pattern strings interpolate verbatim
@@ -1957,7 +2111,7 @@ object SparkEntry {
         |FROM src s
         |WHERE s.k NOT IN (SELECT o_orderkey FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
-  ) ++ ivfOracle ++ pqOracle
+  ) ++ ivfOracle ++ pqOracle ++ clusterOracle ++ clusterSampleOracle
 }
 
 /** Deterministic HyperLogLog distinct-count (p=8, m=256 registers).

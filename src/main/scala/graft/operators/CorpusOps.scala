@@ -213,6 +213,59 @@ object CorpusOps {
           .cast("int").as("seg_tokens"))
   }
 
+  /** Cross-document repeated n-grams: every distinct word `n`-gram and
+    * the number of DISTINCT documents it occurs in, kept when that
+    * document frequency reaches `minDocs` — the mining half of
+    * substring-level corpus dedup (find the boilerplate/licence/header
+    * spans that repeat across documents, then mask or down-weight
+    * them). Returns `(gram, doc_freq)`.
+    *
+    * Scale shape: [[wordNgrams]] already emits per-document DISTINCT
+    * grams, so `count(*)` per gram IS the document frequency — one
+    * partial+final hash aggregate on the gram, no `count(distinct)`
+    * double shuffle. The `minDocs` filter drops the long unique tail
+    * (the overwhelming majority) before anything else consumes the
+    * result. At 100 TB you'd fingerprint grams to a 128-bit digest
+    * first (exact-dedup style) so the shuffle moves 16-byte keys, and
+    * re-join survivors for the gram text. */
+  def commonNgrams(docs: DataFrame, n: Int, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    wordNgrams(docs, n, idCol, textCol)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+  }
+
+  /** Per-document cross-corpus repetition (the substring-dedup
+    * signal of Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499, re-expressed at n-gram
+    * granularity): for every document, the fraction of its distinct
+    * `n`-grams that also occur in at least `minDocs` documents
+    * corpus-wide (itself included). Returns
+    * `(id, n_grams, n_repeated, repeat_frac)` for documents with at
+    * least one n-gram; a high `repeat_frac` marks boilerplate-heavy
+    * documents whose "content" exists elsewhere.
+    *
+    * Scale shape: the gram doc-frequency rollup of [[commonNgrams]]
+    * (one gram-keyed shuffle), a left join of the per-doc gram stream
+    * against only the REPEATED grams (post-`minDocs` filter, a small
+    * fraction of the corpus vocabulary), then one `id`-keyed rollup —
+    * the same two-exchange budget as decontamination. */
+  def crossDocRepetition(docs: DataFrame, n: Int, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val repeated = commonNgrams(docs, n, minDocs, idCol, textCol)
+      .select(col("gram"), lit(1).as("_rep"))
+    wordNgrams(docs, n, idCol, textCol)
+      .join(repeated, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_rep"), lit(0))).as("n_repeated"))
+      .select(col(idCol), col("n_grams"), col("n_repeated"),
+        round(col("n_repeated") / col("n_grams").cast("double"), 6)
+          .as("repeat_frac"))
+  }
+
   /** Email pattern shared by scrub + oracle (kept RE2/Java-portable:
     * no backrefs, no lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -66,6 +66,44 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(xl.filter($"doc_id" === 1L).head.getLong(2) == 0L)
   }
 
+  test("commonNgrams: doc frequency over distinct per-doc grams, " +
+      "minDocs filter drops the unique tail") {
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat down quietly",
+      3L -> "the cat sat on the mat again", // "the cat sat" in all 3
+      4L -> "nothing shared here")
+    val got = CorpusOps.commonNgrams(d, n = 3, minDocs = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got("the cat sat") === 3L)
+    assert(got("cat sat on") === 2L)
+    assert(got("sat on the") === 2L)
+    assert(got("on the mat") === 2L)
+    // unique grams filtered out entirely
+    assert(!got.contains("sat down quietly"))
+    assert(!got.contains("nothing shared here"))
+    assert(got.values.forall(_ >= 2L))
+    // duplicate gram WITHIN a doc counts once: doc 3 repeats "the"
+    // windows but each (doc, gram) pair is distinct by construction
+    val all = CorpusOps.commonNgrams(d, n = 3, minDocs = 1)
+      .as[(String, Long)].collect().toMap
+    assert(all("the mat again") === 1L)
+  }
+
+  test("crossDocRepetition: per-doc repeated-gram fractions") {
+    val d = docs(
+      1L -> "alpha beta gamma delta",      // grams: ab, bg, gd
+      2L -> "alpha beta gamma epsilon",    // grams: ab, bg, ge
+      3L -> "zeta eta theta")              // grams: ze, et — all unique
+    val got = CorpusOps.crossDocRepetition(d, n = 2, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1,2 share "alpha beta" and "beta gamma" -> 2 of 3 repeated
+    assert(got(1L) === ((3L, 2L, 0.666667)))
+    assert(got(2L) === ((3L, 2L, 0.666667)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+  }
+
   test("repetitionStats: duplicate line/word fractions, empty and " +
       "pathological docs") {
     import graft.operators.TextStats
