@@ -601,4 +601,37 @@ private[graft] object DuckHash {
        |  FROM hx)
        |WHERE rn <= $k ORDER BY cluster, rn""".stripMargin
   }
+
+  /** Oracle for `q_quality_model` —
+    * [[graft.operators.QualityModel.score]] under a TRAINED
+    * [[graft.operators.QualityModel.HashedLinearModel]] rendered into
+    * the SQL (weights list + bias, like the IVF centroid oracles):
+    * per-token FNV-1a feature hashing (`((h % dim) + dim) % dim`
+    * mirrors Spark's `pmod` on the signed hash), a per-doc weight-sum
+    * rollup, mean pooling over the token count, sigmoid, round(4).
+    * `keep` is decided on the ROUNDED score on both sides. Tokenless
+    * docs score the bare bias through the `dl > 0` CASE. */
+  def qualityScoreOracle(dim: Int, bias: Double, weights: Array[Double],
+      threshold: Double): String = {
+    val wl = weights.map(_.toString).mkString("[", ", ", "]")
+    val hs = toSigned(fnvOverCp(
+      "list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents),
+       |d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+       |t AS (SELECT doc_id, unnest(ts) AS tk FROM d),
+       |h AS (SELECT doc_id, $hs AS hsg FROM t),
+       |f AS (SELECT doc_id, ((hsg % $dim) + $dim) % $dim AS fi FROM h),
+       |sw AS (SELECT doc_id, sum(($wl)[fi + 1]) AS s FROM f
+       |  GROUP BY doc_id),
+       |z AS (SELECT d.doc_id, CASE WHEN d.dl > 0
+       |    THEN $bias + coalesce(sw.s, 0) / d.dl ELSE $bias END AS z
+       |  FROM d LEFT JOIN sw USING (doc_id)),
+       |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score
+       |  FROM z)
+       |SELECT doc_id, score, score >= $threshold AS keep FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -40,6 +40,9 @@ object GraftFunctions {
   /** Heuristic language ID (script ranges + stopword n-gram hits). */
   def lang_guess(text: Column): Column = c(LangGuess(x(text)))
 
+  /** Plain 64-bit FNV-1a string hash (the feature-hashing primitive). */
+  def text_hash64(text: Column): Column = c(TextHash64(x(text)))
+
   /** SQL registration for `cosine_sim`, used by [[graft.GraftExtensions]]. */
   def cosineSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder) = (
@@ -74,6 +77,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[NgramJaccard].getName, "ngram_jaccard"),
       (ch: Seq[Expression]) => NgramJaccard(ch(0), ch(1),
         litInt(ch(2), "ngram_jaccard"))),
+    (FunctionIdentifier("text_hash64"),
+      new ExpressionInfo(classOf[TextHash64].getName, "text_hash64"),
+      (ch: Seq[Expression]) => TextHash64(ch.head)),
     (FunctionIdentifier("doc_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName,
         "doc_fingerprint"),

@@ -93,6 +93,8 @@ object TextHashing {
     h
   }
   def hash64(s: String): Long = hash64(s, 0, s.length)
+  /** Static entry point for [[TextHash64]]'s generated code. */
+  def hash64u(input: UTF8String): Long = hash64(input.toString)
   /** Cheap splittable mix for deriving the k MinHash permutations. */
   def mix(h0: Long, seed: Long): Long = {
     var h = h0 ^ (seed * 0x9e3779b97f4a7c15L)
@@ -364,6 +366,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "simhash"
+}
+
+/** Plain 64-bit FNV-1a string hash ([[TextHashing.hash64]]) as an
+  * expression — the feature-hashing primitive (hashing trick) for
+  * [[graft.operators.QualityModel]] and anything else needing a
+  * deterministic, oracle-renderable string hash per value.
+  */
+case class TextHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.hash64u(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashing.hash64u($c)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "text_hash64"
 }
 
 /** Winnowing-style document fingerprint: the minimum Rabin-Karp rolling

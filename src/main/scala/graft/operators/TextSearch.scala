@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over a document corpus (north-star
+  * extension beside SURVEY.md §2k text analysis): BM25 scoring for a
+  * term query and per-document TF-IDF keyword extraction — the
+  * retrieval/characterization half of a training-data curation loop
+  * (find the documents about X; label every document with the terms
+  * that distinguish it).
+  *
+  * Tokenization is [[CorpusOps.tokens]] (lower-cased whitespace split,
+  * empties dropped), mirrored verbatim by the DuckDB oracles.
+  *
+  * 100 TB shape:
+  *
+  *  - [[bm25]] filters the exploded token stream to the QUERY terms
+  *    before anything shuffles — the corpus-sized stream collapses to
+  *    |query-term occurrences| at the scan. Corpus constants (N,
+  *    avgdl) and the per-term document frequencies are three-row
+  *    aggregates broadcast back into the plan; the final top-k is a
+  *    `TakeOrderedAndProject` (per-partition heads, never a global
+  *    sort).
+  *  - [[tfIdfKeywords]] genuinely touches every (doc, term) pair —
+  *    two hash rollups (term frequency, document frequency) and one
+  *    per-doc window for the top-m cut. At 100 TB you'd fingerprint
+  *    terms to a 64-bit digest first so the term-keyed exchanges move
+  *    fixed-width keys (exact-dedup style), and re-join the surviving
+  *    top-m rows for the term text.
+  */
+object TextSearch {
+
+  /** BM25 top-k retrieval (Robertson–Spärck Jones, the Okapi BM25
+    * formula in its standard `ln(1 + (N-df+0.5)/(df+0.5))` smoothing):
+    * the `k` highest-scoring documents for a whitespace query, ties on
+    * the (rounded) score broken by id. Returns `(id, score)` sorted
+    * best-first. Documents containing none of the query terms never
+    * leave the scan. */
+  def bm25(docs: DataFrame, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(qTerms.nonEmpty, "bm25 query must contain at least one term")
+
+    val lens = docs.select(col(idCol),
+      size(CorpusOps.tokens(col(textCol))).as("dl"))
+    // corpus constants: one tiny all-reduce, broadcast back
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+
+    val tf = docs
+      .select(col(idCol), size(CorpusOps.tokens(col(textCol))).as("dl"),
+        explode(CorpusOps.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is one row per (doc, query term), so count(*) IS the doc freq
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1) +
+      (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(idf * (col("tf") * (k1 + 1)) / norm), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document TF-IDF keywords: the `m` terms of each document with
+    * the highest `(tf/dl) * ln((N+1)/(df+1))`, rounded to 6 with ties
+    * broken by term — `(id, term, tfidf, rk)`. The smooth-idf variant
+    * keeps corpus-universal terms finite instead of dividing by zero
+    * information. */
+  def tfIdfKeywords(docs: DataFrame, m: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      size(CorpusOps.tokens(col(textCol))).as("dl"),
+      explode(CorpusOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        round(col("tf") / col("dl").cast("double") *
+          log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextSearch
+
+/** TextSearch (BM25 retrieval + TF-IDF keywords): hand-computed scores
+  * on a corpus small enough to do the Okapi arithmetic by inspection,
+  * plus ranking/tie determinism.
+  */
+class TextSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def r4(x: Double) = math.rint(x * 1e4) / 1e4
+  private def r6(x: Double) = math.rint(x * 1e6) / 1e6
+
+  test("bm25: Okapi scores match the hand formula, non-matching docs " +
+      "never appear, ranking is score-desc then id") {
+    val d = docs(
+      1L -> "apple banana apple",      // dl 3, tf(apple)=2
+      2L -> "banana cherry",           // no query term
+      3L -> "cherry date date date")   // dl 4, tf(date)=3
+    val got = TextSearch.bm25(d, "apple date", k = 3)
+      .as[(Long, Double)].collect().toSeq
+
+    // N=3, avgdl=3; df(apple)=df(date)=1 so both idf = ln(1+2.5/1.5)
+    val idf = math.log(1 + 2.5 / 1.5)
+    val s1 = r4(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0)))
+    val s3 = r4(idf * (3 * 2.2) / (3 + 1.2 * (0.25 + 0.75 * 4 / 3.0)))
+    assert(s3 > s1, "date-heavy doc must outrank")
+    assert(got === Seq(3L -> s3, 1L -> s1))
+  }
+
+  test("bm25: k cuts the ranking; repeated query terms count once") {
+    val d = docs((1L to 10L).map(i =>
+      i -> (Seq.fill(i.toInt)("hit") ++ Seq.fill(20)("pad"))
+        .mkString(" ")): _*)
+    val got = TextSearch.bm25(d, "hit HIT hit", k = 4)
+      .as[(Long, Double)].collect().toSeq
+    // higher tf on near-equal dl wins; exactly k rows
+    assert(got.map(_._1) === Seq(10L, 9L, 8L, 7L))
+    assert(got.map(_._2) === got.map(_._2).sorted.reverse)
+  }
+
+  test("tfIdfKeywords: smooth-idf scores, per-doc top-m, zero-idf " +
+      "corpus-universal terms rank below distinctive ones") {
+    val d = docs(1L -> "a a b", 2L -> "b c")
+    val got = TextSearch.tfIdfKeywords(d, m = 2)
+      .select($"doc_id", $"term", $"tfidf", $"rk")
+      .as[(Long, String, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+
+    val idfRare = math.log(3 / 2.0) // df=1, N=2
+    assert(got((1L, 1)) === (("a", r6(2 / 3.0 * idfRare))))
+    assert(got((1L, 2)) === (("b", 0.0))) // df=2 of N=2 -> ln(1)=0
+    assert(got((2L, 1)) === (("c", r6(1 / 2.0 * idfRare))))
+    assert(got((2L, 2)) === (("b", 0.0)))
+  }
+
+  test("tfIdfKeywords: ties in tfidf break by term, m truncates") {
+    // doc 1: x and y identical tf and df -> tie broken alphabetically
+    val d = docs(1L -> "x y", 2L -> "x y z")
+    val got = TextSearch.tfIdfKeywords(d, m = 1)
+      .select($"doc_id", $"term", $"rk")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === Set((1L, "x", 1), (2L, "z", 1)))
+  }
+}
