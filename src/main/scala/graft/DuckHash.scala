@@ -602,6 +602,40 @@ private[graft] object DuckHash {
        |WHERE rn <= $k ORDER BY cluster, rn""".stripMargin
   }
 
+  /** Oracle for `q_corpus_mix` —
+    * [[graft.operators.CorpusOps.mixCorpora]] over `lang` slices of
+    * `documents`: per source, `full` whole copies via a `range` cross
+    * join plus the ppm-threshold xxhash64 remainder (epoch = full).
+    * Each remainder chain gets its own MATERIALIZED CTE for the same
+    * inlining-blowup reason as [[sampleStratifiedOracle]]. */
+  def corpusMixOracle(parts: Seq[(String, String, Int, Int)]): String = {
+    val ctes = scala.collection.mutable.ListBuffer.empty[String]
+    val segs = parts.zipWithIndex.flatMap {
+      case ((nm, langV, full, ppm), i) =>
+        val fullSql = if (full > 0) Some(
+          s"""SELECT '$nm' AS mix_source, CAST(t.e AS INTEGER) AS epoch,
+             |    doc_id
+             |  FROM documents CROSS JOIN range(0, $full) t(e)
+             |  WHERE lang = '$langV'""".stripMargin) else None
+        val remSql = if (ppm > 0) Some {
+          val ch = new Chain(
+            s"SELECT doc_id FROM documents WHERE lang = '$langV'",
+            Seq("doc_id"))
+          val xs = ch.add(toSigned(xxh64Long(ch, "doc_id")))
+          val m = ch.add(s"((($xs) % 1000000) + 1000000) % 1000000")
+          ctes += s"hx$i AS MATERIALIZED (${ch.render()})"
+          s"""SELECT '$nm' AS mix_source, $full AS epoch, doc_id
+             |  FROM hx$i WHERE $m < $ppm""".stripMargin
+        } else None
+        fullSql.toSeq ++ remSql.toSeq
+    }
+    val withClause =
+      if (ctes.isEmpty) "" else ctes.mkString("WITH ", ",\n", "\n")
+    s"""${withClause}SELECT mix_source, epoch, doc_id FROM (
+       |${segs.mkString("\nUNION ALL\n")})
+       |ORDER BY mix_source, epoch, doc_id""".stripMargin
+  }
+
   /** Oracle for `q_quality_model` —
     * [[graft.operators.QualityModel.score]] under a TRAINED
     * [[graft.operators.QualityModel.HashedLinearModel]] rendered into

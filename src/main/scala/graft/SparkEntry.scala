@@ -877,6 +877,19 @@ object SparkEntry {
     QualityModel.score(t(s, dir, "documents"), qualityModelFor(s, dir))
       .orderBy(col("doc_id"))
 
+  /** Weighted corpus mixture: en upsampled 2.25 epochs, de 1.0,
+    * zh 0.4 — one scan per source, map-side epoch explode + xxhash
+    * remainder filter, zero shuffles. */
+  private val qCorpusMix: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    CorpusOps.mixCorpora(Seq(
+      ("en", docs.filter(col("lang") === "en"), 2.25),
+      ("de", docs.filter(col("lang") === "de"), 1.0),
+      ("zh", docs.filter(col("lang") === "zh"), 0.4)))
+      .select(col("mix_source"), col("epoch"), col("doc_id"))
+      .orderBy(col("mix_source"), col("epoch"), col("doc_id"))
+  }
+
   /** BM25 ranked retrieval: top-25 documents for a 3-term query.
     * Query-term filter collapses the token stream at the scan; N/avgdl
     * and the per-term doc frequencies are broadcast scalars; top-k is
@@ -1302,6 +1315,7 @@ object SparkEntry {
     "q_bm25_search" -> qBm25,
     "q_tfidf_keywords" -> qTfidf,
     "q_quality_model" -> qQualityModel,
+    "q_corpus_mix" -> qCorpusMix,
     "q_crossdoc_repeat" -> qCrossdocRepeat,
     "q_cluster_kmeans" -> qClusterKmeans,
     "q_cluster_sample" -> qClusterSample,
@@ -1563,6 +1577,8 @@ object SparkEntry {
         |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
         |FROM grams GROUP BY gram HAVING count(*) >= 2
         |ORDER BY gram""".stripMargin,
+    "q_corpus_mix" -> DuckHash.corpusMixOracle(Seq(
+      ("en", "en", 2, 250000), ("de", "de", 1, 0), ("zh", "zh", 0, 400000))),
     // BM25 / TF-IDF: every arithmetic step is written in the SAME
     // association order as the Spark expressions so the doubles match
     // bit-for-bit before the final round()

@@ -266,6 +266,40 @@ object CorpusOps {
           .as("repeat_frac"))
   }
 
+  /** Weighted corpus mixing (the data-mixing stage: "2.25 epochs of
+    * Wikipedia, 0.4 of CommonCrawl"): each source contributes
+    * `floor(rate)` FULL copies (tagged `epoch` 0..full-1) plus a
+    * deterministic hash-sampled fraction of `rate - floor(rate)`
+    * (tagged `epoch = floor(rate)`), all union'd with a `mix_source`
+    * tag. Rates are honored to ppm precision.
+    *
+    * Scale shape: the epoch copies come from ONE scan per source via
+    * an `explode(sequence(...))` — not `full` separate passes — and
+    * the fractional remainder is the [[sampleByRate]] pure filter
+    * (`pmod(xxhash64(id), 1e6) < ppm`), so the whole mixture is
+    * scan + map-side explode + filter: zero shuffles, reproducible
+    * across runs and engines. */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    val parts = sources.flatMap { case (name, df, rate) =>
+      require(rate >= 0, s"rate for '$name' must be >= 0, got $rate")
+      val full = math.floor(rate).toInt
+      val ppm = math.round((rate - full) * 1e6).toInt
+      val base = df.withColumn("mix_source", lit(name))
+      val copies = if (full > 0)
+        Some(base.withColumn("epoch",
+          explode(sequence(lit(0), lit(full - 1))))) else None
+      val rem = if (ppm > 0)
+        Some(base
+          .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < ppm)
+          .withColumn("epoch", lit(full))) else None
+      copies.toSeq ++ rem.toSeq
+    }
+    require(parts.nonEmpty, "all mixture rates are zero")
+    parts.reduce(_ unionByName _)
+  }
+
   /** Email pattern shared by scrub + oracle (kept RE2/Java-portable:
     * no backrefs, no lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

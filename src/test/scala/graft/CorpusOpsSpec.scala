@@ -201,6 +201,36 @@ class CorpusOpsSpec extends SparkTestBase {
       again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("mixCorpora: whole epochs are exact copies, fractional " +
+      "remainders are deterministic hash samples, tags correct") {
+    val a = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val b = (5000L until 5100L).map(i => (i, s"b $i")).toDF("doc_id", "text")
+    val got = CorpusOps.mixCorpora(Seq(("a", a, 2.5), ("b", b, 1.0)))
+      .select($"mix_source", $"epoch", $"doc_id")
+      .as[(String, Int, Long)].collect()
+
+    // source b: exactly one full copy, epoch 0
+    val bs = got.filter(_._1 == "b")
+    assert(bs.length === 100 && bs.forall(_._2 == 0))
+    // source a: epochs 0 and 1 are FULL copies
+    val as_ = got.filter(_._1 == "a")
+    assert(as_.count(_._2 == 0) === 1000)
+    assert(as_.count(_._2 == 1) === 1000)
+    // remainder epoch 2 is ~half, deterministic, and a subset
+    val rem = as_.filter(_._2 == 2).map(_._3).toSet
+    assert(rem.size > 400 && rem.size < 600, s"rate off: ${rem.size}")
+    assert(rem.subsetOf((0L until 1000L).toSet))
+    val again = CorpusOps.mixCorpora(Seq(("a", a, 2.5)))
+      .filter($"epoch" === 2).select($"doc_id").as[Long].collect().toSet
+    assert(again === rem, "hash remainder must be reproducible")
+    // zero-rate source contributes nothing; rate 0 everywhere refuses
+    val z = CorpusOps.mixCorpora(Seq(("a", a, 1.0), ("b", b, 0.0)))
+    assert(z.filter($"mix_source" === "b").count() === 0)
+    intercept[IllegalArgumentException] {
+      CorpusOps.mixCorpora(Seq(("a", a, 0.0)))
+    }
+  }
+
   test("redactPii scrubs emails and phones, counts them") {
     val d = docs(
       1L -> "mail me at jane.doe+x@sub.example.org or 555-123-4567 ok",
