@@ -29,7 +29,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * for the filesystem's scheme wins; else Hadoop conf
   * `graft.commit.store.<scheme>` / `graft.commit.store` selects
   * `auto` (the atomic-FS default), `external-file` (external CAS over
-  * a shared directory, `graft.commit.cas.dir`), or a
+  * a shared directory, `graft.commit.cas.dir`), `tcp-cas` (external
+  * CAS through a [[CasServer]]-protocol service at
+  * `graft.commit.cas.endpoint` — the multi-host deployment), or a
   * fully-qualified [[CommitStore]] class name. Set via
   * `spark.hadoop.graft.commit.store.s3a=...` — per-scheme, so a local
   * warehouse keeps hard-link semantics beside an S3 one in the same
@@ -421,6 +423,16 @@ object CommitStores {
         bySpec.computeIfAbsent(s"external-file:$dir",
           _ => new ExternalCasCommit(new FileCasBackend(
             new java.io.File(dir))))
+      case "tcp-cas" =>
+        val ep = conf.get("graft.commit.cas.endpoint")
+        require(ep != null && ep.contains(":"),
+          "graft.commit.store=tcp-cas needs graft.commit.cas.endpoint " +
+          "(host:port of a graft CasServer or any service speaking " +
+          "its 5-verb protocol)")
+        bySpec.computeIfAbsent(s"tcp-cas:$ep", _ => {
+          val Array(host, port) = ep.split(":", 2)
+          new ExternalCasCommit(new TcpCasBackend(host, port.toInt))
+        })
       case cls =>
         bySpec.computeIfAbsent(cls, c =>
           Class.forName(c).getDeclaredConstructor()

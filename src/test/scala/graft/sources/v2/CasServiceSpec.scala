@@ -1,0 +1,222 @@
+package graft.sources.v2
+
+import java.net.URI
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.SparkTestBase
+
+/** A second overwrite-rename scheme so this suite's commit-store conf
+  * never interferes with CommitStoreSpec's `objstore` registrations. */
+class ObjStore2FileSystem extends ObjStoreFileSystem {
+  override def getScheme: String = "objstore2"
+  override def getUri: URI = URI.create("objstore2:///")
+}
+
+/** The TCP commit-coordination service ([[CasServer]] +
+  * [[TcpCasBackend]]): protocol round-trips, cross-client
+  * linearizability, server-clock leases, conf resolution, and the full
+  * table stack committing through a socket.
+  */
+class CasServiceSpec extends SparkTestBase {
+
+  private def withServer[T](body: (CasServer, TcpCasBackend) => T): T = {
+    val server = new CasServer()
+    try body(server, new TcpCasBackend("127.0.0.1", server.port))
+    finally server.close()
+  }
+
+  test("protocol round-trip: put/get/refresh/list/delete, encoded " +
+      "keys and values survive spaces and unicode") {
+    withServer { (_, c) =>
+      val key = "objstore2:///wh/t with space/_graft_manifest/v1 ü"
+      val value = ".tmp-abc def\nline2"
+      assert(c.putIfAbsent(key, value) === value)
+      assert(c.putIfAbsent(key, "other") === value, "loser sees holder")
+      assert(c.get(key) === Some(value))
+      assert(c.get("missing") === None)
+      val listed = c.list("objstore2:///wh/t with space")
+      assert(listed.map(e => (e._1, e._2)) === Seq((key, value)))
+      assert(listed.head._3 >= 0 && listed.head._3 < 10000)
+      assert(c.list("objstore2:///wh/other") === Seq())
+      c.delete(key)
+      assert(c.get(key) === None)
+      assert(c.putIfAbsent(key, "second") === "second",
+        "slot is claimable again after delete")
+      c.delete(key)
+    }
+  }
+
+  test("two client instances, N threads: every caller observes the " +
+      "same single winner (state lives in the server)") {
+    withServer { (server, c1) =>
+      val c2 = new TcpCasBackend("127.0.0.1", server.port)
+      val n = 16
+      val pool = Executors.newFixedThreadPool(n)
+      val start = new CountDownLatch(1)
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      (0 until n).foreach { i =>
+        val client = if (i % 2 == 0) c1 else c2
+        pool.execute(() => {
+          start.await()
+          results.add(client.putIfAbsent("slot/v7", s"writer-$i"))
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+      val winners = results.toArray(Array.empty[String]).toSet
+      assert(winners.size === 1, s"split brain: $winners")
+      assert(c2.get("slot/v7") === Some(winners.head))
+    }
+  }
+
+  test("lease ages on the SERVER clock and refresh resets it; a " +
+      "refresh under the wrong value is ignored") {
+    withServer { (_, c) =>
+      c.putIfAbsent("k", "mine")
+      Thread.sleep(120)
+      val aged = c.list("k").head._3
+      assert(aged >= 100, s"age should accrue, got $aged")
+      c.refresh("k", "mine")
+      assert(c.list("k").head._3 < 100, "refresh resets the lease")
+      Thread.sleep(120)
+      c.refresh("k", "not-mine") // must not touch someone else's claim
+      assert(c.list("k").head._3 >= 100)
+    }
+  }
+
+  test("racing publishers through the socket: exactly one winner per " +
+      "slot on an overwrite-rename store") {
+    withServer { (_, backend) =>
+      // the SHARED conf: the objstore2 FileSystem is cached process-wide
+      // keyed on the scheme, so every test must create it through the
+      // same (mutable) conf object or later conf edits go unseen
+      val c = spark.sparkContext.hadoopConfiguration
+      c.set("fs.objstore2.impl", classOf[ObjStore2FileSystem].getName)
+      val local = java.nio.file.Files
+        .createTempDirectory("graft-tcp-race").toString
+      val table = new Path(s"objstore2:$local/t")
+      val fs = table.getFileSystem(c)
+      val mdir = new Path(table, GraftManifest.Dir)
+      fs.mkdirs(mdir)
+      val store = new ExternalCasCommit(backend)
+      val n = 8
+      val dst = new Path(mdir, "v0000000001.txt")
+      val tmps = (0 until n).map { i =>
+        val tmp = new Path(mdir, s".tmp-race-$i")
+        val out = fs.create(tmp, true)
+        try out.write(s"content-$i".getBytes("UTF-8")) finally out.close()
+        tmp
+      }
+      val pool = Executors.newFixedThreadPool(n)
+      val start = new CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val winnerIdx = new java.util.concurrent.atomic.AtomicInteger(-1)
+      tmps.zipWithIndex.foreach { case (tmp, i) =>
+        pool.execute(() => {
+          start.await()
+          if ((i & 1) == 1) Thread.sleep(i)
+          if (store.publishIfAbsent(fs, tmp, dst)) {
+            wins.incrementAndGet(); winnerIdx.set(i)
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      assert(wins.get() === 1, s"expected one winner, got ${wins.get()}")
+      val in = fs.open(dst)
+      val bytes = new Array[Byte](fs.getFileStatus(dst).getLen.toInt)
+      try in.readFully(0, bytes) finally in.close()
+      assert(new String(bytes, "UTF-8") === s"content-${winnerIdx.get()}")
+      assert(backend.list("") === Seq(), "claims drain after commits")
+    }
+  }
+
+  test("a dead claimer's slot is recovered through the service by a " +
+      "reader (server-side lease decides staleness)") {
+    withServer { (_, backend) =>
+      val c = spark.sparkContext.hadoopConfiguration
+      c.set("fs.objstore2.impl", classOf[ObjStore2FileSystem].getName)
+      val local = java.nio.file.Files
+        .createTempDirectory("graft-tcp-recover").toString
+      val table = new Path(s"objstore2:$local/t")
+      val fs = table.getFileSystem(c)
+      val mdir = new Path(table, GraftManifest.Dir)
+      fs.mkdirs(mdir)
+      val dst = new Path(mdir, "v0000000001.txt")
+      val tmp = new Path(mdir, ".tmp-dead")
+      val out = fs.create(tmp, true)
+      try out.write("orphaned".getBytes("UTF-8")) finally out.close()
+      // the "crashed writer": claimed, never copied, never heartbeats
+      backend.putIfAbsent(
+        fs.makeQualified(dst).toUri.toString, ".tmp-dead")
+      Thread.sleep(80)
+      val store = new ExternalCasCommit(backend, staleClaimMillis = 50)
+      store.beforeRead(fs, mdir)
+      assert(fs.exists(dst), "reader completes the dead claim's slot")
+      assert(backend.list("") === Seq(), "claim cleared after recovery")
+      assert(!fs.exists(tmp), "orphaned temp swept")
+    }
+  }
+
+  test("CommitStores resolves tcp-cas from conf (and refuses a " +
+      "missing endpoint); the whole table stack commits through it") {
+    withServer { (server, _) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.objstore2.impl", classOf[ObjStore2FileSystem].getName)
+      hc.set("graft.commit.store.objstore2", "tcp-cas")
+      hc.set("graft.commit.cas.endpoint", s"127.0.0.1:${server.port}")
+      try {
+        val local = java.nio.file.Files
+          .createTempDirectory("graft-tcp-e2e").toString
+        val cat = "graft_tcpcas"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.v2.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          s"objstore2:$local/wh")
+        val path = s"objstore2:$local/wh/people"
+        import spark.implicits._
+        val df = (1 to 60).map(i => (i.toLong, s"n-$i")).toDF("id", "name")
+        df.write.format("graft-v2").option("path", path)
+          .mode("append").save()
+        // DML starts the manifest log; the append after it commits a
+        // second manifest version — both slots go through the socket
+        spark.sql(s"DELETE FROM $cat.people WHERE id > 50")
+        df.filter($"id" <= 10).write.format("graft-v2")
+          .option("path", path).mode("append").save()
+        val got = spark.read.format("graft-v2").load(path)
+        assert(got.count() === 60L)
+        val table = new Path(path)
+        val fs = table.getFileSystem(hc)
+        assert(CommitStores.forFs(fs).isInstanceOf[ExternalCasCommit])
+        assert(GraftManifest.versions(fs, table).size >= 2)
+      } finally {
+        hc.unset("graft.commit.store.objstore2")
+        hc.unset("graft.commit.cas.endpoint")
+      }
+    }
+  }
+
+  test("tcp-cas without an endpoint refuses loudly; a dead endpoint " +
+      "fails the commit instead of wedging or guessing") {
+    val c = spark.sessionState.newHadoopConf()
+    c.set("fs.objstore2.impl", classOf[ObjStore2FileSystem].getName)
+    c.set("graft.commit.store.objstore2", "tcp-cas")
+    val fs0 = new ObjStore2FileSystem
+    fs0.setConf(c)
+    fs0.initialize(URI.create("objstore2:///"), c)
+    val e = intercept[IllegalArgumentException] {
+      CommitStores.forFs(fs0)
+    }
+    assert(e.getMessage.contains("graft.commit.cas.endpoint"))
+    // a configured-but-unreachable service: loud IOException
+    val dead = new TcpCasBackend("127.0.0.1", 1, timeoutMillis = 500)
+    intercept[java.io.IOException] {
+      dead.putIfAbsent("k", "v")
+    }
+  }
+}
