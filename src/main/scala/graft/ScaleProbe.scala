@@ -29,7 +29,12 @@ object ScaleProbe {
     "q_token_count", "q_quality_score", "q_dedup_exact",
     "q_dedup_near", "q_dedup_simhash", "q_fingerprint",
     "q_decontaminate", "q_chunk_docs", "q_sample_stratified",
-    "q_pii_redact", "q_decontaminate_xl", "q_repetition")
+    "q_pii_redact", "q_decontaminate_xl", "q_repetition",
+    // round-12 second-wave corpus ops (clustering queries run on the
+    // UN-inflated embeddings table, so their ratio says nothing — not
+    // probed here)
+    "q_common_ngrams", "q_crossdoc_repeat", "q_bm25_search",
+    "q_tfidf_keywords", "q_quality_model", "q_corpus_mix")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -55,6 +60,9 @@ object ScaleProbe {
     }
     // warm each dir's file cache / codegen once
     spark.read.parquet(s"$scaled/lineitem.parquet").count()
+    // steady-state model contract (same as Bench): the one-time quality
+    // fit happens outside the timed runs, for BOTH dirs
+    Seq(base, scaled).foreach(SparkEntry.prefitQualityModel(spark, _))
 
     var worst = 0.0
     probeQueries.foreach { q =>

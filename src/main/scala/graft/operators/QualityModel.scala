@@ -48,12 +48,13 @@ object QualityModel {
   def featureIndex(token: Column, dim: Int): Column =
     pmod(text_hash64(token), lit(dim.toLong))
 
-  /** The raw margin `bias + w·x` of a text column under `model` —
-    * mean-pooled over tokens, computed in token order (deterministic
+  /** The raw margin `bias + w·x` over a MATERIALIZED token-array
+    * column — mean-pooled, computed in token order (deterministic
     * fold, mirrored exactly by the oracle's per-token sum). Tokenless
-    * documents score the bare bias. */
-  private def margin(textCol: Column, model: HashedLinearModel): Column = {
-    val ts = CorpusOps.tokens(textCol)
+    * documents score the bare bias. `ts` must be a bound column, not
+    * the tokenizer expression: it is referenced three times here and
+    * generators/lambdas get no subexpression elimination. */
+  private def margin(ts: Column, model: HashedLinearModel): Column = {
     val w = typedLit(model.weights.toSeq)
     val sum = aggregate(ts, lit(0.0), (acc, t) =>
       acc + element_at(w, (featureIndex(t, model.dim) + 1).cast("int")))
@@ -64,14 +65,17 @@ object QualityModel {
   /** Score every document: `(id, score, keep)` where `score` is the
     * sigmoid of the margin rounded to 4 and `keep = score >= threshold`
     * (decided on the ROUNDED score, so engines agree at the boundary).
-    * Pure map-side. */
+    * Pure map-side; staged projections so the tokenizer and the scoring
+    * fold each run exactly once per row. */
   def score(docs: DataFrame, model: HashedLinearModel,
       threshold: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val s = round(lit(1.0) /
-      (lit(1.0) + exp(-margin(col(textCol), model))), 4)
-    docs.select(col(idCol), s.as("score"),
-      (s >= threshold).as("keep"))
+      (lit(1.0) + exp(-margin(col("_ts"), model))), 4)
+    docs.select(col(idCol), CorpusOps.tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), s.as("score"))
+      .select(col(idCol), col("score"),
+        (col("score") >= threshold).as("keep"))
   }
 
   /** Train by full-batch gradient descent on `docs(labelCol)` (boolean

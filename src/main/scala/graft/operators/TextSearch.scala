@@ -44,14 +44,21 @@ object TextSearch {
       .distinct.toSeq
     require(qTerms.nonEmpty, "bm25 query must contain at least one term")
 
-    val lens = docs.select(col(idCol),
-      size(CorpusOps.tokens(col(textCol))).as("dl"))
+    // materialize the token array ONCE per row before fanning out to
+    // size/explode — the split expression re-evaluates per reference
+    // otherwise (no subexpression elimination across generators)
+    val toks = docs.select(col(idCol),
+      CorpusOps.tokens(col(textCol)).as("_ts"))
+    val lens = toks.select(col(idCol), size(col("_ts")).as("dl"))
     // corpus constants: one tiny all-reduce, broadcast back
     val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
 
-    val tf = docs
-      .select(col(idCol), size(CorpusOps.tokens(col(textCol))).as("dl"),
-        explode(CorpusOps.tokens(col(textCol))).as("term"))
+    // explode_outer + null-filter: the inner explode's inferred
+    // size-filter would push a re-tokenization into the scan (see
+    // CorpusOps.wordNgrams); the term filter drops the null rows
+    val tf = toks
+      .select(col(idCol), size(col("_ts")).as("dl"),
+        explode_outer(col("_ts")).as("term"))
       .filter(col("term").isin(qTerms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -77,9 +84,11 @@ object TextSearch {
     * information. */
   def tfIdfKeywords(docs: DataFrame, m: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      size(CorpusOps.tokens(col(textCol))).as("dl"),
-      explode(CorpusOps.tokens(col(textCol))).as("term"))
+    val toks = docs
+      .select(col(idCol), CorpusOps.tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), size(col("_ts")).as("dl"),
+        explode_outer(col("_ts")).as("term"))
+      .filter(col("term").isNotNull)
     val tf = toks.groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -97,4 +97,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
       plan)
   }
+
+  test("gram/token explodes never leak a re-derived tokenizer into " +
+      "the scan's DataFilters (InferFiltersFromGenerate trap)") {
+    // an inner explode over the aliased gram array lets Catalyst infer
+    // size(arr) > 0 and push the WHOLE tokenize pipeline into the scan
+    // as an interpreted DataFilter — a measured 10x on the gram family;
+    // the operators use explode_outer + output-null-filter to stay out
+    // of that rule's reach
+    val docs = Tables.t(spark, sf001, "documents")
+    val shapes = Seq(
+      "wordNgrams" -> graft.operators.CorpusOps.wordNgrams(docs, 3),
+      "commonNgrams" ->
+        graft.operators.CorpusOps.commonNgrams(docs, 3, 2),
+      "tfIdf" -> graft.operators.TextSearch.tfIdfKeywords(docs, 2),
+      "bm25" -> graft.operators.TextSearch.bm25(docs, "hash join", 5))
+    shapes.foreach { case (name, df) =>
+      val scans = physical(df).linesIterator
+        .filter(_.contains("FileScan")).toSeq
+      assert(scans.nonEmpty, s"$name: no scan?")
+      scans.foreach { s =>
+        assert(!s.contains("split("),
+          s"$name re-tokenizes inside the scan filter: $s")
+      }
+    }
+  }
 }

@@ -201,6 +201,56 @@ class CasServiceSpec extends SparkTestBase {
     }
   }
 
+  test("two OS PROCESSES racing manifest commits coordinate through " +
+      "the TCP service alone: contiguous history, every winner once") {
+    withServer { (server, _) =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.objstore2.impl", classOf[ObjStore2FileSystem].getName)
+      hc.set("graft.commit.store.objstore2", "tcp-cas")
+      hc.set("graft.commit.cas.endpoint", s"127.0.0.1:${server.port}")
+      try {
+        val local = java.nio.file.Files
+          .createTempDirectory("graft-tcp-2jvm").resolve("t").toString
+        val dir = s"objstore2:$local"
+        val table = new Path(dir)
+        val fs = table.getFileSystem(hc)
+        fs.mkdirs(table)
+        assert(GraftManifest.tryCommit(fs, table, 0L, Seq.empty)) // v1
+        val n = 15
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val child = new ProcessBuilder(
+          javaBin, "-cp", System.getProperty("java.class.path"),
+          "graft.sources.v2.CommitRaceChild", dir, n.toString, "c",
+          s"fs.objstore2.impl=${classOf[ObjStore2FileSystem].getName}",
+          "graft.commit.store.objstore2=tcp-cas",
+          s"graft.commit.cas.endpoint=127.0.0.1:${server.port}")
+          .redirectErrorStream(true).start()
+        var wins = 0
+        while (wins < n) {
+          val live = GraftManifest.liveState(fs, table)
+          if (GraftManifest.tryCommit(fs, table, live.version,
+              live.names :+ f"f-p-$wins%04d.parquet")) wins += 1
+        }
+        val out = new String(
+          child.getInputStream.readAllBytes(), "UTF-8")
+        assert(child.waitFor() == 0, s"child failed:\n$out")
+        assert(out.contains(s"CHILD_WINS=$n"), out)
+        val vs = GraftManifest.versions(fs, table)
+        assert(vs == (1L to (2 * n + 1).toLong), s"non-contiguous: $vs")
+        val names = GraftManifest.read(fs, table, vs.last).names
+        assert(names.length == 2 * n)
+        assert(names.count(_.startsWith("f-p-")) == n)
+        assert(names.count(_.startsWith("f-c-")) == n)
+        assert(names.distinct.length == names.length)
+        val probe = new TcpCasBackend("127.0.0.1", server.port)
+        assert(probe.list("") === Seq(), "claims drain after commits")
+      } finally {
+        hc.unset("graft.commit.store.objstore2")
+        hc.unset("graft.commit.cas.endpoint")
+      }
+    }
+  }
+
   test("tcp-cas without an endpoint refuses loudly; a dead endpoint " +
       "fails the commit instead of wedging or guessing") {
     val c = spark.sessionState.newHadoopConf()
