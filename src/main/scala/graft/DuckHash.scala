@@ -668,4 +668,99 @@ private[graft] object DuckHash {
        |SELECT doc_id, score, score >= $threshold AS keep FROM sc
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** The shared CTE chain replicating [[graft.operators.Bpe.train]]
+    * IN SQL, k merge iterations unrolled: `words` (the corpus word
+    * counts under the trainer's `^[a-z0-9]+$` pre-tokenizer gate),
+    * `r0` (chars joined by two spaces, one-space pad), then per
+    * iteration `p{i}` (per-adjacency pair counts weighted by word
+    * frequency), `t{i}` (argmax pair, ties lexicographic) and
+    * `r{i+1}` (the leftmost-non-overlapping `replace` rewrite — same
+    * semantics in DuckDB and the JVM). Every stage is MATERIALIZED:
+    * `r{i}` is referenced twice (pair count + next rewrite), so
+    * single-use inlining would otherwise make the plan exponential
+    * in k. This is a fully independent SQL re-derivation of the
+    * training loop, not a rendering of the learned model. */
+  private def bpeCtes(k: Int): String = {
+    val head = Seq(
+      """words AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)"""
+        .stripMargin,
+      """r0 AS MATERIALIZED (
+        |  SELECT w, cnt, ' ' || array_to_string(
+        |    list_filter(string_split(w, ''), c -> c <> ''), '  ')
+        |    || ' ' AS rep
+        |  FROM words)""".stripMargin)
+    val steps = (0 until k).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT t[j] AS l, t[j+1] AS r, sum(cnt) AS c FROM (
+           |    SELECT cnt, string_split(trim(rep), '  ') AS t,
+           |      unnest(range(1, len(string_split(trim(rep), '  '))))
+           |        AS j
+           |    FROM r$i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""t$i AS MATERIALIZED (
+           |  SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1)"""
+          .stripMargin,
+        s"""r${i + 1} AS MATERIALIZED (
+           |  SELECT w, cnt, replace(rep,
+           |    ' ' || (SELECT l FROM t$i) || '  ' ||
+           |      (SELECT r FROM t$i) || ' ',
+           |    ' ' || (SELECT l FROM t$i) ||
+           |      (SELECT r FROM t$i) || ' ') AS rep
+           |  FROM r$i)""".stripMargin)
+    }
+    (head ++ steps).mkString(",\n")
+  }
+
+  /** Oracle for `q_bpe_train`: the k-merge table the unrolled SQL
+    * trainer derives — `(merge_rank, left_tok, right_tok, merged)`. */
+  def bpeTrainOracle(k: Int): String = {
+    val rows = (0 until k).map { i =>
+      s"SELECT ${i + 1} AS merge_rank, l AS left_tok, r AS right_tok," +
+        s" l || r AS merged FROM t$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${bpeCtes(k)}\nSELECT * FROM ($rows) ORDER BY merge_rank"
+  }
+
+  /** Oracle for `q_bpe_encode`: re-derive the k merges (same CTEs),
+    * collect them into one `pats` row, then encode every document —
+    * per word, the char rep folded through the k replaces in rank
+    * order, split back to symbols, flattened in document order. */
+  def bpeEncodeOracle(k: Int, headTokens: Int = 20): String = {
+    val pats = "pats AS MATERIALIZED (SELECT " +
+      (0 until k).map(i =>
+        s"(SELECT l FROM t$i) AS l$i, (SELECT r FROM t$i) AS r$i")
+        .mkString(", ") + ")"
+    val rep0 = "' ' || array_to_string(list_filter(string_split(w, '')," +
+      " c -> c <> ''), '  ') || ' '"
+    val folded = (0 until k).foldLeft(rep0) { (acc, i) =>
+      s"replace($acc, ' ' || l$i || '  ' || r$i || ' '," +
+        s" ' ' || l$i || r$i || ' ')"
+    }
+    // NOTE built by concatenation, NOT one interpolated stripMargin:
+    // the interpolated CTE chain contains lines whose first non-blank
+    // chars are the `||` concat operator, and stripMargin would eat
+    // one pipe.
+    "WITH " + bpeCtes(k) + ",\n" + pats + ",\n" +
+      ("""enc AS (
+         |  SELECT doc_id, flatten(list_transform(
+         |    list_filter(
+         |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+         |        t -> t <> ''),
+         |      w2 -> regexp_matches(w2, '^[a-z0-9]+$')),
+         |    w -> string_split(trim(""".stripMargin + folded +
+        s"""), '  '))) AS toks
+           |  FROM documents, pats)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |  array_to_string(toks[1:$headTokens], ' ') AS head_tokens
+           |FROM enc ORDER BY doc_id""".stripMargin)
+  }
 }

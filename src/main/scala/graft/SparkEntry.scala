@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOfJoin, Clustering, CorpusOps, Dedup, Multimodal, QualityModel, Salting, TextSearch, TextStats}
+import graft.operators.{Ann, AsOfJoin, Bpe, Clustering, CorpusOps, Dedup, LangModel, Multimodal, QualityModel, Salting, TextSearch, TextStats}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7 + builder prompt): the full SURVEY.md §2
@@ -812,6 +812,60 @@ object SparkEntry {
       minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** BPE merge count shared by the trainer query, the encode query
+    * and both oracles' unrolled SQL re-derivations. */
+  private val BpeMerges = 12
+
+  /** Distributed BPE tokenizer training (Sennrich-style): one corpus
+    * shuffle builds the word-count table, then each of the 12 merge
+    * iterations is a map-side pair expansion + one tiny groupBy over
+    * that cached table with a single argmax row to the driver. The
+    * oracle re-derives the SAME merges by unrolling the training loop
+    * in SQL (DuckHash.bpeTrainOracle) — fully independent
+    * verification, not a rendering of the learned model. */
+  private val qBpeTrain: Q = (s, dir) => {
+    val model = Bpe.trainCached(s"$dir/documents#bpe$BpeMerges",
+      t(s, dir, "documents"), BpeMerges)
+    import s.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, l + r) }
+      .toDF("merge_rank", "left_tok", "right_tok", "merged")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** BPE encoding under the trained model: per document, the in-order
+    * subword token stream — char rep folded through the 12 learned
+    * merges as chained codegen'd `replace`s (zero shuffles, zero
+    * UDFs; a 100 TB encode is a map-only job). Output pins token
+    * count, distinct-token count and the first-20-token prefix so the
+    * hash check sees the actual tokenization. */
+  private val qBpeEncode: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = Bpe.trainCached(s"$dir/documents#bpe$BpeMerges",
+      docs, BpeMerges)
+    Bpe.encode(docs, model)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long")
+          .as("n_distinct"),
+        array_join(slice(col("toks"), 1, 20), " ").as("head_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
+    * filter with a count LM): train on even doc_ids, score odd
+    * doc_ids, so the stupid-backoff path genuinely fires on unseen
+    * bigrams. Two training aggregates + a three-way count-table join
+    * on the candidate side; score summed in exact DECIMAL so the
+    * hash check is partition-order-proof. */
+  private val qLmScore: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    LangModel.scoreDocs(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Semantic k-means clustering summary: every embedding assigned to
     * its nearest centroid (the SAME train-once quantizer as q_ann_ivf
     * — a single codegen'd map-side expression, no join), then one hash
@@ -1317,6 +1371,9 @@ object SparkEntry {
     "q_quality_model" -> qQualityModel,
     "q_corpus_mix" -> qCorpusMix,
     "q_crossdoc_repeat" -> qCrossdocRepeat,
+    "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode,
+    "q_lm_score" -> qLmScore,
     "q_cluster_kmeans" -> qClusterKmeans,
     "q_cluster_sample" -> qClusterSample,
     "q_unpivot" -> qUnpivot,
@@ -1516,6 +1573,46 @@ object SparkEntry {
       |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> DuckHash.bpeTrainOracle(BpeMerges),
+    "q_bpe_encode" -> DuckHash.bpeEncodeOracle(BpeMerges),
+    // bigram stupid-backoff LM: train on even doc_ids, score odd;
+    // per-position log10 rounded to 6 then summed in exact DECIMAL —
+    // the same partition-order-proof accumulation the Spark side uses
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |uni AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(ts) AS w FROM tok WHERE doc_id % 2 = 0)
+        |  GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni),
+        |bi AS MATERIALIZED (
+        |  SELECT t[j] AS l, t[j+1] AS r,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT ts AS t, unnest(range(1, len(ts))) AS j
+        |    FROM tok WHERE doc_id % 2 = 0)
+        |  GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, t[j] AS l, t[j+1] AS r
+        |  FROM (SELECT doc_id, ts AS t, unnest(range(1, len(ts))) AS j
+        |    FROM tok WHERE doc_id % 2 = 1)),
+        |p AS (SELECT doc_id,
+        |    CASE WHEN b.cnt IS NOT NULL
+        |        THEN b.cnt / CAST(ul.cnt AS DOUBLE)
+        |      WHEN ur.cnt IS NOT NULL
+        |        THEN 0.4 * ur.cnt / (SELECT n FROM tot)
+        |      ELSE 0.4 / (SELECT n FROM tot) END AS prob,
+        |    CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM pos
+        |  LEFT JOIN bi b ON pos.l = b.l AND pos.r = b.r
+        |  LEFT JOIN uni ul ON pos.l = ul.w
+        |  LEFT JOIN uni ur ON pos.r = ur.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(bo) AS BIGINT) AS n_backoff,
+        |  CAST(round(sum(CAST(round(log10(prob), 6)
+        |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_logp
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_fingerprint" -> DuckHash.fingerprintOracle(16),
     "q_agg_approx_distinct" -> DuckHash.aggApproxDistinctOracle(),
     "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned byte-pair-encoding tokenizer model: the ordered merge list
+  * (rank 1 first). Encoding applies the merges in rank order — the
+  * original Sennrich formulation, where each merge is a left-to-right
+  * non-overlapping rewrite of the symbol sequence. */
+case class BpeModel(merges: Seq[(String, String)]) {
+  /** Merge vocabulary: every token the model can emit beyond single
+    * characters. */
+  def vocab: Seq[String] = merges.map { case (l, r) => l + r }
+}
+
+/** Distributed BPE tokenizer training and encoding (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units" — public algorithm), built the way an industrial trainer
+  * runs at corpus scale:
+  *
+  *  - ONE pass over the corpus builds the `(word, count)` table — the
+  *    only job that touches the 100 TB text; everything after runs on
+  *    the distinct-word table (millions of rows at web scale, not
+  *    billions), cached on executors.
+  *  - each merge iteration is one map-side pair expansion plus one
+  *    `groupBy(pair).sum(cnt)` over that small table, then a single
+  *    argmax row to the driver — the merge decision is `O(1)` driver
+  *    state, never the data.
+  *  - the evolving symbol representation is a plain string column with
+  *    a codegen'd `replace()` per learned merge; lineage is cut every
+  *    [[Bpe.MaterializeEvery]] merges with `localCheckpoint` so plan
+  *    depth (and recompute) stays bounded for large merge counts.
+  *
+  * Symbol sequences ride ONE string column: tokens joined by TWO
+  * spaces with a single leading/trailing pad (`" l  o  w "`). Merging
+  * pair `(a,b)` is then the literal rewrite `" a  b " -> " ab "` —
+  * the interior double gap donates one space to each side, so
+  * adjacent occurrences (`a a a a`) merge left-to-right without
+  * sharing boundary characters, which is exactly BPE's non-overlapping
+  * scan, and a pair can never match across a token boundary because
+  * tokens contain no spaces. `replace` is leftmost non-overlapping in
+  * both the JVM and DuckDB, so the oracle can replicate training
+  * verbatim in SQL.
+  */
+object Bpe {
+
+  /** Words eligible for vocabulary training: the lower-cased token
+    * must be purely alphanumeric. This is the pre-tokenizer contract
+    * (GPT-2 style splits punctuation off before BPE); it also pins
+    * char-splitting to ASCII where JVM UTF-16 and DuckDB UTF-8
+    * semantics agree. */
+  val WordRegex = "^[a-z0-9]+$"
+
+  /** Cut localCheckpoint lineage every this many merges so the stacked
+    * `replace` chain (and per-iteration recompute) stays O(this). */
+  val MaterializeEvery = 16
+
+  /** Initial symbol representation of a word: characters joined by two
+    * spaces, padded with one space each side. */
+  private def charRep(w: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(w, ""), c => c =!= ""), "  "), lit(" "))
+
+  private def mergePattern(l: String, r: String): (String, String) =
+    (s" $l  $r ", s" $l$r ")
+
+  /** `(w, cnt)` over the corpus — the single full-corpus shuffle. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(CorpusOps.tokens(col(textCol)).as("_graft_ts"))
+      .select(explode_outer(col("_graft_ts")).as("w"))
+      .filter(col("w").isNotNull && col("w").rlike(WordRegex))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Train `numMerges` BPE merges over the corpus. Each iteration
+    * counts every adjacent symbol pair (weighted by word frequency,
+    * overlapping adjacencies both counted — the standard `get_stats`)
+    * and merges the most frequent, ties broken lexicographically so
+    * training is deterministic and oracle-replicable. Stops early if
+    * no pair remains (fully merged vocabulary). */
+  def train(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): BpeModel = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var cur = wordCounts(docs, textCol)
+      .select(col("cnt"), charRep(col("w")).as("rep"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      // Materialize the symbol array in its own projection: subexpr
+      // elimination does not reach inside HOF lambdas (see
+      // CorpusOps.gramsOf), so an inlined split would re-run per pair
+      // position.
+      val syms = cur.select(col("cnt"),
+        split(trim(col("rep")), "  ").as("t"))
+      val pairs = syms.select(col("cnt"),
+        explode_outer(when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            j => struct(element_at(col("t"), j).as("l"),
+              element_at(col("t"), j + 1).as("r"))))).as("p"))
+        .filter(col("p").isNotNull)
+      val top = pairs
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        val (pat, sub) = mergePattern(l, r)
+        val next = cur.withColumn("rep",
+          replace(col("rep"), lit(pat), lit(sub)))
+        cur =
+          if ((i + 1) % MaterializeEvery == 0) next.localCheckpoint()
+          else next
+      }
+      i += 1
+    }
+    BpeModel(merges.result())
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeModel]()
+
+  /** Train once per cache key (a data-dir-qualified tag), then reuse —
+    * lets the encode query and any oracle rendering share one trained
+    * model, like [[Ann.trainIvfCached]]. */
+  def trainCached(key: String, docs: => DataFrame, numMerges: Int,
+      textCol: String = "text"): BpeModel =
+    cache.computeIfAbsent(key, _ => train(docs, numMerges, textCol))
+
+  /** The symbol array a trained model produces for one word column:
+    * char rep -> every merge as a chained codegen'd `replace` in rank
+    * order -> split back to symbols. Pure expression — zero shuffles,
+    * zero UDFs — so encoding a 100 TB corpus is a map-only job. */
+  def encodeWord(w: Column, model: BpeModel): Column = {
+    val folded = model.merges.foldLeft(charRep(w)) { case (c, (l, r)) =>
+      val (pat, sub) = mergePattern(l, r)
+      replace(c, lit(pat), lit(sub))
+    }
+    split(trim(folded), "  ")
+  }
+
+  /** Encode every document with a trained model:
+    * `(id, toks)` where `toks` is the in-order BPE token array over
+    * the document's trainable words (the same [[WordRegex]] gate the
+    * trainer applies — the pre-tokenizer contract). */
+  def encode(docs: DataFrame, model: BpeModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(CorpusOps.tokens(col(textCol)),
+          w => w.rlike(WordRegex)).as("_graft_ws"))
+      .select(col(idCol),
+        flatten(transform(col("_graft_ws"),
+          w => encodeWord(w, model))).as("toks"))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE tokenizer training + encoding: hand-computed merges on a
+  * constructed corpus, the overlapping-adjacency rewrite semantics,
+  * the detokenization identity, and determinism. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("train learns the hand-computed merge sequence") {
+    // words: aaab x3, aab x2.
+    // iter 1: (a,a) = 2*3 + 1*2 = 8 (overlapping adjacencies both
+    //   counted), (a,b) = 3 + 2 = 5 -> merge (a,a).
+    // iter 2: aaab = [aa, a, b] (leftmost non-overlapping), aab =
+    //   [aa, b]; (aa,a) = 3, (a,b) = 3, (aa,b) = 2 -> tie broken
+    //   lexicographically: "a" < "aa", so (a,b) wins.
+    // iter 3: aaab = [aa, ab], aab = [aa, b]; (aa,ab) = 3,
+    //   (aa,b) = 2 -> merge (aa, ab).
+    val docs = Seq("aaab aaab aaab aab aab").toDF("text")
+    val model = Bpe.train(docs, numMerges = 3)
+    assert(model.merges ===
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("train stops early when the vocabulary is fully merged") {
+    val docs = Seq("ab ab ab").toDF("text")
+    val model = Bpe.train(docs, numMerges = 10)
+    assert(model.merges === Seq(("a", "b")))
+  }
+
+  test("encodeWord rewrites adjacent runs leftmost non-overlapping") {
+    val model = graft.operators.BpeModel(Seq(("a", "a")))
+    val got = Seq("aaaa", "aaa", "a")
+      .toDF("w")
+      .select($"w", Bpe.encodeWord($"w", model).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+    assert(got("aaaa") === Seq("aa", "aa"))
+    assert(got("aaa") === Seq("aa", "a"))
+    assert(got("a") === Seq("a"))
+  }
+
+  test("encode concat-roundtrips to the filtered word stream") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val model = Bpe.trainCached(s"$sf001/documents#bpespec8",
+      docs, numMerges = 8)
+    val enc = Bpe.encode(docs, model)
+      .select($"doc_id", concat_ws("", $"toks").as("joined"))
+    val raw = docs.select($"doc_id",
+      concat_ws("",
+        filter(graft.operators.CorpusOps.tokens($"text"),
+          w => w.rlike(Bpe.WordRegex))).as("joined"))
+    assert(enc.exceptAll(raw).isEmpty && raw.exceptAll(enc).isEmpty,
+      "BPE tokens must concatenate back to the original words")
+  }
+
+  test("training is deterministic across runs") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val a = Bpe.train(docs, numMerges = 6).merges
+    val b = Bpe.train(docs, numMerges = 6).merges
+    assert(a === b)
+    assert(a.size === 6)
+  }
+
+  test("merged tokens shorten the stream, never below word count") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val model = Bpe.trainCached(s"$sf001/documents#bpespec8",
+      docs, numMerges = 8)
+    val row = Bpe.encode(docs, model)
+      .select(
+        sum(size($"toks")).as("n_tok"),
+        sum(length(concat_ws("", $"toks"))).as("n_chars"))
+      .collect()(0)
+    val nWords = docs.select(
+      sum(size(filter(graft.operators.CorpusOps.tokens($"text"),
+        w => w.rlike(Bpe.WordRegex)))))
+      .collect()(0).getLong(0)
+    assert(row.getLong(0) < row.getLong(1),
+      "some merges must have fired")
+    assert(row.getLong(0) >= nWords,
+      "a word cannot encode to fewer than one token")
+  }
+}
