@@ -669,6 +669,26 @@ private[graft] object DuckHash {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for `q_shuffle_shards` —
+    * [[graft.operators.CorpusOps.shuffleShards]]: signed
+    * `xxhash64(doc_id)` (seed 42, same chain as the sampling
+    * oracles), `shard = pmod(hash, n)`, and the 1-based rank inside
+    * each shard in `(hash, doc_id)` order. MATERIALIZED for the same
+    * chain-inlining-blowup reason as [[sampleStratifiedOracle]]. */
+  def shuffleShardsOracle(numShards: Int): String = {
+    val ch = new Chain("SELECT doc_id FROM documents", Seq("doc_id"))
+    val xs = ch.add(toSigned(xxh64Long(ch, "doc_id")))
+    s"""WITH hx AS MATERIALIZED (${ch.render()})
+       |SELECT doc_id,
+       |  CAST(((($xs) % $numShards) + $numShards) % $numShards
+       |    AS INTEGER) AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY ((($xs) % $numShards) + $numShards)
+       |      % $numShards
+       |    ORDER BY $xs, doc_id) AS INTEGER) AS pos
+       |FROM hx ORDER BY shard, pos""".stripMargin
+  }
+
   /** The shared CTE chain replicating [[graft.operators.Bpe.train]]
     * IN SQL, k merge iterations unrolled: `words` (the corpus word
     * counts under the trainer's `^[a-z0-9]+$` pre-tokenizer gate),

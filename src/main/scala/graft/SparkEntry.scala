@@ -665,6 +665,18 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Recall@10 of the multi-probe LSH retriever against brute force —
+    * the eval every ANN deployment runs before trusting the index.
+    * The oracle recomputes BOTH retrievers in SQL and intersects. */
+  private val qAnnRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 8)
+    Ann.recallAtK(
+      Ann.lshTopK(emb, qs, k = 10, dim = 64),
+      Ann.bruteForceTopK(emb, qs, k = 10))
+      .orderBy(col("query_id"))
+  }
+
   private val qAnnIvf: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     // train-once / apply-many: the quantizer is memoized per corpus dir,
@@ -865,6 +877,14 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 === 0))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic global shuffle into 8 shards: the training-order
+    * randomization + shard-export step. One hash shuffle + per-shard
+    * sort; hash-balanced shards, reproducible on any cluster size. */
+  private val qShuffleShards: Q = (s, dir) =>
+    CorpusOps.shuffleShards(
+      t(s, dir, "documents").select(col("doc_id")), numShards = 8)
+      .orderBy(col("shard"), col("pos"))
 
   /** Semantic k-means clustering summary: every embedding assigned to
     * its nearest centroid (the SAME train-once quantizer as q_ann_ivf
@@ -1351,6 +1371,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_recall" -> qAnnRecall,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_pq" -> qAnnPq,
     "q_text_stats" -> qTextStats,
@@ -1374,6 +1395,7 @@ object SparkEntry {
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
     "q_lm_score" -> qLmScore,
+    "q_shuffle_shards" -> qShuffleShards,
     "q_cluster_kmeans" -> qClusterKmeans,
     "q_cluster_sample" -> qClusterSample,
     "q_unpivot" -> qUnpivot,
@@ -1613,6 +1635,7 @@ object SparkEntry {
         |  CAST(round(sum(CAST(round(log10(prob), 6)
         |    AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_logp
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_shuffle_shards" -> DuckHash.shuffleShardsOracle(8),
     "q_fingerprint" -> DuckHash.fingerprintOracle(16),
     "q_agg_approx_distinct" -> DuckHash.aggApproxDistinctOracle(),
     "q_lang_id" -> DuckHash.langIdOracle(functions.LangGuess.stop),
@@ -1810,6 +1833,47 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
+    // recall@10 of LSH vs brute force: both retrievers recomputed in
+    // SQL (the LSH CTEs verbatim from q_ann_lsh, the exact top-10
+    // verbatim from q_cosine_topk), then intersected per query
+    "q_ann_recall" -> {
+      val b = duckBucketExpr("v", operators.Ann.hyperplanes(6, 64, 42L))
+      val masks = (0 until 64).filter(m => Integer.bitCount(m) <= 2)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, $b AS bucket FROM e),
+         |q0 AS (SELECT vec_id AS query_id, v AS qv, $b AS qb
+         |  FROM e WHERE vec_id < 8),
+         |q AS (SELECT query_id, qv, xor(qb, masks.m) AS bucket
+         |  FROM q0 CROSS JOIN (SELECT unnest($masks) AS m) masks),
+         |s AS (SELECT DISTINCT query_id, neighbor_id,
+         |    list_cosine_similarity(qv, cv) AS rawcos
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rawcos DESC, neighbor_id) AS INTEGER) AS rnk
+         |  FROM s),
+         |lshr AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 10),
+         |bf AS (SELECT q2.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q2.vec_id
+         |    ORDER BY list_cosine_similarity(
+         |        CAST(q2.embedding AS DOUBLE[]),
+         |        CAST(c2.embedding AS DOUBLE[])) DESC,
+         |      c2.vec_id) AS INTEGER) AS rnk
+         |  FROM embeddings q2, embeddings c2
+         |  WHERE q2.vec_id < 8 AND c2.vec_id <> q2.vec_id
+         |  QUALIFY rnk <= 10),
+         |j AS (SELECT bf.query_id,
+         |    CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM bf LEFT JOIN lshr l
+         |    ON bf.query_id = l.query_id
+         |    AND bf.neighbor_id = l.neighbor_id)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  round(sum(hit) / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
     },
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -385,4 +385,24 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
+
+  /** ANN quality evaluation: recall of an approximate top-k result
+    * against the exact one. Both inputs carry
+    * `(query_id, neighbor_id, ...)` rows (the shape every retriever
+    * here emits); per query, `recall = |approx ∩ exact| / |exact|`.
+    * One equi-join on `(query_id, neighbor_id)` plus one rollup —
+    * both result sets are k-bounded per query, so this is cheap at
+    * any corpus size; integers throughout, one rounded division. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact
+      .select(col("query_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
 }

@@ -194,6 +194,29 @@ object CorpusOps {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Deterministic global shuffle + sharding — the training-order
+    * randomization step before exporting a corpus to N equal shards:
+    * `shard = pmod(xxhash64(id), numShards)` and `pos` = the row's
+    * 1-based position inside its shard in `(xxhash64(id), id)` order.
+    * Writing shard-partitioned output in `pos` order gives every
+    * epoch the same pseudo-random document order on any cluster size
+    * — reproducible training runs with zero RNG state.
+    *
+    * Scale shape: one hash shuffle on the shard key plus a per-shard
+    * sort (the window never crosses shards). Shards are hash-balanced
+    * by construction, so raising `numShards` to >> executor count
+    * bounds per-task sort memory at any corpus size. */
+  def shuffleShards(df: DataFrame, numShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(xxhash64(col(idCol)), lit(numShards)).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** GPT-style sequence packing: concatenate each shard's documents
     * (in `idCol` order) into one virtual token stream and cut it into
     * fixed `seqLen`-token training sequences. Returns one row per

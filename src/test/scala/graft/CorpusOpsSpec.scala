@@ -286,4 +286,33 @@ class CorpusOpsSpec extends SparkTestBase {
     val doc2 = segs.filter(_._3 == 2L).sortBy(_._2)
     assert(doc2 === Seq((0, 0L, 2L, 5, 3), (0, 1L, 2L, 0, 6)))
   }
+
+  test("shuffleShards: a permutation, contiguous per-shard positions") {
+    val docs = Tables.t(spark, sf001, "documents").select($"doc_id")
+    val n = docs.count()
+    val got = CorpusOps.shuffleShards(docs, numShards = 4)
+
+    // every doc exactly once, shard = pmod(xxhash64(id), 4)
+    assert(got.count() === n)
+    assert(got.select($"doc_id").distinct().count() === n)
+    val bad = got.filter(
+      $"shard" =!= pmod(xxhash64($"doc_id"), lit(4)).cast("int"))
+    assert(bad.isEmpty)
+
+    // positions are 1..count(shard) with no gaps
+    val perShard = got.groupBy($"shard")
+      .agg(count(lit(1)).as("c"), min($"pos").as("mn"),
+        max($"pos").as("mx"), countDistinct($"pos").as("d"))
+      .collect()
+    assert(perShard.nonEmpty)
+    perShard.foreach { r =>
+      assert(r.getAs[Int]("mn") === 1)
+      assert(r.getAs[Long]("c") === r.getAs[Int]("mx").toLong)
+      assert(r.getAs[Long]("c") === r.getAs[Long]("d"))
+    }
+
+    // deterministic across runs
+    val again = CorpusOps.shuffleShards(docs, numShards = 4)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
 }

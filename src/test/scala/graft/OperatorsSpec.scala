@@ -265,4 +265,22 @@ class OperatorsSpec extends SparkTestBase {
     val v = df.agg(gm($"x")).head.getDouble(0)
     assert(math.abs(v - 4.0) < 1e-12)
   }
+
+  test("recallAtK: self-recall 1, disjoint 0, LSH within [0,1]") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    val exact = Ann.bruteForceTopK(emb, qs, k = 10)
+    val self = Ann.recallAtK(exact, exact)
+    assert(self.filter($"recall" =!= 1.0).isEmpty)
+    assert(self.filter($"n_exact" =!= $"n_hit").isEmpty)
+
+    val disjoint = exact.withColumn("neighbor_id", -$"neighbor_id" - 1)
+    val zero = Ann.recallAtK(disjoint, exact)
+    assert(zero.filter($"recall" =!= 0.0).isEmpty)
+
+    val lsh = Ann.lshTopK(emb, qs, k = 10, dim = 64)
+    val r = Ann.recallAtK(lsh, exact)
+    assert(r.count() === exact.select($"query_id").distinct().count())
+    assert(r.filter($"recall" < 0.0 || $"recall" > 1.0).isEmpty)
+  }
 }
