@@ -72,18 +72,112 @@ object Bpe {
       .filter(col("w").isNotNull && col("w").rlike(WordRegex))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
+  /** Distinct-word count at or below which training pulls the
+    * `(word, cnt)` table to the driver and runs the exact incremental
+    * merge loop there — the industrial shape: the corpus is TBs but
+    * its distinct-word table is millions of rows, and k driver-side
+    * merges beat k Spark jobs by orders of magnitude. Above the
+    * threshold the distributed loop (same algorithm, same answers)
+    * takes over. */
+  val DriverWordLimit = 2000000L
+
   /** Train `numMerges` BPE merges over the corpus. Each iteration
     * counts every adjacent symbol pair (weighted by word frequency,
     * overlapping adjacencies both counted — the standard `get_stats`)
     * and merges the most frequent, ties broken lexicographically so
     * training is deterministic and oracle-replicable. Stops early if
-    * no pair remains (fully merged vocabulary). */
+    * no pair remains (fully merged vocabulary).
+    *
+    * ONE corpus-wide job builds the word-count table either way; the
+    * merge loop then runs on the driver when the table has at most
+    * `driverWordLimit` distinct words (see [[DriverWordLimit]]) and
+    * distributed otherwise. Both paths implement the identical
+    * algorithm and tie-breaks — BpeSpec pins them to equal merges. */
   def train(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): BpeModel = {
+      textCol: String = "text",
+      driverWordLimit: Long = DriverWordLimit): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var cur = wordCounts(docs, textCol)
+    val words = wordCounts(docs, textCol)
       .select(col("cnt"), charRep(col("w")).as("rep"))
       .localCheckpoint()
+    if (words.count() <= driverWordLimit) trainLocal(words, numMerges)
+    else trainDistributed(words, numMerges)
+  }
+
+  /** Exact incremental BPE on the collected word table: pair counts
+    * maintained under each merge (remove the rewritten words' old
+    * pairs, add their new ones), so per-merge cost is proportional to
+    * the words actually containing the merged pair, not the corpus. */
+  private def trainLocal(words: DataFrame,
+      numMerges: Int): BpeModel = {
+    val table: Array[(Array[String], Long)] = words.collect().map { r =>
+      (r.getString(1).trim.split("  "), r.getLong(0))
+    }
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val (syms, cnt) = table(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * cnt
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          index.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    table.indices.foreach(addWord(_, 1L))
+    def applyMerge(syms: Array[String], l: String,
+        r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          out += l + r; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.toArray
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      if (counts.isEmpty) done = true
+      else {
+        // argmax by (count desc, l asc, r asc) — the same total order
+        // the distributed orderBy uses
+        val (l, r) = counts.foldLeft(
+          (("", ""), Long.MinValue)) { case (best @ (bp, bc), (p, c)) =>
+          if (c > bc || (c == bc && (p._1 < bp._1 ||
+            (p._1 == bp._1 && p._2 < bp._2)))) (p, c) else best
+        }._1
+        merges += ((l, r))
+        val touched = index.getOrElse((l, r), Set.empty[Int]).toArray
+        touched.foreach { wi =>
+          val (syms, cnt) = table(wi)
+          addWord(wi, -1L)
+          table(wi) = (applyMerge(syms, l, r), cnt)
+          addWord(wi, 1L)
+        }
+        // no explicit removal of (l, r): rewriting zeroes its count
+        // naturally, and a merge like (a, aa) can legitimately
+        // RECREATE its own pair ([a,aa,a,aa] -> [aaa,a,aa]) — the
+        // distributed loop would count it again, so parity requires
+        // keeping whatever addWord re-added. The index set is a
+        // superset by design (stale members no-op on later touches).
+      }
+      i += 1
+    }
+    BpeModel(merges.result())
+  }
+
+  private def trainDistributed(words: DataFrame,
+      numMerges: Int): BpeModel = {
+    var cur = words
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var i = 0

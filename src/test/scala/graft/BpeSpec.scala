@@ -65,6 +65,26 @@ class BpeSpec extends SparkTestBase {
     assert(a.size === 6)
   }
 
+  test("driver-side and distributed training learn identical merges") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val local = Bpe.train(docs, numMerges = 20).merges
+    val dist = Bpe.train(docs, numMerges = 20,
+      driverWordLimit = 0L).merges
+    assert(local === dist)
+    assert(local.size === 20)
+  }
+
+  test("a merge that recreates its own pair stays mergeable") {
+    // word "aaaa" x2: merge 1 = (a,a) -> [aa,aa]; merge 2 = (aa,aa)
+    // -> [aaaa]; and "aaa" keeps an (aa,a) pair alive. Both paths
+    // must agree on the recreated-pair bookkeeping.
+    val docs = Seq("aaaa aaaa aaa").toDF("text")
+    val local = Bpe.train(docs, numMerges = 3).merges
+    val dist = Bpe.train(docs, numMerges = 3,
+      driverWordLimit = 0L).merges
+    assert(local === dist)
+  }
+
   test("merged tokens shorten the stream, never below word count") {
     val docs = Tables.t(spark, sf001, "documents")
     val model = Bpe.trainCached(s"$sf001/documents#bpespec8",
