@@ -34,7 +34,14 @@ object ScaleProbe {
     // UN-inflated embeddings table, so their ratio says nothing — not
     // probed here)
     "q_common_ngrams", "q_crossdoc_repeat", "q_bm25_search",
-    "q_tfidf_keywords", "q_quality_model", "q_corpus_mix")
+    "q_tfidf_keywords", "q_quality_model", "q_corpus_mix",
+    // round-12 third wave: tokenizer encode (map-only replaces), LM
+    // scoring (count-table joins), shard shuffle (one hash shuffle +
+    // per-shard sort). q_bpe_train is NOT probed: its post-word-count
+    // cost is a function of distinct words and merge count, not
+    // corpus bytes, so a corpus-inflation ratio would measure the
+    // word-count job alone.
+    "q_bpe_encode", "q_lm_score", "q_shuffle_shards")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -63,6 +70,11 @@ object ScaleProbe {
     // steady-state model contract (same as Bench): the one-time quality
     // fit happens outside the timed runs, for BOTH dirs
     Seq(base, scaled).foreach(SparkEntry.prefitQualityModel(spark, _))
+    // same train-once contract for the BPE tokenizer (q_bpe_encode)
+    Seq(base, scaled).foreach { d =>
+      operators.Bpe.trainCached(s"$d/documents#bpe12",
+        Tables.t(spark, d, "documents"), 12)
+    }
 
     var worst = 0.0
     probeQueries.foreach { q =>

@@ -137,6 +137,80 @@ object GraftCatalog {
           v.substring(i1 + 1, i2) == "1", v.substring(i2 + 1)))
       }).getOrElse(Nil)
 
+  /** Column DEFAULT values as persisted in the marker:
+    * `#default=<col>:<currentSql>` (the expression future INSERTs
+    * without the column evaluate) and `#defaultex=<col>:<existsSql>`
+    * (the value rows written BEFORE the column existed read — "NULL"
+    * when the column was ALTER-ADDed without one). Both split on the
+    * FIRST colon so the SQL text may contain colons. Reported through
+    * the table schema's `CURRENT_DEFAULT` / `EXISTS_DEFAULT` field
+    * metadata, where Spark's default-column resolution fills INSERT
+    * gaps and the `DEFAULT` keyword. */
+  private[graft] def readDefaults(fs: FileSystem, dir: Path)
+      : Map[String, (String, Option[String])] =
+    readMarkerRaw(fs, dir).map { lines =>
+      def parse(prefix: String): Map[String, String] =
+        lines.filter(_.startsWith(prefix)).flatMap { l =>
+          val v = l.stripPrefix(prefix)
+          val i = v.indexOf(':')
+          if (i <= 0) None
+          else Some(v.substring(0, i) -> v.substring(i + 1))
+        }.toMap
+      val cur = parse("#default=")
+      val ex = parse("#defaultex=")
+      cur.map { case (c, s) => c -> (s, ex.get(c)) }
+    }.getOrElse(Map.empty)
+
+  /** User table properties as persisted in the marker
+    * (`#prop=<k>:<v>`, split on the FIRST colon). Spark-managed
+    * reserved keys (provider/location/owner/...) are never stored —
+    * they describe the catalog entry, not the table. */
+  private[graft] val ReservedProps: Set[String] =
+    Set("provider", "location", "comment", "owner", "external",
+      "is_managed_location")
+
+  private[graft] def readProps(fs: FileSystem, dir: Path)
+      : Map[String, String] =
+    readMarkerRaw(fs, dir).map(_.filter(_.startsWith("#prop="))
+      .flatMap { l =>
+        val v = l.stripPrefix("#prop=")
+        val i = v.indexOf(':')
+        if (i <= 0) None
+        else Some(v.substring(0, i) -> v.substring(i + 1))
+      }.toMap).getOrElse(Map.empty)
+
+  /** Decorate a resolved schema with the marker's DEFAULT metadata —
+    * the analyzer reads `CURRENT_DEFAULT`/`EXISTS_DEFAULT` off the
+    * table columns to materialize omitted INSERT values. */
+  private[graft] def applyDefaults(schema: StructType,
+      ds: Map[String, (String, Option[String])]): StructType =
+    if (ds.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      ds.get(f.name) match {
+        case Some((cur, ex)) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", cur)
+          ex.foreach(mb.putString("EXISTS_DEFAULT", _))
+          f.copy(metadata = mb.build())
+        case None => f
+      }
+    })
+
+  /** The DEFAULT metadata a CREATE's incoming schema carries (Spark
+    * encodes each `DEFAULT expr` clause into the field metadata when
+    * converting V2 columns). */
+  private[graft] def extractDefaults(schema: StructType)
+      : Map[String, (String, Option[String])] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT")) {
+        Some(f.name -> (f.metadata.getString("CURRENT_DEFAULT"),
+          if (f.metadata.contains("EXISTS_DEFAULT"))
+            Some(f.metadata.getString("EXISTS_DEFAULT"))
+          else None))
+      } else None
+    }.toMap
+
   private[graft] def readMapping(fs: FileSystem, dir: Path)
       : ColumnMapping =
     readMarkerRaw(fs, dir) match {
@@ -159,14 +233,36 @@ object GraftCatalog {
     *   schema-redefining overwrite, which clears them). */
   private[graft] def writeMarker(fs: FileSystem, dir: Path,
       schema: StructType, mapping: ColumnMapping,
-      checks: Option[Seq[CheckSpec]] = None): Unit = {
+      checks: Option[Seq[CheckSpec]] = None,
+      defaults: Option[Map[String, (String, Option[String])]] = None,
+      props: Option[Map[String, String]] = None)
+      : Unit = {
     val cs = checks.getOrElse(readChecks(fs, dir))
-    val lines = Seq(schema.toDDL) ++
+    // None PRESERVES standing defaults/properties, like `checks`
+    val ds = defaults.getOrElse(readDefaults(fs, dir))
+    val ps = props.getOrElse(readProps(fs, dir))
+    // the DDL line must parse with StructType.fromDDL, which does not
+    // accept DEFAULT clauses — strip the metadata (toDDL would render
+    // it) and let the #default lines carry the defaults
+    val cleanSchema = StructType(schema.fields.map { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT") ||
+          f.metadata.contains("EXISTS_DEFAULT")) {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT")
+        f.copy(metadata = mb.build())
+      } else f
+    })
+    val lines = Seq(cleanSchema.toDDL) ++
       mapping.renames.toSeq.sorted.map { case (p, l) => s"#rename=$p:$l" } ++
       mapping.drops.toSeq.sorted.map(p => s"#drop=$p") ++
       cs.sortBy(_.name).map(c =>
         s"#check=${c.name}:${if (c.enforced) "1" else "0"}:" +
-          c.predicateSql)
+          c.predicateSql) ++
+      ds.toSeq.sortBy(_._1).flatMap { case (c, (cur, ex)) =>
+        Seq(s"#default=$c:$cur") ++ ex.map(e => s"#defaultex=$c:$e")
+      } ++
+      ps.toSeq.sorted.map { case (k, v) => s"#prop=$k:$v" }
     val out = fs.create(new Path(dir, SchemaMarker), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -300,13 +396,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.exists(new Path(dir, SchemaMarker)) ||
       fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet")))
 
-  /** Advertises CHECK-constraint DDL support — what lets the analyzer
-    * route `ALTER TABLE ... ADD/DROP CONSTRAINT` to [[alterTable]]. */
+  /** Advertises CHECK-constraint DDL and column-DEFAULT support —
+    * what lets the analyzer route `ALTER TABLE ... ADD/DROP
+    * CONSTRAINT` to [[alterTable]] and accept `DEFAULT expr` clauses
+    * in CREATE/ALTER. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
@@ -317,11 +418,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // BucketLayout marker; surfacing it here is what turns catalog
     // joins on the bucket keys into storage-partitioned (shuffle-free)
     // joins — see GraftScanV2.outputPartitioning
-    GraftTableV2(dir.toString, schema,
+    GraftTableV2(dir.toString,
+      // DEFAULT metadata rides the schema: the analyzer fills INSERT
+      // gaps and the DEFAULT keyword from these field-metadata keys
+      GraftCatalog.applyDefaults(schema,
+        GraftCatalog.readDefaults(fs, dir)),
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
       // reported CHECK constraints: Spark's ResolveTableConstraints
       // enforces the enforced ones on every catalog write
-      checkConstraints = GraftCatalog.readChecks(fs, dir))
+      checkConstraints = GraftCatalog.readChecks(fs, dir),
+      tableProps = GraftCatalog.readProps(fs, dir))
   }
 
   /** SQL time travel — `SELECT ... FROM t VERSION AS OF n`: the scan
@@ -421,10 +527,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, SchemaMarker), true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    // `DEFAULT expr` clauses arrive as field metadata on the incoming
+    // schema (Spark's V2-column conversion); persist them as marker
+    // lines — toDDL drops metadata by design
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap
+      .filterNot { case (k, _) =>
+        GraftCatalog.ReservedProps.contains(k) || k.startsWith("option.")
+      }
+    GraftCatalog.writeMarker(fs, dir, schema, GraftCatalog.ColumnMapping.empty,
+      checks = Some(Nil),
+      defaults = Some(GraftCatalog.extractDefaults(schema)),
+      props = Some(userProps))
     bucketSpec.foreach(graft.sources.BucketLayout.write(fs, dir, _))
-    GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec)
+    GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec,
+      tableProps = userProps)
   }
 
   // ===== atomic CTAS / RTAS (StagingTableCatalog) =====
@@ -443,23 +560,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreate(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable =
-    stage(ident, columns, partitions, replace = false, orCreate = false)
+    stage(ident, columns, partitions, replace = false,
+      orCreate = false, properties)
 
   override def stageReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable =
-    stage(ident, columns, partitions, replace = true, orCreate = false)
+    stage(ident, columns, partitions, replace = true,
+      orCreate = false, properties)
 
   override def stageCreateOrReplace(ident: Identifier,
       columns: Array[Column], partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable =
-    stage(ident, columns, partitions, replace = true, orCreate = true)
+    stage(ident, columns, partitions, replace = true,
+      orCreate = true, properties)
 
   private def stage(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], replace: Boolean,
-      orCreate: Boolean): StagedTable = {
-    val schema = StructType(columns.map(c =>
-      StructField(c.name(), c.dataType(), c.nullable())))
+      orCreate: Boolean,
+      properties: util.Map[String, String]): StagedTable = {
+    // bridge conversion keeps DEFAULT/comment metadata (a plain
+    // name/type/nullable rebuild would drop the DEFAULT clauses)
+    val schema = org.apache.spark.sql.graftbridge.ColumnBridge
+      .v2ColumnsToStructType(columns)
     val bucketSpec = parseBucketTransforms(partitions)
     val dir = tableDir(ident)
     // eager existence gate (same errors the non-staged path throws);
@@ -475,8 +598,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val staging = new Path(parent, s".graft-staging-${ident.name()}-" +
       java.util.UUID.randomUUID().toString.take(8))
     fs.mkdirs(staging)
-    val out = fs.create(new Path(staging, SchemaMarker), true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap
+      .filterNot { case (k, _) =>
+        GraftCatalog.ReservedProps.contains(k) || k.startsWith("option.")
+      }
+    GraftCatalog.writeMarker(fs, staging, schema, GraftCatalog.ColumnMapping.empty,
+      checks = Some(Nil),
+      defaults = Some(GraftCatalog.extractDefaults(schema)),
+      props = Some(userProps))
     bucketSpec.foreach(graft.sources.BucketLayout.write(fs, staging, _))
     new GraftStagedTable(ident, dir, staging, schema, bucketSpec,
       replace, orCreate)
@@ -573,6 +703,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(Set.empty)
     var mapping = GraftCatalog.readMapping(fs, dir)
     var checks = GraftCatalog.readChecks(fs, dir)
+    var defaults = GraftCatalog.readDefaults(fs, dir)
+    var props = GraftCatalog.readProps(fs, dir)
     // conservative word-boundary reference test: a check whose SQL
     // mentions a column blocks dropping/renaming it (re-binding the
     // predicate text is not something a metadata-only path should
@@ -643,6 +775,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           p -> (if (l == from) to else l)
         }
         mapping = ColumnMapping(repointed + (from -> to), mapping.drops)
+        // the DEFAULT rides the logical name
+        defaults = defaults.map { case (c, d) =>
+          (if (c == from) to else c) -> d
+        }
         // the bloom index is keyed by LOGICAL name: drop the old
         // name's sidecars so a future column re-using it can never
         // match another column's filters (the index is an
@@ -676,8 +812,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           mapping.renames.filterNot { case (_, l) => l == name },
           mapping.drops ++ physicals)
         // same logical-name hygiene as RENAME: a re-added column must
-        // not inherit the dropped column's bloom sidecars
+        // not inherit the dropped column's bloom sidecars (nor its
+        // DEFAULT)
         BloomIndex.drop(fs, dir, name)
+        defaults = defaults - name
         StructType(sch.fields.filterNot(_.name == name))
       case (sch, ut: TableChange.UpdateColumnType) =>
         def fail(why: String): Nothing =
@@ -745,6 +883,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "(PRIMARY KEY / UNIQUE / FOREIGN KEY are not " +
               "enforceable on an analytics store)")
         }
+      case (sch, ud: TableChange.UpdateColumnDefaultValue) =>
+        def fail(why: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"graft catalog: ALTER COLUMN " +
+            s"${ud.fieldNames.mkString(".")} DEFAULT — $why")
+        if (ud.fieldNames.length != 1) fail("must be top-level")
+        val name = ud.fieldNames()(0)
+        if (!sch.fieldNames.contains(name)) fail("no such column")
+        val sql = Option(ud.newDefaultValue()).map(_.trim).getOrElse("")
+        if (sql.isEmpty) {
+          // DROP DEFAULT: future gap-filled INSERTs write NULL again;
+          // the existence default (what pre-column files read) is a
+          // property of history and stays
+          defaults = defaults - name
+        } else {
+          // SET DEFAULT affects FUTURE writes only (standard
+          // semantics): rows already on disk keep their values, and
+          // files from before the column existed keep reading the
+          // standing existence default — "NULL" when the column was
+          // ALTER-ADDed (our ADD COLUMN path), the CREATE-time
+          // default otherwise
+          val exists = defaults.get(name).flatMap(_._2)
+            .orElse(Some("NULL"))
+          defaults = defaults + (name -> (sql, exists))
+        }
+        sch
+      case (sch, sp: TableChange.SetProperty) =>
+        if (GraftCatalog.ReservedProps.contains(sp.property())) {
+          throw new UnsupportedOperationException(
+            s"graft catalog: SET TBLPROPERTIES — '${sp.property()}' " +
+            "is a reserved catalog property")
+        }
+        props = props + (sp.property() -> sp.value())
+        sch
+      case (sch, rp: TableChange.RemoveProperty) =>
+        props = props - rp.property()
+        sch
       case (sch, dc: TableChange.DropConstraint) =>
         val exists = checks.exists(_.name.equalsIgnoreCase(dc.name))
         if (!exists && !dc.ifExists()) {
@@ -758,14 +933,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (_, other) =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other — " +
-          "ADD/RENAME/DROP COLUMN, widening ALTER COLUMN TYPE and " +
-          "ADD/DROP CONSTRAINT (CHECK) are the metadata-only " +
-          "evolutions on immutable files")
+          "ADD/RENAME/DROP COLUMN, widening ALTER COLUMN TYPE, " +
+          "SET/DROP DEFAULT, SET/UNSET TBLPROPERTIES and ADD/DROP " +
+          "CONSTRAINT (CHECK) are the metadata-only evolutions on " +
+          "immutable files")
     }
-    GraftCatalog.writeMarker(fs, dir, evolved, mapping, Some(checks))
-    GraftTableV2(dir.toString, evolved,
+    GraftCatalog.writeMarker(fs, dir, evolved, mapping, Some(checks),
+      Some(defaults), Some(props))
+    GraftTableV2(dir.toString,
+      GraftCatalog.applyDefaults(evolved, defaults),
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
-      checkConstraints = checks)
+      checkConstraints = checks,
+      tableProps = props)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -138,13 +138,22 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     groupByBucket: Boolean = true,
     versionAsOf: Option[Long] = None,
-    checkConstraints: Seq[GraftCatalog.CheckSpec] = Nil)
+    checkConstraints: Seq[GraftCatalog.CheckSpec] = Nil,
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-v2:${path.split('/').last}"
+
+  /** User TBLPROPERTIES (marker `#prop=` lines) — surfaced to `SHOW
+    * TBLPROPERTIES` / `DESCRIBE EXTENDED`. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** `_file` provenance + `_pos` row-ordinal columns (each shadowed
     * if the data really has one). */

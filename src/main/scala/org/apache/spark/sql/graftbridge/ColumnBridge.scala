@@ -23,4 +23,14 @@ object ColumnBridge {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(predicate, supportNestedPredicatePushdown = true)
+
+  /** V2 `Column[]` -> StructType keeping the DEFAULT/comment metadata
+    * (`CURRENT_DEFAULT` / `EXISTS_DEFAULT` field-metadata keys) — the
+    * same `private[sql]` conversion Spark's deprecated
+    * `createTable(schema)` shim applies. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
 }

@@ -2209,4 +2209,98 @@ class CatalogSpec extends SparkTestBase {
       .contains("Exchange hashpartitioning"),
       j.queryExecution.executedPlan.toString.take(2000))
   }
+
+  test("column DEFAULT values: CREATE, fill, SET/DROP DEFAULT") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dflt")
+    spark.sql("CREATE TABLE graft.dflt.t (id BIGINT, " +
+      "v BIGINT DEFAULT 7, s STRING DEFAULT 'x')")
+    // omitted columns fill their CREATE-time defaults
+    spark.sql("INSERT INTO graft.dflt.t (id) VALUES (1)")
+    // the DEFAULT keyword resolves too
+    spark.sql("INSERT INTO graft.dflt.t VALUES (2, DEFAULT, DEFAULT)")
+    // explicit values still win
+    spark.sql("INSERT INTO graft.dflt.t VALUES (3, 30, 'y')")
+    val rows = spark.table("graft.dflt.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq === Seq((1L, 7L, "x"), (2L, 7L, "x"),
+      (3L, 30L, "y")))
+
+    // SET DEFAULT affects future inserts only
+    spark.sql("ALTER TABLE graft.dflt.t ALTER COLUMN v SET DEFAULT 9")
+    spark.sql("INSERT INTO graft.dflt.t (id) VALUES (4)")
+    assert(spark.sql(
+      "SELECT v FROM graft.dflt.t WHERE id = 4").head.getLong(0) === 9L)
+    assert(spark.sql(
+      "SELECT v FROM graft.dflt.t WHERE id = 1").head.getLong(0) === 7L)
+
+    // DROP DEFAULT: gaps write NULL again
+    spark.sql("ALTER TABLE graft.dflt.t ALTER COLUMN v DROP DEFAULT")
+    spark.sql("INSERT INTO graft.dflt.t (id) VALUES (5)")
+    assert(spark.sql(
+      "SELECT v FROM graft.dflt.t WHERE id = 5").head.isNullAt(0))
+    // s kept its own default throughout
+    assert(spark.sql(
+      "SELECT s FROM graft.dflt.t WHERE id = 5").head.getString(0)
+      === "x")
+
+    // defaults survive a fresh table load (every statement re-loads
+    // the table from the marker — GraftCatalog caches nothing)
+    spark.sql("INSERT INTO graft.dflt.t (id) VALUES (6)")
+    assert(spark.sql(
+      "SELECT s FROM graft.dflt.t WHERE id = 6").head.getString(0)
+      === "x")
+
+    // ADD COLUMN with a DEFAULT stays rejected (old rows read NULL)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dflt.t ADD COLUMN w INT DEFAULT 5")
+    }
+    assert(e.getMessage.contains("DEFAULT is not supported") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("DEFAULT is not supported")),
+      s"unexpected: $e")
+  }
+
+  test("TBLPROPERTIES: CREATE, SET, UNSET, marker round-trip") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.props")
+    spark.sql("CREATE TABLE graft.props.t (id BIGINT) " +
+      "TBLPROPERTIES ('team'='data', 'pii'='false')")
+    def show(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES graft.props.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show().get("team") === Some("data"))
+    assert(show().get("pii") === Some("false"))
+
+    spark.sql("ALTER TABLE graft.props.t SET TBLPROPERTIES " +
+      "('pii'='true', 'retention'='30d')")
+    assert(show().get("pii") === Some("true"))
+    assert(show().get("retention") === Some("30d"))
+
+    spark.sql("ALTER TABLE graft.props.t UNSET TBLPROPERTIES ('team')")
+    assert(show().get("team") === None)
+
+    // properties survive unrelated schema evolution (marker rewrite)
+    spark.sql("ALTER TABLE graft.props.t ADD COLUMN v BIGINT")
+    assert(show().get("retention") === Some("30d"))
+  }
+
+  test("DEFAULT rides RENAME and disappears with DROP COLUMN") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dflt2")
+    spark.sql("CREATE TABLE graft.dflt2.t (id BIGINT, " +
+      "v BIGINT DEFAULT 3, u BIGINT DEFAULT 4)")
+    spark.sql("INSERT INTO graft.dflt2.t (id) VALUES (1)")
+    spark.sql("ALTER TABLE graft.dflt2.t RENAME COLUMN v TO v2")
+    spark.sql("INSERT INTO graft.dflt2.t (id) VALUES (2)")
+    assert(spark.sql(
+      "SELECT v2 FROM graft.dflt2.t WHERE id = 2").head.getLong(0)
+      === 3L)
+    spark.sql("ALTER TABLE graft.dflt2.t DROP COLUMN u")
+    // re-adding a different-named column has no stale default
+    spark.sql("ALTER TABLE graft.dflt2.t ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO graft.dflt2.t (id) VALUES (3)")
+    assert(spark.sql(
+      "SELECT w FROM graft.dflt2.t WHERE id = 3").head.isNullAt(0))
+  }
 }
