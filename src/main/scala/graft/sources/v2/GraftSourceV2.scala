@@ -268,7 +268,8 @@ case class GraftTableV2(path: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
   /** Advertised clustering of a bucket-laid-out table (see
     * [[graft.sources.BucketLayout]]) — `DESCRIBE` surface; the scan's

@@ -182,7 +182,10 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
       // the pre-append state) so the change data feed ([[GraftCdf]])
       // can consume the table from its first commit — without it, a
       // never-mutated table stays manifest-free by design
-      changelog = info.options().getBoolean("changelog", false))
+      changelog = info.options().getBoolean("changelog", false),
+      // the streaming sink's idempotence key (stable across restarts
+      // through the checkpoint)
+      queryId = info.queryId())
   }
 }
 
@@ -191,11 +194,36 @@ case class GraftWriteV2(path: String, schema: StructType,
     overwriteCond: Option[Filter] = None,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     widenTo: Option[StructType] = None,
-    changelog: Boolean = false) extends Write
+    changelog: Boolean = false,
+    queryId: String = "") extends Write
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite =
     new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
       bucketSpec, widenTo, changelog)
+
+  /** Native streaming sink (`df.writeStream.format("graft-v2")` /
+    * `.toTable(...)`): append-mode micro-batches through the SAME
+    * manifest epoch protocol as
+    * [[graft.streaming.StreamOps.writeExactlyOnceBatches]] — each
+    * epoch commits ONE manifest version carrying
+    * `stream.<queryId>=<epochId>`, so a replayed epoch (Spark's
+    * restart contract is at-least-once) sees itself recorded and
+    * becomes a no-op: exactly-once in effect. */
+  override def toStreaming: org.apache.spark.sql.connector.write
+      .streaming.StreamingWrite = {
+    if (truncateFirst || overwriteCond.isDefined) {
+      throw new UnsupportedOperationException(
+        "graft-v2 streaming sink: append output mode only " +
+        "(complete/overwrite would truncate per epoch)")
+    }
+    if (bucketSpec.isDefined) {
+      throw new UnsupportedOperationException(
+        s"graft-v2 streaming sink: bucketed table at $path is not " +
+        "streamable — write with foreachBatch + " +
+        "GraftSink.saveBucketedFiles")
+    }
+    new GraftStreamingWriteV2(path, schema, queryId)
+  }
 
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
@@ -704,6 +732,130 @@ case class GraftWriterFactoryV2(conf: SerializableConfiguration,
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriterV2(conf.value, stagingDir, jobId, partitionId, taskId)
+}
+
+/** The streaming face of the V2 write: executors write each epoch's
+  * parts into a per-epoch staging directory (attempt-unique names, so
+  * speculative twins never collide), and `commit(epochId, …)`
+  * publishes them as ONE manifest version whose meta records
+  * `stream.<app>=<epochId>` — the idempotence key. A replayed epoch
+  * (crash between sink commit and checkpoint write) finds its id
+  * already recorded and drops its staged files instead of appending
+  * twice. Published names are DETERMINISTIC
+  * (`stream-<app>-<epoch>-<i>.parquet`), so a crash between the
+  * rename loop and the manifest CAS leaves identifiable residue that
+  * the replay sweeps before re-publishing. */
+class GraftStreamingWriteV2(path: String, schema: StructType,
+    rawAppId: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory
+
+  private val app = Option(rawAppId).filter(_.nonEmpty).getOrElse("q")
+    .replaceAll("[^A-Za-z0-9_.-]", "_")
+  private def key = s"stream.$app"
+  private def prefix(epochId: Long) = f"stream-$app-$epochId%08d-"
+
+  private def hconf(): Configuration = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      "false")
+    conf
+  }
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    GraftStreamingWriterFactoryV2(
+      new SerializableConfiguration(hconf()), path, app)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hconf()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val staged = messages.flatMap {
+      case GraftCommitV2(f) => Seq(f)
+      case GraftCommitMultiV2(fs0) => fs0
+    }.sorted
+    val staging = new Path(target,
+      GraftStreamingWriteV2.stagingName(app, epochId))
+    def recordedEpoch: Option[Long] =
+      GraftManifest.lastMeta(fs, target, key)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+    // this epoch's deterministic names from a crashed earlier attempt:
+    // published into the root but never committed into any version
+    def sweepResidue(): Unit = {
+      val live = GraftManifest.current(fs, target)
+        .map(_.names.toSet).getOrElse(Set.empty)
+      if (fs.exists(target)) fs.listStatus(target).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith(prefix(epochId)) &&
+            !live.contains(n)) {
+          fs.delete(st.getPath, false)
+        }
+      }
+    }
+    GraftManifest.commitLock(fs, target).synchronized {
+      // bootstrap: v1 = the pre-stream state, so staged files are
+      // invisible until their committing version
+      if (GraftManifest.current(fs, target).isEmpty) {
+        GraftManifest.tryCommit(fs, target, 0L,
+          GraftManifest.listingNames(fs, target))
+      }
+      if (recordedEpoch.exists(_ >= epochId)) {
+        // replay of an already-committed epoch: exactly-once no-op
+        fs.delete(staging, true)
+        sweepResidue()
+        return
+      }
+      sweepResidue()
+      val names = staged.zipWithIndex.map { case (f, i) =>
+        val dst = new Path(target, f"${prefix(epochId)}$i%05d.parquet")
+        if (!fs.rename(new Path(f), dst)) {
+          throw new java.io.IOException(
+            s"graft-v2 streaming sink: publish rename to $dst failed")
+        }
+        dst.getName
+      }.toSeq
+      fs.delete(staging, true)
+      GraftManifest.commitAppend(fs, target, names,
+        extraMeta = Seq(s"$key=$epochId"))
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf())
+    fs.delete(new Path(target,
+      GraftStreamingWriteV2.stagingName(app, epochId)), true)
+  }
+}
+
+object GraftStreamingWriteV2 {
+  private[v2] def stagingName(app: String, epochId: Long): String =
+    f".graft-v2-stream-$app-$epochId%08d"
+}
+
+/** Per-epoch staging writers: same parquet task writer as the batch
+  * path, rooted in the epoch's staging directory. */
+case class GraftStreamingWriterFactoryV2(conf: SerializableConfiguration,
+    path: String, app: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val staging = new Path(new Path(path),
+      GraftStreamingWriteV2.stagingName(app, epochId))
+    staging.getFileSystem(conf.value).mkdirs(staging)
+    new GraftDataWriterV2(conf.value, staging.toString,
+      f"$app-$epochId%08d", partitionId, taskId)
+  }
 }
 
 /** One parquet part per task attempt; attempt-unique names keep

@@ -480,4 +480,73 @@ class StreamingSpec extends SparkTestBase {
     assert(out.length == 2)
     assert(out(0).getLong(2) == 3 && out(1).getLong(2) == 1)
   }
+
+  test("graft-v2 native streaming sink appends micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-v2").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-stream-v2-cp").toString
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .format("graft-v2").option("path", dir)
+      .start()
+    try {
+      input.addData(1L to 10L: _*)
+      q.processAllAvailable()
+      input.addData(11L to 15L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("graft-v2").option("path", dir).load()
+    assert(got.count() === 15)
+    assert(got.agg(sum($"id")).head.getLong(0) === (1L to 15L).sum)
+    // each epoch committed one manifest version with its epoch meta
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(
+      graft.sources.v2.GraftHadoopConf.sessionConf())
+    val vs = graft.sources.v2.GraftManifest.versions(fs, target)
+    assert(vs.size >= 2, s"versions: $vs")
+  }
+
+  test("graft-v2 streaming sink: epoch replay is exactly-once") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-replay").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val w = new graft.sources.v2.GraftStreamingWriteV2(
+      dir, schema, "replay-app")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      graft.sources.v2.GraftHadoopConf.sessionConf())
+    org.apache.spark.sql.execution.datasources.parquet
+      .ParquetWriteSupport.setSchema(schema, conf.value)
+    conf.value.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.value.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    conf.value.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.value.set(
+      "spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    def writeEpoch(epoch: Long, values: Seq[Long])
+        : Array[org.apache.spark.sql.connector.write
+          .WriterCommitMessage] = {
+      val f = graft.sources.v2.GraftStreamingWriterFactoryV2(
+        conf, dir, "replay-app")
+      val writer = f.createWriter(0, epoch * 100 + 1, epoch)
+      values.foreach { v =>
+        writer.write(org.apache.spark.sql.catalyst.InternalRow(v))
+      }
+      Array(writer.commit())
+    }
+    w.commit(0L, writeEpoch(0L, Seq(1L, 2L, 3L)))
+    // replay of epoch 0 with identical content: must be a no-op
+    w.commit(0L, writeEpoch(0L, Seq(1L, 2L, 3L)))
+    w.commit(1L, writeEpoch(1L, Seq(4L)))
+    // a LATE replay of epoch 0 (recorded epoch is now 1) also no-ops
+    w.commit(0L, writeEpoch(0L, Seq(1L, 2L, 3L)))
+    val got = spark.read.format("graft-v2").option("path", dir).load()
+    assert(got.count() === 4)
+    assert(got.agg(sum($"id")).head.getLong(0) === 10L)
+  }
 }
