@@ -669,6 +669,52 @@ private[graft] object DuckHash {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for `q_dsir_weights` — [[graft.operators.Dsir]] re-derived
+    * FROM SCRATCH in SQL (independent re-derivation, not a rendering of
+    * the trained model): the unigram+bigram feature stream with
+    * multiplicity, FNV-1a bucket hashing, add-1-smoothed bucket counts
+    * of the target (`lang = 'en'`) and raw (whole-corpus)
+    * distributions, per-bucket log10 ratio rounded to 6, per-document
+    * exact-DECIMAL sum rounded to 4 — the same partition-order-proof
+    * accumulation discipline as the LM-score oracle. */
+  def dsirOracle(dim: Int, tau: Double): String = {
+    val hs = toSigned(fnvOverCp(
+      "list_transform(string_split(g,''), c -> unicode(c)::HUGEINT)"))
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '') AS ts
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(ts) AS g FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, lang, t[j] || ' ' || t[j+1] AS g
+       |  FROM (SELECT doc_id, lang, ts AS t,
+       |      unnest(range(1, len(ts))) AS j FROM tok)),
+       |hx AS MATERIALIZED (SELECT doc_id, lang,
+       |    (($hs % $dim) + $dim) % $dim AS b
+       |  FROM grams),
+       |cp AS (SELECT b, count(*) AS c FROM hx WHERE lang = 'en'
+       |  GROUP BY b),
+       |cq AS (SELECT b, count(*) AS c FROM hx GROUP BY b),
+       |tp AS (SELECT sum(c)::DOUBLE + $dim AS t FROM cp),
+       |tq AS (SELECT sum(c)::DOUBLE + $dim AS t FROM cq),
+       |ratio AS (SELECT b,
+       |    round(log10((coalesce(cp.c, 0) + 1) / (SELECT t FROM tp))
+       |      - log10((coalesce(cq.c, 0) + 1) / (SELECT t FROM tq)),
+       |      6) AS lr
+       |  FROM (SELECT unnest(range(0, $dim)) AS b) buckets
+       |  LEFT JOIN cp USING (b) LEFT JOIN cq USING (b)),
+       |per AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_feats,
+       |    CAST(round(sum(CAST(lr AS DECIMAL(18,6))), 4) AS DOUBLE)
+       |      AS log_w
+       |  FROM hx JOIN ratio USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(per.n_feats, 0) AS n_feats,
+       |  coalesce(per.log_w, 0.0) AS log_w,
+       |  coalesce(per.log_w, 0.0) >= $tau AS keep
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Oracle for `q_shuffle_shards` —
     * [[graft.operators.CorpusOps.shuffleShards]]: signed
     * `xxhash64(doc_id)` (seed 42, same chain as the sampling

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOfJoin, Bpe, Clustering, CorpusOps, Dedup, LangModel, Multimodal, QualityModel, Salting, TextSearch, TextStats}
+import graft.operators.{Ann, AsOfJoin, Bpe, Clustering, CorpusOps, Dedup, Dsir, LangModel, Multimodal, QualityModel, Salting, TextSearch, TextStats}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7 + builder prompt): the full SURVEY.md §2
@@ -824,6 +824,60 @@ object SparkEntry {
       minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** Line width (tokens) of the synthetic line-structured corpus both
+    * the line-dedup query and its oracle reshape `documents` into —
+    * the testdata corpus is single-line, so the query materializes
+    * page structure deterministically before applying the operator. */
+  private val LineLen = 4
+
+  /** `documents` reshaped into `LineLen`-token lines: the corpus a
+    * line-level boilerplate scrub actually sees (pages, not blobs).
+    * Deterministic and mirrored verbatim by the DuckDB oracle. */
+  private def linedDocs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), CorpusOps.tokens(col("text")).as("_ts"))
+      .select(col("doc_id"),
+        when(size(col("_ts")) > 0,
+          array_join(transform(
+            sequence(lit(1), size(col("_ts")), lit(LineLen)),
+            i => concat_ws(" ", slice(col("_ts"), i, lit(LineLen)))),
+            "\n"))
+          .otherwise(lit("")).as("text"))
+
+  /** Cross-document line dedup (C4/RefinedWeb boilerplate scrub) over
+    * the line-structured corpus: every line repeated >= 2 times
+    * corpus-wide is scrubbed from every page and the pages are
+    * reassembled. FNV-keyed frequency shuffle + one id rollup. */
+  private val qLineDedup: Q = (s, dir) =>
+    CorpusOps.dedupLines(linedDocs(s, dir), minOccurrences = 2)
+      .orderBy(col("doc_id"))
+
+  /** DSIR importance weights: target = the `en` slice, raw = the whole
+    * corpus, 256 hashed unigram+bigram buckets. Training is two
+    * bucket-count aggregates (memoized); scoring is a pure map-side
+    * DECIMAL fold — the oracle re-derives the model from scratch in
+    * SQL (independent re-derivation, not a rendering). */
+  private val qDsirWeights: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = Dsir.trainCached(s"$dir/documents#dsir$DsirDim",
+      docs.filter(col("lang") === "en"), docs, DsirDim)
+    Dsir.score(docs, model, tau = DsirTau).orderBy(col("doc_id"))
+  }
+
+  /** SemDeDup over the embedding corpus: k-means cells from the shared
+    * memoized quantizer, within-cell cosine prune at tau=0.35 keeping
+    * the centroid-farthest member of each lookalike pair. */
+  private val qSemDedup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val model = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+    Dedup.semantic(emb, model, tau = SemDedupTau).orderBy(col("vec_id"))
+  }
+
+  private val DsirDim = 256
+  private val DsirTau = 0.0
+  private val SemDedupTau = 0.35
+
   /** BPE merge count shared by the trainer query, the encode query
     * and both oracles' unrolled SQL re-derivations. */
   private val BpeMerges = 12
@@ -1411,6 +1465,9 @@ object SparkEntry {
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
     "q_merge_upsert" -> qMergeUpsert,
+    "q_line_dedup" -> qLineDedup,
+    "q_dsir_weights" -> qDsirWeights,
+    "q_semdedup" -> qSemDedup,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -1557,6 +1614,38 @@ object SparkEntry {
         Tables.t(spark, dir, "embeddings"))
       val (dists, _) = centroidSql(model)
       "q_cluster_sample" -> DuckHash.clusterSampleOracle(dists, 5)
+    }
+
+  /** Oracle for SemDeDup, rendered from the same memoized quantizer:
+    * argmin cell assignment, centroid cosine rounded to 6 (the keeper
+    * order and the tau boundary live on that grid in both engines),
+    * within-cell pair probe, drop decision = shadowed by an earlier
+    * member at `cos >= tau`. */
+  private def semDedupOracle: Option[(String, String)] =
+    Option(lastDir).map { dir =>
+      val spark = SparkSession.active
+      val model = operators.Ann.trainIvfCached(s"$dir/embeddings#16",
+        Tables.t(spark, dir, "embeddings"))
+      val (dists, centers) = centroidSql(model)
+      "q_semdedup" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |a AS (SELECT vec_id, v,
+           |    CAST(list_grade_up($dists)[1] - 1 AS INTEGER) AS cluster
+           |  FROM e),
+           |c AS (SELECT vec_id, v, cluster,
+           |    round(list_cosine_similarity(v,
+           |      ($centers)[cluster + 1]), 6) AS ccos
+           |  FROM a),
+           |dup AS (SELECT DISTINCT y.vec_id
+           |  FROM c x JOIN c y ON x.cluster = y.cluster
+           |    AND (x.ccos < y.ccos OR
+           |         (x.ccos = y.ccos AND x.vec_id < y.vec_id))
+           |    AND round(list_cosine_similarity(x.v, y.v), 6)
+           |      >= $SemDedupTau)
+           |SELECT c.vec_id, cluster, round(ccos, 4) AS ccos,
+           |  c.vec_id IN (SELECT vec_id FROM dup) AS is_dup
+           |FROM c ORDER BY c.vec_id""".stripMargin
     }
 
   /** Oracle for the quality classifier, rendered from the SAME
@@ -2385,8 +2474,40 @@ object SparkEntry {
         |FROM src s
         |WHERE s.k NOT IN (SELECT o_orderkey FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_dsir_weights" -> DuckHash.dsirOracle(DsirDim, DsirTau),
+    // line dedup: the oracle counts on the LINE TEXT itself (exact
+    // observable semantics) while the Spark side keys its shuffle on
+    // the FNV line digest — so a digest collision would surface as a
+    // mismatch rather than being baked into both sides
+    "q_line_dedup" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |lined AS (SELECT doc_id, CASE WHEN len(ts) = 0 THEN ''
+        |    ELSE array_to_string(list_transform(
+        |      range(1, len(ts) + 1, $LineLen),
+        |      i -> array_to_string(ts[i:i + ${LineLen - 1}], ' ')),
+        |      chr(10)) END AS text
+        |  FROM tok),
+        |lx AS (SELECT doc_id, unnest(range(1, len(sp) + 1)) AS i, sp
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp
+        |    FROM lined)),
+        |l AS (SELECT doc_id, i - 1 AS pos, sp[i] AS line FROM lx),
+        |freq AS (SELECT trim(line) AS nl FROM l
+        |  WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) >= 2),
+        |marked AS (SELECT doc_id, pos, line,
+        |    (trim(line) <> '' AND
+        |     trim(line) IN (SELECT nl FROM freq)) AS rm
+        |  FROM l)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines,
+        |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_removed,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE NOT rm), '') AS clean_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   ) ++ ivfOracle ++ pqOracle ++ clusterOracle ++ clusterSampleOracle ++
-    qualityOracle
+    qualityOracle ++ semDedupOracle
 }
 
 /** Deterministic HyperLogLog distinct-count (p=8, m=256 registers).

@@ -349,6 +349,52 @@ object CorpusOps {
     parts.reduce(_ unionByName _)
   }
 
+  /** Cross-document line deduplication (the C4/RefinedWeb boilerplate
+    * scrub: nav bars, cookie banners, licence headers repeat verbatim
+    * across pages — remove EVERY occurrence of any line the corpus
+    * repeats): lines whose trimmed form occurs at least
+    * `minOccurrences` times corpus-wide are deleted from every
+    * document, and the surviving lines are reassembled in their
+    * original order. Blank lines are never counted and never removed.
+    * Returns `(id, n_lines, n_removed, clean_text)` — one row per
+    * input document (a fully-boilerplate document keeps its row with
+    * an empty `clean_text`).
+    *
+    * 100 TB shape: the frequency rollup keys on the 64-bit FNV-1a line
+    * digest ([[graft.functions.TextHash64]]), so the corpus-wide
+    * shuffle moves 8-byte keys with map-side partial counts — never
+    * line text (a 2⁻⁶⁴ collision can only over-delete a line, the
+    * benign direction for a boilerplate filter). The probe join is
+    * hash-keyed and un-hinted: when the repeated-line set is small
+    * (the normal case) AQE broadcasts it; a pathological
+    * everything-repeats corpus degrades to a shuffled join on the same
+    * 8-byte key, not a failure. Reassembly is one `id`-keyed rollup —
+    * bounded by document size, never corpus size. */
+  def dedupLines(docs: DataFrame, minOccurrences: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2, got $minOccurrences")
+    import graft.functions.GraftFunctions.text_hash64
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), col("line"),
+        text_hash64(trim(col("line"))).as("h"),
+        (trim(col("line")) === "").as("blank"))
+    val frequent = lines.filter(!col("blank"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences)
+      .select(col("h"), lit(1).as("_dup"))
+    lines.join(frequent, Seq("h"), "left")
+      .withColumn("_rm", col("_dup").isNotNull && !col("blank"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(col("_rm").cast("int")).cast("int").as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(!col("_rm"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** Email pattern shared by scrub + oracle (kept RE2/Java-portable:
     * no backrefs, no lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

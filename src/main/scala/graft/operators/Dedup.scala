@@ -237,6 +237,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SemDeDup — semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus by k-means cluster, then
+    * within each cluster mark as duplicates the members that are
+    * near-identical in embedding space to a kept member. The keeper
+    * discipline follows the paper: within a duplicate pair the member
+    * with the LOWER cosine to its centroid is kept (cluster-edge
+    * examples carry more information than cluster-core ones), so a
+    * member `b` is a duplicate iff some same-cluster member `a` with
+    * `cos(a, b) >= tau` precedes it in (centroid-cosine ASC, id ASC)
+    * order. Deterministic — ties break on id — and non-chained (a
+    * dropped member still shadows later lookalikes, matching the
+    * paper's one-pass pruning).
+    *
+    * Returns `(id, cluster, ccos, is_dup)`: the assignment, the
+    * centroid cosine (rounded to 4), and the drop decision.
+    *
+    * 100 TB shape (the reason SemDeDup clusters first): the pairwise
+    * probe is confined to one k-means cell — a self-join on the
+    * cluster id, never a corpus-wide cross. `nlist` is sized so cells
+    * stay bounded (the paper uses ~√n clusters; [[Ann.trainIvf]]
+    * samples its training set, so a large `nlist` costs one sampled
+    * k-means, not a corpus pass). Assignment itself is the map-side
+    * codegen'd [[Ann.nearestCells]] expression — no join, no shuffle.
+    * Compare [[embeddingDups]]: hyperplane LSH catches lookalikes at
+    * any corpus position but needs bucket-capacity guards; SemDeDup
+    * inherits k-means' balanced cells and a semantic notion of "same
+    * region" — the two are complementary published designs. */
+  def semantic(emb: DataFrame, model: Ann.IvfModel, tau: Double = 0.35,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centers = typedLit(model.centers.map(_.toSeq).toSeq)
+    // centroid cosine at full double precision ROUNDED TO 6 before the
+    // ordering/compare: both engines land on identical grid values, so
+    // the keeper order and the tau boundary are engine-independent
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        element_at(Ann.nearestCells(col(vecCol), model, 1), 1)
+          .cast("int").as("cluster"))
+      .select(col("id"), col("v"), col("cluster"),
+        round(graft.functions.GraftFunctions.cosine_sim(col("v"),
+          element_at(centers, col("cluster") + 1)), 6).as("ccos"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"), col("ccos").as("ccos_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"), col("ccos").as("ccos_b"))
+    val shadowed = a.join(b, Seq("cluster"))
+      .filter(col("ccos_a") < col("ccos_b") ||
+        (col("ccos_a") === col("ccos_b") && col("id_a") < col("id_b")))
+      .filter(round(graft.functions.GraftFunctions.cosine_sim(
+        col("v_a"), col("v_b")), 6) >= tau)
+      .select(col("id_b").as("id")).distinct()
+    assigned
+      .join(shadowed.withColumn("_dup", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        round(col("ccos"), 4).as("ccos"),
+        col("_dup").isNotNull.as("is_dup"))
+  }
+
   /** Exact n-gram Jaccard over an explicit candidate-pair set. */
   def ngramJaccardPairs(pairs: DataFrame, n: Int = 3,
       aCol: String = "txt_a", bCol: String = "txt_b"): DataFrame =

@@ -315,4 +315,66 @@ class CorpusOpsSpec extends SparkTestBase {
     val again = CorpusOps.shuffleShards(docs, numShards = 4)
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
+
+  test("dedupLines: repeated lines scrubbed everywhere, order kept, " +
+      "blanks and uniques survive") {
+    val d = docs(
+      1L -> "keep me\ncookie banner\nunique one",
+      2L -> "cookie banner\n\nunique two\ncookie banner",
+      3L -> "cookie banner",               // fully boilerplate
+      4L -> "  cookie banner  \nlast")     // trims to the same line
+    val got = CorpusOps.dedupLines(d, minOccurrences = 2)
+      .as[(Long, Int, Int, String)].collect().toMap2
+    // "cookie banner" occurs 5x (trimmed) -> removed everywhere;
+    // blank line in doc 2 is never counted and never removed
+    assert(got(1L) === ((3, 1, "keep me\nunique one")))
+    assert(got(2L) === ((4, 2, "\nunique two")))
+    assert(got(3L) === ((1, 1, "")))
+    assert(got(4L) === ((2, 1, "last")))
+  }
+
+  test("dedupLines: below-threshold lines untouched") {
+    val d = docs(1L -> "once\ntwice", 2L -> "twice\nthrice")
+    val got = CorpusOps.dedupLines(d, minOccurrences = 3)
+    assert(got.filter($"n_removed" > 0).isEmpty)
+    val texts = got.select($"doc_id", $"clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(texts(1L) === "once\ntwice" && texts(2L) === "twice\nthrice")
+  }
+
+  test("dsir: target-like docs outweigh raw-only docs; empty doc " +
+      "scores zero; n_feats = unigrams + bigrams") {
+    import graft.operators.Dsir
+    val target = docs(10L -> "alpha beta alpha beta gamma",
+      11L -> "alpha beta alpha")
+    val raw = docs(20L -> "delta epsilon zeta delta",
+      21L -> "epsilon zeta zeta", 10L -> "alpha beta alpha beta gamma")
+    val model = Dsir.train(target, raw, dim = 64)
+    val scored = Dsir.score(docs(
+      1L -> "alpha beta alpha",     // pure target vocabulary
+      2L -> "delta epsilon zeta",   // pure raw vocabulary
+      3L -> ""), model)             // no tokens
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scored(1L)._1 === 5)     // 3 unigrams + 2 bigrams
+    assert(scored(3L) === ((0, 0.0, true)))
+    assert(scored(1L)._2 > scored(2L)._2,
+      s"target-like ${scored(1L)} must outweigh raw-only ${scored(2L)}")
+    assert(scored(1L)._3 && !scored(2L)._3)
+  }
+
+  test("dsir: score is reproducible and model round-trips the counts") {
+    import graft.operators.Dsir
+    val d = Tables.t(spark, sf001, "documents")
+    val m1 = Dsir.train(d.filter($"lang" === "en"), d, dim = 128)
+    val m2 = Dsir.train(d.filter($"lang" === "en"), d, dim = 128)
+    assert(m1.logRatio.toSeq === m2.logRatio.toSeq)
+    val s1 = Dsir.score(d, m1).orderBy($"doc_id")
+      .as[(Long, Int, Double, Boolean)].collect()
+    val s2 = Dsir.score(d, m2).orderBy($"doc_id")
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(s1.toSeq === s2.toSeq)
+    // weights are non-degenerate: both signs present
+    assert(s1.exists(_._3 > 0) && s1.exists(_._3 < 0))
+  }
 }

@@ -183,6 +183,43 @@ class OperatorsSpec extends SparkTestBase {
       s"identical vector pair not found: $pairs")
   }
 
+  test("SemDeDup: lookalike shadowed by its centroid-farther twin, " +
+      "cross-cluster and dissimilar members survive") {
+    val model = Ann.IvfModel(Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0)))
+    val emb = Seq(
+      (1L, Array(1f, 0.10f, 0f, 0f)),  // cell 0, ccos 0.99504
+      (2L, Array(1f, 0.12f, 0f, 0f)),  // cell 0, ccos 0.99287 (farther)
+      (3L, Array(0.2f, 0f, 1f, 0f)),   // cell 0, dissimilar to 1/2
+      (4L, Array(0f, 1f, 0f, 0f)))     // cell 1, alone
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semantic(emb, model, tau = 0.9)
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // cos(1,2) ~ 0.9998 >= tau; 2 has the LOWER centroid cosine so it
+    // is kept and 1 is the duplicate (the paper keeps cluster-edge
+    // members); 3 shares the cell but not the region; 4 is alone
+    assert(got(1L) === ((0, true)))
+    assert(got(2L) === ((0, false)))
+    assert(got(3L) === ((0, false)))
+    assert(got(4L) === ((1, false)))
+  }
+
+  test("SemDeDup is deterministic and drop-only-duplicates on testdata") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val model = Ann.trainIvfCached(s"$sf001/embeddings#16", emb)
+    val a = Dedup.semantic(emb, model, tau = 0.35).orderBy($"vec_id")
+      .as[(Long, Int, Double, Boolean)].collect()
+    val b = Dedup.semantic(emb, model, tau = 0.35).orderBy($"vec_id")
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === emb.count())   // every vector classified
+    // raising tau can only shrink the duplicate set
+    val strict = Dedup.semantic(emb, model, tau = 0.9)
+      .filter($"is_dup").count()
+    assert(strict <= a.count(_._4))
+  }
+
   test("lshTopK recall@10 vs brute force is reasonable") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
