@@ -771,7 +771,8 @@ class GraftStreamingWriteV2(path: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     GraftStreamingWriterFactoryV2(
-      new SerializableConfiguration(hconf()), path, app)
+      new SerializableConfiguration(hconf()), path, app,
+      GraftCheckGuard.compile(path, schema))
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -842,10 +843,70 @@ object GraftStreamingWriteV2 {
     f".graft-v2-stream-$app-$epochId%08d"
 }
 
+/** CHECK-constraint enforcement for the STREAMING V2 write. The
+  * analyzer's catalog-side enforcement (`Table.constraints()` +
+  * `ResolveTableConstraints`) covers batch V2 write plans only —
+  * `WriteToStream` never passes through that rule, so a
+  * `writeStream.toTable(...)` on a constrained table used to land
+  * violating rows unvalidated (the streaming twin of the V1
+  * path-write hole closed in [[graft.sources.GraftSource]]). The
+  * guard: the table's enforced `#check=` predicates are parsed and
+  * resolved against the write schema ON THE DRIVER at query start
+  * (an unresolvable predicate fails the query, not a task), and each
+  * data writer evaluates the BOUND predicates per row before the row
+  * reaches parquet — NULL passes, per ANSI CHECK semantics. The set
+  * is re-read each time the engine requests a writer factory (once
+  * per micro-batch), so a concurrent ADD CONSTRAINT applies from the
+  * next epoch. */
+private[v2] object GraftCheckGuard {
+  /** `(name, predicateSql, bound expression)` per enforced check. */
+  def compile(path: String, schema: StructType)
+      : Seq[(String, String, org.apache.spark.sql.catalyst
+        .expressions.Expression)] = {
+    val p = new Path(path)
+    val checks = scala.util.Try(GraftCatalog.readChecks(
+      p.getFileSystem(GraftHadoopConf.sessionConf()), p))
+      .getOrElse(Nil).filter(_.enforced)
+    if (checks.isEmpty) return Nil
+    val spark = SparkSession.active
+    // resolve through a throwaway analyzed Filter over an empty
+    // relation with the write schema — full analyzer semantics
+    // (case sensitivity, implicit casts, function resolution) with
+    // zero hand-rolled name matching
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    checks.map { c =>
+      val analyzed = empty
+        .filter(org.apache.spark.sql.functions.expr(c.predicateSql))
+        .queryExecution.analyzed
+      val (cond, out) = analyzed match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          (f.condition, f.child.output)
+        case other => throw new IllegalStateException(
+          s"graft-v2: CHECK '${c.name}' did not analyze to a Filter: " +
+          other.nodeName)
+      }
+      // NULL passes, per ANSI CHECK semantics: the shipped predicate
+      // is `coalesce(cond, true)`, so only a definite FALSE raises
+      (c.name, c.predicateSql,
+        org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              cond,
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
+            out))
+    }
+  }
+}
+
 /** Per-epoch staging writers: same parquet task writer as the batch
-  * path, rooted in the epoch's staging directory. */
+  * path, rooted in the epoch's staging directory; rows pass the
+  * [[GraftCheckGuard]] predicates (compiled once per writer) before
+  * they reach parquet. */
 case class GraftStreamingWriterFactoryV2(conf: SerializableConfiguration,
-    path: String, app: String)
+    path: String, app: String,
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst
+      .expressions.Expression)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -853,9 +914,38 @@ case class GraftStreamingWriterFactoryV2(conf: SerializableConfiguration,
     val staging = new Path(new Path(path),
       GraftStreamingWriteV2.stagingName(app, epochId))
     staging.getFileSystem(conf.value).mkdirs(staging)
-    new GraftDataWriterV2(conf.value, staging.toString,
+    val inner = new GraftDataWriterV2(conf.value, staging.toString,
       f"$app-$epochId%08d", partitionId, taskId)
+    if (checks.isEmpty) inner
+    else new ValidatingDataWriterV2(inner, checks)
   }
+}
+
+/** Wraps a data writer with per-row CHECK evaluation: a FALSE
+  * predicate raises (failing the epoch before anything commits); a
+  * NULL predicate passes, per ANSI CHECK semantics. */
+private[v2] class ValidatingDataWriterV2(
+    inner: DataWriter[InternalRow],
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst
+      .expressions.Expression)])
+    extends DataWriter[InternalRow] {
+  private val compiled = checks.map { case (name, sql, e) =>
+    (name, sql,
+      org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
+  override def write(row: InternalRow): Unit = {
+    compiled.foreach { case (name, sql, p) =>
+      if (!p.eval(row)) {
+        throw new RuntimeException(
+          s"graft-v2 streaming sink: CHECK constraint '$name' ($sql) " +
+          "violated")
+      }
+    }
+    inner.write(row)
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** One parquet part per task attempt; attempt-unique names keep

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming sink through the CATALOG surface: `.toTable` routing and
+  * CHECK-constraint enforcement on the streaming write path (the
+  * analyzer's `ResolveTableConstraints` never sees `WriteToStream`,
+  * so the sink carries its own guard — [[graft.sources.v2
+  * .GraftCheckGuard]]).
+  */
+class StreamCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withCatalog[A](f: String => A): A = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-streamcat-wh").toString
+    spark.conf.set("spark.sql.catalog.gsc", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsc.s")
+    try f(wh) finally spark.sql("DROP NAMESPACE IF EXISTS gsc.s CASCADE")
+  }
+
+  test("writeStream.toTable appends through the catalog; a CHECK " +
+      "violation fails the epoch before anything commits") {
+    implicit val sqlCtx = spark.sqlContext
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE gsc.s.t (id BIGINT) USING `graft-v2`")
+      spark.sql(
+        "ALTER TABLE gsc.s.t ADD CONSTRAINT id_pos CHECK (id > 0)")
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-streamcat-cp").toString
+      val input = MemoryStream[Long]
+      val q = input.toDF().toDF("id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .toTable("gsc.s.t")
+      try {
+        input.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM gsc.s.t")
+          .head.getLong(0) === 3)
+        // a violating row fails its epoch...
+        input.addData(4L, -5L)
+        val e = intercept[Exception] { q.processAllAvailable() }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(m => m.contains("id_pos")),
+          s"expected CHECK name in: ${msgs(e)}")
+      } finally q.stop()
+      // ...and NOTHING from the failed epoch landed (not even row 4)
+      val got = spark.sql("SELECT id FROM gsc.s.t ORDER BY id")
+        .as[Long].collect().toSeq
+      assert(got === Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("streaming sink without constraints: toTable appends and " +
+      "restarts resume exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE gsc.s.u (id BIGINT) USING `graft-v2`")
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-streamcat-cp2").toString
+      val input = MemoryStream[Long]
+      val q1 = input.toDF().toDF("id")
+        .writeStream.option("checkpointLocation", cp).toTable("gsc.s.u")
+      try {
+        input.addData(1L to 5L: _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the same checkpoint: already-committed epochs
+      // are not re-appended, new data flows
+      val q2 = input.toDF().toDF("id")
+        .writeStream.option("checkpointLocation", cp).toTable("gsc.s.u")
+      try {
+        input.addData(6L, 7L)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(spark.sql("SELECT sum(id) FROM gsc.s.u").head.getLong(0)
+        === (1L to 7L).sum)
+    }
+  }
+}
