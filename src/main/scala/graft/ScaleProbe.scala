@@ -41,7 +41,13 @@ object ScaleProbe {
     // cost is a function of distinct words and merge count, not
     // corpus bytes, so a corpus-inflation ratio would measure the
     // word-count job alone.
-    "q_bpe_encode", "q_lm_score", "q_shuffle_shards")
+    "q_bpe_encode", "q_lm_score", "q_shuffle_shards",
+    // round-12 fourth wave: line dedup (FNV-keyed line frequency +
+    // id rollup) and DSIR scoring (map-side DECIMAL fold; the model
+    // is retrained per dir — two dim-sized aggregates — so the ratio
+    // covers train + score). q_semdedup runs on the un-inflated
+    // embeddings table, so it is not probed (see clustering note).
+    "q_line_dedup", "q_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

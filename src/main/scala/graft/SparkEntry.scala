@@ -878,6 +878,13 @@ object SparkEntry {
   private val DsirTau = 0.0
   private val SemDedupTau = 0.35
 
+  /** Gopher rule-based quality filter: the published thresholds, with
+    * the word-count floor the only data-dependent knob (the synthetic
+    * docs run 10-600 words, so 50 discriminates). Pure map-side. */
+  private val qGopherRules: Q = (s, dir) =>
+    TextStats.gopherRules(t(s, dir, "documents"), minWords = 50)
+      .orderBy(col("doc_id"))
+
   /** BPE merge count shared by the trainer query, the encode query
     * and both oracles' unrolled SQL re-derivations. */
   private val BpeMerges = 12
@@ -1468,6 +1475,7 @@ object SparkEntry {
     "q_line_dedup" -> qLineDedup,
     "q_dsir_weights" -> qDsirWeights,
     "q_semdedup" -> qSemDedup,
+    "q_gopher_rules" -> qGopherRules,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -2475,6 +2483,30 @@ object SparkEntry {
         |WHERE s.k NOT IN (SELECT o_orderkey FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "q_dsir_weights" -> DuckHash.dsirOracle(DsirDim, DsirTau),
+    "q_gopher_rules" -> {
+      val stops = operators.TextStats.GopherStops
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ts) AS INTEGER) AS n_words,
+        |    round(coalesce(list_sum(list_transform(ts,
+        |        t -> length(t))), 0)::DOUBLE
+        |      / greatest(len(ts), 1), 4) AS mean_word_len,
+        |    round(len(list_filter(ts,
+        |        t -> regexp_matches(t, '[a-z]')))::DOUBLE
+        |      / greatest(len(ts), 1), 4) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(ts), $stops))
+        |      AS INTEGER) AS n_stop
+        |  FROM tok)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
     // line dedup: the oracle counts on the LINE TEXT itself (exact
     // observable semantics) while the Spark side keys its shuffle on
     // the FNV line digest — so a digest collision would surface as a

@@ -79,6 +79,53 @@ object TextStats {
       frac(nTok - nTokDistinct, nTok).as("dup_word_frac"))
   }
 
+  /** The Gopher stop-word presence list (Rae et al. 2021, Appendix A:
+    * "contains at least 2 of ..."), extended with the bare articles
+    * so the rule discriminates on terse corpora. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446,
+    * Appendix A — the published rule-based document filter, the tier
+    * between the cheap [[qualityScore]] heuristics and the
+    * model-based [[QualityModel]]): per document,
+    *
+    *  - `n_words` — whitespace tokens; rule: 50 ≤ n ≤ 100,000;
+    *  - `mean_word_len` — mean token length; rule: 3 ≤ mean ≤ 10;
+    *  - `alpha_frac` — fraction of tokens containing a letter;
+    *    rule: ≥ 0.80;
+    *  - `n_stop` — distinct [[GopherStops]] present; rule: ≥ 2;
+    *  - `keep` — all rules hold (decided on the ROUNDED fractions so
+    *    engines agree at the boundaries).
+    *
+    * Pure map-side array/HOF expressions over one materialized token
+    * array — zero shuffles, codegen'd; filtering a 100 TB corpus is a
+    * single scan, like every rule-based tier should be. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ts = col("_ts")
+    val nWords = size(ts)
+    val meanLen = round(
+      aggregate(ts, lit(0L), (a, t) => a + length(t)).cast("double") /
+        greatest(nWords.cast("double"), lit(1.0)), 4)
+    val alphaFrac = round(
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") /
+        greatest(nWords.cast("double"), lit(1.0)), 4)
+    val nStop = size(array_intersect(array_distinct(ts),
+      typedLit(GopherStops)))
+    docs
+      .select(col(idCol), graft.operators.CorpusOps.tokens(col(textCol))
+        .as("_ts"))
+      .select(col(idCol), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("alpha_frac") >= 0.8 && col("n_stop") >= 2)
+  }
+
   /** Corpus stats per language label: doc count, char volume, token sum. */
   def perLanguage(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(

@@ -71,7 +71,15 @@ object GraftSink {
     }
   }
 
-  private def isDataPart(name: String): Boolean = name.startsWith("part-")
+  /** Data-part names this engine publishes: batch writers emit
+    * `part-*`, the exactly-once streaming sinks publish deterministic
+    * `stream-<app>-<epoch>-*` names ([[graft.streaming.StreamOps
+    * .writeExactlyOnceBatches]], [[graft.sources.v2
+    * .GraftStreamingWriteV2]]). Compaction and truncate victims must
+    * see BOTH — a stream-fed table is the main small-file source. */
+  private[graft] def isDataPart(name: String): Boolean =
+    (name.startsWith("part-") || name.startsWith("stream-")) &&
+      name.endsWith(".parquet")
 
   /** Every write path that emits unsuffixed part files must refuse a
     * bucket-laid-out target — the new files would carry no bucket id

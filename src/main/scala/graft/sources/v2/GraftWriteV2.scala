@@ -654,6 +654,11 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     // commit
     org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
       BloomIndex.autoExtend(s, path))
+    // opt-in post-commit small-file compaction (append path only —
+    // overwrites already rewrote their victims at target size)
+    if (!truncateFirst && overwriteCond.isEmpty) {
+      GraftAutoCompact.maybe(path)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -827,6 +832,9 @@ class GraftStreamingWriteV2(path: String, schema: StructType,
       GraftManifest.commitAppend(fs, target, names,
         extraMeta = Seq(s"$key=$epochId"))
     }
+    // the epoch is durable; a streaming sink is the canonical
+    // small-file generator, so the opt-in compactor runs here too
+    GraftAutoCompact.maybe(path)
   }
 
   override def abort(epochId: Long,
@@ -841,6 +849,58 @@ class GraftStreamingWriteV2(path: String, schema: StructType,
 object GraftStreamingWriteV2 {
   private[v2] def stagingName(app: String, epochId: Long): String =
     f".graft-v2-stream-$app-$epochId%08d"
+}
+
+/** Opt-in post-commit auto-compaction (the Delta auto-compact
+  * pattern): after an append commits, if the table now holds at least
+  * `spark.graft.autoCompact.minFiles` live data files smaller than
+  * `spark.graft.autoCompact.smallBytes` (default 32 MiB), run
+  * [[graft.sources.GraftSink.compact]] inline. Default OFF
+  * (`minFiles` unset/0) — compaction cost lands on the writing query,
+  * which is exactly what an operator opts into to keep a streaming
+  * sink's epoch-per-file output from rotting into thousands of tiny
+  * files between maintenance windows. The rewrite commits as
+  * `op=maintenance`: invisible to the change feed, transparent to
+  * time travel, swept by vacuum like any other superseded version.
+  * Bucketed and column-mapped tables skip (their compaction is
+  * `compactClustered`, an explicit operator decision); any failure is
+  * logged, never fails the already-durable write. */
+private[v2] object GraftAutoCompact {
+  val MinFilesConf = "spark.graft.autoCompact.minFiles"
+  val SmallBytesConf = "spark.graft.autoCompact.smallBytes"
+
+  def maybe(path: String): Unit =
+    SparkSession.getActiveSession.foreach { spark =>
+      val minFiles =
+        try spark.conf.get(MinFilesConf, "0").toInt
+        catch { case _: NumberFormatException => 0 }
+      if (minFiles > 0) {
+        try {
+          val target = new Path(path)
+          val fs = target.getFileSystem(GraftHadoopConf.sessionConf())
+          if (graft.sources.BucketLayout.read(fs, target).isEmpty &&
+              GraftCatalog.readMapping(fs, target).isEmpty) {
+            val smallBytes = spark.conf
+              .get(SmallBytesConf, (32L * 1024 * 1024).toString).toLong
+            val live = GraftManifest.current(fs, target)
+              .map(_.names.toSet)
+            val smallCount = fs.listStatus(target).count { st =>
+              st.isFile &&
+                graft.sources.GraftSink.isDataPart(st.getPath.getName) &&
+                live.forall(_.contains(st.getPath.getName)) &&
+                st.getLen < smallBytes
+            }
+            if (smallCount >= minFiles) {
+              graft.sources.GraftSink.compact(spark, path, smallBytes)
+            }
+          }
+        } catch {
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"graft-v2 auto-compact of $path skipped: ${e.getMessage}")
+        }
+      }
+    }
 }
 
 /** CHECK-constraint enforcement for the STREAMING V2 write. The

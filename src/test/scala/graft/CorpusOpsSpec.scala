@@ -363,6 +363,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(scored(1L)._3 && !scored(2L)._3)
   }
 
+  test("gopherRules: each rule can individually reject") {
+    import graft.operators.TextStats
+    val fifty = ("the of " + Seq.fill(48)("word").mkString(" "))
+    val d = docs(
+      1L -> fifty,                                  // passes all rules
+      2L -> "the of short doc",                     // < minWords
+      3L -> ("a i " + Seq.fill(48)("x y").mkString(" ")), // mean len < 3
+      4L -> ("the of " + Seq.fill(48)("12345").mkString(" ")), // alpha
+      5L -> Seq.fill(50)("word").mkString(" "))     // no stopwords
+    val got = TextStats.gopherRules(d, minWords = 50)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
   test("dsir: score is reproducible and model round-trips the counts") {
     import graft.operators.Dsir
     val d = Tables.t(spark, sf001, "documents")

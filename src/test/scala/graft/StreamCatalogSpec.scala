@@ -56,6 +56,65 @@ class StreamCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("auto-compact: small batch appends collapse once the file " +
+      "count crosses the threshold; rows and history survive") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-autocompact").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      graft.sources.v2.GraftHadoopConf.sessionConf())
+    def dataFiles: Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dir)).count(st =>
+      st.isFile && graft.sources.GraftSink.isDataPart(st.getPath.getName))
+    try {
+      spark.conf.set("spark.graft.autoCompact.minFiles", "4")
+      (1 to 5).foreach { i =>
+        Seq((i.toLong, s"v$i")).toDF("id", "v")
+          .write.format("graft-v2").mode("append").save(dir)
+      }
+      assert(dataFiles < 5, s"expected compaction, got $dataFiles files")
+      val got = spark.read.format("graft-v2").option("path", dir).load()
+      assert(got.count() === 5)
+      assert(got.agg(sum($"id")).head.getLong(0) === 15L)
+    } finally spark.conf.set("spark.graft.autoCompact.minFiles", "0")
+    // default off: more tiny appends accumulate files again
+    val before = dataFiles
+    (6 to 8).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .write.format("graft-v2").mode("append").save(dir)
+    }
+    assert(dataFiles === before + 3)
+  }
+
+  test("auto-compact keeps a streaming table's file count bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-autocompact-stream").toString
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft-autocompact-stream-cp").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      graft.sources.v2.GraftHadoopConf.sessionConf())
+    try {
+      spark.conf.set("spark.graft.autoCompact.minFiles", "3")
+      val input = MemoryStream[Long]
+      val q = input.toDF().toDF("id")
+        .writeStream.option("checkpointLocation", cp)
+        .format("graft-v2").option("path", dir).start()
+      try {
+        (1 to 5).foreach { i =>
+          input.addData(i.toLong)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir)).count(st =>
+        st.isFile &&
+          graft.sources.GraftSink.isDataPart(st.getPath.getName))
+      assert(files < 5, s"expected bounded file count, got $files")
+      val got = spark.read.format("graft-v2").option("path", dir).load()
+      assert(got.agg(sum($"id")).head.getLong(0) === 15L)
+    } finally spark.conf.set("spark.graft.autoCompact.minFiles", "0")
+  }
+
   test("streaming sink without constraints: toTable appends and " +
       "restarts resume exactly-once") {
     implicit val sqlCtx = spark.sqlContext
