@@ -47,7 +47,12 @@ object ScaleProbe {
     // is retrained per dir — two dim-sized aggregates — so the ratio
     // covers train + score). q_semdedup runs on the un-inflated
     // embeddings table, so it is not probed (see clustering note).
-    "q_line_dedup", "q_dsir_weights")
+    "q_line_dedup", "q_dsir_weights",
+    // fifth wave: exact substring dedup (hash-keyed window
+    // frequency+owner rollup, hash probe join, id rollup) and the
+    // Gopher rule filter (pure map-side HOFs — the flat-ratio
+    // reference shape)
+    "q_dedup_substr", "q_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -853,6 +853,20 @@ object SparkEntry {
     CorpusOps.dedupLines(linedDocs(s, dir), minOccurrences = 2)
       .orderBy(col("doc_id"))
 
+  /** Window width (tokens) shared by the exact-substring dedup query
+    * and its oracle. The paper's tool uses 50-byte windows over a
+    * suffix array; 8 tokens keeps the duplicated set non-trivial on
+    * the synthetic corpus (≈1k duplicated fingerprints at sf0.01). */
+  private val SubstrK = 8
+
+  /** Exact substring dedup (ExactSubstr, Lee et al. 2021): every
+    * duplicated 8-token window keeps only its corpus-wide first
+    * occurrence. Hash-keyed frequency+owner shuffle, hash-keyed
+    * probe join, one id rollup. */
+  private val qSubstrDedup: Q = (s, dir) =>
+    CorpusOps.dedupSubstrings(t(s, dir, "documents"), k = SubstrK)
+      .orderBy(col("doc_id"))
+
   /** DSIR importance weights: target = the `en` slice, raw = the whole
     * corpus, 256 hashed unigram+bigram buckets. Training is two
     * bucket-count aggregates (memoized); scoring is a pure map-side
@@ -1473,6 +1487,7 @@ object SparkEntry {
     "q_update" -> qUpdate,
     "q_merge_upsert" -> qMergeUpsert,
     "q_line_dedup" -> qLineDedup,
+    "q_dedup_substr" -> qSubstrDedup,
     "q_dsir_weights" -> qDsirWeights,
     "q_semdedup" -> qSemDedup,
     "q_gopher_rules" -> qGopherRules,
@@ -2538,6 +2553,41 @@ object SparkEntry {
         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
         |    FILTER (WHERE NOT rm), '') AS clean_text
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact substring dedup: the oracle groups on the WINDOW TEXT
+    // itself (exact observable semantics) while the Spark side keys
+    // its shuffles on the xxhash64 digest — a digest collision would
+    // surface here as over-deletion. DuckDB lambda indexes are
+    // 1-based where Spark's are 0-based; both sides compare against
+    // the same 1-based window starts.
+    "q_dedup_substr" -> {
+      val k = SubstrK
+      s"""WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS wpos,
+        |    array_to_string(ts[i:i + ${k - 1}], ' ') AS win
+        |  FROM tok, unnest(generate_series(1,
+        |    greatest(len(ts) - ${k - 1}, 0))) AS u(i)),
+        |f AS (SELECT doc_id, wpos,
+        |    row_number() OVER (PARTITION BY win
+        |      ORDER BY doc_id, wpos) AS rn,
+        |    count(*) OVER (PARTITION BY win) AS cnt
+        |  FROM w),
+        |ss AS (SELECT doc_id, list_sort(list(wpos)) AS ss FROM f
+        |  WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id),
+        |sel AS (SELECT tok.doc_id, tok.ts,
+        |    coalesce(ss.ss, CAST([] AS BIGINT[])) AS ss
+        |  FROM tok LEFT JOIN ss USING (doc_id)),
+        |kept AS (SELECT doc_id, ts, list_filter(ts, (x, j) ->
+        |    len(list_filter(ss, s ->
+        |      j >= s AND j <= s + ${k - 1})) = 0) AS kp
+        |  FROM sel)
+        |SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+        |  CAST(len(ts) - len(kp) AS INTEGER) AS n_removed,
+        |  coalesce(array_to_string(kp, ' '), '') AS clean_text
+        |FROM kept ORDER BY doc_id""".stripMargin
+    },
   ) ++ ivfOracle ++ pqOracle ++ clusterOracle ++ clusterSampleOracle ++
     qualityOracle ++ semDedupOracle
 }

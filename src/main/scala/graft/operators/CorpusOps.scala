@@ -395,6 +395,77 @@ object CorpusOps {
           s => s.getField("line")), "\n").as("clean_text"))
   }
 
+  /** Exact substring deduplication (Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the ExactSubstr variant, re-expressed over k-TOKEN windows
+    * instead of a 50-byte suffix array): any `k`-token window whose
+    * text occurs more than once corpus-wide keeps exactly ONE
+    * occurrence — the lexicographically first `(id, position)` — and
+    * every other occurrence's tokens are removed from their documents.
+    * Internal repetition collapses the same way ("p q r" ×3 in one
+    * document keeps one copy). A token survives iff NO non-canonical
+    * duplicated window covers it, so overlapping duplicated spans
+    * merge naturally; like the paper's tool, a canonical copy can
+    * still lose tokens to a DIFFERENT overlapping duplicated window.
+    * Returns `(id, n_tokens, n_removed, clean_text)` — one row per
+    * input document.
+    *
+    * 100 TB shape: windows never leave the map side as text — the
+    * corpus-wide frequency+owner rollup keys on the 64-bit xxhash of
+    * the window (8-byte key, map-side partial count and partial
+    * `min(struct(id, pos))`), the flagged-window probe joins on the
+    * same 8-byte key (AQE broadcasts the duplicated set when small),
+    * and reassembly is one `id`-keyed rollup of integer window starts.
+    * A 2⁻⁶⁴ hash collision can only over-delete — the benign direction
+    * for a dedup filter. The per-document cover test is
+    * O(tokens × flagged windows) inside one codegen'd HOF — bounded by
+    * document size, never corpus size. */
+  def dedupSubstrings(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val ts = col("_ts")
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
+    // one row per window START (1-based into the token array), hashed
+    // map-side; sequence() reverses when start > stop, so short docs
+    // take the explicit empty branch
+    val wins = toked
+      .select(col(idCol), posexplode(
+        when(size(ts) >= k,
+          transform(sequence(lit(1), size(ts) - (k - 1)),
+            i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
+          .otherwise(array().cast("array<bigint>")))
+        .as(Seq("_wp0", "_h")))
+      .select(col(idCol), (col("_wp0") + 1).cast("int").as("_wpos"),
+        col("_h"))
+    // duplicated fingerprints with their canonical owner: one 8-byte
+    // keyed rollup (map-side partial count+min), then a hash probe of
+    // the window stream against ONLY the duplicated set — AQE
+    // broadcasts it in the normal small-duplication case. (A window-
+    // function formulation would run the explode subtree once instead
+    // of twice, but measures ~1.6× slower at sf0.1: the per-partition
+    // sort over ALL windows costs more than the second explode.)
+    val dups = wins.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col(idCol).as("_i"), col("_wpos").as("_p")))
+          .as("_own"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_h"), col("_own._i").as("_oid"),
+        col("_own._p").as("_opos"))
+    val flagged = wins.join(dups, Seq("_h"))
+      .filter(!(col(idCol) === col("_oid") && col("_wpos") === col("_opos")))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("_wpos"))).as("_ss"))
+    toked.join(flagged, Seq(idCol), "left")
+      .select(col(idCol), ts,
+        coalesce(col("_ss"), array().cast("array<int>")).as("_ss"))
+      .select(col(idCol), size(ts).as("n_tokens"),
+        filter(ts, (_, j) => !exists(col("_ss"),
+          s => j + 1 >= s && j + 1 <= s + (k - 1))).as("_keep"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("_keep"))).as("n_removed"),
+        array_join(col("_keep"), " ").as("clean_text"))
+  }
+
   /** Email pattern shared by scrub + oracle (kept RE2/Java-portable:
     * no backrefs, no lookaround). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

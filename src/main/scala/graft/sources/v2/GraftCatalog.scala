@@ -443,12 +443,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    // numeric literal, else a tag name ([[GraftTags]]) — tag names
+    // can't start with a digit, so the spaces never collide
     val v = try version.toLong catch {
       case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft catalog: VERSION AS OF takes the numeric manifest " +
-          s"version (committed: ${GraftManifest.versions(fs, dir)
-            .mkString(", ")}), got '$version'")
+        GraftTags.resolve(fs, dir, version).getOrElse {
+          val tags = GraftTags.list(fs, dir)
+          throw new IllegalArgumentException(
+            s"graft catalog: VERSION AS OF takes a numeric manifest " +
+            s"version (committed: ${GraftManifest.versions(fs, dir)
+              .mkString(", ")}) or a tag name" +
+            (if (tags.isEmpty) "" else
+              s" (tags: ${tags.map(t => s"${t._1}=${t._2}")
+                .mkString(", ")})") +
+            s", got '$version'")
+        }
     }
     // the manifest's recorded schema wins (exact shape at commit);
     // pre-schema-line manifests fall back to the pinned version's own

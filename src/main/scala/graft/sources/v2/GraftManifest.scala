@@ -870,12 +870,23 @@ object GraftManifest {
         if (!respectFeedConsumers) None
         else scala.util.Try(GraftCdf.consumerMarks(fs, table))
           .toOption.filter(_.nonEmpty).map(_.values.min)
-      val (drop, keep) = consumerFloor match {
+      val (drop1, keep1) = consumerFloor match {
         case Some(floor) =>
           val (held, droppable) = drop0.partition(_ >= floor)
           (droppable, (held ++ keep0).sorted)
         case None => (drop0, keep0)
       }
+      // tags pin SPECIFIC versions (not a floor): every tagged
+      // version — and therefore every file it references — survives
+      // any retention policy until the tag is dropped
+      val tagged = scala.util.Try(GraftTags.pinnedVersions(fs, table))
+        .getOrElse(Set.empty[Long])
+      val (drop, keep) =
+        if (tagged.isEmpty) (drop1, keep1)
+        else {
+          val (heldTag, droppable) = drop1.partition(tagged.contains)
+          (droppable, (heldTag ++ keep1).sorted)
+        }
       if (keep.isEmpty) {
         return (Seq.empty, Seq.empty) // the latest always survives
       }

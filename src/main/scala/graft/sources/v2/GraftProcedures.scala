@@ -31,7 +31,7 @@ private[v2] object GraftProcedures {
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
       "history", "bloom_index", "mv_refresh", "restore", "clone",
-      "detail")
+      "detail", "tag", "tags")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -85,6 +85,12 @@ private[v2] object GraftProcedures {
           "one-row operational summary of the table: current version, " +
           "live file/byte counts, deletion vectors, bucket layout, " +
           "constraints, bloom indexes, stats freshness"
+        case "tag" =>
+          "pin a retained manifest version under a name: VERSION AS " +
+          "OF '<name>' reads it and vacuum keeps it alive until the " +
+          "tag is dropped (drop => true removes the tag instead)"
+        case "tags" =>
+          "list the table's tags, one row per (tag, version)"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -155,6 +161,19 @@ private[v2] object GraftProcedures {
           .comment("skip when the row count drifted less than this " +
             "fraction since the last analyze — makes scheduled " +
             "re-analyze a metadata no-op on quiet tables").build())
+      case "tag" => Array(tableParam,
+        ProcedureParameter.in("name", StringType)
+          .comment("tag name: starts with a letter; letters, digits, " +
+            "'.', '_', '-'").build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1")
+          .comment("retained version to pin (-1 = latest)").build(),
+        ProcedureParameter.in("drop", BooleanType)
+          .defaultValue("false").build(),
+        ProcedureParameter.in("replace", BooleanType)
+          .defaultValue("false")
+          .comment("re-point an existing tag instead of refusing")
+          .build())
       case _ => Array(tableParam)
     }
 
@@ -341,6 +360,46 @@ private[v2] object GraftProcedures {
               s(d.bucketSpec), s(d.checkConstraints),
               s(d.bloomIndexColumns),
               d.statsVersion.map(v => v: Any).orNull)))
+        case "tag" =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val tagName = input.getUTF8String(1).toString
+          val v = input.getLong(2)
+          val dropIt = input.getBoolean(3)
+          val schema = StructType(Seq(
+            StructField("tag", StringType, false),
+            StructField("version", LongType, true),
+            StructField("action", StringType, false)))
+          if (dropIt) {
+            val existed = GraftTags.drop(fs, dir, tagName)
+            one(resultScan(schema, Array(
+              UTF8String.fromString(tagName), null,
+              UTF8String.fromString(
+                if (existed) "dropped" else "did not exist"))))
+          } else {
+            val target =
+              if (v >= 0) v
+              else GraftManifest.current(fs, dir).map(_.version)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"graft procedure tag: $dir has no manifest log"))
+            GraftTags.create(fs, dir, tagName, target,
+              replace = input.getBoolean(4))
+            one(resultScan(schema, Array(
+              UTF8String.fromString(tagName), target,
+              UTF8String.fromString("created"))))
+          }
+        case "tags" =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val tagRows: Array[InternalRow] =
+            GraftTags.list(fs, dir).map { case (n, v) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(n), v)): InternalRow
+            }.toArray
+          one(new LocalScan {
+            override def readSchema(): StructType = StructType(Seq(
+              StructField("tag", StringType, false),
+              StructField("version", LongType, false)))
+            override def rows(): Array[InternalRow] = tagRows
+          })
         case other => throw new IllegalStateException(
           s"graft: unknown procedure $other")
       }

@@ -125,8 +125,20 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
       batchSize = String.valueOf(
         properties.getOrDefault("batchSize", "4096")).toInt,
       bucketSpec = spec, groupByBucket = false,
-      versionAsOf = Option(properties.get("versionAsOf"))
-        .map(String.valueOf(_).toLong),
+      versionAsOf = Option(properties.get("versionAsOf")).map { raw =>
+        val s = String.valueOf(raw)
+        // numeric, else a tag name resolved against the table's
+        // .graft-tags (same rule as the catalog's VERSION AS OF)
+        try s.toLong catch {
+          case _: NumberFormatException =>
+            val dir = new Path(p)
+            GraftTags.resolve(
+              dir.getFileSystem(GraftHadoopConf.sessionConf()), dir, s)
+              .getOrElse(throw new IllegalArgumentException(
+                s"graft-v2: versionAsOf '$s' is neither a numeric " +
+                s"manifest version nor a tag on $p"))
+        }
+      },
       checkConstraints = checks)
   }
 

@@ -1118,6 +1118,72 @@ class CatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("no version 9"), e.getMessage)
   }
 
+  test("tags: named versions read through VERSION AS OF and pin " +
+      "their version against vacuum until dropped") {
+    import graft.sources.v2.{GraftManifest, GraftTags}
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tg")
+    spark.sql("CREATE TABLE graft.tg.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.tg.t SELECT id, id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft.tg.t WHERE id >= 90") // boots v1, v2
+    spark.sql("INSERT INTO graft.tg.t SELECT id, id FROM range(100, 150)")
+    spark.sql("INSERT INTO graft.tg.t SELECT id, id FROM range(150, 160)")
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/tg/t")
+    val fs = manifestFs
+    assert(GraftManifest.versions(fs, dir) == Seq(1L, 2L, 3L, 4L))
+    val r = spark.sql("CALL graft.system.tag(table => 'tg.t', " +
+      "name => 'audit-v2', version => 2)").collect()
+    assert(r.head.getString(2) == "created" && r.head.getLong(1) == 2L)
+    // the tag reads exactly like its version, via SQL and the path API
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.tg.t VERSION AS OF 'audit-v2'")
+      .head.getLong(0) == 90)
+    assert(spark.read.format("graft-v2").option("path", dir.toString)
+      .option("versionAsOf", "audit-v2").load().count() == 90)
+    // duplicate refused; replace re-points; invalid name refused
+    val dup = intercept[Exception] {
+      spark.sql("CALL graft.system.tag(table => 'tg.t', " +
+        "name => 'audit-v2', version => 3)").collect()
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    spark.sql("CALL graft.system.tag(table => 'tg.t', " +
+      "name => 'audit-v2', version => 3, replace => true)").collect()
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.tg.t VERSION AS OF 'audit-v2'")
+      .head.getLong(0) == 140)
+    spark.sql("CALL graft.system.tag(table => 'tg.t', " +
+      "name => 'audit-v2', version => 2, replace => true)").collect()
+    intercept[Exception] { GraftTags.create(fs, dir, "1bad", 2L) }
+    // default version = latest; listing shows both, name-sorted
+    spark.sql("CALL graft.system.tag(table => 'tg.t', " +
+      "name => 'head')").collect()
+    assert(spark.sql("CALL graft.system.tags(table => 'tg.t')")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("audit-v2", 2L), ("head", 4L)))
+    spark.sql("CALL graft.system.tag(table => 'tg.t', " +
+      "name => 'head', drop => true)").collect()
+    // an unknown tag errors naming the real ones
+    val unk = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tg.t VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(unk.getMessage.contains("audit-v2"), unk.getMessage)
+    // vacuum keep-1 drops untagged history but the tag pins v2 AND
+    // the files it references
+    spark.sql("CALL graft.system.vacuum(table => 'tg.t', " +
+      "keep_versions => 1)").collect()
+    assert(GraftManifest.versions(fs, dir) == Seq(2L, 4L))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.tg.t VERSION AS OF 'audit-v2'")
+      .head.getLong(0) == 90)
+    // dropping the tag releases the pin: the next sweep removes v2
+    spark.sql("CALL graft.system.tag(table => 'tg.t', " +
+      "name => 'audit-v2', drop => true)").collect()
+    spark.sql("CALL graft.system.vacuum(table => 'tg.t', " +
+      "keep_versions => 1)").collect()
+    assert(GraftManifest.versions(fs, dir) == Seq(4L))
+  }
+
   test("pinned snapshots serve archived files after later DML") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")

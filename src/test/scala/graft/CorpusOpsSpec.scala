@@ -378,6 +378,26 @@ class CorpusOpsSpec extends SparkTestBase {
       4L -> false, 5L -> false))
   }
 
+  test("dedupSubstrings: first occurrence survives, later copies and " +
+      "internal repetition collapse, short docs pass through") {
+    val d = docs(
+      1L -> "a b c d e",          // canonical owner of "a b c"
+      2L -> "x a b c y",          // loses its copy -> "x y"
+      3L -> "p q r p q r p q r",  // internal: keeps one period
+      4L -> "u v",                // shorter than k: untouched
+      5L -> "")                   // empty: survives with empty text
+    val got = CorpusOps.dedupSubstrings(d, k = 3)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((5, 0, "a b c d e")))
+    assert(got(2L) === ((5, 3, "x y")))
+    // flagged starts 4..7 cover tokens 4..9: one "p q r" survives
+    assert(got(3L) === ((9, 6, "p q r")))
+    assert(got(4L) === ((2, 0, "u v")))
+    assert(got(5L) === ((0, 0, "")))
+  }
+
   test("dsir: score is reproducible and model round-trips the counts") {
     import graft.operators.Dsir
     val d = Tables.t(spark, sf001, "documents")
