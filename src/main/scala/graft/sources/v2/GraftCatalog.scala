@@ -211,6 +211,49 @@ object GraftCatalog {
       } else None
     }.toMap
 
+  /** Generated columns (`GENERATED ALWAYS AS (expr)`) as persisted in
+    * the marker: `#genexpr=<col>:<sql>`, split on the FIRST colon.
+    * Spark validates the expression at CREATE (deterministic, no
+    * subqueries/aggregates, type-matches the column, references only
+    * other non-generated columns); the write path computes omitted
+    * values and validates explicit ones ([[GraftGenGuard]]). */
+  private[graft] def readGens(fs: FileSystem, dir: Path)
+      : Map[String, String] =
+    readMarkerRaw(fs, dir).map(_.filter(_.startsWith("#genexpr="))
+      .flatMap { l =>
+        val v = l.stripPrefix("#genexpr=")
+        val i = v.indexOf(':')
+        if (i <= 0) None
+        else Some(v.substring(0, i) -> v.substring(i + 1))
+      }.toMap).getOrElse(Map.empty)
+
+  /** Decorate a resolved schema with the marker's generation
+    * expressions (`DESCRIBE` shows them; Spark's analyzer treats the
+    * metadata as informational for an existing table). */
+  private[graft] def applyGens(schema: StructType,
+      gens: Map[String, String]): StructType =
+    if (gens.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      gens.get(f.name) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util
+              .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, sql)
+            .build())
+        case None => f
+      }
+    })
+
+  /** The generation expressions a CREATE's incoming schema carries
+    * (Spark encodes each `GENERATED ALWAYS AS` clause into field
+    * metadata when converting V2 columns). */
+  private[graft] def extractGens(schema: StructType)
+      : Map[String, String] =
+    schema.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f.name -> _)).toMap
+
   private[graft] def readMapping(fs: FileSystem, dir: Path)
       : ColumnMapping =
     readMarkerRaw(fs, dir) match {
@@ -235,12 +278,14 @@ object GraftCatalog {
       schema: StructType, mapping: ColumnMapping,
       checks: Option[Seq[CheckSpec]] = None,
       defaults: Option[Map[String, (String, Option[String])]] = None,
-      props: Option[Map[String, String]] = None)
+      props: Option[Map[String, String]] = None,
+      gens: Option[Map[String, String]] = None)
       : Unit = {
     val cs = checks.getOrElse(readChecks(fs, dir))
-    // None PRESERVES standing defaults/properties, like `checks`
+    // None PRESERVES standing defaults/properties/generations
     val ds = defaults.getOrElse(readDefaults(fs, dir))
     val ps = props.getOrElse(readProps(fs, dir))
+    val gs = gens.getOrElse(readGens(fs, dir))
     // the DDL line must parse with StructType.fromDDL, which does not
     // accept DEFAULT clauses — strip the metadata (toDDL would render
     // it) and let the #default lines carry the defaults
@@ -262,7 +307,8 @@ object GraftCatalog {
       ds.toSeq.sortBy(_._1).flatMap { case (c, (cur, ex)) =>
         Seq(s"#default=$c:$cur") ++ ex.map(e => s"#defaultex=$c:$e")
       } ++
-      ps.toSeq.sorted.map { case (k, v) => s"#prop=$k:$v" }
+      ps.toSeq.sorted.map { case (k, v) => s"#prop=$k:$v" } ++
+      gs.toSeq.sorted.map { case (c, s) => s"#genexpr=$c:$s" }
     val out = fs.create(new Path(dir, SchemaMarker), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -407,7 +453,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
@@ -418,10 +466,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // BucketLayout marker; surfacing it here is what turns catalog
     // joins on the bucket keys into storage-partitioned (shuffle-free)
     // joins — see GraftScanV2.outputPartitioning
+    val gens = GraftCatalog.readGens(fs, dir)
     GraftTableV2(dir.toString,
       // DEFAULT metadata rides the schema: the analyzer fills INSERT
-      // gaps and the DEFAULT keyword from these field-metadata keys
-      GraftCatalog.applyDefaults(schema,
+      // gaps and the DEFAULT keyword from these field-metadata keys.
+      // Generated columns carry their expression as metadata only (a
+      // simultaneous default is refused by Spark); an INSERT that
+      // omits one lands NULL, which the writer treats as "absent —
+      // compute" ([[GraftGenGuard]])
+      GraftCatalog.applyDefaults(
+        GraftCatalog.applyGens(schema, gens),
         GraftCatalog.readDefaults(fs, dir)),
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
       // reported CHECK constraints: Spark's ResolveTableConstraints
@@ -529,9 +583,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** The modern CREATE entry point: Spark 4 hands V2 `Column`s whose
+    * `generationExpression()` the default StructType shim DROPS — so
+    * the expressions are pulled here, before the conversion. */
+  override def createTable(ident: Identifier,
+      columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val schema = org.apache.spark.sql.graftbridge.ColumnBridge
+      .v2ColumnsToStructType(columns)
+    val gens = columns.flatMap(c =>
+      Option(c.generationExpression()).map(c.name -> _)).toMap
+    doCreateTable(ident, schema, partitions, properties, gens)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    doCreateTable(ident, schema, partitions, properties,
+      GraftCatalog.extractGens(schema))
+
+  private def doCreateTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      gens: Map[String, String]): Table = {
     val bucketSpec = parseBucketTransforms(partitions)
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
@@ -547,7 +621,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftCatalog.writeMarker(fs, dir, schema, GraftCatalog.ColumnMapping.empty,
       checks = Some(Nil),
       defaults = Some(GraftCatalog.extractDefaults(schema)),
-      props = Some(userProps))
+      props = Some(userProps),
+      gens = Some(gens))
     bucketSpec.foreach(graft.sources.BucketLayout.write(fs, dir, _))
     GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec,
       tableProps = userProps)
@@ -714,6 +789,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var checks = GraftCatalog.readChecks(fs, dir)
     var defaults = GraftCatalog.readDefaults(fs, dir)
     var props = GraftCatalog.readProps(fs, dir)
+    var gens = GraftCatalog.readGens(fs, dir)
+    // same conservative word-boundary test as CHECKs: a generation
+    // expression mentioning a column blocks dropping/renaming it
+    def genReferencing(col: String): Option[(String, String)] = {
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
+      gens.find { case (g, sql) =>
+        g != col && re.findFirstIn(sql).isDefined }
+    }
     // conservative word-boundary reference test: a check whose SQL
     // mentions a column blocks dropping/renaming it (re-binding the
     // predicate text is not something a metadata-only path should
@@ -775,6 +858,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         checkReferencing(from).foreach(c =>
           fail(s"CHECK constraint '${c.name}' references it " +
             s"(${c.predicateSql}); drop the constraint first"))
+        genReferencing(from).foreach { case (g, sql) =>
+          fail(s"generated column '$g' ($sql) references it; drop " +
+            "the generated column first") }
+        // a generated column's own expression rides the rename
+        gens = gens.map { case (c, s) =>
+          (if (c == from) to else c) -> s
+        }
         // metadata-only: old files keep their PHYSICAL spelling; the
         // mapping routes every spelling to the new logical name. A
         // column renamed twice accumulates entries (a→b→c stores a→c
@@ -811,6 +901,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         checkReferencing(name).foreach(c =>
           fail(s"CHECK constraint '${c.name}' references it " +
             s"(${c.predicateSql}); drop the constraint first"))
+        genReferencing(name).foreach { case (g, sql) =>
+          fail(s"generated column '$g' ($sql) references it; drop " +
+            "the generated column first") }
+        gens = gens - name // dropping the generated column itself
         // tombstone every physical spelling: the original physical
         // name if the column was renamed, plus the logical name (newer
         // files carry it directly)
@@ -841,6 +935,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "hash the physical representation — rewrite with " +
             "GraftSink.saveBucketedFiles instead")
         }
+        if (gens.contains(name)) {
+          fail("the column is GENERATED; its expression's type is " +
+            "pinned — drop the generated column instead")
+        }
+        genReferencing(name).foreach { case (g, sql) =>
+          fail(s"generated column '$g' ($sql) references it; the " +
+            "expression's semantics would silently change") }
         val from = sch.fields(idx).dataType
         if (!GraftCatalog.TypeWidening.widens(from, ut.newDataType)) {
           fail(s"only WIDENING promotions are metadata-only " +
@@ -948,9 +1049,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "immutable files")
     }
     GraftCatalog.writeMarker(fs, dir, evolved, mapping, Some(checks),
-      Some(defaults), Some(props))
+      Some(defaults), Some(props), Some(gens))
     GraftTableV2(dir.toString,
-      GraftCatalog.applyDefaults(evolved, defaults),
+      GraftCatalog.applyDefaults(
+        GraftCatalog.applyGens(evolved, gens), defaults),
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
       checkConstraints = checks,
       tableProps = props)

@@ -519,7 +519,7 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     val conf = hconf()
     val staging = new Path(new Path(path), stagingName)
     staging.getFileSystem(conf).mkdirs(staging)
-    bucketSpec match {
+    val base = bucketSpec match {
       case Some(b) =>
         val ords = b.bucketCols.map(schema.fieldIndex).toArray
         val dts = ords.map(schema.fields(_).dataType)
@@ -529,6 +529,9 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         GraftWriterFactoryV2(new SerializableConfiguration(conf),
           staging.toString, jobId)
     }
+    val gens = GraftGenGuard.compile(path, schema)
+    if (gens.isEmpty) base
+    else GeneratingWriterFactoryV2(base, schema, gens)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -777,7 +780,8 @@ class GraftStreamingWriteV2(path: String, schema: StructType,
       : StreamingDataWriterFactory =
     GraftStreamingWriterFactoryV2(
       new SerializableConfiguration(hconf()), path, app,
-      GraftCheckGuard.compile(path, schema))
+      GraftCheckGuard.compile(path, schema),
+      GraftGenGuard.compile(path, schema), schema)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -966,7 +970,9 @@ private[v2] object GraftCheckGuard {
 case class GraftStreamingWriterFactoryV2(conf: SerializableConfiguration,
     path: String, app: String,
     checks: Seq[(String, String, org.apache.spark.sql.catalyst
-      .expressions.Expression)] = Nil)
+      .expressions.Expression)] = Nil,
+    gens: Seq[GraftGenGuard.Gen] = Nil,
+    schema: StructType = new StructType())
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -976,8 +982,12 @@ case class GraftStreamingWriterFactoryV2(conf: SerializableConfiguration,
     staging.getFileSystem(conf.value).mkdirs(staging)
     val inner = new GraftDataWriterV2(conf.value, staging.toString,
       f"$app-$epochId%08d", partitionId, taskId)
-    if (checks.isEmpty) inner
-    else new ValidatingDataWriterV2(inner, checks)
+    val checked =
+      if (checks.isEmpty) inner
+      else new ValidatingDataWriterV2(inner, checks)
+    // generation OUTERMOST: CHECKs then validate the computed values
+    if (gens.isEmpty) checked
+    else new GeneratingDataWriterV2(checked, schema, gens)
   }
 }
 
@@ -1006,6 +1016,124 @@ private[v2] class ValidatingDataWriterV2(
   override def commit(): WriterCommitMessage = inner.commit()
   override def abort(): Unit = inner.abort()
   override def close(): Unit = inner.close()
+}
+
+/** GENERATED-column enforcement for the V2 writes (batch and
+  * streaming). Spark validates `GENERATED ALWAYS AS (expr)` clauses at
+  * CREATE (capability-gated) but leaves the VALUES to the source, so
+  * the write path does what the marker's `#genexpr=` lines say: an
+  * omitted / NULL value is COMPUTED from the row (the catalog gives
+  * generated columns an implicit NULL default so `INSERT INTO t (a)`
+  * analyzes — the NULL is the "absent" placeholder the writer fills),
+  * and an explicit value is VALIDATED against the expression — a
+  * mismatch fails the write before anything commits, Delta-style.
+  * Expressions resolve against the write schema ON THE DRIVER (full
+  * analyzer semantics, like [[GraftCheckGuard]]); writers evaluate the
+  * bound forms per row. A generation expression that itself evaluates
+  * to NULL stays NULL — indistinguishable from "absent", which is the
+  * documented trade of the NULL placeholder. */
+private[v2] object GraftGenGuard {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** One generated column, bound to the write schema. */
+  case class Gen(name: String, ordinal: Int, sql: String,
+      compute: Expression, validate: Expression)
+
+  def compile(path: String, schema: StructType): Seq[Gen] = {
+    val p = new Path(path)
+    val gens = scala.util.Try(GraftCatalog.readGens(
+      p.getFileSystem(GraftHadoopConf.sessionConf()), p))
+      .getOrElse(Map.empty[String, String])
+    if (gens.isEmpty) return Nil
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    gens.toSeq.sortBy(_._1).flatMap { case (c, sql) =>
+      val ord = schema.fieldNames.indexOf(c)
+      // a projection-narrowed write without the column has nothing to
+      // fill or validate
+      if (ord < 0) None
+      else {
+        val analyzed = empty
+          .select(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed
+        val (e0, out) = analyzed match {
+          case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            (pr.projectList.head match {
+              case a: Alias => a.child
+              case other => other
+            }, pr.child.output)
+          case other => throw new IllegalStateException(
+            s"graft-v2: generation expression for '$c' did not " +
+            s"analyze to a Project: ${other.nodeName}")
+        }
+        val field = schema.fields(ord)
+        val casted =
+          if (e0.dataType == field.dataType) e0
+          else Cast(e0, field.dataType,
+            Option(spark.sessionState.conf.sessionLocalTimeZone))
+        val bound = BindReferences.bindReference(casted, out)
+        val ref = BoundReference(ord, field.dataType, field.nullable)
+        Some(Gen(c, ord, sql, bound,
+          Or(IsNull(ref), EqualNullSafe(ref, bound))))
+      }
+    }
+  }
+}
+
+/** Wraps a data writer with generated-column fill/validate; sits
+  * OUTSIDE any CHECK wrapper so constraints see the computed values. */
+private[v2] class GeneratingDataWriterV2(
+    inner: DataWriter[InternalRow], schema: StructType,
+    gens: Seq[GraftGenGuard.Gen]) extends DataWriter[InternalRow] {
+  private val validators = gens.map(g =>
+    org.apache.spark.sql.catalyst.expressions.Predicate.create(g.validate))
+  private val dts = schema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    var fills: List[(Int, Any)] = Nil
+    var i = 0
+    while (i < gens.length) {
+      val g = gens(i)
+      if (row.isNullAt(g.ordinal)) {
+        val v = g.compute.eval(row)
+        if (v != null) fills = (g.ordinal, v) :: fills
+      } else if (!validators(i).eval(row)) {
+        throw new RuntimeException(
+          s"graft-v2: generated column '${g.name}' (ALWAYS AS " +
+          s"${g.sql}) received an explicit value that does not match " +
+          "its generation expression; omit the column to have it " +
+          "computed")
+      }
+      i += 1
+    }
+    if (fills.isEmpty) inner.write(row)
+    else {
+      val vals = new Array[Any](dts.length)
+      var j = 0
+      while (j < dts.length) {
+        vals(j) = if (row.isNullAt(j)) null else row.get(j, dts(j))
+        j += 1
+      }
+      fills.foreach { case (o, v) => vals(o) = v }
+      inner.write(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(vals))
+    }
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
+/** Factory wrapper applying [[GeneratingDataWriterV2]] to whatever
+  * writer the wrapped factory builds (plain or bucketed). */
+private[v2] case class GeneratingWriterFactoryV2(
+    inner: DataWriterFactory, schema: StructType,
+    gens: Seq[GraftGenGuard.Gen]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GeneratingDataWriterV2(
+      inner.createWriter(partitionId, taskId), schema, gens)
 }
 
 /** One parquet part per task attempt; attempt-unique names keep

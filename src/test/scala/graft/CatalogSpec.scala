@@ -1184,6 +1184,54 @@ class CatalogSpec extends SparkTestBase {
     assert(GraftManifest.versions(fs, dir) == Seq(4L))
   }
 
+  test("generated columns: omitted values computed, explicit values " +
+      "validated, referenced columns DDL-guarded") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gc")
+    spark.sql("CREATE TABLE graft.gc.t (a BIGINT, b BIGINT, " +
+      "c BIGINT GENERATED ALWAYS AS (a + b))")
+    // the expression is marker-persisted, not inferred
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$warehouse/gc/t/.graft-schema.json")))
+      .contains("#genexpr=c:a + b"))
+    spark.sql("INSERT INTO graft.gc.t (a, b) VALUES (1, 2), (10, 20)")
+    assert(spark.sql("SELECT c FROM graft.gc.t ORDER BY a")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 30L))
+    // an explicit matching value passes; a mismatch fails the write
+    spark.sql("INSERT INTO graft.gc.t VALUES (5, 6, 11)")
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO graft.gc.t VALUES (1, 1, 99)")
+    }
+    assert(exceptionChain(bad).exists(
+      _.getMessage.contains("generation expression")), bad.getMessage)
+    assert(spark.table("graft.gc.t").count() == 3)
+    // the marker round-trips the expression; DESCRIBE-visible schema
+    // still reads through the V2 scan
+    assert(spark.sql("SELECT sum(c) FROM graft.gc.t")
+      .head.getLong(0) == 44L)
+    // DDL hygiene: the expression pins its inputs
+    val rn = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.gc.t RENAME COLUMN a TO a2")
+    }
+    assert(rn.getMessage.contains("generated column"), rn.getMessage)
+    val dr = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.gc.t DROP COLUMN b")
+    }
+    assert(dr.getMessage.contains("generated column"), dr.getMessage)
+    val wd = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.gc.t ALTER COLUMN b TYPE DECIMAL(30, 0)")
+    }
+    assert(wd.getMessage.contains("generated column"), wd.getMessage)
+    // dropping the generated column releases the pins
+    spark.sql("ALTER TABLE graft.gc.t DROP COLUMN c")
+    spark.sql("ALTER TABLE graft.gc.t RENAME COLUMN a TO a2")
+    assert(spark.sql("SELECT sum(a2) FROM graft.gc.t")
+      .head.getLong(0) == 16L)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   test("pinned snapshots serve archived files after later DML") {
     val _ = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")

@@ -115,6 +115,28 @@ class StreamCatalogSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.autoCompact.minFiles", "0")
   }
 
+  test("streaming sink computes generated columns per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    withCatalog { _ =>
+      spark.sql("CREATE TABLE gsc.s.g (a BIGINT, b BIGINT, " +
+        "c BIGINT GENERATED ALWAYS AS (a * 2 + b)) USING `graft-v2`")
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-streamcat-gen").toString
+      val input = MemoryStream[(Long, Long)]
+      // the stream ships the NULL placeholder; the sink's gen guard
+      // fills it per row before the epoch commits
+      val q = input.toDS().toDF("a", "b")
+        .withColumn("c", lit(null).cast("bigint"))
+        .writeStream.option("checkpointLocation", cp).toTable("gsc.s.g")
+      try {
+        input.addData((1L, 2L), (3L, 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(spark.sql("SELECT c FROM gsc.s.g ORDER BY a")
+        .collect().map(_.getLong(0)).toSeq == Seq(4L, 10L))
+    }
+  }
+
   test("streaming sink without constraints: toTable appends and " +
       "restarts resume exactly-once") {
     implicit val sqlCtx = spark.sqlContext
