@@ -879,14 +879,32 @@ object SparkEntry {
     Dsir.score(docs, model, tau = DsirTau).orderBy(col("doc_id"))
   }
 
-  /** SemDeDup over the embedding corpus: k-means cells from the shared
-    * memoized quantizer, within-cell cosine prune at tau=0.35 keeping
-    * the centroid-farthest member of each lookalike pair. */
+  /** SemDeDup over the embedding corpus: k-means cells from a
+    * CORPUS-SCALED quantizer (nlist ≈ √n, the paper's regime — cells
+    * stay ~√n so the capped within-cell probe rarely splits), cosine
+    * prune at tau=0.35 keeping the centroid-farthest member of each
+    * lookalike pair. The synthetic embeddings cluster loosely, so the
+    * query pins tau below the operator's 0.95 near-dup default to
+    * exercise non-trivial drop decisions. */
   private val qSemDedup: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val model = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
-    Dedup.semantic(emb, model, tau = SemDedupTau).orderBy(col("vec_id"))
+    Dedup.semantic(emb, semDedupModelFor(s, dir), tau = SemDedupTau)
+      .orderBy(col("vec_id"))
   }
+
+  /** The SemDeDup quantizer: nlist = max(16, round(√n)) — memoized per
+    * dir (both the count and the trained model), shared by the query
+    * and [[semDedupOracle]] so both engines see identical centroids. */
+  private def semDedupModelFor(s: SparkSession,
+      dir: String): Ann.IvfModel = {
+    val nlist = semDedupNlistCache.computeIfAbsent(dir, d =>
+      math.max(16L, math.round(math.sqrt(
+        t(s, d, "embeddings").count().toDouble))).toInt)
+    Ann.trainIvfCached(s"$dir/embeddings#sd$nlist",
+      t(s, dir, "embeddings"), nlist)
+  }
+  private val semDedupNlistCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
   private val DsirDim = 256
   private val DsirTau = 0.0
@@ -1646,9 +1664,7 @@ object SparkEntry {
     * member at `cos >= tau`. */
   private def semDedupOracle: Option[(String, String)] =
     Option(lastDir).map { dir =>
-      val spark = SparkSession.active
-      val model = operators.Ann.trainIvfCached(s"$dir/embeddings#16",
-        Tables.t(spark, dir, "embeddings"))
+      val model = semDedupModelFor(SparkSession.active, dir)
       val (dists, centers) = centroidSql(model)
       "q_semdedup" ->
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1666,7 +1682,7 @@ object SparkEntry {
            |         (x.ccos = y.ccos AND x.vec_id < y.vec_id))
            |    AND round(list_cosine_similarity(x.v, y.v), 6)
            |      >= $SemDedupTau)
-           |SELECT c.vec_id, cluster, round(ccos, 4) AS ccos,
+           |SELECT c.vec_id, cluster, ccos,
            |  c.vec_id IN (SELECT vec_id FROM dup) AS is_dup
            |FROM c ORDER BY c.vec_id""".stripMargin
     }
@@ -2588,8 +2604,29 @@ object SparkEntry {
         |  coalesce(array_to_string(kp, ' '), '') AS clean_text
         |FROM kept ORDER BY doc_id""".stripMargin
     },
-  ) ++ ivfOracle ++ pqOracle ++ clusterOracle ++ clusterSampleOracle ++
-    qualityOracle ++ semDedupOracle
+  ) ++ dataDependentOracleBuilders.flatMap(_._2())
+
+  /** The oracle builders whose SQL is RENDERED from a trained model
+    * (quantizer centroids, classifier weights) and therefore absent
+    * until a query has executed against a data dir. This list is the
+    * single source of truth: [[oracleSql]] appends exactly these, and
+    * [[dataDependentOracles]] (consumed by IntegrationSpec's
+    * inventory-hygiene test) derives its names from it — adding a new
+    * data-dependent oracle here keeps the test green by construction. */
+  private def dataDependentOracleBuilders
+      : Seq[(String, () => Option[(String, String)])] = Seq(
+    "q_ann_ivf" -> (() => ivfOracle),
+    "q_ann_pq" -> (() => pqOracle),
+    "q_cluster_kmeans" -> (() => clusterOracle),
+    "q_cluster_sample" -> (() => clusterSampleOracle),
+    "q_quality_model" -> (() => qualityOracle),
+    "q_semdedup" -> (() => semDedupOracle),
+  )
+
+  /** Names of queries whose oracle may legitimately be missing from
+    * [[oracleSql]] before any query has run. */
+  def dataDependentOracles: Set[String] =
+    dataDependentOracleBuilders.map(_._1).toSet
 }
 
 /** Deterministic HyperLogLog distinct-count (p=8, m=256 registers).

@@ -392,12 +392,16 @@ object Ann {
     * here emits); per query, `recall = |approx ∩ exact| / |exact|`.
     * One equi-join on `(query_id, neighbor_id)` plus one rollup —
     * both result sets are k-bounded per query, so this is cheap at
-    * any corpus size; integers throughout, one rounded division. */
+    * any corpus size; integers throughout, one rounded division.
+    * Both key projections are deduplicated first: a retriever that
+    * emits the same `(query_id, neighbor_id)` twice (a multi-probe
+    * variant without its own distinct) must not fan the join out and
+    * inflate either count. */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
       .join(
-        approx.select(col("query_id"), col("neighbor_id"))
+        approx.select(col("query_id"), col("neighbor_id")).distinct()
           .withColumn("_hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

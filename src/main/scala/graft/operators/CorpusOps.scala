@@ -455,12 +455,46 @@ object CorpusOps {
       .filter(!(col(idCol) === col("_oid") && col("_wpos") === col("_opos")))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("_wpos"))).as("_ss"))
+    // Reassembly is linear in (tokens + flagged windows), not their
+    // product: the SORTED window starts fold into disjoint covered
+    // intervals (each start s covers [s, s+k-1]; overlapping/touching
+    // intervals merge), the complement gives the KEEP gaps, and the
+    // kept tokens are the concatenation of the gap slices. A
+    // boilerplate-heavy document with thousands of duplicated windows
+    // — where a per-token ∃-over-spans scan would go quadratic —
+    // collapses to a handful of merged intervals.
+    val ivT = "array<struct<s:int,e:int>>"
+    val covered = aggregate(col("_ss"),
+      array().cast(ivT),
+      (acc, s0) => {
+        val e0 = (s0 + (k - 1)).cast("int")
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && s0 <= last("e") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), e0).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(s0.cast("int").as("s"), e0.as("e")))))
+      })
+    val gapT = "array<struct<s:int,l:int>>"
+    val gaps = aggregate(covered,
+      struct(lit(1).cast("int").as("p"), array().cast(gapT).as("g")),
+      (st, iv) => struct(
+        (iv("e") + 1).cast("int").as("p"),
+        when(iv("s") > st("p"),
+          concat(st("g"), array(struct(st("p").as("s"),
+            (iv("s") - st("p")).cast("int").as("l")))))
+          .otherwise(st("g")).as("g")),
+      st => when(size(ts) >= st("p"),
+        concat(st("g"), array(struct(st("p").as("s"),
+          (size(ts) - st("p") + 1).cast("int").as("l")))))
+        .otherwise(st("g")))
     toked.join(flagged, Seq(idCol), "left")
       .select(col(idCol), ts,
         coalesce(col("_ss"), array().cast("array<int>")).as("_ss"))
       .select(col(idCol), size(ts).as("n_tokens"),
-        filter(ts, (_, j) => !exists(col("_ss"),
-          s => j + 1 >= s && j + 1 <= s + (k - 1))).as("_keep"))
+        flatten(transform(gaps,
+          g => slice(ts, g("s"), g("l")))).as("_keep"))
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - size(col("_keep"))).as("n_removed"),
         array_join(col("_keep"), " ").as("clean_text"))

@@ -251,7 +251,8 @@ object Dedup {
     * paper's one-pass pruning).
     *
     * Returns `(id, cluster, ccos, is_dup)`: the assignment, the
-    * centroid cosine (rounded to 4), and the drop decision.
+    * centroid cosine (on the 6-digit grid the keeper order uses),
+    * and the drop decision.
     *
     * 100 TB shape (the reason SemDeDup clusters first): the pairwise
     * probe is confined to one k-means cell — a self-join on the
@@ -260,12 +261,29 @@ object Dedup {
     * samples its training set, so a large `nlist` costs one sampled
     * k-means, not a corpus pass). Assignment itself is the map-side
     * codegen'd [[Ann.nearestCells]] expression — no join, no shuffle.
+    * AND the within-cell pairing runs through [[cappedBucketJoin]]:
+    * even with ~√n sizing, real corpora concentrate mass (a crawl's
+    * boilerplate cluster can hold millions of members), and an
+    * unguarded cell self-join is O(cell²). Cells at or under
+    * `cellCap` get the exact all-pairs probe; a hotter cell is split
+    * into hash blocks of ~`cellCap` members probed within-block and
+    * adjacent-block — cost O(size·cap), the same documented
+    * approximation [[embeddingDups]] uses (a shadow pair spanning
+    * non-adjacent blocks is missed; near-identical members that
+    * populous are chained through intermediate blocks with
+    * overwhelming probability). `cellCap <= 0` disables the guard.
     * Compare [[embeddingDups]]: hyperplane LSH catches lookalikes at
     * any corpus position but needs bucket-capacity guards; SemDeDup
     * inherits k-means' balanced cells and a semantic notion of "same
-    * region" — the two are complementary published designs. */
-  def semantic(emb: DataFrame, model: Ann.IvfModel, tau: Double = 0.35,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    * region" — the two are complementary published designs.
+    *
+    * `tau` defaults to 0.95 — the near-duplicate regime the paper
+    * operates in (its Fig. 2 sweeps 0.9-0.99); lower values shade
+    * into topic-level pruning, which is a policy choice the caller
+    * makes explicitly. */
+  def semantic(emb: DataFrame, model: Ann.IvfModel, tau: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCap: Int = 4096): DataFrame = {
     val centers = typedLit(model.centers.map(_.toSeq).toSeq)
     // centroid cosine at full double precision ROUNDED TO 6 before the
     // ordering/compare: both engines land on identical grid values, so
@@ -277,20 +295,30 @@ object Dedup {
       .select(col("id"), col("v"), col("cluster"),
         round(graft.functions.GraftFunctions.cosine_sim(col("v"),
           element_at(centers, col("cluster") + 1)), 6).as("ccos"))
-    val a = assigned.select(col("cluster"), col("id").as("id_a"),
-      col("v").as("v_a"), col("ccos").as("ccos_a"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"),
-      col("v").as("v_b"), col("ccos").as("ccos_b"))
-    val shadowed = a.join(b, Seq("cluster"))
-      .filter(col("ccos_a") < col("ccos_b") ||
-        (col("ccos_a") === col("ccos_b") && col("id_a") < col("id_b")))
+    // capacity-guarded within-cell pairing: each unordered pair comes
+    // out once (id_a < id_b); the shadow DIRECTION — the paper's
+    // (centroid-cosine ASC, id ASC) keeper order — is decided per
+    // pair, so the dropped member is whichever side is LATER in that
+    // order
+    val pairs = cappedBucketJoin(assigned, Seq("cluster"), cellCap,
+      payload = Seq("v", "ccos"))
+    val shadowed = pairs
       .filter(round(graft.functions.GraftFunctions.cosine_sim(
         col("v_a"), col("v_b")), 6) >= tau)
-      .select(col("id_b").as("id")).distinct()
+      .select(when(col("ccos_a") < col("ccos_b") ||
+          (col("ccos_a") === col("ccos_b") &&
+            col("id_a") < col("id_b")),
+        col("id_b")).otherwise(col("id_a")).as("id"))
+      .distinct()
+    // output ccos on the SAME 6-digit grid the ordering/compare used:
+    // re-rounding to a coarser grid would double-round, and a 6-grid
+    // value sitting exactly on a 4-digit half-boundary (x.xxxx50)
+    // rounds differently under decimal-string HALF_UP (Spark) vs
+    // binary-double rounding (other engines) — one rounding, one grid
     assigned
       .join(shadowed.withColumn("_dup", lit(1)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
-        round(col("ccos"), 4).as("ccos"),
+        col("ccos"),
         col("_dup").isNotNull.as("is_dup"))
   }
 

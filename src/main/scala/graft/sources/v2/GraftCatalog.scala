@@ -298,17 +298,35 @@ object GraftCatalog {
         f.copy(metadata = mb.build())
       } else f
     })
+    // the marker is LINE-oriented: a newline smuggled inside any
+    // persisted value (a TBLPROPERTIES value, a DEFAULT or generation
+    // expression, a CHECK predicate) would split into stray marker
+    // lines and corrupt the format — reject it at the one choke point
+    // every persistence path funnels through, mirroring
+    // GraftManifest.extraMeta's validation
+    def safe(kind: String, s: String): String = {
+      require(s.indexOf('\n') < 0 && s.indexOf('\r') < 0,
+        s"$kind may not contain newlines (the schema marker is " +
+          s"line-oriented): '${s.take(80)}'")
+      s
+    }
     val lines = Seq(cleanSchema.toDDL) ++
-      mapping.renames.toSeq.sorted.map { case (p, l) => s"#rename=$p:$l" } ++
-      mapping.drops.toSeq.sorted.map(p => s"#drop=$p") ++
+      mapping.renames.toSeq.sorted.map { case (p, l) =>
+        s"#rename=${safe("column name", p)}:${safe("column name", l)}" } ++
+      mapping.drops.toSeq.sorted.map(p =>
+        s"#drop=${safe("column name", p)}") ++
       cs.sortBy(_.name).map(c =>
-        s"#check=${c.name}:${if (c.enforced) "1" else "0"}:" +
-          c.predicateSql) ++
+        s"#check=${safe("constraint name", c.name)}:" +
+          s"${if (c.enforced) "1" else "0"}:" +
+          safe("CHECK predicate", c.predicateSql)) ++
       ds.toSeq.sortBy(_._1).flatMap { case (c, (cur, ex)) =>
-        Seq(s"#default=$c:$cur") ++ ex.map(e => s"#defaultex=$c:$e")
+        Seq(s"#default=$c:${safe("DEFAULT expression", cur)}") ++
+          ex.map(e => s"#defaultex=$c:${safe("DEFAULT expression", e)}")
       } ++
-      ps.toSeq.sorted.map { case (k, v) => s"#prop=$k:$v" } ++
-      gs.toSeq.sorted.map { case (c, s) => s"#genexpr=$c:$s" }
+      ps.toSeq.sorted.map { case (k, v) =>
+        s"#prop=${safe("property key", k)}:${safe("property value", v)}" } ++
+      gs.toSeq.sorted.map { case (c, s) =>
+        s"#genexpr=$c:${safe("generation expression", s)}" }
     val out = fs.create(new Path(dir, SchemaMarker), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()

@@ -798,10 +798,19 @@ class GraftStreamingWriteV2(path: String, schema: StructType,
       GraftManifest.lastMeta(fs, target, key)
         .flatMap(v => scala.util.Try(v.toLong).toOption)
     // this epoch's deterministic names from a crashed earlier attempt:
-    // published into the root but never committed into any version
+    // published into the root but never committed into any version.
+    // "Live" must mean recorded in ANY retained manifest version, not
+    // just the current head: on an epoch replay after a later commit
+    // already removed this epoch's files from the head snapshot (a
+    // post-epoch auto-compaction, a DELETE, an overwrite), a
+    // head-only check would physically delete files that older
+    // retained — possibly tagged — versions still reference,
+    // bypassing vacuum retention and breaking time travel.
     def sweepResidue(): Unit = {
-      val live = GraftManifest.current(fs, target)
-        .map(_.names.toSet).getOrElse(Set.empty)
+      val live = GraftManifest.versions(fs, target).flatMap { v =>
+        scala.util.Try(GraftManifest.read(fs, target, v).names)
+          .getOrElse(Seq.empty)
+      }.toSet
       if (fs.exists(target)) fs.listStatus(target).foreach { st =>
         val n = st.getPath.getName
         if (st.isFile && n.startsWith(prefix(epochId)) &&

@@ -57,6 +57,20 @@ class BpeSpec extends SparkTestBase {
       "BPE tokens must concatenate back to the original words")
   }
 
+  test("train releases every checkpoint it creates (no storage leak)") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // driver path checkpoints the word table once; the distributed
+    // path additionally re-checkpoints every MaterializeEvery merges
+    Bpe.train(docs, numMerges = 6)
+    Bpe.train(docs, numMerges = Bpe.MaterializeEvery + 4,
+      driverWordLimit = 0L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"train leaked persistent RDDs: $leaked — in a long-lived " +
+        "session these pin memory for the JVM lifetime")
+  }
+
   test("training is deterministic across runs") {
     val docs = Tables.t(spark, sf001, "documents")
     val a = Bpe.train(docs, numMerges = 6).merges

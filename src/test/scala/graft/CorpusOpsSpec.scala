@@ -398,6 +398,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(5L) === ((0, 0, "")))
   }
 
+  test("dedupSubstrings: boilerplate-heavy doc (thousands of flagged " +
+      "windows) completes linearly and alternating spans keep exactly " +
+      "the gap tokens") {
+    // doc 2 repeats a 3-token phrase 2000 times -> ~6000 tokens, every
+    // window start after the canonical one flagged (~thousands of
+    // spans). The merged-interval reassembly must cover this in
+    // O(tokens), not O(tokens × spans).
+    val phrase = "p q r "
+    val d = docs(
+      1L -> (phrase * 2000).trim,
+      // alternating duplicated/unique: "p q r u1 p q r u2 ..." — the
+      // covered spans do NOT merge into one block, exercising many
+      // disjoint intervals and the gap slicing between them
+      2L -> (1 to 50).map(i => s"p q r u$i").mkString(" "))
+    val got = CorpusOps.dedupSubstrings(d, k = 3)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: starts 1/2/3 are the canonical owners of the three
+    // rotations ("p q r", "q r p", "r p q"); every later start
+    // (4..5998) is flagged, merging into ONE covered interval
+    // [4..6000] — one period survives
+    assert(got(1L) === ((6000, 5997, "p q r")))
+    // doc 2: each "p q r" copy (starts 1,5,...,197) is a duplicate of
+    // doc 1's canonical; the uI-containing windows are unique
+    // corpus-wide. Covered = 50 DISJOINT [s..s+2] intervals with a
+    // one-token gap between them — exactly the uI tokens survive
+    assert(got(2L) ===
+      ((200, 150, (1 to 50).map(i => s"u$i").mkString(" "))))
+  }
+
   test("dsir: score is reproducible and model round-trips the counts") {
     import graft.operators.Dsir
     val d = Tables.t(spark, sf001, "documents")

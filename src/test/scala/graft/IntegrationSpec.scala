@@ -22,11 +22,14 @@ class IntegrationSpec extends SparkTestBase {
     // EVERY query carries an oracle since round 7 (the last holdout,
     // q_multimodal_decode, gained a real PPM codec whose bytes a
     // DuckDB oracle rebuilds exactly).
-    // The IVF/PQ/clustering oracles are DATA-DEPENDENT (rendered from
-    // the trained quantizers after queries run, as in graft.Verify),
-    // so they may be absent here where no query has executed.
-    val dataDependent = Set("q_ann_ivf", "q_ann_pq",
-      "q_cluster_kmeans", "q_cluster_sample", "q_quality_model")
+    // Model-rendered oracles are DATA-DEPENDENT (rendered from the
+    // trained quantizers/classifiers after queries run, as in
+    // graft.Verify), so they may be absent here where no query has
+    // executed. The set comes from SparkEntry itself — the same list
+    // that builds those oracles — so it cannot go stale.
+    val dataDependent = SparkEntry.dataDependentOracles
+    assert(dataDependent.subsetOf(qs),
+      s"dataDependent names not in queries: ${dataDependent -- qs}")
     val got = qs -- oracled -- dataDependent
     assert(got.isEmpty, s"queries without oracle: $got")
   }

@@ -220,6 +220,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(strict <= a.count(_._4))
   }
 
+  test("SemDeDup hot cell: 50% of vectors in one cell stays O(size·cap)") {
+    // two cells, each holding 500 IDENTICAL vectors — the worst case
+    // for an unguarded within-cell self-join (250k pairs per cell).
+    // cellCap=16 splits each cell into ~32 blocks probed within-block
+    // and adjacent-block, so pair volume is O(size·cap) and the only
+    // possible extra survivors are block minima.
+    val model = Ann.IvfModel(Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0)))
+    val emb = ((1L to 500L).map(i => (i, Array(1f, 0.1f, 0f, 0f))) ++
+      (501L to 1000L).map(i => (i, Array(0.1f, 1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semantic(emb, model, tau = 0.95, cellCap = 16)
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(got.length === 1000)               // every vector classified
+    val blocks = math.ceil(500.0 / 16).toInt  // 32 per cell
+    Seq(0, 1).foreach { cell =>
+      val fam = got.filter(_._2 == cell)
+      assert(fam.length === 500, s"cell $cell size ${fam.length}")
+      val kept = fam.filter(!_._4).map(_._1)
+      // identical members: only a block's minimum id can escape
+      // shadowing, so survivors are bounded by the block count — and
+      // the family's global minimum id always survives
+      assert(kept.nonEmpty && kept.length <= blocks,
+        s"cell $cell kept ${kept.length} > $blocks block minima")
+      assert(kept.contains(fam.map(_._1).min))
+    }
+  }
+
+  test("SemDeDup capped and uncapped paths agree when no cell splits") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val model = Ann.trainIvfCached(s"$sf001/embeddings#16", emb)
+    val capped = Dedup.semantic(emb, model, tau = 0.35)
+      .orderBy($"vec_id").collect()
+    val plain = Dedup.semantic(emb, model, tau = 0.35, cellCap = 0)
+      .orderBy($"vec_id").collect()
+    assert(capped.toSeq === plain.toSeq)
+  }
+
   test("lshTopK recall@10 vs brute force is reasonable") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
