@@ -18,14 +18,20 @@ import java.util.concurrent.atomic.AtomicBoolean
   * lease ages ([[CasBackend.list]]) are measured on the SERVER clock,
   * so heartbeat staleness is immune to client clock skew.
   *
-  * Durability: the register is in-memory — the stand-in matches
-  * DynamoDB's API contract, not its replication. A service restart
-  * loses in-flight CLAIMS only; already-materialized slots are safe
-  * (the claim is deleted after the copy, and `publishIfAbsent`'s
-  * dst-exists check refuses to re-win a completed slot). Deployments
-  * needing claim durability across coordinator restarts point the same
-  * [[TcpCasBackend]] at a replicated implementation of this 5-verb
-  * protocol.
+  * Durability: with `walPath` set, every acknowledged mutation is
+  * fsync'd to a write-ahead log BEFORE its reply leaves the server —
+  * a winner's `HELD` response implies the claim survives a crash. On
+  * restart the log replays (a torn final line — a crash mid-append —
+  * is an unacknowledged mutation and is skipped) and is compacted to
+  * a snapshot of the live registers. Entry timestamps persist
+  * absolute server time, so after downtime a restored claim's lease
+  * age INCLUDES the outage — exactly the takeover semantics a stale
+  * claim should have. Without `walPath` the register is in-memory
+  * (matching DynamoDB's API contract, not its replication): a
+  * restart loses in-flight CLAIMS only; already-materialized slots
+  * are safe (the claim is deleted after the copy, and
+  * `publishIfAbsent`'s dst-exists check refuses to re-win a completed
+  * slot).
   *
   * Wire protocol (one line per request, URL-encoded fields):
   * {{{
@@ -36,10 +42,65 @@ import java.util.concurrent.atomic.AtomicBoolean
   *   LIST <prefix>          -> N, then N lines: <key> <value> <ageMs>
   * }}}
   */
-final class CasServer(bindPort: Int = 0) extends AutoCloseable {
+final class CasServer(bindPort: Int = 0,
+    walPath: Option[java.nio.file.Path] = None) extends AutoCloseable {
 
   private val entries = new ConcurrentHashMap[String, (String, Long)]()
+
+  // durable mode: replay whatever the previous incarnation
+  // acknowledged, then compact the log to one snapshot line per live
+  // register — BEFORE the socket starts accepting
+  private val wal: Option[java.io.FileOutputStream] = walPath.map { p =>
+    replayWal(p)
+    compactWal(p)
+  }
+
+  private def replayWal(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.lines(p,
+        java.nio.charset.StandardCharsets.UTF_8)
+      try it.forEach { line =>
+        line.split(" ").toSeq match {
+          case Seq("P", ts, k, v) if ts.forall(_.isDigit) =>
+            entries.put(dec(k), (dec(v), ts.toLong))
+          case Seq("D", k) => entries.remove(dec(k))
+          case Seq("R", ts, k) if ts.forall(_.isDigit) =>
+            entries.computeIfPresent(dec(k), (_, e) => (e._1, ts.toLong))
+          case _ => () // torn tail from a crash mid-append: the
+                       // mutation was never acknowledged — drop it
+        }
+      } finally it.close()
+    }
+  }
+
+  private def compactWal(
+      p: java.nio.file.Path): java.io.FileOutputStream = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".compact")
+    val out = new java.io.FileOutputStream(tmp.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      entries.asScala.foreach { case (k, (v, t)) =>
+        out.write(s"P $t ${enc(k)} ${enc(v)}\n".getBytes("UTF-8"))
+      }
+      out.flush(); out.getFD.sync()
+    } finally out.close()
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    new java.io.FileOutputStream(p.toFile, true)
+  }
+
+  /** Append + fsync one mutation record. Called under the entries
+    * lock, before the mutation's reply is written — the ack implies
+    * durability. */
+  private def logMutation(rec: String): Unit = wal.foreach { w =>
+    w.write((rec + "\n").getBytes("UTF-8"))
+    w.flush(); w.getFD.sync()
+  }
   private val socket = new ServerSocket()
+  // a restarted coordinator must be able to re-bind its port
+  // immediately (the restart IS the scenario the WAL exists for)
+  socket.setReuseAddress(true)
   socket.bind(new InetSocketAddress("127.0.0.1", bindPort))
   private val running = new AtomicBoolean(true)
 
@@ -85,7 +146,9 @@ final class CasServer(bindPort: Int = 0) extends AutoCloseable {
       val held = entries.synchronized {
         val prev = entries.get(key)
         if (prev == null) {
-          entries.put(key, (value, System.currentTimeMillis())); value
+          val ts = System.currentTimeMillis()
+          logMutation(s"P $ts ${enc(key)} ${enc(value)}")
+          entries.put(key, (value, ts)); value
         } else prev._1
       }
       s"HELD ${enc(held)}\n"
@@ -95,13 +158,20 @@ final class CasServer(bindPort: Int = 0) extends AutoCloseable {
         case None => "NONE\n"
       }
     case Seq("DEL", k) =>
-      entries.synchronized { entries.remove(dec(k)) }
+      entries.synchronized {
+        logMutation(s"D ${enc(dec(k))}")
+        entries.remove(dec(k))
+      }
       "OK\n"
     case Seq("REFRESH", k, v) =>
       val key = dec(k); val value = dec(v)
       entries.synchronized {
-        entries.computeIfPresent(key, (_, e) =>
-          if (e._1 == value) (e._1, System.currentTimeMillis()) else e)
+        val cur = entries.get(key)
+        if (cur != null && cur._1 == value) {
+          val ts = System.currentTimeMillis()
+          logMutation(s"R $ts ${enc(key)}")
+          entries.put(key, (cur._1, ts))
+        }
       }
       "OK\n"
     case Seq("LIST") | Seq("LIST", _) => // bare LIST = empty prefix
@@ -120,6 +190,7 @@ final class CasServer(bindPort: Int = 0) extends AutoCloseable {
   override def close(): Unit = {
     running.set(false)
     try socket.close() catch { case _: Throwable => () }
+    wal.foreach(w => try w.close() catch { case _: Throwable => () })
   }
 }
 

@@ -251,6 +251,98 @@ class CasServiceSpec extends SparkTestBase {
     }
   }
 
+  test("durable WAL: acknowledged claims survive a kill/restart, a " +
+      "torn tail is dropped, and the log compacts to the live state") {
+    val wal = java.nio.file.Files
+      .createTempDirectory("graft-cas-wal").resolve("cas.wal")
+    val s1 = new CasServer(0, Some(wal))
+    try {
+      val c = new TcpCasBackend("127.0.0.1", s1.port)
+      assert(c.putIfAbsent("slot/a", "w1") === "w1")
+      assert(c.putIfAbsent("slot/b", "w2") === "w2")
+      c.delete("slot/b")
+      c.refresh("slot/a", "w1")
+    } finally s1.close()
+    // crash mid-append: a torn final line was never acknowledged
+    java.nio.file.Files.write(wal, "P 99 torn".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    Thread.sleep(60)
+    val s2 = new CasServer(0, Some(wal))
+    try {
+      val c = new TcpCasBackend("127.0.0.1", s2.port)
+      assert(c.get("slot/a") === Some("w1"), "claim lost across restart")
+      assert(c.get("slot/b") === None, "deleted claim resurrected")
+      assert(c.get("torn") === None, "unacknowledged mutation replayed")
+      assert(c.putIfAbsent("slot/a", "intruder") === "w1",
+        "restart must not allow a double win")
+      // lease age includes the outage (absolute server time persists)
+      assert(c.list("slot/a").head._3 >= 60)
+      // startup compacted the log to one snapshot line per live entry
+      val lines = java.nio.file.Files.readAllLines(wal)
+      assert(lines.size === 1 && lines.get(0).startsWith("P "),
+        s"expected compacted snapshot, got: $lines")
+    } finally s2.close()
+  }
+
+  test("coordinator kill/restart mid-commit-stream: in-flight claim " +
+      "survives, no double-won slot, e2e append/DELETE still green") {
+    val wal = java.nio.file.Files
+      .createTempDirectory("graft-cas-wal2").resolve("cas.wal")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.objstore2.impl", classOf[ObjStore2FileSystem].getName)
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-cas-restart").toString
+    val table = new Path(s"objstore2:$local/t")
+    val fs = table.getFileSystem(hc)
+    val mdir = new Path(table, GraftManifest.Dir)
+    fs.mkdirs(mdir)
+    val dst = new Path(mdir, "v0000000001.txt")
+    val tmp = new Path(mdir, ".tmp-inflight")
+    val out = fs.create(tmp, true)
+    try out.write("inflight".getBytes("UTF-8")) finally out.close()
+    val s1 = new CasServer(0, Some(wal))
+    val port = s1.port
+    // writer 1 claims the slot, then the coordinator dies before the
+    // copy completes
+    new TcpCasBackend("127.0.0.1", port)
+      .putIfAbsent(fs.makeQualified(dst).toUri.toString, ".tmp-inflight")
+    s1.close()
+    val s2 = new CasServer(port, Some(wal)) // restart, same endpoint
+    try {
+      val backend = new TcpCasBackend("127.0.0.1", port)
+      // a racing writer CANNOT double-win the replayed claim
+      assert(backend.putIfAbsent(
+        fs.makeQualified(dst).toUri.toString, ".tmp-racer")
+        === ".tmp-inflight")
+      // the recovery path completes the interrupted slot as usual
+      val store = new ExternalCasCommit(backend, staleClaimMillis = 1)
+      Thread.sleep(10)
+      store.beforeRead(fs, mdir)
+      assert(fs.exists(dst), "replayed claim's slot never materialized")
+      assert(backend.list("") === Seq(), "claim cleared after recovery")
+      // and the full table stack commits through the restarted server
+      hc.set("graft.commit.store.objstore2", "tcp-cas")
+      hc.set("graft.commit.cas.endpoint", s"127.0.0.1:$port")
+      try {
+        val cat = "graft_tcpcas_r"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.v2.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+          s"objstore2:$local/wh")
+        val path = s"objstore2:$local/wh/people"
+        import spark.implicits._
+        val df = (1 to 40).map(i => (i.toLong, s"n-$i")).toDF("id", "name")
+        df.write.format("graft-v2").option("path", path)
+          .mode("append").save()
+        spark.sql(s"DELETE FROM $cat.people WHERE id > 30")
+        assert(spark.read.format("graft-v2").load(path).count() === 30L)
+      } finally {
+        hc.unset("graft.commit.store.objstore2")
+        hc.unset("graft.commit.cas.endpoint")
+      }
+    } finally s2.close()
+  }
+
   test("tcp-cas without an endpoint refuses loudly; a dead endpoint " +
       "fails the commit instead of wedging or guessing") {
     val c = spark.sessionState.newHadoopConf()
