@@ -89,6 +89,39 @@ private[graft] object DuckHash {
   private val cpExpr =
     "list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)"
 
+  /** Oracle for `q_heavy_hitters` (term, cms_count): re-derives the
+    * ENTIRE Count-Min sketch — per-seed splitmix buckets over the
+    * FNV-1a term hash, the `d*w` count cells, the min-over-rows
+    * estimate, collisions and all — in DuckDB integer math, then
+    * takes the same (estimate DESC, term ASC) top-k. `w` must be a
+    * power of two so the unsigned `% w` here equals the Scala side's
+    * signed `& (w-1)` (see [[graft.functions.CmsBuckets]]). */
+  def cmsTopTermsOracle(d: Int, w: Int, k: Int): String = {
+    require((w & (w - 1)) == 0, s"w must be a power of two, got $w")
+    val cpTerm =
+      "list_transform(string_split(term, ''), c -> unicode(c)::HUGEINT)"
+    val rows = (1 to d).map { i =>
+      s"""m$i AS (${mixSteps(i.toLong, Seq("term"), "h0", "vh")}),
+         |vb$i AS (SELECT term, (mx % $w)::INTEGER AS b FROM m$i),
+         |c$i AS (SELECT vb$i.b AS b, count(*)::BIGINT AS c
+         |  FROM occ JOIN vb$i USING (term) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to d).map(i =>
+      s"JOIN vb$i ON vb$i.term = v.term JOIN c$i x$i ON x$i.b = vb$i.b")
+      .mkString("\n")
+    val leastE = (1 to d).map(i => s"x$i.c").mkString("least(", ", ", ")")
+    s"""WITH tok AS (SELECT ${tokensExpr("text")} AS ts FROM documents),
+       |occ AS (SELECT unnest(ts) AS term FROM tok),
+       |vocab AS (SELECT DISTINCT term FROM occ),
+       |vh AS (SELECT term, ${fnvOverCp(cpTerm)} AS h0 FROM vocab),
+       |$rows
+       |SELECT v.term, CAST($leastE AS BIGINT) AS cms_count
+       |FROM vocab v
+       |$joins
+       |ORDER BY cms_count DESC, v.term
+       |LIMIT $k""".stripMargin
+  }
+
   /** Oracle for `q_fingerprint` (doc_id, fp, sh) — window-min rolling
     * fingerprint (w=16) + 64-bit simhash over stopword-split tokens,
     * both bit-identical to the Catalyst expressions. */

@@ -30,11 +30,15 @@ object ScaleProbe {
     "q_dedup_near", "q_dedup_simhash", "q_fingerprint",
     "q_decontaminate", "q_chunk_docs", "q_sample_stratified",
     "q_pii_redact", "q_decontaminate_xl", "q_repetition",
-    // round-12 second-wave corpus ops (clustering queries run on the
-    // UN-inflated embeddings table, so their ratio says nothing — not
-    // probed here)
     "q_common_ngrams", "q_crossdoc_repeat", "q_bm25_search",
     "q_tfidf_keywords", "q_quality_model", "q_corpus_mix",
+    // embedding family — the embeddings table now inflates too (each
+    // copy's vectors rolled by i positions: norm-preserving, distinct
+    // content). q_semdedup's ratio covers the corpus-scaled nlist
+    // (~sqrt n) + capped within-cell probe; q_dedup_embedding the LSH
+    // bucket guard; q_ann_lsh/q_ann_ivf the bucketed retrievers
+    // (per-dir model training amortizes out under min-of-2).
+    "q_semdedup", "q_dedup_embedding", "q_ann_lsh", "q_ann_ivf",
     // round-12 third wave: tokenizer encode (map-only replaces), LM
     // scoring (count-table joins), shard shuffle (one hash shuffle +
     // per-shard sort). q_bpe_train is NOT probed: its post-word-count
@@ -45,8 +49,7 @@ object ScaleProbe {
     // round-12 fourth wave: line dedup (FNV-keyed line frequency +
     // id rollup) and DSIR scoring (map-side DECIMAL fold; the model
     // is retrained per dir — two dim-sized aggregates — so the ratio
-    // covers train + score). q_semdedup runs on the un-inflated
-    // embeddings table, so it is not probed (see clustering note).
+    // covers train + score)
     "q_line_dedup", "q_dsir_weights",
     // fifth wave: exact substring dedup (hash-keyed window
     // frequency+owner rollup, hash probe join, id rollup) and the
@@ -420,8 +423,24 @@ object ScaleProbe {
           if (i == 0) col("text") else translate(col("text"), abc, rot))
     }).write.parquet(s"$out/documents.parquet")
 
+    // embeddings inflate by ROLLING each copy's vectors i positions:
+    // norm-preserving and distinct (a clone corpus would make
+    // SemDeDup/LSH output grow quadratically in the clone count and
+    // say nothing about the capacity guards)
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val embSpan = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    copies(emb, (d, i) => {
+      val r = i % 64
+      val rolled =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      d.withColumn("vec_id", col("vec_id") + lit(i * embSpan))
+        .withColumn("embedding", rolled)
+    }).write.parquet(s"$out/embeddings.parquet")
+
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "events", "embeddings").foreach { t =>
+        "events").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet")
         .write.parquet(s"$out/$t.parquet")
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOfJoin, Bpe, Clustering, CorpusOps, Dedup, Dsir, LangModel, Multimodal, QualityModel, Salting, TextSearch, TextStats}
+import graft.operators.{Ann, AsOfJoin, Bpe, Clustering, CorpusOps, Dedup, Dsir, LangModel, Multimodal, QualityModel, Salting, Sketch, TextSearch, TextStats}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7 + builder prompt): the full SURVEY.md §2
@@ -917,6 +917,21 @@ object SparkEntry {
     TextStats.gopherRules(t(s, dir, "documents"), minWords = 50)
       .orderBy(col("doc_id"))
 
+  /** Count-Min heavy hitters over the corpus token stream: the
+    * map-side-combined d×w sketch (the aggregate state IS the
+    * sketch), estimate = min over rows, top-25 by estimate. w=512 is
+    * deliberately far below the vocabulary so collisions genuinely
+    * fire — the oracle re-derives the whole sketch (FNV + splitmix
+    * buckets, collision counts, min-estimate) in DuckDB integer
+    * math, so the hash check proves the sketch path, not a lucky
+    * exact-count coincidence. */
+  private val qHeavyHitters: Q = (s, dir) =>
+    Sketch.cmsTopTerms(t(s, dir, "documents"),
+      d = CmsD, w = CmsW, k = CmsK)
+  private val CmsD = 4
+  private val CmsW = 512
+  private val CmsK = 25
+
   /** BPE merge count shared by the trainer query, the encode query
     * and both oracles' unrolled SQL re-derivations. */
   private val BpeMerges = 12
@@ -1509,6 +1524,7 @@ object SparkEntry {
     "q_dsir_weights" -> qDsirWeights,
     "q_semdedup" -> qSemDedup,
     "q_gopher_rules" -> qGopherRules,
+    "q_heavy_hitters" -> qHeavyHitters,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -2514,6 +2530,7 @@ object SparkEntry {
         |WHERE s.k NOT IN (SELECT o_orderkey FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "q_dsir_weights" -> DuckHash.dsirOracle(DsirDim, DsirTau),
+    "q_heavy_hitters" -> DuckHash.cmsTopTermsOracle(CmsD, CmsW, CmsK),
     "q_gopher_rules" -> {
       val stops = operators.TextStats.GopherStops
         .map(s => s"'$s'").mkString("[", ", ", "]")

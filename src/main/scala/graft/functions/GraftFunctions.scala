@@ -43,6 +43,10 @@ object GraftFunctions {
   /** Plain 64-bit FNV-1a string hash (the feature-hashing primitive). */
   def text_hash64(text: Column): Column = c(TextHash64(x(text)))
 
+  /** The d Count-Min bucket indices of a term (w a power of two). */
+  def cms_buckets(text: Column, d: Int, w: Int): Column =
+    c(CmsBuckets(x(text), d, w))
+
   /** SQL registration for `cosine_sim`, used by [[graft.GraftExtensions]]. */
   def cosineSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder) = (

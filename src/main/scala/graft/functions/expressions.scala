@@ -105,6 +105,20 @@ object TextHashing {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
+  /** Static entry point for [[CmsBuckets]]'s generated code: row i's
+    * bucket = `mix(fnv64(term), i+1) & (w-1)` (w a power of two). */
+  def cmsBuckets(input: UTF8String, d: Int, w: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h0 = hash64u(input)
+    val out = new Array[Int](d)
+    var i = 0
+    while (i < d) {
+      out(i) = (mix(h0, i + 1L) & (w - 1L)).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   // ---- static entry points for both interpreted eval and generated
   // code (Scala object methods get static forwarders, so whole-stage
   // codegen calls `graft.functions.TextHashing.xxx(...)` directly and
@@ -384,6 +398,31 @@ case class TextHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "text_hash64"
+}
+
+/** The `d` Count-Min sketch bucket indices of a term: row `i`'s bucket
+  * is `mix(fnv64(term), i+1) & (w-1)` — the same FNV + splitmix
+  * family every other hash here uses, so a DuckDB oracle re-derives
+  * the whole sketch bit-for-bit. `w` must be a power of two: the
+  * mask then equals the UNSIGNED mod (2^64 ≡ 0 mod w), which is the
+  * only modulus where JVM-signed and HUGEINT-unsigned arithmetic
+  * agree for free. See [[graft.operators.Sketch]].
+  */
+case class CmsBuckets(child: Expression, d: Int, w: Int)
+    extends UnaryExpression {
+  require(d > 0 && w > 0 && (w & (w - 1)) == 0,
+    s"cms_buckets: d must be positive and w a power of two, got d=$d w=$w")
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.cmsBuckets(input.asInstanceOf[UTF8String], d, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.TextHashing.cmsBuckets($c, $d, $w)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "cms_buckets"
 }
 
 /** Winnowing-style document fingerprint: the minimum Rabin-Karp rolling
