@@ -700,6 +700,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** SQ8 scalar-quantization ANN: exact per-dim [min,max] ranges (one
+    * corpus aggregate — which the oracle re-derives INDEPENDENTLY, so
+    * this oracle is static SQL, not a rendered model), 8-bit codes,
+    * dequantized shortlist, exact rerank. The scan-side claim is
+    * bytes: codes are 1/4 of float32. */
+  private val qAnnSq: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val sq = Ann.trainSqCached(s"$dir/embeddings#sq8", emb)
+    Ann.sqTopK(emb, emb.filter(col("vec_id") < 8), k = 10, sq,
+      rerank = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   private val qTextStats: Q = (s, dir) =>
     TextStats.perLanguage(t(s, dir, "documents"))
       .orderBy(col("lang"))
@@ -1482,6 +1495,7 @@ object SparkEntry {
     "q_ann_recall" -> qAnnRecall,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_pq" -> qAnnPq,
+    "q_ann_sq" -> qAnnSq,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_quality_score" -> qQualityScore,
@@ -1978,6 +1992,43 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
          |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     },
+    // SQ8: the oracle re-derives the WHOLE quantizer independently
+    // (exact per-dim min/max is an order-independent aggregate over
+    // the same doubles), then reproduces every 8-bit code with the
+    // pinned clamp(floor(((x-mn)/span)*255+0.5)) formula, dequantizes,
+    // shortlists and reranks — static SQL, no rendered model
+    "q_ann_sq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+         |  FROM e, unnest(generate_series(1, 64)) AS g(i)
+         |  GROUP BY i),
+         |sa AS (SELECT list(mn ORDER BY i) AS mns,
+         |    list(mx ORDER BY i) AS mxs FROM st),
+         |r AS (SELECT vec_id, v,
+         |    [CASE WHEN (mxs[i] - mns[i]) <= 0 THEN mns[i]
+         |          ELSE mns[i] + (least(255.0, greatest(0.0,
+         |            floor(((v[i] - mns[i]) / (mxs[i] - mns[i]))
+         |              * 255 + 0.5))) / 255.0) * (mxs[i] - mns[i]) END
+         |     FOR i IN generate_series(1, 64)] AS recon
+         |  FROM e, sa),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, recon FROM r),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |  WHERE vec_id < 8),
+         |s AS (SELECT query_id, neighbor_id, qv, cv,
+         |    list_cosine_similarity(qv, recon) AS acos
+         |  FROM q JOIN c ON query_id <> neighbor_id),
+         |sh AS (SELECT query_id, neighbor_id, qv, cv,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY acos DESC, neighbor_id) AS arnk FROM s),
+         |rr AS (SELECT query_id, neighbor_id,
+         |    list_cosine_similarity(qv, cv) AS rawcos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY list_cosine_similarity(qv, cv) DESC,
+         |        neighbor_id) AS INTEGER) AS rnk
+         |  FROM sh WHERE arnk <= 40)
+         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
+         |FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // recall@10 of LSH vs brute force: both retrievers recomputed in
     // SQL (the LSH CTEs verbatim from q_ann_lsh, the exact top-10
     // verbatim from q_cosine_topk), then intersected per query

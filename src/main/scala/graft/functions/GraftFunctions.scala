@@ -47,6 +47,10 @@ object GraftFunctions {
   def cms_buckets(text: Column, d: Int, w: Int): Column =
     c(CmsBuckets(x(text), d, w))
 
+  /** Hilbert index of an array of `[0, 2^bits)` lane values. */
+  def hilbert_index(lanes: Column, bits: Int): Column =
+    c(HilbertIndex(x(lanes), bits))
+
   /** SQL registration for `cosine_sim`, used by [[graft.GraftExtensions]]. */
   def cosineSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo,
       FunctionRegistry.FunctionBuilder) = (

@@ -400,6 +400,26 @@ case class TextHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_hash64"
 }
 
+/** Hilbert curve index of an array of lane values (each already
+  * normalized into `[0, 2^bits)` longs) — [[SpaceCurves.hilbertIndex]]
+  * as a codegen'd expression for clustering rewrites. */
+case class HilbertIndex(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1, s"hilbert_index: bits must be >= 1, got $bits")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    SpaceCurves.hilbertFromArray(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.SpaceCurves.hilbertFromArray($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "hilbert_index"
+}
+
 /** The `d` Count-Min sketch bucket indices of a term: row `i`'s bucket
   * is `mix(fnv64(term), i+1) & (w-1)` — the same FNV + splitmix
   * family every other hash here uses, so a DuckDB oracle re-derives

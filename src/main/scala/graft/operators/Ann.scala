@@ -242,6 +242,102 @@ object Ann {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
         model.codebooks))
 
+  /** Trained scalar quantizer (SQ8): per-dimension `[min, max]` over
+    * the corpus — the FAISS `ScalarQuantizer(QT_8bit)` model. Unlike
+    * the sampled IVF/PQ fits, the ranges are EXACT one-pass corpus
+    * aggregates (dim-bounded result, order-independent min/max), so a
+    * SQL oracle re-derives the whole model independently — no
+    * rendered-model oracle needed. */
+  final case class SqModel(mins: Array[Double], maxs: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** One corpus pass: per-dimension min/max (partial-agg combined;
+    * the result is `2*dim` doubles on the driver). */
+  def trainSq(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): SqModel = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(vecCol), i + 1).cast("double")),
+      max(element_at(col(vecCol), i + 1).cast("double"))))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).head()
+    SqModel(
+      Array.tabulate(dim)(i => r.getDouble(2 * i)),
+      Array.tabulate(dim)(i => r.getDouble(2 * i + 1)))
+  }
+
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SqModel]()
+
+  /** [[trainSq]] memoized on a caller-chosen key. */
+  def trainSqCached(key: String, corpus: => DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): SqModel =
+    sqCache.computeIfAbsent(key,
+      _ => trainSq(corpus, idCol = idCol, vecCol = vecCol))
+
+  /** 8-bit code of a vector: per dim,
+    * `clamp(floor(((x-mn)/span)*255 + 0.5), 0, 255)` (degenerate span
+    * → 0). Pure codegen'd HOF — map-side; 4× fewer scan bytes than
+    * float32 when persisted. The formula is pinned EXACTLY (operation
+    * order included) so the SQL oracle reproduces every code
+    * bit-for-bit in IEEE double math. */
+  def sqEncode(vec: Column, model: SqModel): Column = {
+    val mns = typedLit(model.mins.toSeq)
+    val mxs = typedLit(model.maxs.toSeq)
+    transform(vec.cast("array<double>"), (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val span = element_at(mxs, i + 1) - mn
+      when(span <= 0, lit(0L)).otherwise(
+        least(lit(255.0),
+          greatest(lit(0.0), floor((x - mn) / span * 255 + 0.5))))
+        .cast("int")
+    })
+  }
+
+  /** Dequantize an SQ8 code back to the cell midpoint representation:
+    * `mn + (code/255.0)*span`. */
+  def sqDecode(codes: Column, model: SqModel): Column = {
+    val mns = typedLit(model.mins.toSeq)
+    val mxs = typedLit(model.maxs.toSeq)
+    transform(codes, (c, i) => {
+      val mn = element_at(mns, i + 1)
+      val span = element_at(mxs, i + 1) - mn
+      when(span <= 0, mn)
+        .otherwise(mn + c.cast("double") / 255.0 * span)
+    })
+  }
+
+  /** SQ8 ANN: score queries against the DEQUANTIZED codes (the
+    * codes-only scan a deployment runs — 1/4 the bytes of float32),
+    * shortlist `rerank*k` per query, exact cosine rerank to top-k.
+    * Same asymmetric-shortlist-then-rerank shape as [[pqTopK]]; the
+    * scale story is scan bytes, not candidate pruning (compose with
+    * IVF cells for that). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      model: SqModel, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      sqDecode(sqEncode(col(vecCol), model), model).as("recon"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val scored = cand.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", cosine_sim(col("qv"), col("recon")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= rerank * k)
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rnk"))
+  }
+
   /** The persistable IVF-PQ CODES TABLE: `(id, cell, code)` — what a
     * deployment writes once and scans thereafter. Per vector it is one
     * int cell + m ints of code instead of `dim` floats: the scan-side

@@ -599,14 +599,24 @@ object GraftSink {
   }
 
   /** OPTIMIZE-style CLUSTERING rewrite (space-filling curve): rewrites
-    * the WHOLE table ordered by the Z-VALUE of `clusterCols` — the
-    * bit-interleave of each column normalized to a 16-bit range — and
-    * range-partitions the output so every file covers one contiguous
-    * z-range. Footer [min,max] statistics on EVERY cluster column are
-    * then locally narrow per file, so stats pruning skips files for
-    * predicates on ANY of the keys (the second-key pruning a single
-    * sort column cannot give): with k=2, a point predicate on either
-    * key keeps ~√(files) instead of all of them.
+    * the WHOLE table ordered by the curve VALUE of `clusterCols` —
+    * each column normalized to a 16-bit lane, lanes combined by the
+    * chosen `curve` — and range-partitions the output so every file
+    * covers one contiguous curve range. Footer [min,max] statistics
+    * on EVERY cluster column are then locally narrow per file, so
+    * stats pruning skips files for predicates on ANY of the keys (the
+    * second-key pruning a single sort column cannot give): with k=2,
+    * a point predicate on either key keeps ~√(files) instead of all
+    * of them.
+    *
+    * `curve`: `"zorder"` (bit interleave — one codegen'd expression
+    * chain, the default) or `"hilbert"`
+    * ([[graft.functions.SpaceCurves]]): consecutive Hilbert indices
+    * always differ by ONE step in ONE axis, so a file's contiguous
+    * index range maps to a tighter axis-aligned region than the
+    * Z-curve's diagonal jumps — narrower per-file stats on every key
+    * from the same rewrite (the published reason OPTIMIZE
+    * implementations moved z→Hilbert).
     *
     * Cost: one full rewrite (one range shuffle + per-partition sort) —
     * the standard OPTIMIZE ZORDER trade, paid once to make every
@@ -620,10 +630,14 @@ object GraftSink {
     * Returns (filesBefore, filesAfter). */
   def compactClustered(spark: SparkSession, dir: String,
       clusterCols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col => c, conv, greatest, hex, least, lit, max, min, rpad, shiftleft, shiftright, substring}
+      targetBytes: Long = 128L * 1024 * 1024,
+      curve: String = "zorder"): (Int, Int) = {
+    import org.apache.spark.sql.functions.{array, col => c, conv, greatest, hex, least, lit, max, min, rpad, shiftleft, shiftright, substring}
     import org.apache.spark.sql.types._
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(curve == "zorder" || curve == "hilbert",
+      s"graft compactClustered: unknown curve '$curve' " +
+      "(want zorder | hilbert)")
     val hadoopConf = spark.sessionState.newHadoopConf()
     val target = new Path(dir)
     val fs = target.getFileSystem(hadoopConf)
@@ -686,18 +700,26 @@ object GraftSink {
       least(lit(cap), greatest(lit(0L),
         ((d - lit(mn)) / lit(span) * lit(cap.toDouble)).cast(LongType)))
     }
-    // z = bit interleave: bit b of column i lands at position b*k + i
-    var z: org.apache.spark.sql.Column = lit(0L)
-    var b = 0
-    while (b < bits) {
-      var i = 0
-      while (i < k) {
-        z = z.bitwiseOR(shiftleft(
-          shiftright(scaled(i), b).bitwiseAND(lit(1L)), b * k + i))
-        i += 1
+    // z = bit interleave (bit b of column i lands at position b*k + i)
+    // or the Hilbert index over the same 16-bit lanes
+    val z: org.apache.spark.sql.Column =
+      if (curve == "hilbert") {
+        graft.functions.GraftFunctions.hilbert_index(
+          array(scaled: _*), bits)
+      } else {
+        var acc: org.apache.spark.sql.Column = lit(0L)
+        var b = 0
+        while (b < bits) {
+          var i = 0
+          while (i < k) {
+            acc = acc.bitwiseOR(shiftleft(
+              shiftright(scaled(i), b).bitwiseAND(lit(1L)), b * k + i))
+            i += 1
+          }
+          b += 1
+        }
+        acc
       }
-      b += 1
-    }
     val totalBytes = all.map(_.getLen).sum
     val outFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt

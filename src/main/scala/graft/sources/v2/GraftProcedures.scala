@@ -127,7 +127,11 @@ private[v2] object GraftProcedures {
         ProcedureParameter.in("columns", StringType)
           .comment("comma-separated cluster columns").build(),
         ProcedureParameter.in("target_mb", IntegerType)
-          .defaultValue("128").build())
+          .defaultValue("128").build(),
+        ProcedureParameter.in("curve", StringType)
+          .defaultValue("'zorder'")
+          .comment("space-filling curve: zorder | hilbert (tighter " +
+            "per-file regions, same rewrite cost)").build())
       case "bloom_index" => Array(tableParam,
         ProcedureParameter.in("columns", StringType)
           .comment("comma-separated columns to index").build(),
@@ -229,9 +233,11 @@ private[v2] object GraftProcedures {
           val cols = input.getUTF8String(1).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val targetMb = input.getInt(2)
+          val curve = input.getUTF8String(3).toString
           val (before, after) = graft.sources.GraftSink.compactClustered(
             spark, dir.toString, cols,
-            targetBytes = targetMb.toLong * 1024 * 1024)
+            targetBytes = targetMb.toLong * 1024 * 1024,
+            curve = curve)
           one(resultScan(
             StructType(Seq(
               StructField("files_before", IntegerType, false),

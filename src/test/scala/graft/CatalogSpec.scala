@@ -1891,6 +1891,16 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.table("graft.proc.t").count() == 2998)
     assert(spark.table("graft.proc.t").agg(sum(col("v"))).head
       .getLong(0) == (0L until 3000L).sum - 5L - 2100L)
+    // the Hilbert curve rides the same procedure; a bad curve refuses
+    val zh = spark.sql("CALL graft.system.zorder(table => 'proc.t', " +
+      "columns => 'id,v', curve => 'hilbert')").collect()
+    assert(zh.head.getInt(1) >= 1, zh.toSeq.toString)
+    assert(spark.table("graft.proc.t").count() == 2998)
+    val ec = intercept[Exception] {
+      spark.sql("CALL graft.system.zorder(table => 'proc.t', " +
+        "columns => 'id', curve => 'peano')").collect()
+    }
+    assert(ec.getMessage.contains("peano"), ec.getMessage)
     // compact runs through the same surface
     spark.sql("CALL graft.system.compact(table => 'proc.t')").collect()
     assert(spark.table("graft.proc.t").count() == 2998)

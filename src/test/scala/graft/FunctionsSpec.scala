@@ -38,6 +38,42 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(a - 1000).toDouble / 1000 < 0.26, s"got $a")
   }
 
+  test("hilbert curve: bijective on the full grid, consecutive " +
+      "indices one unit step apart, expression matches the reference") {
+    import graft.functions.SpaceCurves
+    // bijectivity + adjacency, 2-D 16x16 and 3-D 8x8x8. Adjacency is
+    // THE Hilbert property (Z-order violates it at every power-of-two
+    // boundary): consecutive indices differ by exactly one step in
+    // exactly one axis — what makes a file's contiguous index range a
+    // tight axis-aligned region.
+    for ((n, bits) <- Seq((2, 4), (3, 3))) {
+      val total = 1L << (n * bits)
+      val pts = (0L until total).map(h =>
+        SpaceCurves.hilbertAxes(h, n, bits).toSeq)
+      assert(pts.distinct.size == total, s"not a bijection n=$n")
+      pts.foreach(p => p.foreach(v =>
+        assert(v >= 0 && v < (1 << bits))))
+      pts.sliding(2).foreach { case Seq(a, b) =>
+        val d = a.zip(b).map { case (u, v) => math.abs(u - v) }.sum
+        assert(d == 1, s"jump between $a and $b (n=$n)")
+      }
+      // round trip: axes -> index -> axes
+      (0L until total).foreach { h =>
+        assert(SpaceCurves.hilbertIndex(
+          SpaceCurves.hilbertAxes(h, n, bits), bits) == h)
+      }
+    }
+    // codegen'd expression agrees with the reference implementation
+    import spark.implicits._
+    val got = Seq((3L, 7L), (0L, 0L), (15L, 15L)).toDF("a", "b")
+      .select(graft.functions.GraftFunctions
+        .hilbert_index(array($"a", $"b"), 4).as("h"))
+      .as[Long].collect()
+    val want = Seq(Array(3L, 7L), Array(0L, 0L), Array(15L, 15L))
+      .map(SpaceCurves.hilbertIndex(_, 4))
+    assert(got.toSeq === want)
+  }
+
   test("cosine_sim matches a hand computation and is symmetric") {
     val df = Seq(
       (Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0), 1.0),

@@ -388,6 +388,44 @@ class GraftSinkSpec extends SparkTestBase {
       df.filter($"y" < 50).count())
   }
 
+  test("compactClustered(curve=hilbert): prunes on BOTH keys and " +
+      "files cover tighter regions than unclustered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hilbert")
+      .resolve("t").toString
+    val df = spark.range(0, 200000).select(
+      $"id",
+      (abs(hash($"id")) % 1000).as("x"),
+      (abs(hash($"id" + 999983L)) % 1000).as("y"))
+    df.repartition(16).write.parquet(dir)
+    def groupsFor(filter: Option[org.apache.spark.sql.Column]): Int = {
+      val t = spark.read.format("graft-v2").option("path", dir).load()
+      filter.map(t.filter).getOrElse(t).rdd.getNumPartitions
+    }
+    assert(groupsFor(Some($"x" < 50)) == groupsFor(None))
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (before, after) = GraftSink.compactClustered(spark, dir,
+      Seq("x", "y"), targetBytes = math.max(1L, bytes / 24),
+      curve = "hilbert")
+    assert(before == 16 && after >= 16, s"($before, $after)")
+    val t = spark.read.format("graft-v2").option("path", dir).load()
+    assert(t.count() == 200000)
+    assert(t.agg(sum($"id")).head.getLong(0) == (0L until 200000L).sum)
+    val totalAfter = groupsFor(None)
+    val px = groupsFor(Some($"x" < 50))
+    val py = groupsFor(Some($"y" < 50))
+    assert(px <= totalAfter / 2,
+      s"x-pruning too weak: $px of $totalAfter groups")
+    assert(py <= totalAfter / 2,
+      s"y-pruning too weak: $py of $totalAfter groups")
+    assert(t.filter($"x" < 50).count() == df.filter($"x" < 50).count())
+    assert(t.filter($"y" < 50).count() == df.filter($"y" < 50).count())
+    intercept[IllegalArgumentException] {
+      GraftSink.compactClustered(spark, dir, Seq("x"), curve = "peano")
+    }
+  }
+
   test("compactClustered: a STRING cluster key rides the byte-prefix " +
       "lane and prunes alongside a numeric one") {
     import spark.implicits._

@@ -258,6 +258,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(capped.toSeq === plain.toSeq)
   }
 
+  test("SQ8: codes in [0,255], reconstruction near-faithful, top-k " +
+      "recall vs brute force is high, deterministic") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val sq = Ann.trainSqCached(s"$sf001/embeddings#sq8", emb)
+    assert(sq.dim === 64)
+    sq.mins.zip(sq.maxs).foreach { case (mn, mx) => assert(mn <= mx) }
+    val enc = emb.select($"vec_id",
+      Ann.sqEncode($"embedding", sq).as("code"),
+      graft.functions.GraftFunctions.cosine_sim($"embedding",
+        Ann.sqDecode(Ann.sqEncode($"embedding", sq), sq)).as("fid"))
+    val rows = enc.collect()
+    rows.foreach { r =>
+      val code = r.getSeq[Int](1)
+      assert(code.length === 64 &&
+        code.forall(c => c >= 0 && c <= 255), s"vec ${r.getLong(0)}")
+      // 8 bits per dim: the dequantized vector is nearly parallel to
+      // the original
+      assert(r.getDouble(2) >= 0.999,
+        s"vec ${r.getLong(0)} recon cosine ${r.getDouble(2)}")
+    }
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val approx = Ann.sqTopK(emb, queries, 10, sq)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, f"SQ8 recall too low: $recall%.2f")
+    val a = Ann.sqTopK(emb, queries, 10, sq)
+      .orderBy($"query_id", $"rnk").collect().toSeq
+    val b = Ann.sqTopK(emb, queries, 10, sq)
+      .orderBy($"query_id", $"rnk").collect().toSeq
+    assert(a === b)
+  }
+
   test("lshTopK recall@10 vs brute force is reasonable") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
