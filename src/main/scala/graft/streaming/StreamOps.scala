@@ -90,6 +90,36 @@ object StreamOps {
     intervalJoin(left, leftTsCol, right, rightTsCol, key, maxDelay,
       watermark, joinType = "left_outer")
 
+  /** Windowed Count-Min sketch maintenance over a token stream — the
+    * streaming face of [[graft.operators.Sketch]]: per event-time
+    * window, the (row, bucket) count cells of the d×w sketch. The
+    * aggregation state is BOUNDED at d·w cells per open window no
+    * matter the stream volume (the defining property of sketch
+    * maintenance — a naive per-term streaming count grows state with
+    * the vocabulary), and the watermark evicts closed windows. The
+    * same formulation runs identically on a batch frame, which is
+    * what StreamingSpec's parity test checks; downstream consumers
+    * probe the emitted cells exactly like the batch sketch
+    * ([[graft.operators.Sketch.cmsTopTerms]]'s literal lookup). */
+  def cmsCells(docs: DataFrame, d: Int = 4, w: Int = 512,
+      every: String = "10 minutes", watermark: String = "10 minutes",
+      tsCol: String = "ts", textCol: String = "text"): DataFrame = {
+    val src =
+      if (docs.isStreaming) docs.withWatermark(tsCol, watermark)
+      else docs
+    src
+      .select(col(tsCol),
+        explode(graft.operators.CorpusOps.tokens(col(textCol)))
+          .as("term"))
+      .select(col(tsCol),
+        posexplode(graft.functions.GraftFunctions
+          .cms_buckets(col("term"), d, w)).as(Seq("i", "b")))
+      .groupBy(window(col(tsCol), every).as("win"), col("i"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("wstart"), col("i"), col("b"),
+        col("cnt"))
+  }
+
   /** Stateful exact dedup by event_id within the watermark horizon. */
   def dedupWithinWatermark(stream: DataFrame, watermark: String): DataFrame =
     stream
@@ -219,10 +249,16 @@ object StreamOps {
       GraftManifest.lastMeta(fs, target, key)
         .flatMap(v => scala.util.Try(v.toLong).toOption)
     // this batch's residue from a crashed earlier attempt: staged into
-    // the root but never committed into any manifest version
+    // the root but never committed into any manifest version. "Live"
+    // means recorded in ANY retained version — not just the head: a
+    // later commit (compaction, DELETE) may have removed this batch's
+    // files from the head snapshot while older retained versions
+    // still reference them (same invariant as the V2 sink's sweep).
     def sweepResidue(): Unit = {
-      val live = GraftManifest.current(fs, target)
-        .map(_.names.toSet).getOrElse(Set.empty)
+      val live = GraftManifest.versions(fs, target).flatMap { v =>
+        scala.util.Try(GraftManifest.read(fs, target, v).names)
+          .getOrElse(Seq.empty)
+      }.toSet
       if (fs.exists(target)) fs.listStatus(target).foreach { st =>
         val n = st.getPath.getName
         if (st.isFile && n.startsWith(prefix) && !live.contains(n)) {

@@ -51,6 +51,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got(Timestamp.valueOf("2024-01-01 10:05:00")) == 1)
   }
 
+  test("streaming CMS cells: bounded state per window, exact " +
+      "stream-batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(ts: Timestamp, text: String)
+    val docs = Seq(
+      Doc(ts(1), "alpha beta alpha"),
+      Doc(ts(2), "beta gamma"),
+      Doc(ts(7), "alpha alpha delta"),
+      Doc(ts(8), "epsilon"))
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.cmsCells(
+        input.toDF().toDF("ts", "text"), d = 2, w = 8,
+        every = "5 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    try {
+      input.addData(docs.map(d => (d.ts, d.text)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_stream")
+    val batch = StreamOps.cmsCells(
+      docs.map(d => (d.ts, d.text)).toDF("ts", "text"),
+      d = 2, w = 8, every = "5 minutes")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "stream and batch sketch cells differ")
+    // the defining sketch property: state per window is bounded by
+    // d*w cells no matter how many distinct terms arrived
+    val perWindow = streamed.groupBy($"wstart").count()
+      .select($"count").as[Long].collect()
+    assert(perWindow.forall(_ <= 2 * 8), perWindow.toSeq.toString)
+    // and the cells genuinely carry the counts: total = token count
+    assert(streamed.filter($"i" === 0)
+      .agg(sum($"cnt")).head.getLong(0) === 9L)
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
