@@ -1098,6 +1098,21 @@ object SparkEntry {
     TextSearch.tfIdfKeywords(t(s, dir, "documents"), m = 3)
       .orderBy(col("doc_id"), col("rk"))
 
+  /** BM25 served from the PERSISTED term-bucketed postings index —
+    * built on 2/3 of the corpus and INCREMENTALLY extended with the
+    * remaining 1/3, so the hash check (vs the full-corpus oracle)
+    * proves the extend path contributed exactly its documents'
+    * postings and the index scores identically to the corpus scan
+    * with zero corpus access at query time. */
+  private val qPostingsSearch: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-postings")
+      .resolve("idx").toString
+    TextSearch.buildPostings(docs.filter(col("doc_id") % 3 =!= 0), idx)
+    TextSearch.extendPostings(docs.filter(col("doc_id") % 3 === 0), idx)
+    TextSearch.bm25FromIndex(s, idx, "hash join stream", k = 25)
+  }
+
   private val qLangId: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), lang_guess(col("text")).as("guessed"))
@@ -1510,6 +1525,7 @@ object SparkEntry {
     "q_pii_redact" -> qPiiRedact,
     "q_common_ngrams" -> qCommonNgrams,
     "q_bm25_search" -> qBm25,
+    "q_postings_search" -> qPostingsSearch,
     "q_tfidf_keywords" -> qTfidf,
     "q_quality_model" -> qQualityModel,
     "q_corpus_mix" -> qCorpusMix,
@@ -1861,6 +1877,27 @@ object SparkEntry {
     // association order as the Spark expressions so the doubles match
     // bit-for-bit before the final round()
     "q_bm25_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+        |s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(ts) AS term FROM d)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id, round(sum(
+        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1))
+        |      / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN s GROUP BY doc_id)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // the index-served retrieval must reproduce the corpus-scan BM25
+    // exactly — one oracle, two execution paths (scan vs persisted
+    // bucket-pruned postings built 2/3 + extended 1/3)
+    "q_postings_search" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
         |      x -> x <> '') AS ts

@@ -40,9 +40,7 @@ object TextSearch {
   def bm25(docs: DataFrame, query: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      .distinct.toSeq
-    require(qTerms.nonEmpty, "bm25 query must contain at least one term")
+    val qTerms = queryTerms(query)
 
     // materialize the token array ONCE per row before fanning out to
     // size/explode — the split expression re-evaluates per reference
@@ -62,9 +60,23 @@ object TextSearch {
       .filter(col("term").isin(qTerms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // tf is one row per (doc, query term), so count(*) IS the doc freq
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreBm25(tf, stats, k, k1, b, idCol)
+  }
 
+  private def queryTerms(query: String): Seq[String] = {
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(qTerms.nonEmpty, "bm25 query must contain at least one term")
+    qTerms
+  }
+
+  /** The shared Okapi scoring tail: `tf` carries one row per
+    * (doc, query term) with the doc length, `stats` the (n, avgdl)
+    * scalars. Doc frequency falls out of `tf` itself (count of rows
+    * per term), so corpus and index retrieval score IDENTICALLY. */
+  private def scoreBm25(tf: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double, idCol: String): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1) +
       (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val norm = col("tf") +
@@ -75,6 +87,86 @@ object TextSearch {
       .agg(round(sum(idf * (col("tf") * (k1 + 1)) / norm), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** PERSISTED INVERTED INDEX — the postings-list layout every search
+    * engine builds once and serves from, here as a graft-v2 table:
+    *
+    *  - `<path>/postings`: one row per (term, doc) — `(term, doc_id,
+    *    dl, tf)` — BUCKETED BY TERM (and bucket-sorted by (term, id)),
+    *    so a query's `term IN (...)` scan opens only the ≤ |terms|
+    *    buckets that can hold its postings (graft's bucket pruning);
+    *    the 100 TB corpus is tokenized ONCE at build, never at query.
+    *  - `<path>/stats`: append-only `(n_docs, total_dl)` rows; the
+    *    query-time (N, avgdl) fold is an exact integer sum, so the
+    *    derived avgdl equals the corpus-scan `avg(dl)` bit-for-bit.
+    *
+    * [[extendPostings]] appends NEW documents' postings into the same
+    * bucket layout plus one stats row — index maintenance is
+    * incremental in the delta's size (the contract is append-only
+    * corpora: re-adding an indexed doc would double-count it; dedup
+    * upstream). [[bm25FromIndex]] then serves the exact [[bm25]]
+    * scores with zero corpus access. */
+  def buildPostings(docs: DataFrame, path: String, numBuckets: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writePostings(docs, path, numBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite, idCol, textCol)
+
+  /** Incrementally index NEW documents (append-only contract — see
+    * [[buildPostings]]): their postings land in the existing bucket
+    * layout, their (count, total length) in one appended stats row. */
+  def extendPostings(newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val layout = graft.sources.BucketLayout.read(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft extendPostings: no postings index at $path — " +
+        "buildPostings first"))
+    writePostings(newDocs, path, layout.numBuckets,
+      org.apache.spark.sql.SaveMode.Append, idCol, textCol)
+  }
+
+  private def writePostings(docs: DataFrame, path: String,
+      numBuckets: Int, mode: org.apache.spark.sql.SaveMode,
+      idCol: String, textCol: String): Unit = {
+    val toks = docs.select(col(idCol),
+      CorpusOps.tokens(col(textCol)).as("_ts"))
+    val tf = toks
+      .select(col(idCol), size(col("_ts")).as("dl"),
+        explode_outer(col("_ts")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    graft.sources.GraftSink.saveBucketedFiles(tf, s"$path/postings",
+      numBuckets, Seq("term"), sortCols = Seq("term", idCol),
+      mode = mode)
+    toks.select(size(col("_ts")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/stats")
+  }
+
+  /** BM25 served ENTIRELY from the index: the postings scan is
+    * bucket-pruned to the query terms, (N, avgdl) folds from the
+    * stats rows, and the scoring tail is [[bm25]]'s own — identical
+    * scores, zero corpus access. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val qTerms = queryTerms(query)
+    val tf = spark.read.format("graft-v2")
+      .option("path", s"$path/postings").load()
+      .filter(col("term").isin(qTerms: _*))
+    // exact integer fold -> ONE double division, the same value (and
+    // bits) as avg(dl) over the corpus
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n"),
+        (sum(col("total_dl")).cast("double") /
+          sum(col("n_docs")).cast("double")).as("avgdl"))
+    scoreBm25(tf, stats, k, k1, b, idCol)
   }
 
   /** Per-document TF-IDF keywords: the `m` terms of each document with

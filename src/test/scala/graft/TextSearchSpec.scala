@@ -45,6 +45,52 @@ class TextSearchSpec extends SparkTestBase {
     assert(got.map(_._2) === got.map(_._2).sorted.reverse)
   }
 
+  test("postings index: index-served BM25 equals the corpus scan, " +
+      "incremental extend equals a full build, term scan is " +
+      "bucket-pruned") {
+    import graft.operators.TextSearch
+    val docs = Tables.t(spark, sf001, "documents")
+    val q = "hash join stream"
+    val direct = TextSearch.bm25(docs, q, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // full build
+    val full = java.nio.file.Files.createTempDirectory("graft-pidx")
+      .resolve("full").toString
+    TextSearch.buildPostings(docs, full)
+    val fromIdx = TextSearch.bm25FromIndex(spark, full, q, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIdx === direct, "index-served scores diverge from scan")
+
+    // build 2/3 + extend 1/3 == full build (same search output, and
+    // the postings contents themselves are identical)
+    val inc = java.nio.file.Files.createTempDirectory("graft-pidx")
+      .resolve("inc").toString
+    TextSearch.buildPostings(docs.filter($"doc_id" % 3 =!= 0), inc)
+    TextSearch.extendPostings(docs.filter($"doc_id" % 3 === 0), inc)
+    val fromInc = TextSearch.bm25FromIndex(spark, inc, q, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromInc === direct, "extended index diverges from scan")
+    val pFull = spark.read.format("graft-v2").load(s"$full/postings")
+    val pInc = spark.read.format("graft-v2").load(s"$inc/postings")
+    assert(pFull.exceptAll(pInc).isEmpty && pInc.exceptAll(pFull).isEmpty,
+      "incremental postings differ from the full build")
+    // extending a non-existent index refuses with guidance
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.extendPostings(docs, s"$inc-nope")
+    }
+    assert(e.getMessage.contains("buildPostings"), e.getMessage)
+
+    // bucket pruning: the query-term scan plans fewer partitions than
+    // the full postings scan (terms hash into <= 3 of 16 buckets)
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    val all = spark.read.format("graft-v2").load(s"$full/postings")
+    val pruned = all.filter($"term".isin("hash", "join", "stream"))
+    assert(parts(pruned) < parts(all),
+      s"term scan not bucket-pruned: ${parts(pruned)} of ${parts(all)}")
+  }
+
   test("tfIdfKeywords: smooth-idf scores, per-doc top-m, zero-idf " +
       "corpus-universal terms rank below distinctive ones") {
     val d = docs(1L -> "a a b", 2L -> "b c")
