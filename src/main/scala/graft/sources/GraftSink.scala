@@ -486,12 +486,21 @@ object GraftSink {
     * subset (rows must regroup under the bucket hash), never the full
     * table.
     *
+    * `where` scopes the maintenance to files whose FOOTER STATS may
+    * hold predicate-matching rows (Delta's `OPTIMIZE WHERE` shape):
+    * rows are never filtered — the predicate selects FILES, so a
+    * retention job can compact the hot ingest range (`ts >=
+    * yesterday`) without touching the cold tail's exabytes. A file
+    * whose stats provably exclude the predicate is skipped even when
+    * small; incomparable stats conservatively INCLUDE the file.
+    *
     * Returns (filesBefore, filesAfter) for the compacted subset; a
     * no-op (0 or 1 mergeable small file) returns without running a job.
     */
   def compact(spark: SparkSession, dir: String,
       smallBytes: Long = 32L * 1024 * 1024,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None): (Int, Int) = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val target = new Path(dir)
     val fs = target.getFileSystem(hadoopConf)
@@ -517,8 +526,20 @@ object GraftSink {
         "use compactClustered (rewrites under logical names and " +
         "clears the mapping)")
     }
-    val small = fs.listStatus(target)
+    val allSmall = fs.listStatus(target)
       .filter(st => isDataPart(st.getPath.getName) && st.getLen < smallBytes)
+    val small = where match {
+      case None => allSmall
+      case Some(sql) =>
+        val cond = PredicateFiles.parsePredicate(spark, sql)
+        // scope = files whose stats MAY hold matching rows (whole
+        // files move; rows are never filtered) — keep-classified
+        // files are provably disjoint from the predicate
+        val (keepOut, _, _) = PredicateFiles.classify(cond,
+          allSmall.map(_.getPath).toSeq)
+        val skip = keepOut.toSet
+        allSmall.filterNot(st => skip.contains(st.getPath))
+    }
     if (small.length <= 1) return (small.length, small.length)
     val layout = BucketLayout.read(fs, target)
     if (layout.isDefined) {

@@ -165,6 +165,12 @@ private[v2] object GraftProcedures {
           .comment("skip when the row count drifted less than this " +
             "fraction since the last analyze — makes scheduled " +
             "re-analyze a metadata no-op on quiet tables").build())
+      case "compact" => Array(tableParam,
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''")
+          .comment("scope the merge to files whose stats may hold " +
+            "matching rows (OPTIMIZE WHERE; empty = whole table)")
+          .build())
       case "tag" => Array(tableParam,
         ProcedureParameter.in("name", StringType)
           .comment("tag name: starts with a letter; letters, digits, " +
@@ -222,8 +228,11 @@ private[v2] object GraftProcedures {
               Array(retained)))
           }
         case "compact" =>
+          val cw = Option(input.getUTF8String(1))
+            .map(_.toString).filter(_.nonEmpty)
           val (before, after) =
-            graft.sources.GraftSink.compact(spark, dir.toString)
+            graft.sources.GraftSink.compact(spark, dir.toString,
+              where = cw)
           one(resultScan(
             StructType(Seq(
               StructField("merged_files", IntegerType, false),

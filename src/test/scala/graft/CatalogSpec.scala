@@ -1901,7 +1901,9 @@ class CatalogSpec extends SparkTestBase {
         "columns => 'id', curve => 'peano')").collect()
     }
     assert(ec.getMessage.contains("peano"), ec.getMessage)
-    // compact runs through the same surface
+    // compact runs through the same surface, with and without a scope
+    spark.sql("CALL graft.system.compact(table => 'proc.t', " +
+      "where => 'id >= 1000')").collect()
     spark.sql("CALL graft.system.compact(table => 'proc.t')").collect()
     assert(spark.table("graft.proc.t").count() == 2998)
     // unknown procedures fail with the available list

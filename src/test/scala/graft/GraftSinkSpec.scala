@@ -342,6 +342,35 @@ class GraftSinkSpec extends SparkTestBase {
     }
   }
 
+  test("compact WHERE: only stats-overlapping files merge; the cold " +
+      "tail is untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-where")
+      .resolve("t").toString
+    // 8 range-clustered small files: ids [i*1000, (i+1)*1000)
+    (0 until 8).foreach { i =>
+      spark.range(i * 1000, (i + 1) * 1000).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(before.size == 8)
+    // scope to the hot upper half: ids >= 4000 live in 4 files
+    val (merged, written) = GraftSink.compact(spark, dir,
+      where = Some("id >= 4000"))
+    assert(merged == 4 && written == 1, s"($merged, $written)")
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // the 4 cold files survived BY NAME; the 4 hot ones are gone
+    assert((before & after).size == 4, s"cold tail touched: $after")
+    val t = spark.read.parquet(dir)
+    assert(t.count() == 8000)
+    assert(t.agg(sum($"id")).head.getLong(0) == (0L until 8000L).sum)
+    // a predicate matching nothing is a no-op
+    assert(GraftSink.compact(spark, dir,
+      where = Some("id >= 999999")) == (0, 0))
+  }
+
   test("compactClustered: z-order rewrite prunes on BOTH keys") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-zorder")
