@@ -382,6 +382,63 @@ object SparkEntry {
                o_orderpriority ASC NULLS FIRST, n """)
   }
 
+  /** TPC-H Q10 shape (returned-item revenue): fact filtered on the
+    * return flag, a quarter's orders, customer + broadcast nation,
+    * top-20 customers by lost revenue. Exercises the 4-way join with
+    * a mid-size dimension (customer) that shuffles while nation
+    * broadcasts. */
+  private val qTpchQ10: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val n = t(s, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti
+    * joins): customers holding at least one big urgent order and no
+    * low-priority order. */
+  private val qSubqueryExists: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_sqe")
+    t(s, dir, "orders").createOrReplaceTempView("orders_sqe")
+    s.sql(""" SELECT c_custkey, c_acctbal FROM customer_sqe c
+      WHERE EXISTS (SELECT 1 FROM orders_sqe o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'
+                      AND o.o_totalprice > 100000)
+        AND NOT EXISTS (SELECT 1 FROM orders_sqe o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderpriority = '5-LOW')
+      ORDER BY c_custkey """)
+  }
+
+  /** Distribution windows: ntile quartiles, percent_rank, cume_dist
+    * per order status — the analytic trio beyond ranking/frames. The
+    * window order is total (price, then key), so tile boundaries are
+    * engine-independent. */
+  private val qWindowNtile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderkey"))
+  }
+
   /** Uncorrelated scalar subquery (Catalyst rewrites to a join). */
   private val qSubqueryScalar: Q = (s, dir) => {
     t(s, dir, "customer").createOrReplaceTempView("customer_sq")
@@ -1480,6 +1537,9 @@ object SparkEntry {
     "q_agg_median" -> qAggMedian,
     "q_pivot" -> qPivot,
     "q_subquery_scalar" -> qSubqueryScalar,
+    "q_subquery_exists" -> qSubqueryExists,
+    "q_tpch_q10" -> qTpchQ10,
+    "q_window_ntile" -> qWindowNtile,
     "q_window_rank" -> qWindowRank,
     "q_window_rank_hk" -> qWindowRankHk,
     "q_window_lag" -> qWindowLag,
@@ -2237,6 +2297,37 @@ object SparkEntry {
         |AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |  AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT'
+        |                AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
