@@ -998,6 +998,15 @@ object SparkEntry {
   private val qHeavyHitters: Q = (s, dir) =>
     Sketch.cmsTopTerms(t(s, dir, "documents"),
       d = CmsD, w = CmsW, k = CmsK)
+
+  /** EXACT top-25 terms via the Misra–Gries two-pass: the summary
+    * prunes the vocabulary to ≤1024 candidates, the exact pass counts
+    * only those, and the admission-bound check proves no pruned term
+    * could outrank the 25th — so the oracle is the plain
+    * count/order/limit. */
+  private val qTopTermsExact: Q = (s, dir) =>
+    Sketch.topTermsExact(t(s, dir, "documents"), k = CmsK,
+      counters = 1024)
   private val CmsD = 4
   private val CmsW = 512
   private val CmsK = 25
@@ -1615,6 +1624,7 @@ object SparkEntry {
     "q_semdedup" -> qSemDedup,
     "q_gopher_rules" -> qGopherRules,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_topterms_exact" -> qTopTermsExact,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -2710,6 +2720,17 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q_dsir_weights" -> DuckHash.dsirOracle(DsirDim, DsirTau),
     "q_heavy_hitters" -> DuckHash.cmsTopTermsOracle(CmsD, CmsW, CmsK),
+    // the Misra-Gries pruning is provably output-invisible (admission
+    // bound checked at runtime), so the oracle is the exact rollup
+    "q_topterms_exact" ->
+      """WITH tok AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    t -> t <> '') AS ts FROM documents),
+        |occ AS (SELECT unnest(ts) AS term FROM tok),
+        |c AS (SELECT term, count(*)::BIGINT AS n FROM occ
+        |  GROUP BY term)
+        |SELECT term, n FROM c ORDER BY n DESC, term
+        |LIMIT 25""".stripMargin,
     "q_gopher_rules" -> {
       val stops = operators.TextStats.GopherStops
         .map(s => s"'$s'").mkString("[", ", ", "]")

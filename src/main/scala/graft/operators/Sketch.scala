@@ -48,6 +48,93 @@ object Sketch {
     sketch
   }
 
+  /** Misra–Gries summary of a term stream: at most `m` counters whose
+    * survivors provably include every term with frequency >
+    * N/(m+1) (Misra & Gries 1982 — the SpaceSaving family's
+    * guarantee). The buffer also carries the stream length so the
+    * guarantee is checkable at finish time. Kryo-encoded opaque
+    * buffer, mergeable in any order — the summary itself is
+    * merge-order-dependent WITHIN its error bound, which is why
+    * [[topTermsExact]] uses it only to prune candidates and then
+    * counts those exactly. */
+  private final class MisraGries(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, (Long, scala.collection.mutable.HashMap[String, Long]),
+        (Long, Map[String, Long])] {
+    type Buf = (Long, scala.collection.mutable.HashMap[String, Long])
+    override def zero: Buf =
+      (0L, scala.collection.mutable.HashMap.empty[String, Long])
+    override def reduce(b: Buf, term: String): Buf = {
+      val (n, cnt) = b
+      if (cnt.contains(term)) cnt(term) += 1
+      else if (cnt.size < m) cnt(term) = 1L
+      else {
+        // decrement-all: the classic m-counter eviction step
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        cnt.keysIterator.foreach { t =>
+          val v = cnt(t) - 1
+          if (v == 0L) dead += t else cnt(t) = v
+        }
+        dead.foreach(cnt.remove)
+      }
+      (n + 1, cnt)
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      val (na, ca) = a
+      val (nb, cb) = b
+      cb.foreach { case (t, v) => ca(t) = ca.getOrElse(t, 0L) + v }
+      if (ca.size > m) {
+        // subtract the (m+1)-th largest count from everyone — the
+        // standard MG merge reduction (Agarwal et al. 2012)
+        val cut = ca.values.toArray.sorted(Ordering[Long].reverse)(m)
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        ca.keysIterator.foreach { t =>
+          val v = ca(t) - cut
+          if (v <= 0L) dead += t else ca(t) = v
+        }
+        dead.foreach(ca.remove)
+      }
+      (na + nb, ca)
+    }
+    override def finish(b: Buf): (Long, Map[String, Long]) =
+      (b._1, b._2.toMap)
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder =
+      org.apache.spark.sql.Encoders.kryo[(Long, Map[String, Long])]
+  }
+
+  /** EXACT top-`k` terms in two passes: a Misra–Gries summary prunes
+    * the vocabulary to ≤ `counters` candidates, then ONLY those terms
+    * are counted exactly (broadcast-join filter → candidate-sized
+    * rollup instead of a vocabulary-sized one). When the k-th
+    * candidate's exact count clears the summary's N/(counters+1)
+    * admission bound, no pruned term can outrank it — the result is
+    * PROVABLY the exact top-k and hash-matches a plain
+    * count/order/limit oracle; otherwise the operator falls back to
+    * the full exact aggregation (correctness never depends on the
+    * sketch). Returns `(term, n)` best-first, ties on term. */
+  def topTermsExact(docs: DataFrame, k: Int = 25, counters: Int = 4096,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(
+      explode(CorpusOps.tokens(col(textCol))).as("term"))
+    val (total, cand) = terms.as[String]
+      .select(new MisraGries(counters).toColumn).head()
+    val exactTopK = (src: DataFrame) => src
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+    if (cand.isEmpty) return exactTopK(terms)
+    val candidates = exactTopK(
+      terms.join(broadcast(cand.keys.toSeq.toDF("term")), Seq("term")))
+    val got = candidates.collect()
+    val guaranteed = got.length >= k &&
+      got.last.getLong(1) > total / (counters + 1L)
+    if (guaranteed) candidates else exactTopK(terms)
+  }
+
   /** Top-`k` terms by Count-Min estimate: `est(term) = min over rows i
     * of sketch[i][bucket_i(term)]`, ordered (estimate DESC, term ASC —
     * deterministic through ties, including at the k boundary).

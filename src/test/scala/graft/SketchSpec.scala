@@ -70,6 +70,23 @@ class SketchSpec extends SparkTestBase {
       "w=8 over 40 terms must collide somewhere")
   }
 
+  test("topTermsExact equals the full exact top-k on both the " +
+      "guaranteed and the fallback path") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val exact = exactCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(25)
+    // plenty of counters: the MG candidates provably cover the top-25
+    val pruned = Sketch.topTermsExact(docs, k = 25, counters = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pruned === exact)
+    // starved counters (m=2): the admission bound cannot clear, the
+    // operator must fall back to the full aggregation — same answer
+    val starved = Sketch.topTermsExact(docs, k = 25, counters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(starved === exact)
+  }
+
   test("cmsTopTerms is deterministic, ties break on term, k bounds " +
       "the output") {
     val docs = Tables.t(spark, sf001, "documents")
