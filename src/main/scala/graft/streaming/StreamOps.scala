@@ -120,6 +120,89 @@ object StreamOps {
         col("cnt"))
   }
 
+  /** One (window, term) occurrence for [[trendingTerms]]. */
+  case class WinTerm(wstart: java.sql.Timestamp, term: String)
+  /** A closed window's ranked term. */
+  case class TrendingTerm(wstart: java.sql.Timestamp, term: String,
+    n: Long, rk: Int)
+  /** Per-window Misra–Gries state: stream length + ≤ m counters. */
+  case class MgState(total: Long, counts: Map[String, Long])
+
+  /** Streaming per-window TOP-K TERMS with BOUNDED state: each open
+    * event-time window keeps a Misra–Gries summary of at most
+    * `counters` entries (never the vocabulary — the difference
+    * between a trending-terms feed and an OOM at production rates),
+    * and emits its ranked top-k when the watermark closes the window
+    * (event-time timeout). Counts are the summary's — exact while the
+    * window's distinct terms fit the counters, otherwise lower bounds
+    * within total/(counters+1), the MG guarantee; rank ties break on
+    * term. The batch twin for parity checks is the exact
+    * `groupBy(window, term)` rollup ([[graft.operators.Sketch]]'s
+    * two-pass refinement covers the batch exact-top-k case). */
+  def trendingTerms(docs: DataFrame, k: Int = 10, counters: Int = 1024,
+      every: String = "5 minutes", watermark: String = "10 minutes",
+      tsCol: String = "ts", textCol: String = "text")
+      : Dataset[TrendingTerm] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val windowMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(every))
+    val slackMs = windowMs.days * 86400000L +
+      windowMs.microseconds / 1000L
+    // the watermark rides the DERIVED window-start column (the raw ts
+    // is projected away before the stateful operator; wstart <= ts,
+    // so the horizon is conservative by at most one window)
+    val winned = docs
+      .select(window(col(tsCol), every).getField("start").as("wstart"),
+        explode(graft.operators.CorpusOps.tokens(col(textCol)))
+          .as("term"))
+      .withWatermark("wstart", watermark)
+      .as[WinTerm]
+    winned
+      .groupByKey(_.wstart)
+      .flatMapGroupsWithState[MgState, TrendingTerm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: rank and emit, drop state
+            val MgState(_, counts) = state.get
+            state.remove()
+            counts.toSeq
+              .sortBy { case (t, n) => (-n, t) }
+              .take(k).zipWithIndex
+              .map { case ((t, n), i) =>
+                TrendingTerm(wstart, t, n, i + 1)
+              }.iterator
+          } else {
+            val cur = scala.collection.mutable.HashMap.empty[String, Long]
+            var total = 0L
+            state.getOption.foreach { s =>
+              total = s.total; cur ++= s.counts
+            }
+            rows.foreach { r =>
+              total += 1
+              if (cur.contains(r.term)) cur(r.term) += 1
+              else if (cur.size < counters) cur(r.term) = 1L
+              else {
+                val dead =
+                  scala.collection.mutable.ArrayBuffer.empty[String]
+                cur.keysIterator.foreach { t =>
+                  val v = cur(t) - 1
+                  if (v == 0L) dead += t else cur(t) = v
+                }
+                dead.foreach(cur.remove)
+              }
+            }
+            state.update(MgState(total, cur.toMap))
+            // close once the watermark proves the window complete
+            state.setTimeoutTimestamp(
+              wstart.getTime + slackMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stateful exact dedup by event_id within the watermark horizon. */
   def dedupWithinWatermark(stream: DataFrame, watermark: String): DataFrame =
     stream

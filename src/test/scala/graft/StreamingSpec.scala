@@ -87,6 +87,40 @@ class StreamingSpec extends SparkTestBase {
       .agg(sum($"cnt")).head.getLong(0) === 9L)
   }
 
+  test("trendingTerms: bounded-state per-window top-k, ranked like " +
+      "the exact batch rollup, emitted on window close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.trendingTerms(
+        input.toDF().toDF("ts", "text"), k = 3, counters = 64,
+        every = "5 minutes", watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trending").start()
+    try {
+      input.addData(Seq(
+        (ts(1), "alpha beta alpha gamma"),
+        (ts(2), "alpha beta delta"),
+        (ts(3), "gamma gamma")))
+      q.processAllAvailable()
+      // nothing emits while the window is open
+      assert(spark.table("trending").count() === 0)
+      // advance the watermark past the window end -> the window closes
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 11:00:00"), "x")))
+      q.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2024-01-01 12:00:00"), "y")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trending")
+      .filter($"wstart" === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .orderBy($"rk")
+      .select($"term", $"n", $"rk").as[(String, Long, Int)]
+      .collect().toSeq
+    // counters cleared the vocabulary, so counts are exact:
+    // alpha=3, gamma=3 (tie -> alpha first), beta=2
+    assert(got === Seq(("alpha", 3L, 1), ("gamma", 3L, 2),
+      ("beta", 2L, 3)), got.toString)
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
