@@ -395,6 +395,27 @@ object ScaleProbe {
         f""""parts_before":$pBefore,"parts_after":$pAfter}""")
     }
 
+    // manifest-delta probe: pure metadata — a single-file append to a
+    // wide table must write O(changed) manifest bytes (the delta log),
+    // not O(table files). At 100 TB (millions of files) this is the
+    // difference between KB and ~100 MB of metadata per commit.
+    locally {
+      import graft.sources.v2.GraftManifest
+      val t = new org.apache.hadoop.fs.Path(Files
+        .createTempDirectory("graft-scale-manifest").toString, "t")
+      val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(t)
+      val wide = (1 to 50000).map(i => f"part-$i%06d.parquet")
+      GraftManifest.tryCommit(fs, t, 0L, wide) // v1 checkpoint
+      GraftManifest.commitAppend(fs, t, Seq("part-new.parquet")) // v2 delta
+      val mdir = new org.apache.hadoop.fs.Path(t, GraftManifest.Dir)
+      def len(v: Long) = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(mdir, f"v$v%010d.txt")).getLen
+      println(s"""{"q":"manifest_delta_append","table_files":50000,""" +
+        s""""full_bytes":${len(1L)},"delta_bytes":${len(2L)},""" +
+        f""""ratio":${len(2L).toDouble / len(1L)}%.6f}""")
+    }
+
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

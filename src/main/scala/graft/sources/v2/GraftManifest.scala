@@ -55,6 +55,18 @@ object GraftManifest {
   val ArchiveDir = ".graft-archive"
   private val Header = "graft-manifest-1"
 
+  /** Every `CheckpointEvery`-th version is written SELF-CONTAINED
+    * (full name list); versions in between may be DELTAS against
+    * their predecessor (`base=<v>` + `add=`/`rm=` lines). This is
+    * what keeps commit metadata O(changed files) instead of O(table
+    * files): at 100 TB a table holds millions of data files, and a
+    * full-list manifest would make every single-file append rewrite
+    * ~100 MB of names — the delta log writes KBs, and reconstruction
+    * folds a chain of at most `CheckpointEvery - 1` deltas onto the
+    * nearest checkpoint (the Delta-Lake/Iceberg log + checkpoint
+    * shape, re-expressed over this single-file-per-version CAS). */
+  private val CheckpointEvery = 16L
+
   /** One committed table state: the data-file names live at `version`,
     * `dvs` maps a data-file name to its deletion-vector sidecar name
     * under `.graft-dv/` ([[DeleteVectors]]) — rows of that file at
@@ -126,6 +138,11 @@ object GraftManifest {
 
   def read(fs: FileSystem, table: Path, version: Long): Snapshot = {
     val p = versionPath(table, version)
+    // a retention sweep may be mid-flight re-materializing a delta
+    // version as self-contained (delete + rename) — a bounded retry
+    // masks that microscopic window before declaring the version gone
+    var waits = 0
+    while (!fs.exists(p) && waits < 3) { Thread.sleep(50); waits += 1 }
     if (!fs.exists(p)) {
       throw new IllegalArgumentException(
         s"graft-v2: $table has no version $version" +
@@ -136,24 +153,78 @@ object GraftManifest {
         }))
     }
     val in = fs.open(p)
-    try {
-      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(0, bytes)
-      val lines = new String(bytes, "UTF-8").split("\n").toSeq
-        .map(_.trim).filter(_.nonEmpty)
-      if (lines.headOption.forall(_ != Header)) {
-        throw new IllegalStateException(
-          s"graft-v2: unreadable manifest $p (bad header)")
-      }
-      // meta lines (`key=value`, e.g. the commit timestamp) are not
-      // file names; part names never contain '=' so the split is safe
-      val dvs = lines.tail.filter(_.startsWith("dv=")).flatMap { l =>
-        val v = l.stripPrefix("dv=")
-        val i = v.lastIndexOf(':')
-        if (i <= 0) None else Some(v.substring(0, i) -> v.substring(i + 1))
-      }.toMap
-      Snapshot(version, lines.tail.filterNot(_.contains('=')), dvs)
-    } finally in.close()
+    val lines =
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+    if (lines.headOption.forall(_ != Header)) {
+      throw new IllegalStateException(
+        s"graft-v2: unreadable manifest $p (bad header)")
+    }
+    // meta lines (`key=value`, e.g. the commit timestamp) are not
+    // file names; part names never contain '=' so the split is safe
+    val dvs = lines.tail.filter(_.startsWith("dv=")).flatMap { l =>
+      val v = l.stripPrefix("dv=")
+      val i = v.lastIndexOf(':')
+      if (i <= 0) None else Some(v.substring(0, i) -> v.substring(i + 1))
+    }.toMap
+    val names = lines.tail
+      .find(_.startsWith("base=")) match {
+      case Some(baseLine) =>
+        // DELTA version: fold onto the base snapshot (chain length is
+        // bounded by CheckpointEvery; dv mapping is always full)
+        val base = baseLine.stripPrefix("base=").toLong
+        val parent = read(fs, table, base)
+        val adds = lines.tail.filter(_.startsWith("add="))
+          .map(_.stripPrefix("add="))
+        val rms = lines.tail.filter(_.startsWith("rm="))
+          .map(_.stripPrefix("rm=")).toSet
+        (parent.names.filterNot(rms) ++ adds).sorted
+      case None => lines.tail.filterNot(_.contains('='))
+    }
+    Snapshot(version, names, dvs)
+  }
+
+  /** The `base=` version a DELTA manifest folds onto (None for a
+    * self-contained version). */
+  private def baseOf(fs: FileSystem, table: Path,
+      version: Long): Option[Long] =
+    metaLine(fs, table, version, "base")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+
+  /** Rewrite a DELTA version file as self-contained (same snapshot,
+    * same meta — only the encoding changes). Runs under the per-table
+    * commit lock during a retention sweep, while its base chain still
+    * exists; the delete+rename replace window is masked by [[read]]'s
+    * bounded retry. */
+  private def rewriteSelfContained(fs: FileSystem, table: Path,
+      v: Long): Unit = {
+    val snap = read(fs, table, v) // resolves the chain while it lives
+    val p = versionPath(table, v)
+    val in = fs.open(p)
+    val raw =
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+    val meta = raw.tail.filter(l => l.contains('=') &&
+      !l.startsWith("base=") && !l.startsWith("add=") &&
+      !l.startsWith("rm="))
+    val tmp = new Path(manifestDir(table),
+      s".tmp-full-${UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write((Header +: (meta ++ snap.names.distinct.sorted))
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.delete(p, false) || !fs.rename(tmp, p)) {
+      throw new java.io.IOException(
+        s"graft-v2: could not re-materialize manifest $p")
+    }
   }
 
   private def metaLine(fs: FileSystem, table: Path, version: Long,
@@ -330,8 +401,25 @@ object GraftManifest {
       schemaDdl.map(d0 => s"schema=$d0") ++
       effectiveDvs.toSeq.sorted.map { case (n, d) => s"dv=$n:$d" } ++
       extraMeta.filter(m => m.contains('=') && !m.contains('\n'))
+    // delta-encode against the predecessor when (a) this is not a
+    // checkpoint slot, (b) the predecessor is readable, and (c) the
+    // delta is actually smaller than the full list — commit metadata
+    // then costs O(changed files), not O(table files)
+    val canon = names.distinct.sorted
+    val body: Seq[String] =
+      if (expected >= 1L && (expected + 1L) % CheckpointEvery != 0L) {
+        scala.util.Try(read(fs, table, expected)).toOption.flatMap {
+          parent =>
+            val pn = parent.names.toSet
+            val adds = canon.filterNot(pn)
+            val rms = (pn -- nameSet).toSeq.sorted
+            val delta = Seq(s"base=$expected") ++
+              adds.map("add=" + _) ++ rms.map("rm=" + _)
+            if (delta.size < canon.size) Some(delta) else None
+        }.getOrElse(canon)
+      } else canon
     val out = fs.create(tmp, true)
-    try out.write((Header +: (meta ++ names.sorted))
+    try out.write((Header +: (meta ++ body))
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = versionPath(table, expected + 1L)
@@ -889,6 +977,21 @@ object GraftManifest {
         }
       if (keep.isEmpty) {
         return (Seq.empty, Seq.empty) // the latest always survives
+      }
+      // delta chains: a KEPT version whose base chain crosses a
+      // version about to drop must become self-contained BEFORE the
+      // drop, or its reconstruction would dangle. Ascending order, so
+      // a later kept delta whose chain stops at an earlier (now
+      // materialized) kept version needs no rewrite of its own.
+      val dropSet = drop.toSet
+      keep.foreach { k =>
+        var b = baseOf(fs, table, k)
+        var crosses = false
+        while (b.isDefined && !crosses) {
+          if (dropSet.contains(b.get)) crosses = true
+          else b = baseOf(fs, table, b.get)
+        }
+        if (crosses) rewriteSelfContained(fs, table, k)
       }
       val keptSnaps = keep.map(read(fs, table, _))
       val referenced = keptSnaps.flatMap(_.names).toSet
