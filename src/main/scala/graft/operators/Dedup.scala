@@ -51,9 +51,20 @@ object Dedup {
     * @param keys    the bucket key columns
     * @param payload extra columns to carry onto both sides of each pair
     *                (emitted as `<name>_a` / `<name>_b`)
+    * @param dedupPairs run the final pair `distinct()`. REQUIRED when
+    *                a member can appear under several bucket keys
+    *                (multi-band LSH — the same pair surfaces in every
+    *                shared band); callers whose members hold exactly
+    *                ONE bucket each (SemDeDup's k-means cells) pass
+    *                false and skip a pair-table-wide shuffle whose
+    *                rows carry both payloads (for embeddings, the
+    *                heaviest exchange in the whole plan)
     */
   def cappedBucketJoin(banded: DataFrame, keys: Seq[String],
-      cap: Int, payload: Seq[String] = Nil): DataFrame = {
+      cap: Int, payload: Seq[String] = Nil,
+      dedupPairs: Boolean = true): DataFrame = {
+    def maybeDistinct(df: DataFrame): DataFrame =
+      if (dedupPairs) df.distinct() else df
     // emit with id_a < id_b regardless of which join side was smaller
     def pairCols: Seq[org.apache.spark.sql.Column] = {
       val flip = col("a.id") > col("b.id")
@@ -67,9 +78,9 @@ object Dedup {
           side(p, wantA = false).as(s"${p}_b")))
     }
     val keyEq = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    def plainJoin: DataFrame =
+    def plainJoin: DataFrame = maybeDistinct(
       banded.as("a").join(banded.as("b"), keyEq && col("a.id") < col("b.id"))
-        .select(pairCols: _*).distinct()
+        .select(pairCols: _*))
     if (cap <= 0) {
       plainJoin
     } else {
@@ -108,14 +119,14 @@ object Dedup {
           .drop("__nb")
           .as("a")
         val b = blocked.drop("__nb").as("b")
-        a.join(b, keyEq && col("a.__probe") === col("b.__blk") &&
-            col("a.id") =!= col("b.id"))
-          // within a block, emit each unordered pair once; across
-          // adjacent blocks both orders normalize in pairCols
-          .filter(col("a.__orig") =!= col("b.__blk") ||
-            col("a.id") < col("b.id"))
-          .select(pairCols: _*)
-          .distinct()
+        maybeDistinct(
+          a.join(b, keyEq && col("a.__probe") === col("b.__blk") &&
+              col("a.id") =!= col("b.id"))
+            // within a block, emit each unordered pair once; across
+            // adjacent blocks both orders normalize in pairCols
+            .filter(col("a.__orig") =!= col("b.__blk") ||
+              col("a.id") < col("b.id"))
+            .select(pairCols: _*))
       }
     }
   }
@@ -300,8 +311,11 @@ object Dedup {
     // (centroid-cosine ASC, id ASC) keeper order — is decided per
     // pair, so the dropped member is whichever side is LATER in that
     // order
+    // every member holds exactly one cell, so no pair can surface
+    // twice — skip the pair-wide distinct (it would shuffle both
+    // embedding payloads per pair for nothing)
     val pairs = cappedBucketJoin(assigned, Seq("cluster"), cellCap,
-      payload = Seq("v", "ccos"))
+      payload = Seq("v", "ccos"), dedupPairs = false)
     val shadowed = pairs
       .filter(round(graft.functions.GraftFunctions.cosine_sim(
         col("v_a"), col("v_b")), 6) >= tau)
