@@ -810,6 +810,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level decontamination: the same % 97 benchmark split, but
+    * the contaminated WINDOWS are surgically removed and the rest of
+    * each document survives (broadcast hash probe + merged-interval
+    * reassembly — nothing shuffles corpus text). */
+  private val qDecontaminateSpans: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    CorpusOps.decontaminateSpans(
+      corpus = docs.filter(col("doc_id") % 97 =!= 0),
+      benchmark = docs.filter(col("doc_id") % 97 === 0),
+      n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** The same decontamination forced down the LARGE-benchmark path
     * (maxBroadcastGrams = 0): bloom-prefiltered shuffled gram join +
     * explode-free per-doc totals instead of a broadcast probe. Runs
@@ -1586,6 +1599,7 @@ object SparkEntry {
     "q_repetition" -> qRepetition,
     "q_lang_id" -> qLangId,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_spans" -> qDecontaminateSpans,
     "q_decontaminate_xl" -> qDecontaminateXl,
     "q_chunk_docs" -> qChunkDocs,
     "q_pack_sequences" -> qPackSequences,
@@ -1886,6 +1900,38 @@ object SparkEntry {
     // the broadcast-probe and bloom+shuffled-join decontamination
     // shapes must return byte-identical answers on their corpora
     "q_decontaminate" -> decontaminateOracle("doc_id % 97 <> 0"),
+    // span removal: the oracle probes window TEXT against the
+    // benchmark gram set (no hashes — an engine-side collision would
+    // surface) and re-derives the keep set with the O(n·spans)
+    // coverage scan — independent formulation of the merged-interval
+    // reassembly
+    "q_decontaminate_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS win
+        |  FROM tok, unnest(generate_series(1,
+        |    greatest(len(ts) - 2, 0))) AS u(i)
+        |  WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, ts FROM tok WHERE doc_id % 97 <> 0),
+        |w AS (SELECT doc_id, i AS wpos,
+        |    array_to_string(ts[i:i+2], ' ') AS win
+        |  FROM corp, unnest(generate_series(1,
+        |    greatest(len(ts) - 2, 0))) AS u(i)),
+        |f AS (SELECT doc_id, list_sort(list(wpos)) AS ss FROM w
+        |  WHERE win IN (SELECT win FROM bench) GROUP BY doc_id),
+        |sel AS (SELECT corp.doc_id, corp.ts,
+        |    coalesce(f.ss, CAST([] AS BIGINT[])) AS ss
+        |  FROM corp LEFT JOIN f USING (doc_id)),
+        |kept AS (SELECT doc_id, ts, list_filter(ts, (x, j) ->
+        |    len(list_filter(ss, s ->
+        |      j >= s AND j <= s + 2)) = 0) AS kp
+        |  FROM sel)
+        |SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+        |  CAST(len(ts) - len(kp) AS INTEGER) AS n_removed,
+        |  coalesce(array_to_string(kp, ' '), '') AS clean_text
+        |FROM kept ORDER BY doc_id""".stripMargin,
     "q_decontaminate_xl" ->
       decontaminateOracle("doc_id % 97 <> 0 AND doc_id % 7 = 1"),
     "q_chunk_docs" ->

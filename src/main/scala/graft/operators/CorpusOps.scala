@@ -455,14 +455,27 @@ object CorpusOps {
       .filter(!(col(idCol) === col("_oid") && col("_wpos") === col("_opos")))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("_wpos"))).as("_ss"))
-    // Reassembly is linear in (tokens + flagged windows), not their
-    // product: the SORTED window starts fold into disjoint covered
-    // intervals (each start s covers [s, s+k-1]; overlapping/touching
-    // intervals merge), the complement gives the KEEP gaps, and the
-    // kept tokens are the concatenation of the gap slices. A
-    // boilerplate-heavy document with thousands of duplicated windows
-    // — where a per-token ∃-over-spans scan would go quadratic —
-    // collapses to a handful of merged intervals.
+    keepOutsideSpans(
+      toked.join(flagged, Seq(idCol), "left")
+        .select(col(idCol), ts,
+          coalesce(col("_ss"), array().cast("array<int>")).as("_ss")),
+      k, idCol)
+  }
+
+  /** Reassemble documents after span removal: input carries `(_ts,
+    * _ss)` — the token array and the SORTED flagged window starts,
+    * each covering `k` tokens. Linear in (tokens + flagged windows),
+    * not their product: the starts fold into disjoint covered
+    * intervals (overlapping/touching merge), the complement gives the
+    * KEEP gaps, and the kept tokens are the concatenation of the gap
+    * slices. A boilerplate-heavy document with thousands of flagged
+    * windows — where a per-token ∃-over-spans scan would go quadratic
+    * — collapses to a handful of merged intervals. Shared by
+    * [[dedupSubstrings]] and [[decontaminateSpans]]. Returns
+    * `(id, n_tokens, n_removed, clean_text)`. */
+  private def keepOutsideSpans(withSpans: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    val ts = col("_ts")
     val ivT = "array<struct<s:int,e:int>>"
     val covered = aggregate(col("_ss"),
       array().cast(ivT),
@@ -489,15 +502,57 @@ object CorpusOps {
         concat(st("g"), array(struct(st("p").as("s"),
           (size(ts) - st("p") + 1).cast("int").as("l")))))
         .otherwise(st("g")))
-    toked.join(flagged, Seq(idCol), "left")
-      .select(col(idCol), ts,
-        coalesce(col("_ss"), array().cast("array<int>")).as("_ss"))
+    withSpans
       .select(col(idCol), size(ts).as("n_tokens"),
         flatten(transform(gaps,
           g => slice(ts, g("s"), g("l")))).as("_keep"))
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - size(col("_keep"))).as("n_removed"),
         array_join(col("_keep"), " ").as("clean_text"))
+  }
+
+  /** SPAN-LEVEL benchmark decontamination: where [[decontaminate]]
+    * FLAGS whole documents by n-gram overlap, this SURGICALLY REMOVES
+    * the overlapping text — every corpus window whose `n`-gram appears
+    * in the benchmark set loses its tokens, the rest of the document
+    * survives (the "remove the contaminated span, keep the document"
+    * policy large-corpus reports describe for high-value documents).
+    * Returns `(id, n_tokens, n_removed, clean_text)`.
+    *
+    * 100 TB shape: benchmark grams travel as a BROADCAST of 8-byte
+    * hashes (benchmarks are MBs); corpus windows probe map-side on
+    * the same hash (a 2⁻⁶⁴ collision only over-deletes — benign for a
+    * decontamination filter), flagged starts roll up per doc, and
+    * reassembly is the shared merged-interval gap slicing — nothing
+    * shuffles corpus text. For benchmark sets beyond broadcast size,
+    * flag-first with [[decontaminate]]'s bloom+shuffled path and
+    * route only the flagged docs here. */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ts = col("_ts")
+    val benchHashes = broadcast(
+      wordNgrams(benchmark, n, idCol, textCol)
+        .select(xxhash64(col("gram")).as("_h")).distinct())
+    val toked = corpus.select(col(idCol), tokens(col(textCol)).as("_ts"))
+    val wins = toked
+      .select(col(idCol), posexplode(
+        when(size(ts) >= n,
+          transform(sequence(lit(1), size(ts) - (n - 1)),
+            i => xxhash64(concat_ws(" ", slice(ts, i, lit(n))))))
+          .otherwise(array().cast("array<bigint>")))
+        .as(Seq("_wp0", "_h")))
+      .select(col(idCol), (col("_wp0") + 1).cast("int").as("_wpos"),
+        col("_h"))
+    val flagged = wins.join(benchHashes, Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("_wpos"))).as("_ss"))
+    keepOutsideSpans(
+      toked.join(flagged, Seq(idCol), "left")
+        .select(col(idCol), ts,
+          coalesce(col("_ss"), array().cast("array<int>")).as("_ss")),
+      n, idCol)
   }
 
   /** Email pattern shared by scrub + oracle (kept RE2/Java-portable:

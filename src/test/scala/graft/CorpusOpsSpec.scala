@@ -429,6 +429,24 @@ class CorpusOpsSpec extends SparkTestBase {
       ((200, 150, (1 to 50).map(i => s"u$i").mkString(" "))))
   }
 
+  test("decontaminateSpans: benchmark-overlapping windows removed " +
+      "surgically, clean gaps and short/untouched docs survive") {
+    val bench = docs(100L -> "x y z q r s")
+    val corp = docs(
+      1L -> "a b x y z c",          // start 3 flagged -> covers 3..5
+      2L -> "clean text only here", // no overlap: untouched
+      3L -> "x y",                  // shorter than n: untouched
+      4L -> "x y z q r s")          // fully covered: empty survivor
+    val got = CorpusOps.decontaminateSpans(corp, bench, n = 3)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((6, 3, "a b c")))
+    assert(got(2L) === ((4, 0, "clean text only here")))
+    assert(got(3L) === ((2, 0, "x y")))
+    assert(got(4L) === ((6, 6, "")))
+  }
+
   test("dsir: score is reproducible and model round-trips the counts") {
     import graft.operators.Dsir
     val d = Tables.t(spark, sf001, "documents")
