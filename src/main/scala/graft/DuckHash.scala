@@ -828,6 +828,62 @@ private[graft] object DuckHash {
     s"WITH ${bpeCtes(k)}\nSELECT * FROM ($rows) ORDER BY merge_rank"
   }
 
+  /** Oracle for `q_wordpiece_encode`: re-derive the k merges (same
+    * CTEs as the BPE trainer oracle — the vocab is the merge
+    * outputs), then segment every DISTINCT word by `steps` unrolled
+    * greedy longest-match iterations: per step, the taken length is
+    * `greatest(1, CASE ... len(piece_i) ...)` over the k vocab
+    * pieces prefix-matching the remaining suffix; finally words
+    * rejoin their document positions and flatten in order. `steps`
+    * must be >= the corpus's longest trainable word (1-char minimum
+    * advance drains it). */
+  def wordpieceEncodeOracle(k: Int, steps: Int,
+      headTokens: Int = 20): String = {
+    val pats = "pats AS MATERIALIZED (SELECT " +
+      (0 until k).map(i =>
+        s"(SELECT l || r FROM t$i) AS v$i").mkString(", ") + ")"
+    val tk = "greatest(1, " + (0 until k).map(i =>
+      s"CASE WHEN substr(rest, 1, length(v$i)) = v$i" +
+        s" THEN length(v$i) ELSE 1 END").mkString(", ") + ")"
+    val gsteps = (0 until steps).map { i =>
+      s"""g${i + 1} AS (
+         |  SELECT w, ${(0 until k).map(j => s"v$j").mkString(", ")},
+         |    CASE WHEN rest = '' THEN acc
+         |         ELSE list_append(acc, substr(rest, 1, tk)) END AS acc,
+         |    CASE WHEN rest = '' THEN ''
+         |         ELSE substr(rest, tk + 1) END AS rest
+         |  FROM (SELECT *, $tk AS tk FROM g$i))""".stripMargin
+    }.mkString(",\n")
+    // built by CONCATENATION, not one stripMargin: bpeCtes contains
+    // lines whose first non-blank chars are the `||` concat operator
+    // (see bpeEncodeOracle's note) — stripMargin would eat one pipe
+    "WITH " + bpeCtes(k) + ",\n" + pats + ",\n" +
+      s"""docws AS (SELECT doc_id,
+         |    list_filter(
+         |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |        t -> t <> ''),
+         |      w2 -> regexp_matches(w2, '^[a-z0-9]+$$')) AS ws
+         |  FROM documents),
+         |g0 AS (SELECT w, pats.*, CAST([] AS VARCHAR[]) AS acc,
+         |    w AS rest
+         |  FROM (SELECT DISTINCT unnest(ws) AS w FROM docws), pats)"""
+        .stripMargin + ",\n" + gsteps + ",\n" +
+      s"""seg AS (SELECT w, acc FROM g$steps),
+         |occ AS (SELECT doc_id, i AS widx, ws[i] AS w
+         |  FROM docws, unnest(generate_series(1,
+         |    greatest(len(ws), 0))) AS u(i)),
+         |enc0 AS (SELECT occ.doc_id,
+         |    flatten(list(seg.acc ORDER BY occ.widx)) AS toks
+         |  FROM occ JOIN seg USING (w) GROUP BY occ.doc_id),
+         |enc AS (SELECT d.doc_id,
+         |    coalesce(e.toks, CAST([] AS VARCHAR[])) AS toks
+         |  FROM documents d LEFT JOIN enc0 e USING (doc_id))
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  array_to_string(toks[1:$headTokens], ' ') AS head_tokens
+         |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for `q_bpe_encode`: re-derive the k merges (same CTEs),
     * collect them into one `pats` row, then encode every document —
     * per word, the char rep folded through the k replaces in rank

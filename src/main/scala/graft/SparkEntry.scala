@@ -1064,6 +1064,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** WordPiece-style greedy longest-match encoding over the SAME
+    * trained BPE vocabulary (BERT's inference rule beside q_bpe's
+    * merge replay — the two deployed subword segmenters, one vocab):
+    * map-only codegen'd expression per word. The oracle re-derives
+    * the merges with the BPE trainer's unrolled SQL, then segments
+    * every distinct word through 8 unrolled greedy steps. */
+  private val qWordpieceEncode: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = Bpe.trainCached(s"$dir/documents#bpe$BpeMerges",
+      docs, BpeMerges)
+    Bpe.wordpieceEncode(docs, model)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long")
+          .as("n_distinct"),
+        array_join(slice(col("toks"), 1, 20), " ").as("head_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     * filter with a count LM): train on even doc_ids, score odd
     * doc_ids, so the stupid-backoff path genuinely fires on unseen
@@ -1615,6 +1634,7 @@ object SparkEntry {
     "q_crossdoc_repeat" -> qCrossdocRepeat,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
+    "q_wordpiece_encode" -> qWordpieceEncode,
     "q_lm_score" -> qLmScore,
     "q_shuffle_shards" -> qShuffleShards,
     "q_cluster_kmeans" -> qClusterKmeans,
@@ -1855,6 +1875,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> DuckHash.bpeTrainOracle(BpeMerges),
     "q_bpe_encode" -> DuckHash.bpeEncodeOracle(BpeMerges),
+    "q_wordpiece_encode" ->
+      DuckHash.wordpieceEncodeOracle(BpeMerges, steps = 8),
     // bigram stupid-backoff LM: train on even doc_ids, score odd;
     // per-position log10 rounded to 6 then summed in exact DECIMAL —
     // the same partition-order-proof accumulation the Spark side uses

@@ -105,6 +105,37 @@ object TextHashing {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
+  private val wpVocabCache = new java.util.concurrent.ConcurrentHashMap[
+    Array[String], (java.util.HashSet[String], Int)]()
+
+  /** Static entry point for [[WordPieceEncode]]'s generated code:
+    * greedy longest-match segmentation of one word. The vocab array
+    * (identity-keyed, one entry per deserialized expression) memoizes
+    * its lookup set + max piece length. */
+  def wordpiecePieces(w: UTF8String, vocab: Array[String])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (set, maxLen) = wpVocabCache.computeIfAbsent(vocab, v => {
+      val s = new java.util.HashSet[String]()
+      var ml = 1
+      v.foreach { p => s.add(p); ml = math.max(ml, p.length) }
+      (s, ml)
+    })
+    val str = w.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var p = 0
+    while (p < str.length) {
+      var l = math.min(maxLen, str.length - p)
+      var take = 1
+      while (l >= 2 && take == 1) {
+        if (set.contains(str.substring(p, p + l))) take = l
+        l -= 1
+      }
+      out += UTF8String.fromString(str.substring(p, p + take))
+      p += take
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
   /** Static entry point for [[CmsBuckets]]'s generated code: row i's
     * bucket = `mix(fnv64(term), i+1) & (w-1)` (w a power of two). */
   def cmsBuckets(input: UTF8String, d: Int, w: Int)
@@ -398,6 +429,31 @@ case class TextHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
   override def prettyName: String = "text_hash64"
+}
+
+/** WordPiece-style greedy longest-match segmentation of one word over
+  * a trained piece vocabulary (Wu et al. 2016, "Google's Neural
+  * Machine Translation System" — the BERT tokenizer's inference
+  * rule): at each position, the LONGEST vocab piece (length >= 2)
+  * starting there is taken; an unmatched leading character becomes
+  * its own single-char piece (the no-[UNK] variant — every word
+  * round-trips by concatenation). Deterministic, map-only. */
+case class WordPieceEncode(child: Expression, vocab: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    TextHashing.wordpiecePieces(input.asInstanceOf[UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("vocab", vocab, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.wordpiecePieces($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "wordpiece_encode"
 }
 
 /** Hilbert curve index of an array of lane values (each already

@@ -254,6 +254,31 @@ object Bpe {
     BpeModel(merges.result())
   }
 
+  /** WordPiece-style greedy longest-match encoding over this model's
+    * merge vocabulary ([[BpeModel.vocab]]) — the other deployed
+    * subword-inference rule beside [[encode]]'s merge replay (Wu et
+    * al. 2016; BERT's tokenizer applies exactly this longest-match
+    * scan, with the vocab source being the training-time difference).
+    * Pieces of length ≥ 2 come from the vocab; an unmatched leading
+    * character becomes its own piece, so every word concatenation-
+    * round-trips (no [UNK]). Same `(id, toks)` shape and [[WordRegex]]
+    * pre-tokenizer gate as [[encode]]; one codegen'd expression per
+    * word — encoding 100 TB stays a map-only job. */
+  def wordpieceEncode(docs: DataFrame, model: BpeModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocab = model.vocab.toArray
+    docs
+      .select(col(idCol),
+        filter(CorpusOps.tokens(col(textCol)),
+          w => w.rlike(WordRegex)).as("_graft_ws"))
+      .select(col(idCol),
+        flatten(transform(col("_graft_ws"),
+          w => org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.WordPieceEncode(
+              org.apache.spark.sql.graftbridge.ColumnBridge
+                .expression(w), vocab)))).as("toks"))
+  }
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, BpeModel]()
 

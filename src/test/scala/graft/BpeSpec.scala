@@ -57,6 +57,28 @@ class BpeSpec extends SparkTestBase {
       "BPE tokens must concatenate back to the original words")
   }
 
+  test("wordpieceEncode: greedy longest-match, single-char fallback, " +
+      "concat round-trip") {
+    val model = graft.operators.BpeModel(Seq(("a", "a"), ("a", "b")))
+    // vocab = {aa, ab}: "aabab" -> aa | b (no piece at 'ba') | ab
+    val got = Bpe.wordpieceEncode(
+        Seq((1L, "aabab xaa")).toDF("doc_id", "text"), model)
+      .select($"toks").as[Seq[String]].head()
+    assert(got === Seq("aa", "b", "ab", "x", "aa"))
+    // corpus round-trip: pieces concatenate back to the word stream
+    val docs = Tables.t(spark, sf001, "documents")
+    val m = Bpe.trainCached(s"$sf001/documents#bpespec8",
+      docs, numMerges = 8)
+    val enc = Bpe.wordpieceEncode(docs, m)
+      .select($"doc_id", concat_ws("", $"toks").as("joined"))
+    val raw = docs.select($"doc_id",
+      concat_ws("",
+        filter(graft.operators.CorpusOps.tokens($"text"),
+          w => w.rlike(Bpe.WordRegex))).as("joined"))
+    assert(enc.exceptAll(raw).isEmpty && raw.exceptAll(enc).isEmpty,
+      "wordpiece tokens must concatenate back to the original words")
+  }
+
   test("train releases every checkpoint it creates (no storage leak)") {
     val docs = Tables.t(spark, sf001, "documents")
     val before = spark.sparkContext.getPersistentRDDs.keySet
