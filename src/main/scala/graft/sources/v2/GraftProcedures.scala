@@ -31,7 +31,7 @@ private[v2] object GraftProcedures {
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
       "history", "bloom_index", "mv_refresh", "restore", "clone",
-      "detail", "tag", "tags")
+      "detail", "tag", "tags", "fsck")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -91,6 +91,10 @@ private[v2] object GraftProcedures {
           "tag is dropped (drop => true removes the tag instead)"
         case "tags" =>
           "list the table's tags, one row per (tag, version)"
+        case "fsck" =>
+          "report (and with repair => true, drop) manifest references " +
+          "to data files that no longer exist on storage — recovery " +
+          "after external deletion"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -165,6 +169,11 @@ private[v2] object GraftProcedures {
           .comment("skip when the row count drifted less than this " +
             "fraction since the last analyze — makes scheduled " +
             "re-analyze a metadata no-op on quiet tables").build())
+      case "fsck" => Array(tableParam,
+        ProcedureParameter.in("repair", BooleanType)
+          .defaultValue("false")
+          .comment("commit a new version dropping references to " +
+            "missing files (default: report only)").build())
       case "compact" => Array(tableParam,
         ProcedureParameter.in("where", StringType)
           .defaultValue("''")
@@ -227,6 +236,35 @@ private[v2] object GraftProcedures {
                 StructField("retained_versions", IntegerType, false))),
               Array(retained)))
           }
+        case "fsck" =>
+          val repair = input.getBoolean(1)
+          def missingOf(names: Seq[String]): Seq[String] =
+            names.filterNot { n =>
+              val p = new Path(dir, n)
+              fs.exists(p) ||
+                GraftManifest.archiveTwin(p).exists(fs.exists)
+            }
+          val missing = missingOf(GraftManifest.liveState(fs, dir).names)
+          var repaired = false
+          if (repair && missing.nonEmpty) {
+            GraftManifest.commitLock(fs, dir).synchronized {
+              var attempts = 0
+              while (!repaired && attempts < 50) {
+                val cur = GraftManifest.liveState(fs, dir)
+                val miss = missingOf(cur.names).toSet
+                if (miss.isEmpty) repaired = true
+                else repaired = GraftManifest.tryCommit(fs, dir,
+                  cur.version, cur.names.filterNot(miss),
+                  extraMeta = Seq("op=fsck"))
+                attempts += 1
+              }
+            }
+          }
+          one(resultScan(
+            StructType(Seq(
+              StructField("missing_files", IntegerType, false),
+              StructField("repaired", BooleanType, false))),
+            Array(missing.length, repaired)))
         case "compact" =>
           val cw = Option(input.getUTF8String(1))
             .map(_.toString).filter(_.nonEmpty)

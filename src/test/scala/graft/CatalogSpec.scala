@@ -1913,6 +1913,49 @@ class CatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("CALL fsck: reports manifest references to missing files and " +
+      "repair drops them as a new commit") {
+    import graft.sources.v2.GraftManifest
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fsck")
+    spark.sql("CREATE TABLE graft.fsck.t (id BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.fsck.t SELECT id FROM " +
+        s"range(${i * 100}, ${(i + 1) * 100})")
+    }
+    // DML starts the manifest log so fsck has references to check
+    spark.sql("DELETE FROM graft.fsck.t WHERE id = -1")
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/fsck/t")
+    val fs = manifestFs
+    assert(spark.table("graft.fsck.t").count() == 300)
+    // a clean table reports zero and never commits
+    val clean = spark.sql(
+      "CALL graft.system.fsck(table => 'fsck.t')").collect()
+    assert(clean.head.getInt(0) == 0 && !clean.head.getBoolean(1))
+    // externally delete one data file (also its archive twin, if any)
+    val victim = GraftManifest.current(fs, dir).get.names.head
+    val victimRows = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, victim).toString).count()
+    fs.delete(new org.apache.hadoop.fs.Path(dir, victim), false)
+    GraftManifest.archiveTwin(
+      new org.apache.hadoop.fs.Path(dir, victim))
+      .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+    val before = GraftManifest.current(fs, dir).get.version
+    val report = spark.sql(
+      "CALL graft.system.fsck(table => 'fsck.t')").collect()
+    assert(report.head.getInt(0) == 1 && !report.head.getBoolean(1))
+    assert(GraftManifest.current(fs, dir).get.version == before,
+      "report-only must not commit")
+    val fix = spark.sql(
+      "CALL graft.system.fsck(table => 'fsck.t', repair => true)")
+      .collect()
+    assert(fix.head.getInt(0) == 1 && fix.head.getBoolean(1))
+    assert(GraftManifest.current(fs, dir).get.version == before + 1)
+    assert(GraftManifest.opOf(fs, dir, before + 1).contains("fsck"))
+    // the table scans again; exactly the missing file's rows are gone
+    assert(spark.table("graft.fsck.t").count() == 300 - victimRows)
+  }
+
   test("vacuum min-retention keeps young versions readable by " +
       "pinned scans") {
     import graft.sources.v2.GraftManifest
