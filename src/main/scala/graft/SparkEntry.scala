@@ -405,6 +405,24 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** TPC-H Q12 shape re-keyed to the synthetic schema (it has no
+    * l_shipmode column): per return flag over one ship-year,
+    * conditional counts of high- vs low-priority order lines — the
+    * fact-dimension join feeding a CASE-conditional aggregation. */
+  private val qTpchQ12: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = t(s, dir, "orders")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti
     * joins): customers holding at least one big urgent order and no
     * low-priority order. */
@@ -1580,6 +1598,7 @@ object SparkEntry {
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_subquery_exists" -> qSubqueryExists,
     "q_tpch_q10" -> qTpchQ10,
+    "q_tpch_q12" -> qTpchQ12,
     "q_window_ntile" -> qWindowNtile,
     "q_window_rank" -> qWindowRank,
     "q_window_rank_hk" -> qWindowRankHk,
@@ -2387,6 +2406,17 @@ object SparkEntry {
         |AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_subquery_exists" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
