@@ -148,6 +148,61 @@ object TextSearch {
       .parquet(s"$path/stats")
   }
 
+  /** Build the postings index FROM A graft-v2 CORPUS TABLE and
+    * subscribe to its change data feed: the index records (via a
+    * registered feed consumer) the corpus version it reflects, so
+    * [[extendPostingsFromFeed]] can later apply exactly the appends
+    * committed since — and the consumer mark holds the corpus's
+    * vacuum window open for this subscription. */
+  def buildPostingsFromTable(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, indexPath: String, consumerId: String,
+      numBuckets: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    import graft.sources.v2.{GraftCdf, GraftManifest}
+    val t = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    // pin BEFORE reading: a commit landing between the read and the
+    // mark would otherwise be skipped forever; landing between mark
+    // and read it is indexed AND replayed — refused below, never lost
+    val ver = GraftManifest.pinForMutation(fs, t).version
+    val docs = spark.read.format("graft-v2")
+      .option("versionAsOf", ver.toString).load(corpusPath)
+    buildPostings(docs, indexPath, numBuckets, idCol, textCol)
+    GraftCdf.advanceConsumer(fs, t, consumerId, ver)
+  }
+
+  /** Apply every corpus commit since this consumer's mark to the
+    * index: INSERT rows extend the postings (cost ∝ the delta), the
+    * mark advances, and the call is idempotent when nothing new
+    * committed. Row-level deletes/updates are REFUSED loudly — the
+    * postings layout is append-only (rebuild, or filter dead doc ids
+    * at query time, for mutable corpora). Returns the number of
+    * versions applied. */
+  def extendPostingsFromFeed(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, indexPath: String, consumerId: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    import graft.sources.v2.{GraftCdf, GraftManifest}
+    val t = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    val mark = GraftCdf.consumerMarks(fs, t).getOrElse(consumerId,
+      throw new IllegalArgumentException(
+        s"graft extendPostingsFromFeed: consumer '$consumerId' is not " +
+        s"registered on $corpusPath — buildPostingsFromTable first"))
+    val cur = GraftManifest.current(fs, t).map(_.version).getOrElse(0L)
+    if (cur <= mark) return 0L
+    val feed = GraftCdf.tableChanges(spark, corpusPath, mark + 1, cur)
+    val nonInsert = feed
+      .filter(col(GraftCdf.ChangeType) =!= "insert").limit(1).count()
+    require(nonInsert == 0L,
+      s"graft extendPostingsFromFeed: $corpusPath committed row " +
+      "deletes/updates in the feed window — the postings layout is " +
+      "append-only; rebuild the index or filter dead ids at query time")
+    extendPostings(feed.select(col(idCol), col(textCol)), indexPath,
+      idCol, textCol)
+    GraftCdf.advanceConsumer(fs, t, consumerId, cur)
+    cur - mark
+  }
+
   /** BM25 served ENTIRELY from the index: the postings scan is
     * bucket-pruned to the query terms, (N, avgdl) folds from the
     * stats rows, and the scoring tail is [[bm25]]'s own — identical

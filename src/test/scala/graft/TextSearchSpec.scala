@@ -91,6 +91,51 @@ class TextSearchSpec extends SparkTestBase {
       s"term scan not bucket-pruned: ${parts(pruned)} of ${parts(all)}")
   }
 
+  test("postings follow the corpus change feed: appends extend the " +
+      "index incrementally, idempotent when current, mutations refuse") {
+    import graft.operators.TextSearch
+    val docs = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text")
+    val corpus = java.nio.file.Files.createTempDirectory("graft-pfeed")
+      .resolve("corpus").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-pfeed")
+      .resolve("idx").toString
+    val q = "hash join stream"
+    docs.filter($"doc_id" % 3 =!= 0).write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    TextSearch.buildPostingsFromTable(spark, corpus, idx, "pidx")
+    // two separate appends -> two feed versions to apply
+    docs.filter($"doc_id" % 3 === 0 && $"doc_id" % 2 === 0)
+      .write.format("graft-v2").option("path", corpus)
+      .mode("append").save()
+    docs.filter($"doc_id" % 3 === 0 && $"doc_id" % 2 =!= 0)
+      .write.format("graft-v2").option("path", corpus)
+      .mode("append").save()
+    assert(TextSearch.extendPostingsFromFeed(
+      spark, corpus, idx, "pidx") === 2L)
+    val fromIdx = TextSearch.bm25FromIndex(spark, idx, q, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = TextSearch.bm25(docs, q, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIdx === direct,
+      "feed-extended index diverges from the full corpus scan")
+    // nothing new committed: a no-op
+    assert(TextSearch.extendPostingsFromFeed(
+      spark, corpus, idx, "pidx") === 0L)
+    // an unregistered consumer refuses with guidance
+    val e0 = intercept[IllegalArgumentException] {
+      TextSearch.extendPostingsFromFeed(spark, corpus, idx, "nope")
+    }
+    assert(e0.getMessage.contains("buildPostingsFromTable"))
+    // a mutation in the window refuses loudly (append-only contract)
+    docs.filter($"doc_id" < 10).write.format("graft-v2")
+      .option("path", corpus).mode("overwrite").save()
+    val e1 = intercept[IllegalArgumentException] {
+      TextSearch.extendPostingsFromFeed(spark, corpus, idx, "pidx")
+    }
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+  }
+
   test("tfIdfKeywords: smooth-idf scores, per-doc top-m, zero-idf " +
       "corpus-universal terms rank below distinctive ones") {
     val d = docs(1L -> "a a b", 2L -> "b c")
