@@ -55,7 +55,15 @@ object ScaleProbe {
     // frequency+owner rollup, hash probe join, id rollup) and the
     // Gopher rule filter (pure map-side HOFs — the flat-ratio
     // reference shape)
-    "q_dedup_substr", "q_gopher_rules")
+    "q_dedup_substr", "q_gopher_rules",
+    // round 13: CMS heavy hitters (d·w-cell rollup + vocab-distinct
+    // probe), MG exact top-k (summary + candidate-sized recount),
+    // WordPiece encode (map-only expression), span decontamination
+    // (hash probe + merged-interval reassembly), postings lifecycle
+    // (build 2/3 + extend 1/3 + bucket-pruned search per run — the
+    // ratio measures index BUILD linearity, the dominant cost)
+    "q_heavy_hitters", "q_topterms_exact", "q_wordpiece_encode",
+    "q_decontaminate_spans", "q_postings_search")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
