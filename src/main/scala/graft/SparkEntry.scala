@@ -1229,6 +1229,34 @@ object SparkEntry {
     TextSearch.bm25FromIndex(s, idx, "hash join stream", k = 25)
   }
 
+  /** Streaming index maintenance end-to-end: a postings index built
+    * from 1/3 of the corpus TAILS the corpus table's change data feed
+    * ([[TextSearch.tailPostings]]) while the remaining 2/3 land as two
+    * live appends — then serves BM25 with zero corpus access. The
+    * oracle is the full-corpus BM25 scan: the tailed index must
+    * reproduce it exactly (same scores, same ranking), which also
+    * proves the exactly-once window protocol applied each append
+    * precisely once (a duplicated batch would double tf). */
+  private val qPostingsTail: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-ptail")
+    val corpus = base.resolve("corpus").toString
+    val idx = base.resolve("idx").toString
+    val ckpt = base.resolve("ckpt").toString
+    docs.filter(col("doc_id") % 3 === 0).write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    TextSearch.buildPostingsFromTable(s, corpus, idx, "tail")
+    val q = TextSearch.tailPostings(s, corpus, idx, "tail", ckpt)
+    try {
+      docs.filter(col("doc_id") % 3 === 1).write.format("graft-v2")
+        .option("path", corpus).mode("append").save()
+      docs.filter(col("doc_id") % 3 === 2).write.format("graft-v2")
+        .option("path", corpus).mode("append").save()
+      q.processAllAvailable()
+    } finally q.stop()
+    TextSearch.bm25FromIndex(s, idx, "hash join stream", k = 25)
+  }
+
   private val qLangId: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), lang_guess(col("text")).as("guessed"))
@@ -1647,6 +1675,7 @@ object SparkEntry {
     "q_common_ngrams" -> qCommonNgrams,
     "q_bm25_search" -> qBm25,
     "q_postings_search" -> qPostingsSearch,
+    "q_postings_tail" -> qPostingsTail,
     "q_tfidf_keywords" -> qTfidf,
     "q_quality_model" -> qQualityModel,
     "q_corpus_mix" -> qCorpusMix,
@@ -2055,6 +2084,27 @@ object SparkEntry {
     // exactly — one oracle, two execution paths (scan vs persisted
     // bucket-pruned postings built 2/3 + extended 1/3)
     "q_postings_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+        |s AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(ts) AS term FROM d)
+        |  WHERE term IN ('hash', 'join', 'stream')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id, round(sum(
+        |    ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1))
+        |      / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN s GROUP BY doc_id)
+        |SELECT doc_id, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    // the STREAM-tailed index must also reproduce the full-corpus scan
+    // exactly — same oracle, third execution path (built 1/3, then two
+    // live appends applied by the change-feed tail, exactly once each)
+    "q_postings_tail" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
         |      x -> x <> '') AS ts

@@ -142,10 +142,163 @@ object TextSearch {
     graft.sources.GraftSink.saveBucketedFiles(tf, s"$path/postings",
       numBuckets, Seq("term"), sortCols = Seq("term", idCol),
       mode = mode)
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
+      // a REBUILD over an old index must not inherit its stats rows —
+      // the postings overwrite above already dropped the old postings
+      val st = new org.apache.hadoop.fs.Path(s"$path/stats")
+      val fs = st.getFileSystem(docs.sparkSession.sessionState
+        .newHadoopConf())
+      if (fs.exists(st)) fs.delete(st, true)
+    }
     toks.select(size(col("_ts")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/stats")
+  }
+
+  // ─────────────── exactly-once feed application protocol ───────────
+  //
+  // The feed faces ([[extendPostingsFromFeed]], [[tailPostings]])
+  // apply a corpus-version WINDOW to the index. foreachBatch delivery
+  // and the batch face's crash model are both at-least-once, so the
+  // application is made idempotent BY CONSTRUCTION: the index keeps
+  // its own applied-version log, and every window lands through a
+  // stage→commit→publish protocol whose commit point is ONE atomic
+  // file create:
+  //
+  //  1. STAGE    write the window's postings delta + stats row under
+  //              `.graft-postings-stage/v<to>/` with their FINAL file
+  //              names (the bucket id rides in the name, so the later
+  //              rename preserves the hash layout)
+  //  2. COMMIT   create `.graft-postings-commits/v<to>` — atomic
+  //              create-if-absent, THE commit point
+  //  3. PUBLISH  rename each staged data file into `postings/` /
+  //              `stats/` (idempotent: a name already present was
+  //              moved before a crash), then drop the stage dir
+  //
+  // Recovery runs at every feed-face entry: a stage dir WITH its
+  // commit marker is finished publishing; one WITHOUT is deleted (the
+  // replay restages it). A window at or below the applied version is
+  // skipped whole; one straddling it is filtered to the unapplied
+  // versions first. Net effect: each corpus version's rows land in
+  // the postings EXACTLY once wherever a crash or Spark replay cuts —
+  // the one visible artifact of a crash between commit and publish is
+  // that reads serve the pre-window index until the next feed-face
+  // call recovers it. Single-writer per index (enforced by the
+  // commit marker's create-if-absent).
+
+  private val CommitsDirName = ".graft-postings-commits"
+  private val StageDirName = ".graft-postings-stage"
+
+  /** Highest corpus version durably applied to the index, per its
+    * commit-marker log; None for indexes never fed from a table. */
+  private[graft] def postingsApplied(
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String): Option[Long] = {
+    val d = new org.apache.hadoop.fs.Path(s"$indexPath/$CommitsDirName")
+    if (!fs.exists(d)) None
+    else {
+      val vs = fs.listStatus(d).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Finish or discard interrupted windows: publish any stage dir
+    * whose commit marker exists, delete any without one. */
+  private[graft] def recoverPostings(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): Unit = {
+    val stageRoot =
+      new org.apache.hadoop.fs.Path(s"$indexPath/$StageDirName")
+    if (!fs.exists(stageRoot)) return
+    val applied = postingsApplied(fs, indexPath)
+    fs.listStatus(stageRoot).foreach { st =>
+      val v = st.getPath.getName.drop(1).toLong
+      if (applied.exists(_ >= v)) publishStage(fs, indexPath, st.getPath)
+      else fs.delete(st.getPath, true)
+    }
+    if (fs.listStatus(stageRoot).isEmpty) fs.delete(stageRoot, true)
+  }
+
+  /** Move a committed stage's data files into the live dirs. Renames
+    * are the idempotent unit: a destination that already exists means
+    * THIS file moved before a crash — drop the staged copy. Layout
+    * markers / _SUCCESS stay behind (the live dirs own theirs). */
+  private def publishStage(fs: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, stage: org.apache.hadoop.fs.Path): Unit = {
+    def moveAll(sub: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(stage, sub)
+      if (!fs.exists(src)) return
+      val dst = new org.apache.hadoop.fs.Path(s"$indexPath/$sub")
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      fs.listStatus(src).foreach { f =>
+        val n = f.getPath.getName
+        if (!n.startsWith(".") && !n.startsWith("_")) {
+          val to = new org.apache.hadoop.fs.Path(dst, n)
+          if (fs.exists(to)) fs.delete(f.getPath, false)
+          else if (!fs.rename(f.getPath, to)) {
+            throw new java.io.IOException(
+              s"graft postings publish: rename ${f.getPath} -> $to " +
+              "failed")
+          }
+        }
+      }
+    }
+    moveAll("postings")
+    moveAll("stats")
+    fs.delete(stage, true)
+  }
+
+  /** Apply one feed window (rows already filtered to the unapplied
+    * versions) up to corpus version `toVersion`, exactly once. Returns
+    * false when the window was already applied. `crashAfterCommit` is
+    * a test hook simulating a crash between the commit point and the
+    * publish — the window is then durably committed but unpublished,
+    * and the next feed-face entry finishes it. */
+  private[graft] def applyFeedWindow(newDocs: DataFrame,
+      indexPath: String, toVersion: Long, idCol: String,
+      textCol: String, crashAfterCommit: Boolean = false): Boolean = {
+    val spark = newDocs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverPostings(fs, indexPath)
+    if (postingsApplied(fs, indexPath).exists(_ >= toVersion)) {
+      return false
+    }
+    val layout = graft.sources.BucketLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$indexPath/postings")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft postings feed: no postings index at $indexPath — " +
+        "buildPostingsFromTable first"))
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$StageDirName/v$toVersion")
+    if (fs.exists(stage)) fs.delete(stage, true) // uncommitted leftover
+    writePostings(newDocs, stage.toString, layout.numBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite, idCol, textCol)
+    // COMMIT POINT — one atomic create-if-absent
+    val commits =
+      new org.apache.hadoop.fs.Path(s"$indexPath/$CommitsDirName")
+    if (!fs.exists(commits)) fs.mkdirs(commits)
+    val marker = new org.apache.hadoop.fs.Path(commits, s"v$toVersion")
+    if (!fs.createNewFile(marker)) {
+      throw new IllegalStateException(
+        s"graft postings feed: commit marker $marker already exists — " +
+        "concurrent feed writers on one index are not supported")
+    }
+    if (crashAfterCommit) {
+      throw new java.io.IOException(
+        "graft postings feed: simulated crash after commit (test hook)")
+    }
+    publishStage(fs, indexPath, stage)
+    // the max marker is the authority; prune the superseded ones
+    fs.listStatus(commits).foreach { f =>
+      if (f.getPath.getName.drop(1).toLong < toVersion) {
+        fs.delete(f.getPath, false)
+      }
+    }
+    val sr = new org.apache.hadoop.fs.Path(s"$indexPath/$StageDirName")
+    if (fs.exists(sr) && fs.listStatus(sr).isEmpty) fs.delete(sr, true)
+    true
   }
 
   /** Build the postings index FROM A graft-v2 CORPUS TABLE and
@@ -168,12 +321,26 @@ object TextSearch {
     val docs = spark.read.format("graft-v2")
       .option("versionAsOf", ver.toString).load(corpusPath)
     buildPostings(docs, indexPath, numBuckets, idCol, textCol)
+    // seed the index-local applied-version log: the feed faces'
+    // exactly-once protocol needs an authority from the first extend
+    // (a REBUILD over an old index obsoletes the old log and stages)
+    val ifs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commits =
+      new org.apache.hadoop.fs.Path(s"$indexPath/$CommitsDirName")
+    if (ifs.exists(commits)) ifs.delete(commits, true)
+    ifs.mkdirs(commits)
+    ifs.createNewFile(new org.apache.hadoop.fs.Path(commits, s"v$ver"))
+    val sr = new org.apache.hadoop.fs.Path(s"$indexPath/$StageDirName")
+    if (ifs.exists(sr)) ifs.delete(sr, true)
     GraftCdf.advanceConsumer(fs, t, consumerId, ver)
   }
 
-  /** Apply every corpus commit since this consumer's mark to the
-    * index: INSERT rows extend the postings (cost ∝ the delta), the
-    * mark advances, and the call is idempotent when nothing new
+  /** Apply every corpus commit since the index's applied version to
+    * the index: INSERT rows extend the postings (cost ∝ the delta),
+    * exactly once (stage→commit→publish — see the protocol note
+    * above), and the consumer mark advances so the corpus's vacuum
+    * keeps the feed window open. Idempotent when nothing new
     * committed. Row-level deletes/updates are REFUSED loudly — the
     * postings layout is append-only (rebuild, or filter dead doc ids
     * at query time, for mutable corpora). Returns the number of
@@ -188,19 +355,111 @@ object TextSearch {
       throw new IllegalArgumentException(
         s"graft extendPostingsFromFeed: consumer '$consumerId' is not " +
         s"registered on $corpusPath — buildPostingsFromTable first"))
+    val ifs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crash between commit and publish left a pending window: finish
+    // it before deciding what is new
+    recoverPostings(ifs, indexPath)
+    // the index's own log outranks the consumer mark (the mark can lag
+    // a crash that hit after the window committed but before advance)
+    val from = math.max(mark, postingsApplied(ifs, indexPath)
+      .getOrElse(mark))
     val cur = GraftManifest.current(fs, t).map(_.version).getOrElse(0L)
-    if (cur <= mark) return 0L
-    val feed = GraftCdf.tableChanges(spark, corpusPath, mark + 1, cur)
+    if (cur <= from) {
+      if (cur > mark) GraftCdf.advanceConsumer(fs, t, consumerId, cur)
+      return 0L
+    }
+    val feed = GraftCdf.tableChanges(spark, corpusPath, from + 1, cur)
     val nonInsert = feed
       .filter(col(GraftCdf.ChangeType) =!= "insert").limit(1).count()
     require(nonInsert == 0L,
       s"graft extendPostingsFromFeed: $corpusPath committed row " +
       "deletes/updates in the feed window — the postings layout is " +
       "append-only; rebuild the index or filter dead ids at query time")
-    extendPostings(feed.select(col(idCol), col(textCol)), indexPath,
-      idCol, textCol)
+    applyFeedWindow(feed.select(col(idCol), col(textCol)), indexPath,
+      cur, idCol, textCol)
     GraftCdf.advanceConsumer(fs, t, consumerId, cur)
-    cur - mark
+    cur - from
+  }
+
+  /** STREAMING index maintenance: tail the corpus's change data feed
+    * and extend the postings continuously — the push face of
+    * [[extendPostingsFromFeed]]'s batch catch-up. Each micro-batch
+    * lands through the same exactly-once window protocol, so a Spark
+    * replay (foreachBatch is at-least-once) re-applies nothing: rows
+    * at or below the index's applied version are filtered out, and a
+    * whole-batch replay is skipped at the commit log. Mutations in
+    * the feed fail the query loudly (append-only contract). The
+    * consumer mark advances per batch, holding the corpus's vacuum
+    * window open for this subscription. */
+  def tailPostings(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, indexPath: String, consumerId: String,
+      checkpointLocation: String, idCol: String = "doc_id",
+      textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.v2.GraftCdf
+    val t = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    val mark = GraftCdf.consumerMarks(fs, t).getOrElse(consumerId,
+      throw new IllegalArgumentException(
+        s"graft tailPostings: consumer '$consumerId' is not " +
+        s"registered on $corpusPath — buildPostingsFromTable first"))
+    val ifs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverPostings(ifs, indexPath)
+    val start =
+      math.max(mark, postingsApplied(ifs, indexPath).getOrElse(0L)) + 1
+    spark.readStream.format("graft-v2").option("path", corpusPath)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", start.toString).load()
+      .writeStream.option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyFeedBatch(batch, corpusPath, indexPath, consumerId,
+          idCol, textCol)
+      }
+      .start()
+  }
+
+  /** One exactly-once micro-batch of [[tailPostings]] (separated so
+    * the replay semantics are testable without a running stream). */
+  private[graft] def applyFeedBatch(batch: DataFrame,
+      corpusPath: String, indexPath: String, consumerId: String,
+      idCol: String, textCol: String): Unit = {
+    import graft.sources.v2.GraftCdf
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      val nonInsert = batch
+        .filter(col(GraftCdf.ChangeType) =!= "insert").limit(1).count()
+      require(nonInsert == 0L,
+        s"graft tailPostings: $corpusPath committed row " +
+        "deletes/updates in the feed — the postings layout is " +
+        "append-only; rebuild the index or filter dead ids at query " +
+        "time")
+      val vRow = batch
+        .agg(max(col(GraftCdf.CommitVersion))).head()
+      if (vRow.isNullAt(0)) return // empty batch
+      val vmax = vRow.getLong(0)
+      val ifs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      recoverPostings(ifs, indexPath) // finish a committed-unpublished window
+      val applied = postingsApplied(ifs, indexPath).getOrElse(0L)
+      if (vmax > applied) {
+        // a replay after checkpoint loss can straddle the applied
+        // version: keep only the unapplied versions' rows
+        val fresh = batch
+          .filter(col(GraftCdf.CommitVersion) > applied)
+          .select(col(idCol), col(textCol))
+        applyFeedWindow(fresh, indexPath, vmax, idCol, textCol)
+      }
+      val t = new org.apache.hadoop.fs.Path(corpusPath)
+      GraftCdf.advanceConsumer(
+        t.getFileSystem(spark.sessionState.newHadoopConf()), t,
+        consumerId, vmax)
+    } finally {
+      batch.unpersist()
+      ()
+    }
   }
 
   /** BM25 served ENTIRELY from the index: the postings scan is

@@ -136,6 +136,148 @@ class TextSearchSpec extends SparkTestBase {
     assert(e1.getMessage.contains("append-only"), e1.getMessage)
   }
 
+  test("tailPostings: the index tails the corpus across stream " +
+      "restarts, exactly once — final postings equal a fresh build") {
+    import graft.operators.TextSearch
+    val docs = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text")
+    val base = java.nio.file.Files.createTempDirectory("graft-ptail")
+    val corpus = base.resolve("corpus").toString
+    val idx = base.resolve("idx").toString
+    val ckpt = base.resolve("ckpt").toString
+    docs.filter($"doc_id" % 3 === 0).write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    TextSearch.buildPostingsFromTable(spark, corpus, idx, "tail")
+
+    // first life: two appends land while the stream runs
+    val q1 = TextSearch.tailPostings(spark, corpus, idx, "tail", ckpt)
+    try {
+      docs.filter($"doc_id" % 3 === 1).write.format("graft-v2")
+        .option("path", corpus).mode("append").save()
+      docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 === 0)
+        .write.format("graft-v2").option("path", corpus)
+        .mode("append").save()
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // second life, same checkpoint: catches up the offline append
+    docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 =!= 0)
+      .write.format("graft-v2").option("path", corpus)
+      .mode("append").save()
+    val q2 = TextSearch.tailPostings(spark, corpus, idx, "tail", ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val qs = "hash join stream"
+    val fromIdx = TextSearch.bm25FromIndex(spark, idx, qs, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = TextSearch.bm25(docs, qs, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIdx === direct,
+      "tailed index diverges from the full corpus scan")
+    // the strong no-duplication check: postings content-identical to
+    // a fresh full build (a replayed batch would double tf rows)
+    val fresh = base.resolve("fresh").toString
+    TextSearch.buildPostings(docs, fresh)
+    val pTail = spark.read.format("graft-v2").load(s"$idx/postings")
+    val pFresh = spark.read.format("graft-v2").load(s"$fresh/postings")
+    assert(pTail.exceptAll(pFresh).isEmpty &&
+      pFresh.exceptAll(pTail).isEmpty,
+      "tailed postings differ from a fresh full build")
+
+    // a corpus rewrite fails the stream loudly at the source (a
+    // rewrite's changes are not scan-expressible)
+    docs.filter($"doc_id" < 10).write.format("graft-v2")
+      .option("path", corpus).mode("overwrite").save()
+    val q3 = TextSearch.tailPostings(spark, corpus, idx, "tail", ckpt)
+    val err = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination(10000)
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(err).contains("rewrote files"), rootMsg(err))
+
+    // row-level mutations that DO flow as change rows are refused by
+    // the batch body itself (append-only contract)
+    import graft.sources.v2.GraftCdf
+    val bad = Seq((1L, "x", "delete", 9L))
+      .toDF("doc_id", "text", GraftCdf.ChangeType, GraftCdf.CommitVersion)
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.applyFeedBatch(bad, corpus, idx, "tail",
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
+  test("postings feed window protocol: replays skip, an uncommitted " +
+      "stage is discarded, a committed-unpublished window is finished " +
+      "at the next entry") {
+    import graft.operators.TextSearch
+    val docs = Tables.t(spark, sf001, "documents")
+      .select($"doc_id", $"text")
+    val base = java.nio.file.Files.createTempDirectory("graft-pexact")
+    val corpus = base.resolve("corpus").toString
+    val idx = base.resolve("idx").toString
+    docs.filter($"doc_id" % 3 === 0).write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    TextSearch.buildPostingsFromTable(spark, corpus, idx, "px")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def postings() = spark.read.format("graft-v2")
+      .load(s"$idx/postings")
+
+    // window v2 applied once; an identical replay is a no-op
+    docs.filter($"doc_id" % 3 === 1).write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    val delta = docs.filter($"doc_id" % 3 === 1)
+    assert(TextSearch.applyFeedWindow(delta, idx, 2L, "doc_id", "text"))
+    val afterV2 = postings().count()
+    assert(!TextSearch.applyFeedWindow(delta, idx, 2L, "doc_id", "text"),
+      "replayed window must be skipped at the commit log")
+    assert(postings().count() === afterV2, "replay duplicated postings")
+
+    // crash BEFORE commit: a stale stage without a marker is discarded
+    // and the restaged window applies exactly once
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$idx/.graft-postings-stage/v3")
+    fs.mkdirs(stage)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "leftover"))
+    val delta3 = docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 === 0)
+    docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 === 0)
+      .write.format("graft-v2").option("path", corpus)
+      .mode("append").save()
+    assert(TextSearch.applyFeedWindow(delta3, idx, 3L, "doc_id", "text"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/.graft-postings-stage")), "stage root must be cleaned")
+
+    // crash AFTER commit, BEFORE publish (test hook): the window is
+    // durable but unpublished; the next feed-face entry finishes it
+    // and applies nothing twice
+    docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 =!= 0)
+      .write.format("graft-v2").option("path", corpus)
+      .mode("append").save()
+    val beforeV4 = postings().count()
+    val delta4 = docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 =!= 0)
+    intercept[java.io.IOException] {
+      TextSearch.applyFeedWindow(delta4, idx, 4L, "doc_id", "text",
+        crashAfterCommit = true)
+    }
+    // committed but unpublished: reads still serve the pre-window state
+    assert(postings().count() === beforeV4,
+      "unpublished window must not be visible")
+    // the batch feed face recovers it and reports nothing new to apply
+    assert(TextSearch.extendPostingsFromFeed(
+      spark, corpus, idx, "px") === 0L)
+    val qs = "hash join stream"
+    val fromIdx = TextSearch.bm25FromIndex(spark, idx, qs, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = TextSearch.bm25(docs, qs, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIdx === direct,
+      "recovered index diverges from the full corpus scan")
+  }
+
   test("tfIdfKeywords: smooth-idf scores, per-doc top-m, zero-idf " +
       "corpus-universal terms rank below distinctive ones") {
     val d = docs(1L -> "a a b", 2L -> "b c")
