@@ -496,6 +496,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftCatalog.applyGens(schema, gens),
         GraftCatalog.readDefaults(fs, dir)),
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
+      partitionSpec = graft.sources.PartitionLayout.read(fs, dir),
       // reported CHECK constraints: Spark's ResolveTableConstraints
       // enforces the enforced ones on every catalog write
       checkConstraints = GraftCatalog.readChecks(fs, dir),
@@ -547,6 +548,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.getOrElse(throw new NoSuchTableException(ident))
     GraftTableV2(dir.toString, schema,
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
+      partitionSpec = graft.sources.PartitionLayout.read(fs, dir),
       versionAsOf = Some(v))
   }
 
@@ -594,11 +596,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"graft catalog: bucket columns must be top-level, got $other")
         }
         Some(graft.sources.BucketLayout(n, cols.toSeq, Nil))
+      case other if other.forall(_.name == "identity") =>
+        None // identity transforms: parsePartitionTransforms' job
       case other =>
         throw new UnsupportedOperationException(
           "graft catalog: only CLUSTERED BY (cols) INTO n BUCKETS " +
+          "and PARTITIONED BY (cols) " +
           s"partitioning is supported, got ${other.mkString(", ")}")
     }
+  }
+
+  /** SQL `PARTITIONED BY (col, …)` arrives as identity transforms:
+    * they declare a HIDDEN-partitioning layout
+    * ([[graft.sources.PartitionLayout]] — value-clustered flat files
+    * with name-embedded digests, not `col=val/` directories). Mixed
+    * identity + bucket transforms are refused. */
+  private def parsePartitionTransforms(partitions: Array[Transform],
+      schema: StructType): Option[graft.sources.PartitionLayout] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (partitions.isEmpty || partitions.exists(_.name == "bucket")) {
+      if (partitions.count(_.name == "bucket") != partitions.length &&
+          partitions.nonEmpty) {
+        throw new UnsupportedOperationException(
+          "graft catalog: PARTITIONED BY cannot mix bucket and " +
+          s"identity transforms: ${partitions.mkString(", ")}")
+      }
+      return None
+    }
+    val cols = partitions.map { t =>
+      if (t.name != "identity") {
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform $t — " +
+          "PARTITIONED BY (col, …) and CLUSTERED BY … INTO n BUCKETS " +
+          "are the supported layouts")
+      }
+      t.arguments() match {
+        case Array(r: NamedReference) if r.fieldNames().length == 1 =>
+          r.fieldNames()(0)
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: partition columns must be top-level, " +
+          s"got ${other.mkString(", ")}")
+      }
+    }.toSeq
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: partition column $c not in table schema " +
+          schema.catalogString))
+      if (!graft.sources.PartitionLayout.supportedType(f.dataType)) {
+        throw new UnsupportedOperationException(
+          s"graft catalog: partition column $c of type " +
+          s"${f.dataType.simpleString} has no canonical value " +
+          "rendering — partition on string/integral/date/timestamp/" +
+          "boolean columns")
+      }
+    }
+    Some(graft.sources.PartitionLayout(cols))
   }
 
   /** The modern CREATE entry point: Spark 4 hands V2 `Column`s whose
@@ -625,6 +678,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String],
       gens: Map[String, String]): Table = {
     val bucketSpec = parseBucketTransforms(partitions)
+    val partitionSpec = parsePartitionTransforms(partitions, schema)
     val dir = tableDir(ident)
     if (isTableDir(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
@@ -642,8 +696,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props = Some(userProps),
       gens = Some(gens))
     bucketSpec.foreach(graft.sources.BucketLayout.write(fs, dir, _))
+    partitionSpec.foreach(
+      graft.sources.PartitionLayout.write(fs, dir, _))
     GraftTableV2(dir.toString, schema, bucketSpec = bucketSpec,
-      tableProps = userProps)
+      tableProps = userProps, partitionSpec = partitionSpec)
   }
 
   // ===== atomic CTAS / RTAS (StagingTableCatalog) =====
@@ -710,8 +766,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       defaults = Some(GraftCatalog.extractDefaults(schema)),
       props = Some(userProps))
     bucketSpec.foreach(graft.sources.BucketLayout.write(fs, staging, _))
+    val partitionSpec = parsePartitionTransforms(partitions, schema)
+    partitionSpec.foreach(
+      graft.sources.PartitionLayout.write(fs, staging, _))
     new GraftStagedTable(ident, dir, staging, schema, bucketSpec,
-      replace, orCreate)
+      partitionSpec, replace, orCreate)
   }
 
   /** The staged twin: a fully functional graft-v2 table rooted at the
@@ -721,11 +780,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private class GraftStagedTable(ident: Identifier, finalDir: Path,
       staging: Path, stagedSchema: StructType,
       bucketSpec: Option[graft.sources.BucketLayout],
+      partitionSpec: Option[graft.sources.PartitionLayout],
       replace: Boolean, orCreate: Boolean)
       extends StagedTable with SupportsWrite {
     private val inner =
       GraftTableV2(staging.toString, stagedSchema,
-        bucketSpec = bucketSpec)
+        bucketSpec = bucketSpec, partitionSpec = partitionSpec)
     override def name(): String =
       s"graft-v2:${ident.name()} (staged)"
     override def schema(): StructType = stagedSchema
@@ -803,6 +863,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val layoutCols: Set[String] = graft.sources.BucketLayout
       .read(fs, dir).map(b => (b.bucketCols ++ b.sortCols).toSet)
       .getOrElse(Set.empty)
+    // partition columns are layout columns too: the hidden-
+    // partitioning marker and file-name digests are keyed by name —
+    // a rename would break appends and orphan the pruning
+    val partitionCols: Set[String] = graft.sources.PartitionLayout
+      .read(fs, dir).map(_.cols.toSet).getOrElse(Set.empty)
     var mapping = GraftCatalog.readMapping(fs, dir)
     var checks = GraftCatalog.readChecks(fs, dir)
     var defaults = GraftCatalog.readDefaults(fs, dir)
@@ -873,6 +938,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "co-location contract is keyed by name — rewrite with " +
             "GraftSink.saveBucketedFiles instead")
         }
+        if (partitionCols.contains(from)) {
+          fail("the column is a hidden-partitioning column; the " +
+            "layout marker and file-name digests are keyed by name — " +
+            "rewrite the table to re-partition")
+        }
         checkReferencing(from).foreach(c =>
           fail(s"CHECK constraint '${c.name}' references it " +
             s"(${c.predicateSql}); drop the constraint first"))
@@ -915,6 +985,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (layoutCols.contains(name)) {
           fail("the column is part of the bucket layout — rewrite with " +
             "GraftSink.saveBucketedFiles instead")
+        }
+        if (partitionCols.contains(name)) {
+          fail("the column is a hidden-partitioning column — rewrite " +
+            "the table to re-partition")
         }
         checkReferencing(name).foreach(c =>
           fail(s"CHECK constraint '${c.name}' references it " +
@@ -1072,6 +1146,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.applyDefaults(
         GraftCatalog.applyGens(evolved, gens), defaults),
       bucketSpec = graft.sources.BucketLayout.read(fs, dir),
+      partitionSpec = graft.sources.PartitionLayout.read(fs, dir),
       checkConstraints = checks,
       tableProps = props)
   }

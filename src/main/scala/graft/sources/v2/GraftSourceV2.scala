@@ -108,6 +108,15 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
       graft.sources.BucketLayout.read(
         path.getFileSystem(GraftHadoopConf.sessionConf()), path)
     }.toOption.flatten
+    // the hidden-partitioning marker travels with the data too: path
+    // reads prune files from name-embedded value digests
+    // ([[graft.sources.PartitionLayout]]) and path appends inherit the
+    // value-clustered write contract
+    val pspec = scala.util.Try {
+      val path = new Path(p)
+      graft.sources.PartitionLayout.read(
+        path.getFileSystem(GraftHadoopConf.sessionConf()), path)
+    }.toOption.flatten
     // marker-recorded CHECK constraints ride the path-based table too:
     // `ResolveTableConstraints` keys on `Table.constraints()`, not on
     // how the relation was resolved, so a `format("graft-v2")
@@ -125,6 +134,7 @@ class GraftSourceV2 extends TableProvider with DataSourceRegister {
       batchSize = String.valueOf(
         properties.getOrDefault("batchSize", "4096")).toInt,
       bucketSpec = spec, groupByBucket = false,
+      partitionSpec = pspec,
       versionAsOf = Option(properties.get("versionAsOf")).map { raw =>
         val s = String.valueOf(raw)
         // numeric, else a tag name resolved against the table's
@@ -151,7 +161,8 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     groupByBucket: Boolean = true,
     versionAsOf: Option[Long] = None,
     checkConstraints: Seq[GraftCatalog.CheckSpec] = Nil,
-    tableProps: Map[String, String] = Map.empty)
+    tableProps: Map[String, String] = Map.empty,
+    partitionSpec: Option[graft.sources.PartitionLayout] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -290,13 +301,19 @@ case class GraftTableV2(path: String, tableSchema: StructType,
     case Some(b) =>
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .bucket(b.numBuckets, b.bucketCols: _*))
-    case None => Array.empty
+    case None => partitionSpec match {
+      case Some(p) => p.cols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c)).toArray
+      case None => Array.empty
+    }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilderV2(path, tableSchema, vectorized, batchSize,
       bucketSpec, groupByBucket,
-      versionAsOf.orElse(
+      partitionSpec = partitionSpec,
+      versionAsOf = versionAsOf.orElse(
         Option(options.get("versionAsOf")).map(_.toLong)),
       mergeRuns = options.getBoolean("mergeSortedRuns", false),
       streamIgnoreChanges =
@@ -321,7 +338,7 @@ case class GraftTableV2(path: String, tableSchema: StructType,
         "write through the catalog (INSERT INTO <catalog>.<table>) or " +
         "GraftSink.saveBucketedFiles so files keep their bucket ids")
     }
-    new GraftWriteBuilderV2(path, info, bucketSpec)
+    new GraftWriteBuilderV2(path, info, bucketSpec, partitionSpec)
   }
 }
 
@@ -332,7 +349,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
     versionAsOf: Option[Long] = None,
     mergeRuns: Boolean = false,
     streamIgnoreChanges: Boolean = false,
-    maxFilesPerTrigger: Int = -1)
+    maxFilesPerTrigger: Int = -1,
+    partitionSpec: Option[graft.sources.PartitionLayout] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -720,7 +738,14 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
       batchSize, topN, topNLimit, pushedAgg, bucketSpec, groupByBucket,
       appendFile, snapshotFiles, fileAllow, mergeRuns,
       streamIgnoreChanges, snapshotDvs, appendPos,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger,
+      partitionSpec = partitionSpec,
+      // the partition columns' types resolve against the FULL schema:
+      // a pushed filter's column may be outside the projection
+      partitionTypes = partitionSpec.map(pl =>
+        fullSchema.fields.filter(f => pl.cols.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty))
   }
 }
 
@@ -777,7 +802,9 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     streamIgnoreChanges: Boolean = false,
     dvs: Map[String, String] = Map.empty,
     appendPos: Boolean = false,
-    maxFilesPerTrigger: Int = -1)
+    maxFilesPerTrigger: Int = -1,
+    partitionSpec: Option[graft.sources.PartitionLayout] = None,
+    partitionTypes: Map[String, DataType] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -833,7 +860,23 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         base.filter(p => ks.contains(new Path(p).getName))
       case None => base
     }
-    FooterCache.rowGroupsFor(files)
+    // hidden-partitioning prune ([[graft.sources.PartitionLayout]]):
+    // equality/IN/IS NULL conjuncts on the partition columns drop
+    // files whose NAME-embedded value digests cannot match — the
+    // listing-level skip a Hive `col=val/` layout buys, with zero
+    // footer I/O. Un-tokenized files (compaction output, REPLACE
+    // WHERE residue, pre-layout files) always survive; footer stats
+    // below stay the exact backstop.
+    val pvFiles = partitionSpec match {
+      case Some(pl) =>
+        val allowed = graft.sources.PartitionLayout.allowedTokens(
+          pl, partitionTypes, filters.toSeq)
+        if (allowed.isEmpty) files
+        else files.filter(p => graft.sources.PartitionLayout.mayMatch(
+          new Path(p).getName, allowed))
+      case None => files
+    }
+    FooterCache.rowGroupsFor(pvFiles)
   }
 
   override def filterAttributes()
@@ -1081,7 +1124,20 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         }
       case None => kept
     }
-    val parts = bucketKept.map(mkPartition)
+    // runtime (DPP) equality/IN sets prune partition-token files too
+    // — the planning-time conjuncts were already applied in
+    // scanRowGroups; only the runtime arrivals are probed here
+    val pvKept = partitionSpec match {
+      case Some(pl) if runtimeFilters.nonEmpty =>
+        val allowed = graft.sources.PartitionLayout.allowedTokens(
+          pl, partitionTypes, runtimeFilters.toSeq)
+        if (allowed.isEmpty) bucketKept
+        else bucketKept.filter(rg =>
+          graft.sources.PartitionLayout.mayMatch(
+            new Path(rg.file).getName, allowed))
+      case _ => bucketKept
+    }
+    val parts = pvKept.map(mkPartition)
     bucketGrouping match {
       case Some(b) =>
         // one partition per bucket, ALL buckets present (empty ones

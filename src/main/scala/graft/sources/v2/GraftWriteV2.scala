@@ -39,7 +39,8 @@ import graft.sources.InternalRowParquetBuilder
   * truncate exactly like the V1 sink's truncate-and-load.
   */
 class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
-    bucketSpec: Option[graft.sources.BucketLayout] = None)
+    bucketSpec: Option[graft.sources.BucketLayout] = None,
+    partitionSpec: Option[graft.sources.PartitionLayout] = None)
     extends WriteBuilder with SupportsOverwrite {
 
   private var truncateFirst = false
@@ -176,8 +177,47 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
           s"${info.schema().catalogString}")
       }
     }
+    // hidden partitioning ([[graft.sources.PartitionLayout]]): the
+    // table's marker is the authority; `option("partitionedBy",
+    // "a,b")` declares the layout on a table that has none (its marker
+    // lands at COMMIT). Declaring over existing un-tokenized files is
+    // fine — they are simply never pruned.
+    val optSpec = Option(info.options().get("partitionedBy"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map(graft.sources.PartitionLayout(_))
+    val effectivePartition = (partitionSpec, optSpec) match {
+      case (Some(m), Some(o)) if m != o =>
+        throw new IllegalArgumentException(
+          s"graft-v2 partitioned write: $path is laid out as $m, " +
+          s"write declared $o")
+      case (Some(m), _) => Some(m)
+      case (None, o) => o
+    }
+    effectivePartition.foreach { pl =>
+      if (bucketSpec.isDefined) {
+        throw new UnsupportedOperationException(
+          s"graft-v2: $path cannot be both bucketed " +
+          s"(${bucketSpec.get}) and hidden-partitioned ($pl) — the " +
+          "two layouts claim the same file names")
+      }
+      pl.cols.foreach { c =>
+        val f = info.schema().fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-v2 partitioned write: partition column $c absent " +
+            s"from write schema ${info.schema().catalogString}"))
+        if (!graft.sources.PartitionLayout.supportedType(f.dataType)) {
+          throw new UnsupportedOperationException(
+            s"graft-v2 partitioned write: column $c of type " +
+            s"${f.dataType.simpleString} has no canonical value " +
+            "rendering — partition on string/integral/date/" +
+            "timestamp/boolean columns")
+        }
+      }
+    }
     GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond,
       bucketSpec, widenTo,
+      partitionSpec = effectivePartition,
       // `changelog=true` starts the version log at THIS append (v1 =
       // the pre-append state) so the change data feed ([[GraftCdf]])
       // can consume the table from its first commit — without it, a
@@ -195,11 +235,13 @@ case class GraftWriteV2(path: String, schema: StructType,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     widenTo: Option[StructType] = None,
     changelog: Boolean = false,
-    queryId: String = "") extends Write
+    queryId: String = "",
+    partitionSpec: Option[graft.sources.PartitionLayout] = None)
+    extends Write
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite =
     new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
-      bucketSpec, widenTo, changelog)
+      bucketSpec, widenTo, changelog, partitionSpec)
 
   /** Native streaming sink (`df.writeStream.format("graft-v2")` /
     * `.toTable(...)`): append-mode micro-batches through the SAME
@@ -225,12 +267,32 @@ case class GraftWriteV2(path: String, schema: StructType,
     new GraftStreamingWriteV2(path, schema, queryId)
   }
 
+  /** A partitioned write clusters rows by the partition columns
+    * (identity transforms — resolvable without a function catalog, so
+    * path writes partition too) and sorts tasks by them: value
+    * changes are then contiguous, so the writer rolls ONE open file
+    * per task regardless of partition-value cardinality. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    BucketWriteContract.distribution(bucketSpec)
+    partitionSpec match {
+      case Some(pl) =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(pl.cols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c)).toArray)
+      case None => BucketWriteContract.distribution(bucketSpec)
+    }
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    BucketWriteContract.ordering(bucketSpec)
+    partitionSpec match {
+      case Some(pl) => pl.cols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)).toArray
+      case None => BucketWriteContract.ordering(bucketSpec)
+    }
 }
 
 /** A bucketed write asks Spark to cluster incoming rows by the bucket
@@ -490,7 +552,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     overwriteCond: Option[Filter] = None,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     widenTo: Option[StructType] = None,
-    changelog: Boolean = false)
+    changelog: Boolean = false,
+    partitionSpec: Option[graft.sources.PartitionLayout] = None)
     extends BatchWrite {
 
   protected val jobId = UUID.randomUUID().toString.take(8)
@@ -519,13 +582,19 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     val conf = hconf()
     val staging = new Path(new Path(path), stagingName)
     staging.getFileSystem(conf).mkdirs(staging)
-    val base = bucketSpec match {
-      case Some(b) =>
+    val base = (bucketSpec, partitionSpec) match {
+      case (Some(b), _) =>
         val ords = b.bucketCols.map(schema.fieldIndex).toArray
         val dts = ords.map(schema.fields(_).dataType)
         GraftBucketedWriterFactoryV2(new SerializableConfiguration(conf),
           staging.toString, jobId, b.numBuckets, ords, dts)
-      case None =>
+      case (None, Some(pl)) =>
+        val ords = pl.cols.map(schema.fieldIndex).toArray
+        val dts = ords.map(schema.fields(_).dataType)
+        GraftPartitionedWriterFactoryV2(
+          new SerializableConfiguration(conf),
+          staging.toString, jobId, ords, dts)
+      case (None, None) =>
         GraftWriterFactoryV2(new SerializableConfiguration(conf),
           staging.toString, jobId)
     }
@@ -539,6 +608,15 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     val staging = new Path(target, stagingName)
+    // first partitioned write: persist the layout marker so appends
+    // inherit the value-clustered contract and reads prune on the
+    // name tokens (idempotent; a marker without tokenized files is
+    // harmless, so writing before the renames risks nothing)
+    partitionSpec.foreach { pl =>
+      if (graft.sources.PartitionLayout.read(fs, target).isEmpty) {
+        graft.sources.PartitionLayout.write(fs, target, pl)
+      }
+    }
     val committed = messages.flatMap {
       case GraftCommitV2(f) => Seq(f)
       case GraftCommitMultiV2(fs0) => fs0
@@ -740,6 +818,95 @@ case class GraftWriterFactoryV2(conf: SerializableConfiguration,
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftDataWriterV2(conf.value, stagingDir, jobId, partitionId, taskId)
+}
+
+case class GraftPartitionedWriterFactoryV2(
+    conf: SerializableConfiguration,
+    stagingDir: String, jobId: String,
+    partOrds: Array[Int],
+    partTypes: Array[org.apache.spark.sql.types.DataType])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftPartitionedDataWriterV2(conf.value, stagingDir, jobId,
+      partitionId, taskId, partOrds, partTypes)
+}
+
+/** Hidden-partitioning writer ([[graft.sources.PartitionLayout]]):
+  * rolls to a new file whenever the partition-value tuple changes, so
+  * each data file holds exactly one value combination and carries its
+  * per-column digests in the `.pv-…` name fragment. The write's
+  * required ordering makes value changes contiguous — ONE open writer
+  * per task at any partition-value cardinality (vs the bucketed
+  * writer's per-bucket map, bounded by numBuckets). If an unsorted
+  * stream ever reached this writer it would only create more,
+  * smaller files — every file's tokens still match its rows. */
+class GraftPartitionedDataWriterV2(conf: Configuration,
+    stagingDir: String, jobId: String, partitionId: Int, taskId: Long,
+    partOrds: Array[Int],
+    partTypes: Array[org.apache.spark.sql.types.DataType])
+    extends DataWriter[InternalRow] {
+
+  private var current: ParquetWriter[InternalRow] = null
+  private var currentTokens: Seq[String] = null
+  private var seq = 0
+  private val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+
+  private def tokensOf(row: InternalRow): Seq[String] = {
+    val out = new Array[String](partOrds.length)
+    var i = 0
+    while (i < partOrds.length) {
+      out(i) =
+        if (row.isNullAt(partOrds(i))) {
+          graft.sources.PartitionLayout.NullToken
+        } else {
+          graft.sources.PartitionLayout.token(
+            graft.sources.PartitionLayout.canonicalInternal(
+              row.get(partOrds(i), partTypes(i)), partTypes(i)))
+        }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val t = tokensOf(record)
+    if (current == null || t != currentTokens) {
+      if (current != null) current.close()
+      currentTokens = t
+      val frag = graft.sources.PartitionLayout.nameFragment(t)
+      val out = new Path(f"$stagingDir%s/part-00000-$jobId%s-" +
+        f"$partitionId%d-$taskId%d.$frag%s.c$seq%03d.snappy.parquet")
+      seq += 1
+      files += out
+      current = new InternalRowParquetBuilder(
+        HadoopOutputFile.fromPath(out, conf))
+        .withConf(conf)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    current.write(record)
+  }
+
+  private var closed = false
+  private def closeOnce(): Unit =
+    if (!closed) { closed = true; if (current != null) current.close() }
+
+  override def commit(): WriterCommitMessage = {
+    closeOnce()
+    GraftCommitMultiV2(files.map(_.toString).toSeq)
+  }
+
+  override def abort(): Unit = {
+    try closeOnce() catch { case _: Throwable => () }
+    val fs = new Path(stagingDir).getFileSystem(conf)
+    files.foreach { p =>
+      try fs.delete(p, false) catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = closeOnce()
 }
 
 /** The streaming face of the V2 write: executors write each epoch's
