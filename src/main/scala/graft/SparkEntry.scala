@@ -423,6 +423,144 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** TPC-H Q4 shape (order priority checking): orders of one quarter
+    * having at least one line shipped after the order date, counted
+    * per priority — the EXISTS-rewritten-to-semi-join aggregate. */
+  private val qTpchQ4: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): the pure filter-aggregate
+    * — every predicate reaches the scan (footer-stats pruning on the
+    * ship-year), no join, no shuffle beyond the scalar fold. */
+  private val qTpchQ6: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers survive, per-customer count, then the
+    * distribution of counts — the double aggregate over an outer
+    * join. */
+  private val qTpchQ13: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape (promotion effect): one ship-month's revenue
+    * ratio attributable to PROMO parts — broadcast part join feeding
+    * a conditional/total aggregate ratio. */
+  private val qTpchQ14: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+    val p = t(s, dir, "part")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(rev).cast("double")).as("promo_revenue"))
+      .select(round(col("promo_revenue"), 6).as("promo_revenue"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    * counts per (brand, type, size) bucket with excluded brands and a
+    * size IN-list — distinct aggregation after the fact join, keyed
+    * by dimension attributes (partsupp is folded into lineitem in
+    * this schema). */
+  private val qTpchQ16: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" &&
+        col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    val l = t(s, dir, "lineitem")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"),
+        col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lines under 50%
+    * of their part's average quantity — the correlated scalar
+    * aggregate, planned as a per-part aggregate re-joined to the
+    * fact (exact decimal average so the threshold is cross-engine
+    * stable). */
+  private val qTpchQ17: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")) /
+        count(lit(1))).as("avg_qty"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(avgQty, l("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") <
+        lit(0.5).cast("decimal(18,2)") * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0))
+        .as("avg_yearly"))
+      .select(round(col("avg_yearly"), 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue): the OR-of-ANDs predicate
+    * over a part join — three (brand, size-range, quantity-range)
+    * disjuncts that Catalyst must keep as one residual filter while
+    * the join key still drives the scan. */
+  private val qTpchQ19: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(cond)
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers with
+    * above-average positive balances and NO orders — a scalar
+    * subquery threshold plus an anti join, grouped by market segment
+    * (the schema's analog of the phone country code). */
+  private val qTpchQ22: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")) /
+        count(lit(1))).as("avg_bal"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal").cast("decimal(18,2)") > col("avg_bal"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti
     * joins): customers holding at least one big urgent order and no
     * low-priority order. */
@@ -1525,6 +1663,46 @@ object SparkEntry {
     q
   }
 
+  /** Hidden partitioning end-to-end
+    * ([[graft.sources.PartitionLayout]]): the corpus lands in a
+    * graft-v2 table partitioned by `lang` — value-clustered flat
+    * files whose NAMES carry per-column value digests — and the
+    * two-language scan must plan only those languages' files (the
+    * in-query guard requires the listing-level prune to have fired,
+    * with zero footer I/O involved in the decision). */
+  private val qHiddenPartitioning: Q = (s, dir) => {
+    val tag = "hp" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag/documents"
+    val tdir = new org.apache.hadoop.fs.Path(path)
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.format("graft-v2").option("partitionedBy", "lang")
+      .mode("append").save(path)
+    val table = s.read.format("graft-v2").load(path)
+    def plannedRows(df: DataFrame): Long = {
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+        .numRows().getAsLong
+    }
+    val filtered = table.filter(col("lang").isin("de", "fr"))
+    val full = plannedRows(table)
+    val pruned = plannedRows(filtered)
+    require(pruned * 2 <= full,
+      s"q_hidden_partitioning: expected the partition-token prune " +
+      s"to fire (planned $pruned of $full rows)")
+    filtered.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Materialized-view incremental maintenance end-to-end
     * ([[graft.sources.v2.GraftMv]]): scratch orders copy, aggregate
     * MV over it, then a DELETE on the source and a refresh that must
@@ -1627,6 +1805,14 @@ object SparkEntry {
     "q_subquery_exists" -> qSubqueryExists,
     "q_tpch_q10" -> qTpchQ10,
     "q_tpch_q12" -> qTpchQ12,
+    "q_tpch_q4" -> qTpchQ4,
+    "q_tpch_q6" -> qTpchQ6,
+    "q_tpch_q13" -> qTpchQ13,
+    "q_tpch_q14" -> qTpchQ14,
+    "q_tpch_q16" -> qTpchQ16,
+    "q_tpch_q17" -> qTpchQ17,
+    "q_tpch_q19" -> qTpchQ19,
+    "q_tpch_q22" -> qTpchQ22,
     "q_window_ntile" -> qWindowNtile,
     "q_window_rank" -> qWindowRank,
     "q_window_rank_hk" -> qWindowRankHk,
@@ -1696,6 +1882,7 @@ object SparkEntry {
     "q_time_travel" -> qTimeTravel,
     "q_cdf" -> qCdf,
     "q_bloom_lookup" -> qBloomLookup,
+    "q_hidden_partitioning" -> qHiddenPartitioning,
     "q_mv_refresh" -> qMvRefresh,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
@@ -2467,6 +2654,84 @@ object SparkEntry {
         |AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |AND o_orderdate < TIMESTAMP '1997-04-01'
+        |AND EXISTS (SELECT 1 FROM lineitem l
+        |            WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |AND l_shipdate < TIMESTAMP '1998-01-01'
+        |AND l_discount >= 0.05 AND l_discount <= 0.07
+        |AND l_quantity < 24""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 4) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS ap_partkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(18,2))) / count(*)
+        |          AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#23'
+        |AND CAST(l_quantity AS DECIMAL(18,2)) <
+        |  CAST(0.5 AS DECIMAL(18,2)) * avg_qty""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+        |  (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) / count(*)
+        |   FROM customer WHERE c_acctbal > 0.0)
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |                WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_subquery_exists" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
@@ -2834,6 +3099,10 @@ object SparkEntry {
     "q_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (9, 123, 402) ORDER BY doc_id""".stripMargin,
+    "q_hidden_partitioning" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM documents WHERE lang IN ('de', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_mv_refresh" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
