@@ -58,6 +58,9 @@ object Bench {
     // and for the BPE tokenizer (train-once / encode-many)
     operators.Bpe.trainCached(s"$sfDir/documents#bpe12",
       Tables.t(spark, sfDir, "documents"), 12)
+    // and the unigram-LM tokenizer (same contract)
+    operators.Unigram.trainCached(s"$sfDir/documents#uni16",
+      Tables.t(spark, sfDir, "documents"), 16)
     // min of `runs` executions per query: a single serial pass bills
     // whichever queries run last for the accumulated JIT/GC state (the
     // sandbox is ±30% noisy, and one stall smeared a 4-6x phantom

@@ -918,4 +918,170 @@ private[graft] object DuckHash {
            |  array_to_string(toks[1:$headTokens], ' ') AS head_tokens
            |FROM enc ORDER BY doc_id""".stripMargin)
   }
+
+  // ───────────── unigram-LM tokenizer (Kudo 2018, hard EM) ─────────────
+  //
+  // Independent re-derivation of graft.operators.Unigram: seed counts
+  // over all ≤4-char substrings of the eligible words, `iters`
+  // Viterbi-EM rounds (each an UNROLLED integer DP over `dpStages`
+  // word positions plus an unrolled backtrace), Laplace-smoothed
+  // integer micro-nat scores `round(ln((c+1)/(T+V))*1e6)`, final vocab
+  // = top-`vocabSize` pieces by (count DESC, piece ASC) ∪ all single
+  // characters. `dpStages` must be ≥ the longest eligible word (the
+  // same static-unroll contract as wordpieceEncodeOracle's `steps`).
+  // DP ties break by (score DESC, pieces ASC, last-piece-length DESC)
+  // — bl is distinct per candidate, so row_number()=1 is unique and
+  // the DP (hence the whole training) is deterministic.
+
+  /** One Viterbi pass (unrolled DP + backtrace) against score CTE
+    * `sc`, producing emission CTE `em$tag` with `(w, j, piece)` rows
+    * (`j` ascending = left-to-right pieces). */
+  private def unigramViterbiCtes(tag: String, sc: String,
+      dpStages: Int): String = {
+    val pp =
+      s"""upp$tag AS MATERIALIZED (SELECT p.w, p.i, p.l, s.s
+         |  FROM upos p JOIN $sc s USING (piece))""".stripMargin
+    val dp0 =
+      s"""udpu${tag}_0 AS (SELECT w, 0 AS j, CAST(0 AS BIGINT) AS score,
+         |  0 AS np, 0 AS bl FROM uwords)""".stripMargin
+    val dps = (1 to dpStages).flatMap { j =>
+      Seq(
+        s"""udp${tag}_$j AS MATERIALIZED (
+           |  SELECT w, j, score, np, bl FROM (
+           |    SELECT p.w, $j AS j, d.score + p.s AS score,
+           |      d.np + 1 AS np, p.l AS bl,
+           |      row_number() OVER (PARTITION BY p.w
+           |        ORDER BY d.score + p.s DESC, d.np + 1 ASC,
+           |          p.l DESC) AS rn
+           |    FROM upp$tag p JOIN udpu${tag}_${j - 1} d
+           |      ON p.w = d.w AND d.j = $j - p.l
+           |    WHERE p.i = $j - p.l + 1 AND $j <= length(p.w))
+           |  WHERE rn = 1)""".stripMargin,
+        s"""udpu${tag}_$j AS MATERIALIZED (
+           |  SELECT * FROM udpu${tag}_${j - 1}
+           |  UNION ALL SELECT * FROM udp${tag}_$j)""".stripMargin)
+    }
+    val bt0 =
+      s"""ubt${tag}_0 AS (SELECT w, length(w) AS j,
+         |  CAST(NULL AS VARCHAR) AS piece FROM uwords)""".stripMargin
+    val bts = (1 to dpStages).map { k =>
+      s"""ubt${tag}_$k AS MATERIALIZED (
+         |  SELECT b.w, b.j - d.bl AS j,
+         |    substr(b.w, b.j - d.bl + 1, d.bl) AS piece
+         |  FROM ubt${tag}_${k - 1} b
+         |  JOIN udpu${tag}_$dpStages d ON d.w = b.w AND d.j = b.j
+         |  WHERE b.j > 0)""".stripMargin
+    }
+    val em =
+      s"uem$tag AS (" + (1 to dpStages).map(k =>
+        s"SELECT w, j, piece FROM ubt${tag}_$k")
+        .mkString("\nUNION ALL ") + ")"
+    (Seq(pp, dp0) ++ dps ++ Seq(bt0) ++ bts :+ em).mkString(",\n")
+  }
+
+  /** The shared training chain: words → substring seed → sc0 → `iters`
+    * EM rounds → `ukeep`/`umodel` (kept pieces with final counts and
+    * re-smoothed scores, ranked). */
+  private def unigramCtes(iters: Int, dpStages: Int,
+      vocabSize: Int): String = {
+    val head = Seq(
+      """uwords AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)"""
+        .stripMargin,
+      """upos AS MATERIALIZED (
+        |  SELECT w, cnt, i, l, substr(w, i, l) AS piece
+        |  FROM uwords,
+        |    unnest(generate_series(1, length(w))) AS u(i),
+        |    unnest(generate_series(1, 4)) AS v(l)
+        |  WHERE i + l - 1 <= length(w))""".stripMargin,
+      """useed AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM upos GROUP BY piece)""".stripMargin,
+      """usc0 AS MATERIALIZED (
+        |  SELECT piece, CAST(round(ln((c + 1.0) /
+        |    ((SELECT sum(c) FROM useed) +
+        |     (SELECT count(*) FROM useed))) * 1000000) AS BIGINT) AS s
+        |  FROM useed)""".stripMargin)
+    val rounds = (0 until iters).flatMap { r =>
+      Seq(
+        unigramViterbiCtes(s"t$r", s"usc$r", dpStages),
+        s"""ucnt${r + 1} AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(uwords.cnt) AS BIGINT) AS c
+           |  FROM uemt$r JOIN uwords USING (w) GROUP BY piece)"""
+          .stripMargin,
+        s"""usc${r + 1} AS MATERIALIZED (
+           |  SELECT sd.piece, CAST(round(ln((coalesce(c.c, 0) + 1.0) /
+           |    ((SELECT coalesce(sum(c), 0) FROM ucnt${r + 1}) +
+           |     (SELECT count(*) FROM useed))) * 1000000) AS BIGINT)
+           |    AS s
+           |  FROM useed sd LEFT JOIN ucnt${r + 1} c USING (piece))"""
+          .stripMargin)
+    }
+    val keep = Seq(
+      s"""utopk AS (SELECT piece, c FROM ucnt$iters
+         |  ORDER BY c DESC, piece LIMIT $vocabSize)""".stripMargin,
+      """uchars AS (SELECT DISTINCT substr(w, i, 1) AS piece
+        |  FROM uwords,
+        |    unnest(generate_series(1, length(w))) AS u(i))"""
+        .stripMargin,
+      s"""ukeep AS MATERIALIZED (SELECT piece, max(c) AS c FROM (
+         |    SELECT piece, c FROM utopk
+         |    UNION ALL
+         |    SELECT ch.piece, coalesce(c.c, 0) AS c FROM uchars ch
+         |      LEFT JOIN ucnt$iters c USING (piece))
+         |  GROUP BY piece)""".stripMargin,
+      """umodel AS MATERIALIZED (SELECT piece, c,
+        |    CAST(round(ln((c + 1.0) /
+        |      ((SELECT sum(c) FROM ukeep) +
+        |       (SELECT count(*) FROM ukeep))) * 1000000) AS BIGINT)
+        |      AS s,
+        |    row_number() OVER (ORDER BY c DESC, piece) AS rank
+        |  FROM ukeep)""".stripMargin)
+    (head ++ rounds ++ keep).mkString(",\n")
+  }
+
+  /** Oracle for `q_unigram_train`: the ranked kept-piece table
+    * `(rank, piece, cnt, score)` the unrolled hard-EM derives. */
+  def unigramTrainOracle(iters: Int, dpStages: Int,
+      vocabSize: Int): String =
+    "WITH " + unigramCtes(iters, dpStages, vocabSize) + "\n" +
+      """SELECT CAST(rank AS BIGINT) AS rank, piece,
+        |  c AS cnt, s AS score
+        |FROM umodel ORDER BY rank""".stripMargin
+
+  /** Oracle for `q_unigram_encode`: one more Viterbi pass under the
+    * kept-model scores, then the per-document flatten of
+    * wordpieceEncodeOracle (words rejoin their positions, pieces in
+    * left-to-right order). */
+  def unigramEncodeOracle(iters: Int, dpStages: Int, vocabSize: Int,
+      headTokens: Int = 20): String =
+    "WITH " + unigramCtes(iters, dpStages, vocabSize) + ",\n" +
+      "uscm AS (SELECT piece, s FROM umodel),\n" +
+      unigramViterbiCtes("e", "uscm", dpStages) + ",\n" +
+      s"""useg AS (SELECT w, list(piece ORDER BY j) AS acc
+         |  FROM ueme GROUP BY w),
+         |udocws AS (SELECT doc_id,
+         |    list_filter(
+         |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |        t -> t <> ''),
+         |      w2 -> regexp_matches(w2, '^[a-z0-9]+$$')) AS ws
+         |  FROM documents),
+         |uocc AS (SELECT doc_id, i AS widx, ws[i] AS w
+         |  FROM udocws, unnest(generate_series(1,
+         |    greatest(len(ws), 0))) AS u(i)),
+         |uenc0 AS (SELECT uocc.doc_id,
+         |    flatten(list(useg.acc ORDER BY uocc.widx)) AS toks
+         |  FROM uocc JOIN useg USING (w) GROUP BY uocc.doc_id),
+         |uenc AS (SELECT d.doc_id,
+         |    coalesce(e.toks, CAST([] AS VARCHAR[])) AS toks
+         |  FROM documents d LEFT JOIN uenc0 e USING (doc_id))
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  array_to_string(toks[1:$headTokens], ' ') AS head_tokens
+         |FROM uenc ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained unigram-LM tokenizer: the kept pieces with their final
+  * Viterbi counts and integer micro-nat scores, ranked by
+  * `(cnt DESC, piece ASC)`. Single characters of the training words
+  * are always kept (SentencePiece's coverage guarantee), so every
+  * eligible word segments without an [UNK]. */
+final case class UnigramModel(pieces: Seq[(String, Long, Long)]) {
+  def scoreOf: Map[String, Long] =
+    pieces.map(p => p._1 -> p._3).toMap
+}
+
+/** Unigram-LM subword tokenizer (Kudo 2018, the SentencePiece
+  * algorithm family) — the third deployed segmenter beside BPE merge
+  * replay and WordPiece longest-match ([[Bpe]]): pieces carry
+  * PROBABILITIES and a word's segmentation is the Viterbi-best piece
+  * sequence, trained by EM over the corpus.
+  *
+  * Engine-reproducible design decisions (everything the DuckDB oracle
+  * re-derives independently):
+  *
+  *  - HARD EM (Viterbi-EM): the E-step segments each distinct word
+  *    with the current scores, the M-step re-counts pieces over those
+  *    segmentations (weighted by word frequency). The soft-EM
+  *    forward-backward variant trades determinism for a small
+  *    likelihood gain; the hard variant is the k-means-style shape
+  *    whose every intermediate is integer-exact.
+  *  - INTEGER micro-nat scores: a piece's log-probability is
+  *    `round(ln((c+1)/(T+V)) * 1e6)` held as a BIGINT (Laplace
+  *    smoothing over the seed vocabulary, so every candidate stays
+  *    scoreable). Viterbi sums integers — no float comparison can
+  *    drift between engines mid-DP.
+  *  - DETERMINISTIC tie rule: DP candidates compare by
+  *    `(score DESC, pieces ASC, last-piece-length DESC)` — by
+  *    induction each DP cell is unique, so segmentations are too.
+  *  - Seed vocabulary: every substring of the eligible words up to
+  *    [[MaxPieceLen]] chars, weighted by word frequency (the
+  *    suffix-automaton seeding of the paper, exact at these piece
+  *    lengths). Words obey [[Bpe.WordRegex]] — the same pre-tokenizer
+  *    contract as BPE/WordPiece.
+  *
+  * 100 TB shape: ONE corpus-wide shuffle builds the `(word, cnt)`
+  * table ([[Bpe.wordCounts]]); seeding and each EM iteration are
+  * piece-keyed hash aggregates over the DISTINCT-WORD table (orders
+  * of magnitude smaller than the corpus), with the per-word Viterbi
+  * DP a pure higher-order-function expression (no UDF, no driver
+  * loop). Encoding broadcasts the kept-piece score map as a literal
+  * and is map-only.
+  */
+object Unigram {
+
+  /** Longest seed piece. 4 covers the paper's useful range at the
+    * corpus's 8-char words; the DP lookback is this constant. */
+  val MaxPieceLen = 4
+
+  /** Micro-nats: ln(p) quantized to 1e-6 — integer Viterbi sums. */
+  val ScoreScale = 1000000L
+
+  // ───────────────────────── training ─────────────────────────
+
+  /** All (position, length ≤ MaxPieceLen) substrings of the eligible
+    * words: `(w, cnt, i, l, piece)`, 1-based `i`. */
+  private[graft] def positionPieces(words: DataFrame): DataFrame =
+    words
+      .select(col("w"), col("cnt"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("cnt"), col("i"),
+        explode(sequence(lit(1), lit(MaxPieceLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("w")))
+      .select(col("w"), col("cnt"), col("i"), col("l"),
+        col("w").substr(col("i"), col("l")).as("piece"))
+
+  /** Laplace-smoothed integer scores over the SEED vocabulary from a
+    * `(piece, c)` count table: `round(ln((c+1)/(T+V))*1e6)`. The seed
+    * frame pins V and keeps zero-count pieces scoreable. */
+  private def smoothedScores(seed: DataFrame, counts: DataFrame)
+      : DataFrame = {
+    val tot = counts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("t"))
+    val v = seed.count()
+    seed.select(col("piece"))
+      .join(counts, Seq("piece"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("piece"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("t") + lit(v.toDouble))) * ScoreScale)
+          .cast("long").as("s"))
+  }
+
+  /** The Viterbi DP over one word as a pure expression: `sm` maps
+    * `i * 8 + l` (1-based position, piece length) to the piece's
+    * integer score; returns the best segmentation's piece array.
+    * DP cells are `(score, negPieces, lastLen)` structs — `array_max`
+    * over candidate structs IS the tie rule (score DESC, pieces ASC,
+    * longest last piece). A missing map entry (piece not in the
+    * candidate vocabulary) contributes no candidate; single
+    * characters are always present, so cell `j` is always
+    * reachable. */
+  private[graft] def viterbiPieces(w: Column, sm: Column): Column = {
+    val n = length(w)
+    // dp: acc(j+1) = best cell for prefix of length j
+    val dp = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0L).as("score"), lit(0).as("negNp"),
+        lit(0).as("bl"))),
+      (acc, j) => {
+        val cands = array((1 to MaxPieceLen).map { l =>
+          val prev = element_at(acc, j - l + 1)
+          val sc = element_at(sm, (j - lit(l) + 1) * 8 + lit(l))
+          when(j >= l && sc.isNotNull,
+            struct((prev.getField("score") + sc).as("score"),
+              (prev.getField("negNp") - 1).as("negNp"),
+              lit(l).as("bl")))
+        }: _*)
+        concat(acc,
+          array(array_max(filter(cands, c => c.isNotNull))))
+      })
+    // backtrace: n steps always suffice (each active step advances
+    // by at least one character)
+    aggregate(
+      sequence(lit(1), n),
+      struct(n.as("j"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val j = st.getField("j")
+        val bl = element_at(dp, j + 1).getField("bl")
+        when(j > 0,
+          struct((j - bl).as("j"),
+            concat(array(w.substr(j - bl + 1, bl)),
+              st.getField("ps")).as("ps")))
+          .otherwise(st)
+      },
+      st => st.getField("ps"))
+  }
+
+  /** E-step, distributed: Viterbi-segment every distinct word under
+    * `scores` — `(w, cnt, pieces)`. The scores join is piece-keyed;
+    * the DP itself is a map-side expression. */
+  private[graft] def viterbiSegments(words: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val sm = positionPieces(words)
+      .join(scores, Seq("piece"))
+      .groupBy(col("w"))
+      .agg(map_from_entries(collect_list(
+        struct((col("i") * 8 + col("l")).as("k"), col("s").as("v"))))
+        .as("sm"))
+    words.join(sm, Seq("w"))
+      .select(col("w"), col("cnt"),
+        viterbiPieces(col("w"), col("sm")).as("pieces"))
+  }
+
+  /** M-step: piece counts over the E-step segmentations, weighted by
+    * word frequency. */
+  private def viterbiCounts(segments: DataFrame): DataFrame =
+    segments
+      .select(col("cnt"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Train a unigram-LM tokenizer: seed from substring frequencies,
+    * run `iters` hard-EM rounds, keep the `vocabSize` highest-count
+    * pieces (ties by piece) PLUS every single character. The returned
+    * scores are re-smoothed over the KEPT set — exactly what
+    * [[encode]] segments with. */
+  def train(docs: DataFrame, vocabSize: Int, iters: Int = 2,
+      textCol: String = "text"): UnigramModel = {
+    require(vocabSize >= 1 && iters >= 1,
+      s"vocabSize/iters must be >= 1, got $vocabSize/$iters")
+    val spark = docs.sparkSession
+    val words = Bpe.wordCounts(docs, textCol).persist()
+    try {
+      val seedCounts = positionPieces(words)
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+        .persist()
+      val seed = seedCounts.select(col("piece"))
+      var counts = seedCounts
+      var scores = smoothedScores(seed, counts)
+      (1 to iters).foreach { _ =>
+        counts = viterbiCounts(viterbiSegments(words, scores))
+        scores = smoothedScores(seed, counts)
+      }
+      // keep: top-vocabSize by (cnt DESC, piece ASC) ∪ single chars
+      val ranked = counts
+        .orderBy(col("c").desc, col("piece"))
+        .limit(vocabSize)
+      val kept = ranked.select(col("piece"), col("c"))
+        .union(
+          words.select(explode(filter(split(col("w"), ""),
+            c => c =!= "")).as("piece"))
+            .distinct()
+            .join(counts, Seq("piece"), "left_outer")
+            .select(col("piece"), coalesce(col("c"), lit(0L)).as("c")))
+        .groupBy(col("piece")).agg(max(col("c")).as("c"))
+      val keptRows = kept.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val t = keptRows.map(_._2).sum
+      val v = keptRows.length
+      // HALF_UP like SQL round() — Math.round floors negative halves
+      // the other way, and every score here is negative
+      def q(x: Double): Long = BigDecimal(x)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      val model = keptRows.toSeq.sortBy { case (p, c) => (-c, p) }
+        .map { case (p, c) =>
+          (p, c, q(math.log((c + 1.0) / (t + v.toDouble)) * ScoreScale))
+        }
+      seedCounts.unpersist()
+      UnigramModel(model)
+    } finally {
+      words.unpersist()
+      ()
+    }
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, UnigramModel]()
+
+  /** Train once per cache key, reuse across queries/oracles (the
+    * [[Bpe.trainCached]] convention). */
+  def trainCached(key: String, docs: => DataFrame, vocabSize: Int,
+      iters: Int = 2, textCol: String = "text"): UnigramModel =
+    cache.computeIfAbsent(key, _ => train(docs, vocabSize, iters,
+      textCol))
+
+  // ───────────────────────── encoding ─────────────────────────
+
+  /** Viterbi-encode every document under a trained model:
+    * `(id, toks)`, the model's score map riding along as a LITERAL —
+    * encoding 100 TB is a map-only job (no join, no shuffle). Words
+    * outside [[Bpe.WordRegex]] are dropped by the shared
+    * pre-tokenizer contract. */
+  def encode(docs: DataFrame, model: UnigramModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(model.pieces.nonEmpty, "empty unigram model")
+    val entries = model.pieces.flatMap { case (p, _, s) =>
+      Seq(lit(p), lit(s))
+    }
+    val litMap = map(entries: _*)
+    // per word: the (i*8+l) -> score map materializes from the
+    // literal piece map, then the shared DP runs
+    def wordMap(w: Column): Column =
+      map_from_entries(filter(
+        flatten(transform(sequence(lit(1), length(w)), i =>
+          transform(sequence(lit(1), lit(MaxPieceLen)), l =>
+            struct((i * 8 + l).as("k"),
+              when(i + l - 1 <= length(w),
+                element_at(litMap, w.substr(i, l))).as("v"))))),
+        e => e.getField("v").isNotNull))
+    docs
+      .select(col(idCol),
+        filter(CorpusOps.tokens(col(textCol)),
+          w => w.rlike(Bpe.WordRegex)).as("_graft_ws"))
+      .select(col(idCol),
+        flatten(transform(col("_graft_ws"),
+          w => viterbiPieces(w, wordMap(w)))).as("toks"))
+  }
+}

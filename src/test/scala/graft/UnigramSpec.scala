@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, CorpusOps, Unigram}
+
+/** Unigram-LM tokenizer (hard EM, integer micro-nat Viterbi): seed
+  * arithmetic small enough to check by hand, the deterministic DP tie
+  * rule, full-corpus coverage, and train/encode determinism. */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("seed scores and first Viterbi round match the hand " +
+      "arithmetic on a two-word corpus") {
+    // corpus: "ab ab b" -> words ab(2), b(1)
+    // seed pieces: a(2), b(3), ab(2); T=7, V=3
+    val d = docs(1L -> "ab ab b")
+    val m = Unigram.train(d, vocabSize = 3, iters = 1)
+    // Viterbi on "ab": [ab] scores ln(3/10) vs [a,b] ln(3/10)+ln(4/10)
+    // -> one piece wins; counts after E-step: ab=2, b=1, a=0
+    val byPiece = m.pieces.map(p => p._1 -> ((p._2, p._3))).toMap
+    assert(byPiece("ab")._1 === 2L)
+    assert(byPiece("b")._1 === 1L)
+    assert(byPiece("a")._1 === 0L) // char coverage keeps it at 0
+    // kept set = {ab, b, a}; T'=3, V'=3: score(ab)=round(ln(3/6)*1e6)
+    def q(x: Double) = BigDecimal(x)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(byPiece("ab")._2 === q(math.log(3.0 / 6.0) * 1e6))
+    assert(byPiece("b")._2 === q(math.log(2.0 / 6.0) * 1e6))
+    assert(byPiece("a")._2 === q(math.log(1.0 / 6.0) * 1e6))
+    // ranking: cnt DESC then piece ASC
+    assert(m.pieces.map(_._1) === Seq("ab", "b", "a"))
+
+    // encoding segments with the kept scores: "ab" -> [ab]
+    val enc = Unigram.encode(docs(1L -> "ab b ab"), m)
+      .select($"toks").as[Seq[String]].head()
+    assert(enc === Seq("ab", "b", "ab"))
+  }
+
+  test("DP tie rule: equal scores prefer fewer pieces, then the " +
+      "longer last piece") {
+    // hand-built score maps drive viterbiPieces directly
+    def seg(w: String, scores: Map[String, Long]): Seq[String] = {
+      val entries = scores.toSeq.sortBy(_._1)
+        .flatMap { case (p, s) => Seq(lit(p), lit(s)) }
+      val litMap = map(entries: _*)
+      def wordMap(c: org.apache.spark.sql.Column) =
+        map_from_entries(filter(
+          flatten(transform(sequence(lit(1), length(c)), i =>
+            transform(sequence(lit(1), lit(Unigram.MaxPieceLen)), l =>
+              struct((i * 8 + l).as("k"),
+                when(i + l - 1 <= length(c),
+                  element_at(litMap, c.substr(i, l))).as("v"))))),
+          e => e.getField("v").isNotNull))
+      Seq(w).toDF("w")
+        .select(Unigram.viterbiPieces($"w", wordMap($"w")).as("ps"))
+        .as[Seq[String]].head()
+    }
+    // "aa": [aa] = -200 ties [a,a] = -200 -> fewer pieces wins
+    assert(seg("aa", Map("a" -> -100L, "aa" -> -200L)) === Seq("aa"))
+    // "aaa": [aa,a] and [a,aa] tie on score AND piece count ->
+    // longer LAST piece wins -> [a, aa]
+    assert(seg("aaa", Map("a" -> -100L, "aa" -> -200L))
+      === Seq("a", "aa"))
+    // strictly better split beats the single piece
+    assert(seg("aa", Map("a" -> -100L, "aa" -> -300L))
+      === Seq("a", "a"))
+  }
+
+  test("corpus coverage: every document's tokens concatenation-" +
+      "round-trip to its eligible words; train and encode are " +
+      "deterministic") {
+    val d = Tables.t(spark, sf001, "documents")
+    val m1 = Unigram.train(d, vocabSize = 16, iters = 2)
+    val m2 = Unigram.train(d, vocabSize = 16, iters = 2)
+    assert(m1 === m2, "training is not deterministic")
+    // single chars always kept -> no [UNK], exact round-trip
+    val enc = Unigram.encode(d, m1)
+    val bad = enc
+      .select($"doc_id", concat_ws("", $"toks").as("c"))
+      .join(d.select($"doc_id", concat_ws("",
+        filter(CorpusOps.tokens($"text"),
+          w => w.rlike(Bpe.WordRegex))).as("e")), Seq("doc_id"))
+      .filter($"c" =!= $"e").count()
+    assert(bad === 0L, s"$bad documents fail the coverage round-trip")
+    // the model actually segments: multi-char pieces dominate the
+    // kept vocab and appear in encodings
+    assert(m1.pieces.count(_._1.length > 1) >= 8)
+    val multi = enc.select(explode($"toks").as("t"))
+      .filter(length($"t") > 1).count()
+    assert(multi > 0L, "no multi-char piece ever emitted")
+    // no persisted storage leaks out of training
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "unigram training leaked cached storage")
+  }
+}
