@@ -175,32 +175,189 @@ object StreamOps {
                 TrendingTerm(wstart, t, n, i + 1)
               }.iterator
           } else {
-            val cur = scala.collection.mutable.HashMap.empty[String, Long]
-            var total = 0L
-            state.getOption.foreach { s =>
-              total = s.total; cur ++= s.counts
-            }
-            rows.foreach { r =>
-              total += 1
-              if (cur.contains(r.term)) cur(r.term) += 1
-              else if (cur.size < counters) cur(r.term) = 1L
-              else {
-                val dead =
-                  scala.collection.mutable.ArrayBuffer.empty[String]
-                cur.keysIterator.foreach { t =>
-                  val v = cur(t) - 1
-                  if (v == 0L) dead += t else cur(t) = v
-                }
-                dead.foreach(cur.remove)
-              }
-            }
-            state.update(MgState(total, cur.toMap))
+            state.update(mgIngest(state.getOption, rows, counters))
             // close once the watermark proves the window complete
             state.setTimeoutTimestamp(
               wstart.getTime + slackMs)
             Iterator.empty
           }
       }
+  }
+
+  /** The Misra–Gries update loop shared by [[trendingTerms]] and
+    * [[trendingSummary]]: fold `rows` into the ≤ `counters`-entry
+    * summary (decrement-all on overflow), tracking the exact stream
+    * length. */
+  private def mgIngest(prev: Option[MgState], rows: Iterator[WinTerm],
+      counters: Int): MgState = {
+    val cur = scala.collection.mutable.HashMap.empty[String, Long]
+    var total = 0L
+    prev.foreach { s => total = s.total; cur ++= s.counts }
+    rows.foreach { r =>
+      total += 1
+      if (cur.contains(r.term)) cur(r.term) += 1
+      else if (cur.size < counters) cur(r.term) = 1L
+      else {
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        cur.keysIterator.foreach { t =>
+          val v = cur(t) - 1
+          if (v == 0L) dead += t else cur(t) = v
+        }
+        dead.foreach(cur.remove)
+      }
+    }
+    MgState(total, cur.toMap)
+  }
+
+  /** A closed window's FULL Misra–Gries summary row (the candidate
+    * set for exact refinement): summary lower-bound count `n`, exact
+    * stream length `total`. */
+  case class SummaryTerm(wstart: java.sql.Timestamp, term: String,
+    n: Long, total: Long)
+
+  /** [[trendingTerms]]'s sibling that emits the WHOLE summary when a
+    * window closes (every candidate, not just the ranked top-k) plus
+    * the window's exact stream length — the input
+    * [[exactTrendingBatch]] refines into exact counts. Same bounded
+    * per-window state. */
+  def trendingSummary(docs: DataFrame, counters: Int = 1024,
+      every: String = "5 minutes", watermark: String = "10 minutes",
+      tsCol: String = "ts", textCol: String = "text")
+      : Dataset[SummaryTerm] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val windowMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(every))
+    val slackMs = windowMs.days * 86400000L +
+      windowMs.microseconds / 1000L
+    docs
+      .select(window(col(tsCol), every).getField("start").as("wstart"),
+        explode(graft.operators.CorpusOps.tokens(col(textCol)))
+          .as("term"))
+      .withWatermark("wstart", watermark)
+      .as[WinTerm]
+      .groupByKey(_.wstart)
+      .flatMapGroupsWithState[MgState, SummaryTerm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart, rows, state) =>
+          if (state.hasTimedOut) {
+            val MgState(total, counts) = state.get
+            state.remove()
+            counts.iterator
+              .map { case (t, n) => SummaryTerm(wstart, t, n, total) }
+          } else {
+            state.update(mgIngest(state.getOption, rows, counters))
+            state.setTimeoutTimestamp(wstart.getTime + slackMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** EXACT per-window top-k from one closed-window candidate batch:
+    * the summary terms prune the corpus slice's rollup (the candidate
+    * aggregate moves ≤ `counters` terms per window instead of the
+    * vocabulary), then the Misra–Gries admission bound decides per
+    * window whether the candidate path PROVED the true top-k — the
+    * k-th exact count must clear `total/(counters+1)`, the largest
+    * count a non-candidate could hold — and any window that fails
+    * falls back to its full rollup, so emitted counts are EXACT
+    * either way (the batch twin is [[graft.operators.Sketch
+    * .topTermsExact]]; this is its streaming face over the corpus
+    * table the stream tails). Returns `(wstart, term, n, rk,
+    * pruned)`. Late rows beyond the watermark follow the standard
+    * streaming contract: the recount sees whatever the table holds at
+    * refinement time. */
+  private[graft] def exactTrendingBatch(batch: DataFrame,
+      corpusPath: String, k: Int, counters: Int,
+      every: String, tsCol: String = "ts", textCol: String = "text")
+      : DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // the summary is BOUNDED by the operator's own contract
+    // (≤ counters rows per closed window): pull it local once — no
+    // cached frames to leak across a long-lived stream
+    val summary = batch
+      .select(col("wstart"), col("term"), col("total"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val winTotals = summary.map(s => s._1 -> s._3).toMap
+    val cands = summary.map(s => (s._1, s._2)).toSeq
+      .toDF("wstart", "term")
+    val sliceTerms = spark.read.format("graft-v2").load(corpusPath)
+      .select(
+        window(col(tsCol), every).getField("start").as("wstart"),
+        explode(graft.operators.CorpusOps.tokens(col(textCol)))
+          .as("term"))
+      .join(broadcast(winTotals.keys.toSeq.toDF("wstart")),
+        Seq("wstart"))
+    def rank(counts: DataFrame): DataFrame = counts
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("wstart"))
+          .orderBy(col("n").desc, col("term"))))
+      .filter(col("rk") <= k)
+    // candidate-pruned exact rollup: ≤ k rows per window come back
+    val prunedTopK = rank(
+      sliceTerms.join(broadcast(cands), Seq("wstart", "term"))
+        .groupBy(col("wstart"), col("term"))
+        .agg(count(lit(1)).as("n")))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    // a window's candidate path is PROVEN when it filled k ranks and
+    // its k-th exact count clears the MG admission bound — the
+    // largest count any non-candidate term could hold
+    val proven = prunedTopK.groupBy(_._1).collect {
+      case (w, rows) if rows.length >= k &&
+          rows.find(_._4 == k).exists(_._3 >
+            winTotals(w) / (counters + 1L)) => w
+    }.toSet
+    val exactPruned = prunedTopK.filter(r => proven.contains(r._1))
+      .toSeq.toDF("wstart", "term", "n", "rk")
+      .withColumn("pruned", lit(true))
+    val badWins = winTotals.keys.filterNot(proven.contains).toSeq
+    val fallback = rank(
+      sliceTerms.join(broadcast(badWins.toDF("wstart")), Seq("wstart"))
+        .groupBy(col("wstart"), col("term"))
+        .agg(count(lit(1)).as("n")))
+      .withColumn("pruned", lit(false))
+    exactPruned.unionByName(fallback)
+      .select(col("wstart"), col("term"), col("n"), col("rk"),
+        col("pruned"))
+  }
+
+  /** STREAMING EXACT TOP-K: tail a corpus table's appends, keep
+    * bounded Misra–Gries state per event-time window, and when the
+    * watermark closes a window, refine its candidates to EXACT counts
+    * against the table slice ([[exactTrendingBatch]]) — appended to
+    * `outPath` through the epoch-keyed exactly-once commit, so a
+    * replayed refinement batch lands nothing twice. Bounded streaming
+    * state meets exact emitted counts: the information the state
+    * cannot hold lives durably in the table the stream tails. */
+  def tailTrendingExact(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String,
+      outPath: String, checkpoint: String, k: Int = 10,
+      counters: Int = 1024, every: String = "5 minutes",
+      watermark: String = "10 minutes",
+      tsCol: String = "ts", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.format("graft-v2")
+      .option("path", corpusPath).load()
+    trendingSummary(stream, counters, every, watermark, tsCol, textCol)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          commitStreamBatch(
+            exactTrendingBatch(batch, corpusPath, k, counters, every,
+              tsCol, textCol),
+            outPath, "trending-exact", id)
+        }
+        ()
+      }
+      .start()
   }
 
   /** Stateful exact dedup by event_id within the watermark horizon. */
@@ -367,8 +524,11 @@ object StreamOps {
     val scratch = new Path(dir,
       s".graft-stream-stage-$app-$batchId")
     fs.delete(scratch, true)
-    batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(scratch.toString)
+    // stage through graft's own writer, NOT batch.write.parquet: the
+    // session default may spell timestamps INT96, which the graft-v2
+    // reader refuses — the sink must emit files its own table can scan
+    graft.sources.GraftSink.saveCompensating(batch, scratch.toString,
+      org.apache.spark.sql.SaveMode.Overwrite)
     val parts = fs.listStatus(scratch)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)

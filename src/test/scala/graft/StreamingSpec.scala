@@ -121,6 +121,106 @@ class StreamingSpec extends SparkTestBase {
       ("beta", 2L, 3)), got.toString)
   }
 
+  test("tailTrendingExact: bounded MG state + table-slice refinement " +
+      "emit EXACT per-window top-k even when the counters undercount; " +
+      "replays land nothing twice") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-trend-exact")
+    val corpus = base.resolve("corpus").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // window 10:00-10:05 with a 12-term vocabulary; counters=2 is FAR
+    // below it, so MG counts are badly understated lower bounds — the
+    // admission bound cannot prove the candidate path and refinement
+    // must fall back to the full rollup, which is exact by
+    // construction
+    def doc(m: Int, s: Int, text: String) = (ts(m, s), text)
+    val w1 = (0 until 10).map(i =>
+      doc(1, i, s"alpha t$i alpha")) ++ Seq(
+      doc(2, 0, "beta beta gamma beta"),
+      doc(2, 1, "gamma delta"))
+    w1.toDF("ts", "text").write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    val q1 = StreamOps.tailTrendingExact(spark, corpus, out, ckpt,
+      k = 3, counters = 2, every = "5 minutes",
+      watermark = "1 minute")
+    try {
+      q1.processAllAvailable()
+      // a late-hour append closes the 10:00 window
+      Seq(doc(59, 0, "closer")).toDF("ts", "text")
+        .write.format("graft-v2").option("path", corpus)
+        .mode("append").save()
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val got = spark.read.format("graft-v2").load(out)
+      .filter($"wstart" === ts(0))
+      .orderBy($"rk")
+      .select($"term", $"n", $"rk", $"pruned")
+      .as[(String, Long, Int, Boolean)].collect().toSeq
+    // the exact batch rollup: alpha=20, beta=3, gamma=2 (delta=1,
+    // t0..t9=1 each; gamma beats delta and t* by count, not ties)
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      Seq(("alpha", 20L, 1), ("beta", 3L, 2), ("gamma", 2L, 3)),
+      got.toString)
+    assert(got.forall(!_._4),
+      s"counters=2 cannot prove the candidate path: $got")
+
+    // restart from the same checkpoint: a second window (AHEAD of the
+    // watermark the first life advanced) closes and lands exactly
+    // once; the first window's rows are not re-appended
+    def tlate(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val w2 = Seq((tlate("11:06"), "omega omega psi"),
+      (tlate("11:07"), "omega"))
+    w2.toDF("ts", "text").write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    val q2 = StreamOps.tailTrendingExact(spark, corpus, out, ckpt,
+      k = 3, counters = 64, every = "5 minutes",
+      watermark = "1 minute")
+    try {
+      q2.processAllAvailable()
+      Seq((tlate("12:30"), "closer2")).toDF("ts", "text")
+        .write.format("graft-v2").option("path", corpus)
+        .mode("append").save()
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = spark.read.format("graft-v2").load(out)
+    assert(all.filter($"wstart" === ts(0)).count() === 3,
+      "window-1 rows re-appended on restart")
+    val g2 = all.filter($"wstart" === tlate("11:05")).orderBy($"rk")
+      .select($"term", $"n", $"rk", $"pruned")
+      .as[(String, Long, Int, Boolean)].collect().toSeq
+    // only two distinct terms: fewer than k ranks can never prove the
+    // candidate path, so the fallback emits — still exact
+    assert(g2 === Seq(("omega", 3L, 1, false), ("psi", 1L, 2, false)),
+      g2.toString)
+  }
+
+  test("exactTrendingBatch: an understated candidate set cannot fake " +
+      "a proof — the admission bound routes the window to the exact " +
+      "fallback") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-trend-unit")
+    val corpus = base.resolve("corpus").toString
+    Seq((ts(1), "top top top top mid mid low other1 other2"))
+      .toDF("ts", "text").write.format("graft-v2")
+      .option("path", corpus).mode("append").save()
+    // candidates MISS the true #1 term entirely; total=9 with
+    // counters=2 -> bound 9/3=3: kth(=3rd) candidate count must
+    // exceed 3 to prove, and it cannot
+    val batch = Seq(
+      (ts(0), "mid", 1L, 9L),
+      (ts(0), "low", 1L, 9L),
+      (ts(0), "other1", 1L, 9L))
+      .toDF("wstart", "term", "n", "total")
+    val got = StreamOps.exactTrendingBatch(batch, corpus, k = 3,
+      counters = 2, every = "5 minutes")
+      .orderBy($"rk")
+      .select($"term", $"n", $"rk", $"pruned")
+      .as[(String, Long, Int, Boolean)].collect().toSeq
+    assert(got === Seq(("top", 4L, 1, false), ("mid", 2L, 2, false),
+      ("low", 1L, 3, false)), got.toString)
+  }
+
   test("late data beyond the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[E]
