@@ -166,26 +166,39 @@ object GraftManifest {
     }
     // meta lines (`key=value`, e.g. the commit timestamp) are not
     // file names; part names never contain '=' so the split is safe
-    val dvs = lines.tail.filter(_.startsWith("dv=")).flatMap { l =>
-      val v = l.stripPrefix("dv=")
-      val i = v.lastIndexOf(':')
-      if (i <= 0) None else Some(v.substring(0, i) -> v.substring(i + 1))
-    }.toMap
-    val names = lines.tail
-      .find(_.startsWith("base=")) match {
+    def dvPairs(prefix: String): Seq[(String, String)] =
+      lines.tail.filter(_.startsWith(prefix)).flatMap { l =>
+        val v = l.stripPrefix(prefix)
+        val i = v.lastIndexOf(':')
+        if (i <= 0) None
+        else Some(v.substring(0, i) -> v.substring(i + 1))
+      }
+    val fullDvs = dvPairs("dv=").toMap
+    lines.tail.find(_.startsWith("base=")) match {
       case Some(baseLine) =>
-        // DELTA version: fold onto the base snapshot (chain length is
-        // bounded by CheckpointEvery; dv mapping is always full)
+        // DELTA version: fold names onto the base snapshot (chain
+        // length is bounded by CheckpointEvery). The dv mapping is
+        // FULL in the legacy encoding; under `dvdelta=1` it too folds
+        // onto the parent (`dvadd=`/`dvrm=` lines) — what keeps a
+        // point-delete commit O(changed masks) on a DV-heavy table
         val base = baseLine.stripPrefix("base=").toLong
         val parent = read(fs, table, base)
         val adds = lines.tail.filter(_.startsWith("add="))
           .map(_.stripPrefix("add="))
         val rms = lines.tail.filter(_.startsWith("rm="))
           .map(_.stripPrefix("rm=")).toSet
-        (parent.names.filterNot(rms) ++ adds).sorted
-      case None => lines.tail.filterNot(_.contains('='))
+        val names = (parent.names.filterNot(rms) ++ adds).sorted
+        val dvs =
+          if (lines.tail.contains("dvdelta=1")) {
+            val dvRms = lines.tail.filter(_.startsWith("dvrm="))
+              .map(_.stripPrefix("dvrm=")).toSet
+            parent.dvs -- dvRms ++ dvPairs("dvadd=")
+          } else fullDvs
+        Snapshot(version, names, dvs)
+      case None =>
+        Snapshot(version, lines.tail.filterNot(_.contains('=')),
+          fullDvs)
     }
-    Snapshot(version, names, dvs)
   }
 
   /** The `base=` version a DELTA manifest folds onto (None for a
@@ -212,9 +225,14 @@ object GraftManifest {
         new String(bytes, "UTF-8").split("\n").toSeq
           .map(_.trim).filter(_.nonEmpty)
       } finally in.close()
+    // delta-encoded dv lines resolve against the dying base chain —
+    // re-emit the FULL mapping from the resolved snapshot
     val meta = raw.tail.filter(l => l.contains('=') &&
       !l.startsWith("base=") && !l.startsWith("add=") &&
-      !l.startsWith("rm="))
+      !l.startsWith("rm=") && !l.startsWith("dv=") &&
+      !l.startsWith("dvadd=") && !l.startsWith("dvrm=") &&
+      l != "dvdelta=1") ++
+      snap.dvs.toSeq.sorted.map { case (n, d0) => s"dv=$n:$d0" }
     val tmp = new Path(manifestDir(table),
       s".tmp-full-${UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
@@ -397,27 +415,49 @@ object GraftManifest {
       else scala.util.Try(read(fs, table, expected).dvs)
         .getOrElse(Map.empty[String, String])
     }.filter { case (n, _) => nameSet.contains(n) }
-    val meta = Seq(s"ts=${System.currentTimeMillis()}") ++
-      schemaDdl.map(d0 => s"schema=$d0") ++
-      effectiveDvs.toSeq.sorted.map { case (n, d) => s"dv=$n:$d" } ++
-      extraMeta.filter(m => m.contains('=') && !m.contains('\n'))
     // delta-encode against the predecessor when (a) this is not a
     // checkpoint slot, (b) the predecessor is readable, and (c) the
     // delta is actually smaller than the full list — commit metadata
     // then costs O(changed files), not O(table files)
     val canon = names.distinct.sorted
-    val body: Seq[String] =
+    val parentOpt: Option[Snapshot] =
       if (expected >= 1L && (expected + 1L) % CheckpointEvery != 0L) {
-        scala.util.Try(read(fs, table, expected)).toOption.flatMap {
-          parent =>
-            val pn = parent.names.toSet
-            val adds = canon.filterNot(pn)
-            val rms = (pn -- nameSet).toSeq.sorted
-            val delta = Seq(s"base=$expected") ++
-              adds.map("add=" + _) ++ rms.map("rm=" + _)
-            if (delta.size < canon.size) Some(delta) else None
-        }.getOrElse(canon)
-      } else canon
+        scala.util.Try(read(fs, table, expected)).toOption
+      } else None
+    val bodyDelta: Option[Seq[String]] = parentOpt.flatMap { parent =>
+      val pn = parent.names.toSet
+      val adds = canon.filterNot(pn)
+      val rms = (pn -- nameSet).toSeq.sorted
+      val delta = Seq(s"base=$expected") ++
+        adds.map("add=" + _) ++ rms.map("rm=" + _)
+      if (delta.size < canon.size) Some(delta) else None
+    }
+    // dv lines delta-encode too when the body is a delta (they share
+    // its base= chain): a DV-heavy table's point delete then writes
+    // O(changed masks) `dvadd=`/`dvrm=` lines under a `dvdelta=1`
+    // flag instead of re-listing every mask. Legacy full `dv=` lines
+    // stay the fallback (and the reader's default), so old manifests
+    // read unchanged.
+    val fullDvLines = effectiveDvs.toSeq.sorted
+      .map { case (n, d) => s"dv=$n:$d" }
+    val dvLines: Seq[String] = (bodyDelta, parentOpt) match {
+      case (Some(_), Some(parent)) =>
+        val dvAdds = effectiveDvs.toSeq
+          .filter { case (n, d) => !parent.dvs.get(n).contains(d) }
+          .sorted
+        val dvRms = (parent.dvs.keySet -- effectiveDvs.keySet)
+          .toSeq.sorted
+        val delta = Seq("dvdelta=1") ++
+          dvAdds.map { case (n, d) => s"dvadd=$n:$d" } ++
+          dvRms.map("dvrm=" + _)
+        if (delta.size < fullDvLines.size) delta else fullDvLines
+      case _ => fullDvLines
+    }
+    val meta = Seq(s"ts=${System.currentTimeMillis()}") ++
+      schemaDdl.map(d0 => s"schema=$d0") ++
+      dvLines ++
+      extraMeta.filter(m => m.contains('=') && !m.contains('\n'))
+    val body: Seq[String] = bodyDelta.getOrElse(canon)
     val out = fs.create(tmp, true)
     try out.write((Header +: (meta ++ body))
       .mkString("\n").getBytes("UTF-8"))

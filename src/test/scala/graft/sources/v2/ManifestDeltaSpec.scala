@@ -103,6 +103,56 @@ class ManifestDeltaSpec extends SparkTestBase {
     assert(rawLines(fs, dir, 10L).exists(_.startsWith("op=")))
   }
 
+  test("dv-heavy chain: per-commit dv lines are O(changed masks) " +
+      "under dvdelta, checkpoints stay full, reconstruction is exact, " +
+      "re-materialization resolves the dying chain") {
+    val (dir, fs) = newTable()
+    val base = (1 to 300).map(i => f"seed-$i%04d.parquet")
+    assert(GraftManifest.tryCommit(fs, dir, 0L, base)) // v1 (full)
+    // one new mask per version — a point-delete-per-commit workload
+    var dvs = Map.empty[String, String]
+    (1 to 20).foreach { i =>
+      dvs += (f"seed-$i%04d.parquet" -> f"dv-$i%04d.bin")
+      assert(GraftManifest.tryCommit(fs, dir, i.toLong, base,
+        dvs = Some(dvs)))
+    }
+    // a mid-chain version carries ONE dvadd under the flag — not the
+    // accumulated mapping
+    val v10 = rawLines(fs, dir, 10L)
+    assert(v10.contains("dvdelta=1"), v10.filter(_.contains("dv")))
+    assert(v10.count(_.startsWith("dvadd=")) === 1)
+    assert(!v10.exists(_.startsWith("dv=")),
+      "delta version re-listed the full dv mapping")
+    // the checkpoint slot is self-contained: full dv= lines, no chain
+    val v16 = rawLines(fs, dir, 16L)
+    assert(!v16.exists(_.startsWith("base=")))
+    assert(v16.count(_.startsWith("dv=")) === 15)
+    assert(!v16.contains("dvdelta=1"))
+    // exact reconstruction at every version
+    (2 to 21).foreach { v =>
+      assert(GraftManifest.read(fs, dir, v.toLong).dvs.size === v - 1,
+        s"v$v dv count")
+    }
+    // dropping a mask folds as dvrm
+    val dropped = dvs - "seed-0003.parquet"
+    assert(GraftManifest.tryCommit(fs, dir, 21L, base,
+      dvs = Some(dropped)))
+    val v22 = rawLines(fs, dir, 22L)
+    assert(v22.contains("dvdelta=1") &&
+      v22.count(_.startsWith("dvrm=")) === 1, v22.filter(_.contains("dv")))
+    assert(GraftManifest.read(fs, dir, 22L).dvs === dropped)
+    // vacuum drops the base chain: kept dv-delta versions
+    // re-materialize with the FULL resolved mapping
+    val want21 = GraftManifest.read(fs, dir, 21L).dvs
+    GraftManifest.vacuum(fs, dir, keepVersions = 2)
+    assert(GraftManifest.versions(fs, dir) == Seq(21L, 22L))
+    assert(!rawLines(fs, dir, 21L).exists(_.startsWith("base=")))
+    assert(!rawLines(fs, dir, 21L).contains("dvdelta=1"))
+    assert(rawLines(fs, dir, 21L).count(_.startsWith("dv=")) === 20)
+    assert(GraftManifest.read(fs, dir, 21L).dvs === want21)
+    assert(GraftManifest.read(fs, dir, 22L).dvs === dropped)
+  }
+
   test("a tagged mid-chain delta version survives vacuum readable") {
     val (dir, fs) = newTable()
     assert(GraftManifest.tryCommit(fs, dir, 0L, Seq("seed.parquet")))
