@@ -394,4 +394,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(r.count() === exact.select($"query_id").distinct().count())
     assert(r.filter($"recall" < 0.0 || $"recall" > 1.0).isEmpty)
   }
+
+  test("binnedIntervalJoin: equals the plain theta join on random " +
+      "data (bin edges included), pairs appear once, malformed " +
+      "intervals match nothing, keys co-partition") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    // values straddling bin boundaries of width 10 (multiples of 10
+    // included), two key groups
+    val points = (1 to 300).map(i =>
+      (i.toLong, (i % 2).toLong, (rnd.nextInt(200) / 2.0)))
+      .toDF("pid", "k", "v")
+    val intervals = (1 to 60).map { i =>
+      val lo = rnd.nextInt(180) / 2.0
+      (1000L + i, (i % 2).toLong, lo, lo + rnd.nextInt(60) / 2.0)
+    }.toDF("iid", "k", "lo", "hi")
+    val got = RangeJoin.binnedIntervalJoin(points, intervals,
+        Seq("k"), "v", "lo", "hi", binWidth = 10.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    val want = points.as("p").join(intervals.as("i"),
+        $"p.k" === $"i.k" && $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want, s"binned ${got.size} vs theta ${want.size}")
+    assert(got === got.distinct, "a pair was emitted more than once")
+
+    // lo > hi intervals are ignored, never exploded downward
+    val bad = Seq((1L, 0L, 50.0, 10.0)).toDF("iid", "k", "lo", "hi")
+    assert(RangeJoin.binnedIntervalJoin(points, bad, Seq("k"),
+      "v", "lo", "hi", 10.0).isEmpty)
+  }
 }
