@@ -63,7 +63,15 @@ object ScaleProbe {
     // (build 2/3 + extend 1/3 + bucket-pruned search per run — the
     // ratio measures index BUILD linearity, the dominant cost)
     "q_heavy_hitters", "q_topterms_exact", "q_wordpiece_encode",
-    "q_decontaminate_spans", "q_postings_search")
+    "q_decontaminate_spans", "q_postings_search",
+    // round 13, second half: unigram-LM tokenizer (train = word-count
+    // shuffle + piece-keyed EM aggregates over DISTINCT words, so the
+    // ratio measures the word-count job + the ~flat EM; encode =
+    // map-only literal-map Viterbi), the streamed-postings tail
+    // lifecycle, and hidden partitioning (value-clustered write +
+    // token-pruned two-language scan)
+    "q_unigram_train", "q_unigram_encode", "q_postings_tail",
+    "q_hidden_partitioning")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Ann, AsOfJoin, Bpe, Clustering, CorpusOps, Dedup, Dsir, LangModel, Multimodal, QualityModel, Salting, Sketch, TextSearch, TextStats}
+import graft.operators.{Ann, AsOfJoin, Bpe, Clustering, CorpusOps, Dedup, Dsir, LangModel, Multimodal, QualityModel, RangeJoin, Salting, Sketch, TextSearch, TextStats, Unigram}
 import graft.streaming.StreamOps
 
 /** Driver contract (SURVEY.md §7 + builder prompt): the full SURVEY.md §2
@@ -163,6 +163,27 @@ object SparkEntry {
         p("p_retailprice") < buckets("hi"))
       .select(col("p_partkey"), col("bucket"), col("p_retailprice"))
       .orderBy(col("p_partkey"), col("bucket"))
+  }
+
+  /** Binned interval join ([[RangeJoin.binnedIntervalJoin]]): views
+    * attributed to the 10-minute pre-purchase window of the same user
+    * — the theta join rewritten as an equi-join on (user, time bin) +
+    * exact residual, hash-partitionable at any scale (the broadcast
+    * theta in q_join_range dies when the interval side outgrows a
+    * broadcast). */
+  private val qJoinRangeBinned: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").cast("long").as("vsec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (col("ts").cast("long") - 600L).as("losec"),
+        col("ts").cast("long").as("hisec"))
+    RangeJoin.binnedIntervalJoin(views, purchases, Seq("user_id"),
+        "vsec", "losec", "hisec", binWidth = 600.0)
+      .select(col("view_id"), col("purchase_id"), col("user_id"))
+      .orderBy(col("view_id"), col("purchase_id"))
   }
 
   private val qJoinAsof: Q = (s, dir) => {
@@ -559,6 +580,133 @@ object SparkEntry {
       .agg(count(lit(1)).as("numcust"),
         dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping): revenue between two nation
+    * pairs per ship-year — the double-dimension join (supplier nation
+    * AND customer nation, both broadcast) with a disjunctive
+    * pair filter. */
+  private val qTpchQ7: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n1 = t(s, dir, "nation").select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), c("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's STANDARD-part revenue per order-year — a five-table
+    * join feeding a conditional-over-total ratio, grouped by year. */
+  private val qTpchQ8: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = t(s, dir, "customer")
+    val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === "AFRICA")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("n_name") === "NATION_5", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(rev).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose shipped value
+    * exceeds a fraction of the corpus-wide total — the HAVING against
+    * a scalar subquery (partsupp folds into lineitem in this
+    * schema). */
+  private val qTpchQ11: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val value = sum(col("l_extendedprice").cast("decimal(18,2)"))
+    val perPart = l.groupBy(col("l_partkey"))
+      .agg(value.as("part_value"))
+    val threshold = l.agg(
+      (value * lit(0.001)).cast("decimal(18,4)").as("thr"))
+    perPart.crossJoin(broadcast(threshold))
+      .filter(col("part_value").cast("decimal(18,4)") > col("thr"))
+      .select(col("l_partkey"),
+        col("part_value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): the quarter's revenue per
+    * supplier, returning the supplier(s) achieving the maximum — the
+    * view-plus-scalar-max equality join. */
+  private val qTpchQ15: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+    val revenue = l.groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("mx"))
+    val sup = t(s, dir, "supplier")
+    revenue.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("mx"))
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): for
+    * multi-supplier orders, the supplier whose line shipped > 60 days
+    * after the order date while every OTHER supplier shipped on time
+    * — the EXISTS + NOT-EXISTS double correlation over the fact
+    * table itself. */
+  private val qTpchQ21: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    t(s, dir, "orders").createOrReplaceTempView("orders_q21")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q21")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM lineitem_q21 l1
+      JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
+      JOIN supplier_q21 s ON s.s_suppkey = l1.l_suppkey
+      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                        JOIN orders_q21 o3
+                          ON o3.o_orderkey = l3.l_orderkey
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate >
+                            o3.o_orderdate + INTERVAL 60 DAYS)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 25 """)
   }
 
   /** Correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti
@@ -1184,6 +1332,14 @@ object SparkEntry {
     * and both oracles' unrolled SQL re-derivations. */
   private val BpeMerges = 12
 
+  // unigram-LM tokenizer parameters (rendered into the oracle): kept
+  // multi-char vocab size, hard-EM rounds, and the oracle's static DP
+  // unroll depth (must be >= the longest eligible word, like the
+  // wordpiece oracle's `steps`)
+  private val UnigramVocab = 16
+  private val UnigramIters = 2
+  private val UnigramDpStages = 12
+
   /** Distributed BPE tokenizer training (Sennrich-style): one corpus
     * shuffle builds the word-count table, then each of the 12 merge
     * iterations is a map-side pair expansion + one tiny groupBy over
@@ -1231,6 +1387,72 @@ object SparkEntry {
     val model = Bpe.trainCached(s"$dir/documents#bpe$BpeMerges",
       docs, BpeMerges)
     Bpe.wordpieceEncode(docs, model)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long")
+          .as("n_distinct"),
+        array_join(slice(col("toks"), 1, 20), " ").as("head_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** STREAMING EXACT top-k terms end-to-end
+    * ([[graft.streaming.StreamOps.tailTrendingExact]]): the corpus
+    * lands in a graft-v2 table with doc_id-derived event times, a
+    * stream tails it keeping BOUNDED Misra–Gries state per 5-minute
+    * window (counters far below the per-window vocabulary, so the
+    * summary genuinely undercounts), and each closing window's
+    * candidates refine to EXACT counts against the table slice — the
+    * emitted rows are provably order-independent (candidate
+    * nondeterminism is absorbed by the admission-bound fallback),
+    * which is exactly what lets a DuckDB rollup hash-check a
+    * STREAMING operator. Windows still open at the final watermark
+    * are excluded by both sides with the same inequality. */
+  private val qTrendingExact: Q = (s, dir) => {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-trendx")
+    val corpus = base.resolve("corpus").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    t(s, dir, "documents")
+      .select((to_timestamp(lit("2024-01-01 00:00:00")) +
+        col("doc_id").cast("int") * expr("INTERVAL 1 MINUTE"))
+        .as("ts"), col("text"))
+      .write.format("graft-v2").option("path", corpus)
+      .mode("append").save()
+    val q = graft.streaming.StreamOps.tailTrendingExact(
+      s, corpus, out, ckpt, k = 5, counters = 16,
+      every = "5 minutes", watermark = "1 minute")
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("graft-v2").load(out)
+      .select(col("wstart"), col("term"), col("n"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("wstart"), col("rk"))
+  }
+
+  /** Unigram-LM (SentencePiece-family) tokenizer training: the third
+    * deployed segmenter beside BPE merge replay and WordPiece
+    * longest-match — substring-seeded, two hard-EM rounds, integer
+    * micro-nat scores so the Viterbi DP never compares floats. The
+    * oracle UNROLLS the entire training (seed counts, both EM rounds'
+    * DP + backtrace, the kept-vocab re-smoothing) in SQL —
+    * independent re-derivation, like q_bpe_train. */
+  private val qUnigramTrain: Q = (s, dir) => {
+    val m = Unigram.trainCached(s"$dir/documents#uni$UnigramVocab",
+      t(s, dir, "documents"), UnigramVocab, UnigramIters)
+    import s.implicits._
+    m.pieces.zipWithIndex.map { case ((p, c, sc), i) =>
+      (i + 1L, p, c, sc)
+    }.toDF("rank", "piece", "cnt", "score")
+  }
+
+  /** Viterbi encoding under the trained unigram model — map-only (the
+    * kept-piece scores ride as a literal map), same output shape as
+    * q_wordpiece_encode. */
+  private val qUnigramEncode: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val m = Unigram.trainCached(s"$dir/documents#uni$UnigramVocab",
+      docs, UnigramVocab, UnigramIters)
+    Unigram.encode(docs, m)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long")
@@ -1784,6 +2006,7 @@ object SparkEntry {
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
+    "q_join_range_binned" -> qJoinRangeBinned,
     "q_join_asof" -> qJoinAsof,
     "q_join_asof_fwd" -> qJoinAsofFwd,
     "q_tpch_q1" -> qTpchQ1,
@@ -1807,6 +2030,11 @@ object SparkEntry {
     "q_tpch_q12" -> qTpchQ12,
     "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q6" -> qTpchQ6,
+    "q_tpch_q7" -> qTpchQ7,
+    "q_tpch_q8" -> qTpchQ8,
+    "q_tpch_q11" -> qTpchQ11,
+    "q_tpch_q15" -> qTpchQ15,
+    "q_tpch_q21" -> qTpchQ21,
     "q_tpch_q13" -> qTpchQ13,
     "q_tpch_q14" -> qTpchQ14,
     "q_tpch_q16" -> qTpchQ16,
@@ -1869,6 +2097,9 @@ object SparkEntry {
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
     "q_wordpiece_encode" -> qWordpieceEncode,
+    "q_unigram_train" -> qUnigramTrain,
+    "q_unigram_encode" -> qUnigramEncode,
+    "q_trending_exact" -> qTrendingExact,
     "q_lm_score" -> qLmScore,
     "q_shuffle_shards" -> qShuffleShards,
     "q_cluster_kmeans" -> qClusterKmeans,
@@ -2112,6 +2343,38 @@ object SparkEntry {
     "q_bpe_encode" -> DuckHash.bpeEncodeOracle(BpeMerges),
     "q_wordpiece_encode" ->
       DuckHash.wordpieceEncodeOracle(BpeMerges, steps = 8),
+    "q_unigram_train" -> DuckHash.unigramTrainOracle(
+      UnigramIters, UnigramDpStages, UnigramVocab),
+    "q_unigram_encode" -> DuckHash.unigramEncodeOracle(
+      UnigramIters, UnigramDpStages, UnigramVocab),
+    // streaming exact top-k: only windows the final watermark closed
+    // appear; the stream watermarks the DERIVED window-start column
+    // (StreamOps.trendingSummary), so the horizon is
+    // max(window_start) - 1 minute, strictly past the window end.
+    // The two sides can never tie on the inequality: both bounds are
+    // 5-minute multiples offset by 6 minutes.
+    "q_trending_exact" ->
+      """WITH d AS (SELECT TIMESTAMP '2024-01-01 00:00:00' +
+        |    CAST(doc_id AS INT) * INTERVAL 1 MINUTE AS ts, text
+        |  FROM documents),
+        |mx AS (SELECT max(ts) AS m FROM d),
+        |tok AS (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS wstart,
+        |    unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '')) AS term
+        |  FROM d),
+        |cnt AS (SELECT wstart, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY wstart, term),
+        |rk AS (SELECT wstart, term, n,
+        |    row_number() OVER (PARTITION BY wstart
+        |      ORDER BY n DESC, term) AS rk
+        |  FROM cnt)
+        |SELECT wstart, term, n, CAST(rk AS BIGINT) AS rk
+        |FROM rk, mx
+        |WHERE rk <= 5
+        |  AND time_bucket(INTERVAL 5 MINUTE, m) - INTERVAL 1 MINUTE
+        |    > wstart + INTERVAL 5 MINUTE
+        |ORDER BY wstart, rk""".stripMargin,
     // bigram stupid-backoff LM: train on even doc_ids, score odd;
     // per-position log10 rounded to 6 then summed in exact DECIMAL —
     // the same partition-order-proof accumulation the Spark side uses
@@ -2558,6 +2821,19 @@ object SparkEntry {
         |(2, 1500.0, 1e18)) AS b(bucket, lo, hi)
         |ON p_retailprice >= lo AND p_retailprice < hi
         |ORDER BY p_partkey, bucket""".stripMargin,
+    // binned interval join vs the plain theta formulation — the bin
+    // rewrite must be invisible in the result; second-granular window
+    // semantics on both sides (epoch floor is monotone)
+    "q_join_range_binned" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id AS user_id
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |AND CAST(floor(epoch(v.ts)) AS BIGINT) >=
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - 600
+        |AND CAST(floor(epoch(v.ts)) AS BIGINT) <
+        |  CAST(floor(epoch(p.ts)) AS BIGINT)
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
         |s.event_id AS signup_id
@@ -2671,6 +2947,88 @@ object SparkEntry {
         |AND l_shipdate < TIMESTAMP '1998-01-01'
         |AND l_discount >= 0.05 AND l_discount <= 0.07
         |AND l_quantity < 24""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(
+        |    CAST(SUM(CASE WHEN n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'AFRICA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q11" ->
+      """SELECT l_partkey,
+        |  CAST(part_value AS DOUBLE) AS part_value
+        |FROM (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+        |  FROM lineitem GROUP BY l_partkey)
+        |WHERE CAST(part_value AS DECIMAL(18,4)) >
+        |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |     * 0.001 AS DECIMAL(18,4)) FROM lineitem)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3
+        |                    ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >
+        |                      o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
