@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.PropagateLimitToGraft)
+    // opt-in theta→equi bin rewrite for point-in-interval joins
+    // (fires only when spark.graft.binnedRangeJoin.width > 0)
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRewrite)
     graft.functions.GraftFunctions.sqlFunctionDescriptors
       .foreach(e.injectFunction)
     // CREATE/DROP/REFRESH MATERIALIZED VIEW ([[graft.plans

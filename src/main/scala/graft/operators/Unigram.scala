@@ -227,10 +227,16 @@ object Unigram {
   // ───────────────────────── encoding ─────────────────────────
 
   /** Viterbi-encode every document under a trained model:
-    * `(id, toks)`, the model's score map riding along as a LITERAL —
-    * encoding 100 TB is a map-only job (no join, no shuffle). Words
-    * outside [[Bpe.WordRegex]] are dropped by the shared
-    * pre-tokenizer contract. */
+    * `(id, toks)`. The DP runs once per DISTINCT word — not per
+    * occurrence — and occurrences rejoin their segmentations
+    * (broadcast: the distinct-word segmentation table is tiny next to
+    * the corpus), exactly the corpus-vs-vocabulary asymmetry the
+    * trainer exploits; at 100 TB the corpus-sized work is one explode
+    * + one broadcast join + one per-doc reassembly. The Viterbi DP is
+    * an interpreted higher-order expression, so running it per
+    * occurrence would multiply its cost by the corpus/vocabulary
+    * ratio (measured 10²-10³ here). Words outside [[Bpe.WordRegex]]
+    * are dropped by the shared pre-tokenizer contract. */
   def encode(docs: DataFrame, model: UnigramModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(model.pieces.nonEmpty, "empty unigram model")
@@ -248,12 +254,31 @@ object Unigram {
               when(i + l - 1 <= length(w),
                 element_at(litMap, w.substr(i, l))).as("v"))))),
         e => e.getField("v").isNotNull))
-    docs
+    val docws = docs
       .select(col(idCol),
         filter(CorpusOps.tokens(col(textCol)),
           w => w.rlike(Bpe.WordRegex)).as("_graft_ws"))
+    val occ = docws
+      .select(col(idCol), posexplode_outer(col("_graft_ws"))
+        .as(Seq("_graft_widx", "_graft_w")))
+    val seg = occ.select(col("_graft_w")).filter(
+        col("_graft_w").isNotNull).distinct()
+      .select(col("_graft_w"),
+        viterbiPieces(col("_graft_w"), wordMap(col("_graft_w")))
+          .as("_graft_ps"))
+    val enc = occ
+      .join(broadcast(seg), Seq("_graft_w"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(when(col("_graft_ps").isNotNull,
+          struct(col("_graft_widx").as("i"),
+            col("_graft_ps").as("ps"))))),
+        e => e.getField("ps"))).as("toks"))
+    // empty documents still emit a row with an empty token array
+    docws.select(col(idCol))
+      .join(enc, Seq(idCol), "left_outer")
       .select(col(idCol),
-        flatten(transform(col("_graft_ws"),
-          w => viterbiPieces(w, wordMap(w)))).as("toks"))
+        coalesce(col("toks"),
+          array().cast("array<string>")).as("toks"))
   }
 }
