@@ -873,7 +873,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           pl, partitionTypes, filters.toSeq)
         if (allowed.isEmpty) files
         else files.filter(p => graft.sources.PartitionLayout.mayMatch(
-          new Path(p).getName, allowed))
+          new Path(p).getName, pl, allowed))
       case None => files
     }
     FooterCache.rowGroupsFor(pvFiles)
@@ -1134,7 +1134,7 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
         if (allowed.isEmpty) bucketKept
         else bucketKept.filter(rg =>
           graft.sources.PartitionLayout.mayMatch(
-            new Path(rg.file).getName, allowed))
+            new Path(rg.file).getName, pl, allowed))
       case _ => bucketKept
     }
     val parts = pvKept.map(mkPartition)

@@ -186,11 +186,23 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
       .map(graft.sources.PartitionLayout(_))
+    // PARTITION-LAYOUT EVOLUTION: redeclaring a different layout needs
+    // the explicit `repartitionLayout=true` opt-in — the marker then
+    // rewrites at commit. Safe by construction: the name fragment
+    // leads with a digest OF THE LAYOUT, so files tokenized under the
+    // superseded layout simply stop pruning (conservative) instead of
+    // being misread positionally; new files tokenize under the new
+    // layout.
+    val repartition =
+      info.options().getBoolean("repartitionLayout", false)
     val effectivePartition = (partitionSpec, optSpec) match {
-      case (Some(m), Some(o)) if m != o =>
+      case (Some(m), Some(o)) if m != o && !repartition =>
         throw new IllegalArgumentException(
           s"graft-v2 partitioned write: $path is laid out as $m, " +
-          s"write declared $o")
+          s"write declared $o — set option(\"repartitionLayout\", " +
+          "\"true\") to evolve the layout (old files stop pruning, " +
+          "stay correct)")
+      case (Some(m), Some(o)) if m != o => Some(o)
       case (Some(m), _) => Some(m)
       case (None, o) => o
     }
@@ -218,6 +230,7 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
     GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond,
       bucketSpec, widenTo,
       partitionSpec = effectivePartition,
+      repartition = repartition,
       // `changelog=true` starts the version log at THIS append (v1 =
       // the pre-append state) so the change data feed ([[GraftCdf]])
       // can consume the table from its first commit — without it, a
@@ -236,12 +249,13 @@ case class GraftWriteV2(path: String, schema: StructType,
     widenTo: Option[StructType] = None,
     changelog: Boolean = false,
     queryId: String = "",
-    partitionSpec: Option[graft.sources.PartitionLayout] = None)
+    partitionSpec: Option[graft.sources.PartitionLayout] = None,
+    repartition: Boolean = false)
     extends Write
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite =
     new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
-      bucketSpec, widenTo, changelog, partitionSpec)
+      bucketSpec, widenTo, changelog, partitionSpec, repartition)
 
   /** Native streaming sink (`df.writeStream.format("graft-v2")` /
     * `.toTable(...)`): append-mode micro-batches through the SAME
@@ -553,7 +567,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     bucketSpec: Option[graft.sources.BucketLayout] = None,
     widenTo: Option[StructType] = None,
     changelog: Boolean = false,
-    partitionSpec: Option[graft.sources.PartitionLayout] = None)
+    partitionSpec: Option[graft.sources.PartitionLayout] = None,
+    repartition: Boolean = false)
     extends BatchWrite {
 
   protected val jobId = UUID.randomUUID().toString.take(8)
@@ -593,7 +608,7 @@ class GraftBatchWriteV2(path: String, schema: StructType,
         val dts = ords.map(schema.fields(_).dataType)
         GraftPartitionedWriterFactoryV2(
           new SerializableConfiguration(conf),
-          staging.toString, jobId, ords, dts)
+          staging.toString, jobId, pl, ords, dts)
       case (None, None) =>
         GraftWriterFactoryV2(new SerializableConfiguration(conf),
           staging.toString, jobId)
@@ -613,7 +628,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     // name tokens (idempotent; a marker without tokenized files is
     // harmless, so writing before the renames risks nothing)
     partitionSpec.foreach { pl =>
-      if (graft.sources.PartitionLayout.read(fs, target).isEmpty) {
+      if (repartition ||
+          graft.sources.PartitionLayout.read(fs, target).isEmpty) {
         graft.sources.PartitionLayout.write(fs, target, pl)
       }
     }
@@ -823,13 +839,14 @@ case class GraftWriterFactoryV2(conf: SerializableConfiguration,
 case class GraftPartitionedWriterFactoryV2(
     conf: SerializableConfiguration,
     stagingDir: String, jobId: String,
+    layout: graft.sources.PartitionLayout,
     partOrds: Array[Int],
     partTypes: Array[org.apache.spark.sql.types.DataType])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new GraftPartitionedDataWriterV2(conf.value, stagingDir, jobId,
-      partitionId, taskId, partOrds, partTypes)
+      partitionId, taskId, layout, partOrds, partTypes)
 }
 
 /** Hidden-partitioning writer ([[graft.sources.PartitionLayout]]):
@@ -843,6 +860,7 @@ case class GraftPartitionedWriterFactoryV2(
   * smaller files — every file's tokens still match its rows. */
 class GraftPartitionedDataWriterV2(conf: Configuration,
     stagingDir: String, jobId: String, partitionId: Int, taskId: Long,
+    layout: graft.sources.PartitionLayout,
     partOrds: Array[Int],
     partTypes: Array[org.apache.spark.sql.types.DataType])
     extends DataWriter[InternalRow] {
@@ -874,7 +892,7 @@ class GraftPartitionedDataWriterV2(conf: Configuration,
     if (current == null || t != currentTokens) {
       if (current != null) current.close()
       currentTokens = t
-      val frag = graft.sources.PartitionLayout.nameFragment(t)
+      val frag = graft.sources.PartitionLayout.nameFragment(layout, t)
       val out = new Path(f"$stagingDir%s/part-00000-$jobId%s-" +
         f"$partitionId%d-$taskId%d.$frag%s.c$seq%03d.snappy.parquet")
       seq += 1

@@ -45,7 +45,8 @@ class PartitioningSpec extends SparkTestBase {
     val dataFiles = fs.listStatus(new Path(p)).map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
     assert(dataFiles.nonEmpty)
-    assert(dataFiles.forall(PartitionLayout.fileTokens(_).isDefined),
+    val lay = PartitionLayout(Seq("grp", "dt"))
+    assert(dataFiles.forall(PartitionLayout.fileTokens(_, lay).isDefined),
       s"un-tokenized data file among ${dataFiles.take(3).mkString(",")}")
     val byFile = spark.read.format("graft-v2").option("path", p).load()
       .select(col("grp"), col("dt"), col("_file"))
@@ -53,7 +54,7 @@ class PartitioningSpec extends SparkTestBase {
       .groupBy(r => new Path(r.getString(2)).getName)
     byFile.foreach { case (name, rows) =>
       assert(rows.length === 1, s"$name mixes partition values")
-      val toks = PartitionLayout.fileTokens(name).get
+      val toks = PartitionLayout.fileTokens(name, lay).get
       assert(toks(0) === PartitionLayout.token(rows.head.getString(0)))
       assert(toks(1) === PartitionLayout.token(
         rows.head.getDate(1).toLocalDate.toEpochDay.toInt.toString))
@@ -160,8 +161,9 @@ class PartitioningSpec extends SparkTestBase {
     val names = fs.listStatus(new Path(s"$wh/t"))
       .map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-    assert(names.nonEmpty &&
-      names.forall(PartitionLayout.fileTokens(_).isDefined))
+    assert(names.nonEmpty && names.forall(
+      PartitionLayout.fileTokens(_,
+        PartitionLayout(Seq("grp"))).isDefined))
     assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE grp = 'g1'")
       .head().getLong(0) === 30L)
 
@@ -217,14 +219,53 @@ class PartitioningSpec extends SparkTestBase {
     assert(allowed(1) === Set(PartitionLayout.NullToken))
     // matching: tokenized names honor constraints, others never prune
     val okName = s"part-00000-ab12cd34-0-1." +
-      PartitionLayout.nameFragment(Seq(PartitionLayout.token("x"),
+      PartitionLayout.nameFragment(pl, Seq(PartitionLayout.token("x"),
         PartitionLayout.NullToken)) + ".c000.snappy.parquet"
     val otherName = s"part-00000-ab12cd34-0-1." +
-      PartitionLayout.nameFragment(Seq(PartitionLayout.token("y"),
+      PartitionLayout.nameFragment(pl, Seq(PartitionLayout.token("y"),
         PartitionLayout.NullToken)) + ".c000.snappy.parquet"
-    assert(PartitionLayout.mayMatch(okName, allowed))
-    assert(!PartitionLayout.mayMatch(otherName, allowed))
+    assert(PartitionLayout.mayMatch(okName, pl, allowed))
+    assert(!PartitionLayout.mayMatch(otherName, pl, allowed))
     assert(PartitionLayout.mayMatch(
-      "part-00000-ab12cd34-0-1.c000.snappy.parquet", allowed))
+      "part-00000-ab12cd34-0-1.c000.snappy.parquet", pl, allowed))
+    // tokens written under a DIFFERENT layout never prune (the
+    // leading layout digest gates the parse)
+    val other = PartitionLayout(Seq("a"))
+    val oldName = s"part-00000-ab12cd34-0-1." +
+      PartitionLayout.nameFragment(other,
+        Seq(PartitionLayout.token("y"))) + ".c000.snappy.parquet"
+    assert(PartitionLayout.fileTokens(oldName, pl).isEmpty)
+    assert(PartitionLayout.mayMatch(oldName, pl, allowed))
+  }
+
+  test("partition-layout evolution: repartitionLayout=true rewrites " +
+      "the marker; superseded-layout files stop pruning but stay " +
+      "correct; new files prune under the new layout") {
+    val p = tmp("evolve")
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "grp")
+    df.write.format("graft-v2").option("path", p)
+      .option("partitionedBy", "grp").mode("append").save()
+    // evolve grp -> id (a silly layout, but exercises the mechanics)
+    df.withColumn("id", $"id" + 200)
+      .write.format("graft-v2").option("path", p)
+      .option("partitionedBy", "id")
+      .option("repartitionLayout", "true").mode("append").save()
+    val fs = fsOf(p)
+    assert(PartitionLayout.read(fs, new Path(p))
+      === Some(PartitionLayout(Seq("id"))))
+    val t = spark.read.format("graft-v2").option("path", p).load()
+    // correctness across both layout generations
+    assert(t.filter($"grp" === "g1").count() ===
+      2 * df.filter($"grp" === "g1").count())
+    assert(t.filter($"id" === 250L).count() === 1)
+    // new-layout point scan prunes below the full partition count
+    assert(parts(t.filter($"id" === 250L)) < parts(t))
+    // appends WITHOUT the flag now inherit the NEW layout
+    df.withColumn("id", $"id" + 400)
+      .write.format("graft-v2").option("path", p).mode("append").save()
+    assert(PartitionLayout.read(fs, new Path(p))
+      === Some(PartitionLayout(Seq("id"))))
+    assert(t.count() === 3L * df.count())
   }
 }
