@@ -558,10 +558,19 @@ object GraftSink {
     try {
       layout match {
         case None =>
-          // coalesce, not repartition: compaction is a merge, no shuffle
-          spark.read.parquet(small.map(_.getPath.toString).toSeq: _*)
-            .coalesce(outFiles)
-            .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+          // coalesce, not repartition: compaction is a merge, no
+          // shuffle. Staged through graft's OWN writer — a session's
+          // INT96 timestamp default would otherwise produce merged
+          // files the graft-v2 reader itself refuses
+          writeCompensating(
+            spark.read.parquet(small.map(_.getPath.toString).toSeq: _*)
+              .coalesce(outFiles),
+            staging.toString, SaveMode.Overwrite, batchSize = 4096,
+            failPartition = -1,
+            partName = (jobId, pid, seq) =>
+              if (seq == 0) s"part-$jobId-$pid.parquet"
+              else s"part-$jobId-$pid-$seq.parquet",
+            maxRowsPerFile = Long.MaxValue)
         case Some(b) =>
           import org.apache.spark.sql.functions.{col => c}
           // re-hash the small rows: partition id == bucket id, exactly
@@ -579,28 +588,15 @@ object GraftSink {
           val rows =
             if (b.sortCols.isEmpty) parted
             else parted.sortWithinPartitions(b.sortCols.map(c): _*)
-          rows.write.option("maxRecordsPerFile", targetRows)
-            .mode(SaveMode.Overwrite).parquet(staging.toString)
-          // Spark names staged parts part-<splitId>-<uuid>[-cNNN];
-          // splitId is the bucket id here and NNN the rollover seq —
-          // rename into the _<bucketId> convention, seq preserved
-          val SplitId = "part-(\\d+)-.*".r
-          val SeqId = "-c(\\d+)\\.".r
-          fs.listStatus(staging).map(_.getPath)
-            .filter(p => isDataPart(p.getName)).foreach { p =>
-              val bid = p.getName match {
-                case SplitId(id) => id.toInt
-                case other => throw new IllegalStateException(
-                  s"unexpected staged part name $other")
-              }
-              val seq = SeqId.findFirstMatchIn(p.getName)
-                .map(_.group(1).toInt).getOrElse(0)
-              val to = new Path(staging,
-                f"part-00000-$token%s_$bid%05d.c$seq%03d.snappy.parquet")
-              if (!fs.rename(p, to)) {
-                throw new java.io.IOException(s"rename $p -> $to failed")
-              }
-            }
+          // graft's own writer (INT96-proof, see the None branch)
+          // emits the _<bucketId> names directly — the partition id
+          // IS the bucket id under the repartition above, and `seq`
+          // is the maxRowsPerFile rollover
+          writeCompensating(rows, staging.toString, SaveMode.Overwrite,
+            batchSize = 4096, failPartition = -1,
+            partName = (_, pid, seq) =>
+              f"part-00000-$token%s_$pid%05d.c$seq%03d.snappy.parquet",
+            maxRowsPerFile = targetRows)
       }
       val written = fs.listStatus(staging)
         .count(st => isDataPart(st.getPath.getName))

@@ -340,7 +340,8 @@ object StreamOps {
       outPath: String, checkpoint: String, k: Int = 10,
       counters: Int = 1024, every: String = "5 minutes",
       watermark: String = "10 minutes",
-      tsCol: String = "ts", textCol: String = "text")
+      tsCol: String = "ts", textCol: String = "text",
+      compactEvery: Int = 0, keepVersions: Int = 512)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val stream = spark.readStream.format("graft-v2")
       .option("path", corpusPath).load()
@@ -354,6 +355,20 @@ object StreamOps {
             exactTrendingBatch(batch, corpusPath, k, counters, every,
               tsCol, textCol),
             outPath, "trending-exact", id)
+          // output retention: one small commit lands per closed
+          // window, so a long-lived feed fragments the out table —
+          // compactEvery > 0 merges small files and vacuums old
+          // manifest versions on a batch cadence. Leave 0 (off) if a
+          // downstream graft-v2 STREAM tails the out table
+          // (compaction rewrites files, breaking the append-only
+          // contract; batch readers are unaffected).
+          if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+            graft.sources.GraftSink.compact(spark, outPath)
+            val t = new org.apache.hadoop.fs.Path(outPath)
+            graft.sources.v2.GraftManifest.vacuum(
+              t.getFileSystem(spark.sessionState.newHadoopConf()), t,
+              keepVersions = keepVersions)
+          }
         }
         ()
       }

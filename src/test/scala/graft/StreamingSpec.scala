@@ -175,7 +175,7 @@ class StreamingSpec extends SparkTestBase {
       .option("path", corpus).mode("append").save()
     val q2 = StreamOps.tailTrendingExact(spark, corpus, out, ckpt,
       k = 3, counters = 64, every = "5 minutes",
-      watermark = "1 minute")
+      watermark = "1 minute", compactEvery = 1)
     try {
       q2.processAllAvailable()
       Seq((tlate("12:30"), "closer2")).toDF("ts", "text")
@@ -186,6 +186,15 @@ class StreamingSpec extends SparkTestBase {
     val all = spark.read.format("graft-v2").load(out)
     assert(all.filter($"wstart" === ts(0)).count() === 3,
       "window-1 rows re-appended on restart")
+    // retention cadence fired: the per-window small files merged
+    val ofs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = ofs.listStatus(
+      new org.apache.hadoop.fs.Path(out)).map(_.getPath.getName)
+      .filter(n => (n.startsWith("part-") || n.startsWith("stream-"))
+        && n.endsWith(".parquet"))
+    assert(dataFiles.length === 1,
+      s"expected one compacted file, got ${dataFiles.mkString(", ")}")
     val g2 = all.filter($"wstart" === tlate("11:05")).orderBy($"rk")
       .select($"term", $"n", $"rk", $"pruned")
       .as[(String, Long, Int, Boolean)].collect().toSeq
