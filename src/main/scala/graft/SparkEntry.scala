@@ -1429,6 +1429,37 @@ object SparkEntry {
       .orderBy(col("wstart"), col("rk"))
   }
 
+  /** The COMPOSED curation pipeline, end-to-end in one gated query —
+    * the shape a real training-data run chains: normalized exact
+    * dedup keeps one id per text → benchmark decontamination drops
+    * docs above 5% trigram contamination (benchmark = the %97 split)
+    * → the Gopher rule tier keeps quality docs → context-window
+    * chunking emits the training sequences, rolled up per doc. Every
+    * stage is an operator already gated alone; THIS query gates their
+    * composition (dedup semi-join → broadcast gram probe → map-side
+    * rules → per-row explode: two small shuffles total beyond the
+    * scans, nothing quadratic). */
+  private val qPipelineE2e: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val keepIds = Dedup.exactNormalized(docs)
+      .select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val corpus = deduped.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val cleanIds = CorpusOps.decontaminate(corpus, bench, n = 3)
+      .filter(col("contamination") <= 0.05)
+      .select(col("doc_id"))
+    val clean = corpus.join(cleanIds, Seq("doc_id"), "left_semi")
+    val qualityIds = TextStats.gopherRules(clean, minWords = 50)
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = clean.join(qualityIds, Seq("doc_id"), "left_semi")
+    CorpusOps.chunk(kept, chunkSize = 64, stride = 48)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("n_chunk_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram-LM (SentencePiece-family) tokenizer training: the third
     * deployed segmenter beside BPE merge replay and WordPiece
     * longest-match — substring-seeded, two hard-EM rounds, integer
@@ -2100,6 +2131,7 @@ object SparkEntry {
     "q_unigram_train" -> qUnigramTrain,
     "q_unigram_encode" -> qUnigramEncode,
     "q_trending_exact" -> qTrendingExact,
+    "q_pipeline_e2e" -> qPipelineE2e,
     "q_lm_score" -> qLmScore,
     "q_shuffle_shards" -> qShuffleShards,
     "q_cluster_kmeans" -> qClusterKmeans,
@@ -3506,6 +3538,60 @@ object SparkEntry {
         |  GROUP BY term)
         |SELECT term, n FROM c ORDER BY n DESC, term
         |LIMIT 25""".stripMargin,
+    // the composed pipeline: each stage's CTE is the proven shape from
+    // its standalone oracle (dedup_exact_norm, decontaminate,
+    // gopher_rules, chunk_docs), chained — the oracle re-derives the
+    // WHOLE pipeline independently
+    "q_pipeline_e2e" -> {
+      val stops = operators.TextStats.GopherStops
+        .map(s0 => s"'$s0'").mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |dd AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+        |    'g')))),
+        |grams AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ts[i:i+2], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ts)-2, 0))]))
+        |    AS gram
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT gram FROM grams
+        |  WHERE doc_id % 97 = 0),
+        |corp AS (SELECT g.doc_id, g.gram FROM grams g
+        |  JOIN dd USING (doc_id) WHERE g.doc_id % 97 <> 0),
+        |clean AS (SELECT doc_id FROM (
+        |    SELECT c.doc_id, round(CAST(sum(CASE WHEN b.gram IS NOT
+        |      NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS ct
+        |    FROM corp c LEFT JOIN bench b USING (gram)
+        |    GROUP BY c.doc_id)
+        |  WHERE ct <= 0.05),
+        |m AS (SELECT doc_id, ts,
+        |    CAST(len(ts) AS INTEGER) AS n_words,
+        |    round(coalesce(list_sum(list_transform(ts,
+        |        t -> length(t))), 0)::DOUBLE
+        |      / greatest(len(ts), 1), 4) AS mean_word_len,
+        |    round(len(list_filter(ts,
+        |        t -> regexp_matches(t, '[a-z]')))::DOUBLE
+        |      / greatest(len(ts), 1), 4) AS alpha_frac,
+        |    CAST(len(list_intersect(list_distinct(ts), $stops))
+        |      AS INTEGER) AS n_stop
+        |  FROM tok JOIN clean USING (doc_id)),
+        |kept AS (SELECT doc_id, ts FROM m
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND alpha_frac >= 0.8 AND n_stop >= 2),
+        |bounds AS (SELECT doc_id, ts,
+        |    1 + ((greatest(len(ts) - 64, 0) + 47) // 48) * 48 AS hi
+        |  FROM kept WHERE len(ts) > 0),
+        |chunks AS (SELECT doc_id, ts,
+        |    unnest(generate_series(1, hi, 48)) AS s
+        |  FROM bounds)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(len(ts[s:s+63])) AS BIGINT) AS n_chunk_tokens
+        |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_gopher_rules" -> {
       val stops = operators.TextStats.GopherStops
         .map(s => s"'$s'").mkString("[", ", ", "]")
