@@ -477,7 +477,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    if (!isTableDir(dir)) {
+      // metadata-table fallback (`SELECT * FROM cat.ns.t.files`):
+      // the FULL identifier is not a table, but its parent is and the
+      // name is a known metadata face — a REAL table named `files`
+      // always shadows this (the isTableDir branch above wins)
+      if (GraftMetaTables.Names.contains(ident.name()) &&
+          ident.namespace().nonEmpty) {
+        val parent = Identifier.of(
+          ident.namespace().dropRight(1), ident.namespace().last)
+        val pdir = tableDir(parent)
+        if (isTableDir(pdir)) {
+          return GraftMetaTables.load(fs, pdir, ident.name())
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val schema = resolveSchema(dir)
       .getOrElse(throw new NoSuchTableException(ident))
     // a directory laid out by GraftSink.saveBucketedFiles carries its

@@ -2472,4 +2472,50 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT w FROM graft.dflt2.t WHERE id = 3").head.isNullAt(0))
   }
+
+  test("metadata tables: t.files / t.history / t.tags read through " +
+      "SQL; dv sidecars and ops surface; a real table named files " +
+      "shadows the fallback") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.meta.t SELECT id, id FROM range(100)")
+    spark.sql("INSERT INTO graft.meta.t " +
+      "SELECT id, id FROM range(100, 200)")
+    // DV point delete: one file gains a sidecar
+    spark.sql("DELETE FROM graft.meta.t WHERE id = 7")
+    spark.sql("CALL graft.system.tag(table => 'meta.t', " +
+      "name => 'v2pin', version => 2)")
+
+    val files = spark.sql("SELECT * FROM graft.meta.t.files")
+      .collect()
+    assert(files.length >= 2, files.mkString(","))
+    assert(files.forall(r => r.getString(0).endsWith(".parquet") &&
+      r.getLong(1) > 0L))
+    // footer row counts sum to the PHYSICAL rows (the deleted row is
+    // masked, not rewritten)
+    assert(files.map(_.getLong(2)).sum === 200L)
+    assert(files.count(!_.isNullAt(3)) === 1,
+      "exactly one file should carry a deletion vector")
+
+    val hist = spark.sql(
+      "SELECT version, operation FROM graft.meta.t.history " +
+      "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._1) === (1L to hist.length))
+    assert(hist.exists(_._2 == "delete"), hist.mkString(","))
+
+    val tags = spark.sql("SELECT * FROM graft.meta.t.tags").collect()
+    assert(tags.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("v2pin", 2L)))
+
+    // a REAL table named `files` under the same namespace chain wins
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta.t2")
+    spark.sql("CREATE TABLE graft.meta.t2.files (x BIGINT)")
+    spark.sql("INSERT INTO graft.meta.t2.files VALUES (42)")
+    assert(spark.sql("SELECT x FROM graft.meta.t2.files")
+      .head.getLong(0) === 42L)
+    spark.sql("DROP TABLE graft.meta.t2.files")
+    spark.sql("DROP TABLE graft.meta.t")
+  }
 }
