@@ -709,6 +709,68 @@ object SparkEntry {
       LIMIT 25 """)
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): per EUROPE-region part
+    * supplier, keep the supplier(s) with the MINIMUM account balance
+    * among that part's suppliers — the correlated scalar-min
+    * subquery over the fact-derived supplier relationship (partsupp
+    * folds into lineitem), top-100 by balance. */
+  private val qTpchQ2: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q2")
+    t(s, dir, "part").createOrReplaceTempView("part_q2")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q2")
+    t(s, dir, "nation").createOrReplaceTempView("nation_q2")
+    t(s, dir, "region").createOrReplaceTempView("region_q2")
+    s.sql("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                  FROM lineitem_q2)
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey
+      FROM ps
+      JOIN part_q2 p ON ps.l_partkey = p.p_partkey
+      JOIN supplier_q2 s ON ps.l_suppkey = s.s_suppkey
+      JOIN nation_q2 n ON s.s_nationkey = n.n_nationkey
+      JOIN region_q2 r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+        AND r.r_name = 'EUROPE'
+        AND s.s_acctbal = (
+          SELECT min(s2.s_acctbal)
+          FROM ps ps2
+          JOIN supplier_q2 s2 ON ps2.l_suppkey = s2.s_suppkey
+          JOIN nation_q2 n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region_q2 r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+      LIMIT 100 """)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers of
+    * STANDARD parts who shipped more than half of one year's average
+    * per-supplier volume of those parts — nested IN subqueries over
+    * the fact table. */
+  private val qTpchQ20: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+    t(s, dir, "part").createOrReplaceTempView("part_q20")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_q20")
+    s.sql("""
+      SELECT s_name, s_acctbal FROM supplier_q20
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem_q20
+        WHERE l_partkey IN (SELECT p_partkey FROM part_q20
+                            WHERE p_type = 'STANDARD')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+          (SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               AS DOUBLE) /
+             count(DISTINCT l_suppkey)
+           FROM lineitem_q20
+           WHERE l_partkey IN (SELECT p_partkey FROM part_q20
+                               WHERE p_type = 'STANDARD')
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'))
+      ORDER BY s_name """)
+  }
+
   /** Correlated EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti
     * joins): customers holding at least one big urgent order and no
     * low-priority order. */
@@ -2059,7 +2121,9 @@ object SparkEntry {
     "q_subquery_exists" -> qSubqueryExists,
     "q_tpch_q10" -> qTpchQ10,
     "q_tpch_q12" -> qTpchQ12,
+    "q_tpch_q2" -> qTpchQ2,
     "q_tpch_q4" -> qTpchQ4,
+    "q_tpch_q20" -> qTpchQ20,
     "q_tpch_q6" -> qTpchQ6,
     "q_tpch_q7" -> qTpchQ7,
     "q_tpch_q8" -> qTpchQ8,
@@ -2979,6 +3043,45 @@ object SparkEntry {
         |AND l_shipdate < TIMESTAMP '1998-01-01'
         |AND l_discount >= 0.05 AND l_discount <= 0.07
         |AND l_quantity < 24""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey
+        |FROM ps
+        |JOIN part p ON ps.l_partkey = p.p_partkey
+        |JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+        |AND r.r_name = 'EUROPE'
+        |AND s.s_acctbal = (
+        |  SELECT min(s2.s_acctbal) FROM ps ps2
+        |  JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |  WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'STANDARD')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      AS DOUBLE) >
+        |    (SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |         AS DOUBLE) /
+        |       count(DISTINCT l_suppkey)
+        |     FROM lineitem
+        |     WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_type = 'STANDARD')
+        |       AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |       AND l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_name""".stripMargin,
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

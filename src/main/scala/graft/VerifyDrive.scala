@@ -116,6 +116,27 @@ object VerifyDrive {
       "SELECT count(*) FROM graft.d.sales_by_grp").head.getLong(0) +
       " (expect 2)")
     spark.sql("DROP MATERIALIZED VIEW graft.d.sales_by_grp")
+    // user flow: hidden partitioning through SQL DDL, pruned scan,
+    // metadata tables
+    spark.sql("CREATE TABLE graft.d.events " +
+      "(id BIGINT, grp STRING, v BIGINT) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO graft.d.events " +
+      "SELECT id, concat('g', id % 4), id FROM range(0, 400)")
+    val hp = spark.sql(
+      "SELECT count(*) FROM graft.d.events WHERE grp = 'g1'")
+      .head.getLong(0)
+    val hpParts = spark.sql(
+      "SELECT * FROM graft.d.events WHERE grp = 'g1'")
+      .rdd.getNumPartitions
+    val hpAll = spark.table("graft.d.events").rdd.getNumPartitions
+    println(s"HIDDEN-PARTITIONED scan -> $hp rows (expect 100), " +
+      s"planned $hpParts of $hpAll partitions (expect pruned)")
+    val metaFiles = spark.sql(
+      "SELECT count(*) FROM graft.d.events.files").head.getLong(0)
+    val metaHist = spark.sql(
+      "SELECT count(*) FROM graft.d.events.history").head.getLong(0)
+    println(s"METADATA tables -> files=$metaFiles (expect > 0), " +
+      s"history=$metaHist versions")
     spark.stop()
   }
 }

@@ -75,4 +75,50 @@ class PropertySpec extends AnyFunSuite {
     val back = graft.sources.GraftSink.readCompensating(spark, dir)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("partition tokens: write-side (internal) and filter-side " +
+      "(external) canonical renderings agree for every supported " +
+      "type, so a value's file can NEVER be pruned by its own filter") {
+    import graft.sources.PartitionLayout
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.sources.EqualTo
+    val pl = PartitionLayout(Seq("c"))
+    // (datatype, external value gen, internal-rep of the same value)
+    def check(dt: DataType, external: Any, internal: Any): Unit = {
+      val ext = PartitionLayout.canonicalExternal(external, dt)
+      assert(ext.isDefined, s"$dt external $external unrenderable")
+      val int0 = PartitionLayout.canonicalInternal(internal, dt)
+      assert(ext.get === int0,
+        s"$dt drift: filter-side ${ext.get} vs write-side $int0")
+      // the file a writer names for `internal` must survive the
+      // filter EqualTo(c, external) — the conservative invariant
+      val name = "part-0-x." + PartitionLayout.nameFragment(pl,
+        Seq(PartitionLayout.token(int0))) + ".c000.snappy.parquet"
+      val allowed = PartitionLayout.allowedTokens(pl,
+        Map("c" -> dt), Seq(EqualTo("c", external)))
+      assert(PartitionLayout.mayMatch(name, pl, allowed),
+        s"$dt value $external pruned its own file")
+    }
+    forAllSeeded(Gen.alphaNumStr, 40)(s =>
+      check(StringType, s,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    forAllSeeded(Gen.chooseNum(Long.MinValue, Long.MaxValue), 40)(v =>
+      check(LongType, v, java.lang.Long.valueOf(v)))
+    forAllSeeded(Gen.chooseNum(Int.MinValue, Int.MaxValue), 40)(v =>
+      check(IntegerType, v, java.lang.Integer.valueOf(v)))
+    forAllSeeded(Gen.chooseNum(-100000, 100000), 40) { days =>
+      val d = java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(days.toLong))
+      check(DateType, d, java.lang.Integer.valueOf(days))
+    }
+    forAllSeeded(Gen.chooseNum(-4102444800L, 4102444800L), 40) { sec =>
+      val micros = sec * 1000000L + 123456L
+      val ts = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(micros)
+      check(TimestampType, ts, java.lang.Long.valueOf(micros))
+    }
+    check(BooleanType, java.lang.Boolean.TRUE, java.lang.Boolean.TRUE)
+    check(BooleanType, java.lang.Boolean.FALSE,
+      java.lang.Boolean.FALSE)
+  }
 }
