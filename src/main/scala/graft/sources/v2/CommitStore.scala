@@ -332,6 +332,10 @@ final class ExternalCasCommit(backend: CasBackend,
       // is durable, and the object store reads-after-writes.
       if (fs.exists(dst)) {
         backend.delete(k)
+        // sweep the spurious temp NOW: leaving it on disk is the raw
+        // material of the recover-over-completed-slot hazard below
+        try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+        catch { case _: Throwable => () }
         false
       } else {
         try withHeartbeat(k, mine)(copy(fs, tmp, dst))
@@ -351,11 +355,18 @@ final class ExternalCasCommit(backend: CasBackend,
       // lost — but if the winner's claim lease has gone stale (its
       // writer died between claim and copy), make its commit visible
       // so this loser's own retry reads the version it lost to. A
-      // fresh claim's holder is alive: leave it to finish.
-      val age = backend.list(k)
-        .collectFirst { case (kk, _, a) if kk == k => a }
-        .getOrElse(Long.MaxValue)
-      recoverSlot(fs, dst, winner, age)
+      // fresh claim's holder is alive: leave it to finish. The claim
+      // must still be PRESENT and still name the same temp: a vanished
+      // or replaced claim means the slot completed (or its claim was
+      // spurious-dropped) between our CAS and this listing — treating
+      // that as "infinitely stale" once re-copied a LOSER's temp over
+      // a completed slot, silently replacing a committed version's
+      // bytes (racing committers stage DIFFERENT contents for the
+      // same slot, so "same bytes, idempotent" does not hold across
+      // claimants — only across recoverers of ONE claim).
+      backend.list(k)
+        .collectFirst { case (kk, v, a) if kk == k && v == winner => a }
+        .foreach(age => recoverSlot(fs, dst, winner, age))
       false
     }
   }

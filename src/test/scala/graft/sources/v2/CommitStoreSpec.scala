@@ -128,6 +128,47 @@ class CommitStoreSpec extends SparkTestBase {
     }
   }
 
+  test("a vanished claim never 'recovers' a loser's temp over a " +
+      "completed slot; a spurious claimant's temp is swept") {
+    val (fs, table) = newTable("ghost")
+    val inner = new InMemoryCasBackend
+    // claim visibility lost between the loser's CAS and its listing —
+    // the exact race the full-suite run caught probabilistically:
+    // under the old code an absent entry read as "infinitely stale"
+    // and the loser RE-COPIED the claimed temp over the winner's
+    // completed slot (different claimants stage DIFFERENT bytes)
+    val backend = new CasBackend {
+      override def putIfAbsent(k: String, v: String) =
+        inner.putIfAbsent(k, v)
+      override def get(k: String) = inner.get(k)
+      override def delete(k: String) = inner.delete(k)
+      override def list(prefix: String) = Seq.empty
+      override def refresh(k: String, v: String) = inner.refresh(k, v)
+    }
+    val store = new ExternalCasCommit(backend)
+    val dst = new Path(manifestDir(table), f"v${1L}%010d.txt")
+    // winner completes the slot
+    assert(store.publishIfAbsent(fs, stageTmp(fs, table, "winner"),
+      dst))
+    assert(slurp(fs, dst) == "winner")
+    // a dead claimant's temp + live claim exist; the loser's listing
+    // (empty here) must NOT trigger recovery over the completed slot
+    val ghost = stageTmp(fs, table, "ghost")
+    inner.putIfAbsent(fs.makeQualified(dst).toUri.toString,
+      ghost.getName)
+    val loser = stageTmp(fs, table, "loser")
+    assert(!store.publishIfAbsent(fs, loser, dst))
+    assert(slurp(fs, dst) == "winner",
+      "a committed slot's bytes were replaced")
+    // spurious claimant (empty register, slot already materialized):
+    // loses AND sweeps its own temp
+    inner.delete(fs.makeQualified(dst).toUri.toString)
+    val spurious = stageTmp(fs, table, "spurious")
+    assert(!store.publishIfAbsent(fs, spurious, dst))
+    assert(slurp(fs, dst) == "winner")
+    assert(!fs.exists(spurious), "spurious claimant's temp not swept")
+  }
+
   test("crash recovery: a claimed-but-unmaterialized slot becomes " +
       "visible at the next read") {
     val (fs, table) = newTable("recover")
