@@ -2018,6 +2018,58 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Manifest-level data skipping end-to-end
+    * ([[graft.sources.v2.SkipStats]]): orders land in a scratch table
+    * in three range-disjoint appends with `statsColumns=o_orderkey`
+    * declared, so each commit records its files' key ranges in the
+    * manifest — and the range scan must prune the file LIST from
+    * those lines with zero footer I/O (the in-query guard requires
+    * it) before aggregating. */
+  private val qDataSkipping: Q = (s, dir) => {
+    val tag = "skip" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag/orders"
+    val tdir = new org.apache.hadoop.fs.Path(path)
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val cut1 = maxKey / 3
+    val cut2 = 2 * maxKey / 3
+    o.filter(col("o_orderkey") <= cut1).repartition(1)
+      .write.format("graft-v2")
+      .option("statsColumns", "o_orderkey")
+      .option("changelog", "true").mode("append").save(path)
+    o.filter(col("o_orderkey") > cut1 && col("o_orderkey") <= cut2)
+      .repartition(1).write.format("graft-v2")
+      .mode("append").save(path)
+    o.filter(col("o_orderkey") > cut2).repartition(1)
+      .write.format("graft-v2").mode("append").save(path)
+    val table = s.read.format("graft-v2").load(path)
+    def plannedRows(df: DataFrame): Long = {
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+        .numRows().getAsLong
+    }
+    val filtered = table.filter(col("o_orderkey") > cut2)
+    val full = plannedRows(table)
+    val pruned = plannedRows(filtered)
+    require(pruned * 2 <= full,
+      s"q_data_skipping: expected the manifest-stat range skip to " +
+      s"fire (planned $pruned of $full rows)")
+    filtered.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Materialized-view incremental maintenance end-to-end
     * ([[graft.sources.v2.GraftMv]]): scratch orders copy, aggregate
     * MV over it, then a DELETE on the source and a refresh that must
@@ -2210,6 +2262,7 @@ object SparkEntry {
     "q_cdf" -> qCdf,
     "q_bloom_lookup" -> qBloomLookup,
     "q_hidden_partitioning" -> qHiddenPartitioning,
+    "q_data_skipping" -> qDataSkipping,
     "q_mv_refresh" -> qMvRefresh,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
@@ -3592,6 +3645,13 @@ object SparkEntry {
     "q_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (9, 123, 402) ORDER BY doc_id""".stripMargin,
+    "q_data_skipping" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey > 2 * (SELECT max(o_orderkey) FROM orders) / 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_hidden_partitioning" ->
       """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
         |FROM documents WHERE lang IN ('de', 'fr')

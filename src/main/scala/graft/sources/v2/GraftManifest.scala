@@ -70,9 +70,13 @@ object GraftManifest {
   /** One committed table state: the data-file names live at `version`,
     * `dvs` maps a data-file name to its deletion-vector sidecar name
     * under `.graft-dv/` ([[DeleteVectors]]) — rows of that file at
-    * those ordinals are deleted AT THIS VERSION. */
+    * those ordinals are deleted AT THIS VERSION. `fstats` carries the
+    * per-file column ranges of DECLARED skip columns
+    * ([[SkipStats]]) — immutable per file, folded along delta chains
+    * like the names. */
   final case class Snapshot(version: Long, names: Seq[String],
-      dvs: Map[String, String] = Map.empty)
+      dvs: Map[String, String] = Map.empty,
+      fstats: Map[String, Map[String, SkipStats.ColStat]] = Map.empty)
 
   private val lock = new Object
 
@@ -174,6 +178,11 @@ object GraftManifest {
         else Some(v.substring(0, i) -> v.substring(i + 1))
       }
     val fullDvs = dvPairs("dv=").toMap
+    val ownFstats: Map[String, Map[String, SkipStats.ColStat]] =
+      lines.tail.filter(_.startsWith("fstat="))
+        .flatMap(SkipStats.parseLine)
+        .groupBy(_._1)
+        .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
     lines.tail.find(_.startsWith("base=")) match {
       case Some(baseLine) =>
         // DELTA version: fold names onto the base snapshot (chain
@@ -194,10 +203,19 @@ object GraftManifest {
               .map(_.stripPrefix("dvrm=")).toSet
             parent.dvs -- dvRms ++ dvPairs("dvadd=")
           } else fullDvs
-        Snapshot(version, names, dvs)
+        // skip stats fold like the names: a delta version carries
+        // only its NEW files' lines (stats are immutable per file);
+        // the parent's survive for the files still present
+        val nameSet = names.toSet
+        val fstats =
+          if (lines.tail.contains("fstatdelta=1")) {
+            parent.fstats.filter { case (n, _) => nameSet.contains(n) } ++
+              ownFstats
+          } else ownFstats
+        Snapshot(version, names, dvs, fstats)
       case None =>
         Snapshot(version, lines.tail.filterNot(_.contains('=')),
-          fullDvs)
+          fullDvs, ownFstats)
     }
   }
 
@@ -225,14 +243,16 @@ object GraftManifest {
         new String(bytes, "UTF-8").split("\n").toSeq
           .map(_.trim).filter(_.nonEmpty)
       } finally in.close()
-    // delta-encoded dv lines resolve against the dying base chain —
-    // re-emit the FULL mapping from the resolved snapshot
+    // delta-encoded dv and fstat lines resolve against the dying base
+    // chain — re-emit the FULL sets from the resolved snapshot
     val meta = raw.tail.filter(l => l.contains('=') &&
       !l.startsWith("base=") && !l.startsWith("add=") &&
       !l.startsWith("rm=") && !l.startsWith("dv=") &&
       !l.startsWith("dvadd=") && !l.startsWith("dvrm=") &&
-      l != "dvdelta=1") ++
-      snap.dvs.toSeq.sorted.map { case (n, d0) => s"dv=$n:$d0" }
+      l != "dvdelta=1" &&
+      !l.startsWith("fstat=") && l != "fstatdelta=1") ++
+      snap.dvs.toSeq.sorted.map { case (n, d0) => s"dv=$n:$d0" } ++
+      SkipStats.renderLines(snap.fstats)
     val tmp = new Path(manifestDir(table),
       s".tmp-full-${UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
@@ -453,9 +473,39 @@ object GraftManifest {
         if (delta.size < fullDvLines.size) delta else fullDvLines
       case _ => fullDvLines
     }
+    // skip-stat lines ([[SkipStats]]): computed for this commit's NEW
+    // files from the just-written footers, inherited for the rest;
+    // delta versions carry only the new files' lines under
+    // `fstatdelta=1` (reads fold the parent's forward). Best-effort
+    // garnish — a commit never fails over its stats.
+    val fstatLines: Seq[String] = scala.util.Try {
+      val skipCols = SkipStats.read(fs, table)
+      if (skipCols.isEmpty) Seq.empty[String]
+      else {
+        val parentSnap: Option[Snapshot] = parentOpt.orElse {
+          if (expected >= 1L) {
+            scala.util.Try(read(fs, table, expected)).toOption
+          } else None
+        }
+        val pNames = parentSnap.map(_.names.toSet).getOrElse(Set.empty)
+        val newStats = SkipStats.collect(
+          canon.filterNot(pNames)
+            .map(n => new Path(table, n).toString), skipCols)
+        if (bodyDelta.isDefined) {
+          // the flag rides EVERY delta version once declared — a
+          // no-new-files delta still folds the parent's stats forward
+          "fstatdelta=1" +: SkipStats.renderLines(newStats)
+        } else {
+          val inherited = parentSnap.map(_.fstats)
+            .getOrElse(Map.empty[String, Map[String, SkipStats.ColStat]])
+            .filter { case (n, _) => nameSet.contains(n) }
+          SkipStats.renderLines(inherited ++ newStats)
+        }
+      }
+    }.getOrElse(Seq.empty)
     val meta = Seq(s"ts=${System.currentTimeMillis()}") ++
       schemaDdl.map(d0 => s"schema=$d0") ++
-      dvLines ++
+      dvLines ++ fstatLines ++
       extraMeta.filter(m => m.contains('=') && !m.contains('\n'))
     val body: Seq[String] = bodyDelta.getOrElse(canon)
     val out = fs.create(tmp, true)
@@ -857,6 +907,17 @@ object GraftManifest {
       case Some(v) => Some(read(fs, table, v))
       case None => current(fs, table)
     }).map(s => (resolve(fs, table, s.names), s.dvs))
+
+  /** The pinned version's per-file skip stats ([[SkipStats]]) —
+    * empty for undeclared tables; what the scan prunes the file LIST
+    * with before any footer opens. */
+  def snapshotFstats(fs: FileSystem, table: Path,
+      versionAsOf: Option[Long])
+      : Map[String, Map[String, SkipStats.ColStat]] =
+    (versionAsOf match {
+      case Some(v) => scala.util.Try(read(fs, table, v)).toOption
+      case None => current(fs, table)
+    }).map(_.fstats).getOrElse(Map.empty)
 
   /** Drop all versions but the newest `keepVersions`, deleting archive
     * files no retained version references. Bounds retention growth.

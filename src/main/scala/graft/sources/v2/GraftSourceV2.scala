@@ -385,6 +385,19 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
   private lazy val snapshotDvs: Map[String, String] =
     snapshotState.map(_._2).getOrElse(Map.empty)
 
+  /** Per-file skip stats of the pinned version ([[SkipStats]]) —
+    * read only when the table DECLARED skip columns, so undeclared
+    * tables pay nothing at planning. */
+  private lazy val snapshotSkipStats
+      : Map[String, Map[String, SkipStats.ColStat]] = {
+    val tdir = new Path(path)
+    val tfs = tdir.getFileSystem(GraftHadoopConf.sessionConf())
+    if (scala.util.Try(SkipStats.read(tfs, tdir))
+        .getOrElse(Seq.empty).isEmpty) {
+      Map.empty
+    } else GraftManifest.snapshotFstats(tfs, tdir, versionAsOf)
+  }
+
   private def builderRowGroups: Seq[FooterCache.RowGroupMeta] =
     snapshotFiles match {
       case Some(files) => FooterCache.rowGroupsFor(files)
@@ -745,7 +758,8 @@ class GraftScanBuilderV2(path: String, fullSchema: StructType,
       partitionTypes = partitionSpec.map(pl =>
         fullSchema.fields.filter(f => pl.cols.contains(f.name))
           .map(f => f.name -> f.dataType).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      skipStats = snapshotSkipStats)
   }
 }
 
@@ -804,7 +818,8 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
     appendPos: Boolean = false,
     maxFilesPerTrigger: Int = -1,
     partitionSpec: Option[graft.sources.PartitionLayout] = None,
-    partitionTypes: Map[String, DataType] = Map.empty)
+    partitionTypes: Map[String, DataType] = Map.empty,
+    skipStats: Map[String, Map[String, SkipStats.ColStat]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with SupportsReportPartitioning
@@ -876,7 +891,13 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
           new Path(p).getName, pl, allowed))
       case None => files
     }
-    FooterCache.rowGroupsFor(pvFiles)
+    // manifest-level data skipping ([[SkipStats]]): pushed RANGE (and
+    // eq/in/null) conjuncts on declared columns drop files from the
+    // LIST via the per-file stats the commit log already carries —
+    // still zero footer I/O. Files without recorded stats survive;
+    // footer row-group pruning below remains the exact backstop.
+    val skipped = SkipStats.prune(pvFiles, skipStats, filters.toSeq)
+    FooterCache.rowGroupsFor(skipped)
   }
 
   override def filterAttributes()
@@ -1137,7 +1158,14 @@ case class GraftScanV2(path: String, projectedSchema: StructType,
             new Path(rg.file).getName, pl, allowed))
       case _ => bucketKept
     }
-    val parts = pvKept.map(mkPartition)
+    // runtime (DPP) filters probe the manifest skip stats too
+    val skipKept =
+      if (runtimeFilters.isEmpty || skipStats.isEmpty) pvKept
+      else pvKept.filter { rg =>
+        skipStats.get(new Path(rg.file).getName).forall(st =>
+          runtimeFilters.forall(SkipStats.mayMatch(_, st)))
+      }
+    val parts = skipKept.map(mkPartition)
     bucketGrouping match {
       case Some(b) =>
         // one partition per bucket, ALL buckets present (empty ones

@@ -227,10 +227,35 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
         }
       }
     }
+    // manifest data skipping ([[SkipStats]]): declared columns gain
+    // per-file range lines in every commit; the marker lands at
+    // commit so undeclared tables pay nothing
+    val statsCols = Option(info.options().get("statsColumns"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    statsCols.foreach(_.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-v2 statsColumns: column $c absent from write " +
+          s"schema ${info.schema().catalogString}"))
+      if (!SkipStats.supportedType(f.dataType)) {
+        throw new UnsupportedOperationException(
+          s"graft-v2 statsColumns: column $c of type " +
+          s"${f.dataType.simpleString} has no stable manifest-stat " +
+          "rendering - declare integral/date/float/double columns " +
+          "(strings truncate in parquet stats; timestamp footer " +
+          "stats are per-file-unit)")
+      }
+      if (c.contains(":")) {
+        throw new IllegalArgumentException(
+          s"graft-v2 statsColumns: column name $c may not contain ':'")
+      }
+    })
     GraftWriteV2(path, info.schema(), truncateFirst, overwriteCond,
       bucketSpec, widenTo,
       partitionSpec = effectivePartition,
       repartition = repartition,
+      statsColumns = statsCols,
       // `changelog=true` starts the version log at THIS append (v1 =
       // the pre-append state) so the change data feed ([[GraftCdf]])
       // can consume the table from its first commit — without it, a
@@ -250,12 +275,14 @@ case class GraftWriteV2(path: String, schema: StructType,
     changelog: Boolean = false,
     queryId: String = "",
     partitionSpec: Option[graft.sources.PartitionLayout] = None,
-    repartition: Boolean = false)
+    repartition: Boolean = false,
+    statsColumns: Option[Seq[String]] = None)
     extends Write
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite =
     new GraftBatchWriteV2(path, schema, truncateFirst, overwriteCond,
-      bucketSpec, widenTo, changelog, partitionSpec, repartition)
+      bucketSpec, widenTo, changelog, partitionSpec, repartition,
+      statsColumns)
 
   /** Native streaming sink (`df.writeStream.format("graft-v2")` /
     * `.toTable(...)`): append-mode micro-batches through the SAME
@@ -568,7 +595,8 @@ class GraftBatchWriteV2(path: String, schema: StructType,
     widenTo: Option[StructType] = None,
     changelog: Boolean = false,
     partitionSpec: Option[graft.sources.PartitionLayout] = None,
-    repartition: Boolean = false)
+    repartition: Boolean = false,
+    statsColumns: Option[Seq[String]] = None)
     extends BatchWrite {
 
   protected val jobId = UUID.randomUUID().toString.take(8)
@@ -631,6 +659,13 @@ class GraftBatchWriteV2(path: String, schema: StructType,
       if (repartition ||
           graft.sources.PartitionLayout.read(fs, target).isEmpty) {
         graft.sources.PartitionLayout.write(fs, target, pl)
+      }
+    }
+    // skip-stats declaration: marker lands BEFORE the manifest commit
+    // below, so THIS commit already records its files' ranges
+    statsColumns.foreach { cols =>
+      if (SkipStats.read(fs, target) != cols) {
+        SkipStats.write(fs, target, cols)
       }
     }
     val committed = messages.flatMap {

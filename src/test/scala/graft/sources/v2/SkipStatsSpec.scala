@@ -1,0 +1,151 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Manifest-level data skipping ([[SkipStats]]): declared columns'
+  * per-file ranges ride the commit log, range predicates prune the
+  * file LIST with zero footer I/O, stats fold along delta chains and
+  * survive re-materialization — strictly conservative throughout. */
+class SkipStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-skip-$tag")
+      .resolve("t").toString
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def plannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.head
+    scan.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsReportStatistics].estimateStatistics()
+      .numRows().getAsLong
+  }
+
+  test("declared long column: range-disjoint appends prune at the " +
+      "LISTING level for <, >, BETWEEN, =, IN; results exact; " +
+      "pre-declaration files always survive") {
+    val p = tmp("long")
+    def rows(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, i * 2.0, s"r$i"))
+        .toDF("id", "score", "s")
+    // first append BEFORE the declaration: never skippable
+    rows(0, 100).repartition(1).write.format("graft-v2")
+      .option("path", p).option("changelog", "true")
+      .mode("append").save()
+    // declare, then two range-disjoint appends gain stats
+    rows(100, 200).repartition(1).write.format("graft-v2")
+      .option("path", p).option("statsColumns", "id,score")
+      .mode("append").save()
+    rows(200, 300).repartition(1).write.format("graft-v2")
+      .option("path", p).mode("append").save()
+    val fs = fsOf(p)
+    assert(SkipStats.read(fs, new Path(p)) === Seq("id", "score"))
+    val snap = GraftManifest.current(fs, new Path(p)).get
+    // stats recorded for the two post-declaration files only
+    assert(snap.fstats.size === 2, snap.fstats.keys)
+    assert(snap.fstats.values.forall(_.keySet == Set("id", "score")))
+
+    val t = spark.read.format("graft-v2").load(p)
+    val full = plannedRows(t)
+    // id >= 250: only the third file's stats admit it; the
+    // un-statted first file survives (conservative)
+    val hi = t.filter($"id" >= 250L)
+    assert(plannedRows(hi) === 200L,
+      s"expected file-level skip to 200 planned rows, " +
+        s"got ${plannedRows(hi)} of $full")
+    assert(hi.count() === 50L)
+    // equality and IN prune the same way; doubles too
+    assert(plannedRows(t.filter($"id" === 150L)) === 200L)
+    assert(t.filter($"id" === 150L).count() === 1L)
+    assert(plannedRows(t.filter($"score" < 250.0)) === 200L)
+    assert(t.filter($"score" < 250.0).count() === 125L)
+    assert(t.filter($"id".isin(120L, 130L)).count() === 2L)
+    // a predicate admitting every range plans everything
+    assert(plannedRows(t.filter($"id" >= 0L)) === full)
+  }
+
+  test("stats fold along delta chains, survive checkpoints, DV " +
+      "commits, and vacuum re-materialization") {
+    val p = tmp("chain")
+    // 20 single-file appends -> delta versions + a checkpoint at v16
+    (0 until 20).foreach { i =>
+      Seq((i.toLong * 100, s"v$i")).toDF("id", "s")
+        .repartition(1).write.format("graft-v2").option("path", p)
+        .option("statsColumns", "id")
+        .option("changelog", "true").mode("append").save()
+    }
+    val fs = fsOf(p)
+    val cur = GraftManifest.current(fs, new Path(p)).get
+    assert(cur.fstats.size === 20,
+      s"expected 20 files with stats, got ${cur.fstats.size}")
+    // every file's range is its single value
+    cur.fstats.values.foreach { st =>
+      assert(st("id").lo === st("id").hi)
+    }
+    val t = spark.read.format("graft-v2").load(p)
+    assert(plannedRows(t.filter($"id" === 700L)) === 1L)
+    assert(t.filter($"id" === 700L).count() === 1L)
+    // a DV delete keeps every file's stats (names unchanged)
+    val cat = "graft_skip"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      new Path(p).getParent.toString)
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 300")
+    val afterDv = GraftManifest.current(fs, new Path(p)).get
+    // the stats-aligned DELETE dropped that single-value file WHOLE
+    // (metadata-only) — the 19 surviving files keep their stats
+    assert(afterDv.names.size === 19, "expected a whole-file drop")
+    assert(afterDv.fstats.size === 19, "a survivor lost its stats")
+    // vacuum collapses the chain: kept versions re-materialize with
+    // their full fstat lines
+    GraftManifest.vacuum(fs, new Path(p), keepVersions = 2)
+    val afterVac = GraftManifest.current(fs, new Path(p)).get
+    assert(afterVac.fstats.size === 19, "vacuum lost stats")
+    assert(plannedRows(spark.read.format("graft-v2").load(p)
+      .filter($"id" === 700L)) === 1L)
+  }
+
+  test("conservative semantics: all-null files, IsNull/IsNotNull, " +
+      "unsupported declarations refuse") {
+    val p = tmp("nulls")
+    // stats ride the MANIFEST: changelog=true starts the log (a
+    // never-mutated, never-logged table has nowhere to record them)
+    Seq((Some(1L), "a"), (Some(2L), "b")).toDF("id", "s")
+      .repartition(1).write.format("graft-v2").option("path", p)
+      .option("statsColumns", "id").option("changelog", "true")
+      .mode("append").save()
+    Seq((Option.empty[Long], "c"), (Option.empty[Long], "d"))
+      .toDF("id", "s")
+      .repartition(1).write.format("graft-v2").option("path", p)
+      .mode("append").save()
+    val t = spark.read.format("graft-v2").load(p)
+    // equality skips the all-null file; IS NULL skips the null-free one
+    assert(plannedRows(t.filter($"id" === 1L)) === 2L)
+    assert(t.filter($"id" === 1L).count() === 1L)
+    assert(plannedRows(t.filter($"id".isNull)) === 2L)
+    assert(t.filter($"id".isNull).count() === 2L)
+    assert(t.filter($"id".isNotNull).count() === 2L)
+
+    val e1 = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "s").write.format("graft-v2")
+        .option("path", tmp("str")).option("statsColumns", "s")
+        .mode("append").save()
+    }
+    assert(e1.getMessage.contains("manifest-stat"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "s").write.format("graft-v2")
+        .option("path", tmp("miss")).option("statsColumns", "nope")
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("absent"), e2.getMessage)
+  }
+}
