@@ -71,7 +71,12 @@ object ScaleProbe {
     // lifecycle, and hidden partitioning (value-clustered write +
     // token-pruned two-language scan)
     "q_unigram_train", "q_unigram_encode", "q_postings_tail",
-    "q_hidden_partitioning")
+    "q_hidden_partitioning",
+    // round 13, closing: the composed curation pipeline (dedup
+    // semi-join + broadcast gram probe + map-side rules + explode)
+    // and manifest data skipping (3 range-disjoint appends, the
+    // range scan prunes the file list from fstat lines)
+    "q_pipeline_e2e", "q_data_skipping")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
