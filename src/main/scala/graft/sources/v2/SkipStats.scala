@@ -249,8 +249,13 @@ object SkipStats {
     kind match {
       case 'l' => litLong(lit).map(l =>
         java.lang.Long.compare(bound.toLong, l))
-      case 'd' => litDouble(lit).map(d =>
-        java.lang.Double.compare(bound.toDouble, d))
+      case 'd' => litDouble(lit).map { d =>
+        val b = bound.toDouble
+        // primitive == first: Double.compare orders -0.0 < 0.0, but
+        // SQL equality treats them equal — a file holding only -0.0
+        // must not prune for `= 0.0`
+        if (b == d) 0 else java.lang.Double.compare(b, d)
+      }
       case _ => None
     }
 

@@ -148,4 +148,20 @@ class SkipStatsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("absent"), e2.getMessage)
   }
+
+  test("signed-zero doubles: a file holding only -0.0 survives " +
+      "an = 0.0 scan (SQL equality, not IEEE total order)") {
+    val p = tmp("szero")
+    Seq((1L, -0.0)).toDF("id", "v").repartition(1)
+      .write.format("graft-v2").option("path", p)
+      .option("statsColumns", "v").option("changelog", "true")
+      .mode("append").save()
+    Seq((2L, 5.0)).toDF("id", "v").repartition(1)
+      .write.format("graft-v2").option("path", p)
+      .mode("append").save()
+    val t = spark.read.format("graft-v2").load(p)
+    assert(t.filter($"v" === 0.0).count() === 1L,
+      "the -0.0 file was pruned for = 0.0")
+    assert(t.filter($"v" === 5.0).count() === 1L)
+  }
 }
