@@ -530,7 +530,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * back to the pinned files' own footers ∪ the current marker. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
-    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    if (!isTableDir(dir)) {
+      // `SELECT * FROM cat.ns.t.files VERSION AS OF n` — the files
+      // metadata table pins the named snapshot; history/tags describe
+      // the whole log, so time travel on them is refused with guidance
+      if (GraftMetaTables.Names.contains(ident.name()) &&
+          ident.namespace().nonEmpty) {
+        val parent = Identifier.of(
+          ident.namespace().dropRight(1), ident.namespace().last)
+        val pdir = tableDir(parent)
+        if (isTableDir(pdir)) {
+          if (ident.name() != "files") {
+            throw new UnsupportedOperationException(
+              s"graft catalog: VERSION AS OF on ${ident.name()} — " +
+              "only the `files` metadata table time-travels (history " +
+              "and tags describe the whole log)")
+          }
+          val v = try version.toLong catch {
+            case _: NumberFormatException =>
+              GraftTags.resolve(fs, pdir, version).getOrElse(
+                throw new IllegalArgumentException(
+                  s"graft catalog: VERSION AS OF takes a numeric " +
+                  s"version or tag, got '$version'"))
+          }
+          return GraftMetaTables.load(fs, pdir, "files",
+            versionAsOf = Some(v))
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     // numeric literal, else a tag name ([[GraftTags]]) — tag names
     // can't start with a digit, so the spaces never collide
     val v = try version.toLong catch {

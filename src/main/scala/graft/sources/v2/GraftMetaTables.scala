@@ -33,11 +33,13 @@ object GraftMetaTables {
 
   val Names: Set[String] = Set("files", "history", "tags")
 
-  def load(fs: FileSystem, dir: Path, kind: String): Table =
-    new MetaTable(fs, dir, kind)
+  def load(fs: FileSystem, dir: Path, kind: String,
+      versionAsOf: Option[Long] = None): Table =
+    new MetaTable(fs, dir, kind, versionAsOf)
 
   private final class MetaTable(fs: FileSystem, dir: Path,
-      kind: String) extends Table with SupportsRead {
+      kind: String, versionAsOf: Option[Long] = None)
+      extends Table with SupportsRead {
     override def name(): String = s"graft-v2:${dir.getName}.$kind"
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ)
@@ -68,7 +70,11 @@ object GraftMetaTables {
       val sch = schema()
       val data: Array[InternalRow] = kind match {
         case "files" =>
-          val snap = GraftManifest.current(fs, dir)
+          val snap = versionAsOf match {
+            case Some(v) =>
+              Some(GraftManifest.read(fs, dir, v))
+            case None => GraftManifest.current(fs, dir)
+          }
           val names = snap.map(_.names).getOrElse {
             if (!fs.exists(dir)) Seq.empty
             else fs.listStatus(dir).toSeq.map(_.getPath.getName)

@@ -2509,6 +2509,25 @@ class CatalogSpec extends SparkTestBase {
     assert(tags.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("v2pin", 2L)))
 
+    // files time-travels: the log bootstraps at the DELETE, so v1 is
+    // the pre-mutation state — both appends, no deletion vector — and
+    // the tagged v2 is the post-delete state carrying the DV
+    val v1Files = spark.sql(
+      "SELECT * FROM graft.meta.t.files VERSION AS OF 1").collect()
+    assert(v1Files.map(_.getLong(2)).sum === 200L, "v1 physical rows")
+    assert(v1Files.forall(_.isNullAt(3)), "v1 predates the DV")
+    val tagFiles = spark.sql(
+      "SELECT * FROM graft.meta.t.files VERSION AS OF 'v2pin'")
+      .collect()
+    assert(tagFiles.count(!_.isNullAt(3)) === 1,
+      "tagged v2 must carry the deletion vector")
+    // history/tags describe the whole log: time travel refuses
+    val eTT = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.meta.t.history VERSION AS OF 1")
+        .collect()
+    }
+    assert(eTT.getMessage.contains("whole log"), eTT.getMessage)
+
     // a REAL table named `files` under the same namespace chain wins
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta.t2")
     spark.sql("CREATE TABLE graft.meta.t2.files (x BIGINT)")
