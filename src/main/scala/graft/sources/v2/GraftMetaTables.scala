@@ -48,7 +48,9 @@ object GraftMetaTables {
         StructField("file", StringType, false),
         StructField("size_bytes", LongType, false),
         StructField("row_count", LongType, true),
-        StructField("dv_file", StringType, true)))
+        StructField("dv_file", StringType, true),
+        StructField("skip_stats", StringType, true),
+        StructField("partition_tokens", StringType, true)))
       case "history" => StructType(Seq(
         StructField("version", LongType, false),
         StructField("timestamp", TimestampType, true),
@@ -81,6 +83,10 @@ object GraftMetaTables {
               .filter(_.endsWith(".parquet")).sorted
           }
           val dvs = snap.map(_.dvs).getOrElse(Map.empty)
+          val fstats = snap.map(_.fstats).getOrElse(Map.empty)
+          val layout = scala.util.Try(
+            graft.sources.PartitionLayout.read(fs, dir)).toOption
+            .flatten
           names.map { n =>
             // a pinned file may have been archived by a later commit:
             // resolve like every snapshot read does
@@ -97,10 +103,23 @@ object GraftMetaTables {
                   .toOption
                 (st.getLen, rc)
               } else (0L, None)
+            // the manifest's skip ranges and the name's partition
+            // digests, rendered for operators eyeballing pruning
+            val skipRepr = fstats.get(n).map(cols =>
+              cols.toSeq.sortBy(_._1).map { case (c, st) =>
+                s"$c=[${st.lo.getOrElse("null")}," +
+                  s"${st.hi.getOrElse("null")}] nulls=${st.nulls}"
+              }.mkString("; "))
+            val pvRepr = layout.flatMap(pl =>
+              graft.sources.PartitionLayout.fileTokens(n, pl)
+                .map(ts => pl.cols.zip(ts).map { case (c, t) =>
+                  s"$c:$t" }.mkString("; ")))
             new GenericInternalRow(Array[Any](
               UTF8String.fromString(n), size,
               rows.map(r => r: Any).orNull,
-              dvs.get(n).map(UTF8String.fromString).orNull))
+              dvs.get(n).map(UTF8String.fromString).orNull,
+              skipRepr.map(UTF8String.fromString).orNull,
+              pvRepr.map(UTF8String.fromString).orNull))
               : InternalRow
           }.toArray
         case "history" =>

@@ -164,4 +164,22 @@ class SkipStatsSpec extends SparkTestBase {
       "the -0.0 file was pruned for = 0.0")
     assert(t.filter($"v" === 5.0).count() === 1L)
   }
+
+  test("t.files surfaces the recorded skip ranges") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-skip-meta").toString
+    val cat = "graft_skipmeta"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(1).write.format("graft-v2")
+      .option("path", s"$wh/t").option("statsColumns", "id")
+      .option("changelog", "true").mode("append").save()
+    val rows = spark.sql(s"SELECT file, skip_stats FROM $cat.t.files")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "id=[1,5] nulls=0",
+      rows.head.getString(1))
+  }
 }
