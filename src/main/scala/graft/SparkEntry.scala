@@ -3653,7 +3653,8 @@ object SparkEntry {
         |WHERE o_orderkey > 2 * (SELECT max(o_orderkey) FROM orders) / 3
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_hidden_partitioning" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('de', 'fr')
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_mv_refresh" ->

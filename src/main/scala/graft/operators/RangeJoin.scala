@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   * epoch seconds first — truncation is monotone, so a point's bin
   * always lies inside its interval's bin range). The interval is
   * half-open: `lo <= v < hi`.
+  *
+  * Non-finite float/double BOUNDS cannot ride the bin path: Spark
+  * orders NaN above every double, so `v < hi` is TRUE for any
+  * non-NaN v when hi is NaN, yet `floor(NaN/w)` CASTs to bin 0 (not
+  * NULL) and `±Infinity` bins to `Long.Max/MinValue` — the explode
+  * would silently drop those matches or blow up. Interval rows with
+  * a NaN/±Inf bound are therefore routed through a plain theta-join
+  * union branch (exact same residual predicate); only finite-bound
+  * rows are binned. Integral/date bounds skip the split entirely.
   */
 object RangeJoin {
 
@@ -39,13 +48,40 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
     def bin(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / binWidth).cast("long")
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val fractionalBounds = Seq(loCol, hiCol)
+      .exists(c => intervals.schema(c).dataType match {
+        case DoubleType | FloatType => true
+        case _ => false
+      })
+    def finite(c: org.apache.spark.sql.Column) = {
+      val d = c.cast("double")
+      !isnan(d) && d =!= lit(Double.PositiveInfinity) &&
+        d =!= lit(Double.NegativeInfinity)
+    }
+    val binnable =
+      if (fractionalBounds)
+        intervals.filter(finite(col(loCol)) && finite(col(hiCol)))
+      else intervals
     val pb = points.withColumn("_graft_bin", bin(col(vCol)))
-    val ib = intervals
+    val ib = binnable
       .filter(col(loCol) <= col(hiCol))
       .withColumn("_graft_bin",
         explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
-    pb.join(ib, keys :+ "_graft_bin")
+    val binned = pb.join(ib, keys :+ "_graft_bin")
       .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
       .drop("_graft_bin")
+    if (!fractionalBounds) binned
+    else {
+      // rows with a NaN/±Inf bound: exact theta semantics, off the
+      // bin path (they are rare — a union, not a plan-wide fallback)
+      val nf = intervals
+        .filter(!(finite(col(loCol)) && finite(col(hiCol))))
+      val theta =
+        (if (keys.nonEmpty) points.join(nf, keys)
+         else points.crossJoin(nf))
+          .filter(col(vCol) >= col(loCol) && col(vCol) < col(hiCol))
+      binned.unionByName(theta)
+    }
   }
 }

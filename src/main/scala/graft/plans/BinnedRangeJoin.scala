@@ -1,11 +1,28 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
+
+/** Idempotence marker for [[BinnedRangeJoinRewrite]]'s theta union
+  * branch: an always-true conjunct that is deliberately NON-foldable,
+  * so ConstantFolding/BooleanSimplification (which run in the same
+  * operator-optimization fixed-point batch as injected rules) cannot
+  * erase it — erasing it would let the rule re-match its own output
+  * and duplicate rows on every iteration.
+  */
+case class BinnedRewriteGuard() extends LeafExpression
+    with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: InternalRow): Any = true
+}
 
 /** Catalyst optimizer rule that rewrites a point-in-interval THETA
   * join into a bin-keyed EQUI join — the planner-automatic face of
@@ -34,9 +51,22 @@ import org.apache.spark.sql.types._
   * OPT-IN: fires only when `spark.graft.binnedRangeJoin.width` is a
   * positive bin width (the profitable width is data-dependent — near
   * the median interval length; a broadcastable interval side is
-  * usually better served by the plain theta join). NaN/NULL bounds
-  * bin to NULL and match nothing, exactly like the theta
-  * comparisons they came from.
+  * usually better served by the plain theta join).
+  *
+  * Non-finite float/double BOUNDS are unsafe to bin: Spark orders NaN
+  * above every double, so `p < hi` is TRUE for every non-NaN p when
+  * hi is NaN — yet `Cast(Floor(NaN/w), Long)` yields bin 0 (NOT
+  * NULL), so the explode would never reach the point's bin and the
+  * match would be silently lost; `±Infinity` bounds bin to
+  * `Long.Max/MinValue` and the sequence blows up. When the bound
+  * attributes are float/double typed, the rewrite therefore splits
+  * the interval side: finite-bound rows take the bin path, rows with
+  * any NaN/±Inf bound ride a plain theta-join union branch carrying
+  * the exact original condition (plus a non-foldable
+  * [[BinnedRewriteGuard]] conjunct so the rule does not re-match that
+  * branch). NULL bounds are dropped by both branch filters and would
+  * match nothing in the theta join anyway. Integral bounds skip the
+  * split — no non-finite values exist.
   */
 object BinnedRangeJoinRewrite extends Rule[LogicalPlan]
     with PredicateHelper {
@@ -67,12 +97,17 @@ object BinnedRangeJoinRewrite extends Rule[LogicalPlan]
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjs = splitConjunctivePredicates(cond)
         // idempotence: a bin equality means this join was already
-        // rewritten (the range conjuncts it kept would re-match)
+        // rewritten (the range conjuncts it kept would re-match); a
+        // BinnedRewriteGuard anywhere below means this is (or feeds
+        // from) the theta union branch of a previous rewrite — the
+        // guard may migrate out of the condition via predicate
+        // pushdown, so scan the subtree, not just the conjuncts
         val rewritten = conjs.exists {
           case EqualTo(a: AttributeReference, b: AttributeReference) =>
             a.name == BinName || b.name == BinName
           case _ => false
-        }
+        } || j.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[BinnedRewriteGuard])))
         if (rewritten) j
         else {
           // p >= lo (either spelling), p and lo on opposite sides
@@ -113,12 +148,26 @@ object BinnedRangeJoinRewrite extends Rule[LogicalPlan]
             case Some((p, lo, hi, pOnLeft)) =>
               val (pointChild, ivChild) =
                 if (pOnLeft) (left, right) else (right, left)
+              val fractionalBounds = Seq(lo, hi).exists(_.dataType match {
+                case FloatType | DoubleType => true
+                case _ => false
+              })
+              def finiteE(a: Expression): Expression = {
+                val d = Cast(a, DoubleType)
+                And(Not(IsNaN(d)), And(
+                  Not(EqualTo(d, Literal(Double.PositiveInfinity))),
+                  Not(EqualTo(d, Literal(Double.NegativeInfinity)))))
+              }
               val pAlias = Alias(binOf(p, w), BinName)()
               val pointPlan =
                 Project(pointChild.output :+ pAlias, pointChild)
               val genOut =
                 AttributeReference(BinName, LongType,
                   nullable = false)()
+              val ivBase =
+                if (fractionalBounds)
+                  Filter(And(finiteE(lo), finiteE(hi)), ivChild)
+                else ivChild
               // Sequence is TimeZoneAwareExpression: it resolves only
               // with a timezone pinned, even over BIGINT bounds
               val ivPlan = Generate(
@@ -126,14 +175,28 @@ object BinnedRangeJoinRewrite extends Rule[LogicalPlan]
                   Some(SQLConf.get.sessionLocalTimeZone))),
                 unrequiredChildIndex = Nil, outer = false,
                 qualifier = None, generatorOutput = Seq(genOut),
-                child = Filter(LessThanOrEqual(lo, hi), ivChild))
+                child = Filter(LessThanOrEqual(lo, hi), ivBase))
               val newCond =
                 And(cond, EqualTo(pAlias.toAttribute, genOut))
               val (nl, nr) =
                 if (pOnLeft) (pointPlan, ivPlan)
                 else (ivPlan, pointPlan)
-              Project(j.output, Join(nl, nr, Inner, Some(newCond),
-                hint))
+              val binned = Project(j.output,
+                Join(nl, nr, Inner, Some(newCond), hint))
+              if (!fractionalBounds) binned
+              else {
+                // NaN/±Inf-bound rows: exact theta semantics on the
+                // (rare) non-finite slice — a union branch, not a
+                // plan-wide fallback
+                val nfIv = Filter(
+                  Not(And(finiteE(lo), finiteE(hi))), ivChild)
+                val (tl, tr) =
+                  if (pOnLeft) (pointChild, nfIv)
+                  else (nfIv, pointChild)
+                val theta = Project(j.output, Join(tl, tr, Inner,
+                  Some(And(cond, BinnedRewriteGuard())), hint))
+                Union(Seq(binned, theta))
+              }
           }
         }
     }

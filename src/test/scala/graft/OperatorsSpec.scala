@@ -423,4 +423,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(RangeJoin.binnedIntervalJoin(points, bad, Seq("k"),
       "v", "lo", "hi", 10.0).isEmpty)
   }
+
+  test("binnedIntervalJoin: NaN/±Inf interval bounds keep exact " +
+      "theta semantics (Spark orders NaN above all doubles, so " +
+      "hi=NaN matches every point ≥ lo — the bin path would lose " +
+      "them; ±Inf would blow up the explode)") {
+    import graft.operators.RangeJoin
+    val points = (0 until 100).map(i =>
+      (i.toLong, (i % 2).toLong, i.toDouble)).toDF("pid", "k", "v")
+    val intervals = Seq(
+      (1L, 0L, 10.0, Double.NaN),              // all even v >= 10
+      (2L, 1L, 20.0, Double.PositiveInfinity), // all odd v >= 20
+      (3L, 0L, Double.NegativeInfinity, 8.0),  // all even v < 8
+      (4L, 1L, Double.NaN, Double.NaN),        // nothing (v >= NaN)
+      (5L, 0L, 30.0, 34.0)                     // finite control row
+    ).toDF("iid", "k", "lo", "hi")
+    val got = RangeJoin.binnedIntervalJoin(points, intervals,
+        Seq("k"), "v", "lo", "hi", binWidth = 10.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    val want = points.as("p").join(intervals.as("i"),
+        $"p.k" === $"i.k" && $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty && want.exists(_._2 == 1L) &&
+      want.exists(_._2 == 2L) && want.exists(_._2 == 3L),
+      s"oracle must exercise the non-finite rows: $want")
+    assert(got === want, s"binned ${got.size} vs theta ${want.size}")
+    assert(got === got.distinct, "a pair was emitted more than once")
+  }
 }

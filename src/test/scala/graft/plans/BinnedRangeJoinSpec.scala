@@ -99,6 +99,56 @@ class BinnedRangeJoinSpec extends SparkTestBase {
     }
   }}
 
+  test("NaN/±Inf interval bounds survive the rewrite: non-finite " +
+      "rows ride the theta union branch (hi=NaN matches every " +
+      "point >= lo under Spark's NaN ordering — the bin path alone " +
+      "would drop them), and the guard keeps the rule fixed-point " +
+      "safe over its own union output") { inSession {
+    import ext.implicits._
+    val points = (0 until 200).map(i =>
+      (i.toLong, i.toDouble)).toDF("pid", "v")
+    val intervals = Seq(
+      (1L, 150.0, Double.NaN),               // v >= 150, all of them
+      (2L, 180.0, Double.PositiveInfinity),  // v >= 180
+      (3L, Double.NegativeInfinity, 5.0),    // v < 5
+      (4L, Double.NaN, Double.NaN),          // nothing
+      (5L, 40.0, 44.0)                       // finite control
+    ).toDF("iid", "lo", "hi")
+    def q = points.join(intervals,
+      col("v") >= col("lo") && col("v") < col("hi"))
+    val want = q.select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(want.count(_._2 == 1L) == 50 &&
+      want.count(_._2 == 2L) == 20 && want.count(_._2 == 3L) == 5,
+      s"theta oracle shape unexpected: ${want.groupBy(_._2).view
+        .mapValues(_.size).toMap}")
+    ext.conf.set(BinnedRangeJoinRewrite.WidthConf, "10")
+    try {
+      val rewritten = q
+      // the rewrite DID fire (a Generate exists) and built exactly
+      // one union theta branch (fixed-point: no runaway duplication)
+      val opt = rewritten.queryExecution.optimizedPlan
+      assert(opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+          g
+      }.length === 1, s"expected one explode:\n$opt")
+      // exactly one binned + one theta join: the guard kept the rule
+      // from re-matching its own union output (over LocalRelation
+      // inputs the late "LocalRelation" batch may fold the guard
+      // filter AFTER our fixed-point batch settles — that is fine,
+      // the rule never runs again; over file sources it persists)
+      val joins = opt.collect {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join => jn
+      }
+      assert(joins.length === 2,
+        s"expected binned + theta union branches, got:\n$opt")
+      val got = rewritten.select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === want,
+        s"rewrite changed results: ${got.size} vs ${want.size}")
+    } finally ext.conf.unset(BinnedRangeJoinRewrite.WidthConf)
+  }}
+
   test("rule is inert without the conf and on non-matching shapes") {
     inSession {
       val (points, intervals) = joinFrames(ext)

@@ -40,8 +40,16 @@ for name, sql in sorted(oracle.items()):
     bad = None
     for c in exp.columns:
         a, b = got[c], exp[c]
+        # Driver-faithful compare: the driver hashes values as-typed, so a
+        # numeric *kind* mismatch (e.g. DuckDB HUGEINT->float64 vs Spark
+        # LONG->int64) is a FAIL even when pandas' loose == says equal.
+        ka = 'i' if a.dtype.kind == 'u' else a.dtype.kind
+        kb = 'i' if b.dtype.kind == 'u' else b.dtype.kind
+        if ka != kb:
+            bad = f"DTYPE-KIND col={c} spark={a.dtype} oracle={b.dtype}"
+            break
         try:
-            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            if ka == 'f':
                 ok = ((a.isna() & b.isna()) | (a == b)).all()
             else:
                 ok = a.astype(object).where(pd.notna(a), None) \
