@@ -105,36 +105,10 @@ object TextHashing {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
 
-  private val wpVocabCache = new java.util.concurrent.ConcurrentHashMap[
-    Array[String], (java.util.HashSet[String], Int)]()
-
-  /** Static entry point for [[WordPieceEncode]]'s generated code:
-    * greedy longest-match segmentation of one word. The vocab array
-    * (identity-keyed, one entry per deserialized expression) memoizes
-    * its lookup set + max piece length. */
-  def wordpiecePieces(w: UTF8String, vocab: Array[String])
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val (set, maxLen) = wpVocabCache.computeIfAbsent(vocab, v => {
-      val s = new java.util.HashSet[String]()
-      var ml = 1
-      v.foreach { p => s.add(p); ml = math.max(ml, p.length) }
-      (s, ml)
-    })
-    val str = w.toString
-    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-    var p = 0
-    while (p < str.length) {
-      var l = math.min(maxLen, str.length - p)
-      var take = 1
-      while (l >= 2 && take == 1) {
-        if (set.contains(str.substring(p, p + l))) take = l
-        l -= 1
-      }
-      out += UTF8String.fromString(str.substring(p, p + take))
-      p += take
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
-  }
+  // (wordpiece segmentation lives on WordPieceModel — the lookup set
+  // is per-model state, not a global cache: a JVM-lifetime map keyed
+  // by the per-task deserialized vocab array would grow one entry per
+  // task forever)
 
   /** Static entry point for [[CmsBuckets]]'s generated code: row i's
     * bucket = `mix(fnv64(term), i+1) & (w-1)` (w a power of two). */
@@ -438,18 +412,53 @@ case class TextHash64(child: Expression) extends UnaryExpression {
   * starting there is taken; an unmatched leading character becomes
   * its own single-char piece (the no-[UNK] variant — every word
   * round-trips by concatenation). Deterministic, map-only. */
+/** Serializable wordpiece segmenter: one lookup HashSet + max piece
+  * length per MODEL instance, built lazily on first use after
+  * deserialization and garbage-collected with the task's expression
+  * tree — no global vocab cache (a JVM-lifetime map keyed by the
+  * per-task deserialized array would leak one vocab-sized entry per
+  * task for the life of the executor). */
+class WordPieceModel(val vocab: Array[String]) extends Serializable {
+  @transient private lazy val lookup: (java.util.HashSet[String], Int) = {
+    val s = new java.util.HashSet[String]()
+    var ml = 1
+    vocab.foreach { p => s.add(p); ml = math.max(ml, p.length) }
+    (s, ml)
+  }
+  /** Greedy longest-match segmentation of one word. */
+  def pieces(w: UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (set, maxLen) = lookup
+    val str = w.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var p = 0
+    while (p < str.length) {
+      var l = math.min(maxLen, str.length - p)
+      var take = 1
+      while (l >= 2 && take == 1) {
+        if (set.contains(str.substring(p, p + l))) take = l
+        l -= 1
+      }
+      out += UTF8String.fromString(str.substring(p, p + take))
+      p += take
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
 case class WordPieceEncode(child: Expression, vocab: Array[String])
     extends UnaryExpression {
+  @transient private lazy val model = new WordPieceModel(vocab)
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   protected override def nullSafeEval(input: Any): Any =
-    TextHashing.wordpiecePieces(input.asInstanceOf[UTF8String], vocab)
+    model.pieces(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode = {
-    val ref = ctx.addReferenceObj("vocab", vocab, "java.lang.String[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TextHashing.wordpiecePieces($c, $ref)")
+    val ref = ctx.addReferenceObj("wpModel", new WordPieceModel(vocab),
+      "graft.functions.WordPieceModel")
+    defineCodeGen(ctx, ev, c => s"$ref.pieces($c)")
   }
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)

@@ -21,8 +21,10 @@ import java.util.concurrent.atomic.AtomicBoolean
   * Durability: with `walPath` set, every acknowledged mutation is
   * fsync'd to a write-ahead log BEFORE its reply leaves the server —
   * a winner's `HELD` response implies the claim survives a crash. On
-  * restart the log replays (a torn final line — a crash mid-append —
-  * is an unacknowledged mutation and is skipped) and is compacted to
+  * restart the log replays (records are CRC32-framed, so a torn
+  * final line — a crash mid-append — fails its checksum and is
+  * discarded rather than possibly parsing as a DIFFERENT valid
+  * mutation) and is compacted to
   * a snapshot of the live registers. Entry timestamps persist
   * absolute server time, so after downtime a restored claim's lease
   * age INCLUDES the outage — exactly the takeover semantics a stale
@@ -55,19 +57,50 @@ final class CasServer(bindPort: Int = 0,
     compactWal(p)
   }
 
+  /** CRC32 (hex) of a record payload: every appended line is framed
+    * `C <crc> <payload>` so a torn tail can NEVER replay as a
+    * different valid mutation — a crash mid-append can leave a
+    * prefix that still parses (`D longkey` truncated to `D long` is
+    * a delete of the WRONG live key); the checksum rejects it. */
+  private def crc(s: String): String = {
+    val c = new java.util.zip.CRC32()
+    val b = s.getBytes("UTF-8")
+    c.update(b, 0, b.length)
+    java.lang.Long.toHexString(c.getValue)
+  }
+
+  private def applyRecord(payload: String): Unit =
+    payload.split(" ").toSeq match {
+      case Seq("P", ts, k, v) if ts.forall(_.isDigit) =>
+        entries.put(dec(k), (dec(v), ts.toLong))
+      case Seq("D", k) => entries.remove(dec(k))
+      case Seq("R", ts, k) if ts.forall(_.isDigit) =>
+        entries.computeIfPresent(dec(k), (_, e) => (e._1, ts.toLong))
+      case _ => () // unacknowledged fragment — drop it
+    }
+
   private def replayWal(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(p)) {
       val it = java.nio.file.Files.lines(p,
         java.nio.charset.StandardCharsets.UTF_8)
+      var torn = false
       try it.forEach { line =>
-        line.split(" ").toSeq match {
-          case Seq("P", ts, k, v) if ts.forall(_.isDigit) =>
-            entries.put(dec(k), (dec(v), ts.toLong))
-          case Seq("D", k) => entries.remove(dec(k))
-          case Seq("R", ts, k) if ts.forall(_.isDigit) =>
-            entries.computeIfPresent(dec(k), (_, e) => (e._1, ts.toLong))
-          case _ => () // torn tail from a crash mid-append: the
-                       // mutation was never acknowledged — drop it
+        if (!torn) {
+          if (line.startsWith("C ")) {
+            val parts = line.split(" ", 3)
+            if (parts.length == 3 && crc(parts(2)) == parts(1)) {
+              applyRecord(parts(2))
+            } else {
+              // checksum mismatch = torn tail from a crash
+              // mid-append; appends are sequential, so nothing after
+              // this point was acknowledged either — stop replaying
+              torn = true
+            }
+          } else {
+            // pre-checksum record (legacy log, first boot after the
+            // framing change); compaction rewrites it framed
+            applyRecord(line)
+          }
         }
       } finally it.close()
     }
@@ -80,7 +113,8 @@ final class CasServer(bindPort: Int = 0,
     try {
       import scala.jdk.CollectionConverters._
       entries.asScala.foreach { case (k, (v, t)) =>
-        out.write(s"P $t ${enc(k)} ${enc(v)}\n".getBytes("UTF-8"))
+        val rec = s"P $t ${enc(k)} ${enc(v)}"
+        out.write(s"C ${crc(rec)} $rec\n".getBytes("UTF-8"))
       }
       out.flush(); out.getFD.sync()
     } finally out.close()
@@ -94,7 +128,7 @@ final class CasServer(bindPort: Int = 0,
     * lock, before the mutation's reply is written — the ack implies
     * durability. */
   private def logMutation(rec: String): Unit = wal.foreach { w =>
-    w.write((rec + "\n").getBytes("UTF-8"))
+    w.write(s"C ${crc(rec)} $rec\n".getBytes("UTF-8"))
     w.flush(); w.getFD.sync()
   }
   private val socket = new ServerSocket()

@@ -117,7 +117,35 @@ object GraftManifest {
   private def manifestDir(table: Path) = new Path(table, Dir)
   private def versionPath(table: Path, v: Long) =
     new Path(manifestDir(table), f"v$v%010d.txt")
+  /** The crash-recoverable twin a retention sweep PUBLISHES before
+    * swapping a delta manifest for its self-contained rewrite: the
+    * `.full` file only ever appears complete (it is renamed into
+    * existence), so any reader finding it may finish the swap. */
+  private def fullTwinPath(table: Path, v: Long) =
+    new Path(manifestDir(table), f"v$v%010d.txt.full")
   private val VersionName = "v(\\d{10})\\.txt".r
+  private val VersionFullName = "v(\\d{10})\\.txt\\.full".r
+
+  /** Finish a crash-interrupted self-contained swap for `v`, if one
+    * is pending: a sweep that died between deleting `<v>.txt` and
+    * renaming the published `<v>.txt.full` twin over it must not
+    * make the version (or any delta chained onto it) unreadable.
+    * Recovery NEVER deletes a live `<v>.txt` — only the retention
+    * sweep (serialized by the per-table commit lock) does; if the
+    * delta still exists its base chain does too (drops happen after
+    * every rewrite in the sweep), so it stays authoritative and the
+    * stale twin is simply left for the next sweep. Racing recoverers
+    * are harmless: whichever rename lands, the surviving file holds
+    * the same snapshot. */
+  private def recoverTwin(fs: FileSystem, table: Path, v: Long): Unit = {
+    try {
+      val p = versionPath(table, v)
+      if (!fs.exists(p)) {
+        val full = fullTwinPath(table, v)
+        if (fs.exists(full)) fs.rename(full, p)
+      }
+    } catch { case _: java.io.IOException => () }
+  }
 
   /** All committed versions, ascending (empty when the table has no
     * manifest yet). On stores with an external commit service, first
@@ -129,10 +157,14 @@ object GraftManifest {
     if (!fs.exists(d)) Seq.empty
     else {
       CommitStores.forFs(fs).beforeRead(fs, d)
+      // a version mid-self-contained-swap may exist only as its
+      // `.full` twin — it is still committed and MUST stay visible
+      // (an invisible head would let the next commit reuse its slot)
       fs.listStatus(d).toSeq.flatMap(_.getPath.getName match {
         case VersionName(v) => Some(v.toLong)
+        case VersionFullName(v) => Some(v.toLong)
         case _ => None
-      }).sorted
+      }).distinct.sorted
     }
   }
 
@@ -142,11 +174,19 @@ object GraftManifest {
 
   def read(fs: FileSystem, table: Path, version: Long): Snapshot = {
     val p = versionPath(table, version)
+    // a retention sweep (or its crash) may have left this version as
+    // its published `.full` twin — finish the swap before declaring
+    // anything missing
+    recoverTwin(fs, table, version)
     // a retention sweep may be mid-flight re-materializing a delta
-    // version as self-contained (delete + rename) — a bounded retry
-    // masks that microscopic window before declaring the version gone
+    // version as self-contained — a bounded retry masks that
+    // microscopic window before declaring the version gone
     var waits = 0
-    while (!fs.exists(p) && waits < 3) { Thread.sleep(50); waits += 1 }
+    while (!fs.exists(p) && waits < 3) {
+      Thread.sleep(50)
+      recoverTwin(fs, table, version)
+      waits += 1
+    }
     if (!fs.exists(p)) {
       throw new IllegalArgumentException(
         s"graft-v2: $table has no version $version" +
@@ -259,7 +299,21 @@ object GraftManifest {
     try out.write((Header +: (meta ++ snap.names.distinct.sorted))
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.delete(p, false) || !fs.rename(tmp, p)) {
+    // crash-recoverable ordering: PUBLISH the complete twin as
+    // `<v>.txt.full` first, THEN delete the delta and swap the twin
+    // into place. A crash at any point leaves the delta, the twin, or
+    // both — never neither — and [[recoverTwin]] (run by read(),
+    // versions() keeps twin-only versions listed) finishes the swap.
+    // The old delete-then-rename ordering had a window that destroyed
+    // the version file outright, severing every delta chained on it.
+    val full = fullTwinPath(table, v)
+    if (fs.exists(full)) fs.delete(full, false) // stale equivalent twin
+    if (!fs.rename(tmp, full)) {
+      throw new java.io.IOException(
+        s"graft-v2: could not publish self-contained twin $full")
+    }
+    fs.delete(p, false) // a racing recoverer may have already swapped
+    if (!fs.rename(full, p) && !fs.exists(p)) {
       throw new java.io.IOException(
         s"graft-v2: could not re-materialize manifest $p")
     }
@@ -268,6 +322,7 @@ object GraftManifest {
   private def metaLine(fs: FileSystem, table: Path, version: Long,
       key: String): Option[String] = {
     val p = versionPath(table, version)
+    if (!fs.exists(p)) recoverTwin(fs, table, version)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     try {
@@ -1144,8 +1199,12 @@ object GraftManifest {
                 st.getModificationTime < horizon
             }.map(_.getPath)
         }
+      // a dropped version's stale `.full` twin (from a crashed swap)
+      // goes with it — only twins whose version file is doomed too
+      val twinDoomed = drop.map(fullTwinPath(table, _))
+        .filter(fs.exists(_))
       (drop, archiveDoomed ++ dvDoomed ++ bloomDoomed ++
-        drop.map(versionPath(table, _)))
+        drop.map(versionPath(table, _)) ++ twinDoomed)
     }
   }
 }

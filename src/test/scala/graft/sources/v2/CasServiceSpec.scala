@@ -277,10 +277,46 @@ class CasServiceSpec extends SparkTestBase {
         "restart must not allow a double win")
       // lease age includes the outage (absolute server time persists)
       assert(c.list("slot/a").head._3 >= 60)
-      // startup compacted the log to one snapshot line per live entry
+      // startup compacted the log to one snapshot line per live
+      // entry, CRC-framed
       val lines = java.nio.file.Files.readAllLines(wal)
-      assert(lines.size === 1 && lines.get(0).startsWith("P "),
-        s"expected compacted snapshot, got: $lines")
+      assert(lines.size === 1 && lines.get(0).startsWith("C ") &&
+        lines.get(0).split(" ", 3)(2).startsWith("P "),
+        s"expected compacted framed snapshot, got: $lines")
+    } finally s2.close()
+  }
+
+  test("WAL torn tail that still PARSES is rejected by the record " +
+      "checksum: a truncated delete must not replay as a delete of " +
+      "a different live key") {
+    val wal = java.nio.file.Files
+      .createTempDirectory("graft-cas-wal3").resolve("cas.wal")
+    val s1 = new CasServer(0, Some(wal))
+    try {
+      val c = new TcpCasBackend("127.0.0.1", s1.port)
+      assert(c.putIfAbsent("slot/long", "keep") === "keep")
+      assert(c.putIfAbsent("slot/longkey", "gone") === "gone")
+      c.delete("slot/longkey")
+    } finally s1.close()
+    // crash mid-append of a second delete: the byte prefix
+    // `C <crc(D slot%2Flongkey)> D slot%2Flong` is field-wise a
+    // VALID delete of the wrong, live key — only the checksum can
+    // tell it was torn
+    val full = "D slot%2Flongkey"
+    val crc = {
+      val z = new java.util.zip.CRC32()
+      val b = full.getBytes("UTF-8"); z.update(b, 0, b.length)
+      java.lang.Long.toHexString(z.getValue)
+    }
+    java.nio.file.Files.write(wal,
+      s"C $crc D slot%2Flong".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val s2 = new CasServer(0, Some(wal))
+    try {
+      val c = new TcpCasBackend("127.0.0.1", s2.port)
+      assert(c.get("slot/long") === Some("keep"),
+        "torn delete replayed against the WRONG live key")
+      assert(c.get("slot/longkey") === None)
     } finally s2.close()
   }
 
