@@ -119,7 +119,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sub = subset.map(_ => ",\"subset\":true").getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$sub}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$sub}"""
+    println(full)
+    // FILE ledger: the driver captures only the last ~2 KB of stdout,
+    // which a 137-entry queries map outruns — every round 12-14 bench
+    // report lost its head and parsed as null. The full line goes to a
+    // file the repo commits, and the LAST stdout line is a compact
+    // summary that always fits the captured tail whole.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] ledger write to $outPath failed: " +
+          e.getMessage)
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","runs":$runs,"ledger":"$outPath"$sub}""")
     spark.stop()
   }
 }

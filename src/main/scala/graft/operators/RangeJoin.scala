@@ -74,9 +74,13 @@ object RangeJoin {
     if (!fractionalBounds) binned
     else {
       // rows with a NaN/±Inf bound: exact theta semantics, off the
-      // bin path (they are rare — a union, not a plan-wide fallback)
-      val nf = intervals
-        .filter(!(finite(col(loCol)) && finite(col(hiCol))))
+      // bin path (they are rare — a union, not a plan-wide fallback).
+      // The broadcast hint pins the plan: non-finite bounds are
+      // pathological by contract, so this side is small, and a
+      // malformed-heavy interval table must degrade to a broadcast
+      // nested loop, never a shuffled one
+      val nf = broadcast(intervals
+        .filter(!(finite(col(loCol)) && finite(col(hiCol)))))
       val theta =
         (if (keys.nonEmpty) points.join(nf, keys)
          else points.crossJoin(nf))

@@ -84,11 +84,14 @@ final class CasServer(bindPort: Int = 0,
       val it = java.nio.file.Files.lines(p,
         java.nio.charset.StandardCharsets.UTF_8)
       var torn = false
+      var framedSeen = false
+      var legacyApplied = 0L
       try it.forEach { line =>
         if (!torn) {
           if (line.startsWith("C ")) {
             val parts = line.split(" ", 3)
             if (parts.length == 3 && crc(parts(2)) == parts(1)) {
+              framedSeen = true
               applyRecord(parts(2))
             } else {
               // checksum mismatch = torn tail from a crash
@@ -96,13 +99,27 @@ final class CasServer(bindPort: Int = 0,
               // this point was acknowledged either — stop replaying
               torn = true
             }
+          } else if (framedSeen) {
+            // an unframed line AFTER framed ones cannot be legacy —
+            // every post-upgrade append is framed, so this is a torn
+            // tail whose head happened not to start with "C " (e.g.
+            // a framed record truncated past its prefix). The legacy
+            // field-wise parse could replay it as a wrong mutation —
+            // exactly the bug the framing closed — so stop here too
+            torn = true
           } else {
             // pre-checksum record (legacy log, first boot after the
             // framing change); compaction rewrites it framed
+            legacyApplied += 1
             applyRecord(line)
           }
         }
       } finally it.close()
+      if (legacyApplied > 0) {
+        System.err.println(s"[graft-cas] replayed $legacyApplied " +
+          s"unframed legacy WAL record(s) from $p; compaction will " +
+          "rewrite them CRC-framed")
+      }
     }
   }
 

@@ -144,7 +144,14 @@ object GraftManifest {
         val full = fullTwinPath(table, v)
         if (fs.exists(full)) fs.rename(full, p)
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case e: java.io.IOException =>
+        // deliberately non-fatal (a racing recoverer may have won),
+        // but a PERSISTENT filesystem error here would otherwise
+        // surface later as a misleading "no version v" — leave a trace
+        System.err.println(s"[graft-v2] twin recovery for v$v under " +
+          s"$table suppressed: $e")
+    }
   }
 
   /** All committed versions, ascending (empty when the table has no

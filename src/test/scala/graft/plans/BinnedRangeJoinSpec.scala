@@ -149,6 +149,112 @@ class BinnedRangeJoinSpec extends SparkTestBase {
     } finally ext.conf.unset(BinnedRangeJoinRewrite.WidthConf)
   }}
 
+  test("stats-derived width: with NO width conf, histogram column " +
+      "stats of the interval side supply the bin width — the rewrite " +
+      "replaces the nested loop and matches the theta oracle") {
+    inSession {
+      val (points, intervals) = joinFrames(ext)
+      ext.sql("DROP TABLE IF EXISTS brj_intervals")
+      intervals.write.mode("overwrite").saveAsTable("brj_intervals")
+      ext.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      ext.conf.set("spark.sql.cbo.enabled", "true")
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        ext.sql("ANALYZE TABLE brj_intervals COMPUTE STATISTICS " +
+          "FOR COLUMNS lo, hi")
+        val iv = ext.table("brj_intervals")
+        def q = points.join(iv,
+          col("v") >= col("lo") && col("v") < col("hi"))
+        // oracle under autoWidth=false: the rule is provably inert
+        val want = {
+          ext.conf.set(BinnedRangeJoinRewrite.AutoWidthConf, "false")
+          try {
+            assert(q.queryExecution.optimizedPlan.collect {
+              case g: org.apache.spark.sql.catalyst.plans.logical
+                .Generate => g
+            }.isEmpty, "autoWidth=false must disable the stats path")
+            q.select(col("pid"), col("iid")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+          } finally ext.conf
+            .unset(BinnedRangeJoinRewrite.AutoWidthConf)
+        }
+        val rewritten = q
+        assert(rewritten.queryExecution.optimizedPlan.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical
+            .Generate => g
+        }.length === 1,
+          "histogram stats did not supply a width:\n" +
+            rewritten.queryExecution.optimizedPlan)
+        val phys = rewritten.queryExecution.executedPlan.toString
+        // the non-finite theta union branch is a broadcast-PINNED
+        // BNLJ by design (double bounds force the split even when no
+        // NaN rows exist) — what must NOT survive is a cartesian or
+        // a nested loop carrying the BULK of the join
+        assert(!phys.contains("CartesianProduct"),
+          s"cartesian survived the stats-width rewrite:\n$phys")
+        assert(phys.contains("SortMergeJoin") ||
+          phys.contains("ShuffledHashJoin"),
+          s"bulk branch is not an equi join:\n$phys")
+        val got = rewritten.select(col("pid"), col("iid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got === want,
+          s"stats-width rewrite changed results: ${got.size} vs " +
+            s"${want.size}")
+      } finally {
+        ext.conf.unset("spark.sql.statistics.histogram.enabled")
+        ext.conf.unset("spark.sql.cbo.enabled")
+        ext.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        ext.sql("DROP TABLE IF EXISTS brj_intervals")
+      }
+    }
+  }
+
+  test("guard scope: a SECOND range join stacked above a rewritten " +
+      "union output is binned too (the guard veto is scoped to each " +
+      "join's own condition/fringe, not the whole subtree)") {
+    inSession {
+      import ext.implicits._
+      val points = (0 until 300).map(i =>
+        (i.toLong, i.toDouble)).toDF("pid", "v")
+      // one non-finite bound forces the union theta branch on join 1
+      val iv1 = Seq(
+        (1L, 150.0, Double.NaN),
+        (2L, 40.0, 60.0),
+        (3L, 100.0, 120.0)
+      ).toDF("iid", "lo", "hi")
+      val iv2 = (0 until 30).map { i =>
+        (100L + i, i * 10.0, i * 10.0 + 15.0)
+      }.toDF("iid2", "lo2", "hi2")
+      ext.conf.set(BinnedRangeJoinRewrite.WidthConf, "10")
+      try {
+        val q1 = points.join(iv1,
+          col("v") >= col("lo") && col("v") < col("hi"))
+        val q2 = q1.join(iv2,
+          col("v") >= col("lo2") && col("v") < col("hi2"))
+        val gens = q2.queryExecution.optimizedPlan.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical
+            .Generate => g
+        }
+        assert(gens.length === 2,
+          s"expected BOTH range joins binned (2 explodes), got " +
+            s"${gens.length}:\n${q2.queryExecution.optimizedPlan}")
+        val got = q2.select(col("pid"), col("iid"), col("iid2"))
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        val want = {
+          ext.conf.set(BinnedRangeJoinRewrite.WidthConf, "0")
+          try q2.select(col("pid"), col("iid"), col("iid2"))
+            .collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+          finally ext.conf.set(BinnedRangeJoinRewrite.WidthConf, "10")
+        }
+        assert(got === want,
+          s"stacked rewrite changed results: ${got.size} vs " +
+            s"${want.size}")
+      } finally ext.conf.unset(BinnedRangeJoinRewrite.WidthConf)
+    }
+  }
+
   test("rule is inert without the conf and on non-matching shapes") {
     inSession {
       val (points, intervals) = joinFrames(ext)

@@ -43,13 +43,16 @@ for name, sql in sorted(oracle.items()):
         # Driver-faithful compare: the driver hashes values as-typed, so a
         # numeric *kind* mismatch (e.g. DuckDB HUGEINT->float64 vs Spark
         # LONG->int64) is a FAIL even when pandas' loose == says equal.
+        # NUMERIC kinds only: a values-equal column surfaced as
+        # datetime64 on one side and object on the other is a pandas
+        # materialization artifact, not a type mismatch the driver sees.
         ka = 'i' if a.dtype.kind == 'u' else a.dtype.kind
         kb = 'i' if b.dtype.kind == 'u' else b.dtype.kind
-        if ka != kb:
+        if ka != kb and ka in 'if' and kb in 'if':
             bad = f"DTYPE-KIND col={c} spark={a.dtype} oracle={b.dtype}"
             break
         try:
-            if ka == 'f':
+            if ka == 'f' and kb == 'f':
                 ok = ((a.isna() & b.isna()) | (a == b)).all()
             else:
                 ok = a.astype(object).where(pd.notna(a), None) \
