@@ -840,17 +840,31 @@ object SparkEntry {
 
   // ===== 2f: windows =====
 
+  /** Global ranking over an O(1)-cardinality partition key
+    * (`l_returnflag`: 3 values). A naive window would funnel one-third
+    * of the table into a single window task at any scale, so this is
+    * the [[operators.Salting.twoPhaseRanks]] shape: range-bucketed
+    * local ranks + a broadcast of per-bucket offsets — bit-identical
+    * output (the DuckDB oracle below is the plain single-window SQL),
+    * but every sort task owns `rows / buckets`, not `rows / 3`. The
+    * two rank families use different ORDER BYs, so they CHAIN (the
+    * second pass ranks the first pass's output, sampling its split
+    * tuples from the base table) — a re-merge join on
+    * (l_orderkey, l_linenumber) would be wrong, that pair is not
+    * unique in the generated lineitem. */
   private val qWindowRank: Q = (s, dir) => {
-    val unique = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
-        col("l_linenumber"))
-    val byQty = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity").desc)
-    t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        row_number().over(unique).as("rn"),
-        rank().over(byQty).as("rnk"),
-        dense_rank().over(byQty).as("drnk"))
+    val li = t(s, dir, "lineitem")
+    val withTies = operators.Salting.twoPhaseRanks(li, Seq("l_returnflag"),
+      Seq(col("l_quantity").desc), rankCol = Some("rnk"),
+      denseRankCol = Some("drnk"))
+    val withRn = operators.Salting.twoPhaseRanks(withTies,
+      Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber")), rowNumCol = Some("rn"),
+      boundsFrom = Some(li))
+    withRn
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"),
+        col("rnk"), col("drnk"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("rn"),
         col("rnk"), col("drnk"))
   }

@@ -38,4 +38,163 @@ object Salting {
       .groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Two-phase distributed ranking for windows whose PARTITION key has
+    * O(1) distinct values (the `PARTITION BY l_returnflag` shape: 3
+    * keys means one-third of the table per window task at any scale —
+    * the plan-level scale-killer a naive window carries).
+    *
+    * The row's bucket is a PURE EXPRESSION of its sort key — the count
+    * of driver-sampled split tuples that sort strictly before it — so
+    * (a) equal sort keys always share a bucket (ties never straddle a
+    * boundary) and (b) every recomputation of the lineage assigns the
+    * same bucket (a `spark_partition_id()` after `repartitionByRange`
+    * does NOT have this property: Catalyst plans the offsets branch as
+    * a separate, column-pruned subtree whose range exchange samples its
+    * own bounds, and the two sides silently disagree). The result is
+    * bit-identical to the single-window form for ANY split choice; the
+    * sample only shapes load balance, never the answer.
+    *
+    * Phase 1 ranks locally inside each (key, bucket) slice — the
+    * window's own hash exchange spreads `keys × buckets` groups over
+    * the cluster, each `~rows/buckets` large. Phase 2 aggregates one
+    * row per (key, bucket) — `count(*)` for the row offset and
+    * `count(distinct struct(orderKeys))` for the dense offset (a
+    * struct, so all-null sort keys still count as a tie group, matching
+    * dense_rank) — cumulates with a window over that tiny table, and
+    * broadcast-joins the offsets back:
+    *   row_number = rows in earlier buckets of the key + local row_number
+    *   rank       = same row offset + local rank (ties are bucket-local)
+    *   dense_rank = distinct sort-tuples in earlier buckets + local dense
+    *
+    * Sort keys must be scalar (orderable, `lit`-able) types; asc/desc
+    * with the DEFAULT null ordering (asc→nulls first, desc→nulls last)
+    * and Spark's NaN-greatest semantics are honored end-to-end.
+    *
+    * @param orderCols  window ORDER BY (Columns with optional .desc)
+    * @param boundsFrom sample source for the split tuples — pass the
+    *                   underlying base table when `df` is itself a
+    *                   derived plan, so the sampling scan stays a
+    *                   pruned file scan instead of re-running the
+    *                   upstream pipeline
+    */
+  def twoPhaseRanks(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column], rowNumCol: Option[String] = None,
+      rankCol: Option[String] = None, denseRankCol: Option[String] = None,
+      buckets: Int = 0, boundsFrom: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(rowNumCol.orElse(rankCol).orElse(denseRankCol).nonEmpty,
+      "twoPhaseRanks: request at least one rank column")
+    val n = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // (child column, ascending?, nulls-first?) per ORDER BY item
+    val orders: Seq[(Column, Boolean, Boolean)] =
+      orderCols.map(ColumnBridge.sortOrderOf)
+    val childCols = orders.map(_._1)
+
+    // --- split tuples: deterministic per-partition reservoir sample,
+    // sorted on the driver, n-1 quantile positions, deduped ---
+    val sampleSrc = boundsFrom.getOrElse(df)
+      .select(childCols.zipWithIndex.map { case (c, i) => c.as(s"__tpr_k$i") }: _*)
+    val perPart = 32
+    val sampled: Array[org.apache.spark.sql.Row] =
+      sampleSrc.rdd.mapPartitionsWithIndex { (idx, it) =>
+        val rng = new scala.util.Random(0x9e3779b97f4a7c15L ^ idx)
+        val buf = new Array[org.apache.spark.sql.Row](perPart)
+        var seen = 0L
+        it.foreach { r =>
+          if (seen < perPart) buf(seen.toInt) = r
+          else {
+            val j = rng.nextLong() % (seen + 1)
+            val k = if (j < 0) j + seen + 1 else j
+            if (k < perPart) buf(k.toInt) = r
+          }
+          seen += 1
+        }
+        buf.iterator.take(math.min(seen, perPart.toLong).toInt)
+      }.collect()
+    // driver-side comparator mirroring the window's SortOrder exactly
+    // (null position per nullOrdering; java compareTo sorts NaN
+    // greatest, same as Spark)
+    def cmpRow(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+      var i = 0
+      while (i < orders.size) {
+        val (_, asc, nullsFirst) = orders(i)
+        val (x, y) = (a.get(i), b.get(i))
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) { if (nullsFirst) -1 else 1 }
+          else if (y == null) { if (nullsFirst) 1 else -1 }
+          else {
+            val v = x.asInstanceOf[Comparable[Any]].compareTo(y)
+            if (asc) v else -v
+          }
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+    val sorted = sampled.sortWith((a, b) => cmpRow(a, b) < 0)
+    val rawBounds = (1 until n).flatMap { i =>
+      val pos = (i.toLong * sorted.length / n).toInt
+      if (pos < sorted.length) Some(sorted(pos)) else None
+    }
+    val bounds = rawBounds.foldLeft(Vector.empty[org.apache.spark.sql.Row]) {
+      (acc, r) => if (acc.nonEmpty && cmpRow(acc.last, r) == 0) acc else acc :+ r
+    }
+
+    // bucket(row) = number of split tuples sorting strictly before the
+    // row — a deterministic, order-monotone, tie-preserving expression
+    def strictlyAfter(bound: org.apache.spark.sql.Row): Column = {
+      val terms = orders.zipWithIndex.map { case ((c, asc, nullsFirst), i) =>
+        val v = bound.get(i)
+        val after =
+          if (v == null) { if (nullsFirst) c.isNotNull else lit(false) }
+          else {
+            val strict = if (asc) c > lit(v) else c < lit(v)
+            if (nullsFirst) c.isNotNull && strict
+            else c.isNull || strict
+          }
+        val eq = if (v == null) c.isNull else c <=> lit(v)
+        (after, eq)
+      }
+      terms.foldRight(lit(false)) { case ((after, eq), rest) =>
+        after || (eq && rest)
+      }
+    }
+    val bucket = "__tpr_bucket"
+    val bucketCol =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(strictlyAfter(b), 1).otherwise(0)).reduce(_ + _)
+    val withBucket = df.withColumn(bucket, bucketCol)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((partCols.map(col) :+ col(bucket)): _*)
+      .orderBy(orderCols: _*)
+    val local = withBucket
+      .withColumn("__tpr_rn", row_number().over(w))
+      .withColumn("__tpr_rk", rank().over(w))
+      .withColumn("__tpr_dr", dense_rank().over(w))
+    // one row per (key, bucket): the only cross-bucket state. Derived
+    // from withBucket (scan + agg), NOT from the windowed plan — the
+    // offsets branch never re-runs a window.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col(bucket))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = withBucket
+      .groupBy((partCols.map(col) :+ col(bucket)): _*)
+      .agg(count(lit(1)).as("__tpr_cnt"),
+        countDistinct(struct(childCols: _*)).as("__tpr_dcnt"))
+      .select((partCols.map(col) :+ col(bucket) :+
+        coalesce(sum(col("__tpr_cnt")).over(wOff), lit(0L)).as("__tpr_rowOff") :+
+        coalesce(sum(col("__tpr_dcnt")).over(wOff), lit(0L)).as("__tpr_denseOff")): _*)
+    val joined = local.join(broadcast(offsets), partCols :+ bucket)
+    val out = Seq(
+      rowNumCol.map(nm => (col("__tpr_rowOff") + col("__tpr_rn")).cast("int").as(nm)),
+      rankCol.map(nm => (col("__tpr_rowOff") + col("__tpr_rk")).cast("int").as(nm)),
+      denseRankCol.map(nm => (col("__tpr_denseOff") + col("__tpr_dr")).cast("int").as(nm))
+    ).flatten
+    joined.select((df.columns.map(col) ++ out): _*)
+  }
 }

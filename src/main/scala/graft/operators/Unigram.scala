@@ -237,8 +237,22 @@ object Unigram {
     * occurrence would multiply its cost by the corpus/vocabulary
     * ratio (measured 10²-10³ here). Words outside [[Bpe.WordRegex]]
     * are dropped by the shared pre-tokenizer contract. */
+  /** Piece-count ceiling for the literal-map (pure map-only) encode
+    * tier. Deliberately BELOW any trained model of consequence: the
+    * per-occurrence DP is interpreted higher-order-function work whose
+    * cost the distinct-word join path divides by the corpus/vocabulary
+    * occurrence ratio (measured 10²-10³ — the 7-min→3-s fix), and that
+    * ratio, not the model size, is the true discriminator. The tier
+    * exists for micro-models and for pipelines where the three
+    * shuffles are the problem rather than the DP — a streaming encode
+    * (map-only expressions compose into `readStream` with no state),
+    * or a corpus of near-unique words where distinct ≈ occurrences.
+    * Callers in those shapes pass an explicit threshold. */
+  val MapOnlyMaxPieces = 32
+
   def encode(docs: DataFrame, model: UnigramModel,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      mapOnlyMaxPieces: Int = MapOnlyMaxPieces): DataFrame = {
     require(model.pieces.nonEmpty, "empty unigram model")
     val entries = model.pieces.flatMap { case (p, _, s) =>
       Seq(lit(p), lit(s))
@@ -258,6 +272,21 @@ object Unigram {
       .select(col(idCol),
         filter(CorpusOps.tokens(col(textCol)),
           w => w.rlike(Bpe.WordRegex)).as("_graft_ws"))
+    if (model.pieces.size <= mapOnlyMaxPieces) {
+      // literal-map tier: the DP runs inline per occurrence — zero
+      // joins, zero shuffles, streaming-safe. The per-word expression
+      // is the identical viterbiPieces/wordMap pair the join path
+      // evaluates per DISTINCT word, so the tiers agree bit-for-bit
+      // (a null segmentation — uncoverable word — is dropped here as
+      // the join path's collect_list(when(...)) drops it there).
+      return docws.select(col(idCol),
+        coalesce(
+          flatten(filter(
+            transform(col("_graft_ws"), w =>
+              viterbiPieces(w, wordMap(w))),
+            ps => ps.isNotNull)),
+          array().cast("array<string>")).as("toks"))
+    }
     val occ = docws
       .select(col(idCol), posexplode_outer(col("_graft_ws"))
         .as(Seq("_graft_widx", "_graft_w")))

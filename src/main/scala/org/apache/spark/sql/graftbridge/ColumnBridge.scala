@@ -17,6 +17,20 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Split a possibly-`.desc`/`.asc_nulls_last` Column into
+    * (child column, ascending?, nulls-first?). Spark 4 Columns carry
+    * sort direction as an `internal.SortOrder` ColumnNode (conversion
+    * to a Catalyst `SortOrder` is lazy), so direction must be read at
+    * the node level. A Column with no explicit direction reports the
+    * ORDER BY defaults (ascending, nulls first). */
+  def sortOrderOf(c: Column): (Column, Boolean, Boolean) = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      (new Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending,
+        so.nullOrdering == org.apache.spark.sql.internal.SortOrder.NullsFirst)
+    case _ => (c, true, true)
+  }
+
   /** Catalyst predicate -> `sources.Filter`, the same translation the V1
     * planner applies before calling `buildScan` (also `private[sql]`). */
   def translateFilter(predicate: Expression)

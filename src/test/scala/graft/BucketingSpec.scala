@@ -744,6 +744,52 @@ class BucketingSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("two-phase ranks equal single-window ranks exactly (with ties)") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.t(spark, sf001, "lineitem")
+    // l_quantity desc over 3 returnflags: heavy ties, the exact shape
+    // the two-phase rewrite must preserve across bucket boundaries
+    // rank/dense_rank over a TIE-heavy ordering (qty desc only):
+    // ties must not straddle bucket boundaries
+    val twoPhaseTies = Salting.twoPhaseRanks(li, Seq("l_returnflag"),
+        Seq(col("l_quantity").desc), rankCol = Some("rnk"),
+        denseRankCol = Some("drnk"), buckets = 7)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rnk"),
+        col("drnk"))
+    val wTies = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    val singleTies = li.select(col("l_orderkey"), col("l_linenumber"),
+      rank().over(wTies).as("rnk"), dense_rank().over(wTies).as("drnk"))
+    assert(twoPhaseTies.exceptAll(singleTies).isEmpty &&
+      singleTies.exceptAll(twoPhaseTies).isEmpty)
+    // row_number demands a UNIQUE ordering to be deterministic at all
+    val unique = Seq(col("l_quantity").desc, col("l_orderkey"),
+      col("l_linenumber"))
+    val twoPhaseRn = Salting.twoPhaseRanks(li, Seq("l_returnflag"),
+        unique, rowNumCol = Some("rn"), buckets = 7)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+    val wU = Window.partitionBy(col("l_returnflag")).orderBy(unique: _*)
+    val singleRn = li.select(col("l_orderkey"), col("l_linenumber"),
+      row_number().over(wU).as("rn"))
+    assert(twoPhaseRn.exceptAll(singleRn).isEmpty &&
+      singleRn.exceptAll(twoPhaseRn).isEmpty)
+  }
+
+  test("two-phase rank window partitions on (key, bucket), not the bare key") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    val plan = Salting.twoPhaseRanks(li, Seq("l_returnflag"),
+        Seq(col("l_quantity").desc), rankCol = Some("rnk"))
+      .queryExecution.optimizedPlan.toString
+    // every Window node in the two-phase plan must carry the bucket
+    // column in its partition spec — the property that spreads an O(1)
+    // key over `buckets` sort tasks
+    val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty)
+    val dataWindows = windowLines.filterNot(_.contains("__tpr_rowOff"))
+    assert(dataWindows.forall(_.contains("__tpr_bucket")),
+      s"a data window partitions on the bare key:\n$plan")
+  }
+
   test("IVF top-k recall vs brute force is reasonable") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)

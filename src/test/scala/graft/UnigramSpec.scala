@@ -96,4 +96,32 @@ class UnigramSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "unigram training leaked cached storage")
   }
+
+  test("literal-map encode tier: no join below the piece threshold, " +
+      "and both tiers agree bit-for-bit") {
+    val d = Tables.t(spark, sf001, "documents")
+    val tiny = Unigram.train(d, vocabSize = 4, iters = 1)
+    // map-only tier: plan has NO join, NO aggregate — pure projection
+    val mapOnly = Unigram.encode(d, tiny,
+      mapOnlyMaxPieces = tiny.pieces.size)
+    val mapPlan = mapOnly.queryExecution.optimizedPlan.toString
+    assert(!mapPlan.contains("Join"),
+      s"literal-map tier still plans a join:\n$mapPlan")
+    assert(!mapPlan.contains("Aggregate"),
+      s"literal-map tier still plans an aggregate:\n$mapPlan")
+    // join tier (threshold 0 forces it) must plan the distinct-word join
+    val joined = Unigram.encode(d, tiny, mapOnlyMaxPieces = 0)
+    assert(joined.queryExecution.optimizedPlan.toString.contains("Join"))
+    // identical output: the same DP expression runs per occurrence vs
+    // per distinct word
+    assert(mapOnly.exceptAll(joined).isEmpty &&
+      joined.exceptAll(mapOnly).isEmpty)
+    // the GATED model (vocab 16 + char coverage) sits ABOVE the default
+    // threshold, so q_unigram_encode keeps the measured join path
+    val gated = Unigram.train(d, vocabSize = 16, iters = 2)
+    assert(gated.pieces.size > Unigram.MapOnlyMaxPieces,
+      s"gated model shrank to ${gated.pieces.size} pieces — the " +
+        "default tier threshold would flip q_unigram_encode to the " +
+        "per-occurrence DP (the documented 100x regression)")
+  }
 }
