@@ -1084,4 +1084,136 @@ private[graft] object DuckHash {
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
          |  array_to_string(toks[1:$headTokens], ' ') AS head_tokens
          |FROM uenc ORDER BY doc_id""".stripMargin
+
+  // ───────── unigram-LM tokenizer, SOFT EM (forward-backward) ─────────
+  //
+  // Independent re-derivation of graft.operators.Unigram.trainSoft
+  // under the quantized-expectation integer contract: piece weights
+  // q = max(1, halfup(256·(c+s)/(T+V·s))) in pure integer arithmetic,
+  // forward/backward DP sums of weight products in HUGEINT (bounded by
+  // 260^13·1e6 < 10^38 for ≤`dpStages`-char words), micro-expectations
+  // ec = (A(i-1)·q·B(n-i-l+1)·1e6) // A(n) with exact integral
+  // division, M-step micro counts Σ cnt·ec, kept vocab by
+  // (c DESC, piece ASC) ∪ single chars, final scores
+  // round(ln((c+1e6)/(T'+V'·1e6))·1e6).
+
+  /** One soft round `r`: weights CTE `uqw$r` is assumed defined;
+    * produces `ucntS${r + 1}` micro counts. */
+  private def unigramSoftRoundCtes(r: Int, dpStages: Int): String = {
+    val fq =
+      s"""ufq$r AS MATERIALIZED (SELECT p.w, p.cnt, p.i, p.l,
+         |  p.piece, q.q FROM upos p JOIN uqw$r q USING (piece))"""
+        .stripMargin
+    val fw0 =
+      s"""ufwu${r}_0 AS (SELECT w, 0 AS j,
+         |  CAST(1 AS HUGEINT) AS a FROM uwords)""".stripMargin
+    val fws = (1 to dpStages).flatMap { j =>
+      Seq(
+        s"""ufw${r}_$j AS MATERIALIZED (
+           |  SELECT p.w, $j AS j, sum(d.a * CAST(p.q AS HUGEINT)) AS a
+           |  FROM ufq$r p JOIN ufwu${r}_${j - 1} d
+           |    ON p.w = d.w AND d.j = $j - p.l
+           |  WHERE p.i = $j - p.l + 1 AND $j <= length(p.w)
+           |  GROUP BY p.w)""".stripMargin,
+        s"""ufwu${r}_$j AS MATERIALIZED (
+           |  SELECT * FROM ufwu${r}_${j - 1}
+           |  UNION ALL SELECT * FROM ufw${r}_$j)""".stripMargin)
+    }
+    val bw0 =
+      s"""ubwu${r}_0 AS (SELECT w, 0 AS m,
+         |  CAST(1 AS HUGEINT) AS b FROM uwords)""".stripMargin
+    val bws = (1 to dpStages).flatMap { m =>
+      Seq(
+        s"""ubw${r}_$m AS MATERIALIZED (
+           |  SELECT p.w, $m AS m, sum(CAST(p.q AS HUGEINT) * d.b) AS b
+           |  FROM ufq$r p JOIN ubwu${r}_${m - 1} d
+           |    ON p.w = d.w AND d.m = $m - p.l
+           |  WHERE p.i = length(p.w) - $m + 1 AND $m <= length(p.w)
+           |  GROUP BY p.w)""".stripMargin,
+        s"""ubwu${r}_$m AS MATERIALIZED (
+           |  SELECT * FROM ubwu${r}_${m - 1}
+           |  UNION ALL SELECT * FROM ubw${r}_$m)""".stripMargin)
+    }
+    val ex =
+      s"""uex$r AS MATERIALIZED (
+         |  SELECT p.piece, p.cnt,
+         |    (fa.a * CAST(p.q AS HUGEINT) * fb.b * 1000000)
+         |      // fan.a AS ec
+         |  FROM ufq$r p
+         |  JOIN ufwu${r}_$dpStages fa
+         |    ON fa.w = p.w AND fa.j = p.i - 1
+         |  JOIN ubwu${r}_$dpStages fb
+         |    ON fb.w = p.w AND fb.m = length(p.w) - p.i - p.l + 1
+         |  JOIN ufwu${r}_$dpStages fan
+         |    ON fan.w = p.w AND fan.j = length(p.w))""".stripMargin
+    val cnt =
+      s"""ucntS${r + 1} AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt * ec) AS BIGINT) AS c
+         |  FROM uex$r GROUP BY piece)""".stripMargin
+    (Seq(fq, fw0) ++ fws ++ Seq(bw0) ++ bws ++ Seq(ex, cnt))
+      .mkString(",\n")
+  }
+
+  /** Oracle for `q_unigram_train_soft`: the ranked kept-piece table
+    * `(rank, piece, cnt, score)` with cnt in MICRO-expectations. */
+  def unigramSoftTrainOracle(iters: Int, dpStages: Int,
+      vocabSize: Int): String = {
+    val head = Seq(
+      """uwords AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)"""
+        .stripMargin,
+      """upos AS MATERIALIZED (
+        |  SELECT w, cnt, i, l, substr(w, i, l) AS piece
+        |  FROM uwords,
+        |    unnest(generate_series(1, length(w))) AS u(i),
+        |    unnest(generate_series(1, 4)) AS v(l)
+        |  WHERE i + l - 1 <= length(w))""".stripMargin,
+      """useed AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM upos GROUP BY piece)""".stripMargin)
+    def weights(r: Int, countsCte: String, scale: Long) =
+      s"""uqw$r AS MATERIALIZED (
+         |  SELECT sd.piece, greatest(1,
+         |    (2*256*(coalesce(c.c, 0) + $scale) +
+         |     ((SELECT coalesce(sum(c), 0) FROM $countsCte) +
+         |      (SELECT count(*) FROM useed) * $scale))
+         |    // (2*((SELECT coalesce(sum(c), 0) FROM $countsCte) +
+         |         (SELECT count(*) FROM useed) * $scale))) AS q
+         |  FROM useed sd LEFT JOIN $countsCte c USING (piece))"""
+        .stripMargin
+    val rounds = (0 until iters).flatMap { r =>
+      val (cte, scale) =
+        if (r == 0) ("useed", 1L) else (s"ucntS$r", 1000000L)
+      Seq(weights(r, cte, scale), unigramSoftRoundCtes(r, dpStages))
+    }
+    val keep = Seq(
+      s"""utopkS AS (SELECT piece, c FROM ucntS$iters
+         |  ORDER BY c DESC, piece LIMIT $vocabSize)""".stripMargin,
+      """ucharsS AS (SELECT DISTINCT substr(w, i, 1) AS piece
+        |  FROM uwords,
+        |    unnest(generate_series(1, length(w))) AS u(i))"""
+        .stripMargin,
+      s"""ukeepS AS MATERIALIZED (SELECT piece, max(c) AS c FROM (
+         |    SELECT piece, c FROM utopkS
+         |    UNION ALL
+         |    SELECT ch.piece, coalesce(c.c, 0) AS c FROM ucharsS ch
+         |      LEFT JOIN ucntS$iters c USING (piece))
+         |  GROUP BY piece)""".stripMargin,
+      """umodelS AS MATERIALIZED (SELECT piece, c,
+        |    CAST(round(ln((c + 1000000.0) /
+        |      ((SELECT sum(c) FROM ukeepS) +
+        |       (SELECT count(*) FROM ukeepS) * 1000000.0)) * 1000000)
+        |      AS BIGINT) AS s,
+        |    row_number() OVER (ORDER BY c DESC, piece) AS rank
+        |  FROM ukeepS)""".stripMargin)
+    "WITH " + (head ++ rounds ++ keep).mkString(",\n") + "\n" +
+      """SELECT CAST(rank AS BIGINT) AS rank, piece,
+        |  c AS cnt, s AS score
+        |FROM umodelS ORDER BY rank""".stripMargin
+  }
 }

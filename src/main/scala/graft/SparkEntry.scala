@@ -1568,6 +1568,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
+    * SentencePiece forward-backward E-step under the
+    * quantized-expectation integer contract — piece weights, the
+    * forward/backward DPs and the micro-expectations are ALL exact
+    * integers, so the oracle re-derives the entire training in SQL
+    * (HUGEINT DP sums, `//` exact division), like q_unigram_train
+    * does for hard EM. `cnt` is in micro-expectations (1e6 = one
+    * expected occurrence). */
+  private val qUnigramTrainSoft: Q = (s, dir) => {
+    val m = Unigram.trainSoftCached(
+      s"$dir/documents#unisoft$UnigramVocab",
+      t(s, dir, "documents"), UnigramVocab, iters = 1)
+    import s.implicits._
+    m.pieces.zipWithIndex.map { case ((p, c, sc), i) =>
+      (i + 1L, p, c, sc)
+    }.toDF("rank", "piece", "cnt", "score")
+  }
+
   /** Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     * filter with a count LM): train on even doc_ids, score odd
     * doc_ids, so the stupid-backoff path genuinely fires on unseen
@@ -2084,6 +2102,63 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** TIMESTAMP manifest skipping end-to-end
+    * ([[graft.sources.v2.SkipStats]] kind `t`): events land in three
+    * time-range-disjoint appends with `statsColumns=ts`, so each
+    * commit records its files' ts ranges in MICROS (normalized from
+    * each file's own parquet unit); the time-range scan must prune
+    * the file list from those lines — timestamps being the most
+    * common range key in event tables, this is the manifest-skipping
+    * path that matters most at 100 TB. The in-query guard requires
+    * the prune to fire before aggregating. */
+  private val qDataSkippingTs: Q = (s, dir) => {
+    val tag = "skipts" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag/events"
+    val tdir = new org.apache.hadoop.fs.Path(path)
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+    val r = e.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (loU, hiU) = (r.getLong(0), r.getLong(1))
+    val cut1 = loU + (hiU - loU) / 3
+    val cut2 = loU + 2 * (hiU - loU) / 3
+    def tsLit(u: Long) = lit(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(u, 1000000L), Math.floorMod(u, 1000000L) * 1000L))
+    e.filter(col("ts") <= tsLit(cut1)).repartition(1)
+      .write.format("graft-v2")
+      .option("statsColumns", "ts")
+      .option("changelog", "true").mode("append").save(path)
+    e.filter(col("ts") > tsLit(cut1) && col("ts") <= tsLit(cut2))
+      .repartition(1).write.format("graft-v2")
+      .mode("append").save(path)
+    e.filter(col("ts") > tsLit(cut2)).repartition(1)
+      .write.format("graft-v2").mode("append").save(path)
+    val table = s.read.format("graft-v2").load(path)
+    def plannedRows(df: DataFrame): Long = {
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case rel: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => rel.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+        .numRows().getAsLong
+    }
+    val filtered = table.filter(col("ts") > tsLit(cut2))
+    val full = plannedRows(table)
+    val pruned = plannedRows(filtered)
+    require(pruned * 2 <= full,
+      s"q_data_skipping_ts: expected the manifest timestamp-range " +
+      s"skip to fire (planned $pruned of $full rows)")
+    filtered.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Materialized-view incremental maintenance end-to-end
     * ([[graft.sources.v2.GraftMv]]): scratch orders copy, aggregate
     * MV over it, then a DELETE on the source and a refresh that must
@@ -2259,6 +2334,7 @@ object SparkEntry {
     "q_bpe_encode" -> qBpeEncode,
     "q_wordpiece_encode" -> qWordpieceEncode,
     "q_unigram_train" -> qUnigramTrain,
+    "q_unigram_train_soft" -> qUnigramTrainSoft,
     "q_unigram_encode" -> qUnigramEncode,
     "q_trending_exact" -> qTrendingExact,
     "q_pipeline_e2e" -> qPipelineE2e,
@@ -2277,6 +2353,7 @@ object SparkEntry {
     "q_bloom_lookup" -> qBloomLookup,
     "q_hidden_partitioning" -> qHiddenPartitioning,
     "q_data_skipping" -> qDataSkipping,
+    "q_data_skipping_ts" -> qDataSkippingTs,
     "q_mv_refresh" -> qMvRefresh,
     "q_interval_join" -> qIntervalJoin,
     "q_update" -> qUpdate,
@@ -2508,6 +2585,8 @@ object SparkEntry {
       DuckHash.wordpieceEncodeOracle(BpeMerges, steps = 8),
     "q_unigram_train" -> DuckHash.unigramTrainOracle(
       UnigramIters, UnigramDpStages, UnigramVocab),
+    "q_unigram_train_soft" -> DuckHash.unigramSoftTrainOracle(
+      iters = 1, UnigramDpStages, UnigramVocab),
     "q_unigram_encode" -> DuckHash.unigramEncodeOracle(
       UnigramIters, UnigramDpStages, UnigramVocab),
     // streaming exact top-k: only windows the final watermark closed
@@ -3666,6 +3745,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey > 2 * (SELECT max(o_orderkey) FROM orders) / 3
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_data_skipping_ts" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events
+        |WHERE epoch_us(ts) > (SELECT MIN(epoch_us(ts))
+        |  + 2 * (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_hidden_partitioning" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -137,6 +137,14 @@ object VerifyDrive {
       "SELECT count(*) FROM graft.d.events.history").head.getLong(0)
     println(s"METADATA tables -> files=$metaFiles (expect > 0), " +
       s"history=$metaHist versions")
+    // bloom sidecar coverage surfaces per file in t.files
+    graft.sources.v2.BloomIndex.build(spark, s"$wh/d/events",
+      Seq("id"), fpp = 0.01)
+    val bloomCovered = spark.sql(
+      "SELECT count(*) FROM graft.d.events.files " +
+      "WHERE bloom_cols LIKE 'id(fpp=0.01%'").head.getLong(0)
+    println(s"METADATA t.files bloom_cols -> $bloomCovered of " +
+      s"$metaFiles files covered (expect all)")
     spark.stop()
   }
 }

@@ -214,6 +214,190 @@ object Unigram {
     }
   }
 
+  // ───────────────────────── soft EM ─────────────────────────
+  //
+  // Forward-backward expectations instead of Viterbi argmax — the
+  // true SentencePiece E-step — under a QUANTIZED-EXPECTATION integer
+  // contract so the DuckDB oracle can re-derive the whole training:
+  //  - piece probabilities become integer WEIGHTS
+  //    q = max(1, halfup(D·(c+s)/(T+V·s))) with D = 2^8 and s the
+  //    count scale (1 for raw seed counts, 1e6 for micro-expectations)
+  //    — half-up computed in pure integer arithmetic, so both engines
+  //    agree bit-for-bit;
+  //  - the forward/backward DPs sum PRODUCTS of weights. At any
+  //    position at most MaxPieceLen pieces match, and their weights
+  //    sum ≤ D+4 (they are distinct seed members, so their smoothed
+  //    probabilities sum ≤ 1; +1 rounding slack each), giving
+  //    A(j) ≤ (D+4)^j — held as decimal(38,0) here and HUGEINT in the
+  //    oracle (both exact integer domains);
+  //  - a piece occurrence's expectation quantizes to micro-units
+  //    ec = floor(A(i-1)·q·B(n-i-l+1)·1e6 / A(n)) via EXACT integral
+  //    division (never a rounded decimal quotient); the numerator is
+  //    bounded by (D+4)^n·1e6, under 10^38 for words up to
+  //    [[SoftMaxWordLen]] chars (enforced).
+  // The M-step sums cnt·ec into micro-expected counts; the kept vocab
+  // ranks by them and the final scores re-smooth at the micro scale:
+  // round(ln((c+1e6)/(T+V·1e6))·1e6).
+
+  /** Weight quantization denominator (2^8): (D+4)^13·1e6 < 10^38
+    * keeps every forward/backward intermediate inside decimal(38,0)
+    * and DuckDB HUGEINT for words up to [[SoftMaxWordLen]] chars. */
+  val SoftWeightScale = 256L
+
+  /** Longest training word the integer bound admits at D = 2^8. */
+  val SoftMaxWordLen = 13
+
+  /** Micro-units per expected occurrence. */
+  val SoftExpScale = 1000000L
+
+  private def dec38(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
+  /** Exact integral division (IntegralDivide): decimal quotients
+    * truncate exactly — a scale-6 decimal division HALF_UP-rounds the
+    * quotient, which can cross a floor boundary the oracle's `//`
+    * never crosses. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+  }
+
+  /** Quantized integer weights over the seed frame from a `(piece, c)`
+    * count table at count scale `s`: `max(1, halfup(D·(c+s)/(T+V·s)))`
+    * — the Laplace-smoothed probability times D, half-up in pure
+    * integer arithmetic. */
+  private[graft] def softWeights(seed: DataFrame, counts: DataFrame,
+      scale: Long): DataFrame = {
+    val tot = counts.agg(coalesce(sum(col("c")), lit(0L)).as("t"))
+    val v = seed.count()
+    seed.select(col("piece"))
+      .join(counts, Seq("piece"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("piece"),
+        greatest(lit(1L), intDiv(
+          lit(2L * SoftWeightScale) *
+            (coalesce(col("c"), lit(0L)) + lit(scale)) +
+            (col("t") + lit(v * scale)),
+          lit(2L) * (col("t") + lit(v * scale)))).as("q"))
+  }
+
+  /** Forward values as an array: element i+1 = A(i) = Σ over
+    * segmentations of w[1..i] of the product of piece weights.
+    * Exact integers in decimal(38,0). */
+  private[graft] def forwardArr(w: Column, qm: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(dec38(lit(1))),
+      (acc, j) => concat(acc, array(
+        (1 to MaxPieceLen).map { l =>
+          val q = element_at(qm, (j - lit(l) + 1) * 8 + lit(l))
+          when(j >= l && q.isNotNull,
+            element_at(acc, j - l + 1) * dec38(q))
+            .otherwise(dec38(lit(0)))
+        }.reduce(_ + _))))
+
+  /** Backward values by SUFFIX length: element m+1 = B(m) = Σ over
+    * segmentations of the last m chars. The piece opening a suffix of
+    * length m starts at position n-m+1. */
+  private[graft] def backwardArr(w: Column, qm: Column): Column = {
+    val n = length(w)
+    aggregate(
+      sequence(lit(1), n),
+      array(dec38(lit(1))),
+      (acc, m) => concat(acc, array(
+        (1 to MaxPieceLen).map { l =>
+          val q = element_at(qm, (n - m + lit(1)) * 8 + lit(l))
+          when(m >= l && q.isNotNull,
+            dec38(q) * element_at(acc, m - l + 1))
+            .otherwise(dec38(lit(0)))
+        }.reduce(_ + _))))
+  }
+
+  /** Soft E+M step: micro-expected piece counts
+    * `(piece, c)` with `c = Σ_w cnt_w · ec(w, i, l)`. Same distributed
+    * shape as the Viterbi E-step — piece-keyed weight join, per-word
+    * map-side DP expressions, one piece-keyed aggregate. */
+  private[graft] def softExpectedCounts(words: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val pp = positionPieces(words).join(weights, Seq("piece"))
+    val qm = pp.groupBy(col("w"))
+      .agg(map_from_entries(collect_list(
+        struct((col("i") * 8 + col("l")).as("k"), col("q").as("v"))))
+        .as("qm"))
+    val ab = words.select(col("w")).join(qm, Seq("w"))
+      .select(col("w"), forwardArr(col("w"), col("qm")).as("fa"),
+        backwardArr(col("w"), col("qm")).as("fb"))
+    pp.join(ab, Seq("w"))
+      .select(col("piece"), col("cnt"), intDiv(
+        element_at(col("fa"), col("i")) * dec38(col("q")) *
+          element_at(col("fb"),
+            length(col("w")) - col("i") - col("l") + lit(2)) *
+          dec38(lit(SoftExpScale)),
+        element_at(col("fa"), length(col("w")) + 1)).as("ec"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt") * col("ec")).as("c"))
+  }
+
+  /** Soft-EM training: seed like [[train]], run `iters`
+    * forward-backward rounds, keep top-`vocabSize` pieces by
+    * micro-expected count (ties by piece) ∪ every single character,
+    * re-smooth at the micro scale. The returned `cnt` fields are
+    * MICRO-expectations (1e6 = one expected occurrence). */
+  def trainSoft(docs: DataFrame, vocabSize: Int, iters: Int = 1,
+      textCol: String = "text"): UnigramModel = {
+    require(vocabSize >= 1 && iters >= 1,
+      s"vocabSize/iters must be >= 1, got $vocabSize/$iters")
+    val words = Bpe.wordCounts(docs, textCol).persist()
+    try {
+      val maxLen = words.agg(coalesce(max(length(col("w"))), lit(0)))
+        .head().getInt(0)
+      require(maxLen <= SoftMaxWordLen,
+        s"soft-EM integer bound admits words up to $SoftMaxWordLen " +
+          s"chars at D=$SoftWeightScale; corpus has a $maxLen-char " +
+          "word")
+      val seedCounts = positionPieces(words)
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+        .persist()
+      val seed = seedCounts.select(col("piece"))
+      var counts = seedCounts
+      var scale = 1L
+      (1 to iters).foreach { _ =>
+        counts = softExpectedCounts(words,
+          softWeights(seed, counts, scale))
+        scale = SoftExpScale
+      }
+      val ranked = counts
+        .orderBy(col("c").desc, col("piece"))
+        .limit(vocabSize)
+      val kept = ranked.select(col("piece"), col("c"))
+        .union(
+          words.select(explode(filter(split(col("w"), ""),
+            c => c =!= "")).as("piece"))
+            .distinct()
+            .join(counts, Seq("piece"), "left_outer")
+            .select(col("piece"), coalesce(col("c"), lit(0L)).as("c")))
+        .groupBy(col("piece")).agg(max(col("c")).as("c"))
+      val keptRows = kept.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val t = keptRows.map(_._2).sum
+      val v = keptRows.length
+      def q(x: Double): Long = BigDecimal(x)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      val model = keptRows.toSeq.sortBy { case (p, c) => (-c, p) }
+        .map { case (p, c) =>
+          (p, c, q(math.log((c + SoftExpScale.toDouble) /
+            (t + v.toDouble * SoftExpScale)) * ScoreScale))
+        }
+      seedCounts.unpersist()
+      UnigramModel(model)
+    } finally {
+      words.unpersist()
+      ()
+    }
+  }
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, UnigramModel]()
 
@@ -222,6 +406,12 @@ object Unigram {
   def trainCached(key: String, docs: => DataFrame, vocabSize: Int,
       iters: Int = 2, textCol: String = "text"): UnigramModel =
     cache.computeIfAbsent(key, _ => train(docs, vocabSize, iters,
+      textCol))
+
+  /** [[trainSoft]] under the same memoization convention. */
+  def trainSoftCached(key: String, docs: => DataFrame, vocabSize: Int,
+      iters: Int = 1, textCol: String = "text"): UnigramModel =
+    cache.computeIfAbsent(key, _ => trainSoft(docs, vocabSize, iters,
       textCol))
 
   // ───────────────────────── encoding ─────────────────────────

@@ -105,6 +105,18 @@ object BloomIndex {
   def indexedColumns(fs: FileSystem, table: Path): Seq[String] =
     indexMeta(fs, table).map(_.col)
 
+  /** Data-file names holding a sidecar for `col` — the listing-level
+    * coverage view `t.files` renders (a file without a sidecar is
+    * conservatively un-prunable for equality on `col`). */
+  def sidecarFiles(fs: FileSystem, table: Path, col: String)
+      : Set[String] = {
+    val d = colDir(table, col)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".bloom"))
+      .map(_.stripSuffix(".bloom")).toSet
+  }
+
   /** Incrementally extend every AUTO-maintained column index to cover
     * the table's current files. The post-commit hook the write paths
     * call: one `exists` RPC when the table has no index at all, a

@@ -50,7 +50,8 @@ object GraftMetaTables {
         StructField("row_count", LongType, true),
         StructField("dv_file", StringType, true),
         StructField("skip_stats", StringType, true),
-        StructField("partition_tokens", StringType, true)))
+        StructField("partition_tokens", StringType, true),
+        StructField("bloom_cols", StringType, true)))
       case "history" => StructType(Seq(
         StructField("version", LongType, false),
         StructField("timestamp", TimestampType, true),
@@ -87,6 +88,14 @@ object GraftMetaTables {
           val layout = scala.util.Try(
             graft.sources.PartitionLayout.read(fs, dir)).toOption
             .flatten
+          // per-column bloom sidecar coverage: one listing per
+          // indexed column (metadata volume), membership by file name
+          val bloomCover: Seq[(BloomIndex.ColIndex, Set[String])] =
+            scala.util.Try(BloomIndex.indexMeta(fs, dir))
+              .getOrElse(Seq.empty)
+              .map(ci => ci -> scala.util.Try(
+                BloomIndex.sidecarFiles(fs, dir, ci.col))
+                .getOrElse(Set.empty[String]))
           names.map { n =>
             // a pinned file may have been archived by a later commit:
             // resolve like every snapshot read does
@@ -114,12 +123,22 @@ object GraftMetaTables {
               graft.sources.PartitionLayout.fileTokens(n, pl)
                 .map(ts => pl.cols.zip(ts).map { case (c, t) =>
                   s"$c:$t" }.mkString("; ")))
+            val bloomRepr = {
+              val covered = bloomCover.filter(_._2.contains(n))
+                .map { case (ci, _) =>
+                  s"${ci.col}(fpp=${ci.fpp}" +
+                    (if (ci.auto) ",auto)" else ")")
+                }
+              if (covered.isEmpty) None
+              else Some(covered.mkString("; "))
+            }
             new GenericInternalRow(Array[Any](
               UTF8String.fromString(n), size,
               rows.map(r => r: Any).orNull,
               dvs.get(n).map(UTF8String.fromString).orNull,
               skipRepr.map(UTF8String.fromString).orNull,
-              pvRepr.map(UTF8String.fromString).orNull))
+              pvRepr.map(UTF8String.fromString).orNull,
+              bloomRepr.map(UTF8String.fromString).orNull))
               : InternalRow
           }.toArray
         case "history" =>

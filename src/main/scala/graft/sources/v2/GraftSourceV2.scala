@@ -3688,6 +3688,13 @@ object RowFilterEval extends Serializable {
   private def comparable(a: String, v: Any, schema: StructType): Boolean =
     schema.fieldNames.contains(a) && (v match {
       case _: Number | _: String | _: Boolean => true
+      // temporal literals compare exactly against the internal
+      // micros/days longs (see cmp below) — accepting them here is
+      // what lets time-range predicates reach the manifest skip
+      // stats and row-group pruning at all
+      case _: java.sql.Timestamp | _: java.time.Instant |
+           _: java.time.LocalDateTime | _: java.sql.Date |
+           _: java.time.LocalDate => true
       case _ => false
     })
 
@@ -3734,6 +3741,28 @@ object RowFilterEval extends Serializable {
         // compareTo mis-orders supplementary-plane characters)
         Some(a.compareTo(UTF8String.fromString(b)))
       case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+      // temporal literals vs the internal representation: timestamps
+      // (LTZ and NTZ) are micros longs, dates are day ints. The
+      // Number-Number case above never sees these — the temporal
+      // externals are not java.lang.Number.
+      case (a: java.lang.Long, b: java.sql.Timestamp) =>
+        Some(java.lang.Long.compare(a,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(b)))
+      case (a: java.lang.Long, b: java.time.Instant) =>
+        Some(java.lang.Long.compare(a,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .instantToMicros(b)))
+      case (a: java.lang.Long, b: java.time.LocalDateTime) =>
+        Some(java.lang.Long.compare(a,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .localDateTimeToMicros(b)))
+      case (a: java.lang.Integer, b: java.sql.Date) =>
+        Some(java.lang.Integer.compare(a,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaDate(b)))
+      case (a: java.lang.Integer, b: java.time.LocalDate) =>
+        Some(java.lang.Long.compare(a.longValue(), b.toEpochDay))
       case _ => None
     }
     def strOp(row: InternalRow, a: String)(

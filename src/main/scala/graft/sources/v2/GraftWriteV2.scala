@@ -242,9 +242,8 @@ class GraftWriteBuilderV2(path: String, info: LogicalWriteInfo,
         throw new UnsupportedOperationException(
           s"graft-v2 statsColumns: column $c of type " +
           s"${f.dataType.simpleString} has no stable manifest-stat " +
-          "rendering - declare integral/date/float/double columns " +
-          "(strings truncate in parquet stats; timestamp footer " +
-          "stats are per-file-unit)")
+          "rendering - declare integral/date/float/double/timestamp/" +
+          "string columns")
       }
       if (c.contains(":")) {
         throw new IllegalArgumentException(

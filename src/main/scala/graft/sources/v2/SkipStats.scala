@@ -22,18 +22,28 @@ import org.apache.spark.sql.sources._
   *    Files committed before the declaration — or whose footer lacks
   *    usable stats — simply never skip (conservative), exactly like
   *    un-tokenized files under hidden partitioning.
-  *  - Supported types: integral (byte/short/int/long), date, and
-  *    float/double. Strings are excluded (parquet truncates binary
-  *    stats) and timestamps are excluded (footer timestamp stats are
-  *    in each FILE's own unit); footer-stats pruning remains the
-  *    exact backstop for both.
+  *  - Supported types: integral (byte/short/int/long), date,
+  *    float/double, timestamp (LTZ and NTZ), and string.
+  *    TIMESTAMPS: footer stat values are in each FILE's own parquet
+  *    unit (`FooterCache.tsUnit`), so collection normalizes to
+  *    MICROS — the unit Spark literals compare in — per file, with
+  *    floor(min)/ceil(max) rounding for NANOS and saturating widening
+  *    on MILLIS overflow, so mixed-unit tables fold into one
+  *    comparable domain. STRINGS: bounds are stored as base64 of the
+  *    UTF-8 bytes, self-truncated to [[MaxStringBoundBytes]] with
+  *    floor(min-prefix)/byte-incremented ceil(max-prefix) — sound
+  *    whether or not the footer itself truncated (parquet truncates
+  *    min downward and max upward), and compared in unsigned byte
+  *    order exactly like Spark's `UTF8String`.
   *  - Pruning is strictly conservative and the evaluation mirrors
   *    [[RowGroupPruning]]'s bound logic at FILE granularity.
   *
   * Line format (manifest meta):
   * `fstat=<file>:<col>:<k>:<min>:<max>:<nulls>:<rows>` with `k` ∈
-  * {`l` (long-comparable), `d` (double)}; all-null files write `n`
-  * for min/max. Declared column names must not contain ':' or
+  * {`l` (long-comparable), `d` (double), `t` (timestamp micros),
+  * `s` (base64url UTF-8 prefix bounds)}; all-null files write `n`
+  * for min/max (base64url never renders a 1-char value, so `n` is
+  * unambiguous). Declared column names must not contain ':' or
   * newlines (validated at declaration).
   */
 object SkipStats {
@@ -94,10 +104,18 @@ object SkipStats {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
-           FloatType | DoubleType => true
+           FloatType | DoubleType | TimestampType | TimestampNTZType |
+           StringType => true
       case _ => false
     }
   }
+
+  /** String bounds self-truncate to this many UTF-8 bytes: lo keeps
+    * the prefix (a prefix is ≤ the value), hi increments the last
+    * non-0xFF prefix byte (strictly greater than anything extending
+    * the prefix). Long URLs/documents as stats keys stay O(32B) per
+    * file-column in the manifest. */
+  val MaxStringBoundBytes = 32
 
   // ─────────────────── commit-time collection ───────────────────
 
@@ -141,8 +159,14 @@ object SkipStats {
               if (bounded.isEmpty) {
                 Some(c -> ColStat('l', None, None, nulls, rows))
               } else {
+                // the file's parquet unit re-keys integral stats into
+                // the timestamp domain; the footer's string flag does
+                // the same for binary stats
+                val tsU = FooterCache.tsUnit(f, c)
+                val isStr = groups.headOption
+                  .flatMap(_.stats.get(c)).exists(_._2)
                 render(bounded.map(_._1), bounded.map(_._2),
-                  nulls, rows).map(c -> _)
+                  nulls, rows, tsU, isStr).map(c -> _)
               }
             }
           }.toMap
@@ -153,13 +177,89 @@ object SkipStats {
     }.toMap
   }
 
+  // ───────────── timestamp unit normalization (micros) ─────────────
+
+  private[v2] type TU =
+    org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+  import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit => TUe}
+
+  /** File-unit stat value -> micros, rounding DOWN (a lower bound may
+    * only widen). MILLIS overflow saturates to the widest bound. */
+  private[v2] def toMicrosFloor(v: Long, u: TU): Long = u match {
+    case TUe.MICROS => v
+    case TUe.MILLIS =>
+      try Math.multiplyExact(v, 1000L)
+      catch { case _: ArithmeticException => Long.MinValue }
+    case TUe.NANOS => Math.floorDiv(v, 1000L)
+  }
+
+  /** File-unit stat value -> micros, rounding UP (an upper bound may
+    * only widen). */
+  private[v2] def toMicrosCeil(v: Long, u: TU): Long = u match {
+    case TUe.MICROS => v
+    case TUe.MILLIS =>
+      try Math.multiplyExact(v, 1000L)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    case TUe.NANOS =>
+      if (v == Long.MinValue) Math.floorDiv(v, 1000L)
+      else -Math.floorDiv(-v, 1000L)
+  }
+
+  // ───────────── string prefix bounds (byte order) ─────────────
+
+  private val b64e = java.util.Base64.getUrlEncoder.withoutPadding
+  private val b64d = java.util.Base64.getUrlDecoder
+
+  /** Lower prefix bound: a truncated prefix sorts ≤ the value. */
+  private[v2] def floorBytes(b: Array[Byte]): Array[Byte] =
+    if (b.length <= MaxStringBoundBytes) b
+    else java.util.Arrays.copyOf(b, MaxStringBoundBytes)
+
+  /** Smallest byte string strictly greater than EVERY string starting
+    * with `p`: increment the last non-0xFF byte, drop the rest. None
+    * when `p` is all 0xFF (no representable successor). */
+  private[v2] def prefixSuccessor(p: Array[Byte]): Option[Array[Byte]] = {
+    val i = p.lastIndexWhere(x => (x & 0xFF) != 0xFF)
+    if (i < 0) None
+    else {
+      val q = java.util.Arrays.copyOf(p, i + 1)
+      q(i) = (q(i) + 1).toByte
+      Some(q)
+    }
+  }
+
+  /** Upper prefix bound: short values pass through exact; truncated
+    * values take the prefix successor — ≥ every value the footer max
+    * bounded. None when the prefix is all 0xFF (no representable
+    * upper bound at this length). */
+  private[v2] def ceilBytes(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= MaxStringBoundBytes) Some(b)
+    else prefixSuccessor(java.util.Arrays.copyOf(b, MaxStringBoundBytes))
+
   /** Fold row-group mins/maxes into one rendered file stat; None when
     * the physical type has no stable rendering. */
   private def render(mins: Seq[Any], maxs: Seq[Any], nulls: Long,
-      rows: Long): Option[ColStat] = {
+      rows: Long, tsUnit: Option[TU], isString: Boolean)
+      : Option[ColStat] = {
     if (nulls >= rows) {
       // all-null file: min/max carry no information but null counts do
       return Some(ColStat('l', None, None, nulls, rows))
+    }
+    if (isString) {
+      val bins = mins.collect {
+        case b: org.apache.parquet.io.api.Binary => b.getBytes }
+      val baxs = maxs.collect {
+        case b: org.apache.parquet.io.api.Binary => b.getBytes }
+      if (bins.size != mins.size || baxs.size != maxs.size) return None
+      import org.apache.spark.unsafe.types.UTF8String
+      def cmpB(a: Array[Byte], b: Array[Byte]): Int =
+        UTF8String.fromBytes(a).compareTo(UTF8String.fromBytes(b))
+      val lo = bins.reduce((a, b) => if (cmpB(a, b) <= 0) a else b)
+      val hi = baxs.reduce((a, b) => if (cmpB(a, b) >= 0) a else b)
+      return ceilBytes(hi).map { h =>
+        ColStat('s', Some(b64e.encodeToString(floorBytes(lo))),
+          Some(b64e.encodeToString(h)), nulls, rows)
+      }
     }
     def asLongs(vs: Seq[Any]): Option[Seq[Long]] = {
       val ls = vs.map {
@@ -182,9 +282,15 @@ object SkipStats {
       else Some(ds.flatten)
     }
     (asLongs(mins), asLongs(maxs)) match {
-      case (Some(lo), Some(hi)) =>
-        Some(ColStat('l', Some(lo.min.toString),
-          Some(hi.max.toString), nulls, rows))
+      case (Some(lo), Some(hi)) => tsUnit match {
+        case Some(u) =>
+          Some(ColStat('t',
+            Some(toMicrosFloor(lo.min, u).toString),
+            Some(toMicrosCeil(hi.max, u).toString), nulls, rows))
+        case None =>
+          Some(ColStat('l', Some(lo.min.toString),
+            Some(hi.max.toString), nulls, rows))
+      }
       case _ => (asDoubles(mins), asDoubles(maxs)) match {
         case (Some(lo), Some(hi)) =>
           Some(ColStat('d', Some(lo.min.toString),
@@ -243,12 +349,38 @@ object SkipStats {
     case _ => None
   }
 
+  /** Timestamp filter literal -> micros (the `t`-kind stat domain).
+    * Covers both java.time (datetime.java8API on) and java.sql
+    * externals, plus LocalDateTime for NTZ columns. */
+  private def litMicros(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case l: java.time.LocalDateTime =>
+        Some(DateTimeUtils.localDateTimeToMicros(l))
+      case _ => None
+    }
+  }
+
+  private def litBytes(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes("UTF-8"))
+    case _ => None
+  }
+
   /** Compare a stat bound against a filter literal in the stat's
     * domain; None = incomparable (conservative). */
   private def cmp(bound: String, kind: Char, lit: Any): Option[Int] =
     kind match {
       case 'l' => litLong(lit).map(l =>
         java.lang.Long.compare(bound.toLong, l))
+      case 't' => litMicros(lit).map(l =>
+        java.lang.Long.compare(bound.toLong, l))
+      case 's' => litBytes(lit).map { b =>
+        import org.apache.spark.unsafe.types.UTF8String
+        UTF8String.fromBytes(b64d.decode(bound))
+          .compareTo(UTF8String.fromBytes(b))
+      }
       case 'd' => litDouble(lit).map { d =>
         val b = bound.toDouble
         // primitive == first: Double.compare orders -0.0 < 0.0, but
@@ -289,6 +421,22 @@ object SkipStats {
         }
       case IsNull(a) => stats.get(a).forall(_.nulls > 0)
       case IsNotNull(a) => stats.get(a).forall(s => s.nulls < s.rows)
+      case StringStartsWith(a, v) => b(a).forall {
+        case (lo, hi, 's', _, _) =>
+          // strings with prefix v live in [v, byte-ceil(v)): the file
+          // may hold one iff its range intersects that band. ceil-less
+          // prefixes (all 0xFF) drop the upper test (conservative).
+          import org.apache.spark.unsafe.types.UTF8String
+          val vb = v.getBytes("UTF-8")
+          val hiOk = UTF8String.fromBytes(b64d.decode(hi))
+            .compareTo(UTF8String.fromBytes(vb)) >= 0
+          val loOk = prefixSuccessor(vb).forall { vc =>
+            UTF8String.fromBytes(b64d.decode(lo))
+              .compareTo(UTF8String.fromBytes(vc)) < 0
+          }
+          hiOk && loOk
+        case _ => true
+      }
       case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
       case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
       case _ => true

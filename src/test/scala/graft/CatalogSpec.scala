@@ -2509,6 +2509,18 @@ class CatalogSpec extends SparkTestBase {
     assert(tags.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("v2pin", 2L)))
 
+    // bloom sidecar coverage: before any index, bloom_cols is NULL;
+    // after a build, every data file reports the indexed column
+    assert(files.forall(_.isNullAt(6)), "bloom_cols before any index")
+    graft.sources.v2.BloomIndex.build(spark, s"$warehouse/meta/t",
+      Seq("id"), fpp = 0.02)
+    val bloomed = spark.sql(
+      "SELECT file, bloom_cols FROM graft.meta.t.files").collect()
+    assert(bloomed.forall(r => !r.isNullAt(1) &&
+      r.getString(1) == "id(fpp=0.02)"),
+      bloomed.map(r => s"${r.getString(0)}:${r.getString(1)}")
+        .mkString(","))
+
     // files time-travels: the log bootstraps at the DELETE, so v1 is
     // the pre-mutation state — both appends, no deletion vector — and
     // the tagged v2 is the post-delete state carrying the DV

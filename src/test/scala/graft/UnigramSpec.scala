@@ -97,6 +97,60 @@ class UnigramSpec extends SparkTestBase {
       "unigram training leaked cached storage")
   }
 
+  test("soft EM: quantized forward-backward expectations match the " +
+      "hand arithmetic on the two-word corpus") {
+    // corpus "ab ab b": words ab(2), b(1); seed a(2), b(3), ab(2);
+    // T=7, V=3. Weights (D=256): q_a = halfup(256*3/10) = 77,
+    // q_b = halfup(256*4/10) = 102, q_ab = 77.
+    // "ab": A2 = 77*102 + 77 = 7931;
+    //   ec(a@1) = ec(b@2) = floor(77*102*1e6/7931) = 990291,
+    //   ec(ab)  = floor(77*1e6/7931) = 9708.
+    // "b": ec(b) = 1e6. Micro counts: a=1980582, b=2980582, ab=19416.
+    val d = docs(1L -> "ab ab b")
+    val m = Unigram.trainSoft(d, vocabSize = 3, iters = 1)
+    val byPiece = m.pieces.map(p => p._1 -> p._2).toMap
+    assert(byPiece("a") === 1980582L)
+    assert(byPiece("b") === 2980582L)
+    assert(byPiece("ab") === 19416L)
+    // rank order: (cnt DESC, piece ASC)
+    assert(m.pieces.map(_._1) === Seq("b", "a", "ab"))
+  }
+
+  test("soft EM on the corpus: deterministic, expectations bounded, " +
+      "kept vocab close to hard EM") {
+    val d = Tables.t(spark, sf001, "documents")
+    val s1 = Unigram.trainSoft(d, vocabSize = 16, iters = 1)
+    val s2 = Unigram.trainSoft(d, vocabSize = 16, iters = 1)
+    assert(s1 === s2, "soft training is not deterministic")
+    // per-word expectation mass: S*E[#pieces] lies in [S - slack, n*S]
+    val words = Bpe.wordCounts(d).persist()
+    try {
+      val weights = graft.operators.Unigram.softWeights(
+        graft.operators.Unigram.positionPieces(words)
+          .groupBy($"piece").agg(sum($"cnt").as("c"))
+          .select($"piece"),
+        graft.operators.Unigram.positionPieces(words)
+          .groupBy($"piece").agg(sum($"cnt").as("c")),
+        1L)
+      val perWord = graft.operators.Unigram
+        .softExpectedCounts(words.withColumn("cnt", lit(1L)), weights)
+      // total expected pieces across all DISTINCT words: each word
+      // contributes between ~1 and wordLen expected pieces
+      val total = perWord.agg(sum($"c")).head().getLong(0)
+      val nWords = words.count()
+      assert(total >= nWords * (1000000L - 64),
+        s"expectation mass too low: $total for $nWords words")
+      assert(total <= nWords * 8L * 1000000L)
+    } finally { words.unpersist(); () }
+    // the soft and hard kept vocabs agree on most pieces (same
+    // corpus, same seed, argmax vs expectation)
+    val h = Unigram.train(d, vocabSize = 16, iters = 2)
+    val overlap = s1.pieces.map(_._1).toSet
+      .intersect(h.pieces.map(_._1).toSet).size.toDouble /
+      h.pieces.size
+    assert(overlap >= 0.6, f"soft/hard vocab overlap $overlap%.2f")
+  }
+
   test("literal-map encode tier: no join below the piece threshold, " +
       "and both tiers agree bit-for-bit") {
     val d = Tables.t(spark, sf001, "documents")

@@ -136,8 +136,9 @@ class SkipStatsSpec extends SparkTestBase {
     assert(t.filter($"id".isNotNull).count() === 2L)
 
     val e1 = intercept[Exception] {
-      Seq((1L, "x")).toDF("id", "s").write.format("graft-v2")
-        .option("path", tmp("str")).option("statsColumns", "s")
+      Seq((1L, Array[Byte](1, 2))).toDF("id", "b")
+        .write.format("graft-v2")
+        .option("path", tmp("bin")).option("statsColumns", "b")
         .mode("append").save()
     }
     assert(e1.getMessage.contains("manifest-stat"), e1.getMessage)
@@ -181,5 +182,134 @@ class SkipStatsSpec extends SparkTestBase {
     assert(rows.length === 1)
     assert(rows.head.getString(1) === "id=[1,5] nulls=0",
       rows.head.getString(1))
+  }
+
+  test("timestamp column: the graft table prunes time ranges at the " +
+      "listing level; collection normalizes foreign MILLIS files " +
+      "into the same micros domain") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val p = tmp("ts")
+    def rows(days: Range) = days.map { d =>
+      (d.toLong, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(86400L * d)))
+    }.toDF("id", "ts")
+    rows(1 to 10).repartition(1).write.format("graft-v2")
+      .option("path", p).option("statsColumns", "ts")
+      .option("changelog", "true").mode("append").save()
+    rows(20 to 30).repartition(1).write.format("graft-v2")
+      .option("path", p).mode("append").save()
+    val fs = fsOf(p)
+    val snap = GraftManifest.current(fs, new Path(p)).get
+    assert(snap.fstats.size === 2)
+    assert(snap.fstats.values.forall(_("ts").kind == 't'))
+    val los = snap.fstats.values.map(_("ts").lo.get.toLong).toSeq.sorted
+    assert(los === Seq(86400L * 1 * 1000000L, 86400L * 20 * 1000000L))
+
+    val t = spark.read.format("graft-v2").load(p)
+    val cut = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(86400L * 15))
+    assert(plannedRows(t.filter($"ts" > cut)) === 11L)
+    assert(t.filter($"ts" > cut).count() === 11L)
+    assert(plannedRows(t.filter($"ts" < cut)) === 10L)
+    assert(t.filter($"ts" < cut).count() === 10L)
+    // equality inside a gap prunes everything at planning time
+    assert(plannedRows(t.filter($"ts" === cut)) === 0L)
+    assert(t.filter($"ts" === cut).count() === 0L)
+
+    // MIXED UNITS: the graft writer pins MICROS (INT96-proofing), so
+    // a MILLIS file is necessarily FOREIGN parquet — collection must
+    // still normalize its footer stats into the same micros domain
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.get(key)
+    val fdir = java.nio.file.Files
+      .createTempDirectory("graft-skip-mixed").toString
+    try {
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
+      rows(1 to 10).repartition(1).write.parquet(s"$fdir/ms")
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      rows(1 to 10).repartition(1).write.parquet(s"$fdir/us")
+    } finally spark.conf.set(key, saved)
+    def one(sub: String): String = {
+      val d = new Path(s"$fdir/$sub")
+      d.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(d).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head.toString
+    }
+    val (msF, usF) = (one("ms"), one("us"))
+    assert(FooterCache.tsUnit(msF, "ts") === Some(TimeUnit.MILLIS))
+    assert(FooterCache.tsUnit(usF, "ts") === Some(TimeUnit.MICROS))
+    val stats = SkipStats.collect(Seq(msF, usF), Seq("ts"))
+    assert(stats.size === 2)
+    val bounds = stats.values.map(s =>
+      (s("ts").kind, s("ts").lo.get.toLong, s("ts").hi.get.toLong)).toSet
+    // identical data, different file units, ONE rendered domain
+    assert(bounds === Set(('t', 86400L * 1000000L,
+      86400L * 10 * 1000000L)))
+  }
+
+  test("string column: prefix-truncated bounds prune conservatively " +
+      "for ranges, equality and startsWith") {
+    val p = tmp("str")
+    val longA = "a" * 40 // truncates: lo=floor prefix, hi=ceil prefix
+    val longZ = "z" * 40
+    def rows(prefix: String, n: Int) =
+      (0 until n).map(i => (i.toLong, s"$prefix$i")).toDF("id", "s")
+    rows(longA, 50).repartition(1).write.format("graft-v2")
+      .option("path", p).option("statsColumns", "s")
+      .option("changelog", "true").mode("append").save()
+    rows(longZ, 50).repartition(1).write.format("graft-v2")
+      .option("path", p).mode("append").save()
+    val fs = fsOf(p)
+    val snap = GraftManifest.current(fs, new Path(p)).get
+    assert(snap.fstats.size === 2)
+    assert(snap.fstats.values.forall(_("s").kind == 's'))
+    // bounds are truncated to MaxStringBoundBytes (+1 for the ceil
+    // carry drop)
+    val dec = java.util.Base64.getUrlDecoder
+    assert(snap.fstats.values.forall { st =>
+      dec.decode(st("s").lo.get).length <=
+        SkipStats.MaxStringBoundBytes &&
+      dec.decode(st("s").hi.get).length <=
+        SkipStats.MaxStringBoundBytes
+    })
+    val t = spark.read.format("graft-v2").load(p)
+    // equality: the z-file's floor-lo ("zzz...z" 32 bytes) excludes
+    // the a-strings and vice versa
+    assert(plannedRows(t.filter($"s" === s"${longZ}0")) === 50L)
+    assert(t.filter($"s" === s"${longZ}0").count() === 1L)
+    // range: everything below "b" is the a-file only
+    assert(plannedRows(t.filter($"s" < "b")) === 50L)
+    assert(t.filter($"s" < "b").count() === 50L)
+    // startsWith prunes through the prefix band [v, succ(v))
+    assert(plannedRows(t.filter($"s".startsWith("zz"))) === 50L)
+    assert(t.filter($"s".startsWith("zz")).count() === 50L)
+    // a literal equal to the truncated lo prefix itself must keep
+    // the file (floor bound admits it)
+    assert(plannedRows(t.filter($"s" === "a" * 32)) === 50L)
+    assert(t.filter($"s" === "a" * 32).count() === 0L)
+  }
+
+  test("unit-normalization and prefix-bound primitives hold at the " +
+      "edges") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    // NANOS: floor for lo, ceil for hi
+    assert(SkipStats.toMicrosFloor(1001L, TimeUnit.NANOS) === 1L)
+    assert(SkipStats.toMicrosCeil(1001L, TimeUnit.NANOS) === 2L)
+    assert(SkipStats.toMicrosFloor(-1001L, TimeUnit.NANOS) === -2L)
+    assert(SkipStats.toMicrosCeil(-1001L, TimeUnit.NANOS) === -1L)
+    assert(SkipStats.toMicrosCeil(Long.MinValue, TimeUnit.NANOS) ===
+      Math.floorDiv(Long.MinValue, 1000L))
+    // MILLIS overflow saturates to the WIDER bound
+    assert(SkipStats.toMicrosFloor(Long.MaxValue, TimeUnit.MILLIS) ===
+      Long.MinValue)
+    assert(SkipStats.toMicrosCeil(Long.MaxValue, TimeUnit.MILLIS) ===
+      Long.MaxValue)
+    assert(SkipStats.toMicrosFloor(5L, TimeUnit.MILLIS) === 5000L)
+    // prefix successor: carry over trailing 0xFF, None when all-0xFF
+    assert(SkipStats.prefixSuccessor(Array[Byte](1, 2, 3)).get.toSeq
+      === Seq[Byte](1, 2, 4))
+    assert(SkipStats.prefixSuccessor(
+      Array[Byte](1, 2, -1)).get.toSeq === Seq[Byte](1, 3))
+    assert(SkipStats.prefixSuccessor(Array[Byte](-1, -1)).isEmpty)
   }
 }
