@@ -76,7 +76,12 @@ object ScaleProbe {
     // semi-join + broadcast gram probe + map-side rules + explode)
     // and manifest data skipping (3 range-disjoint appends, the
     // range scan prunes the file list from fstat lines)
-    "q_pipeline_e2e", "q_data_skipping")
+    "q_pipeline_e2e", "q_data_skipping",
+    // round 15: soft-EM unigram training — the forward-backward
+    // E-step is piece-keyed work over DISTINCT words, and the
+    // consonant-rotated inflation grows the distinct-word table with
+    // the corpus, so the ratio covers the E-step's true scaling
+    "q_unigram_train_soft")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

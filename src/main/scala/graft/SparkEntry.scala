@@ -846,17 +846,19 @@ object SparkEntry {
     * the [[operators.Salting.twoPhaseRanks]] shape: range-bucketed
     * local ranks + a broadcast of per-bucket offsets — bit-identical
     * output (the DuckDB oracle below is the plain single-window SQL),
-    * but every sort task owns `rows / buckets`, not `rows / 3`. The
-    * two rank families use different ORDER BYs, so they CHAIN (the
-    * second pass ranks the first pass's output, sampling its split
-    * tuples from the base table) — a re-merge join on
-    * (l_orderkey, l_linenumber) would be wrong, that pair is not
-    * unique in the generated lineitem. */
+    * but every sort task owns `rows / buckets`, not `rows / 3`.
+    * `rank`/`dense_rank` ride the TIE-GROUP path
+    * ([[operators.Salting.tieGroupRanks]]: they depend only on the
+    * (flag, quantity) group — 3×50 rows here — so the data is never
+    * row-sorted for them at all); `row_number`, whose ordering is
+    * near-unique, takes the two-phase bucket path. A re-merge join on
+    * (l_orderkey, l_linenumber) would be wrong — that pair is not
+    * unique in the generated lineitem — so the passes CHAIN. */
   private val qWindowRank: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
-    val withTies = operators.Salting.twoPhaseRanks(li, Seq("l_returnflag"),
-      Seq(col("l_quantity").desc), rankCol = Some("rnk"),
-      denseRankCol = Some("drnk"))
+    val withTies = operators.Salting.tieGroupRanks(li,
+      Seq("l_returnflag"), Seq(col("l_quantity").desc),
+      rankCol = Some("rnk"), denseRankCol = Some("drnk"))
     val withRn = operators.Salting.twoPhaseRanks(withTies,
       Seq("l_returnflag"),
       Seq(col("l_extendedprice").desc, col("l_orderkey"),
@@ -1567,6 +1569,38 @@ object SparkEntry {
         array_join(slice(col("toks"), 1, 20), " ").as("head_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  // ===== event analytics ([[operators.EventOps]]) =====
+
+  /** Strict ordered funnel view→click→purchase within 24 h of the
+    * first step: type-pruned events, ONE key shuffle, map-side
+    * sorted-array fold (greedy-first = staged-min, which is exactly
+    * how the oracle re-derives it). */
+  private val qFunnel: Q = (s, dir) =>
+    operators.EventOps.funnel(t(s, dir, "events"), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"),
+      windowMicros = 86400000000L)
+
+  /** Per-user daily resample with forward fill over each user's
+    * [first, last] day span — grid explode + key-partitioned fill
+    * window (partition count grows with users). */
+  private val qResampleGapfill: Q = (s, dir) =>
+    operators.EventOps.resampleFill(t(s, dir, "events"), "user_id",
+      "ts", "value")
+      // DATE -> TIMESTAMP for the oracle compare (a raw DATE column
+      // materializes as python date objects vs the oracle's
+      // datetime64 — the one external type the driver compare can't
+      // hash uniformly); UTC session, so the cast is exact midnight
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        col("value"))
+      .orderBy(col("user_id"), col("day"))
+
+  /** Weekly cohort retention: first-seen week × activity-week offset
+    * cells — two key-hash aggregates, map-side cell rollup. */
+  private val qRetention: Q = (s, dir) =>
+    operators.EventOps.retention(t(s, dir, "events"), "user_id", "ts")
+      .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+        col("week_offset"), col("users"))
 
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
@@ -2335,6 +2369,9 @@ object SparkEntry {
     "q_wordpiece_encode" -> qWordpieceEncode,
     "q_unigram_train" -> qUnigramTrain,
     "q_unigram_train_soft" -> qUnigramTrainSoft,
+    "q_funnel" -> qFunnel,
+    "q_resample_gapfill" -> qResampleGapfill,
+    "q_retention" -> qRetention,
     "q_unigram_encode" -> qUnigramEncode,
     "q_trending_exact" -> qTrendingExact,
     "q_pipeline_e2e" -> qPipelineE2e,
@@ -2587,6 +2624,52 @@ object SparkEntry {
       UnigramIters, UnigramDpStages, UnigramVocab),
     "q_unigram_train_soft" -> DuckHash.unigramSoftTrainOracle(
       iters = 1, UnigramDpStages, UnigramVocab),
+    // event analytics: the funnel oracle re-derives the greedy-first
+    // walk as staged min-aggregates (step k = earliest qualifying
+    // event after step k-1 inside step 1's 24 h window)
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, count(*) FROM s2
+        |  UNION ALL SELECT 3, count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "q_resample_gapfill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(value) AS dmax FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |j AS (SELECT g.user_id, g.day, d.dmax FROM grid g
+        |  LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  last_value(dmax IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day) AS value
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |  FROM events)
+        |SELECT CAST(f.cw AS TIMESTAMP) AS cohort_week,
+        |  CAST(datediff('day', f.cw, a.aw) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(*) AS users
+        |FROM f JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_unigram_encode" -> DuckHash.unigramEncodeOracle(
       UnigramIters, UnigramDpStages, UnigramVocab),
     // streaming exact top-k: only windows the final watermark closed

@@ -39,6 +39,66 @@ object Salting {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** `rank`/`dense_rank` via TIE-GROUP aggregation: both depend only
+    * on the (partition key, sort tuple) group — never on row
+    * identity — so they compute on the aggregated group table (one
+    * row per distinct sort value per key: tiny whenever ranking ties
+    * are the point) and broadcast back:
+    *   rank       = 1 + rows in strictly-earlier groups of the key
+    *   dense_rank = the group's ordinal
+    * ONE data shuffle (the groupBy), a window over the group table,
+    * and a map-side broadcast join — no per-row sort of the data at
+    * all, so an O(1)-cardinality partition key costs nothing. Use
+    * [[twoPhaseRanks]] instead when the sort key is near-unique (the
+    * group table would approach the data) or for `row_number`.
+    *
+    * Join-back equality is null-safe (`<=>`), matching SQL window
+    * semantics where NULL and NaN sort keys form ordinary groups. */
+  def tieGroupRanks(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column], rankCol: Option[String] = None,
+      denseRankCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(rankCol.orElse(denseRankCol).nonEmpty,
+      "tieGroupRanks: request at least one rank column")
+    val orders = orderCols.map(ColumnBridge.sortOrderOf)
+    val keyNames = orders.indices.map(i => s"__tgr_k$i")
+    val keyed = df.select((partCols.map(col) ++
+      orders.zipWithIndex.map { case ((c, _, _), i) =>
+        c.as(keyNames(i)) }): _*)
+    val groups = keyed
+      .groupBy((partCols ++ keyNames).map(col): _*)
+      .agg(count(lit(1)).as("__tgr_cnt"))
+    val sortCols = orders.zipWithIndex.map {
+      case ((_, asc, nullsFirst), i) => (asc, nullsFirst) match {
+        case (true, true) => col(keyNames(i)).asc
+        case (true, false) => col(keyNames(i)).asc_nulls_last
+        case (false, false) => col(keyNames(i)).desc
+        case (false, true) => col(keyNames(i)).desc_nulls_first
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(sortCols: _*)
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = groups.select((partCols.map(col) ++
+      keyNames.map(col) :+
+      (coalesce(sum(col("__tgr_cnt")).over(wPrev), lit(0L)) + 1L)
+        .cast("int").as("__tgr_rk") :+
+      row_number().over(w).as("__tgr_dr")): _*)
+    // the group table derives from df, so its key attributes share
+    // df's expression ids — alias both sides before joining
+    val cond = (partCols.map(n =>
+      col(s"__tgr_l.$n") === col(s"__tgr_r.$n")) ++
+      orders.zipWithIndex.map { case ((c, _, _), i) =>
+        c <=> col(s"__tgr_r.${keyNames(i)}") }).reduce(_ && _)
+    val out = Seq(
+      rankCol.map(nm => col("__tgr_r.__tgr_rk").as(nm)),
+      denseRankCol.map(nm => col("__tgr_r.__tgr_dr").as(nm))).flatten
+    df.alias("__tgr_l")
+      .join(broadcast(ranked.alias("__tgr_r")), cond)
+      .select(df.columns.map(n => col(s"__tgr_l.$n")) ++ out: _*)
+  }
+
   /** Two-phase distributed ranking for windows whose PARTITION key has
     * O(1) distinct values (the `PARTITION BY l_returnflag` shape: 3
     * keys means one-third of the table per window task at any scale —
@@ -92,71 +152,102 @@ object Salting {
       orderCols.map(ColumnBridge.sortOrderOf)
     val childCols = orders.map(_._1)
 
-    // --- split tuples: deterministic per-partition reservoir sample,
-    // sorted on the driver, n-1 quantile positions, deduped ---
+    // --- split tuples. FAST PATH: when the leading sort key is
+    // numeric, its approx quantiles are the splits — one aggregate
+    // pass, no row deserialization; ties on the full tuple still
+    // co-locate because the bucket is a function of the leading VALUE
+    // (prefix bounds only coarsen load balance, never correctness).
+    // GENERAL PATH: deterministic per-partition reservoir sample of
+    // the full tuple, sorted on the driver, n-1 quantile positions.
     val sampleSrc = boundsFrom.getOrElse(df)
-      .select(childCols.zipWithIndex.map { case (c, i) => c.as(s"__tpr_k$i") }: _*)
-    val perPart = 32
-    val sampled: Array[org.apache.spark.sql.Row] =
-      sampleSrc.rdd.mapPartitionsWithIndex { (idx, it) =>
-        val rng = new scala.util.Random(0x9e3779b97f4a7c15L ^ idx)
-        val buf = new Array[org.apache.spark.sql.Row](perPart)
-        var seen = 0L
-        it.foreach { r =>
-          if (seen < perPart) buf(seen.toInt) = r
-          else {
-            val j = rng.nextLong() % (seen + 1)
-            val k = if (j < 0) j + seen + 1 else j
-            if (k < perPart) buf(k.toInt) = r
+    val leadingNumeric = {
+      val dt = sampleSrc.select(childCols.head.as("__tpr_k0"))
+        .schema.head.dataType
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    val bounds: Seq[Seq[Any]] =
+      if (leadingNumeric) {
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        val leadAsc = orders.head._2
+        val qs = sampleSrc.select(childCols.head.as("__tpr_k0"))
+          .na.drop("any").stat
+          .approxQuantile("__tpr_k0", probs, 0.01)
+          .toSeq.distinct
+        // quantiles come back ascending; a DESC leading key wants
+        // descending splits so bucket 0 is the order-earliest band
+        (if (leadAsc) qs else qs.reverse).map(v => Seq[Any](v))
+      } else {
+        val keyed = sampleSrc.select(childCols.zipWithIndex.map {
+          case (c, i) => c.as(s"__tpr_k$i") }: _*)
+        val perPart = 32
+        val sampled: Array[org.apache.spark.sql.Row] =
+          keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
+            val rng = new scala.util.Random(0x9e3779b97f4a7c15L ^ idx)
+            val buf = new Array[org.apache.spark.sql.Row](perPart)
+            var seen = 0L
+            it.foreach { r =>
+              if (seen < perPart) buf(seen.toInt) = r
+              else {
+                val j = rng.nextLong() % (seen + 1)
+                val k = if (j < 0) j + seen + 1 else j
+                if (k < perPart) buf(k.toInt) = r
+              }
+              seen += 1
+            }
+            buf.iterator.take(math.min(seen, perPart.toLong).toInt)
+          }.collect()
+        // driver-side comparator mirroring the window's SortOrder
+        // exactly (null position per nullOrdering; java compareTo
+        // sorts NaN greatest, same as Spark)
+        def cmpRow(a: org.apache.spark.sql.Row,
+            b: org.apache.spark.sql.Row): Int = {
+          var i = 0
+          while (i < orders.size) {
+            val (_, asc, nullsFirst) = orders(i)
+            val (x, y) = (a.get(i), b.get(i))
+            val c =
+              if (x == null && y == null) 0
+              else if (x == null) { if (nullsFirst) -1 else 1 }
+              else if (y == null) { if (nullsFirst) 1 else -1 }
+              else {
+                val v = x.asInstanceOf[Comparable[Any]].compareTo(y)
+                if (asc) v else -v
+              }
+            if (c != 0) return c
+            i += 1
           }
-          seen += 1
+          0
         }
-        buf.iterator.take(math.min(seen, perPart.toLong).toInt)
-      }.collect()
-    // driver-side comparator mirroring the window's SortOrder exactly
-    // (null position per nullOrdering; java compareTo sorts NaN
-    // greatest, same as Spark)
-    def cmpRow(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
-      var i = 0
-      while (i < orders.size) {
-        val (_, asc, nullsFirst) = orders(i)
-        val (x, y) = (a.get(i), b.get(i))
-        val c =
-          if (x == null && y == null) 0
-          else if (x == null) { if (nullsFirst) -1 else 1 }
-          else if (y == null) { if (nullsFirst) 1 else -1 }
-          else {
-            val v = x.asInstanceOf[Comparable[Any]].compareTo(y)
-            if (asc) v else -v
-          }
-        if (c != 0) return c
-        i += 1
+        val sorted = sampled.sortWith((a, b) => cmpRow(a, b) < 0)
+        val raw = (1 until n).flatMap { i =>
+          val pos = (i.toLong * sorted.length / n).toInt
+          if (pos < sorted.length) Some(sorted(pos)) else None
+        }
+        raw.foldLeft(Vector.empty[org.apache.spark.sql.Row]) {
+          (acc, r) =>
+            if (acc.nonEmpty && cmpRow(acc.last, r) == 0) acc
+            else acc :+ r
+        }.map(r => orders.indices.map(r.get))
       }
-      0
-    }
-    val sorted = sampled.sortWith((a, b) => cmpRow(a, b) < 0)
-    val rawBounds = (1 until n).flatMap { i =>
-      val pos = (i.toLong * sorted.length / n).toInt
-      if (pos < sorted.length) Some(sorted(pos)) else None
-    }
-    val bounds = rawBounds.foldLeft(Vector.empty[org.apache.spark.sql.Row]) {
-      (acc, r) => if (acc.nonEmpty && cmpRow(acc.last, r) == 0) acc else acc :+ r
-    }
 
     // bucket(row) = number of split tuples sorting strictly before the
-    // row — a deterministic, order-monotone, tie-preserving expression
-    def strictlyAfter(bound: org.apache.spark.sql.Row): Column = {
-      val terms = orders.zipWithIndex.map { case ((c, asc, nullsFirst), i) =>
-        val v = bound.get(i)
-        val after =
-          if (v == null) { if (nullsFirst) c.isNotNull else lit(false) }
-          else {
-            val strict = if (asc) c > lit(v) else c < lit(v)
-            if (nullsFirst) c.isNotNull && strict
-            else c.isNull || strict
-          }
-        val eq = if (v == null) c.isNull else c <=> lit(v)
-        (after, eq)
+    // row — a deterministic, order-monotone, tie-preserving expression.
+    // A bound may be a PREFIX of the sort tuple (the quantile fast
+    // path): comparison simply stops at the prefix, which keeps full
+    // tuple ties together a fortiori.
+    def strictlyAfter(bound: Seq[Any]): Column = {
+      val terms = orders.take(bound.size).zipWithIndex.map {
+        case ((c, asc, nullsFirst), i) =>
+          val v = bound(i)
+          val after =
+            if (v == null) { if (nullsFirst) c.isNotNull else lit(false) }
+            else {
+              val strict = if (asc) c > lit(v) else c < lit(v)
+              if (nullsFirst) c.isNotNull && strict
+              else c.isNull || strict
+            }
+          val eq = if (v == null) c.isNull else c <=> lit(v)
+          (after, eq)
       }
       terms.foldRight(lit(false)) { case ((after, eq), rest) =>
         after || (eq && rest)
@@ -171,10 +262,16 @@ object Salting {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((partCols.map(col) :+ col(bucket)): _*)
       .orderBy(orderCols: _*)
-    val local = withBucket
-      .withColumn("__tpr_rn", row_number().over(w))
-      .withColumn("__tpr_rk", rank().over(w))
-      .withColumn("__tpr_dr", dense_rank().over(w))
+    // only the REQUESTED rank kinds are computed — an unused
+    // dense_rank would drag a countDistinct expand through the
+    // offsets aggregate below
+    val localCols = Seq(
+      rowNumCol.map(_ => row_number().over(w).as("__tpr_rn")),
+      rankCol.map(_ => rank().over(w).as("__tpr_rk")),
+      denseRankCol.map(_ => dense_rank().over(w).as("__tpr_dr"))
+    ).flatten
+    val local = withBucket.select(
+      (withBucket.columns.map(col) ++ localCols): _*)
     // one row per (key, bucket): the only cross-bucket state. Derived
     // from withBucket (scan + agg), NOT from the windowed plan — the
     // offsets branch never re-runs a window.
@@ -182,13 +279,20 @@ object Salting {
       .partitionBy(partCols.map(col): _*)
       .orderBy(col(bucket))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offAggs = count(lit(1)).as("__tpr_cnt") +:
+      denseRankCol.map(_ =>
+        countDistinct(struct(childCols: _*)).as("__tpr_dcnt")).toSeq
+    val offCols = Seq(
+      Some(coalesce(sum(col("__tpr_cnt")).over(wOff), lit(0L))
+        .as("__tpr_rowOff")),
+      denseRankCol.map(_ =>
+        coalesce(sum(col("__tpr_dcnt")).over(wOff), lit(0L))
+          .as("__tpr_denseOff"))
+    ).flatten
     val offsets = withBucket
       .groupBy((partCols.map(col) :+ col(bucket)): _*)
-      .agg(count(lit(1)).as("__tpr_cnt"),
-        countDistinct(struct(childCols: _*)).as("__tpr_dcnt"))
-      .select((partCols.map(col) :+ col(bucket) :+
-        coalesce(sum(col("__tpr_cnt")).over(wOff), lit(0L)).as("__tpr_rowOff") :+
-        coalesce(sum(col("__tpr_dcnt")).over(wOff), lit(0L)).as("__tpr_denseOff")): _*)
+      .agg(offAggs.head, offAggs.tail: _*)
+      .select((partCols.map(col) :+ col(bucket)) ++ offCols: _*)
     val joined = local.join(broadcast(offsets), partCols :+ bucket)
     val out = Seq(
       rowNumCol.map(nm => (col("__tpr_rowOff") + col("__tpr_rn")).cast("int").as(nm)),

@@ -775,6 +775,28 @@ class BucketingSpec extends SparkTestBase {
       singleRn.exceptAll(twoPhaseRn).isEmpty)
   }
 
+  test("tie-group ranks equal single-window rank/dense_rank exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.t(spark, sf001, "lineitem")
+    val tg = Salting.tieGroupRanks(li, Seq("l_returnflag"),
+        Seq(col("l_quantity").desc), rankCol = Some("rnk"),
+        denseRankCol = Some("drnk"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("rnk"),
+        col("drnk"))
+    val wT = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    val single = li.select(col("l_orderkey"), col("l_linenumber"),
+      rank().over(wT).as("rnk"), dense_rank().over(wT).as("drnk"))
+    assert(tg.exceptAll(single).isEmpty && single.exceptAll(tg).isEmpty)
+    // the plan's only window runs over the AGGREGATED group table and
+    // the join back is a broadcast
+    val plan = Salting.tieGroupRanks(li, Seq("l_returnflag"),
+        Seq(col("l_quantity").desc), rankCol = Some("rnk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("two-phase rank window partitions on (key, bucket), not the bare key") {
     val li = Tables.t(spark, sf001, "lineitem")
     val plan = Salting.twoPhaseRanks(li, Seq("l_returnflag"),

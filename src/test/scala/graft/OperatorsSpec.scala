@@ -450,4 +450,65 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === want, s"binned ${got.size} vs theta ${want.size}")
     assert(got === got.distinct, "a pair was emitted more than once")
   }
+
+  test("funnel: greedy-first step times on a hand-built event log") {
+    import graft.operators.EventOps
+    def ts(m: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(m * 60))
+    // u1 completes all 3 within window; u2's click precedes its view
+    // (no step 2); u3's purchase is outside the 24 h window of step 1;
+    // u4 re-views but steps must follow the FIRST view's window
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"),
+      (1L, ts(20), "purchase"),
+      (2L, ts(0), "click"), (2L, ts(5), "view"),
+      (3L, ts(0), "view"), (3L, ts(10), "click"),
+      (3L, ts(10 + 24 * 60 + 1), "purchase"),
+      (4L, ts(0), "view"), (4L, ts(30 * 60), "view"),
+      (4L, ts(30 * 60 + 1), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 86400000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // step1: u1,u2,u3,u4; step2: u1,u3 (u2 no click after view; u4's
+    // click is 30 h after its FIRST view); step3: u1 only
+    assert(got === Seq((1L, 4L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("resampleFill: gaps carry the last observed daily max forward") {
+    import graft.operators.EventOps
+    def ts(d: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-$d%02dT$h%02d:00:00Z"))
+    val ev = Seq(
+      (1L, ts(1, 5), 10.0), (1L, ts(1, 9), 7.0), // day 1 max = 10
+      (1L, ts(4, 1), 3.0), // days 2-3 gap -> filled with 10
+      (2L, ts(2, 1), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = EventOps.resampleFill(ev, "user_id", "ts", "value")
+      .orderBy($"user_id", $"day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDouble(2))).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 10.0),
+      (1L, "2024-01-03", 10.0), (1L, "2024-01-04", 3.0),
+      (2L, "2024-01-02", 5.0)))
+  }
+
+  test("retention: cohort week offsets count distinct active users") {
+    import graft.operators.EventOps
+    def ts(d: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-$d%02dT12:00:00Z"))
+    // weeks (Mon): 2024-01-01, 01-08, 01-15
+    val ev = Seq(
+      (1L, ts(2)), (1L, ts(9)), (1L, ts(16)), // cohort w0, active +0,+1,+2
+      (2L, ts(3)), (2L, ts(17)), // cohort w0, active +0,+2
+      (3L, ts(10)) // cohort w1, active +0
+    ).toDF("user_id", "ts")
+    val got = EventOps.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-01", 2L, 2L), ("2024-01-08", 0L, 1L)))
+  }
 }
