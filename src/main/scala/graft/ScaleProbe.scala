@@ -81,7 +81,12 @@ object ScaleProbe {
     // E-step is piece-keyed work over DISTINCT words, and the
     // consonant-rotated inflation grows the distinct-word table with
     // the corpus, so the ratio covers the E-step's true scaling
-    "q_unigram_train_soft")
+    "q_unigram_train_soft",
+    // round 15: event analytics over user-offset-inflated events
+    // (factor× users, same span) — funnel's one-key-shuffle fold,
+    // resample's per-key grid + fill window, retention's two
+    // key-hash aggregates should all track the row count
+    "q_funnel", "q_resample_gapfill", "q_retention")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -486,8 +491,19 @@ object ScaleProbe {
         .withColumn("embedding", rolled)
     }).write.parquet(s"$out/embeddings.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "events").foreach { t =>
+    // events inflate by USER-ID offset: factor× users over the same
+    // time span — the funnel/retention/resample family's per-user
+    // work then scales with the row count, which is what the ratio
+    // should measure (cloned event_ids would collapse in count-
+    // distinct-free queries anyway; none key on event_id)
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val evSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    copies(ev, (d, i) => d.withColumn("user_id",
+        col("user_id") + lit(i * evSpan)))
+      .write.parquet(s"$out/events.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet")
         .write.parquet(s"$out/$t.parquet")
     }

@@ -169,10 +169,12 @@ object Salting {
       if (leadingNumeric) {
         val probs = (1 until n).map(_.toDouble / n).toArray
         val leadAsc = orders.head._2
-        val qs = sampleSrc.select(childCols.head.as("__tpr_k0"))
-          .na.drop("any").stat
-          .approxQuantile("__tpr_k0", probs, 0.01)
-          .toSeq.distinct
+        val qs =
+          if (probs.isEmpty) Seq.empty[Double]
+          else sampleSrc.select(childCols.head.as("__tpr_k0"))
+            .na.drop("any").stat
+            .approxQuantile("__tpr_k0", probs, 0.01)
+            .toSeq.distinct
         // quantiles come back ascending; a DESC leading key wants
         // descending splits so bucket 0 is the order-earliest band
         (if (leadAsc) qs else qs.reverse).map(v => Seq[Any](v))

@@ -121,4 +121,55 @@ class PropertySpec extends AnyFunSuite {
     check(BooleanType, java.lang.Boolean.FALSE,
       java.lang.Boolean.FALSE)
   }
+
+  test("two-phase and tie-group ranks equal the single window on " +
+      "random data with nulls, NaNs, ties, and random direction") {
+    import graft.operators.Salting
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val genCase = for {
+      nRows <- Gen.choose(1, 300)
+      nKeys <- Gen.choose(1, 3)
+      asc <- Gen.oneOf(true, false)
+      vals <- Gen.listOfN(nRows, Gen.frequency(
+        (8, Gen.choose(0, 12).map(v => Some(v.toDouble))),
+        (1, Gen.const(Some(Double.NaN))),
+        (1, Gen.const(Option.empty[Double]))))
+      buckets <- Gen.choose(1, 9)
+    } yield (nKeys, asc, vals, buckets)
+    forAllSeeded(genCase, 6) { case (nKeys, asc, vals, buckets) =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (s"k${i % nKeys}", v, i.toLong)
+      }
+      val df = rows.toDF("k", "v", "id")
+      val ord = if (asc) col("v").asc else col("v").desc
+      val w = Window.partitionBy(col("k")).orderBy(ord)
+      val single = df.select(col("id"), rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      val tp = Salting.twoPhaseRanks(df, Seq("k"), Seq(ord),
+          rankCol = Some("rnk"), denseRankCol = Some("drnk"),
+          buckets = buckets)
+        .select(col("id"), col("rnk"), col("drnk"))
+      assert(tp.exceptAll(single).isEmpty &&
+        single.exceptAll(tp).isEmpty,
+        s"two-phase mismatch (nKeys=$nKeys asc=$asc buckets=$buckets)")
+      val tg = Salting.tieGroupRanks(df, Seq("k"), Seq(ord),
+          rankCol = Some("rnk"), denseRankCol = Some("drnk"))
+        .select(col("id"), col("rnk"), col("drnk"))
+      assert(tg.exceptAll(single).isEmpty &&
+        single.exceptAll(tg).isEmpty,
+        s"tie-group mismatch (nKeys=$nKeys asc=$asc)")
+      // row_number over the tie-broken unique ordering
+      val ordU = Seq(ord, col("id").asc)
+      val wU = Window.partitionBy(col("k")).orderBy(ordU: _*)
+      val singleRn = df.select(col("id"),
+        row_number().over(wU).as("rn"))
+      val tpRn = Salting.twoPhaseRanks(df, Seq("k"), ordU,
+          rowNumCol = Some("rn"), buckets = buckets)
+        .select(col("id"), col("rn"))
+      assert(tpRn.exceptAll(singleRn).isEmpty &&
+        singleRn.exceptAll(tpRn).isEmpty,
+        s"row_number mismatch (nKeys=$nKeys asc=$asc buckets=$buckets)")
+    }
+  }
 }
