@@ -121,8 +121,14 @@ object ScaleProbe {
         Tables.t(spark, d, "documents"), 12)
     }
 
+    // SPARK_GRAFT_PROBE_QUERIES=a,b probes a subset (iterating on one
+    // operator's ratio without paying the full ~1 h sweep)
+    val selected = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .map(s => probeQueries.filter(s.contains))
+      .getOrElse(probeQueries)
     var worst = 0.0
-    probeQueries.foreach { q =>
+    selected.foreach { q =>
       // two runs each, keep the min — the sandbox is ±30% noisy
       val t1 = math.min(timeOnce(q, base), timeOnce(q, base))
       val tN = math.min(timeOnce(q, scaled), timeOnce(q, scaled))
