@@ -890,6 +890,56 @@ object SparkEntry {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** `percent_rank` + `cume_dist` over the same O(1)-cardinality
+    * partition key, through the same two-phase machinery — the
+    * complete distributive-rank family is scale-safe, not just the
+    * integer ranks. Both definitions are exact long arithmetic until
+    * one final double division, so the oracle's own evaluation
+    * reproduces them bit-for-bit. */
+  private val qWindowPct: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    operators.Salting.twoPhaseRanks(li, Seq("l_returnflag"),
+      Seq(col("l_quantity").desc), percentRankCol = Some("prnk"),
+      cumeDistCol = Some("cume"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("prnk"),
+        col("cume"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("prnk"),
+        col("cume"))
+  }
+
+  /** Batch sessionization over the events table: a session breaks at
+    * a >30 min gap; per user the session count, the largest session's
+    * event count, and total active seconds. Gap detection is a
+    * lag+cumsum window PARTITIONED BY USER (partition count grows
+    * with the data), the per-session rollup two key-hash
+    * aggregates. */
+  private val qSessionize: Q = (s, dir) => {
+    val gapMicros = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    val withSess = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(w).isNull ||
+          col("tu") - lag(col("tu"), 1).over(w) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSess
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("tu")) - min(col("tu"))) / lit(1000000L))
+          .cast("long").as("secs"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("secs")).as("total_active_secs"))
+      .orderBy(col("user_id"))
+  }
+
   private val qWindowLag: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -2314,6 +2364,8 @@ object SparkEntry {
     "q_window_ntile" -> qWindowNtile,
     "q_window_rank" -> qWindowRank,
     "q_window_rank_hk" -> qWindowRankHk,
+    "q_window_pct" -> qWindowPct,
+    "q_sessionize" -> qSessionize,
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
     "q_union" -> qUnion,
@@ -3562,6 +3614,36 @@ object SparkEntry {
         |      AS INTEGER) AS rn
         |  FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q_window_pct" ->
+      """SELECT l_orderkey, l_linenumber,
+        |percent_rank() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity DESC) AS prnk,
+        |cume_dist() OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity DESC) AS cume
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, prnk, cume""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id)
+        |        > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, tu,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |per AS (SELECT user_id, sess_id,
+        |    count(*) AS n_events,
+        |    (max(tu) - min(tu)) // 1000000 AS secs
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(secs) AS BIGINT) AS total_active_secs
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_window_lag" ->
       """SELECT o_orderkey, o_custkey,
         |lag(o_totalprice, 1) OVER (PARTITION BY o_custkey

@@ -141,9 +141,12 @@ object Salting {
   def twoPhaseRanks(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column], rowNumCol: Option[String] = None,
       rankCol: Option[String] = None, denseRankCol: Option[String] = None,
-      buckets: Int = 0, boundsFrom: Option[DataFrame] = None): DataFrame = {
+      buckets: Int = 0, boundsFrom: Option[DataFrame] = None,
+      percentRankCol: Option[String] = None,
+      cumeDistCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    require(rowNumCol.orElse(rankCol).orElse(denseRankCol).nonEmpty,
+    require(rowNumCol.orElse(rankCol).orElse(denseRankCol)
+      .orElse(percentRankCol).orElse(cumeDistCol).nonEmpty,
       "twoPhaseRanks: request at least one rank column")
     val n = if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -267,10 +270,17 @@ object Salting {
     // only the REQUESTED rank kinds are computed — an unused
     // dense_rank would drag a countDistinct expand through the
     // offsets aggregate below
+    val needRank = rankCol.isDefined || percentRankCol.isDefined
+    // rows ≤ current (peers included): the RANGE frame counts through
+    // ties — cume_dist's numerator, bucket-locally
+    val wLe = w.rangeBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
     val localCols = Seq(
       rowNumCol.map(_ => row_number().over(w).as("__tpr_rn")),
-      rankCol.map(_ => rank().over(w).as("__tpr_rk")),
-      denseRankCol.map(_ => dense_rank().over(w).as("__tpr_dr"))
+      if (needRank) Some(rank().over(w).as("__tpr_rk")) else None,
+      denseRankCol.map(_ => dense_rank().over(w).as("__tpr_dr")),
+      cumeDistCol.map(_ => count(lit(1)).over(wLe).as("__tpr_le"))
     ).flatten
     val local = withBucket.select(
       (withBucket.columns.map(col) ++ localCols): _*)
@@ -284,12 +294,18 @@ object Salting {
     val offAggs = count(lit(1)).as("__tpr_cnt") +:
       denseRankCol.map(_ =>
         countDistinct(struct(childCols: _*)).as("__tpr_dcnt")).toSeq
+    val needTotal = percentRankCol.isDefined || cumeDistCol.isDefined
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
     val offCols = Seq(
       Some(coalesce(sum(col("__tpr_cnt")).over(wOff), lit(0L))
         .as("__tpr_rowOff")),
       denseRankCol.map(_ =>
         coalesce(sum(col("__tpr_dcnt")).over(wOff), lit(0L))
-          .as("__tpr_denseOff"))
+          .as("__tpr_denseOff")),
+      if (needTotal)
+        Some(sum(col("__tpr_cnt")).over(wAll).as("__tpr_total"))
+      else None
     ).flatten
     val offsets = withBucket
       .groupBy((partCols.map(col) :+ col(bucket)): _*)
@@ -299,7 +315,18 @@ object Salting {
     val out = Seq(
       rowNumCol.map(nm => (col("__tpr_rowOff") + col("__tpr_rn")).cast("int").as(nm)),
       rankCol.map(nm => (col("__tpr_rowOff") + col("__tpr_rk")).cast("int").as(nm)),
-      denseRankCol.map(nm => (col("__tpr_denseOff") + col("__tpr_dr")).cast("int").as(nm))
+      denseRankCol.map(nm => (col("__tpr_denseOff") + col("__tpr_dr")).cast("int").as(nm)),
+      // SQL definitions verbatim: (rank-1)/(N-1) with the single-row
+      // partition pinned to 0; (rows ≤ current)/N — the long/long
+      // double divisions reproduce any engine's own evaluation
+      percentRankCol.map(nm =>
+        when(col("__tpr_total") === 1L, lit(0.0))
+          .otherwise((col("__tpr_rowOff") + col("__tpr_rk") - 1L)
+            .cast("double") / (col("__tpr_total") - 1L))
+          .as(nm)),
+      cumeDistCol.map(nm =>
+        ((col("__tpr_rowOff") + col("__tpr_le")).cast("double") /
+          col("__tpr_total")).as(nm))
     ).flatten
     joined.select((df.columns.map(col) ++ out): _*)
   }
