@@ -289,6 +289,35 @@ class SkipStatsSpec extends SparkTestBase {
     assert(t.filter($"s" === "a" * 32).count() === 0L)
   }
 
+  test("multibyte string bounds: truncation may split a codepoint, " +
+      "byte-order pruning stays exact") {
+    val p = tmp("mb")
+    // 3-byte CJK chars: 12 chars = 36 bytes > the 32-byte bound, so
+    // the floor prefix ends mid-codepoint — sound, because bounds
+    // compare as BYTES (never decoded)
+    val cjk = "日本語テキスト検" +
+      "索対象文"
+    val lat = "a" * 40
+    def rows(prefix: String, n: Int) =
+      (0 until n).map(i => (i.toLong, s"$prefix$i")).toDF("id", "s")
+    rows(cjk, 30).repartition(1).write.format("graft-v2")
+      .option("path", p).option("statsColumns", "s")
+      .option("changelog", "true").mode("append").save()
+    rows(lat, 30).repartition(1).write.format("graft-v2")
+      .option("path", p).mode("append").save()
+    val t = spark.read.format("graft-v2").load(p)
+    // ASCII probes prune the CJK file (0x61 < 0xE6...) and vice versa
+    assert(plannedRows(t.filter($"s" === s"${lat}5")) === 30L)
+    assert(t.filter($"s" === s"${lat}5").count() === 1L)
+    assert(plannedRows(t.filter($"s" > "日")) === 30L)
+    assert(t.filter($"s" > "日").count() === 30L)
+    assert(plannedRows(t.filter($"s".startsWith(cjk.take(3)))) === 30L)
+    assert(t.filter($"s".startsWith(cjk.take(3))).count() === 30L)
+    // equality on a full CJK value keeps exactly the CJK file
+    assert(plannedRows(t.filter($"s" === s"${cjk}7")) === 30L)
+    assert(t.filter($"s" === s"${cjk}7").count() === 1L)
+  }
+
   test("unit-normalization and prefix-bound primitives hold at the " +
       "edges") {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
