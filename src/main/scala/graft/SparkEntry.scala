@@ -1670,6 +1670,20 @@ object SparkEntry {
     }.toDF("rank", "piece", "cnt", "score")
   }
 
+  /** Second soft-EM round: round ≥ 2 re-quantizes weights FROM the
+    * micro-expectations (count scale 1e6 instead of 1), so this gate
+    * proves the multi-round integer contract end-to-end, not just the
+    * seeded first E-step. */
+  private val qUnigramTrainSoft2: Q = (s, dir) => {
+    val m = Unigram.trainSoftCached(
+      s"$dir/documents#unisoft2_$UnigramVocab",
+      t(s, dir, "documents"), UnigramVocab, iters = 2)
+    import s.implicits._
+    m.pieces.zipWithIndex.map { case ((p, c, sc), i) =>
+      (i + 1L, p, c, sc)
+    }.toDF("rank", "piece", "cnt", "score")
+  }
+
   /** Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     * filter with a count LM): train on even doc_ids, score odd
     * doc_ids, so the stupid-backoff path genuinely fires on unseen
@@ -2421,6 +2435,7 @@ object SparkEntry {
     "q_wordpiece_encode" -> qWordpieceEncode,
     "q_unigram_train" -> qUnigramTrain,
     "q_unigram_train_soft" -> qUnigramTrainSoft,
+    "q_unigram_train_soft2" -> qUnigramTrainSoft2,
     "q_funnel" -> qFunnel,
     "q_resample_gapfill" -> qResampleGapfill,
     "q_retention" -> qRetention,
@@ -2676,6 +2691,8 @@ object SparkEntry {
       UnigramIters, UnigramDpStages, UnigramVocab),
     "q_unigram_train_soft" -> DuckHash.unigramSoftTrainOracle(
       iters = 1, UnigramDpStages, UnigramVocab),
+    "q_unigram_train_soft2" -> DuckHash.unigramSoftTrainOracle(
+      iters = 2, UnigramDpStages, UnigramVocab),
     // event analytics: the funnel oracle re-derives the greedy-first
     // walk as staged min-aggregates (step k = earliest qualifying
     // event after step k-1 inside step 1's 24 h window)

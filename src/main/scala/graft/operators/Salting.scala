@@ -39,6 +39,36 @@ object Salting {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** Self-tuning entry point for scale-safe ranking over
+    * low-cardinality partition keys: one approx-distinct pass decides
+    * whether the (key, sort-tuple) group table is broadcastable — if
+    * so, `rank`/`dense_rank` ride [[tieGroupRanks]] (no row sort at
+    * all); otherwise, or whenever `row_number` is requested (its
+    * ordering is near-unique by definition), [[twoPhaseRanks]] takes
+    * over. `maxGroups` bounds what "broadcastable" means — the group
+    * table is one row per distinct sort value per key. */
+  def scalableRanks(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column], rowNumCol: Option[String] = None,
+      rankCol: Option[String] = None,
+      denseRankCol: Option[String] = None,
+      maxGroups: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tieOnly = rowNumCol.isEmpty &&
+      rankCol.orElse(denseRankCol).nonEmpty
+    lazy val groupsApprox = {
+      val children = orderCols.map(c => ColumnBridge.sortOrderOf(c)._1)
+      df.agg(approx_count_distinct(
+        struct((partCols.map(col) ++ children): _*)).as("g"))
+        .head().getLong(0)
+    }
+    if (tieOnly && groupsApprox <= maxGroups) {
+      tieGroupRanks(df, partCols, orderCols, rankCol, denseRankCol)
+    } else {
+      twoPhaseRanks(df, partCols, orderCols, rowNumCol, rankCol,
+        denseRankCol)
+    }
+  }
+
   /** `rank`/`dense_rank` via TIE-GROUP aggregation: both depend only
     * on the (partition key, sort tuple) group — never on row
     * identity — so they compute on the aggregated group table (one

@@ -797,6 +797,40 @@ class BucketingSpec extends SparkTestBase {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("scalableRanks self-tunes: tie-group path under the group " +
+      "bound, two-phase past it or when row_number is requested") {
+    val li = Tables.t(spark, sf001, "lineitem")
+    // ~150 (flag, qty) groups <= bound: tie-group (no data window)
+    val tg = Salting.scalableRanks(li, Seq("l_returnflag"),
+      Seq(col("l_quantity").desc), rankCol = Some("rnk"))
+    val tgPlan = tg.queryExecution.optimizedPlan.toString
+    assert(!tgPlan.contains("__tpr_bucket"), tgPlan)
+    // groups over the bound: two-phase buckets
+    val tp = Salting.scalableRanks(li, Seq("l_returnflag"),
+      Seq(col("l_quantity").desc), rankCol = Some("rnk"),
+      maxGroups = 10L)
+    assert(tp.queryExecution.optimizedPlan.toString
+      .contains("__tpr_bucket"))
+    // row_number forces two-phase regardless of tie density
+    val rn = Salting.scalableRanks(li, Seq("l_returnflag"),
+      Seq(col("l_quantity").desc, col("l_orderkey"),
+        col("l_linenumber")), rowNumCol = Some("rn"))
+    assert(rn.queryExecution.optimizedPlan.toString
+      .contains("__tpr_bucket"))
+    // all three produce the single-window answers
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    val single = li.select(col("l_orderkey"), col("l_linenumber"),
+      rank().over(wT).as("rnk"))
+    Seq(tg, tp).foreach { d =>
+      val got = d.select(col("l_orderkey"), col("l_linenumber"),
+        col("rnk"))
+      assert(got.exceptAll(single).isEmpty &&
+        single.exceptAll(got).isEmpty)
+    }
+  }
+
   test("two-phase rank window partitions on (key, bucket), not the bare key") {
     val li = Tables.t(spark, sf001, "lineitem")
     val plan = Salting.twoPhaseRanks(li, Seq("l_returnflag"),
