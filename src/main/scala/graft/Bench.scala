@@ -27,9 +27,12 @@ object Bench {
     * stream/DML cycle inside the query — their serial-pass timings
     * are the noisiest, so regressions there NEED the fresh-JVM
     * adjudication). q2/q21 joined in round 15 after unconfirmed +49%/
-    * +86% serial-pass deltas. Diffs against BASELINE.md's subset row
-    * sit above the noise floor that the full serial pass can no
-    * longer guarantee. */
+    * +86% serial-pass deltas (cleared as JVM-state phantoms);
+    * q_union/q_unpivot/q_wordpiece_encode joined in round 16 after
+    * the same pattern (4-5x serial deltas with no code change on
+    * their paths). Diffs against BASELINE.md's subset row sit above
+    * the noise floor that the full serial pass can no longer
+    * guarantee. */
   val HeadlineSubset: Seq[String] = Seq(
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q5", "q_tpch_q9",
     "q_tpch_q18", "q_tpch_q21",
@@ -38,7 +41,8 @@ object Bench {
     "q_dedup_exact", "q_dedup_near", "q_dedup_substr", "q_line_dedup",
     "q_semdedup", "q_window_rank_hk",
     "q_trending_exact", "q_postings_tail", "q_mv_refresh", "q_cdf",
-    "q_pipeline_e2e")
+    "q_pipeline_e2e",
+    "q_union", "q_unpivot", "q_wordpiece_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1063,27 +1063,35 @@ private[graft] object DuckHash {
     "WITH " + unigramCtes(iters, dpStages, vocabSize) + ",\n" +
       "uscm AS (SELECT piece, s FROM umodel),\n" +
       unigramViterbiCtes("e", "uscm", dpStages) + ",\n" +
-      s"""useg AS (SELECT w, list(piece ORDER BY j) AS acc
-         |  FROM ueme GROUP BY w),
-         |udocws AS (SELECT doc_id,
-         |    list_filter(
-         |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |        t -> t <> ''),
-         |      w2 -> regexp_matches(w2, '^[a-z0-9]+$$')) AS ws
-         |  FROM documents),
-         |uocc AS (SELECT doc_id, i AS widx, ws[i] AS w
-         |  FROM udocws, unnest(generate_series(1,
-         |    greatest(len(ws), 0))) AS u(i)),
-         |uenc0 AS (SELECT uocc.doc_id,
-         |    flatten(list(useg.acc ORDER BY uocc.widx)) AS toks
-         |  FROM uocc JOIN useg USING (w) GROUP BY uocc.doc_id),
-         |uenc AS (SELECT d.doc_id,
-         |    coalesce(e.toks, CAST([] AS VARCHAR[])) AS toks
-         |  FROM documents d LEFT JOIN uenc0 e USING (doc_id))
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |  array_to_string(toks[1:$headTokens], ' ') AS head_tokens
-         |FROM uenc ORDER BY doc_id""".stripMargin
+      unigramEncodeTail("e", headTokens)
+
+  /** Per-document flatten of a Viterbi segmentation (`uem$tag` from
+    * [[unigramViterbiCtes]]): words rejoin their positions, pieces in
+    * left-to-right order, docs with no eligible words keep an empty
+    * token list. Ends in the final SELECT. */
+  private def unigramEncodeTail(tag: String, headTokens: Int): String =
+    s"""useg$tag AS (SELECT w, list(piece ORDER BY j) AS acc
+       |  FROM uem$tag GROUP BY w),
+       |udocws$tag AS (SELECT doc_id,
+       |    list_filter(
+       |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |        t -> t <> ''),
+       |      w2 -> regexp_matches(w2, '^[a-z0-9]+$$')) AS ws
+       |  FROM documents),
+       |uocc$tag AS (SELECT doc_id, i AS widx, ws[i] AS w
+       |  FROM udocws$tag, unnest(generate_series(1,
+       |    greatest(len(ws), 0))) AS u(i)),
+       |uenc0$tag AS (SELECT uocc$tag.doc_id,
+       |    flatten(list(useg$tag.acc ORDER BY uocc$tag.widx)) AS toks
+       |  FROM uocc$tag JOIN useg$tag USING (w)
+       |  GROUP BY uocc$tag.doc_id),
+       |uenc$tag AS (SELECT d.doc_id,
+       |    coalesce(e.toks, CAST([] AS VARCHAR[])) AS toks
+       |  FROM documents d LEFT JOIN uenc0$tag e USING (doc_id))
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  array_to_string(toks[1:$headTokens], ' ') AS head_tokens
+       |FROM uenc$tag ORDER BY doc_id""".stripMargin
 
   // ───────── unigram-LM tokenizer, SOFT EM (forward-backward) ─────────
   //
@@ -1157,6 +1165,17 @@ private[graft] object DuckHash {
   /** Oracle for `q_unigram_train_soft`: the ranked kept-piece table
     * `(rank, piece, cnt, score)` with cnt in MICRO-expectations. */
   def unigramSoftTrainOracle(iters: Int, dpStages: Int,
+      vocabSize: Int): String =
+    "WITH " + unigramSoftCtes(iters, dpStages, vocabSize) + "\n" +
+      """SELECT CAST(rank AS BIGINT) AS rank, piece,
+        |  c AS cnt, s AS score
+        |FROM umodelS ORDER BY rank""".stripMargin
+
+  /** The full soft-EM training pipeline as CTEs ending in `umodelS`
+    * (piece, c, s, rank) — shared by the soft train and encode
+    * oracles. Also defines `uwords`/`upos`, which
+    * [[unigramViterbiCtes]] consumes. */
+  private def unigramSoftCtes(iters: Int, dpStages: Int,
       vocabSize: Int): String = {
     val head = Seq(
       """uwords AS MATERIALIZED (
@@ -1211,9 +1230,17 @@ private[graft] object DuckHash {
         |      AS BIGINT) AS s,
         |    row_number() OVER (ORDER BY c DESC, piece) AS rank
         |  FROM ukeepS)""".stripMargin)
-    "WITH " + (head ++ rounds ++ keep).mkString(",\n") + "\n" +
-      """SELECT CAST(rank AS BIGINT) AS rank, piece,
-        |  c AS cnt, s AS score
-        |FROM umodelS ORDER BY rank""".stripMargin
+    (head ++ rounds ++ keep).mkString(",\n")
   }
+
+  /** Oracle for `q_unigram_encode_soft`: Viterbi encode under the
+    * SOFT-trained model's scores — the soft pipeline's `umodelS`
+    * feeds the same segment-and-flatten tail the hard encode oracle
+    * uses. */
+  def unigramEncodeSoftOracle(iters: Int, dpStages: Int,
+      vocabSize: Int, headTokens: Int = 20): String =
+    "WITH " + unigramSoftCtes(iters, dpStages, vocabSize) + ",\n" +
+      "uscmS AS (SELECT piece, s FROM umodelS),\n" +
+      unigramViterbiCtes("es", "uscmS", dpStages) + ",\n" +
+      unigramEncodeTail("es", headTokens)
 }

@@ -1684,6 +1684,25 @@ object SparkEntry {
     }.toDF("rank", "piece", "cnt", "score")
   }
 
+  /** Viterbi encoding under the SOFT-trained unigram model: the
+    * forward-backward expectations change the kept vocabulary and its
+    * scores, and this gate proves the model's encode face end-to-end
+    * (same map-only literal-map/DP plumbing as [[qUnigramEncode]],
+    * different model). Shares [[qUnigramTrainSoft]]'s cached fit. */
+  private val qUnigramEncodeSoft: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val m = Unigram.trainSoftCached(
+      s"$dir/documents#unisoft$UnigramVocab", docs, UnigramVocab,
+      iters = 1)
+    Unigram.encode(docs, m)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long")
+          .as("n_distinct"),
+        array_join(slice(col("toks"), 1, 20), " ").as("head_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM quality scoring (the CCNet/KenLM-style perplexity
     * filter with a count LM): train on even doc_ids, score odd
     * doc_ids, so the stupid-backoff path genuinely fires on unseen
@@ -2440,6 +2459,7 @@ object SparkEntry {
     "q_resample_gapfill" -> qResampleGapfill,
     "q_retention" -> qRetention,
     "q_unigram_encode" -> qUnigramEncode,
+    "q_unigram_encode_soft" -> qUnigramEncodeSoft,
     "q_trending_exact" -> qTrendingExact,
     "q_pipeline_e2e" -> qPipelineE2e,
     "q_lm_score" -> qLmScore,
@@ -2741,6 +2761,8 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_unigram_encode" -> DuckHash.unigramEncodeOracle(
       UnigramIters, UnigramDpStages, UnigramVocab),
+    "q_unigram_encode_soft" -> DuckHash.unigramEncodeSoftOracle(
+      iters = 1, UnigramDpStages, UnigramVocab),
     // streaming exact top-k: only windows the final watermark closed
     // appear; the stream watermarks the DERIVED window-start column
     // (StreamOps.trendingSummary), so the horizon is

@@ -142,7 +142,7 @@ object VerifyDrive {
       Seq("id"), fpp = 0.01)
     val bloomCovered = spark.sql(
       "SELECT count(*) FROM graft.d.events.files " +
-      "WHERE bloom_cols LIKE 'id(fpp=0.01%'").head.getLong(0)
+      "WHERE bloom_cols LIKE 'id(fpp=0.01)%'").head.getLong(0)
     println(s"METADATA t.files bloom_cols -> $bloomCovered of " +
       s"$metaFiles files covered (expect all)")
     spark.stop()

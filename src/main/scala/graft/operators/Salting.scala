@@ -61,7 +61,11 @@ object Salting {
         struct((partCols.map(col) ++ children): _*)).as("g"))
         .head().getLong(0)
     }
-    if (tieOnly && groupsApprox <= maxGroups) {
+    // approx_count_distinct typically under-counts by a few percent
+    // near the boundary; a 10% safety margin keeps the broadcast group
+    // table from silently exceeding maxGroups (perf/driver-memory
+    // guard only — either path is exact)
+    if (tieOnly && groupsApprox * 11L <= maxGroups * 10L) {
       tieGroupRanks(df, partCols, orderCols, rankCol, denseRankCol)
     } else {
       twoPhaseRanks(df, partCols, orderCols, rowNumCol, rankCol,
@@ -116,9 +120,12 @@ object Salting {
         .cast("int").as("__tgr_rk") :+
       row_number().over(w).as("__tgr_dr")): _*)
     // the group table derives from df, so its key attributes share
-    // df's expression ids — alias both sides before joining
+    // df's expression ids — alias both sides before joining. Partition
+    // keys use null-safe equality: a window function ranks rows whose
+    // PARTITION BY value is NULL (they form an ordinary partition), so
+    // the join-back must not drop them.
     val cond = (partCols.map(n =>
-      col(s"__tgr_l.$n") === col(s"__tgr_r.$n")) ++
+      col(s"__tgr_l.$n") <=> col(s"__tgr_r.$n")) ++
       orders.zipWithIndex.map { case ((c, _, _), i) =>
         c <=> col(s"__tgr_r.${keyNames(i)}") }).reduce(_ && _)
     val out = Seq(
@@ -168,6 +175,23 @@ object Salting {
     *                   pruned file scan instead of re-running the
     *                   upstream pipeline
     */
+  /** Cap on partitions feeding the split-tuple reservoir: ~4 per
+    * target bucket, floor 64 so tiny bucket counts still sample
+    * broadly. */
+  private[graft] def maxSamplePartitions(buckets: Int): Int =
+    math.max(4 * buckets, 64)
+
+  /** Deterministic pseudo-random subset of partition ids to sample
+    * (all of them when the table is small). */
+  private[graft] def samplePartitionIds(numPartitions: Int,
+      maxParts: Int): Set[Int] =
+    if (numPartitions <= maxParts) (0 until numPartitions).toSet
+    else {
+      val rng = new scala.util.Random(0x9e3779b97f4a7c15L)
+      rng.shuffle((0 until numPartitions).toVector)
+        .take(maxParts).toSet
+    }
+
   def twoPhaseRanks(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[Column], rowNumCol: Option[String] = None,
       rankCol: Option[String] = None, denseRankCol: Option[String] = None,
@@ -215,8 +239,20 @@ object Salting {
         val keyed = sampleSrc.select(childCols.zipWithIndex.map {
           case (c, i) => c.as(s"__tpr_k$i") }: _*)
         val perPart = 32
+        // driver memory is O(sampledPartitions × perPart): at 100 TB a
+        // table has 10^5–10^6 tasks, so cap how many partitions feed
+        // the reservoir — ~4 per target bucket is plenty for load
+        // balance (splits shape balance, never correctness)
+        val rdd0 = keyed.rdd
+        val pruned = {
+          val ids = samplePartitionIds(rdd0.getNumPartitions,
+            maxSamplePartitions(n))
+          if (ids.size == rdd0.getNumPartitions) rdd0
+          else org.apache.spark.rdd.PartitionPruningRDD.create(
+            rdd0, ids.contains)
+        }
         val sampled: Array[org.apache.spark.sql.Row] =
-          keyed.rdd.mapPartitionsWithIndex { (idx, it) =>
+          pruned.mapPartitionsWithIndex { (idx, it) =>
             val rng = new scala.util.Random(0x9e3779b97f4a7c15L ^ idx)
             val buf = new Array[org.apache.spark.sql.Row](perPart)
             var seen = 0L
@@ -341,7 +377,16 @@ object Salting {
       .groupBy((partCols.map(col) :+ col(bucket)): _*)
       .agg(offAggs.head, offAggs.tail: _*)
       .select((partCols.map(col) :+ col(bucket)) ++ offCols: _*)
-    val joined = local.join(broadcast(offsets), partCols :+ bucket)
+    // explicit null-safe (<=>) partition-key condition instead of a
+    // using-column join: USING drops rows whose partition key is NULL,
+    // but a window ranks them (NULL keys form an ordinary partition).
+    // Bucket is never null, plain equality suffices there.
+    val joined = local.alias("__tpr_l").join(
+      broadcast(offsets.alias("__tpr_r")),
+      (partCols.map(nm =>
+        col(s"__tpr_l.$nm") <=> col(s"__tpr_r.$nm")) :+
+        (col(s"__tpr_l.$bucket") === col(s"__tpr_r.$bucket")))
+        .reduce(_ && _))
     val out = Seq(
       rowNumCol.map(nm => (col("__tpr_rowOff") + col("__tpr_rn")).cast("int").as(nm)),
       rankCol.map(nm => (col("__tpr_rowOff") + col("__tpr_rk")).cast("int").as(nm)),
@@ -358,6 +403,7 @@ object Salting {
         ((col("__tpr_rowOff") + col("__tpr_le")).cast("double") /
           col("__tpr_total")).as(nm))
     ).flatten
-    joined.select((df.columns.map(col) ++ out): _*)
+    joined.select(
+      (df.columns.map(n => col(s"__tpr_l.$n")).toSeq ++ out): _*)
   }
 }

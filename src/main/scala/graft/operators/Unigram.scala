@@ -59,6 +59,12 @@ object Unigram {
   /** Micro-nats: ln(p) quantized to 1e-6 — integer Viterbi sums. */
   val ScoreScale = 1000000L
 
+  /** Stride of the (position, length) map key `i * KeyStride + l`.
+    * `l` ranges over [1, MaxPieceLen], so the key is collision-free
+    * iff MaxPieceLen <= KeyStride — derived, so raising MaxPieceLen
+    * can never silently alias two cells. */
+  val KeyStride: Int = math.max(8, MaxPieceLen + 1)
+
   // ───────────────────────── training ─────────────────────────
 
   /** All (position, length ≤ MaxPieceLen) substrings of the eligible
@@ -91,7 +97,7 @@ object Unigram {
   }
 
   /** The Viterbi DP over one word as a pure expression: `sm` maps
-    * `i * 8 + l` (1-based position, piece length) to the piece's
+    * `i * KeyStride + l` (1-based position, piece length) to the piece's
     * integer score; returns the best segmentation's piece array.
     * DP cells are `(score, negPieces, lastLen)` structs — `array_max`
     * over candidate structs IS the tie rule (score DESC, pieces ASC,
@@ -109,7 +115,7 @@ object Unigram {
       (acc, j) => {
         val cands = array((1 to MaxPieceLen).map { l =>
           val prev = element_at(acc, j - l + 1)
-          val sc = element_at(sm, (j - lit(l) + 1) * 8 + lit(l))
+          val sc = element_at(sm, (j - lit(l) + 1) * KeyStride + lit(l))
           when(j >= l && sc.isNotNull,
             struct((prev.getField("score") + sc).as("score"),
               (prev.getField("negNp") - 1).as("negNp"),
@@ -145,7 +151,7 @@ object Unigram {
       .join(scores, Seq("piece"))
       .groupBy(col("w"))
       .agg(map_from_entries(collect_list(
-        struct((col("i") * 8 + col("l")).as("k"), col("s").as("v"))))
+        struct((col("i") * KeyStride + col("l")).as("k"), col("s").as("v"))))
         .as("sm"))
     words.join(sm, Seq("w"))
       .select(col("w"), col("cnt"),
@@ -292,7 +298,7 @@ object Unigram {
       array(dec38(lit(1))),
       (acc, j) => concat(acc, array(
         (1 to MaxPieceLen).map { l =>
-          val q = element_at(qm, (j - lit(l) + 1) * 8 + lit(l))
+          val q = element_at(qm, (j - lit(l) + 1) * KeyStride + lit(l))
           when(j >= l && q.isNotNull,
             element_at(acc, j - l + 1) * dec38(q))
             .otherwise(dec38(lit(0)))
@@ -308,7 +314,7 @@ object Unigram {
       array(dec38(lit(1))),
       (acc, m) => concat(acc, array(
         (1 to MaxPieceLen).map { l =>
-          val q = element_at(qm, (n - m + lit(1)) * 8 + lit(l))
+          val q = element_at(qm, (n - m + lit(1)) * KeyStride + lit(l))
           when(m >= l && q.isNotNull,
             dec38(q) * element_at(acc, m - l + 1))
             .otherwise(dec38(lit(0)))
@@ -324,7 +330,7 @@ object Unigram {
     val pp = positionPieces(words).join(weights, Seq("piece"))
     val qm = pp.groupBy(col("w"))
       .agg(map_from_entries(collect_list(
-        struct((col("i") * 8 + col("l")).as("k"), col("q").as("v"))))
+        struct((col("i") * KeyStride + col("l")).as("k"), col("q").as("v"))))
         .as("qm"))
     val ab = words.select(col("w")).join(qm, Seq("w"))
       .select(col("w"), forwardArr(col("w"), col("qm")).as("fa"),
@@ -448,13 +454,13 @@ object Unigram {
       Seq(lit(p), lit(s))
     }
     val litMap = map(entries: _*)
-    // per word: the (i*8+l) -> score map materializes from the
+    // per word: the (i*KeyStride+l) -> score map materializes from
     // literal piece map, then the shared DP runs
     def wordMap(w: Column): Column =
       map_from_entries(filter(
         flatten(transform(sequence(lit(1), length(w)), i =>
           transform(sequence(lit(1), lit(MaxPieceLen)), l =>
-            struct((i * 8 + l).as("k"),
+            struct((i * KeyStride + l).as("k"),
               when(i + l - 1 <= length(w),
                 element_at(litMap, w.substr(i, l))).as("v"))))),
         e => e.getField("v").isNotNull))

@@ -846,6 +846,58 @@ class BucketingSpec extends SparkTestBase {
       s"a data window partitions on the bare key:\n$plan")
   }
 
+  test("rank rewrites keep rows whose PARTITION BY key is NULL") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), 3.0, 1L), (Option("a"), 3.0, 2L),
+      (Option("a"), 1.0, 3L), (Option.empty[String], 5.0, 4L),
+      (Option.empty[String], 5.0, 5L),
+      (Option.empty[String], 2.0, 6L), (Option("b"), 7.0, 7L)
+    ).toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+    val single = df.select(col("id"), rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"))
+    val tg = Salting.tieGroupRanks(df, Seq("k"), Seq(col("v").desc),
+        rankCol = Some("rnk"), denseRankCol = Some("drnk"))
+      .select(col("id"), col("rnk"), col("drnk"))
+    assert(tg.count() == df.count(),
+      "tie-group join-back dropped NULL-keyed rows")
+    assert(tg.exceptAll(single).isEmpty && single.exceptAll(tg).isEmpty)
+    val tp = Salting.twoPhaseRanks(df, Seq("k"), Seq(col("v").desc),
+        rankCol = Some("rnk"), denseRankCol = Some("drnk"), buckets = 3)
+      .select(col("id"), col("rnk"), col("drnk"))
+    assert(tp.count() == df.count(),
+      "two-phase join-back dropped NULL-keyed rows")
+    assert(tp.exceptAll(single).isEmpty && single.exceptAll(tp).isEmpty)
+  }
+
+  test("non-numeric split sampler bounds its driver collect to a " +
+      "fixed partition sample and stays exact") {
+    // the helper contract: the sampled-partition set is capped, so the
+    // driver reservoir is O(maxParts * 32) no matter how many tasks
+    // the table has (10^5-10^6 at 100 TB)
+    val cap = Salting.maxSamplePartitions(8)
+    val ids = Salting.samplePartitionIds(100000, cap)
+    assert(ids.size == cap)
+    assert(ids.forall(i => i >= 0 && i < 100000))
+    assert(Salting.samplePartitionIds(10, cap) == (0 until 10).toSet)
+    // exactness is split-independent: a STRING (general-path) leading
+    // sort key over far more partitions than the cap still produces
+    // bit-identical ranks — the sample shapes load balance only
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (0 until 4000).map(i =>
+        (s"k${i % 3}", f"s${(i * 37) % 251}%03d", i.toLong))
+      .toDF("k", "s", "id").repartition(257)
+    val w = Window.partitionBy(col("k")).orderBy(col("s").asc)
+    val single = df.select(col("id"), rank().over(w).as("rnk"))
+    val tp = Salting.twoPhaseRanks(df, Seq("k"), Seq(col("s").asc),
+        rankCol = Some("rnk"), buckets = 8)
+      .select(col("id"), col("rnk"))
+    assert(tp.exceptAll(single).isEmpty && single.exceptAll(tp).isEmpty)
+  }
+
   test("IVF top-k recall vs brute force is reasonable") {
     val emb = Tables.t(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
