@@ -435,6 +435,37 @@ private[graft] object DuckHash {
        |WHERE j >= $minJaccard ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for `q_dedup_near_inc` — the INCREMENTAL probe
+    * ([[graft.operators.Dedup.minHashLshIncremental]]) re-derived:
+    * the capped band index keeps the `cap` lowest-(xxhash64(id), id)
+    * members per (band, bh) bucket, every NEW doc's band keys
+    * (uncapped) probe it, pairs normalize (least, greatest) and
+    * distinct, then the same 3-gram Jaccard rerank. A cap small
+    * enough to bind at the verification SF proves the capped-index
+    * semantics — including the hash-ordered representative choice —
+    * against an independent engine. */
+  def dedupNearIncOracle(newPred: String, cap: Int,
+      minJaccard: Double = 0.2): String = {
+    val ch = new Chain("SELECT id, band, bh FROM banded",
+      Seq("id", "band", "bh"))
+    val xu = xxh64Long(ch, "id")
+    val capped =
+      s"""cxx AS (SELECT id, band, bh, ${toSigned(xu)} AS xs
+         |  FROM (${ch.render()})),
+         |cidx AS (SELECT id, band, bh FROM (
+         |    SELECT id, band, bh, row_number() OVER (
+         |      PARTITION BY band, bh ORDER BY xs, id) AS rnk
+         |    FROM cxx) WHERE rnk <= $cap),
+         |cand AS (SELECT DISTINCT least(n.id, x.id) AS id_a,
+         |    greatest(n.id, x.id) AS id_b
+         |  FROM (SELECT id, band, bh FROM banded WHERE $newPred) n
+         |  JOIN cidx x ON n.band = x.band AND n.bh = x.bh
+         |    AND n.id <> x.id)""".stripMargin
+    s"""WITH ${minhashJaccardCtes(capped)}
+       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM jac
+       |WHERE j >= $minJaccard ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle for `q_dedup_cluster` (doc_id, cluster) — connected
     * components of the near-dup pair graph by min-label propagation
     * (GraphX ConnectedComponents returns the lowest vertex id per

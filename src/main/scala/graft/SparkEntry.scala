@@ -1089,6 +1089,31 @@ object SparkEntry {
     Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** INCREMENTAL near-dup (the ingest-batch shape): docs with
+    * `doc_id % 5 = 0` are "the new batch", the rest "the existing
+    * corpus"; only pairs touching a new doc come back, probed against
+    * the hash-capped band index. indexCap 4 BINDS at this SF (LSH
+    * buckets of near-identical docs exceed it), so the oracle
+    * hash-checks the capped-index representative choice — the
+    * xxhash64 ordering — not just the under-cap collapse. */
+  private val qDedupNearInc: Q = (s, dir) =>
+    Dedup.minHashLshIncremental(t(s, dir, "documents"),
+        isNew = col("doc_id") % 5 === 0, minJaccard = 0.2,
+        indexCap = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Group-wise top-k via the bounded-heap aggregate
+    * ([[operators.TopK]]): top-5 orders by price per priority with
+    * O(k) aggregation state per group — the scale-correct form of
+    * `row_number() <= k`, which sorts every group's full row set. */
+  private val qTopkGrouped: Q = (s, dir) =>
+    operators.TopK.topKPerKey(t(s, dir, "orders"),
+        Seq("o_orderpriority"), col("o_totalprice"), col("o_orderkey"),
+        k = 5)
+      .select(col("o_orderpriority"), col("rn"),
+        col("id").as("o_orderkey"), col("ord").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+
   /** The CAPPED candidate path, proven at the verification SF. The
     * corpus is unioned with an id-shifted copy of itself so every LSH
     * bucket doubles: with cap 2 real buckets split into nb >= 3
@@ -2418,6 +2443,8 @@ object SparkEntry {
     "q_dedup_exact_norm" -> qDedupExactNorm,
     "q_dedup_near" -> qDedupNear,
     "q_dedup_near_capped" -> qDedupNearCapped,
+    "q_dedup_near_inc" -> qDedupNearInc,
+    "q_topk_grouped" -> qTopkGrouped,
     "q_dedup_cluster" -> qDedupCluster,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -3063,6 +3090,16 @@ object SparkEntry {
     },
     "q_dedup_simhash" -> DuckHash.dedupSimhashOracle(10),
     "q_dedup_near" -> DuckHash.dedupNearOracle(0.2),
+    "q_dedup_near_inc" -> DuckHash.dedupNearIncOracle(
+      newPred = "(id % 5) = 0", cap = 4, minJaccard = 0.2),
+    "q_topk_grouped" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+        |  o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
     "q_dedup_near_capped" -> DuckHash.dedupNearCappedOracle(0.2, 2),
     "q_dedup_cluster" -> DuckHash.dedupClusterOracle(0.2),
     "q_udaf_custom" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,18 +160,11 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       bucketCap: Int = 256): DataFrame = {
     require(numHashes % bands == 0)
-    val rows = numHashes / bands
     // Candidate generation shuffles ONLY (id, band, band_hash) — texts
     // stay out of the LSH join so the shuffled bytes are O(ids), not
     // O(corpus). Texts are joined back just for the surviving pairs.
-    val sig = docs.select(col(idCol).as("id"),
-      minhash(col(textCol), numHashes, shingleSize).as("sig"))
-    // band j = hash of signature slice [j*rows, (j+1)*rows)
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("pos", "band")))
-      .withColumn("band_hash",
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select(col("id"), col("band"), col("band_hash"))
+    val banded =
+      bandKeys(docs, numHashes, bands, shingleSize, idCol, textCol)
     // capacity-guarded: a degenerate bucket (boilerplate corpus) yields
     // O(size · bucketCap) candidates, not O(size²); the rerank +
     // [[clusters]] closure recovers the full duplicate group
@@ -179,6 +172,90 @@ object Dedup {
       cappedBucketJoin(banded, Seq("band", "band_hash"), bucketCap)
     val txt = docs.select(col(idCol).as("tid"), col(textCol).as("txt"))
     candidates
+      .join(txt, col("id_a") === col("tid")).withColumnRenamed("txt", "txt_a")
+      .drop("tid")
+      .join(txt, col("id_b") === col("tid")).withColumnRenamed("txt", "txt_b")
+      .drop("tid")
+      .withColumn("jaccard", ngram_jaccard(col("txt_a"), col("txt_b"), shingleSize))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** `(id, band, band_hash)` LSH band keys — the building block
+    * [[minHashLsh]] self-joins, and the PERSISTED INDEX ASSET of the
+    * incremental path: at 100 TB the corpus's band keys are written
+    * once and appended per ingest batch, so each batch's dedup cost is
+    * O(new), never a full-corpus re-shuffle. Band `j` is the hash of
+    * signature slice `[j*rows, (j+1)*rows)`. */
+  def bandKeys(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhash(col(textCol), numHashes, shingleSize).as("sig"))
+    sig.select(col("id"), col("sig"),
+      posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("pos", "band")))
+      .withColumn("band_hash",
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .select(col("id"), col("band"), col("band_hash"))
+  }
+
+  /** Deterministic capacity cap for a band index: at most `cap`
+    * members per (band, band_hash) bucket — the lowest
+    * (xxhash64(id), id) members represent the bucket. Hash order (not
+    * arrival order) makes the capped index a pure function of the id
+    * SET: extending an index with a new batch and re-capping equals
+    * capping a from-scratch build, so incremental maintenance never
+    * drifts from the batch answer. A monster boilerplate bucket costs
+    * any probe O(cap), and the rerank + transitive-closure clustering
+    * recover the full duplicate group — the same capacity trade
+    * [[cappedBucketJoin]] makes for the batch path. */
+  def capBandIndex(bandKeys: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"capBandIndex: cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    bandKeys.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= cap).drop("__rnk")
+  }
+
+  /** Incremental MinHash near-dup: candidate pairs touch at least one
+    * NEW document — new band keys probe the capped index of the whole
+    * corpus (existing ∪ new), so per ingest batch the shuffled probe
+    * volume is O(new · bands), not O(corpus). Returns the
+    * [[minHashLsh]] contract `(id_a, id_b, jaccard)` restricted to
+    * pairs with a new member; old–old pairs were the PREVIOUS
+    * batches' answers and are never regenerated.
+    *
+    * The probe side is UNCAPPED (every new doc probes, even one whose
+    * own index entry was capped out), the index side capped — recall
+    * on degenerate buckets is bounded exactly as in the batch path.
+    *
+    * @param isNew predicate over `corpus` rows marking the new batch
+    */
+  def minHashLshIncremental(corpus: DataFrame, isNew: Column,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      minJaccard: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text", indexCap: Int = 256): DataFrame = {
+    // in production the existing entries come from the persisted index
+    // table and only the new batch's signatures are computed here; the
+    // from-scratch build below is the same dataflow (capBandIndex is
+    // arrival-order-independent) without the storage dependency
+    val idx = capBandIndex(
+      bandKeys(corpus, numHashes, bands, shingleSize, idCol, textCol),
+      indexCap)
+    val probe = bandKeys(corpus.filter(isNew), numHashes, bands,
+      shingleSize, idCol, textCol)
+    val cand = probe.as("n").join(idx.as("x"),
+        col("n.band") === col("x.band") &&
+        col("n.band_hash") === col("x.band_hash") &&
+        col("n.id") =!= col("x.id"))
+      .select(least(col("n.id"), col("x.id")).as("id_a"),
+        greatest(col("n.id"), col("x.id")).as("id_b"))
+      .distinct()
+    val txt = corpus.select(col(idCol).as("tid"), col(textCol).as("txt"))
+    cand
       .join(txt, col("id_a") === col("tid")).withColumnRenamed("txt", "txt_a")
       .drop("tid")
       .join(txt, col("id_b") === col("tid")).withColumnRenamed("txt", "txt_b")

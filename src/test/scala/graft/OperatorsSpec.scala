@@ -133,6 +133,85 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == 1, s"expected 1 representative, got $kept")
   }
 
+  test("incremental near-dup equals the batch answer restricted to " +
+      "pairs touching a new doc (cap not binding)") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val full = Dedup.minHashLsh(docs, minJaccard = 0.2)
+    val expected = full.filter($"id_a" % 5 === 0 || $"id_b" % 5 === 0)
+    val inc = Dedup.minHashLshIncremental(docs,
+      isNew = $"doc_id" % 5 === 0, minJaccard = 0.2,
+      indexCap = Int.MaxValue)
+    assert(inc.exceptAll(expected).isEmpty &&
+      expected.exceptAll(inc).isEmpty,
+      "incremental probe disagrees with the restricted batch answer")
+  }
+
+  test("capBandIndex: cap respected, hash-deterministic, " +
+      "arrival-order independent") {
+    val docs = Seq.tabulate(12)(i =>
+      (i.toLong, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val bk = Dedup.bandKeys(docs)
+    val capped = Dedup.capBandIndex(bk, 3)
+    // identical text -> identical signature -> every band's bucket
+    // holds all 12 ids; the cap keeps exactly 3 per bucket
+    val sizes = capped.groupBy($"band", $"band_hash").count()
+      .select($"count").as[Long].collect()
+    assert(sizes.nonEmpty && sizes.forall(_ == 3L), sizes.toSeq)
+    // representative choice is a function of the id SET, not of
+    // arrival order — re-capping a reshuffled input is identical
+    val capped2 = Dedup.capBandIndex(
+      bk.orderBy($"id".desc).repartition(7), 3)
+    assert(capped.exceptAll(capped2).isEmpty &&
+      capped2.exceptAll(capped).isEmpty)
+    // a binding cap bounds the probe: each new doc pairs with at most
+    // the 3 bucket representatives (same reps in every band here)
+    val inc = Dedup.minHashLshIncremental(docs,
+      isNew = $"doc_id" % 5 === 0, minJaccard = 0.9, indexCap = 3)
+    assert(inc.count() <= 9,
+      "capped incremental probe emitted more than new x reps pairs")
+  }
+
+  test("topKPerKey equals the window row_number filter (heavy ties)") {
+    import graft.operators.TopK
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.t(spark, sf001, "lineitem")
+    val rid = ($"l_orderkey" * 10 + $"l_linenumber").cast("long")
+    val got = TopK.topKPerKey(li, Seq("l_returnflag"),
+      $"l_quantity", rid, k = 7)
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity".cast("double").desc, rid.asc)
+    val exp = li.select($"l_returnflag", rid.as("id"),
+        $"l_quantity".cast("double").as("ord"),
+        row_number().over(w).as("rn"))
+      .filter($"rn" <= 7)
+      .select($"l_returnflag", $"rn", $"id", $"ord")
+    val gotSel = got.select($"l_returnflag", $"rn", $"id", $"ord")
+    assert(gotSel.exceptAll(exp).isEmpty && exp.exceptAll(gotSel).isEmpty)
+    // the point of the operator: NO window node anywhere in the plan —
+    // aggregation state is O(k) per group, map-side combined
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("topKPerKey: NULL ordering values contribute nothing; " +
+      "ascending flavor works") {
+    import graft.operators.TopK
+    val df = Seq[(String, Option[Double], Long)](
+      ("a", Some(5.0), 10L), ("a", None, 11L), ("a", Some(7.0), 12L),
+      ("a", Some(5.0), 9L), ("b", Some(1.0), 20L), ("b", None, 21L))
+      .toDF("k", "v", "id")
+    val top2 = TopK.topKPerKey(df, Seq("k"), $"v", $"id", k = 2)
+      .select($"k", $"rn", $"id").as[(String, Int, Long)]
+      .collect().toSet
+    assert(top2 == Set(("a", 1, 12L), ("a", 2, 9L), ("b", 1, 20L)))
+    val bottom2 = TopK.topKPerKey(df, Seq("k"), $"v", $"id", k = 2,
+        asc = true)
+      .select($"k", $"rn", $"id").as[(String, Int, Long)]
+      .collect().toSet
+    assert(bottom2 == Set(("a", 1, 9L), ("a", 2, 10L), ("b", 1, 20L)))
+  }
+
   test("duplicate clustering: transitive closure + representative keep") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
