@@ -86,7 +86,12 @@ object ScaleProbe {
     // (factor× users, same span) — funnel's one-key-shuffle fold,
     // resample's per-key grid + fill window, retention's two
     // key-hash aggregates should all track the row count
-    "q_funnel", "q_resample_gapfill", "q_retention")
+    "q_funnel", "q_resample_gapfill", "q_retention",
+    // round 16: distributed-prefix-sum riders (PPS sampling over the
+    // inflated corpus; the ±1 concurrency sweep over inflated events)
+    // and the rolling z-score window (key-partitioned, user count
+    // grows with the factor)
+    "q_sample_pps", "q_concurrency", "q_anomaly_events")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

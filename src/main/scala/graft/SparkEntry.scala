@@ -1333,6 +1333,35 @@ object SparkEntry {
       stratumCol = "lang", k = 25)
       .orderBy(col("lang"), col("rn"))
 
+  /** Systematic PPS sample, ~200 draws weighted by document length:
+    * integer-exact grid selection over a DISTRIBUTED prefix sum
+    * ([[Salting.twoPhaseCumSum]] — order-monotone split buckets, local
+    * running sums, broadcast bucket offsets; no single-task global
+    * window). Deterministic, zero RNG state; heavy documents draw
+    * multiply (`copies`). */
+  private val qSamplePps: Q = (s, dir) =>
+    CorpusOps.ppsSample(t(s, dir, "documents"), k = 200)
+      .orderBy(col("doc_id"))
+
+  /** FastSS/SymSpell fuzzy self-join, edit distance ≤ 1 over customer
+    * names: candidates meet on deletion-variant hash keys (never
+    * all-pairs), then the exact `levenshtein` filter — the
+    * record-linkage blocking join. 1,500 distinct names → 19,500
+    * true pairs; the oracle pays the O(n²) scan this operator
+    * exists to avoid. */
+  private val qFuzzyJoin: Q = (s, dir) =>
+    operators.FuzzyJoin.selfJoin(t(s, dir, "customer"), "c_name",
+      maxDist = 1)
+      .orderBy(col("a"), col("b"))
+
+  /** Same blocking join at depth 2 over part names — multi-deletion
+    * neighborhoods (any two strings within distance d share a member
+    * of their ≤d-deletion sets). */
+  private val qFuzzyParts: Q = (s, dir) =>
+    operators.FuzzyJoin.selfJoin(t(s, dir, "part"), "p_name",
+      maxDist = 2)
+      .orderBy(col("a"), col("b"))
+
   /** PII scrub: plant a deterministic email + phone per doc, then count
     * and redact them with portable regexes (CorpusOps.redactPii). */
   private val qPiiRedact: Q = (s, dir) => {
@@ -1676,6 +1705,23 @@ object SparkEntry {
     operators.EventOps.retention(t(s, dir, "events"), "user_id", "ts")
       .select(col("cohort_week").cast("timestamp").as("cohort_week"),
         col("week_offset"), col("users"))
+
+  /** Peak concurrency (±1 interval sweep, 5-minute event windows):
+    * the GLOBAL running sum rides [[Salting.twoPhaseCumSum]] — split
+    * buckets + broadcast offsets, never a one-task window. */
+  private val qConcurrency: Q = (s, dir) =>
+    operators.EventOps.maxConcurrency(t(s, dir, "events"), "ts",
+      "event_id", durationMicros = 300000000L)
+
+  /** Rolling z-score anomaly flags: each event against its user's
+    * previous 20 events — fixed-point Σx/Σx² (exact integers, double-
+    * representable), one fixed IEEE expression tree for z, flag on
+    * the ROUNDED score; one key-partitioned window, no global state.
+    */
+  private val qAnomalyEvents: Q = (s, dir) =>
+    operators.EventOps.anomalies(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "value", window = 20, threshold = 3.0)
+      .orderBy(col("user_id"), col("event_id"))
 
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
@@ -2301,6 +2347,50 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Write–audit–publish end-to-end ([[graft.sources.v2.Wap]]): the
+    * first two-thirds of orders land normally, the last third STAGES
+    * on a branch — in-query guards require the staged batch to be
+    * invisible to table reads while the audit view already sees the
+    * full row set — then one atomic publish commits it, and the gated
+    * aggregate runs over the published table (hash-matches the oracle
+    * over ALL orders, proving the publish carried exactly the staged
+    * rows). */
+  private val qWapPublish: Q = (s, dir) => {
+    val tag = "wap" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag/orders"
+    val tdir = new org.apache.hadoop.fs.Path(path)
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 3
+    o.filter(col("o_orderkey") <= cut)
+      .write.format("graft-v2").mode("append").save(path)
+    val base = s.read.format("graft-v2").load(path).count()
+    graft.sources.v2.Wap.stage(s, path,
+      o.filter(col("o_orderkey") > cut), "audit1")
+    val visible = s.read.format("graft-v2").load(path).count()
+    require(visible == base,
+      s"q_wap_publish: staged rows leaked into table reads " +
+        s"($visible != $base)")
+    val audited = graft.sources.v2.Wap.audit(s, path, "audit1").count()
+    val full = o.count()
+    require(audited == full,
+      s"q_wap_publish: audit view missing staged rows " +
+        s"($audited != $full)")
+    graft.sources.v2.Wap.publish(s, path, "audit1")
+    s.read.format("graft-v2").load(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"))
+        .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Materialized-view incremental maintenance end-to-end
     * ([[graft.sources.v2.GraftMv]]): scratch orders copy, aggregate
     * MV over it, then a DELETE on the source and a refresh that must
@@ -2467,6 +2557,12 @@ object SparkEntry {
     "q_pack_sequences" -> qPackSequences,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_topk" -> qSampleTopk,
+    "q_sample_pps" -> qSamplePps,
+    "q_fuzzy_join" -> qFuzzyJoin,
+    "q_fuzzy_parts" -> qFuzzyParts,
+    "q_anomaly_events" -> qAnomalyEvents,
+    "q_concurrency" -> qConcurrency,
+    "q_wap_publish" -> qWapPublish,
     "q_pii_redact" -> qPiiRedact,
     "q_common_ngrams" -> qCommonNgrams,
     "q_bm25_search" -> qBm25,
@@ -2786,6 +2882,84 @@ object SparkEntry {
         |  count(*) AS users
         |FROM f JOIN a USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // rolling z-score anomalies: the oracle mirrors the operator's
+    // fixed-point contract op-for-op — quantized BIGINT values, exact
+    // integer frame sums, the SAME IEEE expression tree for z (sub/
+    // mul/div/sqrt are correctly rounded, so identical inputs give
+    // bit-identical doubles), and the flag compares the ROUNDED score
+    "q_anomaly_events" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    CAST(round(value * 10000) AS BIGINT) AS xc FROM events),
+        |w AS (SELECT user_id, event_id, value, xc,
+        |    sum(xc) OVER win AS s1,
+        |    sum(xc * xc) OVER win AS s2,
+        |    count(*) OVER win AS n
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT user_id, event_id, value,
+        |    round((CAST(xc AS DOUBLE) -
+        |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) - 1.0)), 6) AS zscore
+        |  FROM w WHERE n = 20 AND s2 * n - s1 * s1 > 0)
+        |SELECT user_id, event_id, value, zscore,
+        |  abs(zscore) > 3.0 AS is_anomaly
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
+    // peak concurrency: ±1 sweep over half-open [ts, ts+5min) windows
+    // — ends sort before starts at the same instant (d = -1 < +1)
+    "q_concurrency" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) AS t, CAST(1 AS BIGINT) AS d,
+        |    event_id AS i FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts) + 300000000, CAST(-1 AS BIGINT),
+        |    event_id FROM events),
+        |c AS (SELECT sum(d) OVER (ORDER BY t, d, i) AS conc FROM d)
+        |SELECT CAST(max(conc) AS BIGINT) AS max_concurrent FROM c"""
+        .stripMargin,
+    // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
+    // "grid points in (cum-w, cum]" is a count of odd multiples of W
+    // — two integer divisions, replayed here verbatim (k = 200)
+    "q_sample_pps" ->
+      """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+        |  FROM documents),
+        |c AS (SELECT doc_id, weight,
+        |    sum(weight) OVER (ORDER BY doc_id) AS cum FROM w),
+        |tot AS (SELECT sum(weight) AS W FROM w),
+        |g AS (SELECT doc_id, weight,
+        |    ((2 * 200 * cum) // W + 1) // 2 -
+        |    ((2 * 200 * (cum - weight)) // W + 1) // 2 AS copies
+        |  FROM c, tot)
+        |SELECT doc_id, weight, CAST(copies AS BIGINT) AS copies
+        |FROM g WHERE copies >= 1 ORDER BY doc_id""".stripMargin,
+    // FastSS fuzzy joins: the oracle pays the all-pairs scan the
+    // deletion-variant blocking exists to avoid
+    "q_fuzzy_join" ->
+      """WITH v AS (SELECT DISTINCT c_name AS t FROM customer
+        |  WHERE c_name IS NOT NULL AND len(c_name) > 0)
+        |SELECT a.t AS a, b.t AS b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.t < b.t
+        |WHERE levenshtein(a.t, b.t) <= 1
+        |ORDER BY a, b""".stripMargin,
+    "q_fuzzy_parts" ->
+      """WITH v AS (SELECT DISTINCT p_name AS t FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) > 0)
+        |SELECT a.t AS a, b.t AS b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.t < b.t
+        |WHERE levenshtein(a.t, b.t) <= 2
+        |ORDER BY a, b""".stripMargin,
+    // WAP: after publish the table holds exactly ALL orders rows —
+    // the oracle aggregates the source directly
+    "q_wap_publish" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_unigram_encode" -> DuckHash.unigramEncodeOracle(
       UnigramIters, UnigramDpStages, UnigramVocab),
     "q_unigram_encode_soft" -> DuckHash.unigramEncodeSoftOracle(

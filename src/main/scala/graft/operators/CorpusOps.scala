@@ -217,6 +217,46 @@ object CorpusOps {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sample of ~`k`
+    * draws: lay the rows out on a weight line in `idCol` order, walk
+    * it with a fixed stride of `totalWeight / k` starting at half a
+    * stride, and keep every row a grid point lands on —
+    * `copies` = grid points inside the row's weight interval, so a row
+    * heavier than one stride is drawn multiply (the classic
+    * with-replacement systematic design; deterministic, zero RNG
+    * state, inclusion probability exactly `k·w/W` for w ≤ stride).
+    *
+    * All selection arithmetic is INTEGER-exact: grid point m sits at
+    * `W·(2m+1)/(2k)`, so "points in `(cum−w, cum]`" is a count of odd
+    * multiples of `W` in `(2k·(cum−w)·?, 2k·cum·?]` — two integer
+    * divisions, no float anywhere; any engine replays it bit-for-bit.
+    * The global running weight comes from [[Salting.twoPhaseCumSum]],
+    * so no stage funnels the table through one task.
+    *
+    * Weights must be non-negative integers (scale fractional weights
+    * to fixed-point upstream); `2k·W` must fit a long — at corpus
+    * scale past that, swap the weight column to decimal and the two
+    * `div`s follow (documented upgrade, not needed below ~10^14 total
+    * weight × 10^4 draws). Zero-weight rows are never drawn.
+    *
+    * @return `(idCol, weight, copies)` for drawn rows, `copies >= 1`
+    */
+  def ppsSample(df: DataFrame, k: Int, idCol: String = "doc_id",
+      weightCol: String = "n_chars"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val weighted = df.select(col(idCol),
+      col(weightCol).cast("long").as("weight"))
+    val cum = Salting.twoPhaseCumSum(weighted, Seq(col(idCol)),
+      col("weight"), "cum")
+    val total = weighted.agg(sum(col("weight")).as("__pps_W"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("copies", expr(
+        s"((2L * $k * cum) div __pps_W + 1L) div 2L - " +
+          s"((2L * $k * (cum - weight)) div __pps_W + 1L) div 2L"))
+      .filter(col("copies") >= 1)
+      .select(col(idCol), col("weight"), col("copies"))
+  }
+
   /** GPT-style sequence packing: concatenate each shard's documents
     * (in `idCol` order) into one virtual token stream and cut it into
     * fixed `seqLen`-token training sequences. Returns one row per

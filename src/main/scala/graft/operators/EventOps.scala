@@ -106,6 +106,84 @@ object EventOps {
         last(col("dmax"), ignoreNulls = true).over(w).as("value"))
   }
 
+  /** Rolling z-score anomaly flags: each event's value against the
+    * mean/stddev of its key's previous `window` events (the trailing
+    * frame EXCLUDES the current row, so an outlier never masks
+    * itself). Only rows with a FULL trailing window are scored —
+    * warm-up rows have no stable baseline.
+    *
+    * Determinism contract (the same one the quality/LM scorers use):
+    * values quantize to fixed-point `round(value·10^4)` longs, the
+    * frame sums Σx and Σx² are then EXACT integers small enough to be
+    * double-representable, and the final z is one fixed tree of IEEE
+    * ops (sub/mul/div/sqrt are all correctly rounded) — so any engine
+    * that mirrors the expression reproduces z bit-for-bit, and the
+    * anomaly flag compares the ROUNDED z so the cut is stable too.
+    * The zero-variance guard `n·Σx² − (Σx)² > 0` is integer-exact.
+    *
+    * Scale shape: one window partitioned BY THE KEY — partition count
+    * grows with entities, each frame is `window`-sized; no global
+    * state.
+    *
+    * @return `(key, id, value, zscore, is_anomaly)` ordered rows
+    */
+  def anomalies(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 20,
+      threshold: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val xc = round(col(valueCol) * 1e4).cast("long")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window, -1)
+    val base = events
+      .withColumn("__an_x", xc)
+      .withColumn("__an_s1", sum(col("__an_x")).over(w))
+      .withColumn("__an_s2",
+        sum(col("__an_x") * col("__an_x")).over(w))
+      .withColumn("__an_n", count(lit(1)).over(w))
+      .filter(col("__an_n") === window &&
+        col("__an_s2") * col("__an_n") -
+          col("__an_s1") * col("__an_s1") > 0)
+    val nD = col("__an_n").cast("double")
+    val s1D = col("__an_s1").cast("double")
+    val s2D = col("__an_s2").cast("double")
+    val z = (col("__an_x").cast("double") - s1D / nD) /
+      sqrt((s2D - s1D * s1D / nD) / (nD - 1.0))
+    base
+      .withColumn("zscore", round(z, 6))
+      .withColumn("is_anomaly", abs(col("zscore")) > threshold)
+      .select(col(keyCol), col(idCol), col(valueCol),
+        col("zscore"), col("is_anomaly"))
+  }
+
+  /** Peak concurrency via the classic ±1 interval sweep: each event
+    * occupies `[ts, ts + durationMicros)`, the sweep orders boundary
+    * deltas (+1 at start, −1 at end; half-open, so an end at instant t
+    * sorts BEFORE a start at t) and the running sum's maximum is the
+    * answer — the "max simultaneous sessions / connections / GPU
+    * leases" question every capacity planner asks.
+    *
+    * The running sum is a GLOBAL prefix sum, the textbook one-task
+    * window trap — it rides [[Salting.twoPhaseCumSum]] (order-monotone
+    * split buckets, bucket-local sums, broadcast offsets), so the
+    * sweep scales with the cluster. Returns one row `(max_concurrent)`.
+    */
+  def maxConcurrency(events: DataFrame, tsCol: String, idCol: String,
+      durationMicros: Long): DataFrame = {
+    require(durationMicros > 0,
+      s"durationMicros must be > 0, got $durationMicros")
+    val starts = events.select(
+      unix_micros(col(tsCol)).as("t"), lit(1L).as("d"),
+      col(idCol).as("i"))
+    val ends = events.select(
+      (unix_micros(col(tsCol)) + durationMicros).as("t"),
+      lit(-1L).as("d"), col(idCol).as("i"))
+    val deltas = starts.unionAll(ends)
+    Salting.twoPhaseCumSum(deltas,
+      Seq(col("t"), col("d"), col("i")), col("d"), "conc")
+      .agg(max(col("conc")).as("max_concurrent"))
+  }
+
   /** Weekly cohort retention: an entity's cohort is the ISO week of
     * its first event; a (cohort, offset) cell counts entities with
     * any event `offset` weeks after their cohort week. Returns

@@ -192,21 +192,14 @@ object Salting {
         .take(maxParts).toSet
     }
 
-  def twoPhaseRanks(df: DataFrame, partCols: Seq[String],
-      orderCols: Seq[Column], rowNumCol: Option[String] = None,
-      rankCol: Option[String] = None, denseRankCol: Option[String] = None,
-      buckets: Int = 0, boundsFrom: Option[DataFrame] = None,
-      percentRankCol: Option[String] = None,
-      cumeDistCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    require(rowNumCol.orElse(rankCol).orElse(denseRankCol)
-      .orElse(percentRankCol).orElse(cumeDistCol).nonEmpty,
-      "twoPhaseRanks: request at least one rank column")
-    val n = if (buckets > 0) buckets
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    // (child column, ascending?, nulls-first?) per ORDER BY item
-    val orders: Seq[(Column, Boolean, Boolean)] =
-      orderCols.map(ColumnBridge.sortOrderOf)
+  /** Split tuples for an order-monotone bucketing of `df` under
+    * `orders` — the shared phase-1 machinery of [[twoPhaseRanks]] and
+    * [[twoPhaseCumSum]]. See [[twoPhaseRanks]] for the determinism
+    * argument (the bucket must be a pure expression of the sort key,
+    * never of physical partitioning). */
+  private def splitBounds(df: DataFrame,
+      orders: Seq[(Column, Boolean, Boolean)], n: Int,
+      boundsFrom: Option[DataFrame]): Seq[Seq[Any]] = {
     val childCols = orders.map(_._1)
 
     // --- split tuples. FAST PATH: when the leading sort key is
@@ -222,8 +215,7 @@ object Salting {
         .schema.head.dataType
       dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
     }
-    val bounds: Seq[Seq[Any]] =
-      if (leadingNumeric) {
+    if (leadingNumeric) {
         val probs = (1 until n).map(_.toDouble / n).toArray
         val leadAsc = orders.head._2
         val qs =
@@ -300,12 +292,15 @@ object Salting {
             else acc :+ r
         }.map(r => orders.indices.map(r.get))
       }
+  }
 
-    // bucket(row) = number of split tuples sorting strictly before the
-    // row — a deterministic, order-monotone, tie-preserving expression.
-    // A bound may be a PREFIX of the sort tuple (the quantile fast
-    // path): comparison simply stops at the prefix, which keeps full
-    // tuple ties together a fortiori.
+  /** bucket(row) = number of split tuples sorting strictly before the
+    * row — a deterministic, order-monotone, tie-preserving expression.
+    * A bound may be a PREFIX of the sort tuple (the quantile fast
+    * path): comparison simply stops at the prefix, which keeps full
+    * tuple ties together a fortiori. */
+  private def bucketExpr(orders: Seq[(Column, Boolean, Boolean)],
+      bounds: Seq[Seq[Any]]): Column = {
     def strictlyAfter(bound: Seq[Any]): Column = {
       val terms = orders.take(bound.size).zipWithIndex.map {
         case ((c, asc, nullsFirst), i) =>
@@ -324,11 +319,30 @@ object Salting {
         after || (eq && rest)
       }
     }
+    if (bounds.isEmpty) lit(0)
+    else bounds.map(b => when(strictlyAfter(b), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  def twoPhaseRanks(df: DataFrame, partCols: Seq[String],
+      orderCols: Seq[Column], rowNumCol: Option[String] = None,
+      rankCol: Option[String] = None, denseRankCol: Option[String] = None,
+      buckets: Int = 0, boundsFrom: Option[DataFrame] = None,
+      percentRankCol: Option[String] = None,
+      cumeDistCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(rowNumCol.orElse(rankCol).orElse(denseRankCol)
+      .orElse(percentRankCol).orElse(cumeDistCol).nonEmpty,
+      "twoPhaseRanks: request at least one rank column")
+    val n = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // (child column, ascending?, nulls-first?) per ORDER BY item
+    val orders: Seq[(Column, Boolean, Boolean)] =
+      orderCols.map(ColumnBridge.sortOrderOf)
+    val childCols = orders.map(_._1)
+    val bounds = splitBounds(df, orders, n, boundsFrom)
     val bucket = "__tpr_bucket"
-    val bucketCol =
-      if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(strictlyAfter(b), 1).otherwise(0)).reduce(_ + _)
-    val withBucket = df.withColumn(bucket, bucketCol)
+    val withBucket = df.withColumn(bucket, bucketExpr(orders, bounds))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((partCols.map(col) :+ col(bucket)): _*)
@@ -405,5 +419,54 @@ object Salting {
     ).flatten
     joined.select(
       (df.columns.map(n => col(s"__tpr_l.$n")).toSeq ++ out): _*)
+  }
+
+  /** Distributed prefix sum: `outCol` = running sum of `valueCol` over
+    * the GLOBAL order given by `orderCols` — the building block for
+    * systematic/PPS sampling, quota assignment, and offset stamping.
+    * A naive `Window.orderBy(...)` with no PARTITION BY funnels the
+    * whole table through ONE task; here the row's bucket is the same
+    * order-monotone split-tuple expression [[twoPhaseRanks]] uses, the
+    * running sum is bucket-local (the window's hash exchange spreads
+    * `buckets` groups over the cluster), and one tiny per-bucket total
+    * table cumulates into broadcast offsets.
+    *
+    * `orderCols` must be a TOTAL order (include a unique tiebreaker):
+    * a running sum through ties is not well-defined row-wise, and the
+    * bucket boundary could otherwise split a tie group
+    * non-deterministically. The sum type follows `valueCol` (pass a
+    * decimal for exactness past long range). */
+  def twoPhaseCumSum(df: DataFrame, orderCols: Seq[Column],
+      valueCol: Column, outCol: String, buckets: Int = 0,
+      boundsFrom: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val n = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val orders: Seq[(Column, Boolean, Boolean)] =
+      orderCols.map(ColumnBridge.sortOrderOf)
+    val bounds = splitBounds(df, orders, n, boundsFrom)
+    val bucket = "__tcs_bucket"
+    val withBucket = df.withColumn(bucket, bucketExpr(orders, bounds))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bucket)).orderBy(orderCols: _*)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = withBucket.withColumn("__tcs_local",
+      sum(valueCol).over(wLocal))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col(bucket))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // one row per bucket — the only global-order state; the
+    // unpartitioned window over it is buckets-sized by construction
+    val offsets = withBucket
+      .groupBy(col(bucket)).agg(sum(valueCol).as("__tcs_sum"))
+      .select(col(bucket),
+        coalesce(sum(col("__tcs_sum")).over(wOff), lit(0))
+          .as("__tcs_off"))
+    local.join(broadcast(offsets), Seq(bucket))
+      .withColumn(outCol, col("__tcs_off") + col("__tcs_local"))
+      .drop(bucket, "__tcs_local", "__tcs_off")
   }
 }

@@ -31,7 +31,7 @@ private[v2] object GraftProcedures {
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
       "history", "bloom_index", "mv_refresh", "restore", "clone",
-      "detail", "tag", "tags", "fsck")
+      "detail", "tag", "tags", "fsck", "wap_publish", "wap_abort")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -95,6 +95,13 @@ private[v2] object GraftProcedures {
           "report (and with repair => true, drop) manifest references " +
           "to data files that no longer exist on storage — recovery " +
           "after external deletion"
+        case "wap_publish" =>
+          "atomically publish a write-audit-publish branch staged via " +
+          "graft.sources.v2.Wap.stage: one manifest commit makes the " +
+          "audited files visible (idempotent across crashed retries)"
+        case "wap_abort" =>
+          "drop a staged write-audit-publish branch without " +
+          "publishing — no manifest version is written"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -180,6 +187,9 @@ private[v2] object GraftProcedures {
           .comment("scope the merge to files whose stats may hold " +
             "matching rows (OPTIMIZE WHERE; empty = whole table)")
           .build())
+      case "wap_publish" | "wap_abort" => Array(tableParam,
+        ProcedureParameter.in("branch", StringType)
+          .comment("branch name staged via Wap.stage").build())
       case "tag" => Array(tableParam,
         ProcedureParameter.in("name", StringType)
           .comment("tag name: starts with a letter; letters, digits, " +
@@ -440,6 +450,25 @@ private[v2] object GraftProcedures {
               UTF8String.fromString(tagName), target,
               UTF8String.fromString("created"))))
           }
+        case "wap_publish" =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val branch = input.getUTF8String(1).toString
+          val names = Wap.publish(spark, dir.toString, branch)
+          one(resultScan(
+            StructType(Seq(
+              StructField("branch", StringType, false),
+              StructField("published_files", IntegerType, false))),
+            Array(UTF8String.fromString(branch), names.size)))
+        case "wap_abort" =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val branch = input.getUTF8String(1).toString
+          Wap.abort(spark, dir.toString, branch)
+          one(resultScan(
+            StructType(Seq(
+              StructField("branch", StringType, false),
+              StructField("action", StringType, false))),
+            Array(UTF8String.fromString(branch),
+              UTF8String.fromString("aborted"))))
         case "tags" =>
           import org.apache.spark.unsafe.types.UTF8String
           val tagRows: Array[InternalRow] =

@@ -590,4 +590,110 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
       ("2024-01-01", 2L, 2L), ("2024-01-08", 0L, 1L)))
   }
+
+  test("fuzzy join: deletion blocking finds exactly the brute-force " +
+      "pairs at d=1 and d=2") {
+    import graft.operators.FuzzyJoin
+    // adversarial vocabulary: substitutions, insertions, deletions,
+    // transposition (distance 2), repeats-collapsed, and far-apart
+    val words = Seq("alpha", "alpho", "alph", "aalpha", "lpha",
+      "palha", "beta", "betta", "bett", "bta", "gamma", "gama",
+      "gamm", "delta", "dleta", "xyzzy")
+    val df = words.toDF("w")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.selfJoin(df, "w", maxDist = d)
+        .select($"a", $"b").as[(String, String)].collect().toSet
+      val brute = (for {
+        a <- words; b <- words if a < b
+        if levenshteinDist(a, b) <= d
+      } yield (a, b)).toSet
+      assert(got === brute, s"d=$d blocked join != brute force")
+    }
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    }
+    dp(a.length)(b.length)
+  }
+
+  test("twoPhaseCumSum matches the single-window prefix sum") {
+    import graft.operators.Salting
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (rng.nextInt(100000).toLong * 1000 + i, rng.nextInt(50).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = Salting.twoPhaseCumSum(df, Seq($"id"), $"v", "cum",
+      buckets = 8)
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+      .rowsBetween(Long.MinValue, 0)
+    val exp = df.withColumn("cum", sum($"v").over(w))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got === exp)
+  }
+
+  test("ppsSample: total copies == k, heavy rows drawn multiply, " +
+      "zero weights never drawn") {
+    import graft.operators.CorpusOps
+    val rows = (1L to 200L).map { i =>
+      val w = if (i == 50L) 5000L else if (i % 7 == 0) 0L else i % 13
+      (i, w)
+    }
+    val df = rows.toDF("doc_id", "n_chars")
+    val k = 40
+    val got = CorpusOps.ppsSample(df, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sum === k.toLong, "total draws != k")
+    assert(got.forall(_._2 > 0), "a zero-weight row was drawn")
+    val heavy = got.find(_._1 == 50L)
+    // row 50 holds 5000 of ~6100 total weight -> most of the k draws
+    assert(heavy.exists(_._3 >= k / 2), s"heavy row draws: $heavy")
+  }
+
+  test("maxConcurrency: half-open sweep on a hand-built log") {
+    import graft.operators.EventOps
+    def ts(s: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    // duration 10s: [0,10) [5,15) [9,19) overlap 3 at t=9; [15,25)
+    // starts exactly when [5,15) ends -> half-open, never 3 again;
+    // [40,50) is isolated
+    val ev = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(9)), (4L, ts(15)),
+      (5L, ts(40))).toDF("event_id", "ts")
+    val got = EventOps.maxConcurrency(ev, "ts", "event_id",
+      durationMicros = 10000000L).head().getLong(0)
+    assert(got === 3L)
+    // single event -> 1
+    val one = Seq((1L, ts(0))).toDF("event_id", "ts")
+    assert(EventOps.maxConcurrency(one, "ts", "event_id",
+      1000000L).head().getLong(0) === 1L)
+  }
+
+  test("anomalies: flags a planted spike, skips warm-up and " +
+      "zero-variance baselines") {
+    import graft.operators.EventOps
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 60L))
+    // user 1: stable baseline then one spike at event 30
+    val u1 = (1 to 40).map(i =>
+      (1L, ts(i), i.toLong, if (i == 30) 500.0 else 10.0 + (i % 3)))
+    // user 2: constant values -> zero variance, never scored
+    val u2 = (1 to 40).map(i => (2L, ts(i), 100L + i, 7.0))
+    val ev = (u1 ++ u2).toDF("user_id", "ts", "event_id", "value")
+    val got = EventOps.anomalies(ev, "user_id", "ts", "event_id",
+      "value", window = 20, threshold = 3.0)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(rows.forall(_._1 == 1L), "zero-variance user was scored")
+    assert(rows.forall(_._2 > 20L), "warm-up rows were scored")
+    val flagged = rows.filter(_._3).map(_._2).toSet
+    assert(flagged.contains(30L), "planted spike not flagged")
+    assert(!flagged.contains(25L), "baseline row flagged")
+  }
 }
