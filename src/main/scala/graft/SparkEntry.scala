@@ -1706,6 +1706,26 @@ object SparkEntry {
       .select(col("cohort_week").cast("timestamp").as("cohort_week"),
         col("week_offset"), col("users"))
 
+  /** EXACT global quantiles of l_extendedprice by rank selection over
+    * the two-phase distributed row_number — no approxQuantile error
+    * bar, no one-task global sort ([[operators.Quantiles]]). */
+  private val qQuantilesExact: Q = (s, dir) =>
+    operators.Quantiles.exactQuantiles(
+      t(s, dir, "lineitem"),
+      col("l_extendedprice"),
+      Seq(col("l_orderkey"), col("l_linenumber")),
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy(col("q"))
+
+  /** Per-event-type exact p50/p95/p99 — the low-cardinality PARTITION
+    * BY rank selection, riding the same two-phase plan (the naive
+    * per-key window is exactly the O(1)-key scale trap). */
+  private val qP95ByType: Q = (s, dir) =>
+    operators.Quantiles.exactQuantilesByKey(
+      t(s, dir, "events"), "event_type", col("value"),
+      Seq(col("event_id")), Seq(0.5, 0.95, 0.99))
+      .orderBy(col("event_type"), col("q"))
+
   /** Peak concurrency (±1 interval sweep, 5-minute event windows):
     * the GLOBAL running sum rides [[Salting.twoPhaseCumSum]] — split
     * buckets + broadcast offsets, never a one-task window. */
@@ -2562,6 +2582,8 @@ object SparkEntry {
     "q_fuzzy_parts" -> qFuzzyParts,
     "q_anomaly_events" -> qAnomalyEvents,
     "q_concurrency" -> qConcurrency,
+    "q_quantiles_exact" -> qQuantilesExact,
+    "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
     "q_pii_redact" -> qPiiRedact,
     "q_common_ngrams" -> qCommonNgrams,
@@ -2934,6 +2956,31 @@ object SparkEntry {
         |  FROM c, tot)
         |SELECT doc_id, weight, CAST(copies AS BIGINT) AS copies
         |FROM g WHERE copies >= 1 ORDER BY doc_id""".stripMargin,
+    // exact quantiles = rank selection: the row whose global (or
+    // per-key) row_number is ceil(q*N) in (value, tiebreak) order
+    "q_quantiles_exact" ->
+      """WITH t AS (SELECT l_extendedprice AS value, l_orderkey,
+        |    l_linenumber FROM lineitem),
+        |r AS (SELECT value, row_number() OVER (ORDER BY value,
+        |    l_orderkey, l_linenumber) AS rn FROM t),
+        |n AS (SELECT count(*) AS c FROM t),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+        |    AS DOUBLE) AS q)
+        |SELECT q, value FROM qs CROSS JOIN n
+        |JOIN r ON r.rn = greatest(1, CAST(ceil(q * c) AS BIGINT))
+        |ORDER BY q""".stripMargin,
+    "q_p95_by_type" ->
+      """WITH r AS (SELECT event_type, value, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |n AS (SELECT event_type, count(*) AS c FROM events
+        |  GROUP BY 1),
+        |qs AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
+        |SELECT r.event_type AS event_type, q, value
+        |FROM qs CROSS JOIN n
+        |JOIN r ON r.event_type = n.event_type
+        |  AND r.rn = greatest(1, CAST(ceil(q * c) AS BIGINT))
+        |ORDER BY r.event_type, q""".stripMargin,
     // FastSS fuzzy joins: the oracle pays the all-pairs scan the
     // deletion-variant blocking exists to avoid
     "q_fuzzy_join" ->

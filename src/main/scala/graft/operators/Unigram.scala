@@ -433,22 +433,24 @@ object Unigram {
     * occurrence would multiply its cost by the corpus/vocabulary
     * ratio (measured 10²-10³ here). Words outside [[Bpe.WordRegex]]
     * are dropped by the shared pre-tokenizer contract. */
-  /** Piece-count ceiling for the literal-map (pure map-only) encode
-    * tier. Deliberately BELOW any trained model of consequence: the
-    * per-occurrence DP is interpreted higher-order-function work whose
-    * cost the distinct-word join path divides by the corpus/vocabulary
-    * occurrence ratio (measured 10²-10³ — the 7-min→3-s fix), and that
-    * ratio, not the model size, is the true discriminator. The tier
-    * exists for micro-models and for pipelines where the three
-    * shuffles are the problem rather than the DP — a streaming encode
-    * (map-only expressions compose into `readStream` with no state),
-    * or a corpus of near-unique words where distinct ≈ occurrences.
-    * Callers in those shapes pass an explicit threshold. */
+  /** Suggested piece-count ceiling for callers OPTING INTO the
+    * literal-map (pure map-only) encode tier. The tier is NEVER the
+    * default: the per-occurrence DP is interpreted higher-order-
+    * function work whose cost the distinct-word join path divides by
+    * the corpus/vocabulary occurrence ratio — a CORPUS property the
+    * model size cannot see. (The round-16 scale probe caught exactly
+    * this: the inflated corpus trained a model under the old 32-piece
+    * default gate and a 5 s encode became a 20+ CPU-minute
+    * per-occurrence grind, re-evaluated again by the output sort's
+    * range-partitioner sample.) Opt in only where the shape provably
+    * wants it — a streaming encode (map-only expressions compose into
+    * `readStream` with no state), or a corpus of near-unique words
+    * where distinct ≈ occurrences. */
   val MapOnlyMaxPieces = 32
 
   def encode(docs: DataFrame, model: UnigramModel,
       idCol: String = "doc_id", textCol: String = "text",
-      mapOnlyMaxPieces: Int = MapOnlyMaxPieces): DataFrame = {
+      mapOnlyMaxPieces: Int = 0): DataFrame = {
     require(model.pieces.nonEmpty, "empty unigram model")
     val entries = model.pieces.flatMap { case (p, _, s) =>
       Seq(lit(p), lit(s))

@@ -656,6 +656,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(heavy.exists(_._3 >= k / 2), s"heavy row draws: $heavy")
   }
 
+  test("exact quantiles: rank selection equals the single-window " +
+      "answer, global and per-key, ties and all") {
+    import graft.operators.Quantiles
+    val rng = new scala.util.Random(11)
+    // heavy ties (values mod 10) force the tiebreak to matter
+    val rows = (1L to 400L).map(i =>
+      (if (i % 2 == 0) "a" else "b", (rng.nextInt(100) % 10).toDouble, i))
+    val df = rows.toDF("k", "v", "id").repartition(5)
+    val qs = Seq(0.1, 0.5, 0.95, 1.0)
+    val got = Quantiles.exactQuantiles(df, $"v", Seq($"id"), qs)
+      .as[(Double, Double)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"id")
+    val single = df.withColumn("rn", row_number().over(w))
+      .as[(String, Double, Long, Int)].collect()
+    val n = rows.size
+    qs.foreach { q =>
+      val pos = math.max(1L, math.ceil(q * n).toLong)
+      val exp = single.find(_._4.toLong == pos).get._2
+      assert(got(q) === exp, s"global q=$q")
+    }
+    val gotK = Quantiles.exactQuantilesByKey(df, "k", $"v", Seq($"id"),
+      qs).as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy($"k")
+      .orderBy($"v", $"id")
+    val singleK = df.withColumn("rn", row_number().over(wk))
+      .as[(String, Double, Long, Int)].collect()
+    for (k <- Seq("a", "b"); q <- qs) {
+      val nk = rows.count(_._1 == k)
+      val pos = math.max(1L, math.ceil(q * nk).toLong)
+      val exp = singleK.find(r => r._1 == k && r._4.toLong == pos).get._2
+      assert(gotK((k, q)) === exp, s"key=$k q=$q")
+    }
+  }
+
   test("maxConcurrency: half-open sweep on a hand-built log") {
     import graft.operators.EventOps
     def ts(s: Int) = java.sql.Timestamp.from(

@@ -170,12 +170,16 @@ class UnigramSpec extends SparkTestBase {
     // per distinct word
     assert(mapOnly.exceptAll(joined).isEmpty &&
       joined.exceptAll(mapOnly).isEmpty)
-    // the GATED model (vocab 16 + char coverage) sits ABOVE the default
-    // threshold, so q_unigram_encode keeps the measured join path
-    val gated = Unigram.train(d, vocabSize = 16, iters = 2)
-    assert(gated.pieces.size > Unigram.MapOnlyMaxPieces,
-      s"gated model shrank to ${gated.pieces.size} pieces — the " +
-        "default tier threshold would flip q_unigram_encode to the " +
-        "per-occurrence DP (the documented 100x regression)")
+    // the map-only tier must be OPT-IN: the default encode plans the
+    // distinct-word join even for a model under the suggested ceiling
+    // (the round-16 scale probe caught a corpus whose trained model
+    // slipped under the old size-gated default and turned a 5 s
+    // encode into a 20+ CPU-minute per-occurrence grind — model size
+    // cannot see the corpus/vocabulary occurrence ratio)
+    assert(tiny.pieces.size <= Unigram.MapOnlyMaxPieces)
+    val defaulted = Unigram.encode(d, tiny)
+    assert(defaulted.queryExecution.optimizedPlan.toString
+      .contains("Join"),
+      "default encode took the per-occurrence map-only tier")
   }
 }
