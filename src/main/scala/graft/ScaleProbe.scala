@@ -91,7 +91,8 @@ object ScaleProbe {
     // inflated corpus; the ±1 concurrency sweep over inflated events)
     // and the rolling z-score window (key-partitioned, user count
     // grows with the factor)
-    "q_sample_pps", "q_concurrency", "q_anomaly_events")
+    "q_sample_pps", "q_concurrency", "q_anomaly_events",
+    "q_quantiles_exact", "q_p95_by_type")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1362,6 +1362,15 @@ object SparkEntry {
       maxDist = 2)
       .orderBy(col("a"), col("b"))
 
+  /** Entity resolution end-to-end: fuzzy blocking join → transitive
+    * closure (GraphX connected components) → lexicographic-min
+    * canonical per component, singletons mapping to themselves. The
+    * oracle re-derives the closure with a recursive CTE. */
+  private val qFuzzyCanon: Q = (s, dir) =>
+    operators.FuzzyJoin.canonicalize(t(s, dir, "part"), "p_name",
+      maxDist = 2)
+      .orderBy(col("name"))
+
   /** PII scrub: plant a deterministic email + phone per doc, then count
     * and redact them with portable regexes (CorpusOps.redactPii). */
   private val qPiiRedact: Q = (s, dir) => {
@@ -2580,6 +2589,7 @@ object SparkEntry {
     "q_sample_pps" -> qSamplePps,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_fuzzy_parts" -> qFuzzyParts,
+    "q_fuzzy_canon" -> qFuzzyCanon,
     "q_anomaly_events" -> qAnomalyEvents,
     "q_concurrency" -> qConcurrency,
     "q_quantiles_exact" -> qQuantilesExact,
@@ -2999,6 +3009,20 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.t < b.t
         |WHERE levenshtein(a.t, b.t) <= 2
         |ORDER BY a, b""".stripMargin,
+    // entity resolution: the closure re-derived as recursive
+    // reachability, canonical = min reachable value (self included)
+    "q_fuzzy_canon" ->
+      """WITH RECURSIVE v AS (SELECT DISTINCT p_name AS t FROM part
+        |  WHERE p_name IS NOT NULL AND len(p_name) > 0),
+        |p AS (SELECT a.t AS a, b.t AS b FROM v a JOIN v b
+        |  ON a.t < b.t AND levenshtein(a.t, b.t) <= 2),
+        |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |reach(n, m) AS (
+        |  SELECT t, t FROM v
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+        |SELECT n AS name, min(m) AS canonical FROM reach
+        |GROUP BY n ORDER BY n""".stripMargin,
     // WAP: after publish the table holds exactly ALL orders rows —
     // the oracle aggregates the source directly
     "q_wap_publish" ->

@@ -611,6 +611,19 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("fuzzy canonicalize: transitive closure picks the min name; " +
+      "singletons map to themselves") {
+    import graft.operators.FuzzyJoin
+    // aaaa-aabb are distance 2 (NOT directly joined at d=1) but both
+    // reach aaab — only the transitive closure groups them
+    val words = Seq("aaab", "aaaa", "aabb", "beta", "betta", "xyzzy")
+    val got = FuzzyJoin.canonicalize(words.toDF("w"), "w", maxDist = 1)
+      .as[(String, String)].collect().toMap
+    assert(got === Map(
+      "aaaa" -> "aaaa", "aaab" -> "aaaa", "aabb" -> "aaaa",
+      "beta" -> "beta", "betta" -> "beta", "xyzzy" -> "xyzzy"))
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
