@@ -92,7 +92,16 @@ object ScaleProbe {
     // and the rolling z-score window (key-partitioned, user count
     // grows with the factor)
     "q_sample_pps", "q_concurrency", "q_anomaly_events",
-    "q_quantiles_exact", "q_p95_by_type")
+    "q_quantiles_exact", "q_p95_by_type",
+    // round 16, second wave: OHLC bars (one map-side-combinable agg),
+    // CUSUM closed form + interval union + session paths + Markov
+    // transitions (key-partitioned windows over user-offset-inflated
+    // events), PMI collocations (capped per-doc pair rollups),
+    // winsorized mean (two-phase rank clamp), one-pass profiler
+    // (Expand multi-distinct over the inflated orders table)
+    "q_ohlc_bars", "q_cusum_drift", "q_interval_union",
+    "q_session_paths", "q_event_transitions", "q_winsorized_mean",
+    "q_term_pmi", "q_profile_table", "q_histogram", "q_ri_check")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -514,10 +523,21 @@ object ScaleProbe {
         col("user_id") + lit(i * evSpan)))
       .write.parquet(s"$out/events.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part",
-        "orders").foreach { t =>
-      spark.read.parquet(s"$base/$t.parquet")
-        .write.parquet(s"$out/$t.parquet")
-    }
+    // orders inflates by orderkey/custkey offset so the profiler's
+    // distinct-count work scales with the rows (no probed query joins
+    // orders to the uninflated dims)
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val ordSpan = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val custSpan = ord.agg(max(col("o_custkey"))).head.getLong(0) + 1
+    copies(ord, (d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custSpan)))
+      .write.parquet(s"$out/orders.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.parquet(s"$out/$t.parquet")
+      }
   }
 }

@@ -1752,6 +1752,98 @@ object SparkEntry {
       "event_id", "value", window = 20, threshold = 3.0)
       .orderBy(col("user_id"), col("event_id"))
 
+  /** OHLC hourly bars per user ([[operators.EventOps.ohlcBars]]):
+    * ONE map-side-combinable hash aggregate — min_by/max_by on the
+    * (ts, id) struct pick open/close with no per-bucket sort window;
+    * volume sums fixed-point longs (exact). */
+  private val qOhlcBars: Q = (s, dir) =>
+    operators.EventOps.ohlcBars(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "value", bucket = "hour", valueScale = 100L)
+      .orderBy(col("user_id"), col("bucket"))
+
+  /** One-sided CUSUM drift flags ([[operators.EventOps.cusum]]): the
+    * sequential-looking recurrence S_i = max(0, S_{i-1} + (x_i − T))
+    * in its closed form P_i − min(P_0..P_i) — two key-partitioned
+    * window functions, integer-exact fixed-point units. */
+  private val qCusumDrift: Q = (s, dir) =>
+    operators.EventOps.cusum(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "value", targetC = 800L, threshC = 2500L,
+      valueScale = 100L)
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Per-user interval-union coverage
+    * ([[operators.EventOps.intervalUnion]]): total active time under
+    * 5-minute event windows with overlaps counted once, plus merged
+    * segment count — one key-partitioned sweep window, one hash
+    * aggregate, exact micros. */
+  private val qIntervalUnion: Q = (s, dir) =>
+    operators.EventOps.intervalUnion(t(s, dir, "events"), "user_id",
+      "ts", "event_id", durationMicros = 300000000L)
+      .orderBy(col("user_id"))
+
+  /** PMI-family collocation mining
+    * ([[operators.TextSearch.collocations]]): term pairs whose
+    * co-occurrence beats independence, scored as integer lift-ppm in
+    * decimal(38,0) with exact integral division — no ln, no float.
+    * Per-doc pair expansion is capped O(12²) by construction. */
+  private val qTermPmi: Q = (s, dir) =>
+    operators.TextSearch.collocations(t(s, dir, "documents"))
+
+  /** One-pass exact table profile ([[operators.Profile.profile]])
+    * over `orders`: per column rows/nulls/exact-distinct/min/max in
+    * long format — a single Aggregate (Expand for the multi-distinct)
+    * then a literal-struct unpivot. */
+  private val qProfileTable: Q = (s, dir) =>
+    operators.Profile.profile(t(s, dir, "orders"))
+
+  /** Top session journeys ([[operators.EventOps.sessionPaths]]):
+    * 30-min-gap sessions, first-5-event-type paths, session counts —
+    * the per-session array is bounded to 5 BEFORE collection by a
+    * row_number cut, so bot sessions can't blow up state. */
+  private val qSessionPaths: Q = (s, dir) =>
+    operators.EventOps.sessionPaths(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "event_type",
+      gapMicros = 30L * 60 * 1000000, pathLen = 5, topN = 50)
+
+  /** Event-type Markov transitions
+    * ([[operators.EventOps.transitions]]): one key-partitioned lead
+    * window, two hash rollups, integer-ppm probabilities via exact
+    * integral division. */
+  private val qEventTransitions: Q = (s, dir) =>
+    operators.EventOps.transitions(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "event_type")
+
+  /** Winsorized mean per event type
+    * ([[operators.Quantiles.winsorizedMeanByKey]]): exact [p05, p95]
+    * clamp via two-phase rank selection (never the O(1)-key window
+    * trap), fixed-point sums, one final IEEE division. */
+  private val qWinsorizedMean: Q = (s, dir) =>
+    operators.Quantiles.winsorizedMeanByKey(t(s, dir, "events"),
+      "event_type", col("value"), Seq(col("event_id")),
+      loQ = 0.05, hiQ = 0.95)
+      .orderBy(col("event_type"))
+
+  /** Fixed-point equi-width histogram
+    * ([[operators.Profile.histogram]]): integer bin arithmetic on
+    * quantized cents, empty bins materialized — one scan, one
+    * bins-sized rollup. */
+  private val qHistogram: Q = (s, dir) =>
+    operators.Profile.histogram(t(s, dir, "lineitem"),
+      col("l_extendedprice"), bins = 40)
+
+  /** Referential-integrity check ([[operators.Profile.riCheck]]):
+    * orphan counts via LEFT ANTI joins (Catalyst picks broadcast per
+    * stats) over the lineitem→orders and orders→customer edges. */
+  private val qRiCheck: Q = (s, dir) =>
+    operators.Profile.riCheck(Seq(
+      ("lineitem.l_orderkey -> orders.o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey"),
+      ("orders.o_custkey -> customer.c_custkey",
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey")))
+      .orderBy(col("relationship"))
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2592,6 +2684,16 @@ object SparkEntry {
     "q_fuzzy_canon" -> qFuzzyCanon,
     "q_anomaly_events" -> qAnomalyEvents,
     "q_concurrency" -> qConcurrency,
+    "q_ohlc_bars" -> qOhlcBars,
+    "q_cusum_drift" -> qCusumDrift,
+    "q_interval_union" -> qIntervalUnion,
+    "q_term_pmi" -> qTermPmi,
+    "q_profile_table" -> qProfileTable,
+    "q_session_paths" -> qSessionPaths,
+    "q_event_transitions" -> qEventTransitions,
+    "q_winsorized_mean" -> qWinsorizedMean,
+    "q_histogram" -> qHistogram,
+    "q_ri_check" -> qRiCheck,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -2951,6 +3053,187 @@ object SparkEntry {
         |c AS (SELECT sum(d) OVER (ORDER BY t, d, i) AS conc FROM d)
         |SELECT CAST(max(conc) AS BIGINT) AS max_concurrent FROM c"""
         .stripMargin,
+    // OHLC bars: open/close via rank-1 rows under the same (ts, id)
+    // ordering min_by/max_by uses; volume sums fixed-point longs
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    ts, event_id, value,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+        |      bucket ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rd FROM e)
+        |SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(vc) AS BIGINT) AS volume_c
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // CUSUM closed form: S = P - min(0, runmin(P)) over exact
+    // fixed-point integers — replayed with the same two windows
+    "q_cusum_drift" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    CAST(round(value * 100) AS BIGINT) - 800 AS d
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, ts, value,
+        |    sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM e),
+        |g AS (SELECT user_id, event_id, value,
+        |    p - least(CAST(0 AS BIGINT),
+        |      min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS s
+        |  FROM w)
+        |SELECT user_id, event_id, value,
+        |  CAST(s AS BIGINT) AS cusum_c, s > 2500 AS drift
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
+    // interval union: prev-max-end sweep — overlap-free contribution
+    // and new-segment flag from ONE trailing window max
+    "q_interval_union" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS en FROM events),
+        |w AS (SELECT user_id, event_id, s, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM e),
+        |c AS (SELECT user_id,
+        |    greatest(CAST(0 AS BIGINT),
+        |      en - greatest(s, coalesce(pm, s))) AS cov,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS seg
+        |  FROM w)
+        |SELECT user_id, CAST(sum(cov) AS BIGINT) AS covered_micros,
+        |  CAST(sum(seg) AS BIGINT) AS n_segments,
+        |  count(*) AS n_intervals
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PMI collocations under the integer contract: lift-ppm via
+    // HUGEINT `//` against Spark's decimal(38,0) IntegralDivide; the
+    // capped sorted per-doc term set is rebuilt verbatim
+    "q_term_pmi" ->
+      """WITH tok AS (SELECT list_sort(list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '' AND length(x) >= 3)))[1:12] AS ts
+        |  FROM documents),
+        |ne AS (SELECT ts FROM tok WHERE len(ts) >= 1),
+        |d AS (SELECT count(*) AS n_docs FROM ne),
+        |tc AS (SELECT t, count(*) AS n_t FROM (
+        |    SELECT unnest(ts) AS t FROM ne) GROUP BY t),
+        |p AS (SELECT unnest(flatten(list_transform(ts, (x, i) ->
+        |      list_transform(ts[i+1:],
+        |        y -> {'t1': x, 't2': y})))) AS pr
+        |  FROM ne WHERE len(ts) >= 2),
+        |pc AS (SELECT pr.t1 AS t1, pr.t2 AS t2, count(*) AS n_pair
+        |  FROM p GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (SELECT t1, t2, n_pair,
+        |    CAST((CAST(n_pair AS HUGEINT) * 1000000 * d.n_docs) //
+        |      (CAST(n1.n_t AS HUGEINT) * n2.n_t) AS BIGINT)
+        |      AS lift_ppm
+        |  FROM pc JOIN tc n1 ON pc.t1 = n1.t
+        |    JOIN tc n2 ON pc.t2 = n2.t CROSS JOIN d)
+        |SELECT t1, t2, n_pair, lift_ppm FROM sc
+        |ORDER BY lift_ppm DESC, t1, t2 LIMIT 100""".stripMargin,
+    // exact one-pass profile of orders, one UNION ALL arm per column
+    "q_profile_table" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_repr,
+           |  CAST(max($c) AS VARCHAR) AS max_repr FROM orders"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // session paths: same gap split as q_sessionize, rank-capped
+    // first-5 types, path rollup
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id AS k, event_id AS i,
+        |    epoch_us(ts) AS tu, event_type AS ty FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+        |      OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS ns
+        |  FROM e WINDOW w AS (PARTITION BY k ORDER BY tu, i)),
+        |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY k
+        |    ORDER BY tu, i ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sid FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k, sid
+        |    ORDER BY tu, i) AS rn FROM s2),
+        |p AS (SELECT k, sid,
+        |    array_to_string(list(ty ORDER BY rn), '>') AS path
+        |  FROM r WHERE rn <= 5 GROUP BY k, sid)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin,
+    // Markov transitions: lead pairs, ppm via HUGEINT `//` against
+    // Spark's exact IntegralDivide
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id AS k, event_id AS i,
+        |    epoch_us(ts) AS tu, event_type AS ty FROM events),
+        |x AS (SELECT ty, lead(ty) OVER (PARTITION BY k
+        |    ORDER BY tu, i) AS nxt FROM e),
+        |pc AS (SELECT ty AS from_type, nxt AS to_type,
+        |    count(*) AS n FROM x WHERE nxt IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT from_type, sum(n) AS n_from FROM pc
+        |  GROUP BY 1)
+        |SELECT pc.from_type AS from_type, to_type, n,
+        |  CAST((CAST(n AS HUGEINT) * 1000000) // n_from AS BIGINT)
+        |    AS p_ppm
+        |FROM pc JOIN tt USING (from_type) ORDER BY 1, 2"""
+        .stripMargin,
+    // winsorized mean: exact rank-selected p05/p95 clamp, fixed-point
+    // sum, one final IEEE division tree
+    "q_winsorized_mean" ->
+      """WITH r AS (SELECT event_type, value, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |n AS (SELECT event_type, count(*) AS c FROM events
+        |  GROUP BY 1),
+        |b AS (SELECT r.event_type AS event_type,
+        |    min(CASE WHEN rn = greatest(1,
+        |      CAST(ceil(0.05 * c) AS BIGINT)) THEN value END) AS lo,
+        |    min(CASE WHEN rn = greatest(1,
+        |      CAST(ceil(0.95 * c) AS BIGINT)) THEN value END) AS hi
+        |  FROM r JOIN n USING (event_type) GROUP BY 1),
+        |cl AS (SELECT e.event_type AS event_type,
+        |    CAST(round(least(greatest(e.value, b.lo), b.hi) * 100)
+        |      AS BIGINT) AS vc
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS wins_sum_c,
+        |  round(CAST(sum(vc) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 100.0), 6) AS wins_mean
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-point histogram: pure integer bin index, empty bins from
+    // a range join — replayed with `//`
+    "q_histogram" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100)
+        |      AS BIGINT) AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+        |g AS (SELECT unnest(range(0, 40)) AS bin),
+        |c AS (SELECT ((x - lo) * 40) // (hi - lo + 1) AS bin,
+        |    count(*) AS n FROM v, b GROUP BY 1)
+        |SELECT g.bin AS bin, b.lo AS lo_c, b.hi AS hi_c,
+        |  coalesce(c.n, 0) AS n
+        |FROM g CROSS JOIN b LEFT JOIN c USING (bin)
+        |ORDER BY bin""".stripMargin,
+    // referential integrity: NOT EXISTS mirrors the anti join (NULL
+    // child keys are orphans in both)
+    "q_ri_check" ->
+      """SELECT 'lineitem.l_orderkey -> orders.o_orderkey'
+        |    AS relationship,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders.o_custkey -> customer.c_custkey',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY relationship""".stripMargin,
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

@@ -184,6 +184,202 @@ object EventOps {
       .agg(max(col("conc")).as("max_concurrent"))
   }
 
+  /** OHLC time-bars (the metrics/trading resample): per (key, bucket)
+    * the open/high/low/close of `valueCol`, the event count and the
+    * fixed-point volume sum. ONE hash aggregate — `min_by`/`max_by`
+    * on the (ts, id) ordering struct replace the naive per-bucket
+    * sort-window, so the whole bar is map-side combinable and the
+    * plan is a single shuffle on (key, bucket) regardless of bucket
+    * width. Determinism: (ts, id) is unique, so open/close selection
+    * never ties; `volume_c` sums `round(value·scale)` longs — exact
+    * integers, no float accumulation order to disagree on.
+    *
+    * @return `(key, bucket, open, high, low, close, n_events,
+    *          volume_c)`
+    */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, bucket: String = "hour",
+      valueScale: Long = 100L): DataFrame = {
+    require(valueScale > 0, s"valueScale must be > 0, got $valueScale")
+    val ord = struct(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol).as("k"),
+        date_trunc(bucket, col(tsCol)).as("bucket"),
+        ord.as("o"), col(valueCol).as("v"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(
+        min_by(col("v"), col("o")).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max_by(col("v"), col("o")).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("vc")).as("volume_c"))
+      .select(col("k").as(keyCol), col("bucket"), col("open"),
+        col("high"), col("low"), col("close"), col("n_events"),
+        col("volume_c"))
+  }
+
+  /** One-sided CUSUM drift detection per key: the classic recurrence
+    * `S_i = max(0, S_{i-1} + (x_i − target))` flags a sustained
+    * upward shift when S crosses the threshold. The recurrence looks
+    * inherently sequential, but it has a closed form over prefix
+    * sums — with `P_i = Σ_{j≤i} (x_j − target)` and `P_0 = 0`,
+    *
+    *   `S_i = P_i − min(P_0 … P_i) = P_i − least(0, runmin(P))`
+    *
+    * so the whole detector is TWO plain key-partitioned window
+    * functions (running sum + running min), no per-key loop, no
+    * collect. Integer contract: values quantize to
+    * `round(value·scale)` longs and `target` is given in the same
+    * quantized units, so every P/S is an exact integer and the drift
+    * flag's comparison is integer-exact — any engine replays it
+    * bit-for-bit.
+    *
+    * Scale shape: windows partition BY THE KEY (partition count grows
+    * with entities); a single entity's history stays one partition,
+    * the same contract as [[anomalies]].
+    *
+    * @param targetC  reference level in quantized units
+    *                 (e.g. 500 = 5.00 at scale 100)
+    * @param threshC  drift threshold in the same units
+    * @return `(key, id, value, cusum_c, drift)` per event
+    */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, targetC: Long, threshC: Long,
+      valueScale: Long = 100L): DataFrame = {
+    require(threshC > 0, s"threshC must be > 0, got $threshC")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = round(col(valueCol) * valueScale).cast("long") -
+      lit(targetC)
+    events
+      .withColumn("__cu_p", sum(d).over(w))
+      .withColumn("__cu_s",
+        col("__cu_p") - least(lit(0L), min(col("__cu_p")).over(w)))
+      .select(col(keyCol), col(idCol), col(valueCol),
+        col("__cu_s").as("cusum_c"),
+        (col("__cu_s") > threshC).as("drift"))
+  }
+
+  /** Per-key interval-union coverage: each event occupies
+    * `[ts, ts + durationMicros)`; the answer is the total length of
+    * the UNION of those intervals (overlaps counted once) plus the
+    * merged-segment count — "how long was the user actually active,
+    * across how many visits". The sweep is one key-partitioned
+    * window: ordered by (start, id), `prev_max_end = max(end) over
+    * rows preceding` decides both the new segment flag
+    * (`start > prev_max_end`) and the non-overlapped contribution
+    * `max(0, end − max(start, prev_max_end))` — exact micros
+    * arithmetic end to end, then one hash aggregate per key.
+    *
+    * @return `(key, covered_micros, n_segments, n_intervals)`
+    */
+  def intervalUnion(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, durationMicros: Long): DataFrame = {
+    require(durationMicros > 0,
+      s"durationMicros must be > 0, got $durationMicros")
+    val s = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__iu_s"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(keyCol).as("k"), col(idCol).as("i"),
+        s.as("__iu_s"), (s + durationMicros).as("__iu_e"))
+      .withColumn("__iu_pm", max(col("__iu_e")).over(w))
+      .select(col("k"),
+        greatest(lit(0L), col("__iu_e") -
+          greatest(col("__iu_s"),
+            coalesce(col("__iu_pm"), col("__iu_s")))).as("cov"),
+        (col("__iu_pm").isNull ||
+          col("__iu_s") > col("__iu_pm")).cast("long").as("seg"))
+      .groupBy(col("k"))
+      .agg(sum(col("cov")).as("covered_micros"),
+        sum(col("seg")).as("n_segments"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("k").as(keyCol), col("covered_micros"),
+        col("n_segments"), col("n_intervals"))
+  }
+
+  /** Top session journeys: sessionize by inactivity gap (the same
+    * lag+cumsum split the batch sessionizer uses), take each
+    * session's FIRST `pathLen` event types in (ts, id) order, render
+    * them as a `a>b>c` path and count sessions per path. The
+    * per-session array is bounded BEFORE it exists: a row_number
+    * window keeps only ranks ≤ `pathLen`, so the collect holds at
+    * most `pathLen` structs regardless of session length (no
+    * bot-session blowup — tighter than [[funnel]]'s contract). All
+    * windows partition by the entity key; the path rollup is one hash
+    * aggregate; the final cut is a TakeOrderedAndProject.
+    *
+    * @return top-`topN` rows `(path, n_sessions)` by
+    *         (n_sessions desc, path)
+    */
+  def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapMicros: Long,
+      pathLen: Int = 5, topN: Int = 50): DataFrame = {
+    require(gapMicros > 0 && pathLen >= 1 && topN >= 1,
+      s"bad sessionPaths args: gap=$gapMicros len=$pathLen top=$topN")
+    val wk = Window.partitionBy(col("k"))
+      .orderBy(col("tu"), col("i"))
+    val sess = events
+      .select(col(keyCol).as("k"), col(idCol).as("i"),
+        unix_micros(col(tsCol)).as("tu"), col(typeCol).as("ty"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(wk).isNull ||
+          col("tu") - lag(col("tu"), 1).over(wk) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("k"), col("sess_id"))
+      .orderBy(col("tu"), col("i"))
+    sess
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= pathLen)
+      .groupBy(col("k"), col("sess_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("ty"))))
+        .as("evs"))
+      .select(array_join(transform(col("evs"), e => e("ty")), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
+  /** First-order Markov transition matrix over event types: for each
+    * entity's (ts, id)-ordered stream, count `from → to` adjacent
+    * pairs and score each row's probability as integer ppm,
+    * `p_ppm = ⌊n·10⁶ / n_from⌋` — exact integral division, engine-
+    * replayable. One key-partitioned `lead` window, two hash
+    * rollups meeting on the `from` type (broadcast-sized).
+    *
+    * @return `(from_type, to_type, n, p_ppm)` ordered rows
+    */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: Column, b: Column): Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    val w = Window.partitionBy(col("k")).orderBy(col("tu"), col("i"))
+    val pairs = events
+      .select(col(keyCol).as("k"), col(idCol).as("i"),
+        unix_micros(col(tsCol)).as("tu"), col(typeCol).as("ty"))
+      .withColumn("nxt", lead(col("ty"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("ty").as("from_type"), col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        intDiv(col("n") * lit(1000000L), col("n_from")).as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Weekly cohort retention: an entity's cohort is the ISO week of
     * its first event; a (cohort, offset) cell counts entities with
     * any event `offset` weeks after their cohort week. Returns

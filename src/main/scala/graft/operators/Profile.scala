@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass table profiler — the "what's actually in this table"
+  * report every ingestion/curation pipeline runs before trusting a
+  * new drop: per column the row count, null count, EXACT distinct
+  * count, and min/max rendered canonically.
+  *
+  * Plan shape: ONE Aggregate node carrying all measures. The mixed
+  * exact-distinct set makes Catalyst plan a single Expand (input
+  * ×(k+1) streams, one per distinct column plus the plain measures),
+  * each stream partially aggregated map-side before the one shuffle —
+  * the standard exact-profile plan. The wide one-row result then
+  * unpivots to long format with a literal struct array (no second
+  * scan, no join).
+  *
+  * 100 TB note: exact distinct via Expand multiplies the scan ×(k+1);
+  * that is the price of EXACT cardinalities and is still one pass.
+  * Where estimates suffice, swap `count_distinct` for
+  * `approx_count_distinct` and the Expand disappears (each HLL sketch
+  * aggregates in the plain stream) — profile cost then equals one
+  * scan regardless of column count.
+  */
+object Profile {
+
+  /** Profile `cols` (default: every column) of `df`. Min/max render
+    * through a plain string cast — selection, not arithmetic, so the
+    * values are exact and any engine agrees on the representation for
+    * the integer/date/string/short-decimal-double columns a profile
+    * targets.
+    *
+    * @return `(column_name, n_rows, n_nulls, n_distinct, min_repr,
+    *          max_repr)`, one row per profiled column
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(names.nonEmpty, "profile: no columns to profile")
+    val missing = names.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such columns $missing " +
+      s"in ${df.schema.catalogString}")
+    val measures = names.flatMap { n =>
+      Seq(count(col(n)).as(s"__pr_cnt_$n"),
+        count_distinct(col(n)).as(s"__pr_nd_$n"),
+        min(col(n)).cast("string").as(s"__pr_mn_$n"),
+        max(col(n)).cast("string").as(s"__pr_mx_$n"))
+    }
+    val one = df.agg(count(lit(1)).as("__pr_rows"),
+      measures: _*)
+    one
+      .select(explode(array(names.map { n =>
+        struct(
+          lit(n).as("column_name"),
+          col("__pr_rows").as("n_rows"),
+          (col("__pr_rows") - col(s"__pr_cnt_$n")).as("n_nulls"),
+          col(s"__pr_nd_$n").as("n_distinct"),
+          col(s"__pr_mn_$n").as("min_repr"),
+          col(s"__pr_mx_$n").as("max_repr"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  private def intDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+  }
+
+  /** Equi-width histogram under the fixed-point INTEGER contract:
+    * values quantize to `round(v·scale)` longs, [lo, hi] pins to the
+    * exact quantized min/max (one tiny aggregate, broadcast back),
+    * and the bin index is pure integer arithmetic,
+    *
+    *   `bin = ⌊(xc − lo)·bins / (hi − lo + 1)⌋`
+    *
+    * — always in [0, bins), no float boundary for engines to disagree
+    * on. One scan + one bins-sized hash rollup; empty bins are
+    * materialized from a `sequence` so the output is always exactly
+    * `bins` rows (the shape a plotting layer wants).
+    *
+    * @return `(bin, lo_c, hi_c, n)` — lo_c/hi_c are the global
+    *         quantized bounds on every row
+    */
+  def histogram(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+      bins: Int, scale: Long = 100L): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val xc = round(valueCol * scale).cast("long")
+    val vals = df.select(xc.as("__hg_x")).filter(col("__hg_x").isNotNull)
+    val bounds = vals.agg(min(col("__hg_x")).as("__hg_lo"),
+      max(col("__hg_x")).as("__hg_hi"))
+    val grid = bounds.select(
+      explode(sequence(lit(0L), lit(bins - 1L))).as("bin"),
+      col("__hg_lo"), col("__hg_hi"))
+    val counts = vals.crossJoin(broadcast(bounds))
+      .select(intDiv((col("__hg_x") - col("__hg_lo")) * bins,
+        col("__hg_hi") - col("__hg_lo") + 1).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    grid.join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"), col("__hg_lo").as("lo_c"),
+        col("__hg_hi").as("hi_c"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  /** Referential-integrity check: for each named (child, childKey) →
+    * (parent, parentKey) relationship, the child row count and the
+    * orphan count (child keys with no parent — LEFT ANTI join, so
+    * Catalyst picks broadcast/shuffle per side stats; NULL keys count
+    * as orphans, matching the "every row must resolve" contract).
+    * The data-quality gate a warehouse runs after every load.
+    *
+    * @return `(relationship, n_child, n_orphans)`, one row per entry
+    */
+  def riCheck(rels: Seq[(String, DataFrame, String, DataFrame,
+      String)]): DataFrame = {
+    require(rels.nonEmpty, "riCheck: no relationships given")
+    rels.map { case (name, child, childKey, parent, parentKey) =>
+      val orphans = child.select(col(childKey).as("__ri_k"))
+        .join(parent.select(col(parentKey).as("__ri_k")),
+          Seq("__ri_k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+}

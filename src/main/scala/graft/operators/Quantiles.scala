@@ -69,4 +69,43 @@ object Quantiles {
           col("__qx_rn").cast("long") === col("__qx_pos"))
       .select(col(keyCol), col("q"), col("value"))
   }
+
+  /** Winsorized mean per key: clamp `valueCol` into the key's exact
+    * [loQ, hiQ] quantile band (rank selection — no approx error), then
+    * aggregate under the fixed-point contract: clamped values quantize
+    * to `round(v·scale)` longs, the per-key sum is an exact integer,
+    * and the mean is ONE fixed IEEE division tree
+    * `round(sum / (n · scale), 6)` any engine replays bit-for-bit.
+    * The robust-mean idiom for metrics with fat tails.
+    *
+    * Scale shape: the quantile bounds ride [[exactQuantilesByKey]]'s
+    * two-phase ranks (low-cardinality keys never bottleneck one
+    * task); the bounds table is keys×2 rows, broadcast back; the
+    * clamp+sum is one map-side-combinable hash aggregate.
+    *
+    * @return `(key, n, wins_sum_c, wins_mean)` per key
+    */
+  def winsorizedMeanByKey(df: DataFrame, keyCol: String,
+      valueCol: Column, tiebreakCols: Seq[Column], loQ: Double,
+      hiQ: Double, scale: Long = 100L): DataFrame = {
+    require(loQ > 0.0 && hiQ < 1.0 && loQ < hiQ,
+      s"need 0 < loQ < hiQ < 1, got $loQ, $hiQ")
+    val bounds = exactQuantilesByKey(df, keyCol, valueCol,
+      tiebreakCols, Seq(loQ, hiQ))
+      .groupBy(col(keyCol).as("__wz_k"))
+      .agg(min(when(col("q") === loQ, col("value"))).as("__wz_lo"),
+        min(when(col("q") === hiQ, col("value"))).as("__wz_hi"))
+    val clamped = df
+      .select(col(keyCol), valueCol.as("__wz_v"))
+      .join(broadcast(bounds), col(keyCol) <=> col("__wz_k"))
+      .select(col(keyCol),
+        round(least(greatest(col("__wz_v"), col("__wz_lo")),
+          col("__wz_hi")) * scale).cast("long").as("__wz_c"))
+    clamped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__wz_c")).as("wins_sum_c"))
+      .select(col(keyCol), col("n"), col("wins_sum_c"),
+        round(col("wins_sum_c").cast("double") /
+          (col("n").cast("double") * scale.toDouble), 6)
+          .as("wins_mean"))
+  }
 }

@@ -510,4 +510,89 @@ object TextSearch {
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
   }
+
+  /** Exact integral division (`a div b`): decimal quotients truncate
+    * exactly where a scale-bound decimal division would HALF_UP-round
+    * across a floor boundary the oracle's `//` never crosses (same
+    * contract as [[Unigram]]'s DP arithmetic). */
+  private def intDiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+  }
+
+  private def dec38(c: org.apache.spark.sql.Column) =
+    c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
+  /** Collocation mining: term pairs that co-occur across documents
+    * far more often than their independent document frequencies
+    * predict — the PMI/lift family, under an INTEGER contract: the
+    * score is the lift in parts-per-million,
+    *
+    *   `lift_ppm = ⌊ n_pair · 10⁶ · n_docs / (n_t1 · n_t2) ⌋`
+    *
+    * computed in decimal(38,0) with exact integral division (no ln,
+    * no float — any engine replays it bit-for-bit; 10⁶·n_pair·n_docs
+    * stays far inside 38 digits at any corpus size).
+    *
+    * Determinism + scale both come from the capped per-doc term set:
+    * the `maxTermsPerDoc` lexicographically-smallest distinct tokens
+    * of length ≥ `minTermLen`. The per-doc pair expansion is then
+    * O(cap²) — a constant — by CONSTRUCTION (never |doc|²), built
+    * with codegen'd higher-order array functions (no explode-join,
+    * no UDF). Downstream it's two hash rollups (pair counts, term
+    * counts) and a broadcast of the one-row corpus count; the final
+    * cut is a TakeOrderedAndProject.
+    *
+    * @return top-`topN` rows `(t1, t2, n_pair, lift_ppm)` by
+    *         (lift_ppm desc, t1, t2)
+    */
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTermLen: Int = 3,
+      maxTermsPerDoc: Int = 12, minPairCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    require(maxTermsPerDoc >= 2,
+      s"maxTermsPerDoc must be >= 2, got $maxTermsPerDoc")
+    val termSet = slice(
+      array_sort(array_distinct(filter(
+        CorpusOps.tokens(col(textCol)),
+        t => length(t) >= minTermLen))),
+      1, maxTermsPerDoc)
+    val sets = docs
+      .select(termSet.as("ts"))
+      .filter(size(col("ts")) >= 1)
+    // ordered pairs (ts[i], ts[j]) with i < j: the set is sorted, so
+    // t1 < t2 always and each unordered pair appears exactly once
+    val pairs = sets
+      .filter(size(col("ts")) >= 2)
+      .select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(
+          slice(col("ts"), i + lit(2),
+            greatest(lit(0), size(col("ts")) - i - lit(1))),
+          y => struct(x.as("t1"), y.as("t2")))))).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val termCnt = sets
+      .select(explode(col("ts")).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_t"))
+    val nDocs = sets.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(termCnt.select(col("t").as("t1"), col("n_t").as("n1")),
+        Seq("t1"))
+      .join(termCnt.select(col("t").as("t2"), col("n_t").as("n2")),
+        Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("n_pair"),
+        intDiv(
+          dec38(col("n_pair")) * dec38(lit(1000000L)) *
+            dec38(col("n_docs")),
+          dec38(col("n1")) * dec38(col("n2"))).as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+      .limit(topN)
+  }
 }

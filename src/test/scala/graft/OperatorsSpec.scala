@@ -744,4 +744,201 @@ class OperatorsSpec extends SparkTestBase {
     assert(flagged.contains(30L), "planted spike not flagged")
     assert(!flagged.contains(25L), "baseline row flagged")
   }
+
+  test("ohlcBars: open/close pick by (ts, id), volume is the exact " +
+      "fixed-point sum") {
+    import graft.operators.EventOps
+    def ts(s: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    // one user, two hourly buckets; bucket 1 has a ts tie broken by id
+    val ev = Seq(
+      (1L, ts(60), 10L, 5.25), (1L, ts(60), 11L, 9.00),
+      (1L, ts(1800), 12L, 1.50), (1L, ts(3599), 13L, 7.75),
+      (1L, ts(3600), 14L, 2.00))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = EventOps.ohlcBars(ev, "user_id", "ts", "event_id",
+      "value").orderBy($"bucket").collect()
+    assert(got.length === 2)
+    val b0 = got(0)
+    assert(b0.getDouble(2) === 5.25, "open = earliest (ts, id)")
+    assert(b0.getDouble(3) === 9.00 && b0.getDouble(4) === 1.50)
+    assert(b0.getDouble(5) === 7.75, "close = latest (ts, id)")
+    assert(b0.getLong(6) === 4L)
+    assert(b0.getLong(7) === 525L + 900L + 150L + 775L)
+    assert(got(1).getDouble(2) === 2.00 && got(1).getLong(6) === 1L)
+  }
+
+  test("cusum: closed form equals the sequential recurrence") {
+    import graft.operators.EventOps
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 60L))
+    val vals = Seq(5.0, 9.0, 3.0, 12.0, 12.0, 1.0, 14.0, 14.0, 14.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(i), i.toLong, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val target = 800L // 8.00 at scale 100
+    val got = EventOps.cusum(ev, "user_id", "ts", "event_id", "value",
+      targetC = target, threshC = 700L)
+      .orderBy($"event_id").collect()
+      .map(r => (r.getLong(3), r.getBoolean(4)))
+    // the textbook recurrence, replayed literally
+    var s = 0L
+    val want = vals.map { v =>
+      s = math.max(0L, s + (math.round(v * 100) - target))
+      (s, s > 700L)
+    }
+    assert(got.toSeq === want,
+      s"closed form ${got.toSeq} != recurrence $want")
+  }
+
+  test("intervalUnion: overlaps count once, touching intervals " +
+      "merge, gaps split segments") {
+    import graft.operators.EventOps
+    def ts(s: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    // duration 10s: [0,10)+[5,15) overlap -> 15s; [15,25) touches ->
+    // same segment, 25s total; [40,50) isolated -> +10s, 2 segments
+    val ev = Seq((1L, ts(0), 1L), (1L, ts(5), 2L), (1L, ts(15), 3L),
+      (1L, ts(40), 4L), (2L, ts(0), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = EventOps.intervalUnion(ev, "user_id", "ts", "event_id",
+      durationMicros = 10000000L)
+      .orderBy($"user_id").collect()
+    assert(got(0).getLong(1) === 35000000L, "covered micros")
+    assert(got(0).getLong(2) === 2L, "segments")
+    assert(got(0).getLong(3) === 4L, "intervals")
+    assert(got(1).getLong(1) === 10000000L &&
+      got(1).getLong(2) === 1L)
+  }
+
+  test("collocations: lift-ppm is the exact integer ratio and the " +
+      "per-doc term set caps deterministically") {
+    import graft.operators.TextSearch
+    // "alpha beta" co-occur in all 6 docs; "alpha gamma" in 3 of 6;
+    // the filler doc exercises the lexicographic cap (> 3 terms)
+    val docs = (1 to 6).map { i =>
+      val txt = if (i <= 3) "alpha beta gamma" else "alpha beta delta"
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val got = TextSearch.collocations(docs, maxTermsPerDoc = 3,
+      minPairCount = 2, topN = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // n_docs=6; alpha=6, beta=6, gamma=3, delta=3
+    assert(got(("alpha", "beta")) === ((6L, 6L * 1000000L * 6 / 36)))
+    assert(got(("alpha", "gamma")) === ((3L, 3L * 1000000L * 6 / 18)))
+    assert(got(("beta", "delta")) === ((3L, 3L * 1000000L * 6 / 18)))
+    // cap: a doc with 4 eligible terms keeps the 3 smallest — "zeta"
+    // never forms a pair
+    val capped = TextSearch.collocations(
+      Seq((1L, "alpha beta gamma zeta"), (2L, "alpha beta gamma zeta"))
+        .toDF("doc_id", "text"),
+      maxTermsPerDoc = 3, minPairCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(capped.nonEmpty &&
+      capped.forall { case (a, b) => a != "zeta" && b != "zeta" })
+  }
+
+  test("sessionPaths: gap split, first-N cut, deterministic path " +
+      "counts") {
+    import graft.operators.EventOps
+    def ts(s: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    // user 1: session A = a,b,c,d (4 events, path cut at 3 -> a>b>c);
+    // 1h gap; session B = a,b,c. user 2: one session a>b>c
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(10), 2L, "b"), (1L, ts(20), 3L, "c"),
+      (1L, ts(30), 4L, "d"),
+      (1L, ts(3700), 5L, "a"), (1L, ts(3710), 6L, "b"),
+      (1L, ts(3720), 7L, "c"),
+      (2L, ts(0), 8L, "a"), (2L, ts(5), 9L, "b"), (2L, ts(9), 10L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", gapMicros = 1800L * 1000000, pathLen = 3,
+      topN = 10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a>b>c", 3L)),
+      s"got ${got.toSeq}: the 4-event session must cut to a>b>c")
+  }
+
+  test("transitions: adjacent pair counts and exact ppm shares") {
+    import graft.operators.EventOps
+    def ts(s: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    // user 1: a->b, b->a, a->b ; user 2: a->c
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(1), 2L, "b"), (1L, ts(2), 3L, "a"),
+      (1L, ts(3), 4L, "b"), (2L, ts(0), 5L, "a"), (2L, ts(1), 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.transitions(ev, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // from a: b twice, c once -> 666666 / 333333 ppm (floor)
+    assert(got(("a", "b")) === ((2L, 666666L)))
+    assert(got(("a", "c")) === ((1L, 333333L)))
+    assert(got(("b", "a")) === ((1L, 1000000L)))
+  }
+
+  test("winsorizedMeanByKey: exact quantile clamp equals the " +
+      "hand-computed bound") {
+    import graft.operators.Quantiles
+    // 20 values 1..19 plus one huge outlier; p05 pos = ceil(.05*20)=1
+    // -> lo = 1.0; p95 pos = ceil(.95*20)=19 -> hi = 19.0, so the
+    // outlier clamps to 19
+    val vals = (1 to 19).map(_.toDouble) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("k1", i.toLong, v) }.toDF("ktype", "event_id", "value")
+    val got = Quantiles.winsorizedMeanByKey(df, "ktype", $"value",
+      Seq($"event_id"), 0.05, 0.95).collect().head
+    val expSum = ((1 to 19).sum + 19) * 100L
+    assert(got.getLong(1) === 20L)
+    assert(got.getLong(2) === expSum)
+    assert(got.getDouble(3) ===
+      math.rint(expSum / (20.0 * 100.0) * 1e6) / 1e6)
+  }
+
+  test("histogram: integer bins cover [lo,hi], empty bins " +
+      "materialize, counts sum to rows") {
+    import graft.operators.Profile
+    // values 0.00..0.09 and one at 1.00 -> with 4 bins over [0,100]:
+    // xc 0..9 -> bin (xc*4)//101 = 0; xc 100 -> 400//101 = 3
+    val df = ((0 to 9).map(_ / 100.0) :+ 1.00).toDF("v")
+    val got = Profile.histogram(df, $"v", bins = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 10L), (1L, 0L), (2L, 0L), (3L, 1L)))
+    // constant column: everything lands in bin 0
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val g2 = Profile.histogram(const, $"v", bins = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(g2.toSeq === Seq((0L, 3L), (1L, 0L), (2L, 0L)))
+  }
+
+  test("riCheck: counts orphans per relationship, NULL keys orphan") {
+    import graft.operators.Profile
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq[java.lang.Long](1L, 1L, 3L, null)
+      .toDF("fk")
+    val got = Profile.riCheck(Seq(
+      ("child.fk -> parent.pk", child, "fk", parent, "pk")))
+      .collect().head
+    assert(got.getString(0) === "child.fk -> parent.pk")
+    assert(got.getLong(1) === 4L && got.getLong(2) === 2L)
+  }
+
+  test("profile: per-column rows/nulls/distinct/min/max in one pass") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
+      .toDF("k", "s")
+    val got = graft.operators.Profile.profile(df).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("k") === ((4L, 1L, 2L, "1", "2")))
+    assert(got("s") === ((4L, 1L, 2L, "a", "b")))
+    // column subset + unknown column rejection
+    assert(graft.operators.Profile.profile(df, Seq("k")).count() === 1)
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.profile(df, Seq("nope")).collect()
+    }
+  }
 }
