@@ -32,6 +32,12 @@ object ProfQ {
         .write.format("noop").mode("overwrite").save() }
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, dir)
+      // SPARK_GRAFT_PROFQ_EXPLAIN=1 dumps the formatted plan before
+      // timing (the .explain the scale audits read)
+      if (sys.env.get("SPARK_GRAFT_PROFQ_EXPLAIN").exists(_ == "1")) {
+        println(s"== PLAN $name ==")
+        df.explain("formatted")
+      }
       time(s"$name cold") { df.write.format("noop").mode("overwrite").save() }
       time(s"$name warm") { df.write.format("noop").mode("overwrite").save() }
     }

