@@ -42,7 +42,11 @@ object Bench {
     "q_semdedup", "q_window_rank_hk",
     "q_trending_exact", "q_postings_tail", "q_mv_refresh", "q_cdf",
     "q_pipeline_e2e",
-    "q_union", "q_unpivot", "q_wordpiece_encode")
+    "q_union", "q_unpivot", "q_wordpiece_encode",
+    // round 16: NEXT item 2 — q_resample_gapfill's 6.2 s 1x probe
+    // reading was suspected first-touch noise; pin the fresh-JVM
+    // number so future rounds diff against a real floor
+    "q_resample_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

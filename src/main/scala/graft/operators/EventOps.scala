@@ -190,7 +190,10 @@ object EventOps {
     * on the (ts, id) ordering struct replace the naive per-bucket
     * sort-window, so the whole bar is map-side combinable and the
     * plan is a single shuffle on (key, bucket) regardless of bucket
-    * width. Determinism: (ts, id) is unique, so open/close selection
+    * width. (The struct ordering buffer makes the partial aggregate
+    * sort-based — a LOCAL per-partition key sort; only the collapsed
+    * group rows ever shuffle, unlike a window which ships every
+    * event.) Determinism: (ts, id) is unique, so open/close selection
     * never ties; `volume_c` sums `round(value·scale)` longs — exact
     * integers, no float accumulation order to disagree on.
     *

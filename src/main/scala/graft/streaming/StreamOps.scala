@@ -54,6 +54,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"))
 
+  /** Streaming face of [[graft.operators.EventOps.ohlcBars]]: OHLC
+    * bars over event-time windows with watermark finalization — the
+    * same min_by/max_by-on-(ts, id) selection, so a bar emitted by
+    * the stream is bit-identical to the batch bar over the same rows.
+    * State is one (window, key) aggregation buffer per open bar,
+    * evicted when the watermark passes the window end (append mode
+    * emits each bar exactly once, finalized). */
+  def ohlcBars(stream: DataFrame, keyCol: String, every: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), every), col(keyCol))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("volume_c"))
+      .select(col("window.start").as("bucket"), col(keyCol),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume_c"))
+
   /** Stream-stream INNER interval join (the ad-attribution /
     * cause-effect shape): each right-side event pairs with the
     * left-side events of the same `key` whose timestamp precedes it

@@ -51,6 +51,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got(Timestamp.valueOf("2024-01-01 10:05:00")) == 1)
   }
 
+  test("streaming OHLC bars: finalized once, bit-identical to the " +
+      "batch aggregate over the same rows") {
+    val events = Seq(
+      E(1, ts(1), 1, "a", 5.25), E(2, ts(1), 1, "a", 9.00),
+      E(3, ts(3), 1, "a", 1.50), E(4, ts(4), 1, "a", 7.75),
+      E(5, ts(6), 1, "a", 2.00))
+    val out = runStream(events, "ohlc_out")(
+      StreamOps.ohlcBars(_, "user_id", "5 minutes", "10 minutes"))
+      .filter($"user_id" === 1L)
+      .select($"bucket", $"open", $"high", $"low", $"close",
+        $"n_events", $"volume_c")
+    val got = out.collect()
+      .map(r => (r.getTimestamp(0), (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5),
+        r.getLong(6)))).toMap
+    // bucket 10:00: open=5.25 (id tiebreak at equal ts), close=7.75
+    assert(got(Timestamp.valueOf("2024-01-01 10:00:00")) ===
+      ((5.25, 9.00, 1.50, 7.75, 4L, 2350L)))
+    assert(got(Timestamp.valueOf("2024-01-01 10:05:00")) ===
+      ((2.00, 2.00, 2.00, 2.00, 1L, 200L)))
+    // parity with the batch operator over the same rows (hour bucket
+    // collapses all five events into one bar)
+    val b = graft.operators.EventOps.ohlcBars(
+      events.toDF(), "user_id", "ts", "event_id", "value",
+      bucket = "hour").collect().head
+    assert(b.getDouble(2) === 5.25 && b.getDouble(5) === 2.00 &&
+      b.getLong(6) === 5L && b.getLong(7) === 2550L)
+  }
+
   test("streaming CMS cells: bounded state per window, exact " +
       "stream-batch parity") {
     implicit val sqlCtx = spark.sqlContext
