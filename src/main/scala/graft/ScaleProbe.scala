@@ -101,7 +101,8 @@ object ScaleProbe {
     // (Expand multi-distinct over the inflated orders table)
     "q_ohlc_bars", "q_cusum_drift", "q_interval_union",
     "q_session_paths", "q_event_transitions", "q_winsorized_mean",
-    "q_term_pmi", "q_profile_table", "q_histogram", "q_ri_check")
+    "q_term_pmi", "q_profile_table", "q_histogram", "q_ri_check",
+    "q_distinct_rollup")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1844,6 +1844,16 @@ object SparkEntry {
         t(s, dir, "customer"), "c_custkey")))
       .orderBy(col("relationship"))
 
+  /** HLL sketch rollup ([[operators.Sketch.distinctRollup]]): daily
+    * mergeable sketches + cumulative union — exact counts ride along
+    * and the booleans gate the estimates (q_ann_recall's
+    * accuracy-gate shape). */
+  private val qDistinctRollup: Q = (s, dir) =>
+    operators.Sketch.distinctRollup(t(s, dir, "events"), "ts",
+      "user_id")
+      .select(col("day").cast("timestamp").as("day"), col("n_exact"),
+        col("daily_ok"), col("n_cum_exact"), col("cum_ok"))
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2694,6 +2704,7 @@ object SparkEntry {
     "q_winsorized_mean" -> qWinsorizedMean,
     "q_histogram" -> qHistogram,
     "q_ri_check" -> qRiCheck,
+    "q_distinct_rollup" -> qDistinctRollup,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3234,6 +3245,19 @@ object SparkEntry {
         |    SELECT 1 FROM customer c
         |    WHERE c.c_custkey = o.o_custkey))
         |ORDER BY relationship""".stripMargin,
+    // HLL rollup: exact counts re-derived; the ok booleans are the
+    // sketch-accuracy gate (oracle asserts true, ann_recall-style)
+    "q_distinct_rollup" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    count(DISTINCT user_id) AS n_exact FROM events
+        |  GROUP BY 1),
+        |f AS (SELECT user_id, CAST(min(ts) AS DATE) AS fd
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT d.day AS day, count(*) AS n_cum_exact
+        |  FROM d JOIN f ON f.fd <= d.day GROUP BY 1)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, n_exact,
+        |  true AS daily_ok, n_cum_exact, true AS cum_ok
+        |FROM d JOIN c USING (day) ORDER BY day""".stripMargin,
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

@@ -158,4 +158,58 @@ object Sketch {
       .orderBy(col("cms_count").desc, col("term").asc)
       .limit(k)
   }
+
+  /** HLL sketch rollup (Apache DataSketches HLL via Spark's
+    * `hll_sketch_agg` family): one mergeable sketch per day of the
+    * `idCol` stream, plus the cumulative distinct-to-date from
+    * UNIONING the daily sketches — the "sketch rollup table" pattern:
+    * persist the day-sized sketch column once and ANY date range's
+    * distinct count is a merge over its sketches, never a rescan of
+    * the raw 100 TB. Daily sketches build in one map-side-combined
+    * aggregate; the cumulative union joins the days-sized sketch
+    * table to itself (days², trivially small) so everything stays in
+    * the plan — no driver fold.
+    *
+    * The exact daily/cumulative distincts ride along and the output
+    * carries `daily_ok` / `cum_ok` (estimate within `tolPct`), the
+    * same accuracy-gate shape as `q_ann_recall` — an engine cannot
+    * fake them without a correct sketch implementation; at gated
+    * cardinalities DataSketches HLL is still in sparse mode, i.e.
+    * exact.
+    *
+    * @return `(day, n_exact, daily_ok, n_cum_exact, cum_ok)` per day
+    */
+  def distinctRollup(events: DataFrame, tsCol: String, idCol: String,
+      lgK: Int = 12, tolPct: Double = 5.0): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(hll_sketch_agg(col(idCol), lgK).as("sk"),
+        count_distinct(col(idCol)).as("n_exact"))
+    val cumSk = daily.select(col("day").as("d1"), col("sk"))
+      .join(daily.select(col("day").as("d2")), col("d1") <= col("d2"))
+      .groupBy(col("d2").as("day"))
+      .agg(hll_union_agg(col("sk")).as("csk"))
+    // exact cumulative: users whose FIRST day is <= d
+    val firstDay = events
+      .groupBy(col(idCol).as("id"))
+      .agg(to_date(min(col(tsCol))).as("fd"))
+    val cumExact = daily.select(col("day"))
+      .join(firstDay, col("fd") <= col("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_cum_exact"))
+    def ok(est: org.apache.spark.sql.Column,
+        exact: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - exact.cast("double")) <=
+        exact.cast("double") * (tolPct / 100.0)
+    daily
+      .join(cumSk, Seq("day"))
+      .join(cumExact, Seq("day"))
+      .select(col("day"), col("n_exact"),
+        ok(hll_sketch_estimate(col("sk")), col("n_exact"))
+          .as("daily_ok"),
+        col("n_cum_exact"),
+        ok(hll_sketch_estimate(col("csk")), col("n_cum_exact"))
+          .as("cum_ok"))
+      .orderBy(col("day"))
+  }
 }

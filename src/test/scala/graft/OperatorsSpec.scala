@@ -926,6 +926,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.getLong(1) === 4L && got.getLong(2) === 2L)
   }
 
+  test("distinctRollup: daily sketches and cumulative union track " +
+      "the exact counts") {
+    import graft.operators.Sketch
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 10:00:$i%02d")
+    // day 1: users 1,2,3; day 2: users 2,3,4,5 (cum 5); day 3: user 1
+    // only (cum stays 5)
+    val ev = (Seq(1L, 2L, 3L).map((1, _)) ++
+      Seq(2L, 3L, 4L, 5L).map((2, _)) ++ Seq(1L).map((3, _)))
+      .zipWithIndex.map { case ((d, u), i) => (i.toLong, ts(d, i), u) }
+      .toDF("event_id", "ts", "user_id")
+    val got = Sketch.distinctRollup(ev, "ts", "user_id").collect()
+      .map(r => (r.getDate(0).toString,
+        (r.getLong(1), r.getBoolean(2), r.getLong(3), r.getBoolean(4))))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", (3L, true, 3L, true)),
+      ("2024-01-02", (4L, true, 5L, true)),
+      ("2024-01-03", (1L, true, 5L, true))))
+  }
+
   test("profile: per-column rows/nulls/distinct/min/max in one pass") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
