@@ -1854,6 +1854,23 @@ object SparkEntry {
       .select(col("day").cast("timestamp").as("day"), col("n_exact"),
         col("daily_ok"), col("n_cum_exact"), col("cum_ok"))
 
+  /** EXACT set-similarity self-join ([[operators.Dedup.jaccardJoin]],
+    * PPJoin prefix filter): all 3-gram-shingle Jaccard ≥ 0.5 pairs
+    * with no false negatives — the exact counterpart to MinHash LSH;
+    * rarest-first prefixes keep the candidate join near-dup-sized. */
+  private val qJaccardJoin: Q = (s, dir) =>
+    operators.Dedup.jaccardJoin(t(s, dir, "documents"))
+
+  /** Global quantile discretizer
+    * ([[operators.Quantiles.quantileBuckets]]): the scalable `ntile`
+    * — per-row decile of l_extendedprice via two-phase distributed
+    * row_number + exact integer bucket arithmetic. */
+  private val qQuantileBuckets: Q = (s, dir) =>
+    operators.Quantiles.quantileBuckets(t(s, dir, "lineitem"),
+      col("l_extendedprice"),
+      Seq(col("l_orderkey"), col("l_linenumber")), buckets = 10)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2705,6 +2722,8 @@ object SparkEntry {
     "q_histogram" -> qHistogram,
     "q_ri_check" -> qRiCheck,
     "q_distinct_rollup" -> qDistinctRollup,
+    "q_jaccard_join" -> qJaccardJoin,
+    "q_quantile_buckets" -> qQuantileBuckets,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3258,6 +3277,37 @@ object SparkEntry {
         |SELECT CAST(d.day AS TIMESTAMP) AS day, n_exact,
         |  true AS daily_ok, n_cum_exact, true AS cum_ok
         |FROM d JOIN c USING (day) ORDER BY day""".stripMargin,
+    // exact set-similarity join: the oracle brute-forces all pairs;
+    // the engine's prefix filter must lose NOTHING
+    "q_jaccard_join" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_sort(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ')
+        |     for i in range(1, len(w) - 1)])) AS ts
+        |  FROM tok WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.ts, b.ts)) AS inter,
+        |    len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+        |      AS un
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST((CAST(inter AS HUGEINT) * 1000000) // un AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p WHERE inter * 1000000 >= 500000 * un
+        |ORDER BY id_a, id_b""".stripMargin,
+    // quantile discretizer: same integer bucket arithmetic over the
+    // single-window row_number
+    "q_quantile_buckets" ->
+      """WITH r AS (SELECT l_extendedprice AS value, l_orderkey,
+        |    l_linenumber, row_number() OVER (ORDER BY
+        |      l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS c FROM lineitem)
+        |SELECT value, l_orderkey, l_linenumber,
+        |  ((rn - 1) * 10) // c + 1 AS bucket
+        |FROM r, n ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

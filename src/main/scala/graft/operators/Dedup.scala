@@ -487,4 +487,80 @@ object Dedup {
         s"unknown dedup method '$other' (exact | minhash | simhash)")
     }
   }
+
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+  }
+
+  /** EXACT set-similarity self-join with prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo 2007, Xiao 2008, public
+    * algorithms): every document pair whose word-`n`-gram-shingle
+    * Jaccard is ≥ `tPpm/10⁶`, with NO false negatives — the exact
+    * counterpart to MinHash LSH (which trades recall for speed).
+    *
+    * Why it scales: a pair with J ≥ t MUST share a shingle inside
+    * each side's PREFIX — the first `m − ⌈t·m⌉ + 1` shingles under a
+    * single global ordering (if the prefixes shared nothing, the
+    * intersection would fit in the remaining ⌈t·m⌉ − 1 < ⌈t·m⌉ ≤
+    * |intersection| slots). Ordering shingles RAREST-FIRST
+    * (document-frequency ascending, shingle tiebreak) makes prefixes
+    * meet almost only on rare shingles, so the candidate join is
+    * |near-dup pairs|-sized, not n². A length filter
+    * (`t·max(m₁,m₂) ≤ min(m₁,m₂)`, integer ppm) prunes before
+    * verification; verification is one `array_intersect` per
+    * surviving candidate. Integer contract: the score is
+    * `⌊inter·10⁶ / union⌋`, the threshold compare is
+    * `inter·10⁶ ≥ tPpm·union` — exact in any engine.
+    *
+    * @return `(id_a, id_b, jaccard_ppm)`, id_a < id_b, ordered
+    */
+  def jaccardJoin(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      tPpm: Long = 500000L): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L,
+      s"tPpm must be in (0, 1000000], got $tPpm")
+    val grams = CorpusOps.wordNgrams(docs, n, idCol, textCol)
+      .select(col(idCol).as("id"), col("gram"))
+    val dfreq = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gdf"))
+    val ordered = grams.join(dfreq, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("gdf"), col("gram"))))
+        .as("og"))
+      .select(col("id"),
+        transform(col("og"), g => g("gram")).as("ts"),
+        size(col("og")).cast("long").as("m"))
+    // prefix length p = m − ⌈t·m⌉ + 1 (integer ceil in ppm)
+    val p = (col("m") -
+      intDiv(col("m") * tPpm + lit(999999L), lit(1000000L)) +
+      lit(1L)).cast("int")
+    val pref = ordered.select(col("id"), col("m"),
+      explode(slice(col("ts"), lit(1), p)).as("gram"))
+    val cand = pref
+      .select(col("id").as("id_a"), col("m").as("m_a"), col("gram"))
+      .join(pref.select(col("id").as("id_b"), col("m").as("m_b"),
+        col("gram")), Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("m_a"), col("m_b")) * tPpm <=
+          least(col("m_a"), col("m_b")) * lit(1000000L))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(ordered.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("m").as("ma")), Seq("id_a"))
+      .join(ordered.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("m").as("mb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+          .as("inter"),
+        (col("ma") + col("mb")).as("msum"))
+      .withColumn("un", col("msum") - col("inter"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("un"))
+      .select(col("id_a"), col("id_b"),
+        intDiv(col("inter") * lit(1000000L), col("un"))
+          .as("jaccard_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

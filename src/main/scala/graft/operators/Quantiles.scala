@@ -85,6 +85,47 @@ object Quantiles {
     *
     * @return `(key, n, wins_sum_c, wins_mean)` per key
     */
+  /** Global quantile discretizer (the feature bucketizer / scalable
+    * `ntile`): every row's bucket in [1, `buckets`] from its global
+    * rank in (value, tiebreak) order,
+    *
+    *   `bucket = ⌊(rn − 1)·B / N⌋ + 1`
+    *
+    * — pure integer arithmetic on the two-phase distributed
+    * row_number, so the one-task `Window.orderBy` that a literal
+    * `ntile(B) OVER (ORDER BY …)` plans never exists. N rides a
+    * broadcast one-row count.
+    *
+    * @return the tiebreak columns plus `value` and `bucket`
+    */
+  def quantileBuckets(df: DataFrame, valueCol: Column,
+      tiebreakCols: Seq[Column], buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nDf = df.count() match { case n => Seq(n).toDF("__qb_n") }
+    val ranked = Salting.twoPhaseRanks(
+      df.select((valueCol.as("value") +: tiebreakCols): _*),
+      partCols = Seq.empty,
+      orderCols = col("value") +: tiebreakCols,
+      rowNumCol = Some("__qb_rn"))
+    ranked.crossJoin(broadcast(nDf))
+      .withColumn("bucket",
+        intDiv((col("__qb_rn").cast("long") - 1L) * buckets,
+          col("__qb_n")) + 1L)
+      .drop("__qb_rn", "__qb_n")
+  }
+
+  /** Exact integral division — a long `/` would plan a DOUBLE Divide
+    * whose rounding can misplace boundary rows once rank·buckets
+    * leaves the 2^53 exact-integer range. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+  }
+
   def winsorizedMeanByKey(df: DataFrame, keyCol: String,
       valueCol: Column, tiebreakCols: Seq[Column], loQ: Double,
       hiQ: Double, scale: Long = 100L): DataFrame = {

@@ -946,6 +946,54 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-03", (1L, true, 5L, true))))
   }
 
+  test("jaccardJoin: prefix-filtered result equals the brute-force " +
+      "all-pairs scan") {
+    import graft.operators.Dedup
+    // near-dup pair (1,2), disjoint 3, short doc 4 (no 3-grams),
+    // moderate-overlap pair (5,6) straddling the threshold
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "p q r s t u v w"), (4L, "a b"),
+      (5L, "a b c d m n o p"), (6L, "a b c d m n z z2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(docs, tPpm = 300000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // brute force over the same 3-gram shingle sets
+    def sh(s: String) = s.split(" ").sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSet
+    val m = docs.collect().map(r =>
+      (r.getLong(0), sh(r.getString(1)))).filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- m; (ib, sb) <- m if ia < ib
+      inter = (sa & sb).size.toLong
+      un = sa.size + sb.size - inter
+      if inter * 1000000L >= 300000L * un
+    } yield ((ia, ib), inter * 1000000L / un)).toMap
+    assert(got === want, s"got $got want $want")
+    assert(want.contains((1L, 2L)), "sanity: near-dup pair present")
+  }
+
+  test("quantileBuckets: exact integer deciles match the " +
+      "single-window formula, ties stable") {
+    import graft.operators.Quantiles
+    val rng = new scala.util.Random(7)
+    val df = (1 to 500).map(i =>
+      (i.toLong, rng.nextInt(40).toDouble)).toDF("id", "v")
+    val got = Quantiles.quantileBuckets(df, $"v", Seq($"id"),
+      buckets = 7)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"v", $"id")
+    val want = df.select($"v".as("value"), $"id",
+      (((row_number().over(w).cast("long") - 1L) * 7L) / 500L)
+        .cast("long") + 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val gotM = got.collect().map(r =>
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(gotM === want)
+    assert(gotM.values.toSet === (1L to 7L).toSet)
+  }
+
   test("profile: per-column rows/nulls/distinct/min/max in one pass") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
