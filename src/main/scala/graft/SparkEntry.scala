@@ -3284,9 +3284,9 @@ object SparkEntry {
         |    regexp_split_to_array(lower(text), '\s+'),
         |    x -> x <> '') AS w FROM documents),
         |sh AS (SELECT doc_id, list_sort(list_distinct(
-        |    [array_to_string(w[i:i+2], ' ')
-        |     for i in range(1, len(w) - 1)])) AS ts
-        |  FROM tok WHERE len(w) >= 3),
+        |    [array_to_string(w[i:i+3], ' ')
+        |     for i in range(1, len(w) - 2)])) AS ts
+        |  FROM tok WHERE len(w) >= 4),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    len(list_intersect(a.ts, b.ts)) AS inter,
         |    len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))

@@ -518,7 +518,7 @@ object Dedup {
     * @return `(id_a, id_b, jaccard_ppm)`, id_a < id_b, ordered
     */
   def jaccardJoin(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", n: Int = 3,
+      textCol: String = "text", n: Int = 4,
       tPpm: Long = 500000L): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000L,
       s"tPpm must be in (0, 1000000], got $tPpm")
@@ -538,14 +538,25 @@ object Dedup {
       intDiv(col("m") * tPpm + lit(999999L), lit(1000000L)) +
       lit(1L)).cast("int")
     val pref = ordered.select(col("id"), col("m"),
-      explode(slice(col("ts"), lit(1), p)).as("gram"))
+      posexplode(slice(col("ts"), lit(1), p)).as(Seq("pos0", "gram")))
+    // PPJoin positional filter: the intersection is confined to
+    // elements ≥ the shared prefix gram in the global order, so
+    // |inter| ≤ min(mₐ − posₐ, m_b − pos_b) + 1 for the FIRST shared
+    // gram; a pair passing for ANY shared gram passes for its first,
+    // so any-gram keep is sound. minInter = ⌈t(mₐ+m_b)/(1+t)⌉ in ppm.
+    val minInter = intDiv(
+      lit(tPpm) * (col("m_a") + col("m_b")) + lit(1000000L + tPpm - 1),
+      lit(1000000L + tPpm))
     val cand = pref
-      .select(col("id").as("id_a"), col("m").as("m_a"), col("gram"))
+      .select(col("id").as("id_a"), col("m").as("m_a"),
+        col("pos0").as("pa"), col("gram"))
       .join(pref.select(col("id").as("id_b"), col("m").as("m_b"),
-        col("gram")), Seq("gram"))
+        col("pos0").as("pb"), col("gram")), Seq("gram"))
       .filter(col("id_a") < col("id_b") &&
         greatest(col("m_a"), col("m_b")) * tPpm <=
-          least(col("m_a"), col("m_b")) * lit(1000000L))
+          least(col("m_a"), col("m_b")) * lit(1000000L) &&
+        least(col("m_a") - col("pa") - 1L,
+          col("m_b") - col("pb") - 1L) + 1L >= minInter)
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(ordered.select(col("id").as("id_a"), col("ts").as("ts_a"),

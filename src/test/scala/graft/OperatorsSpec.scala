@@ -956,7 +956,7 @@ class OperatorsSpec extends SparkTestBase {
       (3L, "p q r s t u v w"), (4L, "a b"),
       (5L, "a b c d m n o p"), (6L, "a b c d m n z z2"))
       .toDF("doc_id", "text")
-    val got = Dedup.jaccardJoin(docs, tPpm = 300000L)
+    val got = Dedup.jaccardJoin(docs, n = 3, tPpm = 300000L)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
       .toMap
     // brute force over the same 3-gram shingle sets
