@@ -102,7 +102,8 @@ object ScaleProbe {
     "q_ohlc_bars", "q_cusum_drift", "q_interval_union",
     "q_session_paths", "q_event_transitions", "q_winsorized_mean",
     "q_term_pmi", "q_profile_table", "q_histogram", "q_ri_check",
-    "q_distinct_rollup", "q_jaccard_join", "q_quantile_buckets")
+    "q_distinct_rollup", "q_jaccard_join", "q_quantile_buckets",
+    "q_count_trend", "q_mode_by_key")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1871,6 +1871,20 @@ object SparkEntry {
       Seq(col("l_orderkey"), col("l_linenumber")), buckets = 10)
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Per-type daily-count trend ([[operators.EventOps.countTrend]]):
+    * least-squares slope in ppm under the fully integer contract —
+    * two hash aggregates, exact sums, one integral division. */
+  private val qCountTrend: Q = (s, dir) =>
+    operators.EventOps.countTrend(t(s, dir, "events"), "event_type",
+      "ts")
+
+  /** Modal event type per user ([[operators.EventOps.modeByKey]]):
+    * exact mode via two hash aggregates and a struct max — explicit
+    * (count, type) tie rule, no row sort. */
+  private val qModeByKey: Q = (s, dir) =>
+    operators.EventOps.modeByKey(t(s, dir, "events"), "user_id",
+      "event_type")
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2724,6 +2738,8 @@ object SparkEntry {
     "q_distinct_rollup" -> qDistinctRollup,
     "q_jaccard_join" -> qJaccardJoin,
     "q_quantile_buckets" -> qQuantileBuckets,
+    "q_count_trend" -> qCountTrend,
+    "q_mode_by_key" -> qModeByKey,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3308,6 +3324,30 @@ object SparkEntry {
         |SELECT value, l_orderkey, l_linenumber,
         |  ((rn - 1) * 10) // c + 1 AS bucket
         |FROM r, n ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // integer least-squares trend: exact sums, one `//`
+    "q_count_trend" ->
+      """WITH d AS (SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    count(*) AS y FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  CAST(CASE WHEN (n * sxy - sx * sy) < 0
+        |    THEN -((-(n * sxy - sx * sy) * 1000000) //
+        |      (n * sxx - sx * sx))
+        |    ELSE ((n * sxy - sx * sy) * 1000000) //
+        |      (n * sxx - sx * sx) END AS BIGINT) AS slope_ppm
+        |FROM s WHERE n >= 2 ORDER BY event_type""".stripMargin,
+    // exact mode with the (count, type) struct-max tie rule
+    "q_mode_by_key" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, cnt, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY cnt DESC, event_type DESC) AS rn FROM c)
+        |SELECT user_id, event_type AS mode_type, cnt AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

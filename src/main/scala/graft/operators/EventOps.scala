@@ -383,6 +383,71 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Per-key least-squares trend of the daily event count — the
+    * "which metrics are drifting up" detector — under a FULLY INTEGER
+    * contract: with x = day index (epoch days) and y = the day's
+    * count, the slope numerator `n·Σxy − Σx·Σy` and denominator
+    * `n·Σx² − (Σx)²` are exact integer sums, and the reported slope
+    * is `⌊numerator·10⁶ / denominator⌋` per day (ppm of a count/day)
+    * — no float accumulation anywhere. Keys observed on fewer than 2
+    * distinct days have no slope and are dropped.
+    *
+    * Two hash aggregates: (key, day) count then per-key sums — both
+    * map-side combinable; nothing is proportional to anything but the
+    * event count.
+    *
+    * @return `(key, n_days, slope_ppm)` ordered by key
+    */
+  def countTrend(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: Column, b: Column): Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    // x is days since a fixed recent epoch (slope is shift-invariant;
+    // small x keeps the integer sums far from overflow at any scale)
+    val daily = events
+      .select(col(keyCol).as("k"),
+        datediff(to_date(col(tsCol)), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+      .groupBy(col("k"), col("x"))
+      .agg(count(lit(1)).as("y"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")) *
+      lit(1000000L)
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    // sign-explicit truncation: Spark's integral divide truncates
+    // toward zero while SQL `//` floors — ⌊|num|/den⌋ with the sign
+    // reapplied is identical in both
+    val slope = when(num < 0, -intDiv(-num, den))
+      .otherwise(intDiv(num, den))
+    daily.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2)
+      .select(col("k").as(keyCol), col("n").as("n_days"),
+        slope.as("slope_ppm"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Modal event type per key (exact mode, deterministic): two
+    * map-side-combinable hash aggregates — (key, type) counts, then
+    * ONE `max(struct(cnt, type))` per key, so the tie rule is
+    * explicit (largest type string among equal counts) and the whole
+    * answer never sorts rows. @return `(key, mode_type, mode_n)` */
+  def modeByKey(events: DataFrame, keyCol: String,
+      typeCol: String): DataFrame =
+    events
+      .groupBy(col(keyCol).as("k"), col(typeCol).as("ty"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("k"))
+      .agg(max(struct(col("cnt"), col("ty"))).as("m"))
+      .select(col("k").as(keyCol), col("m.ty").as("mode_type"),
+        col("m.cnt").as("mode_n"))
+      .orderBy(col(keyCol))
+
   /** Weekly cohort retention: an entity's cohort is the ISO week of
     * its first event; a (cohort, offset) cell counts entities with
     * any event `offset` weeks after their cohort week. Returns

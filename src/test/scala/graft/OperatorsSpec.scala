@@ -994,6 +994,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(gotM.values.toSet === (1L to 7L).toSet)
   }
 
+  test("countTrend: integer least-squares slope on hand-built " +
+      "rising/falling/flat series") {
+    import graft.operators.EventOps
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 08:00:$i%02d")
+    // up: 1,2,3 events on days 1..3 (slope 1/day); down: 3,2,1
+    // (slope -1); flat: 2,2 (slope 0); single-day key dropped
+    def mk(k: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(i => (k, ts(d + 1, i)))
+    }
+    val ev = (mk("up", Seq(1, 2, 3)) ++ mk("down", Seq(3, 2, 1)) ++
+      mk("flat", Seq(2, 2)) ++ mk("one", Seq(5)))
+      .toDF("event_type", "ts")
+    val got = EventOps.countTrend(ev, "event_type", "ts").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "up" -> ((3L, 1000000L)), "down" -> ((3L, -1000000L)),
+      "flat" -> ((2L, 0L))))
+  }
+
+  test("modeByKey: exact mode with the (count, type) tie rule") {
+    import graft.operators.EventOps
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (3L, "z"))
+      .toDF("user_id", "event_type")
+    val got = EventOps.modeByKey(ev, "user_id", "event_type")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> (("a", 2L)),
+      2L -> (("b", 1L)), // tie at 1 -> largest type wins
+      3L -> (("z", 1L))))
+  }
+
   test("profile: per-column rows/nulls/distinct/min/max in one pass") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
