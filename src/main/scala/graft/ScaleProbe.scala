@@ -103,7 +103,10 @@ object ScaleProbe {
     "q_session_paths", "q_event_transitions", "q_winsorized_mean",
     "q_term_pmi", "q_profile_table", "q_histogram", "q_ri_check",
     "q_distinct_rollup", "q_jaccard_join", "q_quantile_buckets",
-    "q_count_trend", "q_mode_by_key")
+    // q_scd2_apply is NOT probed: its dimension derives from the
+    // customer table, which inflate() copies verbatim — the ratio
+    // would be trivially flat and say nothing
+    "q_count_trend", "q_mode_by_key", "q_attribution")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

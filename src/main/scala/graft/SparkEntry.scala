@@ -1885,6 +1885,43 @@ object SparkEntry {
     operators.EventOps.modeByKey(t(s, dir, "events"), "user_id",
       "event_type")
 
+  /** Last-touch attribution ([[operators.EventOps.attribution]]):
+    * purchases credited to the most recent non-purchase event within
+    * 1 h — one key-partitioned window, one channel rollup; no-touch
+    * conversions report as 'organic'. */
+  private val qAttribution: Q = (s, dir) =>
+    operators.EventOps.attribution(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "event_type", conversionType = "purchase",
+      lookbackMicros = 3600000000L)
+      .select(coalesce(col("channel"), lit("organic")).as("channel"),
+        col("conversions"))
+      .orderBy(col("channel"))
+
+  /** SCD2 dimension apply ([[operators.Scd2.applyChanges]]): a
+    * deterministic change batch over a customer-derived dimension —
+    * changed keys close + re-version, identical-attribute changes
+    * no-op, unseen keys insert; one broadcast key join. */
+  private val qScd2Apply: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val dim = cust.select(col("c_custkey"), col("c_nationkey"),
+      lit(0L).as("valid_from"),
+      lit(null).cast("long").as("valid_to"),
+      lit(true).as("is_current"))
+    val changes = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 14 === 0, col("c_nationkey"))
+          .otherwise((col("c_nationkey") + 1) % 25)
+          .as("c_nationkey"),
+        lit(86400000000L).as("change_micros"))
+      .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_nationkey"),
+          lit(86400000000L).as("change_micros")))
+    operators.Scd2.applyChanges(dim, changes, "c_custkey",
+      Seq("c_nationkey"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2740,6 +2777,8 @@ object SparkEntry {
     "q_quantile_buckets" -> qQuantileBuckets,
     "q_count_trend" -> qCountTrend,
     "q_mode_by_key" -> qModeByKey,
+    "q_attribution" -> qAttribution,
+    "q_scd2_apply" -> qScd2Apply,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3348,6 +3387,51 @@ object SparkEntry {
         |    ORDER BY cnt DESC, event_type DESC) AS rn FROM c)
         |SELECT user_id, event_type AS mode_type, cnt AS mode_n
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // last-touch attribution: same conditional last_value window
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS k, event_id AS i,
+        |    epoch_us(ts) AS tu, event_type AS ty FROM events),
+        |w AS (SELECT k, i, tu, ty,
+        |    last_value(CASE WHEN ty <> 'purchase'
+        |        THEN {'tu': tu, 'ty': ty} END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY tu, i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM e),
+        |c AS (SELECT coalesce(CASE WHEN touch IS NOT NULL AND
+        |      tu - touch.tu <= 3600000000 THEN touch.ty END,
+        |      'organic') AS channel
+        |  FROM w WHERE ty = 'purchase')
+        |SELECT channel, count(*) AS conversions FROM c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SCD2 apply: the oracle recomputes the post-apply state from the
+    // same deterministic change batch
+    "q_scd2_apply" ->
+      """WITH ch AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 14 = 0 THEN c_nationkey
+        |      ELSE (c_nationkey + 1) % 25 END AS nk,
+        |    CAST(86400000000 AS BIGINT) AS ts
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey,
+        |    CAST(86400000000 AS BIGINT)
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |cur AS (SELECT c_custkey AS k, c_nationkey AS nk
+        |  FROM customer),
+        |g AS (SELECT ch.k AS k, ch.nk AS nk, ch.ts AS ts FROM ch
+        |  LEFT JOIN cur ON ch.k = cur.k
+        |  WHERE cur.k IS NULL OR cur.nk <> ch.nk)
+        |SELECT c.k AS c_custkey, c.nk AS c_nationkey,
+        |  CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+        |FROM cur c LEFT JOIN g ON c.k = g.k WHERE g.k IS NULL
+        |UNION ALL
+        |SELECT c.k, c.nk, CAST(0 AS BIGINT), g.ts, false
+        |FROM cur c JOIN g ON c.k = g.k
+        |UNION ALL
+        |SELECT g.k, g.nk, g.ts, CAST(NULL AS BIGINT), true FROM g
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

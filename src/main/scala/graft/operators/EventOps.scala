@@ -448,6 +448,40 @@ object EventOps {
         col("m.cnt").as("mode_n"))
       .orderBy(col(keyCol))
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * entity's most recent NON-conversion event within the lookback
+    * window. One key-partitioned window does all the work —
+    * `last(touch, ignoreNulls)` over the preceding frame, where
+    * `touch` is a (ts, type) struct only on non-conversion rows — and
+    * one hash rollup counts conversions per attributed channel
+    * (NULL = organic: no touch inside the window). Exact micros
+    * arithmetic; no self-join, no per-conversion scan.
+    *
+    * @return `(channel, conversions)` ordered; channel NULL = organic
+    */
+  def attribution(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      lookbackMicros: Long): DataFrame = {
+    require(lookbackMicros > 0,
+      s"lookbackMicros must be > 0, got $lookbackMicros")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("tu"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(keyCol).as("k"), col(idCol).as("i"),
+        unix_micros(col(tsCol)).as("tu"), col(typeCol).as("ty"))
+      .withColumn("touch",
+        last(when(col("ty") =!= conversionType,
+          struct(col("tu"), col("ty"))), ignoreNulls = true).over(w))
+      .filter(col("ty") === conversionType)
+      .select(when(col("touch").isNotNull &&
+          col("tu") - col("touch.tu") <= lookbackMicros,
+          col("touch.ty")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"))
+      .orderBy(col("channel"))
+  }
+
   /** Weekly cohort retention: an entity's cohort is the ISO week of
     * its first event; a (cohort, offset) cell counts entities with
     * any event `offset` weeks after their cohort week. Returns

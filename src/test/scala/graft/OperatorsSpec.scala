@@ -1027,6 +1027,58 @@ class OperatorsSpec extends SparkTestBase {
       3L -> (("z", 1L))))
   }
 
+  test("attribution: last touch inside the window wins; stale or " +
+      "missing touches are organic") {
+    import graft.operators.EventOps
+    def ts(s: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    val ev = Seq(
+      // user 1: click then ad then purchase -> 'ad' (most recent)
+      (1L, ts(0), 1L, "click"), (1L, ts(10), 2L, "ad"),
+      (1L, ts(20), 3L, "purchase"),
+      // user 2: touch 2h before purchase -> organic (outside 1h)
+      (2L, ts(0), 4L, "click"), (2L, ts(7200), 5L, "purchase"),
+      // user 3: no touch at all -> organic
+      (3L, ts(5), 6L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.attribution(ev, "user_id", "ts", "event_id",
+      "event_type", "purchase", lookbackMicros = 3600000000L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+      .toMap
+    assert(got === Map(Some("ad") -> 1L, None -> 2L))
+  }
+
+  test("scd2 applyChanges: close+reversion, no-op change, insert, " +
+      "idempotent re-apply") {
+    import graft.operators.Scd2
+    val dim = Seq(
+      (1L, "x", 0L, Option.empty[Long], true),
+      (2L, "y", 0L, Option.empty[Long], true),
+      // key 3 already has history: a closed row + a current row
+      (3L, "old", 0L, Option(50L), false), (3L, "z", 50L,
+        Option.empty[Long], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1L, "x2", 100L),  // real change -> close + new version
+      (2L, "y", 100L),   // identical attrs -> no-op
+      (9L, "new", 100L)) // unseen key -> insert
+      .toDF("k", "attr", "change_micros")
+    val out = Scd2.applyChanges(dim, changes, "k", Seq("attr"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+      r.getBoolean(4))).toSet
+    assert(rows === Set(
+      (1L, "x", 0L, Some(100L), false), (1L, "x2", 100L, None, true),
+      (2L, "y", 0L, None, true),
+      (3L, "old", 0L, Some(50L), false), (3L, "z", 50L, None, true),
+      (9L, "new", 100L, None, true)))
+    // idempotence: re-applying the same batch changes nothing
+    val again = Scd2.applyChanges(out, changes, "k", Seq("attr"))
+    assert(again.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+      r.getBoolean(4))).toSet === rows)
+  }
+
   test("profile: per-column rows/nulls/distinct/min/max in one pass") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
