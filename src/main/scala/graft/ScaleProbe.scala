@@ -106,7 +106,7 @@ object ScaleProbe {
     // q_scd2_apply is NOT probed: its dimension derives from the
     // customer table, which inflate() copies verbatim — the ratio
     // would be trivially flat and say nothing
-    "q_count_trend", "q_mode_by_key", "q_attribution")
+    "q_count_trend", "q_mode_by_key", "q_attribution", "q_textrank")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

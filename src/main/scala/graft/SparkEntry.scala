@@ -1922,6 +1922,13 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** TextRank keywords ([[operators.TextSearch.textRank]]): integer
+    * PageRank over the capped co-occurrence graph, three fixed
+    * rounds, every intermediate an exact long — the oracle unrolls
+    * the same three rounds as CTEs. */
+  private val qTextRank: Q = (s, dir) =>
+    operators.TextSearch.textRank(t(s, dir, "documents"))
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2779,6 +2786,7 @@ object SparkEntry {
     "q_mode_by_key" -> qModeByKey,
     "q_attribution" -> qAttribution,
     "q_scd2_apply" -> qScd2Apply,
+    "q_textrank" -> qTextRank,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3432,6 +3440,43 @@ object SparkEntry {
         |UNION ALL
         |SELECT g.k, g.nk, g.ts, CAST(NULL AS BIGINT), true FROM g
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    // TextRank: the three integer PageRank rounds unroll as CTEs;
+    // every value is an exact (HUGE)INT, `//` floors == truncates
+    // (all non-negative)
+    "q_textrank" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""c$k AS (SELECT e.dst AS node,
+           |    sum(r${k - 1}.r // r${k - 1}.deg) AS s
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+           |  GROUP BY 1),
+           |r$k AS (SELECT r${k - 1}.node AS node,
+           |    r${k - 1}.deg AS deg,
+           |    CAST((15 * b + 85 * coalesce(c$k.s, 0)) // 100
+           |      AS BIGINT) AS r
+           |  FROM r${k - 1} LEFT JOIN c$k USING (node), nn)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT list_sort(list_distinct(list_filter(
+         |      regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> x <> '' AND length(x) >= 3)))[1:12] AS ts
+         |  FROM documents),
+         |ne AS (SELECT ts FROM tok WHERE len(ts) >= 1),
+         |p AS (SELECT unnest(flatten(list_transform(ts, (x, i) ->
+         |      list_transform(ts[i+1:],
+         |        y -> {'t1': x, 't2': y})))) AS pr
+         |  FROM ne WHERE len(ts) >= 2),
+         |pc AS (SELECT pr.t1 AS t1, pr.t2 AS t2 FROM p GROUP BY 1, 2
+         |  HAVING count(*) >= 5),
+         |e AS (SELECT t1 AS src, t2 AS dst FROM pc
+         |  UNION ALL SELECT t2, t1 FROM pc),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT 1000000000000 // count(*) AS b FROM dg),
+         |r0 AS (SELECT src AS node, deg, CAST(b AS BIGINT) AS r
+         |  FROM dg, nn),
+         |$rounds
+         |SELECT node AS term, r AS rank_score FROM r3
+         |ORDER BY rank_score DESC, term LIMIT 50""".stripMargin
+    },
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

@@ -549,10 +549,11 @@ object TextSearch {
     * @return top-`topN` rows `(t1, t2, n_pair, lift_ppm)` by
     *         (lift_ppm desc, t1, t2)
     */
-  def collocations(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minTermLen: Int = 3,
-      maxTermsPerDoc: Int = 12, minPairCount: Long = 5L,
-      topN: Int = 100): DataFrame = {
+  /** The capped sorted per-doc term set (shared by [[collocations]]
+    * and [[textRank]]): the `maxTermsPerDoc` lexicographically-
+    * smallest distinct tokens of length ≥ `minTermLen`. */
+  private def termSets(docs: DataFrame, textCol: String,
+      minTermLen: Int, maxTermsPerDoc: Int): DataFrame = {
     require(maxTermsPerDoc >= 2,
       s"maxTermsPerDoc must be >= 2, got $maxTermsPerDoc")
     val termSet = slice(
@@ -560,12 +561,16 @@ object TextSearch {
         CorpusOps.tokens(col(textCol)),
         t => length(t) >= minTermLen))),
       1, maxTermsPerDoc)
-    val sets = docs
-      .select(termSet.as("ts"))
-      .filter(size(col("ts")) >= 1)
-    // ordered pairs (ts[i], ts[j]) with i < j: the set is sorted, so
-    // t1 < t2 always and each unordered pair appears exactly once
-    val pairs = sets
+    docs.select(termSet.as("ts")).filter(size(col("ts")) >= 1)
+  }
+
+  /** Per-corpus co-occurring pair counts over the capped term sets,
+    * kept at `n_pair ≥ minPairCount` — ordered pairs (ts[i], ts[j])
+    * with i < j: the set is sorted, so t1 < t2 always and each
+    * unordered pair appears exactly once. */
+  private def pairCounts(sets: DataFrame,
+      minPairCount: Long): DataFrame =
+    sets
       .filter(size(col("ts")) >= 2)
       .select(explode(flatten(transform(col("ts"), (x, i) =>
         transform(
@@ -576,6 +581,13 @@ object TextSearch {
       .groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
+
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTermLen: Int = 3,
+      maxTermsPerDoc: Int = 12, minPairCount: Long = 5L,
+      topN: Int = 100): DataFrame = {
+    val sets = termSets(docs, textCol, minTermLen, maxTermsPerDoc)
+    val pairs = pairCounts(sets, minPairCount)
     val termCnt = sets
       .select(explode(col("ts")).as("t"))
       .groupBy(col("t"))
@@ -593,6 +605,62 @@ object TextSearch {
             dec38(col("n_docs")),
           dec38(col("n1")) * dec38(col("n2"))).as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("t1"), col("t2"))
+      .limit(topN)
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    * algorithm): PageRank over the term co-occurrence graph — the
+    * corpus-level "which terms sit at the center of the vocabulary"
+    * ranking — under a FULLY INTEGER contract: rank mass starts at
+    * `⌊10¹²/N⌋` per node and each of the `iters` fixed rounds applies
+    *
+    *   `r'_v = ⌊(15·⌊10¹²/N⌋ + 85·Σ_{u→v} ⌊r_u/deg_u⌋) / 100⌋`
+    *
+    * (damping 0.85 as two integer ops) — every intermediate is an
+    * exact long, order-independent, replayable by unrolled SQL CTEs.
+    *
+    * Graph + scale shape: edges are [[collocations]]' capped per-doc
+    * pairs (≥ `minPairCount` docs), symmetric; each round is one
+    * edge-keyed join + one hash rollup — vocabulary-sized work,
+    * corpus-sized only in the first pair-count pass. The node count N
+    * is a driver scalar (vocabulary cardinality, same contract as the
+    * trained-model counts elsewhere).
+    *
+    * @return top-`topN` rows `(term, rank_score)` by (score desc,
+    *         term)
+    */
+  def textRank(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minTermLen: Int = 3,
+      maxTermsPerDoc: Int = 12, minPairCount: Long = 5L,
+      iters: Int = 3, topN: Int = 50): DataFrame = {
+    require(iters >= 1 && topN >= 1,
+      s"bad textRank args: iters=$iters topN=$topN")
+    val pairs = pairCounts(
+      termSets(docs, textCol, minTermLen, maxTermsPerDoc),
+      minPairCount).select(col("t1"), col("t2"))
+    val edges = pairs.select(col("t1").as("src"), col("t2").as("dst"))
+      .unionAll(pairs.select(col("t2").as("src"), col("t1").as("dst")))
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    require(n > 0, "textRank: empty co-occurrence graph")
+    val base = 1000000000000L / n
+    var r = deg.select(col("src").as("node"), col("deg"),
+      lit(base).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r, col("src") === col("node"))
+        .select(col("dst"), intDiv(col("r"), col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = r.select(col("node"), col("deg"))
+        .join(contrib, col("node") === col("dst"), "left_outer")
+        .select(col("node"), col("deg"),
+          intDiv(lit(15L * base) +
+            lit(85L) * coalesce(col("s"), lit(0L)), lit(100L))
+            .as("r"))
+    }
+    r.select(col("node").as("term"), col("r").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("term"))
       .limit(topN)
   }
 }

@@ -1079,6 +1079,32 @@ class OperatorsSpec extends SparkTestBase {
       r.getBoolean(4))).toSet === rows)
   }
 
+  test("textRank: the hub of a star graph outranks the leaves; " +
+      "integer rounds match the hand recurrence") {
+    import graft.operators.TextSearch
+    // 6 docs of "hub leafK" -> star graph: hub co-occurs with every
+    // leaf (pair count 2 each >= minPairCount 2), leaves only with hub
+    val docs = (1 to 6).map { i =>
+      (i.toLong, s"hub leaf${(i - 1) / 2 + 1}")
+    }.toDF("doc_id", "text")
+    val got = TextSearch.textRank(docs, minTermLen = 3,
+      minPairCount = 2, iters = 3, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head._1 === "hub", s"hub must rank first: ${got.toSeq}")
+    // replay the integer recurrence by hand: N=4, base=25e10;
+    // deg(hub)=3, deg(leaf)=1
+    val base = 1000000000000L / 4
+    var hub = base; var leaf = base
+    for (_ <- 1 to 3) {
+      val nh = (15L * base + 85L * (3L * leaf)) / 100L
+      val nl = (15L * base + 85L * (hub / 3L)) / 100L
+      hub = nh; leaf = nl
+    }
+    val m = got.toMap
+    assert(m("hub") === hub && m("leaf1") === leaf,
+      s"integer rounds drifted: got $m want hub=$hub leaf=$leaf")
+  }
+
   test("profile: per-column rows/nulls/distinct/min/max in one pass") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
