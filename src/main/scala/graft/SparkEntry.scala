@@ -1929,6 +1929,31 @@ object SparkEntry {
   private val qTextRank: Q = (s, dir) =>
     operators.TextSearch.textRank(t(s, dir, "documents"))
 
+  /** ZERO-SCAN profile ([[operators.Profile.profileFromStats]]): the
+    * query stands up a stats-covered graft-v2 table from orders (two
+    * appends), then profiles it purely from the manifest `fstat=`
+    * entries — O(files) driver work, no executor scan; the oracle
+    * recomputes the same numbers from the raw rows. */
+  private val qProfileStats: Q = (s, dir) => {
+    val tag = "pfs" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-dml-$tag/orders"
+    val tdir = new org.apache.hadoop.fs.Path(path)
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val cut = maxKey / 2
+    Seq(o.filter(col("o_orderkey") <= cut),
+      o.filter(col("o_orderkey") > cut)).foreach(_
+      .repartition(1).write.format("graft-v2")
+      .option("statsColumns", "o_orderkey,o_totalprice")
+      .option("changelog", "true").mode("append").save(path))
+    operators.Profile.profileFromStats(s, path)
+  }
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2787,6 +2812,7 @@ object SparkEntry {
     "q_attribution" -> qAttribution,
     "q_scd2_apply" -> qScd2Apply,
     "q_textrank" -> qTextRank,
+    "q_profile_stats" -> qProfileStats,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3477,6 +3503,19 @@ object SparkEntry {
          |SELECT node AS term, r AS rank_score FROM r3
          |ORDER BY rank_score DESC, term LIMIT 50""".stripMargin
     },
+    // zero-scan profile: the oracle recomputes from the raw rows what
+    // the engine folded from manifest stats alone
+    "q_profile_stats" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_nulls,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_repr,
+        |  true AS exact FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), CAST(0 AS BIGINT),
+        |  CAST(min(o_totalprice) AS VARCHAR),
+        |  CAST(max(o_totalprice) AS VARCHAR), true FROM orders
+        |ORDER BY column_name""".stripMargin,
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

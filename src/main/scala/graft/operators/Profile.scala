@@ -115,6 +115,82 @@ object Profile {
       .orderBy(col("bin"))
   }
 
+  /** ZERO-SCAN profile of a graft-v2 table from its manifest skip
+    * stats — the 100 TB answer to "what's in this table": per stats
+    * column the exact row count, null count and min/max folded from
+    * the per-file `fstat=` entries, in O(files) DRIVER work with no
+    * executor job at all. Numeric/timestamp bounds are EXACT
+    * (`exact = true`); string bounds are the manifest's truncated
+    * UTF-8 prefix floor/ceil — correct BOUNDS, flagged
+    * `exact = false`. Declines when deletion vectors are present
+    * (masked rows would overcount — `materialize_dvs` first) and
+    * skips columns not covered on every file or with mixed stat
+    * kinds (a widened column's old files).
+    *
+    * @return `(column_name, n_rows, n_nulls, min_repr, max_repr,
+    *         exact)` — a metadata-only sibling of [[profile]]
+    */
+  def profileFromStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.sources.v2.{GraftManifest, SkipStats}
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = GraftManifest.current(fs, p).getOrElse(
+      throw new IllegalArgumentException(
+        s"profileFromStats: no graft-v2 manifest at $dir"))
+    require(snap.dvs.isEmpty, "profileFromStats: table carries " +
+      "deletion vectors — footer rows/nulls would overcount; run " +
+      "materialize_dvs first")
+    require(snap.fstats.nonEmpty,
+      s"profileFromStats: no manifest skip stats at $dir")
+    val files = snap.names
+    val cols = snap.fstats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val b64d = java.util.Base64.getDecoder
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = cols.flatMap { c =>
+      val per = files.map(f => snap.fstats.get(f).flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None // not covered on every file
+      else {
+        val st = per.flatten
+        // all-null files store kind 'l' with no bounds — they carry
+        // counts but must not vote on the kind
+        val kinds = st.filter(_.lo.nonEmpty).map(_.kind).distinct
+        if (kinds.length > 1) None // widened column: mixed kinds
+        else {
+          val nRows = st.map(_.rows).sum
+          val nNulls = st.map(_.nulls).sum
+          val los = st.flatMap(_.lo)
+          val his = st.flatMap(_.hi)
+          val (mn, mx, exact) = kinds.headOption match {
+            case None => (None, None, true) // all rows null
+            case Some('l') | Some('t') =>
+              (Some(los.map(_.toLong).min.toString),
+                Some(his.map(_.toLong).max.toString), true)
+            case Some('d') =>
+              (Some(los.map(_.toDouble).min.toString),
+                Some(his.map(_.toDouble).max.toString), true)
+            case Some('s') =>
+              val lo = los.map(b => UTF8String.fromBytes(
+                b64d.decode(b))).min.toString
+              val hi = his.map(b => UTF8String.fromBytes(
+                b64d.decode(b))).max.toString
+              (Some(lo), Some(hi), false) // truncated prefix bounds
+            case Some(other) =>
+              throw new IllegalStateException(
+                s"unknown stat kind '$other' for column $c")
+          }
+          Some((c, nRows, nNulls, mn.orNull, mx.orNull, exact))
+        }
+      }
+    }
+    require(rows.nonEmpty,
+      s"profileFromStats: no column covered on every file at $dir")
+    import spark.implicits._
+    rows.toDF("column_name", "n_rows", "n_nulls", "min_repr",
+      "max_repr", "exact").orderBy(col("column_name"))
+  }
+
   /** Referential-integrity check: for each named (child, childKey) →
     * (parent, parentKey) relationship, the child row count and the
     * orphan count (child keys with no parent — LEFT ANTI join, so

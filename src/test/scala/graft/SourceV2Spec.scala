@@ -1061,4 +1061,43 @@ class SourceV2Spec extends SparkTestBase {
     assert(second.sum == 50, s"second run should drain only the new " +
       s"file: $second")
   }
+
+  test("profileFromStats: zero-scan profile matches the data, " +
+      "string bounds flagged inexact, DV tables decline") {
+    import graft.operators.Profile
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-pfs")
+      .resolve("t").toString
+    import spark.implicits._
+    val batch1 = Seq[(java.lang.Long, java.lang.Double, String)](
+      (3L, 1.5, "pear"), (1L, 9.25, "apple"), (2L, null, "fig"))
+      .toDF("k", "v", "s")
+    val batch2 = Seq[(java.lang.Long, java.lang.Double, String)](
+      (10L, -4.5, "zebra"), (null, 2.0, "kiwi"))
+      .toDF("k", "v", "s")
+    Seq(batch1, batch2).foreach(_.repartition(1)
+      .write.format("graft-v2").option("statsColumns", "k,v,s")
+      .option("changelog", "true").mode("append").save(dir))
+    val got = Profile.profileFromStats(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))).toMap
+    assert(got("k") === ((5L, 1L, "1", "10", true)))
+    assert(got("v") === ((5L, 1L, "-4.5", "9.25", true)))
+    // string bounds: short values survive prefix truncation intact
+    // but the kind is still a bound, so exact = false
+    assert(got("s")._1 === 5L && got("s")._5 === false)
+    assert(got("s")._3 <= "apple" && got("s")._4 >= "zebra")
+    // a deletion vector makes footer counts overcounts -> decline
+    graft.sources.v2.GraftDeleteV2.deleteWhere(dir,
+      spark.read.format("graft-v2").option("path", dir).load().schema,
+      org.apache.spark.sql.sources.EqualTo("k", 10L))
+    val snap = graft.sources.v2.GraftManifest.current(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(dir)).get
+    if (snap.dvs.nonEmpty) {
+      intercept[IllegalArgumentException] {
+        Profile.profileFromStats(spark, dir)
+      }
+    }
+  }
 }
