@@ -1350,8 +1350,15 @@ object SparkEntry {
     * true pairs; the oracle pays the O(n²) scan this operator
     * exists to avoid. */
   private val qFuzzyJoin: Q = (s, dir) =>
+    // localCheckpoint before the determinism sort: a global orderBy
+    // range-samples its child, which would EXECUTE the whole
+    // blocking-join chain twice (measured ~2x wall on this query);
+    // the 262k-pair result materializes once and the sort reads the
+    // checkpoint (Bpe.Materialize precedent; Bench's per-query
+    // hygiene unpersists the blocks)
     operators.FuzzyJoin.selfJoin(t(s, dir, "customer"), "c_name",
       maxDist = 1)
+      .localCheckpoint()
       .orderBy(col("a"), col("b"))
 
   /** Same blocking join at depth 2 over part names — multi-deletion
