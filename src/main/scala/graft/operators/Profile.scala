@@ -144,46 +144,10 @@ object Profile {
       "materialize_dvs first")
     require(snap.fstats.nonEmpty,
       s"profileFromStats: no manifest skip stats at $dir")
-    val files = snap.names
-    val cols = snap.fstats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val b64d = java.util.Base64.getDecoder
-    import org.apache.spark.unsafe.types.UTF8String
-    val rows = cols.flatMap { c =>
-      val per = files.map(f => snap.fstats.get(f).flatMap(_.get(c)))
-      if (per.exists(_.isEmpty)) None // not covered on every file
-      else {
-        val st = per.flatten
-        // all-null files store kind 'l' with no bounds — they carry
-        // counts but must not vote on the kind
-        val kinds = st.filter(_.lo.nonEmpty).map(_.kind).distinct
-        if (kinds.length > 1) None // widened column: mixed kinds
-        else {
-          val nRows = st.map(_.rows).sum
-          val nNulls = st.map(_.nulls).sum
-          val los = st.flatMap(_.lo)
-          val his = st.flatMap(_.hi)
-          val (mn, mx, exact) = kinds.headOption match {
-            case None => (None, None, true) // all rows null
-            case Some('l') | Some('t') =>
-              (Some(los.map(_.toLong).min.toString),
-                Some(his.map(_.toLong).max.toString), true)
-            case Some('d') =>
-              (Some(los.map(_.toDouble).min.toString),
-                Some(his.map(_.toDouble).max.toString), true)
-            case Some('s') =>
-              val lo = los.map(b => UTF8String.fromBytes(
-                b64d.decode(b))).min.toString
-              val hi = his.map(b => UTF8String.fromBytes(
-                b64d.decode(b))).max.toString
-              (Some(lo), Some(hi), false) // truncated prefix bounds
-            case Some(other) =>
-              throw new IllegalStateException(
-                s"unknown stat kind '$other' for column $c")
-          }
-          Some((c, nRows, nNulls, mn.orNull, mx.orNull, exact))
-        }
+    val rows = SkipStats.profileRows(snap)
+      .map { case (c, nRows, nNulls, mn, mx, exact) =>
+        (c, nRows, nNulls, mn.orNull, mx.orNull, exact)
       }
-    }
     require(rows.nonEmpty,
       s"profileFromStats: no column covered on every file at $dir")
     import spark.implicits._

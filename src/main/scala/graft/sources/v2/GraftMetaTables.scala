@@ -26,12 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `t.history`   — the commit log, one row per retained version
   *    (exactly `CALL graft.system.history`'s shape).
   *  - `t.tags`      — named version tags.
+  *  - `t.profile`   — zero-scan per-column rows/nulls/min/max folded
+  *    from the manifest skip stats (`SkipStats.profileRows`); empty
+  *    when DVs are present or no column is covered on every file.
   *
-  * All three are tiny driver-materialized [[LocalScan]]s — metadata
+  * All four are tiny driver-materialized [[LocalScan]]s — metadata
   * volume, not data volume; the snapshot is pinned once per scan. */
 object GraftMetaTables {
 
-  val Names: Set[String] = Set("files", "history", "tags")
+  val Names: Set[String] = Set("files", "history", "tags", "profile")
 
   def load(fs: FileSystem, dir: Path, kind: String,
       versionAsOf: Option[Long] = None): Table =
@@ -64,6 +67,13 @@ object GraftMetaTables {
       case "tags" => StructType(Seq(
         StructField("tag", StringType, false),
         StructField("version", LongType, false)))
+      case "profile" => StructType(Seq(
+        StructField("column_name", StringType, false),
+        StructField("n_rows", LongType, false),
+        StructField("n_nulls", LongType, false),
+        StructField("min_repr", StringType, true),
+        StructField("max_repr", StringType, true),
+        StructField("exact", BooleanType, false)))
       case other => throw new IllegalArgumentException(
         s"unknown graft metadata table $other")
     }
@@ -154,6 +164,25 @@ object GraftMetaTables {
             new GenericInternalRow(Array[Any](
               UTF8String.fromString(t), v)): InternalRow
           }.toArray
+        case "profile" =>
+          // zero-scan per-column profile from the manifest fstat=
+          // lines (SkipStats.profileRows); a SELECTable face returns
+          // EMPTY rather than throwing when the snapshot carries
+          // deletion vectors (footer counts would overcount) or no
+          // column is covered on every file
+          val snap = versionAsOf match {
+            case Some(v) => Some(GraftManifest.read(fs, dir, v))
+            case None => GraftManifest.current(fs, dir)
+          }
+          snap.filter(_.dvs.isEmpty).toSeq
+            .flatMap(SkipStats.profileRows)
+            .map { case (c, nRows, nNulls, mn, mx, exact) =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(c), nRows, nNulls,
+                mn.map(UTF8String.fromString).orNull,
+                mx.map(UTF8String.fromString).orNull,
+                exact)): InternalRow
+            }.toArray
         case other => throw new IllegalArgumentException(other)
       }
       new ScanBuilder {

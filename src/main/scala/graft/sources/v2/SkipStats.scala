@@ -455,4 +455,57 @@ object SkipStats {
         case None => true
       }
     }
+
+  /** Fold a snapshot's per-file stats into per-column profile rows
+    * `(column, rows, nulls, min_repr, max_repr, exact)` — the shared
+    * core of `Profile.profileFromStats` and the `t.profile` metadata
+    * table. Columns not covered on EVERY file, or with mixed stat
+    * kinds (a widened column's old files), are silently skipped —
+    * callers decide whether partial coverage is an error. String
+    * bounds are the truncated UTF-8 prefix floor/ceil → exact=false;
+    * the caller is responsible for rejecting DV-masked snapshots
+    * (masked rows would overcount). */
+  def profileRows(snap: GraftManifest.Snapshot)
+      : Seq[(String, Long, Long, Option[String], Option[String],
+        Boolean)] = {
+    val files = snap.names
+    val cols = snap.fstats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val b64d = java.util.Base64.getDecoder
+    import org.apache.spark.unsafe.types.UTF8String
+    cols.flatMap { c =>
+      val per = files.map(f => snap.fstats.get(f).flatMap(_.get(c)))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val st = per.flatten
+        // all-null files store kind 'l' with no bounds — they carry
+        // counts but must not vote on the kind
+        val kinds = st.filter(_.lo.nonEmpty).map(_.kind).distinct
+        if (kinds.length > 1) None
+        else {
+          val nRows = st.map(_.rows).sum
+          val nNulls = st.map(_.nulls).sum
+          val los = st.flatMap(_.lo)
+          val his = st.flatMap(_.hi)
+          val folded = kinds.headOption match {
+            case None => Some((None, None, true)) // all rows null
+            case Some('l') | Some('t') =>
+              Some((Some(los.map(_.toLong).min.toString),
+                Some(his.map(_.toLong).max.toString), true))
+            case Some('d') =>
+              Some((Some(los.map(_.toDouble).min.toString),
+                Some(his.map(_.toDouble).max.toString), true))
+            case Some('s') =>
+              Some((Some(los.map(b => UTF8String.fromBytes(
+                  b64d.decode(b))).min.toString),
+                Some(his.map(b => UTF8String.fromBytes(
+                  b64d.decode(b))).max.toString), false))
+            case Some(_) => None // unknown kind: skip, don't guess
+          }
+          folded.map { case (mn, mx, exact) =>
+            (c, nRows, nNulls, mn, mx, exact)
+          }
+        }
+      }
+    }
+  }
 }

@@ -2549,4 +2549,41 @@ class CatalogSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft.meta.t2.files")
     spark.sql("DROP TABLE graft.meta.t")
   }
+
+  test("metadata table t.profile: zero-scan per-column stats; empty " +
+      "under deletion vectors") {
+    val _ = warehouse
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.tp (id BIGINT, name STRING)")
+    // stats-covered appends land directly in the table dir (same
+    // path-op precedent as the bloom build above)
+    Seq((1L, "apple"), (7L, "pear"))
+      .toDF("id", "name").repartition(1)
+      .write.format("graft-v2").option("statsColumns", "id,name")
+      .option("changelog", "true").mode("append")
+      .save(s"$warehouse/meta/tp")
+    Seq((12L, "zebra"), (3L, "fig"))
+      .toDF("id", "name").repartition(1)
+      .write.format("graft-v2").option("statsColumns", "id,name")
+      .mode("append").save(s"$warehouse/meta/tp")
+    val prof = spark.sql("SELECT * FROM graft.meta.tp.profile")
+      .collect().map(r => (r.getString(0), (r.getLong(1),
+        r.getLong(2), r.getString(3), r.getString(4),
+        r.getBoolean(5)))).toMap
+    assert(prof("id") === ((4L, 0L, "1", "12", true)))
+    assert(prof("name")._1 === 4L && !prof("name")._5)
+    assert(prof("name")._3 <= "apple" && prof("name")._4 >= "zebra")
+    // a DV-masked snapshot reports EMPTY (counts would overcount)
+    spark.sql(s"DELETE FROM graft.meta.tp WHERE id = 7")
+    val snap = graft.sources.v2.GraftManifest.current(
+      new org.apache.hadoop.fs.Path(s"$warehouse/meta/tp")
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$warehouse/meta/tp")).get
+    if (snap.dvs.nonEmpty) {
+      assert(spark.sql("SELECT * FROM graft.meta.tp.profile")
+        .collect().isEmpty)
+    }
+    spark.sql("DROP TABLE graft.meta.tp")
+  }
 }
