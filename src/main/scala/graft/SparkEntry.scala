@@ -1961,6 +1961,44 @@ object SparkEntry {
     operators.Profile.profileFromStats(s, path)
   }
 
+  /** Bitemporal fact lookup ([[operators.Scd2.lookupAt]]): each order
+    * resolves the customer nation VALID AT ORDER TIME against an
+    * SCD2 dimension with a mid-1995 change batch — broadcast key join
+    * with a residual validity range, no fact shuffle. */
+  private val qScd2Lookup: Q = (s, dir) => {
+    val cutMicros = 804556800000000L // 1995-07-01 UTC
+    val cust = t(s, dir, "customer")
+    val dim0 = cust.select(col("c_custkey"), col("c_nationkey"),
+      lit(0L).as("valid_from"),
+      lit(null).cast("long").as("valid_to"),
+      lit(true).as("is_current"))
+    val changes = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        ((col("c_nationkey") + 1) % 25).as("c_nationkey"),
+        lit(cutMicros).as("change_micros"))
+    val dim = operators.Scd2.applyChanges(dim0, changes, "c_custkey",
+      Seq("c_nationkey"))
+    val facts = t(s, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ots"))
+    operators.Scd2.lookupAt(dim, facts, "c_custkey", col("ots"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Data-quality expectation suite
+    * ([[operators.Profile.expectations]]): four named contracts over
+    * lineitem in ONE aggregate — the discount cap is planted to FAIL
+    * so the violation-count path is exercised non-trivially. */
+  private val qDqChecks: Q = (s, dir) =>
+    operators.Profile.expectations(t(s, dir, "lineitem"), Seq(
+      "qty_range" -> col("l_quantity").between(1, 50),
+      "tax_cap" -> (col("l_tax") <= 0.08),
+      "discount_cap" -> (col("l_discount") <= 0.05),
+      "positive_price" -> (col("l_extendedprice") > 0)))
+      .orderBy(col("rule"))
+
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
     * SentencePiece forward-backward E-step under the
     * quantized-expectation integer contract — piece weights, the
@@ -2820,6 +2858,8 @@ object SparkEntry {
     "q_scd2_apply" -> qScd2Apply,
     "q_textrank" -> qTextRank,
     "q_profile_stats" -> qProfileStats,
+    "q_scd2_lookup" -> qScd2Lookup,
+    "q_dq_checks" -> qDqChecks,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3523,6 +3563,34 @@ object SparkEntry {
         |  CAST(min(o_totalprice) AS VARCHAR),
         |  CAST(max(o_totalprice) AS VARCHAR), true FROM orders
         |ORDER BY column_name""".stripMargin,
+    // bitemporal lookup: the oracle resolves the validity range as a
+    // CASE on the same change rule + cut instant
+    "q_scd2_lookup" ->
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS ots
+        |  FROM orders),
+        |j AS (SELECT CASE WHEN c.c_custkey % 7 = 0
+        |      AND o.ots >= 804556800000000
+        |    THEN (c.c_nationkey + 1) % 25
+        |    ELSE c.c_nationkey END AS c_nationkey
+        |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_nationkey, count(*) AS n_orders FROM j
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // expectation suite: per-rule violation sums, NULL counts as a
+    // violation on both sides
+    "q_dq_checks" ->
+      Seq(
+        ("qty_range", "l_quantity BETWEEN 1 AND 50"),
+        ("tax_cap", "l_tax <= 0.08"),
+        ("discount_cap", "l_discount <= 0.05"),
+        ("positive_price", "l_extendedprice > 0")).map {
+        case (n, pred) =>
+          s"""SELECT '$n' AS rule, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN coalesce($pred, false) THEN 0
+             |    ELSE 1 END) AS BIGINT) AS n_violations,
+             |  CAST(sum(CASE WHEN coalesce($pred, false) THEN 0
+             |    ELSE 1 END) AS BIGINT) = 0 AS passed
+             |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

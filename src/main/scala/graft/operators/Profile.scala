@@ -155,6 +155,36 @@ object Profile {
       "max_repr", "exact").orderBy(col("column_name"))
   }
 
+  /** Data-quality expectations (the Deequ/Great-Expectations check
+    * suite shape): each rule is a named boolean predicate that every
+    * row must satisfy; the report counts violations per rule in ONE
+    * map-side-combinable aggregate over one scan — `sum(rule ? 0 : 1)`
+    * per rule, however many rules ride along (NULL predicate results
+    * count as violations: an unexpectedly-null field must not pass
+    * the contract it cannot prove). The post-load gate a warehouse
+    * runs before publishing a drop.
+    *
+    * @return `(rule, n_rows, n_violations, passed)`, one row per rule
+    *         in the given order, `passed = (n_violations == 0)`
+    */
+  def expectations(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations: no rules given")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"expectations: duplicate rule names in ${rules.map(_._1)}")
+    val measures = rules.map { case (n, c) =>
+      sum(when(coalesce(c, lit(false)), 0L).otherwise(1L))
+        .as(s"__dq_$n")
+    }
+    val one = df.agg(count(lit(1)).as("__dq_rows"), measures: _*)
+    one.select(explode(array(rules.map { case (n, _) =>
+        struct(lit(n).as("rule"), col("__dq_rows").as("n_rows"),
+          coalesce(col(s"__dq_$n"), lit(0L)).as("n_violations"),
+          (coalesce(col(s"__dq_$n"), lit(0L)) === 0L).as("passed"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
   /** Referential-integrity check: for each named (child, childKey) →
     * (parent, parentKey) relationship, the child row count and the
     * orphan count (child keys with no parent — LEFT ANTI join, so

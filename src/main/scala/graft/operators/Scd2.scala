@@ -74,4 +74,38 @@ object Scd2 {
     history.unionByName(unchanged).unionByName(closed)
       .unionByName(newVersions)
   }
+
+  /** Bitemporal fact lookup: join each fact row to the dimension
+    * VERSION that was valid at the fact's event time — the
+    * "nationality the customer had when the order was placed"
+    * question SCD2 history exists to answer. The half-open validity
+    * `[valid_from, valid_to)` makes the version unique per
+    * (key, instant), so this is an ordinary equi-join on the key with
+    * a residual range predicate; the dimension (keys × versions) is
+    * broadcast-sized in the production shape, so no fact-side shuffle
+    * at all. Facts whose key or instant resolves to no version keep a
+    * NULL dimension payload (left outer).
+    *
+    * @param dim          SCD2 state (`applyChanges` output shape)
+    * @param facts        fact rows
+    * @param keyCol       join key (same name both sides)
+    * @param factTsMicros fact event time, long micros
+    * @return facts plus the dimension's non-key attribute columns
+    */
+  def lookupAt(dim: DataFrame, facts: DataFrame, keyCol: String,
+      factTsMicros: org.apache.spark.sql.Column): DataFrame = {
+    val d = dim.columns.foldLeft(dim)((df, c) =>
+      df.withColumnRenamed(c, s"__s2l_$c"))
+    val ts = factTsMicros
+    facts.join(broadcast(d),
+      facts(keyCol) === d(s"__s2l_$keyCol") &&
+        ts >= d("__s2l_valid_from") &&
+        (d("__s2l_valid_to").isNull || ts < d("__s2l_valid_to")),
+      "left_outer")
+      .drop(s"__s2l_$keyCol", "__s2l_valid_from", "__s2l_valid_to",
+        "__s2l_is_current")
+      .withColumnsRenamed(dim.columns
+        .filterNot(Set(keyCol, "valid_from", "valid_to", "is_current"))
+        .map(c => s"__s2l_$c" -> c).toMap)
+  }
 }

@@ -1105,6 +1105,42 @@ class OperatorsSpec extends SparkTestBase {
       s"integer rounds drifted: got $m want hub=$hub leaf=$leaf")
   }
 
+  test("scd2 lookupAt: facts resolve the version valid at their " +
+      "instant; unknown keys and pre-history instants go null") {
+    import graft.operators.Scd2
+    val dim = Seq(
+      (1L, "old", 0L, Option(100L), false),
+      (1L, "new", 100L, Option.empty[Long], true),
+      (2L, "only", 50L, Option.empty[Long], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (1L, 99L, "a"), (1L, 100L, "b"), (1L, 500L, "c"),
+      (2L, 10L, "d"), // before key 2's history starts -> null
+      (9L, 50L, "e")) // unknown key -> null
+      .toDF("k", "ts", "tag")
+    val got = Scd2.lookupAt(dim, facts, "k", col("ts"))
+      .collect().map(r => (r.getString(2), Option(r.getString(3))))
+      .toMap
+    assert(got === Map("a" -> Some("old"), "b" -> Some("new"),
+      "c" -> Some("new"), "d" -> None, "e" -> None))
+  }
+
+  test("expectations: per-rule violation counts, NULL predicate " +
+      "counts as violation") {
+    import graft.operators.Profile
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (5L, 1L), (20L, 2L), (null, 3L))
+      .toDF("v", "id")
+    val got = Profile.expectations(df, Seq(
+      "v_small" -> (col("v") <= 10),
+      "id_pos" -> (col("id") > 0)))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // v_small: 20 violates, NULL v counts as violation -> 2
+    assert(got === Map("v_small" -> ((3L, 2L, false)),
+      "id_pos" -> ((3L, 0L, true))))
+  }
+
   test("profile: per-column rows/nulls/distinct/min/max in one pass") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "b"), (2L, null), (2L, "a"), (null, "a"))
