@@ -106,7 +106,11 @@ object ScaleProbe {
     // q_scd2_apply is NOT probed: its dimension derives from the
     // customer table, which inflate() copies verbatim — the ratio
     // would be trivially flat and say nothing
-    "q_count_trend", "q_mode_by_key", "q_attribution", "q_textrank")
+    "q_count_trend", "q_mode_by_key", "q_attribution", "q_textrank",
+    // q_scd2_lookup's facts (orders) inflate; its dim derives from
+    // the verbatim-copied customer table, so the ratio measures the
+    // fact-side scan + broadcast probe — the shape that matters
+    "q_scd2_lookup", "q_dq_checks")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1868,6 +1868,14 @@ object SparkEntry {
   private val qJaccardJoin: Q = (s, dir) =>
     operators.Dedup.jaccardJoin(t(s, dir, "documents"))
 
+  /** The stop-shingle guarded twin of [[qJaccardJoin]]: shingles in
+    * more than 3 documents drop before set construction — the cap
+    * BINDS on this corpus (df-4 shingles exist) and the oracle
+    * replays the reduced-set semantics exactly, proving the
+    * adversarial-corpus guard changes answers only as disclosed. */
+  private val qJaccardJoinCapped: Q = (s, dir) =>
+    operators.Dedup.jaccardJoin(t(s, dir, "documents"), dfCap = 3L)
+
   /** Global quantile discretizer
     * ([[operators.Quantiles.quantileBuckets]]): the scalable `ntile`
     * — per-row decile of l_extendedprice via two-phase distributed
@@ -2860,6 +2868,7 @@ object SparkEntry {
     "q_profile_stats" -> qProfileStats,
     "q_scd2_lookup" -> qScd2Lookup,
     "q_dq_checks" -> qDqChecks,
+    "q_jaccard_join_capped" -> qJaccardJoinCapped,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3423,6 +3432,31 @@ object SparkEntry {
         |    [array_to_string(w[i:i+3], ' ')
         |     for i in range(1, len(w) - 2)])) AS ts
         |  FROM tok WHERE len(w) >= 4),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.ts, b.ts)) AS inter,
+        |    len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+        |      AS un
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST((CAST(inter AS HUGEINT) * 1000000) // un AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p WHERE inter * 1000000 >= 500000 * un
+        |ORDER BY id_a, id_b""".stripMargin,
+    // capped twin: the oracle drops shingles with df > 3 before set
+    // construction, then brute-forces the REDUCED sets — the guard's
+    // disclosed semantics, replayed exactly
+    "q_jaccard_join_capped" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+3], ' ')
+        |     for i in range(1, len(w) - 2)])) AS gram
+        |  FROM tok WHERE len(w) >= 4),
+        |keep AS (SELECT gram FROM g GROUP BY 1
+        |  HAVING count(*) <= 3),
+        |sh AS (SELECT doc_id, list_sort(list(gram)) AS ts
+        |  FROM g JOIN keep USING (gram) GROUP BY 1),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    len(list_intersect(a.ts, b.ts)) AS inter,
         |    len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))

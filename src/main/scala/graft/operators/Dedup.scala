@@ -517,15 +517,25 @@ object Dedup {
     *
     * @return `(id_a, id_b, jaccard_ppm)`, id_a < id_b, ordered
     */
+  /** @param dfCap stop-shingle guard for adversarial corpora: shingles
+    *   appearing in MORE than `dfCap` documents are dropped from every
+    *   set before anything else (exactly like stopword removal), so a
+    *   template shingle shared by the whole corpus can never drive the
+    *   candidate join toward n² — any surviving shingle pairs at most
+    *   `dfCap`² candidates. The join is then EXACT ON THE REDUCED
+    *   SETS (a disclosed semantic, deterministic and replayable — not
+    *   a silent recall loss). Default: uncapped. */
   def jaccardJoin(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 4,
-      tPpm: Long = 500000L): DataFrame = {
+      tPpm: Long = 500000L, dfCap: Long = Long.MaxValue): DataFrame = {
     require(tPpm > 0 && tPpm <= 1000000L,
       s"tPpm must be in (0, 1000000], got $tPpm")
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
     val grams = CorpusOps.wordNgrams(docs, n, idCol, textCol)
       .select(col(idCol).as("id"), col("gram"))
     val dfreq = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= dfCap)
     val ordered = grams.join(dfreq, Seq("gram"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("gdf"), col("gram"))))

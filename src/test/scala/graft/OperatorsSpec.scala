@@ -974,6 +974,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(want.contains((1L, 2L)), "sanity: near-dup pair present")
   }
 
+  test("jaccardJoin dfCap: a corpus-wide template shingle drops " +
+      "before pairing; result equals brute force on the REDUCED sets") {
+    import graft.operators.Dedup
+    // every doc shares the template opener (a hot shingle that would
+    // pair everyone with everyone); only docs 1/2 share real content
+    val tpl = "terms of service apply"
+    val docs = Seq(
+      (1L, s"$tpl alpha beta gamma delta"),
+      (2L, s"$tpl alpha beta gamma zz"),
+      (3L, s"$tpl completely different words here"),
+      (4L, s"$tpl nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(docs, n = 3, tPpm = 300000L,
+      dfCap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reduced-set brute force: shingles in > 2 docs removed
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" "))
+      .toSet
+    val all = docs.collect().map(r => (r.getLong(0),
+      sh(r.getString(1))))
+    val hot = all.flatMap(_._2).groupBy(identity)
+      .collect { case (g, os) if os.length > 2 => g }.toSet
+    val red = all.map { case (i, s) => (i, s -- hot) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- red; (ib, sb) <- red if ia < ib
+      inter = (sa & sb).size.toLong
+      un = sa.size + sb.size - inter
+      if inter * 1000000L >= 300000L * un
+    } yield (ia, ib)).toSet
+    assert(got === want, s"got $got want $want")
+    assert(got.contains((1L, 2L)), "real near-dup must survive")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 4L && p._1 != 1L),
+      "template-only overlaps must not pair")
+  }
+
   test("quantileBuckets: exact integer deciles match the " +
       "single-window formula, ties stable") {
     import graft.operators.Quantiles
