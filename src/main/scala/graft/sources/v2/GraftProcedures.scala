@@ -31,7 +31,8 @@ private[v2] object GraftProcedures {
   val Names: Set[String] =
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
       "history", "bloom_index", "mv_refresh", "restore", "clone",
-      "detail", "tag", "tags", "fsck", "wap_publish", "wap_abort")
+      "detail", "tag", "tags", "fsck", "wap_publish", "wap_abort",
+      "dq_check")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -102,6 +103,10 @@ private[v2] object GraftProcedures {
         case "wap_abort" =>
           "drop a staged write-audit-publish branch without " +
           "publishing — no manifest version is written"
+        case "dq_check" =>
+          "evaluate named boolean contracts over the table in ONE " +
+          "scan — one result row per rule (rows, violations, passed); " +
+          "NULL predicate results count as violations"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -190,6 +195,11 @@ private[v2] object GraftProcedures {
       case "wap_publish" | "wap_abort" => Array(tableParam,
         ProcedureParameter.in("branch", StringType)
           .comment("branch name staged via Wap.stage").build())
+      case "dq_check" => Array(tableParam,
+        ProcedureParameter.in("rules", StringType)
+          .comment("semicolon-separated name:SQL-predicate pairs, " +
+            "e.g. 'qty_pos: qty > 0; disc_cap: discount <= 0.1'")
+          .build())
       case "tag" => Array(tableParam,
         ProcedureParameter.in("name", StringType)
           .comment("tag name: starts with a letter; letters, digits, " +
@@ -469,6 +479,50 @@ private[v2] object GraftProcedures {
               StructField("action", StringType, false))),
             Array(UTF8String.fromString(branch),
               UTF8String.fromString("aborted"))))
+        case "dq_check" =>
+          import org.apache.spark.unsafe.types.UTF8String
+          import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
+          val raw = input.getUTF8String(1).toString
+          val rules = raw.split(';').map(_.trim).filter(_.nonEmpty)
+            .map { r =>
+              val i = r.indexOf(':')
+              if (i <= 0) throw new IllegalArgumentException(
+                s"dq_check rule '$r' must be name:predicate")
+              (r.substring(0, i).trim, r.substring(i + 1).trim)
+            }.toSeq
+          if (rules.isEmpty) throw new IllegalArgumentException(
+            "dq_check: no rules given")
+          if (rules.map(_._1).distinct.size != rules.size) {
+            throw new IllegalArgumentException(
+              s"dq_check: duplicate rule names in ${rules.map(_._1)}")
+          }
+          val df = spark.read.format("graft-v2")
+            .option("path", dir.toString).load()
+          // one map-side-combinable aggregate over one scan, however
+          // many rules ride along (Profile.expectations' contract)
+          val measures = rules.map { case (n, p) =>
+            sum(when(coalesce(expr(p), lit(false)), 0L).otherwise(1L))
+              .as(s"__dq_$n")
+          }
+          val row = df.agg(count(lit(1)).as("__dq_rows"),
+            measures: _*).head()
+          val nRows = row.getLong(0)
+          val data: Array[InternalRow] =
+            rules.zipWithIndex.map { case ((n, _), i) =>
+              val v = if (row.isNullAt(i + 1)) 0L
+                else row.getLong(i + 1)
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(n), nRows, v,
+                v == 0L)): InternalRow
+            }.toArray
+          one(new LocalScan {
+            override def readSchema(): StructType = StructType(Seq(
+              StructField("rule", StringType, false),
+              StructField("n_rows", LongType, false),
+              StructField("n_violations", LongType, false),
+              StructField("passed", BooleanType, false)))
+            override def rows(): Array[InternalRow] = data
+          })
         case "tags" =>
           import org.apache.spark.unsafe.types.UTF8String
           val tagRows: Array[InternalRow] =

@@ -2550,6 +2550,30 @@ class CatalogSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft.meta.t")
   }
 
+  test("CALL dq_check: per-rule violation rows over one scan; bad " +
+      "rule strings refuse") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dq")
+    spark.sql("CREATE TABLE graft.dq.t (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.dq.t VALUES " +
+      "(1, 0.5), (2, 2.5), (3, NULL)")
+    val got = spark.sql("CALL graft.system.dq_check(" +
+      "table => 'dq.t', " +
+      "rules => 'id_pos: id > 0; v_small: v <= 1.0')")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "id_pos" -> ((3L, 0L, true)),
+      // 2.5 violates, NULL v counts as a violation
+      "v_small" -> ((3L, 2L, false))))
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.dq_check(table => 'dq.t', " +
+        "rules => 'no-colon-here')").collect()
+    }
+    assert(e.getMessage.contains("name:predicate"), e.getMessage)
+    spark.sql("DROP TABLE graft.dq.t")
+  }
+
   test("metadata table t.profile: zero-scan per-column stats; empty " +
       "under deletion vectors") {
     val _ = warehouse
