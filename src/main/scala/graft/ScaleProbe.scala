@@ -107,6 +107,7 @@ object ScaleProbe {
     // customer table, which inflate() copies verbatim — the ratio
     // would be trivially flat and say nothing
     "q_count_trend", "q_mode_by_key", "q_attribution", "q_textrank",
+    "q_rolling_median",
     // q_scd2_lookup's facts (orders) inflate; its dim derives from
     // the verbatim-copied customer table, so the ratio measures the
     // fact-side scan + broadcast probe — the shape that matters

@@ -1876,6 +1876,14 @@ object SparkEntry {
   private val qJaccardJoinCapped: Q = (s, dir) =>
     operators.Dedup.jaccardJoin(t(s, dir, "documents"), dfCap = 3L)
 
+  /** Rolling exact median ([[operators.EventOps.rollingMedian]]):
+    * per-user trailing-21 median — pure selection on full odd
+    * frames, one key-partitioned window. */
+  private val qRollingMedian: Q = (s, dir) =>
+    operators.EventOps.rollingMedian(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "value", window = 21)
+      .orderBy(col("user_id"), col("event_id"))
+
   /** Global quantile discretizer
     * ([[operators.Quantiles.quantileBuckets]]): the scalable `ntile`
     * — per-row decile of l_extendedprice via two-phase distributed
@@ -2869,6 +2877,7 @@ object SparkEntry {
     "q_scd2_lookup" -> qScd2Lookup,
     "q_dq_checks" -> qDqChecks,
     "q_jaccard_join_capped" -> qJaccardJoinCapped,
+    "q_rolling_median" -> qRollingMedian,
     "q_quantiles_exact" -> qQuantilesExact,
     "q_p95_by_type" -> qP95ByType,
     "q_wap_publish" -> qWapPublish,
@@ -3467,6 +3476,17 @@ object SparkEntry {
         |    AS jaccard_ppm
         |FROM p WHERE inter * 1000000 >= 500000 * un
         |ORDER BY id_a, id_b""".stripMargin,
+    // rolling exact median: DuckDB's median over an odd full frame is
+    // the same middle selection — no interpolation on either side
+    "q_rolling_median" ->
+      """WITH w AS (SELECT user_id, event_id, value,
+        |    median(value) OVER win AS rolling_median,
+        |    count(*) OVER win AS n
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, rolling_median
+        |FROM w WHERE n = 21 ORDER BY user_id, event_id""".stripMargin,
     // quantile discretizer: same integer bucket arithmetic over the
     // single-window row_number
     "q_quantile_buckets" ->

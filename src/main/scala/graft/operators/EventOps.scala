@@ -482,6 +482,32 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** Rolling EXACT median: each event's value replaced by the median
+    * of its key's trailing `window` values (window odd, full frames
+    * only — warm-up rows are dropped rather than interpolated, so
+    * the median is pure SELECTION: `sorted[(w+1)/2]`, exact on any
+    * numeric type, no cross-engine interpolation rule to disagree
+    * on). The robust smoother for spiky metrics. One key-partitioned
+    * frame window; the per-row array holds `window` values — a
+    * constant.
+    *
+    * @return `(key, id, value, rolling_median)` rows with full frames
+    */
+  def rollingMedian(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 21): DataFrame = {
+    require(window >= 1 && window % 2 == 1,
+      s"window must be odd and >= 1, got $window")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(window - 1), 0)
+    events
+      .withColumn("__rm_arr", collect_list(col(valueCol)).over(w))
+      .filter(size(col("__rm_arr")) === window)
+      .select(col(keyCol), col(idCol), col(valueCol),
+        element_at(array_sort(col("__rm_arr")), (window + 1) / 2)
+          .as("rolling_median"))
+  }
+
   /** Weekly cohort retention: an entity's cohort is the ISO week of
     * its first event; a (cohort, offset) cell counts entities with
     * any event `offset` weeks after their cohort week. Returns

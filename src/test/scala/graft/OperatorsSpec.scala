@@ -1010,6 +1010,33 @@ class OperatorsSpec extends SparkTestBase {
       "template-only overlaps must not pair")
   }
 
+  test("rollingMedian: middle selection on full odd frames, warm-up " +
+      "dropped, spike resistant") {
+    import graft.operators.EventOps
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 60L))
+    // values 1..9 with a huge spike at position 5: the window-3
+    // median never reports the spike itself except when it is the
+    // true middle (never, for one spike)
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 1000.0, 6.0, 7.0, 8.0, 9.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(i), i.toLong, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = EventOps.rollingMedian(ev, "user_id", "ts", "event_id",
+      "value", window = 3)
+      .orderBy($"event_id").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    // full frames start at event 2
+    assert(got.map(_._1).toSeq === (2L to 8L))
+    assert(got.toMap === Map(2L -> 2.0, 3L -> 3.0, 4L -> 4.0,
+      5L -> 6.0, 6L -> 7.0, 7L -> 7.0, 8L -> 8.0))
+    intercept[IllegalArgumentException] {
+      EventOps.rollingMedian(ev, "user_id", "ts", "event_id",
+        "value", window = 4).collect()
+    }
+  }
+
   test("quantileBuckets: exact integer deciles match the " +
       "single-window formula, ties stable") {
     import graft.operators.Quantiles
