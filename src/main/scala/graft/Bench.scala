@@ -46,7 +46,12 @@ object Bench {
     // round 16: NEXT item 2 — q_resample_gapfill's 6.2 s 1x probe
     // reading was suspected first-touch noise; pin the fresh-JVM
     // number so future rounds diff against a real floor
-    "q_resample_gapfill")
+    "q_resample_gapfill",
+    // round 17: the two round-16 serial movers (3.2x/2.1x with no
+    // code change on either path) join for fresh-JVM adjudication;
+    // q_dedup_cluster additionally pins the GraphX -> DataFrame
+    // large-star/small-star CC rewrite
+    "q_dedup_cluster", "q_agg_hash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

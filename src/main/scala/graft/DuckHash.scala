@@ -468,8 +468,8 @@ private[graft] object DuckHash {
 
   /** Oracle for `q_dedup_cluster` (doc_id, cluster) — connected
     * components of the near-dup pair graph by min-label propagation
-    * (GraphX ConnectedComponents returns the lowest vertex id per
-    * component). Edges MATERIALIZED so the recursion iterates over the
+    * (Dedup.clusters labels each component with its lowest node id).
+    * Edges MATERIALIZED so the recursion iterates over the
     * 2|pairs| rows, not re-evaluating the whole minhash pipeline. */
   def dedupClusterOracle(minJaccard: Double = 0.2): String =
     s"""WITH RECURSIVE $minhashJaccardCtes,

@@ -1131,8 +1131,9 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Near-dup pairs -> transitive duplicate clusters (GraphX connected
-    * components) -> representative per cluster. Rows-only check. */
+  /** Near-dup pairs -> transitive duplicate clusters (DataFrame
+    * large-star/small-star connected components, [[Dedup.clusters]])
+    * -> representative per cluster. Rows-only check. */
   private val qDedupCluster: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.minHashLsh(docs, minJaccard = 0.2)
@@ -1355,10 +1356,12 @@ object SparkEntry {
     // blocking-join chain twice (measured ~2x wall on this query);
     // the 262k-pair result materializes once and the sort reads the
     // checkpoint (Bpe.Materialize precedent; Bench's per-query
-    // hygiene unpersists the blocks)
+    // hygiene unpersists the blocks). Lazy: plan-only consumers
+    // (DumpPlans, EXPLAIN) must not execute the join chain at
+    // DataFrame-construction time.
     operators.FuzzyJoin.selfJoin(t(s, dir, "customer"), "c_name",
       maxDist = 1)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .orderBy(col("a"), col("b"))
 
   /** Same blocking join at depth 2 over part names — multi-deletion
@@ -1370,9 +1373,10 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
 
   /** Entity resolution end-to-end: fuzzy blocking join → transitive
-    * closure (GraphX connected components) → lexicographic-min
-    * canonical per component, singletons mapping to themselves. The
-    * oracle re-derives the closure with a recursive CTE. */
+    * closure (DataFrame large-star/small-star connected components)
+    * → lexicographic-min canonical per component, singletons mapping
+    * to themselves. The oracle re-derives the closure with a
+    * recursive CTE. */
   private val qFuzzyCanon: Q = (s, dir) =>
     operators.FuzzyJoin.canonicalize(t(s, dir, "part"), "p_name",
       maxDist = 2)
@@ -1862,7 +1866,7 @@ object SparkEntry {
         col("daily_ok"), col("n_cum_exact"), col("cum_ok"))
 
   /** EXACT set-similarity self-join ([[operators.Dedup.jaccardJoin]],
-    * PPJoin prefix filter): all 3-gram-shingle Jaccard ≥ 0.5 pairs
+    * PPJoin prefix filter): all 4-gram-shingle Jaccard ≥ 0.5 pairs
     * with no false negatives — the exact counterpart to MinHash LSH;
     * rarest-first prefixes keep the candidate join near-dup-sized. */
   private val qJaccardJoin: Q = (s, dir) =>
@@ -2003,16 +2007,21 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
-  /** Data-quality expectation suite
-    * ([[operators.Profile.expectations]]): four named contracts over
-    * lineitem in ONE aggregate — the discount cap is planted to FAIL
-    * so the violation-count path is exercised non-trivially. */
+  /** Combined data-quality suite ([[operators.Profile.dqSuite]]):
+    * four named row contracts over lineitem in ONE aggregate — the
+    * discount cap is planted to FAIL so the violation-count path is
+    * exercised non-trivially — PLUS a referential `foreign_key` rule
+    * whose parent is thinned to every-third orderkey so the orphan
+    * count also BINDS (riCheck anti-join semantics). */
   private val qDqChecks: Q = (s, dir) =>
-    operators.Profile.expectations(t(s, dir, "lineitem"), Seq(
+    operators.Profile.dqSuite(t(s, dir, "lineitem"), Seq(
       "qty_range" -> col("l_quantity").between(1, 50),
       "tax_cap" -> (col("l_tax") <= 0.08),
       "discount_cap" -> (col("l_discount") <= 0.05),
-      "positive_price" -> (col("l_extendedprice") > 0)))
+      "positive_price" -> (col("l_extendedprice") > 0)),
+      fkRules = Seq(("orderkey_fk", "l_orderkey",
+        t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0),
+        "o_orderkey")))
       .orderBy(col("rule"))
 
   /** SOFT-EM unigram training ([[Unigram.trainSoft]]): the true
@@ -3632,7 +3641,7 @@ object SparkEntry {
     // expectation suite: per-rule violation sums, NULL counts as a
     // violation on both sides
     "q_dq_checks" ->
-      Seq(
+      (Seq(
         ("qty_range", "l_quantity BETWEEN 1 AND 50"),
         ("tax_cap", "l_tax <= 0.08"),
         ("discount_cap", "l_discount <= 0.05"),
@@ -3644,7 +3653,16 @@ object SparkEntry {
              |  CAST(sum(CASE WHEN coalesce($pred, false) THEN 0
              |    ELSE 1 END) AS BIGINT) = 0 AS passed
              |FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
+      }.mkString("", "\nUNION ALL\n", "\nUNION ALL\n") +
+      """SELECT 'orderkey_fk' AS rule, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) = 0 AS passed
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |ORDER BY rule""".stripMargin),
     // systematic PPS sampling: grid point m sits at W*(2m+1)/(2k), so
     // "grid points in (cum-w, cum]" is a count of odd multiples of W
     // — two integer divisions, replayed here verbatim (k = 200)

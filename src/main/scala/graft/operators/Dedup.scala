@@ -418,20 +418,90 @@ object Dedup {
       aCol: String = "txt_a", bCol: String = "txt_b"): DataFrame =
     pairs.withColumn("jaccard", ngram_jaccard(col(aCol), col(bCol), n))
 
-  /** Duplicate clusters: transitive closure over near-dup pairs via
-    * GraphX connected components (pair (a,b) + (b,c) => cluster {a,b,c}),
-    * labeled by the minimum member id. Pregel-style CC is the
-    * scale-correct closure: iterations are O(cluster diameter), state is
-    * one label per doc, no driver-side graph. Output: (doc_id, cluster). */
+  /** Duplicate clusters: transitive closure over near-dup pairs (pair
+    * (a,b) + (b,c) => cluster {a,b,c}), labeled by the minimum member
+    * id. The closure is the large-star/small-star alternation
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") expressed ENTIRELY in DataFrame groupBy/join rounds —
+    * no RDD/GraphX stage, so every round is AQE-planned (skew-split,
+    * broadcast when small) like the rest of the engine and the
+    * multi-second graph job-setup floor disappears. Rounds converge
+    * in O(log n) (each alternation at least halves tree heights —
+    * strictly better than Pregel's O(diameter)); per-round state is
+    * one (node, parent) edge per non-root node, shuffled on the node
+    * id; high-degree hubs are handled by a min-aggregate + join-back
+    * on the SAME key (exchange reuse), never a collect_list.
+    * Output: (doc_id, cluster), one row per distinct endpoint id. */
   def clusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b"): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select(col(idACol).cast("long"),
-      col(idBCol).cast("long")).as[(Long, Long)].rdd
-    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
-    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
-    cc.vertices.toDF("doc_id", "cluster")
+    val raw = pairs
+      .select(col(idACol).cast("long").as("u"),
+        col(idBCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val verts = raw.select(col("u").as("doc_id"))
+      .union(raw.select(col("v").as("doc_id"))).distinct()
+    // edges directed large -> small; both star steps preserve the
+    // invariant (they emit (x, m) with m the group minimum, m < x)
+    var edges = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // large-star: every node x attaches its LARGER neighbors to
+    // m = min(N(x) ∪ {x}) — breaks up high-degree hubs
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u").as("s"), col("v").as("d"))
+        .union(e.select(col("v").as("s"), col("u").as("d")))
+      val mins = nbrs.groupBy(col("s"))
+        .agg(min(col("d")).as("mn"))
+        .select(col("s"), least(col("s"), col("mn")).as("m"))
+      nbrs.join(mins, "s")
+        .filter(col("d") > col("s"))
+        .select(col("d").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: every node x attaches itself and its SMALLER
+    // neighbors to m = min of the group — flattens chains
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val fromCenter = mins.select(col("u"), col("m").as("v"))
+      val fromLeaves = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      fromCenter.union(fromLeaves).distinct()
+    }
+    // iterate to fixpoint: the converged edge set is a star forest
+    // centered at each component's minimum. Convergence is detected
+    // by an order-independent checksum (count + two independently
+    // seeded 64-bit hash XOR-folds; bit_xor cannot overflow under
+    // ANSI) — one tiny driver-side row per round, the same
+    // bounded-metadata stance as the rest of the engine.
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(col("v"), col("u"), lit(7)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cs = checksum(next)
+      edges.unpersist()
+      edges = next
+      converged = cs == prev
+      prev = cs
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in " +
+      s"$rounds rounds — cyclic checksum collision or pathological input")
+    verts.join(edges.select(col("u").as("doc_id"),
+        col("v").as("__cc_root")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("__cc_root"), col("doc_id")).as("cluster"))
   }
 
   /** Keep one representative (lowest id) per duplicate cluster; docs in
@@ -457,8 +527,9 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, method: String = "minhash",
       minJaccard: Double = 0.5, maxHamming: Int = 3, bucketCap: Int = 256,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // clusters() uses GraphX vertex ids (long) — fail fast with a clear
-    // message rather than NPE-ing deep in the closure on string ids
+    // clusters() orders/labels on long node ids — fail fast with a
+    // clear message rather than failing deep in the closure on
+    // string ids
     val idType = docs.schema(idCol).dataType
     val integral = idType match {
       case org.apache.spark.sql.types.LongType |
@@ -468,7 +539,7 @@ object Dedup {
       case _ => false
     }
     require(method == "exact" || integral,
-      s"dedupCorpus needs an integral id column (GraphX vertex ids); " +
+      s"dedupCorpus needs an integral id column (long cluster ids); " +
       s"'$idCol' is ${idType.simpleString} — derive one first, e.g. " +
       s"withColumn(\"$idCol\", xxhash64(col(\"$idCol\")))")
     method match {

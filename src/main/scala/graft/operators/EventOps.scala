@@ -491,6 +491,13 @@ object EventOps {
     * frame window; the per-row array holds `window` values — a
     * constant.
     *
+    * NULL handling is explicit: rows with a NULL `valueCol` are
+    * dropped BEFORE the window is built, so the trailing frame is
+    * always `window` consecutive NON-NULL values ("median ignoring
+    * nulls"). Without the pre-filter, `collect_list`'s null-skipping
+    * would silently shrink frames around a NULL and suppress
+    * neighbouring rows as if they were warm-up.
+    *
     * @return `(key, id, value, rolling_median)` rows with full frames
     */
   def rollingMedian(events: DataFrame, keyCol: String, tsCol: String,
@@ -501,6 +508,7 @@ object EventOps {
       .orderBy(col(tsCol), col(idCol))
       .rowsBetween(-(window - 1), 0)
     events
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rm_arr", collect_list(col(valueCol)).over(w))
       .filter(size(col("__rm_arr")) === window)
       .select(col(keyCol), col(idCol), col(valueCol),

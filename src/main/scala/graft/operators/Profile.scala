@@ -208,4 +208,39 @@ object Profile {
           col("n_orphans"))
     }.reduce(_ unionByName _)
   }
+
+  /** The COMBINED data-quality suite (the full Deequ shape): row
+    * expectations and referential (foreign-key) rules in ONE report
+    * with the [[expectations]] schema — a foreign-key rule's
+    * violations are its orphan count ([[riCheck]] semantics: LEFT
+    * ANTI join, NULL child keys count as orphans) and its `n_rows`
+    * is the child row count. Row rules still collapse into one
+    * map-side-combinable aggregate over one scan; each foreign-key
+    * rule is one anti-join whose strategy Catalyst picks per side
+    * stats. This is what `CALL graft.system.dq_check` runs when a
+    * rule uses the `foreign_key(child_col, parent, parent_col)` form.
+    *
+    * @param fkRules `(rule, childKeyCol, parent, parentKeyCol)`
+    * @return `(rule, n_rows, n_violations, passed)` — row rules
+    *         first (given order), then foreign-key rules
+    */
+  def dqSuite(df: DataFrame,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)],
+      fkRules: Seq[(String, String, DataFrame, String)] = Nil)
+      : DataFrame = {
+    require(rowRules.nonEmpty || fkRules.nonEmpty,
+      "dqSuite: no rules given")
+    val names = rowRules.map(_._1) ++ fkRules.map(_._1)
+    require(names.distinct.size == names.size,
+      s"dqSuite: duplicate rule names in $names")
+    val rowPart =
+      if (rowRules.isEmpty) None else Some(expectations(df, rowRules))
+    val fkPart = if (fkRules.isEmpty) None else Some(
+      riCheck(fkRules.map { case (n, ck, p, pk) => (n, df, ck, p, pk) })
+        .select(col("relationship").as("rule"),
+          col("n_child").as("n_rows"),
+          col("n_orphans").as("n_violations"),
+          (col("n_orphans") === 0L).as("passed")))
+    (rowPart.toSeq ++ fkPart.toSeq).reduce(_ unionByName _)
+  }
 }

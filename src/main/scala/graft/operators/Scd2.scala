@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * The whole apply is ONE key-equality join between the dimension's
   * CURRENT rows and the change batch (plus pass-throughs unioned in)
-  * — no window, no per-key loop; Catalyst broadcasts the batch when
-  * stats allow, which is the production shape (dim >> daily changes).
+  * — no window, no per-key loop; Catalyst/AQE broadcasts the batch
+  * when stats allow, which is the production shape (dim >> daily
+  * changes). Callers that KNOW the batch is small can force the hint
+  * with `hintBroadcast = true`; the default leaves strategy choice to
+  * the optimizer so an unexpectedly large batch degrades to a shuffle
+  * join instead of a driver OOM.
   * Attribute comparison is null-safe, so a change row that matches
   * the current attributes exactly is a NO-OP (idempotent re-apply of
   * the same batch changes nothing).
@@ -33,16 +37,17 @@ object Scd2 {
     * @return the new full state, same schema as `dim`
     */
   def applyChanges(dim: DataFrame, changes: DataFrame, keyCol: String,
-      attrCols: Seq[String]): DataFrame = {
+      attrCols: Seq[String], hintBroadcast: Boolean = false): DataFrame = {
     require(attrCols.nonEmpty, "scd2: no tracked attributes")
-    val ch = changes.select(
+    val ch0 = changes.select(
       (col(keyCol).as("__s2_k") +: col("change_micros").as("__s2_ts")
         +: attrCols.map(a => col(a).as(s"__s2_$a"))): _*)
+    val ch = if (hintBroadcast) broadcast(ch0) else ch0
     val sameAttrs = attrCols.map(a => col(a) <=> col(s"__s2_$a"))
       .reduce(_ && _)
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
-    val joined = current.join(broadcast(ch),
+    val joined = current.join(ch,
       col(keyCol) === col("__s2_k"), "left_outer")
     // current rows: untouched (no change or identical attrs) pass;
     // genuinely changed rows close at the change timestamp
@@ -82,9 +87,12 @@ object Scd2 {
     * `[valid_from, valid_to)` makes the version unique per
     * (key, instant), so this is an ordinary equi-join on the key with
     * a residual range predicate; the dimension (keys × versions) is
-    * broadcast-sized in the production shape, so no fact-side shuffle
-    * at all. Facts whose key or instant resolves to no version keep a
-    * NULL dimension payload (left outer).
+    * usually broadcast-sized in the production shape — set
+    * `hintBroadcast = true` to force the hint, otherwise AQE/stats
+    * decide and an oversized dimension degrades to a shuffle join on
+    * the key instead of a driver OOM. Facts whose key or instant
+    * resolves to no version keep a NULL dimension payload (left
+    * outer).
     *
     * @param dim          SCD2 state (`applyChanges` output shape)
     * @param facts        fact rows
@@ -93,11 +101,13 @@ object Scd2 {
     * @return facts plus the dimension's non-key attribute columns
     */
   def lookupAt(dim: DataFrame, facts: DataFrame, keyCol: String,
-      factTsMicros: org.apache.spark.sql.Column): DataFrame = {
-    val d = dim.columns.foldLeft(dim)((df, c) =>
+      factTsMicros: org.apache.spark.sql.Column,
+      hintBroadcast: Boolean = false): DataFrame = {
+    val d0 = dim.columns.foldLeft(dim)((df, c) =>
       df.withColumnRenamed(c, s"__s2l_$c"))
+    val d = if (hintBroadcast) broadcast(d0) else d0
     val ts = factTsMicros
-    facts.join(broadcast(d),
+    facts.join(d,
       facts(keyCol) === d(s"__s2l_$keyCol") &&
         ts >= d("__s2l_valid_from") &&
         (d("__s2l_valid_to").isNull || ts < d("__s2l_valid_to")),

@@ -498,19 +498,48 @@ private[v2] object GraftProcedures {
           }
           val df = spark.read.format("graft-v2")
             .option("path", dir.toString).load()
-          // one map-side-combinable aggregate over one scan, however
-          // many rules ride along (Profile.expectations' contract)
-          val measures = rules.map { case (n, p) =>
+          // two rule kinds: row predicates, and referential rules of
+          // the form `foreign_key(child_col, parent_table, parent_col)`
+          // (Profile.dqSuite's contract — violations are orphans, the
+          // anti-join NULL-key-counts-as-orphan semantics of riCheck)
+          val FkForm =
+            """(?i)^foreign_key\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)$""".r
+          val parsed = rules.map {
+            case (n, FkForm(ck, pt, pk)) => (n, Right((ck, pt, pk)))
+            case (n, p) =>
+              if (p.trim.toLowerCase.startsWith("foreign_key")) {
+                throw new IllegalArgumentException(
+                  s"dq_check rule '$n' must be " +
+                  "foreign_key(child_col, parent_table, parent_col)")
+              }
+              (n, Left(p))
+          }
+          val rowRules = parsed.collect { case (n, Left(p)) => (n, p) }
+          // row rules: one map-side-combinable aggregate over one scan,
+          // however many ride along (Profile.expectations' contract)
+          val measures = rowRules.map { case (n, p) =>
             sum(when(coalesce(expr(p), lit(false)), 0L).otherwise(1L))
               .as(s"__dq_$n")
           }
           val row = df.agg(count(lit(1)).as("__dq_rows"),
             measures: _*).head()
           val nRows = row.getLong(0)
+          val rowViolations = rowRules.zipWithIndex.map {
+            case ((n, _), i) =>
+              n -> (if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+          }.toMap
+          // fk rules: one anti-join count each, strategy per stats
+          val fkViolations = parsed.collect {
+            case (n, Right((ck, pt, pk))) =>
+              import org.apache.spark.sql.functions.col
+              n -> df.select(col(ck).as("__ri_k"))
+                .join(spark.table(pt).select(col(pk).as("__ri_k")),
+                  Seq("__ri_k"), "left_anti")
+                .count()
+          }.toMap
           val data: Array[InternalRow] =
-            rules.zipWithIndex.map { case ((n, _), i) =>
-              val v = if (row.isNullAt(i + 1)) 0L
-                else row.getLong(i + 1)
+            parsed.map { case (n, _) =>
+              val v = rowViolations.getOrElse(n, fkViolations(n))
               new GenericInternalRow(Array[Any](
                 UTF8String.fromString(n), nRows, v,
                 v == 0L)): InternalRow

@@ -60,9 +60,13 @@ object StreamOps {
     * the stream is bit-identical to the batch bar over the same rows.
     * State is one (window, key) aggregation buffer per open bar,
     * evicted when the watermark passes the window end (append mode
-    * emits each bar exactly once, finalized). */
+    * emits each bar exactly once, finalized). `valueScale` is the
+    * same fixed-point volume scale as the batch operator
+    * ([[graft.operators.EventOps.ohlcBars]]) — parity holds at ANY
+    * scale, not just the default. */
   def ohlcBars(stream: DataFrame, keyCol: String, every: String,
-      watermark: String): DataFrame =
+      watermark: String, valueScale: Long = 100L): DataFrame = {
+    require(valueScale > 0, s"valueScale must be > 0, got $valueScale")
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), every), col(keyCol))
@@ -74,10 +78,12 @@ object StreamOps {
         max_by(col("value"), struct(col("ts"), col("event_id")))
           .as("close"),
         count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("volume_c"))
+        sum(round(col("value") * valueScale).cast("long"))
+          .as("volume_c"))
       .select(col("window.start").as("bucket"), col(keyCol),
         col("open"), col("high"), col("low"), col("close"),
         col("n_events"), col("volume_c"))
+  }
 
   /** Stream-stream INNER interval join (the ad-attribution /
     * cause-effect shape): each right-side event pairs with the
@@ -725,4 +731,134 @@ object StreamOps {
           closed.iterator
       }
   }
+
+  /** Per-entity funnel state: buffered (micros, step-type) events
+    * plus the earliest step-1 time seen so far. */
+  case class FunnelBuf(evs: Seq[(Long, String)], t1: Long)
+  /** A finalized per-entity funnel outcome. */
+  case class FunnelHit(entity: String, steps_reached: Int,
+    t1_micros: Long)
+
+  /** Streaming face of [[graft.operators.EventOps.funnel]]: per
+    * entity, the greedy-first strict-ordered funnel fold, FINALIZED
+    * ONCE when the watermark passes the entity's funnel window
+    * (`earliest step-1 time + windowMicros`) — from that instant no
+    * in-watermark arrival can change the outcome (a new event's time
+    * exceeds the window; an earlier step-1 would be late), so append
+    * mode emits each entity exactly once, with the same greedy fold
+    * the batch operator runs (sorted by (time, type), step k takes
+    * the earliest qualifying event). The aggregate `(step, users)`
+    * batch answer is `groupBy(steps_reached >= k)` over this feed.
+    *
+    * State per entity is the PRUNED buffer: only step-type events,
+    * only those at most `windowMicros` after the earliest step-1 seen
+    * (events beyond the window can never qualify for ANY candidate
+    * t1, which only decreases); entities with no step-1 yet keep only
+    * events the watermark still allows a future step-1 to precede.
+    * Bounded by window-length × per-entity step-event rate — the
+    * batch operator's own per-entity array bound.
+    *
+    * @return `(entity, steps_reached, t1_micros)`, one row per
+    *         entity that reached step 1, emitted exactly once
+    */
+  def funnelFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowMicros: Long,
+      watermark: String = "10 minutes"): Dataset[FunnelHit] = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val n = steps.size
+    // the batch fold's order: ascending (time, type-string)
+    def fold(evs: Seq[(Long, String)]): Int = {
+      val s = Array.fill[Long](n)(Long.MinValue)
+      evs.sorted.foreach { case (t, ty) =>
+        val i = stepIdx(ty)
+        if (i == 0) { if (s(0) == Long.MinValue) s(0) = t }
+        else if (s(i) == Long.MinValue && s(i - 1) != Long.MinValue &&
+          t > s(i - 1) && t <= s(0) + windowMicros) s(i) = t
+      }
+      s.lastIndexWhere(_ != Long.MinValue) + 1
+    }
+    // the watermarked TIMESTAMP column must survive to the stateful
+    // operator (the analyzer requires a visible event-time column for
+    // event-time timeout), so `ts` rides alongside its micros twin
+    stream
+      .withWatermark(tsCol, watermark)
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("ty"))
+      .as[(String, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FunnelHit(key, fold(st.evs), st.t1))
+          } else {
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val prev = state.getOption
+              .getOrElse(FunnelBuf(Seq.empty, Long.MinValue))
+            var evs = prev.evs ++ rows.map(r => (r._3, r._4))
+            val t1 = evs.iterator
+              .collect { case (t, ty) if ty == steps.head => t }
+              .foldLeft(Long.MinValue)((a, b) =>
+                if (a == Long.MinValue) b else math.min(a, b))
+            if (t1 == Long.MinValue) {
+              // no step 1 yet: a future step-1 arrives at >= the
+              // watermark, so older events can never follow it
+              evs = evs.filter(_._1 >= wmMicros)
+              if (evs.isEmpty) state.remove()
+              else {
+                state.update(FunnelBuf(evs, Long.MinValue))
+                // re-awake once the watermark passes the whole buffer
+                // so an entity that never sees step 1 frees its state
+                state.setTimeoutTimestamp(
+                  evs.map(_._1).max / 1000L + 1L)
+              }
+              Iterator.empty
+            } else {
+              evs = evs.filter(_._1 <= t1 + windowMicros)
+              val closeMs = (t1 + windowMicros) / 1000L + 1L
+              if (closeMs <= wmMicros / 1000L) {
+                // the window already closed within this batch
+                state.remove()
+                Iterator.single(FunnelHit(key, fold(evs), t1))
+              } else {
+                state.update(FunnelBuf(evs, t1))
+                state.setTimeoutTimestamp(closeMs)
+                Iterator.empty
+              }
+            }
+          }
+      }
+  }
+
+  /** Streaming face of [[graft.operators.EventOps.retention]]: the
+    * exactly-once `(entity, activity-week)` FIRST-TOUCH feed — the
+    * expensive part of cohort retention at stream rates is the
+    * distinct over (entity, week), and that is precisely what the
+    * watermarked streaming dedup gives with state EVICTED once the
+    * watermark passes a week's end. Weeks are the same Monday-start
+    * grid as `date_trunc("week")` (7-day windows anchored to the
+    * epoch Monday 1969-12-29). Cohort assignment and the
+    * (cohort, offset, users) rollup are cheap batch queries over the
+    * accumulated feed: cohort = min(week_start) per entity — exact
+    * because the feed holds every active week exactly once.
+    *
+    * @return `(entity, week_start)`, one row per (entity, week),
+    *         emitted exactly once
+    */
+  def retentionFeed(stream: DataFrame, keyCol: String,
+      tsCol: String, watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("entity"),
+        window(col(tsCol), "7 days", "7 days", "-3 days").as("w"))
+      .dropDuplicates("entity", "w")
+      .select(col("entity"), col("w.start").cast("date")
+        .as("week_start"))
 }

@@ -2574,6 +2574,35 @@ class CatalogSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft.dq.t")
   }
 
+  test("CALL dq_check: foreign_key rules count orphans (riCheck " +
+      "anti-join semantics) alongside row rules") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dq")
+    spark.sql("CREATE TABLE graft.dq.child (id BIGINT, pid BIGINT)")
+    spark.sql("CREATE TABLE graft.dq.parent (pk BIGINT)")
+    spark.sql("INSERT INTO graft.dq.child VALUES " +
+      "(1, 10), (2, 11), (3, 99), (4, NULL)") // 99 + NULL = 2 orphans
+    spark.sql("INSERT INTO graft.dq.parent VALUES (10), (11), (12)")
+    val got = spark.sql("CALL graft.system.dq_check(" +
+      "table => 'dq.child', " +
+      "rules => 'id_pos: id > 0; " +
+      "pid_fk: foreign_key(pid, graft.dq.parent, pk)')")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "id_pos" -> ((4L, 0L, true)),
+      "pid_fk" -> ((4L, 2L, false))))
+    // malformed foreign_key form refuses with guidance
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.dq_check(table => 'dq.child', " +
+        "rules => 'bad: foreign_key(pid only)')").collect()
+    }
+    assert(e.getMessage.contains("foreign_key(child_col"),
+      e.getMessage)
+    spark.sql("DROP TABLE graft.dq.child")
+    spark.sql("DROP TABLE graft.dq.parent")
+  }
+
   test("metadata table t.profile: zero-scan per-column stats; empty " +
       "under deletion vectors") {
     val _ = warehouse

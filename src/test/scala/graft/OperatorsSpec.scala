@@ -225,6 +225,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 99L), s"kept=$kept")
   }
 
+  test("clusters: long chains and cycles converge to the min label") {
+    import spark.implicits._
+    // a 200-node path exercises the O(log n) round loop well past one
+    // alternation; the cycle and self-pair exercise non-tree shapes
+    val chain = (1L to 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cycle = Seq((500L, 501L), (501L, 502L), (502L, 500L))
+    val selfPair = Seq((900L, 900L))
+    val pairs = (chain ++ cycle ++ selfPair).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 200L).forall(cl(_) == 1L))
+    assert(Seq(500L, 501L, 502L).forall(cl(_) == 500L))
+    assert(cl(900L) == 900L)
+    assert(cl.size == 204)
+  }
+
+  test("clusters: matches GraphX connected components on corpus pairs") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf001, "documents")
+    val pairs = Dedup.minHashLsh(docs, minJaccard = 0.2)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val edges = pairs.as[(Long, Long)].rdd
+    val gx = org.apache.spark.graphx.lib.ConnectedComponents
+      .run(org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0))
+      .vertices.collect().toMap
+    assert(got.size == gx.size)
+    assert(got == gx.map { case (k, v) => (k.toLong, v.toLong) }, {
+      val diff = got.filter { case (k, v) => gx.get(k).forall(_ != v) }
+      s"first diffs: ${diff.take(5)}"
+    })
+  }
+
   test("dedupCorpus: one call from corpus to representatives") {
     val base = (1 to 80).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 76).map(i => s"word$i").mkString(" ") + " tail bits"

@@ -116,6 +116,101 @@ class StreamingSpec extends SparkTestBase {
       .agg(sum($"cnt")).head.getLong(0) === 9L)
   }
 
+  test("funnelFeed: per-entity outcomes finalize once, matching the " +
+      "batch funnel's greedy fold") {
+    val win = 10L * 60 * 1000000 // 10 minutes in micros
+    val steps = Seq("view", "cart", "buy")
+    val events = Seq(
+      // user 1: full 3-step path
+      E(1, ts(1), 1, "view", 0), E(2, ts(2), 1, "cart", 0),
+      E(3, ts(3), 1, "buy", 0),
+      // user 2: skips cart -> stuck at step 1
+      E(4, ts(1), 2, "view", 0), E(5, ts(2), 2, "buy", 0),
+      // user 3: pre-t1 cart ignored, then full path
+      E(6, ts(1), 3, "cart", 0), E(7, ts(2), 3, "view", 0),
+      E(8, ts(3), 3, "cart", 0), E(9, ts(4), 3, "buy", 0),
+      // user 4: cart lands outside the 10-minute window
+      E(10, ts(1), 4, "view", 0), E(11, ts(30), 4, "cart", 0))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.funnelFeed(input.toDF(), "user_id", "ts",
+        "event_type", steps, win, watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_feed").start()
+    try {
+      // two installments of the same window's data: outcomes must
+      // still finalize exactly once per entity
+      input.addData(events.take(6))
+      q.processAllAvailable()
+      input.addData(events.drop(6))
+      q.processAllAvailable()
+      input.addData(E(99, Timestamp.valueOf("2024-01-02 00:00:00"),
+        -1, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_feed")
+      .select($"entity", $"steps_reached").as[(String, Int)]
+      .collect().toSeq
+    assert(got.size === got.map(_._1).distinct.size,
+      s"entity emitted twice: $got")
+    assert(got.toMap === Map("1" -> 3, "2" -> 1, "3" -> 3, "4" -> 1),
+      got.toString)
+    // parity: the batch funnel's (step, users) counts equal the
+    // feed's steps_reached >= k rollup
+    val batch = graft.operators.EventOps.funnel(events.toDF(),
+      "user_id", "ts", "event_type", steps, win)
+      .as[(Long, Long)].collect().toMap
+    val feedCounts = (1 to steps.size).map(k =>
+      k.toLong -> got.count(_._2 >= k).toLong).toMap
+    assert(batch === feedCounts, s"batch=$batch feed=$feedCounts")
+  }
+
+  test("retentionFeed: exactly-once (entity, week) feed on the " +
+      "date_trunc week grid; batch retention derives from it") {
+    def d(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      E(1, d("2024-01-01 10:00:00"), 1, "a", 0),
+      E(2, d("2024-01-03 09:00:00"), 1, "a", 0), // same week: dedups
+      E(3, d("2024-01-08 12:00:00"), 1, "a", 0), // next week
+      E(4, d("2024-01-02 08:00:00"), 2, "a", 0))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.retentionFeed(input.toDF(), "user_id", "ts",
+        watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_feed").start()
+    try {
+      input.addData(events.take(2))
+      q.processAllAvailable()
+      input.addData(events.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ret_feed")
+      .select($"entity", $"week_start".cast("string"))
+      .as[(String, String)].collect().toSeq
+    assert(got.size === got.distinct.size, s"duplicate feed row: $got")
+    assert(got.toSet === Set(("1", "2024-01-01"), ("1", "2024-01-08"),
+      ("2", "2024-01-01")), got.toString)
+    // the batch rollup from the feed equals EventOps.retention on raw
+    // (computed locally: the feed is tiny and already collected)
+    val cohorts = got.groupBy(_._1).map { case (e, ws) =>
+      e -> ws.map(_._2).min
+    }
+    val fromFeed = got
+      .groupBy { case (e, w) =>
+        val cw = cohorts(e)
+        (cw, (java.time.LocalDate.parse(w).toEpochDay -
+          java.time.LocalDate.parse(cw).toEpochDay) / 7)
+      }
+      .map { case ((cw, off), rows) => (cw, off, rows.size.toLong) }
+      .toSet
+    val batch = graft.operators.EventOps.retention(events.toDF(),
+      "user_id", "ts")
+      .select($"cohort_week".cast("string"), $"week_offset", $"users")
+      .as[(String, Long, Long)].collect().toSet
+    assert(fromFeed === batch, s"feed=$fromFeed batch=$batch")
+  }
+
   test("trendingTerms: bounded-state per-window top-k, ranked like " +
       "the exact batch rollup, emitted on window close") {
     implicit val sqlCtx = spark.sqlContext

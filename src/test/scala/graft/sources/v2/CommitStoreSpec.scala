@@ -424,6 +424,29 @@ class CommitStoreSpec extends SparkTestBase {
       spark.read.format("graft-v2").option("path", p.toString).load()
     assert(read(dst).count() == 90L, "clone sees the DV-masked state")
     assert(srcV >= 1L)
+    // byte fidelity at the clone instant: every data file in the
+    // clone's v1 snapshot is an exact byte copy of its source
+    // namesake (executor-copied, not linked) — checked BEFORE any
+    // post-clone DML rewrites either side
+    val hc = spark.sessionState.newHadoopConf()
+    hc.set("fs.objstore.impl", classOf[ObjStoreFileSystem].getName)
+    val srcFs0 = src.getFileSystem(hc)
+    val dstFs0 = dst.getFileSystem(hc)
+    val cloneNames = GraftManifest.read(dstFs0, dst, 1L).names
+    assert(cloneNames.nonEmpty)
+    def md5(fs: FileSystem, p: Path): String = {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, bytes)
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+      } finally in.close()
+    }
+    cloneNames.foreach { n =>
+      assert(md5(srcFs0, new Path(src, n)) ==
+        md5(dstFs0, new Path(dst, n)), s"bytes differ for $n")
+    }
     // independence both ways: source DML after the clone is invisible
     // to the clone, clone DML invisible to the source
     GraftDeleteV2.deleteWhere(srcPath, read(src).schema,
@@ -438,5 +461,12 @@ class CommitStoreSpec extends SparkTestBase {
     val dstFs = dst.getFileSystem(
       spark.sessionState.newHadoopConf())
     assert(GraftManifest.versions(dstFs, dst).head == 1L)
+    // SOURCE VACUUM independence: aggressively vacuuming the source
+    // (dropping its pre-clone versions and their files) must not
+    // disturb the clone — the copies are the clone's own bytes
+    GraftManifest.vacuum(srcFs0, src, keepVersions = 1)
+    assert(read(dst).count() == 89L,
+      "clone must survive a source vacuum")
+    assert(read(src).count() == 80L)
   }
 }
