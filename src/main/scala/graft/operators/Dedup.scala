@@ -434,10 +434,15 @@ object Dedup {
     * Output: (doc_id, cluster), one row per distinct endpoint id. */
   def clusters(pairs: DataFrame, idACol: String = "id_a",
       idBCol: String = "id_b"): DataFrame = {
+    // one generation of the upstream pair pipeline: vertices AND the
+    // edge seed both derive from this checkpoint (without it, the
+    // final vertex join would re-execute the whole candidate
+    // pipeline a second time)
     val raw = pairs
       .select(col(idACol).cast("long").as("u"),
         col(idBCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint()
     val verts = raw.select(col("u").as("doc_id"))
       .union(raw.select(col("v").as("doc_id"))).distinct()
     // edges directed large -> small; both star steps preserve the
@@ -448,7 +453,10 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     // large-star: every node x attaches its LARGER neighbors to
-    // m = min(N(x) ∪ {x}) — breaks up high-degree hubs
+    // m = min(N(x) ∪ {x}) — breaks up high-degree hubs. Duplicate
+    // emissions are NOT deduplicated here: small-star's min-group
+    // tolerates them and its own distinct collapses the rest, so
+    // skipping the dedup saves one exchange per round.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("u").as("s"), col("v").as("d"))
         .union(e.select(col("v").as("s"), col("u").as("d")))
@@ -458,7 +466,6 @@ object Dedup {
       nbrs.join(mins, "s")
         .filter(col("d") > col("s"))
         .select(col("d").as("u"), col("m").as("v"))
-        .distinct()
     }
     // small-star: every node x attaches itself and its SMALLER
     // neighbors to m = min of the group — flattens chains
@@ -470,34 +477,33 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       fromCenter.union(fromLeaves).distinct()
     }
-    // iterate to fixpoint: the converged edge set is a star forest
-    // centered at each component's minimum. Convergence is detected
-    // by an order-independent checksum (count + two independently
-    // seeded 64-bit hash XOR-folds; bit_xor cannot overflow under
-    // ANSI) — one tiny driver-side row per round, the same
-    // bounded-metadata stance as the rest of the engine.
-    def checksum(e: DataFrame): (Long, Long, Long) = {
+    // fixpoint test, STRUCTURAL so no confirm round is paid: a
+    // large→small edge set is the converged star forest iff every
+    // child has exactly one parent (count == distinct children) and
+    // no node is both child and parent. Sufficiency: out-degree 1 +
+    // disjoint roles ⇒ each component is one childless root (the
+    // component min, since every child exceeds its parent) with
+    // direct leaves; necessity is Kiveris et al.'s convergence
+    // theorem. Each test is one tiny agg + one semi-join on the
+    // round's checkpointed edges.
+    def isStarForest(e: DataFrame): Boolean = {
       val r = e.agg(count(lit(1)),
-        bit_xor(xxhash64(col("u"), col("v"))),
-        bit_xor(xxhash64(col("v"), col("u"), lit(7)))).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+        countDistinct(col("u"))).head()
+      r.getLong(0) == r.getLong(1) &&
+        e.select(col("u"))
+          .join(e.select(col("v").as("u")), Seq("u"), "left_semi")
+          .isEmpty
     }
-    var prev = checksum(edges)
-    var converged = prev._1 == 0L
+    var converged = isStarForest(edges)
     var rounds = 0
     while (!converged && rounds < 50) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val cs = checksum(next)
-      edges.unpersist()
       edges = next
-      converged = cs == prev
-      prev = cs
+      converged = isStarForest(next)
       rounds += 1
     }
     require(converged, s"connected components did not converge in " +
-      s"$rounds rounds — cyclic checksum collision or pathological input")
+      s"$rounds rounds — pathological input")
     verts.join(edges.select(col("u").as("doc_id"),
         col("v").as("__cc_root")), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
