@@ -487,6 +487,31 @@ private[graft] object DuckHash {
        |SELECT vid AS doc_id, min(anc) AS cluster FROM reach
        |GROUP BY vid ORDER BY doc_id""".stripMargin
 
+  /** Oracle for `q_triangles` (a, b, c) — triangle enumeration over
+    * the same near-dup pair graph: canonical `a < b` edges from the
+    * replayed MinHash pipeline, ordered-wedge join, closing-edge
+    * probe (GraphOps.triangles' two-hash-join plan in SQL). */
+  def trianglesOracle(minJaccard: Double = 0.2): String =
+    s"""WITH $minhashJaccardCtes,
+       |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jac
+       |  WHERE j >= $minJaccard)
+       |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |ORDER BY a, b, c""".stripMargin
+
+  /** Oracle for `q_degree_dist` (degree, n_nodes) — the near-dup pair
+    * graph's degree histogram from the same replayed edge set. */
+  def degreeOracle(minJaccard: Double = 0.2): String =
+    s"""WITH $minhashJaccardCtes,
+       |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jac
+       |  WHERE j >= $minJaccard),
+       |n AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+       |d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM n
+       |  GROUP BY 1)
+       |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle for `q_lang_id` (guessed, n) — per-char script
     * classification in the Scala else-if order, then stopword voting
     * with maxBy's (count, code) tie-break, exactly

@@ -2756,6 +2756,184 @@ object SparkEntry {
       .orderBy(col("_change_type"))
   }
 
+  // ===== round-17 wave: experiment/series analytics, table stats,
+  // graph over the near-dup pair set, snapshot diff + GDPR cascade,
+  // ROUGE pair scoring =====
+
+  /** Integer EWMA ([[operators.EventOps.ewma]]): the exact fixed-
+    * point recurrence `s_n = (v_n·10⁶ + s_{n−1}) // 2`, replayed by
+    * the oracle as a recursive CTE on HUGEINT. */
+  private val qEwma: Q = (s, dir) =>
+    operators.EventOps.ewma(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Inactivity gaps > 6 h per user ([[operators.EventOps
+    * .eventGaps]]): one lag window, pure micros integers. */
+  private val qEventGaps: Q = (s, dir) =>
+    operators.EventOps.eventGaps(t(s, dir, "events"), "user_id",
+      "ts", "event_id", minGapMicros = 6L * 3600 * 1000000)
+      .orderBy(col("user_id"), col("gap_start_us"))
+
+  /** A/B readout ([[operators.EventOps.abLift]]): user_id-hash
+    * variants, purchase conversion, signed ppm lift vs control. */
+  private val qAbLift: Q = (s, dir) =>
+    operators.EventOps.abLift(t(s, dir, "events"), "user_id",
+      "event_type", conversionType = "purchase")
+
+  /** Bollinger bands ([[operators.EventOps.bollinger]]): integer
+    * rolling Σx/Σx², one IEEE sqrt tree per band. */
+  private val qBollinger: Q = (s, dir) =>
+    operators.EventOps.bollinger(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** LINEAR multi-touch attribution ([[operators.EventOps
+    * .attributionLinear]]): every in-lookback touch splits the
+    * conversion's 10⁶ ppm equally (`⌊10⁶/n⌋` each, remainder
+    * disclosed-dropped); no-touch conversions credit organic. */
+  private val qAttributionLinear: Q = (s, dir) =>
+    operators.EventOps.attributionLinear(t(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type",
+      conversionType = "purchase", lookbackMicros = 3600000000L)
+
+  /** Tukey IQR outlier report per event type ([[operators.EventOps
+    * .iqrOutliers]]): explicit ⌈n/4⌉ selection indices, 2v-vs-3·IQR
+    * integer comparison — no 1.5 float anywhere. */
+  private val qIqrOutliers: Q = (s, dir) =>
+    operators.EventOps.iqrOutliers(t(s, dir, "events"), "event_type",
+      "value")
+
+  /** Monthly VWAP over lineitem ([[operators.EventOps.vwap]]):
+    * `⌊Σ(price_c·qty)/Σqty⌋` with DECIMAL(38,0) sums. */
+  private val qVwap: Q = (s, dir) =>
+    operators.EventOps.vwap(t(s, dir, "lineitem"),
+      date_trunc("month", col("l_shipdate").cast("timestamp")),
+      "l_extendedprice", "l_quantity")
+
+  /** Benford first-digit audit over extended prices
+    * ([[operators.Profile.benford]]): observed ppm vs compiled-in
+    * `log₁₀(1+1/d)` ppm literals. */
+  private val qBenford: Q = (s, dir) =>
+    operators.Profile.benford(t(s, dir, "lineitem"),
+      "l_extendedprice")
+
+  /** Chi-square contingency cells returnflag × linestatus
+    * ([[operators.Profile.chiCells]]): observed, independence
+    * expectation and lift, all integer ppm — no float aggregate. */
+  private val qChiCells: Q = (s, dir) =>
+    operators.Profile.chiCells(t(s, dir, "lineitem"), "l_returnflag",
+      "l_linestatus")
+
+  /** Triangle enumeration over the near-dup pair graph
+    * ([[operators.GraphOps.triangles]]): ordered-wedge join + closing
+    * -edge semi probe; the oracle replays the MinHash pipeline and
+    * the same two joins. */
+  private val qTriangles: Q = (s, dir) =>
+    operators.GraphOps.triangles(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
+  /** Degree histogram of the same pair graph ([[operators.GraphOps
+    * .degreeDistribution]]): the one-line dedup-graph shape check. */
+  private val qDegreeDist: Q = (s, dir) =>
+    operators.GraphOps.degreeDistribution(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
+  /** Snapshot diff: DELETE + UPDATE + INSERT against a scratch graft
+    * table, then the row-level diff of `VERSION AS OF 1` vs current —
+    * removed / changed / added per key via one full-outer join on the
+    * key with a null-safe payload compare. The oracle re-derives all
+    * three classes as filters over the source parquet. */
+  private val qSnapshotDiff: Q = (s, dir) => {
+    val tag = "sdiff" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-$tag"
+    val cat = s"graft_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tdir = new org.apache.hadoop.fs.Path(s"$wh/orders")
+    tdir.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(tdir, true)
+    val orders = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    orders.write.format("graft-v2")
+      .option("path", s"$wh/orders").mode("append").save()
+    s.sql(s"DELETE FROM $cat.orders " +
+      "WHERE o_orderstatus = 'F' AND o_totalprice < 30000")
+    s.sql(s"UPDATE $cat.orders SET o_totalprice = o_totalprice + 1 " +
+      "WHERE o_orderkey % 1000 = 0")
+    orders.filter(col("o_orderkey") % 5000 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .createOrReplaceTempView(s"${tag}_ins")
+    s.sql(s"INSERT INTO $cat.orders SELECT * FROM ${tag}_ins")
+    val v1 = s.sql(
+      s"SELECT * FROM $cat.orders VERSION AS OF 1")
+    val cur = s.table(s"$cat.orders")
+    val payload = (p: String) => struct(col(s"$p.o_custkey"),
+      col(s"$p.o_totalprice"), col(s"$p.o_orderstatus"))
+    v1.alias("o").join(cur.alias("n"),
+        col("o.o_orderkey") === col("n.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("o.o_orderkey"), col("n.o_orderkey"))
+          .as("o_orderkey"),
+        when(col("n.o_orderkey").isNull, "removed")
+          .when(col("o.o_orderkey").isNull, "added")
+          .when(!(payload("o") <=> payload("n")), "changed")
+          .as("change_type"))
+      .filter(col("change_type").isNotNull)
+      .orderBy(col("o_orderkey"), col("change_type"))
+  }
+
+  /** GDPR forget-user cascade: MERGE-DELETE the child rows whose
+    * parent matches (the scale-correct cascade — the key set never
+    * collects), then DELETE the parent rows; report surviving
+    * counts + key sums per table. The oracle replays both as
+    * anti-join filters over the parquet sources. */
+  private val qForgetUser: Q = (s, dir) => {
+    val tag = "forget" + java.lang.Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft-$tag"
+    val cat = s"graft_$tag"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq("orders", "lineitem").foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$n"), true))
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .write.format("graft-v2").option("path", s"$wh/orders")
+      .mode("append").save()
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .write.format("graft-v2").option("path", s"$wh/lineitem")
+      .mode("append").save()
+    s.sql(s"""MERGE INTO $cat.lineitem li
+      |USING (SELECT o_orderkey FROM $cat.orders
+      |       WHERE o_custkey % 97 = 0) del
+      |ON li.l_orderkey = del.o_orderkey
+      |WHEN MATCHED THEN DELETE""".stripMargin)
+    s.sql(s"DELETE FROM $cat.orders WHERE o_custkey % 97 = 0")
+    val li = s.table(s"$cat.lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("key_sum"))
+      .select(lit("lineitem").as("tbl"), col("n_rows"),
+        col("key_sum"))
+    val o = s.table(s"$cat.orders")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("key_sum"))
+    li.unionByName(o).orderBy(col("tbl"))
+  }
+
+  /** ROUGE-2 pair grid over a bounded doc set
+    * ([[operators.TextSearch.rougePairs]]): clipped bigram overlap,
+    * integer ppm precision/recall/F1. */
+  private val qRougePairs: Q = (s, dir) =>
+    operators.TextSearch.rougePairs(
+      t(s, dir, "documents").filter(col("doc_id") < 40), n = 2)
+
   // ===== registry =====
 
   def queries: Map[String, Q] = Map(
@@ -2939,6 +3117,21 @@ object SparkEntry {
     "q_gopher_rules" -> qGopherRules,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_topterms_exact" -> qTopTermsExact,
+    // round 17
+    "q_ewma" -> qEwma,
+    "q_event_gaps" -> qEventGaps,
+    "q_ab_lift" -> qAbLift,
+    "q_bollinger" -> qBollinger,
+    "q_attribution_linear" -> qAttributionLinear,
+    "q_iqr_outliers" -> qIqrOutliers,
+    "q_vwap" -> qVwap,
+    "q_benford" -> qBenford,
+    "q_chi_cells" -> qChiCells,
+    "q_triangles" -> qTriangles,
+    "q_degree_dist" -> qDegreeDist,
+    "q_snapshot_diff" -> qSnapshotDiff,
+    "q_forget_user" -> qForgetUser,
+    "q_rouge_pairs" -> qRougePairs,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -4059,6 +4252,219 @@ object SparkEntry {
         |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
     "q_dedup_near_capped" -> DuckHash.dedupNearCappedOracle(0.2, 2),
     "q_dedup_cluster" -> DuckHash.dedupClusterOracle(0.2),
+    "q_triangles" -> DuckHash.trianglesOracle(0.2),
+    "q_degree_dist" -> DuckHash.degreeOracle(0.2),
+    // integer EWMA: the same fixed-point recurrence as a recursive
+    // CTE on HUGEINT, iterating per-key event rank
+    "q_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS k, event_id AS i,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT k, i, vc, rn, CAST(vc AS HUGEINT) * 1000000 AS s
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.i, e.vc, e.rn,
+        |    (CAST(e.vc AS HUGEINT) * 1000000 * 1 + r.s * 1) // 2
+        |  FROM r JOIN e ON e.k = r.k AND e.rn = r.rn + 1)
+        |SELECT k AS user_id, i AS event_id, vc AS value_c,
+        |  CAST(s AS BIGINT) AS ewma_c6
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+    "q_event_gaps" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS p
+        |  FROM events)
+        |SELECT user_id, p AS gap_start_us, t AS gap_end_us,
+        |  t - p AS gap_us
+        |FROM x WHERE p IS NOT NULL AND t - p > 21600000000
+        |ORDER BY user_id, gap_start_us""".stripMargin,
+    "q_ab_lift" ->
+      """WITH u AS (SELECT user_id % 2 AS variant, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT variant, count(*) AS users,
+        |    CAST(sum(converted) AS BIGINT) AS converters
+        |  FROM u GROUP BY 1),
+        |v2 AS (SELECT variant, users, converters,
+        |    CAST((CAST(converters AS HUGEINT) * 1000000) // users
+        |      AS BIGINT) AS conv_ppm FROM v),
+        |c AS (SELECT conv_ppm AS p0 FROM v2 WHERE variant = 0)
+        |SELECT variant, users, converters, conv_ppm,
+        |  CAST(CASE WHEN conv_ppm >= p0
+        |    THEN (CAST(conv_ppm - p0 AS HUGEINT) * 1000000) // p0
+        |    ELSE -((CAST(p0 - conv_ppm AS HUGEINT) * 1000000) // p0)
+        |    END AS BIGINT) AS lift_ppm
+        |FROM v2, c ORDER BY variant""".stripMargin,
+    // bollinger: integer rolling sums, then ONE shared IEEE tree per
+    // band (cast, sqrt, /, fused nothing) — textually parallel to
+    // the Spark expressions so the doubles hash identically
+    "q_bollinger" ->
+      """WITH x AS (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+        |      AS BIGINT) AS s,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |      * CAST(round(value * 100) AS BIGINT)) OVER w
+        |      AS BIGINT) AS q
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, vc AS value_c,
+        |  CAST(s AS DOUBLE) / 2100.0 AS mid,
+        |  CAST(s AS DOUBLE) / 2100.0 + 2.0 *
+        |    (sqrt(CAST(21 * q - s * s AS DOUBLE)) / 2100.0) AS upper,
+        |  CAST(s AS DOUBLE) / 2100.0 - 2.0 *
+        |    (sqrt(CAST(21 * q - s * s AS DOUBLE)) / 2100.0) AS lower
+        |FROM x WHERE n = 21 ORDER BY user_id, event_id""".stripMargin,
+    // linear attribution: the trailing history is collected
+    // UNCONDITIONALLY and filtered in list space on both sides — no
+    // aggregate null-skip semantics in play
+    "q_attribution_linear" ->
+      """WITH x AS (SELECT user_id AS k, event_id AS i,
+        |    epoch_us(ts) AS t, event_type AS ty FROM events),
+        |w AS (SELECT k, i, t, ty,
+        |    list(struct_pack(tu := t, ty := ty)) OVER
+        |      (PARTITION BY k ORDER BY t, i
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS hist
+        |  FROM x),
+        |c AS (SELECT t, coalesce(list_filter(hist, e ->
+        |      e.ty <> 'purchase' AND e.tu >= t - 3600000000),
+        |      []) AS touches
+        |  FROM w WHERE ty = 'purchase'),
+        |cr AS (SELECT CASE WHEN len(touches) = 0
+        |    THEN [struct_pack(channel := 'organic',
+        |      credit := CAST(1000000 AS BIGINT))]
+        |    ELSE list_transform(touches, e -> struct_pack(
+        |      channel := e.ty,
+        |      credit := CAST(1000000 // len(touches) AS BIGINT)))
+        |    END AS cs
+        |  FROM c),
+        |u AS (SELECT unnest(cs) AS c FROM cr)
+        |SELECT c.channel AS channel,
+        |  CAST(sum(c.credit) AS BIGINT) AS credit_ppm
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // IQR outliers: the explicit ⌈n/4⌉ selection contract and the
+    // 2v-vs-3·IQR integer comparison, replayed in list space
+    "q_iqr_outliers" ->
+      """WITH a AS (SELECT event_type,
+        |    list_sort(list(CAST(round(value * 100) AS BIGINT)))
+        |      AS arr
+        |  FROM events GROUP BY 1),
+        |q AS (SELECT event_type, arr, CAST(len(arr) AS BIGINT) AS n,
+        |    arr[(len(arr) + 3) // 4] AS q1,
+        |    arr[(len(arr) * 3 + 3) // 4] AS q3
+        |  FROM a)
+        |SELECT event_type, n, q1 AS q1_c, q3 AS q3_c,
+        |  CAST(len(list_filter(arr, v ->
+        |    2 * v < 2 * q1 - 3 * (q3 - q1) OR
+        |    2 * v > 2 * q3 + 3 * (q3 - q1))) AS BIGINT)
+        |    AS n_outliers
+        |FROM q ORDER BY event_type""".stripMargin,
+    "q_vwap" ->
+      """SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+        |    AS bucket,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS volume,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round(l_quantity) AS BIGINT))
+        |    // sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS vwap_c
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // benford: expected shares are compile-time ppm literals on both
+    // sides — no runtime log10 anywhere
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(round(
+        |      l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS digit,
+        |    count(*) AS n
+        |  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  CAST((CAST(n AS HUGEINT) * 1000000) // tot AS BIGINT)
+        |    AS observed_ppm,
+        |  CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |    WHEN 9 THEN 45757 END AS BIGINT) AS expected_ppm
+        |FROM c, t ORDER BY digit""".stripMargin,
+    "q_chi_cells" ->
+      """WITH c AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(n) AS BIGINT) AS rm FROM c
+        |  GROUP BY 1),
+        |m AS (SELECT b, CAST(sum(n) AS BIGINT) AS cm FROM c
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c)
+        |SELECT c.a AS a, c.b AS b, c.n AS n,
+        |  CAST((CAST(rm AS HUGEINT) * cm * 1000000) // tt AS BIGINT)
+        |    AS expected_ppm,
+        |  CAST((CAST(c.n AS HUGEINT) * tt * 1000000)
+        |    // (CAST(rm AS HUGEINT) * cm) AS BIGINT) AS lift_ppm
+        |FROM c JOIN r ON c.a = r.a JOIN m ON c.b = m.b, t
+        |ORDER BY a, b""".stripMargin,
+    // snapshot diff: the three change classes re-derived as filters
+    // over the source parquet (DELETE pred / UPDATE pred on the
+    // survivors / the INSERT subset shifted by 1e8)
+    "q_snapshot_diff" ->
+      """SELECT o_orderkey, 'removed' AS change_type FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice < 30000
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 30000)
+        |  AND o_orderkey % 1000 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'added' FROM orders
+        |WHERE o_orderkey % 5000 = 0
+        |ORDER BY o_orderkey, change_type""".stripMargin,
+    "q_forget_user" ->
+      """SELECT 'lineitem' AS tbl, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0)
+        |UNION ALL
+        |SELECT 'orders', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_custkey % 97 <> 0
+        |ORDER BY tbl""".stripMargin,
+    // ROUGE-2: clipped bigram overlap via per-doc gram counts and a
+    // least() sum, the indexed-lambda bigram builder mirroring the
+    // Spark sequence/transform exactly
+    "q_rouge_pairs" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id < 40),
+        |g0 AS (SELECT id, list_filter(list_transform(tk, (x, i) ->
+        |    CASE WHEN i < len(tk) THEN x || ' ' || tk[i + 1] END),
+        |    v -> v IS NOT NULL) AS gs FROM d),
+        |g AS (SELECT id, unnest(gs) AS g FROM g0),
+        |c AS (SELECT id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |l AS (SELECT id, CAST(sum(c) AS BIGINT) AS len FROM c
+        |  GROUP BY 1),
+        |o AS (SELECT ca.id AS ia, cb.id AS ib,
+        |    CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS ov
+        |  FROM c ca JOIN c cb ON ca.g = cb.g AND ca.id < cb.id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT la.id AS id_a, lb.id AS id_b,
+        |    coalesce(o.ov, 0) AS overlap, la.len AS lena,
+        |    lb.len AS lenb
+        |  FROM l la JOIN l lb ON la.id < lb.id
+        |  LEFT JOIN o ON o.ia = la.id AND o.ib = lb.id)
+        |SELECT id_a, id_b, overlap,
+        |  CAST((CAST(overlap AS HUGEINT) * 1000000) // lena
+        |    AS BIGINT) AS p_ppm,
+        |  CAST((CAST(overlap AS HUGEINT) * 1000000) // lenb
+        |    AS BIGINT) AS r_ppm,
+        |  CAST((CAST(overlap AS HUGEINT) * 2000000) // (lena + lenb)
+        |    AS BIGINT) AS f1_ppm
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
     "q_udaf_custom" ->
       """SELECT l_returnflag,
         |round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty

@@ -539,4 +539,246 @@ object EventOps {
         col("off").as("week_offset"), col("users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** `⌊a / b⌋`-style exact integral division shared by the integer-
+    * contract operators below (Spark's `div` truncates toward zero —
+    * identical to SQL `//` on the NON-NEGATIVE operands these
+    * operators produce; sign-sensitive callers wrap it explicitly
+    * like [[countTrend]] does). */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+  }
+
+  /** Exponentially weighted moving average under the FULLY INTEGER
+    * contract: values quantize to `valueScale` longs, the running
+    * state is a fixed-point long at `valueScale`·10⁶, and each step
+    * is
+    * {{{ s_n = (num·v_n·10⁶ + (den−num)·s_{n−1}) // den }}}
+    * (s₁ = v₁·10⁶) — exact integer arithmetic end to end, so any
+    * engine replays the smoother bit-for-bit (the DuckDB oracle runs
+    * the same recurrence as a recursive CTE on HUGEINT). The per-key
+    * fold runs map-side over the key's (ts, id)-sorted event array —
+    * the funnel pattern: ONE hash shuffle, no window machinery, array
+    * bounded by the per-key event count.
+    *
+    * @return `(key, id, value_c, ewma_c6)`: the quantized value and
+    *         the EWMA at `valueScale`·10⁶ fixed point
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alphaNum: Long = 1L,
+      alphaDen: Long = 2L, valueScale: Long = 100L): DataFrame = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"alpha must be in (0, 1]: $alphaNum/$alphaDen")
+    val byKey = events
+      .select(col(keyCol).as("k"),
+        struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+          round(col(valueCol) * valueScale).cast("long").as("vc"))
+          .as("e"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    val folded = byKey.withColumn("st",
+      aggregate(col("evs"), array().cast("array<bigint>"),
+        (acc, e) => {
+          val vC6 = e.getField("vc") * lit(1000000L)
+          val next = when(size(acc) === 0, vC6)
+            .otherwise(intDiv(
+              vC6 * lit(alphaNum) +
+                element_at(acc, -1) * lit(alphaDen - alphaNum),
+              lit(alphaDen)))
+          array_append(acc, next)
+        }))
+    folded
+      .select(col("k"), posexplode(arrays_zip(col("evs"), col("st"))))
+      .select(col("k").as(keyCol),
+        col("col.evs.i").as(idCol),
+        col("col.evs.vc").as("value_c"),
+        col("col.st").as("ewma_c6"))
+  }
+
+  /** Inactivity-gap report: consecutive same-key events further apart
+    * than `minGapMicros` — the "sensor went dark" / SLA-breach
+    * detector. One key-partitioned `lag` window, pure integers.
+    *
+    * @return `(key, gap_start_us, gap_end_us, gap_us)` rows
+    */
+  def eventGaps(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, minGapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__eg_t"), col(idCol))
+    events
+      .select(col(keyCol), col(idCol),
+        unix_micros(col(tsCol)).as("__eg_t"))
+      .withColumn("__eg_prev", lag(col("__eg_t"), 1).over(w))
+      .filter(col("__eg_prev").isNotNull &&
+        col("__eg_t") - col("__eg_prev") > minGapMicros)
+      .select(col(keyCol), col("__eg_prev").as("gap_start_us"),
+        col("__eg_t").as("gap_end_us"),
+        (col("__eg_t") - col("__eg_prev")).as("gap_us"))
+  }
+
+  /** A/B experiment readout: entities hash into `buckets` variants by
+    * key, a variant's conversion rate is the share of its entities
+    * with at least one `conversionType` event, and each variant's
+    * lift is measured against variant 0 (the control) — all integer
+    * ppm (`⌊x·10⁶/y⌋`), so the readout is engine-exact. Two hash
+    * aggregates plus a 1-row control broadcast.
+    *
+    * @return `(variant, users, converters, conv_ppm, lift_ppm)` —
+    *         `lift_ppm` is the SIGNED relative delta vs control
+    */
+  def abLift(events: DataFrame, keyCol: String, typeCol: String,
+      conversionType: String, buckets: Int = 2): DataFrame = {
+    require(buckets >= 2, s"need >= 2 variants, got $buckets")
+    val perUser = events
+      .select(pmod(col(keyCol), lit(buckets.toLong)).as("variant"),
+        col(keyCol).as("k"),
+        (col(typeCol) === conversionType).cast("long").as("c"))
+      .groupBy(col("variant"), col("k"))
+      .agg(max(col("c")).as("converted"))
+    val perVariant = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("users"),
+        sum(col("converted")).as("converters"))
+      .withColumn("conv_ppm",
+        intDiv(col("converters") * lit(1000000L), col("users")))
+    val control = perVariant.filter(col("variant") === 0)
+      .select(col("conv_ppm").as("__ab_p0"))
+    val num = (col("conv_ppm") - col("__ab_p0")) * lit(1000000L)
+    perVariant.crossJoin(broadcast(control))
+      .select(col("variant"), col("users"), col("converters"),
+        col("conv_ppm"),
+        when(num < 0, -intDiv(-num, col("__ab_p0")))
+          .otherwise(intDiv(num, col("__ab_p0"))).as("lift_ppm"))
+      .orderBy(col("variant"))
+  }
+
+  /** Bollinger bands: per event, the trailing-`window` mean ± 2
+    * standard deviations. The integer layer (value quantization,
+    * rolling Σx and Σx² over a ROWS frame) is exact; the float layer
+    * is ONE fixed expression tree per band — a cast, one `sqrt`, one
+    * division, one multiply-add, each IEEE-correctly-rounded — so the
+    * bands reproduce bit-identically on any engine evaluating the
+    * same tree (the anomalies/winsorize precedent; no `pow`/`ln`
+    * anywhere). Warm-up rows (partial frames) are dropped.
+    *
+    * @return `(key, id, value_c, mid, upper, lower)` full-frame rows
+    */
+  def bollinger(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 21,
+      valueScale: Long = 100L): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__bb_t"), col(idCol))
+      .rowsBetween(-(window - 1), 0)
+    val den = lit((window * valueScale).toDouble)
+    val mid = col("__bb_s").cast("double") / den
+    val sd = sqrt((lit(window.toLong) * col("__bb_q") -
+      col("__bb_s") * col("__bb_s")).cast("double")) / den
+    events
+      .select(col(keyCol), col(idCol),
+        unix_micros(col(tsCol)).as("__bb_t"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .withColumn("__bb_n", count(lit(1)).over(w))
+      .withColumn("__bb_s", sum(col("vc")).over(w))
+      .withColumn("__bb_q", sum(col("vc") * col("vc")).over(w))
+      .filter(col("__bb_n") === window)
+      .select(col(keyCol), col(idCol), col("vc").as("value_c"),
+        mid.as("mid"), (mid + lit(2.0) * sd).as("upper"),
+        (mid - lit(2.0) * sd).as("lower"))
+  }
+
+  /** LINEAR multi-touch attribution ([[attribution]]'s fair-split
+    * sibling): every non-conversion touch inside the lookback before
+    * a conversion shares the credit equally — each touch receives
+    * `⌊10⁶/n⌋` ppm (the remainder is dropped, disclosed), and
+    * conversions with no touch credit `organic` in full. The window
+    * collects the trailing (ts, type) pairs UNCONDITIONALLY and the
+    * lookback/type filter happens in array space — the same rows on
+    * any engine, no aggregate null-skipping semantics in play.
+    *
+    * @return `(channel, credit_ppm)` ordered by channel
+    */
+  def attributionLinear(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      conversionType: String, lookbackMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("tu"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val conv = events
+      .select(col(keyCol).as("k"), col(idCol).as("i"),
+        unix_micros(col(tsCol)).as("tu"), col(typeCol).as("ty"))
+      .withColumn("hist",
+        collect_list(struct(col("tu"), col("ty"))).over(w))
+      .filter(col("ty") === conversionType)
+      .withColumn("touches", filter(col("hist"), x =>
+        x.getField("ty") =!= conversionType &&
+          x.getField("tu") >= col("tu") - lookbackMicros))
+      .select(col("touches"), size(col("touches")).as("n"))
+    val credited = conv
+      .select(when(col("n") === 0,
+          array(struct(lit("organic").as("channel"),
+            lit(1000000L).as("credit"))))
+        .otherwise(transform(col("touches"), x =>
+          struct(x.getField("ty").as("channel"),
+            intDiv(lit(1000000L), col("n")).as("credit"))))
+        .as("cr"))
+      .select(explode(col("cr")).as("c"))
+    credited.groupBy(col("c.channel").as("channel"))
+      .agg(sum(col("c.credit")).as("credit_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  /** Tukey IQR outlier report per key: Q1/Q3 by the explicit
+    * selection contract `q1 = sorted[⌈n/4⌉]`, `q3 = sorted[⌈3n/4⌉]`
+    * (1-based), a value is an outlier outside
+    * `[q1 − 1.5·IQR, q3 + 1.5·IQR]` — compared as `2v < 2q1 − 3·IQR`
+    * so the whole test stays in exact integers (no 1.5 float). One
+    * hash shuffle to the key's sorted value array (per-key bounded,
+    * the funnel pattern).
+    *
+    * @return `(key, n, q1_c, q3_c, n_outliers)` ordered by key
+    */
+  def iqrOutliers(events: DataFrame, keyCol: String,
+      valueCol: String, valueScale: Long = 100L): DataFrame = {
+    val arr = col("__iq_arr")
+    val n = size(arr).cast("long")
+    val q1 = element_at(arr, intDiv(n + 3L, lit(4L)).cast("int"))
+    val q3 = element_at(arr, intDiv(n * 3L + 3L, lit(4L)).cast("int"))
+    val iqr = q3 - q1
+    events
+      .select(col(keyCol),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("vc"))).as("__iq_arr"))
+      .select(col(keyCol), n.as("n"), q1.as("q1_c"), q3.as("q3_c"),
+        size(filter(arr, v =>
+          v * 2L < q1 * 2L - iqr * 3L ||
+            v * 2L > q3 * 2L + iqr * 3L)).cast("long")
+          .as("n_outliers"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Volume-weighted average price per bucket: `⌊Σ(p·q) / Σq⌋` on
+    * quantized prices — exact integer sums (DECIMAL(38,0), so the
+    * contract survives any corpus size) and one integral division.
+    * One map-side-combinable hash aggregate.
+    *
+    * @return `(bucket, volume, vwap_c)` ordered by bucket
+    */
+  def vwap(df: DataFrame, bucketCol: Column, priceCol: String,
+      qtyCol: String, priceScale: Long = 100L): DataFrame =
+    df
+      .select(bucketCol.as("bucket"),
+        round(col(priceCol) * priceScale).cast("long").as("pc"),
+        round(col(qtyCol)).cast("long").as("q"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("q")).as("volume"),
+        sum((col("pc") * col("q")).cast("decimal(38,0)")).as("pv"))
+      .select(col("bucket"), col("volume"),
+        intDiv(col("pv"), col("volume").cast("decimal(38,0)"))
+          .cast("long").as("vwap_c"))
+      .orderBy(col("bucket"))
 }

@@ -224,6 +224,75 @@ object Profile {
     * @return `(rule, n_rows, n_violations, passed)` — row rules
     *         first (given order), then foreign-key rules
     */
+  /** Benford's-law first-digit audit (the classic fabricated-numbers
+    * screen): the distribution of leading significant digits of a
+    * positive amount column vs Benford's expectation. The digit comes
+    * from the DECIMAL STRING of the cent-quantized amount (scaling by
+    * 100 never changes the leading digit), observed shares are exact
+    * integer ppm, and the expected shares `log₁₀(1+1/d)` are COMPILED
+    * IN as ppm literals — no runtime transcendental on either engine.
+    * One map-side-combinable aggregate over one scan.
+    *
+    * @return `(digit, n, observed_ppm, expected_ppm)`, digits 1-9
+    */
+  def benford(df: DataFrame, amountCol: String): DataFrame = {
+    val expected = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val digit = substring(
+      round(col(amountCol) * 100).cast("long").cast("string"), 1, 1)
+      .cast("long")
+    val counts = df
+      .filter(col(amountCol) > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__bf_total"))
+    val exp = expected.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, p).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        intDiv(col("n") * lit(1000000L), col("__bf_total"))
+          .as("observed_ppm"),
+        exp.as("expected_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** Chi-square contingency cells for two categorical columns: each
+    * (row, col) cell's observed count, its independence expectation
+    * `⌊rm·cm·10⁶/total⌋` (ppm of a count, exact), and its lift
+    * `⌊o·total·10⁶/(rm·cm)⌋` — the independence-test artifact with
+    * NO float aggregate anywhere (a double Σ((o−e)²/e) would hash
+    * differently per addition order; the per-cell integer table
+    * carries the same evidence). Three hash aggregates over one
+    * cached pass shape: cells, row marginals, column marginals, all
+    * meeting on broadcast joins; products ride DECIMAL(38,0) so the
+    * contract survives any corpus size.
+    *
+    * @return `(a, b, n, expected_ppm, lift_ppm)` ordered by (a, b)
+    */
+  def chiCells(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy(col("a")).agg(sum(col("n")).as("rm"))
+    val colM = cells.groupBy(col("b")).agg(sum(col("n")).as("cm"))
+    val total = cells.agg(sum(col("n")).as("t"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    cells
+      .join(broadcast(rowM), Seq("a"))
+      .join(broadcast(colM), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n"),
+        intDiv(dec(col("rm")) * dec(col("cm")) * lit(1000000L),
+          dec(col("t"))).cast("long").as("expected_ppm"),
+        intDiv(dec(col("n")) * dec(col("t")) * lit(1000000L),
+          dec(col("rm")) * dec(col("cm"))).cast("long")
+          .as("lift_ppm"))
+      .orderBy(col("a"), col("b"))
+  }
+
   def dqSuite(df: DataFrame,
       rowRules: Seq[(String, org.apache.spark.sql.Column)],
       fkRules: Seq[(String, String, DataFrame, String)] = Nil)

@@ -663,4 +663,66 @@ object TextSearch {
       .orderBy(col("rank_score").desc, col("term"))
       .limit(topN)
   }
+
+  /** ROUGE-n pair scores (the summarization-eval overlap family,
+    * Lin 2004): for each unordered doc pair, the CLIPPED n-gram
+    * overlap `Σ_g min(cnt_a(g), cnt_b(g))` and the
+    * precision/recall/F1 it induces — all integer ppm
+    * (`⌊x·10⁶/y⌋`), engine-exact. Grams keep MULTIPLICITY (clipped
+    * counts are ROUGE's defining difference from Jaccard, which the
+    * near-dup family already covers). Pairs with zero overlap still
+    * report (left join), so the output is the full pair grid of the
+    * given id set.
+    *
+    * Scale shape: gram counts are one hash aggregate; pairs meet on
+    * the GRAM (never all-pairs against full texts); the caller bounds
+    * the id set — this is the rerank/eval primitive, not a corpus
+    * sweep (LSH generates candidates at corpus scale).
+    *
+    * @return `(id_a, id_b, overlap, p_ppm, r_ppm, f1_ppm)` with
+    *         `p = overlap/len_a`, `r = overlap/len_b`,
+    *         `f1 = 2·overlap/(len_a+len_b)`; rows ordered
+    */
+  def rougePairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 4, s"gram order must be 1..4, got $n")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    val tk = CorpusOps.tokens(col(textCol))
+    val grams =
+      if (n == 1) tk
+      else when(size(tk) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(tk, i + lit(j))): _*)))
+    val counts = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(grams).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val lens = counts.groupBy(col("id")).agg(sum(col("c")).as("len"))
+    val overlaps = counts.select(col("id").as("ia"), col("g"),
+        col("c").as("ca"))
+      .join(counts.select(col("id").as("ib"), col("g"),
+        col("c").as("cb")), Seq("g"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum(least(col("ca"), col("cb"))).as("ov"))
+    val pairs = lens.select(col("id").as("ia"), col("len").as("la"))
+      .join(lens.select(col("id").as("ib"), col("len").as("lb")),
+        col("ia") < col("ib"))
+    val ov = coalesce(col("ov"), lit(0L))
+    pairs.join(overlaps, Seq("ia", "ib"), "left_outer")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        ov.as("overlap"),
+        intDiv(ov * lit(1000000L), col("la")).as("p_ppm"),
+        intDiv(ov * lit(1000000L), col("lb")).as("r_ppm"),
+        intDiv(ov * lit(2000000L), col("la") + col("lb"))
+          .as("f1_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

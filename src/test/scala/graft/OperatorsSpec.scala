@@ -1251,4 +1251,112 @@ class OperatorsSpec extends SparkTestBase {
       graft.operators.Profile.profile(df, Seq("nope")).collect()
     }
   }
+
+  test("ewma: exact fixed-point recurrence, order by (ts, id)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // key 1: values 2.00, 4.00, 3.00 -> s1=2e8, s2=(4e8+2e8)//2=3e8,
+    // s3=(3e8+3e8)//2=3e8 (centi-value fixed point at 1e6)
+    val df = Seq((1L, ts(1), 10L, 2.0), (1L, ts(2), 11L, 4.0),
+      (1L, ts(3), 12L, 3.0), (2L, ts(1), 20L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventOps.ewma(df, "user_id", "ts",
+      "event_id", "value")
+      .select($"event_id", $"ewma_c6").as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(10L -> 200000000L, 11L -> 300000000L,
+      12L -> 300000000L, 20L -> 100000000L))
+  }
+
+  test("iqrOutliers: explicit quartile selection and 3*IQR bound") {
+    import spark.implicits._
+    // n=8 sorted 1..7,100: q1 = idx (8+3)//4 = 2 -> 2.0, q3 = idx
+    // (24+3)//4 = 6 -> 6.0, IQR=4; high bound 2v > 2*600+3*400 ->
+    // v > 1200c: only 100.0 (10000c) flags
+    val df = (1 to 7).map(v => ("a", v.toDouble)) :+ (("a", 100.0))
+    val got = graft.operators.EventOps.iqrOutliers(
+      df.toDF("k", "v"), "k", "v").head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ((8L, 200L, 600L, 1L)))
+  }
+
+  test("abLift: ppm conversion and signed lift vs control") {
+    import spark.implicits._
+    // variant 0 (users 2, 4): one converter -> 500000 ppm
+    // variant 1 (users 1, 3): both convert -> 1000000 ppm, lift +1e6
+    val df = Seq((1L, "buy"), (1L, "view"), (2L, "view"),
+      (3L, "buy"), (4L, "buy")).toDF("user_id", "event_type")
+    val got = graft.operators.EventOps.abLift(df, "user_id",
+      "event_type", "buy")
+      .select($"variant", $"conv_ppm", $"lift_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 500000L, 0L), (1L, 1000000L, 1000000L)))
+  }
+
+  test("attributionLinear: equal split with floor, organic fallback") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: ad, email, ad then buy -> 3 touches x 333333
+    // user 2: bare buy -> organic 1000000
+    val df = Seq(
+      (1L, ts(1), 1L, "ad"), (1L, ts(2), 2L, "email"),
+      (1L, ts(3), 3L, "ad"), (1L, ts(4), 4L, "buy"),
+      (2L, ts(5), 5L, "buy"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.EventOps.attributionLinear(df,
+      "user_id", "ts", "event_id", "event_type", "buy",
+      lookbackMicros = 3600000000L)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("ad" -> 666666L, "email" -> 333333L,
+      "organic" -> 1000000L))
+  }
+
+  test("bollinger: full frames only; constant series has zero-width " +
+      "bands") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = (1 to 5).map(i => (1L, ts(i), i.toLong, 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventOps.bollinger(df, "user_id", "ts",
+      "event_id", "value", window = 3)
+      .select($"event_id", $"mid", $"upper", $"lower")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(3L, 4L, 5L)) // two warm-up rows drop
+    assert(got.forall { case (_, m, u, l) =>
+      m === 10.0 && u === 10.0 && l === 10.0 })
+  }
+
+  test("GraphOps: triangles and degree histogram on a known graph") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4 (given unordered/dup edges)
+    val pairs = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (1L, 2L)).toDF("id_a", "id_b")
+    val tri = graft.operators.GraphOps.triangles(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tri === Seq((1L, 2L, 3L)))
+    val deg = graft.operators.GraphOps.degreeDistribution(pairs)
+      .as[(Long, Long)].collect().toMap
+    // degrees: 1->2, 2->2, 3->3, 4->1
+    assert(deg === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("rougePairs: clipped overlap keeps multiplicity; zero-overlap " +
+      "pairs still report") {
+    import spark.implicits._
+    // bigram grams: doc1 'a b a b' -> {a b: 2, b a: 1} len 3
+    //               doc2 'a b c'   -> {a b: 1, b c: 1} len 2
+    //               doc3 'x y'     -> {x y: 1}         len 1
+    // overlap(1,2) = min(2,1) = 1; p=1/3, r=1/2, f1=2/5
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextSearch.rougePairs(docs, n = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 333333L, 500000L, 400000L),
+      (1L, 3L, 0L, 0L, 0L, 0L),
+      (2L, 3L, 0L, 0L, 0L, 0L)))
+  }
 }
