@@ -111,7 +111,21 @@ object ScaleProbe {
     // q_scd2_lookup's facts (orders) inflate; its dim derives from
     // the verbatim-copied customer table, so the ratio measures the
     // fact-side scan + broadcast probe — the shape that matters
-    "q_scd2_lookup", "q_dq_checks")
+    "q_scd2_lookup", "q_dq_checks",
+    // round 17: event-analytics riders over user-offset-inflated
+    // events (EWMA's per-key fold, the gap lag window, variant
+    // rollups, Bollinger's frame sums, linear attribution's history
+    // window, the two-phase-rank IQR fences), lineitem-statistics
+    // riders (VWAP / Benford / chi cells are single hash rollups),
+    // and the pair-graph analytics over the mutated-copy corpus
+    // (candidate graph grows with real content, wedge joins must
+    // track it). q_rouge_pairs is NOT probed: its pair set is
+    // id-bounded by contract, so the ratio would only measure the
+    // bounded grid. q_snapshot_diff / q_forget_user are in-query DML
+    // lifecycles — the structural DML probes below own that shape.
+    "q_ewma", "q_event_gaps", "q_ab_lift", "q_bollinger",
+    "q_attribution_linear", "q_iqr_outliers", "q_vwap", "q_benford",
+    "q_chi_cells", "q_triangles", "q_degree_dist")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

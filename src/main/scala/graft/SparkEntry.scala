@@ -2934,6 +2934,42 @@ object SparkEntry {
     operators.TextSearch.rougePairs(
       t(s, dir, "documents").filter(col("doc_id") < 40), n = 2)
 
+  /** Daily-count Pearson correlation per event-type pair
+    * ([[operators.EventOps.dailyCorrelation]]): integer sums, one
+    * IEEE `num/sqrt(a·b)` tree — doubles hash bit-exact. */
+  private val qDailyCorr: Q = (s, dir) =>
+    operators.EventOps.dailyCorrelation(t(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Market-basket type co-occurrence ([[operators.EventOps
+    * .typeCooccurrence]]): distinct (user, type) self-join on the
+    * user, exact ppm support. */
+  private val qCooccur: Q = (s, dir) =>
+    operators.EventOps.typeCooccurrence(t(s, dir, "events"),
+      "user_id", "event_type")
+
+  /** Trailing-7-day EXACT distinct users per day
+    * ([[operators.EventOps.rollingDistinct]]): constant ×7 explode +
+    * one distinct — the exact rolling-MAU formulation. */
+  private val qRollingDistinct: Q = (s, dir) =>
+    operators.EventOps.rollingDistinct(t(s, dir, "events"),
+      "user_id", "ts")
+
+  /** Month-over-month revenue change ([[operators.EventOps
+    * .periodChange]]): DECIMAL sums, signed ppm delta via
+    * sign-explicit integral division, NULL first period. */
+  private val qMomRevenue: Q = (s, dir) =>
+    operators.EventOps.periodChange(t(s, dir, "lineitem"),
+      date_trunc("month", col("l_shipdate").cast("timestamp")),
+      "l_extendedprice")
+
+  /** Equi-depth price histogram ([[operators.Profile
+    * .histogramEquiDepth]]): exact-quantile boundaries via two-phase
+    * ranks, strict-below bucket rule replayed in list space. */
+  private val qHistEqdepth: Q = (s, dir) =>
+    operators.Profile.histogramEquiDepth(t(s, dir, "lineitem"),
+      col("l_extendedprice"))
+
   // ===== registry =====
 
   def queries: Map[String, Q] = Map(
@@ -3132,6 +3168,11 @@ object SparkEntry {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_forget_user" -> qForgetUser,
     "q_rouge_pairs" -> qRougePairs,
+    "q_daily_corr" -> qDailyCorr,
+    "q_cooccur" -> qCooccur,
+    "q_rolling_distinct" -> qRollingDistinct,
+    "q_mom_revenue" -> qMomRevenue,
+    "q_hist_eqdepth" -> qHistEqdepth,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -4433,6 +4474,80 @@ object SparkEntry {
         |SELECT 'orders', count(*), CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_custkey % 97 <> 0
         |ORDER BY tbl""".stripMargin,
+    // daily-count correlation: exact integer sums over shared days,
+    // one num/sqrt(a*b) tree — textually parallel double ops
+    "q_daily_corr" ->
+      """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    count(*) AS y FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.k AS ka, b.k AS kb, a.y AS x, b.y AS y
+        |  FROM d a JOIN d b ON a.d = b.d AND a.k < b.k),
+        |s AS (SELECT ka, kb, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT ka AS key_a, kb AS key_b, n AS n_days,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        |FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY key_a, key_b""".stripMargin,
+    "q_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+        |  FROM events),
+        |tot AS (SELECT count(DISTINCT u) AS total FROM ut)
+        |SELECT a.t AS type_a, b.t AS type_b,
+        |  count(*) AS n_both,
+        |  CAST((CAST(count(*) AS HUGEINT) * 1000000) // total
+        |    AS BIGINT) AS support_ppm
+        |FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t, tot
+        |GROUP BY a.t, b.t, total
+        |ORDER BY type_a, type_b""".stripMargin,
+    // rolling exact distinct: each (user, day) votes into the 7
+    // windows ending d..d+6; only days present in the data report
+    "q_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE)
+        |    AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |win AS (SELECT DISTINCT u, d + CAST(x AS INTEGER) AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6))
+        |    AS x) g),
+        |f AS (SELECT w.u, w.day FROM win w
+        |  JOIN days ON days.d = w.day)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_distinct
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mom_revenue" ->
+      """WITH m AS (SELECT date_trunc('month',
+        |      CAST(l_shipdate AS TIMESTAMP)) AS bucket,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS total_c
+        |  FROM lineitem GROUP BY 1),
+        |l AS (SELECT bucket, total_c,
+        |    lag(total_c) OVER (ORDER BY bucket) AS prev FROM m)
+        |SELECT bucket, total_c,
+        |  CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+        |    WHEN total_c >= prev THEN CAST((CAST(total_c - prev
+        |      AS HUGEINT) * 1000000) // prev AS BIGINT)
+        |    ELSE -CAST((CAST(prev - total_c AS HUGEINT) * 1000000)
+        |      // prev AS BIGINT) END AS change_ppm
+        |FROM l ORDER BY bucket""".stripMargin,
+    // equi-depth histogram: the same ⌈k·n/8⌉ selection in list
+    // space, strict-below bucket rule
+    "q_hist_eqdepth" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100)
+        |    AS BIGINT) AS vc FROM lineitem),
+        |s AS (SELECT list_sort(list(vc)) AS arr, count(*) AS n
+        |  FROM v),
+        |b AS (SELECT list_transform([1, 2, 3, 4, 5, 6, 7], k ->
+        |    arr[CAST(greatest(1, ceil((k / 8.0) * n)) AS BIGINT)])
+        |    AS bounds FROM s)
+        |SELECT CAST(len(list_filter(bounds, x -> x < vc)) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin,
     // ROUGE-2: clipped bigram overlap via per-doc gram counts and a
     // least() sum, the indexed-lambda bigram builder mirroring the
     // Spark sequence/transform exactly

@@ -734,30 +734,178 @@ object EventOps {
     * selection contract `q1 = sorted[⌈n/4⌉]`, `q3 = sorted[⌈3n/4⌉]`
     * (1-based), a value is an outlier outside
     * `[q1 − 1.5·IQR, q3 + 1.5·IQR]` — compared as `2v < 2q1 − 3·IQR`
-    * so the whole test stays in exact integers (no 1.5 float). One
-    * hash shuffle to the key's sorted value array (per-key bounded,
-    * the funnel pattern).
+    * so the whole test stays in exact integers (no 1.5 float).
+    *
+    * Selection rides [[Salting.twoPhaseRanks]] (the exact-quantile
+    * machinery): a LOW-cardinality key column with a growing corpus —
+    * exactly this operator's shape, a handful of metric types over
+    * billions of rows — would make any per-key collect/sort
+    * single-partition; two-phase ranks keep every stage parallel.
+    * Then one join back tests each value against its key's fences.
     *
     * @return `(key, n, q1_c, q3_c, n_outliers)` ordered by key
     */
   def iqrOutliers(events: DataFrame, keyCol: String,
       valueCol: String, valueScale: Long = 100L): DataFrame = {
-    val arr = col("__iq_arr")
-    val n = size(arr).cast("long")
-    val q1 = element_at(arr, intDiv(n + 3L, lit(4L)).cast("int"))
-    val q3 = element_at(arr, intDiv(n * 3L + 3L, lit(4L)).cast("int"))
-    val iqr = q3 - q1
-    events
-      .select(col(keyCol),
-        round(col(valueCol) * valueScale).cast("long").as("vc"))
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(col("vc"))).as("__iq_arr"))
-      .select(col(keyCol), n.as("n"), q1.as("q1_c"), q3.as("q3_c"),
-        size(filter(arr, v =>
-          v * 2L < q1 * 2L - iqr * 3L ||
-            v * 2L > q3 * 2L + iqr * 3L)).cast("long")
-          .as("n_outliers"))
+    val vals = events.select(col(keyCol).as("k"),
+      round(col(valueCol) * valueScale).cast("long").as("vc"))
+    val idx = vals.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .select(col("k").as("__iq_k"), col("n"),
+        intDiv(col("n") + 3L, lit(4L)).as("__iq_i1"),
+        intDiv(col("n") * 3L + 3L, lit(4L)).as("__iq_i3"))
+    val ranked = Salting.twoPhaseRanks(vals,
+      partCols = Seq("k"), orderCols = Seq(col("vc")),
+      rowNumCol = Some("__iq_rn"))
+    val qs = ranked.join(idx,
+        col("k") <=> col("__iq_k") &&
+          (col("__iq_rn").cast("long") === col("__iq_i1") ||
+            col("__iq_rn").cast("long") === col("__iq_i3")))
+      .groupBy(col("k"), col("n"))
+      .agg(
+        min(when(col("__iq_rn").cast("long") === col("__iq_i1"),
+          col("vc"))).as("q1"),
+        min(when(col("__iq_rn").cast("long") === col("__iq_i3"),
+          col("vc"))).as("q3"))
+    val iqr = col("q3") - col("q1")
+    val outliers = vals
+      .join(qs.select(col("k"), col("q1"), col("q3")), Seq("k"))
+      .filter(col("vc") * 2L < col("q1") * 2L - iqr * 3L ||
+        col("vc") * 2L > col("q3") * 2L + iqr * 3L)
+      .groupBy(col("k")).agg(count(lit(1)).as("__iq_out"))
+    qs.join(outliers, Seq("k"), "left_outer")
+      .select(col("k").as(keyCol), col("n"), col("q1").as("q1_c"),
+        col("q3").as("q3_c"),
+        coalesce(col("__iq_out"), lit(0L)).as("n_outliers"))
       .orderBy(col(keyCol))
+  }
+
+  /** Pearson correlation of two keys' DAILY event counts, for every
+    * key pair — "which metrics move together". The integer layer
+    * (daily counts, Σx/Σy/Σxy/Σx²/Σy² over the pair's SHARED days)
+    * is exact; the float layer is ONE fixed tree —
+    * `num / sqrt(a · b)` with `num = n·Σxy − Σx·Σy`,
+    * `a = n·Σx² − (Σx)²`, `b = n·Σy² − (Σy)²` all exact longs — so
+    * the coefficient reproduces bit-identically (no float
+    * accumulation; the only float ops are two casts, one multiply,
+    * one sqrt, one division). Pairs with a degenerate side (zero
+    * variance or < 2 shared days) drop. Day-count vectors meet on
+    * the DAY (one join), pair sums are one hash aggregate.
+    *
+    * @return `(key_a, key_b, n_days, corr)` ordered rows
+    */
+  def dailyCorrelation(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("k"), col("d"))
+      .agg(count(lit(1)).as("y"))
+    val joined = daily.select(col("k").as("ka"), col("d"),
+        col("y").as("x"))
+      .join(daily.select(col("k").as("kb"), col("d"),
+        col("y").as("y")), Seq("d"))
+      .filter(col("ka") < col("kb"))
+    val sums = joined.groupBy(col("ka"), col("kb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 2)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val a = col("n") * col("sxx") - col("sx") * col("sx")
+    val b = col("n") * col("syy") - col("sy") * col("sy")
+    sums.filter(a > 0 && b > 0)
+      .select(col("ka").as("key_a"), col("kb").as("key_b"),
+        col("n").as("n_days"),
+        (num.cast("double") /
+          sqrt(a.cast("double") * b.cast("double"))).as("corr"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** Event-type co-occurrence support (the market-basket pair count):
+    * for each unordered type pair, how many entities produced BOTH —
+    * distinct (entity, type) pairs self-joined on the entity, support
+    * as exact ppm of the entity universe. The canonical association
+    * mining first step; at scale the join keys on the entity and a
+    * hot entity is bounded by the TYPE cardinality squared, not the
+    * row count.
+    *
+    * @return `(type_a, type_b, n_both, support_ppm)` ordered rows
+    */
+  def typeCooccurrence(events: DataFrame, keyCol: String,
+      typeCol: String): DataFrame = {
+    val ut = events.select(col(keyCol).as("u"), col(typeCol).as("t"))
+      .distinct()
+    val universe = ut.select(col("u")).distinct()
+      .agg(count(lit(1)).as("__co_total"))
+    ut.select(col("u"), col("t").as("ta"))
+      .join(ut.select(col("u"), col("t").as("tb")), Seq("u"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .crossJoin(broadcast(universe))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        intDiv(col("n_both") * lit(1000000L), col("__co_total"))
+          .as("support_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Trailing-7-day EXACT distinct entities per day (the rolling MAU
+    * shape, exact not sketched): each (entity, active-day) pair votes
+    * into the 7 windows ending on days d..d+6, a second distinct
+    * collapses multi-day entities per window, and only days the data
+    * actually contains report. Explode factor is the CONSTANT 7 —
+    * state never exceeds 7× the distinct (entity, day) pairs, the
+    * standard exact formulation that beats a 7-day self-join at any
+    * scale.
+    *
+    * @return `(day, n_distinct)` ordered by day
+    */
+  def rollingDistinct(events: DataFrame, keyCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val ud = events
+      .select(col(keyCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val days = ud.select(col("d")).distinct()
+    ud.select(col("u"),
+        explode(sequence(col("d"),
+          date_add(col("d"), windowDays - 1))).as("day"))
+      .distinct()
+      .join(days.select(col("d").as("day")), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(col("day").cast("timestamp").as("day"),
+        col("n_distinct"))
+      .orderBy(col("day"))
+  }
+
+  /** Period-over-period change report: per-bucket quantized total and
+    * the SIGNED ppm delta vs the previous bucket —
+    * `⌊(cur − prev)·10⁶ / prev⌋` with sign-explicit truncation, NULL
+    * for the first bucket. Totals ride DECIMAL(38,0); the lag window
+    * is over the BUCKET rollup (period-cardinality rows — bounded
+    * metadata, not data).
+    *
+    * @return `(bucket, total_c, change_ppm)` ordered by bucket
+    */
+  def periodChange(df: DataFrame, bucketCol: Column,
+      valueCol: String, valueScale: Long = 100L): DataFrame = {
+    val w = Window.orderBy(col("bucket"))
+    val totals = df
+      .select(bucketCol.as("bucket"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("vc").cast("decimal(38,0)")).cast("long")
+        .as("total_c"))
+    val prev = lag(col("total_c"), 1).over(w)
+    val num = (col("total_c") - prev) * lit(1000000L)
+    totals
+      .withColumn("change_ppm",
+        when(prev.isNull || prev === 0, lit(null).cast("long"))
+          .otherwise(when(num < 0, -intDiv(-num, prev))
+            .otherwise(intDiv(num, prev))))
+      .orderBy(col("bucket"))
   }
 
   /** Volume-weighted average price per bucket: `⌊Σ(p·q) / Σq⌋` on

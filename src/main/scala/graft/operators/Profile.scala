@@ -224,6 +224,37 @@ object Profile {
     * @return `(rule, n_rows, n_violations, passed)` — row rules
     *         first (given order), then foreign-key rules
     */
+  /** EQUI-DEPTH histogram (the optimizer-statistics bucket shape):
+    * `buckets − 1` boundaries from the EXACT quantile selection
+    * (`⌈k·n/buckets⌉`-th smallest via [[Quantiles.exactQuantiles]]'
+    * two-phase-rank machinery — parallel at any skew, never a
+    * driver-side sort), then each value's bucket is the count of
+    * boundaries STRICTLY below it (an explicit tie rule both engines
+    * replay). Heavy ties can legitimately leave buckets empty —
+    * absent rows, not zero rows. Values quantize to `valueScale`
+    * longs so selection and comparison are exact integers.
+    *
+    * @return `(bucket, n)` ordered by bucket (0-based)
+    */
+  def histogramEquiDepth(df: DataFrame,
+      valueCol: org.apache.spark.sql.Column, buckets: Int = 8,
+      valueScale: Long = 100L): DataFrame = {
+    require(buckets >= 2 && buckets <= 256,
+      s"buckets must be 2..256, got $buckets")
+    val vals = df.select(
+      round(valueCol * valueScale).cast("long").as("vc"))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = Quantiles.exactQuantiles(vals, col("vc"), Seq.empty,
+        qs)
+      .agg(sort_array(collect_list(col("value"))).as("__hd_b"))
+    vals.crossJoin(broadcast(bounds))
+      .select(size(filter(col("__hd_b"), b => b < col("vc")))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** Benford's-law first-digit audit (the classic fabricated-numbers
     * screen): the distribution of leading significant digits of a
     * positive amount column vs Benford's expectation. The digit comes

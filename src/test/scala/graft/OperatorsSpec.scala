@@ -1343,6 +1343,79 @@ class OperatorsSpec extends SparkTestBase {
     assert(deg === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("dailyCorrelation: perfect correlation and anti-correlation " +
+      "on hand-built series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(day: Int, n: Int, ty: String) = (1 to n).map(i =>
+      (Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), ty))
+    // a: 1,2,3 per day; b: 2,4,6 (corr +1); c: 3,2,1 (corr -1 vs a)
+    val events = (d(1, 1, "a") ++ d(2, 2, "a") ++ d(3, 3, "a") ++
+      d(1, 2, "b") ++ d(2, 4, "b") ++ d(3, 6, "b") ++
+      d(1, 3, "c") ++ d(2, 2, "c") ++ d(3, 1, "c"))
+      .toDF("ts", "event_type")
+    val got = graft.operators.EventOps.dailyCorrelation(events,
+      "event_type", "ts")
+      .select($"key_a", $"key_b", $"corr")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(got(("a", "b")) === 1.0)
+    assert(got(("a", "c")) === -1.0)
+    assert(got(("b", "c")) === -1.0)
+  }
+
+  test("typeCooccurrence: pair support over the entity universe") {
+    import spark.implicits._
+    // users: 1 {a,b}, 2 {a,b,c}, 3 {a}; universe 3
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"),
+      (2L, "b"), (2L, "c"), (3L, "a")).toDF("user_id", "event_type")
+    val got = graft.operators.EventOps.typeCooccurrence(df,
+      "user_id", "event_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 2L, 666666L),
+      ("a", "c", 1L, 333333L), ("b", "c", 1L, 333333L)))
+  }
+
+  test("rollingDistinct: trailing window counts multi-day users once") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    // user 1 active day 1 and 3; user 2 active day 3 only
+    val df = Seq((1L, ts(1)), (1L, ts(3)), (2L, ts(3)))
+      .toDF("user_id", "ts")
+    val got = graft.operators.EventOps.rollingDistinct(df,
+      "user_id", "ts", windowDays = 7)
+      .select($"day".cast("string"), $"n_distinct")
+      .as[(String, Long)].collect().toMap
+    // day 1 window: u1; day 3 window (trailing): u1 (once) + u2
+    assert(got === Map("2024-01-01 00:00:00" -> 1L,
+      "2024-01-03 00:00:00" -> 2L))
+  }
+
+  test("periodChange: signed ppm deltas, NULL first period") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01", 10.0), ("2024-02-01", 15.0),
+      ("2024-03-01", 12.0)).toDF("d", "v")
+    val got = graft.operators.EventOps.periodChange(df,
+      col("d").cast("date").cast("timestamp"), "v")
+      .select($"total_c", $"change_ppm")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got === Seq((1000L, None), (1500L, Some(500000L)),
+      (1200L, Some(-200000L))))
+  }
+
+  test("histogramEquiDepth: near-equal buckets on a uniform column; " +
+      "strict-below tie rule") {
+    import spark.implicits._
+    val df = (1 to 80).map(_.toDouble).toDF("v")
+    val got = graft.operators.Profile.histogramEquiDepth(df, $"v",
+      buckets = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.sum === 80L)
+    assert(got.keySet === (0L to 7L).toSet)
+    assert(got.values.forall(n => n == 10L), got.toString)
+  }
+
   test("rougePairs: clipped overlap keeps multiplicity; zero-overlap " +
       "pairs still report") {
     import spark.implicits._
