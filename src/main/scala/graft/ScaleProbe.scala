@@ -125,7 +125,14 @@ object ScaleProbe {
     // lifecycles — the structural DML probes below own that shape.
     "q_ewma", "q_event_gaps", "q_ab_lift", "q_bollinger",
     "q_attribution_linear", "q_iqr_outliers", "q_vwap", "q_benford",
-    "q_chi_cells", "q_triangles", "q_degree_dist")
+    "q_chi_cells", "q_triangles", "q_degree_dist",
+    // round 17, second wave: daily-count pair correlation (day-joined
+    // rollups), co-occurrence self-join, rolling exact distinct
+    // (×7 explode + distinct), equi-depth histogram (two-phase-rank
+    // boundaries), LTTB (per-key bucket fold). q_mom_revenue's lag
+    // runs over period-cardinality rows — probed for the rollup side
+    "q_daily_corr", "q_cooccur", "q_rolling_distinct",
+    "q_hist_eqdepth", "q_lttb", "q_mom_revenue")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

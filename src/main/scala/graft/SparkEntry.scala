@@ -2934,6 +2934,15 @@ object SparkEntry {
     operators.TextSearch.rougePairs(
       t(s, dir, "documents").filter(col("doc_id") < 40), n = 2)
 
+  /** LTTB downsampling ([[operators.EventOps.lttb]]): endpoints +
+    * per-bucket largest-triangle selection against the previous pick
+    * and the next bucket's average, division-free integer cross
+    * products; the oracle replays the sequential selection as a
+    * recursive CTE over the bucket chain. */
+  private val qLttb: Q = (s, dir) =>
+    operators.EventOps.lttb(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "value")
+
   /** Daily-count Pearson correlation per event-type pair
     * ([[operators.EventOps.dailyCorrelation]]): integer sums, one
     * IEEE `num/sqrt(a·b)` tree — doubles hash bit-exact. */
@@ -3168,6 +3177,7 @@ object SparkEntry {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_forget_user" -> qForgetUser,
     "q_rouge_pairs" -> qRougePairs,
+    "q_lttb" -> qLttb,
     "q_daily_corr" -> qDailyCorr,
     "q_cooccur" -> qCooccur,
     "q_rolling_distinct" -> qRollingDistinct,
@@ -4474,6 +4484,55 @@ object SparkEntry {
         |SELECT 'orders', count(*), CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_custkey % 97 <> 0
         |ORDER BY tbl""".stripMargin,
+    // LTTB: the sequential largest-triangle selection replayed as a
+    // recursive CTE over the bucket chain — same rebased seconds,
+    // same division-free cross product, same (area, t, id) tie rule
+    "q_lttb" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 1000000 AS t0,
+        |    event_id AS i, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |b2 AS (SELECT k, t0 - min(t0) OVER (PARTITION BY k) AS t,
+        |    i, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY t0, i) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM base),
+        |fl AS (SELECT k, t, v, i FROM b2 WHERE rn = 1 OR rn = n),
+        |firstp AS (SELECT k, t AS ft, v AS fv FROM b2 WHERE rn = 1),
+        |lastp AS (SELECT k, t AS lt, v AS lv FROM b2 WHERE rn = n),
+        |inter AS (SELECT k, t, i, v, (rn - 2) // 20 AS b FROM b2
+        |  WHERE rn > 1 AND rn < n),
+        |bk AS (SELECT k, b,
+        |    list(struct_pack(t := t, i := i, v := v)
+        |      ORDER BY t, i) AS pts,
+        |    CAST(sum(t) AS BIGINT) AS st,
+        |    CAST(sum(v) AS BIGINT) AS sv, count(*) AS m
+        |  FROM inter GROUP BY 1, 2),
+        |ch AS (SELECT bk.k AS k, bk.b AS b, pts,
+        |    coalesce(lead(st) OVER w2, lt) AS bx,
+        |    coalesce(lead(sv) OVER w2, lv) AS by2,
+        |    coalesce(lead(m) OVER w2, 1) AS bm
+        |  FROM bk JOIN lastp ON lastp.k = bk.k
+        |  WINDOW w2 AS (PARTITION BY bk.k ORDER BY bk.b)),
+        |rec AS (
+        |  SELECT k, CAST(-1 AS BIGINT) AS b, ft AS selt,
+        |    fv AS selv, CAST(NULL AS BIGINT) AS seli
+        |  FROM firstp
+        |  UNION ALL
+        |  SELECT k, b, bp.t, bp.v, bp.i FROM (
+        |    SELECT c.k AS k, c.b AS b,
+        |      (list_sort(list_transform(c.pts, p -> struct_pack(
+        |        na := -abs((p.t - r.selt) *
+        |            (c.by2 - c.bm * r.selv) -
+        |          (c.bx - c.bm * r.selt) * (p.v - r.selv)),
+        |        t := p.t, i := p.i, v := p.v))))[1] AS bp
+        |    FROM rec r JOIN ch c ON c.k = r.k AND c.b = r.b + 1) q)
+        |SELECT k AS user_id, selt AS t_s, selv AS value_c,
+        |  seli AS id
+        |FROM rec WHERE b >= 0
+        |UNION ALL
+        |SELECT k, t, v, i FROM fl
+        |ORDER BY user_id, t_s, id""".stripMargin,
     // daily-count correlation: exact integer sums over shared days,
     // one num/sqrt(a*b) tree — textually parallel double ops
     "q_daily_corr" ->

@@ -779,6 +779,105 @@ object EventOps {
       .orderBy(col(keyCol))
   }
 
+  /** LTTB time-series downsampling (largest-triangle-three-buckets,
+    * Steinarsson 2013 — the standard visual downsampler): endpoints
+    * always kept, interior points split into fixed-size buckets, and
+    * each bucket contributes the point forming the LARGEST triangle
+    * with the PREVIOUSLY SELECTED point and the NEXT bucket's
+    * average. Entirely integer: times rebase to per-key SECONDS,
+    * values quantize to `valueScale` longs, and the triangle compare
+    * is the cross product SCALED BY the next bucket's size
+    * (`|（a−p)×(Σb − m·p)|` — the division-free form), so selection
+    * is exact and engine-replayable; ties break (smaller t, smaller
+    * id). Per-key state is the bucketed point array (the funnel
+    * bound); buckets carry their successor's sums via one `lead`
+    * window so the fold is a single map-side pass.
+    *
+    * @return `(key, t_s, value_c, id)` selected points, ordered
+    */
+  def lttb(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, bucketSize: Int = 20,
+      valueScale: Long = 100L): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1: $bucketSize")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("i"))
+    // one generation of the ranked base: endpoints, interior buckets
+    // and the two anchor-point sides all read this checkpoint (four
+    // consumers would otherwise re-execute the window pipeline)
+    val based = events
+      .select(col(keyCol).as("k"),
+        intDiv(unix_micros(col(tsCol)), lit(1000000L)).as("t0"),
+        col(idCol).as("i"),
+        round(col(valueCol) * valueScale).cast("long").as("v"))
+      .withColumn("t", col("t0") -
+        min(col("t0")).over(Window.partitionBy(col("k"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("k"))))
+      .localCheckpoint(eager = false)
+    val firstLast = based.filter(col("rn") === 1 || col("rn") === col("n"))
+      .select(col("k"), col("t"), col("v"), col("i"))
+    val interior = based.filter(col("rn") > 1 && col("rn") < col("n"))
+      .withColumn("b", intDiv(col("rn") - 2L, lit(bucketSize.toLong)))
+    val buckets = interior
+      .groupBy(col("k"), col("b"))
+      .agg(sort_array(collect_list(
+          struct(col("t"), col("i"), col("v")))).as("pts"),
+        sum(col("t")).as("st"), sum(col("v")).as("sv"),
+        count(lit(1)).as("m"))
+    val lastPt = based.filter(col("rn") === col("n"))
+      .select(col("k"), col("t").as("lt"), col("v").as("lv"))
+    val wb = Window.partitionBy(col("k")).orderBy(col("b"))
+    val chained = buckets
+      .withColumn("nst", lead(col("st"), 1).over(wb))
+      .withColumn("nsv", lead(col("sv"), 1).over(wb))
+      .withColumn("nm", lead(col("m"), 1).over(wb))
+      .join(lastPt, Seq("k"))
+      .select(col("k"), col("b"), col("pts"),
+        coalesce(col("nst"), col("lt")).as("bx"),
+        coalesce(col("nsv"), col("lv")).as("by"),
+        coalesce(col("nm"), lit(1L)).as("bm"))
+    val firstPt = based.filter(col("rn") === 1)
+      .select(col("k"), col("t").as("ft"), col("v").as("fv"))
+    // fold buckets in order: acc = (prev t, prev v, selected so far)
+    val zero = struct(col("ft").as("pt"), col("fv").as("pv"),
+      array().cast(
+        "array<struct<t:bigint,i:bigint,v:bigint>>").as("out"))
+    val folded = chained
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("b"), col("pts"),
+        col("bx"), col("by"), col("bm")))).as("bks"))
+      .join(firstPt, Seq("k"))
+      .withColumn("st", aggregate(col("bks"), zero, (acc, bk) => {
+        val px = acc.getField("pt")
+        val py = acc.getField("pv")
+        // selection key: (-area2m, t, id) ascending == largest
+        // triangle first, then earliest, then smallest id
+        val keys = transform(bk.getField("pts"), p => {
+          val area = abs(
+            (p.getField("t") - px) * (bk.getField("by") -
+              bk.getField("bm") * py) -
+            (bk.getField("bx") - bk.getField("bm") * px) *
+              (p.getField("v") - py))
+          struct((-area).as("na"), p.getField("t").as("t"),
+            p.getField("i").as("i"), p.getField("v").as("v"))
+        })
+        val best = element_at(array_sort(keys), 1)
+        struct(best.getField("t").as("pt"),
+          best.getField("v").as("pv"),
+          array_append(acc.getField("out"),
+            struct(best.getField("t").as("t"),
+              best.getField("i").as("i"),
+              best.getField("v").as("v"))).as("out"))
+      }))
+      .select(col("k"), explode(col("st.out")).as("p"))
+      .select(col("k"), col("p.t").as("t"), col("p.v").as("v"),
+        col("p.i").as("i"))
+    folded.unionByName(firstLast)
+      .select(col("k").as(keyCol), col("t").as("t_s"),
+        col("v").as("value_c"), col("i").as("id"))
+      .orderBy(col(keyCol), col("t_s"), col("id"))
+  }
+
   /** Pearson correlation of two keys' DAILY event counts, for every
     * key pair — "which metrics move together". The integer layer
     * (daily counts, Σx/Σy/Σxy/Σx²/Σy² over the pair's SHARED days)

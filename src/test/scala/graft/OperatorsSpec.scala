@@ -1343,6 +1343,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(deg === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("lttb: endpoints kept, largest-triangle pick per bucket, " +
+      "area ties break to the earliest point") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val v = Seq(0.0, 10.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0)
+    val df = v.zipWithIndex.map { case (x, i) =>
+      (1L, Timestamp.valueOf(f"2024-01-01 00:00:0$i"), i.toLong, x)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventOps.lttb(df, "user_id", "ts",
+      "event_id", "value", bucketSize = 2)
+      .select($"id").as[Long].collect().toSeq
+    // b0 {1,2}: spike t=1 wins; b1 {3,4}: from the spike the far-low
+    // t=3 forms the bigger triangle; b2 {5,6}: flat tie -> t=5
+    assert(got === Seq(0L, 1L, 3L, 5L, 7L))
+  }
+
   test("dailyCorrelation: perfect correlation and anti-correlation " +
       "on hand-built series") {
     import spark.implicits._
