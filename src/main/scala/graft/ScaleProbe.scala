@@ -132,7 +132,12 @@ object ScaleProbe {
     // boundaries), LTTB (per-key bucket fold). q_mom_revenue's lag
     // runs over period-cardinality rows — probed for the rollup side
     "q_daily_corr", "q_cooccur", "q_rolling_distinct",
-    "q_hist_eqdepth", "q_lttb", "q_mom_revenue")
+    "q_hist_eqdepth", "q_lttb", "q_mom_revenue",
+    // round 17: the GraphX -> DataFrame CC rewrite at 10× — the
+    // near-dup pair graph grows with real content and the
+    // large-star/small-star rounds must track edges, not pay
+    // per-round floors that scale with anything else
+    "q_dedup_cluster", "q_fuzzy_canon")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -257,6 +257,77 @@ class OperatorsSpec extends SparkTestBase {
     })
   }
 
+  test("clusters: random graphs match a local union-find reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val nNodes = 30 + rnd.nextInt(120)
+      val nEdges = 1 + rnd.nextInt(3 * nNodes)
+      val pairs = (1 to nEdges).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      // union-find with union-by-min: the final root IS the
+      // component minimum (a smaller root never gets re-parented)
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(n => n -> find(n.toInt).toLong).toMap
+      val got = Dedup.clusters(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect,
+        s"trial $trial: nNodes=$nNodes nEdges=$nEdges")
+    }
+  }
+
+  test("lttb: structural invariants on random series (endpoints, " +
+      "one pick per bucket, ascending)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 3 + rnd.nextInt(60)
+      val rows = (0 until n).map { i =>
+        (1L, new Timestamp(1700000000000L + i * 1000L), i.toLong,
+          rnd.nextInt(1000) / 10.0)
+      }
+      val got = graft.operators.EventOps.lttb(
+        rows.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "event_id", "value", bucketSize = 5)
+        .select($"t_s", $"id").as[(Long, Long)].collect().toSeq
+      val expectCount = 2 + math.ceil((n - 2) / 5.0).toInt
+      assert(got.size === expectCount, s"trial $trial n=$n")
+      assert(got.head._2 === 0L && got.last._2 === (n - 1).toLong)
+      assert(got.map(_._1) === got.map(_._1).sorted, "not ascending")
+    }
+  }
+
+  test("ewma: random series match a local integer fold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(11)
+    val n = 50
+    val rows = (0 until n).map { i =>
+      (1L, new Timestamp(1700000000000L + i * 1000L), i.toLong,
+        rnd.nextInt(100000) / 100.0)
+    }
+    val got = graft.operators.EventOps.ewma(
+      rows.toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value")
+      .select($"event_id", $"ewma_c6").as[(Long, Long)]
+      .collect().toMap
+    var s = 0L
+    rows.foreach { case (_, _, i, v) =>
+      val vc6 = math.round(v * 100) * 1000000L
+      s = if (i == 0L) vc6 else (vc6 + s) / 2
+      assert(got(i) === s, s"at $i")
+    }
+  }
+
   test("dedupCorpus: one call from corpus to representatives") {
     val base = (1 to 80).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 76).map(i => s"word$i").mkString(" ") + " tail bits"
