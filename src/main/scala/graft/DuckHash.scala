@@ -512,6 +512,52 @@ private[graft] object DuckHash {
        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Oracle for `q_clustering_coeff` — per-node triangle count from
+    * the same ordered-wedge join, degree from both endpoints, exact
+    * ppm coefficient for degree ≥ 2 nodes. */
+  def clusteringCoeffOracle(minJaccard: Double = 0.2): String =
+    s"""WITH $minhashJaccardCtes,
+       |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jac
+       |  WHERE j >= $minJaccard),
+       |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tpn AS (SELECT node, count(*) AS triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+       |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY 1)
+       |SELECT deg.node AS node, degree,
+       |  CAST(coalesce(tpn.triangles, 0) AS BIGINT) AS triangles,
+       |  CAST((CAST(coalesce(tpn.triangles, 0) AS HUGEINT) * 2000000)
+       |    // (degree * (degree - 1)) AS BIGINT) AS cc_ppm
+       |FROM deg LEFT JOIN tpn ON tpn.node = deg.node
+       |WHERE degree >= 2 ORDER BY node""".stripMargin
+
+  /** Oracle for `q_component_sizes` — the min-label closure's
+    * per-cluster member counts, histogrammed. */
+  def componentSizesOracle(minJaccard: Double = 0.2): String =
+    s"""WITH RECURSIVE $minhashJaccardCtes,
+       |pairsx AS MATERIALIZED (SELECT id_a, id_b FROM jac
+       |  WHERE j >= $minJaccard),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst
+       |  FROM pairsx UNION SELECT id_b, id_a FROM pairsx),
+       |verts AS (SELECT DISTINCT src AS vid FROM edges),
+       |reach(vid, anc) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT e.dst, r.anc FROM reach r JOIN edges e
+       |    ON e.src = r.vid
+       |  WHERE r.anc < e.dst
+       |),
+       |cl AS (SELECT vid, min(anc) AS cluster FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+       |  FROM cl GROUP BY 1)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+       |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle for `q_lang_id` (guessed, n) — per-char script
     * classification in the Scala else-if order, then stopword voting
     * with maxBy's (count, code) tie-break, exactly

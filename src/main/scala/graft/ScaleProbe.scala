@@ -137,7 +137,11 @@ object ScaleProbe {
     // near-dup pair graph grows with real content and the
     // large-star/small-star rounds must track edges, not pay
     // per-round floors that scale with anything else
-    "q_dedup_cluster", "q_fuzzy_canon")
+    "q_dedup_cluster", "q_fuzzy_canon",
+    // round 17, third wave: the clamp-at-zero balance (two windows
+    // over user-offset-inflated events); clustering coefficient and
+    // component sizes ride the already-probed triangle/CC machinery
+    "q_capped_balance", "q_clustering_coeff", "q_component_sizes")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

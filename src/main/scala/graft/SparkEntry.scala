@@ -2934,6 +2934,31 @@ object SparkEntry {
     operators.TextSearch.rougePairs(
       t(s, dir, "documents").filter(col("doc_id") < 40), n = 2)
 
+  /** Local clustering coefficient over the near-dup pair graph
+    * ([[operators.GraphOps.clusteringCoefficient]]): triangles per
+    * corner / degree-choose-2, exact ppm. */
+  private val qClusteringCoeff: Q = (s, dir) =>
+    operators.GraphOps.clusteringCoefficient(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
+  /** Component-size histogram of the same graph ([[operators
+    * .GraphOps.componentSizes]]): the dedup-graph health check,
+    * riding the DataFrame large-star/small-star closure. */
+  private val qComponentSizes: Q = (s, dir) =>
+    operators.GraphOps.componentSizes(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
+  /** Capped running balance ([[operators.EventOps
+    * .cappedRunningBalance]]): purchases draw down, everything else
+    * credits; the clamp-at-zero fold via its two-window closed form
+    * — no recursion on either engine. */
+  private val qCappedBalance: Q = (s, dir) =>
+    operators.EventOps.cappedRunningBalance(t(s, dir, "events"),
+      "user_id", "ts", "event_id",
+      when(col("event_type") === "purchase", -col("value"))
+        .otherwise(col("value")))
+      .orderBy(col("user_id"), col("event_id"))
+
   /** LTTB downsampling ([[operators.EventOps.lttb]]): endpoints +
     * per-bucket largest-triangle selection against the previous pick
     * and the next bucket's average, division-free integer cross
@@ -3178,6 +3203,9 @@ object SparkEntry {
     "q_forget_user" -> qForgetUser,
     "q_rouge_pairs" -> qRougePairs,
     "q_lttb" -> qLttb,
+    "q_clustering_coeff" -> qClusteringCoeff,
+    "q_component_sizes" -> qComponentSizes,
+    "q_capped_balance" -> qCappedBalance,
     "q_daily_corr" -> qDailyCorr,
     "q_cooccur" -> qCooccur,
     "q_rolling_distinct" -> qRollingDistinct,
@@ -4305,6 +4333,26 @@ object SparkEntry {
     "q_dedup_cluster" -> DuckHash.dedupClusterOracle(0.2),
     "q_triangles" -> DuckHash.trianglesOracle(0.2),
     "q_degree_dist" -> DuckHash.degreeOracle(0.2),
+    "q_clustering_coeff" -> DuckHash.clusteringCoeffOracle(0.2),
+    "q_component_sizes" -> DuckHash.componentSizesOracle(0.2),
+    // capped balance: the clamp-at-zero fold's closed form
+    // b = prefix - min(0, running-min(prefix)), two windows
+    "q_capped_balance" ->
+      """WITH x AS (SELECT user_id AS k, epoch_us(ts) AS t,
+        |    event_id AS i,
+        |    CAST(round((CASE WHEN event_type = 'purchase'
+        |      THEN -value ELSE value END) * 100) AS BIGINT) AS d
+        |  FROM events),
+        |w1 AS (SELECT k, t, i, d,
+        |    CAST(sum(d) OVER win AS BIGINT) AS p FROM x
+        |  WINDOW win AS (PARTITION BY k ORDER BY t, i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT k, i, d, p, min(p) OVER win2 AS rm FROM w1
+        |  WINDOW win2 AS (PARTITION BY k ORDER BY t, i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS user_id, i AS event_id, d AS delta_c,
+        |  p - least(0, rm) AS balance_c
+        |FROM w2 ORDER BY user_id, event_id""".stripMargin,
     // integer EWMA: the same fixed-point recurrence as a recursive
     // CTE on HUGEINT, iterating per-key event rank
     "q_ewma" ->

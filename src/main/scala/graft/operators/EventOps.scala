@@ -779,6 +779,34 @@ object EventOps {
       .orderBy(col(keyCol))
   }
 
+  /** Capped running balance (inventory / credit semantics): per key,
+    * the running sum of signed quantized deltas CLAMPED below at
+    * zero — `b_i = max(0, b_{i−1} + d_i)` — via its CLOSED FORM
+    * `b_i = prefix_i − min(0, min_{j≤i} prefix_j)`: two plain
+    * windows over one key partition, NO recursion, exact integers —
+    * the scale shape a row-by-row stateful fold cannot give.
+    *
+    * @param deltaCol signed delta expression (caller encodes
+    *                 withdrawal sign), quantized by `valueScale`
+    * @return `(key, id, delta_c, balance_c)` ordered rows
+    */
+  def cappedRunningBalance(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, deltaCol: Column,
+      valueScale: Long = 100L): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("t"),
+        col(idCol).as("i"),
+        round(deltaCol * valueScale).cast("long").as("d"))
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("rm", min(col("p")).over(w))
+      .select(col("k").as(keyCol), col("i").as(idCol),
+        col("d").as("delta_c"),
+        (col("p") - least(lit(0L), col("rm"))).as("balance_c"))
+  }
+
   /** LTTB time-series downsampling (largest-triangle-three-buckets,
     * Steinarsson 2013 — the standard visual downsampler): endpoints
     * always kept, interior points split into fixed-size buckets, and

@@ -68,4 +68,58 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
   }
+
+  /** Local clustering coefficient per node with degree ≥ 2:
+    * `2·triangles(v)·10⁶ // (deg·(deg−1))` — exact integer ppm (the
+    * triangle count comes from the SAME ordered-wedge enumeration as
+    * [[triangles]], each triangle credited to its three corners by
+    * one explode). The "is this neighborhood a clique or a hub"
+    * readout over a dedup/link graph.
+    *
+    * @return `(node, degree, triangles, cc_ppm)` ordered by node
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(x),
+          ColumnBridge.expression(y)))
+    val e = edges(pairs, aCol, bCol)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+    val triPerNode = triangles(pairs, aCol, bCol)
+      .select(explode(array(col("a"), col("b"), col("c")))
+        .as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("triangles"))
+    deg.filter(col("degree") >= 2)
+      .join(triPerNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .select(col("node"), col("degree"), col("triangles"),
+        intDiv(col("triangles") * lit(2000000L),
+          col("degree") * (col("degree") - 1L)).as("cc_ppm"))
+      .orderBy(col("node"))
+  }
+
+  /** Connected-component SIZE distribution: how many components have
+    * each member count — the dedup-graph health histogram (a giant
+    * component is a shingle storm; healthy near-dup graphs are
+    * dominated by 2s and 3s). Rides [[Dedup.clusters]]' DataFrame
+    * large-star/small-star closure plus two hash aggregates.
+    *
+    * @return `(size, n_components)` ordered by size
+    */
+  def componentSizes(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame =
+    Dedup.clusters(pairs, aCol, bCol)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy(col("size"))
 }

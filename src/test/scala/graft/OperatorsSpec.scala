@@ -1503,6 +1503,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.values.forall(n => n == 10L), got.toString)
   }
 
+  test("GraphOps: clustering coefficient and component sizes on a " +
+      "known graph") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 3-4; separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val cc = graft.operators.GraphOps.clusteringCoefficient(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // node 1,2: deg 2, 1 triangle -> cc 1e6; node 3: deg 3, 1
+    // triangle -> 2e6//6 = 333333; degree-1 nodes drop
+    assert(cc === Seq((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)))
+    val sizes = graft.operators.GraphOps.componentSizes(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(sizes === Map(4L -> 1L, 2L -> 1L))
+  }
+
+  test("cappedRunningBalance: clamps at zero and recovers") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // deltas +5, -8 (clamp), +3, -1 -> balances 5, 0, 3, 2
+    val df = Seq((1L, ts(1), 1L, 5.0), (1L, ts(2), 2L, -8.0),
+      (1L, ts(3), 3L, 3.0), (1L, ts(4), 4L, -1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventOps.cappedRunningBalance(df,
+      "user_id", "ts", "event_id", col("value"))
+      .select($"event_id", $"balance_c").as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(1L -> 500L, 2L -> 0L, 3L -> 300L, 4L -> 200L))
+  }
+
   test("rougePairs: clipped overlap keeps multiplicity; zero-overlap " +
       "pairs still report") {
     import spark.implicits._
