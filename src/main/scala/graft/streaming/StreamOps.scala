@@ -797,7 +797,11 @@ object StreamOps {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            Iterator.single(FunnelHit(key, fold(st.evs), st.t1))
+            // a timeout on a state with no step-1 yet is pure
+            // cleanup (the re-awake scheduled below): the entity
+            // never entered the funnel, so nothing emits
+            if (st.t1 == Long.MinValue) Iterator.empty
+            else Iterator.single(FunnelHit(key, fold(st.evs), st.t1))
           } else {
             val wmMicros = state.getCurrentWatermarkMs() * 1000L
             val prev = state.getOption

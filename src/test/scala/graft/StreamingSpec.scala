@@ -165,6 +165,62 @@ class StreamingSpec extends SparkTestBase {
     assert(batch === feedCounts, s"batch=$batch feed=$feedCounts")
   }
 
+  test("funnelFeed: a funnel already closed by the watermark " +
+      "finalizes on the data path; later events cannot reopen it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.funnelFeed(input.toDF(), "user_id", "ts",
+        "event_type", Seq("view", "cart", "buy"),
+        windowMicros = 10L * 60 * 1000000, watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_closed").start()
+    try {
+      input.addData(E(1, ts(0), 7, "view", 0))
+      q.processAllAvailable()
+      // advance the watermark far past t1+window…
+      input.addData(E(98, Timestamp.valueOf("2024-01-01 11:00:00"),
+        -1, "flush", 0.0))
+      q.processAllAvailable()
+      // …then hand the entity NEW data: the invocation sees the
+      // stored funnel already decidable and emits it inline; the
+      // new event is outside the window and cannot reopen anything
+      input.addData(E(2, Timestamp.valueOf("2024-01-01 11:00:00"),
+        7, "cart", 0.0))
+      q.processAllAvailable()
+      input.addData(E(99, Timestamp.valueOf("2024-01-02 00:00:00"),
+        -1, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_closed")
+      .select($"entity", $"steps_reached").as[(String, Int)]
+      .collect().toSeq
+    assert(got === Seq(("7", 1)), got.toString)
+  }
+
+  test("funnelFeed: entities that never reach step 1 emit nothing " +
+      "(cleanup timeout is silent)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.funnelFeed(input.toDF(), "user_id", "ts",
+        "event_type", Seq("view", "cart", "buy"),
+        windowMicros = 10L * 60 * 1000000, watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_nostep1").start()
+    try {
+      // cart/buy without a view: never enters the funnel
+      input.addData(E(1, ts(1), 5, "cart", 0),
+        E(2, ts(2), 5, "buy", 0))
+      q.processAllAvailable()
+      input.addData(E(99, Timestamp.valueOf("2024-01-02 00:00:00"),
+        -1, "flush", 0.0))
+      q.processAllAvailable()
+      input.addData(E(100, Timestamp.valueOf("2024-01-03 00:00:00"),
+        -1, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("funnel_nostep1").count() === 0)
+  }
+
   test("retentionFeed: exactly-once (entity, week) feed on the " +
       "date_trunc week grid; batch retention derives from it") {
     def d(s: String) = Timestamp.valueOf(s)
