@@ -235,13 +235,28 @@ class StreamingSpec extends SparkTestBase {
         watermark = "1 hour")
       .writeStream.outputMode("append").format("memory")
       .queryName("ret_feed").start()
+    var stateAfterEvict = -1L
     try {
       input.addData(events.take(2))
       q.processAllAvailable()
       input.addData(events.drop(2))
       q.processAllAvailable()
+      // the scale claim: dedup state EVICTS once the watermark
+      // passes a week's end — drive the watermark far ahead and
+      // confirm the state store does not retain the old weeks
+      input.addData(E(99, d("2024-06-01 00:00:00"), -1, "a", 0))
+      q.processAllAvailable()
+      input.addData(E(100, d("2024-07-01 00:00:00"), -1, "a", 0))
+      q.processAllAvailable()
+      stateAfterEvict =
+        q.lastProgress.stateOperators.head.numRowsTotal
     } finally q.stop()
+    // only the watermark-recent rows may remain (the two flush
+    // entities); the January weeks must be gone
+    assert(stateAfterEvict >= 0 && stateAfterEvict <= 2,
+      s"dedup state not evicted: $stateAfterEvict rows retained")
     val got = spark.table("ret_feed")
+      .filter($"entity" =!= "-1") // drop the watermark-driver rows
       .select($"entity", $"week_start".cast("string"))
       .as[(String, String)].collect().toSeq
     assert(got.size === got.distinct.size, s"duplicate feed row: $got")
