@@ -51,7 +51,28 @@ object Bench {
     // code change on either path) join for fresh-JVM adjudication;
     // q_dedup_cluster additionally pins the GraphX -> DataFrame
     // large-star/small-star CC rewrite
-    "q_dedup_cluster", "q_agg_hash")
+    "q_dedup_cluster", "q_agg_hash",
+    // round 18: the three round-17 driver-ledger movers (4.8x/2.7x/
+    // 2.4x driver-vs-builder with no code change on their paths —
+    // the JVM-state-phantom signature) join for the prescribed
+    // fresh-JVM min-of-3 adjudication
+    "q_tpch_q8", "q_unigram_encode", "q_tumbling_window")
+
+  /** Queries that stand up a full table/DML/stream LIFECYCLE inside
+    * the gated query (create + write + mutate + read back), as opposed
+    * to pure-plan queries that only read the shared parquet inputs.
+    * Lifecycle cycles are the right thing to gate for the lakehouse
+    * surface, but their cost is dominated by commit/stream machinery,
+    * not plan quality — so the bench reports the two populations'
+    * rates separately (the serial-rate drift rounds 15-17 was entirely
+    * accumulated lifecycle queries, not plan regressions). */
+  val LifecycleQueries: Set[String] = Set(
+    "q_wap_publish", "q_postings_tail", "q_trending_exact",
+    "q_multimodal_decode", "q_delete_from", "q_dv_delete",
+    "q_time_travel", "q_cdf", "q_bloom_lookup",
+    "q_hidden_partitioning", "q_data_skipping", "q_data_skipping_ts",
+    "q_mv_refresh", "q_interval_join", "q_update", "q_merge_upsert",
+    "q_snapshot_diff", "q_forget_user", "q_profile_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,8 +161,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sub = subset.map(_ => ",\"subset\":true").getOrElse("")
+    // two-tier rates: pure-plan operators vs full lifecycle cycles
+    val (lifeQ, opQ) = results.partition(r => LifecycleQueries(r._1))
+    def rate(rs: Seq[(String, Double)]): String = {
+      val n = rs.size
+      val s = rs.map(_._2).sum
+      val r = if (n == 0) 0.0 else s / n
+      f""""n":$n,"sec":$s%.3f,"rate":$r%.3f"""
+    }
+    val tiers =
+      s""","operator_tier":{${rate(opQ)}},"lifecycle_tier":{${rate(lifeQ)}}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$sub}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$sub$tiers}"""
     println(full)
     // FILE ledger: the driver captures only the last ~2 KB of stdout,
     // which a 137-entry queries map outruns — every round 12-14 bench

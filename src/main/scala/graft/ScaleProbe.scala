@@ -508,6 +508,57 @@ object ScaleProbe {
         f""""ratio":${len(2L).toDouble / len(1L)}%.6f}""")
     }
 
+    // planted-hub graph probe: triangle machinery on an ADVERSARIAL
+    // degree distribution — one node of degree ~10³ over a sparse
+    // background ring. The (degree, id) orientation charges every
+    // hub edge to its leaf end, so the hub pivots zero wedges; a
+    // plain id orientation would pivot ~half the hub's neighbor
+    // pairs (~125k wedges from one node). Both wedge volumes are
+    // computed structurally (Σ C(out-degree, 2) under each
+    // orientation) — the printed ratio IS the curse-of-the-last-
+    // reducer guard, independent of timer noise.
+    locally {
+      val n = 20000L
+      val hubDeg = 1000L
+      val ring = spark.range(n).select(col("id").as("id_a"),
+        ((col("id") + 1L) % n).as("id_b"))
+        .unionAll(spark.range(n).select(col("id").as("id_a"),
+          ((col("id") + 2L) % n).as("id_b")))
+      // the hub is node 0 — the id-order WORST case (every hub edge
+      // orients hub→leaf, so the hub pivots all its neighbor pairs)
+      val hub = spark.range(1L, hubDeg + 1L).select(lit(0L).as("id_a"),
+        (col("id") * 7L % n).as("id_b"))
+      val pairs = ring.unionAll(hub)
+      def wedgeVolume(orientByDegree: Boolean): Long = {
+        val e = pairs.select(least(col("id_a"), col("id_b")).as("a"),
+            greatest(col("id_a"), col("id_b")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val oriented = if (!orientByDegree) e.select(col("a").as("lo"))
+        else {
+          val deg = e.select(col("a").as("n"))
+            .unionAll(e.select(col("b").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          e.join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+            .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+            .select(when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+              col("a")).otherwise(col("b")).as("lo"))
+        }
+        oriented.groupBy(col("lo")).agg(count(lit(1)).as("o"))
+          .agg(sum(col("o") * (col("o") - 1L) / 2L)).head.getLong(0)
+      }
+      val wDeg = wedgeVolume(orientByDegree = true)
+      val wId = wedgeVolume(orientByDegree = false)
+      val t0 = System.nanoTime()
+      val nTri = operators.GraphOps.triangles(pairs).count()
+      val tTri = (System.nanoTime() - t0) / 1e9
+      println(f"""{"q":"graph_planted_hub","nodes":$n,""" +
+        f""""hub_degree":$hubDeg,"wedges_degree_ordered":$wDeg,""" +
+        f""""wedges_id_ordered":$wId,""" +
+        f""""hub_suppression":${wId.toDouble / math.max(wDeg, 1L)}%.2f,""" +
+        f""""triangles":$nTri,"t_triangles":$tTri%.2f}""")
+    }
+
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

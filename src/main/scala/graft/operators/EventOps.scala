@@ -561,22 +561,41 @@ object EventOps {
     * engine replays the smoother bit-for-bit (the DuckDB oracle runs
     * the same recurrence as a recursive CTE on HUGEINT). The per-key
     * fold runs map-side over the key's (ts, id)-sorted event array —
-    * the funnel pattern: ONE hash shuffle, no window machinery, array
-    * bounded by the per-key event count.
+    * the funnel pattern: ONE key shuffle, array bounded by
+    * `maxEventsPerKey`.
+    *
+    * '''Hot-entity contract''': each step floors, so the recurrence
+    * cannot be segment-composed exactly — the per-key array is the
+    * only exact evaluation, and an uncapped hot key (one bot holding
+    * 0.1% of a 100 TB event table) would be a multi-GB single row.
+    * The smoother therefore replays each key's EARLIEST
+    * `maxEventsPerKey` events in `(ts, id)` order and drops the tail
+    * (the sessionPaths row-number cut): every emitted row is
+    * bit-identical to the uncapped run, and a key past the cap emits
+    * a truncated — never an approximated — series. The cut runs as a
+    * rank window BEFORE the collect, so the oversized key spills in
+    * the sort instead of materializing in the aggregation buffer.
     *
     * @return `(key, id, value_c, ewma_c6)`: the quantized value and
     *         the EWMA at `valueScale`·10⁶ fixed point
     */
   def ewma(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, alphaNum: Long = 1L,
-      alphaDen: Long = 2L, valueScale: Long = 100L): DataFrame = {
+      alphaDen: Long = 2L, valueScale: Long = 100L,
+      maxEventsPerKey: Int = 1 << 20): DataFrame = {
     require(alphaNum > 0 && alphaDen >= alphaNum,
       s"alpha must be in (0, 1]: $alphaNum/$alphaDen")
+    require(maxEventsPerKey > 0,
+      s"maxEventsPerKey must be positive: $maxEventsPerKey")
+    val rnW = Window.partitionBy(col("k"))
+      .orderBy(col("e.t"), col("e.i"))
     val byKey = events
       .select(col(keyCol).as("k"),
         struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
           round(col(valueCol) * valueScale).cast("long").as("vc"))
           .as("e"))
+      .withColumn("__ew_rn", row_number().over(rnW))
+      .filter(col("__ew_rn") <= maxEventsPerKey)
       .groupBy(col("k"))
       .agg(sort_array(collect_list(col("e"))).as("evs"))
     val folded = byKey.withColumn("st",
@@ -626,6 +645,12 @@ object EventOps {
     * ppm (`⌊x·10⁶/y⌋`), so the readout is engine-exact. Two hash
     * aggregates plus a 1-row control broadcast.
     *
+    * The control scalar is a global aggregate (always exactly one
+    * row), so a missing control — no entity hashed to variant 0, or
+    * a control with zero conversions making lift undefined — fails
+    * the job with a clear message instead of silently emitting an
+    * empty or divide-by-zero result.
+    *
     * @return `(variant, users, converters, conv_ppm, lift_ppm)` —
     *         `lift_ppm` is the SIGNED relative delta vs control
     */
@@ -643,14 +668,21 @@ object EventOps {
         sum(col("converted")).as("converters"))
       .withColumn("conv_ppm",
         intDiv(col("converters") * lit(1000000L), col("users")))
-    val control = perVariant.filter(col("variant") === 0)
-      .select(col("conv_ppm").as("__ab_p0"))
-    val num = (col("conv_ppm") - col("__ab_p0")) * lit(1000000L)
+    // global aggregate, not a filter: exactly ONE row whatever the
+    // data, null when variant 0 is absent — checked at runtime below
+    val control = perVariant
+      .agg(max(when(col("variant") === 0, col("conv_ppm")))
+        .as("__ab_p0"))
+    val p0 = when(col("__ab_p0").isNull || col("__ab_p0") === 0,
+      raise_error(lit("abLift: control variant 0 is empty or has " +
+        "zero conversions — lift is undefined")))
+      .otherwise(col("__ab_p0"))
+    val num = (col("conv_ppm") - p0) * lit(1000000L)
     perVariant.crossJoin(broadcast(control))
       .select(col("variant"), col("users"), col("converters"),
         col("conv_ppm"),
-        when(num < 0, -intDiv(-num, col("__ab_p0")))
-          .otherwise(intDiv(num, col("__ab_p0"))).as("lift_ppm"))
+        when(num < 0, -intDiv(-num, p0))
+          .otherwise(intDiv(num, p0)).as("lift_ppm"))
       .orderBy(col("variant"))
   }
 

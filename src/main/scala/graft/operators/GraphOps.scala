@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * [[Dedup.clusters]] (large-star/small-star).
   *
   * Scale shape: edges canonicalize to `a < b` once; triangle
-  * enumeration is the two-join ordered-wedge plan (Suri & Vassilvitskii
-  * 2011, "Counting Triangles and the Curse of the Last Reducer" —
-  * ordering by id bounds each wedge pivot's fan-out to its
-  * HIGHER-id neighbors), and a skewed hub is an ordinary hot join key
-  * under AQE. Nothing is quadratic in nodes; all joins key on node
-  * ids.
+  * enumeration is the two-join ordered-wedge plan of Suri &
+  * Vassilvitskii 2011 ("Counting Triangles and the Curse of the Last
+  * Reducer") with the construction's actual total order — edges are
+  * oriented low→high along '''(degree, id)''', so a hub is never a
+  * wedge pivot: its wedges are charged to its (rarer) higher-degree
+  * neighbors, bounding total wedge volume at O(m^1.5) instead of the
+  * O(Σ deg²) an id-only orientation pays on a skewed graph. A skewed
+  * hub is then an ordinary hot join key under AQE. Nothing is
+  * quadratic in nodes; all joins key on node ids.
   */
 object GraphOps {
 
@@ -33,21 +36,52 @@ object GraphOps {
         greatest(col("u"), col("v")).as("b"))
       .distinct()
 
-  /** All triangles `(a, b, c)` with `a < b < c`: wedge join
-    * `e(a,b) ⋈ e(b,c)` then the closing-edge probe `e(a,c)` — two
-    * hash joins on node ids, each triangle emitted exactly once.
+  /** All triangles `(a, b, c)` with `a < b < c`: orient every edge
+    * low→high along the `(degree, id)` total order, wedge-join at the
+    * low endpoint, then probe the closing edge — two hash joins on
+    * node ids, each triangle emitted exactly once (at its unique
+    * order-minimum corner).
     *
-    * @return `(a, b, c)` ordered rows
+    * Degree ordering is what makes this survive a hub: a node of
+    * degree d pivots only its order-HIGHER neighbors, of which there
+    * are at most O(√m), so a degree-10⁶ hub contributes O(m) wedges,
+    * not 10¹². The output triangle set is identical to any other
+    * orientation — only the wedge volume changes.
+    *
+    * @return `(a, b, c)` ordered rows, ids ascending within each row
     */
   def triangles(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
     val e = edges(pairs, aCol, bCol)
-    val wedges = e.select(col("a"), col("b"))
-      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge (lo ≺ hi); the hi endpoint carries its degree so
+    // the wedge join can order the two spokes without another lookup.
+    // Shared by the wedge self-join and the closing probe — one lazy
+    // checkpoint so the 3-consumer subplan runs once.
+    val o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
+      .localCheckpoint(eager = false)
+    val wedges = o.select(col("lo"), col("hi").as("x"), col("dhi").as("dx"))
+      .join(o.select(col("lo"), col("hi").as("y"), col("dhi").as("dy")),
+        Seq("lo"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
     wedges
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"),
-        "left_semi")
-      .select(col("a"), col("b"), col("c"))
+      .join(o.select(col("lo").as("x"), col("hi").as("y")),
+        Seq("x", "y"), "left_semi")
+      .select(array_sort(array(col("lo"), col("x"), col("y"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
       .orderBy(col("a"), col("b"), col("c"))
   }
 
@@ -101,8 +135,12 @@ object GraphOps {
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .select(col("node"), col("degree"), col("triangles"),
-        intDiv(col("triangles") * lit(2000000L),
-          col("degree") * (col("degree") - 1L)).as("cc_ppm"))
+        // product on decimal(38,0): a degree-10⁶ hub's triangle count
+        // × 2e6 overflows BIGINT silently where the oracle's HUGEINT
+        // does not (vwap/chiCells precedent)
+        intDiv(col("triangles").cast("decimal(38,0)") * lit(2000000L),
+          (col("degree") * (col("degree") - 1L)).cast("decimal(38,0)"))
+          .as("cc_ppm"))
       .orderBy(col("node"))
   }
 

@@ -209,21 +209,6 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
-  /** The COMBINED data-quality suite (the full Deequ shape): row
-    * expectations and referential (foreign-key) rules in ONE report
-    * with the [[expectations]] schema — a foreign-key rule's
-    * violations are its orphan count ([[riCheck]] semantics: LEFT
-    * ANTI join, NULL child keys count as orphans) and its `n_rows`
-    * is the child row count. Row rules still collapse into one
-    * map-side-combinable aggregate over one scan; each foreign-key
-    * rule is one anti-join whose strategy Catalyst picks per side
-    * stats. This is what `CALL graft.system.dq_check` runs when a
-    * rule uses the `foreign_key(child_col, parent, parent_col)` form.
-    *
-    * @param fkRules `(rule, childKeyCol, parent, parentKeyCol)`
-    * @return `(rule, n_rows, n_violations, passed)` — row rules
-    *         first (given order), then foreign-key rules
-    */
   /** EQUI-DEPTH histogram (the optimizer-statistics bucket shape):
     * `buckets − 1` boundaries from the EXACT quantile selection
     * (`⌈k·n/buckets⌉`-th smallest via [[Quantiles.exactQuantiles]]'
@@ -324,6 +309,21 @@ object Profile {
       .orderBy(col("a"), col("b"))
   }
 
+  /** The COMBINED data-quality suite (the full Deequ shape): row
+    * expectations and referential (foreign-key) rules in ONE report
+    * with the [[expectations]] schema — a foreign-key rule's
+    * violations are its orphan count ([[riCheck]] semantics: LEFT
+    * ANTI join, NULL child keys count as orphans) and its `n_rows`
+    * is the child row count. Row rules still collapse into one
+    * map-side-combinable aggregate over one scan; each foreign-key
+    * rule is one anti-join whose strategy Catalyst picks per side
+    * stats. This is what `CALL graft.system.dq_check` runs when a
+    * rule uses the `foreign_key(child_col, parent, parent_col)` form.
+    *
+    * @param fkRules `(rule, childKeyCol, parent, parentKeyCol)`
+    * @return `(rule, n_rows, n_violations, passed)` — row rules
+    *         first (given order), then foreign-key rules
+    */
   def dqSuite(df: DataFrame,
       rowRules: Seq[(String, org.apache.spark.sql.Column)],
       fkRules: Seq[(String, String, DataFrame, String)] = Nil)

@@ -733,8 +733,11 @@ object StreamOps {
   }
 
   /** Per-entity funnel state: buffered (micros, step-type) events
-    * plus the earliest step-1 time seen so far. */
-  case class FunnelBuf(evs: Seq[(Long, String)], t1: Long)
+    * plus the earliest step-1 time seen so far. `done = true` marks
+    * the post-finalize TOMBSTONE — the entity's hit already emitted,
+    * later sessions are suppressed until the tombstone expires. */
+  case class FunnelBuf(evs: Seq[(Long, String)], t1: Long,
+    done: Boolean = false)
   /** A finalized per-entity funnel outcome. */
   case class FunnelHit(entity: String, steps_reached: Int,
     t1_micros: Long)
@@ -750,6 +753,16 @@ object StreamOps {
     * the earliest qualifying event). The aggregate `(step, users)`
     * batch answer is `groupBy(steps_reached >= k)` over this feed.
     *
+    * '''Re-entry''': finalizing leaves a small TOMBSTONE in state
+    * (no event buffer, just the done flag) for `tombstoneMicros` of
+    * event time, so an entity whose second session starts a new
+    * funnel after the first one closed does NOT emit a second hit —
+    * matching the batch operator, which anchors on the single
+    * globally-earliest step-1. An entity re-entering after the
+    * tombstone expires (default 30 days) emits again; parity against
+    * a batch window longer than that requires downstream
+    * min-by-`t1_micros` dedup, which the feed's schema supports.
+    *
     * State per entity is the PRUNED buffer: only step-type events,
     * only those at most `windowMicros` after the earliest step-1 seen
     * (events beyond the window can never qualify for ANY candidate
@@ -763,9 +776,13 @@ object StreamOps {
     */
   def funnelFeed(stream: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowMicros: Long,
-      watermark: String = "10 minutes"): Dataset[FunnelHit] = {
+      watermark: String = "10 minutes",
+      tombstoneMicros: Long = 30L * 24 * 3600 * 1000000L)
+      : Dataset[FunnelHit] = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    require(tombstoneMicros >= 0,
+      s"tombstoneMicros must be >= 0: $tombstoneMicros")
     val spark = stream.sparkSession
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
@@ -794,19 +811,64 @@ object StreamOps {
       .flatMapGroupsWithState[FunnelBuf, FunnelHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state) =>
+          // convert finalize into a tombstone instead of removing:
+          // a later session's step-1 must not re-emit the entity
+          def finalizeToTombstone(t1: Long): Unit = {
+            val wmMs = state.getCurrentWatermarkMs()
+            state.update(FunnelBuf(Seq.empty, t1, done = true))
+            state.setTimeoutTimestamp(math.max(wmMs + 1L,
+              (t1 + windowMicros + tombstoneMicros) / 1000L + 1L))
+          }
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
-            // a timeout on a state with no step-1 yet is pure
-            // cleanup (the re-awake scheduled below): the entity
-            // never entered the funnel, so nothing emits
-            if (st.t1 == Long.MinValue) Iterator.empty
-            else Iterator.single(FunnelHit(key, fold(st.evs), st.t1))
+            if (st.done) {
+              // tombstone expired: free the slot, nothing emits
+              state.remove()
+              Iterator.empty
+            } else if (st.t1 == Long.MinValue) {
+              // a timeout on a state with no step-1 yet is pure
+              // cleanup (the re-awake scheduled below): the entity
+              // never entered the funnel, so nothing emits
+              state.remove()
+              Iterator.empty
+            } else {
+              finalizeToTombstone(st.t1)
+              Iterator.single(FunnelHit(key, fold(st.evs), st.t1))
+            }
           } else {
             val wmMicros = state.getCurrentWatermarkMs() * 1000L
-            val prev = state.getOption
+            var incoming = rows.map(r => (r._3, r._4)).toSeq
+            var prev = state.getOption
               .getOrElse(FunnelBuf(Seq.empty, Long.MinValue))
-            var evs = prev.evs ++ rows.map(r => (r._3, r._4))
+            var suppressed = false
+            if (prev.done) {
+              // tombstone: expiry is EVENT-time-exact, not
+              // timeout-batch-exact — an event later than the expiry
+              // must start a fresh funnel even when it lands in the
+              // batch where the tombstone's cleanup timeout is still
+              // pending (data groups process before timed-out ones)
+              val expiry = prev.t1 + windowMicros + tombstoneMicros
+              val fresh = incoming.filter(_._1 > expiry)
+              if (fresh.isEmpty) {
+                // still inside the tombstone: suppress the session.
+                // Spark cancels a group's timeout on every
+                // invocation, so the expiry must be RE-ARMED or the
+                // tombstone (and the suppression) would live forever
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1L,
+                  expiry / 1000L + 1L))
+                suppressed = true
+              } else {
+                // expired in event time: the fresh session replaces
+                // the tombstone (in-tombstone stragglers still drop)
+                state.remove()
+                prev = FunnelBuf(Seq.empty, Long.MinValue)
+                incoming = fresh
+              }
+            }
+            if (suppressed) Iterator.empty
+            else {
+            var evs = prev.evs ++ incoming
             val t1 = evs.iterator
               .collect { case (t, ty) if ty == steps.head => t }
               .foldLeft(Long.MinValue)((a, b) =>
@@ -829,13 +891,14 @@ object StreamOps {
               val closeMs = (t1 + windowMicros) / 1000L + 1L
               if (closeMs <= wmMicros / 1000L) {
                 // the window already closed within this batch
-                state.remove()
+                finalizeToTombstone(t1)
                 Iterator.single(FunnelHit(key, fold(evs), t1))
               } else {
                 state.update(FunnelBuf(evs, t1))
                 state.setTimeoutTimestamp(closeMs)
                 Iterator.empty
               }
+            }
             }
           }
       }
@@ -848,7 +911,14 @@ object StreamOps {
     * watermarked streaming dedup gives with state EVICTED once the
     * watermark passes a week's end. Weeks are the same Monday-start
     * grid as `date_trunc("week")` (7-day windows anchored to the
-    * epoch Monday 1969-12-29). Cohort assignment and the
+    * epoch Monday 1969-12-29) — '''under a UTC session timezone
+    * only''', which this operator REQUIRES (fail-fast below): the
+    * window grid is epoch-UTC-anchored while `date_trunc("week")`
+    * and the date cast truncate in session-local time, so any other
+    * session timezone would shift the feed's `week_start` off the
+    * batch operator's grid (e.g. onto Sundays) and silently break
+    * parity. The engine's sessions pin UTC everywhere; this guard
+    * makes the assumption explicit. Cohort assignment and the
     * (cohort, offset, users) rollup are cheap batch queries over the
     * accumulated feed: cohort = min(week_start) per entity — exact
     * because the feed holds every active week exactly once.
@@ -857,7 +927,17 @@ object StreamOps {
     *         emitted exactly once
     */
   def retentionFeed(stream: DataFrame, keyCol: String,
-      tsCol: String, watermark: String = "10 minutes"): DataFrame =
+      tsCol: String, watermark: String = "10 minutes"): DataFrame = {
+    val tz = stream.sparkSession.conf
+      .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    require(java.time.ZoneId.of(tz).normalized() ==
+      java.time.ZoneOffset.UTC ||
+      java.time.ZoneId.of(tz).getRules.isFixedOffset &&
+        java.time.ZoneId.of(tz).getRules.getOffset(java.time.Instant.EPOCH)
+          .getTotalSeconds == 0,
+      s"retentionFeed requires a UTC session timezone (got '$tz'): " +
+        "the 7-day window grid is epoch-UTC-anchored and only matches " +
+        "batch date_trunc('week') under UTC")
     stream
       .withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("string").as("entity"),
@@ -865,4 +945,5 @@ object StreamOps {
       .dropDuplicates("entity", "w")
       .select(col("entity"), col("w.start").cast("date")
         .as("week_start"))
+  }
 }

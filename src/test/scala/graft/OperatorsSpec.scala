@@ -1520,6 +1520,77 @@ class OperatorsSpec extends SparkTestBase {
     assert(sizes === Map(4L -> 1L, 2L -> 1L))
   }
 
+  test("GraphOps: planted hub — degree-ordered orientation keeps the " +
+      "triangle set and coefficients exact") {
+    import spark.implicits._
+    // hub 100 fans out to leaves 1..60; leaf edge 1-2 closes the only
+    // hub triangle; 200-201-202 is a detached triangle. Under the
+    // (degree, id) orientation the hub (degree 60) pivots ZERO wedges
+    // — both its triangle edges orient INTO it — yet the enumerated
+    // set must be identical to the definitional one.
+    val hub = (1L to 60L).map(l => (100L, l))
+    val pairs = (hub ++ Seq((1L, 2L), (200L, 201L), (201L, 202L),
+      (200L, 202L))).toDF("id_a", "id_b")
+    val tri = graft.operators.GraphOps.triangles(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tri === Seq((1L, 2L, 100L), (200L, 201L, 202L)))
+    val cc = graft.operators.GraphOps.clusteringCoefficient(pairs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // leaves 1,2: deg 2, 1 triangle -> 1e6; hub: deg 60, 1 triangle
+    // -> 2e6 // 3540 = 564; detached corners: deg 2 -> 1e6
+    assert(cc(1L) === ((2L, 1L, 1000000L)))
+    assert(cc(2L) === ((2L, 1L, 1000000L)))
+    assert(cc(100L) === ((60L, 1L, 564L)))
+    assert(cc(200L) === ((2L, 1L, 1000000L)))
+    // degree-1 leaves drop (degree >= 2 filter)
+    assert(!cc.contains(3L))
+  }
+
+  test("ewma: hot-key cap replays the earliest events exactly and " +
+      "drops the tail") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = (0 until 6).map(i =>
+      (1L, ts(i), i.toLong, (i + 1) * 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val full = graft.operators.EventOps.ewma(df, "user_id", "ts",
+      "event_id", "value")
+      .select($"event_id", $"ewma_c6").as[(Long, Long)]
+      .collect().toMap
+    val capped = graft.operators.EventOps.ewma(df, "user_id", "ts",
+      "event_id", "value", maxEventsPerKey = 3)
+      .select($"event_id", $"ewma_c6").as[(Long, Long)]
+      .collect().toMap
+    // exact prefix: first 3 events bit-identical, tail absent
+    assert(capped.keySet === Set(0L, 1L, 2L))
+    assert(capped === full.view.filterKeys(_ < 3L).toMap)
+  }
+
+  test("abLift: missing or zero-conversion control fails fast") {
+    import spark.implicits._
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).mkString(" | ")
+    // every key odd -> nobody hashes to variant 0
+    val noControl = Seq((1L, "buy"), (3L, "view"))
+      .toDF("user_id", "event_type")
+    val e1 = intercept[Throwable] {
+      graft.operators.EventOps.abLift(noControl, "user_id",
+        "event_type", "buy").collect()
+    }
+    assert(msgChain(e1).contains("control variant 0"), msgChain(e1))
+    // control exists but never converts -> lift undefined, same error
+    val zeroConv = Seq((2L, "view"), (1L, "buy"))
+      .toDF("user_id", "event_type")
+    val e2 = intercept[Throwable] {
+      graft.operators.EventOps.abLift(zeroConv, "user_id",
+        "event_type", "buy").collect()
+    }
+    assert(msgChain(e2).contains("control variant 0"), msgChain(e2))
+  }
+
   test("cappedRunningBalance: clamps at zero and recovers") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -197,6 +197,59 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Seq(("7", 1)), got.toString)
   }
 
+  test("funnelFeed: re-entry after a finalized funnel is suppressed " +
+      "by the tombstone, and re-emits only after it expires") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[E]
+    val q = StreamOps.funnelFeed(input.toDF(), "user_id", "ts",
+        "event_type", Seq("view", "cart", "buy"),
+        windowMicros = 10L * 60 * 1000000, watermark = "5 minutes",
+        tombstoneMicros = 60L * 60 * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_reentry").start()
+    try {
+      // the step-type filter sits below the watermark node after
+      // pushdown, so only STEP events advance the watermark; a
+      // sacrificial user-9 "view" is the watermark mover here
+      // session 1: full path, t1 = 10:01, window closes 10:11
+      input.addData(E(1, ts(1), 8, "view", 0),
+        E(2, ts(2), 8, "cart", 0), E(3, ts(3), 8, "buy", 0))
+      q.processAllAvailable()
+      // session 2 INSIDE the tombstone (expires 11:11): its own
+      // events move the watermark to 11:01 > 10:11, which both
+      // finalizes session 1 (hit 1 + tombstone) and is then
+      // suppressed by that tombstone
+      input.addData(E(4, d("2024-01-01 11:05:00"), 8, "view", 0),
+        E(5, d("2024-01-01 11:06:00"), 8, "cart", 0))
+      q.processAllAvailable()
+      // session 3 AFTER the event-time expiry: a fresh funnel
+      input.addData(E(6, d("2024-01-01 12:40:00"), 8, "view", 0),
+        E(7, d("2024-01-01 12:41:00"), 8, "cart", 0),
+        E(8, d("2024-01-01 12:42:00"), 8, "buy", 0))
+      q.processAllAvailable()
+      // watermark mover: 14:00 - 5 min > 12:50 closes session 3 on
+      // the auto-scheduled cleanup batch
+      input.addData(E(9, d("2024-01-01 14:00:00"), 9, "view", 0))
+      q.processAllAvailable()
+      input.addData(E(92, d("2024-01-02 00:00:00"), -1, "flush", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_reentry")
+      .filter($"entity" === "8")
+      .select($"steps_reached", $"t1_micros").as[(Int, Long)]
+      .collect().toSeq.sortBy(_._2)
+    // exactly TWO hits: session 1 and post-expiry session 3; the
+    // in-tombstone session 2 never emits
+    assert(got.map(_._1) === Seq(3, 3), got.toString)
+    assert(got.map(_._2).distinct.size === 2, got.toString)
+    val t1s = got.map(_._2)
+    assert(t1s.head ===
+      ts(1).getTime * 1000L, s"first t1 wrong: $got")
+    assert(t1s.last ===
+      d("2024-01-01 12:40:00").getTime * 1000L, s"second t1: $got")
+  }
+
   test("funnelFeed: entities that never reach step 1 emit nothing " +
       "(cleanup timeout is silent)") {
     implicit val sqlCtx = spark.sqlContext
@@ -219,6 +272,21 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
     assert(spark.table("funnel_nostep1").count() === 0)
+  }
+
+  test("retentionFeed: non-UTC session timezone is refused (the week " +
+      "grid only matches date_trunc under UTC)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.retentionFeed(input.toDF(), "user_id", "ts")
+      }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set(tzKey, saved)
   }
 
   test("retentionFeed: exactly-once (entity, week) feed on the " +
