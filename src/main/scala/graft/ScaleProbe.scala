@@ -545,7 +545,7 @@ object ScaleProbe {
               col("a")).otherwise(col("b")).as("lo"))
         }
         oriented.groupBy(col("lo")).agg(count(lit(1)).as("o"))
-          .agg(sum(col("o") * (col("o") - 1L) / 2L)).head.getLong(0)
+          .agg(sum(col("o") * (col("o") - 1L))).head.getLong(0) / 2
       }
       val wDeg = wedgeVolume(orientByDegree = true)
       val wId = wedgeVolume(orientByDegree = false)

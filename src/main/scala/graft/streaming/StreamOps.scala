@@ -946,4 +946,170 @@ object StreamOps {
       .select(col("entity"), col("w.start").cast("date")
         .as("week_start"))
   }
+
+  /** One open session run, COMPRESSED to its span and event count —
+    * membership in a gap-session depends only on interval chaining,
+    * so the run never needs its individual event times. */
+  case class SessRun(start: Long, last: Long, n: Long)
+  /** Per-entity session state: the open (not yet watermark-closed)
+    * runs, ascending by start. */
+  case class SessState(runs: Seq[SessRun])
+  /** A finalized session. */
+  case class ClosedSess(entity: String, session_start_us: Long,
+    session_end_us: Long, n_events: Long)
+
+  /** Streaming face of the batch gap-sessionization (`q_sessionize`'s
+    * lag+cumsum split): one row per CLOSED session, finalized exactly
+    * once when the watermark passes `session_end + gapMicros` — from
+    * that instant no in-watermark event can extend, bridge into, or
+    * insert inside the session (any new arrival has event time ≥ the
+    * watermark > end + gap, which by definition starts a later
+    * session). The batch per-entity rollup (n_sessions,
+    * max_session_events, total active seconds) is a cheap
+    * `groupBy(entity)` over this feed.
+    *
+    * State per entity is O(open sessions), NOT O(events): an event
+    * only ever joins/extends/bridges runs, so each run compresses to
+    * `(start, last, n)` — a bridging event merges two runs by
+    * interval arithmetic, an interior event just increments `n`.
+    * Open runs are bounded by watermark-delay ÷ gap plus in-flight
+    * future sessions; a hot entity costs a few dozen bytes, never a
+    * buffered history.
+    *
+    * @return `(entity, session_start_us, session_end_us, n_events)`,
+    *         one row per session, emitted exactly once
+    */
+  def sessionFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      gapMicros: Long, watermark: String = "10 minutes")
+      : Dataset[ClosedSess] = {
+    require(gapMicros > 0, s"gapMicros must be > 0: $gapMicros")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, ClosedSess](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          // uniform path: on timeout `rows` is empty and the advanced
+          // watermark alone decides which runs close
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val prevRuns = state.getOption.map(_.runs).getOrElse(Seq.empty)
+          val incoming = rows.map(r => SessRun(r._3, r._3, 1L)).toSeq
+          val runs = (prevRuns ++ incoming)
+            .sortBy(r => (r.start, r.last))
+            .foldLeft(Vector.empty[SessRun]) { (acc, r) =>
+              acc.lastOption match {
+                case Some(p) if r.start - p.last <= gapMicros =>
+                  acc.init :+ SessRun(p.start,
+                    math.max(p.last, r.last), p.n + r.n)
+                case _ => acc :+ r
+              }
+            }
+          val (closed, open) =
+            runs.partition(_.last + gapMicros < wmMicros)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessState(open))
+            // wake when the earliest open run's close time passes
+            state.setTimeoutTimestamp(
+              (open.map(_.last).min + gapMicros) / 1000L + 1L)
+          }
+          closed.iterator.map(r =>
+            ClosedSess(key, r.start, r.last, r.n))
+      }
+  }
+
+  /** A finalized last-touch attribution: one conversion event,
+    * credited channel (None = organic — no touch inside the
+    * lookback). */
+  case class AttributionHit(entity: String, conv_id: Long,
+    t_micros: Long, channel: Option[String])
+  /** Per-entity attribution state: the best (latest by (t, id))
+    * in-watermark touch, plus events still above the watermark. */
+  case class AttrState(bestT: Long, bestI: Long, bestTy: String,
+    hasTouch: Boolean, pending: Seq[(Long, Long, String)])
+
+  /** Streaming face of [[graft.operators.EventOps.attribution]]
+    * (last-touch): each conversion is credited to the entity's most
+    * recent non-conversion event within `lookbackMicros`, finalized
+    * exactly once when the watermark passes the conversion's event
+    * time — at that point every event ordered before it (the batch
+    * window's preceding frame) has arrived, so the credited channel
+    * equals the batch operator's bit-for-bit. The batch
+    * `(channel, conversions)` readout is a `groupBy(channel)` count
+    * over this feed.
+    *
+    * State per entity is ONE best touch plus the events still above
+    * the watermark (bounded by watermark-delay × event rate, the
+    * funnel bound): of all in-watermark touches only the (t, id)-max
+    * can ever be "most recent" for a future conversion, so history
+    * never buffers. An entity whose best touch ages past the
+    * lookback with nothing pending frees its state entirely.
+    *
+    * @return `(entity, conv_id, t_micros, channel)`, one row per
+    *         conversion, channel None = organic
+    */
+  def attributionFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, conversionType: String,
+      lookbackMicros: Long, watermark: String = "10 minutes")
+      : Dataset[AttributionHit] = {
+    require(lookbackMicros > 0,
+      s"lookbackMicros must be > 0: $lookbackMicros")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"), col(typeCol).as("ty"))
+      .as[(String, java.sql.Timestamp, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttributionHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(AttrState(0L, 0L, "", hasTouch = false, Seq.empty))
+          var best: Option[(Long, Long, String)] =
+            if (st.hasTouch) Some((st.bestT, st.bestI, st.bestTy))
+            else None
+          val all = (st.pending ++ rows.map(r => (r._3, r._4, r._5)))
+            .sortBy(e => (e._1, e._2))
+          // events strictly below the watermark are decidable (any
+          // later arrival sorts after them); walk them in batch order
+          val (ripe, pending) = all.partition(_._1 < wmMicros)
+          val hits = Vector.newBuilder[AttributionHit]
+          ripe.foreach { case (t, i, ty) =>
+            if (ty != conversionType) best = Some((t, i, ty))
+            else hits += AttributionHit(key, i, t,
+              best.collect {
+                case (bt, _, bty) if t - bt <= lookbackMicros => bty
+              })
+          }
+          val useless =
+            best.forall { case (bt, _, _) =>
+              bt + lookbackMicros < wmMicros }
+          if (pending.isEmpty && useless) state.remove()
+          else {
+            state.update(best match {
+              case Some((bt, bi, bty)) =>
+                AttrState(bt, bi, bty, hasTouch = true, pending)
+              case None =>
+                AttrState(0L, 0L, "", hasTouch = false, pending)
+            })
+            // wake when the earliest pending event ripens, or — with
+            // nothing pending — when the touch ages out
+            val wake =
+              if (pending.nonEmpty) pending.map(_._1).min
+              else best.map(_._1 + lookbackMicros).get
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
+          }
+          hits.result().iterator
+      }
+  }
 }

@@ -274,6 +274,139 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("funnel_nostep1").count() === 0)
   }
 
+  test("sessionFeed: closed sessions finalize once with exact spans; " +
+      "a late bridging event merges two open runs") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val gap = 30L * 60 * 1000000
+    val input = MemoryStream[E]
+    // 1-hour lateness allowance: the bridge event arrives a batch
+    // after later-timestamped events have already moved the watermark
+    val q = StreamOps.sessionFeed(input.toDF(), "user_id", "ts",
+        gapMicros = gap, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_feed").start()
+    var stateAfter = -1L
+    try {
+      // user 1 session A (10:00, 10:10); user 2 runs at 10:00 and
+      // 10:50 — 50 min apart, look like TWO sessions until the
+      // bridge lands
+      input.addData(E(1, d("2024-01-01 10:00:00"), 1, "a", 0),
+        E(2, d("2024-01-01 10:10:00"), 1, "a", 0),
+        E(3, d("2024-01-01 10:00:00"), 2, "a", 0),
+        E(4, d("2024-01-01 10:50:00"), 2, "a", 0))
+      q.processAllAvailable()
+      // the bridge: 10:25 is within 30 min of both user-2 runs
+      input.addData(E(5, d("2024-01-01 10:25:00"), 2, "a", 0))
+      q.processAllAvailable()
+      // user 1 session B, and the watermark mover past A+gap
+      input.addData(E(6, d("2024-01-01 11:30:00"), 1, "a", 0),
+        E(7, d("2024-01-01 11:40:00"), 1, "a", 0))
+      q.processAllAvailable()
+      input.addData(E(90, d("2024-01-01 14:00:00"), 99, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-01 18:00:00"), 99, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(92, d("2024-01-02 10:00:00"), 99, "wm", 0))
+      q.processAllAvailable()
+      val p = q.lastProgress
+      stateAfter = p.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    def us(s: String) = d(s).getTime * 1000L
+    val got = spark.table("sess_feed")
+      .filter($"entity".isin("1", "2"))
+      .select($"entity", $"session_start_us", $"session_end_us",
+        $"n_events").as[(String, Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set(
+      ("1", us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2L),
+      ("1", us("2024-01-01 11:30:00"), us("2024-01-01 11:40:00"), 2L),
+      ("2", us("2024-01-01 10:00:00"), us("2024-01-01 10:50:00"), 3L)),
+      got.toString)
+    // batch parity: the per-entity rollup over the feed equals the
+    // lag+cumsum batch split on the same user-1/2 events
+    val roll = spark.table("sess_feed")
+      .filter($"entity".isin("1", "2"))
+      .groupBy($"entity")
+      .agg(count(lit(1)).as("n_sessions"),
+        max($"n_events").as("max_session_events"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(roll === Map("1" -> ((2L, 2L)), "2" -> ((1L, 3L))))
+    // users 1/2 fully closed; only the mover's open run remains
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
+  }
+
+  test("attributionFeed: last-touch credit finalizes at the " +
+      "watermark; an out-of-order touch still wins; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val hour = 3600L * 1000000
+    val input = MemoryStream[E]
+    // 4-hour lateness allowance: the user-2 touch arrives a batch
+    // after a 13:00 event has already moved the watermark
+    val q = StreamOps.attributionFeed(input.toDF(), "user_id", "ts",
+        "event_id", "event_type", "buy", lookbackMicros = hour,
+        watermark = "4 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_feed").start()
+    var stateAfter = -1L
+    try {
+      // user 1: ad 10:00, email 10:05, buy 10:10 -> email;
+      // buy 13:00 -> organic (email is 2h55m old, past the 1h window)
+      input.addData(E(1, d("2024-01-01 10:00:00"), 1, "ad", 0),
+        E(2, d("2024-01-01 10:05:00"), 1, "email", 0),
+        E(3, d("2024-01-01 10:10:00"), 1, "buy", 0),
+        E(4, d("2024-01-01 13:00:00"), 1, "buy", 0))
+      q.processAllAvailable()
+      // user 2: the conversion arrives FIRST; the touch that should
+      // win arrives in a later micro-batch with an EARLIER event
+      // time — credit must still go to the touch (finalize-at-
+      // watermark, not finalize-at-arrival)
+      input.addData(E(5, d("2024-01-01 10:30:00"), 2, "buy", 0))
+      q.processAllAvailable()
+      input.addData(E(6, d("2024-01-01 10:20:00"), 2, "ad", 0))
+      q.processAllAvailable()
+      // watermark movers: finalize everything, then age every touch
+      // past the lookback so per-entity state frees
+      input.addData(E(90, d("2024-01-01 16:00:00"), 99, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-01 22:00:00"), 99, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(92, d("2024-01-02 10:00:00"), 99, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(93, d("2024-01-03 10:00:00"), 99, "wm", 0))
+      q.processAllAvailable()
+      val p = q.lastProgress
+      stateAfter = p.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    val got = spark.table("attr_feed")
+      .filter($"entity".isin("1", "2"))
+      .select($"conv_id", $"channel").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(3L -> Some("email"), 4L -> None,
+      5L -> Some("ad")), got.toString)
+    // batch parity: the channel rollup over the feed equals
+    // EventOps.attribution on the same user-1/2 events
+    val events = Seq(
+      (1L, d("2024-01-01 10:00:00"), 1L, "ad"),
+      (2L, d("2024-01-01 10:05:00"), 1L, "email"),
+      (3L, d("2024-01-01 10:10:00"), 1L, "buy"),
+      (4L, d("2024-01-01 13:00:00"), 1L, "buy"),
+      (5L, d("2024-01-01 10:30:00"), 2L, "buy"),
+      (6L, d("2024-01-01 10:20:00"), 2L, "ad"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val batch = graft.operators.EventOps.attribution(events,
+      "user_id", "ts", "event_id", "event_type", "buy", hour)
+      .as[(Option[String], Long)].collect().toMap
+    val feed = got.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(batch === feed, s"batch=$batch feed=$feed")
+    // users 1/2 fully aged out and freed; at most the final
+    // watermark-mover's own in-flight event remains
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
+  }
+
   test("retentionFeed: non-UTC session timezone is refused (the week " +
       "grid only matches date_trunc under UTC)") {
     implicit val sqlCtx = spark.sqlContext

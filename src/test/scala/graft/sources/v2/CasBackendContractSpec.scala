@@ -45,7 +45,13 @@ class CasBackendContractSpec extends SparkTestBase {
         val server = new CasServer(walPath = Some(dir.resolve("wal")))
         (new TcpCasBackend("127.0.0.1", server.port),
           () => server.close())
-      }))
+      }),
+      // the cloud-native adapter: claims as objects under S3-style
+      // conditional writes (If-None-Match put, If-Match self-copy) —
+      // the simulation carries S3's documented atomicity surface, so
+      // passing here proves the seam needs nothing beyond that API
+      ("s3-conditional", () =>
+        (new S3CasBackend(new SimulatedS3Store), () => ())))
 
   private def eachBackend(f: CasBackend => Unit): Unit =
     backends.foreach { case (name, mk) =>
@@ -53,6 +59,31 @@ class CasBackendContractSpec extends SparkTestBase {
       try withClue(s"[$name backend] ")(f(b))
       finally cleanup()
     }
+
+  test("s3 adapter: a claim swept between the lost conditional put " +
+      "and the read-back re-races the put instead of lying") {
+    val real = new SimulatedS3Store
+    assert(new S3CasBackend(real).putIfAbsent("k", "standing")
+      == "standing")
+    // interpose on GET: the first read observes the sweeper deleting
+    // the standing claim — exactly the race window the retry loop
+    // exists for. The adapter must then WIN the re-raced put.
+    val racy = new ConditionalObjectStore {
+      private var firstGet = true
+      def putIfNoneMatch(k: String, v: Array[Byte]) =
+        real.putIfNoneMatch(k, v)
+      def get(k: String) =
+        if (firstGet) { firstGet = false; real.delete(k); None }
+        else real.get(k)
+      def delete(k: String) = real.delete(k)
+      def list(p: String) = real.list(p)
+      def touchIfMatch(k: String, e: Array[Byte]) =
+        real.touchIfMatch(k, e)
+    }
+    assert(new S3CasBackend(racy).putIfAbsent("k", "late") == "late",
+      "after the sweep the slot is free — the retry must claim it")
+    assert(new S3CasBackend(real).get("k") == Some("late"))
+  }
 
   test("contract: putIfAbsent admits exactly one winner across " +
       "racing threads; everyone observes it") {
