@@ -536,6 +536,40 @@ private[graft] object DuckHash {
        |FROM deg LEFT JOIN tpn ON tpn.node = deg.node
        |WHERE degree >= 2 ORDER BY node""".stripMargin
 
+  /** Oracle for `q_pagerank` — the UNROLLED integer PageRank over the
+    * same replayed near-dup pair graph: each iteration is one chained
+    * CTE running the identical fixed-point step
+    * `((den−num)·scale + num·Σ(pr//d)) // den`, so the ranks are
+    * engine-exact (floors replayed at every step, non-negative
+    * operands so `//` ≡ Spark's IntegralDivide). */
+  def pageRankOracle(minJaccard: Double = 0.2, iters: Int = 3,
+      scale: Long = 1000000L, alphaNum: Long = 85L,
+      alphaDen: Long = 100L): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dir.dst AS node, sum(r${k - 1}.pr // deg.d) AS cs
+         |  FROM dir JOIN r${k - 1} ON r${k - 1}.node = dir.src
+         |    JOIN deg ON deg.src = dir.src
+         |  GROUP BY 1),
+         |r$k AS (SELECT deg.src AS node,
+         |    CAST((${(alphaDen - alphaNum) * scale} +
+         |      $alphaNum * coalesce(c$k.cs, 0)) // $alphaDen AS BIGINT)
+         |      AS pr
+         |  FROM deg LEFT JOIN c$k ON c$k.node = deg.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashJaccardCtes,
+       |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jac
+       |  WHERE j >= $minJaccard),
+       |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM dir
+       |  GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST($scale AS BIGINT) AS pr
+       |  FROM deg),
+       |$steps
+       |SELECT node, pr AS pr_c FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `q_component_sizes` — the min-label closure's
     * per-cluster member counts, histogrammed. */
   def componentSizesOracle(minJaccard: Double = 0.2): String =

@@ -2839,6 +2839,73 @@ object SparkEntry {
     operators.GraphOps.degreeDistribution(
       Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
 
+  /** Unrolled 3-iteration integer PageRank over the near-dup pair
+    * graph ([[operators.GraphOps.pageRank]]) — which documents anchor
+    * a near-dup neighborhood. The oracle replays the identical
+    * fixed-point iterations as chained CTEs on the same replayed
+    * pair graph. */
+  private val qPageRank: Q = (s, dir) =>
+    operators.GraphOps.pageRank(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
+  /** Max drawdown per user over the (ts, id)-ordered value series
+    * ([[operators.EventOps.maxDrawdown]]): one running-max window +
+    * one rollup, exact cents. */
+  private val qDrawdown: Q = (s, dir) =>
+    operators.EventOps.maxDrawdown(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "value")
+
+  /** Cohort LTV curve ([[operators.EventOps.cohortLtv]]): the money
+    * twin of q_retention — revenue cents per (cohort week, offset)
+    * plus the running cumulative over rollup rows. */
+  private val qCohortLtv: Q = (s, dir) =>
+    operators.EventOps.cohortLtv(t(s, dir, "events"), "user_id", "ts",
+      "value")
+      .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+        col("week_offset"), col("revenue_c"), col("cum_revenue_c"))
+
+  /** WAU / trailing-4-week MAU stickiness ppm per active week
+    * ([[operators.EventOps.stickiness]]): the rollingDistinct
+    * vote-explode shape — exact distincts, no self-join. */
+  private val qStickiness: Q = (s, dir) =>
+    operators.EventOps.stickiness(t(s, dir, "events"), "user_id", "ts")
+
+  /** Discrete churn-hazard table by cohort age
+    * ([[operators.EventOps.churnHazard]]): last-observed-week churn
+    * over reverse-cumulative at-risk counts, exact ppm. */
+  private val qHazard: Q = (s, dir) =>
+    operators.EventOps.churnHazard(t(s, dir, "events"), "user_id",
+      "ts")
+
+  /** Engagement-inequality Gini per event type
+    * ([[operators.EventOps.gini]]): exact rational over scale-safe
+    * two-phase ranks — the skew early-warning readout. */
+  private val qGini: Q = (s, dir) =>
+    operators.EventOps.gini(t(s, dir, "events"), "user_id",
+      "event_type")
+
+  /** RFM segmentation ([[operators.EventOps.rfm]]): quartile buckets
+    * by the explicit `⌊(rank−1)·4/n⌋+1` rule over distributed
+    * row_numbers — deterministic, ntile-free. */
+  private val qRfm: Q = (s, dir) =>
+    operators.EventOps.rfm(t(s, dir, "events"), "user_id", "ts",
+      "value")
+
+  /** Single change-point per user ([[operators.EventOps
+    * .changepoint]]): argmax of the floored two-segment SSE-reduction
+    * score over prefix sums — binary segmentation's first split,
+    * engine-exact. */
+  private val qChangepoint: Q = (s, dir) =>
+    operators.EventOps.changepoint(t(s, dir, "events"), "user_id",
+      "ts", "event_id", "value")
+
+  /** Integer Flesch readability ([[operators.TextStats
+    * .readability]]): whitespace words, `[.!?]+` sentences,
+    * vowel-group syllables, milli-scaled score with disclosed
+    * floors. */
+  private val qReadability: Q = (s, dir) =>
+    operators.TextStats.readability(t(s, dir, "documents"))
+
   /** Snapshot diff: DELETE + UPDATE + INSERT against a scratch graft
     * table, then the row-level diff of `VERSION AS OF 1` vs current —
     * removed / changed / added per key via one full-outer join on the
@@ -3211,6 +3278,16 @@ object SparkEntry {
     "q_rolling_distinct" -> qRollingDistinct,
     "q_mom_revenue" -> qMomRevenue,
     "q_hist_eqdepth" -> qHistEqdepth,
+    // round 18
+    "q_pagerank" -> qPageRank,
+    "q_drawdown" -> qDrawdown,
+    "q_cohort_ltv" -> qCohortLtv,
+    "q_stickiness" -> qStickiness,
+    "q_hazard" -> qHazard,
+    "q_gini" -> qGini,
+    "q_rfm" -> qRfm,
+    "q_changepoint" -> qChangepoint,
+    "q_readability" -> qReadability,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -4655,6 +4732,147 @@ object SparkEntry {
         |    AS bucket,
         |  count(*) AS n
         |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // round 18: unrolled integer PageRank over the replayed pair graph
+    "q_pagerank" -> DuckHash.pageRankOracle(0.2),
+    // max drawdown: running max window + rollup, exact cents
+    "q_drawdown" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |p AS (SELECT user_id, vc, max(vc) OVER (PARTITION BY user_id
+        |    ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(vc) AS BIGINT) AS peak_c,
+        |  CAST(max(peak - vc) AS BIGINT) AS max_drawdown_c
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cohort LTV: retention's grid with cent sums + running cumulative
+    "q_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT f.cw,
+        |    CAST(datediff('day', f.cw, date_trunc('week', e.ts)) // 7
+        |      AS BIGINT) AS week_offset,
+        |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_c
+        |  FROM events e JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cw AS TIMESTAMP) AS cohort_week, week_offset,
+        |  revenue_c,
+        |  CAST(sum(revenue_c) OVER (PARTITION BY cw
+        |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_revenue_c
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // stickiness: WAU / trailing-4-week MAU via the vote explode
+    "q_stickiness" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    date_trunc('week', ts) AS w FROM events),
+        |wa AS (SELECT w, CAST(count(*) AS BIGINT) AS wau FROM uw
+        |  GROUP BY 1),
+        |votes AS (SELECT DISTINCT u, w + i * INTERVAL 7 DAY AS wv
+        |  FROM uw, unnest([0, 1, 2, 3]) AS t(i)),
+        |ma AS (SELECT wv AS w, CAST(count(*) AS BIGINT) AS mau
+        |  FROM votes WHERE wv IN (SELECT w FROM uw) GROUP BY 1)
+        |SELECT CAST(w AS TIMESTAMP) AS week, wau, mau,
+        |  CAST((wau * 1000000) // mau AS BIGINT) AS stickiness_ppm
+        |FROM wa JOIN ma USING (w) ORDER BY week""".stripMargin,
+    // Gini: exact rational over ascending-count row_numbers
+    "q_gini" ->
+      """WITH pu AS (SELECT event_type AS ty, user_id AS u,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT ty, x, row_number() OVER (PARTITION BY ty
+        |    ORDER BY x, u) AS i FROM pu)
+        |SELECT ty AS event_type, count(*) AS n_entities,
+        |  CAST(sum(x) AS BIGINT) AS total_events,
+        |  CAST((2 * sum(CAST(i AS HUGEINT) * x) -
+        |      (count(*) + 1) * sum(x)) * 1000000
+        |    // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // RFM: explicit ⌊(rank−1)·4/n⌋+1 buckets over row_numbers
+    "q_rfm" ->
+      """WITH pu AS (SELECT user_id AS u, max(CAST(ts AS DATE))
+        |      AS lastd,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS mon
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(lastd) AS gmax FROM pu),
+        |b AS (SELECT u, CAST(datediff('day', lastd, gmax) AS BIGINT)
+        |    AS rec, freq, mon FROM pu, g),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY rec DESC, u) AS rrn,
+        |    row_number() OVER (ORDER BY freq, u) AS frn,
+        |    row_number() OVER (ORDER BY mon, u) AS mrn,
+        |    count(*) OVER () AS n FROM b)
+        |SELECT u AS user_id, rec AS recency_days, freq AS frequency,
+        |  mon AS monetary_c,
+        |  CAST(((rrn - 1) * 4) // n + 1 AS BIGINT) AS r_bucket,
+        |  CAST(((frn - 1) * 4) // n + 1 AS BIGINT) AS f_bucket,
+        |  CAST(((mrn - 1) * 4) // n + 1 AS BIGINT) AS m_bucket,
+        |  CAST((((rrn - 1) * 4) // n + 1) * 100 +
+        |    (((frn - 1) * 4) // n + 1) * 10 +
+        |    (((mrn - 1) * 4) // n + 1) AS BIGINT) AS segment
+        |FROM r ORDER BY user_id""".stripMargin,
+    // changepoint: floored SSE-reduction argmax over prefix sums —
+    // the same (sorted array → indexed list transform → struct
+    // argmax) shape as q_lttb's oracle
+    "q_changepoint" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id AS i,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |s AS (SELECT user_id, list_transform(
+        |      list_sort(list(struct_pack(t := tu, i := i, v := vc))),
+        |      r -> r.v) AS vs
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+        |    list_transform(vs, (x, j) ->
+        |      CAST(list_sum(vs[1:j]) AS HUGEINT)) AS pre
+        |  FROM s WHERE len(vs) >= 2),
+        |b AS (SELECT user_id, n, pre[CAST(n AS INTEGER)] AS s1,
+        |    (list_sort(list_transform(pre[1:CAST(n - 1 AS INTEGER)],
+        |      (sp, k) -> struct_pack(
+        |        negs := -((sp * sp * (n - k) +
+        |          (pre[CAST(n AS INTEGER)] - sp) *
+        |          (pre[CAST(n AS INTEGER)] - sp) * k)
+        |          // (k * (n - k))),
+        |        k := CAST(k AS BIGINT), sp := sp))))[1] AS best
+        |  FROM p)
+        |SELECT user_id, n AS n_events, best.k AS split_idx,
+        |  CAST(best.sp // best.k AS BIGINT) AS left_mean_c,
+        |  CAST((s1 - best.sp) // (n - best.k) AS BIGINT)
+        |    AS right_mean_c
+        |FROM b ORDER BY user_id""".stripMargin,
+    // readability: integer Flesch with disclosed floors
+    "q_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '') AS ws,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS sents
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(sents AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(ws, w -> greatest(1,
+        |      len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM d WHERE len(ws) >= 1)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(206835 - (1015 * n_words) // n_sentences
+        |    - (84600 * n_syllables) // n_words AS BIGINT)
+        |    AS fre_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // churn hazard: last-observed-week churn / reverse-cumulative risk
+    "q_hazard" ->
+      """WITH s AS (SELECT user_id, date_trunc('week', min(ts)) AS cw,
+        |    date_trunc('week', max(ts)) AS lw FROM events GROUP BY 1),
+        |a AS (SELECT CAST(datediff('day', cw, lw) // 7 AS BIGINT)
+        |    AS age_weeks, CAST(count(*) AS BIGINT) AS churned
+        |  FROM s GROUP BY 1)
+        |SELECT age_weeks, churned,
+        |  CAST(sum(churned) OVER (ORDER BY age_weeks DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+        |  CAST((CAST(churned AS HUGEINT) * 1000000) //
+        |    sum(churned) OVER (ORDER BY age_weeks DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hazard_ppm
+        |FROM a ORDER BY age_weeks""".stripMargin,
     // ROUGE-2: clipped bigram overlap via per-doc gram counts and a
     // least() sum, the indexed-lambda bigram builder mirroring the
     // Spark sequence/transform exactly

@@ -1088,4 +1088,285 @@ object EventOps {
         intDiv(col("pv"), col("volume").cast("decimal(38,0)"))
           .cast("long").as("vwap_c"))
       .orderBy(col("bucket"))
+
+  /** Maximum drawdown per key: the largest peak-to-trough drop of the
+    * key's `(ts, id)`-ordered value series — `max(runmax − v)` over a
+    * running-max window. The risk readout for any metric series
+    * (queue depth, loss curve, account value). Values quantize to
+    * `valueScale` longs; one key-partitioned running-max window plus
+    * one hash rollup, both exact integers.
+    *
+    * @return `(key, n_events, peak_c, max_drawdown_c)` ordered by key
+    */
+  def maxDrawdown(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, valueScale: Long = 100L)
+      : DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__dd_t"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol).as("k"), col(idCol),
+        unix_micros(col(tsCol)).as("__dd_t"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .withColumn("__dd_peak", max(col("vc")).over(w))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("vc")).as("peak_c"),
+        max(col("__dd_peak") - col("vc")).as("max_drawdown_c"))
+      .select(col("k").as(keyCol), col("n_events"), col("peak_c"),
+        col("max_drawdown_c"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Cohort LTV curve: per (first-seen week, week offset), the
+    * cohort's revenue that week and the RUNNING cumulative — the
+    * money twin of [[retention]] (same two key-hash aggregates; the
+    * cumulative window runs over cohort×offset ROLLUP rows, bounded
+    * metadata). Revenue quantizes to `valueScale` longs and sums on
+    * DECIMAL(38,0).
+    *
+    * @return `(cohort_week, week_offset, revenue_c, cum_revenue_c)`
+    *         ordered by (cohort_week, week_offset)
+    */
+  def cohortLtv(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, valueScale: Long = 100L): DataFrame = {
+    val firstSeen = events
+      .groupBy(col(keyCol).as("k"))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cw"))
+    val cells = events
+      .select(col(keyCol).as("k"),
+        to_date(date_trunc("week", col(tsCol))).as("aw"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .join(firstSeen, Seq("k"))
+      .select(col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("long").as("off"),
+        col("vc"))
+      .groupBy(col("cw"), col("off"))
+      .agg(sum(col("vc").cast("decimal(38,0)")).cast("long")
+        .as("revenue_c"))
+    val cum = Window.partitionBy(col("cw")).orderBy(col("off"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue_c",
+        sum(col("revenue_c").cast("decimal(38,0)")).over(cum)
+          .cast("long"))
+      .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+        col("revenue_c"), col("cum_revenue_c"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Stickiness (WAU/MAU-class engagement ratio): per active week,
+    * the distinct weekly actives vs the distinct actives of the
+    * TRAILING `windowWeeks` weeks, as exact ppm. The trailing
+    * distinct rides the [[rollingDistinct]] vote-explode — each
+    * (entity, week) first-touch casts one vote into the
+    * `windowWeeks` weeks it counts toward, then ONE distinct + count;
+    * never a self-join, never an HLL error bar. Only weeks present in
+    * the data report (left-semi against observed weeks).
+    *
+    * @return `(week, wau, mau, stickiness_ppm)` ordered by week
+    */
+  def stickiness(events: DataFrame, keyCol: String, tsCol: String,
+      windowWeeks: Int = 4): DataFrame = {
+    require(windowWeeks >= 1, s"windowWeeks must be >= 1: $windowWeeks")
+    val uw = events
+      .select(col(keyCol).as("u"),
+        to_date(date_trunc("week", col(tsCol))).as("w"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val weeks = uw.select(col("w")).distinct()
+    val wau = uw.groupBy(col("w")).agg(count(lit(1)).as("wau"))
+    val mau = uw
+      .select(col("u"), explode(transform(
+        sequence(lit(0), lit(windowWeeks - 1)),
+        i => date_add(col("w"), i * 7))).as("w"))
+      .distinct()
+      .join(weeks, Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("mau"))
+    wau.join(mau, Seq("w"))
+      .select(col("w").cast("timestamp").as("week"), col("wau"),
+        col("mau"),
+        intDiv(col("wau") * lit(1000000L), col("mau"))
+          .as("stickiness_ppm"))
+      .orderBy(col("week"))
+  }
+
+  /** Single change-point per key (binary segmentation, step 1): the
+    * split index k minimizing the two-segment total SSE of the key's
+    * `(ts, id)`-ordered quantized series — equivalently maximizing
+    * {{{ g(k) = (S1ₚ²·(n−k) + S1ₛ²·k) // (k·(n−k)) }}}
+    * over prefix/suffix sums, all on DECIMAL(38,0) (the argmax is of
+    * the FLOORED score — a disclosed quantization both engines replay
+    * bit-for-bit; ties take the smallest k). The per-key evaluation
+    * is one prefix-sum fold plus one linear transform over the same
+    * array the EWMA/LTTB family uses, under the same disclosed
+    * earliest-N `maxEventsPerKey` cap (rank-window cut, spill-safe).
+    * Keys with fewer than 2 events drop (no split exists).
+    *
+    * @return `(key, n_events, split_idx, left_mean_c, right_mean_c)`
+    *         — means are the exact floored segment means in cents
+    */
+  def changepoint(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, valueScale: Long = 100L,
+      maxEventsPerKey: Int = 1 << 20): DataFrame = {
+    require(maxEventsPerKey >= 2,
+      s"maxEventsPerKey must be >= 2: $maxEventsPerKey")
+    val rnW = Window.partitionBy(col("k"))
+      .orderBy(col("e.t"), col("e.i"))
+    val byKey = events
+      .select(col(keyCol).as("k"),
+        struct(unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+          round(col(valueCol) * valueScale).cast("long").as("vc"))
+          .as("e"))
+      .withColumn("__cp_rn", row_number().over(rnW))
+      .filter(col("__cp_rn") <= maxEventsPerKey)
+      .groupBy(col("k"))
+      .agg(transform(sort_array(collect_list(col("e"))),
+        e => e.getField("vc")).as("vs"))
+      .filter(size(col("vs")) >= 2)
+    val dec = "decimal(38,0)"
+    val withPre = byKey
+      .withColumn("pre", aggregate(col("vs"),
+        array().cast(s"array<$dec>"),
+        (acc, x) => array_append(acc,
+          (when(size(acc) === 0, lit(0).cast(dec))
+            .otherwise(element_at(acc, -1)) + x.cast(dec))
+            .cast(dec))))
+      .withColumn("n", size(col("vs")).cast("long"))
+      .withColumn("s1", element_at(col("pre"), -1))
+    // score each k over the FIRST n-1 prefix sums (k = 1-based slot);
+    // min of (-score, k) = max score with smallest-k tie rule
+    val scored = withPre.withColumn("best",
+      element_at(array_sort(zip_with(
+        slice(col("pre"), lit(1), size(col("vs")) - 1),
+        sequence(lit(1L), col("n") - 1L),
+        (sp, k) => {
+          val ss = col("s1") - sp
+          val nk = (col("n") - k).cast(dec)
+          struct(-intDiv(sp * sp * nk + ss * ss * k.cast(dec),
+            (k.cast(dec) * nk).cast(dec)).as("negs"),
+            k.as("k"), sp.as("sp"))
+        })), 1))
+    scored
+      .select(col("k").as(keyCol), col("n").as("n_events"),
+        col("best.k").as("split_idx"),
+        intDiv(col("best.sp"), col("best.k").cast(dec))
+          .as("left_mean_c"),
+        intDiv(col("s1") - col("best.sp"),
+          (col("n") - col("best.k")).cast(dec)).as("right_mean_c"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Gini coefficient of per-entity event counts, per event type —
+    * the engagement-inequality readout (0 = uniform, → 1 = one bot
+    * holds everything; the skew early-warning for the hot-key guards
+    * elsewhere in the engine). Exact rational:
+    * `G·10⁶ = (2·Σ(i·xᵢ) − (n+1)·Σx)·10⁶ // (n·Σx)` over counts
+    * sorted ascending with rank i — ranks come from the scale-safe
+    * two-phase row_number ([[Salting.twoPhaseRanks]]), NEVER a
+    * single-partition window over the handful of fixed type keys
+    * (the IQR lesson). Products ride DECIMAL(38,0).
+    *
+    * @return `(type, n_entities, total_events, gini_ppm)` ordered
+    */
+  def gini(events: DataFrame, keyCol: String,
+      typeCol: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(typeCol).as("ty"), col(keyCol).as("u"))
+      .agg(count(lit(1)).as("x"))
+    val ranked = Salting.twoPhaseRanks(perUser, Seq("ty"),
+      Seq(col("x"), col("u")), rowNumCol = Some("__g_i"))
+    ranked
+      .groupBy(col("ty"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("__g_i").cast("decimal(38,0)") * col("x")))
+          .as("six"))
+      .select(col("ty").as(typeCol),
+        col("n").as("n_entities"),
+        col("sx").cast("long").as("total_events"),
+        intDiv((col("six") * 2 - (col("n") + 1) * col("sx")) *
+          lit(1000000L), col("n") * col("sx")).as("gini_ppm"))
+      .orderBy(col(typeCol))
+  }
+
+  /** RFM segmentation: per entity, recency (days from its last event
+    * day to the corpus max day), frequency (event count), monetary
+    * (quantized value total), each quartile-bucketed 1–4 by the
+    * EXPLICIT rank rule `⌊(rank−1)·4/n⌋ + 1` over the scale-safe
+    * two-phase row_number (ties broken by entity id, disclosed;
+    * recency ranks DESCENDING so bucket 4 = most recent — bucket 4 is
+    * "best" on every axis). No ntile, no boundary floats: the bucket
+    * is a pure function of the distributed rank, replayable by any
+    * engine.
+    *
+    * @return `(key, recency_days, frequency, monetary_c, r_bucket,
+    *         f_bucket, m_bucket, segment)` — `segment` = r·100+f·10+m
+    */
+  def rfm(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, valueScale: Long = 100L): DataFrame = {
+    val perUser = events
+      .groupBy(col(keyCol).as("u"))
+      .agg(max(to_date(col(tsCol))).as("lastd"),
+        count(lit(1)).as("freq"),
+        sum(round(col(valueCol) * valueScale).cast("long")
+          .cast("decimal(38,0)")).cast("long").as("mon"))
+    val gmax = perUser.agg(max(col("lastd")).as("gmax"))
+    val base = perUser.crossJoin(broadcast(gmax))
+      .select(col("u"),
+        datediff(col("gmax"), col("lastd")).cast("long").as("rec"),
+        col("freq"), col("mon"))
+      .localCheckpoint(eager = false)
+    val ranked = Salting.twoPhaseRanks(
+      Salting.twoPhaseRanks(
+        Salting.twoPhaseRanks(base, Seq(),
+          Seq(col("rec").desc, col("u")), rowNumCol = Some("__r_rn")),
+        Seq(), Seq(col("freq"), col("u")), rowNumCol = Some("__f_rn")),
+      Seq(), Seq(col("mon"), col("u")), rowNumCol = Some("__m_rn"))
+    val n = base.agg(count(lit(1)).as("__rfm_n"))
+    def bucket(rn: Column): Column =
+      intDiv((rn - 1) * 4, col("__rfm_n")) + 1
+    ranked.crossJoin(broadcast(n))
+      .select(col("u").as(keyCol), col("rec").as("recency_days"),
+        col("freq").as("frequency"), col("mon").as("monetary_c"),
+        bucket(col("__r_rn")).as("r_bucket"),
+        bucket(col("__f_rn")).as("f_bucket"),
+        bucket(col("__m_rn")).as("m_bucket"))
+      .withColumn("segment",
+        col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Discrete churn-hazard table: per cohort age k (weeks since an
+    * entity's first week), the entities whose LAST observed week is
+    * exactly k weeks in (`churned`), the entities still observed at
+    * age ≥ k (`at_risk`), and the hazard `⌊churned·10⁶/at_risk⌋`.
+    * Right-censoring is disclosed-ignored: the last observed week IS
+    * the churn week (the standard closed-window readout). Two hash
+    * aggregates plus one reverse cumulative window over AGE rollup
+    * rows (bounded metadata, not data).
+    *
+    * @return `(age_weeks, churned, at_risk, hazard_ppm)` ordered
+    */
+  def churnHazard(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val span = events
+      .select(col(keyCol).as("k"),
+        to_date(date_trunc("week", col(tsCol))).as("w"))
+      .groupBy(col("k"))
+      .agg(min(col("w")).as("cw"), max(col("w")).as("lw"))
+      .select((datediff(col("lw"), col("cw")) / 7).cast("long")
+        .as("age"))
+      .groupBy(col("age"))
+      .agg(count(lit(1)).as("churned"))
+    val atRisk = Window.orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span
+      .withColumn("at_risk", sum(col("churned")).over(atRisk))
+      .select(col("age").as("age_weeks"), col("churned"),
+        col("at_risk"),
+        intDiv(col("churned") * lit(1000000L), col("at_risk"))
+          .as("hazard_ppm"))
+      .orderBy(col("age_weeks"))
+  }
 }

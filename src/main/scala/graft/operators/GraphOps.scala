@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  private def intDiv(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ColumnBridge.expression(x),
+        ColumnBridge.expression(y)))
+  }
+
   /** Canonical undirected edge list: `a < b`, deduplicated,
     * self-loops dropped. */
   private def edges(pairs: DataFrame, aCol: String, bCol: String)
@@ -141,6 +149,60 @@ object GraphOps {
         intDiv(col("triangles").cast("decimal(38,0)") * lit(2000000L),
           (col("degree") * (col("degree") - 1L)).cast("decimal(38,0)"))
           .as("cc_ppm"))
+      .orderBy(col("node"))
+  }
+
+  /** PageRank over the undirected pair graph, UNROLLED to a fixed
+    * iteration count under the FULLY INTEGER contract: ranks are
+    * `scale`-fixed-point longs, each step is
+    * {{{ r'(v) = ((den−num)·scale + num·Σ_{u∼v} (r(u) // deg(u))) // den }}}
+    * (α = num/den, default 85/100) — exact integral division at every
+    * floor, so any engine replays the ranks bit-for-bit (the DuckDB
+    * oracle unrolls the same iterations as chained CTEs on BIGINT).
+    * The centrality readout for dedup/link graphs: which documents
+    * anchor a near-dup neighborhood.
+    *
+    * Scale shape: per iteration ONE join of the directed edge list
+    * against the rank table plus one hash rollup — all keyed on node
+    * ids, AQE-planned; the edge list and degree table materialize
+    * once (lazy checkpoint) and are reused by every iteration. Every
+    * node of the pair graph has degree ≥ 1, so there are no dangling
+    * redistributions.
+    *
+    * @return `(node, pr_c)` — the rank at `scale` fixed point,
+    *         ordered by node
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iters: Int = 3, scale: Long = 1000000L,
+      alphaNum: Long = 85L, alphaDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"alpha must be in (0, 1): $alphaNum/$alphaDen")
+    val e = edges(pairs, aCol, bCol)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(eager = false)
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
+    var ranks = deg.select(col("src").as("node"),
+      lit(scale).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = dir
+        .join(ranks.select(col("node").as("src"), col("pr")),
+          Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          intDiv(col("pr"), col("d")).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("cs"))
+      ranks = deg.select(col("src").as("node"))
+        .join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          intDiv(lit((alphaDen - alphaNum) * scale) +
+            lit(alphaNum) * coalesce(col("cs"), lit(0L)),
+            lit(alphaDen)).as("pr"))
+    }
+    ranks.select(col("node"), col("pr").as("pr_c"))
       .orderBy(col("node"))
   }
 

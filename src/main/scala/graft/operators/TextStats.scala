@@ -132,4 +132,48 @@ object TextStats {
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("total_chars"),
       sum(regexp_count(col("text"), lit("\\S+"))).as("total_ws_tokens"))
+
+  /** Flesch-style readability under the FULLY INTEGER contract: words
+    * are the whitespace tokens, sentences the `[.!?]+` runs (floored
+    * at 1), syllables the per-word `[aeiouy]+` vowel-group count
+    * (floored at 1/word — the standard cheap proxy), and the score is
+    * {{{ fre_milli = 206835 − (1015·W) // S − (84600·Syl) // W }}}
+    * — the classic 206.835/1.015/84.6 constants at milli scale with
+    * DISCLOSED floors, so any engine replays it exactly (no float
+    * ratios to diverge on). Pure map-side scan; the training-data
+    * quality axis that complements gopherRules' structural checks.
+    * Zero-word docs drop (score undefined).
+    *
+    * @return `(id, n_words, n_sentences, n_syllables, fre_milli)`
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    val words = filter(split(lower(col(textCol)), "\\s+"),
+      w => w =!= "")
+    val syllables = aggregate(
+      transform(words, w => greatest(lit(1L),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+          .cast("long"))),
+      lit(0L), (a, x) => a + x)
+    docs
+      .select(col(idCol), size(words).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"),
+            lit(0))).cast("long")).as("n_sentences"),
+        syllables.as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206835L) -
+          intDiv(lit(1015L) * col("n_words"), col("n_sentences")) -
+          intDiv(lit(84600L) * col("n_syllables"), col("n_words")))
+          .as("fre_milli"))
+      .orderBy(col(idCol))
+  }
 }

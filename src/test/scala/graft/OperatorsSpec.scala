@@ -1622,4 +1622,154 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 3L, 0L, 0L, 0L, 0L),
       (2L, 3L, 0L, 0L, 0L, 0L)))
   }
+
+  test("pageRank: unrolled integer iterations replay a local fold") {
+    import spark.implicits._
+    // path 1-2-3 plus pendant 3-4: degrees 1, 2, 2, 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.pageRank(pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+      3L -> 4L, 4L -> 3L)
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => r(e._1) / deg(e._1)).sum
+      }
+      r = deg.keys.map(n =>
+        n -> (15L * 1000000L + 85L * contrib.getOrElse(n, 0L)) / 100L)
+        .toMap
+    }
+    assert(got === r, s"got=$got expected=$r")
+    // symmetry: 1/4 and 2/3 are mirror positions
+    assert(got(1L) === got(4L) && got(2L) === got(3L))
+  }
+
+  test("maxDrawdown: largest peak-to-trough drop in (ts, id) order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // series 10, 5, 7, 3, 8 -> peak 10.00, worst drop 10-3 = 7.00
+    val vals = Seq(10.0, 5.0, 7.0, 3.0, 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(i), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventOps.maxDrawdown(df, "user_id",
+      "ts", "event_id", "value").head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) ===
+      ((5L, 1000L, 700L)))
+  }
+
+  test("cohortLtv: per-cohort offset cells with running cumulative") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    // user 1 cohort Jan-1 week: 1.00 then 2.50 a week later;
+    // user 2 cohort Jan-8 week: 3.00
+    val df = Seq((1L, d("2024-01-01"), 1.0), (1L, d("2024-01-08"), 2.5),
+      (2L, d("2024-01-08"), 3.0)).toDF("user_id", "ts", "value")
+    val got = graft.operators.EventOps.cohortLtv(df, "user_id", "ts",
+      "value")
+      .select($"cohort_week".cast("string"), $"week_offset",
+        $"revenue_c", $"cum_revenue_c")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("2024-01-01", 0L, 100L, 100L),
+      ("2024-01-01", 1L, 250L, 350L),
+      ("2024-01-08", 0L, 300L, 300L)), got.toString)
+  }
+
+  test("stickiness: WAU over trailing-4-week distinct actives, " +
+      "only observed weeks report") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    // u1 active weeks Jan-1 and Jan-8; u2 only Jan-1 (still counted
+    // in Jan-8's trailing month)
+    val df = Seq((1L, d("2024-01-01")), (1L, d("2024-01-08")),
+      (2L, d("2024-01-02"))).toDF("user_id", "ts")
+    val got = graft.operators.EventOps.stickiness(df, "user_id", "ts")
+      .select($"week".cast("string"), $"wau", $"mau",
+        $"stickiness_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01 00:00:00", 2L, 2L, 1000000L),
+      ("2024-01-08 00:00:00", 1L, 2L, 500000L)), got.toString)
+  }
+
+  test("gini: exact rational on hand counts; uniform counts give 0") {
+    import spark.implicits._
+    // type a: counts 1 and 3 -> G = (2(1·1+2·3) − 3·4)/(2·4) = 0.25
+    // type b: counts 2 and 2 -> G = 0
+    val df = (Seq.fill(1)((1L, "a")) ++ Seq.fill(3)((2L, "a")) ++
+      Seq.fill(2)((1L, "b")) ++ Seq.fill(2)((2L, "b")))
+      .toDF("user_id", "event_type")
+    val got = graft.operators.EventOps.gini(df, "user_id",
+      "event_type")
+      .select($"event_type", $"gini_ppm").as[(String, Long)]
+      .collect().toMap
+    assert(got === Map("a" -> 250000L, "b" -> 0L), got.toString)
+  }
+
+  test("rfm: explicit quartile rule over distributed ranks; clean " +
+      "1-4 spread on four separated users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user k: k events of value k on day k -> every dimension ranks
+    // users 1<2<3<4 (recency: day 4 is most recent -> bucket 4)
+    val df = (1 to 4).flatMap(k => (1 to k).map(_ =>
+      (k.toLong, d(k), k.toDouble))).toDF("user_id", "ts", "value")
+    val got = graft.operators.EventOps.rfm(df, "user_id", "ts",
+      "value")
+      .select($"user_id", $"recency_days", $"segment")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 111L), (2L, 2L, 222L),
+      (3L, 1L, 333L), (4L, 0L, 444L)), got.toString)
+  }
+
+  test("changepoint: picks the SSE-minimizing split; constant " +
+      "series ties to the smallest k") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: 1,1,1,9,9 -> split after index 3, means 1.00 | 9.00
+    // user 2: constant 5s -> every split scores equal, k=1 wins
+    val df = (Seq(1.0, 1.0, 1.0, 9.0, 9.0).zipWithIndex.map {
+      case (v, i) => (1L, ts(i), i.toLong, v)
+    } ++ Seq(5.0, 5.0, 5.0).zipWithIndex.map { case (v, i) =>
+      (2L, ts(i), (10 + i).toLong, v)
+    }).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventOps.changepoint(df, "user_id",
+      "ts", "event_id", "value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 3L, 100L, 900L),
+      (2L, 3L, 1L, 500L, 500L)), got.toString)
+  }
+
+  test("readability: integer Flesch on a hand sentence") {
+    import spark.implicits._
+    // 5 words, 2 sentence runs, 5 single-vowel-group syllables:
+    // 206835 - (1015*5)//2 - (84600*5)//5 = 119698
+    val df = Seq((1L, "the cat sat. it ran!")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.readability(df)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((1L, 5L, 2L, 5L, 119698L)), got.toString)
+  }
+
+  test("churnHazard: last-observed-week churn over reverse-" +
+      "cumulative at-risk") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    // u1, u2 last seen in their cohort week (age 0); u3 survives one
+    // week (age 1)
+    val df = Seq((1L, d("2024-01-01")), (2L, d("2024-01-03")),
+      (3L, d("2024-01-01")), (3L, d("2024-01-08")))
+      .toDF("user_id", "ts")
+    val got = graft.operators.EventOps.churnHazard(df, "user_id", "ts")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 2L, 3L, 666666L), (1L, 1L, 1L, 1000000L)),
+      got.toString)
+  }
 }
