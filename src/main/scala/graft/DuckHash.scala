@@ -536,6 +536,78 @@ private[graft] object DuckHash {
        |FROM deg LEFT JOIN tpn ON tpn.node = deg.node
        |WHERE degree >= 2 ORDER BY node""".stripMargin
 
+  /** Oracle for `q_minhash_est` — the signature's own agreeing-
+    * position estimate vs the exact replayed n-gram Jaccard, both at
+    * 1e4 scale; `sigall` (the per-doc 64-slot signature) and `jac`
+    * come from the same replayed MinHash pipeline. */
+  def minhashEstimateOracle(minJaccard: Double = 0.2,
+      numHashes: Int = 64): String =
+    s"""WITH $minhashJaccardCtes,
+       |pr AS (SELECT id_a, id_b, j FROM jac WHERE j >= $minJaccard),
+       |est AS (SELECT p.id_a, p.id_b, p.j,
+       |    list_sum(list_transform(sa.s, (x, i) ->
+       |      CASE WHEN x = sb.s[i] THEN 1 ELSE 0 END)) AS m
+       |  FROM pr p JOIN sigall sa ON sa.id = p.id_a
+       |    JOIN sigall sb ON sb.id = p.id_b)
+       |SELECT id_a, id_b,
+       |  CAST((m * 10000) // $numHashes AS BIGINT) AS est_e4,
+       |  CAST(round(round(j, 4) * 10000) AS BIGINT) AS jaccard_e4,
+       |  CAST(abs((m * 10000) // $numHashes -
+       |    CAST(round(round(j, 4) * 10000) AS BIGINT)) AS BIGINT)
+       |    AS abs_err_e4
+       |FROM est ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for `q_cluster_quality` — the min-label closure's
+    * components joined back to their observed pairs: size, pair
+    * count, floored mean Jaccard at 1e4. */
+  def clusterQualityOracle(minJaccard: Double = 0.2): String =
+    s"""WITH RECURSIVE $minhashJaccardCtes,
+       |pairsx AS MATERIALIZED (SELECT id_a, id_b,
+       |    CAST(round(round(j, 4) * 10000) AS BIGINT) AS j4
+       |  FROM jac WHERE j >= $minJaccard),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst
+       |  FROM pairsx UNION SELECT id_b, id_a FROM pairsx),
+       |verts AS (SELECT DISTINCT src AS vid FROM edges),
+       |reach(vid, anc) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT e.dst, r.anc FROM reach r JOIN edges e
+       |    ON e.src = r.vid
+       |  WHERE r.anc < e.dst
+       |),
+       |cl AS (SELECT vid, min(anc) AS cluster FROM reach GROUP BY 1),
+       |q AS (SELECT cl.cluster, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(p.j4) AS BIGINT) AS sj
+       |  FROM pairsx p JOIN cl ON cl.vid = p.id_a GROUP BY 1),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+       |  FROM cl GROUP BY 1)
+       |SELECT cluster, size, n_pairs,
+       |  CAST(sj // n_pairs AS BIGINT) AS mean_jac_e4
+       |FROM sz JOIN q USING (cluster) ORDER BY cluster""".stripMargin
+
+  /** Oracle for `q_kcore` — the unrolled peel over the same replayed
+    * pair graph: `rounds` chained CTE stages, each dropping nodes of
+    * degree < k and their edges, then the survivors' degrees. */
+  def kCoreOracle(minJaccard: Double = 0.2, k: Int = 2,
+      rounds: Int = 6): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT a AS n FROM e$r UNION ALL SELECT b FROM e$r)
+         |  GROUP BY 1),
+         |e${r + 1} AS MATERIALIZED (SELECT a, b FROM e$r
+         |  WHERE a IN (SELECT n FROM d$r WHERE d >= $k)
+         |    AND b IN (SELECT n FROM d$r WHERE d >= $k))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashJaccardCtes,
+       |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jac
+       |  WHERE j >= $minJaccard),
+       |$steps
+       |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Oracle for `q_pagerank` — the UNROLLED integer PageRank over the
     * same replayed near-dup pair graph: each iteration is one chained
     * CTE running the identical fixed-point step

@@ -141,7 +141,22 @@ object ScaleProbe {
     // round 17, third wave: the clamp-at-zero balance (two windows
     // over user-offset-inflated events); clustering coefficient and
     // component sizes ride the already-probed triangle/CC machinery
-    "q_capped_balance", "q_clustering_coeff", "q_component_sizes")
+    "q_capped_balance", "q_clustering_coeff", "q_component_sizes",
+    // round 18: pagerank rides the pair graph (per-iteration joins
+    // must track edges); the event riders ride user-offset-inflated
+    // events (drawdown/changepoint per-key folds, gini/rfm two-phase
+    // ranks, LTV/stickiness/hazard week rollups); readability is the
+    // map-only reference shape over the mutated-copy corpus
+    "q_pagerank", "q_drawdown", "q_cohort_ltv", "q_stickiness",
+    "q_hazard", "q_gini", "q_rfm", "q_changepoint", "q_readability",
+    // round 18, second wave: signature calibration (per-pair array
+    // zip over the capped candidate join) and cluster quality
+    // (pairs⋈labels + rollups on the CC closure)
+    "q_minhash_est", "q_cluster_quality",
+    // round 18, third wave: unrolled k-core peel (per-round degree
+    // aggregate + semi-joins over the pair graph) and TWAP (one lead
+    // window + rollup)
+    "q_kcore", "q_twap")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

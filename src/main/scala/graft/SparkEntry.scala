@@ -2906,6 +2906,30 @@ object SparkEntry {
   private val qReadability: Q = (s, dir) =>
     operators.TextStats.readability(t(s, dir, "documents"))
 
+  /** MinHash estimate vs exact Jaccard per candidate pair
+    * ([[operators.Dedup.minhashEstimate]]): the signature-calibration
+    * readout. */
+  private val qMinhashEst: Q = (s, dir) =>
+    Dedup.minhashEstimate(t(s, dir, "documents"), minJaccard = 0.2)
+
+  /** Near-dup cluster quality ([[operators.Dedup.clusterQuality]]):
+    * per component, size / pair count / floored mean Jaccard — the
+    * shingle-storm go/no-go. */
+  private val qClusterQuality: Q = (s, dir) =>
+    Dedup.clusterQuality(t(s, dir, "documents"), minJaccard = 0.2)
+
+  /** 2-core of the near-dup pair graph ([[operators.GraphOps
+    * .kCore]], unrolled peel) — the dense duplicate nucleus. */
+  private val qKcore: Q = (s, dir) =>
+    operators.GraphOps.kCore(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
+  /** Time-weighted average value per user ([[operators.EventOps
+    * .twap]]): hold-until-next weighting, exact integer products. */
+  private val qTwap: Q = (s, dir) =>
+    operators.EventOps.twap(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "value")
+
   /** Snapshot diff: DELETE + UPDATE + INSERT against a scratch graft
     * table, then the row-level diff of `VERSION AS OF 1` vs current —
     * removed / changed / added per key via one full-outer join on the
@@ -3288,6 +3312,10 @@ object SparkEntry {
     "q_rfm" -> qRfm,
     "q_changepoint" -> qChangepoint,
     "q_readability" -> qReadability,
+    "q_minhash_est" -> qMinhashEst,
+    "q_cluster_quality" -> qClusterQuality,
+    "q_kcore" -> qKcore,
+    "q_twap" -> qTwap,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -4734,6 +4762,20 @@ object SparkEntry {
         |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin,
     // round 18: unrolled integer PageRank over the replayed pair graph
     "q_pagerank" -> DuckHash.pageRankOracle(0.2),
+    "q_minhash_est" -> DuckHash.minhashEstimateOracle(0.2),
+    "q_cluster_quality" -> DuckHash.clusterQualityOracle(0.2),
+    "q_kcore" -> DuckHash.kCoreOracle(0.2),
+    // TWAP: hold-until-next weighting, lead window + one rollup
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |l AS (SELECT user_id, t, vc, lead(t) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id) AS nt FROM e)
+        |SELECT user_id, CAST(sum(nt - t) AS BIGINT) AS span_us,
+        |  CAST(sum(CAST(nt - t AS HUGEINT) * vc) // sum(nt - t)
+        |    AS BIGINT) AS twap_c
+        |FROM l WHERE nt IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // max drawdown: running max window + rollup, exact cents
     "q_drawdown" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,

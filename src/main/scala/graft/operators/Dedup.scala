@@ -661,4 +661,80 @@ object Dedup {
           .as("jaccard_ppm"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** MinHash calibration readout: per candidate pair, the signature's
+    * OWN similarity estimate (agreeing positions / k, the unbiased
+    * Jaccard estimator) next to the exact n-gram Jaccard — the
+    * "is k big enough / are the bands tuned" health check a near-dup
+    * deployment runs before trusting LSH recall at 100 TB. Estimate
+    * and truth both land at 1e4 scale with an absolute error column;
+    * signatures ride the SAME per-pair join the rerank texts already
+    * take, so cost is one extra array zip per surviving pair.
+    *
+    * @return `(id_a, id_b, est_e4, jaccard_e4, abs_err_e4)` ordered
+    */
+  def minhashEstimate(docs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, shingleSize: Int = 3, minJaccard: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Int = 256): DataFrame = {
+    require(numHashes % bands == 0)
+    val banded =
+      bandKeys(docs, numHashes, bands, shingleSize, idCol, textCol)
+    val candidates =
+      cappedBucketJoin(banded, Seq("band", "band_hash"), bucketCap)
+    val sig = docs.select(col(idCol).as("sid"),
+      minhash(col(textCol), numHashes, shingleSize).as("sig"))
+      .localCheckpoint(eager = false)
+    val txt = docs.select(col(idCol).as("tid"), col(textCol).as("txt"))
+    candidates
+      .join(sig.select(col("sid"), col("sig").as("sig_a")),
+        col("id_a") === col("sid")).drop("sid")
+      .join(sig.select(col("sid"), col("sig").as("sig_b")),
+        col("id_b") === col("sid")).drop("sid")
+      .join(txt, col("id_a") === col("tid"))
+      .withColumnRenamed("txt", "txt_a").drop("tid")
+      .join(txt, col("id_b") === col("tid"))
+      .withColumnRenamed("txt", "txt_b").drop("tid")
+      .withColumn("j",
+        ngram_jaccard(col("txt_a"), col("txt_b"), shingleSize))
+      .filter(col("j") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        intDiv(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, b) => a + b) * lit(10000L),
+          lit(numHashes.toLong)).as("est_e4"),
+        round(round(col("j"), 4) * 10000).cast("long")
+          .as("jaccard_e4"))
+      .withColumn("abs_err_e4", abs(col("est_e4") - col("jaccard_e4")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Near-dup CLUSTER QUALITY: per connected component of the
+    * candidate graph, the member count, observed pair count and mean
+    * pairwise Jaccard (1e4 scale, floored) — low mean on a big
+    * cluster is the shingle-storm signature (transitively-chained
+    * weak pairs), the go/no-go before deleting a duplicate group at
+    * 100 TB. Rides [[minHashLsh]] + [[clusters]]; one join of pairs
+    * to labels plus two rollups on top.
+    *
+    * @return `(cluster, size, n_pairs, mean_jac_e4)` ordered
+    */
+  def clusterQuality(docs: DataFrame, minJaccard: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val prs = minHashLsh(docs, minJaccard = minJaccard, idCol = idCol,
+      textCol = textCol).localCheckpoint(eager = false)
+    val cl = clusters(prs).localCheckpoint(eager = false)
+    val quality = prs
+      .join(cl.select(col("doc_id").as("id_a"), col("cluster")),
+        Seq("id_a"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(round(col("jaccard"), 4) * 10000).cast("long"))
+          .as("sj"))
+    cl.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .join(quality, Seq("cluster"))
+      .select(col("cluster"), col("size"), col("n_pairs"),
+        intDiv(col("sj"), col("n_pairs")).as("mean_jac_e4"))
+      .orderBy(col("cluster"))
+  }
 }

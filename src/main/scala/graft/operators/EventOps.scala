@@ -1257,6 +1257,38 @@ object EventOps {
       .orderBy(col(keyCol))
   }
 
+  /** Time-weighted average per key (TWAP — the time twin of [[vwap]]):
+    * each value holds until the key's next event, so the mean is
+    * `⌊Σ(vᵢ·Δtᵢ) / ΣΔtᵢ⌋` with Δtᵢ the micros to the next event.
+    * DISCLOSED edges: the last event carries no weight (nothing to
+    * hold until) and single-event keys drop; values are assumed
+    * non-negative quantized (the sign-uniform case where truncating
+    * and flooring division agree). One lead window + one hash rollup,
+    * DECIMAL(38,0) products.
+    *
+    * @return `(key, span_us, twap_c)` ordered by key
+    */
+  def twap(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, valueScale: Long = 100L)
+      : DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__tw_t"), col(idCol))
+    events
+      .select(col(keyCol).as("k"), col(idCol),
+        unix_micros(col(tsCol)).as("__tw_t"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .withColumn("__tw_nt", lead(col("__tw_t"), 1).over(w))
+      .filter(col("__tw_nt").isNotNull)
+      .groupBy(col("k"))
+      .agg(sum((col("__tw_nt") - col("__tw_t")).cast("decimal(38,0)") *
+          col("vc")).as("wv"),
+        sum((col("__tw_nt") - col("__tw_t")).cast("decimal(38,0)"))
+          .as("wt"))
+      .select(col("k").as(keyCol), col("wt").cast("long").as("span_us"),
+        intDiv(col("wv"), col("wt")).as("twap_c"))
+      .orderBy(col(keyCol))
+  }
+
   /** Gini coefficient of per-entity event counts, per event type —
     * the engagement-inequality readout (0 = uniform, → 1 = one bot
     * holds everything; the skew early-warning for the hot-key guards

@@ -206,6 +206,40 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** k-core peel, UNROLLED to a fixed round count: each round drops
+    * every node of current degree < k and the edges touching it; the
+    * survivors of round r are exactly what both engines compute after
+    * r replayed stages, and on graphs whose peel converges within
+    * `rounds` (any bounded-degeneracy near-dup graph converges in a
+    * handful) the result IS the exact k-core — the dense-nucleus
+    * readout (which documents sit in tightly-meshed duplicate
+    * neighborhoods). One degree aggregate + two semi-joins per round,
+    * all keyed on node ids, edge set checkpointed per round.
+    *
+    * @return `(node, degree)` of the surviving subgraph, ordered
+    */
+  def kCore(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", k: Int = 2, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16]: $rounds")
+    var e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
+    (1 to rounds).foreach { _ =>
+      val deg = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+        .localCheckpoint(eager = false)
+      e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      .select(col("n").as("node"), col("degree"))
+      .orderBy(col("node"))
+  }
+
   /** Connected-component SIZE distribution: how many components have
     * each member count — the dedup-graph health histogram (a giant
     * component is a shingle storm; healthy near-dup graphs are

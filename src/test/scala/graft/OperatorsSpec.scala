@@ -1728,6 +1728,65 @@ class OperatorsSpec extends SparkTestBase {
       (3L, 1L, 333L), (4L, 0L, 444L)), got.toString)
   }
 
+  test("minhashEstimate: identical docs estimate 1.0 exactly; " +
+      "near-dups carry a bounded signature error") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"word$i").mkString(" ")
+    val near = (1 to 72).map(i => s"word$i").mkString(" ") +
+      " tail bits x y z w q r"
+    val docs = Seq((1L, base), (2L, base), (3L, near))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashEstimate(docs,
+      minJaccard = 0.2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val (e12, j12, err12) = got((1L, 2L))
+    assert(e12 === 10000L && j12 === 10000L && err12 === 0L)
+    val (e13, j13, err13) = got((1L, 3L))
+    assert(j13 > 2000L && j13 < 10000L, got.toString)
+    assert(err13 === math.abs(e13 - j13))
+  }
+
+  test("clusterQuality: per-component size, pair count and floored " +
+      "mean Jaccard") {
+    import spark.implicits._
+    val a = (1 to 80).map(i => s"word$i").mkString(" ")
+    val b = (500 to 580).map(i => s"tok$i").mkString(" ")
+    // {1,2} identical; {10,11} identical — two clean components
+    val docs = Seq((1L, a), (2L, a), (10L, b), (11L, b))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.clusterQuality(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L, 10000L), (10L, 2L, 1L, 10000L)),
+      got.toString)
+  }
+
+  test("kCore: the peel strips pendant chains and keeps the " +
+      "triangle nucleus") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant chain 3-4-5: the 2-core is the
+    // triangle (chain peels over two rounds)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.kCore(pairs, k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)), got.toString)
+  }
+
+  test("twap: hold-until-next weighting; last event carries none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // 2.00 held 10 s, 4.00 held 20 s, 9.99 never held:
+    // (200*10e6 + 400*20e6) // 30e6 = 333
+    val df = Seq((1L, ts(0), 1L, 2.0), (1L, ts(10), 2L, 4.0),
+      (1L, ts(30), 3L, 9.99)).toDF("user_id", "ts", "event_id",
+      "value")
+    val got = graft.operators.EventOps.twap(df, "user_id", "ts",
+      "event_id", "value").head()
+    assert((got.getLong(1), got.getLong(2)) === ((30000000L, 333L)))
+  }
+
   test("changepoint: picks the SSE-minimizing split; constant " +
       "series ties to the smallest k") {
     import spark.implicits._
