@@ -1127,6 +1127,46 @@ private[graft] object DuckHash {
            |FROM enc ORDER BY doc_id""".stripMargin)
   }
 
+  /** Oracle for `q_tok_fertility` — the same replayed BPE encode as
+    * [[bpeEncodeOracle]], rolled up into per-doc fertility and
+    * compression ratios (1e3 scale, floored). */
+  def bpeFertilityOracle(k: Int): String = {
+    val pats = "pats AS MATERIALIZED (SELECT " +
+      (0 until k).map(i =>
+        s"(SELECT l FROM t$i) AS l$i, (SELECT r FROM t$i) AS r$i")
+        .mkString(", ") + ")"
+    val rep0 = "' ' || array_to_string(list_filter(string_split(w, '')," +
+      " c -> c <> ''), '  ') || ' '"
+    val folded = (0 until k).foldLeft(rep0) { (acc, i) =>
+      s"replace($acc, ' ' || l$i || '  ' || r$i || ' '," +
+        s" ' ' || l$i || r$i || ' ')"
+    }
+    "WITH " + bpeCtes(k) + ",\n" + pats + ",\n" +
+      ("""ew AS (SELECT doc_id, list_filter(
+         |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+         |      t -> t <> ''),
+         |    w2 -> regexp_matches(w2, '^[a-z0-9]+$')) AS ws
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, flatten(list_transform(ws,
+         |    w -> string_split(trim(""".stripMargin + folded +
+        """), '  '))) AS toks
+          |  FROM ew, pats),
+          |m AS (SELECT e.doc_id,
+          |    CAST(len(w.ws) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(w.ws, x -> length(x)))
+          |      AS BIGINT) AS n_chars,
+          |    CAST(len(e.toks) AS BIGINT) AS n_tokens
+          |  FROM enc e JOIN ew w USING (doc_id)
+          |  WHERE len(w.ws) >= 1 AND len(e.toks) >= 1)
+          |SELECT doc_id, n_words, n_chars, n_tokens,
+          |  CAST((n_chars * 1000) // n_tokens AS BIGINT)
+          |    AS chars_per_token_e3,
+          |  CAST((n_tokens * 1000) // n_words AS BIGINT)
+          |    AS tokens_per_word_e3
+          |FROM m ORDER BY doc_id""".stripMargin)
+  }
+
   // ───────────── unigram-LM tokenizer (Kudo 2018, hard EM) ─────────────
   //
   // Independent re-derivation of graft.operators.Unigram: seed counts

@@ -156,7 +156,9 @@ object ScaleProbe {
     // round 18, third wave: unrolled k-core peel (per-round degree
     // aggregate + semi-joins over the pair graph) and TWAP (one lead
     // window + rollup)
-    "q_kcore", "q_twap")
+    "q_kcore", "q_twap",
+    // round 18, fourth wave: fertility rides the map-only encode
+    "q_tok_fertility")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

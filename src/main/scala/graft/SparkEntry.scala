@@ -2930,6 +2930,20 @@ object SparkEntry {
     operators.EventOps.twap(t(s, dir, "events"), "user_id", "ts",
       "event_id", "value")
 
+  /** Tokenizer fertility/compression report over the trained BPE
+    * ([[operators.Bpe.encode]]): per doc, eligible-word and char
+    * volume vs emitted token count, with `chars/token` and
+    * `tokens/word` at 1e3 scale — the "is the vocab earning its
+    * size" readout a tokenizer deployment tracks per corpus slice.
+    * Map-only on top of the encode; docs with no eligible words
+    * drop. */
+  private val qTokFertility: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val model = Bpe.trainCached(s"$dir/documents#bpe$BpeMerges",
+      docs, BpeMerges)
+    Bpe.fertility(docs, model)
+  }
+
   /** Snapshot diff: DELETE + UPDATE + INSERT against a scratch graft
     * table, then the row-level diff of `VERSION AS OF 1` vs current —
     * removed / changed / added per key via one full-outer join on the
@@ -3316,6 +3330,7 @@ object SparkEntry {
     "q_cluster_quality" -> qClusterQuality,
     "q_kcore" -> qKcore,
     "q_twap" -> qTwap,
+    "q_tok_fertility" -> qTokFertility,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -4765,6 +4780,7 @@ object SparkEntry {
     "q_minhash_est" -> DuckHash.minhashEstimateOracle(0.2),
     "q_cluster_quality" -> DuckHash.clusterQualityOracle(0.2),
     "q_kcore" -> DuckHash.kCoreOracle(0.2),
+    "q_tok_fertility" -> DuckHash.bpeFertilityOracle(BpeMerges),
     // TWAP: hold-until-next weighting, lead window + one rollup
     "q_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -314,4 +314,41 @@ object Bpe {
       .select(col(idCol),
         flatten(transform(col("_graft_ws"),
           w => encodeWord(w, model))).as("toks"))
+
+  /** Fertility/compression report over [[encode]]: per doc, eligible
+    * words, their char volume and the emitted token count, plus
+    * `chars/token` and `tokens/word` at 1e3 scale (floored — the two
+    * ratios a tokenizer deployment tracks per corpus slice; fertility
+    * creeping up = the vocab stopped covering the slice). Map-only on
+    * top of the encode; docs with no eligible words drop.
+    *
+    * @return `(id, n_words, n_chars, n_tokens, chars_per_token_e3,
+    *         tokens_per_word_e3)` ordered
+    */
+  def fertility(docs: DataFrame, model: BpeModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: Column, b: Column): Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    val words = filter(CorpusOps.tokens(col(textCol)),
+      w => w.rlike(WordRegex))
+    val enc = encode(docs, model, idCol, textCol)
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"))
+    docs
+      .select(col(idCol), size(words).cast("long").as("n_words"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (a, b) => a + b).as("n_chars"))
+      .join(enc, Seq(idCol))
+      .filter(col("n_words") >= 1 && col("n_tokens") >= 1)
+      .select(col(idCol), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        intDiv(col("n_chars") * 1000, col("n_tokens"))
+          .as("chars_per_token_e3"),
+        intDiv(col("n_tokens") * 1000, col("n_words"))
+          .as("tokens_per_word_e3"))
+      .orderBy(col(idCol))
+  }
 }

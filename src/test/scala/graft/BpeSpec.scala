@@ -31,6 +31,18 @@ class BpeSpec extends SparkTestBase {
     assert(model.merges === Seq(("a", "b")))
   }
 
+  test("fertility: chars/token and tokens/word at 1e3 with floors") {
+    // model merges (a,a): doc "aaaa aaa zz!" -> eligible words
+    // [aaaa, aaa] (zz! fails the word gate): 2 words, 7 chars,
+    // tokens [aa, aa, aa, a] = 4 -> chars/token 1750, tokens/word
+    // 2000
+    val model = graft.operators.BpeModel(Seq(("a", "a")))
+    val docs = Seq((1L, "aaaa aaa zz!")).toDF("doc_id", "text")
+    val got = Bpe.fertility(docs, model)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((1L, 2L, 7L, 4L, 1750L, 2000L)), got.toString)
+  }
+
   test("encodeWord rewrites adjacent runs leftmost non-overlapping") {
     val model = graft.operators.BpeModel(Seq(("a", "a")))
     val got = Seq("aaaa", "aaa", "a")
