@@ -157,8 +157,10 @@ object ScaleProbe {
     // aggregate + semi-joins over the pair graph) and TWAP (one lead
     // window + rollup)
     "q_kcore", "q_twap",
-    // round 18, fourth wave: fertility rides the map-only encode
-    "q_tok_fertility")
+    // round 18, fourth wave: fertility rides the map-only encode;
+    // radius retrieval rides the inflated (rolled-vector) embeddings;
+    // norm health is a map-only scan + rollup
+    "q_tok_fertility", "q_ann_radius", "q_embed_norms")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -2944,6 +2944,20 @@ object SparkEntry {
     Bpe.fertility(docs, model)
   }
 
+  /** Radius (threshold) ANN retrieval ([[operators.Ann.lshRadius]]):
+    * everything within cosine ≥ 0.2 of the query set through the
+    * multi-probe bucket join — the unknown-k similarity sweep. */
+  private val qAnnRadius: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    Ann.lshRadius(emb, emb.filter(col("vec_id") < 8), minCos = 0.2,
+      dim = 64)
+  }
+
+  /** Embedding-table norm health ([[operators.Ann.normHealth]]):
+    * quantized L2-norm histogram — the pre-indexing QA scan. */
+  private val qEmbedNorms: Q = (s, dir) =>
+    Ann.normHealth(t(s, dir, "embeddings"))
+
   /** Snapshot diff: DELETE + UPDATE + INSERT against a scratch graft
     * table, then the row-level diff of `VERSION AS OF 1` vs current —
     * removed / changed / added per key via one full-outer join on the
@@ -3331,6 +3345,8 @@ object SparkEntry {
     "q_kcore" -> qKcore,
     "q_twap" -> qTwap,
     "q_tok_fertility" -> qTokFertility,
+    "q_ann_radius" -> qAnnRadius,
+    "q_embed_norms" -> qEmbedNorms,
   )
 
   /** DuckDB rendering of the seeded hyperplane sign-bucket — matches
@@ -4781,6 +4797,38 @@ object SparkEntry {
     "q_cluster_quality" -> DuckHash.clusterQualityOracle(0.2),
     "q_kcore" -> DuckHash.kCoreOracle(0.2),
     "q_tok_fertility" -> DuckHash.bpeFertilityOracle(BpeMerges),
+    // radius ANN: the q_ann_lsh probe machinery with a threshold
+    // instead of a rank cut
+    "q_ann_radius" -> {
+      val b = duckBucketExpr("v", operators.Ann.hyperplanes(6, 64, 42L))
+      val masks = (0 until 64).filter(m => Integer.bitCount(m) <= 2)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv, $b AS bucket
+         |  FROM e),
+         |q0 AS (SELECT vec_id AS query_id, v AS qv, $b AS qb
+         |  FROM e WHERE vec_id < 8),
+         |q AS (SELECT query_id, qv, xor(qb, masks.m) AS bucket
+         |  FROM q0 CROSS JOIN (SELECT unnest($masks) AS m) masks),
+         |s AS (SELECT DISTINCT query_id, neighbor_id,
+         |    list_cosine_similarity(qv, cv) AS rawcos
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos
+         |FROM s WHERE rawcos >= 0.2
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+    // norm health: sequential-fold L2 norms, quantized + binned
+    "q_embed_norms" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, CAST(round(sqrt(list_reduce(
+        |    list_prepend(0.0, v), (a, x) -> a + x * x)) * 10000)
+        |    AS BIGINT) AS norm_e4 FROM e)
+        |SELECT norm_e4 // 1000 AS bin, count(*) AS n_vecs,
+        |  CAST(min(norm_e4) AS BIGINT) AS min_norm_e4,
+        |  CAST(max(norm_e4) AS BIGINT) AS max_norm_e4
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     // TWAP: hold-until-next weighting, lead window + one rollup
     "q_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,

@@ -482,6 +482,68 @@ object Ann {
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** Radius (threshold) retrieval: every corpus vector within cosine
+    * ≥ `minCos` of each query, through the SAME multi-probe LSH
+    * bucket join as [[lshTopK]] — the "everything similar enough"
+    * face (dedup sweeps, contamination checks) where k is unknown a
+    * priori. Candidate volume is bucket-bounded exactly as in the
+    * top-k path; no all-pairs anywhere. Recall is probe-geometry-
+    * bounded like lshTopK's (same buckets, same masks).
+    *
+    * @return `(query_id, neighbor_id, cos)` ordered, cos ≥ minCos
+    */
+  def lshRadius(corpus: DataFrame, queries: DataFrame, minCos: Double,
+      dim: Int, planes: Int = 6, seed: Long = 42L, probeBits: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), signBucket(col(vecCol), hp).as("bucket"))
+    val masks = probeMasks(planes, probeBits)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        signBucket(col(vecCol), hp).as("qbucket"))
+      .select(col("query_id"), col("qv"),
+        explode(array(masks.map(m =>
+          col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .distinct()
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Embedding-table health histogram: per-vector L2 norms (the
+    * sequential fold over the array — one fixed IEEE expression
+    * order, so the doubles are engine-exact), quantized to 1e4 and
+    * binned 0.1-wide — the "are these vectors normalized / did a
+    * batch go degenerate" QA an ANN deployment runs before indexing.
+    * Map-only scan + one hash rollup.
+    *
+    * @return `(bin, n_vecs, min_norm_e4, max_norm_e4)` ordered by bin
+    */
+  def normHealth(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: Column, b: Column): Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    val ssq = aggregate(col(vecCol), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    corpus
+      .select(col(idCol),
+        round(sqrt(ssq) * 10000).cast("long").as("norm_e4"))
+      .groupBy(intDiv(col("norm_e4"), lit(1000L)).as("bin"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm_e4")).as("min_norm_e4"),
+        max(col("norm_e4")).as("max_norm_e4"))
+      .orderBy(col("bin"))
+  }
+
   /** ANN quality evaluation: recall of an approximate top-k result
     * against the exact one. Both inputs carry
     * `(query_id, neighbor_id, ...)` rows (the shape every retriever

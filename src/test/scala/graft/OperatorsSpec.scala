@@ -487,6 +487,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.35, f"LSH recall too low: $recall%.2f")
   }
 
+  test("lshRadius: threshold sweep is the filtered superset of the " +
+      "bucket candidates; every row clears the threshold") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val got = Ann.lshRadius(emb, queries, minCos = 0.2, dim = 64)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.2), "a row under the threshold leaked")
+    // agreement with top-k on shared candidates: a top-k hit whose
+    // cos clears the threshold must be in the radius answer
+    val topk = Ann.lshTopK(emb, queries, 10, dim = 64)
+      .filter($"cos" >= 0.2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val radius = got.map(r => (r._1, r._2)).toSet
+    assert(topk.subsetOf(radius), (topk -- radius).toString)
+  }
+
+  test("normHealth: quantized L2-norm bins on hand vectors") {
+    import spark.implicits._
+    // |(3,4)| = 5 -> 50000 e4 -> bin 50; |(1,0)| = 1 -> bin 10
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Ann.normHealth(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 2L, 10000L, 10000L),
+      (50L, 1L, 50000L, 50000L)), got.toString)
+  }
+
   test("IVF-PQ top-k: codes-only candidate scan, exact rerank, " +
       "recall vs brute force is reasonable") {
     val emb = Tables.t(spark, sf001, "embeddings")
