@@ -1835,6 +1835,57 @@ class OperatorsSpec extends SparkTestBase {
       (2L, 3L, 1L, 500L, 500L)), got.toString)
   }
 
+  test("changepoint: random series match a local BigInt replay of " +
+      "the floored-score argmax") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4).flatMap { k =>
+      val n = 3 + rnd.nextInt(30)
+      (0 until n).map(i => (k.toLong,
+        new Timestamp(1700000000000L + i * 1000L),
+        (k * 1000 + i).toLong, rnd.nextInt(20000) / 100.0))
+    }
+    val got = graft.operators.EventOps.changepoint(
+      rows.toDF("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    rows.groupBy(_._1).foreach { case (k, es) =>
+      val vs = es.sortBy(_._3).map(e => BigInt(math.round(e._4 * 100)))
+      val n = vs.size
+      val pre = vs.scanLeft(BigInt(0))(_ + _).tail
+      val s1 = pre.last
+      val best = (1 until n).map { j =>
+        val sp = pre(j - 1); val ss = s1 - sp
+        val score = (sp * sp * (n - j) + ss * ss * j) /
+          (BigInt(j) * (n - j))
+        (-score, j)
+      }.min
+      val j = best._2
+      val exp = (n.toLong, j.toLong, (pre(j - 1) / j).toLong,
+        ((s1 - pre(j - 1)) / (n - j)).toLong)
+      assert(got(k) === exp, s"key $k")
+    }
+  }
+
+  test("gini: random counts match a local exact-rational replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 60).flatMap { u =>
+      Seq.fill(1 + rnd.nextInt(9))((u.toLong, "t"))
+    }
+    val got = graft.operators.EventOps.gini(
+      rows.toDF("user_id", "event_type"), "user_id", "event_type")
+      .select($"gini_ppm").as[Long].head()
+    val xs = rows.groupBy(_._1).values.map(_.size.toLong).toSeq.sorted
+    val n = BigInt(xs.size); val sx = BigInt(xs.sum)
+    val six = xs.zipWithIndex
+      .map { case (x, i) => BigInt(i + 1) * x }.sum
+    val exp = ((six * 2 - (n + 1) * sx) * 1000000 / (n * sx)).toLong
+    assert(got === exp, s"got $got expected $exp")
+  }
+
   test("readability: integer Flesch on a hand sentence") {
     import spark.implicits._
     // 5 words, 2 sentence runs, 5 single-vowel-group syllables:
