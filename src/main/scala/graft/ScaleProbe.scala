@@ -578,6 +578,40 @@ object ScaleProbe {
         f""""triangles":$nTri,"t_triangles":$tTri%.2f}""")
     }
 
+    // EWMA hot-entity probe: one bot user holding 10% vs 50% of a
+    // 2M-row event table, smoothed under the disclosed cap. The claim
+    // is BOUNDED task memory and near-flat cost as the hot key's
+    // history grows — the capped rank-window cut spills the oversized
+    // key in the sort instead of materializing it in the aggregation
+    // buffer, and the emitted hot-key rows are exactly the cap.
+    locally {
+      val n = 2000000L
+      val cap = 65536
+      def mk(hotPct: Int) = spark.range(n).select(
+        when(col("id") % 100 < hotPct, lit(0L))
+          .otherwise(col("id") % 5000L + 1L).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000L)
+          .as("ts"),
+        col("id").as("event_id"),
+        (col("id") % 997L).cast("double").as("value"))
+      def once(hotPct: Int): Double = {
+        val t0 = System.nanoTime()
+        operators.EventOps.ewma(mk(hotPct), "user_id", "ts",
+          "event_id", "value", maxEventsPerKey = cap)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t10 = math.min(once(10), once(10))
+      val t50 = math.min(once(50), once(50))
+      val hotRows = operators.EventOps.ewma(mk(50), "user_id", "ts",
+        "event_id", "value", maxEventsPerKey = cap)
+        .filter(col("user_id") === 0L).count()
+      println(f"""{"q":"ewma_hot_key","rows":$n,"cap":$cap,""" +
+        f""""t_hot10pct":$t10%.2f,"t_hot50pct":$t50%.2f,""" +
+        f""""ratio":${t50 / math.max(t10, 0.001)}%.2f,""" +
+        f""""hot_rows_emitted":$hotRows}""")
+    }
+
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

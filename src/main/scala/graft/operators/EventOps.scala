@@ -575,6 +575,12 @@ object EventOps {
     * a truncated — never an approximated — series. The cut runs as a
     * rank window BEFORE the collect, so the oversized key spills in
     * the sort instead of materializing in the aggregation buffer.
+    * The cap ALSO bounds compute, not just memory: the fold
+    * accumulates an immutable state array (one copy per step in the
+    * HOF), so per-key cost is quadratic in the capped length — the
+    * 2¹⁶ default keeps the worst single task under ~a minute and the
+    * buffer at ~1 MB (ScaleProbe `ewma_hot_key`: a 50%-of-table bot
+    * key costs the same as a 10% one, and emits exactly `cap` rows).
     *
     * @return `(key, id, value_c, ewma_c6)`: the quantized value and
     *         the EWMA at `valueScale`·10⁶ fixed point
@@ -582,7 +588,7 @@ object EventOps {
   def ewma(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, alphaNum: Long = 1L,
       alphaDen: Long = 2L, valueScale: Long = 100L,
-      maxEventsPerKey: Int = 1 << 20): DataFrame = {
+      maxEventsPerKey: Int = 1 << 16): DataFrame = {
     require(alphaNum > 0 && alphaDen >= alphaNum,
       s"alpha must be in (0, 1]: $alphaNum/$alphaDen")
     require(maxEventsPerKey > 0,
@@ -1200,7 +1206,9 @@ object EventOps {
     * bit-for-bit; ties take the smallest k). The per-key evaluation
     * is one prefix-sum fold plus one linear transform over the same
     * array the EWMA/LTTB family uses, under the same disclosed
-    * earliest-N `maxEventsPerKey` cap (rank-window cut, spill-safe).
+    * earliest-N `maxEventsPerKey` cap (rank-window cut, spill-safe;
+    * like EWMA's, the cap also bounds the fold's quadratic
+    * array-copy cost — see that operator's hot-entity note).
     * Keys with fewer than 2 events drop (no split exists).
     *
     * @return `(key, n_events, split_idx, left_mean_c, right_mean_c)`
@@ -1208,7 +1216,7 @@ object EventOps {
     */
   def changepoint(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, valueScale: Long = 100L,
-      maxEventsPerKey: Int = 1 << 20): DataFrame = {
+      maxEventsPerKey: Int = 1 << 16): DataFrame = {
     require(maxEventsPerKey >= 2,
       s"maxEventsPerKey must be >= 2: $maxEventsPerKey")
     val rnW = Window.partitionBy(col("k"))
