@@ -4490,14 +4490,18 @@ object SparkEntry {
         |  p - least(0, rm) AS balance_c
         |FROM w2 ORDER BY user_id, event_id""".stripMargin,
     // integer EWMA: the same fixed-point recurrence as a recursive
-    // CTE on HUGEINT, iterating per-key event rank
+    // CTE on HUGEINT, iterating per-key event rank. The rn <= 65536
+    // cut replays EventOps.ewma's disclosed earliest-2^16 per-key cap
+    // (maxEventsPerKey default) so a hot key past the cap truncates
+    // identically in both engines.
     "q_ewma" ->
       """WITH RECURSIVE e AS (
-        |  SELECT user_id AS k, event_id AS i,
-        |    CAST(round(value * 100) AS BIGINT) AS vc,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events),
+        |  SELECT * FROM (
+        |    SELECT user_id AS k, event_id AS i,
+        |      CAST(round(value * 100) AS BIGINT) AS vc,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS rn
+        |    FROM events) WHERE rn <= 65536),
         |r AS (
         |  SELECT k, i, vc, rn, CAST(vc AS HUGEINT) * 1000000 AS s
         |  FROM e WHERE rn = 1
@@ -4920,10 +4924,14 @@ object SparkEntry {
         |FROM r ORDER BY user_id""".stripMargin,
     // changepoint: floored SSE-reduction argmax over prefix sums —
     // the same (sorted array → indexed list transform → struct
-    // argmax) shape as q_lttb's oracle
+    // argmax) shape as q_lttb's oracle. QUALIFY replays
+    // EventOps.changepoint's disclosed earliest-2^16 per-key cap
+    // (maxEventsPerKey default) before the list build.
     "q_changepoint" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id AS i,
-        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) <= 65536),
         |s AS (SELECT user_id, list_transform(
         |      list_sort(list(struct_pack(t := tu, i := i, v := vc))),
         |      r -> r.v) AS vs

@@ -552,6 +552,16 @@ object EventOps {
         ColumnBridge.expression(b)))
   }
 
+  /** `⌊a / b⌋` exact FLOOR division for a possibly-negative numerator
+    * over a strictly positive denominator: Spark's integral divide
+    * truncates toward zero while SQL `//` floors, so they disagree
+    * exactly when `a < 0 ∧ b ∤ a`. The identity
+    * `⌊a/b⌋ = −⌈(−a)/b⌉ = −((−a + b − 1) div b)` restores bit-for-bit
+    * cross-engine agreement — used where the numerator is a segment
+    * sum that may legitimately go negative ([[changepoint]] means). */
+  private def floorDiv(a: Column, b: Column): Column =
+    when(a < 0, -intDiv(-a + b - lit(1), b)).otherwise(intDiv(a, b))
+
   /** Exponentially weighted moving average under the FULLY INTEGER
     * contract: values quantize to `valueScale` longs, the running
     * state is a fixed-point long at `valueScale`·10⁶, and each step
@@ -1212,7 +1222,9 @@ object EventOps {
     * Keys with fewer than 2 events drop (no split exists).
     *
     * @return `(key, n_events, split_idx, left_mean_c, right_mean_c)`
-    *         — means are the exact floored segment means in cents
+    *         — means are the exact FLOORED segment means in cents
+    *         (true floor even for negative segment sums, via the
+    *         sign-split [[floorDiv]] — SQL `//` semantics)
     */
   def changepoint(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, valueScale: Long = 100L,
@@ -1258,9 +1270,9 @@ object EventOps {
     scored
       .select(col("k").as(keyCol), col("n").as("n_events"),
         col("best.k").as("split_idx"),
-        intDiv(col("best.sp"), col("best.k").cast(dec))
+        floorDiv(col("best.sp"), col("best.k").cast(dec))
           .as("left_mean_c"),
-        intDiv(col("s1") - col("best.sp"),
+        floorDiv(col("s1") - col("best.sp"),
           (col("n") - col("best.k")).cast(dec)).as("right_mean_c"))
       .orderBy(col(keyCol))
   }

@@ -20,7 +20,7 @@ import java.util.concurrent.ConcurrentHashMap
   *
   * S3 has been strongly consistent for reads-after-writes and
   * listings since 2020, which is what lets the claim register live in
-  * the same store as the data. GCS (`x-goods-if-generation-match: 0`)
+  * the same store as the data. GCS (`x-goog-if-generation-match: 0`)
   * and ABS (`If-None-Match: *` on Put Blob) expose the same three
   * primitives, so one adapter shape covers all three clouds.
   */

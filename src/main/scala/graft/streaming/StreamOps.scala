@@ -759,7 +759,12 @@ object StreamOps {
     * funnel after the first one closed does NOT emit a second hit —
     * matching the batch operator, which anchors on the single
     * globally-earliest step-1. An entity re-entering after the
-    * tombstone expires (default 30 days) emits again; parity against
+    * tombstone expires (default 30 days) emits again — including
+    * when the past-expiry events land in the very batch that closes
+    * the previous window (the close path CHAINS into a fresh funnel
+    * instead of dropping them, so the re-emit contract holds even
+    * with `tombstoneMicros` shorter than the watermark delay);
+    * parity against
     * a batch window longer than that requires downstream
     * min-by-`t1_micros` dedup, which the feed's schema supports.
     *
@@ -868,37 +873,65 @@ object StreamOps {
             }
             if (suppressed) Iterator.empty
             else {
-            var evs = prev.evs ++ incoming
-            val t1 = evs.iterator
-              .collect { case (t, ty) if ty == steps.head => t }
-              .foldLeft(Long.MinValue)((a, b) =>
-                if (a == Long.MinValue) b else math.min(a, b))
-            if (t1 == Long.MinValue) {
-              // no step 1 yet: a future step-1 arrives at >= the
-              // watermark, so older events can never follow it
-              evs = evs.filter(_._1 >= wmMicros)
-              if (evs.isEmpty) state.remove()
-              else {
-                state.update(FunnelBuf(evs, Long.MinValue))
-                // re-awake once the watermark passes the whole buffer
-                // so an entity that never sees step 1 frees its state
-                state.setTimeoutTimestamp(
-                  evs.map(_._1).max / 1000L + 1L)
+              // The close path can CHAIN: when tombstoneMicros is
+              // shorter than the watermark delay, a single batch can
+              // hold a funnel's window close AND events past that
+              // funnel's tombstone expiry — those must seed a fresh
+              // funnel (which may itself close within the batch),
+              // not silently die in the window filter. Hence a loop
+              // emitting zero or more hits, terminating because each
+              // pass strictly advances t1 past the previous expiry.
+              val hits = scala.collection.mutable.ListBuffer
+                .empty[FunnelHit]
+              var pending = prev.evs ++ incoming
+              var looping = true
+              while (looping) {
+                val t1 = pending.iterator
+                  .collect { case (t, ty) if ty == steps.head => t }
+                  .foldLeft(Long.MinValue)((a, b) =>
+                    if (a == Long.MinValue) b else math.min(a, b))
+                if (t1 == Long.MinValue) {
+                  // no step 1 yet: a future step-1 arrives at >= the
+                  // watermark, so older events can never follow it
+                  pending = pending.filter(_._1 >= wmMicros)
+                  if (pending.isEmpty) state.remove()
+                  else {
+                    state.update(FunnelBuf(pending, Long.MinValue))
+                    // re-awake once the watermark passes the whole
+                    // buffer so an entity that never sees step 1
+                    // frees its state
+                    state.setTimeoutTimestamp(
+                      pending.map(_._1).max / 1000L + 1L)
+                  }
+                  looping = false
+                } else {
+                  val winEnd = t1 + windowMicros
+                  val closeMs = winEnd / 1000L + 1L
+                  if (closeMs <= wmMicros / 1000L) {
+                    // the window already closed within this batch
+                    hits += FunnelHit(key,
+                      fold(pending.filter(_._1 <= winEnd)), t1)
+                    val fresh =
+                      pending.filter(_._1 > winEnd + tombstoneMicros)
+                    if (fresh.isEmpty) {
+                      finalizeToTombstone(t1)
+                      looping = false
+                    } else {
+                      // past-expiry events landed in the closing
+                      // batch: the fresh funnel replaces the
+                      // tombstone immediately (in-tombstone
+                      // stragglers above still drop)
+                      pending = fresh
+                    }
+                  } else {
+                    pending = pending.filter(_._1 <= winEnd)
+                    state.update(FunnelBuf(pending, t1))
+                    state.setTimeoutTimestamp(closeMs)
+                    looping = false
+                  }
+                }
               }
-              Iterator.empty
-            } else {
-              evs = evs.filter(_._1 <= t1 + windowMicros)
-              val closeMs = (t1 + windowMicros) / 1000L + 1L
-              if (closeMs <= wmMicros / 1000L) {
-                // the window already closed within this batch
-                finalizeToTombstone(t1)
-                Iterator.single(FunnelHit(key, fold(evs), t1))
-              } else {
-                state.update(FunnelBuf(evs, t1))
-                state.setTimeoutTimestamp(closeMs)
-                Iterator.empty
-              }
-            }
+              hits.iterator
             }
           }
       }
@@ -1106,6 +1139,294 @@ object StreamOps {
             val wake =
               if (pending.nonEmpty) pending.map(_._1).min
               else best.map(_._1 + lookbackMicros).get
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
+          }
+          hits.result().iterator
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // Monitoring faces: drawdown / EWMA / TWAP as watermark-finalized
+  // feeds. Shared shape: per-entity O(1) running state + the events
+  // still ABOVE the watermark (pending); an event folds exactly once,
+  // in (t, id) order, when the watermark passes it — from that
+  // instant no earlier event can arrive, so every emitted row is
+  // final. Idle-expiry eviction is the disclosed state story for
+  // these inherently infinite-horizon monitors: an entity silent for
+  // `idleExpiryMicros` of EVENT time frees its state, and a
+  // re-appearing entity starts a FRESH series (the standard
+  // counter-reset telemetry contract — parity against the batch
+  // operator holds within one expiry horizon).
+  // ---------------------------------------------------------------
+
+  /** A new record drawdown for an entity — emitted exactly once per
+    * deepening. */
+  case class DrawdownHit(entity: String, t_micros: Long, id: Long,
+    value_c: Long, peak_c: Long, drawdown_c: Long)
+  /** Per-entity drawdown state: running (peak, worst) over folded
+    * events plus events still above the watermark. */
+  case class DdState(peak: Long, worst: Long, any: Boolean,
+    lastT: Long, pending: Seq[(Long, Long, Long)])
+
+  /** Streaming face of [[graft.operators.EventOps.maxDrawdown]]: the
+    * record-deepening feed — one row each time an entity's
+    * peak-to-trough drop sets a NEW record, finalized exactly once
+    * when the watermark passes the troughing event (order below the
+    * watermark is fixed, so the running max and the record are
+    * final). A monotonically recovering or rising entity emits
+    * nothing — exactly the alert stream a 100 TB telemetry pipeline
+    * wants live (queue depths, loss curves, account values).
+    *
+    * Batch parity: folding an entity's full history through this
+    * feed, `max(drawdown_c)` equals the batch operator's
+    * `max_drawdown_c` (entities whose batch value is 0 emit no row).
+    *
+    * State per entity is ONE (peak, worst) pair plus the
+    * above-watermark pending buffer (watermark-delay × event rate,
+    * the funnel bound); entities idle past `idleExpiryMicros` of
+    * event time free their state entirely and restart fresh on
+    * re-appearance (disclosed counter-reset semantics).
+    *
+    * @return `(entity, t_micros, id, value_c, peak_c, drawdown_c)`,
+    *         drawdown_c strictly increasing per entity
+    */
+  def drawdownFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, valueScale: Long = 100L,
+      watermark: String = "10 minutes",
+      idleExpiryMicros: Long = 30L * 24 * 3600 * 1000000L)
+      : Dataset[DrawdownHit] = {
+    require(idleExpiryMicros > 0,
+      s"idleExpiryMicros must be > 0: $idleExpiryMicros")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DdState, DrawdownHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(DdState(0L, 0L, any = false, Long.MinValue,
+              Seq.empty))
+          val all = (st.pending ++ rows.map(r => (r._3, r._4, r._5)))
+            .sortBy(e => (e._1, e._2))
+          val (ripe, pending) = all.partition(_._1 < wmMicros)
+          var peak = st.peak; var worst = st.worst; var any = st.any
+          var lastT = st.lastT
+          val hits = Vector.newBuilder[DrawdownHit]
+          ripe.foreach { case (t, i, vc) =>
+            peak = if (any) math.max(peak, vc) else vc
+            any = true
+            lastT = t
+            val dd = peak - vc
+            if (dd > worst) {
+              worst = dd
+              hits += DrawdownHit(key, t, i, vc, peak, dd)
+            }
+          }
+          val activityT = math.max(lastT,
+            pending.iterator.map(_._1).foldLeft(Long.MinValue)(
+              math.max))
+          if (pending.isEmpty &&
+            (!any || lastT + idleExpiryMicros < wmMicros)) {
+            state.remove()
+          } else {
+            state.update(DdState(peak, worst, any, lastT, pending))
+            val wake =
+              if (pending.nonEmpty) pending.iterator.map(_._1).min
+              else activityT + idleExpiryMicros
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
+          }
+          hits.result().iterator
+      }
+  }
+
+  /** A finalized EWMA reading: the smoother state after folding the
+    * event, bit-identical to the batch operator's row. */
+  case class EwmaHit(entity: String, id: Long, t_micros: Long,
+    value_c: Long, ewma_c6: Long)
+  /** Per-entity EWMA state: the fixed-point smoother value, events
+    * folded so far (for the cap), and the above-watermark pending. */
+  case class EwmaState(s: Long, n: Long, lastT: Long,
+    pending: Seq[(Long, Long, Long)])
+
+  /** Streaming face of [[graft.operators.EventOps.ewma]]: one row per
+    * event, carrying the exact fixed-point smoother value, finalized
+    * once the watermark passes the event (the recurrence's order
+    * below the watermark is fixed; each emitted row is bit-identical
+    * to the batch fold over the same in-watermark events). Same
+    * FULLY INTEGER contract as the batch face:
+    * `s_n = (num·v_n·10⁶ + (den−num)·s_{n−1}) div den`, s₁ = v₁·10⁶.
+    *
+    * The batch operator's disclosed earliest-`maxEventsPerKey` cap
+    * carries over: events past the cap neither fold nor emit (a
+    * truncated — never an approximated — series). State per entity is
+    * TWO longs (smoother + count) plus the above-watermark pending;
+    * entities idle past `idleExpiryMicros` of event time free their
+    * state and restart a FRESH smoother (s₁ = next value) on
+    * re-appearance — the disclosed counter-reset contract.
+    *
+    * @return `(entity, id, t_micros, value_c, ewma_c6)`, one row per
+    *         in-cap event, emitted exactly once
+    */
+  def ewmaFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alphaNum: Long = 1L,
+      alphaDen: Long = 2L, valueScale: Long = 100L,
+      maxEventsPerKey: Int = 1 << 16,
+      watermark: String = "10 minutes",
+      idleExpiryMicros: Long = 30L * 24 * 3600 * 1000000L)
+      : Dataset[EwmaHit] = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"alpha must be in (0, 1]: $alphaNum/$alphaDen")
+    require(maxEventsPerKey > 0,
+      s"maxEventsPerKey must be positive: $maxEventsPerKey")
+    require(idleExpiryMicros > 0,
+      s"idleExpiryMicros must be > 0: $idleExpiryMicros")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(EwmaState(0L, 0L, Long.MinValue, Seq.empty))
+          val all = (st.pending ++ rows.map(r => (r._3, r._4, r._5)))
+            .sortBy(e => (e._1, e._2))
+          val (ripe, pending) = all.partition(_._1 < wmMicros)
+          var s = st.s; var n = st.n; var lastT = st.lastT
+          val hits = Vector.newBuilder[EwmaHit]
+          ripe.foreach { case (t, i, vc) =>
+            lastT = t
+            if (n < maxEventsPerKey) {
+              // Long division truncates toward zero — identical to
+              // the batch face's IntegralDivide step
+              s = if (n == 0L) vc * 1000000L
+              else (vc * 1000000L * alphaNum +
+                s * (alphaDen - alphaNum)) / alphaDen
+              n += 1L
+              hits += EwmaHit(key, i, t, vc, s)
+            }
+          }
+          val activityT = math.max(lastT,
+            pending.iterator.map(_._1).foldLeft(Long.MinValue)(
+              math.max))
+          if (pending.isEmpty &&
+            (n == 0L || lastT + idleExpiryMicros < wmMicros)) {
+            state.remove()
+          } else {
+            state.update(EwmaState(s, n, lastT, pending))
+            val wake =
+              if (pending.nonEmpty) pending.iterator.map(_._1).min
+              else activityT + idleExpiryMicros
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
+          }
+          hits.result().iterator
+      }
+  }
+
+  /** A finalized running TWAP reading at an event instant. */
+  case class TwapHit(entity: String, t_micros: Long, span_us: Long,
+    twap_c: Long)
+  /** Per-entity TWAP state: the last (t, v) plus exact accumulators —
+    * `num` (Σ v·Δt, a BigInt serialized as string: the product of a
+    * cent value and a micros span overflows a long within one busy
+    * year) and `den` (Σ Δt micros, safely a long). */
+  case class TwapState(lastT: Long, lastV: Long, den: Long,
+    num: String, anyEmitted: Boolean,
+    pending: Seq[(Long, Long, Long)])
+
+  /** Streaming face of [[graft.operators.EventOps.twap]]: the LIVE
+    * time-weighted average — each value holds until the entity's
+    * next event, so the interval `[t_{n−1}, t_n)` finalizes exactly
+    * once when the watermark passes `t_n` (no in-watermark event can
+    * land inside it), and each emitted row carries the exact
+    * cumulative TWAP `⌊Σ v·Δt / Σ Δt⌋` up to that instant. The last
+    * row per entity equals the batch operator's `(span_us, twap_c)`
+    * bit-for-bit. Same disclosed non-negative-value assumption as
+    * the batch face (sign-uniform case where truncating and flooring
+    * division agree).
+    *
+    * State per entity is one (t, v) pair + two accumulators plus the
+    * above-watermark pending buffer; entities idle past
+    * `idleExpiryMicros` of event time free their state and restart a
+    * fresh accumulation on re-appearance (disclosed counter-reset
+    * semantics — the batch parity window is one expiry horizon).
+    *
+    * @return `(entity, t_micros, span_us, twap_c)`, one row per
+    *         event after the entity's first, emitted exactly once
+    */
+  def twapFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, valueScale: Long = 100L,
+      watermark: String = "10 minutes",
+      idleExpiryMicros: Long = 30L * 24 * 3600 * 1000000L)
+      : Dataset[TwapHit] = {
+    require(idleExpiryMicros > 0,
+      s"idleExpiryMicros must be > 0: $idleExpiryMicros")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TwapState, TwapHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(TwapState(Long.MinValue, 0L, 0L, "0",
+              anyEmitted = false, Seq.empty))
+          val all = (st.pending ++ rows.map(r => (r._3, r._4, r._5)))
+            .sortBy(e => (e._1, e._2))
+          val (ripe, pending) = all.partition(_._1 < wmMicros)
+          var lastT = st.lastT; var lastV = st.lastV
+          var den = st.den; var num = BigInt(st.num)
+          var anyEmitted = st.anyEmitted
+          val hits = Vector.newBuilder[TwapHit]
+          ripe.foreach { case (t, _, vc) =>
+            if (lastT != Long.MinValue) {
+              val dt = t - lastT
+              num += BigInt(lastV) * dt
+              den += dt
+              if (den > 0L) {
+                anyEmitted = true
+                hits += TwapHit(key, t, den, (num / den).toLong)
+              }
+            }
+            lastT = t; lastV = vc
+          }
+          val activityT = math.max(lastT,
+            pending.iterator.map(_._1).foldLeft(Long.MinValue)(
+              math.max))
+          if (pending.isEmpty && (lastT == Long.MinValue ||
+            lastT + idleExpiryMicros < wmMicros)) {
+            state.remove()
+          } else {
+            state.update(TwapState(lastT, lastV, den, num.toString,
+              anyEmitted, pending))
+            val wake =
+              if (pending.nonEmpty) pending.iterator.map(_._1).min
+              else activityT + idleExpiryMicros
             state.setTimeoutTimestamp(math.max(
               state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
           }

@@ -1835,16 +1835,20 @@ class OperatorsSpec extends SparkTestBase {
       (2L, 3L, 1L, 500L, 500L)), got.toString)
   }
 
-  test("changepoint: random series match a local BigInt replay of " +
-      "the floored-score argmax") {
+  test("changepoint: random SIGNED series match a local BigInt " +
+      "replay of the floored-score argmax with FLOORED means") {
     import spark.implicits._
     import java.sql.Timestamp
+    // floor division (SQL `//`): BigInt / truncates toward zero
+    def fdiv(a: BigInt, b: BigInt): BigInt =
+      if (a.sign < 0 && a % b != 0) a / b - 1 else a / b
     val rnd = new scala.util.Random(7)
     val rows = (1 to 4).flatMap { k =>
       val n = 3 + rnd.nextInt(30)
       (0 until n).map(i => (k.toLong,
         new Timestamp(1700000000000L + i * 1000L),
-        (k * 1000 + i).toLong, rnd.nextInt(20000) / 100.0))
+        (k * 1000 + i).toLong,
+        (rnd.nextInt(40000) - 20000) / 100.0))
     }
     val got = graft.operators.EventOps.changepoint(
       rows.toDF("user_id", "ts", "event_id", "value"),
@@ -1858,15 +1862,34 @@ class OperatorsSpec extends SparkTestBase {
       val s1 = pre.last
       val best = (1 until n).map { j =>
         val sp = pre(j - 1); val ss = s1 - sp
+        // score numerator is a sum of squares: non-negative, so
+        // truncating `/` IS floor here
         val score = (sp * sp * (n - j) + ss * ss * j) /
           (BigInt(j) * (n - j))
         (-score, j)
       }.min
       val j = best._2
-      val exp = (n.toLong, j.toLong, (pre(j - 1) / j).toLong,
-        ((s1 - pre(j - 1)) / (n - j)).toLong)
+      val exp = (n.toLong, j.toLong, fdiv(pre(j - 1), j).toLong,
+        fdiv(s1 - pre(j - 1), n - j).toLong)
       assert(got(k) === exp, s"key $k")
     }
+  }
+
+  test("changepoint: negative segment sums get FLOOR means (SQL " +
+      "`//`), not truncation toward zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // cents: -100, -55, 900, 900 -> split at k=2 (scores 1025008 /
+    // 1632012 / 995008); left mean floor(-155/2) = -78 (truncation
+    // toward zero would say -77)
+    val df = Seq(-1.0, -0.55, 9.0, 9.0).zipWithIndex.map {
+      case (v, i) => (1L, ts(i), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventOps.changepoint(df, "user_id",
+      "ts", "event_id", "value")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4L, 2L, -78L, 900L)), got.toString)
   }
 
   test("gini: random counts match a local exact-rational replay") {

@@ -250,6 +250,51 @@ class StreamingSpec extends SparkTestBase {
       d("2024-01-01 12:40:00").getTime * 1000L, s"second t1: $got")
   }
 
+  test("funnelFeed: past-expiry events arriving in the very batch " +
+      "that closes the window seed a fresh funnel (close chains)") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[E]
+    // a SHORT tombstone (10 min): the expiry (t1+window+tombstone)
+    // can sit below the watermark when the close happens, so the
+    // closing batch itself may carry re-entry events
+    val q = StreamOps.funnelFeed(input.toDF(), "user_id", "ts",
+        "event_type", Seq("view", "cart", "buy"),
+        windowMicros = 10L * 60 * 1000000, watermark = "5 minutes",
+        tombstoneMicros = 10L * 60 * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_chain").start()
+    try {
+      // batch 1: session 1 (t1 10:00, window closes 10:10,
+      // tombstone expires 10:20) + a user-9 watermark mover at
+      // 10:40 -> wm = 10:35 entering batch 2
+      input.addData(E(1, d("2024-01-01 10:00:00"), 8, "view", 0),
+        E(2, d("2024-01-01 10:01:00"), 8, "cart", 0),
+        E(3, d("2024-01-01 10:40:00"), 9, "view", 0))
+      q.processAllAvailable()
+      // batch 2: session 2, entirely PAST the expiry, lands in the
+      // same batch whose data path closes session 1 (close 10:10 <=
+      // wm 10:35): without the chain these three events die in the
+      // <= t1+window filter and session 2 never exists
+      input.addData(E(4, d("2024-01-01 11:00:00"), 8, "view", 0),
+        E(5, d("2024-01-01 11:01:00"), 8, "cart", 0),
+        E(6, d("2024-01-01 11:02:00"), 8, "buy", 0))
+      q.processAllAvailable()
+      // movers: close session 2 (11:10) via the timeout path
+      input.addData(E(7, d("2024-01-01 12:00:00"), 9, "view", 0))
+      q.processAllAvailable()
+      input.addData(E(99, d("2024-01-02 00:00:00"), -1, "flush", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_chain")
+      .filter($"entity" === "8")
+      .select($"steps_reached", $"t1_micros").as[(Int, Long)]
+      .collect().toSeq.sortBy(_._2)
+    assert(got === Seq(
+      (2, d("2024-01-01 10:00:00").getTime * 1000L),
+      (3, d("2024-01-01 11:00:00").getTime * 1000L)), got.toString)
+  }
+
   test("funnelFeed: entities that never reach step 1 emit nothing " +
       "(cleanup timeout is silent)") {
     implicit val sqlCtx = spark.sqlContext
@@ -272,6 +317,173 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
     assert(spark.table("funnel_nostep1").count() === 0)
+  }
+
+  test("drawdownFeed: record-deepening hits finalize once in event-" +
+      "time order; batch parity; idle state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[E]
+    val q = StreamOps.drawdownFeed(input.toDF(), "user_id", "ts",
+        "event_id", "value", watermark = "30 minutes",
+        idleExpiryMicros = 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dd_feed").start()
+    var stateAfter = -1L
+    val batch1 = Seq(
+      E(1, d("2024-01-01 10:00:00"), 1, "v", 10.00),
+      E(2, d("2024-01-01 10:01:00"), 1, "v", 8.00),
+      E(3, d("2024-01-01 10:02:00"), 1, "v", 9.00),
+      E(4, d("2024-01-01 10:03:00"), 1, "v", 12.00),
+      E(5, d("2024-01-01 10:04:00"), 1, "v", 5.00),
+      E(6, d("2024-01-01 10:00:00"), 2, "v", 10.00),
+      E(7, d("2024-01-01 10:10:00"), 2, "v", 5.00))
+    // user 2's true trough arrives a BATCH later with an EARLIER
+    // event time: the record must fold in event-time order (one
+    // 8.00-deep record at 10:03), never in arrival order (which
+    // would log a 5.00-deep record at 10:10 first)
+    val late = E(8, d("2024-01-01 10:03:00"), 2, "v", 2.00)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+      input.addData(E(90, d("2024-01-02 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-03 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    val got = spark.table("dd_feed").filter($"entity".isin("1", "2"))
+      .select($"entity", $"t_micros", $"value_c", $"peak_c",
+        $"drawdown_c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("1", d("2024-01-01 10:01:00").getTime * 1000L, 800L, 1000L,
+        200L),
+      ("1", d("2024-01-01 10:04:00").getTime * 1000L, 500L, 1200L,
+        700L),
+      ("2", d("2024-01-01 10:03:00").getTime * 1000L, 200L, 1000L,
+        800L)), got.toString)
+    // batch parity: max(drawdown_c) per entity = the batch operator
+    val exp = graft.operators.EventOps.maxDrawdown(
+      (batch1 :+ late).toDF(), "user_id", "ts", "event_id", "value")
+      .filter($"user_id".isin(1L, 2L))
+      .select($"user_id".cast("string"), $"max_drawdown_c")
+      .as[(String, Long)].collect().toMap
+    val feedMax = spark.table("dd_feed")
+      .filter($"entity".isin("1", "2")).groupBy($"entity")
+      .agg(max($"drawdown_c")).as[(String, Long)].collect().toMap
+    assert(feedMax === exp, s"feed=$feedMax batch=$exp")
+    // idle expiry (1 h) passed for users 1/2 and the first mover:
+    // only the last mover's pending survives
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
+  }
+
+  test("ewmaFeed: per-event smoother rows are bit-identical to the " +
+      "batch fold; the cap truncates; idle state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[E]
+    val q = StreamOps.ewmaFeed(input.toDF(), "user_id", "ts",
+        "event_id", "value", maxEventsPerKey = 3,
+        watermark = "30 minutes", idleExpiryMicros = 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_feed").start()
+    var stateAfter = -1L
+    val batch1 = Seq(
+      E(1, d("2024-01-01 10:00:00"), 1, "v", 2.37),
+      E(2, d("2024-01-01 10:01:00"), 1, "v", 9.41),
+      E(3, d("2024-01-01 10:02:00"), 1, "v", 0.50),
+      E(4, d("2024-01-01 10:03:00"), 1, "v", 7.77),
+      E(5, d("2024-01-01 10:00:00"), 2, "v", 1.00),
+      E(6, d("2024-01-01 10:10:00"), 2, "v", 3.00))
+    // out-of-order: user 2's middle event arrives a batch later —
+    // the recurrence must fold it SECOND, not last
+    val late = E(7, d("2024-01-01 10:05:00"), 2, "v", 2.00)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+      input.addData(E(90, d("2024-01-02 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-03 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    val got = spark.table("ewma_feed")
+      .filter($"entity".isin("1", "2"))
+      .select($"entity", $"id", $"value_c", $"ewma_c6")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val exp = graft.operators.EventOps.ewma(
+      (batch1 :+ late).toDF(), "user_id", "ts", "event_id", "value",
+      maxEventsPerKey = 3)
+      .filter($"user_id".isin(1L, 2L))
+      .select($"user_id".cast("string"), $"event_id", $"value_c",
+        $"ewma_c6")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === exp, s"feed=$got batch=$exp")
+    // the cap genuinely truncates: user 1's 4th event never emits
+    assert(!got.exists(_._2 == 4L), got.toString)
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
+  }
+
+  test("twapFeed: live cumulative TWAP finalizes per interval; the " +
+      "last row equals the batch operator; idle state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[E]
+    val q = StreamOps.twapFeed(input.toDF(), "user_id", "ts",
+        "event_id", "value", watermark = "30 minutes",
+        idleExpiryMicros = 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("twap_feed").start()
+    var stateAfter = -1L
+    val batch1 = Seq(
+      // user 1: the batch operator's hand case — 2.00 held 10 s,
+      // 4.00 held 20 s, 9.99 never held
+      E(1, d("2024-01-01 10:00:00"), 1, "v", 2.00),
+      E(2, d("2024-01-01 10:00:10"), 1, "v", 4.00),
+      E(3, d("2024-01-01 10:00:30"), 1, "v", 9.99),
+      E(5, d("2024-01-01 10:00:00"), 2, "v", 1.00),
+      E(6, d("2024-01-01 10:00:30"), 2, "v", 5.00))
+    // out-of-order: user 2's middle event arrives a batch later —
+    // it splits the hold interval in event time
+    val late = E(7, d("2024-01-01 10:00:10"), 2, "v", 2.00)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+      input.addData(E(90, d("2024-01-02 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-03 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    val got = spark.table("twap_feed")
+      .filter($"entity".isin("1", "2"))
+      .select($"entity", $"t_micros", $"span_us", $"twap_c")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("1", d("2024-01-01 10:00:10").getTime * 1000L, 10000000L, 200L),
+      ("1", d("2024-01-01 10:00:30").getTime * 1000L, 30000000L, 333L),
+      ("2", d("2024-01-01 10:00:10").getTime * 1000L, 10000000L, 100L),
+      ("2", d("2024-01-01 10:00:30").getTime * 1000L, 30000000L,
+        166L)), got.toString)
+    // batch parity on the FINAL reading per entity
+    val exp = graft.operators.EventOps.twap(
+      (batch1 :+ late).toDF(), "user_id", "ts", "event_id", "value")
+      .filter($"user_id".isin(1L, 2L))
+      .select($"user_id".cast("string"), $"span_us", $"twap_c")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val lastRows = got.groupBy(_._1).map { case (k, rs) =>
+      val last = rs.maxBy(_._2); k -> ((last._3, last._4))
+    }
+    assert(lastRows === exp, s"feed=$lastRows batch=$exp")
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
   }
 
   test("sessionFeed: closed sessions finalize once with exact spans; " +
