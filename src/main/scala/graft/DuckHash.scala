@@ -608,6 +608,35 @@ private[graft] object DuckHash {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Oracle for `q_label_prop` — synchronous label propagation over
+    * the same replayed near-dup pair graph, UNROLLED round by round:
+    * each node takes its neighbors' most frequent label with ties to
+    * the smallest, rendered as the struct argmin
+    * `(list_sort(list({negc, lbl})))[1]` — the field-wise
+    * lexicographic order both engines share. */
+  def labelPropOracle(minJaccard: Double = 0.2,
+      iters: Int = 3): String = {
+    val steps = (1 to iters).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT dir.dst AS node, l${r - 1}.lbl,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM dir JOIN l${r - 1} ON l${r - 1}.node = dir.src
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT node,
+         |    ((list_sort(list(struct_pack(negc := -c, l := lbl))))[1])
+         |      .l AS lbl
+         |  FROM s$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashJaccardCtes,
+       |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jac
+       |  WHERE j >= $minJaccard),
+       |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM dir),
+       |$steps
+       |SELECT node, lbl AS community FROM l$iters
+       |ORDER BY node""".stripMargin
+  }
+
   /** Oracle for `q_pagerank` — the UNROLLED integer PageRank over the
     * same replayed near-dup pair graph: each iteration is one chained
     * CTE running the identical fixed-point step

@@ -1705,6 +1705,14 @@ object SparkEntry {
       "event_type", Seq("view", "click", "purchase"),
       windowMicros = 86400000000L)
 
+  /** Funnel time-to-convert: per final steps-reached, exact p50/p90
+    * of t_k − t_1 — the funnel fold plus one two-phase-rank quantile
+    * selection over its per-entity output. */
+  private val qFunnelTtc: Q = (s, dir) =>
+    operators.EventOps.funnelTtc(t(s, dir, "events"), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"),
+      windowMicros = 86400000000L, qs = Seq(0.5, 0.9))
+
   /** Per-user daily resample with forward fill over each user's
     * [first, last] day span — grid explode + key-partitioned fill
     * window (partition count grows with users). */
@@ -2848,6 +2856,13 @@ object SparkEntry {
     operators.GraphOps.pageRank(
       Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
 
+  /** Label-propagation communities over the near-dup pair graph
+    * ([[operators.GraphOps.labelPropagation]], unrolled sync LPA) —
+    * the densely-knit complement of q_component_sizes. */
+  private val qLabelProp: Q = (s, dir) =>
+    operators.GraphOps.labelPropagation(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
   /** Max drawdown per user over the (ts, id)-ordered value series
     * ([[operators.EventOps.maxDrawdown]]): one running-max window +
     * one rollup, exact cents. */
@@ -3273,6 +3288,7 @@ object SparkEntry {
     "q_unigram_train_soft" -> qUnigramTrainSoft,
     "q_unigram_train_soft2" -> qUnigramTrainSoft2,
     "q_funnel" -> qFunnel,
+    "q_funnel_ttc" -> qFunnelTtc,
     "q_resample_gapfill" -> qResampleGapfill,
     "q_retention" -> qRetention,
     "q_unigram_encode" -> qUnigramEncode,
@@ -3332,6 +3348,7 @@ object SparkEntry {
     "q_hist_eqdepth" -> qHistEqdepth,
     // round 18
     "q_pagerank" -> qPageRank,
+    "q_label_prop" -> qLabelProp,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
     "q_stickiness" -> qStickiness,
@@ -3593,6 +3610,43 @@ object SparkEntry {
         |  UNION ALL SELECT 2, count(*) FROM s2
         |  UNION ALL SELECT 3, count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    // funnel TTC quantiles: the same staged-min fold, then exact
+    // ceil(q*n)-th rows per final steps-reached in (ttc, user) order
+    "q_funnel_ttc" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+        |  GROUP BY 1),
+        |u AS (SELECT s1.user_id,
+        |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |         WHEN s2.user_id IS NOT NULL THEN 2
+        |         ELSE 1 END AS k,
+        |    CASE WHEN s3.user_id IS NOT NULL
+        |           THEN epoch_us(s3.t) - epoch_us(s1.t)
+        |         WHEN s2.user_id IS NOT NULL
+        |           THEN epoch_us(s2.t) - epoch_us(s1.t)
+        |         ELSE 0 END AS ttc
+        |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |    LEFT JOIN s3 ON s1.user_id = s3.user_id),
+        |w AS (SELECT * FROM u WHERE k >= 2),
+        |r AS (SELECT k, ttc, user_id, row_number() OVER (
+        |    PARTITION BY k ORDER BY ttc, user_id) AS rn FROM w),
+        |n AS (SELECT k, count(*) AS c FROM w GROUP BY 1)
+        |SELECT CAST(r.k AS BIGINT) AS steps_reached, q,
+        |  ttc AS ttc_us
+        |FROM (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q) qs
+        |CROSS JOIN n JOIN r ON r.k = n.k
+        |  AND r.rn = greatest(1, CAST(ceil(q * c) AS BIGINT))
+        |ORDER BY steps_reached, q""".stripMargin,
     "q_resample_gapfill" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
         |    max(value) AS dmax FROM events GROUP BY 1, 2),
@@ -4797,6 +4851,7 @@ object SparkEntry {
         |FROM v, b GROUP BY 1 ORDER BY 1""".stripMargin,
     // round 18: unrolled integer PageRank over the replayed pair graph
     "q_pagerank" -> DuckHash.pageRankOracle(0.2),
+    "q_label_prop" -> DuckHash.labelPropOracle(0.2),
     "q_minhash_est" -> DuckHash.minhashEstimateOracle(0.2),
     "q_cluster_quality" -> DuckHash.clusterQualityOracle(0.2),
     "q_kcore" -> DuckHash.kCoreOracle(0.2),

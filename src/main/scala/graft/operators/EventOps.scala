@@ -41,9 +41,29 @@ object EventOps {
   def funnel(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       windowMicros: Long): DataFrame = {
+    val folded = funnelFold(events, keyCol, tsCol, typeCol, steps,
+      windowMicros)
+    val n = steps.size
+    val counts = folded.agg(
+      steps.indices.map(i =>
+        count(col("st").getField(s"s$i")).as(s"c$i")).head,
+      steps.indices.map(i =>
+        count(col("st").getField(s"s$i")).as(s"c$i")).tail: _*)
+    val rows = (0 until n).map(i =>
+      counts.select(lit(i + 1L).as("step"), col(s"c$i").as("users")))
+    rows.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
+  /** The shared greedy funnel fold: one pruned key shuffle, then a
+    * map-side fold over each entity's (ts, type)-sorted step events.
+    * Returns one row per entity holding `st = (s0 … s{n−1})` — step
+    * i+1's taken time, or null (contiguous by construction: the
+    * greedy fold can only take step i after step i−1). */
+  private def funnelFold(events: DataFrame, keyCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String],
+      windowMicros: Long): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     require(steps.distinct == steps, s"funnel steps must be distinct")
-    val n = steps.size
     val pruned = events
       .filter(col(typeCol).isin(steps: _*))
       .select(col(keyCol).as("k"),
@@ -57,7 +77,7 @@ object EventOps {
     // so the first qualifying event IS the min qualifying event.
     val zero = struct(
       steps.indices.map(i => lit(null).cast("long").as(s"s$i")): _*)
-    val folded = byKey.withColumn("st",
+    byKey.withColumn("st",
       aggregate(col("evs"), zero, (acc, e) => {
         val t = e.getField("t")
         val ty = e.getField("ty")
@@ -73,14 +93,41 @@ object EventOps {
         }
         struct(fields: _*)
       }))
-    val counts = folded.agg(
-      steps.indices.map(i =>
-        count(col("st").getField(s"s$i")).as(s"c$i")).head,
-      steps.indices.map(i =>
-        count(col("st").getField(s"s$i")).as(s"c$i")).tail: _*)
-    val rows = (0 until n).map(i =>
-      counts.select(lit(i + 1L).as("step"), col(s"c$i").as("users")))
-    rows.reduce(_ unionAll _).orderBy(col("step"))
+  }
+
+  /** Funnel time-to-convert quantiles: per FINAL steps-reached k
+    * (k ≥ 2), the exact `qs` quantiles of `t_k − t_1` — how long the
+    * entities that stalled at step k took to get there. The fold is
+    * [[funnel]]'s own greedy fold (one pruned key shuffle); the
+    * quantile selection rides the scale-safe two-phase ranks
+    * ([[Quantiles.exactQuantilesByKey]] — the handful of k groups is
+    * exactly the low-cardinality PARTITION BY a literal window would
+    * single-task). Quantile positions are the `ceil(q·n)`-th rows in
+    * `(ttc, entity)` order — exact, deterministic, no interpolation.
+    *
+    * @return `(steps_reached, q, ttc_us)` ordered by (k, q)
+    */
+  def funnelTtc(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowMicros: Long,
+      qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val folded = funnelFold(events, keyCol, tsCol, typeCol, steps,
+      windowMicros)
+    val n = steps.size
+    val kExpr = coalesce(((n - 1) to 0 by -1).map(i =>
+      when(col("st").getField(s"s$i").isNotNull,
+        lit((i + 1).toLong))): _*)
+    val tkExpr = coalesce(((n - 1) to 0 by -1).map(i =>
+      when(col("st").getField(s"s$i").isNotNull,
+        col("st").getField(s"s$i"))): _*)
+    val perEntity = folded
+      .select(col("k"), kExpr.as("steps_reached"),
+        (tkExpr - col("st").getField("s0")).as("ttc"))
+      .filter(col("steps_reached") >= 2L)
+    Quantiles.exactQuantilesByKey(perEntity, "steps_reached",
+        col("ttc"), Seq(col("k")), qs)
+      .select(col("steps_reached"), col("q"),
+        col("value").as("ttc_us"))
+      .orderBy(col("steps_reached"), col("q"))
   }
 
   /** Daily resample with forward fill: per key, the day-level `max`

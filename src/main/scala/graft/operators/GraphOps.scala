@@ -216,6 +216,14 @@ object GraphOps {
     * neighborhoods). One degree aggregate + two semi-joins per round,
     * all keyed on node ids, edge set checkpointed per round.
     *
+    * '''Convergence is CHECKED, not assumed''': a stable survivor set
+    * has every degree ≥ k, so the output projection fail-fasts
+    * (`raise_error`, the abLift pattern — zero extra stages, still
+    * lazy) the moment any surviving node's degree is < k, i.e. when
+    * the peel needed more than `rounds` rounds (a length-L path needs
+    * ~L/2) and the result would otherwise be a silent SUPERSET of the
+    * k-core. Callers on deep graphs raise `rounds`.
+    *
     * @return `(node, degree)` of the surviving subgraph, ordered
     */
   def kCore(pairs: DataFrame, aCol: String = "id_a",
@@ -236,7 +244,57 @@ object GraphOps {
     }
     e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))
-      .select(col("n").as("node"), col("degree"))
+      .select(col("n").as("node"),
+        when(col("degree") < k, raise_error(lit(
+          s"kCore: the peel did not stabilize within $rounds " +
+            s"rounds (a surviving node still has degree < $k), so " +
+            "the result would be a superset of the k-core — " +
+            "increase `rounds`")))
+          .otherwise(col("degree")).as("degree"))
+      .orderBy(col("node"))
+  }
+
+  /** Label-propagation communities, UNROLLED to a fixed round count
+    * (synchronous LPA with an explicit tie rule): labels start as the
+    * node's own id, and each round every node takes its neighbors'
+    * MOST FREQUENT label, ties to the SMALLEST label — the argmin of
+    * `(−count, label)` under the field-wise struct order both engines
+    * share, so the rounds replay bit-for-bit (the DuckDB oracle
+    * unrolls the same rounds as chained CTEs). Complements the
+    * connected-component readout: components say what's reachable,
+    * communities say what's DENSELY knit — two near-dup blobs joined
+    * by one accidental bridge pair are one component but two
+    * communities, and deleting by component would over-collapse them.
+    *
+    * Scale shape: per round ONE join of the directed edge list
+    * against the label table plus two hash rollups ((node, label)
+    * counts, then the per-node argmin) — all keyed on node ids,
+    * AQE-planned; the edge list materializes once and every node of
+    * the pair graph has degree ≥ 1, so the rollup covers all nodes.
+    *
+    * @return `(node, community)` ordered by node
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
+    val e = edges(pairs, aCol, bCol)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = dir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (1 to iters).foreach { _ =>
+      labels = dir
+        .join(labels.select(col("node").as("src"), col("lbl")),
+          Seq("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("negc"), col("lbl").as("l")))
+          .as("m"))
+        .select(col("dst").as("node"), col("m.l").as("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
       .orderBy(col("node"))
   }
 

@@ -686,6 +686,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === Seq((1L, 4L), (2L, 2L), (3L, 1L)))
   }
 
+  test("funnelTtc: exact per-steps-reached quantiles of t_k - t_1") {
+    import graft.operators.EventOps
+    def ts(m: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(m * 60))
+    val ev = Seq(
+      // k=3 group: TTCs 20 min (u1) and 40 min (u6)
+      (1L, ts(0), "view"), (1L, ts(10), "click"),
+      (1L, ts(20), "purchase"),
+      (6L, ts(0), "view"), (6L, ts(10), "click"),
+      (6L, ts(40), "purchase"),
+      // k=2 group: TTCs 30 (u2), 5 (u3), 50 (u4) min
+      (2L, ts(0), "view"), (2L, ts(30), "click"),
+      (3L, ts(0), "view"), (3L, ts(5), "click"),
+      (4L, ts(0), "view"), (4L, ts(50), "click"),
+      // k=1: excluded from the readout
+      (5L, ts(0), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnelTtc(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 86400000000L)
+      .as[(Long, Double, Long)].collect().toSeq
+    val M = 60L * 1000000
+    // k=2 sorted TTCs [5,30,50]m: p50 = ceil(1.5)=2nd = 30m,
+    // p90 = ceil(2.7)=3rd = 50m; k=3 [20,40]m: p50 = 1st, p90 = 2nd
+    assert(got === Seq(
+      (2L, 0.5, 30 * M), (2L, 0.9, 50 * M),
+      (3L, 0.5, 20 * M), (3L, 0.9, 40 * M)), got.toString)
+  }
+
   test("resampleFill: gaps carry the last observed daily max forward") {
     import graft.operators.EventOps
     def ts(d: Int, h: Int) = java.sql.Timestamp.from(
@@ -1800,6 +1828,38 @@ class OperatorsSpec extends SparkTestBase {
     val got = graft.operators.GraphOps.kCore(pairs, k = 2)
       .as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)), got.toString)
+  }
+
+  test("kCore: a peel that does not stabilize within rounds FAILS " +
+      "FAST instead of returning a silent superset") {
+    import spark.implicits._
+    // a length-8 path needs 4 peel rounds to empty under k=2; after
+    // only 2 the survivors (path 3-4-5-6) are NOT a 2-core
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[Exception] {
+      graft.operators.GraphOps.kCore(path, k = 2, rounds = 2).collect()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("did not stabilize"), chain)
+    // enough rounds: converges to the (empty) exact 2-core, no error
+    assert(graft.operators.GraphOps.kCore(path, k = 2, rounds = 4)
+      .collect().isEmpty)
+  }
+
+  test("labelPropagation: one bridge between two triangles splits " +
+      "into two communities (a single component)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.labelPropagation(pairs)
+      .as[(Long, Long)].collect().toSeq
+    // hand-replayed 3 sync rounds with the (count desc, label asc)
+    // tie rule: the triangles settle on labels 1 and 3 — two
+    // communities despite being one connected component
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)), got.toString)
   }
 
   test("twap: hold-until-next weighting; last event carries none") {
