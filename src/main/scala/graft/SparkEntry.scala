@@ -2968,6 +2968,16 @@ object SparkEntry {
       dim = 64)
   }
 
+  /** IVF threshold retrieval ([[operators.Ann.ivfRadius]]): the
+    * radius face over the train-once coarse quantizer's cells —
+    * cell-pruned candidates, exact rerank, cos ≥ 0.2. */
+  private val qAnnRadiusIvf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val model = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+    Ann.ivfRadius(emb, emb.filter(col("vec_id") < 8), minCos = 0.2,
+      model)
+  }
+
   /** Embedding-table norm health ([[operators.Ann.normHealth]]):
     * quantized L2-norm histogram — the pre-indexing QA scan. */
   private val qEmbedNorms: Q = (s, dir) =>
@@ -3363,6 +3373,7 @@ object SparkEntry {
     "q_twap" -> qTwap,
     "q_tok_fertility" -> qTokFertility,
     "q_ann_radius" -> qAnnRadius,
+    "q_ann_radius_ivf" -> qAnnRadiusIvf,
     "q_embed_norms" -> qEmbedNorms,
   )
 
@@ -3410,6 +3421,33 @@ object SparkEntry {
            |  FROM s)
            |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
            |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }
+
+  /** Oracle for the IVF radius query — the same rendered-centroid
+    * cell assignment as [[ivfOracle]], thresholded instead of
+    * ranked. */
+  private def ivfRadiusOracle: Option[(String, String)] =
+    Option(lastDir).map { dir =>
+      val spark = SparkSession.active
+      val model = operators.Ann.trainIvfCached(s"$dir/embeddings#16",
+        Tables.t(spark, dir, "embeddings"))
+      val dists = model.centers
+        .map(c => s"list_distance(v, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ",\n ", "]")
+      "q_ann_radius_ivf" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |d AS (SELECT vec_id, v, list_grade_up($dists) AS gu FROM e),
+           |c AS (SELECT vec_id AS neighbor_id, v AS cv, gu[1] - 1 AS cell
+           |  FROM d),
+           |q AS (SELECT vec_id AS query_id, v AS qv,
+           |    unnest(gu[1:4]) - 1 AS cell FROM d WHERE vec_id < 8),
+           |s AS (SELECT query_id, neighbor_id,
+           |    list_cosine_similarity(qv, cv) AS rawcos
+           |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
+           |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos
+           |FROM s WHERE rawcos >= 0.2
+           |ORDER BY query_id, neighbor_id""".stripMargin
     }
 
   /** Oracle for the IVF-PQ query, rendered from the same memoized
@@ -6173,6 +6211,7 @@ object SparkEntry {
   private def dataDependentOracleBuilders
       : Seq[(String, () => Option[(String, String)])] = Seq(
     "q_ann_ivf" -> (() => ivfOracle),
+    "q_ann_radius_ivf" -> (() => ivfRadiusOracle),
     "q_ann_pq" -> (() => pqOracle),
     "q_cluster_kmeans" -> (() => clusterOracle),
     "q_cluster_sample" -> (() => clusterSampleOracle),

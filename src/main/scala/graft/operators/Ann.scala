@@ -450,10 +450,19 @@ object Ann {
     * partitioning the work at scale — 6 planes is 64 buckets, and
     * 2-bit multi-probe then touches ~1/3 of the corpus per query
     * regardless of corpus size. Auto-sizing keeps the scored fraction
-    * ~|masks| · targetBucket / n. */
+    * ~|masks| · targetBucket / n.
+    *
+    * '''Query-side contract''': the probe-expanded query set
+    * (|queries| × |masks| rows) is broadcast ONLY while it is
+    * genuinely broadcast-small — one cheap count on the query table
+    * guards it, and past `maxBroadcastQueries` expanded rows the
+    * bucket join falls back to a plain shuffled hash join. A caller
+    * passing a corpus-sized query set (a full-corpus dedup sweep)
+    * degrades to a shuffle instead of a driver/broadcast blow-up. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 6, seed: Long = 42L, probeBits: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 1L << 20): DataFrame = {
     val np = if (planes > 0) planes
       else Dedup.autoPlanes(corpus.count(),
         targetBucket = math.max(256L, 16L * k))
@@ -469,7 +478,8 @@ object Ann {
       .select(col("query_id"), col("qv"),
         explode(array(masks.map(m =>
           col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val scored = c.join(broadcast(q),
+    val scored = c.join(guardedQuerySide(q, queries, masks.size,
+        maxBroadcastQueries),
         Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -482,19 +492,37 @@ object Ann {
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** The query side of a bucket/cell candidate join, broadcast only
+    * while genuinely broadcast-small: one cheap count on the
+    * (pre-expansion) query table decides, and past
+    * `maxBroadcastQueries` EXPANDED rows the join runs as a plain
+    * shuffled hash join — a corpus-sized query set degrades to a
+    * shuffle, never a driver/broadcast blow-up. The count job is
+    * O(query table), negligible against the join it guards. */
+  private def guardedQuerySide(expanded: DataFrame, queries: DataFrame,
+      expandFactor: Int, maxBroadcastQueries: Long): DataFrame =
+    if (queries.count() * expandFactor <= maxBroadcastQueries)
+      broadcast(expanded)
+    else expanded
+
   /** Radius (threshold) retrieval: every corpus vector within cosine
     * ≥ `minCos` of each query, through the SAME multi-probe LSH
     * bucket join as [[lshTopK]] — the "everything similar enough"
     * face (dedup sweeps, contamination checks) where k is unknown a
     * priori. Candidate volume is bucket-bounded exactly as in the
     * top-k path; no all-pairs anywhere. Recall is probe-geometry-
-    * bounded like lshTopK's (same buckets, same masks).
+    * bounded like lshTopK's (same buckets, same masks). Same
+    * query-side contract as lshTopK: the probe-expanded query set
+    * broadcasts only under `maxBroadcastQueries` expanded rows
+    * (guarded by one count), and falls back to a shuffled bucket
+    * join past it.
     *
     * @return `(query_id, neighbor_id, cos)` ordered, cos ≥ minCos
     */
   def lshRadius(corpus: DataFrame, queries: DataFrame, minCos: Double,
       dim: Int, planes: Int = 6, seed: Long = 42L, probeBits: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 1L << 20)
       : DataFrame = {
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -506,13 +534,46 @@ object Ann {
       .select(col("query_id"), col("qv"),
         explode(array(masks.map(m =>
           col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(guardedQuerySide(q, queries, masks.size,
+        maxBroadcastQueries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("qv"), col("cv")))
       .filter(col("cos") >= minCos)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
       .distinct()
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Radius (threshold) retrieval over the IVF cells — [[lshRadius]]'s
+    * threshold face for the normalized-corpus case: candidates are
+    * the members of each query's `nprobe` nearest quantizer cells
+    * (cell-pruned scan, ~nprobe/nlist of the corpus), reranked
+    * exactly and kept at cos ≥ `minCos`. Every corpus vector sits in
+    * exactly ONE cell and a query's probed cells are distinct, so
+    * each (query, neighbor) pair meets at most once — no dedup stage
+    * needed. Query side rides the same broadcast guard as
+    * [[lshRadius]].
+    *
+    * @return `(query_id, neighbor_id, cos)` ordered, cos ≥ minCos
+    */
+  def ivfRadius(corpus: DataFrame, queries: DataFrame, minCos: Double,
+      model: IvfModel, nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastQueries: Long = 1L << 20): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      element_at(nearestCells(col(vecCol), model, 1), 1).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(nearestCells(col(vecCol), model, nprobe)).as("cell"))
+    assigned.join(guardedQuerySide(q, queries, nprobe,
+        maxBroadcastQueries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("qv"), col("cv")))
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 

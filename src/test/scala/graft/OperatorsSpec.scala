@@ -505,6 +505,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(topk.subsetOf(radius), (topk -- radius).toString)
   }
 
+  test("lshRadius / ivfRadius: a query set past maxBroadcastQueries " +
+      "falls back to a shuffled join with identical results") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val bCast = Ann.lshRadius(emb, queries, minCos = 0.2, dim = 64)
+    val shuffled = Ann.lshRadius(emb, queries, minCos = 0.2, dim = 64,
+      maxBroadcastQueries = 0L)
+    // the guard flips the physical join: no broadcast exchange on the
+    // guarded plan (auto-broadcast disabled so the flip is visible)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(bCast.collect().toSeq === shuffled.collect().toSeq)
+    // same guard on the IVF radius face
+    val ivf = Ann.trainIvf(emb)
+    val a = Ann.ivfRadius(emb, queries, minCos = 0.2, ivf)
+      .collect().toSeq
+    val b = Ann.ivfRadius(emb, queries, minCos = 0.2, ivf,
+      maxBroadcastQueries = 0L).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("normHealth: quantized L2-norm bins on hand vectors") {
     import spark.implicits._
     // |(3,4)| = 5 -> 50000 e4 -> bin 50; |(1,0)| = 1 -> bin 10
