@@ -616,6 +616,40 @@ object ScaleProbe {
         f""""hot_rows_emitted":$hotRows}""")
     }
 
+    // Persisted decon index probe: a repeated sweep against the
+    // persisted index must SKIP the benchmark build entirely (gram
+    // tokenize+distinct shuffle, count job, bloom aggregate) — the
+    // claim is probe-only cost per sweep. Both paths forced onto the
+    // XL (bloom + shuffled join) shape so the skipped bloom build is
+    // part of the measured difference.
+    locally {
+      val docsT = Tables.t(spark, base, "documents")
+      val bench = docsT.filter(col("doc_id") % 5 === 0)
+      val idx = Files.createTempDirectory("graft-decon-idx").toString
+      def adhocOnce(): Double = {
+        val t0 = System.nanoTime()
+        operators.CorpusOps.decontaminate(docsT, bench, n = 3,
+          maxBroadcastGrams = 0L)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tAdhoc = math.min(adhocOnce(), adhocOnce())
+      val tb0 = System.nanoTime()
+      operators.CorpusOps.buildDeconIndex(bench, idx, n = 3)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      def probeOnce(): Double = {
+        val t0 = System.nanoTime()
+        operators.CorpusOps.decontaminateWithIndex(docsT, idx,
+          maxBroadcastGrams = 0L)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tProbe = math.min(probeOnce(), probeOnce())
+      println(f"""{"q":"decon_index_reuse","t_adhoc":$tAdhoc%.2f,""" +
+        f""""t_build_once":$tBuild%.2f,"t_probe":$tProbe%.2f,""" +
+        f""""probe_vs_adhoc":${tProbe / math.max(tAdhoc, 0.001)}%.2f}""")
+    }
+
     println(f"""{"metric":"scale_probe_worst_ratio","factor":$factor,""" +
       f""""value":$worst%.2f}""")
     spark.stop()

@@ -96,13 +96,42 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text",
       maxBroadcastGrams: Long = 2000000L,
       bloomBitsCap: Long = 1L << 25): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
     val benchGrams = wordNgrams(benchmark, n, idCol, textCol)
       .select(col("gram")).distinct()
     val gramCount = benchGrams.count()
+    deconProbe(corpus, benchGrams, gramCount, n, idCol, textCol,
+      maxBroadcastGrams,
+      () => buildGramBloom(benchGrams, gramCount, bloomBitsCap))
+  }
+
+  /** The bench-gram bloom the XL probe pre-filters with, sized to the
+    * MEASURED gram count (~10 bits per gram) and capped. */
+  private def buildGramBloom(benchGrams: DataFrame, gramCount: Long,
+      bloomBitsCap: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bits = math.max(1L << 16,
+      math.min(bloomBitsCap, gramCount * 10L))
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
+      Literal(math.max(1L, math.min(gramCount, 4000000L))),
+      Literal(bits)).toAggregateExpression())
+    benchGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** The shared decon probe: broadcast path under `maxBroadcastGrams`
+    * benchmark grams, bloom-prefiltered shuffled join past it. The
+    * bloom is passed as a thunk so callers with a PERSISTED bloom
+    * ([[decontaminateWithIndex]]) skip the aggregate entirely and the
+    * ad-hoc path ([[decontaminate]]) only pays it on the XL branch. */
+  private def deconProbe(corpus: DataFrame, benchGrams: DataFrame,
+      gramCount: Long, n: Int, idCol: String, textCol: String,
+      maxBroadcastGrams: Long, bloomBytesFn: () => Array[Byte])
+      : DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
     if (gramCount <= maxBroadcastGrams) {
       val bench = broadcast(benchGrams.withColumn("_hit", lit(1)))
       wordNgrams(corpus, n, idCol, textCol)
@@ -115,14 +144,7 @@ object CorpusOps {
             .as("contamination"),
           (col("n_hits") >= 1).as("contaminated"))
     } else {
-      val bits = math.max(1L << 16,
-        math.min(bloomBitsCap, gramCount * 10L))
-      val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
-        new XxHash64(Seq(ColumnBridge.expression(col("gram")))),
-        Literal(math.max(1L, math.min(gramCount, 4000000L))),
-        Literal(bits)).toAggregateExpression())
-      val bloomBytes =
-        benchGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+      val bloomBytes = bloomBytesFn()
       val mightHit =
         if (bloomBytes == null) lit(true)
         else ColumnBridge.column(
@@ -143,6 +165,50 @@ object CorpusOps {
             col("n_grams").cast("double"), 6).as("contamination"),
           (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
     }
+  }
+
+  /** Persist the decontamination index ONCE beside the benchmark set
+    * (the band-keys / postings precedent applied to decon): the
+    * benchmark's distinct `n`-grams land as parquet at `path/grams`
+    * and a one-row `path/meta` sidecar carries `(n, gram_count,
+    * bloom)` with the XL prefilter bloom PRE-BUILT — so every later
+    * sweep ([[decontaminateWithIndex]]) is O(corpus probe): no
+    * per-run benchmark tokenize/distinct shuffle, no count job, no
+    * bloom aggregate. Rebuild only when the benchmark set changes. */
+  def buildDeconIndex(benchmark: DataFrame, path: String, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      bloomBitsCap: Long = 1L << 25): Unit = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    wordNgrams(benchmark, n, idCol, textCol)
+      .select(col("gram")).distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+    // count + bloom run over the PERSISTED grams: the expensive
+    // tokenize+distinct pipeline executes exactly once
+    val persisted = spark.read.parquet(s"$path/grams")
+    val gramCount = persisted.count()
+    val bloom = buildGramBloom(persisted, gramCount, bloomBitsCap)
+    Seq((n, gramCount, bloom)).toDF("n", "gram_count", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Decontaminate against a [[buildDeconIndex]]-persisted benchmark:
+    * identical output to [[decontaminate]] on the same benchmark, but
+    * the per-sweep cost is the corpus probe alone — grams stream from
+    * parquet, the gram count and the XL bloom come from the meta
+    * sidecar. The repeated-sweep shape for a benchmark suite checked
+    * against every new corpus drop. */
+  def decontaminateWithIndex(corpus: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastGrams: Long = 2000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getAs[Int]("n")
+    val gramCount = meta.getAs[Long]("gram_count")
+    val bloom = meta.getAs[Array[Byte]]("bloom")
+    val benchGrams = spark.read.parquet(s"$path/grams")
+    deconProbe(corpus, benchGrams, gramCount, n, idCol, textCol,
+      maxBroadcastGrams, () => bloom)
   }
 
   /** Context-window chunking: split each document into token windows of

@@ -434,6 +434,18 @@ object CommitStores {
         bySpec.computeIfAbsent(s"external-file:$dir",
           _ => new ExternalCasCommit(new FileCasBackend(
             new java.io.File(dir))))
+      case "s3-sim" =>
+        // the S3 adapter shape over the file-backed simulated store:
+        // cross-process conditional writes on a shared directory, so
+        // multi-JVM deployments (and the two-process race tests)
+        // drive S3CasBackend end to end without a cloud endpoint
+        val dir = conf.get("graft.commit.cas.dir")
+        require(dir != null && dir.nonEmpty,
+          "graft.commit.store=s3-sim needs graft.commit.cas.dir " +
+          "(a shared directory for the simulated object store)")
+        bySpec.computeIfAbsent(s"s3-sim:$dir",
+          _ => new ExternalCasCommit(new S3CasBackend(
+            new FileSimulatedS3Store(new java.io.File(dir)))))
       case "tcp-cas" =>
         val ep = conf.get("graft.commit.cas.endpoint")
         require(ep != null && ep.contains(":"),

@@ -81,6 +81,103 @@ final class SimulatedS3Store extends ConditionalObjectStore {
   }
 }
 
+/** FILE-BACKED [[ConditionalObjectStore]] over a shared POSIX
+  * directory — the same five S3-shaped calls as [[SimulatedS3Store]]
+  * but with CROSS-PROCESS atomicity, so the multi-JVM commit-race
+  * tests (and any multi-driver deployment over a shared mount) can
+  * exercise the S3 adapter shape end to end:
+  *
+  *  - `putIfNoneMatch` = stage + `link(2)` (kernel-atomic
+  *    create-if-absent; a reader can never observe a torn object
+  *    because the content is complete before the link lands) — the
+  *    FileCasBackend publish primitive.
+  *  - `touchIfMatch` = compare + `setLastModified` under an OS file
+  *    lock (`FileChannel.lock`), making the compare-and-touch atomic
+  *    across processes like S3's `If-Match` copy; same-JVM lock
+  *    overlap retries (advisory locks are per-process).
+  *  - keys URL-encode into one flat directory, so `list(prefix)` is
+  *    one directory listing + a decoded startsWith filter.
+  */
+final class FileSimulatedS3Store(root: java.io.File)
+    extends ConditionalObjectStore {
+  import java.nio.file.{FileAlreadyExistsException, Files,
+    StandardOpenOption}
+
+  root.mkdirs()
+
+  private def enc(key: String): java.io.File =
+    new java.io.File(root,
+      java.net.URLEncoder.encode(key, "UTF-8"))
+  private def dec(name: String): String =
+    java.net.URLDecoder.decode(name, "UTF-8")
+
+  override def putIfNoneMatch(key: String,
+      value: Array[Byte]): Boolean = {
+    val stage = new java.io.File(root,
+      s".stage-${java.util.UUID.randomUUID().toString.take(12)}")
+    Files.write(stage.toPath, value)
+    try {
+      Files.createLink(enc(key).toPath, stage.toPath)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+    } finally {
+      try Files.deleteIfExists(stage.toPath)
+      catch { case _: Throwable => () }
+    }
+  }
+
+  override def get(key: String): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(enc(key).toPath))
+    catch { case _: java.io.IOException => None }
+
+  override def delete(key: String): Unit = {
+    try Files.deleteIfExists(enc(key).toPath)
+    catch { case _: Throwable => () }
+  }
+
+  override def list(prefix: String): Seq[(String, Long)] = {
+    val fs = Option(root.listFiles()).getOrElse(Array.empty)
+    fs.toSeq.filterNot(_.getName.startsWith(".stage-")).flatMap { f =>
+      val k = dec(f.getName)
+      if (k.startsWith(prefix)) Some((k, f.lastModified())) else None
+    }
+  }
+
+  override def touchIfMatch(key: String,
+      expected: Array[Byte]): Boolean = {
+    val target = enc(key)
+    var done = false
+    var applied = false
+    while (!done) {
+      var ch: java.nio.channels.FileChannel = null
+      try {
+        ch = java.nio.channels.FileChannel.open(target.toPath,
+          StandardOpenOption.READ, StandardOpenOption.WRITE)
+        val lock = ch.lock()
+        try {
+          val buf = java.nio.ByteBuffer.allocate(ch.size().toInt)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          if (java.util.Arrays.equals(buf.array(), expected)) {
+            Files.setLastModifiedTime(target.toPath,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis()))
+            applied = true
+          }
+          done = true
+        } finally lock.release()
+      } catch {
+        // advisory locks are per-PROCESS: a same-JVM overlap just
+        // means another thread holds it — yield and retry
+        case _: java.nio.channels.OverlappingFileLockException =>
+          Thread.sleep(1L)
+        case _: java.io.IOException => done = true // vanished: not ours
+      } finally if (ch != null) ch.close()
+    }
+    applied
+  }
+}
+
 /** [[CasBackend]] over an S3-class object store's conditional-write
   * API — the cloud-native claim register for [[ExternalCasCommit]]
   * when no DynamoDB/etcd service is available: claims live as tiny

@@ -66,6 +66,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(xl.filter($"doc_id" === 1L).head.getLong(2) == 0L)
   }
 
+  test("persisted decon index: build once, probe many — both probe " +
+      "paths agree exactly with the ad-hoc operator") {
+    val bench = docs(
+      100L -> "the quick brown fox jumps over fences",
+      101L -> "pack my box with five dozen jugs")
+    val corpus = docs(
+      1L -> "lazy dogs sleep all day long",
+      2L -> "said the quick brown fox yesterday evening",
+      3L -> "quick brown fox",
+      4L -> "box with five dozen assorted things",
+      5L -> "")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-decon-idx").toString
+    CorpusOps.buildDeconIndex(bench, dir, n = 3)
+    val adHoc = CorpusOps.decontaminate(corpus, bench, n = 3)
+      .orderBy($"doc_id").collect().toSeq
+    // broadcast probe: grams stream from the persisted parquet
+    val viaIdx = CorpusOps.decontaminateWithIndex(corpus, dir)
+    assert(viaIdx.orderBy($"doc_id").collect().toSeq === adHoc)
+    // the probe plan never touches the benchmark pipeline — no
+    // regexp tokenize of the benchmark, just the parquet gram scan
+    val plan = viaIdx.queryExecution.optimizedPlan.toString
+    assert(plan.contains("parquet"), plan.take(2000))
+    // XL probe: the PERSISTED bloom prefilters the shuffled join
+    val xl = CorpusOps.decontaminateWithIndex(corpus, dir,
+      maxBroadcastGrams = 0L)
+    assert(xl.queryExecution.optimizedPlan.toString
+      .contains("might_contain"))
+    assert(xl.orderBy($"doc_id").collect().toSeq === adHoc)
+  }
+
   test("commonNgrams: doc frequency over distinct per-doc grams, " +
       "minDocs filter drops the unique tail") {
     val d = docs(

@@ -51,7 +51,15 @@ class CasBackendContractSpec extends SparkTestBase {
       // the simulation carries S3's documented atomicity surface, so
       // passing here proves the seam needs nothing beyond that API
       ("s3-conditional", () =>
-        (new S3CasBackend(new SimulatedS3Store), () => ())))
+        (new S3CasBackend(new SimulatedS3Store), () => ())),
+      // the same adapter over the FILE-BACKED simulated store: the
+      // cross-process variant (link(2) conditional create, file-lock
+      // compare-and-touch) that the two-JVM race test drives
+      ("s3-file", () => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-cas-s3file").toFile
+        (new S3CasBackend(new FileSimulatedS3Store(dir)), () => ())
+      }))
 
   private def eachBackend(f: CasBackend => Unit): Unit =
     backends.foreach { case (name, mk) =>

@@ -251,6 +251,65 @@ class CasServiceSpec extends SparkTestBase {
     }
   }
 
+  test("two OS PROCESSES racing commits through the S3 ADAPTER SHAPE " +
+      "(file-backed conditional store): contiguous history, every " +
+      "winner exactly once") {
+    // closes the round-18 residual: the in-memory SimulatedS3Store is
+    // single-JVM, so the S3CasBackend shape had never faced a real
+    // second process — FileSimulatedS3Store's link(2) conditional
+    // create + file-lock compare-and-touch make the same five calls
+    // cross-process atomic
+    val hc = spark.sparkContext.hadoopConfiguration
+    val casDir = java.nio.file.Files
+      .createTempDirectory("graft-s3sim-cas").toString
+    hc.set("fs.objstore2.impl", classOf[ObjStore2FileSystem].getName)
+    hc.set("graft.commit.store.objstore2", "s3-sim")
+    hc.set("graft.commit.cas.dir", casDir)
+    try {
+      val local = java.nio.file.Files
+        .createTempDirectory("graft-s3sim-2jvm").resolve("t").toString
+      val dir = s"objstore2:$local"
+      val table = new Path(dir)
+      val fs = table.getFileSystem(hc)
+      fs.mkdirs(table)
+      assert(GraftManifest.tryCommit(fs, table, 0L, Seq.empty)) // v1
+      assert(CommitStores.forFs(fs).isInstanceOf[ExternalCasCommit])
+      val n = 15
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val child = new ProcessBuilder(
+        javaBin, "-cp", System.getProperty("java.class.path"),
+        "graft.sources.v2.CommitRaceChild", dir, n.toString, "c",
+        s"fs.objstore2.impl=${classOf[ObjStore2FileSystem].getName}",
+        "graft.commit.store.objstore2=s3-sim",
+        s"graft.commit.cas.dir=$casDir")
+        .redirectErrorStream(true).start()
+      var wins = 0
+      while (wins < n) {
+        val live = GraftManifest.liveState(fs, table)
+        if (GraftManifest.tryCommit(fs, table, live.version,
+            live.names :+ f"f-p-$wins%04d.parquet")) wins += 1
+      }
+      val out = new String(
+        child.getInputStream.readAllBytes(), "UTF-8")
+      assert(child.waitFor() == 0, s"child failed:\n$out")
+      assert(out.contains(s"CHILD_WINS=$n"), out)
+      val vs = GraftManifest.versions(fs, table)
+      assert(vs == (1L to (2 * n + 1).toLong), s"non-contiguous: $vs")
+      val names = GraftManifest.read(fs, table, vs.last).names
+      assert(names.length == 2 * n)
+      assert(names.count(_.startsWith("f-p-")) == n)
+      assert(names.count(_.startsWith("f-c-")) == n)
+      assert(names.distinct.length == names.length)
+      // claims drain once every slot materialized
+      val probe = new S3CasBackend(
+        new FileSimulatedS3Store(new java.io.File(casDir)))
+      assert(probe.list("") === Seq(), "claims drain after commits")
+    } finally {
+      hc.unset("graft.commit.store.objstore2")
+      hc.unset("graft.commit.cas.dir")
+    }
+  }
+
   test("durable WAL: acknowledged claims survive a kill/restart, a " +
       "torn tail is dropped, and the log compacts to the live state") {
     val wal = java.nio.file.Files
