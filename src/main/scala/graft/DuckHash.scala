@@ -614,8 +614,10 @@ private[graft] object DuckHash {
     * the smallest, rendered as the struct argmin
     * `(list_sort(list({negc, lbl})))[1]` — the field-wise
     * lexicographic order both engines share. */
-  def labelPropOracle(minJaccard: Double = 0.2,
-      iters: Int = 3): String = {
+  /** The shared CTE prefix replaying the near-dup pair graph and the
+    * unrolled LPA rounds — [[labelPropOracle]] reads the final label
+    * table straight, [[modularityOracle]] rolls it up. */
+  private def labelPropCtes(minJaccard: Double, iters: Int): String = {
     val steps = (1 to iters).map { r =>
       s"""s$r AS MATERIALIZED (SELECT dir.dst AS node, l${r - 1}.lbl,
          |    CAST(count(*) AS BIGINT) AS c
@@ -626,16 +628,48 @@ private[graft] object DuckHash {
          |      .l AS lbl
          |  FROM s$r GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $minhashJaccardCtes,
+    s"""$minhashJaccardCtes,
        |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jac
        |  WHERE j >= $minJaccard),
        |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
        |  UNION ALL SELECT b, a FROM e),
        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM dir),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def labelPropOracle(minJaccard: Double = 0.2,
+      iters: Int = 3): String =
+    s"""WITH ${labelPropCtes(minJaccard, iters)}
        |SELECT node, lbl AS community FROM l$iters
        |ORDER BY node""".stripMargin
-  }
+
+  /** Oracle for `q_modularity` — the LPA rounds above, then Newman's
+    * per-community contribution cleared of fractions:
+    * `⌊(4m·e_c − d_c²)·10⁶ / 4m²⌋` on HUGEINT (DuckDB `//` floors a
+    * negative numerator exactly like the engine's sign-split
+    * floorDiv). */
+  def modularityOracle(minJaccard: Double = 0.2,
+      iters: Int = 3): String =
+    s"""WITH ${labelPropCtes(minJaccard, iters)},
+       |lf AS MATERIALIZED (SELECT node, lbl FROM l$iters),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+       |ec AS (SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM e JOIN lf la ON la.node = e.a
+       |    JOIN lf lb ON lb.node = e.b
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+       |  FROM dir GROUP BY 1),
+       |dc AS (SELECT lf.lbl AS c, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(dg.d) AS BIGINT) AS d_tot
+       |  FROM dg JOIN lf ON lf.node = dg.node GROUP BY 1)
+       |SELECT dc.c AS community, n_nodes,
+       |  CAST(coalesce(e_in, 0) AS BIGINT) AS internal_edges,
+       |  d_tot AS degree_sum,
+       |  CAST(((4 * m * coalesce(e_in, 0) -
+       |    CAST(d_tot AS HUGEINT) * d_tot) * 1000000)
+       |    // (4 * m * m) AS BIGINT) AS contrib_ppm
+       |FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN m
+       |ORDER BY community""".stripMargin
 
   /** Oracle for `q_pagerank` — the UNROLLED integer PageRank over the
     * same replayed near-dup pair graph: each iteration is one chained

@@ -2863,6 +2863,40 @@ object SparkEntry {
     operators.GraphOps.labelPropagation(
       Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
 
+  /** Modularity of the LPA communities ([[operators.GraphOps
+    * .modularity]]): exact integer per-community contributions —
+    * the partition-quality go/no-go. */
+  private val qModularity: Q = (s, dir) =>
+    operators.GraphOps.modularity(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
+  /** Power-user concentration ([[operators.EventOps.powerUsers]]):
+    * the Pareto share of the top 1% / 10% entities, ranks on the
+    * scale-safe two-phase row_number. */
+  private val qPowerUsers: Q = (s, dir) =>
+    operators.EventOps.powerUsers(t(s, dir, "events"), "user_id")
+
+  /** Audience overlap between event types ([[operators.EventOps
+    * .audienceOverlap]]): distinct-entity intersections + exact
+    * Jaccard ppm per co-observed type pair. */
+  private val qAudienceOverlap: Q = (s, dir) =>
+    operators.EventOps.audienceOverlap(t(s, dir, "events"),
+      "user_id", "event_type")
+
+  /** Hour-of-week load heatmap ([[operators.EventOps
+    * .hourOfWeekHeatmap]]): epoch-day DOW grid, two hash
+    * aggregates. */
+  private val qHourlyHeatmap: Q = (s, dir) =>
+    operators.EventOps.hourOfWeekHeatmap(t(s, dir, "events"),
+      "user_id", "ts")
+
+  /** New vs returning actives per week ([[operators.EventOps
+    * .newVsReturning]]): the growth-mix readout beside
+    * q_retention. */
+  private val qNewReturning: Q = (s, dir) =>
+    operators.EventOps.newVsReturning(t(s, dir, "events"),
+      "user_id", "ts")
+
   /** Max drawdown per user over the (ts, id)-ordered value series
     * ([[operators.EventOps.maxDrawdown]]): one running-max window +
     * one rollup, exact cents. */
@@ -3359,6 +3393,11 @@ object SparkEntry {
     // round 18
     "q_pagerank" -> qPageRank,
     "q_label_prop" -> qLabelProp,
+    "q_modularity" -> qModularity,
+    "q_power_users" -> qPowerUsers,
+    "q_audience_overlap" -> qAudienceOverlap,
+    "q_hourly_heatmap" -> qHourlyHeatmap,
+    "q_new_returning" -> qNewReturning,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
     "q_stickiness" -> qStickiness,
@@ -4890,6 +4929,60 @@ object SparkEntry {
     // round 18: unrolled integer PageRank over the replayed pair graph
     "q_pagerank" -> DuckHash.pageRankOracle(0.2),
     "q_label_prop" -> DuckHash.labelPropOracle(0.2),
+    "q_modularity" -> DuckHash.modularityOracle(0.2),
+    // power users: descending row_number + per-pct cutoff rollup
+    "q_power_users" ->
+      """WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT)
+        |    AS cnt FROM events GROUP BY 1),
+        |r AS (SELECT k, cnt, row_number() OVER (
+        |    ORDER BY cnt DESC, k) AS rn FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(sum(cnt) AS BIGINT) AS te FROM c),
+        |p AS (SELECT CAST(unnest([0.01, 0.1]) AS DOUBLE) AS pct),
+        |x AS (SELECT pct, greatest(1, CAST(ceil(pct * nu) AS BIGINT))
+        |    AS tn, te FROM p CROSS JOIN t)
+        |SELECT pct, tn AS top_users,
+        |  CAST(sum(r.cnt) AS BIGINT) AS events_top,
+        |  te AS events_total,
+        |  CAST((CAST(sum(r.cnt) AS HUGEINT) * 1000000) // te
+        |    AS BIGINT) AS share_ppm
+        |FROM x JOIN r ON r.rn <= x.tn
+        |GROUP BY pct, tn, te ORDER BY pct""".stripMargin,
+    // audience overlap: distinct (type, user) self-join on the user
+    "q_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS ty, user_id AS u
+        |  FROM events),
+        |s AS (SELECT ty, CAST(count(*) AS BIGINT) AS n FROM tu
+        |  GROUP BY 1),
+        |b AS (SELECT a.ty AS type_a, b.ty AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.ty < b.ty
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  CAST((CAST(n_both AS HUGEINT) * 1000000)
+        |    // (sa.n + sb.n - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM b JOIN s sa ON sa.ty = b.type_a
+        |  JOIN s sb ON sb.ty = b.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    // hour-of-week heatmap: explicit epoch-day DOW, session-UTC hour
+    "q_hourly_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hour,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // new vs returning: first-touch week vs distinct active weeks
+    "q_new_returning" ->
+      """WITH f AS (SELECT user_id AS k,
+        |    date_trunc('week', min(ts)) AS fw FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id AS k, date_trunc('week', ts)
+        |    AS w FROM events)
+        |SELECT CAST(w AS TIMESTAMP) AS week,
+        |  CAST(sum(CASE WHEN w = fw THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN w <> fw THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users
+        |FROM a JOIN f USING (k) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_minhash_est" -> DuckHash.minhashEstimateOracle(0.2),
     "q_cluster_quality" -> DuckHash.clusterQualityOracle(0.2),
     "q_kcore" -> DuckHash.kCoreOracle(0.2),

@@ -1218,6 +1218,128 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Hour-of-week activity heatmap: events and distinct actives per
+    * (day-of-week, hour) cell — the load-shape profile. DOW is
+    * explicit epoch-day arithmetic (`(days + 4) mod 7`, 0 = Sunday)
+    * so both engines share the grid with no locale/timezone week
+    * rules; hours are session-UTC. Two hash aggregates.
+    *
+    * @return `(dow, hour, n_events, n_users)` ordered by (dow, hour)
+    */
+  def hourOfWeekHeatmap(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    events
+      .select(
+        ((intDiv(unix_micros(col(tsCol)), lit(86400000000L)) + 4L) % 7L)
+          .as("dow"),
+        hour(col(tsCol)).cast("long").as("hour"),
+        col(keyCol).as("__hh_k"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__hh_k")).as("n_users"))
+      .orderBy(col("dow"), col("hour"))
+
+  /** New vs returning actives per week: entities first seen that week
+    * vs entities active but seen before — the growth-mix readout next
+    * to [[retention]]. Weeks are `date_trunc("week")` under the
+    * engine's UTC sessions. One first-touch aggregate + one distinct
+    * (entity, week) aggregate meeting on the entity key.
+    *
+    * @return `(week, new_users, returning_users)` ordered by week
+    */
+  def newVsReturning(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val firstW = events.groupBy(col(keyCol).as("k"))
+      .agg(date_trunc("week", min(col(tsCol))).as("fw"))
+    val active = events
+      .select(col(keyCol).as("k"),
+        date_trunc("week", col(tsCol)).as("week"))
+      .distinct()
+    active.join(firstW, Seq("k"))
+      .groupBy(col("week"))
+      .agg(sum(when(col("week") === col("fw"), 1L).otherwise(0L))
+        .as("new_users"),
+        sum(when(col("week") =!= col("fw"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .orderBy(col("week"))
+  }
+
+  /** Audience overlap between event types: for every co-observed type
+    * pair, the distinct-entity intersection and exact Jaccard ppm —
+    * which behaviors share an audience. One distinct (type, entity)
+    * table, one entity-keyed self-join (the handful of types bounds
+    * the per-entity pair explode at types²), two hash rollups; pairs
+    * with zero shared entities don't report (disclosed).
+    *
+    * @return `(type_a, type_b, n_a, n_b, n_both, jaccard_ppm)`
+    *         ordered, type_a < type_b
+    */
+  def audienceOverlap(events: DataFrame, keyCol: String,
+      typeCol: String): DataFrame = {
+    val tu = events.select(col(typeCol).as("ty"), col(keyCol).as("u"))
+      .distinct()
+    val sizes = tu.groupBy(col("ty")).agg(count(lit(1)).as("n"))
+    val both = tu.select(col("ty").as("type_a"), col("u"))
+      .join(tu.select(col("ty").as("type_b"), col("u")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select(col("ty").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("ty").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        intDiv(col("n_both").cast("decimal(38,0)") * lit(1000000L),
+          (col("n_a") + col("n_b") - col("n_both"))
+            .cast("decimal(38,0)")).as("jaccard_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Power-user concentration (the Pareto readout): for each
+    * requested top fraction, how much of all activity the top
+    * `⌈pct·n⌉` entities generate — exact share ppm. Entity ranks ride
+    * the scale-safe two-phase row_number ([[Salting.twoPhaseRanks]],
+    * `(count desc, entity)` tiebreak — never a single-partition
+    * window); the per-pct cutoffs are a broadcast pcts×1 table, so
+    * the inequality join touches each ranked row |pcts| times at
+    * most.
+    *
+    * @return `(pct, top_users, events_top, events_total, share_ppm)`
+    *         ordered by pct
+    */
+  def powerUsers(events: DataFrame, keyCol: String,
+      pcts: Seq[Double] = Seq(0.01, 0.1)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0.0 && p <= 1.0),
+      s"pcts must be in (0, 1]: $pcts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = Salting.twoPhaseRanks(counts, Seq.empty,
+      orderCols = Seq(col("cnt").desc, col("k")),
+      rowNumCol = Some("__pu_rn"))
+    val cuts = counts
+      .agg(count(lit(1)).as("nu"),
+        sum(col("cnt")).cast("long").as("te"))
+      .crossJoin(pcts.toDF("pct"))
+      .select(col("pct"),
+        greatest(lit(1L), ceil(col("pct") * col("nu")).cast("long"))
+          .as("top_users"),
+        col("te").as("events_total"))
+    ranked.join(broadcast(cuts),
+        col("__pu_rn").cast("long") <= col("top_users"))
+      .groupBy(col("pct"), col("top_users"), col("events_total"))
+      .agg(sum(col("cnt")).cast("long").as("events_top"))
+      .select(col("pct"), col("top_users"), col("events_top"),
+        col("events_total"),
+        intDiv(col("events_top").cast("decimal(38,0)") *
+          lit(1000000L), col("events_total").cast("decimal(38,0)"))
+          .as("share_ppm"))
+      .orderBy(col("pct"))
+  }
+
   /** Stickiness (WAU/MAU-class engagement ratio): per active week,
     * the distinct weekly actives vs the distinct actives of the
     * TRAILING `windowWeeks` weeks, as exact ppm. The trailing

@@ -31,6 +31,15 @@ object GraphOps {
         ColumnBridge.expression(y)))
   }
 
+  /** `⌊x / y⌋` true FLOOR division for a possibly-negative numerator
+    * over a positive denominator (SQL `//` semantics — Spark's
+    * integral divide truncates toward zero; see EventOps.floorDiv):
+    * [[modularity]]'s per-community numerator goes negative on sparse
+    * communities. */
+  private def floorDiv(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(x < 0, -intDiv(-x + y - lit(1), y)).otherwise(intDiv(x, y))
+
   /** Canonical undirected edge list: `a < b`, deduplicated,
     * self-loops dropped. */
   private def edges(pairs: DataFrame, aCol: String, bCol: String)
@@ -296,6 +305,61 @@ object GraphOps {
     }
     labels.select(col("node"), col("lbl").as("community"))
       .orderBy(col("node"))
+  }
+
+  /** Modularity readout for the [[labelPropagation]] communities —
+    * the partition-quality go/no-go before acting on a community
+    * split. Per community c the exact integer contribution
+    * {{{ contrib_ppm = ⌊(4m·e_c − d_c²)·10⁶ / 4m²⌋ }}}
+    * (e_c = internal edges, d_c = degree sum, m = |E|; Newman's
+    * `e_c/m − (d_c/2m)²` cleared of fractions, FLOOR division per
+    * community since a sparse community's numerator is legitimately
+    * negative) — the global Q·10⁶ is their sum up to the disclosed
+    * per-community flooring. Products ride DECIMAL(38,0).
+    *
+    * Scale shape: the pair set checkpoints once and feeds both the
+    * LPA rounds and the two rollups here (edge-endpoint label join →
+    * internal-edge counts; degree⋈label → degree sums); `m` is a
+    * broadcast one-row cross — no collect, no cartesian.
+    *
+    * @return `(community, n_nodes, internal_edges, degree_sum,
+    *         contrib_ppm)` ordered by community
+    */
+  def modularity(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iters: Int = 3): DataFrame = {
+    val p = pairs.localCheckpoint(eager = false)
+    val e = edges(p, aCol, bCol).localCheckpoint(eager = false)
+    val lab = labelPropagation(p, aCol, bCol, iters)
+      .localCheckpoint(eager = false)
+    val dec = "decimal(38,0)"
+    val m = e.agg(count(lit(1)).cast(dec).as("m"))
+    val eInC = e
+      .join(lab.select(col("node").as("a"), col("community").as("la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("community").as("lb")),
+        Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val dir = e.select(col("a").as("n")).unionAll(
+      e.select(col("b").as("n")))
+    val degC = dir.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .join(lab.select(col("node").as("n"), col("community")),
+        Seq("n"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("d")).cast("long").as("degree_sum"))
+    degC.join(eInC, Seq("community"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        floorDiv((lit(4).cast(dec) * col("m") *
+          coalesce(col("internal_edges"), lit(0L)).cast(dec) -
+          col("degree_sum").cast(dec) * col("degree_sum").cast(dec)) *
+          lit(1000000L).cast(dec),
+          lit(4).cast(dec) * col("m") * col("m")).as("contrib_ppm"))
+      .orderBy(col("community"))
   }
 
   /** Connected-component SIZE distribution: how many components have

@@ -1889,6 +1889,81 @@ class OperatorsSpec extends SparkTestBase {
       (4L, 3L), (5L, 3L), (6L, 3L)), got.toString)
   }
 
+  test("modularity: exact integer contributions on the bridged " +
+      "triangles") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.modularity(pairs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // m=7; each triangle community: e_c=3, d_c=7 ->
+    // (4*7*3 - 49)*1e6 // (4*49) = 35e6 // 196 = 178571
+    assert(got === Seq((1L, 3L, 3L, 7L, 178571L),
+      (3L, 3L, 3L, 7L, 178571L)), got.toString)
+  }
+
+  test("powerUsers: exact top-fraction activity shares with the " +
+      "(count desc, key) tiebreak") {
+    import spark.implicits._
+    val ev = (Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ Seq(3L, 4L))
+      .zipWithIndex.map { case (u, i) => (u, i.toLong) }
+      .toDF("user_id", "event_id")
+    val got = graft.operators.EventOps.powerUsers(ev, "user_id",
+      pcts = Seq(0.25, 0.5))
+      .as[(Double, Long, Long, Long, Long)].collect().toSeq
+    // 4 users, 17 events: top 25% = u1 (10 ev, 588235 ppm);
+    // top 50% = u1+u2 (15 ev, 882352 ppm)
+    assert(got === Seq((0.25, 1L, 10L, 17L, 588235L),
+      (0.5, 2L, 15L, 17L, 882352L)), got.toString)
+  }
+
+  test("audienceOverlap: per-pair distinct-entity Jaccard; " +
+      "zero-overlap pairs stay silent") {
+    import spark.implicits._
+    val ev = Seq((1L, "a"), (2L, "a"), (3L, "a"), (2L, "a"),
+      (2L, "b"), (3L, "b"), (9L, "c"))
+      .toDF("user_id", "event_type")
+    val got = graft.operators.EventOps.audienceOverlap(ev,
+      "user_id", "event_type")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // |a|=3, |b|=2, both=2 -> 2e6 // 3 = 666666; c shares nobody
+    assert(got === Seq(("a", "b", 3L, 2L, 2L, 666666L)),
+      got.toString)
+  }
+
+  test("hourOfWeekHeatmap: epoch-day DOW grid (0 = Sunday), UTC " +
+      "hours, distinct actives per cell") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday (dow 1); 2024-01-07 a Sunday (dow 0)
+    val ev = Seq((1L, ts("2024-01-01 10:05:00")),
+      (1L, ts("2024-01-01 10:55:00")),
+      (2L, ts("2024-01-07 23:01:00")))
+      .toDF("user_id", "ts")
+    val got = graft.operators.EventOps.hourOfWeekHeatmap(ev,
+      "user_id", "ts")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 23L, 1L, 1L), (1L, 10L, 2L, 1L)),
+      got.toString)
+  }
+
+  test("newVsReturning: first-touch week counts as new, later " +
+      "active weeks as returning") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-03 10:00:00")),  // week of Jan 1
+      (1L, ts("2024-01-10 10:00:00")),             // week of Jan 8
+      (2L, ts("2024-01-10 12:00:00")),
+      (2L, ts("2024-01-11 12:00:00")))             // same week: once
+      .toDF("user_id", "ts")
+    val got = graft.operators.EventOps.newVsReturning(ev,
+      "user_id", "ts")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (ts("2024-01-01 00:00:00"), 1L, 0L),
+      (ts("2024-01-08 00:00:00"), 1L, 1L)), got.toString)
+  }
+
   test("twap: hold-until-next weighting; last event carries none") {
     import spark.implicits._
     import java.sql.Timestamp
