@@ -160,7 +160,17 @@ object ScaleProbe {
     // round 18, fourth wave: fertility rides the map-only encode;
     // radius retrieval rides the inflated (rolled-vector) embeddings;
     // norm health is a map-only scan + rollup
-    "q_tok_fertility", "q_ann_radius", "q_embed_norms")
+    "q_tok_fertility", "q_ann_radius", "q_embed_norms",
+    // round 19: funnel TTC (funnel fold + two-phase quantile ranks),
+    // unrolled LPA + its modularity rollups (both ride the pair
+    // graph), Pareto ranks, type-pair audience self-join, the two
+    // hash-aggregate profiles, and the IVF radius face
+    "q_funnel_ttc", "q_label_prop", "q_modularity", "q_power_users",
+    "q_audience_overlap", "q_hourly_heatmap", "q_new_returning",
+    "q_ann_radius_ivf",
+    // round 19, second wave: lag-join Pearson, per-key gap rollup,
+    // double two-phase-rank medians, map-only TTR
+    "q_autocorr", "q_iet_cv", "q_mad", "q_ttr")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

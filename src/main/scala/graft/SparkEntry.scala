@@ -2897,6 +2897,32 @@ object SparkEntry {
     operators.EventOps.newVsReturning(t(s, dir, "events"),
       "user_id", "ts")
 
+  /** Lag-1 autocorrelation of per-type daily counts
+    * ([[operators.EventOps.autocorrelation]]): bit-exact single-tree
+    * Pearson over exact integer sums. */
+  private val qAutocorr: Q = (s, dir) =>
+    operators.EventOps.autocorrelation(t(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Inter-event-time cv² ppm per user ([[operators.EventOps
+    * .interEventCv]]): metronome/Poisson/bursty fingerprint, exact
+    * integers. */
+  private val qIetCv: Q = (s, dir) =>
+    operators.EventOps.interEventCv(t(s, dir, "events"), "user_id",
+      "ts", "event_id")
+
+  /** Median absolute deviation per event type ([[operators.EventOps
+    * .madByKey]]): two exact rank-selected medians on the two-phase
+    * ranks. */
+  private val qMad: Q = (s, dir) =>
+    operators.EventOps.madByKey(t(s, dir, "events"), "event_type",
+      "value", "event_id")
+
+  /** Type-token ratio per document ([[operators.TextStats
+    * .typeTokenRatio]]): lexical diversity ppm, map-only. */
+  private val qTtr: Q = (s, dir) =>
+    operators.TextStats.typeTokenRatio(t(s, dir, "documents"))
+
   /** Max drawdown per user over the (ts, id)-ordered value series
     * ([[operators.EventOps.maxDrawdown]]): one running-max window +
     * one rollup, exact cents. */
@@ -3398,6 +3424,10 @@ object SparkEntry {
     "q_audience_overlap" -> qAudienceOverlap,
     "q_hourly_heatmap" -> qHourlyHeatmap,
     "q_new_returning" -> qNewReturning,
+    "q_autocorr" -> qAutocorr,
+    "q_iet_cv" -> qIetCv,
+    "q_mad" -> qMad,
+    "q_ttr" -> qTtr,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
     "q_stickiness" -> qStickiness,
@@ -4971,6 +5001,69 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // lag-1 autocorrelation: the q_daily_corr Pearson tree over
+    // (day, day+1) pairs of the same type's daily counts
+    "q_autocorr" ->
+      """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    count(*) AS y FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.k, a.y AS x, b.y AS y FROM d a
+        |  JOIN d b ON b.k = a.k AND b.d = a.d + 1),
+        |s AS (SELECT k, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT k AS event_type, n AS n_pairs,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr
+        |FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY event_type""".stripMargin,
+    // inter-event cv^2: (n*S2 - S1^2)*1e6 // S1^2 on HUGEINT
+    "q_iet_cv" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i
+        |  FROM events),
+        |g AS (SELECT user_id, t - lag(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, i) AS d FROM x),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(d) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2
+        |  FROM g WHERE d IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n AS n_gaps,
+        |  CAST(s1 // n AS BIGINT) AS mean_gap_us,
+        |  CAST(((n * s2 - s1 * s1) * 1000000) // (s1 * s1)
+        |    AS BIGINT) AS cv2_ppm
+        |FROM s WHERE n >= 2 AND s1 > 0 ORDER BY user_id""".stripMargin,
+    // MAD: two exact rank-selected medians (value, then |v - med|)
+    "q_mad" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS vc, event_id AS i
+        |  FROM events),
+        |n1 AS (SELECT k, count(*) AS c FROM b GROUP BY 1),
+        |r1 AS (SELECT k, vc, row_number() OVER (PARTITION BY k
+        |    ORDER BY vc, i) AS rn FROM b),
+        |med AS (SELECT r1.k, vc AS median_c FROM r1
+        |  JOIN n1 ON r1.k = n1.k
+        |    AND r1.rn = greatest(1, CAST(ceil(0.5 * c) AS BIGINT))),
+        |dv AS (SELECT b.k, abs(b.vc - med.median_c) AS dev, b.i,
+        |    med.median_c FROM b JOIN med ON b.k = med.k),
+        |r2 AS (SELECT k, dev, median_c, row_number() OVER (
+        |    PARTITION BY k ORDER BY dev, i) AS rn FROM dv)
+        |SELECT r2.k AS event_type, median_c, dev AS mad_c
+        |FROM r2 JOIN n1 ON r2.k = n1.k
+        |  AND r2.rn = greatest(1, CAST(ceil(0.5 * c) AS BIGINT))
+        |ORDER BY event_type""".stripMargin,
+    // type-token ratio: whitespace tokens, exact distinct ppm
+    "q_ttr" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(text, '\S+') AS ts FROM documents)
+        |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |  CAST((CAST(len(list_distinct(ts)) AS HUGEINT) * 1000000)
+        |    // len(ts) AS BIGINT) AS ttr_ppm
+        |FROM t WHERE len(ts) > 0 ORDER BY doc_id""".stripMargin,
     // new vs returning: first-touch week vs distinct active weeks
     "q_new_returning" ->
       """WITH f AS (SELECT user_id AS k,

@@ -1044,6 +1044,113 @@ object EventOps {
       .orderBy(col("key_a"), col("key_b"))
   }
 
+  /** Lag-`lag` autocorrelation of the per-key daily event counts —
+    * the "is today like yesterday" seasonality probe beside
+    * [[dailyCorrelation]] (same bit-exact single-tree Pearson:
+    * integer sums, ONE `num / sqrt(a·b)` double expression both
+    * engines replay identically; never a summed double). Pairs are
+    * (day, day+lag) where BOTH days observed events — calendar gaps
+    * pair nothing, disclosed. Keys with < 2 pairs or a constant side
+    * drop (undefined r).
+    *
+    * @return `(key, n_pairs, autocorr)` ordered by key
+    */
+  def autocorrelation(events: DataFrame, keyCol: String,
+      tsCol: String, lag: Int = 1): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1: $lag")
+    val daily = events
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("k"), col("d"))
+      .agg(count(lit(1)).as("y"))
+    val joined = daily.select(col("k"), col("d"), col("y").as("x"))
+      .join(daily.select(col("k"),
+        date_sub(col("d"), lag).as("d"), col("y").as("y")),
+        Seq("k", "d"))
+    val sums = joined.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 2)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val a = col("n") * col("sxx") - col("sx") * col("sx")
+    val b = col("n") * col("syy") - col("sy") * col("sy")
+    sums.filter(a > 0 && b > 0)
+      .select(col("k").as(keyCol), col("n").as("n_pairs"),
+        (num.cast("double") /
+          sqrt(a.cast("double") * b.cast("double"))).as("autocorr"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Inter-event-time variability per key: the squared coefficient of
+    * variation of consecutive gaps as EXACT ppm —
+    * {{{ cv²·10⁶ = (n·Σd² − (Σd)²)·10⁶ // (Σd)² }}}
+    * (population variance over mean², fractions cleared; the
+    * numerator is ≥ 0 so truncation = floor). cv² ≈ 0 is a metronome
+    * (scripted bot), ≈ 1 Poisson, ≫ 1 bursty — the behavioral
+    * fingerprint next to [[eventGaps]]. One lag window + one hash
+    * rollup, DECIMAL(38,0) sums; keys with < 2 gaps or a zero span
+    * drop.
+    *
+    * @return `(key, n_gaps, mean_gap_us, cv2_ppm)` ordered by key
+    */
+  def interEventCv(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__ie_t"), col(idCol))
+    events
+      .select(col(keyCol).as("k"), col(idCol),
+        unix_micros(col(tsCol)).as("__ie_t"))
+      .withColumn("__ie_d",
+        col("__ie_t") - lag(col("__ie_t"), 1).over(w))
+      .filter(col("__ie_d").isNotNull)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ie_d").cast(dec)).as("s1"),
+        sum(col("__ie_d").cast(dec) * col("__ie_d").cast(dec))
+          .as("s2"))
+      .filter(col("n") >= 2 && col("s1") > 0)
+      .select(col("k").as(keyCol), col("n").as("n_gaps"),
+        intDiv(col("s1"), col("n").cast(dec)).as("mean_gap_us"),
+        intDiv((col("n").cast(dec) * col("s2") -
+          col("s1") * col("s1")) * lit(1000000L).cast(dec),
+          col("s1") * col("s1")).as("cv2_ppm"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Median absolute deviation per key (the robust scale estimator —
+    * the anomaly-threshold companion to the rolling z-scores that a
+    * fat-tailed metric doesn't wreck): exact rank-selected median,
+    * then the exact median of `|v − median|`, both on the scale-safe
+    * two-phase ranks ([[Quantiles.exactQuantilesByKey]] — the
+    * handful of type keys is precisely the low-cardinality window
+    * trap). Values quantize to `valueScale` cents; medians are the
+    * `ceil(n/2)`-th rows in `(value, id)` order — exact, no
+    * interpolation.
+    *
+    * @return `(key, median_c, mad_c)` ordered by key
+    */
+  def madByKey(events: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, valueScale: Long = 100L): DataFrame = {
+    val base = events.select(col(keyCol).as("k"),
+      round(col(valueCol) * valueScale).cast("long").as("vc"),
+      col(idCol))
+    val med = Quantiles.exactQuantilesByKey(base, "k", col("vc"),
+        Seq(col(idCol)), Seq(0.5))
+      .select(col("k"), col("value").as("median_c"))
+    val dev = base.join(broadcast(med), Seq("k"))
+      .select(col("k"), abs(col("vc") - col("median_c")).as("dv"),
+        col(idCol))
+    val mad = Quantiles.exactQuantilesByKey(dev, "k", col("dv"),
+        Seq(col(idCol)), Seq(0.5))
+      .select(col("k"), col("value").as("mad_c"))
+    med.join(mad, Seq("k"))
+      .select(col("k").as(keyCol), col("median_c"), col("mad_c"))
+      .orderBy(col(keyCol))
+  }
+
   /** Event-type co-occurrence support (the market-basket pair count):
     * for each unordered type pair, how many entities produced BOTH —
     * distinct (entity, type) pairs self-joined on the entity, support

@@ -176,4 +176,32 @@ object TextStats {
           .as("fre_milli"))
       .orderBy(col(idCol))
   }
+
+  /** Type-token ratio (lexical diversity): distinct whitespace tokens
+    * over total, as exact ppm — near-zero TTR on a long document is
+    * the boilerplate/spam signature the repetition checks approach
+    * from the other side. Case-sensitive `\S+` tokens (disclosed —
+    * the [[readability]]/token-count whitespace contract). Pure
+    * map-side scan; zero-token docs drop.
+    *
+    * @return `(id, n_tokens, n_distinct, ttr_ppm)` ordered by id
+    */
+  def typeTokenRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    val ts = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    docs
+      .select(col(idCol), size(ts).cast("long").as("n_tokens"),
+        size(array_distinct(ts)).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") > 0L)
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        intDiv(col("n_distinct") * lit(1000000L), col("n_tokens"))
+          .as("ttr_ppm"))
+      .orderBy(col(idCol))
+  }
 }

@@ -1947,6 +1947,67 @@ class OperatorsSpec extends SparkTestBase {
       got.toString)
   }
 
+  test("autocorrelation: rising counts give r=1, alternating give " +
+      "r=-1 (bit-exact single-tree Pearson)") {
+    import spark.implicits._
+    def ts(d: Int, n: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 0$n:00:00")
+    // type a: 1,2,3 events on days 1-3; type b: 2,1,2
+    val ev = (Seq.tabulate(1)(i => ("a", ts(1, i))) ++
+      Seq.tabulate(2)(i => ("a", ts(2, i))) ++
+      Seq.tabulate(3)(i => ("a", ts(3, i))) ++
+      Seq.tabulate(2)(i => ("b", ts(1, i))) ++
+      Seq.tabulate(1)(i => ("b", ts(2, i))) ++
+      Seq.tabulate(2)(i => ("b", ts(3, i))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.EventOps.autocorrelation(ev,
+      "event_type", "ts")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 2L, 1.0), ("b", 2L, -1.0)),
+      got.toString)
+  }
+
+  test("interEventCv: a metronome scores 0 ppm; uneven gaps score " +
+      "the exact integer cv^2") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(
+      1700000000000L + sec * 1000L)
+    val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(20), 3L),
+      (2L, ts(0), 4L), (2L, ts(10), 5L), (2L, ts(40), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val got = graft.operators.EventOps.interEventCv(ev, "user_id",
+      "ts", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // u2: gaps 1e7/3e7 -> (2*1e15 - 1.6e15)*1e6 // 1.6e15 = 250000
+    assert(got === Seq((1L, 2L, 10000000L, 0L),
+      (2L, 2L, 20000000L, 250000L)), got.toString)
+  }
+
+  test("madByKey: exact rank-selected median and MAD") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(
+      1700000000000L + sec * 1000L)
+    val ev = Seq(("a", 1.00, 1L), ("a", 2.00, 2L), ("a", 9.00, 3L))
+      .map { case (t, v, i) => (t, v, i, ts(i.toInt)) }
+      .toDF("event_type", "value", "event_id", "ts")
+    val got = graft.operators.EventOps.madByKey(ev, "event_type",
+      "value", "event_id")
+      .as[(String, Long, Long)].collect().toSeq
+    // values 100/200/900: median = 200; |v-200| = 100/0/700 -> 100
+    assert(got === Seq(("a", 200L, 100L)), got.toString)
+  }
+
+  test("typeTokenRatio: distinct-over-total ppm; zero-token docs " +
+      "drop") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat the dog"), (2L, ""), (3L, "one"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats.typeTokenRatio(df)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4L, 3L, 750000L),
+      (3L, 1L, 1L, 1000000L)), got.toString)
+  }
+
   test("newVsReturning: first-touch week counts as new, later " +
       "active weeks as returning") {
     import spark.implicits._
