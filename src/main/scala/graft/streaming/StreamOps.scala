@@ -1341,6 +1341,180 @@ object StreamOps {
       }
   }
 
+  /** A finalized rolling z-score reading (full trailing window,
+    * positive variance — the batch operator's emission rule). */
+  case class AnomalyHit(entity: String, id: Long, t_micros: Long,
+    value: Double, zscore: Double, is_anomaly: Boolean)
+  /** Per-entity anomaly state: the last `window` quantized values in
+    * (t, id) order plus the above-watermark pending. */
+  case class AnomState(buf: Seq[Long], lastT: Long,
+    pending: Seq[(Long, Long, Long, Double)])
+
+  /** Streaming face of [[graft.operators.EventOps.anomalies]] — the
+    * live alerting centerpiece: each event's z-score against its
+    * entity's PREVIOUS `window` values (trailing frame excludes the
+    * current row, so an outlier never masks itself), finalized
+    * exactly once as the event ripens below the watermark. Values
+    * quantize to 1e4 like the batch face; the z expression is the
+    * same IEEE tree ((x − s1/n) / sqrt((s2 − s1²/n)/(n−1)), rounded
+    * half-up to 6 dp), so emitted rows are bit-identical to the
+    * batch operator over the same in-watermark events. Rows with a
+    * partial window or zero variance don't emit (the batch rule).
+    *
+    * State per entity is a `window`-bounded ring of longs plus the
+    * above-watermark pending buffer; idle expiry frees it and a
+    * re-appearing entity restarts an EMPTY window (disclosed — its
+    * first `window` events emit nothing, exactly like a new entity).
+    *
+    * @return `(entity, id, t_micros, value, zscore, is_anomaly)`,
+    *         one row per full-window event, emitted exactly once
+    */
+  def anomalyFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 20,
+      threshold: Double = 3.0, watermark: String = "10 minutes",
+      idleExpiryMicros: Long = 30L * 24 * 3600 * 1000000L)
+      : Dataset[AnomalyHit] = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(idleExpiryMicros > 0,
+      s"idleExpiryMicros must be > 0: $idleExpiryMicros")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, java.sql.Timestamp, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, AnomalyHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(AnomState(Seq.empty, Long.MinValue, Seq.empty))
+          // HALF_UP like Spark's round() — math.round would differ on
+          // negative .5 values (toward +inf vs away from zero)
+          def q4(v: Double): Long = java.math.BigDecimal.valueOf(v * 1e4)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          val all = (st.pending ++
+            rows.map(r => (r._3, r._4, q4(r._5), r._5)))
+            .sortBy(e => (e._1, e._2))
+          val (ripe, pending) = all.partition(_._1 < wmMicros)
+          var buf = st.buf
+          var lastT = st.lastT
+          val hits = Vector.newBuilder[AnomalyHit]
+          ripe.foreach { case (t, i, x, v) =>
+            lastT = t
+            if (buf.size == window) {
+              val s1 = buf.sum
+              val s2 = buf.iterator.map(b => b * b).sum
+              if (s2 * window - s1 * s1 > 0) {
+                val nD = window.toDouble
+                val z = (x.toDouble - s1.toDouble / nD) /
+                  math.sqrt((s2.toDouble - s1.toDouble * s1 / nD) /
+                    (nD - 1.0))
+                val zr = java.math.BigDecimal.valueOf(z)
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .doubleValue()
+                hits += AnomalyHit(key, i, t, v, zr,
+                  math.abs(zr) > threshold)
+              }
+            }
+            buf = (buf :+ x).takeRight(window)
+          }
+          val activityT = math.max(lastT,
+            pending.iterator.map(_._1).foldLeft(Long.MinValue)(
+              math.max))
+          if (pending.isEmpty && (lastT == Long.MinValue ||
+            lastT + idleExpiryMicros < wmMicros)) {
+            state.remove()
+          } else {
+            state.update(AnomState(buf, lastT, pending))
+            val wake =
+              if (pending.nonEmpty) pending.iterator.map(_._1).min
+              else activityT + idleExpiryMicros
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
+          }
+          hits.result().iterator
+      }
+  }
+
+  /** A completed inactivity gap (both endpoints finalized). */
+  case class GapHit(entity: String, gap_start_us: Long,
+    gap_end_us: Long, gap_us: Long)
+  /** Per-entity gap state: the last ripe event time plus the
+    * above-watermark pending. */
+  case class GapState(lastT: Long, pending: Seq[Long])
+
+  /** Streaming face of [[graft.operators.EventOps.eventGaps]] — the
+    * live "sensor went dark" alert: one row per COMPLETED
+    * consecutive-event gap longer than `minGapMicros`, finalized
+    * exactly once when the watermark passes the gap's closing event
+    * (order below the watermark is fixed, so the pair is final).
+    * Emits completed gaps only — batch-parity by construction; an
+    * entity still dark has no closing event yet and alerts on its
+    * gap's completion (a "still open" probe is a cheap batch query
+    * over current watermark − last feed activity).
+    *
+    * State per entity is ONE timestamp plus the above-watermark
+    * pending buffer; entities idle past `idleExpiryMicros` of event
+    * time free their state, and a re-appearing entity does NOT emit
+    * the across-expiry gap (disclosed — the expiry IS the horizon).
+    *
+    * @return `(entity, gap_start_us, gap_end_us, gap_us)`, one row
+    *         per completed gap > minGapMicros, emitted exactly once
+    */
+  def gapFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      minGapMicros: Long, watermark: String = "10 minutes",
+      idleExpiryMicros: Long = 30L * 24 * 3600 * 1000000L)
+      : Dataset[GapHit] = {
+    require(minGapMicros > 0, s"minGapMicros must be > 0: $minGapMicros")
+    require(idleExpiryMicros > minGapMicros,
+      s"idleExpiryMicros ($idleExpiryMicros) must exceed " +
+        s"minGapMicros ($minGapMicros): expiring inside a gap would " +
+        "drop its alert")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(GapState(Long.MinValue, Seq.empty))
+          val all = (st.pending ++ rows.map(_._3)).sorted
+          val (ripe, pending) = all.partition(_ < wmMicros)
+          var lastT = st.lastT
+          val hits = Vector.newBuilder[GapHit]
+          ripe.foreach { t =>
+            if (lastT != Long.MinValue && t - lastT > minGapMicros)
+              hits += GapHit(key, lastT, t, t - lastT)
+            lastT = t
+          }
+          val activityT = math.max(lastT,
+            pending.foldLeft(Long.MinValue)(math.max))
+          if (pending.isEmpty && (lastT == Long.MinValue ||
+            lastT + idleExpiryMicros < wmMicros)) {
+            state.remove()
+          } else {
+            state.update(GapState(lastT, pending))
+            val wake =
+              if (pending.nonEmpty) pending.min
+              else activityT + idleExpiryMicros
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
+          }
+          hits.result().iterator
+      }
+  }
+
   /** A finalized running TWAP reading at an event instant. */
   case class TwapHit(entity: String, t_micros: Long, span_us: Long,
     twap_c: Long)

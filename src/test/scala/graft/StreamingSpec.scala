@@ -486,6 +486,113 @@ class StreamingSpec extends SparkTestBase {
     assert(stateAfter <= 1, s"state not evicted: $stateAfter")
   }
 
+  test("anomalyFeed: rolling z-scores bit-match the batch operator; " +
+      "a late event re-orders the trailing window; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[E]
+    val q = StreamOps.anomalyFeed(input.toDF(), "user_id", "ts",
+        "event_id", "value", window = 3, threshold = 2.0,
+        watermark = "30 minutes", idleExpiryMicros = 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_feed").start()
+    var stateAfter = -1L
+    def m(i: Int) = d(f"2024-01-01 10:0$i%01d:00")
+    val batch1 = Seq(
+      E(1, m(0), 1, "v", 1.0), E(2, m(1), 1, "v", 2.0),
+      E(3, m(2), 1, "v", 3.0), E(4, m(3), 1, "v", 2.0),
+      E(5, m(4), 1, "v", 9.0), E(6, m(5), 1, "v", 2.0),
+      // user 2: the minute-2 value arrives a batch LATE — without
+      // the event-time fold its minute-3/4 windows would be partial
+      E(11, m(0), 2, "v", 1.0), E(12, m(1), 2, "v", 2.0),
+      E(13, m(3), 2, "v", 4.0), E(14, m(4), 2, "v", 5.0))
+    val late = E(15, m(2), 2, "v", 3.0)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+      input.addData(E(90, d("2024-01-02 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-03 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    val got = spark.table("anom_feed")
+      .filter($"entity".isin("1", "2"))
+      .select($"entity", $"id", $"zscore", $"is_anomaly")
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    val exp = graft.operators.EventOps.anomalies(
+      (batch1 :+ late).toDF(), "user_id", "ts", "event_id", "value",
+      window = 3, threshold = 2.0)
+      .filter($"user_id".isin(1L, 2L))
+      .select($"user_id".cast("string"), $"event_id", $"zscore",
+        $"is_anomaly")
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(got === exp, s"feed=$got batch=$exp")
+    // the 9.0 spike really alerts; the late-completed windows emitted
+    assert(got.exists(r => r._2 == 5L && r._4), got.toString)
+    assert(got.exists(_._2 == 13L) && got.exists(_._2 == 14L),
+      got.toString)
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
+  }
+
+  test("gapFeed: completed inactivity gaps finalize once in event-" +
+      "time order; a late event splits a would-be gap; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[E]
+    val q = StreamOps.gapFeed(input.toDF(), "user_id", "ts",
+        minGapMicros = 10L * 60 * 1000000, watermark = "30 minutes",
+        idleExpiryMicros = 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_feed").start()
+    var stateAfter = -1L
+    val batch1 = Seq(
+      E(1, d("2024-01-01 10:00:00"), 1, "v", 0),
+      E(2, d("2024-01-01 10:05:00"), 1, "v", 0),
+      E(3, d("2024-01-01 11:00:00"), 1, "v", 0),
+      E(4, d("2024-01-01 11:05:00"), 1, "v", 0),
+      E(5, d("2024-01-01 10:00:00"), 2, "v", 0),
+      E(6, d("2024-01-01 11:00:00"), 2, "v", 0))
+    // user 2's 10:40 event arrives a batch later (safely above the
+    // post-batch-1 watermark 10:35): the 10:00-11:00 hour must split
+    // into TWO completed gaps, never emit whole
+    val late = E(7, d("2024-01-01 10:40:00"), 2, "v", 0)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+      input.addData(E(90, d("2024-01-02 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-03 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    def us(s: String) = d(s).getTime * 1000L
+    val got = spark.table("gap_feed").filter($"entity".isin("1", "2"))
+      .select($"entity", $"gap_start_us", $"gap_end_us", $"gap_us")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("1", us("2024-01-01 10:05:00"), us("2024-01-01 11:00:00"),
+        55L * 60 * 1000000),
+      ("2", us("2024-01-01 10:00:00"), us("2024-01-01 10:40:00"),
+        40L * 60 * 1000000),
+      ("2", us("2024-01-01 10:40:00"), us("2024-01-01 11:00:00"),
+        20L * 60 * 1000000)), got.toString)
+    // batch parity on the same events
+    val exp = graft.operators.EventOps.eventGaps(
+      (batch1 :+ late).toDF(), "user_id", "ts", "event_id",
+      minGapMicros = 10L * 60 * 1000000)
+      .filter($"user_id".isin(1L, 2L))
+      .select($"user_id".cast("string"), $"gap_start_us",
+        $"gap_end_us", $"gap_us")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === exp, s"feed=$got batch=$exp")
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
+  }
+
   test("sessionFeed: closed sessions finalize once with exact spans; " +
       "a late bridging event merges two open runs") {
     implicit val sqlCtx = spark.sqlContext
