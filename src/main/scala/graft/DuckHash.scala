@@ -671,6 +671,19 @@ private[graft] object DuckHash {
        |FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN m
        |ORDER BY community""".stripMargin
 
+  /** Oracle for `q_bridge_pairs` — the LPA rounds above, then the
+    * edges whose endpoints carry different final labels. */
+  def bridgePairsOracle(minJaccard: Double = 0.2,
+      iters: Int = 3): String =
+    s"""WITH ${labelPropCtes(minJaccard, iters)},
+       |lf AS MATERIALIZED (SELECT node, lbl FROM l$iters)
+       |SELECT e.a AS id_a, e.b AS id_b,
+       |  la.lbl AS community_a, lb.lbl AS community_b
+       |FROM e JOIN lf la ON la.node = e.a
+       |  JOIN lf lb ON lb.node = e.b
+       |WHERE la.lbl <> lb.lbl
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Oracle for `q_pagerank` — the UNROLLED integer PageRank over the
     * same replayed near-dup pair graph: each iteration is one chained
     * CTE running the identical fixed-point step

@@ -169,8 +169,10 @@ object ScaleProbe {
     "q_audience_overlap", "q_hourly_heatmap", "q_new_returning",
     "q_ann_radius_ivf",
     // round 19, second wave: lag-join Pearson, per-key gap rollup,
-    // double two-phase-rank medians, map-only TTR
-    "q_autocorr", "q_iet_cv", "q_mad", "q_ttr")
+    // double two-phase-rank medians, map-only TTR; third wave:
+    // LPA join-back bridges, session-split quantiles
+    "q_autocorr", "q_iet_cv", "q_mad", "q_ttr",
+    "q_bridge_pairs", "q_session_quantiles")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

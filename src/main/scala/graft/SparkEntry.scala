@@ -940,6 +940,35 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Global session-duration quantiles: exact p50/p90 of per-session
+    * active seconds over the same 30-min gap split as q_sessionize —
+    * the session-length distribution readout; selection rides the
+    * scale-safe two-phase ranks ([[operators.Quantiles
+    * .exactQuantiles]]). */
+  private val qSessionQuantiles: Q = (s, dir) => {
+    val gapMicros = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("event_id"))
+    val per = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("new_sess",
+        when(lag(col("tu"), 1).over(w).isNull ||
+          col("tu") - lag(col("tu"), 1).over(w) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(((max(col("tu")) - min(col("tu"))) / lit(1000000L))
+        .cast("long").as("secs"))
+    operators.Quantiles.exactQuantiles(per, col("secs"),
+        Seq(col("user_id"), col("sess_id")), Seq(0.5, 0.9))
+      .select(col("q"), col("value").as("secs"))
+      .orderBy(col("q"))
+  }
+
   private val qWindowLag: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -2870,6 +2899,13 @@ object SparkEntry {
     operators.GraphOps.modularity(
       Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
 
+  /** Cross-community bridge pairs ([[operators.GraphOps
+    * .bridgePairs]]): the edges a component-level delete would
+    * wrongly fuse across — the actionable review list. */
+  private val qBridgePairs: Q = (s, dir) =>
+    operators.GraphOps.bridgePairs(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
   /** Power-user concentration ([[operators.EventOps.powerUsers]]):
     * the Pareto share of the top 1% / 10% entities, ranks on the
     * scale-safe two-phase row_number. */
@@ -3267,6 +3303,7 @@ object SparkEntry {
     "q_window_rank_hk" -> qWindowRankHk,
     "q_window_pct" -> qWindowPct,
     "q_sessionize" -> qSessionize,
+    "q_session_quantiles" -> qSessionQuantiles,
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
     "q_union" -> qUnion,
@@ -3420,6 +3457,7 @@ object SparkEntry {
     "q_pagerank" -> qPageRank,
     "q_label_prop" -> qLabelProp,
     "q_modularity" -> qModularity,
+    "q_bridge_pairs" -> qBridgePairs,
     "q_power_users" -> qPowerUsers,
     "q_audience_overlap" -> qAudienceOverlap,
     "q_hourly_heatmap" -> qHourlyHeatmap,
@@ -4960,6 +4998,7 @@ object SparkEntry {
     "q_pagerank" -> DuckHash.pageRankOracle(0.2),
     "q_label_prop" -> DuckHash.labelPropOracle(0.2),
     "q_modularity" -> DuckHash.modularityOracle(0.2),
+    "q_bridge_pairs" -> DuckHash.bridgePairsOracle(0.2),
     // power users: descending row_number + per-pct cutoff rollup
     "q_power_users" ->
       """WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT)
@@ -5916,6 +5955,32 @@ object SparkEntry {
         |  max(n_events) AS max_session_events,
         |  CAST(sum(secs) AS BIGINT) AS total_active_secs
         |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // session-duration quantiles: same split, rank-position select
+    "q_session_quantiles" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id)
+        |        > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, tu,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |per AS (SELECT user_id, sess_id,
+        |    (max(tu) - min(tu)) // 1000000 AS secs
+        |  FROM s GROUP BY 1, 2),
+        |r AS (SELECT secs, row_number() OVER (ORDER BY secs,
+        |    user_id, sess_id) AS rn FROM per),
+        |n AS (SELECT count(*) AS c FROM per)
+        |SELECT q, secs
+        |FROM (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q) qs
+        |CROSS JOIN n JOIN r
+        |  ON r.rn = greatest(1, CAST(ceil(q * c) AS BIGINT))
+        |ORDER BY q""".stripMargin,
     "q_window_lag" ->
       """SELECT o_orderkey, o_custkey,
         |lag(o_totalprice, 1) OVER (PARTITION BY o_custkey

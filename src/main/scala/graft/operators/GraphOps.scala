@@ -362,6 +362,32 @@ object GraphOps {
       .orderBy(col("community"))
   }
 
+  /** Cross-community (bridge) pairs: the edges whose endpoints land
+    * in DIFFERENT [[labelPropagation]] communities — precisely the
+    * "accidental bridge" candidates that make one connected component
+    * out of two near-dup blobs (the [[modularity]] story made
+    * actionable: review/cut these pairs before deleting by
+    * component). One pair set checkpoint feeding the LPA rounds and
+    * two label join-backs.
+    *
+    * @return `(id_a, id_b, community_a, community_b)` ordered
+    */
+  def bridgePairs(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iters: Int = 3): DataFrame = {
+    val p = pairs.localCheckpoint(eager = false)
+    val e = edges(p, aCol, bCol)
+    val lab = labelPropagation(p, aCol, bCol, iters)
+      .localCheckpoint(eager = false)
+    e.join(lab.select(col("node").as("a"),
+        col("community").as("community_a")), Seq("a"))
+      .join(lab.select(col("node").as("b"),
+        col("community").as("community_b")), Seq("b"))
+      .filter(col("community_a") =!= col("community_b"))
+      .select(col("a").as(aCol), col("b").as(bCol),
+        col("community_a"), col("community_b"))
+      .orderBy(col(aCol), col(bCol))
+  }
+
   /** Connected-component SIZE distribution: how many components have
     * each member count — the dedup-graph health histogram (a giant
     * component is a shingle storm; healthy near-dup graphs are

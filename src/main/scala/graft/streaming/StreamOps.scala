@@ -1341,6 +1341,87 @@ object StreamOps {
       }
   }
 
+  /** A finalized CUSUM reading at an event instant. */
+  case class CusumHit(entity: String, id: Long, t_micros: Long,
+    cusum_c: Long, drift: Boolean)
+  /** Per-entity CUSUM state: the running prefix sum and its running
+    * minimum (the closed form's whole memory), plus pending. */
+  case class CusumState(prefix: Long, runmin: Long, any: Boolean,
+    lastT: Long, pending: Seq[(Long, Long, Long)])
+
+  /** Streaming face of [[graft.operators.EventOps.cusum]] — the live
+    * drift detector: each event's one-sided CUSUM statistic
+    * `prefix − min(0, runmin(prefix))` (the clamp-at-zero fold's
+    * two-window closed form, exact integer cents), finalized exactly
+    * once as the event ripens below the watermark — rows are
+    * bit-identical to the batch operator over the same in-watermark
+    * events. State per entity is TWO longs (prefix, running min)
+    * plus the above-watermark pending buffer; idle expiry frees it
+    * and a re-appearing entity restarts a fresh accumulation
+    * (disclosed counter-reset semantics).
+    *
+    * @return `(entity, id, t_micros, cusum_c, drift)`, one row per
+    *         event, emitted exactly once
+    */
+  def cusumFeed(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, targetC: Long, threshC: Long,
+      valueScale: Long = 100L, watermark: String = "10 minutes",
+      idleExpiryMicros: Long = 30L * 24 * 3600 * 1000000L)
+      : Dataset[CusumHit] = {
+    require(threshC > 0, s"threshC must be > 0, got $threshC")
+    require(idleExpiryMicros > 0,
+      s"idleExpiryMicros must be > 0: $idleExpiryMicros")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        unix_micros(col(tsCol)).as("t"),
+        col(idCol).cast("long").as("i"),
+        (round(col(valueCol) * valueScale).cast("long") -
+          lit(targetC)).as("d"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+            .getOrElse(CusumState(0L, 0L, any = false, Long.MinValue,
+              Seq.empty))
+          val all = (st.pending ++ rows.map(r => (r._3, r._4, r._5)))
+            .sortBy(e => (e._1, e._2))
+          val (ripe, pending) = all.partition(_._1 < wmMicros)
+          var prefix = st.prefix; var runmin = st.runmin
+          var any = st.any; var lastT = st.lastT
+          val hits = Vector.newBuilder[CusumHit]
+          ripe.foreach { case (t, i, d) =>
+            prefix += d
+            runmin = if (any) math.min(runmin, prefix) else prefix
+            any = true
+            lastT = t
+            val s = prefix - math.min(0L, runmin)
+            hits += CusumHit(key, i, t, s, s > threshC)
+          }
+          val activityT = math.max(lastT,
+            pending.iterator.map(_._1).foldLeft(Long.MinValue)(
+              math.max))
+          if (pending.isEmpty && (!any ||
+            lastT + idleExpiryMicros < wmMicros)) {
+            state.remove()
+          } else {
+            state.update(CusumState(prefix, runmin, any, lastT,
+              pending))
+            val wake =
+              if (pending.nonEmpty) pending.iterator.map(_._1).min
+              else activityT + idleExpiryMicros
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, wake / 1000L + 1L))
+          }
+          hits.result().iterator
+      }
+  }
+
   /** A finalized rolling z-score reading (full trailing window,
     * positive variance — the batch operator's emission rule). */
   case class AnomalyHit(entity: String, id: Long, t_micros: Long,

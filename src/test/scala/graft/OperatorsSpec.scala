@@ -1889,6 +1889,15 @@ class OperatorsSpec extends SparkTestBase {
       (4L, 3L), (5L, 3L), (6L, 3L)), got.toString)
   }
 
+  test("bridgePairs: exactly the one cross-community edge reports") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.bridgePairs(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 4L, 1L, 3L)), got.toString)
+  }
+
   test("modularity: exact integer contributions on the bridged " +
       "triangles") {
     import spark.implicits._

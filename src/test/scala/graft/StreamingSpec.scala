@@ -486,6 +486,53 @@ class StreamingSpec extends SparkTestBase {
     assert(stateAfter <= 1, s"state not evicted: $stateAfter")
   }
 
+  test("cusumFeed: drift statistics bit-match the batch closed form; " +
+      "a late event re-folds in event time; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = Timestamp.valueOf(s)
+    def m(i: Int) = d(f"2024-01-01 10:0$i%01d:00")
+    val input = MemoryStream[E]
+    val q = StreamOps.cusumFeed(input.toDF(), "user_id", "ts",
+        "event_id", "value", targetC = 200L, threshC = 300L,
+        watermark = "30 minutes", idleExpiryMicros = 3600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_feed").start()
+    var stateAfter = -1L
+    val batch1 = Seq(
+      E(1, m(0), 1, "v", 3.0), E(2, m(1), 1, "v", 4.0),
+      E(3, m(2), 1, "v", 1.0), E(4, m(3), 1, "v", 5.0),
+      E(5, m(4), 1, "v", 5.0),
+      E(11, m(0), 2, "v", 1.0), E(12, m(4), 2, "v", 5.0))
+    // user 2's middle delta arrives late: the running min must fold
+    // it SECOND (prefix -100,-200,100 -> cusum 0,0,300)
+    val late = E(13, m(2), 2, "v", 1.0)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+      input.addData(E(90, d("2024-01-02 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      input.addData(E(91, d("2024-01-03 00:00:00"), -1, "wm", 0))
+      q.processAllAvailable()
+      stateAfter = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally q.stop()
+    val got = spark.table("cusum_feed")
+      .filter($"entity".isin("1", "2"))
+      .select($"entity", $"id", $"cusum_c", $"drift")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val exp = graft.operators.EventOps.cusum(
+      (batch1 :+ late).toDF(), "user_id", "ts", "event_id", "value",
+      targetC = 200L, threshC = 300L)
+      .filter($"user_id".isin(1L, 2L))
+      .select($"user_id".cast("string"), $"event_id", $"cusum_c",
+        $"drift")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(got === exp, s"feed=$got batch=$exp")
+    assert(got.exists(r => r._1 == "1" && r._4), got.toString)
+    assert(stateAfter <= 1, s"state not evicted: $stateAfter")
+  }
+
   test("anomalyFeed: rolling z-scores bit-match the batch operator; " +
       "a late event re-orders the trailing window; state evicts") {
     implicit val sqlCtx = spark.sqlContext
