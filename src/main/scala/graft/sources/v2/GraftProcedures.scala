@@ -32,7 +32,7 @@ private[v2] object GraftProcedures {
     Set("vacuum", "compact", "zorder", "materialize_dvs", "analyze",
       "history", "bloom_index", "mv_refresh", "restore", "clone",
       "detail", "tag", "tags", "fsck", "wap_publish", "wap_abort",
-      "dq_check")
+      "dq_check", "decon_index", "decontaminate")
 
   private def tableParam = ProcedureParameter
     .in("table", StringType)
@@ -107,6 +107,15 @@ private[v2] object GraftProcedures {
           "evaluate named boolean contracts over the table in ONE " +
           "scan — one result row per rule (rows, violations, passed); " +
           "NULL predicate results count as violations"
+        case "decon_index" =>
+          "persist the decontamination index for a benchmark table " +
+          "ONCE (distinct n-grams as parquet + a meta sidecar with " +
+          "the pre-built XL bloom) so repeated decon sweeps are " +
+          "O(corpus probe)"
+        case "decontaminate" =>
+          "sweep the table against a persisted decon index (see " +
+          "decon_index): one summary row — docs scanned, contaminated " +
+          "count, max contamination share"
         case _ =>
           "rewrite every vector-masked file without its deleted rows"
       }
@@ -200,6 +209,26 @@ private[v2] object GraftProcedures {
           .comment("semicolon-separated name:SQL-predicate pairs, " +
             "e.g. 'qty_pos: qty > 0; disc_cap: discount <= 0.1'")
           .build())
+      case "decon_index" => Array(tableParam,
+        ProcedureParameter.in("path", StringType)
+          .comment("directory to persist the index under").build(),
+        ProcedureParameter.in("n", IntegerType)
+          .defaultValue("3").comment("n-gram size").build(),
+        ProcedureParameter.in("id_col", StringType)
+          .defaultValue("'doc_id'").build(),
+        ProcedureParameter.in("text_col", StringType)
+          .defaultValue("'text'").build())
+      case "decontaminate" => Array(tableParam,
+        ProcedureParameter.in("index", StringType)
+          .comment("a decon_index directory").build(),
+        ProcedureParameter.in("id_col", StringType)
+          .defaultValue("'doc_id'").build(),
+        ProcedureParameter.in("text_col", StringType)
+          .defaultValue("'text'").build(),
+        ProcedureParameter.in("max_broadcast_grams", LongType)
+          .defaultValue("2000000")
+          .comment("gram count above which the probe switches to " +
+            "the bloom-prefiltered shuffled join").build())
       case "tag" => Array(tableParam,
         ProcedureParameter.in("name", StringType)
           .comment("tag name: starts with a letter; letters, digits, " +
@@ -552,6 +581,48 @@ private[v2] object GraftProcedures {
               StructField("passed", BooleanType, false)))
             override def rows(): Array[InternalRow] = data
           })
+        case "decon_index" =>
+          import org.apache.spark.unsafe.types.UTF8String
+          val path = input.getUTF8String(1).toString
+          val n = input.getInt(2)
+          val idCol = input.getUTF8String(3).toString
+          val textCol = input.getUTF8String(4).toString
+          val bench = spark.read.format("graft-v2")
+            .option("path", dir.toString).load()
+          graft.operators.CorpusOps.buildDeconIndex(bench, path,
+            n = n, idCol = idCol, textCol = textCol)
+          val meta = spark.read.parquet(s"$path/meta").head()
+          one(resultScan(
+            StructType(Seq(
+              StructField("benchmark_grams", LongType, false),
+              StructField("n", IntegerType, false),
+              StructField("index_path", StringType, false))),
+            Array(meta.getAs[Long]("gram_count"), n,
+              UTF8String.fromString(path))))
+        case "decontaminate" =>
+          import org.apache.spark.sql.functions.{count, lit, max, sum, when}
+          val idx = input.getUTF8String(1).toString
+          val idCol = input.getUTF8String(2).toString
+          val textCol = input.getUTF8String(3).toString
+          val maxBroadcast = input.getLong(4)
+          val corpus = spark.read.format("graft-v2")
+            .option("path", dir.toString).load()
+          val res = graft.operators.CorpusOps.decontaminateWithIndex(
+            corpus, idx, idCol = idCol, textCol = textCol,
+            maxBroadcastGrams = maxBroadcast)
+          val row = res.agg(count(lit(1)).as("d"),
+            sum(when(org.apache.spark.sql.functions
+              .col("contaminated"), 1L).otherwise(0L)).as("c"),
+            max(org.apache.spark.sql.functions.col("contamination"))
+              .as("m")).head()
+          one(resultScan(
+            StructType(Seq(
+              StructField("docs", LongType, false),
+              StructField("contaminated", LongType, false),
+              StructField("max_contamination", DoubleType, true))),
+            Array(row.getLong(0),
+              if (row.isNullAt(1)) 0L else row.getLong(1),
+              if (row.isNullAt(2)) null else row.getDouble(2))))
         case "tags" =>
           import org.apache.spark.unsafe.types.UTF8String
           val tagRows: Array[InternalRow] =

@@ -2574,6 +2574,40 @@ class CatalogSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft.dq.t")
   }
 
+  test("CALL decon_index + decontaminate: the persisted index sweeps " +
+      "a corpus table from SQL alone") {
+    val _ = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dcx")
+    spark.sql("CREATE TABLE graft.dcx.bench (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO graft.dcx.bench VALUES " +
+      "(100, 'the quick brown fox jumps over fences')")
+    spark.sql("CREATE TABLE graft.dcx.corpus (doc_id BIGINT, text STRING)")
+    spark.sql("INSERT INTO graft.dcx.corpus VALUES " +
+      "(1, 'lazy dogs sleep all day long'), " +
+      "(2, 'said the quick brown fox yesterday evening'), " +
+      "(3, 'quick brown fox')")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-call-decon").toString
+    val built = spark.sql("CALL graft.system.decon_index(" +
+      s"table => 'dcx.bench', path => '$idx')").head()
+    // 'the quick brown fox jumps over fences' = 5 distinct 3-grams
+    assert(built.getLong(0) === 5L, built.toString)
+    assert(built.getInt(1) === 3)
+    val swept = spark.sql("CALL graft.system.decontaminate(" +
+      s"table => 'dcx.corpus', index => '$idx')").head()
+    // docs 2 and 3 share grams with the benchmark; doc 3 is 100%
+    assert(swept.getLong(0) === 3L, swept.toString)
+    assert(swept.getLong(1) === 2L, swept.toString)
+    assert(swept.getDouble(2) === 1.0, swept.toString)
+    // the XL (bloom + shuffled) probe path through the same CALL
+    val sweptXl = spark.sql("CALL graft.system.decontaminate(" +
+      s"table => 'dcx.corpus', index => '$idx', " +
+      "max_broadcast_grams => 0)").head()
+    assert(sweptXl === swept, s"$sweptXl vs $swept")
+    spark.sql("DROP TABLE graft.dcx.bench")
+    spark.sql("DROP TABLE graft.dcx.corpus")
+  }
+
   test("CALL dq_check: foreign_key rules count orphans (riCheck " +
       "anti-join semantics) alongside row rules") {
     val _ = warehouse
