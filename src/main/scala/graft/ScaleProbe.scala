@@ -172,7 +172,7 @@ object ScaleProbe {
     // double two-phase-rank medians, map-only TTR; third wave:
     // LPA join-back bridges, session-split quantiles
     "q_autocorr", "q_iet_cv", "q_mad", "q_ttr",
-    "q_bridge_pairs", "q_session_quantiles")
+    "q_bridge_pairs", "q_session_quantiles", "q_survival")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

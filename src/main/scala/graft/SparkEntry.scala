@@ -1763,6 +1763,14 @@ object SparkEntry {
       .select(col("cohort_week").cast("timestamp").as("cohort_week"),
         col("week_offset"), col("users"))
 
+  /** Cohort survival curve ([[operators.EventOps.survival]]):
+    * retention normalized by cohort size, exact ppm. */
+  private val qSurvival: Q = (s, dir) =>
+    operators.EventOps.survival(t(s, dir, "events"), "user_id", "ts")
+      .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+        col("week_offset"), col("users"), col("cohort_size"),
+        col("survival_ppm"))
+
   /** EXACT global quantiles of l_extendedprice by rank selection over
     * the two-phase distributed row_number — no approxQuantile error
     * bar, no one-task global sort ([[operators.Quantiles]]). */
@@ -3398,6 +3406,7 @@ object SparkEntry {
     "q_funnel_ttc" -> qFunnelTtc,
     "q_resample_gapfill" -> qResampleGapfill,
     "q_retention" -> qRetention,
+    "q_survival" -> qSurvival,
     "q_unigram_encode" -> qUnigramEncode,
     "q_unigram_encode_soft" -> qUnigramEncodeSoft,
     "q_trending_exact" -> qTrendingExact,
@@ -3816,6 +3825,25 @@ object SparkEntry {
         |  count(*) AS users
         |FROM f JOIN a USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // survival: the retention cells normalized by the offset-0 base
+    "q_survival" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |  FROM events),
+        |r AS (SELECT CAST(f.cw AS TIMESTAMP) AS cohort_week,
+        |    CAST(datediff('day', f.cw, a.aw) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS users
+        |  FROM f JOIN a USING (user_id) GROUP BY 1, 2),
+        |b AS (SELECT cohort_week, users AS cohort_size FROM r
+        |  WHERE week_offset = 0)
+        |SELECT r.cohort_week AS cohort_week, week_offset, users,
+        |  cohort_size,
+        |  CAST((CAST(users AS HUGEINT) * 1000000) // cohort_size
+        |    AS BIGINT) AS survival_ppm
+        |FROM r JOIN b ON r.cohort_week = b.cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // rolling z-score anomalies: the oracle mirrors the operator's
     // fixed-point contract op-for-op — quantized BIGINT values, exact
     // integer frame sums, the SAME IEEE expression tree for z (sub/

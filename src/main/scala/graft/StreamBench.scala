@@ -75,6 +75,49 @@ object StreamBench {
     run("exactly_once",
       in => StreamingDedup.nearDupPairsDistinct(in, minJaccard = 0.5,
         idleTimeoutMs = 0))
+
+    // Monitoring-face state probe: drive ewmaFeed (the representative
+    // watermark-finalize face) over a hot-entity stream at two sizes.
+    // The claim under test is STRUCTURAL: state rows track ENTITIES
+    // (one O(1) tuple each — a bot holding 50% of the stream costs
+    // one row like everyone else), never history length, so the row
+    // count must be flat as events quadruple.
+    def monitorProbe(nEvents: Int, entities: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[MonRow]
+      val q = graft.streaming.StreamOps.ewmaFeed(input.toDF(),
+          "user_id", "ts", "event_id", "value")
+        .writeStream.outputMode("append").format("noop").start()
+      val rows = (0 until nEvents).map { i =>
+        val u = if (i % 2 == 0) 0L else 1L + (i % entities)
+        MonRow(u, new java.sql.Timestamp(1700000000000L + i * 100L),
+          i.toLong, (i % 997) / 10.0)
+      }
+      val t0 = System.nanoTime()
+      try {
+        rows.grouped(math.max(1, nEvents / 4)).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        }
+        // flush: the watermark passes every event, pending drains
+        input.addData(MonRow(-1L, new java.sql.Timestamp(
+          1700000000000L + nEvents * 100L + 3600L * 1000L), -1L, 0.0))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val st = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+        println(f"""{"variant":"ewma_feed_state","events":$nEvents%d,""" +
+          f""""entities":$entities%d,""" +
+          f""""stateRows":${st.map(_.numRowsTotal).sum}%d,""" +
+          f""""stateBytes":${st.map(_.memoryUsedBytes).sum}%d,""" +
+          f""""sec":$sec%.2f}""")
+      } finally q.stop()
+    }
+    monitorProbe(50000, 1000)
+    monitorProbe(200000, 1000)
     spark.stop()
   }
+
+  /** Input row shape for the monitoring-face state probe. */
+  case class MonRow(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, value: Double)
 }

@@ -587,6 +587,32 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Cohort survival curve: [[retention]] normalized by cohort size —
+    * `survival_ppm = users(k)·10⁶ // users(0)` per (cohort, offset),
+    * the comparable-across-cohorts readout (retention counts aren't,
+    * cohort sizes differ). The retention rollup is checkpointed once
+    * (lazy — the house rule for shared subplans) and the offset-0
+    * base broadcasts back onto it: everything after the two
+    * retention aggregates is bounded rollup metadata.
+    *
+    * @return `(cohort_week, week_offset, users, cohort_size,
+    *         survival_ppm)` ordered by (cohort, offset)
+    */
+  def survival(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val r = retention(events, keyCol, tsCol)
+      .localCheckpoint(eager = false)
+    val base = r.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("users").as("cohort_size"))
+    r.join(broadcast(base), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("users"),
+        col("cohort_size"),
+        intDiv(col("users").cast(dec) * lit(1000000L),
+          col("cohort_size").cast(dec)).as("survival_ppm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** `⌊a / b⌋`-style exact integral division shared by the integer-
     * contract operators below (Spark's `div` truncates toward zero —
     * identical to SQL `//` on the NON-NEGATIVE operands these

@@ -760,6 +760,21 @@ class OperatorsSpec extends SparkTestBase {
       (2L, "2024-01-02", 5.0)))
   }
 
+  test("survival: retention normalized by the offset-0 cohort size") {
+    import graft.operators.EventOps
+    def ts(d: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-$d%02dT10:00:00Z"))
+    // week of Jan 1: u1 + u2; u1 returns the week of Jan 8
+    val ev = Seq((1L, ts(2)), (2L, ts(3)), (1L, ts(9)))
+      .toDF("user_id", "ts")
+    val got = EventOps.survival(ev, "user_id", "ts")
+      .select($"week_offset", $"users", $"cohort_size",
+        $"survival_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 2L, 2L, 1000000L),
+      (1L, 1L, 2L, 500000L)), got.toString)
+  }
+
   test("retention: cohort week offsets count distinct active users") {
     import graft.operators.EventOps
     def ts(d: Int) = java.sql.Timestamp.from(
