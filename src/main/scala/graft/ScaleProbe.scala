@@ -172,7 +172,8 @@ object ScaleProbe {
     // double two-phase-rank medians, map-only TTR; third wave:
     // LPA join-back bridges, session-split quantiles
     "q_autocorr", "q_iet_cv", "q_mad", "q_ttr",
-    "q_bridge_pairs", "q_session_quantiles", "q_survival")
+    "q_bridge_pairs", "q_session_quantiles", "q_survival",
+    "q_ann_radius_pq", "q_readability_pct")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

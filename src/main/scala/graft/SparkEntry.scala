@@ -896,6 +896,21 @@ object SparkEntry {
     * integer ranks. Both definitions are exact long arithmetic until
     * one final double division, so the oracle's own evaluation
     * reproduces them bit-for-bit. */
+  /** Readability percentile: every document's global percent-rank of
+    * its integer Flesch score — score → STANDING, the calibration a
+    * fixed quality threshold lacks (corpora drift; the 40th
+    * percentile doesn't). Rides twoPhaseRanks' exact percent_rank
+    * (long arithmetic, one final double division). */
+  private val qReadabilityPct: Q = (s, dir) => {
+    val r = operators.TextStats.readability(t(s, dir, "documents"))
+    operators.Salting.twoPhaseRanks(
+        r.select(col("doc_id"), col("fre_milli")),
+        Seq.empty, Seq(col("fre_milli")),
+        percentRankCol = Some("pct"))
+      .select(col("doc_id"), col("fre_milli"), col("pct"))
+      .orderBy(col("doc_id"))
+  }
+
   private val qWindowPct: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     operators.Salting.twoPhaseRanks(li, Seq("l_returnflag"),
@@ -3082,6 +3097,17 @@ object SparkEntry {
       model)
   }
 
+  /** IVF-PQ radius ([[operators.Ann.ivfPqRadius]]): the memory-bound
+    * threshold sweep over the m-int codes — ADC cosine ≥ 0.2, raw
+    * vectors never touched. */
+  private val qAnnRadiusPq: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val ivf = Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+    val pq = Ann.trainPqCached(s"$dir/embeddings#pq8x16", emb)
+    Ann.ivfPqRadius(emb, emb.filter(col("vec_id") < 8), minCos = 0.2,
+      ivf, pq)
+  }
+
   /** Embedding-table norm health ([[operators.Ann.normHealth]]):
     * quantized L2-norm histogram — the pre-indexing QA scan. */
   private val qEmbedNorms: Q = (s, dir) =>
@@ -3475,6 +3501,7 @@ object SparkEntry {
     "q_iet_cv" -> qIetCv,
     "q_mad" -> qMad,
     "q_ttr" -> qTtr,
+    "q_readability_pct" -> qReadabilityPct,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
     "q_stickiness" -> qStickiness,
@@ -3490,6 +3517,7 @@ object SparkEntry {
     "q_tok_fertility" -> qTokFertility,
     "q_ann_radius" -> qAnnRadius,
     "q_ann_radius_ivf" -> qAnnRadiusIvf,
+    "q_ann_radius_pq" -> qAnnRadiusPq,
     "q_embed_norms" -> qEmbedNorms,
   )
 
@@ -3616,6 +3644,44 @@ object SparkEntry {
            |  FROM sh WHERE arnk <= 40)
            |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, rnk
            |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    }
+
+  /** Oracle for the IVF-PQ radius query — the same rendered
+    * reconstruction as [[pqOracle]] (ADC cosine = cosine against the
+    * code's reconstruction), thresholded instead of ranked. */
+  private def pqRadiusOracle: Option[(String, String)] =
+    Option(lastDir).map { dir =>
+      val spark = SparkSession.active
+      val emb = Tables.t(spark, dir, "embeddings")
+      val ivf = operators.Ann.trainIvfCached(s"$dir/embeddings#16", emb)
+      val pq = operators.Ann.trainPqCached(s"$dir/embeddings#pq8x16", emb)
+      val ivfDists = ivf.centers
+        .map(c => s"list_distance(v, ${c.mkString("[", ", ", "]")})")
+        .mkString("[", ",\n ", "]")
+      val dsub = pq.dsub
+      val recon = pq.codebooks.zipWithIndex.map { case (cb, s) =>
+        val lit = cb.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ",\n   ", "]")
+        val a = s * dsub + 1
+        val b = s * dsub + dsub
+        s"($lit)[list_grade_up([list_distance(v[$a:$b], c)" +
+          s" FOR c IN $lit])[1]]"
+      }.mkString("flatten([", ",\n ", "])")
+      "q_ann_radius_pq" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |d AS (SELECT vec_id, v, list_grade_up($ivfDists) AS gu,
+           |    $recon AS recon FROM e),
+           |c AS (SELECT vec_id AS neighbor_id, gu[1] - 1 AS cell,
+           |    recon FROM d),
+           |q AS (SELECT vec_id AS query_id, v AS qv,
+           |    unnest(gu[1:4]) - 1 AS cell FROM d WHERE vec_id < 8),
+           |s AS (SELECT query_id, neighbor_id,
+           |    list_cosine_similarity(qv, recon) AS acos
+           |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
+           |SELECT query_id, neighbor_id, round(acos, 4) AS acos
+           |FROM s WHERE acos >= 0.2
+           |ORDER BY query_id, neighbor_id""".stripMargin
     }
 
   /** Per-centroid L2-distance list over alias `v` plus the rendered
@@ -5319,6 +5385,28 @@ object SparkEntry {
         |    - (84600 * n_syllables) // n_words AS BIGINT)
         |    AS fre_milli
         |FROM m ORDER BY doc_id""".stripMargin,
+    // readability percentile: the same Flesch CTEs + percent_rank
+    "q_readability_pct" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '') AS ws,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS sents
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(sents AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(ws, w -> greatest(1,
+        |      len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM d WHERE len(ws) >= 1),
+        |r AS (SELECT doc_id,
+        |    CAST(206835 - (1015 * n_words) // n_sentences
+        |      - (84600 * n_syllables) // n_words AS BIGINT)
+        |      AS fre_milli
+        |  FROM m)
+        |SELECT doc_id, fre_milli,
+        |  percent_rank() OVER (ORDER BY fre_milli) AS pct
+        |FROM r ORDER BY doc_id""".stripMargin,
     // churn hazard: last-observed-week churn / reverse-cumulative risk
     "q_hazard" ->
       """WITH s AS (SELECT user_id, date_trunc('week', min(ts)) AS cw,
@@ -6492,6 +6580,7 @@ object SparkEntry {
     "q_ann_ivf" -> (() => ivfOracle),
     "q_ann_radius_ivf" -> (() => ivfRadiusOracle),
     "q_ann_pq" -> (() => pqOracle),
+    "q_ann_radius_pq" -> (() => pqRadiusOracle),
     "q_cluster_kmeans" -> (() => clusterOracle),
     "q_cluster_sample" -> (() => clusterSampleOracle),
     "q_quality_model" -> (() => qualityOracle),

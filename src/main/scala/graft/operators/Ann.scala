@@ -392,6 +392,37 @@ object Ann {
         round(col("cos"), 4).as("cos"), col("rnk"))
   }
 
+  /** IVF-PQ radius — the MEMORY-BOUND threshold sweep: candidates
+    * from the query's `nprobe` cells, kept where the APPROXIMATE ADC
+    * cosine (computed from the m-int code; the scan never touches
+    * raw vectors) clears `minCos`. Disclosed code-level semantics:
+    * the returned score is the ADC cosine (= exact cosine against
+    * the code's reconstruction), so recall tracks the quantizer like
+    * [[ivfPqTopK]]'s shortlist — the shape for sweeping a corpus
+    * whose raw vectors are cold storage. Query side rides the
+    * [[lshRadius]] broadcast guard.
+    *
+    * @return `(query_id, neighbor_id, acos)` ordered, acos ≥ minCos
+    */
+  def ivfPqRadius(corpus: DataFrame, queries: DataFrame,
+      minCos: Double, ivf: IvfModel, pq: PqModel, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      codes: Option[DataFrame] = None,
+      maxBroadcastQueries: Long = 1L << 20): DataFrame = {
+    val codeTbl = codes.getOrElse(pqCodes(corpus, ivf, pq, idCol, vecCol))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(nearestCells(col(vecCol), ivf, nprobe)).as("cell"))
+    codeTbl.join(guardedQuerySide(q, queries, nprobe,
+        maxBroadcastQueries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", pqAdcCos(col("qv"), col("code"), pq))
+      .filter(col("acos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("acos"), 4).as("acos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Persist PQ codebooks (tiny parquet) beside a corpus. */
   def savePq(spark: org.apache.spark.sql.SparkSession, model: PqModel,
       path: String): Unit = {

@@ -532,6 +532,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("ivfPqRadius: every row clears the ADC threshold; the " +
+      "broadcast-guard flip is result-identical") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Ann.trainIvf(emb)
+    val pq = Ann.trainPq(emb)
+    val got = Ann.ivfPqRadius(emb, queries, minCos = 0.2, ivf, pq)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.2), "a row under the threshold leaked")
+    val shuffled = Ann.ivfPqRadius(emb, queries, minCos = 0.2, ivf,
+      pq, maxBroadcastQueries = 0L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === shuffled)
+  }
+
   test("normHealth: quantized L2-norm bins on hand vectors") {
     import spark.implicits._
     // |(3,4)| = 5 -> 50000 e4 -> bin 50; |(1,0)| = 1 -> bin 10
