@@ -684,6 +684,35 @@ private[graft] object DuckHash {
        |WHERE la.lbl <> lb.lbl
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for `q_bridge_cut` — the LPA rounds above, then the
+    * min-label recursive closure over ONLY the same-community edges;
+    * vertices isolated by the cut keep themselves as cluster (the
+    * reach recursion seeds every original vertex at itself). */
+  def bridgeCutOracle(minJaccard: Double = 0.2,
+      iters: Int = 3): String =
+    s"""WITH RECURSIVE ${labelPropCtes(minJaccard, iters)},
+       |lf AS MATERIALIZED (SELECT node, lbl FROM l$iters),
+       |kept AS MATERIALIZED (SELECT e.a, e.b FROM e
+       |  JOIN lf la ON la.node = e.a JOIN lf lb ON lb.node = e.b
+       |  WHERE la.lbl = lb.lbl),
+       |kdir AS MATERIALIZED (SELECT a AS src, b AS dst FROM kept
+       |  UNION SELECT b, a FROM kept),
+       |verts AS (SELECT DISTINCT src AS vid FROM dir),
+       |reach(vid, anc) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT k.dst, r.anc FROM reach r JOIN kdir k
+       |    ON k.src = r.vid
+       |  WHERE r.anc < k.dst
+       |),
+       |cl AS (SELECT vid AS node, min(anc) AS cluster FROM reach
+       |  GROUP BY 1),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT)
+       |    AS cluster_size
+       |  FROM cl GROUP BY 1)
+       |SELECT node, cluster, cluster_size
+       |FROM cl JOIN sz USING (cluster) ORDER BY node""".stripMargin
+
   /** Oracle for `q_pagerank` — the UNROLLED integer PageRank over the
     * same replayed near-dup pair graph: each iteration is one chained
     * CTE running the identical fixed-point step

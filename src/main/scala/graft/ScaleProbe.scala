@@ -173,7 +173,10 @@ object ScaleProbe {
     // LPA join-back bridges, session-split quantiles
     "q_autocorr", "q_iet_cv", "q_mad", "q_ttr",
     "q_bridge_pairs", "q_session_quantiles", "q_survival",
-    "q_ann_radius_pq", "q_readability_pct")
+    "q_ann_radius_pq", "q_readability_pct",
+    // round 19, fourth wave: bridge-cut re-clustering rides the pair
+    // graph (LPA + star-forest closure on the kept edges)
+    "q_bridge_cut")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -2929,6 +2929,14 @@ object SparkEntry {
     operators.GraphOps.bridgePairs(
       Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
 
+  /** Bridge-cut re-clustering ([[operators.GraphOps.cutBridges]]):
+    * the near-dup pair graph re-clustered with the cross-community
+    * bridges removed — the delete-by-community grouping that closes
+    * the q_bridge_pairs review loop. */
+  private val qBridgeCut: Q = (s, dir) =>
+    operators.GraphOps.cutBridges(
+      Dedup.minHashLsh(t(s, dir, "documents"), minJaccard = 0.2))
+
   /** Power-user concentration ([[operators.EventOps.powerUsers]]):
     * the Pareto share of the top 1% / 10% entities, ranks on the
     * scale-safe two-phase row_number. */
@@ -3493,6 +3501,7 @@ object SparkEntry {
     "q_label_prop" -> qLabelProp,
     "q_modularity" -> qModularity,
     "q_bridge_pairs" -> qBridgePairs,
+    "q_bridge_cut" -> qBridgeCut,
     "q_power_users" -> qPowerUsers,
     "q_audience_overlap" -> qAudienceOverlap,
     "q_hourly_heatmap" -> qHourlyHeatmap,
@@ -5093,6 +5102,7 @@ object SparkEntry {
     "q_label_prop" -> DuckHash.labelPropOracle(0.2),
     "q_modularity" -> DuckHash.modularityOracle(0.2),
     "q_bridge_pairs" -> DuckHash.bridgePairsOracle(0.2),
+    "q_bridge_cut" -> DuckHash.bridgeCutOracle(0.2),
     // power users: descending row_number + per-pct cutoff rollup
     "q_power_users" ->
       """WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT)

@@ -388,6 +388,55 @@ object GraphOps {
       .orderBy(col(aCol), col(bCol))
   }
 
+  /** Bridge-cut re-clustering — the near-dup hygiene loop closed:
+    * drop the cross-community ([[bridgePairs]]) edges from the pair
+    * graph, then re-cluster what remains with the DataFrame
+    * large-star/small-star closure ([[Dedup.clusters]]). The result
+    * is the DELETE-BY-COMMUNITY grouping: two near-dup blobs fused
+    * into one component by an accidental bridge come back as two
+    * clusters, while genuinely dense groups keep their component.
+    * Nodes isolated by the cut (every incident edge was a bridge)
+    * cluster as themselves, so every node of the ORIGINAL pair graph
+    * appears exactly once.
+    *
+    * Scale shape: one pair-set checkpoint feeds the LPA rounds, the
+    * two label join-backs and the closure seed; the closure itself is
+    * the proven star-forest alternation (AQE-planned hash joins, no
+    * collect). The final size join-back is a hash rollup on the
+    * cluster key.
+    *
+    * @return `(node, cluster, cluster_size)` ordered by node, with
+    *         `cluster` the component-minimum id after the cut
+    */
+  def cutBridges(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", iters: Int = 3): DataFrame = {
+    val p = pairs.localCheckpoint(eager = false)
+    val e = edges(p, aCol, bCol).localCheckpoint(eager = false)
+    val lab = labelPropagation(p, aCol, bCol, iters)
+      .localCheckpoint(eager = false)
+    val kept = e
+      .join(lab.select(col("node").as("a"), col("community").as("la")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("community").as("lb")),
+        Seq("b"))
+      .filter(col("la") === col("lb"))
+      .select(col("a"), col("b"))
+    val cl = Dedup.clusters(kept, "a", "b")
+    val verts = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+    val full = verts
+      .join(cl.select(col("doc_id").as("node"), col("cluster")),
+        Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("cluster"), col("node")).as("cluster"))
+      .localCheckpoint(eager = false)
+    val sizes = full.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, Seq("cluster"))
+      .select(col("node"), col("cluster"), col("cluster_size"))
+      .orderBy(col("node"))
+  }
+
   /** Connected-component SIZE distribution: how many components have
     * each member count — the dedup-graph health histogram (a giant
     * component is a shingle storm; healthy near-dup graphs are

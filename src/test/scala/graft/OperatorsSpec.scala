@@ -1929,6 +1929,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === Seq((3L, 4L, 1L, 3L)), got.toString)
   }
 
+  test("cutBridges: the bridged triangles re-cluster as two " +
+      "components after the cut") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.cutBridges(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // bridge (3,4) is cut; the two triangles come back as clusters
+    // rooted at their component minima, 1 and 4, size 3 each
+    assert(got === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 3L), (5L, 4L, 3L), (6L, 4L, 3L)), got.toString)
+  }
+
+  test("cutBridges: a star whose every edge is a bridge leaves all " +
+      "nodes as singletons") {
+    import spark.implicits._
+    // hand-replayed 1 sync round: 1→2 (min of {2,4,6}), 2→1, 3→2,
+    // 4→1, 5→4, 6→1, 7→6 — EVERY edge ends up cross-community, so
+    // the cut isolates all seven nodes: each clusters as itself
+    val pairs = Seq((2L, 3L), (4L, 5L), (6L, 7L),
+      (1L, 2L), (1L, 4L), (1L, 6L)).toDF("id_a", "id_b")
+    val got = graft.operators.GraphOps.cutBridges(pairs, iters = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === (1L to 7L).map(i => (i, i, 1L)), got.toString)
+  }
+
   test("modularity: exact integer contributions on the bridged " +
       "triangles") {
     import spark.implicits._
