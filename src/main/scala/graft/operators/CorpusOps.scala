@@ -211,6 +211,112 @@ object CorpusOps {
       maxBroadcastGrams, () => bloom)
   }
 
+  /** STREAMING contamination monitor — the live face of
+    * [[decontaminateWithIndex]]: tail the corpus table's change data
+    * feed and keep `outTable` equal to the contamination scores of
+    * the CURRENT corpus, batch by batch. Per micro-batch the latest
+    * change per doc wins (preimages dropped, an equal-version
+    * delete+insert nets to the insert — the COW replay shape), the
+    * surviving texts are scored against the persisted index, and the
+    * net rows MERGE in keyed on `idCol`: deletes (and docs whose new
+    * text has no grams — the batch operator emits nothing for them)
+    * remove the doc's row, everything else upserts its fresh score.
+    * Scores are deterministic and the keyed MERGE is idempotent, so a
+    * Spark replay converges to the same table — exactly-once in
+    * effect with no sink-side bookkeeping (the
+    * [[graft.streaming.StreamOps.writeChangeApplyBatches]] argument).
+    *
+    * The invariant a monitor wants: once caught up, `outTable` ==
+    * `decontaminateWithIndex(corpus, indexPath)` of the live corpus
+    * (StreamingSpec proves it through inserts, updates AND deletes).
+    *
+    * `outTable` must exist (create it empty with the score schema:
+    * `idCol, n_grams BIGINT, n_hits BIGINT, contamination DOUBLE,
+    * contaminated BOOLEAN`). Naming a `consumerId` registers the
+    * subscription on the corpus so vacuum keeps the feed window open.
+    * Per-batch index cost is the meta sidecar read + the gram probe —
+    * the benchmark is never re-tokenized (the whole point of the
+    * persisted index). */
+  def deconFeed(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, indexPath: String, outTable: String,
+      checkpointLocation: String, consumerId: Option[String] = None,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBroadcastGrams: Long = 2000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.v2.{GraftCdf, GraftHadoopConf}
+    // register up front: the vacuum window must hold from
+    // subscription time, not from the first applied batch
+    for (id <- consumerId) {
+      val t = new org.apache.hadoop.fs.Path(corpusPath)
+      GraftCdf.advanceConsumer(
+        t.getFileSystem(GraftHadoopConf.sessionConf()), t, id, 0L)
+    }
+    spark.readStream.format("graft-v2").option("path", corpusPath)
+      .option("readChangeFeed", "true").load()
+      .writeStream.option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        deconFeedBatch(batch, indexPath, outTable, idCol, textCol,
+          maxBroadcastGrams)
+        for (id <- consumerId) {
+          val maxV = batch.agg(max(col(GraftCdf.CommitVersion))).head()
+          if (!maxV.isNullAt(0)) {
+            val t = new org.apache.hadoop.fs.Path(corpusPath)
+            GraftCdf.advanceConsumer(
+              t.getFileSystem(GraftHadoopConf.sessionConf()), t, id,
+              maxV.getLong(0))
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[deconFeed]] (separated so the replay and
+    * delete/update semantics are testable without a running stream). */
+  private[graft] def deconFeedBatch(batch: DataFrame,
+      indexPath: String, outTable: String, idCol: String,
+      textCol: String, maxBroadcastGrams: Long): Unit = {
+    import graft.sources.v2.GraftCdf
+    batch.persist()
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(col(GraftCdf.CommitVersion).desc,
+          (col(GraftCdf.ChangeType) === "delete").asc_nulls_last)
+      val latest = batch
+        .filter(col(GraftCdf.ChangeType) =!= "update_preimage")
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+        .persist()
+      try if (!latest.limit(1).isEmpty) {
+        val live = latest
+          .filter(col(GraftCdf.ChangeType) =!= "delete")
+          .select(col(idCol), col(textCol),
+            col(GraftCdf.CommitVersion))
+        val scored = decontaminateWithIndex(
+          live.select(col(idCol), col(textCol)), indexPath, idCol,
+          textCol, maxBroadcastGrams)
+          .join(live.select(col(idCol), col(GraftCdf.CommitVersion)),
+            Seq(idCol))
+          .withColumn(GraftCdf.ChangeType, lit("insert"))
+        // docs the batch operator emits NO row for (gramless text
+        // after an update) plus genuine deletes both leave the
+        // monitor — the out table tracks the operator exactly
+        val gone = latest
+          .join(scored.select(col(idCol)), Seq(idCol), "left_anti")
+          .select(col(idCol),
+            lit(null).cast("long").as("n_grams"),
+            lit(null).cast("long").as("n_hits"),
+            lit(null).cast("double").as("contamination"),
+            lit(null).cast("boolean").as("contaminated"),
+            col(GraftCdf.CommitVersion),
+            lit("delete").as(GraftCdf.ChangeType))
+        graft.streaming.StreamOps.applyChanges(
+          scored.unionByName(gone), outTable, Seq(idCol))
+      } finally latest.unpersist()
+    } finally batch.unpersist()
+  }
+
   /** Context-window chunking: split each document into token windows of
     * `chunkSize` tokens advancing by `stride` (overlap = chunkSize -
     * stride). Start offsets are 1, 1+stride, 2·stride+1, … up to the

@@ -97,6 +97,75 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(xl.orderBy($"doc_id").collect().toSeq === adHoc)
   }
 
+  test("deconFeed: the monitor table tracks the live corpus through " +
+      "inserts, updates and deletes; a replayed window converges") {
+    import graft.sources.v2.GraftCdf
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-deconfeed").toString
+    val cat = "graft_deconfeed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val aux = java.nio.file.Files
+      .createTempDirectory("graft-deconfeed-aux")
+    val idx = aux.resolve("idx").toString
+    val ckpt = aux.resolve("ckpt").toString
+    CorpusOps.buildDeconIndex(docs(
+      100L -> "the quick brown fox jumps over fences",
+      101L -> "pack my box with five dozen jugs"), idx, n = 3)
+    // 500 filler docs keep the later point-DML under the DV
+    // escalation threshold (a COW rewrite would fail the stream)
+    val seed = (1 to 500).map(i =>
+      (i.toLong, s"filler number $i with several plain words")) ++
+      Seq((501L, "said the quick brown fox yesterday evening"),
+        (502L, "box with five dozen assorted things"))
+    seed.toDF("doc_id", "text").write.format("graft-v2")
+      .option("path", s"$wh/corpus").option("changelog", "true")
+      .mode("append").save()
+    Seq.empty[(Long, Long, Long, Double, Boolean)]
+      .toDF("doc_id", "n_grams", "n_hits", "contamination",
+        "contaminated")
+      .write.format("graft-v2").option("path", s"$wh/decon")
+      .mode("append").save()
+
+    def monitor(): Seq[org.apache.spark.sql.Row] =
+      spark.table(s"$cat.decon").orderBy($"doc_id").collect().toSeq
+    def operator(): Seq[org.apache.spark.sql.Row] = CorpusOps.decontaminateWithIndex(
+      spark.read.format("graft-v2").load(s"$wh/corpus"), idx)
+      .orderBy($"doc_id").collect().toSeq
+
+    val q = CorpusOps.deconFeed(spark, s"$wh/corpus", idx,
+      s"$cat.decon", ckpt, consumerId = Some("mon"))
+    try {
+      q.processAllAvailable()
+      assert(monitor() === operator(), "initial catch-up diverges")
+      assert(monitor().exists(r => r.getLong(0) == 501L &&
+        r.getBoolean(4)), "contaminated doc not flagged")
+      // delete a clean doc, update a contaminated doc to GRAMLESS
+      // text (the batch operator emits nothing for it — the monitor
+      // row must disappear), insert one newly contaminated doc
+      spark.sql(s"DELETE FROM $cat.corpus WHERE doc_id = 7")
+      spark.sql(
+        s"UPDATE $cat.corpus SET text = 'xy' WHERE doc_id = 501")
+      spark.sql(s"INSERT INTO $cat.corpus VALUES " +
+        "(503, 'they pack my box with care daily')")
+      q.processAllAvailable()
+      assert(monitor() === operator(), "post-DML monitor diverges")
+      assert(!monitor().exists(r => r.getLong(0) == 7L ||
+        r.getLong(0) == 501L))
+      assert(monitor().exists(r => r.getLong(0) == 503L &&
+        r.getBoolean(4)))
+    } finally q.stop()
+
+    // replay convergence: re-applying the ENTIRE feed history is a
+    // no-op on the monitor (deterministic scores + keyed MERGE)
+    val before = monitor()
+    CorpusOps.deconFeedBatch(
+      GraftCdf.tableChanges(spark, s"$wh/corpus", 1),
+      idx, s"$cat.decon", "doc_id", "text", 2000000L)
+    assert(monitor() === before, "replayed history changed the monitor")
+  }
+
   test("commonNgrams: doc frequency over distinct per-doc grams, " +
       "minDocs filter drops the unique tail") {
     val d = docs(
