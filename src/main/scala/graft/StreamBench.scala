@@ -114,6 +114,90 @@ object StreamBench {
     }
     monitorProbe(50000, 1000)
     monitorProbe(200000, 1000)
+
+    // Session-face state probe: state per entity is the COMPRESSED
+    // (start, last, n) run list — one run per OPEN session, not one
+    // row per event. The stream keeps every entity inside ONE open
+    // session (all events within the gap), so state rows must stay
+    // flat at 1×/4× events even though no session ever closes.
+    def sessionProbe(nEvents: Int, entities: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[MonRow]
+      val q = graft.streaming.StreamOps.sessionFeed(input.toDF(),
+          "user_id", "ts", gapMicros = 3600L * 1000000L)
+        .writeStream.outputMode("append").format("noop").start()
+      val rows = (0 until nEvents).map { i =>
+        val u = if (i % 2 == 0) 0L else 1L + (i % entities)
+        MonRow(u, new java.sql.Timestamp(1700000000000L + i * 2L),
+          i.toLong, 0.0)
+      }
+      val t0 = System.nanoTime()
+      try {
+        rows.grouped(math.max(1, nEvents / 4)).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val st = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+        println(f"""{"variant":"session_feed_state",""" +
+          f""""events":$nEvents%d,"entities":$entities%d,""" +
+          f""""stateRows":${st.map(_.numRowsTotal).sum}%d,""" +
+          f""""stateBytes":${st.map(_.memoryUsedBytes).sum}%d,""" +
+          f""""sec":$sec%.2f}""")
+      } finally q.stop()
+    }
+    sessionProbe(50000, 1000)
+    sessionProbe(200000, 1000)
+
+    // Funnel-face state probe: the buffer prunes to at most one
+    // PENDING timestamp per reached step (greedy fold) plus the
+    // above-watermark tail; a stream that repeats step-1 events
+    // forever (never advancing the funnel) must not grow state with
+    // history — the claim that makes the face safe under bot traffic.
+    def funnelProbe(nEvents: Int, entities: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[MonRow]
+      val typed = input.toDF()
+        .withColumn("step", org.apache.spark.sql.functions
+          .concat(org.apache.spark.sql.functions.lit("s"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("event_id"),
+              org.apache.spark.sql.functions.lit(2L))))
+      val q = graft.streaming.StreamOps.funnelFeed(typed,
+          "user_id", "ts", "step", Seq("s0", "s1", "s9"),
+          windowMicros = 365L * 24 * 3600 * 1000000L)
+        .writeStream.outputMode("append").format("noop").start()
+      val rows = (0 until nEvents).map { i =>
+        val u = if (i % 2 == 0) 0L else 1L + (i % entities)
+        // event_id parity drives the step label: half s0, half s1 —
+        // funnels stall at step 2 of 3, nothing ever completes;
+        // 100 ms spacing lets the watermark pass almost all events,
+        // so the probe measures the PRUNED steady state (ripened
+        // events fold into the one-timestamp-per-step buf and leave
+        // the buffer), not the above-watermark pending backlog
+        MonRow(u, new java.sql.Timestamp(1700000000000L + i * 100L),
+          i.toLong, 0.0)
+      }
+      val t0 = System.nanoTime()
+      try {
+        // CONSTANT batch size: the state to measure is the per-entity
+        // fold array; the above-watermark tail is per-BATCH transit,
+        // so it must not scale with nEvents or it masks the claim
+        rows.grouped(12500).foreach { c =>
+          input.addData(c); q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val st = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+        println(f"""{"variant":"funnel_feed_state",""" +
+          f""""events":$nEvents%d,"entities":$entities%d,""" +
+          f""""stateRows":${st.map(_.numRowsTotal).sum}%d,""" +
+          f""""stateBytes":${st.map(_.memoryUsedBytes).sum}%d,""" +
+          f""""sec":$sec%.2f}""")
+      } finally q.stop()
+    }
+    funnelProbe(50000, 1000)
+    funnelProbe(200000, 1000)
     spark.stop()
   }
 

@@ -732,12 +732,15 @@ object StreamOps {
       }
   }
 
-  /** Per-entity funnel state: buffered (micros, step-type) events
-    * plus the earliest step-1 time seen so far. `done = true` marks
-    * the post-finalize TOMBSTONE — the entity's hit already emitted,
+  /** Per-entity funnel state: the INCREMENTAL greedy-fold array
+    * (`folded(i)` = micros of the earliest qualifying step-`i` event
+    * among the already-ripened prefix, `Long.MinValue` = unreached)
+    * plus the still-above-watermark (micros, step-type) tail and the
+    * earliest step-1 time seen so far. `done = true` marks the
+    * post-finalize TOMBSTONE — the entity's hit already emitted,
     * later sessions are suppressed until the tombstone expires. */
   case class FunnelBuf(evs: Seq[(Long, String)], t1: Long,
-    done: Boolean = false)
+    folded: Seq[Long] = Seq.empty, done: Boolean = false)
   /** A finalized per-entity funnel outcome. */
   case class FunnelHit(entity: String, steps_reached: Int,
     t1_micros: Long)
@@ -768,13 +771,19 @@ object StreamOps {
     * a batch window longer than that requires downstream
     * min-by-`t1_micros` dedup, which the feed's schema supports.
     *
-    * State per entity is the PRUNED buffer: only step-type events,
-    * only those at most `windowMicros` after the earliest step-1 seen
-    * (events beyond the window can never qualify for ANY candidate
-    * t1, which only decreases); entities with no step-1 yet keep only
-    * events the watermark still allows a future step-1 to precede.
-    * Bounded by window-length × per-entity step-event rate — the
-    * batch operator's own per-entity array bound.
+    * State per entity is O(steps + in-flight): events the watermark
+    * has passed fold INCREMENTALLY into the fixed per-step array (the
+    * greedy fold is prefix-incremental — each step consults only
+    * earlier state — and Spark drops below-watermark inputs before
+    * the function, so a ripened prefix is final: every later arrival
+    * sorts after it), and only the still-above-watermark tail is
+    * buffered raw. A bot replaying step events for a year against an
+    * open window costs `steps` longs, not a year of buffer —
+    * StreamBench's `funnel_feed_state` probe pins the flat bytes.
+    * (Events beyond the window drop on fold: they can never qualify
+    * for ANY candidate t1, which only decreases; entities with no
+    * step-1 yet keep only events the watermark still allows a future
+    * step-1 to precede.)
     *
     * @return `(entity, steps_reached, t1_micros)`, one row per
     *         entity that reached step 1, emitted exactly once
@@ -792,17 +801,22 @@ object StreamOps {
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val n = steps.size
-    // the batch fold's order: ascending (time, type-string)
-    def fold(evs: Seq[(Long, String)]): Int = {
-      val s = Array.fill[Long](n)(Long.MinValue)
+    // the batch fold's order: ascending (time, type-string). The fold
+    // is PREFIX-INCREMENTAL (each event consults only the array state
+    // built from earlier events), so ripened events apply once and
+    // their raw rows drop from state — see the state note above.
+    def foldInto(s: Array[Long], evs: Seq[(Long, String)]): Unit =
       evs.sorted.foreach { case (t, ty) =>
         val i = stepIdx(ty)
         if (i == 0) { if (s(0) == Long.MinValue) s(0) = t }
         else if (s(i) == Long.MinValue && s(i - 1) != Long.MinValue &&
           t > s(i - 1) && t <= s(0) + windowMicros) s(i) = t
       }
+    def reached(s: Array[Long]): Int =
       s.lastIndexWhere(_ != Long.MinValue) + 1
-    }
+    def restore(b: FunnelBuf): Array[Long] =
+      if (b.folded.size == n) b.folded.toArray
+      else Array.fill[Long](n)(Long.MinValue)
     // the watermarked TIMESTAMP column must survive to the stateful
     // operator (the analyzer requires a visible event-time column for
     // event-time timeout), so `ts` rides alongside its micros twin
@@ -837,8 +851,10 @@ object StreamOps {
               state.remove()
               Iterator.empty
             } else {
+              val s = restore(st)
+              foldInto(s, st.evs.filter(_._1 <= st.t1 + windowMicros))
               finalizeToTombstone(st.t1)
-              Iterator.single(FunnelHit(key, fold(st.evs), st.t1))
+              Iterator.single(FunnelHit(key, reached(s), st.t1))
             }
           } else {
             val wmMicros = state.getCurrentWatermarkMs() * 1000L
@@ -883,13 +899,19 @@ object StreamOps {
               // pass strictly advances t1 past the previous expiry.
               val hits = scala.collection.mutable.ListBuffer
                 .empty[FunnelHit]
+              var s = restore(prev)
               var pending = prev.evs ++ incoming
               var looping = true
               while (looping) {
-                val t1 = pending.iterator
-                  .collect { case (t, ty) if ty == steps.head => t }
-                  .foldLeft(Long.MinValue)((a, b) =>
-                    if (a == Long.MinValue) b else math.min(a, b))
+                // t1 is FINAL once folded (any later step-1 arrives
+                // at >= the watermark > the folded one); provisional
+                // while only above-watermark step-1s exist
+                val t1 =
+                  if (s(0) != Long.MinValue) s(0)
+                  else pending.iterator
+                    .collect { case (t, ty) if ty == steps.head => t }
+                    .foldLeft(Long.MinValue)((a, b) =>
+                      if (a == Long.MinValue) b else math.min(a, b))
                 if (t1 == Long.MinValue) {
                   // no step 1 yet: a future step-1 arrives at >= the
                   // watermark, so older events can never follow it
@@ -908,9 +930,10 @@ object StreamOps {
                   val winEnd = t1 + windowMicros
                   val closeMs = winEnd / 1000L + 1L
                   if (closeMs <= wmMicros / 1000L) {
-                    // the window already closed within this batch
-                    hits += FunnelHit(key,
-                      fold(pending.filter(_._1 <= winEnd)), t1)
+                    // the window already closed within this batch:
+                    // everything in-window is ripe — fold and emit
+                    foldInto(s, pending.filter(_._1 <= winEnd))
+                    hits += FunnelHit(key, reached(s), t1)
                     val fresh =
                       pending.filter(_._1 > winEnd + tombstoneMicros)
                     if (fresh.isEmpty) {
@@ -920,12 +943,20 @@ object StreamOps {
                       // past-expiry events landed in the closing
                       // batch: the fresh funnel replaces the
                       // tombstone immediately (in-tombstone
-                      // stragglers above still drop)
+                      // stragglers above still drop) and starts
+                      // from a clean fold array
                       pending = fresh
+                      s = Array.fill[Long](n)(Long.MinValue)
                     }
                   } else {
-                    pending = pending.filter(_._1 <= winEnd)
-                    state.update(FunnelBuf(pending, t1))
+                    // open window: ripened in-window events fold into
+                    // the array and leave the buffer — only the
+                    // above-watermark tail stays raw in state
+                    foldInto(s, pending.filter(e =>
+                      e._1 < wmMicros && e._1 <= winEnd))
+                    pending = pending.filter(e =>
+                      e._1 >= wmMicros && e._1 <= winEnd)
+                    state.update(FunnelBuf(pending, t1, s.toSeq))
                     state.setTimeoutTimestamp(closeMs)
                     looping = false
                   }
