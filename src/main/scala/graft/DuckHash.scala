@@ -645,9 +645,11 @@ private[graft] object DuckHash {
 
   /** Oracle for `q_modularity` — the LPA rounds above, then Newman's
     * per-community contribution cleared of fractions:
-    * `⌊(4m·e_c − d_c²)·10⁶ / 4m²⌋` on HUGEINT (DuckDB `//` floors a
-    * negative numerator exactly like the engine's sign-split
-    * floorDiv). */
+    * `⌊(4m·e_c − d_c²)·10⁶ / 4m²⌋` on HUGEINT. DuckDB's `//`
+    * TRUNCATES toward zero on integer types (verified on 1.0.0 —
+    * same as Spark's div, NOT a floor), so the engine's sign-split
+    * floorDiv is replayed here as the explicit CASE — without it a
+    * sparse community's negative numerator would diverge by one. */
   def modularityOracle(minJaccard: Double = 0.2,
       iters: Int = 3): String =
     s"""WITH ${labelPropCtes(minJaccard, iters)},
@@ -665,9 +667,14 @@ private[graft] object DuckHash {
        |SELECT dc.c AS community, n_nodes,
        |  CAST(coalesce(e_in, 0) AS BIGINT) AS internal_edges,
        |  d_tot AS degree_sum,
-       |  CAST(((4 * m * coalesce(e_in, 0) -
-       |    CAST(d_tot AS HUGEINT) * d_tot) * 1000000)
-       |    // (4 * m * m) AS BIGINT) AS contrib_ppm
+       |  CAST(CASE WHEN (4 * m * coalesce(e_in, 0) -
+       |      CAST(d_tot AS HUGEINT) * d_tot) < 0
+       |    THEN -((-(4 * m * coalesce(e_in, 0) -
+       |        CAST(d_tot AS HUGEINT) * d_tot) * 1000000
+       |        + 4 * m * m - 1) // (4 * m * m))
+       |    ELSE ((4 * m * coalesce(e_in, 0) -
+       |      CAST(d_tot AS HUGEINT) * d_tot) * 1000000)
+       |      // (4 * m * m) END AS BIGINT) AS contrib_ppm
        |FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN m
        |ORDER BY community""".stripMargin
 

@@ -175,8 +175,11 @@ object ScaleProbe {
     "q_bridge_pairs", "q_session_quantiles", "q_survival",
     "q_ann_radius_pq", "q_readability_pct",
     // round 19, fourth wave: bridge-cut re-clustering rides the pair
-    // graph (LPA + star-forest closure on the kept edges)
-    "q_bridge_cut")
+    // graph (LPA + star-forest closure on the kept edges); the
+    // analytics wave (daily rollups + per-entity type counts + the
+    // top-k term OLS)
+    "q_bridge_cut", "q_streaks", "q_seasonal_error", "q_peak_days",
+    "q_type_entropy", "q_zipf_slope")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -2990,6 +2990,38 @@ object SparkEntry {
   private val qTtr: Q = (s, dir) =>
     operators.TextStats.typeTokenRatio(t(s, dir, "documents"))
 
+  /** Longest consecutive-active-day streaks per user
+    * ([[operators.EventOps.streaks]]): gaps-and-islands on distinct
+    * epoch days — the habit readout. */
+  private val qStreaks: Q = (s, dir) =>
+    operators.EventOps.streaks(t(s, dir, "events"), "user_id", "ts")
+
+  /** Seasonal-naive forecast error per event type
+    * ([[operators.EventOps.seasonalError]]): week-ago prediction,
+    * exact absolute-error mass + WMAPE ppm. */
+  private val qSeasonalError: Q = (s, dir) =>
+    operators.EventOps.seasonalError(t(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Local-peak days per event type ([[operators.EventOps
+    * .peakDays]]): strictly above both observed neighbors. */
+  private val qPeakDays: Q = (s, dir) =>
+    operators.EventOps.peakDays(t(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Per-user event-type Shannon entropy in exact micro-nats
+    * ([[operators.EventOps.typeEntropy]]): the behavioral-diversity
+    * fingerprint under the quantized-ln integer contract. */
+  private val qTypeEntropy: Q = (s, dir) =>
+    operators.EventOps.typeEntropy(t(s, dir, "events"),
+      "user_id", "event_type")
+
+  /** Zipf rank-frequency slope over the corpus top-500 terms
+    * ([[operators.TextStats.zipfSlope]]): integer OLS on quantized
+    * logs, true-floor final division. */
+  private val qZipfSlope: Q = (s, dir) =>
+    operators.TextStats.zipfSlope(t(s, dir, "documents"))
+
   /** Max drawdown per user over the (ts, id)-ordered value series
     * ([[operators.EventOps.maxDrawdown]]): one running-max window +
     * one rollup, exact cents. */
@@ -3510,6 +3542,11 @@ object SparkEntry {
     "q_iet_cv" -> qIetCv,
     "q_mad" -> qMad,
     "q_ttr" -> qTtr,
+    "q_streaks" -> qStreaks,
+    "q_seasonal_error" -> qSeasonalError,
+    "q_peak_days" -> qPeakDays,
+    "q_type_entropy" -> qTypeEntropy,
+    "q_zipf_slope" -> qZipfSlope,
     "q_readability_pct" -> qReadabilityPct,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
@@ -5207,6 +5244,85 @@ object SparkEntry {
         |  CAST((CAST(len(list_distinct(ts)) AS HUGEINT) * 1000000)
         |    // len(ts) AS BIGINT) AS ttr_ppm
         |FROM t WHERE len(ts) > 0 ORDER BY doc_id""".stripMargin,
+    // gaps-and-islands: day - row_number constant over a streak
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |g AS (SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS grp
+        |  FROM d),
+        |l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        |  CAST(max(len) AS BIGINT) AS max_streak
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // seasonal-naive: predict day d with day d-7; exact |err| mass
+    "q_seasonal_error" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.k, a.y AS actual, p.y AS pred
+        |  FROM daily a JOIN daily p
+        |    ON p.k = a.k AND p.d + 7 = a.d)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(actual - pred)) AS BIGINT) AS total_abs_err,
+        |  CAST((CAST(sum(abs(actual - pred)) AS HUGEINT) * 1000000)
+        |    // sum(actual) AS BIGINT) AS wmape_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // strict local maxima over rank-adjacent observed days
+    "q_peak_days" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |x AS (SELECT k, d, y,
+        |    lag(y) OVER (PARTITION BY k ORDER BY d) AS p,
+        |    lead(y) OVER (PARTITION BY k ORDER BY d) AS nx
+        |  FROM daily)
+        |SELECT k AS event_type, CAST(d AS TIMESTAMP) AS day,
+        |  y AS n_events
+        |FROM x WHERE p IS NOT NULL AND nx IS NOT NULL
+        |  AND y > p AND y > nx
+        |ORDER BY event_type, day""".stripMargin,
+    // H*1e6 = ln(n)*1e6 - (sum c*round(ln(c)*1e6)) // n, all integer
+    "q_type_entropy" ->
+      """WITH ct AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CAST(c AS HUGEINT) *
+        |      CAST(round(ln(c) * 1000000) AS BIGINT)) AS HUGEINT)
+        |      AS sclnc
+        |  FROM ct GROUP BY 1)
+        |SELECT user_id, n AS n_events, n_types,
+        |  CAST(CAST(round(ln(n) * 1000000) AS BIGINT) - sclnc // n
+        |    AS BIGINT) AS entropy_unat
+        |FROM s ORDER BY user_id""".stripMargin,
+    // integer OLS of quantized ln(freq) on ln(rank), floored slope
+    "q_zipf_slope" ->
+      """WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(regexp_extract_all(text, '\S+'))
+        |      AS term FROM documents)
+        |  GROUP BY 1),
+        |top AS (SELECT term, f FROM tf
+        |  ORDER BY f DESC, term LIMIT 500),
+        |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, term)
+        |    AS r
+        |  FROM top),
+        |q AS (SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+        |    CAST(round(ln(f) * 1000000) AS BIGINT) AS y FROM rk),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  CAST(CASE WHEN n * sxy - sx * sy < 0
+        |    THEN -((-(n * sxy - sx * sy) * 1000000
+        |      + (n * sxx - sx * sx) - 1) // (n * sxx - sx * sx))
+        |    ELSE ((n * sxy - sx * sy) * 1000000)
+        |      // (n * sxx - sx * sx) END AS BIGINT) AS slope_ppm
+        |FROM s""".stripMargin,
     // new vs returning: first-touch week vs distinct active weeks
     "q_new_returning" ->
       """WITH f AS (SELECT user_id AS k,
@@ -5372,8 +5488,12 @@ object SparkEntry {
         |        k := CAST(k AS BIGINT), sp := sp))))[1] AS best
         |  FROM p)
         |SELECT user_id, n AS n_events, best.k AS split_idx,
-        |  CAST(best.sp // best.k AS BIGINT) AS left_mean_c,
-        |  CAST((s1 - best.sp) // (n - best.k) AS BIGINT)
+        |  CAST(CASE WHEN best.sp < 0
+        |    THEN -((-best.sp + best.k - 1) // best.k)
+        |    ELSE best.sp // best.k END AS BIGINT) AS left_mean_c,
+        |  CAST(CASE WHEN s1 - best.sp < 0
+        |    THEN -((best.sp - s1 + (n - best.k) - 1) // (n - best.k))
+        |    ELSE (s1 - best.sp) // (n - best.k) END AS BIGINT)
         |    AS right_mean_c
         |FROM b ORDER BY user_id""".stripMargin,
     // readability: integer Flesch with disclosed floors

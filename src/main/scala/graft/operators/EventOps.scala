@@ -463,9 +463,11 @@ object EventOps {
     val num = (col("n") * col("sxy") - col("sx") * col("sy")) *
       lit(1000000L)
     val den = col("n") * col("sxx") - col("sx") * col("sx")
-    // sign-explicit truncation: Spark's integral divide truncates
-    // toward zero while SQL `//` floors — ⌊|num|/den⌋ with the sign
-    // reapplied is identical in both
+    // sign-explicit truncation, spelled out so the contract is
+    // visible: ⌊|num|/den⌋ with the sign reapplied ≡ truncation
+    // toward zero — which is ALSO what both engines' native integer
+    // division does (Spark div and DuckDB `//` both truncate), so
+    // the oracle's bare `//` matches bit-for-bit
     val slope = when(num < 0, -intDiv(-num, den))
       .otherwise(intDiv(num, den))
     daily.groupBy(col("k"))
@@ -626,12 +628,14 @@ object EventOps {
   }
 
   /** `⌊a / b⌋` exact FLOOR division for a possibly-negative numerator
-    * over a strictly positive denominator: Spark's integral divide
-    * truncates toward zero while SQL `//` floors, so they disagree
-    * exactly when `a < 0 ∧ b ∤ a`. The identity
-    * `⌊a/b⌋ = −⌈(−a)/b⌉ = −((−a + b − 1) div b)` restores bit-for-bit
-    * cross-engine agreement — used where the numerator is a segment
-    * sum that may legitimately go negative ([[changepoint]] means). */
+    * over a strictly positive denominator, via the identity
+    * `⌊a/b⌋ = −⌈(−a)/b⌉ = −((−a + b − 1) div b)`. BOTH engines'
+    * native integer division truncates toward zero (Spark's div AND
+    * DuckDB's `//` — verified on DuckDB 1.0.0), so operators that
+    * document floor semantics use this on the Spark side and the
+    * oracle replays the SAME sign-split as an explicit CASE; a bare
+    * `//` in the oracle would silently diverge on negative
+    * numerators ([[changepoint]] means, modularity contributions). */
   private def floorDiv(a: Column, b: Column): Column =
     when(a < 0, -intDiv(-a + b - lit(1), b)).otherwise(intDiv(a, b))
 
@@ -1526,7 +1530,8 @@ object EventOps {
     * @return `(key, n_events, split_idx, left_mean_c, right_mean_c)`
     *         — means are the exact FLOORED segment means in cents
     *         (true floor even for negative segment sums, via the
-    *         sign-split [[floorDiv]] — SQL `//` semantics)
+    *         sign-split [[floorDiv]]; the oracle replays the same
+    *         CASE — a bare `//` truncates, it does not floor)
     */
   def changepoint(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, valueScale: Long = 100L,
@@ -1722,5 +1727,126 @@ object EventOps {
         intDiv(col("churned") * lit(1000000L), col("at_risk"))
           .as("hazard_ppm"))
       .orderBy(col("age_weeks"))
+  }
+
+  /** Longest consecutive-active-day streak per entity — the habit
+    * readout beside [[newVsReturning]]'s growth mix: distinct active
+    * epoch days, then the classic gaps-and-islands grouping
+    * (`day − row_number` is constant exactly over a consecutive run).
+    * All integer; the per-entity window ranges over DISTINCT DAYS
+    * (calendar-bounded, never event history), keyed on the entity —
+    * the scale-safe shape.
+    *
+    * @return `(entity, active_days, max_streak)` ordered by entity
+    */
+  def streaks(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    events
+      .select(col(keyCol).as("k"),
+        datediff(to_date(col(tsCol)),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .distinct()
+      .withColumn("__g", col("d") - row_number().over(w))
+      .groupBy(col("k"), col("__g"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("k"))
+      .agg(sum(col("len")).cast("long").as("active_days"),
+        max(col("len")).as("max_streak"))
+      .select(col("k").as(keyCol), col("active_days"),
+        col("max_streak"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Seasonal-naive forecast error per key: predict each day's count
+    * with the count `periodDays` earlier and report the exact
+    * absolute-error mass — the cheapest possible seasonality /
+    * volatility readout for curation telemetry (a spiking WMAPE says
+    * the weekly rhythm broke). Only days where BOTH sides exist
+    * compare (disclosed). Two hash aggregates + one self-join on
+    * (key, day); WMAPE as exact ppm of the compared actual mass.
+    *
+    * @return `(key, n_days, total_abs_err, wmape_ppm)` ordered
+    */
+  def seasonalError(events: DataFrame, keyCol: String, tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1: $periodDays")
+    val daily = events
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("k"), col("d"))
+      .agg(count(lit(1)).as("y"))
+    daily.select(col("k"), col("d"), col("y").as("actual"))
+      .join(daily.select(col("k"),
+        date_add(col("d"), periodDays).as("d"), col("y").as("pred")),
+        Seq("k", "d"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("actual") - col("pred"))).cast("long")
+          .as("total_abs_err"),
+        sum(col("actual")).cast("long").as("total_actual"))
+      .select(col("k").as(keyCol), col("n_days"),
+        col("total_abs_err"),
+        intDiv(col("total_abs_err") * lit(1000000L),
+          col("total_actual")).as("wmape_ppm"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Local-peak days per key: days whose count strictly exceeds BOTH
+    * observed neighbors (rank-adjacent over the days that exist —
+    * calendar gaps are not zero-filled, disclosed; compose with
+    * [[resampleFill]] first when they should be). First/last days
+    * never peak (no two-sided evidence). Integer exact; per-key
+    * windows over daily rollup rows only.
+    *
+    * @return `(key, day, n_events)` ordered by (key, day)
+    */
+  def peakDays(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+    events
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("k"), col("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("__p", lag(col("y"), 1).over(w))
+      .withColumn("__n", lead(col("y"), 1).over(w))
+      .filter(col("__p").isNotNull && col("__n").isNotNull &&
+        col("y") > col("__p") && col("y") > col("__n"))
+      .select(col("k").as(keyCol), col("d").cast("timestamp")
+        .as("day"), col("y").as("n_events"))
+      .orderBy(col(keyCol), col("day"))
+  }
+
+  /** Shannon entropy of each entity's event-type mix in exact
+    * MICRO-NATS — the behavioral-diversity fingerprint beside
+    * [[interEventCv]]'s timing fingerprint (a bot hammering one type
+    * scores 0; a uniform k-type mix scores ln k): with per-type
+    * counts `c_i` and total `n`,
+    * {{{ H·10⁶ = ln(n)·10⁶ − (Σ c_i·⌊ln(c_i)·10⁶⌉) // n }}}
+    * — every `ln` quantizes to micro-nats at the INTEGER count it is
+    * taken of (the tfidf/bm25 6-dp contract), after which the
+    * arithmetic is exact integer end to end; all terms non-negative,
+    * so `div` ≡ `//`. Two hash aggregates, products on
+    * DECIMAL(38,0).
+    *
+    * @return `(entity, n_events, n_types, entropy_unat)` ordered
+    */
+  def typeEntropy(events: DataFrame, keyCol: String,
+      typeCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    events
+      .groupBy(col(keyCol).as("k"), col(typeCol).as("ty"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast(dec) * lnq(col("c")).cast(dec)).cast(dec)
+          .as("sclnc"))
+      .select(col("k").as(keyCol), col("n").as("n_events"),
+        col("n_types"),
+        (lnq(col("n")) - intDiv(col("sclnc"), col("n").cast(dec))
+          .cast("long")).as("entropy_unat"))
+      .orderBy(col(keyCol))
   }
 }

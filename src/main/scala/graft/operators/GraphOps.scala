@@ -32,10 +32,11 @@ object GraphOps {
   }
 
   /** `⌊x / y⌋` true FLOOR division for a possibly-negative numerator
-    * over a positive denominator (SQL `//` semantics — Spark's
-    * integral divide truncates toward zero; see EventOps.floorDiv):
-    * [[modularity]]'s per-community numerator goes negative on sparse
-    * communities. */
+    * over a positive denominator. BOTH engines' native integer
+    * division truncates toward zero (Spark's div and DuckDB's `//`
+    * alike), so the oracle replays this same sign-split as an
+    * explicit CASE — see EventOps.floorDiv. [[modularity]]'s
+    * per-community numerator goes negative on sparse communities. */
   private def floorDiv(x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(x < 0, -intDiv(-x + y - lit(1), y)).otherwise(intDiv(x, y))

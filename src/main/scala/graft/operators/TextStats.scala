@@ -204,4 +204,62 @@ object TextStats {
           .as("ttr_ppm"))
       .orderBy(col(idCol))
   }
+
+  /** Zipf rank-frequency slope of the corpus term distribution — the
+    * one-number corpus-health check (natural text sits near −1·10⁶
+    * ppm; a template-stamped or deduplication-damaged corpus drifts):
+    * OLS slope of `ln(freq)` on `ln(rank)` over the top-`k` terms,
+    * under the FULLY INTEGER contract — both logs quantize to
+    * micro-nats at their integer argument (the tfidf 6-dp rule), the
+    * normal-equation sums ride DECIMAL(38,0), and the final
+    * {{{ slope_ppm = (n·Σxy − Σx·Σy)·10⁶ ⌊/⌋ (n·Σx² − (Σx)²) }}}
+    * uses TRUE floor division (the numerator is legitimately
+    * negative; both engines' native integer division truncates
+    * toward zero, so the sign-split floor identity is applied HERE
+    * and replayed verbatim in the oracle's CASE).
+    *
+    * Scale shape: one term-count shuffle, then a top-`k`
+    * TakeOrderedAndProject with the deterministic `(freq desc, term)`
+    * tiebreak; ranks are a row_number over the `k` surviving rows
+    * only (bounded, disclosed — never the full term table).
+    *
+    * @return one row `(n_terms, slope_ppm)`
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 500,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    def floorDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(a < 0, -intDiv(-a + b - lit(1), b)).otherwise(intDiv(a, b))
+    def lnq(c: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      round(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("term"))
+    docs
+      .select(explode(regexp_extract_all(col(textCol), lit("\\S+"),
+        lit(0))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term")).limit(k)
+      .withColumn("r", row_number().over(w))
+      .select(lnq(col("r")).cast(dec).as("x"),
+        lnq(col("f")).cast(dec).as("y"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("x") * col("y")).cast(dec).as("sxy"),
+        sum(col("x") * col("x")).cast(dec).as("sxx"))
+      .select(col("n").cast("long").as("n_terms"),
+        floorDiv((col("n") * col("sxy") - col("sx") * col("sy")) *
+          lit(1000000L).cast(dec),
+          col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("slope_ppm"))
+  }
 }

@@ -1513,28 +1513,37 @@ object StreamOps {
             rows.map(r => (r._3, r._4, q4(r._5), r._5)))
             .sortBy(e => (e._1, e._2))
           val (ripe, pending) = all.partition(_._1 < wmMicros)
-          var buf = st.buf
+          // ring + RUNNING sums: the window's Σx and Σx² are exact
+          // longs maintained by add/evict (identical to a per-event
+          // recompute, so emitted rows are unchanged) — O(1) per
+          // event instead of O(window), the cost that matters when a
+          // deployment raises `window` well past the default
+          val ring = scala.collection.mutable.ArrayDeque.from(st.buf)
+          var s1 = 0L
+          var s2 = 0L
+          ring.foreach { b => s1 += b; s2 += b * b }
           var lastT = st.lastT
           val hits = Vector.newBuilder[AnomalyHit]
           ripe.foreach { case (t, i, x, v) =>
             lastT = t
-            if (buf.size == window) {
-              val s1 = buf.sum
-              val s2 = buf.iterator.map(b => b * b).sum
-              if (s2 * window - s1 * s1 > 0) {
-                val nD = window.toDouble
-                val z = (x.toDouble - s1.toDouble / nD) /
-                  math.sqrt((s2.toDouble - s1.toDouble * s1 / nD) /
-                    (nD - 1.0))
-                val zr = java.math.BigDecimal.valueOf(z)
-                  .setScale(6, java.math.RoundingMode.HALF_UP)
-                  .doubleValue()
-                hits += AnomalyHit(key, i, t, v, zr,
-                  math.abs(zr) > threshold)
-              }
+            if (ring.size == window && s2 * window - s1 * s1 > 0) {
+              val nD = window.toDouble
+              val z = (x.toDouble - s1.toDouble / nD) /
+                math.sqrt((s2.toDouble - s1.toDouble * s1 / nD) /
+                  (nD - 1.0))
+              val zr = java.math.BigDecimal.valueOf(z)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+              hits += AnomalyHit(key, i, t, v, zr,
+                math.abs(zr) > threshold)
             }
-            buf = (buf :+ x).takeRight(window)
+            ring.append(x); s1 += x; s2 += x * x
+            if (ring.size > window) {
+              val e = ring.removeHead()
+              s1 -= e; s2 -= e * e
+            }
           }
+          val buf = ring.toSeq
           val activityT = math.max(lastT,
             pending.iterator.map(_._1).foldLeft(Long.MinValue)(
               math.max))

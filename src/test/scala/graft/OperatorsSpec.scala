@@ -2013,6 +2013,101 @@ class OperatorsSpec extends SparkTestBase {
       got.toString)
   }
 
+  test("streaks: gaps-and-islands — runs split on missing days, " +
+      "active total and max streak exact") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 09:00:00")
+    // user 1 active days 1,2,3,5,6 (two events on day 2 dedupe);
+    // user 2 active day 4 only
+    val ev = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(2)), (1L, ts(3)),
+      (1L, ts(5)), (1L, ts(6)), (2L, ts(4))).toDF("user_id", "ts")
+    val got = graft.operators.EventOps.streaks(ev, "user_id", "ts")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 3L), (2L, 1L, 1L)), got.toString)
+  }
+
+  test("seasonalError: week-ago naive error over only the days " +
+      "where both sides exist; exact WMAPE ppm") {
+    import spark.implicits._
+    def ts(d: Int, n: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 0$n:10:00")
+    // day 1: 2 events, day 2: 5; day 8: 3 (err 1), day 9: 5 (err 0)
+    val ev = (Seq.tabulate(2)(i => ("a", ts(1, i))) ++
+      Seq.tabulate(5)(i => ("a", ts(2, i))) ++
+      Seq.tabulate(3)(i => ("a", ts(8, i))) ++
+      Seq.tabulate(5)(i => ("a", ts(9, i))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.EventOps.seasonalError(ev,
+      "event_type", "ts")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // n_days=2, total_abs_err=1, total_actual=8 -> 1e6 // 8 = 125000
+    assert(got === Seq(("a", 2L, 1L, 125000L)), got.toString)
+  }
+
+  test("peakDays: strict local maxima only; edges and plateaus " +
+      "never peak") {
+    import spark.implicits._
+    def ts(d: Int, n: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 0$n:10:00")
+    // counts by day: 1,3,2,2,4 -> only day 2 (3 > 1 and 3 > 2) and
+    // NOT day 4 (2 == 2 plateau), day 5 is an edge
+    val ev = (Seq.tabulate(1)(i => ("a", ts(1, i))) ++
+      Seq.tabulate(3)(i => ("a", ts(2, i))) ++
+      Seq.tabulate(2)(i => ("a", ts(3, i))) ++
+      Seq.tabulate(2)(i => ("a", ts(4, i))) ++
+      Seq.tabulate(4)(i => ("a", ts(5, i))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.EventOps.peakDays(ev,
+      "event_type", "ts")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2.toString.take(10), r._3)) ===
+      Seq(("a", "2024-01-02", 3L)), got.toString)
+  }
+
+  test("typeEntropy: single-type entities score 0; a uniform " +
+      "two-type mix scores ln 2 in micro-nats") {
+    import spark.implicits._
+    def ts(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 0$n:00:00")
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"),
+      (2L, "a")).zipWithIndex
+      .map { case ((u, t), i) => (u, t, ts(i)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.operators.EventOps.typeEntropy(ev,
+      "user_id", "event_type")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // user 1: ln(2)*1e6 = 693147 - (1*0 + 1*0)//2; user 2: exact 0
+    assert(got === Seq((1L, 2L, 2L, 693147L), (2L, 3L, 1L, 0L)),
+      got.toString)
+  }
+
+  test("zipfSlope: exact integer OLS with the floored final " +
+      "division, replayed by hand") {
+    import spark.implicits._
+    // four terms with freqs 100, 50, 33, 25 (near-perfect Zipf)
+    val text = (Seq.fill(100)("aa") ++ Seq.fill(50)("bb") ++
+      Seq.fill(33)("cc") ++ Seq.fill(25)("dd")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.zipfSlope(docs)
+      .as[(Long, Long)].head()
+    // hand replay of the contract (same quantized logs + floor)
+    val fs = Seq(100L, 50L, 33L, 25L)
+    val xy = fs.zipWithIndex.map { case (f, i) =>
+      (math.round(math.log(i + 1.0) * 1e6),
+        math.round(math.log(f.toDouble) * 1e6)) }
+    val n = BigInt(4)
+    val sx = xy.map(e => BigInt(e._1)).sum
+    val sy = xy.map(e => BigInt(e._2)).sum
+    val sxy = xy.map(e => BigInt(e._1) * e._2).sum
+    val sxx = xy.map(e => BigInt(e._1) * e._1).sum
+    val num = (n * sxy - sx * sy) * 1000000
+    val den = n * sxx - sx * sx
+    val exp = (if (num < 0) -((-num + den - 1) / den)
+      else num / den).toLong
+    assert(got === ((4L, exp)) && exp < -900000L && exp > -1100000L,
+      s"$got vs $exp")
+  }
+
   test("autocorrelation: rising counts give r=1, alternating give " +
       "r=-1 (bit-exact single-tree Pearson)") {
     import spark.implicits._
