@@ -585,6 +585,35 @@ private[graft] object DuckHash {
        |  CAST(sj // n_pairs AS BIGINT) AS mean_jac_e4
        |FROM sz JOIN q USING (cluster) ORDER BY cluster""".stripMargin
 
+  /** Oracle for `q_dup_inflation` — the min-label closure's clusters
+    * joined to whitespace-token counts; the representative is the
+    * component-minimum doc (`vid = cluster`). */
+  def dupInflationOracle(minJaccard: Double = 0.2): String =
+    s"""WITH RECURSIVE $minhashJaccardCtes,
+       |px AS MATERIALIZED (SELECT id_a, id_b FROM jac
+       |  WHERE j >= $minJaccard),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst
+       |  FROM px UNION SELECT id_b, id_a FROM px),
+       |verts AS (SELECT DISTINCT src AS vid FROM edges),
+       |reach(vid, anc) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT e.dst, r.anc FROM reach r JOIN edges e
+       |    ON e.src = r.vid
+       |  WHERE r.anc < e.dst
+       |),
+       |cl AS (SELECT vid, min(anc) AS cluster FROM reach GROUP BY 1),
+       |tc AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |      AS ntok
+       |  FROM documents)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS size,
+       |  CAST(sum(ntok) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN vid = cluster THEN ntok ELSE 0 END)
+       |    AS BIGINT) AS tokens_kept
+       |FROM cl JOIN tc ON tc.doc_id = cl.vid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Oracle for `q_kcore` — the unrolled peel over the same replayed
     * pair graph: `rounds` chained CTE stages, each dropping nodes of
     * degree < k and their edges, then the survivors' degrees. */

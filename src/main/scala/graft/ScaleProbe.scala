@@ -179,7 +179,11 @@ object ScaleProbe {
     // analytics wave (daily rollups + per-entity type counts + the
     // top-k term OLS)
     "q_bridge_cut", "q_streaks", "q_seasonal_error", "q_peak_days",
-    "q_type_entropy", "q_zipf_slope")
+    "q_type_entropy", "q_zipf_slope",
+    // round 19, fifth wave: Heaps curve (term explode + two
+    // rollups), cluster token inflation (rides the CC closure),
+    // quality-decile × decon composition
+    "q_vocab_growth", "q_dup_inflation", "q_quality_vs_decon")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

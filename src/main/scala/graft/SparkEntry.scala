@@ -3022,6 +3022,56 @@ object SparkEntry {
   private val qZipfSlope: Q = (s, dir) =>
     operators.TextStats.zipfSlope(t(s, dir, "documents"))
 
+  /** Vocabulary growth across id-deciles of the corpus
+    * ([[operators.TextStats.vocabGrowth]]): the Heaps-law
+    * sub-linearity readout, all integer. */
+  private val qVocabGrowth: Q = (s, dir) =>
+    operators.TextStats.vocabGrowth(t(s, dir, "documents"))
+
+  /** Duplicate token inflation per near-dup cluster
+    * ([[operators.Dedup.dupInflation]]): what the dedup pass is
+    * worth in training tokens — cluster token mass vs its
+    * representative's. */
+  private val qDupInflation: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    operators.Dedup.dupInflation(docs,
+      Dedup.minHashLsh(docs, minJaccard = 0.2))
+  }
+
+  /** Quality-decile × contamination audit: Flesch deciles (NTILE
+    * arithmetic on the scale-safe two-phase row_number — the exact
+    * larger-buckets-first rule) joined against the benchmark-decon
+    * flags — does the quality filter correlate with benchmark
+    * leakage? Docs scored by BOTH ops compare (disclosed: needs ≥1
+    * word AND ≥1 3-gram). */
+  private val qQualityVsDecon: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val dec = CorpusOps.decontaminate(corpus,
+      docs.filter(col("doc_id") % 97 === 0), n = 3)
+      .select(col("doc_id"), col("contaminated").cast("int").as("c"))
+    val scores = operators.TextStats.readability(corpus)
+      .select(col("doc_id"), col("fre_milli"))
+    val rn = operators.Salting.twoPhaseRanks(
+      scores.join(dec, Seq("doc_id")), Seq.empty,
+      Seq(col("fre_milli"), col("doc_id")), rowNumCol = Some("rn"))
+    val tot = rn.agg(count(lit(1)).as("nn"))
+    rn.crossJoin(broadcast(tot))
+      .withColumn("decile", expr(
+        "CASE WHEN rn <= (nn % 10) * (nn div 10 + 1) " +
+          "THEN (rn + (nn div 10 + 1) - 1) div (nn div 10 + 1) " +
+          "ELSE (nn % 10) + (rn - (nn % 10) * (nn div 10 + 1) + " +
+          "(nn div 10) - 1) div (nn div 10) END"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c")).cast("long").as("n_contaminated"))
+      .select(col("decile").cast("long").as("decile"), col("n_docs"),
+        col("n_contaminated"),
+        expr("n_contaminated * 1000000 div n_docs")
+          .as("contamination_ppm"))
+      .orderBy(col("decile"))
+  }
+
   /** Max drawdown per user over the (ts, id)-ordered value series
     * ([[operators.EventOps.maxDrawdown]]): one running-max window +
     * one rollup, exact cents. */
@@ -3547,6 +3597,9 @@ object SparkEntry {
     "q_peak_days" -> qPeakDays,
     "q_type_entropy" -> qTypeEntropy,
     "q_zipf_slope" -> qZipfSlope,
+    "q_vocab_growth" -> qVocabGrowth,
+    "q_dup_inflation" -> qDupInflation,
+    "q_quality_vs_decon" -> qQualityVsDecon,
     "q_readability_pct" -> qReadabilityPct,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
@@ -5323,6 +5376,78 @@ object SparkEntry {
         |    ELSE ((n * sxy - sx * sy) * 1000000)
         |      // (n * sxx - sx * sx) END AS BIGINT) AS slope_ppm
         |FROM s""".stripMargin,
+    // Heaps law: terms charge their FIRST id-decile; two rollups
+    "q_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |tk AS (SELECT least(9, (doc_id * 10) // (mx + 1)) AS decile,
+        |    unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents CROSS JOIN mx),
+        |bt AS (SELECT decile, CAST(count(*) AS BIGINT)
+        |    AS bucket_tokens FROM tk GROUP BY 1),
+        |fs AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_terms
+        |  FROM (SELECT term, min(decile) AS decile FROM tk
+        |    GROUP BY 1) GROUP BY 1),
+        |u AS (SELECT coalesce(bt.decile, fs.decile) AS decile,
+        |    coalesce(bucket_tokens, 0) AS bucket_tokens,
+        |    coalesce(new_terms, 0) AS new_terms
+        |  FROM bt FULL OUTER JOIN fs ON bt.decile = fs.decile)
+        |SELECT CAST(decile AS BIGINT) AS decile, bucket_tokens,
+        |  new_terms,
+        |  CAST(sum(bucket_tokens) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens,
+        |  CAST(sum(new_terms) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_vocab
+        |FROM u ORDER BY decile""".stripMargin,
+    // quality deciles (real NTILE) x benchmark contamination flags
+    "q_quality_vs_decon" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ts[i:i+2], ' ')
+        |     FOR i IN generate_series(1, greatest(len(ts)-2, 0))]))
+        |    AS gram
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT gram FROM grams
+        |  WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, gram FROM grams
+        |  WHERE doc_id % 97 <> 0),
+        |dc AS (SELECT c.doc_id,
+        |    CAST((sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |      >= 1) AS INTEGER) AS c
+        |  FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+        |  GROUP BY c.doc_id),
+        |d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t <> '') AS ws,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS sents
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(sents AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(ws, w -> greatest(1,
+        |      len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM d WHERE len(ws) >= 1),
+        |r AS (SELECT doc_id,
+        |    CAST(206835 - (1015 * n_words) // n_sentences
+        |      - (84600 * n_syllables) // n_words AS BIGINT)
+        |      AS fre_milli
+        |  FROM m),
+        |j AS (SELECT r.doc_id, r.fre_milli, dc.c
+        |  FROM r JOIN dc USING (doc_id)),
+        |nt AS (SELECT c,
+        |    ntile(10) OVER (ORDER BY fre_milli, doc_id) AS decile
+        |  FROM j)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_contaminated,
+        |  CAST((CAST(sum(c) AS HUGEINT) * 1000000) // count(*)
+        |    AS BIGINT) AS contamination_ppm
+        |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
     // new vs returning: first-touch week vs distinct active weeks
     "q_new_returning" ->
       """WITH f AS (SELECT user_id AS k,
@@ -5337,6 +5462,7 @@ object SparkEntry {
         |FROM a JOIN f USING (k) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_minhash_est" -> DuckHash.minhashEstimateOracle(0.2),
     "q_cluster_quality" -> DuckHash.clusterQualityOracle(0.2),
+    "q_dup_inflation" -> DuckHash.dupInflationOracle(0.2),
     "q_kcore" -> DuckHash.kCoreOracle(0.2),
     "q_tok_fertility" -> DuckHash.bpeFertilityOracle(BpeMerges),
     // radius ANN: the q_ann_lsh probe machinery with a threshold

@@ -510,6 +510,33 @@ object Dedup {
         coalesce(col("__cc_root"), col("doc_id")).as("cluster"))
   }
 
+  /** Duplicate TOKEN inflation per cluster — what a dedup pass is
+    * actually worth in training-token terms: each near-dup cluster's
+    * total whitespace-token mass vs the mass of its representative
+    * (the component-minimum doc, which [[keepRepresentatives]]
+    * keeps). `tokens_total − tokens_kept` summed over clusters is
+    * exactly the token budget the dedup recovers. Rides the
+    * [[clusters]] closure + one map-side token count + one hash
+    * rollup.
+    *
+    * @return `(cluster, size, tokens_total, tokens_kept)` ordered
+    */
+  def dupInflation(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val cl = clusters(pairs)
+    val tokc = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+        .cast("long").as("__di_ntok"))
+    cl.join(tokc, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"),
+        sum(col("__di_ntok")).cast("long").as("tokens_total"),
+        sum(when(col("doc_id") === col("cluster"), col("__di_ntok"))
+          .otherwise(0L)).cast("long").as("tokens_kept"))
+      .orderBy(col("cluster"))
+  }
+
   /** Keep one representative (lowest id) per duplicate cluster; docs in
     * no cluster pass through. Returns the deduplicated corpus. */
   def keepRepresentatives(docs: DataFrame, pairs: DataFrame,

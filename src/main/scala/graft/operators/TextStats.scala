@@ -205,6 +205,56 @@ object TextStats {
       .orderBy(col(idCol))
   }
 
+  /** Vocabulary growth across corpus prefixes (the Heaps-law
+    * readout): docs bucket into `buckets` deciles by id position
+    * (`min(b−1, id·b div (max_id+1))` — no sort, one broadcast
+    * max), every term charges its FIRST decile, and the cumulative
+    * new-term curve against cumulative tokens is the sub-linearity
+    * check (vocab ∝ tokens^β, β < 1, for natural text; a
+    * deduplicated-to-death or template corpus bends the curve).
+    * All integer: one term explode + two hash rollups; the
+    * cumulative windows run over `buckets` ROLLUP ROWS only.
+    *
+    * @return `(decile, bucket_tokens, new_terms, cum_tokens,
+    *         cum_vocab)` ordered by decile
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(ColumnBridge.expression(a),
+          ColumnBridge.expression(b)))
+    val mx = docs.agg(max(col(idCol)).as("__vg_mx"))
+    val toks = docs.crossJoin(broadcast(mx))
+      .select(least(lit(buckets - 1),
+        intDiv(col(idCol) * buckets, col("__vg_mx") + 1))
+        .cast("long").as("decile"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"),
+          lit(0))).as("term"))
+    val bucketTok = toks.groupBy(col("decile"))
+      .agg(count(lit(1)).as("bucket_tokens"))
+    val firstSeen = toks.groupBy(col("term"))
+      .agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    bucketTok.join(firstSeen, Seq("decile"), "full_outer")
+      .na.fill(0L, Seq("bucket_tokens", "new_terms"))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .select(col("decile"), col("bucket_tokens"), col("new_terms"),
+        col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("decile"))
+  }
+
   /** Zipf rank-frequency slope of the corpus term distribution — the
     * one-number corpus-health check (natural text sits near −1·10⁶
     * ppm; a template-stamped or deduplication-damaged corpus drifts):

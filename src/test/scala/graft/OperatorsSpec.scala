@@ -2108,6 +2108,33 @@ class OperatorsSpec extends SparkTestBase {
       s"$got vs $exp")
   }
 
+  test("vocabGrowth: terms charge their first bucket; cumulative " +
+      "curves exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c c")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.vocabGrowth(docs, buckets = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // max=2: doc 1 -> bucket 0 (1*2 div 3), doc 2 -> bucket 1;
+    // terms a,b first in 0, c first in 1
+    assert(got === Seq((0L, 2L, 2L, 2L, 2L), (1L, 3L, 1L, 5L, 3L)),
+      got.toString)
+  }
+
+  test("dupInflation: cluster token mass vs the representative's") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x y"), (3L, "x"),
+      (5L, "p q r s"), (6L, "p q"), (9L, "lonely"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.dupInflation(docs, pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1 = {1,2,3}: 6 tokens total, rep (doc 1) keeps 3;
+    // cluster 5 = {5,6}: 6 total, rep keeps 4; doc 9 not clustered
+    assert(got === Seq((1L, 3L, 6L, 3L), (5L, 2L, 6L, 4L)),
+      got.toString)
+  }
+
   test("autocorrelation: rising counts give r=1, alternating give " +
       "r=-1 (bit-exact single-tree Pearson)") {
     import spark.implicits._
