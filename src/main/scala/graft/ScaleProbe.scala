@@ -183,7 +183,8 @@ object ScaleProbe {
     // round 19, fifth wave: Heaps curve (term explode + two
     // rollups), cluster token inflation (rides the CC closure),
     // quality-decile × decon composition
-    "q_vocab_growth", "q_dup_inflation", "q_quality_vs_decon")
+    "q_vocab_growth", "q_dup_inflation", "q_quality_vs_decon",
+    "q_bounce_rate", "q_weekend_lift")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

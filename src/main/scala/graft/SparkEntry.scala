@@ -3022,6 +3022,20 @@ object SparkEntry {
   private val qZipfSlope: Q = (s, dir) =>
     operators.TextStats.zipfSlope(t(s, dir, "documents"))
 
+  /** Bounce rate per user over the q_sessionize gap split
+    * ([[operators.EventOps.bounceRate]]): one-event-session share as
+    * exact ppm. */
+  private val qBounceRate: Q = (s, dir) =>
+    operators.EventOps.bounceRate(t(s, dir, "events"), "user_id",
+      "ts", "event_id")
+
+  /** Weekend-vs-weekday lift per event type
+    * ([[operators.EventOps.weekendLift]]): epoch-day DOW grid, exact
+    * cleared-fraction ppm. */
+  private val qWeekendLift: Q = (s, dir) =>
+    operators.EventOps.weekendLift(t(s, dir, "events"),
+      "event_type", "ts")
+
   /** Vocabulary growth across id-deciles of the corpus
     * ([[operators.TextStats.vocabGrowth]]): the Heaps-law
     * sub-linearity readout, all integer. */
@@ -3600,6 +3614,8 @@ object SparkEntry {
     "q_vocab_growth" -> qVocabGrowth,
     "q_dup_inflation" -> qDupInflation,
     "q_quality_vs_decon" -> qQualityVsDecon,
+    "q_bounce_rate" -> qBounceRate,
+    "q_weekend_lift" -> qWeekendLift,
     "q_readability_pct" -> qReadabilityPct,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
@@ -5448,6 +5464,57 @@ object SparkEntry {
         |  CAST((CAST(sum(c) AS HUGEINT) * 1000000) // count(*)
         |    AS BIGINT) AS contamination_ppm
         |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bounce = share of gap-split sessions with exactly one event
+    "q_bounce_rate" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id)
+        |        > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |per AS (SELECT user_id, sess_id,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bounces,
+        |  CAST((CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+        |    AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+        |    AS bounce_ppm
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // weekend/weekday mean-rate lift, fractions cleared
+    "q_weekend_lift" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |cls AS (SELECT k, y, ((d + 4) % 7) IN (0, 6) AS we
+        |  FROM daily),
+        |s AS (SELECT k,
+        |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS weekday_days,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS weekend_days,
+        |    CAST(sum(CASE WHEN NOT we THEN y ELSE 0 END) AS BIGINT)
+        |      AS weekday_events,
+        |    CAST(sum(CASE WHEN we THEN y ELSE 0 END) AS BIGINT)
+        |      AS weekend_events
+        |  FROM cls GROUP BY 1)
+        |SELECT k AS event_type, weekday_days, weekend_days,
+        |  weekday_events, weekend_events,
+        |  CAST((CAST(weekend_events AS HUGEINT) * weekday_days
+        |    * 1000000) // (CAST(weekday_events AS HUGEINT)
+        |    * weekend_days) AS BIGINT) AS lift_ppm
+        |FROM s WHERE weekday_days > 0 AND weekend_days > 0
+        |  AND weekday_events > 0
+        |ORDER BY event_type""".stripMargin,
     // new vs returning: first-touch week vs distinct active weeks
     "q_new_returning" ->
       """WITH f AS (SELECT user_id AS k,

@@ -714,3 +714,58 @@ case class PqAdcCosine(left: Expression, right: Expression,
       newRight: Expression) = copy(left = newLeft, right = newRight)
   override def prettyName: String = "pq_adc_cosine"
 }
+
+/** Static helpers for the integer-series expressions below (object
+  * methods get static forwarders, so generated code calls them
+  * directly). */
+object IntegerSeries {
+  /** One O(n) pass of the exact fixed-point EWMA recurrence
+    * {{{ s₁ = v₁·10⁶;  sₙ = (vₙ·10⁶·num + sₙ₋₁·(den−num)) / den }}}
+    * over quantized-long values — bit-identical to the HOF
+    * `aggregate` fold it replaces (same truncating long division as
+    * `IntegralDivide`, overflow-CHECKED like ANSI mode), but without
+    * the per-step accumulator copy that made the fold quadratic in
+    * the per-key cap. */
+  def ewmaSeries(vcs: ArrayData, alphaNum: Long,
+      alphaDen: Long): ArrayData = {
+    val n = vcs.numElements()
+    val out = new Array[Long](n)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val v6 = Math.multiplyExact(vcs.getLong(i), 1000000L)
+      s = if (i == 0) v6
+        else Math.addExact(Math.multiplyExact(v6, alphaNum),
+          Math.multiplyExact(s, alphaDen - alphaNum)) / alphaDen
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** The exact integer EWMA series as a native expression — the O(n)
+  * replacement for the HOF fold in
+  * [[graft.operators.EventOps.ewma]] (the fold's `array_append`
+  * copies its accumulator per step: O(cap²) on a maxed key, ~50 s a
+  * task at the 2¹⁶ default; this pass is O(cap)). Semantics are
+  * bit-identical: same recurrence, same truncate-toward-zero long
+  * division both engines share, overflow throws like ANSI. */
+case class IntegerEwmaSeries(child: Expression, alphaNum: Long,
+    alphaDen: Long) extends UnaryExpression {
+  require(alphaNum > 0 && alphaDen >= alphaNum,
+    s"alpha must be in (0, 1]: $alphaNum/$alphaDen")
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    IntegerSeries.ewmaSeries(input.asInstanceOf[ArrayData],
+      alphaNum, alphaDen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.IntegerSeries.ewmaSeries($c, ${alphaNum}L, " +
+      s"${alphaDen}L)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "integer_ewma_series"
+}

@@ -691,17 +691,18 @@ object EventOps {
       .filter(col("__ew_rn") <= maxEventsPerKey)
       .groupBy(col("k"))
       .agg(sort_array(collect_list(col("e"))).as("evs"))
+    // the series runs as ONE native O(n) pass
+    // ([[graft.functions.IntegerEwmaSeries]]) — the earlier HOF
+    // `aggregate` fold array_append-copied its accumulator per step,
+    // O(cap²) on a maxed key; semantics (recurrence, truncating
+    // division, ANSI overflow) are bit-identical and pinned by the
+    // randomized local-fold spec + the recursive-CTE oracle
     val folded = byKey.withColumn("st",
-      aggregate(col("evs"), array().cast("array<bigint>"),
-        (acc, e) => {
-          val vC6 = e.getField("vc") * lit(1000000L)
-          val next = when(size(acc) === 0, vC6)
-            .otherwise(intDiv(
-              vC6 * lit(alphaNum) +
-                element_at(acc, -1) * lit(alphaDen - alphaNum),
-              lit(alphaDen)))
-          array_append(acc, next)
-        }))
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.IntegerEwmaSeries(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            transform(col("evs"), e => e.getField("vc"))),
+          alphaNum, alphaDen)))
     folded
       .select(col("k"), posexplode(arrays_zip(col("evs"), col("st"))))
       .select(col("k").as(keyCol),
@@ -1814,6 +1815,89 @@ object EventOps {
       .select(col("k").as(keyCol), col("d").cast("timestamp")
         .as("day"), col("y").as("n_events"))
       .orderBy(col(keyCol), col("day"))
+  }
+
+  /** Bounce rate per entity: the share of gap-split sessions holding
+    * exactly ONE event — the engagement-quality readout over the same
+    * session split as `q_sessionize` (same gap, same `(t, id)` order,
+    * so the two reconcile row for row). Exact ppm; one key shuffle +
+    * two rollups.
+    *
+    * @return `(entity, n_sessions, bounces, bounce_ppm)` ordered
+    */
+  def bounceRate(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapMicros: Long = 30L * 60 * 1000000L)
+      : DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be > 0: $gapMicros")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__br_t"), col(idCol))
+    val cum = Window.partitionBy(col("k"))
+      .orderBy(col("__br_t"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol).as("k"), col(idCol),
+        unix_micros(col(tsCol)).as("__br_t"))
+      .withColumn("__br_new",
+        when(lag(col("__br_t"), 1).over(w).isNull ||
+          col("__br_t") - lag(col("__br_t"), 1).over(w) > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("__br_sess", sum(col("__br_new")).over(cum))
+      .groupBy(col("k"), col("__br_sess"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("bounces"))
+      .select(col("k").as(keyCol), col("n_sessions"), col("bounces"),
+        intDiv(col("bounces") * lit(1000000L), col("n_sessions"))
+          .as("bounce_ppm"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Weekend-vs-weekday lift per key, exact ppm: mean events per
+    * OBSERVED weekend day over mean events per observed weekday
+    * (`(we_sum·wd_days·10⁶) // (wd_sum·we_days)` — fractions
+    * cleared, DECIMAL(38,0) products). Day-of-week comes from the
+    * explicit epoch-day grid (`(days + 4) mod 7`, 0 = Sunday — no
+    * locale/timezone week rules), weekend = {0, 6}; keys missing a
+    * class (or with zero weekday events) drop, disclosed. The
+    * one-number seasonality contrast beside the full
+    * [[hourOfWeekHeatmap]] grid.
+    *
+    * @return `(key, weekday_days, weekend_days, weekday_events,
+    *         weekend_events, lift_ppm)` ordered
+    */
+  def weekendLift(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select(col(keyCol).as("k"),
+        datediff(to_date(col(tsCol)),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .groupBy(col("k"), col("d"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("we",
+        pmod(col("d") + 4, lit(7)).isin(0L, 6L))
+    daily.groupBy(col("k"))
+      .agg(sum(when(!col("we"), 1L).otherwise(0L)).cast("long")
+          .as("weekday_days"),
+        sum(when(col("we"), 1L).otherwise(0L)).cast("long")
+          .as("weekend_days"),
+        sum(when(!col("we"), col("y")).otherwise(0L)).cast("long")
+          .as("weekday_events"),
+        sum(when(col("we"), col("y")).otherwise(0L)).cast("long")
+          .as("weekend_events"))
+      .filter(col("weekday_days") > 0 && col("weekend_days") > 0 &&
+        col("weekday_events") > 0)
+      .select(col("k").as(keyCol), col("weekday_days"),
+        col("weekend_days"), col("weekday_events"),
+        col("weekend_events"),
+        intDiv(col("weekend_events").cast(dec) *
+          col("weekday_days").cast(dec) * lit(1000000L).cast(dec),
+          col("weekday_events").cast(dec) *
+            col("weekend_days").cast(dec)).cast("long")
+          .as("lift_ppm"))
+      .orderBy(col(keyCol))
   }
 
   /** Shannon entropy of each entity's event-type mix in exact

@@ -2108,6 +2108,43 @@ class OperatorsSpec extends SparkTestBase {
       s"$got vs $exp")
   }
 
+  test("bounceRate: one-event sessions count as bounces under the " +
+      "same gap split as sessionize") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: events at 10:00, 10:10 (one session), then 12:00
+    // (bounce) -> 2 sessions, 1 bounce; user 2: single event
+    val ev = Seq((1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:10:00")),
+      (1L, 3L, ts("2024-01-01 12:00:00")),
+      (2L, 4L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.operators.EventOps.bounceRate(ev, "user_id",
+      "ts", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L, 500000L), (2L, 1L, 1L, 1000000L)),
+      got.toString)
+  }
+
+  test("weekendLift: epoch-day weekend classing, cleared-fraction " +
+      "exact lift") {
+    import spark.implicits._
+    def ts(d: Int, n: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 0$n:30:00")
+    // 2024-01-01 Mon .. 2024-01-07 Sun: weekdays 1-5, weekend 6,7
+    // type a: 2 events Mon, 4 on Sat -> wd mean 2, we mean 4 ->
+    // lift 2e6; type b: weekday only -> dropped
+    val ev = (Seq.tabulate(2)(i => ("a", ts(1, i))) ++
+      Seq.tabulate(4)(i => ("a", ts(6, i))) ++
+      Seq.tabulate(3)(i => ("b", ts(2, i))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.EventOps.weekendLift(ev,
+      "event_type", "ts")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 1L, 1L, 2L, 4L, 2000000L)),
+      got.toString)
+  }
+
   test("vocabGrowth: terms charge their first bucket; cumulative " +
       "curves exact") {
     import spark.implicits._
