@@ -742,6 +742,41 @@ object IntegerSeries {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Exact long prefix sums in one O(n) pass, overflow-checked —
+    * replaces the quadratic HOF fold in changepoint (the per-key
+    * prefix array fits longs comfortably at the 2¹⁶ cap; only the
+    * downstream SCORE products need DECIMAL(38,0)). */
+  def prefixSums(vcs: ArrayData): ArrayData = {
+    val n = vcs.numElements()
+    val out = new Array[Long](n)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s = Math.addExact(s, vcs.getLong(i))
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Exact long prefix-sum series as a native expression — the O(n)
+  * twin of [[IntegerEwmaSeries]] for
+  * [[graft.operators.EventOps.changepoint]]'s per-key fold. */
+case class PrefixSumSeries(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    IntegerSeries.prefixSums(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, c =>
+    s"graft.functions.IntegerSeries.prefixSums($c)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "prefix_sum_series"
 }
 
 /** The exact integer EWMA series as a native expression — the O(n)

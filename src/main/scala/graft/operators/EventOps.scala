@@ -1553,13 +1553,17 @@ object EventOps {
         e => e.getField("vc")).as("vs"))
       .filter(size(col("vs")) >= 2)
     val dec = "decimal(38,0)"
+    // the prefix sums run as ONE native O(n) long pass
+    // ([[graft.functions.PrefixSumSeries]]) — the earlier HOF fold
+    // array_append-copied a decimal accumulator per step, O(cap²) on
+    // a maxed key; the per-key prefix values fit longs comfortably
+    // (only the SCORE products below need DECIMAL(38,0))
     val withPre = byKey
-      .withColumn("pre", aggregate(col("vs"),
-        array().cast(s"array<$dec>"),
-        (acc, x) => array_append(acc,
-          (when(size(acc) === 0, lit(0).cast(dec))
-            .otherwise(element_at(acc, -1)) + x.cast(dec))
-            .cast(dec))))
+      .withColumn("pre",
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.PrefixSumSeries(
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression(col("vs")))))
       .withColumn("n", size(col("vs")).cast("long"))
       .withColumn("s1", element_at(col("pre"), -1))
     // score each k over the FIRST n-1 prefix sums (k = 1-based slot);
@@ -1569,19 +1573,19 @@ object EventOps {
         slice(col("pre"), lit(1), size(col("vs")) - 1),
         sequence(lit(1L), col("n") - 1L),
         (sp, k) => {
-          val ss = col("s1") - sp
+          val spD = sp.cast(dec)
+          val ss = (col("s1") - sp).cast(dec)
           val nk = (col("n") - k).cast(dec)
-          struct(-intDiv(sp * sp * nk + ss * ss * k.cast(dec),
+          struct(-intDiv(spD * spD * nk + ss * ss * k.cast(dec),
             (k.cast(dec) * nk).cast(dec)).as("negs"),
             k.as("k"), sp.as("sp"))
         })), 1))
     scored
       .select(col("k").as(keyCol), col("n").as("n_events"),
         col("best.k").as("split_idx"),
-        floorDiv(col("best.sp"), col("best.k").cast(dec))
-          .as("left_mean_c"),
+        floorDiv(col("best.sp"), col("best.k")).as("left_mean_c"),
         floorDiv(col("s1") - col("best.sp"),
-          (col("n") - col("best.k")).cast(dec)).as("right_mean_c"))
+          col("n") - col("best.k")).as("right_mean_c"))
       .orderBy(col(keyCol))
   }
 

@@ -2323,8 +2323,9 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
-  test("changepoint: negative segment sums get FLOOR means (SQL " +
-      "`//`), not truncation toward zero") {
+  test("changepoint: negative segment sums get FLOOR means (the " +
+      "documented contract; both engines' native integer division " +
+      "truncates, so the oracle replays the sign-split CASE)") {
     import spark.implicits._
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
