@@ -3036,6 +3036,20 @@ object SparkEntry {
     operators.EventOps.weekendLift(t(s, dir, "events"),
       "event_type", "ts")
 
+  /** Weekday→weekend type-mix KL drift in exact micro-nats
+    * ([[operators.EventOps.typeDrift]]): the distribution-shift
+    * detector beside q_weekend_lift's volume contrast. */
+  private val qTypeDrift: Q = (s, dir) =>
+    operators.EventOps.typeDrift(t(s, dir, "events"),
+      "event_type", "ts")
+
+  /** Session-depth histogram over the q_sessionize gap split
+    * ([[operators.EventOps.sessionDepths]]): engagement distribution
+    * whose first bar is the bounce count. */
+  private val qSessionDepths: Q = (s, dir) =>
+    operators.EventOps.sessionDepths(t(s, dir, "events"),
+      "user_id", "ts", "event_id")
+
   /** Vocabulary growth across id-deciles of the corpus
     * ([[operators.TextStats.vocabGrowth]]): the Heaps-law
     * sub-linearity readout, all integer. */
@@ -3616,6 +3630,8 @@ object SparkEntry {
     "q_quality_vs_decon" -> qQualityVsDecon,
     "q_bounce_rate" -> qBounceRate,
     "q_weekend_lift" -> qWeekendLift,
+    "q_type_drift" -> qTypeDrift,
+    "q_session_depths" -> qSessionDepths,
     "q_readability_pct" -> qReadabilityPct,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
@@ -5515,6 +5531,49 @@ object SparkEntry {
         |FROM s WHERE weekday_days > 0 AND weekend_days > 0
         |  AND weekday_events > 0
         |ORDER BY event_type""".stripMargin,
+    // KL(weekday||weekend) per-type contributions, quantized-ln
+    "q_type_drift" ->
+      """WITH cls AS (SELECT event_type AS ty,
+        |    ((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      + 4) % 7) IN (0, 6) AS we
+        |  FROM events),
+        |bt AS (SELECT ty,
+        |    CAST(sum(CASE WHEN NOT we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wd,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wk
+        |  FROM cls GROUP BY 1),
+        |bt2 AS (SELECT * FROM bt WHERE wd > 0 AND wk > 0),
+        |tot AS (SELECT CAST(sum(wd) AS BIGINT) AS cw,
+        |    CAST(sum(wk) AS BIGINT) AS ce FROM bt2)
+        |SELECT ty AS event_type, wd AS weekday_n, wk AS weekend_n,
+        |  CAST((CAST(wd AS HUGEINT) *
+        |    (CAST(round(ln(wd) * 1000000) AS BIGINT)
+        |     - CAST(round(ln(cw) * 1000000) AS BIGINT)
+        |     - CAST(round(ln(wk) * 1000000) AS BIGINT)
+        |     + CAST(round(ln(ce) * 1000000) AS BIGINT))) // cw
+        |    AS BIGINT) AS contrib_unat
+        |FROM bt2 CROSS JOIN tot ORDER BY event_type""".stripMargin,
+    // session-size histogram over the same gap split as sessionize
+    "q_session_depths" ->
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id)
+        |        > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |per AS (SELECT user_id, sess_id,
+        |    CAST(count(*) AS BIGINT) AS session_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT session_events, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // new vs returning: first-touch week vs distinct active weeks
     "q_new_returning" ->
       """WITH f AS (SELECT user_id AS k,

@@ -1904,6 +1904,84 @@ object EventOps {
       .orderBy(col(keyCol))
   }
 
+  /** Weekday→weekend TYPE-MIX DRIFT: per-type contributions to
+    * `KL(P‖Q)` in exact micro-nats, with P the weekday type mix and
+    * Q the weekend mix — the distribution-shift detector beside
+    * [[weekendLift]]'s volume contrast (lift says HOW MUCH more
+    * traffic; drift says whether it is DIFFERENT traffic):
+    * {{{ contrib·10⁶ = cw_t·(⌊ln cw_t⌉ − ⌊ln CW⌉ − ⌊ln ce_t⌉ +
+    *     ⌊ln CE⌉) div CW }}}
+    * — every `ln` quantizes AT ITS INTEGER ARGUMENT (the
+    * [[typeEntropy]] contract: a ratio's log becomes a ± of integer
+    * logs, so no float ratio ever forms), then pure integer
+    * arithmetic; the division truncates toward zero (both engines'
+    * native rule, disclosed — contributions are legitimately
+    * negative). Only types observed in BOTH classes compare, and the
+    * totals renormalize over that co-observed set (disclosed —
+    * one-sided types would make KL infinite). Two hash rollups + a
+    * broadcast one-row cross.
+    *
+    * @return `(type, weekday_n, weekend_n, contrib_unat)` ordered;
+    *         `sum(contrib_unat)` is the corpus KL·10⁶
+    */
+  def typeDrift(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val cls = events.select(col(typeCol).as("ty"),
+      pmod(datediff(to_date(col(tsCol)),
+        lit("1970-01-01").cast("date")).cast("long") + 4, lit(7))
+        .isin(0L, 6L).as("we"))
+    val byType = cls.groupBy(col("ty"))
+      .agg(sum(when(!col("we"), 1L).otherwise(0L)).cast("long")
+          .as("wd"),
+        sum(when(col("we"), 1L).otherwise(0L)).cast("long").as("wk"))
+      .filter(col("wd") > 0 && col("wk") > 0)
+      .localCheckpoint(eager = false)
+    val tot = byType.agg(sum(col("wd")).cast("long").as("cw"),
+      sum(col("wk")).cast("long").as("ce"))
+    byType.crossJoin(broadcast(tot))
+      .select(col("ty").as(typeCol), col("wd").as("weekday_n"),
+        col("wk").as("weekend_n"),
+        intDiv(col("wd").cast(dec) *
+          (lnq(col("wd")) - lnq(col("cw")) - lnq(col("wk")) +
+            lnq(col("ce"))).cast(dec),
+          col("cw").cast(dec)).cast("long").as("contrib_unat"))
+      .orderBy(col(typeCol))
+  }
+
+  /** Session-DEPTH distribution: how many gap-split sessions hold
+    * exactly `n` events — the engagement histogram whose first bar is
+    * [[bounceRate]]'s numerator (same split, so the two reconcile).
+    * One key shuffle + two rollups, all integer.
+    *
+    * @return `(session_events, n_sessions)` ordered
+    */
+  def sessionDepths(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapMicros: Long = 30L * 60 * 1000000L)
+      : DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be > 0: $gapMicros")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__sd_t"), col(idCol))
+    val cum = Window.partitionBy(col("k"))
+      .orderBy(col("__sd_t"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol).as("k"), col(idCol),
+        unix_micros(col(tsCol)).as("__sd_t"))
+      .withColumn("__sd_new",
+        when(lag(col("__sd_t"), 1).over(w).isNull ||
+          col("__sd_t") - lag(col("__sd_t"), 1).over(w) > gapMicros,
+          1L).otherwise(0L))
+      .withColumn("__sd_sess", sum(col("__sd_new")).over(cum))
+      .groupBy(col("k"), col("__sd_sess"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("session_events"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("session_events"))
+  }
+
   /** Shannon entropy of each entity's event-type mix in exact
     * MICRO-NATS — the behavioral-diversity fingerprint beside
     * [[interEventCv]]'s timing fingerprint (a bot hammering one type

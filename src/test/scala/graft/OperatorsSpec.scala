@@ -2145,6 +2145,42 @@ class OperatorsSpec extends SparkTestBase {
       got.toString)
   }
 
+  test("typeDrift: per-type KL contributions exact under the " +
+      "quantized-ln contract, negative contributions truncate") {
+    import spark.implicits._
+    def ts(d: Int, n: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 0$n:15:00")
+    // Mon 2024-01-01 weekday, Sat 2024-01-06 weekend;
+    // a: wd 4 / we 2, b: wd 2 / we 4 -> CW = CE = 6
+    val ev = (Seq.tabulate(4)(i => ("a", ts(1, i))) ++
+      Seq.tabulate(2)(i => ("a", ts(6, i))) ++
+      Seq.tabulate(2)(i => ("b", ts(1, i))) ++
+      Seq.tabulate(4)(i => ("b", ts(6, i))))
+      .toDF("event_type", "ts")
+    val got = graft.operators.EventOps.typeDrift(ev,
+      "event_type", "ts")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // a: 4*(ln4q - ln2q)//6 = 4*693147//6 = 462098;
+    // b: 2*(ln2q - ln4q)//6 = -1386294//6 = -231049 (exact)
+    assert(got === Seq(("a", 4L, 2L, 462098L),
+      ("b", 2L, 4L, -231049L)), got.toString)
+  }
+
+  test("sessionDepths: session-size histogram reconciles with the " +
+      "bounce split") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:10:00")),
+      (1L, 3L, ts("2024-01-01 12:00:00")),
+      (2L, 4L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = graft.operators.EventOps.sessionDepths(ev, "user_id",
+      "ts", "event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)), got.toString)
+  }
+
   test("vocabGrowth: terms charge their first bucket; cumulative " +
       "curves exact") {
     import spark.implicits._
