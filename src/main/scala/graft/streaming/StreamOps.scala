@@ -777,13 +777,25 @@ object StreamOps {
     * earlier state — and Spark drops below-watermark inputs before
     * the function, so a ripened prefix is final: every later arrival
     * sorts after it), and only the still-above-watermark tail is
-    * buffered raw. A bot replaying step events for a year against an
-    * open window costs `steps` longs, not a year of buffer —
-    * StreamBench's `funnel_feed_state` probe pins the flat bytes.
+    * buffered raw — and that tail is itself capped to the EARLIEST
+    * `maxPendingPerEntity` events (default 2¹⁶, the EWMA-cap
+    * precedent, disclosed: past the cap the entity is bot traffic
+    * and later-timestamped pending events drop). A bot replaying
+    * step events for a year against an open window costs `steps`
+    * longs, not a year of buffer — StreamBench's
+    * `funnel_feed_state` probe pins the flat bytes.
     * (Events beyond the window drop on fold: they can never qualify
     * for ANY candidate t1, which only decreases; entities with no
     * step-1 yet keep only events the watermark still allows a future
     * step-1 to precede.)
+    *
+    * '''Watermark source''': the step-type filter is pushed below
+    * the watermark node by the optimizer, so ONLY step-typed events
+    * advance the watermark — a stream carrying heartbeats of other
+    * types will not close funnels during a step-quiet period (the
+    * standard Spark rule that wm follows the operator's own input;
+    * route a step-typed heartbeat if liveness during quiet periods
+    * matters).
     *
     * @return `(entity, steps_reached, t1_micros)`, one row per
     *         entity that reached step 1, emitted exactly once
@@ -791,12 +803,15 @@ object StreamOps {
   def funnelFeed(stream: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowMicros: Long,
       watermark: String = "10 minutes",
-      tombstoneMicros: Long = 30L * 24 * 3600 * 1000000L)
+      tombstoneMicros: Long = 30L * 24 * 3600 * 1000000L,
+      maxPendingPerEntity: Int = 1 << 16)
       : Dataset[FunnelHit] = {
     require(steps.size >= 2, s"funnel needs >= 2 steps, got $steps")
     require(steps.distinct == steps, "funnel steps must be distinct")
     require(tombstoneMicros >= 0,
       s"tombstoneMicros must be >= 0: $tombstoneMicros")
+    require(maxPendingPerEntity >= 1,
+      s"maxPendingPerEntity must be >= 1: $maxPendingPerEntity")
     val spark = stream.sparkSession
     import spark.implicits._
     val stepIdx = steps.zipWithIndex.toMap
@@ -914,8 +929,13 @@ object StreamOps {
                       if (a == Long.MinValue) b else math.min(a, b))
                 if (t1 == Long.MinValue) {
                   // no step 1 yet: a future step-1 arrives at >= the
-                  // watermark, so older events can never follow it
+                  // watermark, so older events can never follow it.
+                  // The EARLIEST maxPendingPerEntity survive (the
+                  // EWMA-cap precedent, disclosed): an entity
+                  // buffering more above-watermark step events than
+                  // that is bot traffic, not a funnel
                   pending = pending.filter(_._1 >= wmMicros)
+                    .sorted.take(maxPendingPerEntity)
                   if (pending.isEmpty) state.remove()
                   else {
                     state.update(FunnelBuf(pending, Long.MinValue))
@@ -951,11 +971,13 @@ object StreamOps {
                   } else {
                     // open window: ripened in-window events fold into
                     // the array and leave the buffer — only the
-                    // above-watermark tail stays raw in state
+                    // above-watermark tail stays raw in state, capped
+                    // to the EARLIEST maxPendingPerEntity (disclosed)
                     foldInto(s, pending.filter(e =>
                       e._1 < wmMicros && e._1 <= winEnd))
                     pending = pending.filter(e =>
                       e._1 >= wmMicros && e._1 <= winEnd)
+                      .sorted.take(maxPendingPerEntity)
                     state.update(FunnelBuf(pending, t1, s.toSeq))
                     state.setTimeoutTimestamp(closeMs)
                     looping = false

@@ -116,6 +116,44 @@ class StreamingSpec extends SparkTestBase {
       .agg(sum($"cnt")).head.getLong(0) === 9L)
   }
 
+  test("funnelFeed: the pending-buffer cap keeps the EARLIEST " +
+      "events and drops the bot tail (disclosed semantics)") {
+    val win = 10L * 60 * 1000000
+    val steps = Seq("view", "cart")
+    // all three events land ABOVE the watermark in one batch: with
+    // maxPendingPerEntity = 2 only the two earliest (both views)
+    // survive — the cart at ts(3) drops, so the funnel stalls at 1
+    val events = Seq(
+      E(1, ts(1), 1, "view", 0), E(2, ts(2), 1, "view", 0),
+      E(3, ts(3), 1, "cart", 0))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.funnelFeed(input.toDF(), "user_id", "ts",
+        "event_type", steps, win, watermark = "5 minutes",
+        maxPendingPerEntity = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_feed_cap").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // movers must be STEP-TYPED: the type filter is pushed below
+      // the watermark node, so off-step events never advance wm
+      input.addData(E(99, Timestamp.valueOf("2024-01-02 00:00:00"),
+        -1, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(E(100, Timestamp.valueOf("2024-01-03 00:00:00"),
+        -1, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_feed_cap")
+      .select($"entity", $"steps_reached").as[(String, Int)]
+      .collect().toSeq.filter(_._1 == "1")
+    // uncapped this scenario reaches step 2 (view@1 then cart@3);
+    // the cap keeps the two earliest pending events, dropping the
+    // cart — the funnel stalls at 1
+    assert(got === Seq(("1", 1)), got.toString)
+  }
+
   test("funnelFeed: per-entity outcomes finalize once, matching the " +
       "batch funnel's greedy fold") {
     val win = 10L * 60 * 1000000 // 10 minutes in micros
