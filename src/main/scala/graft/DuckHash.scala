@@ -1117,6 +1117,38 @@ private[graft] object DuckHash {
        |FROM hx ORDER BY shard, pos""".stripMargin
   }
 
+  /** Oracle for `q_curriculum` — the Flesch CTEs feeding a real
+    * `ntile(nStages)` over (score DESC, id), then the rendered
+    * xxhash64 within-stage order (the shuffleShards chain). */
+  def curriculumOracle(nStages: Int): String = {
+    val flesch =
+      """SELECT doc_id, CAST(206835 - (1015 * n_words) // n_sentences
+        | - (84600 * n_syllables) // n_words AS BIGINT) AS fre_milli
+        |FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |   CAST(sents AS BIGINT) AS n_sentences,
+        |   CAST(list_sum(list_transform(ws, w -> greatest(1,
+        |     len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+        |     AS n_syllables
+        | FROM (SELECT doc_id,
+        |     list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       t -> t <> '') AS ws,
+        |     greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |       AS sents
+        |   FROM documents) WHERE len(ws) >= 1)"""
+        .stripMargin.replace("\n", " ")
+    val ch = new Chain(flesch, Seq("doc_id", "fre_milli"))
+    val xs = ch.add(toSigned(xxh64Long(ch, "doc_id")))
+    s"""WITH hx AS MATERIALIZED (${ch.render()}),
+       |st AS (SELECT doc_id, fre_milli, $xs AS xs,
+       |    ntile($nStages) OVER (ORDER BY fre_milli DESC, doc_id)
+       |      AS stage
+       |  FROM hx)
+       |SELECT doc_id, fre_milli, CAST(stage AS BIGINT) AS stage,
+       |  CAST(row_number() OVER (PARTITION BY stage
+       |    ORDER BY xs, doc_id) AS BIGINT) AS pos
+       |FROM st ORDER BY stage, pos""".stripMargin
+  }
+
   /** The shared CTE chain replicating [[graft.operators.Bpe.train]]
     * IN SQL, k merge iterations unrolled: `words` (the corpus word
     * counts under the trainer's `^[a-z0-9]+$` pre-tokenizer gate),

@@ -185,7 +185,7 @@ object ScaleProbe {
     // quality-decile × decon composition
     "q_vocab_growth", "q_dup_inflation", "q_quality_vs_decon",
     "q_bounce_rate", "q_weekend_lift", "q_type_drift",
-    "q_session_depths")
+    "q_session_depths", "q_curriculum")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

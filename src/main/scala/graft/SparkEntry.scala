@@ -3036,6 +3036,12 @@ object SparkEntry {
     operators.EventOps.weekendLift(t(s, dir, "events"),
       "event_type", "ts")
 
+  /** Curriculum shard export ([[operators.CorpusOps
+    * .curriculumShards]]): easiest-first NTILE stages on the
+    * two-phase ranks, deterministic xxhash within-stage order. */
+  private val qCurriculum: Q = (s, dir) =>
+    CorpusOps.curriculumShards(t(s, dir, "documents"))
+
   /** Weekday→weekend type-mix KL drift in exact micro-nats
     * ([[operators.EventOps.typeDrift]]): the distribution-shift
     * detector beside q_weekend_lift's volume contrast. */
@@ -3632,6 +3638,7 @@ object SparkEntry {
     "q_weekend_lift" -> qWeekendLift,
     "q_type_drift" -> qTypeDrift,
     "q_session_depths" -> qSessionDepths,
+    "q_curriculum" -> qCurriculum,
     "q_readability_pct" -> qReadabilityPct,
     "q_drawdown" -> qDrawdown,
     "q_cohort_ltv" -> qCohortLtv,
@@ -5589,6 +5596,7 @@ object SparkEntry {
     "q_minhash_est" -> DuckHash.minhashEstimateOracle(0.2),
     "q_cluster_quality" -> DuckHash.clusterQualityOracle(0.2),
     "q_dup_inflation" -> DuckHash.dupInflationOracle(0.2),
+    "q_curriculum" -> DuckHash.curriculumOracle(4),
     "q_kcore" -> DuckHash.kCoreOracle(0.2),
     "q_tok_fertility" -> DuckHash.bpeFertilityOracle(BpeMerges),
     // radius ANN: the q_ann_lsh probe machinery with a threshold

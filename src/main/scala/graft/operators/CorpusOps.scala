@@ -211,6 +211,45 @@ object CorpusOps {
       maxBroadcastGrams, () => bloom)
   }
 
+  /** Curriculum shard export: the deterministic easiest-first
+    * training order — stage = exact NTILE(`nStages`) over
+    * `(readability DESC, id)` (highest Flesch = easiest first; the
+    * NTILE arithmetic rides the scale-safe two-phase row_number +
+    * one broadcast count, never a global single-partition window),
+    * and WITHIN each stage documents take the `(xxhash64(id), id)`
+    * order ([[shuffleShards]]' reproducible-on-any-cluster
+    * contract). A trainer walking `(stage, pos)` gets
+    * easy→hard stages with deterministic within-stage shuffling —
+    * same curriculum on every rerun and every cluster size.
+    *
+    * @return `(id, fre_milli, stage, pos)` ordered by (stage, pos)
+    */
+  def curriculumShards(docs: DataFrame, nStages: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(nStages >= 2, s"nStages must be >= 2: $nStages")
+    val scores = TextStats.readability(docs, idCol, textCol)
+      .select(col(idCol), col("fre_milli"))
+    val rn = Salting.twoPhaseRanks(scores, Seq.empty,
+      Seq(col("fre_milli").desc, col(idCol)),
+      rowNumCol = Some("__cur_rn"))
+    val tot = rn.agg(count(lit(1)).as("__cur_nn"))
+    val k = nStages
+    val staged = rn.crossJoin(broadcast(tot)).withColumn("stage",
+      expr(s"CASE WHEN __cur_rn <= (__cur_nn % $k) * " +
+        s"(__cur_nn div $k + 1) THEN (__cur_rn + (__cur_nn div $k " +
+        s"+ 1) - 1) div (__cur_nn div $k + 1) ELSE (__cur_nn % $k) " +
+        s"+ (__cur_rn - (__cur_nn % $k) * (__cur_nn div $k + 1) + " +
+        s"(__cur_nn div $k) - 1) div (__cur_nn div $k) END"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stage"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    staged.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("fre_milli"),
+        col("stage").cast("long").as("stage"), col("pos"))
+      .orderBy(col("stage"), col("pos"))
+  }
+
   /** STREAMING contamination monitor — the live face of
     * [[decontaminateWithIndex]]: tail the corpus table's change data
     * feed and keep `outTable` equal to the contamination scores of

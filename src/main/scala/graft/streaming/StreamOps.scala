@@ -151,6 +151,103 @@ object StreamOps {
         col("cnt"))
   }
 
+  /** One role-tagged (window-key, type) row for [[driftFeed]]. */
+  case class DriftRole(wk: java.sql.Timestamp, ty: String,
+    cur: Boolean)
+  /** Per-window drift state: the window's own type counts plus the
+    * PREVIOUS window's (routed in by the prev role). */
+  case class DriftState(curCounts: Map[String, Long],
+    prevCounts: Map[String, Long])
+  /** A closed window's distribution-drift reading. */
+  case class DriftAlert(window_start: java.sql.Timestamp,
+    n_types: Int, kl_unat: Long)
+
+  /** STREAMING DISTRIBUTION-DRIFT FACE — the live twin of
+    * [[graft.operators.EventOps.typeDrift]]'s math: per closed
+    * tumbling window, `KL(current mix ‖ previous mix)` over the
+    * co-observed event types in exact micro-nats (every `ln`
+    * quantized at its integer count, totals renormalized over the
+    * co-observed set, ONE truncating division at the end —
+    * disclosed). A spiking reading says the traffic COMPOSITION
+    * changed, not just its volume.
+    *
+    * Distribution: every event feeds TWO window groups — its own
+    * (role `cur`) and the next (role `prev`) — so each window's
+    * group holds both mixes and finalizes INDEPENDENTLY at its
+    * event-time timeout: no singleton key, no cross-group state,
+    * fully parallel across windows. State per window is two
+    * type-count maps, removed at emission.
+    *
+    * Disclosed semantics: the first window (and any window whose
+    * predecessor was empty or shares no types) emits nothing — drift
+    * needs a reference; the watermark rides the window-KEY column,
+    * whose prev-role rows run up to one window ahead of event time,
+    * so effective lateness tolerance is `watermark` minus up to one
+    * window — size `watermark` accordingly.
+    *
+    * @return `(window_start, n_types, kl_unat)`, one row per closed
+    *         window with a comparable predecessor, exactly once
+    */
+  def driftFeed(stream: DataFrame, typeCol: String, tsCol: String,
+      every: String = "1 hour", watermark: String = "20 minutes")
+      : Dataset[DriftAlert] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(every))
+    val durMs = iv.days * 86400000L + iv.microseconds / 1000L
+    require(durMs > 0, s"window duration must be positive: $every")
+    val wstart = window(col(tsCol), every).getField("start")
+    val cur = stream.select(wstart.as("wk"),
+      col(typeCol).cast("string").as("ty"), lit(true).as("cur"))
+    val prv = stream.select(
+      timestamp_millis(unix_millis(wstart) + durMs).as("wk"),
+      col(typeCol).cast("string").as("ty"), lit(false).as("cur"))
+    def lnq(x: Long): Long = Math.round(math.log(x.toDouble) * 1e6)
+    cur.unionByName(prv)
+      .withWatermark("wk", watermark)
+      .as[DriftRole]
+      .groupByKey(_.wk)
+      .flatMapGroupsWithState[DriftState, DriftAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wk, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val co = (st.curCounts.keySet & st.prevCounts.keySet)
+              .toSeq.sorted
+            if (co.isEmpty) Iterator.empty
+            else {
+              val cw = co.iterator.map(st.curCounts).sum
+              val ce = co.iterator.map(st.prevCounts).sum
+              val num = co.iterator.map { t =>
+                val a = st.curCounts(t)
+                Math.multiplyExact(a,
+                  lnq(a) - lnq(cw) - lnq(st.prevCounts(t)) + lnq(ce))
+              }.reduce(Math.addExact(_, _))
+              Iterator.single(DriftAlert(wk, co.size, num / cw))
+            }
+          } else {
+            val st = state.getOption
+              .getOrElse(DriftState(Map.empty, Map.empty))
+            var c = st.curCounts
+            var p = st.prevCounts
+            rows.foreach { r =>
+              if (r.cur) c = c.updated(r.ty, c.getOrElse(r.ty, 0L) + 1)
+              else p = p.updated(r.ty, p.getOrElse(r.ty, 0L) + 1)
+            }
+            state.update(DriftState(c, p))
+            // fire once the key-column watermark passes the window
+            // end (see the lateness note above)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L,
+              wk.getTime + durMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One (window, term) occurrence for [[trendingTerms]]. */
   case class WinTerm(wstart: java.sql.Timestamp, term: String)
   /** A closed window's ranked term. */

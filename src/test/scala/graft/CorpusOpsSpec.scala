@@ -97,6 +97,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(xl.orderBy($"doc_id").collect().toSeq === adHoc)
   }
 
+  test("curriculumShards: easy-first stages, deterministic " +
+      "within-stage order, NTILE sizes exact") {
+    val docs = (1L to 10L).map { i =>
+      // doc i has i one-syllable words and one sentence: fewer words
+      // -> higher Flesch -> easier -> earlier stage
+      (i, Seq.fill(i.toInt)("go").mkString(" ") + ".")
+    }.toDF("doc_id", "text")
+    val got = CorpusOps.curriculumShards(docs, nStages = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // NTILE(4) over 10 rows: stage sizes 3,3,2,2
+    assert(got.groupBy(_._3).view.mapValues(_.size).toMap ===
+      Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 2), got.toString)
+    // scores are non-increasing across stage boundaries
+    val byStage = got.groupBy(_._3).view
+      .mapValues(_.map(_._2)).toMap
+    assert((1L to 3L).forall(s =>
+      byStage(s).min >= byStage(s + 1).max), byStage.toString)
+    // within-stage pos is 1..n and the whole thing is deterministic
+    assert(got.groupBy(_._3).values.forall(g =>
+      g.map(_._4).sorted == (1L to g.size).toSeq))
+    val again = CorpusOps.curriculumShards(docs, nStages = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === again)
+  }
+
   test("deconFeed: the monitor table tracks the live corpus through " +
       "inserts, updates and deletes; a replayed window converges") {
     import graft.sources.v2.GraftCdf

@@ -116,6 +116,47 @@ class StreamingSpec extends SparkTestBase {
       .agg(sum($"cnt")).head.getLong(0) === 9L)
   }
 
+  test("driftFeed: per-window KL vs the previous window's mix, " +
+      "exactly once; no-reference and disjoint windows are silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[E]
+    val q = StreamOps.driftFeed(input.toDF(), "event_type", "ts",
+        every = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_feed").start()
+    def mk(minute: Int, sec: Int, ty: String, id: Long) =
+      E(id, ts(minute, sec), 1, ty, 0.0)
+    try {
+      // w0 (00:00): a*4 b*2; w1 (00:10): a*2 b*4 — interleaved
+      // arrival order inside the batch (the fold is order-free)
+      input.addData(Seq(
+        mk(11, 0, "a", 10), mk(1, 0, "a", 1), mk(2, 0, "a", 2),
+        mk(12, 0, "a", 11), mk(3, 0, "a", 3), mk(4, 0, "a", 4),
+        mk(13, 0, "b", 12), mk(5, 0, "b", 5), mk(6, 0, "b", 6),
+        mk(14, 0, "b", 13), mk(15, 0, "b", 14), mk(16, 0, "b", 15)))
+      q.processAllAvailable()
+      // w2 (00:20): only type c — disjoint from w1's mix
+      input.addData(Seq(mk(21, 0, "c", 20), mk(22, 0, "c", 21),
+        mk(23, 0, "c", 22)))
+      q.processAllAvailable()
+      input.addData(E(99, Timestamp.valueOf("2024-01-01 11:00:00"),
+        -1, "m", 0.0))
+      q.processAllAvailable()
+      input.addData(E(100, Timestamp.valueOf("2024-01-01 12:00:00"),
+        -1, "m", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("drift_feed")
+      .as[(Timestamp, Int, Long)].collect().toSeq
+      .filter(_._1.before(Timestamp.valueOf("2024-01-01 10:50:00")))
+    // local replay of the contract: KL(w1||w0) over {a, b}
+    def lnq(x: Long) = Math.round(math.log(x.toDouble) * 1e6)
+    val num = 2L * (lnq(2) - lnq(6) - lnq(4) + lnq(6)) +
+      4L * (lnq(4) - lnq(6) - lnq(2) + lnq(6))
+    val exp = num / 6L
+    assert(got === Seq((ts(10, 0), 2, exp)), s"$got vs exp $exp")
+  }
+
   test("funnelFeed: the pending-buffer cap keeps the EARLIEST " +
       "events and drops the bot tail (disclosed semantics)") {
     val win = 10L * 60 * 1000000
