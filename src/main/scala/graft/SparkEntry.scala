@@ -903,8 +903,11 @@ object SparkEntry {
     * (long arithmetic, one final double division). */
   private val qReadabilityPct: Q = (s, dir) => {
     val r = operators.TextStats.readability(t(s, dir, "documents"))
+    // one materialization of the scores: the rank machinery's three
+    // consumers would otherwise re-run the text-stats scan each
     operators.Salting.twoPhaseRanks(
-        r.select(col("doc_id"), col("fre_milli")),
+        r.select(col("doc_id"), col("fre_milli"))
+          .localCheckpoint(eager = false),
         Seq.empty, Seq(col("fre_milli")),
         percentRankCol = Some("pct"))
       .select(col("doc_id"), col("fre_milli"), col("pct"))
@@ -3086,10 +3089,17 @@ object SparkEntry {
       .select(col("doc_id"), col("contaminated").cast("int").as("c"))
     val scores = operators.TextStats.readability(corpus)
       .select(col("doc_id"), col("fre_milli"))
+    // materialize the decon⋈readability join once: the rank
+    // machinery's three consumers plus the total count would
+    // otherwise re-run BOTH pipelines four times (measured: 18
+    // parquet scans in the plan before this). Counting the input is
+    // counting the ranked output (ranking preserves cardinality).
+    val base = scores.join(dec, Seq("doc_id"))
+      .localCheckpoint(eager = false)
     val rn = operators.Salting.twoPhaseRanks(
-      scores.join(dec, Seq("doc_id")), Seq.empty,
+      base, Seq.empty,
       Seq(col("fre_milli"), col("doc_id")), rowNumCol = Some("rn"))
-    val tot = rn.agg(count(lit(1)).as("nn"))
+    val tot = base.agg(count(lit(1)).as("nn"))
     rn.crossJoin(broadcast(tot))
       .withColumn("decile", expr(
         "CASE WHEN rn <= (nn % 10) * (nn div 10 + 1) " +

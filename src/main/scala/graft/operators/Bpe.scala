@@ -332,16 +332,19 @@ object Bpe {
       ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
         .IntegralDivide(ColumnBridge.expression(a),
           ColumnBridge.expression(b)))
+    // ONE map-only pass: words, chars and the encoded token count all
+    // derive from the same filtered word array (codegen subexpression
+    // elimination evaluates the tokenize once per row) — previously
+    // this was a self-join of two full corpus scans, each re-running
+    // the tokenizer, plus an idCol shuffle
     val words = filter(CorpusOps.tokens(col(textCol)),
       w => w.rlike(WordRegex))
-    val enc = encode(docs, model, idCol, textCol)
-      .select(col(idCol),
-        size(col("toks")).cast("long").as("n_tokens"))
     docs
       .select(col(idCol), size(words).cast("long").as("n_words"),
         aggregate(transform(words, w => length(w).cast("long")),
-          lit(0L), (a, b) => a + b).as("n_chars"))
-      .join(enc, Seq(idCol))
+          lit(0L), (a, b) => a + b).as("n_chars"),
+        size(flatten(transform(words, w => encodeWord(w, model))))
+          .cast("long").as("n_tokens"))
       .filter(col("n_words") >= 1 && col("n_tokens") >= 1)
       .select(col(idCol), col("n_words"), col("n_chars"),
         col("n_tokens"),

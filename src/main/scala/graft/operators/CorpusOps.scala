@@ -96,8 +96,12 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text",
       maxBroadcastGrams: Long = 2000000L,
       bloomBitsCap: Long = 1L << 25): DataFrame = {
+    // three consumers (the count action, the XL bloom aggregate, the
+    // probe join) — one materialization of the distinct gram set
+    // instead of three benchmark tokenize+distinct pipelines
     val benchGrams = wordNgrams(benchmark, n, idCol, textCol)
       .select(col("gram")).distinct()
+      .localCheckpoint(eager = false)
     val gramCount = benchGrams.count()
     deconProbe(corpus, benchGrams, gramCount, n, idCol, textCol,
       maxBroadcastGrams,
@@ -228,12 +232,18 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     require(nStages >= 2, s"nStages must be >= 2: $nStages")
+    // materialize the readability scores once: the rank machinery's
+    // three consumers plus the total-count aggregate would otherwise
+    // re-run the text-stats scan four times; the count reads the
+    // checkpoint (ranking preserves cardinality, so counting the
+    // input IS counting the ranked output)
     val scores = TextStats.readability(docs, idCol, textCol)
       .select(col(idCol), col("fre_milli"))
+      .localCheckpoint(eager = false)
     val rn = Salting.twoPhaseRanks(scores, Seq.empty,
       Seq(col("fre_milli").desc, col(idCol)),
       rowNumCol = Some("__cur_rn"))
-    val tot = rn.agg(count(lit(1)).as("__cur_nn"))
+    val tot = scores.agg(count(lit(1)).as("__cur_nn"))
     val k = nStages
     val staged = rn.crossJoin(broadcast(tot)).withColumn("stage",
       expr(s"CASE WHEN __cur_rn <= (__cur_nn % $k) * " +
@@ -554,9 +564,16 @@ object CorpusOps {
     * the same two-exchange budget as decontamination. */
   def crossDocRepetition(docs: DataFrame, n: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val repeated = commonNgrams(docs, n, minDocs, idCol, textCol)
+    // the per-doc gram stream feeds the doc-frequency rollup AND the
+    // probe join — one materialization instead of two explode passes
+    val grams = wordNgrams(docs, n, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val repeated = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
       .select(col("gram"), lit(1).as("_rep"))
-    wordNgrams(docs, n, idCol, textCol)
+    grams
       .join(repeated, Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
@@ -626,12 +643,15 @@ object CorpusOps {
     require(minOccurrences >= 2,
       s"minOccurrences must be >= 2, got $minOccurrences")
     import graft.functions.GraftFunctions.text_hash64
+    // the line stream feeds the frequency rollup AND the probe join —
+    // one materialization instead of two explode passes
     val lines = docs
       .select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
       .select(col(idCol), col("pos"), col("line"),
         text_hash64(trim(col("line"))).as("h"),
         (trim(col("line")) === "").as("blank"))
+      .localCheckpoint(eager = false)
     val frequent = lines.filter(!col("blank"))
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccurrences)
@@ -675,10 +695,17 @@ object CorpusOps {
       textCol: String = "text"): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
     val ts = col("_ts")
+    // the tokenized corpus feeds the window explode AND the final
+    // reassembly join — materialize once instead of re-scanning and
+    // re-tokenizing the parquet per consumer
     val toked = docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .localCheckpoint(eager = false)
     // one row per window START (1-based into the token array), hashed
     // map-side; sequence() reverses when start > stop, so short docs
     // take the explicit empty branch
+    // the window stream is consumed twice (owner rollup + flagged
+    // probe) — one materialization of the narrow (id, pos, hash) rows
+    // replaces a second full explode+hash pass
     val wins = toked
       .select(col(idCol), posexplode(
         when(size(ts) >= k,
@@ -688,6 +715,7 @@ object CorpusOps {
         .as(Seq("_wp0", "_h")))
       .select(col(idCol), (col("_wp0") + 1).cast("int").as("_wpos"),
         col("_h"))
+      .localCheckpoint(eager = false)
     // duplicated fingerprints with their canonical owner: one 8-byte
     // keyed rollup (map-side partial count+min), then a hash probe of
     // the window stream against ONLY the duplicated set — AQE
@@ -786,7 +814,10 @@ object CorpusOps {
     val benchHashes = broadcast(
       wordNgrams(benchmark, n, idCol, textCol)
         .select(xxhash64(col("gram")).as("_h")).distinct())
+    // the tokenized corpus feeds the window explode AND the final
+    // reassembly join — materialize once (dedupSubstrings precedent)
     val toked = corpus.select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .localCheckpoint(eager = false)
     val wins = toked
       .select(col(idCol), posexplode(
         when(size(ts) >= n,

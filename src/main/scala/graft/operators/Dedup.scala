@@ -60,9 +60,22 @@ object Dedup {
     *                rows carry both payloads (for embeddings, the
     *                heaviest exchange in the whole plan)
     */
-  def cappedBucketJoin(banded: DataFrame, keys: Seq[String],
+  def cappedBucketJoin(banded0: DataFrame, keys: Seq[String],
       cap: Int, payload: Seq[String] = Nil,
       dedupPairs: Boolean = true): DataFrame = {
+    // Materialize the banded/bucketed input ONCE (lazy local
+    // checkpoint): it is consumed up to three times — the bucket-size
+    // pre-job below plus both sides of the self-join — and each
+    // consumer would otherwise re-execute the whole signature pipeline
+    // (minhash/simhash/plane projection over the corpus). At bench
+    // scale AQE turns the self-join into a broadcast join, which
+    // defeats exchange reuse and made the banding run 3x per query
+    // (measured: q_dedup_near planned 2 full minhash subtrees + the
+    // pre-job). The checkpoint is the narrow (id, keys, payload)
+    // projection — the same bytes the join shuffles anyway.
+    val banded =
+      if (banded0.isStreaming) banded0
+      else banded0.localCheckpoint(eager = false)
     def maybeDistinct(df: DataFrame): DataFrame =
       if (dedupPairs) df.distinct() else df
     // emit with id_a < id_b regardless of which join side was smaller
@@ -635,11 +648,18 @@ object Dedup {
     require(tPpm > 0 && tPpm <= 1000000L,
       s"tPpm must be in (0, 1000000], got $tPpm")
     require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    // the shingle explode feeds the document-frequency rollup AND the
+    // ordered-set build — materialize it once (same bytes both
+    // consumers shuffle anyway)
     val grams = CorpusOps.wordNgrams(docs, n, idCol, textCol)
       .select(col(idCol).as("id"), col("gram"))
+      .localCheckpoint(eager = false)
     val dfreq = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") <= dfCap)
+    // the ordered-set table has THREE consumers (the prefix explode
+    // plus both verification join-backs) and its lineage is the whole
+    // shingle⋈df pipeline with a per-doc sort — one materialization
     val ordered = grams.join(dfreq, Seq("gram"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("gdf"), col("gram"))))
@@ -647,12 +667,18 @@ object Dedup {
       .select(col("id"),
         transform(col("og"), g => g("gram")).as("ts"),
         size(col("og")).cast("long").as("m"))
+      .localCheckpoint(eager = false)
     // prefix length p = m − ⌈t·m⌉ + 1 (integer ceil in ppm)
     val p = (col("m") -
       intDiv(col("m") * tPpm + lit(999999L), lit(1000000L)) +
       lit(1L)).cast("int")
+    // the prefix table is SELF-joined below; at bench scale AQE
+    // broadcasts one side, which defeats exchange reuse and re-runs
+    // the explode per side — materialize it once (cappedBucketJoin
+    // precedent)
     val pref = ordered.select(col("id"), col("m"),
       posexplode(slice(col("ts"), lit(1), p)).as(Seq("pos0", "gram")))
+      .localCheckpoint(eager = false)
     // PPJoin positional filter: the intersection is confined to
     // elements ≥ the shared prefix gram in the global order, so
     // |inter| ≤ min(mₐ − posₐ, m_b − pos_b) + 1 for the FIRST shared

@@ -873,8 +873,11 @@ object EventOps {
     */
   def iqrOutliers(events: DataFrame, keyCol: String,
       valueCol: String, valueScale: Long = 100L): DataFrame = {
+    // the quantized projection feeds the index rollup, the rank
+    // machinery (3 consumers) and the fence test — materialize once
     val vals = events.select(col(keyCol).as("k"),
       round(col(valueCol) * valueScale).cast("long").as("vc"))
+      .localCheckpoint(eager = false)
     val idx = vals.groupBy(col("k")).agg(count(lit(1)).as("n"))
       .select(col("k").as("__iq_k"), col("n"),
         intDiv(col("n") + 3L, lit(4L)).as("__iq_i1"),
@@ -1168,9 +1171,13 @@ object EventOps {
     val base = events.select(col(keyCol).as("k"),
       round(col(valueCol) * valueScale).cast("long").as("vc"),
       col(idCol))
+    // the medians table is consumed twice (deviation join + final
+    // join-back) and its lineage is a whole rank-selection pipeline —
+    // materialize the handful of per-key rows once
     val med = Quantiles.exactQuantilesByKey(base, "k", col("vc"),
         Seq(col(idCol)), Seq(0.5))
       .select(col("k"), col("value").as("median_c"))
+      .localCheckpoint(eager = false)
     val dev = base.join(broadcast(med), Seq("k"))
       .select(col("k"), abs(col("vc") - col("median_c")).as("dv"),
         col(idCol))
@@ -1453,8 +1460,12 @@ object EventOps {
       s"pcts must be in (0, 1]: $pcts")
     val spark = events.sparkSession
     import spark.implicits._
+    // one materialization of the per-entity rollup: the rank
+    // machinery (3 consumers) and the cutoff aggregate would
+    // otherwise re-aggregate the event table four times
     val counts = events.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val ranked = Salting.twoPhaseRanks(counts, Seq.empty,
       orderCols = Seq(col("cnt").desc, col("k")),
       rowNumCol = Some("__pu_rn"))
@@ -1635,9 +1646,12 @@ object EventOps {
     */
   def gini(events: DataFrame, keyCol: String,
       typeCol: String): DataFrame = {
+    // one materialization of the per-entity rollup for the rank
+    // machinery's three consumers (split sample, window, offsets)
     val perUser = events
       .groupBy(col(typeCol).as("ty"), col(keyCol).as("u"))
       .agg(count(lit(1)).as("x"))
+      .localCheckpoint(eager = false)
     val ranked = Salting.twoPhaseRanks(perUser, Seq("ty"),
       Seq(col("x"), col("u")), rowNumCol = Some("__g_i"))
     ranked
@@ -1681,11 +1695,18 @@ object EventOps {
         datediff(col("gmax"), col("lastd")).cast("long").as("rec"),
         col("freq"), col("mon"))
       .localCheckpoint(eager = false)
-    val ranked = Salting.twoPhaseRanks(
-      Salting.twoPhaseRanks(
-        Salting.twoPhaseRanks(base, Seq(),
-          Seq(col("rec").desc, col("u")), rowNumCol = Some("__r_rn")),
-        Seq(), Seq(col("freq"), col("u")), rowNumCol = Some("__f_rn")),
+    // each rank level's machinery consumes its input three times
+    // (split-bound sample, local window, offsets aggregate) — without
+    // a materialization barrier between levels the innermost plan
+    // re-executed 3^depth times (measured: 18 checkpoint re-reads and
+    // 172 Window operators in the final plan before this)
+    val r1 = Salting.twoPhaseRanks(base, Seq(),
+        Seq(col("rec").desc, col("u")), rowNumCol = Some("__r_rn"))
+      .localCheckpoint(eager = false)
+    val r2 = Salting.twoPhaseRanks(r1,
+        Seq(), Seq(col("freq"), col("u")), rowNumCol = Some("__f_rn"))
+      .localCheckpoint(eager = false)
+    val ranked = Salting.twoPhaseRanks(r2,
       Seq(), Seq(col("mon"), col("u")), rowNumCol = Some("__m_rn"))
     val n = base.agg(count(lit(1)).as("__rfm_n"))
     def bucket(rn: Column): Column =

@@ -69,11 +69,24 @@ object GraphOps {
     * @return `(a, b, c)` ordered rows, ids ascending within each row
     */
   def triangles(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    val e = edges(pairs, aCol, bCol)
+      bCol: String = "id_b"): DataFrame =
+    trianglesFromEdges(
+      edges(pairs, aCol, bCol).localCheckpoint(eager = false))
+      .orderBy(col("a"), col("b"), col("c"))
+
+  /** [[triangles]] over an ALREADY-MATERIALIZED canonical edge list,
+    * unsorted — the shared body. `e` must be checkpointed by the
+    * caller: it feeds the degree rollup (twice, via the union) and
+    * the oriented-edge projection, and the degree table itself is
+    * joined on both endpoints — without materialization the upstream
+    * pair pipeline re-executed up to five times per action (at bench
+    * scale AQE broadcasts the degree sides, which defeats exchange
+    * reuse). */
+  private[operators] def trianglesFromEdges(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
     val withDeg = e
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -100,7 +113,6 @@ object GraphOps {
       .select(element_at(col("t"), 1).as("a"),
         element_at(col("t"), 2).as("b"),
         element_at(col("t"), 3).as("c"))
-      .orderBy(col("a"), col("b"), col("c"))
   }
 
   /** Degree histogram: how many nodes have each degree — the one-line
@@ -111,7 +123,8 @@ object GraphOps {
     */
   def degreeDistribution(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val e = edges(pairs, aCol, bCol)
+    // the union reads the edge list twice — one materialization
+    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
     e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node"))
@@ -138,12 +151,16 @@ object GraphOps {
       ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions
         .IntegralDivide(ColumnBridge.expression(x),
           ColumnBridge.expression(y)))
-    val e = edges(pairs, aCol, bCol)
+    // ONE materialized edge list feeds both the degree rollup and the
+    // triangle enumeration (previously the whole pair pipeline was
+    // re-derived by each); the per-corner explode needs no global
+    // triangle sort, so the unsorted body is used directly
+    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
-    val triPerNode = triangles(pairs, aCol, bCol)
+    val triPerNode = trianglesFromEdges(e)
       .select(explode(array(col("a"), col("b"), col("c")))
         .as("node"))
       .groupBy(col("node"))
@@ -188,29 +205,33 @@ object GraphOps {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
     require(alphaNum > 0 && alphaDen > alphaNum,
       s"alpha must be in (0, 1): $alphaNum/$alphaDen")
-    val e = edges(pairs, aCol, bCol)
+    // the union reads the canonical edge list twice — materialize it
+    // once so the upstream pair pipeline runs once, not twice
+    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(eager = false)
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(eager = false)
+    // the rank table carries the (static) degree so each iteration is
+    // ONE edge⋈rank join + rollup + the node-list join-back — the
+    // separate per-iteration deg join is folded away (same math:
+    // `pr // d` moves into the join projection)
     var ranks = deg.select(col("src").as("node"),
-      lit(scale).as("pr"))
+      lit(scale).as("pr"), col("d"))
     (1 to iters).foreach { _ =>
       val contrib = dir
-        .join(ranks.select(col("node").as("src"), col("pr")),
-          Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"),
-          intDiv(col("pr"), col("d")).as("c"))
-        .groupBy(col("node"))
+        .join(ranks.select(col("node").as("src"),
+          intDiv(col("pr"), col("d")).as("c")), Seq("src"))
+        .groupBy(col("dst"))
         .agg(sum(col("c")).as("cs"))
-      ranks = deg.select(col("src").as("node"))
+        .select(col("dst").as("node"), col("cs"))
+      ranks = deg.select(col("src").as("node"), col("d"))
         .join(contrib, Seq("node"), "left_outer")
         .select(col("node"),
           intDiv(lit((alphaDen - alphaNum) * scale) +
             lit(alphaNum) * coalesce(col("cs"), lit(0L)),
-            lit(alphaDen)).as("pr"))
+            lit(alphaDen)).as("pr"), col("d"))
     }
     ranks.select(col("node"), col("pr").as("pr_c"))
       .orderBy(col("node"))
@@ -287,7 +308,9 @@ object GraphOps {
   def labelPropagation(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
-    val e = edges(pairs, aCol, bCol)
+    // the union reads the canonical edge list twice — materialize it
+    // once so the upstream pair pipeline runs once, not twice
+    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(eager = false)

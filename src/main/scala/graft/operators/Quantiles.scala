@@ -28,11 +28,17 @@ object Quantiles {
     positions(qs)
     val spark = df.sparkSession
     import spark.implicits._
-    val n = df.count()
+    // materialize the narrow (value, tiebreak) projection ONCE: the
+    // count below, the rank machinery's split-bound sampling, its
+    // local-window pass and its offsets aggregate are four consumers
+    // that would otherwise each re-execute df's whole lineage
+    // (measured: q_mad planned 30 parquet scans before this)
+    val src = df.select((valueCol.as("value") +: tiebreakCols): _*)
+      .localCheckpoint(eager = false)
+    val n = src.count()
     val pos = qs.map(q => (q, math.max(1L, math.ceil(q * n).toLong)))
       .toDF("q", "__qx_pos")
-    val ranked = Salting.twoPhaseRanks(
-      df.select((valueCol.as("value") +: tiebreakCols): _*),
+    val ranked = Salting.twoPhaseRanks(src,
       partCols = Seq.empty,
       orderCols = col("value") +: tiebreakCols,
       rowNumCol = Some("__qx_rn"))
@@ -52,15 +58,20 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val qDf = qs.toDF("q")
+    // one materialization of the narrow projection feeds the per-key
+    // counts, the split-bound sampling, the local-window pass and the
+    // offsets aggregate (see exactQuantiles — same four-consumer shape)
+    val src = df
+      .select((col(keyCol) +: valueCol.as("value") +: tiebreakCols): _*)
+      .localCheckpoint(eager = false)
     // the counts side re-derives from df, so its key attribute would
     // share df's expression id — alias it before the join-back
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__qx_n"))
+    val counts = src.groupBy(col(keyCol)).agg(count(lit(1)).as("__qx_n"))
       .crossJoin(broadcast(qDf))
       .select(col(keyCol).as("__qx_k"), col("q"),
         greatest(lit(1L), ceil(col("q") * col("__qx_n")).cast("long"))
           .as("__qx_pos"))
-    val ranked = Salting.twoPhaseRanks(
-      df.select((col(keyCol) +: valueCol.as("value") +: tiebreakCols): _*),
+    val ranked = Salting.twoPhaseRanks(src,
       partCols = Seq(keyCol),
       orderCols = col("value") +: tiebreakCols,
       rowNumCol = Some("__qx_rn"))
@@ -103,9 +114,11 @@ object Quantiles {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
-    val nDf = df.count() match { case n => Seq(n).toDF("__qb_n") }
-    val ranked = Salting.twoPhaseRanks(
-      df.select((valueCol.as("value") +: tiebreakCols): _*),
+    // same one-materialization shape as exactQuantiles
+    val src = df.select((valueCol.as("value") +: tiebreakCols): _*)
+      .localCheckpoint(eager = false)
+    val nDf = src.count() match { case n => Seq(n).toDF("__qb_n") }
+    val ranked = Salting.twoPhaseRanks(src,
       partCols = Seq.empty,
       orderCols = col("value") +: tiebreakCols,
       rowNumCol = Some("__qb_rn"))

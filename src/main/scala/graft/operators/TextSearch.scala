@@ -586,7 +586,11 @@ object TextSearch {
       textCol: String = "text", minTermLen: Int = 3,
       maxTermsPerDoc: Int = 12, minPairCount: Long = 5L,
       topN: Int = 100): DataFrame = {
+    // three consumers (pair counts, term counts, corpus count) would
+    // each re-tokenize the corpus — materialize the capped term sets
+    // once (≤ maxTermsPerDoc short strings per doc)
     val sets = termSets(docs, textCol, minTermLen, maxTermsPerDoc)
+      .localCheckpoint(eager = false)
     val pairs = pairCounts(sets, minPairCount)
     val termCnt = sets
       .select(explode(col("ts")).as("t"))
@@ -635,13 +639,23 @@ object TextSearch {
       iters: Int = 3, topN: Int = 50): DataFrame = {
     require(iters >= 1 && topN >= 1,
       s"bad textRank args: iters=$iters topN=$topN")
+    // materialize the pair/edge/degree tables once: the symmetric
+    // union reads `pairs` twice, `edges` is read by every iteration,
+    // and `deg.count()` below is an extra action — without the
+    // checkpoints the corpus-scan pair pipeline re-executes per
+    // consumer, and the per-round self-reference of `r` (node-list
+    // side + contribution side) made the unrolled plan re-execute the
+    // whole subtree ~2^iters times
     val pairs = pairCounts(
       termSets(docs, textCol, minTermLen, maxTermsPerDoc),
       minPairCount).select(col("t1"), col("t2"))
+      .localCheckpoint(eager = false)
     val edges = pairs.select(col("t1").as("src"), col("t2").as("dst"))
       .unionAll(pairs.select(col("t2").as("src"), col("t1").as("dst")))
+      .localCheckpoint(eager = false)
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
     val n = deg.count()
     require(n > 0, "textRank: empty co-occurrence graph")
     val base = 1000000000000L / n
@@ -652,7 +666,10 @@ object TextSearch {
         .join(r, col("src") === col("node"))
         .select(col("dst"), intDiv(col("r"), col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = r.select(col("node"), col("deg"))
+      // node-list side comes from the CHECKPOINTED deg (identical
+      // rows to r's (node, deg) projection), so `r` appears exactly
+      // once per level and the unrolled plan stays linear in iters
+      r = deg.select(col("src").as("node"), col("deg"))
         .join(contrib, col("node") === col("dst"), "left_outer")
         .select(col("node"), col("deg"),
           intDiv(lit(15L * base) +

@@ -485,6 +485,11 @@ object Unigram {
             ps => ps.isNotNull)),
           array().cast("array<string>")).as("toks"))
     }
+    // NOTE (r19 optimization round): the occurrence stream has two
+    // consumers (distinct-word segmentation + join-back), but a
+    // localCheckpoint here would violate this operator's tested
+    // no-leaked-storage contract (UnigramSpec asserts encode leaves
+    // no persistent RDDs behind) — the double tokenize stays.
     val occ = docws
       .select(col(idCol), posexplode_outer(col("_graft_ws"))
         .as(Seq("_graft_widx", "_graft_w")))
