@@ -856,9 +856,17 @@ object SparkEntry {
     * unique in the generated lineitem — so the passes CHAIN. */
   private val qWindowRank: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
+    // project to the five columns the second rank level and the
+    // output need, then materialize once: the two-phase machinery's
+    // window and offsets consumers would otherwise re-run the whole
+    // tie-rank pipeline (group rollup + broadcast join-back) twice
     val withTies = operators.Salting.tieGroupRanks(li,
       Seq("l_returnflag"), Seq(col("l_quantity").desc),
       rankCol = Some("rnk"), denseRankCol = Some("drnk"))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"), col("rnk"),
+        col("drnk"))
+      .localCheckpoint(eager = false)
     val withRn = operators.Salting.twoPhaseRanks(withTies,
       Seq("l_returnflag"),
       Seq(col("l_extendedprice").desc, col("l_orderkey"),

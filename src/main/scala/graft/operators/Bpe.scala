@@ -333,18 +333,28 @@ object Bpe {
         .IntegralDivide(ColumnBridge.expression(a),
           ColumnBridge.expression(b)))
     // ONE map-only pass: words, chars and the encoded token count all
-    // derive from the same filtered word array (codegen subexpression
-    // elimination evaluates the tokenize once per row) — previously
-    // this was a self-join of two full corpus scans, each re-running
-    // the tokenizer, plus an idCol shuffle
-    val words = filter(CorpusOps.tokens(col(textCol)),
-      w => w.rlike(WordRegex))
+    // derive from the same filtered word array — previously this was
+    // a self-join of two full corpus scans, each re-running the
+    // tokenizer, plus an idCol shuffle. Two guards keep it one pass:
+    //  - the word array lands in its OWN projection (non-cheap alias
+    //    referenced three times, so CollapseProject keeps the barrier
+    //    and the tokenize runs once per row);
+    //  - the tiny (id, words, chars, tokens) counts table checkpoints
+    //    BEFORE the >= 1 filter — otherwise predicate pushdown
+    //    substitutes the aliases and re-inlines the whole
+    //    tokenize+encode pipeline into a scan-level Filter, re-paying
+    //    it per row (measured +1.7 s at sf0.1, the wordNgrams trap).
+    val ws = col("_graft_ws")
     docs
-      .select(col(idCol), size(words).cast("long").as("n_words"),
-        aggregate(transform(words, w => length(w).cast("long")),
+      .select(col(idCol),
+        filter(CorpusOps.tokens(col(textCol)),
+          w => w.rlike(WordRegex)).as("_graft_ws"))
+      .select(col(idCol), size(ws).cast("long").as("n_words"),
+        aggregate(transform(ws, w => length(w).cast("long")),
           lit(0L), (a, b) => a + b).as("n_chars"),
-        size(flatten(transform(words, w => encodeWord(w, model))))
+        size(flatten(transform(ws, w => encodeWord(w, model))))
           .cast("long").as("n_tokens"))
+      .localCheckpoint(eager = false)
       .filter(col("n_words") >= 1 && col("n_tokens") >= 1)
       .select(col(idCol), col("n_words"), col("n_chars"),
         col("n_tokens"),

@@ -873,11 +873,15 @@ object EventOps {
     */
   def iqrOutliers(events: DataFrame, keyCol: String,
       valueCol: String, valueScale: Long = 100L): DataFrame = {
-    // the quantized projection feeds the index rollup, the rank
-    // machinery (3 consumers) and the fence test — materialize once
+    // NOTE (r19 optimization round): the quantized projection has
+    // multiple consumers, but its lineage is ONE pruned columnar scan
+    // — a materialization barrier here measured SLOWER (fresh-JVM
+    // 1.34 s -> 1.81 s at sf0.1: persisting + deserializing the rows
+    // costs more than the vectorized re-scans it saves), so the
+    // projection stays lazy. Checkpoint only derived inputs (the
+    // madByKey / funnel_ttc shape).
     val vals = events.select(col(keyCol).as("k"),
       round(col(valueCol) * valueScale).cast("long").as("vc"))
-      .localCheckpoint(eager = false)
     val idx = vals.groupBy(col("k")).agg(count(lit(1)).as("n"))
       .select(col("k").as("__iq_k"), col("n"),
         intDiv(col("n") + 3L, lit(4L)).as("__iq_i1"),
@@ -946,9 +950,13 @@ object EventOps {
     * is the cross product SCALED BY the next bucket's size
     * (`|（a−p)×(Σb − m·p)|` — the division-free form), so selection
     * is exact and engine-replayable; ties break (smaller t, smaller
-    * id). Per-key state is the bucketed point array (the funnel
-    * bound); buckets carry their successor's sums via one `lead`
-    * window so the fold is a single map-side pass.
+    * id). Per-key state is the point array (the funnel bound — the
+    * SAME bound the previous formulation's per-key fold row already
+    * carried); the whole selection (bucketing, successor sums, fold)
+    * runs over that one array, so the plan is ONE key-keyed exchange
+    * plus the output sort — the r19 optimization round replaced a
+    * 3-window/2-join/3-exchange chain computing identical rows
+    * (fresh-JVM 2.8 s → see OPTIMIZATION_r19.md).
     *
     * @return `(key, t_s, value_c, id)` selected points, ordered
     */
@@ -956,82 +964,104 @@ object EventOps {
       idCol: String, valueCol: String, bucketSize: Int = 20,
       valueScale: Long = 100L): DataFrame = {
     require(bucketSize >= 1, s"bucketSize must be >= 1: $bucketSize")
-    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("i"))
-    // one generation of the ranked base: endpoints, interior buckets
-    // and the two anchor-point sides all read this checkpoint (four
-    // consumers would otherwise re-execute the window pipeline)
-    val based = events
+    val bs = bucketSize
+    val ptsType = "array<struct<t:bigint,i:bigint,v:bigint>>"
+    // ONE exchange: the per-key series lands as a single sorted array
+    // (sort_array's (t0, i, v) struct order == the old window's
+    // (t, i) order — ids are unique, and the rebase below is a
+    // constant shift); the per-key minimum rides the same aggregate,
+    // matching the old `min(t0) over (partition k)` null semantics
+    val base = events
       .select(col(keyCol).as("k"),
         intDiv(unix_micros(col(tsCol)), lit(1000000L)).as("t0"),
         col(idCol).as("i"),
         round(col(valueCol) * valueScale).cast("long").as("v"))
-      .withColumn("t", col("t0") -
-        min(col("t0")).over(Window.partitionBy(col("k"))))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1))
-        .over(Window.partitionBy(col("k"))))
-      .localCheckpoint(eager = false)
-    val firstLast = based.filter(col("rn") === 1 || col("rn") === col("n"))
-      .select(col("k"), col("t"), col("v"), col("i"))
-    val interior = based.filter(col("rn") > 1 && col("rn") < col("n"))
-      .withColumn("b", intDiv(col("rn") - 2L, lit(bucketSize.toLong)))
-    val buckets = interior
-      .groupBy(col("k"), col("b"))
-      .agg(sort_array(collect_list(
-          struct(col("t"), col("i"), col("v")))).as("pts"),
-        sum(col("t")).as("st"), sum(col("v")).as("sv"),
-        count(lit(1)).as("m"))
-    val lastPt = based.filter(col("rn") === col("n"))
-      .select(col("k"), col("t").as("lt"), col("v").as("lv"))
-    val wb = Window.partitionBy(col("k")).orderBy(col("b"))
-    val chained = buckets
-      .withColumn("nst", lead(col("st"), 1).over(wb))
-      .withColumn("nsv", lead(col("sv"), 1).over(wb))
-      .withColumn("nm", lead(col("m"), 1).over(wb))
-      .join(lastPt, Seq("k"))
-      .select(col("k"), col("b"), col("pts"),
-        coalesce(col("nst"), col("lt")).as("bx"),
-        coalesce(col("nsv"), col("lv")).as("by"),
-        coalesce(col("nm"), lit(1L)).as("bm"))
-    val firstPt = based.filter(col("rn") === 1)
-      .select(col("k"), col("t").as("ft"), col("v").as("fv"))
-    // fold buckets in order: acc = (prev t, prev v, selected so far)
-    val zero = struct(col("ft").as("pt"), col("fv").as("pv"),
-      array().cast(
-        "array<struct<t:bigint,i:bigint,v:bigint>>").as("out"))
-    val folded = chained
       .groupBy(col("k"))
-      .agg(sort_array(collect_list(struct(col("b"), col("pts"),
-        col("bx"), col("by"), col("bm")))).as("bks"))
-      .join(firstPt, Seq("k"))
-      .withColumn("st", aggregate(col("bks"), zero, (acc, bk) => {
-        val px = acc.getField("pt")
-        val py = acc.getField("pv")
-        // selection key: (-area2m, t, id) ascending == largest
-        // triangle first, then earliest, then smallest id
-        val keys = transform(bk.getField("pts"), p => {
-          val area = abs(
-            (p.getField("t") - px) * (bk.getField("by") -
-              bk.getField("bm") * py) -
-            (bk.getField("bx") - bk.getField("bm") * px) *
-              (p.getField("v") - py))
-          struct((-area).as("na"), p.getField("t").as("t"),
-            p.getField("i").as("i"), p.getField("v").as("v"))
-        })
-        val best = element_at(array_sort(keys), 1)
-        struct(best.getField("t").as("pt"),
-          best.getField("v").as("pv"),
-          array_append(acc.getField("out"),
-            struct(best.getField("t").as("t"),
-              best.getField("i").as("i"),
-              best.getField("v").as("v"))).as("out"))
+      .agg(sort_array(collect_list(
+          struct(col("t0"), col("i"), col("v")))).as("ps0"),
+        min(col("t0")).as("tmin"))
+      .select(col("k"),
+        transform(col("ps0"), p => struct(
+          (p.getField("t0") - col("tmin")).as("t"),
+          p.getField("i").as("i"),
+          p.getField("v").as("v"))).as("ps"))
+      // the interior slice lands in its OWN projection column: it is
+      // referenced per bucket below, and inlining it would re-copy
+      // O(n) elements per bucket (non-cheap multi-referenced aliases
+      // are kept by CollapseProject, so both arrays materialize once
+      // per row)
+      .select(col("k"), col("ps"),
+        slice(col("ps"), lit(2),
+          greatest(size(col("ps")) - 2, lit(0))).as("inter"))
+    val n = size(col("ps"))
+    val first = element_at(col("ps"), 1)
+    val lastP = element_at(col("ps"), n)
+    // interior points (old rn in 2..n-1): bucket j = 0-based slice of
+    // `bs` points, exactly the old `(rn - 2) div bs` assignment
+    val interior = col("inter")
+    val m = size(interior)
+    val nb = intDiv((m + lit(bs - 1)).cast("long"), lit(bs.toLong))
+    // each bucket carries its successor's (Σt, Σv, count) — the last
+    // bucket the final point with weight 1, the old lead+coalesce
+    val bks = when(m >= 1,
+      transform(sequence(lit(1L), nb), jj => {
+        val pts = slice(interior,
+          ((jj - 1L) * bs + 1L).cast("int"), lit(bs))
+        val next = slice(interior,
+          ((jj - 1L) * bs + bs + 1L).cast("int"), lit(bs))
+        val isLast = size(next) === 0
+        struct((jj - 1L).as("b"), pts.as("pts"),
+          when(isLast, lastP.getField("t"))
+            .otherwise(aggregate(next, lit(0L),
+              (a, p) => a + p.getField("t"))).as("bx"),
+          when(isLast, lastP.getField("v"))
+            .otherwise(aggregate(next, lit(0L),
+              (a, p) => a + p.getField("v"))).as("by"),
+          when(isLast, lit(1L))
+            .otherwise(size(next).cast("long")).as("bm"))
       }))
-      .select(col("k"), explode(col("st.out")).as("p"))
-      .select(col("k"), col("p.t").as("t"), col("p.v").as("v"),
-        col("p.i").as("i"))
-    folded.unionByName(firstLast)
-      .select(col("k").as(keyCol), col("t").as("t_s"),
-        col("v").as("value_c"), col("i").as("id"))
+      .otherwise(array().cast(s"array<struct<b:bigint," +
+        s"pts:$ptsType,bx:bigint,by:bigint,bm:bigint>>"))
+    // fold buckets in order: acc = (prev t, prev v, selected so far)
+    // — the selection lambda is IDENTICAL to the previous formulation
+    val zero = struct(first.getField("t").as("pt"),
+      first.getField("v").as("pv"),
+      array().cast(ptsType).as("out"))
+    val folded = aggregate(bks, zero, (acc, bk) => {
+      val px = acc.getField("pt")
+      val py = acc.getField("pv")
+      // selection key: (-area2m, t, id) ascending == largest
+      // triangle first, then earliest, then smallest id
+      val keys = transform(bk.getField("pts"), p => {
+        val area = abs(
+          (p.getField("t") - px) * (bk.getField("by") -
+            bk.getField("bm") * py) -
+          (bk.getField("bx") - bk.getField("bm") * px) *
+            (p.getField("v") - py))
+        struct((-area).as("na"), p.getField("t").as("t"),
+          p.getField("i").as("i"), p.getField("v").as("v"))
+      })
+      val best = element_at(array_sort(keys), 1)
+      struct(best.getField("t").as("pt"),
+        best.getField("v").as("pv"),
+        array_append(acc.getField("out"),
+          struct(best.getField("t").as("t"),
+            best.getField("i").as("i"),
+            best.getField("v").as("v"))).as("out"))
+    })
+    // selected interior points + the endpoints (one row when n == 1,
+    // matching the old `rn === 1 || rn === n` filter)
+    val outArr = concat(
+      folded.getField("out"),
+      array(struct(first.getField("t").as("t"),
+        first.getField("i").as("i"), first.getField("v").as("v"))),
+      when(n > 1,
+        array(struct(lastP.getField("t").as("t"),
+          lastP.getField("i").as("i"), lastP.getField("v").as("v"))))
+        .otherwise(array().cast(ptsType)))
+    base.select(col("k"), explode(outArr).as("p"))
+      .select(col("k").as(keyCol), col("p.t").as("t_s"),
+        col("p.v").as("value_c"), col("p.i").as("id"))
       .orderBy(col(keyCol), col("t_s"), col("id"))
   }
 
