@@ -132,6 +132,12 @@ object Bench {
       // phantom speedup while the failure scrolls past on stderr. A
       // query failing every run reports -1 (unmissable in the JSON).
       val times = (1 to runs).flatMap { _ =>
+        // honest train timings (round-19 verdict item 7): a fit-family
+        // query must time a REAL fit, not a memo lookup — evict its
+        // model before every run. Apply-side queries are untouched
+        // (the memo repopulates during the timed fit, so later encode/
+        // score queries still ride train-once/apply-many).
+        SparkEntry.evictTrainedModel(name, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -147,6 +153,9 @@ object Bench {
       // caches) so later queries don't inherit pinned blocks — the
       // mechanism behind round 12's phantom 3-4x TPC-H tail
       spark.catalog.clearCache()
+      // release the barrier registry first (the operators' own
+      // lifecycle), then sweep anything else to the baseline set
+      Materialize.release(spark)
       val leftover =
         spark.sparkContext.getPersistentRDDs -- baselinePersistent
       leftover.values.foreach(_.unpersist(blocking = false))
@@ -161,8 +170,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sub = subset.map(_ => ",\"subset\":true").getOrElse("")
-    // two-tier rates: pure-plan operators vs full lifecycle cycles
+    // three-tier rates: pure-plan operators vs full lifecycle cycles
+    // vs real model fits. The fit tier is NEW in round 20 (its five
+    // queries now time an actual fit — see the evict above) and is
+    // reported in ADDITION to the operator tier, whose membership is
+    // unchanged for round-over-round comparability.
     val (lifeQ, opQ) = results.partition(r => LifecycleQueries(r._1))
+    val fitQ = results.filter(r => SparkEntry.FitQueries(r._1))
     def rate(rs: Seq[(String, Double)]): String = {
       val n = rs.size
       val s = rs.map(_._2).sum
@@ -170,15 +184,17 @@ object Bench {
       f""""n":$n,"sec":$s%.3f,"rate":$r%.3f"""
     }
     val tiers =
-      s""","operator_tier":{${rate(opQ)}},"lifecycle_tier":{${rate(lifeQ)}}"""
+      s""","operator_tier":{${rate(opQ)}},"lifecycle_tier":{${rate(lifeQ)}},"fit_tier":{${rate(fitQ)}}"""
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$sub$tiers}"""
-    println(full)
     // FILE ledger: the driver captures only the last ~2 KB of stdout,
-    // which a 137-entry queries map outruns — every round 12-14 bench
-    // report lost its head and parsed as null. The full line goes to a
-    // file the repo commits, and the LAST stdout line is a compact
-    // summary that always fits the captured tail whole.
+    // which a 250-entry queries map outruns — printing the full line
+    // to stdout is what POISONED the round 18/19 tail captures (the
+    // 6 KB line landed mid-tail, unparseable, and PERF's per_query
+    // came up empty two rounds running). The full line goes ONLY to
+    // the ledger file; stdout ends with a compact summary line that
+    // always fits the captured tail whole and carries the ledger's
+    // ABSOLUTE path so the driver can read the per-query map from it.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LOCAL.json")
     try {
@@ -189,7 +205,8 @@ object Bench {
         System.err.println(s"[bench] ledger write to $outPath failed: " +
           e.getMessage)
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","runs":$runs,"ledger":"$outPath"$sub}""")
+    val ledgerAbs = java.nio.file.Paths.get(outPath).toAbsolutePath
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","runs":$runs,"ledger":"$ledgerAbs"$sub$tiers}""")
     spark.stop()
   }
 }

@@ -22,7 +22,8 @@ object DumpSome {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val outDir = java.nio.file.Paths.get("plans/r19")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r20"))
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

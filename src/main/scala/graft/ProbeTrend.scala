@@ -29,6 +29,7 @@ object ProbeTrend {
     (1 to 2).foreach { round =>
       val base = java.nio.file.Files
         .createTempDirectory("graft-trendprobe")
+      try {
       val corpus = base.resolve("corpus").toString
       val out = base.resolve("out").toString
       val ckpt = base.resolve("ckpt").toString
@@ -58,6 +59,12 @@ object ProbeTrend {
             col("rk").cast("long").as("rk"))
           .orderBy(col("wstart"), col("rk"))
           .write.format("noop").mode("overwrite").save()
+      }
+      } finally { // ADVICE r19: don't accumulate probe temp trees
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
       }
     }
     spark.stop()

@@ -40,6 +40,12 @@ object ProfQ {
       }
       time(s"$name cold") { df.write.format("noop").mode("overwrite").save() }
       time(s"$name warm") { df.write.format("noop").mode("overwrite").save() }
+      // bench-equivalent hygiene so a multi-query invocation doesn't
+      // carry one query's barrier storage into the next timing
+      spark.catalog.clearCache()
+      Materialize.release(spark)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

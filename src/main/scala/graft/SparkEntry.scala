@@ -866,7 +866,7 @@ object SparkEntry {
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"), col("rnk"),
         col("drnk"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val withRn = operators.Salting.twoPhaseRanks(withTies,
       Seq("l_returnflag"),
       Seq(col("l_extendedprice").desc, col("l_orderkey"),
@@ -915,7 +915,7 @@ object SparkEntry {
     // consumers would otherwise re-run the text-stats scan each
     operators.Salting.twoPhaseRanks(
         r.select(col("doc_id"), col("fre_milli"))
-          .localCheckpoint(eager = false),
+          .transform(graft.Materialize.barrier),
         Seq.empty, Seq(col("fre_milli")),
         percentRankCol = Some("pct"))
       .select(col("doc_id"), col("fre_milli"), col("pct"))
@@ -1416,7 +1416,7 @@ object SparkEntry {
     // DataFrame-construction time.
     operators.FuzzyJoin.selfJoin(t(s, dir, "customer"), "c_name",
       maxDist = 1)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
       .orderBy(col("a"), col("b"))
 
   /** Same blocking join at depth 2 over part names — multi-deletion
@@ -2223,6 +2223,32 @@ object SparkEntry {
     * timed runs (train-once / apply-many, like the IVF pre-fit). */
   def prefitQualityModel(s: SparkSession, dir: String): Unit =
     qualityModelFor(s, dir)
+
+  /** The queries whose OUTPUT is (or embeds) a model fit: for these,
+    * a memoized timing measures a `ConcurrentHashMap` lookup, not the
+    * fit the query name claims (round-19 verdict item 7). The bench
+    * evicts the memo before every timed run of these five so their
+    * numbers are real; the apply-side queries (encodes, scoring, ANN)
+    * keep the train-once/apply-many contract untouched. */
+  val FitQueries: Set[String] = Set("q_bpe_train", "q_unigram_train",
+    "q_unigram_train_soft", "q_unigram_train_soft2", "q_quality_model")
+
+  /** Evict the memoized model `name` is supposed to fit (no-op for
+    * non-train queries). Key strings mirror the query definitions —
+    * this is the one place outside them that needs to know the keys. */
+  def evictTrainedModel(name: String, dir: String): Unit = name match {
+    case "q_bpe_train" =>
+      Bpe.evictCached(s"$dir/documents#bpe$BpeMerges")
+    case "q_unigram_train" =>
+      Unigram.evictCached(s"$dir/documents#uni$UnigramVocab")
+    case "q_unigram_train_soft" =>
+      Unigram.evictCached(s"$dir/documents#unisoft$UnigramVocab")
+    case "q_unigram_train_soft2" =>
+      Unigram.evictCached(s"$dir/documents#unisoft2_$UnigramVocab")
+    case "q_quality_model" =>
+      QualityModel.evictCached(s"$dir/documents#q64")
+    case _ => ()
+  }
 
   /** Model-based quality filtering: score every document under the
     * trained hashed-feature logistic model — a single codegen'd
@@ -3103,7 +3129,7 @@ object SparkEntry {
     // parquet scans in the plan before this). Counting the input is
     // counting the ranked output (ranking preserves cardinality).
     val base = scores.join(dec, Seq("doc_id"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val rn = operators.Salting.twoPhaseRanks(
       base, Seq.empty,
       Seq(col("fre_milli"), col("doc_id")), rowNumCol = Some("rn"))

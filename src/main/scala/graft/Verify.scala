@@ -21,13 +21,27 @@ object Verify {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
+    val baselinePersistent = spark.sparkContext.getPersistentRDDs.keySet
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query storage hygiene, same as Bench: release the
+      // operators' materialization barriers, then sweep any other
+      // leftover persistent RDDs — a 250-query pass must not
+      // accumulate pinned checkpoint blocks
+      spark.catalog.clearCache()
+      Materialize.release(spark)
+      val leftover =
+        spark.sparkContext.getPersistentRDDs -- baselinePersistent
+      leftover.values.foreach(_.unpersist(blocking = false))
     }
+    // no-leak rider: after a full pass nothing may remain persisted
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- baselinePersistent
+    println(s"[verify] persistent_rdds_after_pass=${leaked.size}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -804,3 +804,61 @@ case class IntegerEwmaSeries(child: Expression, alphaNum: Long,
     copy(child = newChild)
   override def prettyName: String = "integer_ewma_series"
 }
+
+/** The DSIR per-document log-weight sum as ONE native O(n) pass — the
+  * codegen replacement for [[graft.operators.Dsir.score]]'s interpreted
+  * DECIMAL HOF fold
+  * `aggregate(_gs, 0 as dec(28,6), (acc,g) => (acc + element_at(w,
+  * pmod(fnv64(g),dim)+1).cast(dec(18,6))).cast(dec(28,6)))`.
+  *
+  * Bit-for-bit equivalence: every per-gram addend in the fold is the
+  * model's `logRatio(b)` double cast to decimal(18,6) — and the ratios
+  * were ROUNDED to 6 decimals at train time, so each addend is an exact
+  * scale-6 decimal. The caller pre-replicates that exact cast once per
+  * bucket (`Decimal(d).changePrecision(18,6)`, the same path Spark's
+  * double→decimal Cast takes) into `ratiosMicro` unscaled longs; the
+  * fold is then an exact long sum (the per-step (28,6) casts in the HOF
+  * never round — scale never exceeds 6 — and |Σ| stays far below both
+  * the long range and (28,6)). A null gram makes the whole fold null in
+  * the HOF (null addend poisons the accumulator), mirrored here. */
+case class DsirScoreSum(child: Expression, dim: Int,
+    ratiosMicro: Array[Long]) extends UnaryExpression {
+  require(dim > 0 && ratiosMicro.length == dim,
+    s"dim $dim must match ratios length ${ratiosMicro.length}")
+  override def dataType: DataType = DecimalType(28, 6)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(input: Any): Any =
+    DsirScore.sum(input.asInstanceOf[ArrayData], dim, ratiosMicro)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ratiosRef = ctx.addReferenceObj("dsirRatios", ratiosMicro,
+      "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.DsirScore.sum($c, $dim, $ratiosRef);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+  override def prettyName: String = "dsir_score_sum"
+}
+
+/** Static entry point for [[DsirScoreSum]] (interpreted + codegen). */
+object DsirScore {
+  def sum(gs: ArrayData, dim: Int, ratiosMicro: Array[Long])
+      : org.apache.spark.sql.types.Decimal = {
+    val n = gs.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (gs.isNullAt(i)) return null // null gram poisons the HOF fold
+      val h = TextHashing.hash64u(gs.getUTF8String(i))
+      val m = h % dim
+      val b = (if (m < 0) m + dim else m).toInt
+      acc = Math.addExact(acc, ratiosMicro(b))
+      i += 1
+    }
+    org.apache.spark.sql.types.Decimal(acc, 28, 6)
+  }
+}

@@ -289,6 +289,10 @@ object Bpe {
       textCol: String = "text"): BpeModel =
     cache.computeIfAbsent(key, _ => train(docs, numMerges, textCol))
 
+  /** Drop a memoized fit so the next [[trainCached]] call trains for
+    * real — bench hook for honest train-query timings. */
+  def evictCached(key: String): Unit = { cache.remove(key); () }
+
   /** The symbol array a trained model produces for one word column:
     * char rep -> every merge as a chained codegen'd `replace` in rank
     * order -> split back to symbols. Pure expression — zero shuffles,
@@ -354,7 +358,7 @@ object Bpe {
           lit(0L), (a, b) => a + b).as("n_chars"),
         size(flatten(transform(ws, w => encodeWord(w, model))))
           .cast("long").as("n_tokens"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
       .filter(col("n_words") >= 1 && col("n_tokens") >= 1)
       .select(col(idCol), col("n_words"), col("n_chars"),
         col("n_tokens"),

@@ -101,7 +101,7 @@ object CorpusOps {
     // instead of three benchmark tokenize+distinct pipelines
     val benchGrams = wordNgrams(benchmark, n, idCol, textCol)
       .select(col("gram")).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val gramCount = benchGrams.count()
     deconProbe(corpus, benchGrams, gramCount, n, idCol, textCol,
       maxBroadcastGrams,
@@ -239,7 +239,7 @@ object CorpusOps {
     // input IS counting the ranked output)
     val scores = TextStats.readability(docs, idCol, textCol)
       .select(col(idCol), col("fre_milli"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val rn = Salting.twoPhaseRanks(scores, Seq.empty,
       Seq(col("fre_milli").desc, col(idCol)),
       rowNumCol = Some("__cur_rn"))
@@ -567,7 +567,7 @@ object CorpusOps {
     // the per-doc gram stream feeds the doc-frequency rollup AND the
     // probe join — one materialization instead of two explode passes
     val grams = wordNgrams(docs, n, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val repeated = grams
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("doc_freq"))
@@ -651,7 +651,7 @@ object CorpusOps {
       .select(col(idCol), col("pos"), col("line"),
         text_hash64(trim(col("line"))).as("h"),
         (trim(col("line")) === "").as("blank"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val frequent = lines.filter(!col("blank"))
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minOccurrences)
@@ -699,7 +699,7 @@ object CorpusOps {
     // reassembly join — materialize once instead of re-scanning and
     // re-tokenizing the parquet per consumer
     val toked = docs.select(col(idCol), tokens(col(textCol)).as("_ts"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     // one row per window START (1-based into the token array), hashed
     // map-side; sequence() reverses when start > stop, so short docs
     // take the explicit empty branch
@@ -715,7 +715,7 @@ object CorpusOps {
         .as(Seq("_wp0", "_h")))
       .select(col(idCol), (col("_wp0") + 1).cast("int").as("_wpos"),
         col("_h"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     // duplicated fingerprints with their canonical owner: one 8-byte
     // keyed rollup (map-side partial count+min), then a hash probe of
     // the window stream against ONLY the duplicated set — AQE
@@ -817,7 +817,7 @@ object CorpusOps {
     // the tokenized corpus feeds the window explode AND the final
     // reassembly join — materialize once (dedupSubstrings precedent)
     val toked = corpus.select(col(idCol), tokens(col(textCol)).as("_ts"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val wins = toked
       .select(col(idCol), posexplode(
         when(size(ts) >= n,

@@ -73,9 +73,7 @@ object Dedup {
     // (measured: q_dedup_near planned 2 full minhash subtrees + the
     // pre-job). The checkpoint is the narrow (id, keys, payload)
     // projection — the same bytes the join shuffles anyway.
-    val banded =
-      if (banded0.isStreaming) banded0
-      else banded0.localCheckpoint(eager = false)
+    val banded = banded0.transform(graft.Materialize.barrier)
     def maybeDistinct(df: DataFrame): DataFrame =
       if (dedupPairs) df.distinct() else df
     // emit with id_a < id_b regardless of which join side was smaller
@@ -451,20 +449,33 @@ object Dedup {
     // edge seed both derive from this checkpoint (without it, the
     // final vertex join would re-execute the whole candidate
     // pipeline a second time)
+    val sc = pairs.sparkSession.sparkContext
+    // eager tracked checkpoint that also reports which persistent RDD
+    // ids it registered, so the fixpoint loop below can release each
+    // superseded generation immediately (at most two generations of
+    // edge state are ever live instead of one per round)
+    def ckptGen(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.transform(graft.Materialize.barrierEager)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def dropGen(ids: Set[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
     val raw = pairs
       .select(col(idACol).cast("long").as("u"),
         col(idBCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
-      .localCheckpoint()
+      .transform(graft.Materialize.barrierEager)
     val verts = raw.select(col("u").as("doc_id"))
       .union(raw.select(col("v").as("doc_id"))).distinct()
     // edges directed large -> small; both star steps preserve the
     // invariant (they emit (x, m) with m the group minimum, m < x)
-    var edges = raw.filter(col("u") =!= col("v"))
+    var (edges, edgeIds) = ckptGen(raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // large-star: every node x attaches its LARGER neighbors to
     // m = min(N(x) ∪ {x}) — breaks up high-degree hubs. Duplicate
     // emissions are NOT deduplicated here: small-star's min-group
@@ -510,8 +521,12 @@ object Dedup {
     var converged = isStarForest(edges)
     var rounds = 0
     while (!converged && rounds < 50) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // the new generation is materialized EAGERLY before the previous
+      // one is dropped — a localCheckpoint cannot be recomputed
+      val (next, nextIds) = ckptGen(smallStar(largeStar(edges)))
+      dropGen(edgeIds)
       edges = next
+      edgeIds = nextIds
       converged = isStarForest(next)
       rounds += 1
     }
@@ -653,7 +668,7 @@ object Dedup {
     // consumers shuffle anyway)
     val grams = CorpusOps.wordNgrams(docs, n, idCol, textCol)
       .select(col(idCol).as("id"), col("gram"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val dfreq = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") <= dfCap)
@@ -667,7 +682,7 @@ object Dedup {
       .select(col("id"),
         transform(col("og"), g => g("gram")).as("ts"),
         size(col("og")).cast("long").as("m"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     // prefix length p = m − ⌈t·m⌉ + 1 (integer ceil in ppm)
     val p = (col("m") -
       intDiv(col("m") * tPpm + lit(999999L), lit(1000000L)) +
@@ -678,7 +693,7 @@ object Dedup {
     // precedent)
     val pref = ordered.select(col("id"), col("m"),
       posexplode(slice(col("ts"), lit(1), p)).as(Seq("pos0", "gram")))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     // PPJoin positional filter: the intersection is confined to
     // elements ≥ the shared prefix gram in the global order, so
     // |inter| ≤ min(mₐ − posₐ, m_b − pos_b) + 1 for the FIRST shared
@@ -737,7 +752,7 @@ object Dedup {
       cappedBucketJoin(banded, Seq("band", "band_hash"), bucketCap)
     val sig = docs.select(col(idCol).as("sid"),
       minhash(col(textCol), numHashes, shingleSize).as("sig"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val txt = docs.select(col(idCol).as("tid"), col(textCol).as("txt"))
     candidates
       .join(sig.select(col("sid"), col("sig").as("sig_a")),
@@ -775,8 +790,8 @@ object Dedup {
   def clusterQuality(docs: DataFrame, minJaccard: Double = 0.2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val prs = minHashLsh(docs, minJaccard = minJaccard, idCol = idCol,
-      textCol = textCol).localCheckpoint(eager = false)
-    val cl = clusters(prs).localCheckpoint(eager = false)
+      textCol = textCol).transform(graft.Materialize.barrier)
+    val cl = clusters(prs).transform(graft.Materialize.barrier)
     val quality = prs
       .join(cl.select(col("doc_id").as("id_a"), col("cluster")),
         Seq("id_a"))

@@ -115,15 +115,24 @@ object Dsir {
     * boundary). Documents with no tokens score 0. Pure map-side. */
   def score(docs: DataFrame, model: NgramRatioModel, tau: Double = 0.0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = typedLit(model.logRatio.toSeq)
-    // DECIMAL fold over the gram array: each step re-casts to the
-    // accumulator type (decimal addition widens precision, and a HOF
-    // accumulator must keep one stable type)
-    val sumLr = aggregate(col("_gs"),
-      lit(BigDecimal(0)).cast("decimal(28,6)"),
-      (acc, g) => (acc + element_at(w,
-        (bucketOf(g, model.dim) + 1).cast("int")).cast("decimal(18,6)"))
-        .cast("decimal(28,6)"))
+    // r20: the DECIMAL HOF fold (interpreted `aggregate`, one decimal
+    // add + two casts per gram) is now ONE native codegen'd long pass
+    // ([[graft.functions.DsirScoreSum]]). Each addend the fold summed
+    // was `logRatio(b).cast(decimal(18,6))` — an EXACT scale-6 value
+    // because train() rounds ratios to 6 decimals — so the per-bucket
+    // unscaled longs below replicate the cast bit-for-bit
+    // (`Decimal(double)` + `changePrecision(18,6)` is the same code
+    // path Spark's Cast runs) and the decimal sum is an exact long sum.
+    val ratiosMicro: Array[Long] = model.logRatio.map { v =>
+      val d = org.apache.spark.sql.types.Decimal(v)
+      require(d.changePrecision(18, 6), s"ratio $v overflows dec(18,6)")
+      d.toUnscaledLong
+    }
+    val sumLr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.DsirScoreSum(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("_gs")),
+        model.dim, ratiosMicro))
     docs
       .select(col(idCol), CorpusOps.tokens(col(textCol)).as("_ts"))
       .select(col(idCol), featureGrams(col("_ts")).as("_gs"))

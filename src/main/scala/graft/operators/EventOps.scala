@@ -604,7 +604,7 @@ object EventOps {
       tsCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val r = retention(events, keyCol, tsCol)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val base = r.filter(col("week_offset") === 0L)
       .select(col("cohort_week"), col("users").as("cohort_size"))
     r.join(broadcast(base), Seq("cohort_week"))
@@ -1207,7 +1207,7 @@ object EventOps {
     val med = Quantiles.exactQuantilesByKey(base, "k", col("vc"),
         Seq(col(idCol)), Seq(0.5))
       .select(col("k"), col("value").as("median_c"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val dev = base.join(broadcast(med), Seq("k"))
       .select(col("k"), abs(col("vc") - col("median_c")).as("dv"),
         col(idCol))
@@ -1495,7 +1495,7 @@ object EventOps {
     // otherwise re-aggregate the event table four times
     val counts = events.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val ranked = Salting.twoPhaseRanks(counts, Seq.empty,
       orderCols = Seq(col("cnt").desc, col("k")),
       rowNumCol = Some("__pu_rn"))
@@ -1537,7 +1537,7 @@ object EventOps {
       .select(col(keyCol).as("u"),
         to_date(date_trunc("week", col(tsCol))).as("w"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val weeks = uw.select(col("w")).distinct()
     val wau = uw.groupBy(col("w")).agg(count(lit(1)).as("wau"))
     val mau = uw
@@ -1681,7 +1681,7 @@ object EventOps {
     val perUser = events
       .groupBy(col(typeCol).as("ty"), col(keyCol).as("u"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val ranked = Salting.twoPhaseRanks(perUser, Seq("ty"),
       Seq(col("x"), col("u")), rowNumCol = Some("__g_i"))
     ranked
@@ -1724,7 +1724,7 @@ object EventOps {
       .select(col("u"),
         datediff(col("gmax"), col("lastd")).cast("long").as("rec"),
         col("freq"), col("mon"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     // each rank level's machinery consumes its input three times
     // (split-bound sample, local window, offsets aggregate) — without
     // a materialization barrier between levels the innermost plan
@@ -1732,10 +1732,10 @@ object EventOps {
     // 172 Window operators in the final plan before this)
     val r1 = Salting.twoPhaseRanks(base, Seq(),
         Seq(col("rec").desc, col("u")), rowNumCol = Some("__r_rn"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val r2 = Salting.twoPhaseRanks(r1,
         Seq(), Seq(col("freq"), col("u")), rowNumCol = Some("__f_rn"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val ranked = Salting.twoPhaseRanks(r2,
       Seq(), Seq(col("mon"), col("u")), rowNumCol = Some("__m_rn"))
     val n = base.agg(count(lit(1)).as("__rfm_n"))
@@ -1989,7 +1989,7 @@ object EventOps {
           .as("wd"),
         sum(when(col("we"), 1L).otherwise(0L)).cast("long").as("wk"))
       .filter(col("wd") > 0 && col("wk") > 0)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val tot = byType.agg(sum(col("wd")).cast("long").as("cw"),
       sum(col("wk")).cast("long").as("ce"))
     byType.crossJoin(broadcast(tot))

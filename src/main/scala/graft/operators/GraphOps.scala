@@ -71,7 +71,7 @@ object GraphOps {
   def triangles(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame =
     trianglesFromEdges(
-      edges(pairs, aCol, bCol).localCheckpoint(eager = false))
+      edges(pairs, aCol, bCol).transform(graft.Materialize.barrier))
       .orderBy(col("a"), col("b"), col("c"))
 
   /** [[triangles]] over an ALREADY-MATERIALIZED canonical edge list,
@@ -86,7 +86,7 @@ object GraphOps {
     val deg = e.select(col("a").as("n"))
       .unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val withDeg = e
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -100,7 +100,7 @@ object GraphOps {
       when(aFirst, col("a")).otherwise(col("b")).as("lo"),
       when(aFirst, col("b")).otherwise(col("a")).as("hi"),
       when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val wedges = o.select(col("lo"), col("hi").as("x"), col("dhi").as("dx"))
       .join(o.select(col("lo"), col("hi").as("y"), col("dhi").as("dy")),
         Seq("lo"))
@@ -124,7 +124,7 @@ object GraphOps {
   def degreeDistribution(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
     // the union reads the edge list twice — one materialization
-    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
+    val e = edges(pairs, aCol, bCol).transform(graft.Materialize.barrier)
     e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node"))
@@ -155,7 +155,7 @@ object GraphOps {
     // triangle enumeration (previously the whole pair pipeline was
     // re-derived by each); the per-corner explode needs no global
     // triangle sort, so the unsorted body is used directly
-    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
+    val e = edges(pairs, aCol, bCol).transform(graft.Materialize.barrier)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node"))
@@ -207,12 +207,12 @@ object GraphOps {
       s"alpha must be in (0, 1): $alphaNum/$alphaDen")
     // the union reads the canonical edge list twice — materialize it
     // once so the upstream pair pipeline runs once, not twice
-    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
+    val e = edges(pairs, aCol, bCol).transform(graft.Materialize.barrier)
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     // the rank table carries the (static) degree so each iteration is
     // ONE edge⋈rank join + rollup + the node-list join-back — the
     // separate per-iteration deg join is folded away (same math:
@@ -262,16 +262,16 @@ object GraphOps {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16]: $rounds")
-    var e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
+    var e = edges(pairs, aCol, bCol).transform(graft.Materialize.barrier)
     (1 to rounds).foreach { _ =>
       val deg = e.select(col("a").as("n"))
         .unionAll(e.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize.barrier)
       e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(eager = false)
+        .transform(graft.Materialize.barrier)
     }
     e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))
@@ -310,10 +310,10 @@ object GraphOps {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
     // the union reads the canonical edge list twice — materialize it
     // once so the upstream pair pipeline runs once, not twice
-    val e = edges(pairs, aCol, bCol).localCheckpoint(eager = false)
+    val e = edges(pairs, aCol, bCol).transform(graft.Materialize.barrier)
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     var labels = dir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     (1 to iters).foreach { _ =>
@@ -351,10 +351,10 @@ object GraphOps {
     */
   def modularity(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", iters: Int = 3): DataFrame = {
-    val p = pairs.localCheckpoint(eager = false)
-    val e = edges(p, aCol, bCol).localCheckpoint(eager = false)
+    val p = pairs.transform(graft.Materialize.barrier)
+    val e = edges(p, aCol, bCol).transform(graft.Materialize.barrier)
     val lab = labelPropagation(p, aCol, bCol, iters)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val dec = "decimal(38,0)"
     val m = e.agg(count(lit(1)).cast(dec).as("m"))
     val eInC = e
@@ -398,10 +398,10 @@ object GraphOps {
     */
   def bridgePairs(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", iters: Int = 3): DataFrame = {
-    val p = pairs.localCheckpoint(eager = false)
+    val p = pairs.transform(graft.Materialize.barrier)
     val e = edges(p, aCol, bCol)
     val lab = labelPropagation(p, aCol, bCol, iters)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     e.join(lab.select(col("node").as("a"),
         col("community").as("community_a")), Seq("a"))
       .join(lab.select(col("node").as("b"),
@@ -434,10 +434,10 @@ object GraphOps {
     */
   def cutBridges(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", iters: Int = 3): DataFrame = {
-    val p = pairs.localCheckpoint(eager = false)
-    val e = edges(p, aCol, bCol).localCheckpoint(eager = false)
+    val p = pairs.transform(graft.Materialize.barrier)
+    val e = edges(p, aCol, bCol).transform(graft.Materialize.barrier)
     val lab = labelPropagation(p, aCol, bCol, iters)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val kept = e
       .join(lab.select(col("node").as("a"), col("community").as("la")),
         Seq("a"))
@@ -453,7 +453,7 @@ object GraphOps {
         Seq("node"), "left_outer")
       .select(col("node"),
         coalesce(col("cluster"), col("node")).as("cluster"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val sizes = full.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"))
     full.join(sizes, Seq("cluster"))

@@ -127,4 +127,8 @@ object QualityModel {
   def trainCached(key: String, docs: => DataFrame, labelCol: String,
       dim: Int = 64, iters: Int = 40, lr: Double = 4.0): HashedLinearModel =
     cache.computeIfAbsent(key, _ => train(docs, labelCol, dim, iters, lr))
+
+  /** Drop a memoized fit so the next [[trainCached]] call trains for
+    * real — bench hook for honest train-query timings. */
+  def evictCached(key: String): Unit = { cache.remove(key); () }
 }

@@ -34,7 +34,7 @@ object Quantiles {
     // that would otherwise each re-execute df's whole lineage
     // (measured: q_mad planned 30 parquet scans before this)
     val src = df.select((valueCol.as("value") +: tiebreakCols): _*)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val n = src.count()
     val pos = qs.map(q => (q, math.max(1L, math.ceil(q * n).toLong)))
       .toDF("q", "__qx_pos")
@@ -63,7 +63,7 @@ object Quantiles {
     // offsets aggregate (see exactQuantiles — same four-consumer shape)
     val src = df
       .select((col(keyCol) +: valueCol.as("value") +: tiebreakCols): _*)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     // the counts side re-derives from df, so its key attribute would
     // share df's expression id — alias it before the join-back
     val counts = src.groupBy(col(keyCol)).agg(count(lit(1)).as("__qx_n"))
@@ -116,7 +116,7 @@ object Quantiles {
     import spark.implicits._
     // same one-materialization shape as exactQuantiles
     val src = df.select((valueCol.as("value") +: tiebreakCols): _*)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val nDf = src.count() match { case n => Seq(n).toDF("__qb_n") }
     val ranked = Salting.twoPhaseRanks(src,
       partCols = Seq.empty,

@@ -590,7 +590,7 @@ object TextSearch {
     // each re-tokenize the corpus — materialize the capped term sets
     // once (≤ maxTermsPerDoc short strings per doc)
     val sets = termSets(docs, textCol, minTermLen, maxTermsPerDoc)
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val pairs = pairCounts(sets, minPairCount)
     val termCnt = sets
       .select(explode(col("ts")).as("t"))
@@ -649,13 +649,13 @@ object TextSearch {
     val pairs = pairCounts(
       termSets(docs, textCol, minTermLen, maxTermsPerDoc),
       minPairCount).select(col("t1"), col("t2"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val edges = pairs.select(col("t1").as("src"), col("t2").as("dst"))
       .unionAll(pairs.select(col("t2").as("src"), col("t1").as("dst")))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Materialize.barrier)
     val n = deg.count()
     require(n > 0, "textRank: empty co-occurrence graph")
     val base = 1000000000000L / n

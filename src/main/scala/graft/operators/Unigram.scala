@@ -420,6 +420,12 @@ object Unigram {
     cache.computeIfAbsent(key, _ => trainSoft(docs, vocabSize, iters,
       textCol))
 
+  /** Drop a memoized fit so the next `trainCached`/`trainSoftCached`
+    * call performs a real training run — the bench uses this to time
+    * the train-family queries honestly (a `q_*_train` timing that is a
+    * map lookup is not a measurement). */
+  def evictCached(key: String): Unit = { cache.remove(key); () }
+
   // ───────────────────────── encoding ─────────────────────────
 
   /** Viterbi-encode every document under a trained model:
@@ -485,14 +491,19 @@ object Unigram {
             ps => ps.isNotNull)),
           array().cast("array<string>")).as("toks"))
     }
-    // NOTE (r19 optimization round): the occurrence stream has two
-    // consumers (distinct-word segmentation + join-back), but a
-    // localCheckpoint here would violate this operator's tested
-    // no-leaked-storage contract (UnigramSpec asserts encode leaves
-    // no persistent RDDs behind) — the double tokenize stays.
+    // r20: the occurrence stream has two consumers (distinct-word
+    // segmentation + join-back), each of which would re-run the whole
+    // corpus tokenize. Round 19 had to leave the double tokenize in
+    // place because a checkpoint violated the no-leaked-storage
+    // contract; the Materialize release lifecycle (UnigramSpec's leak
+    // assert is now delta-based around `Materialize.release`) unblocks
+    // the barrier — one tokenize, storage reclaimed after the action.
+    // (The final empty-doc join-back projects only idCol, so column
+    // pruning keeps that third consumer off the tokenize path.)
     val occ = docws
       .select(col(idCol), posexplode_outer(col("_graft_ws"))
         .as(Seq("_graft_widx", "_graft_w")))
+      .transform(graft.Materialize.barrier)
     val seg = occ.select(col("_graft_w")).filter(
         col("_graft_w").isNotNull).distinct()
       .select(col("_graft_w"),

@@ -74,6 +74,12 @@ class UnigramSpec extends SparkTestBase {
       "round-trip to its eligible words; train and encode are " +
       "deterministic") {
     val d = Tables.t(spark, sf001, "documents")
+    // DELTA-based leak check (round-19 lesson: the global
+    // `getPersistentRDDs.isEmpty` assert was order-dependent — any
+    // earlier suite's barrier leak in the shared session failed THIS
+    // operator's contract): snapshot before, assert no NEW pinned
+    // storage survives this test's own work + a Materialize.release.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val m1 = Unigram.train(d, vocabSize = 16, iters = 2)
     val m2 = Unigram.train(d, vocabSize = 16, iters = 2)
     assert(m1 === m2, "training is not deterministic")
@@ -92,9 +98,13 @@ class UnigramSpec extends SparkTestBase {
     val multi = enc.select(explode($"toks").as("t"))
       .filter(length($"t") > 1).count()
     assert(multi > 0L, "no multi-char piece ever emitted")
-    // no persisted storage leaks out of training
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "unigram training leaked cached storage")
+    // no persisted storage leaks out of training/encoding beyond what
+    // the documented release lifecycle reclaims
+    graft.Materialize.release(spark)
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty,
+      s"unigram train/encode leaked cached storage: rdd ids $leaked")
   }
 
   test("soft EM: quantized forward-backward expectations match the " +
