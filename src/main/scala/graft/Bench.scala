@@ -89,6 +89,7 @@ object Bench {
     // one warm-up action so JVM/codegen startup isn't billed to the
     // first query
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_PREFIT")) {
     // pre-train the IVF quantizer: the operator's contract is train-once
     // / apply-many (Ann.IvfModel), so steady-state query cost — what the
     // bench measures everywhere else — excludes the one-time fit
@@ -103,6 +104,7 @@ object Bench {
     // and the unigram-LM tokenizer (same contract)
     operators.Unigram.trainCached(s"$sfDir/documents#uni16",
       Tables.t(spark, sfDir, "documents"), 16)
+    }
     // min of `runs` executions per query: a single serial pass bills
     // whichever queries run last for the accumulated JIT/GC state (the
     // sandbox is ±30% noisy, and one stall smeared a 4-6x phantom

@@ -17,6 +17,7 @@ object ProfQ {
       println(f"TIMED $label ${(System.nanoTime()-t0)/1e9}%.3f s")
     }
     val part = spark.read.parquet(s"$dir/part.parquet")
+    if (!sys.env.contains("SPARK_GRAFT_PROFQ_NOWARM")) {
     time("part_scan_noop") { part.write.format("noop").mode("overwrite").save() }
     time("part_fns_noorder") {
       part.select(col("p_partkey"), upper(col("p_brand")).as("u"),
@@ -30,6 +31,7 @@ object ProfQ {
     time("part_fns_order2") {
       SparkEntry.queries("q_string_fns")(spark, dir)
         .write.format("noop").mode("overwrite").save() }
+    }
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, dir)
       // SPARK_GRAFT_PROFQ_EXPLAIN=1 dumps the formatted plan before
@@ -40,6 +42,12 @@ object ProfQ {
       }
       time(s"$name cold") { df.write.format("noop").mode("overwrite").save() }
       time(s"$name warm") { df.write.format("noop").mode("overwrite").save() }
+      time(s"$name ctor+write") {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save() }
+      time(s"$name ctor+write2") {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save() }
       // bench-equivalent hygiene so a multi-query invocation doesn't
       // carry one query's barrier storage into the next timing
       spark.catalog.clearCache()

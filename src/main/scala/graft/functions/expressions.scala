@@ -844,6 +844,59 @@ case class DsirScoreSum(child: Expression, dim: Int,
   override def prettyName: String = "dsir_score_sum"
 }
 
+/** `levenshtein(l, r) <= 1` as ONE early-exit code-point walk — the
+  * FastSS d=1 verify without the banded DP (measured: Spark's
+  * threshold `levenshtein` on the 977k customer-name candidates cost
+  * ~2.4 µs/pair; this check is a two-pointer scan that exits at the
+  * second mismatch). Code-point semantics match Spark's levenshtein
+  * (UTF8String walks code points, so a surrogate pair is ONE edit). */
+case class LevenshteinLe1(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(l: Any, r: Any): Any =
+    LevenshteinLe1.within1(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = defineCodeGen(ctx, ev, (l, r) =>
+    s"graft.functions.LevenshteinLe1.within1($l, $r)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression) = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "levenshtein_le1"
+}
+
+object LevenshteinLe1 {
+  /** True iff the code-point edit distance of `la`/`lb` is ≤ 1:
+    * equal-length strings may differ in at most one code point;
+    * length-off-by-one pairs must align with one skip in the longer. */
+  def within1(la: UTF8String, lb: UTF8String): Boolean = {
+    val a = la.toString.codePoints().toArray
+    val b = lb.toString.codePoints().toArray
+    val n = a.length
+    val m = b.length
+    if (n == m) {
+      var i = 0
+      var diff = 0
+      while (i < n) {
+        if (a(i) != b(i)) { diff += 1; if (diff > 1) return false }
+        i += 1
+      }
+      true
+    } else if (math.abs(n - m) == 1) {
+      val (lo, hi) = if (n < m) (a, b) else (b, a)
+      var i = 0
+      var j = 0
+      var skipped = false
+      while (i < lo.length) {
+        if (lo(i) == hi(j)) { i += 1; j += 1 }
+        else if (skipped) return false
+        else { skipped = true; j += 1 }
+      }
+      true
+    } else false
+  }
+}
+
 /** Static entry point for [[DsirScoreSum]] (interpreted + codegen). */
 object DsirScore {
   def sum(gs: ArrayData, dim: Int, ratiosMicro: Array[Long])

@@ -450,13 +450,17 @@ object Dedup {
     // final vertex join would re-execute the whole candidate
     // pipeline a second time)
     val sc = pairs.sparkSession.sparkContext
-    // eager tracked checkpoint that also reports which persistent RDD
+    // LAZY tracked checkpoint that also reports which persistent RDD
     // ids it registered, so the fixpoint loop below can release each
     // superseded generation immediately (at most two generations of
-    // edge state are ever live instead of one per round)
+    // edge state are ever live instead of one per round). Lazy: the
+    // round's convergence test is the first consumer and materializes
+    // the generation as a side effect — an eager checkpoint would pay
+    // one extra job per round just to force it (r20: the closure's
+    // cost at bench shapes is JOB overhead, not data).
     def ckptGen(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.transform(graft.Materialize.barrierEager)
+      val out = df.transform(graft.Materialize.barrier)
       (out, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     def dropGen(ids: Set[Int]): Unit = {
@@ -467,7 +471,7 @@ object Dedup {
       .select(col(idACol).cast("long").as("u"),
         col(idBCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
-      .transform(graft.Materialize.barrierEager)
+      .transform(graft.Materialize.barrier)
     val verts = raw.select(col("u").as("doc_id"))
       .union(raw.select(col("v").as("doc_id"))).distinct()
     // edges directed large -> small; both star steps preserve the
@@ -503,31 +507,41 @@ object Dedup {
     }
     // fixpoint test, STRUCTURAL so no confirm round is paid: a
     // large→small edge set is the converged star forest iff every
-    // child has exactly one parent (count == distinct children) and
-    // no node is both child and parent. Sufficiency: out-degree 1 +
-    // disjoint roles ⇒ each component is one childless root (the
-    // component min, since every child exceeds its parent) with
-    // direct leaves; necessity is Kiveris et al.'s convergence
-    // theorem. Each test is one tiny agg + one semi-join on the
-    // round's checkpointed edges.
+    // child has exactly one parent (count == distinct children ⇔ no
+    // child row count exceeds 1) and no node is both child and parent.
+    // Sufficiency: out-degree 1 + disjoint roles ⇒ each component is
+    // one childless root (the component min, since every child exceeds
+    // its parent) with direct leaves; necessity is Kiveris et al.'s
+    // convergence theorem. r20: the old agg + semi-join pair was TWO
+    // jobs per round on tiny data — both conditions now fold into ONE
+    // role rollup job (per node: child-row count, child/parent flags),
+    // and it doubles as the job that materializes the round's lazy
+    // generation checkpoint.
     def isStarForest(e: DataFrame): Boolean = {
-      val r = e.agg(count(lit(1)),
-        countDistinct(col("u"))).head()
-      r.getLong(0) == r.getLong(1) &&
-        e.select(col("u"))
-          .join(e.select(col("v").as("u")), Seq("u"), "left_semi")
-          .isEmpty
+      val roles = e
+        .select(col("u").as("n"), lit(1L).as("c"), lit(0).as("p"))
+        .unionAll(e
+          .select(col("v").as("n"), lit(0L).as("c"), lit(1).as("p")))
+        .groupBy(col("n"))
+        .agg(sum(col("c")).as("cs"), max(col("p")).as("ip"))
+      val r = roles.agg(
+        coalesce(max(when(col("cs") > 0 && col("ip") === 1, 1)
+          .otherwise(0)), lit(0)).as("both"),
+        coalesce(max(col("cs")), lit(0L)).as("maxChildRows")).head()
+      r.getInt(0) == 0 && r.getLong(1) <= 1L
     }
     var converged = isStarForest(edges)
     var rounds = 0
     while (!converged && rounds < 50) {
-      // the new generation is materialized EAGERLY before the previous
-      // one is dropped — a localCheckpoint cannot be recomputed
       val (next, nextIds) = ckptGen(smallStar(largeStar(edges)))
+      // the convergence test materializes the new generation (it is
+      // the checkpoint's first consumer), so the previous generation
+      // is dropped only AFTER next's blocks exist — a localCheckpoint
+      // cannot be recomputed
+      converged = isStarForest(next)
       dropGen(edgeIds)
       edges = next
       edgeIds = nextIds
-      converged = isStarForest(next)
       rounds += 1
     }
     require(converged, s"connected components did not converge in " +

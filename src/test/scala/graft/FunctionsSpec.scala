@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.functions.{LangGuess, TextHashing}
+import graft.functions.{LangGuess, LevenshteinLe1, TextHashing}
 
 /** Unit tests for the native expressions (SURVEY.md §2j/§2k). */
 class FunctionsSpec extends SparkTestBase {
@@ -179,5 +179,33 @@ class FunctionsSpec extends SparkTestBase {
   test("tokens normalizes case and splits on non-alphanumerics") {
     assert(TextHashing.tokens("Hello, World! 42").toSeq ==
       Seq("hello", "world", "42"))
+  }
+
+  test("LevenshteinLe1 === (levenshtein <= 1) on randomized pairs, " +
+      "including unicode and astral code points") {
+    val rnd = new scala.util.Random(42)
+    // alphabet includes an astral plane char (one CODE POINT, two
+    // UTF-16 units) — Spark's levenshtein walks code points, so a
+    // single astral substitution must count as ONE edit
+    val alpha = Array("a", "b", "c", "é", "中", new String(
+      Character.toChars(0x1F600)))
+    def word(): String =
+      (0 until rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString
+    val pairs = (1 to 4000).map(_ => (word(), word())) ++ Seq(
+      ("", ""), ("", "a"), ("", "ab"), ("aa", "aa"),
+      (new String(Character.toChars(0x1F600)), "a"),
+      ("x" + new String(Character.toChars(0x1F600)), "xa"))
+    val df = pairs.toDF("l", "r")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val got = df.select($"l", $"r",
+        ColumnBridge.column(LevenshteinLe1(
+          ColumnBridge.expression($"l"),
+          ColumnBridge.expression($"r"))).as("fast"),
+        (levenshtein($"l", $"r") <= 1).as("ref"))
+      .filter($"fast" =!= $"ref")
+      .collect()
+    assert(got.isEmpty,
+      s"diverged on ${got.take(5).mkString(", ")} (${got.length} pairs)")
   }
 }
